@@ -3,6 +3,8 @@ package graft.etl
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+import scala.collection.concurrent.TrieMap
 
 /** Star-schema analog of the reference's academic data warehouse
   * (kevin-079/FP-Data-Lakehouse, see SURVEY.md §1/§7.1), re-expressed over the
@@ -47,9 +49,13 @@ object Star {
   val failingGrades: Seq[String] = Seq("RF", "RO")
 
   /** Deterministic cross-engine 2-decimal rounding: floor(x*100 + 0.5)/100.
-    * Both Spark and the DuckDB oracle evaluate this on the identical IEEE
-    * double, so results are bit-equal (unlike round(), where Spark goes via
-    * BigDecimal-of-string and DuckDB stays numeric). */
+    * Unlike round(), both engines evaluate this directly on IEEE doubles
+    * (Spark's round() goes via BigDecimal-of-string). Caveat: inputs built
+    * from sks*bobot sums are exact, but avg() over already-rounded doubles
+    * (q01/q12/q17/q24/q29) can differ by ulps across engines when partial
+    * aggregation sums in a different order — empirically identical at
+    * sf0.001/sf0.01/sf0.1, but not guaranteed bit-equal near a .005
+    * boundary. */
   def round2(c: Column): Column = floor(c * lit(100) + lit(0.5)) / lit(100)
 
   /** SQL spelling of [[round2]] for the DuckDB oracle. */
@@ -75,10 +81,21 @@ object Star {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Session-scoped memoization of the shared star DataFrames. ~20 of the
+    * queries derive from [[fact]]/[[semesterFact]]; each query is an
+    * independent (spark, dir) => DataFrame thunk, so without this every one
+    * re-reads and re-joins the raw parquet. persist() here is the in-session
+    * analog of materializing the star to a warehouse table (the cross-run
+    * form is [[StarBuilder]]); at cluster scale the same role is played by a
+    * bucketed parquet/Delta write of the fact, not executor memory. */
+  private val memoCache = TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private def memo(spark: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
+    memoCache.getOrElseUpdate((spark, dir, key), build.persist(StorageLevel.MEMORY_AND_DISK))
+
   /** The graded-event fact (Fact_Nilai_MK analog): one row per lineitem with
     * the star's natural keys and measures. Columns:
     * student, course, tahun, semester, huruf, bobot, sks, bobot_matkul. */
-  def fact(spark: SparkSession, dir: String): DataFrame = {
+  def fact(spark: SparkSession, dir: String): DataFrame = memo(spark, dir, "fact") {
     val li = table(spark, dir, "lineitem")
       .select("l_orderkey", "l_partkey", "l_shipdate", "l_returnflag", "l_linestatus", "l_quantity")
     val ord = table(spark, dir, "orders").select("o_orderkey", "o_custkey")
@@ -114,7 +131,7 @@ object Star {
     *     replacing the reference's insertion-order MAX(id_nilai), etl_2fact.py:238-244)
     * Chronological order = (tahun, semester): 'Gasal' < 'Genap' lexically, the
     * same coincidence the reference relies on (insight_transkrip.sql:290). */
-  def semesterFact(spark: SparkSession, dir: String): DataFrame = {
+  def semesterFact(spark: SparkSession, dir: String): DataFrame = memo(spark, dir, "sem") {
     val grouped = fact(spark, dir)
       .groupBy("student", "tahun", "semester")
       .agg(

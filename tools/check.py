@@ -17,7 +17,10 @@ def load_spark_result(outdir, name):
     files = glob.glob(os.path.join(outdir, name, "*.parquet"))
     if not files:
         return None
-    return pq.read_table(sorted(files)[0]).to_pandas()
+    # Concatenate all part files in sorted order — don't silently depend on
+    # Verify's coalesce(1) producing a single part.
+    tables = [pq.read_table(f) for f in sorted(files)]
+    return pd.concat([t.to_pandas() for t in tables], ignore_index=True)
 
 def canon(df):
     # column-name-sorted, like the driver; values stringified with rounding guard
