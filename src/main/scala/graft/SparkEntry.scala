@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.Insights
+import graft.ops.{Dedup, Insights}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,12 +17,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Insights.q02_top10_ipk(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * LLM-data-pipeline families (SURVEY.md §7.6). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Insights.queries
+    Insights.queries ++ Dedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    Insights.oracle
+    Insights.oracle ++ Dedup.oracle
 }

@@ -61,6 +61,11 @@ object Star {
   /** SQL spelling of [[round2]] for the DuckDB oracle. */
   def round2Sql(expr: String): String = s"floor(($expr)*100 + 0.5)/100"
 
+  /** 4-decimal variant of [[round2]] for similarity scores. */
+  def round4(c: Column): Column = floor(c * lit(10000) + lit(0.5)) / lit(10000)
+
+  def round4Sql(expr: String): String = s"floor(($expr)*10000 + 0.5)/10000"
+
   /** weight CASE expression over the concatenated grade letter. */
   def bobotExpr(huruf: Column): Column = {
     val init: Column = lit(0.0)

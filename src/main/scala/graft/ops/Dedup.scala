@@ -1,0 +1,224 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.Star.{round4, round4Sql}
+import TextCore._
+
+/** Deduplication operator family over the driver's `documents` and
+  * `embeddings` tables (driver-mandated LLM-data-pipeline surface; no
+  * reference counterpart — the reference's only dedup is UNIQUE-index
+  * rejection, ETL_FINAL.py:100).
+  *
+  * Five methods, each with a DuckDB oracle computing the identical result:
+  *
+  *  - exact:   md5 of normalized text, group → keep min id (q31)
+  *  - MinHash: 12 md5-minhashes, 4 bands × 3 rows, band-bucket join for
+  *             candidates, exact Jaccard verify (q32)
+  *  - SimHash: 64-bit shingle simhash, 4×16-bit chunk banding, Hamming ≤ 3
+  *             (lossless by pigeonhole: ≤3 flips over 4 chunks leaves ≥1
+  *             chunk identical) (q33)
+  *  - n-gram Jaccard: inverted shingle index join (lossless for J > 0),
+  *             exact Jaccard ≥ 0.5 (q34)
+  *  - embedding cosine: all-pairs cosine ≥ 0.45 as the exact baseline (q35)
+  *
+  * 100 TB posture: q31-q34 shuffle only on narrow keys (16-32-char hashes /
+  * band buckets / shingles), never on document text; per-document signatures
+  * are computed map-side with higher-order array functions (no explode until
+  * the candidate join). Candidate verification joins back to the docs by id
+  * rather than carrying arrays through the bucket join. The all-pairs q35 is
+  * the oracle-comparable baseline — at cluster scale its role is played by a
+  * sign-LSH banded variant of the same shape as q32/q33.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q31: exact dedup on normalized text — fingerprint, surviving doc
+    * (min doc_id), and multiplicity per group. */
+  val q31_dedup_exact: Q = (s, d) =>
+    docShingles(s, d)
+      .select(md5(col("norm")).as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("fp")
+
+  private val numHashes = 12
+  private val numBands = 4 // 3 rows per band
+
+  /** q32: MinHash + LSH banding near-dup pairs with exact-Jaccard ≥ 0.5
+    * verification. Both engines compute the same md5 minhashes, so the
+    * candidate sets are identical by construction (recall of the banding is
+    * a property of the shared signature, not of either engine). */
+  val q32_dedup_minhash_lsh: Q = (s, d) => {
+    val docs = docShingles(s, d).select(col("doc_id"), col("shingles"))
+    val sigs = docs.select(
+      col("doc_id") +: (0 until numHashes).map(k => minhash(col("shingles"), k).as(s"mh$k")): _*)
+    val bandCols = (0 until numBands).map { bd =>
+      val key = md5(concat(
+        col(s"mh${3 * bd}"), lit("|"), col(s"mh${3 * bd + 1}"), lit("|"), col(s"mh${3 * bd + 2}")))
+      struct(lit(bd).as("band"), key.as("bkey"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q33: SimHash near-dup pairs at Hamming ≤ 3 over 3-shingle features.
+    * Candidates via 4×16-bit chunk equality (banded join); lossless for
+    * the ≤3 threshold by pigeonhole, so it equals the all-pairs answer the
+    * oracle computes. */
+  val q33_dedup_simhash: Q = (s, d) => {
+    val sims = docShingles(s, d)
+      .select(col("doc_id"), simhash64(col("shingles")).as("sim"))
+    val chunkCols = (0 until 4).map(c =>
+      struct(lit(c).as("c"), substring(col("sim"), c * 16 + 1, 16).as("chunk")))
+    val chunks = sims
+      .select(col("doc_id"), explode(array(chunkCols: _*)).as("k"))
+      .select(col("doc_id"), col("k.c").as("c"), col("k.chunk").as("chunk"))
+    val cand = chunks.as("a").join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sims.select(col("doc_id").as("doc_a"), col("sim").as("sim_a")), "doc_a")
+      .join(sims.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")), "doc_b")
+      .withColumn("hamming", hamming(col("sim_a"), col("sim_b")).cast("long"))
+      .where(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q34: n-gram (word 3-shingle) Jaccard near-dup via an inverted shingle
+    * index — candidates are pairs sharing ≥1 shingle (lossless for J > 0),
+    * intersection counted by the join, union from per-doc set sizes.
+    * At 100 TB the postings of ultra-common shingles get df-capped
+    * (prefix-filter); unnecessary at this selectivity. */
+  val q34_dedup_ngram_jaccard: Q = (s, d) => {
+    val docs = docShingles(s, d)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n_sh"))
+    val postings = docs.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("shingle"))
+    postings.as("a").join(postings.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+      .where(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "inter", "uni", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q35: embedding-cosine near-dup pairs (cos ≥ 0.45), exact baseline.
+    * Dot products are sequential folds (aggregate over zip_with) so both
+    * engines sum in identical order; the cosine is rounded to 4 decimals
+    * only in the output, the threshold filter sees the raw double. */
+  val q35_dedup_embed_cosine: Q = (s, d) => {
+    val vecs = s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val a = vecs.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = vecs.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x) /
+          (col("na") * col("nb")))
+      .where(col("cosine") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), round4(col("cosine")).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q31_dedup_exact" -> q31_dedup_exact,
+    "q32_dedup_minhash_lsh" -> q32_dedup_minhash_lsh,
+    "q33_dedup_simhash" -> q33_dedup_simhash,
+    "q34_dedup_ngram_jaccard" -> q34_dedup_ngram_jaccard,
+    "q35_dedup_embed_cosine" -> q35_dedup_embed_cosine)
+
+  // ---------------------------------------------------------------------------
+  // DuckDB oracles
+  // ---------------------------------------------------------------------------
+
+  private val mhSelect =
+    (0 until numHashes).map(k => s"${minhashSql(k)} AS mh$k").mkString(",\n         ")
+
+  private val bandsSql = (0 until numBands).map { bd =>
+    s"SELECT doc_id, $bd AS band, md5(mh${3 * bd} || '|' || mh${3 * bd + 1} || '|' || mh${3 * bd + 2}) AS bkey FROM sig"
+  }.mkString("\n  UNION ALL ")
+
+  val oracle: Map[String, String] = Map(
+    "q31_dedup_exact" -> withDocs(
+      """SELECT md5(norm) AS fp, min(doc_id) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM docs GROUP BY 1 ORDER BY fp""".stripMargin),
+    "q32_dedup_minhash_lsh" -> withDocs(
+      s""", sig AS (
+         |  SELECT doc_id, $mhSelect
+         |  FROM docs),
+         |bands AS (
+         |  $bandsSql),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |       CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+         |       CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE) AS jaccard
+         |FROM cand JOIN docs x ON doc_a = x.doc_id JOIN docs y ON doc_b = y.doc_id
+         |WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+         |      CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin),
+    "q33_dedup_simhash" -> withDocs(
+      s""", sims AS (
+         |  SELECT doc_id, ${simhash64Sql("shingles")} AS sim
+         |  FROM docs)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       ${hammingSql("a.sim", "b.sim")} AS hamming
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE ${hammingSql("a.sim", "b.sim")} <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin),
+    "q34_dedup_ngram_jaccard" -> withDocs(
+      """, p AS (
+        |  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh,
+        |         unnest(shingles) AS shingle
+        |  FROM docs),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.n_sh AS n_a, b.n_sh AS n_b,
+        |         CAST(count(*) AS BIGINT) AS inter
+        |  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, inter,
+        |       CAST(n_a + n_b - inter AS BIGINT) AS uni,
+        |       CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) AS jaccard
+        |FROM cand
+        |WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "q35_dedup_embed_cosine" ->
+      s"""WITH vecs AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                               CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ${round4Sql("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)")} AS cosine
+         |FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin)
+}

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared text-normalization / shingling / hashing machinery for the
+  * LLM-data-pipeline operator families (dedup, text analysis) over the
+  * driver's `documents` table. The reference has no counterpart (its text
+  * processing is the transcript regex ETL, ETL_FINAL.py:149-192); these are
+  * the driver-mandated north-star operators (SURVEY.md §7.6).
+  *
+  * Every construct here exists twice: a Spark `Column` expression and a
+  * DuckDB SQL fragment that computes the *identical* value (same hash
+  * function md5, same shingle construction, same fold order), so results
+  * hash-match across engines. All per-document work is expressed with
+  * codegen-free higher-order functions over arrays — no explode until a
+  * join needs it — so a document is processed entirely within its partition
+  * (the 100 TB shape: documents are embarrassingly parallel until the
+  * candidate-pair join, which shuffles on band/shingle keys only).
+  */
+object TextCore {
+
+  // -------------------------------------------------------------------------
+  // Spark side
+  // -------------------------------------------------------------------------
+
+  /** Whitespace-collapsed lowercase normalization. */
+  def normCol(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  def wordsCol(norm: Column): Column = split(norm, " ")
+
+  /** Distinct word 3-shingles of a word array (empty if < 3 words).
+    * Built with transform over an index sequence — no explode. */
+  def shingles3(words: Column): Column =
+    when(size(words) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), size(words) - 2),
+        i => concat_ws(" ",
+          element_at(words, i),
+          element_at(words, i + 1),
+          element_at(words, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** MinHash signature value for one seed: min over shingles of
+    * md5(seed || '|' || shingle). NULL for an empty shingle set (which then
+    * null-propagates out of band keys — empty docs never become candidates). */
+  def minhash(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, s => md5(concat(lit(s"$seed|"), s))))
+
+  /** 64-bit SimHash over a feature array, as a 64-char '0'/'1' string.
+    * Bit b of feature f = bit (3 - b%4) of hex digit b/4 of md5(f);
+    * simhash bit b = 1 iff Σ_f (2·bit_b(f) − 1) > 0. Expressed as one
+    * nested higher-order expression (no explode, no shuffle). */
+  def simhash64(features: Column): Column = {
+    def bitOf(f: Column, b: Column): Column = {
+      val hexDigit = md5(f).substr((b.cast("int") / 4).cast("int") + 1, lit(1))
+      val digit = instr(lit("0123456789abcdef"), hexDigit) - 1
+      // (digit >> (3 - b%4)) & 1, spelled with a Column shift amount:
+      // digits are 0..15 so the double division is exact.
+      (digit.cast("double") / pow(lit(2.0), lit(3) - b % 4)).cast("int") % 2
+    }
+    array_join(
+      transform(sequence(lit(0), lit(63)), b =>
+        when(aggregate(features, lit(0), (acc, f) => acc + bitOf(f, b) * 2 - 1) > 0,
+          lit("1")).otherwise(lit("0"))),
+      "")
+  }
+
+  /** Hamming distance between two equal-length 64-bit strings. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(sequence(lit(1), lit(64)), lit(0), (acc, i) =>
+      acc + when(a.substr(i.cast("int"), lit(1)) === b.substr(i.cast("int"), lit(1)), 0).otherwise(1))
+
+  /** documents with norm/words/shingles columns. */
+  def docShingles(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val norm = normCol(col("text"))
+    d.select(col("doc_id"), col("lang"), col("source"), col("n_chars"), norm.as("norm"))
+      .withColumn("words", wordsCol(col("norm")))
+      .withColumn("shingles", shingles3(col("words")))
+  }
+
+  // -------------------------------------------------------------------------
+  // DuckDB oracle fragments (must mirror the Spark expressions exactly)
+  // -------------------------------------------------------------------------
+
+  /** `docs` CTE: doc_id, lang, source, n_chars, norm, words, shingles. */
+  val docsCte: String =
+    """docs AS (
+      |  SELECT doc_id, lang, source, n_chars, norm, words,
+      |         CASE WHEN len(words) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(words)-1),
+      |                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+      |              ELSE CAST([] AS VARCHAR[]) END AS shingles
+      |  FROM (
+      |    SELECT doc_id, lang, source, n_chars, norm, string_split(norm, ' ') AS words
+      |    FROM (SELECT doc_id, lang, source, n_chars,
+      |                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |          FROM documents)))""".stripMargin
+
+  /** SQL for [[minhash]] over the docs CTE's `shingles`. */
+  def minhashSql(seed: Int): String =
+    s"list_aggregate(list_transform(shingles, s -> md5('$seed|' || s)), 'min')"
+
+  /** SQL for [[simhash64]] over a feature-list expression. */
+  def simhash64Sql(features: String): String =
+    s"""array_to_string(list_transform(range(0, 64), b ->
+       |  CASE WHEN list_aggregate(list_transform($features, f ->
+       |         ((instr('0123456789abcdef', substr(md5(f), (b // 4) + 1, 1)) - 1
+       |           >> (3 - (b % 4))) & 1) * 2 - 1), 'sum') > 0
+       |       THEN '1' ELSE '0' END), '')""".stripMargin
+
+  /** SQL for [[hamming]] of two 64-char bit strings (BIGINT to match the
+    * Spark side's long — DuckDB list sums can widen to HUGEINT→float64). */
+  def hammingSql(a: String, b: String): String =
+    s"""CAST(list_aggregate(list_transform(range(1, 65), i ->
+       |  CASE WHEN substr($a, CAST(i AS INT), 1) = substr($b, CAST(i AS INT), 1)
+       |       THEN 0 ELSE 1 END), 'sum') AS BIGINT)""".stripMargin
+
+  def withDocs(select: String): String = s"WITH $docsCte $select"
+}
