@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.etl.Star.{round4, round4Sql}
+
+/** Approximate-nearest-neighbor / similarity search over
+  * `embeddings.embedding` (driver-mandated north-star family, SURVEY.md
+  * §7.6; no reference counterpart).
+  *
+  *  - q36: brute-force cosine top-k — the exact baseline. Query set is tiny
+  *    (vec_id < 10) and broadcast; the corpus side streams, so the plan is
+  *    a broadcast nested-loop join + per-query window: embarrassingly
+  *    parallel over corpus partitions, no corpus shuffle at any scale.
+  *  - q37: IVF (inverted-file) top-k — the 100 TB path. Corpus is bucketed
+  *    by nearest centroid (here: the 16 vectors with vec_id < 16, a
+  *    deterministic training-free codebook); queries probe their 4 nearest
+  *    centroids and search only those buckets. At cluster scale the
+  *    assignment is a partitioned table and the probe join prunes
+  *    partitions; recall loss is the IVF tradeoff, identically computed by
+  *    both engines (same codebook, same ranking).
+  *
+  * Determinism: cosines are sequential folds (identical order both
+  * engines); rankings order by (cosine DESC, id ASC); output cosine is
+  * rounded to 4 decimals, rankings see the raw double.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val numQueries = 10
+  private val numCentroids = 16
+  private val nProbe = 4
+  private val topK = 5
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+
+  /** q36: exact cosine top-5 for each query vector (vec_id < 10). */
+  val q36_knn_brute: Q = (s, d) => {
+    val all = vecs(s, d)
+    val q = all.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cand = broadcast(q).join(all, col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round4(col("cosine")).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q37: IVF top-5 — bucket by nearest centroid, probe 4 buckets. */
+  val q37_knn_ivf: Q = (s, d) => {
+    val all = vecs(s, d)
+    val cent = all.where(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    def nearestCentroids(src: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
+      src.crossJoin(broadcast(cent))
+        .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= keep)
+        .select(col("vec_id"), col("c_id"))
+    }
+    val assign = nearestCentroids(all, 1)
+    val probes = nearestCentroids(all.where(col("vec_id") < numQueries), nProbe)
+      .select(col("vec_id").as("query_id"), col("c_id"))
+    val q = all.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cand = probes.join(assign, "c_id")
+      .where(col("vec_id") =!= col("query_id"))
+      .join(q, "query_id")
+      .join(all, "vec_id")
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round4(col("cosine")).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q36_knn_brute" -> q36_knn_brute,
+    "q37_knn_ivf" -> q37_knn_ivf)
+
+  // ---------------------------------------------------------------------------
+  // DuckDB oracles
+  // ---------------------------------------------------------------------------
+
+  private val vecsCte =
+    """vecs AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                               CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q36_knn_brute" ->
+      s"""WITH $vecsCte
+         |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine
+         |FROM (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |         list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cosine,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY list_dot_product(q.v, n.v) / (q.nrm * n.nrm) DESC,
+         |                    n.vec_id ASC) AS rank
+         |  FROM vecs q JOIN vecs n ON n.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $numQueries)
+         |WHERE rank <= $topK
+         |ORDER BY query_id, rank""".stripMargin,
+    "q37_knn_ivf" ->
+      s"""WITH $vecsCte,
+         |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vecs
+         |         WHERE vec_id < $numCentroids),
+         |ranked AS (
+         |  SELECT x.vec_id, c.c_id,
+         |         row_number() OVER (PARTITION BY x.vec_id
+         |           ORDER BY list_dot_product(x.v, c.cv) / (x.nrm * c.cn) DESC,
+         |                    c.c_id ASC) AS rn
+         |  FROM vecs x CROSS JOIN cent c),
+         |assign AS (SELECT vec_id, c_id FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, c_id FROM ranked
+         |           WHERE vec_id < $numQueries AND rn <= $nProbe)
+         |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine
+         |FROM (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |         list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cosine,
+         |         row_number() OVER (PARTITION BY p.query_id
+         |           ORDER BY list_dot_product(q.v, n.v) / (q.nrm * n.nrm) DESC,
+         |                    a.vec_id ASC) AS rank
+         |  FROM probes p
+         |  JOIN assign a ON p.c_id = a.c_id AND a.vec_id <> p.query_id
+         |  JOIN vecs q ON q.vec_id = p.query_id
+         |  JOIN vecs n ON n.vec_id = a.vec_id)
+         |WHERE rank <= $topK
+         |ORDER BY query_id, rank""".stripMargin)
+}
