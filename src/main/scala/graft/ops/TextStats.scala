@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.Star.{round2Sql, round4, round4Sql, round2}
+import TextCore._
+
+/** Text-analysis operator family over `documents` (driver-mandated
+  * LLM-data-pipeline surface, SURVEY.md §7.6; machinery shared with the
+  * reference's regex-ETL analog via [[TextCore]]).
+  *
+  *  - q40: language-ID heuristic — function-word hit ratio (the n-gram/
+  *    stopword heuristic shape; the synthetic corpus is one vocabulary so
+  *    the prediction is constant, but the machinery is the point).
+  *  - q41: per-language token statistics (docs, tokens, distinct tokens).
+  *  - q42: per-document quality score (type-token ratio, mean word length,
+  *    stopword ratio, length saturation).
+  *  - q43: document fingerprints (min-shingle-hash + sorted-bag md5).
+  *  - q44: BPE-ish regex tokenization, corpus top-20 token frequencies.
+  *
+  * All per-document features are higher-order array expressions (map-side,
+  * no shuffle); only the corpus aggregations (q41, q44) shuffle, on narrow
+  * (lang / token) keys. Ratios are single exact divisions; weighted scores
+  * evaluate the same literal expression tree in both engines.
+  */
+object TextStats {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopwords = Seq("the", "a", "of", "to", "in", "and", "is", "on")
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** q40: stopword-ratio language ID. */
+  val q40_lang_id: Q = (s, d) => {
+    val hits = size(filter(col("words"), w => w.isin(stopwords: _*)))
+    val ratio = when(size(col("words")) === 0, 0.0)
+      .otherwise(hits.cast("double") / size(col("words")).cast("double"))
+    docShingles(s, d)
+      .select(col("doc_id"), round4(ratio).as("en_ratio"),
+        when(ratio >= 0.05, "en").otherwise("und").as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** q41: per-language corpus token statistics. */
+  val q41_token_stats: Q = (s, d) =>
+    docShingles(s, d)
+      .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
+      .groupBy("lang")
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct("word").as("n_distinct"))
+      .withColumn("avg_tokens_per_doc",
+        round2(col("n_tokens").cast("double") / col("n_docs").cast("double")))
+      .orderBy("lang")
+
+  /** q42: per-document quality score. */
+  val q42_quality_score: Q = (s, d) => {
+    val nTok = size(col("words"))
+    val ttr = round4(size(array_distinct(col("words"))).cast("double") / nTok.cast("double"))
+    val avgWlen = round4(
+      aggregate(col("words"), lit(0), (acc, w) => acc + length(w)).cast("double") /
+        nTok.cast("double"))
+    val stopRatio = round4(
+      size(filter(col("words"), w => w.isin(stopwords: _*))).cast("double") /
+        nTok.cast("double"))
+    docShingles(s, d)
+      .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
+        ttr.as("ttr"), avgWlen.as("avg_wlen"), stopRatio.as("stop_ratio"))
+      .withColumn("score", round4(
+        lit(0.5) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.2) * least(col("n_tokens").cast("double") / 64.0, lit(1.0))))
+      .orderBy("doc_id")
+  }
+
+  /** q43: document fingerprints — k=1 MinHash over 3-shingles plus an
+    * order-insensitive sorted-bag md5. */
+  val q43_fingerprint: Q = (s, d) =>
+    docShingles(s, d)
+      .select(col("doc_id"),
+        array_min(transform(col("shingles"), sh => md5(sh))).as("fp_minshingle"),
+        md5(array_join(array_sort(array_distinct(col("words"))), " ")).as("fp_bag"))
+      .orderBy("doc_id")
+
+  private val tokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** q44: regex (BPE-ish) tokenization, corpus top-20 tokens. */
+  val q44_bpe_tokens: Q = (s, d) =>
+    docShingles(s, d)
+      .select(explode(regexp_extract_all(col("norm"), lit(tokenPattern), lit(0))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(20)
+
+  val queries: Map[String, Q] = Map(
+    "q40_lang_id" -> q40_lang_id,
+    "q41_token_stats" -> q41_token_stats,
+    "q42_quality_score" -> q42_quality_score,
+    "q43_fingerprint" -> q43_fingerprint,
+    "q44_bpe_tokens" -> q44_bpe_tokens)
+
+  // ---------------------------------------------------------------------------
+  // DuckDB oracles
+  // ---------------------------------------------------------------------------
+
+  private val ratioSql =
+    s"""CASE WHEN len(words) = 0 THEN 0.0
+       |ELSE CAST(len(list_filter(words, w -> list_contains([$stopList], w))) AS DOUBLE) /
+       |     CAST(len(words) AS DOUBLE) END""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q40_lang_id" -> withDocs(
+      s"""SELECT doc_id, ${round4Sql(ratioSql)} AS en_ratio,
+         |       CASE WHEN ($ratioSql) >= 0.05 THEN 'en' ELSE 'und' END AS pred_lang
+         |FROM docs ORDER BY doc_id""".stripMargin),
+    "q41_token_stats" -> withDocs(
+      s"""SELECT lang,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(count(DISTINCT word) AS BIGINT) AS n_distinct,
+         |       ${round2Sql("CAST(count(*) AS DOUBLE) / CAST(count(DISTINCT doc_id) AS DOUBLE)")} AS avg_tokens_per_doc
+         |FROM (SELECT doc_id, lang, unnest(words) AS word FROM docs)
+         |GROUP BY lang ORDER BY lang""".stripMargin),
+    "q42_quality_score" -> withDocs(
+      s"""SELECT doc_id, n_tokens, ttr, avg_wlen, stop_ratio,
+         |       ${round4Sql("0.5*ttr + 0.3*(1.0 - stop_ratio) + 0.2*least(CAST(n_tokens AS DOUBLE)/64.0, 1.0)")} AS score
+         |FROM (
+         |  SELECT doc_id,
+         |         CAST(len(words) AS BIGINT) AS n_tokens,
+         |         ${round4Sql("CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE)")} AS ttr,
+         |         ${round4Sql("CAST(list_aggregate(list_transform(words, w -> length(w)), 'sum') AS DOUBLE) / CAST(len(words) AS DOUBLE)")} AS avg_wlen,
+         |         ${round4Sql(s"CAST(len(list_filter(words, w -> list_contains([$stopList], w))) AS DOUBLE) / CAST(len(words) AS DOUBLE)")} AS stop_ratio
+         |  FROM docs)
+         |ORDER BY doc_id""".stripMargin),
+    "q43_fingerprint" -> withDocs(
+      """SELECT doc_id,
+        |       list_aggregate(list_transform(shingles, s -> md5(s)), 'min') AS fp_minshingle,
+        |       md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS fp_bag
+        |FROM docs ORDER BY doc_id""".stripMargin),
+    "q44_bpe_tokens" -> withDocs(
+      s"""SELECT token, CAST(count(*) AS BIGINT) AS freq
+         |FROM (SELECT unnest(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS token
+         |      FROM docs)
+         |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 20""".stripMargin))
+}
