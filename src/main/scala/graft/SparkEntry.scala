@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Dedup, Insights, Similarity, TextStats}
+import graft.ops.{Dedup, Insights, Multimodal, Similarity, TextStats}
+import graft.etl.TextExtract
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,10 +21,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 plus the
     * LLM-data-pipeline families (SURVEY.md §7.6). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Insights.queries ++ Dedup.queries ++ Similarity.queries ++ TextStats.queries
+    Insights.queries ++ Dedup.queries ++ Similarity.queries ++
+      TextStats.queries ++ TextExtract.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    Insights.oracle ++ Dedup.oracle ++ Similarity.oracle ++ TextStats.oracle
+    Insights.oracle ++ Dedup.oracle ++ Similarity.oracle ++
+      TextStats.oracle ++ TextExtract.oracle ++ Multimodal.oracle
 }

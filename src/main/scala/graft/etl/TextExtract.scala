@@ -1,0 +1,167 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.TextCore.withDocs
+
+/** Text → rows extraction: the reference's defining ETL capability
+  * (regex parse of semi-structured transcript text, ETL_FINAL.py:149-192),
+  * re-expressed as declarative Spark column programs.
+  *
+  * Two surfaces:
+  *
+  *  1. [[transcript]]: the reference's transcript grammar, faithful to
+  *     ETL_FINAL.py — header field extracts with parse-miss defaults
+  *     (A3/A4), the row-multiplying course-line regex (A5), the
+  *     positional `tahap` predicate (A6, first-occurrence quirk retained),
+  *     Gs/Gn decode (A7), grade-weight lookup (A8), derived measure (A9),
+  *     and the [GAGAL] quarantine split (A18, ETL_FINAL.py:150-152).
+  *     Exercised by unit tests on the FIXTURES.md §1 grammar (the driver
+  *     corpus has no transcript text).
+  *
+  *  2. q45-q47: the same operator family exercised on the driver's
+  *     `documents.text` with a grammar that corpus actually satisfies,
+  *     each with a DuckDB oracle.
+  *
+  * Everything is per-row column expressions — extraction is map-side and
+  * embarrassingly parallel; the quarantine split is one filter each way
+  * (in Delta/parquet terms: good rows to the fact append, bad rows to a
+  * quarantine sink — no driver-side loop, unlike the reference's per-file
+  * Python loop at ETL_FINAL.py:141-278).
+  */
+object TextExtract {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------------------
+  // 1. Reference transcript grammar (ETL_FINAL.py:149-192; FIXTURES.md §1)
+  // ---------------------------------------------------------------------------
+
+  /** NILAI_BOBOT (ETL_FINAL.py:27-35); unknown grade → 0.0. */
+  val transcriptGradeWeights: Seq[(String, Double)] = Seq(
+    "A" -> 4.0, "AB" -> 3.5, "B" -> 3.0, "BC" -> 2.5, "C" -> 2.0, "D" -> 1.0, "E" -> 0.0)
+
+  private def bobotOf(nilai: Column): Column =
+    transcriptGradeWeights.reverse.foldLeft(lit(0.0): Column) { case (acc, (h, w)) =>
+      when(nilai === h, lit(w)).otherwise(acc)
+    }
+
+  /** Empty-on-miss regexp_extract → typed default (A4, ETL_FINAL.py:158,161). */
+  private def extractOr(text: Column, pattern: String, grp: Int, default: Column): Column =
+    coalesce(nullif(regexp_extract(text, pattern, grp), lit("")), default)
+
+  /** Header parse (A3): one row per input doc, parse-miss defaults applied.
+    * Patterns mirror ETL_FINAL.py:149-177 ((?s) = DOTALL, (?i) = case-insens). */
+  def transcriptHeader(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.withColumn("nrp", nullif(regexp_extract(t, "(?s)NRP\\s*/\\s*Nama\\s*(\\d+)\\s*/\\s*.*?\\s*SKS Tempuh", 1), lit("")))
+      .withColumn("nama", extractOr(t, "(?s)NRP\\s*/\\s*Nama\\s*\\d+\\s*/\\s*(.*?)\\s*SKS Tempuh", 1, lit("-")))
+      .withColumn("ipk", extractOr(t, "IPK\\s+(\\d+\\.\\d+)", 1, lit("0.0")).cast("double"))
+      .withColumn("status", extractOr(t, "(?s)Status\\s+(.*?)---", 1, lit("-")))
+      .withColumn("ip_persiapan", extractOr(t, "(?i)IP Tahap Persiapan\\s*:\\s*(\\d+\\.\\d+)", 1, lit("0.0")).cast("double"))
+      .withColumn("ip_sarjana", extractOr(t, "(?i)IP Tahap Sarjana\\s*:\\s*(\\d+\\.\\d+)", 1, lit("0.0")).cast("double"))
+      .withColumn("sks_tempuh", extractOr(t, "SKS\\s*Tempuh\\s*/\\s*SKS\\s*Lulus\\s*(\\d+)\\s*/\\s*(\\d+)", 1, lit("0")).cast("int"))
+      .withColumn("sks_lulus", extractOr(t, "SKS\\s*Tempuh\\s*/\\s*SKS\\s*Lulus\\s*(\\d+)\\s*/\\s*(\\d+)", 2, lit("0")).cast("int"))
+      .withColumn("sks_persiapan", extractOr(t, "(?i)Total Sks Tahap Persiapan\\s*:\\s*(\\d+)", 1, lit("0")).cast("int"))
+      .withColumn("sks_sarjana", extractOr(t, "(?i)Total Sks Tahap Sarjana\\s*:\\s*(\\d+)", 1, lit("0")).cast("int"))
+  }
+
+  /** Course-line regex (A5, ETL_FINAL.py:189). Group 0 = whole line. */
+  val courseLineRe: String =
+    "([A-Z]{2}\\d{6})\\s+(.+?)\\s+(\\d)\\s+(\\d{4})/(Gs|Gn)/[A-Z]{0,2}\\s+([A-Z]{1,2})"
+
+  /** Row-multiplying course extraction (A5-A9): one output row per course
+    * line, with the reference's derivations:
+    * tahap (A6, positional first-occurrence test, ETL_FINAL.py:193),
+    * semester decode (A7), bobot lookup (A8), bobot_matkul (A9). */
+  def transcriptCourses(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val lines = docs.withColumn("line", explode(regexp_extract_all(t, lit(courseLineRe), lit(0))))
+    val kode = regexp_extract(col("line"), courseLineRe, 1)
+    val tsPos = instr(t, "Tahap: Sarjana")
+    lines
+      .withColumn("kode_mk", kode)
+      .withColumn("nama_mk", regexp_extract(col("line"), courseLineRe, 2))
+      .withColumn("sks", regexp_extract(col("line"), courseLineRe, 3).cast("int"))
+      .withColumn("tahun", regexp_extract(col("line"), courseLineRe, 4).cast("int"))
+      .withColumn("semester",
+        when(regexp_extract(col("line"), courseLineRe, 5) === "Gs", "Gasal").otherwise("Genap"))
+      .withColumn("nilai", regexp_extract(col("line"), courseLineRe, 6))
+      .withColumn("tahap",
+        when(tsPos > 0 && tsPos < instr(t, col("kode_mk")), "Sarjana").otherwise("Persiapan"))
+      .withColumn("bobot", bobotOf(col("nilai")))
+      .withColumn("bobot_matkul", col("sks") * col("bobot"))
+      .drop("line")
+  }
+
+  /** Quarantine split (A18): docs whose NRP/Nama pattern misses are the
+    * reference's [GAGAL] files (ETL_Transkrip.log:71,109,123,161). Returns
+    * (good, quarantined). */
+  def quarantine(docs: DataFrame, textCol: String = "text"): (DataFrame, DataFrame) = {
+    val parsed = transcriptHeader(docs, textCol)
+    (parsed.where(col("nrp").isNotNull), parsed.where(col("nrp").isNull))
+  }
+
+  // ---------------------------------------------------------------------------
+  // 2. Driver-corpus extraction queries (grammar the documents satisfy)
+  // ---------------------------------------------------------------------------
+
+  /** q45 (A5 analog): row-multiplying extraction — every word following the
+    * literal token "table", with its 1-based match position. */
+  val q45_extract_rows: Q = (s, d) =>
+    graft.ops.TextCore.docShingles(s, d)
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(col("norm"), lit("table ([a-z]+)"), lit(1))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("word"))
+      .orderBy("doc_id", "pos")
+
+  /** q46 (A3/A4 analog): scalar field extracts with parse-miss defaults —
+    * the two-word header, and the first digit-run (absent in this corpus,
+    * so the numeric default path is exercised on every row). */
+  val q46_extract_header: Q = (s, d) =>
+    graft.ops.TextCore.docShingles(s, d)
+      .select(col("doc_id"),
+        coalesce(nullif(regexp_extract(col("norm"), "^([a-z]+ [a-z]+)", 1), lit("")), lit("-"))
+          .as("header"),
+        coalesce(nullif(regexp_extract(col("norm"), "([0-9]+)", 1), lit("")), lit("0"))
+          .cast("long").as("first_num"))
+      .orderBy("doc_id")
+
+  /** q47 (A18 analog): quarantine — docs failing the corpus grammar
+    * (≥1 "table <w>" match and ≥10 tokens), counted per source. */
+  val q47_quarantine: Q = (s, d) => {
+    val bad = size(regexp_extract_all(col("norm"), lit("table ([a-z]+)"), lit(1))) === 0 ||
+      size(col("words")) < 10
+    graft.ops.TextCore.docShingles(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(bad, 1L).otherwise(0L)).as("n_bad"),
+        min(when(bad, col("doc_id"))).as("first_bad"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q45_extract_rows" -> q45_extract_rows,
+    "q46_extract_header" -> q46_extract_header,
+    "q47_quarantine" -> q47_quarantine)
+
+  val oracle: Map[String, String] = Map(
+    "q45_extract_rows" -> withDocs(
+      """SELECT doc_id,
+        |       CAST(generate_subscripts(m, 1) AS BIGINT) AS pos,
+        |       unnest(m) AS word
+        |FROM (SELECT doc_id, regexp_extract_all(norm, 'table ([a-z]+)', 1) AS m FROM docs)
+        |ORDER BY doc_id, pos""".stripMargin),
+    "q46_extract_header" -> withDocs(
+      """SELECT doc_id,
+        |       coalesce(nullif(regexp_extract(norm, '^([a-z]+ [a-z]+)', 1), ''), '-') AS header,
+        |       CAST(coalesce(nullif(regexp_extract(norm, '([0-9]+)', 1), ''), '0') AS BIGINT) AS first_num
+        |FROM docs ORDER BY doc_id""".stripMargin),
+    "q47_quarantine" -> withDocs(
+      """SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(sum(CASE WHEN len(regexp_extract_all(norm, 'table ([a-z]+)', 1)) = 0
+        |                       OR len(words) < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |       min(CASE WHEN len(regexp_extract_all(norm, 'table ([a-z]+)', 1)) = 0
+        |                  OR len(words) < 10 THEN doc_id END) AS first_bad
+        |FROM docs GROUP BY source ORDER BY source""".stripMargin))
+}

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.Star.{round4, round4Sql}
+
+/** Multimodal-column operators (driver-mandated north-star family,
+  * SURVEY.md §7.6): media treated as opaque binary columns with typed
+  * metadata, plus a typed imperative "decoder" path.
+  *
+  *  - q53: documents ⋈ embeddings — the text+vector multimodal join,
+  *    exercising ArrayType access (dimension, L2 norm) alongside scalar
+  *    metadata. At scale this is an equi-join on the id both tables are
+  *    bucketed by.
+  *  - q54: binary media metadata — the corpus text reinterpreted as an
+  *    opaque binary payload: byte length, sha256 content fingerprint,
+  *    64-byte frame count, and a "frame sample" (first 8 bytes of the
+  *    first 3 frames, hex) — the deterministic stand-in for image/audio
+  *    frame sampling (decode libs are absent by design; the Spark-side
+  *    plumbing — binary column, per-row metadata, sampling shape — is real).
+  *  - q55: the stubbed decoder as a *typed imperative* path: a
+  *    `Dataset.mapPartitions` batch "feature extractor" (the Scala analog
+  *    of a Pandas-UDF/mapInPandas stage — partition-at-a-time iterator,
+  *    per-partition codec reuse), emitting an 8-dim fake feature vector
+  *    derived from the payload's md5. Its DuckDB oracle recomputes the
+  *    identical features declaratively, proving the imperative path
+  *    equals the declarative spec.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q53: multimodal join of text metadata with its embedding row. */
+  val q53_multimodal_join: Q = (s, d) => {
+    val docs = s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val embs = s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("emb_dim", size(col("v")).cast("long"))
+      .withColumn("emb_norm",
+        round4(sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))))
+    docs.join(embs, col("doc_id") === col("vec_id"))
+      .select("doc_id", "lang", "n_chars", "label", "emb_dim", "emb_norm")
+      .orderBy("doc_id")
+  }
+
+  /** q54: opaque-binary media metadata + deterministic frame sampling. */
+  val q54_media_meta: Q = (s, d) => {
+    val media = col("text").cast("binary")
+    val hexStr = lower(hex(media))
+    val frames = (0 until 3).map(i => substring(hexStr, 128 * i + 1, 16))
+    s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"),
+        length(media).cast("long").as("byte_len"),
+        sha2(media, 256).as("sha"),
+        ceil(length(media).cast("double") / 64.0).cast("long").as("n_frames"),
+        concat_ws(",", frames: _*).as("frame_sample"))
+      .orderBy("doc_id")
+  }
+
+  /** The stubbed media "decoder": batch feature extraction over binary
+    * payloads via mapPartitions (typed imperative path; per-partition
+    * digest reuse = the codec-initialization batch shape of a real
+    * image/audio decoder behind a Pandas UDF). Feature i of a payload =
+    * hexdigit(md5, 2i) / 15, rounded to 4 decimals. */
+  def decodeFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        // one digest instance per partition — the "decoder init" analog
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, text) =>
+          md.reset()
+          val hex = md.digest(text.getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          (0 until 8).map { i =>
+            val v = Character.digit(hex.charAt(2 * i), 16) / 15.0
+            (id, i.toLong, math.floor(v * 10000 + 0.5) / 10000)
+          }
+        }
+      }
+      .toDF("doc_id", "feature_idx", "feature")
+  }
+
+  /** q55: the mapPartitions decoder, oracle-checked against a declarative
+    * recomputation of the same features. */
+  val q55_media_features: Q = (s, d) =>
+    decodeFeatures(s, s.read.parquet(s"$d/documents.parquet"))
+      .orderBy("doc_id", "feature_idx")
+
+  val queries: Map[String, Q] = Map(
+    "q53_multimodal_join" -> q53_multimodal_join,
+    "q54_media_meta" -> q54_media_meta,
+    "q55_media_features" -> q55_media_features)
+
+  val oracle: Map[String, String] = Map(
+    "q53_multimodal_join" ->
+      s"""SELECT doc_id, lang, n_chars, CAST(label AS BIGINT) AS label,
+         |       CAST(len(embedding) AS BIGINT) AS emb_dim,
+         |       ${round4Sql("sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))")} AS emb_norm
+         |FROM documents JOIN embeddings ON doc_id = vec_id
+         |ORDER BY doc_id""".stripMargin,
+    "q54_media_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |       sha256(text) AS sha,
+        |       CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64.0) AS BIGINT) AS n_frames,
+        |       concat_ws(',', substr(lower(hex(encode(text))), 1, 16),
+        |                      substr(lower(hex(encode(text))), 129, 16),
+        |                      substr(lower(hex(encode(text))), 257, 16)) AS frame_sample
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q55_media_features" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS feature_idx,
+        |       floor((CAST(instr('0123456789abcdef',
+        |                         substr(md5(text), CAST(2*i+1 AS INT), 1)) - 1 AS DOUBLE)
+        |              / 15.0) * 10000 + 0.5) / 10000 AS feature
+        |FROM documents, (SELECT unnest(range(0, 8)) AS i)
+        |ORDER BY doc_id, feature_idx""".stripMargin)
+}
