@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Dedup, Insights, Multimodal, Similarity, TextStats}
-import graft.etl.TextExtract
+import graft.ops.{Dedup, Events, Insights, Multimodal, Similarity, TextStats}
+import graft.etl.{StarBuilder, TextExtract}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,11 +22,13 @@ object SparkEntry {
     * LLM-data-pipeline families (SURVEY.md §7.6). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Insights.queries ++ Dedup.queries ++ Similarity.queries ++
-      TextStats.queries ++ TextExtract.queries ++ Multimodal.queries
+      TextStats.queries ++ TextExtract.queries ++ Multimodal.queries ++
+      Events.queries ++ StarBuilder.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Insights.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      TextStats.oracle ++ TextExtract.oracle ++ Multimodal.oracle
+      TextStats.oracle ++ TextExtract.oracle ++ Multimodal.oracle ++
+      Events.oracle ++ StarBuilder.oracle
 }

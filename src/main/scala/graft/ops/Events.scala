@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.etl.Star.round2Sql
+
+/** Event-table operators over `events` (batch forms; the streaming
+  * equivalents — watermarked windows, stateful sessionization — live in
+  * [[graft.streaming.EventStream]] and are unit-tested, since the driver
+  * oracle is batch-only).
+  *
+  * Numeric-determinism note: `value` sums are computed in integer cents
+  * (`round(value*100)` is exact for 2-decimal payloads) — summing raw
+  * doubles would make the result depend on partial-aggregation order and
+  * flake the cross-engine hash gate at half-cent boundaries. Timestamps
+  * are floored to epoch seconds before any arithmetic so the ns (DuckDB)
+  * vs µs (Spark) parquet readings agree.
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** `events` with `ts` as a proper TimestampType at second precision.
+    * The driver parquet stores TIMESTAMP(NANOS), which Spark 4 refuses by
+    * default — read nanos as long (legacy conf) and floor-divide to epoch
+    * seconds (integer div; a double division would lose precision at
+    * 1e18 ns). DuckDB reads the same file as TIMESTAMP_NS natively, so
+    * oracles use floor(epoch(ts)). */
+  private def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$d/events.parquet")
+      .withColumn("es", expr("CAST(ts div 1000000000 AS BIGINT)"))
+  }
+
+  /** q50: tumbling 1-hour event-time windows per event type. */
+  val q50_event_windows: Q = (s, d) =>
+    events(s, d)
+      .groupBy(window(timestamp_seconds(col("es")), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value_cents"))
+      .orderBy("window_start", "event_type")
+
+  /** q51: gap-based sessionization (30-min inactivity) per user —
+    * the batch twin of the streaming flatMapGroupsWithState version. */
+  val q51_sessionize: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("es"))
+      .withColumn("new_session",
+        when(lag(col("es"), 1).over(w).isNull ||
+          col("es") - lag(col("es"), 1).over(w) > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("es")).as("start_es"), max(col("es")).as("end_es"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** q52: semi-structured props (JSON) extraction + per-type aggregate. */
+  val q52_props_json: Q = (s, d) =>
+    events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .withColumn("avg_k",
+        floor(col("sum_k").cast("double") / col("n").cast("double") * 100 + 0.5) / 100)
+      .orderBy("event_type")
+
+  val queries: Map[String, Q] = Map(
+    "q50_event_windows" -> q50_event_windows,
+    "q51_sessionize" -> q51_sessionize,
+    "q52_props_json" -> q52_props_json)
+
+  val oracle: Map[String, String] = Map(
+    "q50_event_windows" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |       event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q51_sessionize" ->
+      """WITH e AS (
+        |  -- floor(), not a bare CAST: DuckDB CAST(double AS BIGINT) rounds,
+        |  -- Spark's unix_timestamp floors.
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, es,
+        |         CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+        |sess AS (
+        |  SELECT user_id, es,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       min(es) AS start_es, max(es) AS end_es
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q52_props_json" ->
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         |       ${round2Sql("CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS avg_k
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}
