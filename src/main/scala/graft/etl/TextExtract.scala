@@ -56,7 +56,7 @@ object TextExtract {
     docs.withColumn("nrp", nullif(regexp_extract(t, "(?s)NRP\\s*/\\s*Nama\\s*(\\d+)\\s*/\\s*.*?\\s*SKS Tempuh", 1), lit("")))
       .withColumn("nama", extractOr(t, "(?s)NRP\\s*/\\s*Nama\\s*\\d+\\s*/\\s*(.*?)\\s*SKS Tempuh", 1, lit("-")))
       .withColumn("ipk", extractOr(t, "IPK\\s+(\\d+\\.\\d+)", 1, lit("0.0")).cast("double"))
-      .withColumn("status", extractOr(t, "(?s)Status\\s+(.*?)---", 1, lit("-")))
+      .withColumn("status", trim(extractOr(t, "(?s)Status\\s+(.*?)---", 1, lit("-")))) // .strip(), ETL_FINAL.py:161
       .withColumn("ip_persiapan", extractOr(t, "(?i)IP Tahap Persiapan\\s*:\\s*(\\d+\\.\\d+)", 1, lit("0.0")).cast("double"))
       .withColumn("ip_sarjana", extractOr(t, "(?i)IP Tahap Sarjana\\s*:\\s*(\\d+\\.\\d+)", 1, lit("0.0")).cast("double"))
       .withColumn("sks_tempuh", extractOr(t, "SKS\\s*Tempuh\\s*/\\s*SKS\\s*Lulus\\s*(\\d+)\\s*/\\s*(\\d+)", 1, lit("0")).cast("int"))

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event with a floored epoch-second timestamp (the streaming-side twin
+  * of the batch `events` projection in [[graft.ops.Events]]). */
+case class Ev(user_id: Long, event_id: Long, es: Long)
+
+/** A closed session emitted by [[EventStream.sessionize]]. */
+case class Session(user_id: Long, start_es: Long, end_es: Long, n_events: Long)
+
+/** Open-session state carried between micro-batches. */
+case class SessionState(start_es: Long, end_es: Long, n_events: Long)
+
+/** Structured Streaming forms of the event operators (the reference is
+  * batch-only — SURVEY.md §2.5 records "streaming: none" — so these are
+  * north-star surface: readStream → transform → writeStream shapes,
+  * exercised by unit tests over MemoryStream since the driver's oracle
+  * gate is batch).
+  *
+  *  - [[windowedCounts]]: watermarked tumbling event-time windows — the
+  *    streaming twin of q50. Late data beyond 10 minutes is dropped by
+  *    the watermark; state is bounded per (window × type).
+  *  - [[sessionize]]: 30-minute-gap sessions via
+  *    `flatMapGroupsWithState` — the streaming twin of q51. State per
+  *    user is one open session; a session is emitted when a later event
+  *    arrives past the gap. At scale state is partitioned by user_id
+  *    (the groupByKey shuffle) and each key holds O(1) state.
+  */
+object EventStream {
+
+  val sessionGapSeconds: Long = 1800L
+
+  /** Watermarked tumbling 1-hour counts per event type (streaming q50). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_seconds(col("es")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"))
+
+  /** Gap-based sessionization with one open-session state per user.
+    * Emits a [[Session]] whenever a new event closes the previous one;
+    * the final open session stays in state (a real pipeline closes it by
+    * event-time timeout — kept timeout-free here so unit tests are
+    * deterministic under MemoryStream). */
+  def sessionize(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.es, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            cur match {
+              case None =>
+                cur = Some(SessionState(e.es, e.es, 1))
+              case Some(st) if e.es - st.end_es > sessionGapSeconds =>
+                closed += Session(uid, st.start_es, st.end_es, st.n_events)
+                cur = Some(SessionState(e.es, e.es, 1))
+              case Some(st) =>
+                cur = Some(SessionState(st.start_es, math.max(st.end_es, e.es), st.n_events + 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

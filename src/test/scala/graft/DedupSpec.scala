@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Dedup
+
+/** Dedup family on a controlled corpus: one exact duplicate pair, one
+  * near-duplicate (single word changed), one unrelated document. */
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private lazy val dir = writeMiniDocs(Seq(
+    0L -> base,
+    1L -> base.replace("dog", "cat"), // 3 of 11 shingles change → J = 8/14
+    2L -> "completely unrelated content about spark query planning internals",
+    3L -> base)) // exact duplicate of 0
+
+  test("q31: exact dedup groups the identical pair") {
+    val got = Dedup.q31_dedup_exact(spark, dir).collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+    assert(got.count(_._2 == 2L) == 1)
+    assert(got.contains((0L, 2L))) // min doc_id survives
+    assert(got.map(_._2).sum == 4L)
+  }
+
+  test("q32 (MinHash-LSH) and q34 (inverted index) agree on J >= 0.5 pairs") {
+    val lsh = Dedup.q32_dedup_minhash_lsh(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+    val inv = Dedup.q34_dedup_ngram_jaccard(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+    assert(inv.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L), (0L, 3L), (1L, 3L)))
+    assert(inv.find(p => (p._1, p._2) == ((0L, 3L))).get._3 == 1.0)
+    assert(math.abs(inv.find(p => (p._1, p._2) == ((0L, 1L))).get._3 - 8.0 / 14.0) < 1e-12)
+    // identical signatures → LSH recall is total on the exact pair, and on
+    // this corpus the banding catches the near pair too
+    assert(lsh.toSet == inv.toSet)
+  }
+
+  test("q33: simhash Hamming 0 for the exact duplicate pair") {
+    val got = Dedup.q33_dedup_simhash(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+    assert(got.contains((0L, 3L, 0L)))
+  }
+}

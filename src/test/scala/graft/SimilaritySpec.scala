@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Similarity
+
+/** KNN on vectors with a known answer; brute force and IVF agree when
+  * every vector is its own centroid bucket neighborhood. */
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val dir = writeMiniEmbeddings(Seq(
+    0L -> Seq(1f, 0f, 0f, 0f),
+    1L -> Seq(0.99f, 0.14f, 0f, 0f), // nearest to 0
+    2L -> Seq(0f, 1f, 0f, 0f),
+    3L -> Seq(0f, 0.99f, 0.14f, 0f), // nearest to 2
+    4L -> Seq(0f, 0f, 1f, 0f),
+    5L -> Seq(0.7f, 0.7f, 0f, 0f)))
+
+  test("q36: brute-force top-1 neighbors are the geometrically nearest") {
+    val top1 = Similarity.q36_knn_brute(spark, dir)
+      .where("rank = 1").collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    assert(top1(0L) == 1L)
+    assert(top1(1L) == 0L)
+    assert(top1(2L) == 3L)
+    assert(top1(3L) == 2L)
+  }
+
+  test("q37: IVF returns the same top-1 when all vectors are centroids") {
+    val ivf = Similarity.q37_knn_ivf(spark, dir)
+      .where("rank = 1").collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    assert(ivf(0L) == 1L && ivf(2L) == 3L)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared local session for all specs (lazy singleton — Spark startup is
+  * the dominant test cost, so every suite reuses one session). */
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+trait SparkTestBase {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  /** Write a tiny star (lineitem + orders [+ part]) to a temp dir shaped
+    * like the driver's testdata, so Star/Insights run on controlled rows.
+    *
+    * Rows: (orderkey, custkey, partkey, shipdate "yyyy-MM-dd",
+    * returnflag, linestatus, quantity).
+    */
+  def writeMiniStar(rows: Seq[(Long, Long, Long, String, String, String, Double)]): String = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mini").toString
+    val li = rows.map { case (ok, _, pk, sd, rf, ls, q) => (ok, pk, sd, rf, ls, q) }
+      .toDF("l_orderkey", "l_partkey", "sd", "l_returnflag", "l_linestatus", "l_quantity")
+      .withColumn("l_shipdate", to_timestamp(col("sd"))).drop("sd")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    rows.map { case (ok, ck, _, _, _, _, _) => (ok, ck) }.distinct
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    rows.map(_._3).distinct.map(pk => (pk, (pk % 50).toInt))
+      .toDF("p_partkey", "p_size")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    dir
+  }
+
+  /** Write a tiny documents.parquet from (doc_id, text) pairs. */
+  def writeMiniDocs(docs: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    docs.map { case (id, t) => (id, t, "en", s"src${id % 3}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Write a tiny embeddings.parquet from (vec_id, vector) pairs. */
+  def writeMiniEmbeddings(vecs: Seq[(Long, Seq[Float])]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_embs").toString
+    vecs.map { case (id, v) => (id, v, (id % 3).toInt) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+}

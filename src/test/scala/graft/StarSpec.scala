@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.Star
+
+/** Unit layer from SURVEY.md §5: the cumulative-GPA window (A15) checked
+  * against a brute-force Scala fold, plus the grade map and deterministic
+  * rounding helpers. */
+class StarSpec extends AnyFunSuite with SparkTestBase {
+
+  test("bobotExpr maps every grade and defaults unknown to 0.0") {
+    import spark.implicits._
+    val df = (Star.gradeWeights.map(_._1) :+ "XX").toDF("huruf")
+      .select(col("huruf"), Star.bobotExpr(col("huruf")).as("bobot"))
+    val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Star.gradeWeights.foreach { case (h, w) => assert(got(h) == w) }
+    assert(got("XX") == 0.0)
+  }
+
+  test("round2 is floor(x*100 + 0.5)/100 on the exact double") {
+    import spark.implicits._
+    val vals = Seq(2.675, 3.14159, 0.005, 1.0, 0.0, 2.999)
+    val got = vals.toDF("x").select(Star.round2(col("x")).as("r"))
+      .collect().map(_.getDouble(0))
+    val want = vals.map(v => math.floor(v * 100 + 0.5) / 100)
+    assert(got.toSeq == want)
+  }
+
+  test("semesterFact IPS/IPK (A14/A15) match a brute-force fold") {
+    // student 1: 2023 Gasal {AF sks3, NF sks2}, 2023 Genap {RO sks4}
+    val dir = writeMiniStar(Seq(
+      (1L, 1L, 101L, "2023-03-15", "A", "F", 3.0),
+      (1L, 1L, 102L, "2023-03-15", "N", "F", 2.0),
+      (2L, 1L, 103L, "2023-09-01", "R", "O", 4.0)))
+    val rows = Star.semesterFact(spark, dir)
+      .orderBy("tahun", "semester")
+      .collect()
+      .map(r => (r.getAs[Long]("tahun"), r.getAs[String]("semester"),
+        r.getAs[Double]("ips"), r.getAs[Double]("ipk"), r.getAs[String]("rep_huruf")))
+
+    // brute-force fold in chronological order
+    val sems = Seq(
+      (2023L, "Gasal", Seq((3.0, 4.0), (2.0, 3.0))), // (sks, bobot)
+      (2023L, "Genap", Seq((4.0, 0.0))))
+    var cumBm = 0.0; var cumSks = 0.0
+    val want = sems.map { case (t, sm, cs) =>
+      val bm = cs.map(c => c._1 * c._2).sum; val sk = cs.map(_._1).sum
+      cumBm += bm; cumSks += sk
+      (t, sm, math.floor(bm / sk * 100 + 0.5) / 100,
+        math.floor(cumBm / cumSks * 100 + 0.5) / 100)
+    }
+    assert(rows.length == 2)
+    rows.zip(want).foreach { case ((t, sm, ips, ipk, _), (wt, wsm, wips, wipk)) =>
+      assert((t, sm) == (wt, wsm)); assert(ips == wips); assert(ipk == wipk)
+    }
+    // rep_huruf = max-weight grade of the semester
+    assert(rows(0)._5 == "AF")
+    assert(rows(1)._5 == "RO")
+  }
+}
