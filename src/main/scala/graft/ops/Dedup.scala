@@ -82,8 +82,11 @@ object Dedup {
     * the ≤3 threshold by pigeonhole, so it equals the all-pairs answer the
     * oracle computes. */
   val q33_dedup_simhash: Q = (s, d) => {
+    // md5 once per shingle, then the compiled SimHash64 loop (the
+    // declarative TextCore.simhash64 is the spec; parity-tested).
     val sims = docShingles(s, d)
-      .select(col("doc_id"), simhash64(col("shingles")).as("sim"))
+      .withColumn("hs", transform(col("shingles"), sh => md5(sh)))
+      .select(col("doc_id"), graft.functions.VectorOps.simhash64(col("hs")).as("sim"))
     val chunkCols = (0 until 4).map(c =>
       struct(lit(c).as("c"), substring(col("sim"), c * 16 + 1, 16).as("chunk")))
     val chunks = sims
@@ -103,21 +106,43 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** q34: n-gram (word 3-shingle) Jaccard near-dup via an inverted shingle
-    * index — candidates are pairs sharing ≥1 shingle (lossless for J > 0),
-    * intersection counted by the join, union from per-doc set sizes.
-    * At 100 TB the postings of ultra-common shingles get df-capped
-    * (prefix-filter); unnecessary at this selectivity. */
+  /** q34: n-gram (word 3-shingle) Jaccard near-dup via PPJoin-style
+    * prefix filtering. A naive inverted-index join (candidates = pairs
+    * sharing ANY shingle) shuffles Σ df² rows — the r2 bench hotspot
+    * (42s at sf0.1: ~10% of all doc pairs share a shingle on this
+    * vocabulary). Lossless fix: J(x,y) ≥ t implies |x∩y| ≥ ceil(t·|x|),
+    * so by pigeonhole the globally-smallest shared shingle lies within
+    * each doc's first |x| − ceil(t·|x|) + 1 shingles under ANY global
+    * order — index only those prefixes. Ordering by ascending document
+    * frequency puts rare shingles in prefixes, collapsing the candidate
+    * set to near-dups plus noise. The oracle (and the r2a baseline)
+    * computes the same answer with the naive join — method-independent
+    * output. */
   val q34_dedup_ngram_jaccard: Q = (s, d) => {
     val docs = docShingles(s, d)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n_sh"))
-    val postings = docs.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("shingle"))
-    postings.as("a").join(postings.as("b"),
+    val postings = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val df = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // per-doc shingles sorted by (df, shingle): deterministic global order
+    val ordered = postings.join(df, "shingle")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("toks"))
+      .select(col("doc_id"),
+        transform(col("toks"), t => t.getField("shingle")).as("sorted_sh"))
+    // prefix length for t = 0.5: n - ceil(n/2) + 1 = floor(n/2) + 1
+    val prefixes = ordered.select(col("doc_id"),
+      explode(slice(col("sorted_sh"), lit(1),
+        (size(col("sorted_sh")).cast("double") / 2).cast("int") + 1)).as("shingle"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
-      .agg(count(lit(1)).as("inter"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+        col("n_sh").as("n_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .where(col("jaccard") >= 0.5)
@@ -130,15 +155,15 @@ object Dedup {
     * engines sum in identical order; the cosine is rounded to 4 decimals
     * only in the output, the threshold filter sees the raw double. */
   val q35_dedup_embed_cosine: Q = (s, d) => {
+    import graft.functions.VectorOps
     val vecs = s.read.parquet(s"$d/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("nrm", VectorOps.norm(col("v")))
     val a = vecs.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val b = vecs.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("cosine",
-        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x) /
-          (col("na") * col("nb")))
+        VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cosine") >= 0.45)
       .select(col("vec_a"), col("vec_b"), round4(col("cosine")).as("cosine"))
       .orderBy("vec_a", "vec_b")
@@ -186,8 +211,8 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin),
     "q33_dedup_simhash" -> withDocs(
       s""", sims AS (
-         |  SELECT doc_id, ${simhash64Sql("shingles")} AS sim
-         |  FROM docs)
+         |  SELECT doc_id, ${simhash64Sql("hs")} AS sim
+         |  FROM (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM docs))
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       ${hammingSql("a.sim", "b.sim")} AS hamming
          |FROM sims a JOIN sims b ON a.doc_id < b.doc_id

@@ -37,8 +37,7 @@ object Multimodal {
       .select(col("vec_id"), col("label").cast("long").as("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("emb_dim", size(col("v")).cast("long"))
-      .withColumn("emb_norm",
-        round4(sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x))))
+      .withColumn("emb_norm", round4(graft.functions.VectorOps.norm(col("v"))))
     docs.join(embs, col("doc_id") === col("vec_id"))
       .select("doc_id", "lang", "n_chars", "label", "emb_dim", "emb_norm")
       .orderBy("doc_id")

@@ -34,12 +34,12 @@ object Similarity {
   private val topK = 5
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.dot(a, b) // codegen'd; bit-equal to the HOF fold
 
   private def vecs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("nrm", graft.functions.VectorOps.norm(col("v")))
 
   /** q36: exact cosine top-5 for each query vector (vec_id < 10). */
   val q36_knn_brute: Q = (s, d) => {

@@ -35,6 +35,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(lsh.toSet == inv.toSet)
   }
 
+  test("compiled SimHash64/DotProduct match their declarative twins") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextCore
+    import graft.functions.VectorOps
+    val withHashes = TextCore.docShingles(spark, dir)
+      .withColumn("hs", transform(col("shingles"), sh => md5(sh)))
+    val sims = withHashes.select(
+      VectorOps.simhash64(col("hs")).as("fast"),
+      TextCore.simhash64(col("hs")).as("spec"))
+      .collect()
+    sims.foreach(r => assert(r.getString(0) == r.getString(1)))
+
+    import spark.implicits._
+    val vs = Seq((Seq(1.0, 2.0, 3.0), Seq(0.5, -1.0, 2.0))).toDF("a", "b")
+      .select(VectorOps.dot(col("a"), col("b")).as("fast"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("spec"))
+      .collect().head
+    assert(vs.getDouble(0) == vs.getDouble(1))
+  }
+
   test("q33: simhash Hamming 0 for the exact duplicate pair") {
     val got = Dedup.q33_dedup_simhash(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
