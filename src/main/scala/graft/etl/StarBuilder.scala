@@ -69,13 +69,17 @@ object StarBuilder {
   /** Full-refresh star write (A17/A19/A20): overwrite the warehouse dir;
     * facts partitioned by tahun for partition pruning. */
   def writeAll(spark: SparkSession, dir: String, warehouse: String): Unit = {
-    dimWaktu(spark, dir).write.mode("overwrite").parquet(s"$warehouse/dim_waktu")
-    dimNilai(spark).write.mode("overwrite").parquet(s"$warehouse/dim_nilai")
-    dimMataKuliah(spark, dir).write.mode("overwrite").parquet(s"$warehouse/dim_matakuliah")
-    dimMahasiswa(spark, dir).write.mode("overwrite").parquet(s"$warehouse/dim_mahasiswa")
-    factNilaiMk(spark, dir).write.mode("overwrite")
+    // dims are small → one file each; facts are repartitioned by the
+    // partition column first so each tahun directory gets one file instead
+    // of one per shuffle partition (~200 tiny files at 32 partitions — at
+    // cluster scale this becomes repartition(tahun, <files-per-partition>)).
+    dimWaktu(spark, dir).coalesce(1).write.mode("overwrite").parquet(s"$warehouse/dim_waktu")
+    dimNilai(spark).coalesce(1).write.mode("overwrite").parquet(s"$warehouse/dim_nilai")
+    dimMataKuliah(spark, dir).coalesce(1).write.mode("overwrite").parquet(s"$warehouse/dim_matakuliah")
+    dimMahasiswa(spark, dir).coalesce(1).write.mode("overwrite").parquet(s"$warehouse/dim_mahasiswa")
+    factNilaiMk(spark, dir).repartition(col("tahun")).write.mode("overwrite")
       .partitionBy("tahun").parquet(s"$warehouse/fact_nilai_mk")
-    Star.semesterFact(spark, dir).write.mode("overwrite")
+    Star.semesterFact(spark, dir).repartition(col("tahun")).write.mode("overwrite")
       .partitionBy("tahun").parquet(s"$warehouse/fact_nilai_semester")
   }
 

@@ -36,6 +36,12 @@ object VectorOps {
     * string — the imperative twin of [[graft.ops.TextCore.simhash64]]. */
   def simhash64(md5Hashes: Column): Column =
     GraftExpressionBridge.column(SimHash64(GraftExpressionBridge.expression(md5Hashes)))
+
+  /** All k double-hashing minhashes in one pass over the digests — the
+    * imperative twin of [[graft.ops.TextCore.minhash]] applied per seed. */
+  def minhashSignature(md5Hashes: Column, numHashes: Int): Column =
+    GraftExpressionBridge.column(
+      MinHashSignature(GraftExpressionBridge.expression(md5Hashes), numHashes))
 }
 
 /** acc = Σ a(i)·b(i), folded left-to-right (bit-equal to
@@ -104,5 +110,46 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Double-hashing MinHash signature of an array of 32-char hex digests:
+  * with h1/h2 = the first/second 8 hex digits as longs, signature(k) =
+  * min over digests of (h1 + k·h2), k in [0, numHashes). One parse per
+  * digest for all seeds (the per-seed declarative form re-parses k times
+  * per digest). Empty input → all-null signature, so downstream band keys
+  * null-propagate exactly like `array_min` of an empty array. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)
+  override def prettyName: String = "graft_minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) {
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.fill[Any](numHashes)(null))
+    } else {
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var j = 0
+      while (j < n) {
+        val h = arr.getUTF8String(j).toString
+        val h1 = java.lang.Long.parseLong(h.substring(0, 8), 16)
+        val h2 = java.lang.Long.parseLong(h.substring(8, 16), 16)
+        var k = 0
+        while (k < numHashes) {
+          val v = h1 + k * h2
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(mins.map(Long.box))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
 }

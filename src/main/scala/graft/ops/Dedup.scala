@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.etl.Star.{round4, round4Sql}
 import TextCore._
@@ -51,11 +51,13 @@ object Dedup {
     * a property of the shared signature, not of either engine). */
   val q32_dedup_minhash_lsh: Q = (s, d) => {
     val docs = docShingles(s, d).select(col("doc_id"), col("shingles"))
-    val sigs = docs.select(
-      col("doc_id") +: (0 until numHashes).map(k => minhash(col("shingles"), k).as(s"mh$k")): _*)
+    // all 12 minhashes in one compiled pass (TextCore.minhash per seed is
+    // the declarative spec, parity-tested in DedupSpec)
+    val sigs = docShingles(s, d).select(col("doc_id"),
+      graft.functions.VectorOps.minhashSignature(col("sh_md5"), numHashes).as("mhs"))
     val bandCols = (0 until numBands).map { bd =>
-      val key = md5(concat(
-        col(s"mh${3 * bd}"), lit("|"), col(s"mh${3 * bd + 1}"), lit("|"), col(s"mh${3 * bd + 2}")))
+      def mh(i: Int): Column = element_at(col("mhs"), i + 1).cast("string")
+      val key = md5(concat(mh(3 * bd), lit("|"), mh(3 * bd + 1), lit("|"), mh(3 * bd + 2)))
       struct(lit(bd).as("band"), key.as("bkey"))
     }
     val bands = sigs
@@ -82,11 +84,10 @@ object Dedup {
     * the ≤3 threshold by pigeonhole, so it equals the all-pairs answer the
     * oracle computes. */
   val q33_dedup_simhash: Q = (s, d) => {
-    // md5 once per shingle, then the compiled SimHash64 loop (the
+    // cached per-shingle md5s, folded by the compiled SimHash64 loop (the
     // declarative TextCore.simhash64 is the spec; parity-tested).
     val sims = docShingles(s, d)
-      .withColumn("hs", transform(col("shingles"), sh => md5(sh)))
-      .select(col("doc_id"), graft.functions.VectorOps.simhash64(col("hs")).as("sim"))
+      .select(col("doc_id"), graft.functions.VectorOps.simhash64(col("sh_md5")).as("sim"))
     val chunkCols = (0 until 4).map(c =>
       struct(lit(c).as("c"), substring(col("sim"), c * 16 + 1, 16).as("chunk")))
     val chunks = sims
@@ -184,7 +185,8 @@ object Dedup {
     (0 until numHashes).map(k => s"${minhashSql(k)} AS mh$k").mkString(",\n         ")
 
   private val bandsSql = (0 until numBands).map { bd =>
-    s"SELECT doc_id, $bd AS band, md5(mh${3 * bd} || '|' || mh${3 * bd + 1} || '|' || mh${3 * bd + 2}) AS bkey FROM sig"
+    s"SELECT doc_id, $bd AS band, " +
+      s"md5(CAST(mh${3 * bd} AS VARCHAR) || '|' || CAST(mh${3 * bd + 1} AS VARCHAR) || '|' || CAST(mh${3 * bd + 2} AS VARCHAR)) AS bkey FROM sig"
   }.mkString("\n  UNION ALL ")
 
   val oracle: Map[String, String] = Map(

@@ -42,11 +42,16 @@ object TextCore {
           element_at(words, i + 2)))))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash signature value for one seed: min over shingles of
-    * md5(seed || '|' || shingle). NULL for an empty shingle set (which then
-    * null-propagates out of band keys — empty docs never become candidates). */
-  def minhash(shingles: Column, seed: Int): Column =
-    array_min(transform(shingles, s => md5(concat(lit(s"$seed|"), s))))
+  /** MinHash signature value for one seed, by double hashing: with
+    * h1/h2 = the first/second 8 hex digits of a shingle's md5 (computed
+    * once, [[docShingles]]' `sh_md5`), hash_k(s) = h1 + k·h2 (< 2^36, no
+    * overflow) — the standard 2-hash family, so k seeds cost one md5
+    * instead of k. NULL for an empty shingle set (which null-propagates
+    * out of band keys — empty docs never become candidates). */
+  def minhash(shMd5: Column, seed: Int): Column =
+    array_min(transform(shMd5, h =>
+      conv(h.substr(1, 8), 16, 10).cast("long") +
+        lit(seed.toLong) * conv(h.substr(9, 8), 16, 10).cast("long")))
 
   /** 64-bit SimHash over an array of pre-computed md5 hex digests, as a
     * 64-char '0'/'1' string. Bit b of digest h = bit (3 - b%4) of hex
@@ -88,6 +93,9 @@ object TextCore {
       d.select(col("doc_id"), col("lang"), col("source"), col("n_chars"), norm.as("norm"))
         .withColumn("words", wordsCol(col("norm")))
         .withColumn("shingles", shingles3(col("words")))
+        // one md5 per shingle, shared by minhash (q32), simhash (q33) and
+        // fingerprints (q43) — hashing is the dominant per-doc cost
+        .withColumn("sh_md5", transform(col("shingles"), sh => md5(sh)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
@@ -98,9 +106,11 @@ object TextCore {
   // DuckDB oracle fragments (must mirror the Spark expressions exactly)
   // -------------------------------------------------------------------------
 
-  /** `docs` CTE: doc_id, lang, source, n_chars, norm, words, shingles. */
+  /** `docs` CTE: doc_id, lang, source, n_chars, norm, words, shingles,
+    * sh_md5. */
   val docsCte: String =
     """docs AS (
+      |  SELECT *, list_transform(shingles, s -> md5(s)) AS sh_md5 FROM (
       |  SELECT doc_id, lang, source, n_chars, norm, words,
       |         CASE WHEN len(words) >= 3
       |              THEN list_distinct(list_transform(range(1, len(words)-1),
@@ -110,11 +120,13 @@ object TextCore {
       |    SELECT doc_id, lang, source, n_chars, norm, string_split(norm, ' ') AS words
       |    FROM (SELECT doc_id, lang, source, n_chars,
       |                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
-      |          FROM documents)))""".stripMargin
+      |          FROM documents))))""".stripMargin
 
-  /** SQL for [[minhash]] over the docs CTE's `shingles`. */
+  /** SQL for [[minhash]] over the docs CTE's `sh_md5`. */
   def minhashSql(seed: Int): String =
-    s"list_aggregate(list_transform(shingles, s -> md5('$seed|' || s)), 'min')"
+    s"""list_aggregate(list_transform(sh_md5, h ->
+       |      CAST('0x' || substr(h, 1, 8) AS BIGINT)
+       |      + $seed * CAST('0x' || substr(h, 9, 8) AS BIGINT)), 'min')""".stripMargin
 
   /** SQL for [[simhash64]] over a pre-hashed md5-digest-list expression. */
   def simhash64Sql(md5Hashes: String): String =

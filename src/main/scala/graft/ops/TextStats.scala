@@ -77,7 +77,7 @@ object TextStats {
   val q43_fingerprint: Q = (s, d) =>
     docShingles(s, d)
       .select(col("doc_id"),
-        array_min(transform(col("shingles"), sh => md5(sh))).as("fp_minshingle"),
+        array_min(col("sh_md5")).as("fp_minshingle"),
         md5(array_join(array_sort(array_distinct(col("words"))), " ")).as("fp_bag"))
       .orderBy("doc_id")
 

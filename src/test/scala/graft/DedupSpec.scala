@@ -47,6 +47,12 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .collect()
     sims.foreach(r => assert(r.getString(0) == r.getString(1)))
 
+    val sigs = withHashes.select(
+      VectorOps.minhashSignature(col("sh_md5"), 12).as("fast"),
+      array((0 until 12).map(k => TextCore.minhash(col("sh_md5"), k)): _*).as("spec"))
+      .collect()
+    sigs.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+
     import spark.implicits._
     val vs = Seq((Seq(1.0, 2.0, 3.0), Seq(0.5, -1.0, 2.0))).toDF("a", "b")
       .select(VectorOps.dot(col("a"), col("b")).as("fast"),
