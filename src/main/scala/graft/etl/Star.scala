@@ -119,7 +119,7 @@ object Star {
 
   /** Fact extended with the course stage (tahap analog, ETL_FINAL.py:193):
     * part.p_size <= 25 → "Persiapan" else "Sarjana". Broadcast dim join. */
-  def factWithTahap(spark: SparkSession, dir: String): DataFrame = {
+  def factWithTahap(spark: SparkSession, dir: String): DataFrame = memo(spark, dir, "factt") {
     val p = table(spark, dir, "part")
       .select(col("p_partkey"),
         when(col("p_size") <= 25, "Persiapan").otherwise("Sarjana").as("tahap"))
@@ -155,7 +155,7 @@ object Star {
     * (ipk / ip_persiapan / ip_sarjana / sks_tempuh / sks_lulus,
     * ETL_FINAL.py:50-62). Stage GPAs are conditional ratio-of-sums; missing
     * stage → 0.0 like the reference's parse-miss default (ETL_FINAL.py:164-177). */
-  def dimMahasiswa(spark: SparkSession, dir: String): DataFrame = {
+  def dimMahasiswa(spark: SparkSession, dir: String): DataFrame = memo(spark, dir, "mhs") {
     val f = factWithTahap(spark, dir)
     def stageRatio(stage: String): Column = {
       val bm = sum(when(col("tahap") === stage, col("sks") * col("bobot")).otherwise(0.0))
