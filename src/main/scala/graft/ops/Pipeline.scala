@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.etl.Star
+import graft.etl.Star.{round4, round4Sql, withFact}
+import TextCore._
+
+/** Composite / multi-dimensional queries.
+  *
+  *  - q56: ROLLUP over the star's time hierarchy — the grouping-sets
+  *    surface (absent from the reference, SURVEY.md §2.5; included
+  *    because period ⊂ year ⊂ grand-total is the natural OLAP cut of the
+  *    semester fact). Measures are exact in double (integral sks,
+  *    half-step weights), so partial-aggregation order cannot perturb
+  *    the hash gate.
+  *  - q57: the training-data pipeline composition the LLM-data operators
+  *    exist for: quality-score filter → exact-dedup survivor pass →
+  *    per-language corpus statistics, in one declarative plan (filter and
+  *    dedup window are map-side/one shuffle; the final agg is on lang).
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q56: (tahun, semester) rollup of event counts and credit sums. */
+  val q56_star_rollup: Q = (s, d) => {
+    // via spark.sql over a temp view: referencing rollup grouping columns
+    // through the DataFrame API trips Spark 4's self-join ambiguity
+    // detection (the rollup output keeps the input attributes visible);
+    // the SQL path resolves them unambiguously.
+    Star.fact(s, d).createOrReplaceTempView("graft_fact_v")
+    s.sql(
+      """SELECT CAST(grouping_id() AS BIGINT) AS gid,
+        |       tahun, semester,
+        |       count(*) AS n,
+        |       sum(sks) AS sum_sks,
+        |       sum(bobot_matkul) AS sum_bm
+        |FROM graft_fact_v
+        |GROUP BY ROLLUP (tahun, semester)
+        |ORDER BY gid ASC, tahun ASC NULLS FIRST, semester ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** q57: quality filter → dedup survivors → per-lang stats. */
+  val q57_pipeline: Q = (s, d) => {
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    TextStats.withQuality(docShingles(s, d))
+      .withColumn("fp", md5(col("norm")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("score") >= 0.68 && col("n_tokens") >= 20)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round4(avg(col("score"))).as("avg_score"))
+      .orderBy("lang")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q56_star_rollup" -> q56_star_rollup,
+    "q57_pipeline" -> q57_pipeline)
+
+  val oracle: Map[String, String] = Map(
+    "q56_star_rollup" -> withFact(
+      """SELECT CAST(GROUPING(tahun, semester) AS BIGINT) AS gid,
+        |       tahun, semester,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       sum(sks) AS sum_sks,
+        |       sum(bobot_matkul) AS sum_bm
+        |FROM fact
+        |GROUP BY ROLLUP (tahun, semester)
+        |ORDER BY gid ASC, tahun ASC NULLS FIRST, semester ASC NULLS FIRST""".stripMargin),
+    "q57_pipeline" -> withDocs(
+      s""", ${TextStats.qualCte},
+         |kept AS (
+         |  SELECT *, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+         |  FROM qual)
+         |SELECT lang,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |       ${round4Sql("avg(score)")} AS avg_score
+         |FROM kept
+         |WHERE rn = 1 AND score >= 0.68 AND n_tokens >= 20
+         |GROUP BY lang ORDER BY lang""".stripMargin))
+}

@@ -53,8 +53,9 @@ object TextStats {
         round2(col("n_tokens").cast("double") / col("n_docs").cast("double")))
       .orderBy("lang")
 
-  /** q42: per-document quality score. */
-  val q42_quality_score: Q = (s, d) => {
+  /** docShingles + n_tokens/ttr/avg_wlen/stop_ratio/score columns —
+    * shared by q42 and the composite pipeline (q57). */
+  def withQuality(docs: DataFrame): DataFrame = {
     val nTok = size(col("words"))
     val ttr = round4(size(array_distinct(col("words"))).cast("double") / nTok.cast("double"))
     val avgWlen = round4(
@@ -63,14 +64,21 @@ object TextStats {
     val stopRatio = round4(
       size(filter(col("words"), w => w.isin(stopwords: _*))).cast("double") /
         nTok.cast("double"))
-    docShingles(s, d)
-      .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
-        ttr.as("ttr"), avgWlen.as("avg_wlen"), stopRatio.as("stop_ratio"))
+    docs
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("ttr", ttr)
+      .withColumn("avg_wlen", avgWlen)
+      .withColumn("stop_ratio", stopRatio)
       .withColumn("score", round4(
         lit(0.5) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
           lit(0.2) * least(col("n_tokens").cast("double") / 64.0, lit(1.0))))
-      .orderBy("doc_id")
   }
+
+  /** q42: per-document quality score. */
+  val q42_quality_score: Q = (s, d) =>
+    withQuality(docShingles(s, d))
+      .select("doc_id", "n_tokens", "ttr", "avg_wlen", "stop_ratio", "score")
+      .orderBy("doc_id")
 
   /** q43: document fingerprints — k=1 MinHash over 3-shingles plus an
     * order-insensitive sorted-bag md5. */
@@ -108,6 +116,19 @@ object TextStats {
        |ELSE CAST(len(list_filter(words, w -> list_contains([$stopList], w))) AS DOUBLE) /
        |     CAST(len(words) AS DOUBLE) END""".stripMargin
 
+  /** `qual` CTE: docs + quality columns (mirrors [[withQuality]]); shared
+    * with the composite pipeline oracle. */
+  val qualCte: String =
+    s"""qual AS (
+       |  SELECT *, ${round4Sql("0.5*ttr + 0.3*(1.0 - stop_ratio) + 0.2*least(CAST(n_tokens AS DOUBLE)/64.0, 1.0)")} AS score
+       |  FROM (
+       |    SELECT docs.*,
+       |           CAST(len(words) AS BIGINT) AS n_tokens,
+       |           ${round4Sql("CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE)")} AS ttr,
+       |           ${round4Sql("CAST(list_aggregate(list_transform(words, w -> length(w)), 'sum') AS DOUBLE) / CAST(len(words) AS DOUBLE)")} AS avg_wlen,
+       |           ${round4Sql(s"CAST(len(list_filter(words, w -> list_contains([$stopList], w))) AS DOUBLE) / CAST(len(words) AS DOUBLE)")} AS stop_ratio
+       |    FROM docs))""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q40_lang_id" -> withDocs(
       s"""SELECT doc_id, ${round4Sql(ratioSql)} AS en_ratio,
@@ -122,16 +143,9 @@ object TextStats {
          |FROM (SELECT doc_id, lang, unnest(words) AS word FROM docs)
          |GROUP BY lang ORDER BY lang""".stripMargin),
     "q42_quality_score" -> withDocs(
-      s"""SELECT doc_id, n_tokens, ttr, avg_wlen, stop_ratio,
-         |       ${round4Sql("0.5*ttr + 0.3*(1.0 - stop_ratio) + 0.2*least(CAST(n_tokens AS DOUBLE)/64.0, 1.0)")} AS score
-         |FROM (
-         |  SELECT doc_id,
-         |         CAST(len(words) AS BIGINT) AS n_tokens,
-         |         ${round4Sql("CAST(len(list_distinct(words)) AS DOUBLE) / CAST(len(words) AS DOUBLE)")} AS ttr,
-         |         ${round4Sql("CAST(list_aggregate(list_transform(words, w -> length(w)), 'sum') AS DOUBLE) / CAST(len(words) AS DOUBLE)")} AS avg_wlen,
-         |         ${round4Sql(s"CAST(len(list_filter(words, w -> list_contains([$stopList], w))) AS DOUBLE) / CAST(len(words) AS DOUBLE)")} AS stop_ratio
-         |  FROM docs)
-         |ORDER BY doc_id""".stripMargin),
+      s""", $qualCte
+         |SELECT doc_id, n_tokens, ttr, avg_wlen, stop_ratio, score
+         |FROM qual ORDER BY doc_id""".stripMargin),
     "q43_fingerprint" -> withDocs(
       """SELECT doc_id,
         |       list_aggregate(list_transform(shingles, s -> md5(s)), 'min') AS fp_minshingle,

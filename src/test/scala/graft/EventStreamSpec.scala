@@ -28,6 +28,43 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming sessions equal a batch gap-fold on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 3 users, interleaved; sentinel events far in the future flush every
+    // user's last open session so the comparison is total
+    val evs = Seq(
+      Ev(1, 1, 0), Ev(2, 2, 50), Ev(1, 3, 1000), Ev(3, 4, 10),
+      Ev(2, 5, 2500), Ev(1, 6, 3200), Ev(3, 7, 1900), Ev(2, 8, 2600),
+      Ev(1, 9, 3300), Ev(3, 10, 4000))
+    val sentinels = Seq(Ev(1, 98, 999999), Ev(2, 98, 999999), Ev(3, 98, 999999))
+
+    // batch expectation: per-user chronological fold with the same gap rule
+    val expected = evs.groupBy(_.user_id).flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e.es, e.event_id))
+      val sessions = sorted.foldLeft(List.empty[(Long, Long, Long)]) {
+        case (Nil, e) => List((e.es, e.es, 1L))
+        case ((s0, e0, n) :: rest, e) if e.es - e0 > EventStream.sessionGapSeconds =>
+          (e.es, e.es, 1L) :: (s0, e0, n) :: rest
+        case ((s0, _, n) :: rest, e) => (s0, e.es, n + 1) :: rest
+      }
+      sessions.map { case (st, en, n) => (uid, st, en, n) }
+    }.toSet
+
+    val input = MemoryStream[Ev]
+    val query = EventStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess_parity").outputMode("append").start()
+    try {
+      input.addData(evs.take(4)); query.processAllAvailable()
+      input.addData(evs.drop(4)); query.processAllAvailable()
+      input.addData(sentinels); query.processAllAvailable()
+      val got = spark.table("sess_parity").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_es"),
+          r.getAs[Long]("end_es"), r.getAs[Long]("n_events"))).toSet
+      assert(got == expected)
+    } finally query.stop()
+  }
+
   test("windowedCounts emits a window once the watermark passes it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
