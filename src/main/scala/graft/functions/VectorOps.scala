@@ -42,6 +42,13 @@ object VectorOps {
   def minhashSignature(md5Hashes: Column, numHashes: Int): Column =
     GraftExpressionBridge.column(
       MinHashSignature(GraftExpressionBridge.expression(md5Hashes), numHashes))
+
+  /** |a ∩ b| for two ascending-sorted distinct string arrays — the
+    * compiled twin of `size(array_intersect(a, b))` (which builds the
+    * intersection array interpreted, the candidate-verification hotspot). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(
+      SortedIntersectCount(GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
 }
 
 /** acc = Σ a(i)·b(i), folded left-to-right (bit-equal to
@@ -152,4 +159,30 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
+}
+
+/** Merge-walk intersection count of two ascending-sorted distinct string
+  * arrays (value-equal to `size(array_intersect(a, b))` on such inputs). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < nx && j < ny) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
 }

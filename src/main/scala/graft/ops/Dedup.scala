@@ -50,7 +50,8 @@ object Dedup {
     * candidate sets are identical by construction (recall of the banding is
     * a property of the shared signature, not of either engine). */
   val q32_dedup_minhash_lsh: Q = (s, d) => {
-    val docs = docShingles(s, d).select(col("doc_id"), col("shingles"))
+    val docs = docShingles(s, d)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n_sh"))
     // all 12 minhashes in one compiled pass (TextCore.minhash per seed is
     // the declarative spec, parity-tested in DedupSpec)
     val sigs = docShingles(s, d).select(col("doc_id"),
@@ -69,11 +70,14 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+        col("n_sh").as("n_b")), "doc_b")
+      .withColumn("inter",
+        graft.functions.VectorOps.sortedIntersectCount(col("sh_a"), col("sh_b")).cast("long"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .where(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -143,7 +147,8 @@ object Dedup {
         col("n_sh").as("n_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
         col("n_sh").as("n_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("inter",
+        graft.functions.VectorOps.sortedIntersectCount(col("sh_a"), col("sh_b")).cast("long"))
       .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .where(col("jaccard") >= 0.5)

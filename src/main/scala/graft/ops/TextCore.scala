@@ -30,16 +30,20 @@ object TextCore {
 
   def wordsCol(norm: Column): Column = split(norm, " ")
 
-  /** Distinct word 3-shingles of a word array (empty if < 3 words).
-    * Built with transform over an index sequence — no explode. */
+  /** Distinct word 3-shingles of a word array (empty if < 3 words),
+    * sorted ascending so intersection sizes can be computed by a compiled
+    * merge walk ([[graft.functions.SortedIntersectCount]]). Built with
+    * transform over an index sequence — no explode. Every consumer is a
+    * set operation (min-hash, bit-sum, intersection), so the ordering is
+    * semantics-free. */
   def shingles3(words: Column): Column =
     when(size(words) >= 3,
-      array_distinct(transform(
+      array_sort(array_distinct(transform(
         sequence(lit(1), size(words) - 2),
         i => concat_ws(" ",
           element_at(words, i),
           element_at(words, i + 1),
-          element_at(words, i + 2)))))
+          element_at(words, i + 2))))))
       .otherwise(array().cast("array<string>"))
 
   /** MinHash signature value for one seed, by double hashing: with
