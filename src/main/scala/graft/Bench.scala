@@ -14,8 +14,8 @@ object Bench {
     // embeddings) so the first timed query doesn't absorb JVM/codegen/parquet
     // warmup (r1: q13 read 10.7s vs 2.1s for the identical-shape q14). Also
     // populates the Star memo cache = the materialized-star read path.
-    val warmup = Seq("q01_avg_ipk", "q26_ips_distribution", "q31_dedup_exact",
-      "q36_knn_brute", "q50_event_windows")
+    val warmup = Seq("q01_avg_ipk", "q26_ips_distribution", "q12_stage_gpa",
+      "q31_dedup_exact", "q36_knn_brute", "q50_event_windows")
     warmup.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
