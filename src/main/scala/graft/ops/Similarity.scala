@@ -88,7 +88,8 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "q36_knn_brute" -> q36_knn_brute,
-    "q37_knn_ivf" -> q37_knn_ivf)
+    "q37_knn_ivf" -> q37_knn_ivf,
+    "q58_ivf_recall" -> q58_ivf_recall)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -101,44 +102,76 @@ object Similarity {
       |                               CAST(embedding AS DOUBLE[]))) AS nrm
       |  FROM embeddings)""".stripMargin
 
+  /** `brute` CTE body: the q36 result set (query_id, rank, neighbor_id,
+    * raw cosine), reused by the recall oracle. */
+  private val bruteCte =
+    s"""brute AS (
+       |  SELECT query_id, rank, neighbor_id, cosine FROM (
+       |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |           list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cosine,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_dot_product(q.v, n.v) / (q.nrm * n.nrm) DESC,
+       |                      n.vec_id ASC) AS rank
+       |    FROM vecs q JOIN vecs n ON n.vec_id <> q.vec_id
+       |    WHERE q.vec_id < $numQueries)
+       |  WHERE rank <= $topK)""".stripMargin
+
+  /** `ivf` CTE body: the q37 result set, reused by the recall oracle. */
+  private val ivfCte =
+    s"""cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vecs
+       |         WHERE vec_id < $numCentroids),
+       |ranked AS (
+       |  SELECT x.vec_id, c.c_id,
+       |         row_number() OVER (PARTITION BY x.vec_id
+       |           ORDER BY list_dot_product(x.v, c.cv) / (x.nrm * c.cn) DESC,
+       |                    c.c_id ASC) AS rn
+       |  FROM vecs x CROSS JOIN cent c),
+       |assign AS (SELECT vec_id, c_id FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, c_id FROM ranked
+       |           WHERE vec_id < $numQueries AND rn <= $nProbe),
+       |ivf AS (
+       |  SELECT query_id, rank, neighbor_id, cosine FROM (
+       |    SELECT p.query_id, a.vec_id AS neighbor_id,
+       |           list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cosine,
+       |           row_number() OVER (PARTITION BY p.query_id
+       |             ORDER BY list_dot_product(q.v, n.v) / (q.nrm * n.nrm) DESC,
+       |                      a.vec_id ASC) AS rank
+       |    FROM probes p
+       |    JOIN assign a ON p.c_id = a.c_id AND a.vec_id <> p.query_id
+       |    JOIN vecs q ON q.vec_id = p.query_id
+       |    JOIN vecs n ON n.vec_id = a.vec_id)
+       |  WHERE rank <= $topK)""".stripMargin
+
+  /** q58: recall of the IVF path against the exact baseline — the
+    * measured accuracy/cost tradeoff of the 4-probe bucket search. */
+  lazy val q58_ivf_recall: Q = (s, d) => {
+    val brute = q36_knn_brute(s, d).select(col("query_id"), col("neighbor_id"))
+    val ivf = q37_knn_ivf(s, d).select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    brute.join(ivf,
+        col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_brute"), count(col("n2")).as("n_matched"))
+      .withColumn("recall", round4(col("n_matched").cast("double") / col("n_brute").cast("double")))
+      .orderBy("query_id")
+  }
+
   val oracle: Map[String, String] = Map(
     "q36_knn_brute" ->
-      s"""WITH $vecsCte
+      s"""WITH $vecsCte, $bruteCte
          |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine
-         |FROM (
-         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-         |         list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cosine,
-         |         row_number() OVER (PARTITION BY q.vec_id
-         |           ORDER BY list_dot_product(q.v, n.v) / (q.nrm * n.nrm) DESC,
-         |                    n.vec_id ASC) AS rank
-         |  FROM vecs q JOIN vecs n ON n.vec_id <> q.vec_id
-         |  WHERE q.vec_id < $numQueries)
-         |WHERE rank <= $topK
-         |ORDER BY query_id, rank""".stripMargin,
+         |FROM brute ORDER BY query_id, rank""".stripMargin,
     "q37_knn_ivf" ->
-      s"""WITH $vecsCte,
-         |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vecs
-         |         WHERE vec_id < $numCentroids),
-         |ranked AS (
-         |  SELECT x.vec_id, c.c_id,
-         |         row_number() OVER (PARTITION BY x.vec_id
-         |           ORDER BY list_dot_product(x.v, c.cv) / (x.nrm * c.cn) DESC,
-         |                    c.c_id ASC) AS rn
-         |  FROM vecs x CROSS JOIN cent c),
-         |assign AS (SELECT vec_id, c_id FROM ranked WHERE rn = 1),
-         |probes AS (SELECT vec_id AS query_id, c_id FROM ranked
-         |           WHERE vec_id < $numQueries AND rn <= $nProbe)
+      s"""WITH $vecsCte, $ivfCte
          |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine
-         |FROM (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id,
-         |         list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cosine,
-         |         row_number() OVER (PARTITION BY p.query_id
-         |           ORDER BY list_dot_product(q.v, n.v) / (q.nrm * n.nrm) DESC,
-         |                    a.vec_id ASC) AS rank
-         |  FROM probes p
-         |  JOIN assign a ON p.c_id = a.c_id AND a.vec_id <> p.query_id
-         |  JOIN vecs q ON q.vec_id = p.query_id
-         |  JOIN vecs n ON n.vec_id = a.vec_id)
-         |WHERE rank <= $topK
-         |ORDER BY query_id, rank""".stripMargin)
+         |FROM ivf ORDER BY query_id, rank""".stripMargin,
+    "q58_ivf_recall" ->
+      s"""WITH $vecsCte, $bruteCte, $ivfCte
+         |SELECT b.query_id,
+         |       CAST(count(*) AS BIGINT) AS n_brute,
+         |       CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
+         |       ${round4Sql("CAST(count(i.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS recall
+         |FROM brute b LEFT JOIN ivf i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.query_id
+         |ORDER BY b.query_id""".stripMargin)
 }
