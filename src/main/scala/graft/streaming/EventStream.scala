@@ -43,11 +43,51 @@ object EventStream {
       .select(unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n_events"))
 
+  /** Gap-based sessionization closing sessions by event-time timeout:
+    * each user's open session sets a timeout at (last event + gap); when
+    * the watermark passes it, the session is emitted and the state
+    * cleared — so quiet users' sessions close without waiting for their
+    * next event. The watermarked `ts` column must exist on `events`
+    * before the groupByKey (set by the caller via `withWatermark`). */
+  def sessionizeWithTimeout(events: Dataset[Ev]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(uid, st.start_es, st.end_es, st.n_events))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.es, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              cur match {
+                case None =>
+                  cur = Some(SessionState(e.es, e.es, 1))
+                case Some(st) if e.es - st.end_es > sessionGapSeconds =>
+                  closed += Session(uid, st.start_es, st.end_es, st.n_events)
+                  cur = Some(SessionState(e.es, e.es, 1))
+                case Some(st) =>
+                  cur = Some(SessionState(st.start_es, math.max(st.end_es, e.es), st.n_events + 1))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp((st.end_es + sessionGapSeconds) * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Gap-based sessionization with one open-session state per user.
     * Emits a [[Session]] whenever a new event closes the previous one;
-    * the final open session stays in state (a real pipeline closes it by
-    * event-time timeout — kept timeout-free here so unit tests are
-    * deterministic under MemoryStream). */
+    * the final open session stays in state (the timeout-free variant —
+    * see [[sessionizeWithTimeout]] for the watermark-closed form). */
   def sessionize(events: Dataset[Ev]): Dataset[Session] = {
     import events.sparkSession.implicits._
     events

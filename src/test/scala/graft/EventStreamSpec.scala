@@ -65,6 +65,36 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("sessionizeWithTimeout closes a quiet user's session via the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val input = MemoryStream[Ev]
+    val watermarked = input.toDS()
+      .withColumn("ts", timestamp_seconds(col("es")))
+      .withWatermark("ts", "10 seconds")
+      .as[Ev]
+    val query = EventStream.sessionizeWithTimeout(watermarked)
+      .writeStream.format("memory").queryName("sess_to").outputMode("append").start()
+    try {
+      // times offset from epoch 0 — a ts equal to the initial watermark
+      // would be dropped as late
+      input.addData(Ev(1L, 1L, 1000L), Ev(1L, 2L, 1100L))
+      query.processAllAvailable()
+      assert(spark.table("sess_to").count() == 0)
+      // a DIFFERENT user's much-later event advances the watermark past
+      // user 1's (end + gap) timeout; the next batch fires the timeout
+      input.addData(Ev(2L, 3L, 20000L))
+      query.processAllAvailable()
+      input.addData(Ev(2L, 4L, 20001L))
+      query.processAllAvailable()
+      val got = spark.table("sess_to").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_es"),
+          r.getAs[Long]("end_es"), r.getAs[Long]("n_events")))
+      assert(got.toSeq.contains((1L, 1000L, 1100L, 2L)))
+    } finally query.stop()
+  }
+
   test("windowedCounts emits a window once the watermark passes it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
