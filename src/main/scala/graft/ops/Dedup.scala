@@ -175,12 +175,59 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** q59: the banded scale path for embedding near-dup — sign-LSH.
+    * 16 deterministic pseudo-random hyperplanes (components derived from
+    * md5, identical in both engines); a vector's signature is the 16 sign
+    * bits of its plane dot products; candidates share one of 4 4-bit
+    * signature chunks; candidates are verified at cosine ≥ 0.45. Unlike
+    * the exact q35 this is approximate (recall < 1 is the tradeoff) —
+    * but both engines compute the identical approximation, and at scale
+    * the all-pairs join becomes a bucket join on chunk keys. */
+  lazy val q59_dedup_embed_lsh: Q = (s, d) => {
+    import graft.functions.VectorOps
+    // plane j, component k = hexdigit1(md5("h|j|k"))/7.5 - 1 ∈ [-1, 1]
+    val planeComponent = (j: Column, k: Column) =>
+      (instr(lit("0123456789abcdef"),
+        md5(concat(lit("h|"), j.cast("string"), lit("|"), k.cast("string"))).substr(1, 1)) - 1)
+        .cast("double") / 7.5 - 1.0
+    val planes = s.range(16).select(col("id").as("j"),
+        transform(sequence(lit(0), lit(63)), k => planeComponent(col("j"), k)).as("pv"))
+      .agg(sort_array(collect_list(struct(col("j"), col("pv")))).as("ps"))
+      .select(transform(col("ps"), p => p.getField("pv")).as("planes"))
+    val vecs = s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+      .crossJoin(broadcast(planes))
+      .withColumn("sig", array_join(
+        transform(col("planes"), p =>
+          when(aggregate(zip_with(col("v"), p, (x, y) => x * y), lit(0.0), (a, x) => a + x) > 0,
+            "1").otherwise("0")), ""))
+      .select("vec_id", "v", "nrm", "sig")
+    val chunkCols = (0 until 4).map(c =>
+      struct(lit(c).as("c"), substring(col("sig"), c * 4 + 1, 4).as("chunk")))
+    val chunks = vecs.select(col("vec_id"), explode(array(chunkCols: _*)).as("k"))
+      .select(col("vec_id"), col("k.c").as("c"), col("k.chunk").as("chunk"))
+    val cand = chunks.as("a").join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("cosine", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cosine") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), round4(col("cosine")).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31_dedup_exact,
     "q32_dedup_minhash_lsh" -> q32_dedup_minhash_lsh,
     "q33_dedup_simhash" -> q33_dedup_simhash,
     "q34_dedup_ngram_jaccard" -> q34_dedup_ngram_jaccard,
-    "q35_dedup_embed_cosine" -> q35_dedup_embed_cosine)
+    "q35_dedup_embed_cosine" -> q35_dedup_embed_cosine,
+    "q59_dedup_embed_lsh" -> q59_dedup_embed_lsh)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -242,6 +289,35 @@ object Dedup {
         |FROM cand
         |WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin),
+    "q59_dedup_embed_lsh" ->
+      s"""WITH vecs AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                               CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |planes AS (
+         |  SELECT j, list_transform(range(0, 64), k ->
+         |    CAST(instr('0123456789abcdef',
+         |               substr(md5('h|' || CAST(j AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 1)) - 1
+         |         AS DOUBLE) / 7.5 - 1.0) AS pv
+         |  FROM range(16) t(j)),
+         |plist AS (SELECT list(pv ORDER BY j) AS planes FROM planes),
+         |sigs AS (
+         |  SELECT vec_id, v, nrm,
+         |         array_to_string(list_transform(planes, p ->
+         |           CASE WHEN list_dot_product(v, p) > 0 THEN '1' ELSE '0' END), '') AS sig
+         |  FROM vecs CROSS JOIN plist),
+         |ch AS (
+         |  SELECT vec_id, c, substr(sig, CAST(c*4 + 1 AS INT), 4) AS chunk
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS c)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM ch a JOIN ch b ON a.c = b.c AND a.chunk = b.chunk AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b,
+         |       ${round4Sql("list_dot_product(x.v, y.v) / (x.nrm * y.nrm)")} AS cosine
+         |FROM cand JOIN sigs x ON vec_a = x.vec_id JOIN sigs y ON vec_b = y.vec_id
+         |WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin,
     "q35_dedup_embed_cosine" ->
       s"""WITH vecs AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
