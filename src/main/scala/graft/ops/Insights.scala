@@ -87,15 +87,21 @@ object Insights {
       .groupBy("student").agg(sum(col("sks")).as("total_sks"))
       .orderBy("student")
 
-  /** Q10 (insight_transkrip.sql:100-115): failed courses never remediated —
-    * NOT EXISTS ≡ left_anti join on (student, course) (SURVEY.md §2.B Q10). */
-  val q10_failed_never_passed: Q = (s, d) => {
-    val f = Star.fact(s, d)
-    val failed = f.where(col("huruf").isin(failing: _*)).select("student", "course").distinct()
-    val passed = f.where(!col("huruf").isin(failing: _*)).select("student", "course").distinct()
-    failed.join(passed, Seq("student", "course"), "left_anti")
+  /** Q10 (insight_transkrip.sql:100-115): failed courses never remediated.
+    * NOT EXISTS ≡ anti join on (student, course); rewritten as ONE
+    * conditional aggregation — ever-failed ∧ never-passed per pair — which
+    * is the same answer in a single shuffle instead of two distincts plus
+    * an anti join (r2 plan audit). The oracle keeps the anti-join form, so
+    * the equivalence is checked, not assumed. */
+  val q10_failed_never_passed: Q = (s, d) =>
+    Star.fact(s, d)
+      .groupBy("student", "course")
+      .agg(
+        max(when(col("huruf").isin(failing: _*), 1).otherwise(0)).as("ever_failed"),
+        max(when(!col("huruf").isin(failing: _*), 1).otherwise(0)).as("ever_passed"))
+      .where(col("ever_failed") === 1 && col("ever_passed") === 0)
+      .select("student", "course")
       .orderBy("student", "course")
-  }
 
   /** Q11 (insight_transkrip.sql:117-127): retaken courses — HAVING COUNT > 1. */
   val q11_retaken: Q = (s, d) =>
