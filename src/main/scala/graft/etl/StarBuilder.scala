@@ -77,6 +77,10 @@ object StarBuilder {
     dimNilai(spark).coalesce(1).write.mode("overwrite").parquet(s"$warehouse/dim_nilai")
     dimMataKuliah(spark, dir).coalesce(1).write.mode("overwrite").parquet(s"$warehouse/dim_matakuliah")
     dimMahasiswa(spark, dir).coalesce(1).write.mode("overwrite").parquet(s"$warehouse/dim_mahasiswa")
+    // hash-repartition on tahun: one task (and file) per year. The
+    // range-partitioned (tahun, student) alternative writes each year from
+    // several tasks, but its sampling pass re-evaluates the fact per write
+    // and cost more than the parallelism bought back at this scale.
     factNilaiMk(spark, dir).repartition(col("tahun")).write.mode("overwrite")
       .partitionBy("tahun").parquet(s"$warehouse/fact_nilai_mk")
     Star.semesterFact(spark, dir).repartition(col("tahun")).write.mode("overwrite")
