@@ -101,6 +101,17 @@ object TextExtract {
     (parsed.where(col("nrp").isNotNull), parsed.where(col("nrp").isNull))
   }
 
+  /** A1/A2: directory-of-documents source — the analog of the reference's
+    * `os.listdir` + pdfplumber loop (ETL_FINAL.py:137-145), as a
+    * distributed scan: `binaryFile` source → opaque bytes → text decode.
+    * A real PDF corpus would swap the UTF-8 decode for a PDF text
+    * extractor inside the same shape (binary in, text out, per file). */
+  def fromBinaryDir(spark: SparkSession, dir: String, glob: String = "*.txt"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), decode(col("content"), "UTF-8").as("text"))
+
   // ---------------------------------------------------------------------------
   // 2. Driver-corpus extraction queries (grammar the documents satisfy)
   // ---------------------------------------------------------------------------

@@ -60,6 +60,19 @@ class TextExtractSpec extends AnyFunSuite with SparkTestBase {
       ("SM234201", "Kalkulus 2", 3, 2023, "Genap", "A", "Persiapan", 4.0, 12.0)))
   }
 
+  test("binaryFile directory source (A1/A2) feeds the same parse pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_txt")
+    java.nio.file.Files.writeString(dir.resolve("good.txt"), goodDoc)
+    java.nio.file.Files.writeString(dir.resolve("bad.txt"), badDoc)
+    java.nio.file.Files.writeString(dir.resolve("ignored.dat"), "not scanned")
+    val docs = TextExtract.fromBinaryDir(spark, dir.toString)
+    assert(docs.count() == 2) // glob filtered
+    val (good, bad) = TextExtract.quarantine(docs)
+    assert(good.count() == 1 && bad.count() == 1)
+    val courses = TextExtract.transcriptCourses(good)
+    assert(courses.count() == 3)
+  }
+
   test("quarantine split (A18) mirrors the reference's [GAGAL] files") {
     val (good, bad) = TextExtract.quarantine(docs)
     assert(good.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
