@@ -50,16 +50,30 @@ object Star {
 
   /** Deterministic cross-engine 2-decimal rounding: floor(x*100 + 0.5)/100.
     * Unlike round(), both engines evaluate this directly on IEEE doubles
-    * (Spark's round() goes via BigDecimal-of-string). Caveat: inputs built
-    * from sks*bobot sums are exact, but avg() over already-rounded doubles
-    * (q01/q12/q17/q24/q29) can differ by ulps across engines when partial
-    * aggregation sums in a different order — empirically identical at
-    * sf0.001/sf0.01/sf0.1, but not guaranteed bit-equal near a .005
-    * boundary. */
+    * (Spark's round() goes via BigDecimal-of-string). Averages OVER
+    * already-rounded doubles must use [[avgRound2]], not avg() — summing
+    * rounded doubles is order-dependent. */
   def round2(c: Column): Column = floor(c * lit(100) + lit(0.5)) / lit(100)
 
   /** SQL spelling of [[round2]] for the DuckDB oracle. */
   def round2Sql(expr: String): String = s"floor(($expr)*100 + 0.5)/100"
+
+  /** Order-independent round2'd average of an already-round2'd double
+    * column. avg() over rounded doubles sums inexact multiples of 0.01 in
+    * partial-aggregation order, which can differ by ulps across engines
+    * near a .005 boundary. Instead each value is recovered as exact integer
+    * hundredths (floor(x*100 + 0.5) — the representation error of a
+    * round2'd double is ≪ 0.5), summed as longs (exact, order-free), and
+    * divided once: both engines evaluate one identical double division. */
+  def avgRound2(c: Column): Column =
+    round2(sum(floor(c * lit(100) + lit(0.5)).cast("long")).cast("double") /
+      (count(c) * lit(100)).cast("double"))
+
+  /** SQL spelling of [[avgRound2]] for the DuckDB oracle (CASTs keep
+    * DuckDB's HUGEINT sums off the output path). */
+  def avgRound2Sql(expr: String): String =
+    round2Sql(s"CAST(sum(CAST(floor(($expr)*100 + 0.5) AS BIGINT)) AS DOUBLE)" +
+      s" / CAST(count($expr) * 100 AS DOUBLE)")
 
   /** 4-decimal variant of [[round2]] for similarity scores. */
   def round4(c: Column): Column = floor(c * lit(10000) + lit(0.5)) / lit(10000)

@@ -11,28 +11,60 @@ import graft.etl.Star.{withFact, withFactSem}
   * ETL_FINAL.py:42-45,220-223,270-273) the reference performs with
   * DROP DATABASE + per-row INSERTs.
   *
-  * Surrogate ids are `dense_rank` over the natural key (SURVEY.md §7.4):
+  * Surrogate ids equal `dense_rank` over the natural key (SURVEY.md §7.4):
   * deterministic across engines and runs, unlike
-  * `monotonically_increasing_id`. The global-order window is fine for
-  * dimension cardinalities; for a 100 TB *fact* surrogate key the scale
-  * path is (partition_id, local row number) composition — dims stay small
-  * enough to rank globally by construction.
+  * `monotonically_increasing_id`. They are computed WITHOUT a
+  * single-partition window ([[withSurrogateId]]): student/course dim
+  * cardinality scales with the data, so a global `Window.orderBy` would
+  * funnel every row through one task at 100×.
   *
-  * Writes are parquet `overwrite` (the container has no Delta/Iceberg
-  * jars); facts are partitioned by `tahun` so time-range queries prune
-  * partitions. Overwrite-per-run = the reference's full-refresh semantics.
+  * Writes are parquet `overwrite` (Delta/Iceberg jars are unresolvable in
+  * this container — evidence in SURVEY.md §8; the MERGE-INTO upsert
+  * semantics are provided on parquet by [[upsertDim]]); facts are
+  * partitioned by `tahun` so time-range queries prune partitions.
+  * Overwrite-per-run = the reference's full-refresh semantics.
   */
 object StarBuilder {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Dim_Waktu analog (ETL_FINAL.py:74-79): id_waktu = dense_rank over
-    * (tahun, semester) — chronological because 'Gasal' < 'Genap'. */
-  def dimWaktu(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy("tahun", "semester")
-    Star.fact(spark, dir).select("tahun", "semester").distinct()
-      .withColumn("id_waktu", dense_rank().over(w).cast("long"))
-      .select("id_waktu", "tahun", "semester")
+  /** Write parallelism per `tahun` partition (local[32] tuning; a cluster
+    * deployment sizes this to executors × cores / distinct years). */
+  val filesPerYear: Int = 4
+
+  /** Scale-safe deterministic surrogate keys: ids equal the global rank of
+    * the natural key, computed two-phase instead of with a partitionless
+    * window. Phase 1 range-partitions the distinct keys and ranks locally
+    * (`row_number` over a `spark_partition_id`-partitioned window — every
+    * task works). Phase 2 collects the ≤ numShufflePartitions per-partition
+    * counts to the driver (the bounded `zipWithIndex` pattern) and
+    * broadcast-joins cumulative offsets back. `offset + local rank` equals
+    * the global rank regardless of where the sampled range boundaries fall
+    * — range partitions are ordered and AQE only merges adjacent ones — so
+    * ids are deterministic and identical to `dense_rank` on distinct input. */
+  private[graft] def withSurrogateId(df: DataFrame, idCol: String, keys: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyCols = keys.map(col)
+    val parted = df.repartitionByRange(keyCols: _*).withColumn("_pid", spark_partition_id())
+    val w = Window.partitionBy("_pid").orderBy(keyCols: _*)
+    val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, cnt)) => (pid, acc + cnt) }
+      .init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offDf = offsets.toSeq.toDF("_pid", "_off")
+    parted.withColumn("_rn", row_number().over(w).cast("long"))
+      .join(broadcast(offDf), "_pid")
+      .withColumn(idCol, col("_off") + col("_rn"))
+      .drop("_pid", "_rn", "_off")
   }
+
+  /** Dim_Waktu analog (ETL_FINAL.py:74-79): id_waktu = rank over
+    * (tahun, semester) — chronological because 'Gasal' < 'Genap'. */
+  def dimWaktu(spark: SparkSession, dir: String): DataFrame =
+    withSurrogateId(
+      Star.fact(spark, dir).select("tahun", "semester").distinct(),
+      "id_waktu", Seq("tahun", "semester"))
+      .select("id_waktu", "tahun", "semester")
 
   /** Dim_Nilai analog (ETL_FINAL.py:82-86): the seeded grade map (A11). */
   def dimNilai(spark: SparkSession): DataFrame = {
@@ -42,19 +74,44 @@ object StarBuilder {
       .toDF("id_nilai", "huruf", "bobot")
   }
 
-  /** Dim_MataKuliah analog: courses seen in the fact, surrogate-keyed. */
-  def dimMataKuliah(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy("course")
-    Star.factWithTahap(spark, dir).select("course", "tahap").distinct()
-      .withColumn("id_mk", dense_rank().over(w).cast("long"))
+  /** Dim_MataKuliah analog: courses seen in the fact, surrogate-keyed.
+    * Course cardinality scales with the data → two-phase ranking. */
+  def dimMataKuliah(spark: SparkSession, dir: String): DataFrame =
+    withSurrogateId(
+      Star.factWithTahap(spark, dir).select("course", "tahap").distinct(),
+      "id_mk", Seq("course"))
       .select("id_mk", "course", "tahap")
-  }
 
-  /** Dim_Mahasiswa analog: [[Star.dimMahasiswa]] + surrogate id. */
-  def dimMahasiswa(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy("student")
-    Star.dimMahasiswa(spark, dir)
-      .withColumn("id_mahasiswa", dense_rank().over(w).cast("long"))
+  /** Dim_Mahasiswa analog: [[Star.dimMahasiswa]] + surrogate id.
+    * Student cardinality scales with the data → two-phase ranking. */
+  def dimMahasiswa(spark: SparkSession, dir: String): DataFrame =
+    withSurrogateId(Star.dimMahasiswa(spark, dir), "id_mahasiswa", Seq("student"))
+
+  /** A10's incremental form (SURVEY.md §2.A): `MERGE INTO dim USING incoming
+    * ON natural-key WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT`,
+    * emulated on parquet because Delta is unresolvable here (SURVEY.md §8).
+    *
+    * Semantics: rows whose natural key already exists keep their surrogate
+    * id verbatim and take the incoming attribute values (UPDATE); genuinely
+    * new keys get ids `max(existing id) + two-phase rank` (INSERT); keys
+    * absent from the increment are kept unchanged (no DELETE clause, like
+    * the reference's get-or-create). Consequences checked by StarSpec:
+    * ids are stable across any split of the input into increments, and
+    * re-applying the same increment is a no-op.
+    *
+    * `existing` must carry `keys :+ idCol` plus the attribute columns of
+    * `incoming`; at cluster scale the join is a broadcast (small increment)
+    * or a bucketed equi-join on the natural key. */
+  def upsertDim(existing: DataFrame, incoming: DataFrame, idCol: String, keys: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val maxId = existing.agg(coalesce(max(col(idCol)), lit(0L)).as("m")).head.getLong(0)
+    val ids = existing.select((keyCols :+ col(idCol)): _*)
+    val updated = incoming.join(ids, keys) // MATCHED: incoming attrs, existing id
+    val untouched = existing.join(incoming.select(keyCols: _*), keys, "left_anti")
+    val inserted = withSurrogateId(incoming.join(ids.select(keyCols: _*), keys, "left_anti"),
+        idCol, keys)
+      .withColumn(idCol, col(idCol) + lit(maxId))
+    updated.unionByName(untouched).unionByName(inserted)
   }
 
   /** Fact_Nilai_MK analog with surrogate FKs (A12): fact joined back to
@@ -77,13 +134,18 @@ object StarBuilder {
     dimNilai(spark).coalesce(1).write.mode("overwrite").parquet(s"$warehouse/dim_nilai")
     dimMataKuliah(spark, dir).coalesce(1).write.mode("overwrite").parquet(s"$warehouse/dim_matakuliah")
     dimMahasiswa(spark, dir).coalesce(1).write.mode("overwrite").parquet(s"$warehouse/dim_mahasiswa")
-    // hash-repartition on tahun: one task (and file) per year. The
-    // range-partitioned (tahun, student) alternative writes each year from
-    // several tasks, but its sampling pass re-evaluates the fact per write
-    // and cost more than the parallelism bought back at this scale.
-    factNilaiMk(spark, dir).repartition(col("tahun")).write.mode("overwrite")
+    // hash-repartition on (tahun, student-salt): each year is written by up
+    // to filesPerYear tasks. Plain repartition(col("tahun")) serializes an
+    // entire year through ONE task — a straggler/skew killer at 100× — and
+    // range partitioning's sampling pass re-reads the fact per write. The
+    // bounded salt keeps both write parallelism (years × filesPerYear
+    // tasks) and file count (≤ filesPerYear files per tahun directory);
+    // at cluster scale filesPerYear is sized to executor count.
+    def saltedByYear(df: DataFrame): DataFrame =
+      df.repartition(col("tahun"), pmod(col("student"), lit(filesPerYear)))
+    saltedByYear(factNilaiMk(spark, dir)).write.mode("overwrite")
       .partitionBy("tahun").parquet(s"$warehouse/fact_nilai_mk")
-    Star.semesterFact(spark, dir).repartition(col("tahun")).write.mode("overwrite")
+    saltedByYear(Star.semesterFact(spark, dir)).write.mode("overwrite")
       .partitionBy("tahun").parquet(s"$warehouse/fact_nilai_semester")
   }
 

@@ -58,4 +58,50 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(0)._5 == "AF")
     assert(rows(1)._5 == "RO")
   }
+
+  test("withSurrogateId equals the global rank without a global window") {
+    import spark.implicits._
+    // deliberately unsorted, multi-partition distinct keys
+    val keys = scala.util.Random.shuffle((1L to 997L).toList)
+    val df = spark.createDataset(keys).toDF("k").repartition(7)
+    val got = graft.etl.StarBuilder.withSurrogateId(df, "id", Seq("k"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("id")).toMap
+    (1L to 997L).foreach { k => assert(got(k) == k, s"key $k") }
+    // and twice in a row is identical (deterministic despite range sampling)
+    val again = graft.etl.StarBuilder.withSurrogateId(df, "id", Seq("k"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("id")).toMap
+    assert(got == again)
+  }
+
+  test("upsertDim: stable ids across increments, updates attrs, idempotent") {
+    import spark.implicits._
+    import graft.etl.StarBuilder.upsertDim
+    def ids(df: org.apache.spark.sql.DataFrame): Map[String, (Long, String)] =
+      df.collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("id"), r.getAs[String]("attr"))).toMap
+
+    val base = Seq(("a", "x1"), ("b", "x2"), ("c", "x3")).toDF("k", "attr")
+    val dim0 = graft.etl.StarBuilder.withSurrogateId(base, "id", Seq("k"))
+    val d0 = ids(dim0)
+    assert(d0.keySet == Set("a", "b", "c") && d0.values.map(_._1).toSet == Set(1L, 2L, 3L))
+
+    // WHEN MATCHED THEN UPDATE (b gets a new attr, keeps id) +
+    // WHEN NOT MATCHED THEN INSERT (d, e get max+rank ids) + no DELETE (a, c kept)
+    val inc = Seq(("b", "y2"), ("e", "y5"), ("d", "y4")).toDF("k", "attr")
+    val dim1 = upsertDim(dim0, inc, "id", Seq("k"))
+    val d1 = ids(dim1)
+    assert(d1("a") == d0("a") && d1("c") == d0("c"))
+    assert(d1("b")._1 == d0("b")._1 && d1("b")._2 == "y2")
+    assert(d1("d") == (4L, "y4") && d1("e") == (5L, "y5"))
+
+    // idempotent: re-applying the same increment changes nothing
+    assert(ids(upsertDim(dim1, inc, "id", Seq("k"))) == d1)
+
+    // increment-split stability: one-shot over the union gives ids that
+    // agree on the base prefix (new keys rank after existing ones)
+    val oneShot = ids(graft.etl.StarBuilder.withSurrogateId(
+      Seq(("a", "x1"), ("b", "y2"), ("c", "x3"), ("d", "y4"), ("e", "y5")).toDF("k", "attr"),
+      "id", Seq("k")))
+    assert(oneShot.forall { case (k, (_, attr)) => d1(k)._2 == attr })
+  }
 }
