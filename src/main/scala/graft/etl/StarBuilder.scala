@@ -3,6 +3,7 @@ package graft.etl
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 import graft.etl.Star.{withFact, withFactSem}
 
 /** Star materialization: surrogate-key dimension builds (A10, the batch
@@ -38,24 +39,45 @@ object StarBuilder {
     * task works). Phase 2 collects the ≤ numShufflePartitions per-partition
     * counts to the driver (the bounded `zipWithIndex` pattern) and
     * broadcast-joins cumulative offsets back. `offset + local rank` equals
-    * the global rank regardless of where the sampled range boundaries fall
-    * — range partitions are ordered and AQE only merges adjacent ones — so
-    * ids are deterministic and identical to `dense_rank` on distinct input. */
+    * the global rank because range partitions are ordered by the key.
+    *
+    * The counts job and the rank job MUST observe the SAME `_pid`
+    * assignment: `repartitionByRange` samples its input once per query
+    * execution, so two separate executions of `parted` can draw different
+    * range boundaries and assign rows to different `_pid`s — offsets from
+    * one partitioning applied to ranks from another would produce wrong or
+    * duplicate ids, and rows landing in a `_pid` absent from the counts
+    * run would be dropped by the offset join. The partitioning is therefore
+    * pinned: `parted` is persisted and materialized by a `count()` BEFORE
+    * the counts collect, so both jobs (and nothing else — the result is
+    * eagerly `localCheckpoint`ed and `parted` unpersisted) read the one
+    * cached assignment. The eager checkpoint also means downstream
+    * consumers (writeAll, factNilaiMk) re-read materialized id rows
+    * instead of re-running the sampling + window per action. At cluster
+    * scale, swap `localCheckpoint` for a reliable `checkpoint` dir (or keep
+    * the persist alive until consumed) to survive executor loss; the
+    * checkpointed data is only the distinct-key set, bounded by dim
+    * cardinality, not fact volume. */
   private[graft] def withSurrogateId(df: DataFrame, idCol: String, keys: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val keyCols = keys.map(col)
     val parted = df.repartitionByRange(keyCols: _*).withColumn("_pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    parted.count() // pin ONE partitioning before reading _pid twice
     val w = Window.partitionBy("_pid").orderBy(keyCols: _*)
     val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, cnt)) => (pid, acc + cnt) }
       .init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
     val offDf = offsets.toSeq.toDF("_pid", "_off")
-    parted.withColumn("_rn", row_number().over(w).cast("long"))
+    val ranked = parted.withColumn("_rn", row_number().over(w).cast("long"))
       .join(broadcast(offDf), "_pid")
       .withColumn(idCol, col("_off") + col("_rn"))
       .drop("_pid", "_rn", "_off")
+      .localCheckpoint(true)
+    parted.unpersist(false)
+    ranked
   }
 
   /** Dim_Waktu analog (ETL_FINAL.py:74-79): id_waktu = rank over
@@ -104,6 +126,14 @@ object StarBuilder {
     * or a bucketed equi-join on the natural key. */
   def upsertDim(existing: DataFrame, incoming: DataFrame, idCol: String, keys: Seq[String]): DataFrame = {
     val keyCols = keys.map(col)
+    // MERGE INTO fails fast when multiple source rows match one target row
+    // ("Cannot perform Merge as multiple source rows matched..."); without
+    // this check a duplicated natural key would silently multiply MATCHED
+    // rows and hand two ids to one key via the insert rank.
+    require(
+      incoming.groupBy(keyCols: _*).agg(count(lit(1)).as("_n")).where(col("_n") > 1).isEmpty,
+      s"upsertDim: multiple incoming rows share a natural key (${keys.mkString(", ")}); " +
+        "MERGE semantics require the source to be unique on the merge key")
     val maxId = existing.agg(coalesce(max(col(idCol)), lit(0L)).as("m")).head.getLong(0)
     val ids = existing.select((keyCols :+ col(idCol)): _*)
     val updated = incoming.join(ids, keys) // MATCHED: incoming attrs, existing id
@@ -126,14 +156,16 @@ object StarBuilder {
   /** Full-refresh star write (A17/A19/A20): overwrite the warehouse dir;
     * facts partitioned by tahun for partition pruning. */
   def writeAll(spark: SparkSession, dir: String, warehouse: String): Unit = {
-    // dims are small → one file each; facts are repartitioned by the
-    // partition column first so each tahun directory gets one file instead
-    // of one per shuffle partition (~200 tiny files at 32 partitions — at
-    // cluster scale this becomes repartition(tahun, <files-per-partition>)).
+    // dim_waktu/dim_nilai have bounded cardinality (calendar × 2 semesters,
+    // fixed grade scale) → one file each is correct at any scale. The
+    // student/course dims scale WITH the data — the same argument that bans
+    // a global rank window bans a coalesce(1) single-task write — so they
+    // are written straight from the ranked range partitions (multi-task,
+    // id-sorted files).
     dimWaktu(spark, dir).coalesce(1).write.mode("overwrite").parquet(s"$warehouse/dim_waktu")
     dimNilai(spark).coalesce(1).write.mode("overwrite").parquet(s"$warehouse/dim_nilai")
-    dimMataKuliah(spark, dir).coalesce(1).write.mode("overwrite").parquet(s"$warehouse/dim_matakuliah")
-    dimMahasiswa(spark, dir).coalesce(1).write.mode("overwrite").parquet(s"$warehouse/dim_mahasiswa")
+    dimMataKuliah(spark, dir).write.mode("overwrite").parquet(s"$warehouse/dim_matakuliah")
+    dimMahasiswa(spark, dir).write.mode("overwrite").parquet(s"$warehouse/dim_mahasiswa")
     // hash-repartition on (tahun, student-salt): each year is written by up
     // to filesPerYear tasks. Plain repartition(col("tahun")) serializes an
     // entire year through ONE task — a straggler/skew killer at 100× — and

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.etl.Star.{round4, round4Sql}
 import TextCore._
 
@@ -128,16 +129,19 @@ object Dedup {
       .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n_sh"))
     val postings = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val df = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
-    // per-doc shingles sorted by (df, shingle): deterministic global order
-    val ordered = postings.join(df, "shingle")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("toks"))
-      .select(col("doc_id"),
-        transform(col("toks"), t => t.getField("shingle")).as("sorted_sh"))
+    // rank each doc's postings by (df, shingle) — the same deterministic
+    // global order r3 materialized per-doc as sort_array(collect_list(
+    // struct)) + slice, now ranked in place by a window: one shuffle on
+    // doc_id, no per-doc array rebuild on the hot path. Both windows share
+    // the doc_id partitioning, so the count frame adds no extra exchange.
     // prefix length for t = 0.5: n - ceil(n/2) + 1 = floor(n/2) + 1
-    val prefixes = ordered.select(col("doc_id"),
-      explode(slice(col("sorted_sh"), lit(1),
-        (size(col("sorted_sh")).cast("double") / 2).cast("int") + 1)).as("shingle"))
+    val wOrd = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val wAll = Window.partitionBy("doc_id")
+    val prefixes = postings.join(df, "shingle")
+      .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .where(col("_rn") <= (col("_n").cast("double") / 2).cast("int") + 1)
+      .select("doc_id", "shingle")
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -221,13 +225,28 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** q60: recall of the banded sign-LSH path (q59) against the exact
+    * all-pairs baseline (q35) — quantifies the sign-LSH approximation the
+    * way q58 quantifies IVF-vs-brute. One row: exact near-dup pair count,
+    * pairs the banding recovered, and their ratio. */
+  lazy val q60_embed_lsh_recall: Q = (s, d) => {
+    val exact = q35_dedup_embed_cosine(s, d).select(col("vec_a"), col("vec_b"))
+    val lsh = q59_dedup_embed_lsh(s, d)
+      .select(col("vec_a").as("la"), col("vec_b").as("lb"))
+    exact.join(lsh, col("vec_a") === col("la") && col("vec_b") === col("lb"), "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("la")).as("n_found"))
+      .withColumn("recall",
+        round4(col("n_found").cast("double") / col("n_exact").cast("double")))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31_dedup_exact,
     "q32_dedup_minhash_lsh" -> q32_dedup_minhash_lsh,
     "q33_dedup_simhash" -> q33_dedup_simhash,
     "q34_dedup_ngram_jaccard" -> q34_dedup_ngram_jaccard,
     "q35_dedup_embed_cosine" -> q35_dedup_embed_cosine,
-    "q59_dedup_embed_lsh" -> q59_dedup_embed_lsh)
+    "q59_dedup_embed_lsh" -> q59_dedup_embed_lsh,
+    "q60_embed_lsh_recall" -> q60_embed_lsh_recall)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -240,6 +259,37 @@ object Dedup {
     s"SELECT doc_id, $bd AS band, " +
       s"md5(CAST(mh${3 * bd} AS VARCHAR) || '|' || CAST(mh${3 * bd + 1} AS VARCHAR) || '|' || CAST(mh${3 * bd + 2} AS VARCHAR)) AS bkey FROM sig"
   }.mkString("\n  UNION ALL ")
+
+  /** Shared embedding CTE (q35/q59/q60). */
+  private val embVecsCte =
+    """vecs AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                               CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  /** The sign-LSH candidate pipeline (q59/q60): planes → signatures →
+    * 4-bit chunks → banded candidate pairs. Text-identical math to the
+    * Spark side so both engines compute the same approximation. */
+  private val lshCandCtes =
+    """planes AS (
+      |  SELECT j, list_transform(range(0, 64), k ->
+      |    CAST(instr('0123456789abcdef',
+      |               substr(md5('h|' || CAST(j AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 1)) - 1
+      |         AS DOUBLE) / 7.5 - 1.0) AS pv
+      |  FROM range(16) t(j)),
+      |plist AS (SELECT list(pv ORDER BY j) AS planes FROM planes),
+      |sigs AS (
+      |  SELECT vec_id, v, nrm,
+      |         array_to_string(list_transform(planes, p ->
+      |           CASE WHEN list_dot_product(v, p) > 0 THEN '1' ELSE '0' END), '') AS sig
+      |  FROM vecs CROSS JOIN plist),
+      |ch AS (
+      |  SELECT vec_id, c, substr(sig, CAST(c*4 + 1 AS INT), 4) AS chunk
+      |  FROM sigs, (SELECT unnest(range(0, 4)) AS c)),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM ch a JOIN ch b ON a.c = b.c AND a.chunk = b.chunk AND a.vec_id < b.vec_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q31_dedup_exact" -> withDocs(
@@ -290,34 +340,29 @@ object Dedup {
         |WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin),
     "q59_dedup_embed_lsh" ->
-      s"""WITH vecs AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-         |                               CAST(embedding AS DOUBLE[]))) AS nrm
-         |  FROM embeddings),
-         |planes AS (
-         |  SELECT j, list_transform(range(0, 64), k ->
-         |    CAST(instr('0123456789abcdef',
-         |               substr(md5('h|' || CAST(j AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 1)) - 1
-         |         AS DOUBLE) / 7.5 - 1.0) AS pv
-         |  FROM range(16) t(j)),
-         |plist AS (SELECT list(pv ORDER BY j) AS planes FROM planes),
-         |sigs AS (
-         |  SELECT vec_id, v, nrm,
-         |         array_to_string(list_transform(planes, p ->
-         |           CASE WHEN list_dot_product(v, p) > 0 THEN '1' ELSE '0' END), '') AS sig
-         |  FROM vecs CROSS JOIN plist),
-         |ch AS (
-         |  SELECT vec_id, c, substr(sig, CAST(c*4 + 1 AS INT), 4) AS chunk
-         |  FROM sigs, (SELECT unnest(range(0, 4)) AS c)),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM ch a JOIN ch b ON a.c = b.c AND a.chunk = b.chunk AND a.vec_id < b.vec_id)
+      s"""WITH $embVecsCte,
+         |$lshCandCtes
          |SELECT vec_a, vec_b,
          |       ${round4Sql("list_dot_product(x.v, y.v) / (x.nrm * y.nrm)")} AS cosine
          |FROM cand JOIN sigs x ON vec_a = x.vec_id JOIN sigs y ON vec_b = y.vec_id
          |WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "q60_embed_lsh_recall" ->
+      s"""WITH $embVecsCte,
+         |$lshCandCtes,
+         |lshp AS (
+         |  SELECT vec_a, vec_b
+         |  FROM cand JOIN sigs x ON vec_a = x.vec_id JOIN sigs y ON vec_b = y.vec_id
+         |  WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.45),
+         |exact AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(count(l.vec_a) AS BIGINT) AS n_found,
+         |       ${round4Sql("CAST(count(l.vec_a) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS recall
+         |FROM exact e LEFT JOIN lshp l
+         |  ON e.vec_a = l.vec_a AND e.vec_b = l.vec_b""".stripMargin,
     "q35_dedup_embed_cosine" ->
       s"""WITH vecs AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -104,4 +104,15 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
       "id", Seq("k")))
     assert(oneShot.forall { case (k, (_, attr)) => d1(k)._2 == attr })
   }
+
+  test("upsertDim rejects duplicate natural keys in the increment (MERGE fail-fast)") {
+    import spark.implicits._
+    val base = Seq(("a", "x1")).toDF("k", "attr")
+    val dim0 = graft.etl.StarBuilder.withSurrogateId(base, "id", Seq("k"))
+    val dupInc = Seq(("b", "y1"), ("b", "y2")).toDF("k", "attr")
+    val e = intercept[IllegalArgumentException] {
+      graft.etl.StarBuilder.upsertDim(dim0, dupInc, "id", Seq("k"))
+    }
+    assert(e.getMessage.contains("multiple incoming rows"))
+  }
 }
