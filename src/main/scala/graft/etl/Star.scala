@@ -51,7 +51,7 @@ object Star {
   /** Deterministic cross-engine 2-decimal rounding: floor(x*100 + 0.5)/100.
     * Unlike round(), both engines evaluate this directly on IEEE doubles
     * (Spark's round() goes via BigDecimal-of-string). Averages OVER
-    * already-rounded doubles must use [[avgRound2]], not avg() — summing
+    * already-rounded doubles must use [[avgOfRound2ed]], not avg() — summing
     * rounded doubles is order-dependent. */
   def round2(c: Column): Column = floor(c * lit(100) + lit(0.5)) / lit(100)
 
@@ -64,14 +64,18 @@ object Star {
     * near a .005 boundary. Instead each value is recovered as exact integer
     * hundredths (floor(x*100 + 0.5) — the representation error of a
     * round2'd double is ≪ 0.5), summed as longs (exact, order-free), and
-    * divided once: both engines evaluate one identical double division. */
-  def avgRound2(c: Column): Column =
+    * divided once: both engines evaluate one identical double division.
+    *
+    * PRECONDITION (hence the name): the input column must already be
+    * [[round2]]'d. On an arbitrary double column this silently computes
+    * round-each-value-then-average, which is a different statistic. */
+  def avgOfRound2ed(c: Column): Column =
     round2(sum(floor(c * lit(100) + lit(0.5)).cast("long")).cast("double") /
       (count(c) * lit(100)).cast("double"))
 
-  /** SQL spelling of [[avgRound2]] for the DuckDB oracle (CASTs keep
+  /** SQL spelling of [[avgOfRound2ed]] for the DuckDB oracle (CASTs keep
     * DuckDB's HUGEINT sums off the output path). */
-  def avgRound2Sql(expr: String): String =
+  def avgOfRound2edSql(expr: String): String =
     round2Sql(s"CAST(sum(CAST(floor(($expr)*100 + 0.5) AS BIGINT)) AS DOUBLE)" +
       s" / CAST(count($expr) * 100 AS DOUBLE)")
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
 import graft.etl.Star.{withFact, withFactSem}
+import scala.collection.concurrent.TrieMap
 
 /** Star materialization: surrogate-key dimension builds (A10, the batch
   * re-expression of the reference's row-at-a-time get-or-create at
@@ -80,13 +81,24 @@ object StarBuilder {
     ranked
   }
 
+  /** Session-scoped memo of the surrogate-keyed dims (same rationale as
+    * `Star.memo`): the write path and the fact FK join-back each consume
+    * every dim, and [[withSurrogateId]] eagerly materializes its result —
+    * build each dim once per (session, dir) and hand out the checkpointed
+    * frame. The cross-run form of this cache is the warehouse itself. */
+  private val dimCache = TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private def memoDim(spark: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
+    dimCache.getOrElseUpdate((spark, dir, key), build)
+
   /** Dim_Waktu analog (ETL_FINAL.py:74-79): id_waktu = rank over
     * (tahun, semester) — chronological because 'Gasal' < 'Genap'. */
   def dimWaktu(spark: SparkSession, dir: String): DataFrame =
-    withSurrogateId(
-      Star.fact(spark, dir).select("tahun", "semester").distinct(),
-      "id_waktu", Seq("tahun", "semester"))
-      .select("id_waktu", "tahun", "semester")
+    memoDim(spark, dir, "waktu") {
+      withSurrogateId(
+        Star.fact(spark, dir).select("tahun", "semester").distinct(),
+        "id_waktu", Seq("tahun", "semester"))
+        .select("id_waktu", "tahun", "semester")
+    }
 
   /** Dim_Nilai analog (ETL_FINAL.py:82-86): the seeded grade map (A11). */
   def dimNilai(spark: SparkSession): DataFrame = {
@@ -99,15 +111,19 @@ object StarBuilder {
   /** Dim_MataKuliah analog: courses seen in the fact, surrogate-keyed.
     * Course cardinality scales with the data → two-phase ranking. */
   def dimMataKuliah(spark: SparkSession, dir: String): DataFrame =
-    withSurrogateId(
-      Star.factWithTahap(spark, dir).select("course", "tahap").distinct(),
-      "id_mk", Seq("course"))
-      .select("id_mk", "course", "tahap")
+    memoDim(spark, dir, "mk") {
+      withSurrogateId(
+        Star.factWithTahap(spark, dir).select("course", "tahap").distinct(),
+        "id_mk", Seq("course"))
+        .select("id_mk", "course", "tahap")
+    }
 
   /** Dim_Mahasiswa analog: [[Star.dimMahasiswa]] + surrogate id.
     * Student cardinality scales with the data → two-phase ranking. */
   def dimMahasiswa(spark: SparkSession, dir: String): DataFrame =
-    withSurrogateId(Star.dimMahasiswa(spark, dir), "id_mahasiswa", Seq("student"))
+    memoDim(spark, dir, "mhs") {
+      withSurrogateId(Star.dimMahasiswa(spark, dir), "id_mahasiswa", Seq("student"))
+    }
 
   /** A10's incremental form (SURVEY.md §2.A): `MERGE INTO dim USING incoming
     * ON natural-key WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT`,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.etl.Star
-import graft.etl.Star.{avgRound2, avgRound2Sql, round2, round2Sql, withFact, withFactSem, withFactTahap, withFactTahapMhs}
+import graft.etl.Star.{avgOfRound2ed, avgOfRound2edSql, round2, round2Sql, withFact, withFactSem, withFactTahap, withFactTahapMhs}
 
 /** The 29 analytic "insight" queries of the reference
   * (insight_transkrip.sql:1-357), re-expressed idiomatically on the star analog
@@ -31,7 +31,7 @@ object Insights {
     Star.fact(s, d)
       .groupBy("student")
       .agg(round2(sum(col("sks") * col("bobot")) / sum(col("sks"))).as("ipk"))
-      .agg(avgRound2(col("ipk")).as("avg_ipk"))
+      .agg(avgOfRound2ed(col("ipk")).as("avg_ipk"))
 
   /** Q2 (insight_transkrip.sql:15-25): top-10 students by GPA (top-k →
     * TakeOrderedAndProject; ties broken by student id). */
@@ -114,8 +114,8 @@ object Insights {
   val q12_stage_gpa: Q = (s, d) =>
     Star.dimMahasiswa(s, d)
       .where(col("ip_persiapan") > 0 && col("ip_sarjana") > 0)
-      .agg(avgRound2(col("ip_persiapan")).as("avg_ip_persiapan"),
-           avgRound2(col("ip_sarjana")).as("avg_ip_sarjana"))
+      .agg(avgOfRound2ed(col("ip_persiapan")).as("avg_ip_persiapan"),
+           avgOfRound2ed(col("ip_sarjana")).as("avg_ip_sarjana"))
 
   /** Q13 (insight_transkrip.sql:136-140): top-5 preparatory-stage GPA. */
   val q13_top_persiapan: Q = (s, d) =>
@@ -164,7 +164,7 @@ object Insights {
       .agg(round2(sum(col("sks") * col("bobot")) / sum(col("sks"))).as("ipk"))
       .withColumn("jalur_masuk", jalurExpr(col("student")))
       .groupBy("jalur_masuk")
-      .agg(avgRound2(col("ipk")).as("avg_ipk"), count(lit(1)).as("jumlah"))
+      .agg(avgOfRound2ed(col("ipk")).as("avg_ipk"), count(lit(1)).as("jumlah"))
       .orderBy(col("avg_ipk").desc, col("jalur_masuk").asc)
 
   /** Q18 (insight_transkrip.sql:188-197): unweighted mean grade per student. */
@@ -227,8 +227,8 @@ object Insights {
     Star.semesterFact(s, d)
       .withColumn("first_ipk", first(col("ipk")).over(w))
       .withColumn("last_ipk", last(col("ipk")).over(w))
-      .agg(avgRound2(col("first_ipk")).as("avg_first_ipk"),
-           avgRound2(col("last_ipk")).as("avg_last_ipk"))
+      .agg(avgOfRound2ed(col("first_ipk")).as("avg_first_ipk"),
+           avgOfRound2ed(col("last_ipk")).as("avg_last_ipk"))
   }
 
   /** Q25 (insight_transkrip.sql:283-294): students whose LATEST CGPA is below
@@ -283,7 +283,7 @@ object Insights {
     val w = Window.orderBy("tahun", "semester")
     Star.semesterFact(s, d)
       .groupBy("tahun", "semester")
-      .agg(avgRound2(col("ips")).as("rata_ips"))
+      .agg(avgOfRound2ed(col("ips")).as("rata_ips"))
       .withColumn("prev_rata_ips", lag(col("rata_ips"), 1).over(w))
       .where(col("prev_rata_ips").isNotNull)
       .withColumn("penurunan", round2(col("prev_rata_ips") - col("rata_ips")))
@@ -341,7 +341,7 @@ object Insights {
       """SELECT student, tahun, semester, rep_huruf FROM sem
         |ORDER BY student, tahun, semester""".stripMargin),
     "q01_avg_ipk" -> withFact(
-      s"""SELECT ${avgRound2Sql("ipk")} AS avg_ipk FROM (
+      s"""SELECT ${avgOfRound2edSql("ipk")} AS avg_ipk FROM (
          |  SELECT student, ${round2Sql("sum(sks*bobot) / sum(sks)")} AS ipk
          |  FROM fact GROUP BY student)""".stripMargin),
     "q02_top10_ipk" -> withFact(
@@ -381,8 +381,8 @@ object Insights {
         |GROUP BY student, course HAVING count(*) > 1
         |ORDER BY jumlah DESC, student ASC, course ASC""".stripMargin),
     "q12_stage_gpa" -> withFactTahapMhs(
-      s"""SELECT ${avgRound2Sql("ip_persiapan")} AS avg_ip_persiapan,
-         |       ${avgRound2Sql("ip_sarjana")} AS avg_ip_sarjana
+      s"""SELECT ${avgOfRound2edSql("ip_persiapan")} AS avg_ip_persiapan,
+         |       ${avgOfRound2edSql("ip_sarjana")} AS avg_ip_sarjana
          |FROM mhs WHERE ip_persiapan > 0 AND ip_sarjana > 0""".stripMargin),
     "q13_top_persiapan" -> withFactTahapMhs(
       """SELECT student, ip_persiapan FROM mhs
@@ -402,7 +402,7 @@ object Insights {
       s"""SELECT student, $jalurSql AS jalur_masuk
          |FROM (SELECT DISTINCT student FROM fact) ORDER BY student""".stripMargin),
     "q17_gpa_per_jalur" -> withFact(
-      s"""SELECT jalur_masuk, ${avgRound2Sql("ipk")} AS avg_ipk, count(*) AS jumlah FROM (
+      s"""SELECT jalur_masuk, ${avgOfRound2edSql("ipk")} AS avg_ipk, count(*) AS jumlah FROM (
          |  SELECT student, ${round2Sql("sum(sks*bobot) / sum(sks)")} AS ipk, $jalurSql AS jalur_masuk
          |  FROM fact GROUP BY student)
          |GROUP BY jalur_masuk ORDER BY avg_ipk DESC, jalur_masuk ASC""".stripMargin),
@@ -430,8 +430,8 @@ object Insights {
       """SELECT student, min(ipk) AS min_ipk, max(ipk) AS max_ipk FROM sem
         |GROUP BY student HAVING min(ipk) >= 3.0 ORDER BY student""".stripMargin),
     "q24_first_vs_last" -> withFactSem(
-      s"""SELECT ${avgRound2Sql("first_ipk")} AS avg_first_ipk,
-         |       ${avgRound2Sql("last_ipk")} AS avg_last_ipk FROM (
+      s"""SELECT ${avgOfRound2edSql("first_ipk")} AS avg_first_ipk,
+         |       ${avgOfRound2edSql("last_ipk")} AS avg_last_ipk FROM (
          |  SELECT first_value(ipk) OVER w AS first_ipk,
          |         last_value(ipk) OVER w AS last_ipk
          |  FROM sem
@@ -465,7 +465,7 @@ object Insights {
          |       ${round2Sql("prev_rata_ips - rata_ips")} AS penurunan FROM (
          |  SELECT tahun, semester, rata_ips,
          |         lag(rata_ips, 1) OVER (ORDER BY tahun, semester) AS prev_rata_ips FROM (
-         |    SELECT tahun, semester, ${avgRound2Sql("ips")} AS rata_ips
+         |    SELECT tahun, semester, ${avgOfRound2edSql("ips")} AS rata_ips
          |    FROM sem GROUP BY tahun, semester))
          |WHERE prev_rata_ips IS NOT NULL
          |ORDER BY penurunan DESC, tahun ASC, semester ASC LIMIT 1""".stripMargin),
