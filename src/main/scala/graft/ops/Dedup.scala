@@ -127,20 +127,19 @@ object Dedup {
   val q34_dedup_ngram_jaccard: Q = (s, d) => {
     val docs = docShingles(s, d)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n_sh"))
-    val postings = docs.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val postings = docs.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("shingle"))
     val df = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
     // rank each doc's postings by (df, shingle) — the same deterministic
     // global order r3 materialized per-doc as sort_array(collect_list(
-    // struct)) + slice, now ranked in place by a window: one shuffle on
-    // doc_id, no per-doc array rebuild on the hot path. Both windows share
-    // the doc_id partitioning, so the count frame adds no extra exchange.
+    // struct)) + slice, now ranked in place by a single window: one shuffle
+    // on doc_id, no per-doc array rebuild on the hot path. The per-doc
+    // posting count needed for the prefix length is n_sh, carried through
+    // the explode instead of a second (count-frame) window pass.
     // prefix length for t = 0.5: n - ceil(n/2) + 1 = floor(n/2) + 1
     val wOrd = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-    val wAll = Window.partitionBy("doc_id")
     val prefixes = postings.join(df, "shingle")
       .withColumn("_rn", row_number().over(wOrd))
-      .withColumn("_n", count(lit(1)).over(wAll))
-      .where(col("_rn") <= (col("_n").cast("double") / 2).cast("int") + 1)
+      .where(col("_rn") <= (col("n_sh").cast("double") / 2).cast("int") + 1)
       .select("doc_id", "shingle")
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

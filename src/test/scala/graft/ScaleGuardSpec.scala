@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+
+/** Structural scale guards over EVERY registered query's optimized plan.
+  *
+  * These lock in the r3/r4 scale fixes as invariants instead of one-off
+  * audits: a future query that funnels scaling data through a single task
+  * (partitionless window) fails here at sf0.001, long before it shows up
+  * as a 100×-scale straggler.
+  */
+class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries allowed a partitionless window, each with the documented
+    * bounded-input justification. */
+  private val globalWindowAllowed: Map[String, String] = Map(
+    "q29_biggest_drop" -> "window input is per-period averages, bounded by the calendar (Insights.scala q29 doc)")
+
+  private def globalWindows(plan: LogicalPlan): Seq[LWindow] =
+    plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+
+  test("no query plan has an undocumented partitionless window") {
+    // q49 is excluded: invoking it performs the warehouse write eagerly;
+    // its components (dims via withSurrogateId, salted fact writes) are
+    // covered by q48 and StarSpec, and its final plan is a 6-row union of
+    // counts.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => name == "q49_star_roundtrip" }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+        if (globalWindows(plan).nonEmpty && !globalWindowAllowed.contains(name)) Some(name)
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"partitionless Window (single-task at scale) in: ${offenders.mkString(", ")}")
+  }
+
+  test("surrogate-key dims have no window at all in their final plan") {
+    // withSurrogateId materializes via localCheckpoint: consumers see a
+    // scan of checkpointed rows, not a re-executable window/sampling plan.
+    val dim = graft.etl.StarBuilder.dimWaktu(spark, sfDir)
+    assert(dim.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty)
+  }
+}
