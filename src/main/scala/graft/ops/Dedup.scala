@@ -238,6 +238,62 @@ object Dedup {
         round4(col("n_found").cast("double") / col("n_exact").cast("double")))
   }
 
+  /** q61: connected components over the MinHash near-dup pairs (q32) —
+    * the canonicalization step a real dedup pipeline needs after candidate
+    * verification: pair lists become groups, each doc labeled with the
+    * minimum doc_id reachable through the pair graph (its group's
+    * survivor).
+    *
+    * Implemented as iterative min-label propagation: each round every node
+    * takes the minimum of its own label and its neighbors' labels, with an
+    * eager `localCheckpoint` per round (cuts the lineage — an iterative
+    * algorithm otherwise re-executes all prior rounds per action) and a
+    * driver-side convergence check. Rounds needed = graph diameter; near-
+    * dup graphs are dense clusters with tiny diameters, and at cluster
+    * scale the alternating large-star/small-star variant (Kiveris et al.,
+    * "Connected Components in MapReduce") brings worst-case rounds to
+    * O(log n) with the same per-round join shape. The edge set is frozen
+    * with one checkpoint up front so the LSH pipeline runs once, not once
+    * per round. */
+  /** Min-label propagation over an undirected pair list: returns (node,
+    * label) where label = min node id in the pair graph's connected
+    * component. The core of [[q61_dedup_components]], factored out so the
+    * multi-round convergence is unit-testable on a controlled graph
+    * (DedupSpec exercises a 5-node chain = diameter 4). */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.toDF("a", "b")
+      .union(pairs.toDF("b", "a").select(col("a"), col("b")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    val maxRounds = 50 // >> any test-data diameter; production uses star-contraction
+    while (!converged && round < maxRounds) {
+      val next = edges.join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"), col("label"))
+        .union(labels)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .where(col("label") =!= col("old")).isEmpty
+      labels = next
+      round += 1
+    }
+    require(converged, s"label propagation did not converge in $maxRounds rounds")
+    labels
+  }
+
+  lazy val q61_dedup_components: Q = (s, d) => {
+    val pairs = q32_dedup_minhash_lsh(s, d).select(col("doc_a"), col("doc_b"))
+    connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("label").as("component_id"),
+        when(col("label") === col("node"), 1L).otherwise(0L).as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31_dedup_exact,
     "q32_dedup_minhash_lsh" -> q32_dedup_minhash_lsh,
@@ -245,7 +301,8 @@ object Dedup {
     "q34_dedup_ngram_jaccard" -> q34_dedup_ngram_jaccard,
     "q35_dedup_embed_cosine" -> q35_dedup_embed_cosine,
     "q59_dedup_embed_lsh" -> q59_dedup_embed_lsh,
-    "q60_embed_lsh_recall" -> q60_embed_lsh_recall)
+    "q60_embed_lsh_recall" -> q60_embed_lsh_recall,
+    "q61_dedup_components" -> q61_dedup_components)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -346,6 +403,35 @@ object Dedup {
          |FROM cand JOIN sigs x ON vec_a = x.vec_id JOIN sigs y ON vec_b = y.vec_id
          |WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "q61_dedup_components" -> withDocs(
+      s""", sig AS (
+         |  SELECT doc_id, $mhSelect
+         |  FROM docs),
+         |bands AS (
+         |  $bandsSql),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM cand JOIN docs x ON doc_a = x.doc_id JOIN docs y ON doc_b = y.doc_id
+         |  WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+         |        CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id,
+         |       CAST(least(src, min(dst)) AS BIGINT) AS component_id,
+         |       CAST(CASE WHEN least(src, min(dst)) = src THEN 1 ELSE 0 END AS BIGINT)
+         |         AS is_survivor
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)
+      .replaceFirst("^WITH ", "WITH RECURSIVE "),
     "q60_embed_lsh_recall" ->
       s"""WITH $embVecsCte,
          |$lshCandCtes,

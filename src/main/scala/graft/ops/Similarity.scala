@@ -86,10 +86,38 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** q62: symmetric int8 quantization of the embedding column — the
+    * compression step of an embedding pipeline (8× smaller vectors for
+    * ANN serving/storage). Per vector: scale = max|v|/127; q_i =
+    * round-half-up of v_i/scale, clamped to [-127, 127]; zero vectors
+    * quantize to zeros. Entirely map-side (no shuffle at any scale). The
+    * output reports integer aggregates of q (exact in both engines — the
+    * quantized array itself is not hash-comparable across engines) plus
+    * the round4'd scale. */
+  val q62_embed_quantize: Q = (s, d) => {
+    val qArr = transform(col("v"), x =>
+      when(col("scale") === 0.0, lit(0L)).otherwise(
+        greatest(lit(-127L), least(lit(127L),
+          floor(x / col("scale") + lit(0.5)).cast("long")))))
+    s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale",
+        aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))) / lit(127.0))
+      .withColumn("q", qArr)
+      .select(col("vec_id"),
+        size(col("v")).cast("long").as("n_dims"),
+        round4(col("scale")).as("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q36_knn_brute" -> q36_knn_brute,
     "q37_knn_ivf" -> q37_knn_ivf,
-    "q58_ivf_recall" -> q58_ivf_recall)
+    "q58_ivf_recall" -> q58_ivf_recall,
+    "q62_embed_quantize" -> q62_embed_quantize)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -173,5 +201,25 @@ object Similarity {
          |FROM brute b LEFT JOIN ivf i
          |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
          |GROUP BY b.query_id
-         |ORDER BY b.query_id""".stripMargin)
+         |ORDER BY b.query_id""".stripMargin,
+    "q62_embed_quantize" ->
+      s"""WITH vecs AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sc AS (
+         |  SELECT vec_id, v,
+         |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+         |  FROM vecs),
+         |qv AS (
+         |  SELECT vec_id, v, scale,
+         |         list_transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+         |           ELSE greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+         |                         CAST(floor(x/scale + 0.5) AS BIGINT))) END) AS q
+         |  FROM sc)
+         |SELECT vec_id,
+         |       CAST(len(v) AS BIGINT) AS n_dims,
+         |       ${round4Sql("scale")} AS scale,
+         |       CAST(list_sum(q) AS BIGINT) AS q_sum,
+         |       CAST(list_min(q) AS BIGINT) AS q_min,
+         |       CAST(list_max(q) AS BIGINT) AS q_max
+         |FROM qv ORDER BY vec_id""".stripMargin)
 }

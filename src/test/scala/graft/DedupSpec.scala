@@ -67,4 +67,15 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
     assert(got.contains((0L, 3L, 0L)))
   }
+
+  test("connectedComponents: min-label propagation crosses a diameter-4 chain") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (needs 4 propagation rounds) + disjoint pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert((1L to 5L).forall(got(_) == 1L))
+    assert(got(10L) == 10L && got(11L) == 10L)
+  }
 }
