@@ -294,6 +294,21 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q63: recall of the MinHash-LSH banding (q32) against the exact
+    * PPJoin-pruned Jaccard pair set (q34, lossless for J ≥ 0.5) — the
+    * text-side analog of q58/q60: every approximate path in the engine
+    * ships with its measured accuracy. Both sides threshold the same
+    * shingle sets at J ≥ 0.5, so the only difference is banding recall. */
+  lazy val q63_minhash_recall: Q = (s, d) => {
+    val exact = q34_dedup_ngram_jaccard(s, d).select(col("doc_a"), col("doc_b"))
+    val banded = q32_dedup_minhash_lsh(s, d)
+      .select(col("doc_a").as("ba"), col("doc_b").as("bb"))
+    exact.join(banded, col("doc_a") === col("ba") && col("doc_b") === col("bb"), "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("ba")).as("n_found"))
+      .withColumn("recall",
+        round4(col("n_found").cast("double") / col("n_exact").cast("double")))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_dedup_exact" -> q31_dedup_exact,
     "q32_dedup_minhash_lsh" -> q32_dedup_minhash_lsh,
@@ -302,7 +317,8 @@ object Dedup {
     "q35_dedup_embed_cosine" -> q35_dedup_embed_cosine,
     "q59_dedup_embed_lsh" -> q59_dedup_embed_lsh,
     "q60_embed_lsh_recall" -> q60_embed_lsh_recall,
-    "q61_dedup_components" -> q61_dedup_components)
+    "q61_dedup_components" -> q61_dedup_components,
+    "q63_minhash_recall" -> q63_minhash_recall)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -403,6 +419,39 @@ object Dedup {
          |FROM cand JOIN sigs x ON vec_a = x.vec_id JOIN sigs y ON vec_b = y.vec_id
          |WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "q63_minhash_recall" -> withDocs(
+      s""", p AS (
+         |  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh,
+         |         unnest(shingles) AS shingle
+         |  FROM docs),
+         |jcand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.n_sh AS n_a, b.n_sh AS n_b,
+         |         CAST(count(*) AS BIGINT) AS inter
+         |  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |exact AS (
+         |  SELECT doc_a, doc_b FROM jcand
+         |  WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5),
+         |sig AS (
+         |  SELECT doc_id, $mhSelect
+         |  FROM docs),
+         |bands AS (
+         |  $bandsSql),
+         |bcand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |banded AS (
+         |  SELECT doc_a, doc_b
+         |  FROM bcand JOIN docs x ON doc_a = x.doc_id JOIN docs y ON doc_b = y.doc_id
+         |  WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+         |        CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE) >= 0.5)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(count(b.doc_a) AS BIGINT) AS n_found,
+         |       ${round4Sql("CAST(count(b.doc_a) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS recall
+         |FROM exact e LEFT JOIN banded b
+         |  ON e.doc_a = b.doc_a AND e.doc_b = b.doc_b""".stripMargin),
     "q61_dedup_components" -> withDocs(
       s""", sig AS (
          |  SELECT doc_id, $mhSelect

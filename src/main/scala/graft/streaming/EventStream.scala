@@ -33,6 +33,21 @@ object EventStream {
 
   val sessionGapSeconds: Long = 1800L
 
+  /** Streaming exact dedup — the streaming twin of q31 for an ingest
+    * pipeline: keep the first arrival of each fingerprint, drop replays.
+    * `dropDuplicatesWithinWatermark` bounds the dedup state by the
+    * watermark (a plain `dropDuplicates` on a stream holds every key ever
+    * seen — unbounded state on an infinite ingest): duplicates arriving
+    * within the watermark window dedup exactly; a replay older than the
+    * watermark can be re-admitted, the standard bounded-state tradeoff,
+    * which a downstream batch q31 pass then removes. State is partitioned
+    * by the dedup key, O(1) per key. */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ts", timestamp_seconds(col("es")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Watermarked tumbling 1-hour counts per event type (streaming q50). */
   def windowedCounts(events: DataFrame): DataFrame =
     events

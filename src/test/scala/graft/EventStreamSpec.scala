@@ -95,6 +95,22 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("dedupStream keeps first arrival per fingerprint within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Long)]
+    val query = EventStream.dedupStream(input.toDS().toDF("fp", "es"))
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(("a", 100L), ("a", 150L), ("b", 120L))
+      query.processAllAvailable()
+      input.addData(("a", 200L), ("c", 210L)) // replay of a within watermark
+      query.processAllAvailable()
+      val got = spark.table("dedup").collect().map(_.getAs[String]("fp"))
+      assert(got.sorted.toSeq == Seq("a", "b", "c")) // one survivor per fp
+    } finally query.stop()
+  }
+
   test("windowedCounts emits a window once the watermark passes it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
