@@ -38,6 +38,26 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       s"partitionless Window (single-task at scale) in: ${offenders.mkString(", ")}")
   }
 
+  test("banded dedup candidate joins never degrade to nested-loop/cartesian") {
+    // q32/q33/q34's whole point is that candidates come from EQUI joins on
+    // band/chunk/shingle keys (hash-partitionable at 100 TB). A condition
+    // tweak that turns one into BroadcastNestedLoopJoin/CartesianProduct
+    // would still pass correctness — this pins the plan shape. (q35 is the
+    // declared all-pairs baseline, so it is exempt.)
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val banded = Seq("q31_dedup_exact", "q32_dedup_minhash_lsh",
+      "q33_dedup_simhash", "q34_dedup_ngram_jaccard")
+    val offenders = banded.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+      val bad = plan.collect {
+        case j: BroadcastNestedLoopJoinExec => j
+        case j: CartesianProductExec => j
+      }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"non-equi candidate join in: ${offenders.mkString(", ")}")
+  }
+
   test("surrogate-key dims have no window at all in their final plan") {
     // withSurrogateId materializes via localCheckpoint: consumers see a
     // scan of checkpointed rows, not a re-executable window/sampling plan.
