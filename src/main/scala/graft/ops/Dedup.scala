@@ -141,9 +141,14 @@ object Dedup {
     val prefixes = postings.join(df, "shingle")
       .withColumn("_rn", row_number().over(wOrd))
       .where(col("_rn") <= (col("n_sh").cast("double") / 2).cast("int") + 1)
-      .select("doc_id", "shingle")
+      .select("doc_id", "shingle", "n_sh")
+    // PPJoin length filter, also lossless: J ≥ 0.5 and inter ≤ min imply
+    // max(n_a, n_b) ≤ 2·min(n_a, n_b), so size-mismatched candidates are
+    // pruned before the array-intersect verify. The condition rides on the
+    // shingle equi-join as a post-filter — still a hash join.
     val cand = prefixes.as("a").join(prefixes.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_sh") <= col("b.n_sh") * 2 && col("b.n_sh") <= col("a.n_sh") * 2)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
