@@ -49,6 +49,14 @@ object VectorOps {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftExpressionBridge.column(
       SortedIntersectCount(GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+
+  /** Sign-LSH signature: one '0'/'1' char per hyperplane, '1' iff the
+    * plane dot product is > 0 — the compiled twin of the nested
+    * transform/aggregate HOF form (16 planes × 64 dims interpreted per
+    * vector otherwise; parity-tested in DedupSpec). */
+  def signLshSignature(v: Column, planes: Column): Column =
+    GraftExpressionBridge.column(
+      SignLshSignature(GraftExpressionBridge.expression(v), GraftExpressionBridge.expression(planes)))
 }
 
 /** acc = Σ a(i)·b(i), folded left-to-right (bit-equal to
@@ -159,6 +167,38 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
+}
+
+/** Per-plane sign bits of a vector's dot products with a broadcast plane
+  * set: array<double> × array<array<double>> → '0'/'1' string. Each plane
+  * fold is left-to-right, bit-equal to
+  * `aggregate(zip_with(v, p, _*_), 0.0, _+_) > 0`. */
+case class SignLshSignature(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_sign_lsh_signature"
+
+  override protected def nullSafeEval(v: Any, ps: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val planes = ps.asInstanceOf[ArrayData]
+    val np = planes.numElements()
+    val out = new Array[Char](np)
+    var j = 0
+    while (j < np) {
+      val p = planes.getArray(j)
+      val n = math.min(x.numElements(), p.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getDouble(i) * p.getDouble(i); i += 1 }
+      out(j) = if (acc > 0.0) '1' else '0'
+      j += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SignLshSignature =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Merge-walk intersection count of two ascending-sorted distinct string

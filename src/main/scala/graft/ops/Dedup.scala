@@ -203,14 +203,14 @@ object Dedup {
         transform(sequence(lit(0), lit(63)), k => planeComponent(col("j"), k)).as("pv"))
       .agg(sort_array(collect_list(struct(col("j"), col("pv")))).as("ps"))
       .select(transform(col("ps"), p => p.getField("pv")).as("planes"))
+    // signature via the compiled SignLshSignature expression; the nested
+    // transform/aggregate HOF form is the spec (parity-tested in DedupSpec,
+    // and the DuckDB oracle computes it declaratively)
     val vecs = s.read.parquet(s"$d/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
       .crossJoin(broadcast(planes))
-      .withColumn("sig", array_join(
-        transform(col("planes"), p =>
-          when(aggregate(zip_with(col("v"), p, (x, y) => x * y), lit(0.0), (a, x) => a + x) > 0,
-            "1").otherwise("0")), ""))
+      .withColumn("sig", VectorOps.signLshSignature(col("v"), col("planes")))
       .select("vec_id", "v", "nrm", "sig")
     val chunkCols = (0 until 4).map(c =>
       struct(lit(c).as("c"), substring(col("sig"), c * 4 + 1, 4).as("chunk")))

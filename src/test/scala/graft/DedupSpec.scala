@@ -68,6 +68,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got.contains((0L, 3L, 0L)))
   }
 
+  test("SignLshSignature matches the declarative HOF spec bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps
+    val planes = Seq(Seq(Seq(1.0, -2.0, 0.5), Seq(-0.1, 0.1, 0.0), Seq(0.0, 0.0, 0.0)))
+    val rows = Seq(
+      (Seq(1.0, 1.0, 1.0), planes.head),
+      (Seq(-1.0, 0.0, 2.0), planes.head),
+      (Seq(0.0, 0.0, 0.0), planes.head))
+      .toDF("v", "planes")
+      .select(
+        VectorOps.signLshSignature(col("v"), col("planes")).as("fast"),
+        array_join(transform(col("planes"), p =>
+          when(aggregate(zip_with(col("v"), p, (x, y) => x * y),
+            lit(0.0), (a, x) => a + x) > 0, "1").otherwise("0")), "").as("spec"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("connectedComponents: min-label propagation crosses a diameter-4 chain") {
     import spark.implicits._
     // chain 1-2-3-4-5 (needs 4 propagation rounds) + disjoint pair 10-11
