@@ -87,6 +87,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     rows.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("connectedComponents of an empty pair list is empty (and converges)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
+
+  test("dedup family yields empty results, not errors, on a single-doc corpus") {
+    val dir1 = writeMiniDocs(Seq((0L, "only one document here nothing matches it")))
+    Seq(Dedup.q32_dedup_minhash_lsh, Dedup.q33_dedup_simhash,
+      Dedup.q34_dedup_ngram_jaccard).foreach { q =>
+      assert(q(spark, dir1).count() == 0)
+    }
+    assert(Dedup.q31_dedup_exact(spark, dir1).count() == 1) // its own group
+  }
+
   test("connectedComponents: min-label propagation crosses a diameter-4 chain") {
     import spark.implicits._
     // chain 1-2-3-4-5 (needs 4 propagation rounds) + disjoint pair 10-11

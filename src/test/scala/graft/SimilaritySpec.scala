@@ -15,6 +15,19 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     4L -> Seq(0f, 0f, 1f, 0f),
     5L -> Seq(0.7f, 0.7f, 0f, 0f)))
 
+  test("q62: quantization hits +/-127 at the extremes and zero vectors stay zero") {
+    val qdir = writeMiniEmbeddings(Seq(
+      0L -> Seq(1f, -1f, 0.5f, 0f),
+      1L -> Seq(0f, 0f, 0f, 0f))) // zero vector: scale 0, quantizes to zeros
+    val got = Similarity.q62_embed_quantize(spark, qdir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("q_sum"), r.getAs[Long]("q_min"), r.getAs[Long]("q_max")))
+      .toMap
+    // v0: scale = 1/127 → q = (127, -127, 64, 0); round-half-up: 0.5*127 = 63.5 → 64
+    assert(got(0L) == (64L, -127L, 127L))
+    assert(got(1L) == (0L, 0L, 0L))
+  }
+
   test("q36: brute-force top-1 neighbors are the geometrically nearest") {
     val top1 = Similarity.q36_knn_brute(spark, dir)
       .where("rank = 1").collect()
