@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.streaming.{Ev, EventStream}
+import graft.streaming.{Ev, EventStream, Session}
 
 /** Structured Streaming shapes over MemoryStream: stateful sessionization
   * (flatMapGroupsWithState) and watermarked tumbling windows. */
@@ -109,6 +109,39 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       val got = spark.table("dedup").collect().map(_.getAs[String]("fp"))
       assert(got.sorted.toSeq == Seq("a", "b", "c")) // one survivor per fp
     } finally query.stop()
+  }
+
+  test("checkpointed restart resumes session state without loss or duplication") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val inDir = Files.createTempDirectory("graft_sin").toString
+    val outDir = Files.createTempDirectory("graft_sout").toString
+    val chkDir = Files.createTempDirectory("graft_schk").toString
+    val schema = org.apache.spark.sql.Encoders.product[Ev].schema
+
+    def startQuery() = EventStream.sessionize(
+        spark.readStream.schema(schema).parquet(inDir).as[Ev])
+      .writeStream.format("parquet")
+      .option("checkpointLocation", chkDir)
+      .option("path", outDir)
+      .outputMode("append")
+      .start()
+
+    // batch 1: open a session for user 1, then kill the query
+    Seq(Ev(1L, 1L, 0L), Ev(1L, 2L, 100L)).toDS()
+      .write.mode("append").parquet(inDir)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // batch 2 after restart: a late event must close the session opened
+    // BEFORE the restart — the open-session state lives in the checkpoint
+    Seq(Ev(1L, 3L, 5000L)).toDS().write.mode("append").parquet(inDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.schema(org.apache.spark.sql.Encoders.product[Session].schema)
+      .parquet(outDir).as[Session].collect()
+    assert(got.toSeq == Seq(Session(1L, 0L, 100L, 2L))) // exactly once, spans restart
   }
 
   test("windowedCounts emits a window once the watermark passes it") {
