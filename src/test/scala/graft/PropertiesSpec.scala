@@ -37,6 +37,44 @@ class PropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(ips >= ws.min - 0.005 && ips <= ws.max + 0.005)
   }
 
+  test("SignLshSignature equals the HOF fold for random vectors and planes") {
+    import spark.implicits._
+    val vec = Gen.listOfN(64, Gen.chooseNum(-1.0, 1.0))
+    val planes = Gen.listOfN(16, Gen.listOfN(64, Gen.chooseNum(-1.0, 1.0)))
+    val rows = Gen.listOfN(30, Gen.zip(vec, planes)).sample.get
+    val got = rows.toDF("v", "planes")
+      .select(
+        graft.functions.VectorOps.signLshSignature(col("v"), col("planes")).as("fast"),
+        array_join(transform(col("planes"), p =>
+          when(aggregate(zip_with(col("v"), p, (x, y) => x * y),
+            lit(0.0), (a, x) => a + x) > 0, "1").otherwise("0")), "").as("spec"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("sortedIntersectCount equals size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    val arr = Gen.listOfN(30, Gen.stringOfN(4, Gen.alphaLowerChar)).map(_.distinct.sorted)
+    val pairs = Gen.listOfN(40, Gen.zip(arr, arr)).sample.get
+    val got = pairs.toDF("a", "b")
+      .select(
+        graft.functions.VectorOps.sortedIntersectCount(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("spec"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("avgOfRound2ed equals the exact hundredths-average of round2'd inputs") {
+    import spark.implicits._
+    val xs = Gen.listOfN(100, Gen.chooseNum(0.0, 4.0)).sample.get
+      .map(x => math.floor(x * 100 + 0.5) / 100)
+    val got = xs.toDF("x")
+      .agg(Star.avgOfRound2ed(col("x")).as("a")).collect().head.getDouble(0)
+    val cents = xs.map(x => math.floor(x * 100 + 0.5).toLong)
+    val want = math.floor(cents.sum.toDouble / (xs.size * 100).toDouble * 100 + 0.5) / 100
+    assert(got == want)
+  }
+
   test("hamming distance is 0 iff bitstrings equal, symmetric, <= 64") {
     import spark.implicits._
     val bits = Gen.listOfN(64, Gen.oneOf('0', '1')).map(_.mkString)
