@@ -26,14 +26,16 @@ object Bench {
     // single-shot noise floor is multiples, not percent (q29 ran 1.36 → 0.48
     // → 1.73 s across rounds on identical code), so one sample per query
     // cannot support round-over-round regression analysis.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.length / 2)
+      // lower median: the exact middle for odd reps, the conservative
+      // (smaller) of the two middles for even reps
+      name -> times((times.length - 1) / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

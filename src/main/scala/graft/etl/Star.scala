@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
-import scala.collection.concurrent.TrieMap
 
 /** Star-schema analog of the reference's academic data warehouse
   * (kevin-079/FP-Data-Lakehouse, see SURVEY.md §1/§7.1), re-expressed over the
@@ -104,16 +103,16 @@ object Star {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Session-scoped memoization of the shared star DataFrames. ~20 of the
-    * queries derive from [[fact]]/[[semesterFact]]; each query is an
-    * independent (spark, dir) => DataFrame thunk, so without this every one
-    * re-reads and re-joins the raw parquet. persist() here is the in-session
-    * analog of materializing the star to a warehouse table (the cross-run
-    * form is [[StarBuilder]]); at cluster scale the same role is played by a
+  /** Session-scoped memoization of the shared star DataFrames
+    * ([[graft.SessionMemo]]). ~20 of the queries derive from
+    * [[fact]]/[[semesterFact]]; each query is an independent
+    * (spark, dir) => DataFrame thunk, so without this every one re-reads
+    * and re-joins the raw parquet. persist() here is the in-session analog
+    * of materializing the star to a warehouse table (the cross-run form is
+    * [[StarBuilder]]); at cluster scale the same role is played by a
     * bucketed parquet/Delta write of the fact, not executor memory. */
-  private val memoCache = TrieMap.empty[(SparkSession, String, String), DataFrame]
   private def memo(spark: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
-    memoCache.getOrElseUpdate((spark, dir, key), build.persist(StorageLevel.MEMORY_AND_DISK))
+    graft.SessionMemo(spark, dir, s"star:$key")(build)(_.persist(StorageLevel.MEMORY_AND_DISK))
 
   /** The graded-event fact (Fact_Nilai_MK analog): one row per lineitem with
     * the star's natural keys and measures. Columns:

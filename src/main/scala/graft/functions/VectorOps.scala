@@ -172,7 +172,9 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 /** Per-plane sign bits of a vector's dot products with a broadcast plane
   * set: array<double> × array<array<double>> → '0'/'1' string. Each plane
   * fold is left-to-right, bit-equal to
-  * `aggregate(zip_with(v, p, _*_), 0.0, _+_) > 0`. */
+  * `aggregate(zip_with(v, p, _*_), 0.0, _+_) > 0` — including on length
+  * mismatch, where zip_with pads with null, the sum goes null, and the
+  * HOF spec's `when(null > 0, ...).otherwise("0")` emits '0'. */
 case class SignLshSignature(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
@@ -186,11 +188,14 @@ case class SignLshSignature(left: Expression, right: Expression)
     var j = 0
     while (j < np) {
       val p = planes.getArray(j)
-      val n = math.min(x.numElements(), p.numElements())
-      var acc = 0.0
-      var i = 0
-      while (i < n) { acc += x.getDouble(i) * p.getDouble(i); i += 1 }
-      out(j) = if (acc > 0.0) '1' else '0'
+      if (x.numElements() != p.numElements()) out(j) = '0'
+      else {
+        val n = x.numElements()
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += x.getDouble(i) * p.getDouble(i); i += 1 }
+        out(j) = if (acc > 0.0) '1' else '0'
+      }
       j += 1
     }
     UTF8String.fromString(new String(out))

@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import scala.collection.concurrent.TrieMap
 import graft.etl.Star.{round4, round4Sql}
 import TextCore._
 
@@ -230,7 +229,7 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** Session-scoped memo of VERIFIED pair sets (the `Star.memo` pattern):
+  /** Session-scoped memo of VERIFIED pair sets ([[graft.SessionMemo]]):
     * the derived queries — component canonicalization (q61) and the recall
     * measurements (q60/q63) — consume the pair sets the primary queries
     * produce. Re-running a whole LSH pipeline per consumer is the
@@ -239,9 +238,8 @@ object Dedup {
     * (pair sets are near-dup-sized, orders of magnitude smaller than the
     * corpus). Primary queries themselves stay un-memoized so their bench
     * timings remain honest. */
-  private val pairCache = TrieMap.empty[(SparkSession, String, String), DataFrame]
   private def memoPairs(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame =
-    pairCache.getOrElseUpdate((s, d, key), build.localCheckpoint(true))
+    graft.SessionMemo(s, d, s"pairs:$key")(build)(_.localCheckpoint(true))
 
   /** q60: recall of the banded sign-LSH path (q59) against the exact
     * all-pairs baseline (q35) — quantifies the sign-LSH approximation the
@@ -255,8 +253,10 @@ object Dedup {
       .select(col("vec_a").as("la"), col("vec_b").as("lb"))
     exact.join(lsh, col("vec_a") === col("la") && col("vec_b") === col("lb"), "left")
       .agg(count(lit(1)).as("n_exact"), count(col("la")).as("n_found"))
-      .withColumn("recall",
-        round4(col("n_found").cast("double") / col("n_exact").cast("double")))
+      // 0/0 would be NaN on Spark and engine-dependent in DuckDB: a clean
+      // corpus with no exact pairs reports NULL recall on both sides
+      .withColumn("recall", when(col("n_exact") === 0, lit(null).cast("double"))
+        .otherwise(round4(col("n_found").cast("double") / col("n_exact").cast("double"))))
   }
 
   /** q61: connected components over the MinHash near-dup pairs (q32) —
@@ -329,8 +329,9 @@ object Dedup {
       .select(col("doc_a").as("ba"), col("doc_b").as("bb"))
     exact.join(banded, col("doc_a") === col("ba") && col("doc_b") === col("bb"), "left")
       .agg(count(lit(1)).as("n_exact"), count(col("ba")).as("n_found"))
-      .withColumn("recall",
-        round4(col("n_found").cast("double") / col("n_exact").cast("double")))
+      // 0/0 guard: NULL recall when the exact pair set is empty (see q60)
+      .withColumn("recall", when(col("n_exact") === 0, lit(null).cast("double"))
+        .otherwise(round4(col("n_found").cast("double") / col("n_exact").cast("double"))))
   }
 
   val queries: Map[String, Q] = Map(
@@ -473,7 +474,9 @@ object Dedup {
          |        CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE) >= 0.5)
          |SELECT CAST(count(*) AS BIGINT) AS n_exact,
          |       CAST(count(b.doc_a) AS BIGINT) AS n_found,
-         |       ${round4Sql("CAST(count(b.doc_a) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS recall
+         |       CASE WHEN count(*) = 0 THEN CAST(NULL AS DOUBLE)
+         |            ELSE ${round4Sql("CAST(count(b.doc_a) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+         |       END AS recall
          |FROM exact e LEFT JOIN banded b
          |  ON e.doc_a = b.doc_a AND e.doc_b = b.doc_b""".stripMargin),
     "q61_dedup_components" -> withDocs(
@@ -518,7 +521,9 @@ object Dedup {
          |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45)
          |SELECT CAST(count(*) AS BIGINT) AS n_exact,
          |       CAST(count(l.vec_a) AS BIGINT) AS n_found,
-         |       ${round4Sql("CAST(count(l.vec_a) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS recall
+         |       CASE WHEN count(*) = 0 THEN CAST(NULL AS DOUBLE)
+         |            ELSE ${round4Sql("CAST(count(l.vec_a) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+         |       END AS recall
          |FROM exact e LEFT JOIN lshp l
          |  ON e.vec_a = l.vec_a AND e.vec_b = l.vec_b""".stripMargin,
     "q35_dedup_embed_cosine" ->

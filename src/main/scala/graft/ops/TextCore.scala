@@ -91,7 +91,7 @@ object TextCore {
     * it on every reference was the dominant cost of the r2 dedup bench).
     * The cluster-scale analog is a materialized features table. */
   def docShingles(spark: SparkSession, dir: String): DataFrame =
-    memoCache.getOrElseUpdate((spark, dir), {
+    graft.SessionMemo(spark, dir, "docs:shingles") {
       val d = spark.read.parquet(s"$dir/documents.parquet")
       val norm = normCol(col("text"))
       d.select(col("doc_id"), col("lang"), col("source"), col("n_chars"), norm.as("norm"))
@@ -100,11 +100,7 @@ object TextCore {
         // one md5 per shingle, shared by minhash (q32), simhash (q33) and
         // fingerprints (q43) — hashing is the dominant per-doc cost
         .withColumn("sh_md5", transform(col("shingles"), sh => md5(sh)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
-
-  private val memoCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    }(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   // -------------------------------------------------------------------------
   // DuckDB oracle fragments (must mirror the Spark expressions exactly)

@@ -23,12 +23,16 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
 
   test("no query plan has an undocumented partitionless window") {
-    // q49 is excluded: invoking it performs the warehouse write eagerly;
-    // its components (dims via withSurrogateId, salted fact writes) are
-    // covered by q48 and StarSpec, and its final plan is a 6-row union of
-    // counts.
+    // Eagerly-executing queries are excluded — invoking them runs jobs
+    // (q49 writes the warehouse; q60/q61/q63 materialize pair sets and
+    // run the propagation loop) rather than just building a plan. Their
+    // components ARE covered: the dims via q48/StarSpec, the pair
+    // pipelines via q32/q34/q35/q59 below, and their final plans are
+    // small aggregates/checkpoint scans.
+    val eager = Set("q49_star_roundtrip", "q60_embed_lsh_recall",
+      "q61_dedup_components", "q63_minhash_recall")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (name, _) => name == "q49_star_roundtrip" }
+      .filterNot { case (name, _) => eager(name) }
       .flatMap { case (name, fn) =>
         val plan = fn(spark, sfDir).queryExecution.optimizedPlan
         if (globalWindows(plan).nonEmpty && !globalWindowAllowed.contains(name)) Some(name)
