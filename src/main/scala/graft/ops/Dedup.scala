@@ -292,6 +292,9 @@ object Dedup {
     var converged = false
     var round = 0
     val maxRounds = 50 // >> any test-data diameter; production uses star-contraction
+    // superseded per-round checkpoints are reclaimed by Spark's
+    // ContextCleaner once the frames go out of scope; the label set is
+    // bounded by the docs that appear in near-dup pairs, not the corpus
     while (!converged && round < maxRounds) {
       val next = edges.join(labels, col("dst") === col("node"))
         .select(col("src").as("node"), col("label"))
