@@ -100,12 +100,31 @@ object TextStats {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(20)
 
+  /** q64: TF-IDF-style term salience — each document's 3 rarest distinct
+    * shingles by corpus document frequency (ties broken by shingle text).
+    * The df aggregation shuffles on the shingle key with map-side partial
+    * counts; the per-doc rank is a window over the doc_id partition — the
+    * same scale shape as the PPJoin prefix stage. */
+  val q64_rare_terms: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val postings = docShingles(s, d)
+      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("shingle"))
+    val dfreq = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    postings.join(dfreq, "shingle")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("shingle"), col("df"))
+      .orderBy("doc_id", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_lang_id" -> q40_lang_id,
     "q41_token_stats" -> q41_token_stats,
     "q42_quality_score" -> q42_quality_score,
     "q43_fingerprint" -> q43_fingerprint,
-    "q44_bpe_tokens" -> q44_bpe_tokens)
+    "q44_bpe_tokens" -> q44_bpe_tokens,
+    "q64_rare_terms" -> q64_rare_terms)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -155,5 +174,17 @@ object TextStats {
       s"""SELECT token, CAST(count(*) AS BIGINT) AS freq
          |FROM (SELECT unnest(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS token
          |      FROM docs)
-         |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 20""".stripMargin))
+         |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 20""".stripMargin),
+    "q64_rare_terms" -> withDocs(
+      """, p AS (
+        |  SELECT doc_id, unnest(list_distinct(shingles)) AS shingle FROM docs),
+        |dfreq AS (
+        |  SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1)
+        |SELECT doc_id, rnk, shingle, df FROM (
+        |  SELECT doc_id, shingle, df,
+        |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY df, shingle)
+        |              AS BIGINT) AS rnk
+        |  FROM p JOIN dfreq USING (shingle))
+        |WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin))
 }
