@@ -118,13 +118,37 @@ object TextStats {
       .orderBy("doc_id", "rnk")
   }
 
+  private val chunkSize = 32
+  private val chunkStride = 24 // 8-token overlap between consecutive chunks
+
+  /** q65: fixed-window document chunking — split each document's token
+    * stream into 32-token windows every 24 tokens (8-token overlap), the
+    * canonical segmentation step of an LLM training-data pipeline.
+    * Entirely map-side: chunk starts are a per-row `sequence`, the window
+    * is a `slice`, no shuffle until the final deterministic sort. Chunk
+    * text is reported as an md5 so the oracle compares fixed-width values.
+    * Zero-token documents produce no chunks (matched WHERE in both
+    * engines). */
+  val q65_chunk_docs: Q = (s, d) =>
+    docShingles(s, d)
+      .select(col("doc_id"), col("words"), size(col("words")).cast("long").as("n"))
+      .where(col("n") > 0)
+      .withColumn("start", explode(sequence(lit(0L), col("n") - 1L, lit(chunkStride.toLong))))
+      .withColumn("chunk", slice(col("words"), col("start").cast("int") + 1, lit(chunkSize)))
+      .select(col("doc_id"),
+        (col("start") / chunkStride).cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
   val queries: Map[String, Q] = Map(
     "q40_lang_id" -> q40_lang_id,
     "q41_token_stats" -> q41_token_stats,
     "q42_quality_score" -> q42_quality_score,
     "q43_fingerprint" -> q43_fingerprint,
     "q44_bpe_tokens" -> q44_bpe_tokens,
-    "q64_rare_terms" -> q64_rare_terms)
+    "q64_rare_terms" -> q64_rare_terms,
+    "q65_chunk_docs" -> q65_chunk_docs)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -186,5 +210,18 @@ object TextStats {
         |              AS BIGINT) AS rnk
         |  FROM p JOIN dfreq USING (shingle))
         |WHERE rnk <= 3
-        |ORDER BY doc_id, rnk""".stripMargin))
+        |ORDER BY doc_id, rnk""".stripMargin),
+    "q65_chunk_docs" -> withDocs(
+      s""", c AS (
+         |  SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n
+         |  FROM docs WHERE len(words) > 0),
+         |st AS (
+         |  SELECT doc_id, words, unnest(range(0, n, $chunkStride)) AS start FROM c)
+         |SELECT doc_id,
+         |       CAST(start // $chunkStride AS BIGINT) AS chunk_id,
+         |       CAST(len(words[CAST(start+1 AS INT):CAST(start+$chunkSize AS INT)]) AS BIGINT)
+         |         AS n_chunk_tokens,
+         |       md5(array_to_string(words[CAST(start+1 AS INT):CAST(start+$chunkSize AS INT)], ' '))
+         |         AS chunk_md5
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin))
 }
