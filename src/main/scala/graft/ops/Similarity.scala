@@ -113,11 +113,30 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q67: IVF bucket-size histogram — the skew diagnostic for the ANN
+    * partitioning: at cluster scale each centroid bucket is a partition,
+    * and a hot bucket is the straggler, so balance is an operational
+    * metric, not a curiosity. One narrow groupBy over the assignment. */
+  val q67_ivf_bucket_sizes: Q = (s, d) => {
+    val all = vecs(s, d)
+    val cent = all.where(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
+    all.crossJoin(broadcast(cent))
+      .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy("c_id")
+      .agg(count(lit(1)).as("n_assigned"))
+      .orderBy("c_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q36_knn_brute" -> q36_knn_brute,
     "q37_knn_ivf" -> q37_knn_ivf,
     "q58_ivf_recall" -> q58_ivf_recall,
-    "q62_embed_quantize" -> q62_embed_quantize)
+    "q62_embed_quantize" -> q62_embed_quantize,
+    "q67_ivf_bucket_sizes" -> q67_ivf_bucket_sizes)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -221,5 +240,18 @@ object Similarity {
          |       CAST(list_sum(q) AS BIGINT) AS q_sum,
          |       CAST(list_min(q) AS BIGINT) AS q_min,
          |       CAST(list_max(q) AS BIGINT) AS q_max
-         |FROM qv ORDER BY vec_id""".stripMargin)
+         |FROM qv ORDER BY vec_id""".stripMargin,
+    "q67_ivf_bucket_sizes" ->
+      s"""WITH $vecsCte,
+         |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vecs
+         |         WHERE vec_id < $numCentroids),
+         |ranked AS (
+         |  SELECT x.vec_id, c.c_id,
+         |         row_number() OVER (PARTITION BY x.vec_id
+         |           ORDER BY list_dot_product(x.v, c.cv) / (x.nrm * c.cn) DESC,
+         |                    c.c_id ASC) AS rn
+         |  FROM vecs x CROSS JOIN cent c)
+         |SELECT c_id, CAST(count(*) AS BIGINT) AS n_assigned
+         |FROM ranked WHERE rn = 1
+         |GROUP BY c_id ORDER BY c_id""".stripMargin)
 }

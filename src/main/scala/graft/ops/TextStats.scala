@@ -141,6 +141,17 @@ object TextStats {
         md5(array_join(col("chunk"), " ")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_id")
 
+  /** q66: chunk-granularity exact dedup over the q65 windows —
+    * boilerplate detection: a chunk hash appearing in multiple documents
+    * is templated text (headers, licenses, navigation). Narrow-key
+    * (md5) shuffle, same scale shape as q31. */
+  val q66_chunk_dedup: Q = (s, d) =>
+    q65_chunk_docs(s, d)
+      .groupBy("chunk_md5")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_chunks"))
+      .where(col("n_docs") > 1)
+      .orderBy("chunk_md5")
+
   val queries: Map[String, Q] = Map(
     "q40_lang_id" -> q40_lang_id,
     "q41_token_stats" -> q41_token_stats,
@@ -148,7 +159,8 @@ object TextStats {
     "q43_fingerprint" -> q43_fingerprint,
     "q44_bpe_tokens" -> q44_bpe_tokens,
     "q64_rare_terms" -> q64_rare_terms,
-    "q65_chunk_docs" -> q65_chunk_docs)
+    "q65_chunk_docs" -> q65_chunk_docs,
+    "q66_chunk_dedup" -> q66_chunk_dedup)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -223,5 +235,21 @@ object TextStats {
          |         AS n_chunk_tokens,
          |       md5(array_to_string(words[CAST(start+1 AS INT):CAST(start+$chunkSize AS INT)], ' '))
          |         AS chunk_md5
-         |FROM st ORDER BY doc_id, chunk_id""".stripMargin))
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin),
+    "q66_chunk_dedup" -> withDocs(
+      s""", c AS (
+         |  SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n
+         |  FROM docs WHERE len(words) > 0),
+         |st AS (
+         |  SELECT doc_id, words, unnest(range(0, n, $chunkStride)) AS start FROM c),
+         |ch AS (
+         |  SELECT doc_id,
+         |         md5(array_to_string(words[CAST(start+1 AS INT):CAST(start+$chunkSize AS INT)], ' '))
+         |           AS chunk_md5
+         |  FROM st)
+         |SELECT chunk_md5,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_chunks
+         |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+         |ORDER BY chunk_md5""".stripMargin))
 }
