@@ -70,12 +70,62 @@ object Events {
         floor(col("sum_k").cast("double") / col("n").cast("double") * 100 + 0.5) / 100)
       .orderBy("event_type")
 
+  /** q68: AS-OF join — purchase-to-click attribution: each purchase takes
+    * the latest click by the same user at or before its second. Spark has
+    * no ASOF JOIN operator; the scalable composition is union + ordered
+    * window: tag both streams, sort per user by (es, side, event_id) with
+    * clicks before purchases at equal seconds, and carry the last click
+    * forward with last(ignoreNulls) — ONE shuffle on user_id and a linear
+    * scan, where a naive range self-join (p.es >= c.es) explodes
+    * quadratically per user. The DuckDB oracle uses its native
+    * ASOF LEFT JOIN, so the composition is checked against a first-class
+    * implementation. Clicks are deduped to one per (user, second) — max
+    * event_id — so the as-of tie-break is deterministic in both engines;
+    * purchases with no prior click keep NULL attribution (LEFT
+    * semantics). */
+  val q68_asof_attribution: Q = (s, d) => {
+    val ev = events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy("user_id", "es").agg(max("event_id").as("event_id"))
+      .select(col("user_id"), col("es"), col("event_id"), lit(0).as("side"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("es"), col("event_id"), lit(1).as("side"))
+    val w = Window.partitionBy("user_id").orderBy("es", "side", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("click_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_es",
+        last(when(col("side") === 0, col("es")), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("es"),
+        col("click_id"), col("click_es"),
+        (col("es") - col("click_es")).as("gap_s"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q50_event_windows" -> q50_event_windows,
     "q51_sessionize" -> q51_sessionize,
-    "q52_props_json" -> q52_props_json)
+    "q52_props_json" -> q52_props_json,
+    "q68_asof_attribution" -> q68_asof_attribution)
 
   val oracle: Map[String, String] = Map(
+    "q68_asof_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |clicks AS (
+        |  SELECT user_id, es, CAST(max(event_id) AS BIGINT) AS click_id
+        |  FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |purchases AS (
+        |  SELECT event_id, user_id, es FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.es,
+        |       c.click_id, c.es AS click_es,
+        |       p.es - c.es AS gap_s
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.es >= c.es
+        |ORDER BY p.event_id""".stripMargin,
     "q50_event_windows" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         |       event_type,
