@@ -104,13 +104,63 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** q69: RANGE (interval-containment) join — error events joined to the
+    * q51 sessions whose [start_es, end_es] span contains them (any user's
+    * session: "what was in flight when this error fired"). Spark executes
+    * a raw `BETWEEN` theta-join as a nested loop; the scalable
+    * composition buckets time: each session explodes into the hour
+    * buckets it spans, each error maps to exactly one bucket, and the
+    * join becomes an EQUI join on the bucket key with the containment
+    * predicate as a post-filter — shuffle on a narrow integer key,
+    * candidates limited to same-hour pairs. Each error lands in one
+    * bucket so no dedup is needed. The DuckDB oracle runs the plain
+    * theta-join, checking the bucketed rewrite end-to-end. Sessions with
+    * no errors are omitted (inner semantics). */
+  val q69_range_join: Q = (s, d) => {
+    val sess = q51_sessionize(s, d)
+      .select(col("user_id"), col("session_id"), col("start_es"), col("end_es"))
+    val errors = events(s, d).where(col("event_type") === "error")
+      .select(col("event_id"), col("es"))
+    val sb = sess.withColumn("bucket",
+      explode(expr("sequence(start_es div 3600, end_es div 3600)")))
+    val eb = errors.withColumn("bucket", expr("CAST(es div 3600 AS BIGINT)"))
+    sb.join(eb, "bucket")
+      .where(col("es") >= col("start_es") && col("es") <= col("end_es"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_errors"))
+      .orderBy("user_id", "session_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q50_event_windows" -> q50_event_windows,
     "q51_sessionize" -> q51_sessionize,
     "q52_props_json" -> q52_props_json,
-    "q68_asof_attribution" -> q68_asof_attribution)
+    "q68_asof_attribution" -> q68_asof_attribution,
+    "q69_range_join" -> q69_range_join)
 
   val oracle: Map[String, String] = Map(
+    "q69_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, es,
+        |         CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+        |numbered AS (
+        |  SELECT user_id, es,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked),
+        |sess AS (
+        |  SELECT user_id, session_id, min(es) AS start_es, max(es) AS end_es
+        |  FROM numbered GROUP BY 1, 2),
+        |errors AS (
+        |  SELECT event_id, es FROM e WHERE event_type = 'error')
+        |SELECT s.user_id, s.session_id, CAST(count(*) AS BIGINT) AS n_errors
+        |FROM sess s JOIN errors r ON r.es BETWEEN s.start_es AND s.end_es
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q68_asof_attribution" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type,
