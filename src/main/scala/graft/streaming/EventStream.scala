@@ -48,6 +48,30 @@ object EventStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming twin of the batch AS-OF attribution (q68): stream-stream
+    * inner join of purchases to same-user clicks within the preceding 30
+    * minutes. Both sides carry watermarks so the join state is bounded —
+    * a click older than the watermark plus the join interval can never
+    * match a future purchase and is evicted; without the time-range
+    * condition the state would grow with the full click history. State is
+    * partitioned by the join key (user_id). */
+  def attributionStream(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        timestamp_seconds(col("es")).as("cts"))
+      .withWatermark("cts", "10 minutes")
+    val p = purchases
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        timestamp_seconds(col("es")).as("pts"))
+      .withWatermark("pts", "10 minutes")
+    p.join(c, col("user_id") === col("c_user") &&
+        col("cts") <= col("pts") &&
+        col("cts") >= col("pts") - expr(s"INTERVAL $sessionGapSeconds SECONDS"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        unix_timestamp(col("pts")).as("purchase_es"),
+        unix_timestamp(col("cts")).as("click_es"))
+  }
+
   /** Watermarked tumbling 1-hour counts per event type (streaming q50). */
   def windowedCounts(events: DataFrame): DataFrame =
     events

@@ -111,6 +111,26 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("attributionStream matches purchases to in-window clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, Long, Long)]    // (user_id, event_id, es)
+    val purchases = MemoryStream[(Long, Long, Long)]
+    val query = EventStream.attributionStream(
+        clicks.toDS().toDF("user_id", "event_id", "es"),
+        purchases.toDS().toDF("user_id", "event_id", "es"))
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      clicks.addData((1L, 10L, 1000L), (2L, 11L, 1000L))
+      purchases.addData((1L, 20L, 1500L), // 500s after user 1's click → match
+        (2L, 21L, 1000L + EventStream.sessionGapSeconds + 1)) // outside window
+      query.processAllAvailable()
+      val got = spark.table("attr").collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id")))
+      assert(got.toSeq == Seq((20L, 10L)))
+    } finally query.stop()
+  }
+
   test("checkpointed restart resumes session state without loss or duplication") {
     import spark.implicits._
     import java.nio.file.Files
