@@ -55,9 +55,29 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** q70: deterministic train/val/test split — assignment is a pure
+    * function of doc_id (first 4 md5 hex digits mod 100: 80/10/10), so
+    * the split is reproducible across runs, engines, and cluster sizes.
+    * `randomSplit` would not be: its sampling depends on partitioning and
+    * seed plumbing, and re-partitioned data re-splits differently — a
+    * silent train/test leak. Map-side assignment, 3-row aggregate. */
+  val q70_data_split: Q = (s, d) => {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"),
+      lit(100L))
+    docShingles(s, d)
+      .select(col("doc_id"), size(col("words")).cast("long").as("n_tokens"))
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, Q] = Map(
     "q56_star_rollup" -> q56_star_rollup,
-    "q57_pipeline" -> q57_pipeline)
+    "q57_pipeline" -> q57_pipeline,
+    "q70_data_split" -> q70_data_split)
 
   val oracle: Map[String, String] = Map(
     "q56_star_rollup" -> withFact(
@@ -80,5 +100,16 @@ object Pipeline {
          |       ${round4Sql("avg(score)")} AS avg_score
          |FROM kept
          |WHERE rn = 1 AND score >= 0.68 AND n_tokens >= 20
-         |GROUP BY lang ORDER BY lang""".stripMargin))
+         |GROUP BY lang ORDER BY lang""".stripMargin),
+    "q70_data_split" -> withDocs(
+      """, sp AS (
+        |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100
+        |           AS bucket
+        |  FROM docs)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM sp GROUP BY 1 ORDER BY split""".stripMargin))
 }
