@@ -127,34 +127,31 @@ object Dedup {
   val q34_dedup_ngram_jaccard: Q = (s, d) => {
     val docs = docShingles(s, d)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n_sh"))
-    // every shuffle in the candidate stage keys on xxhash64(shingle), not
-    // the multi-word shingle string: narrower exchange rows and long
-    // comparisons in the window sort. Lossless: ANY deterministic global
-    // order yields a valid PPJoin prefix, and a hash collision only merges
-    // two shingles' postings — a superset of candidates that the exact
-    // verify filters, never a lost pair.
-    val postings = docs
-      .select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("shingle"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("shingle")).as("sh"))
-    val df = postings.groupBy("sh").agg(count(lit(1)).as("df"))
-    // rank each doc's postings by (df, sh) — the same deterministic
-    // global-order construction r3 materialized per-doc as
-    // sort_array(collect_list(struct)) + slice, ranked in place by a
-    // single window: one shuffle on doc_id, no per-doc array rebuild. The
-    // per-doc posting count needed for the prefix length is n_sh, carried
-    // through the explode instead of a second (count-frame) window pass.
+    // candidate-stage keys are the shingle STRINGS: an xxhash64-keyed
+    // variant (narrower exchanges) measured consistently ~15% SLOWER at
+    // sf0.1 (median-of-5 A/B) — the per-posting hash evaluation outweighs
+    // the shuffle-width saving at this ~20-char shingle width. Re-measure
+    // before reviving it for corpora with wide shingles.
+    val postings = docs.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("shingle"))
+    val df = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // rank each doc's postings by (df, shingle) — the same deterministic
+    // global order r3 materialized per-doc as sort_array(collect_list(
+    // struct)) + slice, now ranked in place by a single window: one shuffle
+    // on doc_id, no per-doc array rebuild on the hot path. The per-doc
+    // posting count needed for the prefix length is n_sh, carried through
+    // the explode instead of a second (count-frame) window pass.
     // prefix length for t = 0.5: n - ceil(n/2) + 1 = floor(n/2) + 1
-    val wOrd = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
-    val prefixes = postings.join(df, "sh")
+    val wOrd = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val prefixes = postings.join(df, "shingle")
       .withColumn("_rn", row_number().over(wOrd))
       .where(col("_rn") <= (col("n_sh").cast("double") / 2).cast("int") + 1)
-      .select("doc_id", "sh", "n_sh")
+      .select("doc_id", "shingle", "n_sh")
     // PPJoin length filter, also lossless: J ≥ 0.5 and inter ≤ min imply
     // max(n_a, n_b) ≤ 2·min(n_a, n_b), so size-mismatched candidates are
     // pruned before the array-intersect verify. The condition rides on the
-    // hash equi-join as a post-filter — still a hash join.
+    // shingle equi-join as a post-filter — still a hash join.
     val cand = prefixes.as("a").join(prefixes.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n_sh") <= col("b.n_sh") * 2 && col("b.n_sh") <= col("a.n_sh") * 2)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
