@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.etl.Star.{round2Sql, round4, round4Sql, round2}
 import TextCore._
 
@@ -152,6 +153,42 @@ object TextStats {
       .where(col("n_docs") > 1)
       .orderBy("chunk_md5")
 
+  /** q71: balanced per-language sample — up to 100 docs per language,
+    * chosen by md5-of-id order (a deterministic shuffle: reproducible
+    * across runs/engines/cluster sizes, unlike TABLESAMPLE/rand()).
+    * The per-group rank is a window over the lang partition; at scale
+    * this is the standard balanced-subset op for eval-set curation. */
+  val q71_balanced_sample: Q = (s, d) => {
+    val w = Window.partitionBy("lang").orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docShingles(s, d)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 100)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"))
+      .orderBy("lang")
+  }
+
+  /** q72: exact token-length percentiles per language — p50/p90/p99 as
+    * the value at rank ceil(q·n) under the total order (n_tokens,
+    * doc_id). Exact rank selection, not approx_percentile: the
+    * cross-engine gate needs value-identical results, and at scale the
+    * per-language sort is a partitioned window, not a global one. */
+  val q72_token_percentiles: Q = (s, d) => {
+    val base = docShingles(s, d)
+      .select(col("doc_id"), col("lang"), size(col("words")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("lang").orderBy(col("n_tokens"), col("doc_id"))
+    val ranked = base
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")).cast("long"))
+    def pct(q: Double, name: String) =
+      max(when(col("rnk") === ceil(col("n") * q).cast("long"), col("n_tokens"))).as(name)
+    ranked.groupBy("lang")
+      .agg(max(col("n")).as("n_docs"), pct(0.5, "p50"), pct(0.9, "p90"), pct(0.99, "p99"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_lang_id" -> q40_lang_id,
     "q41_token_stats" -> q41_token_stats,
@@ -160,7 +197,9 @@ object TextStats {
     "q44_bpe_tokens" -> q44_bpe_tokens,
     "q64_rare_terms" -> q64_rare_terms,
     "q65_chunk_docs" -> q65_chunk_docs,
-    "q66_chunk_dedup" -> q66_chunk_dedup)
+    "q66_chunk_dedup" -> q66_chunk_dedup,
+    "q71_balanced_sample" -> q71_balanced_sample,
+    "q72_token_percentiles" -> q72_token_percentiles)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -251,5 +290,29 @@ object TextStats {
          |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |       CAST(count(*) AS BIGINT) AS n_chunks
          |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
-         |ORDER BY chunk_md5""".stripMargin))
+         |ORDER BY chunk_md5""".stripMargin),
+    "q71_balanced_sample" -> withDocs(
+      """, ranked AS (
+        |  SELECT doc_id, lang,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk
+        |  FROM docs)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+        |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM ranked WHERE rnk <= 100
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+    "q72_token_percentiles" -> withDocs(
+      """, base AS (
+        |  SELECT doc_id, lang, CAST(len(words) AS BIGINT) AS n_tokens FROM docs),
+        |ranked AS (
+        |  SELECT lang, n_tokens,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY n_tokens, doc_id) AS BIGINT) AS rnk,
+        |         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM base)
+        |SELECT lang, max(n) AS n_docs,
+        |       max(CASE WHEN rnk = CAST(ceil(n * 0.5) AS BIGINT) THEN n_tokens END) AS p50,
+        |       max(CASE WHEN rnk = CAST(ceil(n * 0.9) AS BIGINT) THEN n_tokens END) AS p90,
+        |       max(CASE WHEN rnk = CAST(ceil(n * 0.99) AS BIGINT) THEN n_tokens END) AS p99
+        |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin))
 }
