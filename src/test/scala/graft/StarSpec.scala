@@ -105,6 +105,43 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
     assert(oneShot.forall { case (k, (_, attr)) => d1(k)._2 == attr })
   }
 
+  test("incremental dim loads converge to the one-shot state (A10/A17 semantics)") {
+    import spark.implicits._
+    import graft.etl.StarBuilder.{upsertDim, withSurrogateId}
+    // the same key set arriving as 1 batch vs 3 increments must yield the
+    // same key->attribute mapping, with ids stable once assigned — the
+    // property that makes incremental ETL equivalent to full refresh
+    val batches = Seq(
+      Seq(("a", "v1"), ("b", "v1")),
+      Seq(("b", "v2"), ("c", "v1")),          // update b, insert c
+      Seq(("a", "v3"), ("d", "v1"), ("e", "v1")))
+    var dim = withSurrogateId(batches.head.toDF("k", "attr"), "id", Seq("k"))
+    val idAfterBatch1 = dim.collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[Long]("id")).toMap
+    batches.tail.foreach { b => dim = upsertDim(dim, b.toDF("k", "attr"), "id", Seq("k")) }
+    val got = dim.collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("id"), r.getAs[String]("attr")))
+    // latest attribute wins per key
+    assert(got.map(t => t._1 -> t._3).toMap ==
+      Map("a" -> "v3", "b" -> "v2", "c" -> "v1", "d" -> "v1", "e" -> "v1"))
+    // ids unique, and stable for the keys that existed after batch 1
+    val ids = got.map(t => t._1 -> t._2).toMap
+    assert(ids.values.toSet.size == ids.size)
+    assert(ids("a") == idAfterBatch1("a") && ids("b") == idAfterBatch1("b"))
+  }
+
+  test("parquet mergeSchema reads mixed-schema increments (schema evolution)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    // batch 1 without the later-added column, batch 2 with it
+    Seq((1L, "x")).toDF("id", "a").write.mode("append").parquet(dir)
+    Seq((2L, "y", 9L)).toDF("id", "a", "extra").write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("a", "extra", "id"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).getAs[Any]("extra") == null) // old rows null-fill the new column
+    assert(rows(1).getAs[Long]("extra") == 9L)
+  }
+
   test("upsertDim rejects duplicate natural keys in the increment (MERGE fail-fast)") {
     import spark.implicits._
     val base = Seq(("a", "x1")).toDF("k", "attr")
