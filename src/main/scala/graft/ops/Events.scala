@@ -135,14 +135,67 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** q73: ordered conversion funnel view → click → purchase: a user
+    * converts a stage only if it happens strictly AFTER the previous
+    * stage's first occurrence (min-timestamp chaining — the standard
+    * funnel semantics, not mere presence). One groupBy on user_id with
+    * conditional min aggregates, then a 3-row summary; no window, no
+    * self-join. */
+  val q73_funnel: Q = (s, d) => {
+    val ev = events(s, d)
+    def firstEs(t: String) = min(when(col("event_type") === t, col("es")))
+    val perUser = ev.groupBy("user_id").agg(
+      firstEs("view").as("t_view"),
+      firstEs("click").as("t_click"),
+      firstEs("purchase").as("t_purchase"))
+    val staged = perUser.select(
+      when(col("t_view").isNotNull, 1L).otherwise(0L).as("s1"),
+      when(col("t_view").isNotNull && col("t_click") > col("t_view"), 1L)
+        .otherwise(0L).as("s2"),
+      when(col("t_view").isNotNull && col("t_click") > col("t_view") &&
+        col("t_purchase") > col("t_click"), 1L).otherwise(0L).as("s3"))
+    val agg = staged.agg(sum("s1").as("n1"), sum("s2").as("n2"), sum("s3").as("n3"))
+    agg.select(
+      explode(array(
+        struct(lit(1L).as("stage"), lit("view").as("name"), col("n1").as("n_users")),
+        struct(lit(2L).as("stage"), lit("view>click").as("name"), col("n2").as("n_users")),
+        struct(lit(3L).as("stage"), lit("view>click>purchase").as("name"), col("n3").as("n_users"))))
+        .as("r"))
+      .select(col("r.stage").as("stage"), col("r.name").as("name"), col("r.n_users").as("n_users"))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, Q] = Map(
     "q50_event_windows" -> q50_event_windows,
     "q51_sessionize" -> q51_sessionize,
     "q52_props_json" -> q52_props_json,
     "q68_asof_attribution" -> q68_asof_attribution,
-    "q69_range_join" -> q69_range_join)
+    "q69_range_join" -> q69_range_join,
+    "q73_funnel" -> q73_funnel)
 
   val oracle: Map[String, String] = Map(
+    "q73_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |pu AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN es END) AS t_view,
+        |         min(CASE WHEN event_type = 'click' THEN es END) AS t_click,
+        |         min(CASE WHEN event_type = 'purchase' THEN es END) AS t_purchase
+        |  FROM e GROUP BY 1),
+        |staged AS (
+        |  SELECT CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s1,
+        |         CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END AS s2,
+        |         CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+        |              THEN 1 ELSE 0 END AS s3
+        |  FROM pu),
+        |agg AS (
+        |  SELECT CAST(sum(s1) AS BIGINT) AS n1, CAST(sum(s2) AS BIGINT) AS n2,
+        |         CAST(sum(s3) AS BIGINT) AS n3 FROM staged)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS name, n1 AS n_users FROM agg
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'view>click', n2 FROM agg
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'view>click>purchase', n3 FROM agg
+        |ORDER BY stage""".stripMargin,
     "q69_range_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type,

@@ -66,6 +66,20 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     assert(offenders.isEmpty, s"non-equi candidate join in: ${offenders.mkString(", ")}")
   }
 
+  test("fact-to-dim joins broadcast the dim side") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // factWithTahap is memoized+persisted, so its visible plan is an
+    // InMemoryRelation; the cached build plan beneath it is wrapped in
+    // AdaptiveSparkPlanExec (opaque to collect), so assert on its
+    // rendered tree.
+    val plan = graft.etl.Star.factWithTahap(spark, sfDir).queryExecution.sparkPlan
+    val cachedTrees = plan.collect {
+      case s: InMemoryTableScanExec => s.relation.cachedPlan.treeString
+    }
+    assert(cachedTrees.exists(_.contains("BroadcastHashJoin")),
+      "expected the part-dim join to be a broadcast hash join")
+  }
+
   test("surrogate-key dims have no window at all in their final plan") {
     // withSurrogateId materializes via localCheckpoint: consumers see a
     // scan of checkpointed rows, not a re-executable window/sampling plan.
