@@ -1,7 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.etl.Star
+import graft.etl.Star.withFact
 
 /** Skew-mitigation primitives (100 TB posture; SURVEY.md §7.6 scale
   * notes). None of the sandbox datasets are skewed enough to need these —
@@ -25,4 +27,25 @@ object Skew {
       .groupBy("k")
       .agg(sum(col("pn")).as("n"), sum(col("ps")).as("s"))
   }
+
+  /** q74: the salted aggregation as an oracle-checked operator — grade
+    * (`huruf`, 6 distinct values over the whole fact) is exactly the
+    * hot-key shape salting exists for: a plain groupBy funnels each
+    * grade's rows through one reducer; the salted form spreads each over
+    * 8, then merges ≤ 8 partials per key. The oracle computes the PLAIN
+    * group-by, so the equivalence of the two-phase rewrite is checked by
+    * the gate itself (sks sums are integral doubles — exact,
+    * order-free). */
+  val q74_salted_agg: (SparkSession, String) => DataFrame = (s, d) =>
+    saltedCountSum(Star.fact(s, d), col("huruf"), col("sks"), 8)
+      .select(col("k").as("huruf"), col("n").as("n_rows"), col("s").as("sum_sks"))
+      .orderBy("huruf")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q74_salted_agg" -> q74_salted_agg)
+
+  val oracle: Map[String, String] = Map(
+    "q74_salted_agg" -> withFact(
+      """SELECT huruf, CAST(count(*) AS BIGINT) AS n_rows, sum(sks) AS sum_sks
+        |FROM fact GROUP BY huruf ORDER BY huruf""".stripMargin))
 }
