@@ -151,7 +151,7 @@ object StarBuilder {
       incoming.groupBy(keyCols: _*).agg(count(lit(1)).as("_n")).where(col("_n") > 1).isEmpty,
       s"upsertDim: multiple incoming rows share a natural key (${keys.mkString(", ")}); " +
         "MERGE semantics require the source to be unique on the merge key")
-    val maxId = existing.agg(coalesce(max(col(idCol)), lit(0L)).as("m")).head.getLong(0)
+    val maxId = existing.agg(coalesce(max(col(idCol)), lit(0L)).as("m")).head().getLong(0)
     val ids = existing.select((keyCols :+ col(idCol)): _*)
     val updated = incoming.join(ids, keys) // MATCHED: incoming attrs, existing id
     val untouched = existing.join(incoming.select(keyCols: _*), keys, "left_anti")
