@@ -88,10 +88,35 @@ object Multimodal {
     decodeFeatures(s, s.read.parquet(s"$d/documents.parquet"))
       .orderBy("doc_id", "feature_idx")
 
+  /** q75: resize planning — the metadata half of an image-resize stage.
+    * Source dimensions are derived deterministically from the payload
+    * (the decode stub; a real pipeline reads them from the container
+    * header), and the aspect-preserving fit into 224×224 plus the
+    * ViT-style 16×16 patch count are computed in pure integer arithmetic
+    * (identical `div` semantics in both engines — no float scale
+    * factors). The pixel work itself belongs in the q55-style
+    * mapPartitions decoder; THIS is the part that drives partitioning
+    * and batch-size planning at scale, and it is fully declarative. */
+  val q75_media_resize: Q = (s, d) => {
+    val media = col("text").cast("binary")
+    s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), length(media).cast("long").as("byte_len"))
+      .withColumn("src_w", lit(64L) + pmod(col("byte_len"), lit(1920L)))
+      .withColumn("src_h", lit(64L) + pmod(expr("byte_len div 7"), lit(1080L)))
+      .withColumn("dst_w", when(col("src_w") >= col("src_h"), lit(224L))
+        .otherwise(greatest(lit(1L), expr("(src_w * 224) div src_h"))))
+      .withColumn("dst_h", when(col("src_w") >= col("src_h"),
+        greatest(lit(1L), expr("(src_h * 224) div src_w"))).otherwise(lit(224L)))
+      .withColumn("n_patches", expr("((dst_w + 15) div 16) * ((dst_h + 15) div 16)"))
+      .select("doc_id", "src_w", "src_h", "dst_w", "dst_h", "n_patches")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q53_multimodal_join" -> q53_multimodal_join,
     "q54_media_meta" -> q54_media_meta,
-    "q55_media_features" -> q55_media_features)
+    "q55_media_features" -> q55_media_features,
+    "q75_media_resize" -> q75_media_resize)
 
   val oracle: Map[String, String] = Map(
     "q53_multimodal_join" ->
@@ -115,5 +140,26 @@ object Multimodal {
         |                         substr(md5(text), CAST(2*i+1 AS INT), 1)) - 1 AS DOUBLE)
         |              / 15.0) * 10000 + 0.5) / 10000 AS feature
         |FROM documents, (SELECT unnest(range(0, 8)) AS i)
-        |ORDER BY doc_id, feature_idx""".stripMargin)
+        |ORDER BY doc_id, feature_idx""".stripMargin,
+    "q75_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        |  FROM documents),
+        |src AS (
+        |  SELECT doc_id, byte_len,
+        |         64 + byte_len % 1920 AS src_w,
+        |         64 + (byte_len // 7) % 1080 AS src_h
+        |  FROM m),
+        |dst AS (
+        |  SELECT doc_id, byte_len, src_w, src_h,
+        |         CASE WHEN src_w >= src_h THEN 224
+        |              ELSE greatest(1, (src_w * 224) // src_h) END AS dst_w,
+        |         CASE WHEN src_w >= src_h THEN greatest(1, (src_h * 224) // src_w)
+        |              ELSE 224 END AS dst_h
+        |  FROM src)
+        |SELECT doc_id,
+        |       CAST(src_w AS BIGINT) AS src_w, CAST(src_h AS BIGINT) AS src_h,
+        |       CAST(dst_w AS BIGINT) AS dst_w, CAST(dst_h AS BIGINT) AS dst_h,
+        |       CAST(((dst_w + 15) // 16) * ((dst_h + 15) // 16) AS BIGINT) AS n_patches
+        |FROM dst ORDER BY doc_id""".stripMargin)
 }
