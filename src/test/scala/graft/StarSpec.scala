@@ -129,6 +129,18 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
     assert(ids("a") == idAfterBatch1("a") && ids("b") == idAfterBatch1("b"))
   }
 
+  test("SessionMemo returns the same frame per key and distinct frames per dir") {
+    import spark.implicits._
+    var builds = 0
+    def build(tag: String) = { builds += 1; Seq(tag).toDF("t") }
+    val a1 = graft.SessionMemo(spark, "dirA", "test:memo")(build("a"))(identity)
+    val a2 = graft.SessionMemo(spark, "dirA", "test:memo")(build("a"))(identity)
+    val b = graft.SessionMemo(spark, "dirB", "test:memo")(build("b"))(identity)
+    assert(a1 eq a2)          // cached: second call must not rebuild
+    assert(builds == 2)       // one build per (dir, key)
+    assert(b.collect().head.getString(0) == "b") // no cross-dir contamination
+  }
+
   test("parquet mergeSchema reads mixed-schema increments (schema evolution)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
