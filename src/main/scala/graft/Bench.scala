@@ -26,7 +26,8 @@ object Bench {
     // single-shot noise floor is multiples, not percent (q29 ran 1.36 → 0.48
     // → 1.73 s across rounds on identical code), so one sample per query
     // cannot support round-over-round regression analysis.
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
     // optional comma-separated query filter for focused profiling runs
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])

@@ -173,8 +173,11 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * set: array<double> × array<array<double>> → '0'/'1' string. Each plane
   * fold is left-to-right, bit-equal to
   * `aggregate(zip_with(v, p, _*_), 0.0, _+_) > 0` — including on length
-  * mismatch, where zip_with pads with null, the sum goes null, and the
-  * HOF spec's `when(null > 0, ...).otherwise("0")` emits '0'. */
+  * mismatch or a null ELEMENT, where zip_with's null pad makes the sum
+  * null and the HOF spec's `when(null > 0, ...).otherwise("0")` emits
+  * '0'. (A wholly-null input array yields a NULL signature via the
+  * standard null-safe path — embeddings are dense, so that row is
+  * malformed either way.) */
 case class SignLshSignature(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
@@ -193,8 +196,12 @@ case class SignLshSignature(left: Expression, right: Expression)
         val n = x.numElements()
         var acc = 0.0
         var i = 0
-        while (i < n) { acc += x.getDouble(i) * p.getDouble(i); i += 1 }
-        out(j) = if (acc > 0.0) '1' else '0'
+        var sawNull = false
+        while (i < n && !sawNull) {
+          if (x.isNullAt(i) || p.isNullAt(i)) sawNull = true
+          else { acc += x.getDouble(i) * p.getDouble(i); i += 1 }
+        }
+        out(j) = if (!sawNull && acc > 0.0) '1' else '0'
       }
       j += 1
     }

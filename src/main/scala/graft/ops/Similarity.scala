@@ -101,6 +101,10 @@ object Similarity {
           floor(x / col("scale") + lit(0.5)).cast("long")))))
     s.read.parquet(s"$d/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      // empty arrays are excluded on BOTH sides: Spark's empty-fold yields
+      // 0.0/0 where DuckDB's list_max/list_sum yield NULL — an empty
+      // embedding is a malformed row, not a quantizable vector
+      .where(size(col("v")) > 0)
       .withColumn("scale",
         aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))) / lit(127.0))
       .withColumn("q", qArr)
@@ -223,7 +227,8 @@ object Similarity {
          |ORDER BY b.query_id""".stripMargin,
     "q62_embed_quantize" ->
       s"""WITH vecs AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE len(embedding) > 0),
          |sc AS (
          |  SELECT vec_id, v,
          |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale

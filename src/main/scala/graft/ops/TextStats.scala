@@ -107,9 +107,9 @@ object TextStats {
     * counts; the per-doc rank is a window over the doc_id partition — the
     * same scale shape as the PPJoin prefix stage. */
   val q64_rare_terms: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
+    // shingles3 already returns a distinct sorted array — explode directly
     val postings = docShingles(s, d)
-      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("shingle"))
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val dfreq = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
     postings.join(dfreq, "shingle")
@@ -252,7 +252,7 @@ object TextStats {
          |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 20""".stripMargin),
     "q64_rare_terms" -> withDocs(
       """, p AS (
-        |  SELECT doc_id, unnest(list_distinct(shingles)) AS shingle FROM docs),
+        |  SELECT doc_id, unnest(shingles) AS shingle FROM docs),
         |dfreq AS (
         |  SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1)
         |SELECT doc_id, rnk, shingle, df FROM (

@@ -72,11 +72,14 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     import graft.functions.VectorOps
-    val planes = Seq(Seq(Seq(1.0, -2.0, 0.5), Seq(-0.1, 0.1, 0.0), Seq(0.0, 0.0, 0.0)))
+    val planes: Seq[Seq[Option[Double]]] =
+      Seq(Seq(Some(1.0), Some(-2.0), Some(0.5)), Seq(Some(-0.1), Some(0.1), Some(0.0)),
+        Seq(Some(0.0), Some(0.0), Some(0.0)))
     val rows = Seq(
-      (Seq(1.0, 1.0, 1.0), planes.head),
-      (Seq(-1.0, 0.0, 2.0), planes.head),
-      (Seq(0.0, 0.0, 0.0), planes.head))
+      (Seq[Option[Double]](Some(1.0), Some(1.0), Some(1.0)), planes),
+      (Seq[Option[Double]](Some(-1.0), Some(0.0), Some(2.0)), planes),
+      (Seq[Option[Double]](Some(1.0), None, Some(1.0)), planes), // null element → all-'0'
+      (Seq[Option[Double]](Some(0.0), Some(0.0), Some(0.0)), planes))
       .toDF("v", "planes")
       .select(
         VectorOps.signLshSignature(col("v"), col("planes")).as("fast"),

@@ -24,13 +24,15 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
 
   test("no query plan has an undocumented partitionless window") {
     // Eagerly-executing queries are excluded — invoking them runs jobs
-    // (q49 writes the warehouse; q60/q61/q63 materialize pair sets and
-    // run the propagation loop) rather than just building a plan. Their
-    // components ARE covered: the dims via q48/StarSpec, the pair
-    // pipelines via q32/q34/q35/q59 below, and their final plans are
-    // small aggregates/checkpoint scans.
-    val eager = Set("q49_star_roundtrip", "q60_embed_lsh_recall",
-      "q61_dedup_components", "q63_minhash_recall")
+    // (q49 writes the warehouse; q48 runs the surrogate-key
+    // persist+count+checkpoint; q60/q61/q63 materialize pair sets and
+    // run the propagation loop; q69 materializes the session intervals)
+    // rather than just building a plan. Their components ARE covered:
+    // the surrogate path via StarSpec + the dim test below, the pair
+    // pipelines via q32/q34/q35/q59, sessionization via q51, and their
+    // final plans are small aggregates/checkpoint scans.
+    val eager = Set("q48_dim_waktu", "q49_star_roundtrip", "q60_embed_lsh_recall",
+      "q61_dedup_components", "q63_minhash_recall", "q69_range_join")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => eager(name) }
       .flatMap { case (name, fn) =>
