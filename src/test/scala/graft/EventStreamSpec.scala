@@ -131,6 +131,37 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("attributionStream equals the batch range-join on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val clickRows = Seq((1L, 10L, 1000L), (1L, 11L, 1200L), (2L, 12L, 500L), (3L, 13L, 9000L))
+    val purchRows = Seq((1L, 20L, 1500L), (2L, 21L, 5000L), (3L, 22L, 9100L))
+
+    val clicks = MemoryStream[(Long, Long, Long)]
+    val purchases = MemoryStream[(Long, Long, Long)]
+    val query = EventStream.attributionStream(
+        clicks.toDS().toDF("user_id", "event_id", "es"),
+        purchases.toDS().toDF("user_id", "event_id", "es"))
+      .writeStream.format("memory").queryName("attr_parity").outputMode("append").start()
+    try {
+      clicks.addData(clickRows); purchases.addData(purchRows)
+      query.processAllAvailable()
+      val got = spark.table("attr_parity").collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+
+      // batch twin: same inner join, same window, no streaming machinery
+      val bc = clickRows.toDF("c_user", "click_id", "c_es")
+      val bp = purchRows.toDF("user_id", "purchase_id", "p_es")
+      val want = bp.join(bc, col("user_id") === col("c_user") &&
+          col("c_es") <= col("p_es") &&
+          col("c_es") >= col("p_es") - EventStream.sessionGapSeconds)
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want && want.nonEmpty)
+    } finally query.stop()
+  }
+
   test("checkpointed restart resumes session state without loss or duplication") {
     import spark.implicits._
     import java.nio.file.Files
