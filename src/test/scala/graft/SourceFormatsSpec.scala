@@ -11,20 +11,41 @@ import org.apache.spark.sql.functions._
   * scale and is non-deterministic on dirty input. */
 class SourceFormatsSpec extends AnyFunSuite with SparkTestBase {
 
-  test("CSV and JSON-lines round-trip the events relation losslessly") {
-    val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+  // the events parquet stores TIMESTAMP(NANOS); reading it (even with the
+  // ts column pruned, schema conversion sees it) needs the legacy conf —
+  // set here so this spec does not depend on suite order
+  private def eventsDf = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+  }
+
+  test("CSV, JSON-lines, and ORC round-trip the events relation losslessly") {
+    val src = eventsDf
       .select(col("event_id"), col("user_id"), col("event_type"))
     val schema = src.schema
     val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
     src.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
     src.write.mode("overwrite").json(s"$base/json")
+    src.write.mode("overwrite").orc(s"$base/orc")
 
     val fromCsv = spark.read.schema(schema).option("header", "true").csv(s"$base/csv")
     val fromJson = spark.read.schema(schema).json(s"$base/json")
+    val fromOrc = spark.read.schema(schema).orc(s"$base/orc")
 
     val want = src.orderBy("event_id").collect().toSeq
     assert(fromCsv.orderBy("event_id").collect().toSeq == want)
     assert(fromJson.orderBy("event_id").collect().toSeq == want)
-    assert(fromCsv.schema == schema && fromJson.schema == schema)
+    assert(fromOrc.orderBy("event_id").collect().toSeq == want)
+    assert(fromCsv.schema == schema && fromJson.schema == schema && fromOrc.schema == schema)
+  }
+
+  test("ORC pushes filters to the scan like parquet") {
+    val base = java.nio.file.Files.createTempDirectory("graft_orcpush").toString
+    eventsDf
+      .select(col("event_id"), col("user_id")).write.mode("overwrite").orc(base)
+    val plan = spark.read.orc(base).where(col("user_id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("user_id"),
+      "expected the user_id predicate in the ORC scan's PushedFilters")
   }
 }
