@@ -35,7 +35,11 @@ object GraftExtensions {
         case Literal(k: Int, _) => MinHashSignature(es(0), k)
         case other => throw new IllegalArgumentException(
           s"graft_minhash_signature: numHashes must be an integer literal, got $other")
-      }))
+      }),
+    ("graft_sorted_intersect_count", info("graft_sorted_intersect_count", "sorted intersect"),
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))),
+    ("graft_sign_lsh_signature", info("graft_sign_lsh_signature", "sign-LSH signature"),
+      (es: Seq[Expression]) => SignLshSignature(es(0), es(1))))
 
   /** Register the same functions into an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -22,5 +22,15 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
       "SELECT graft_minhash_signature(array(md5('a'), md5('b')), 3) AS m")
       .collect().head.getSeq[Long](0)
     assert(mh.length == 3)
+
+    val ic = spark.sql(
+      "SELECT graft_sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS n")
+      .collect().head.getInt(0)
+    assert(ic == 2)
+
+    val sig = spark.sql(
+      "SELECT graft_sign_lsh_signature(array(1.0D, -1.0D), array(array(1.0D, 0.0D), array(0.0D, 1.0D))) AS s")
+      .collect().head.getString(0)
+    assert(sig == "10")
   }
 }
