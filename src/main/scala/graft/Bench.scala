@@ -8,6 +8,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // session-level nanos conf (Events.events requires it; builders
+      // themselves never mutate session state)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: one query per table family (fact, semester fact, documents,
@@ -34,19 +37,41 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      // a rep that throws is a FAILURE, not a sample: its time-to-failure
+      // must not enter the median (a broken query would masquerade as a
+      // fast one in round-over-round comparisons)
+      val samples = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      // lower median: the exact middle for odd reps, the conservative
-      // (smaller) of the two middles for even reps
-      name -> times((times.length - 1) / 2)
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        (ok, (System.nanoTime() - t0) / 1e9)
+      }
+      val good = samples.filter(_._1).map(_._2).sorted
+      val failed = samples.count(!_._1)
+      // lower median of the SUCCESSFUL reps: exact middle for odd counts,
+      // the conservative (smaller) of the two middles for even. -1 sentinel
+      // when every rep failed.
+      val median = if (good.isEmpty) -1.0 else good((good.length - 1) / 2)
+      (name, median, failed)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    val failures = results.filter(_._3 > 0)
+    val errs = failures.map { case (k, _, f) => s"\"" + k + "\":" + f }
+      .mkString("{", ",", "}")
+    val total = results.map { case (_, v, _) => math.max(v, 0.0) }.sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps}"""
+    println(json)
+    // also write the artifact to a file: the driver captures stdout via a
+    // bounded tail, which truncated the per-query map in r3/r4 — the file
+    // keeps round-over-round comparison lossless
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     spark.stop()
+    // stderr note only — rc stays 0 so the driver still records the JSON;
+    // the "errors" map is the machine-readable failure marker
+    if (failures.nonEmpty)
+      System.err.println(s"[bench] queries with failed reps: ${failures.map(_._1).mkString(", ")}")
   }
 }

@@ -270,49 +270,85 @@ object Dedup {
     * minimum doc_id reachable through the pair graph (its group's
     * survivor).
     *
-    * Implemented as iterative min-label propagation: each round every node
-    * takes the minimum of its own label and its neighbors' labels, with an
-    * eager `localCheckpoint` per round (cuts the lineage — an iterative
-    * algorithm otherwise re-executes all prior rounds per action) and a
-    * driver-side convergence check. Rounds needed = graph diameter; near-
-    * dup graphs are dense clusters with tiny diameters, and at cluster
-    * scale the alternating large-star/small-star variant (Kiveris et al.,
-    * "Connected Components in MapReduce") brings worst-case rounds to
-    * O(log n) with the same per-round join shape. The edge set is frozen
-    * with one checkpoint up front so the LSH pipeline runs once, not once
-    * per round. */
-  /** Min-label propagation over an undirected pair list: returns (node,
-    * label) where label = min node id in the pair graph's connected
-    * component. The core of [[q61_dedup_components]], factored out so the
-    * multi-round convergence is unit-testable on a controlled graph
-    * (DedupSpec exercises a 5-node chain = diameter 4). */
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.toDF("a", "b")
-      .union(pairs.toDF("b", "a").select(col("a"), col("b")))
-      .toDF("src", "dst")
+    * Implemented as the alternating large-star/small-star algorithm
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): each round rewires edges toward per-neighborhood minima, so
+    * component trees halve in height every pass and the fixpoint is a set
+    * of stars (every node points straight at its component's min id).
+    * Worst-case rounds are O(log² n) by the paper's proof and ~log n in
+    * practice — unlike plain min-label propagation, whose round count is
+    * the graph DIAMETER: a chain-shaped near-dup graph (templated text)
+    * would need |V| rounds of full-edge-set jobs at cluster scale.
+    * DedupSpec pins the improvement with a 200-node chain that must
+    * converge in ≤ 2·log₂(n) rounds. Each round is two groupBy+join jobs
+    * over the (near-dup-sized, corpus-independent) edge set with an eager
+    * `localCheckpoint` to cut iterative lineage; superseded checkpoints
+    * are reclaimed by Spark's ContextCleaner. */
+  /** Returns (node, label) where label = min node id in the pair graph's
+    * connected component. Core of [[q61_dedup_components]], factored out
+    * so convergence is unit-testable on controlled graphs (DedupSpec:
+    * empty graph, diameter-4 chain, 200-node chain with a round bound). */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairs)._1
+
+  /** [[connectedComponents]] plus the number of large-star/small-star
+    * rounds it took — exposed for the DedupSpec round-count assertion. */
+  private[graft] def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+    // Canonical oriented edge set: (u, v) with u > v, self-loops dropped.
+    // Both phases preserve this orientation (they emit (x, m) with m the
+    // strict minimum of a neighborhood containing x), so distinct() keys
+    // stay stable across rounds.
+    var edges = pairs.toDF("a", "b")
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
-    var converged = false
+    var cnt = edges.count()
+    // Round bound: the paper proves O(log² n) worst-case, and every graph
+    // we have tested (incl. adversarial chains) converges in < 2·log₂ n;
+    // |V| ≤ 2·|E| rounds is the unconditional diameter-style fallback, so
+    // take the larger of the two and never abort a slow-but-correct run.
+    val maxRounds = math.max(16L, math.max(
+      4L * (64 - java.lang.Long.numberOfLeadingZeros(math.max(cnt, 1L))), 2L * cnt)).toInt
+    var converged = cnt == 0
     var round = 0
-    val maxRounds = 50 // >> any test-data diameter; production uses star-contraction
-    // superseded per-round checkpoints are reclaimed by Spark's
-    // ContextCleaner once the frames go out of scope; the label set is
-    // bounded by the docs that appear in near-dup pairs, not the corpus
     while (!converged && round < maxRounds) {
-      val next = edges.join(labels, col("dst") === col("node"))
-        .select(col("src").as("node"), col("label"))
-        .union(labels)
-        .groupBy("node").agg(min("label").as("label"))
+      // Large-star: every node u hooks its strictly-larger neighbors onto
+      // m = min(Γ(u) ∪ {u}). Needs the symmetric neighbor view.
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(lsMin, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m ⇒ stays oriented
+        .distinct()
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .where(col("label") =!= col("old")).isEmpty
-      labels = next
+      // Small-star: every node u re-points its smaller neighbors (and
+      // itself) at m = min(Γ⁻(u) ∪ {u}) — on the oriented list Γ⁻(u) is
+      // exactly the v-side, and m = min(v) < u always.
+      val ssMin = ls.groupBy("u").agg(min("v").as("m"))
+      val moved = ls.join(ssMin, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v")) // v > m since m = min
+      val next = moved.union(ssMin.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      val nextCnt = next.count()
+      // Fixpoint test: next and edges are distinct sets, so next ⊆ edges
+      // (empty except) with equal cardinality means next == edges.
+      converged = nextCnt == cnt && next.except(edges).isEmpty
+      edges = next
+      cnt = nextCnt
       round += 1
     }
-    require(converged, s"label propagation did not converge in $maxRounds rounds")
-    labels
+    require(converged, s"large-star/small-star did not converge in $maxRounds rounds")
+    // Fixpoint = disjoint stars: every edge is (member, root). Roots only
+    // appear on the v side; label them with themselves.
+    val labels = edges.select(col("u").as("node"), col("v").as("label"))
+      .union(edges.select(col("v").as("node"), col("v").as("label")))
+      .groupBy("node").agg(min("label").as("label"))
+    (labels, round)
   }
 
   lazy val q61_dedup_components: Q = (s, d) => {

@@ -22,12 +22,20 @@ object Events {
 
   /** `events` with `ts` as a proper TimestampType at second precision.
     * The driver parquet stores TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default — read nanos as long (legacy conf) and floor-divide to epoch
-    * seconds (integer div; a double division would lose precision at
-    * 1e18 ns). DuckDB reads the same file as TIMESTAMP_NS natively, so
-    * oracles use floor(epoch(ts)). */
+    * default — the session must read nanos as long (legacy conf) and we
+    * floor-divide to epoch seconds (integer div; a double division would
+    * lose precision at 1e18 ns). DuckDB reads the same file as
+    * TIMESTAMP_NS natively, so oracles use floor(epoch(ts)).
+    *
+    * The conf is a SESSION-SETUP concern ([[graft.Verify]]/[[graft.Bench]]
+    * builders, `SparkTestSession`), deliberately NOT set here: a query
+    * builder mutating shared session state would silently change how any
+    * later query in the same session reads nanos parquet. Fail fast with
+    * the remedy instead. */
   private def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events queries read TIMESTAMP(NANOS) parquet: set " +
+        "spark.sql.legacy.parquet.nanosAsLong=true when building the SparkSession")
     s.read.parquet(s"$d/events.parquet")
       .withColumn("es", expr("CAST(ts div 1000000000 AS BIGINT)"))
   }

@@ -105,14 +105,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.q31_dedup_exact(spark, dir1).count() == 1) // its own group
   }
 
-  test("connectedComponents: min-label propagation crosses a diameter-4 chain") {
+  test("connectedComponents crosses a diameter-4 chain") {
     import spark.implicits._
-    // chain 1-2-3-4-5 (needs 4 propagation rounds) + disjoint pair 10-11
+    // chain 1-2-3-4-5 + disjoint pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
       .toDF("doc_a", "doc_b")
     val got = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
     assert((1L to 5L).forall(got(_) == 1L))
     assert(got(10L) == 10L && got(11L) == 10L)
+  }
+
+  test("connectedComponents: 200-node chain converges in O(log n) rounds, not O(diameter)") {
+    import spark.implicits._
+    // Worst case for plain min-label propagation: a path graph of diameter
+    // n-1 (199 propagation rounds). Large-star/small-star must finish in
+    // ≤ 2·log₂(n) = 16 rounds. Ids are shuffled so the chain order carries
+    // no accidental alignment with the id order.
+    val n = 200
+    val perm = new scala.util.Random(42).shuffle((1L to n.toLong).toVector)
+    val pairs = perm.sliding(2).map(w => (w(0), w(1))).toSeq.toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    val got = labels.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(got.size == n)
+    assert(got.values.forall(_ == 1L), "all nodes must label to the component min (1)")
+    val bound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(n.toLong))
+    assert(rounds <= bound, s"took $rounds rounds, bound is $bound (≈2·log2($n))")
   }
 }

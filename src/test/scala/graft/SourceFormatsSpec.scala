@@ -11,13 +11,11 @@ import org.apache.spark.sql.functions._
   * scale and is non-deterministic on dirty input. */
 class SourceFormatsSpec extends AnyFunSuite with SparkTestBase {
 
-  // the events parquet stores TIMESTAMP(NANOS); reading it (even with the
-  // ts column pruned, schema conversion sees it) needs the legacy conf —
-  // set here so this spec does not depend on suite order
-  private def eventsDf = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  // the events parquet stores TIMESTAMP(NANOS); the legacy nanosAsLong
+  // conf is set once in SparkTestSession's builder (session-level, no
+  // per-suite mutation to leak or restore)
+  private def eventsDf =
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-  }
 
   test("CSV, JSON-lines, and ORC round-trip the events relation losslessly") {
     val src = eventsDf
