@@ -53,21 +53,43 @@ object StarBuilder {
     * eagerly `localCheckpoint`ed and `parted` unpersisted) read the one
     * cached assignment. The eager checkpoint also means downstream
     * consumers (writeAll, factNilaiMk) re-read materialized id rows
-    * instead of re-running the sampling + window per action. At cluster
-    * scale, swap `localCheckpoint` for a reliable `checkpoint` dir (or keep
-    * the persist alive until consumed) to survive executor loss; the
-    * checkpointed data is only the distinct-key set, bounded by dim
-    * cardinality, not fact volume. */
-  private[graft] def withSurrogateId(df: DataFrame, idCol: String, keys: Seq[String]): DataFrame = {
+    * instead of re-running the sampling + window per action.
+    *
+    * Cluster path (executor-loss safety): a MEMORY_AND_DISK persist is
+    * only as durable as its executors — on loss, the recompute re-samples
+    * range boundaries and could assign different `_pid`s. Two defenses:
+    * (1) the `graft.surrogate.checkpoint.dir` session conf (or the
+    * `checkpointDir` param) switches the pin to a RELIABLE
+    * `df.checkpoint` — the partition assignment is written to stable
+    * storage and recomputes read it back verbatim; the data is only the
+    * distinct-key set, bounded by dim cardinality, not fact volume.
+    * (2) Unconditionally, the result is invariant-checked (row count
+    * preserved AND ids distinct) so a re-sampled partitioning fails
+    * loudly instead of silently dropping or duplicating surrogate ids —
+    * both jobs run on the already-materialized checkpoint, so they cost
+    * dim-cardinality scans, not a pipeline re-run. */
+  private[graft] def withSurrogateId(df: DataFrame, idCol: String, keys: Seq[String],
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val ckptDir = checkpointDir.orElse(
+      Option(spark.conf.get("graft.surrogate.checkpoint.dir", null)).filter(_.nonEmpty))
     val keyCols = keys.map(col)
-    val parted = df.repartitionByRange(keyCols: _*).withColumn("_pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    parted.count() // pin ONE partitioning before reading _pid twice
+    val parted0 = df.repartitionByRange(keyCols: _*).withColumn("_pid", spark_partition_id())
+    // pin ONE partitioning before reading _pid twice
+    val parted = ckptDir match {
+      case Some(dir) =>
+        spark.sparkContext.setCheckpointDir(dir)
+        parted0.checkpoint(true) // reliable: survives executor loss
+      case None =>
+        val p = parted0.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+    }
     val w = Window.partitionBy("_pid").orderBy(keyCols: _*)
     val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, cnt)) => (pid, acc + cnt) }
       .init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
     val offDf = offsets.toSeq.toDF("_pid", "_off")
@@ -76,7 +98,19 @@ object StarBuilder {
       .withColumn(idCol, col("_off") + col("_rn"))
       .drop("_pid", "_rn", "_off")
       .localCheckpoint(true)
-    parted.unpersist(false)
+    // invariants over the materialized result: a drifted partitioning
+    // either drops rows (a _pid missing from the offsets join) or
+    // collides ids (rows moved between pinned counts) — both fatal for a
+    // surrogate key, neither acceptable silently
+    val rankedCnt = ranked.count()
+    require(rankedCnt == total,
+      s"withSurrogateId: partitioning drifted between jobs ($rankedCnt ranked rows vs $total counted) — " +
+        "set graft.surrogate.checkpoint.dir to pin the partitioning on reliable storage")
+    val distinctIds = ranked.select(col(idCol)).distinct().count()
+    require(distinctIds == rankedCnt,
+      s"withSurrogateId: surrogate ids collided ($distinctIds distinct of $rankedCnt) — " +
+        "set graft.surrogate.checkpoint.dir to pin the partitioning on reliable storage")
+    if (ckptDir.isEmpty) parted.unpersist(false)
     ranked
   }
 
@@ -209,7 +243,10 @@ object StarBuilder {
     * back, and report per-table row counts — the write path exercised
     * inside the correctness gate. */
   val q49_star_roundtrip: Q = (s, d) => {
-    val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // keyed by (application, dataset dir): two concurrent sessions on the
+    // same sf must not race on one overwrite dir
+    val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse_" +
+      s"${s.sparkContext.applicationId}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
     writeAll(s, d, warehouse)
     val tables = Seq("dim_waktu", "dim_nilai", "dim_matakuliah", "dim_mahasiswa",
       "fact_nilai_mk", "fact_nilai_semester")

@@ -17,7 +17,21 @@ object Skew {
     * groupBy(key, salt) partials followed by a final groupBy(key) merge.
     * The salt spreads a hot key over `numSalts` reducers in phase 1; the
     * phase-2 input has at most `numSalts` rows per key. Sums must be
-    * re-aggregatable (here: counts and exact integer/half-step sums). */
+    * re-aggregatable (here: counts and exact integer/half-step sums).
+    *
+    * The salt is NONDETERMINISTIC across task retries
+    * (`spark_partition_id` + `monotonically_increasing_id` both change if
+    * a task re-executes elsewhere) — and that is SAFE here, but only
+    * because of what this operator computes: the salt never reaches the
+    * output, it only partitions rows into phase-1 groups, and count/sum
+    * are commutative monoids, so ANY assignment of rows to salts merges
+    * to the same per-key totals in phase 2. Do NOT copy this salt
+    * derivation into an operator whose aggregate is order- or
+    * partition-sensitive (floating-point sums needing a fixed fold order,
+    * first/last, collect_list) or whose salt value escapes — those need a
+    * deterministic salt, e.g. `pmod(hash(payload-cols), numSalts)`.
+    * SkewSpec pins the equivalence under a forced repartition; the q74
+    * oracle (plain group-by in DuckDB) gates it per-round. */
   def saltedCountSum(df: DataFrame, key: Column, value: Column, numSalts: Int): DataFrame = {
     val salted = df.select(key.as("k"), value.as("v"))
       .withColumn("salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(numSalts)))

@@ -73,6 +73,22 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
     assert(got == again)
   }
 
+  test("withSurrogateId reliable-checkpoint knob pins the partitioning on disk") {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val keys = scala.util.Random.shuffle((1L to 503L).toList)
+    val df = spark.createDataset(keys).toDF("k").repartition(5)
+    // explicit param form (the session-conf form graft.surrogate.checkpoint.dir
+    // takes the same code path via orElse)
+    val got = graft.etl.StarBuilder.withSurrogateId(df, "id", Seq("k"), Some(ckpt))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("id")).toMap
+    (1L to 503L).foreach { k => assert(got(k) == k, s"key $k") }
+    // the pin actually hit reliable storage, not just executor memory
+    def files(p: java.io.File): Seq[java.io.File] =
+      if (p.isDirectory) p.listFiles().toSeq.flatMap(files) else Seq(p)
+    assert(files(new java.io.File(ckpt)).nonEmpty, "checkpoint dir must contain RDD data")
+  }
+
   test("upsertDim: stable ids across increments, updates attrs, idempotent") {
     import spark.implicits._
     import graft.etl.StarBuilder.upsertDim
