@@ -132,6 +132,12 @@ object Dedup {
     // sf0.1 (median-of-5 A/B) — the per-posting hash evaluation outweighs
     // the shuffle-width saving at this ~20-char shingle width. Re-measure
     // before reviving it for corpora with wide shingles.
+    // Verify-stage A/B (r5): intersecting sorted 16-char md5 prefixes
+    // (array_sort(transform(sh_md5, substr 1..16))) instead of the raw
+    // shingle arrays measured ~9% SLOWER (2.07 vs 1.91 s median-of-5,
+    // sf0.1) — the per-doc prefix+sort pass costs more than the narrower
+    // merge-walk comparisons save. Same lesson as the xxhash64 result:
+    // at this shingle width, extra per-element passes lose.
     val postings = docs.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("shingle"))
     val df = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
     // rank each doc's postings by (df, shingle) — the same deterministic
