@@ -101,15 +101,15 @@ object StarBuilder {
     // invariants over the materialized result: a drifted partitioning
     // either drops rows (a _pid missing from the offsets join) or
     // collides ids (rows moved between pinned counts) — both fatal for a
-    // surrogate key, neither acceptable silently
-    val rankedCnt = ranked.count()
-    require(rankedCnt == total,
-      s"withSurrogateId: partitioning drifted between jobs ($rankedCnt ranked rows vs $total counted) — " +
-        "set graft.surrogate.checkpoint.dir to pin the partitioning on reliable storage")
-    val distinctIds = ranked.select(col(idCol)).distinct().count()
-    require(distinctIds == rankedCnt,
-      s"withSurrogateId: surrogate ids collided ($distinctIds distinct of $rankedCnt) — " +
-        "set graft.surrogate.checkpoint.dir to pin the partitioning on reliable storage")
+    // surrogate key, neither acceptable silently. One agg job over the
+    // checkpointed dim-cardinality rows (q48, the surrogate-build bench
+    // sentinel, pays this per rep — keep it a single job).
+    val inv = ranked.agg(count(lit(1)).as("n"), count_distinct(col(idCol)).as("d")).head()
+    val (rankedCnt, distinctIds) = (inv.getLong(0), inv.getLong(1))
+    require(rankedCnt == total && distinctIds == rankedCnt,
+      s"withSurrogateId: partitioning drifted between jobs ($rankedCnt ranked rows vs $total counted, " +
+        s"$distinctIds distinct ids) — set graft.surrogate.checkpoint.dir to pin the " +
+        "partitioning on reliable storage")
     if (ckptDir.isEmpty) parted.unpersist(false)
     ranked
   }
