@@ -74,10 +74,48 @@ object Pipeline {
       .orderBy("split")
   }
 
+  /** q77: train/eval contamination check — the audit a training pipeline
+    * runs before trusting its eval numbers: for each TEST-split document
+    * (q70's deterministic hash split), the fraction of its distinct word
+    * 3-shingles that also occur anywhere in the TRAIN split
+    * (`containment`), flagged contaminated at ≥ 0.6 (between the corpus
+    * median ≈0.53 and max 1.0, so both branches are exercised; threshold
+    * on the raw ratio, output rounded).
+    *
+    * Scale shape: the train side collapses to a DISTINCT shingle set (an
+    * inverted index — shuffles on shingle strings only, never doc text);
+    * test postings left-join it on the shingle key and re-aggregate per
+    * doc_id. At cluster scale the train set is either broadcast (it is
+    * vocabulary-, not corpus-, sized after distinct) or bucket-joined;
+    * nothing is quadratic in documents. Test docs with no shingles
+    * (< 3 words) are excluded on both sides. */
+  val q77_contamination: Q = (s, d) => {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"),
+      lit(100L))
+    val docs = docShingles(s, d).select(col("doc_id"), col("shingles"))
+      .withColumn("bucket", bucket)
+    val train = docs.where(col("bucket") < 80)
+      .select(explode(col("shingles")).as("sh")).distinct()
+      .withColumn("hit", lit(1))
+    val test = docs.where(col("bucket") >= 90 && size(col("shingles")) > 0)
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"),
+        explode(col("shingles")).as("sh"))
+    val containment = col("n_hit").cast("double") / col("n_sh").cast("double")
+    test.join(train, Seq("sh"), "left")
+      .groupBy("doc_id", "n_sh")
+      .agg(count(col("hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        round4(containment).as("containment"),
+        when(containment >= 0.6, 1L).otherwise(0L).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q56_star_rollup" -> q56_star_rollup,
     "q57_pipeline" -> q57_pipeline,
-    "q70_data_split" -> q70_data_split)
+    "q70_data_split" -> q70_data_split,
+    "q77_contamination" -> q77_contamination)
 
   val oracle: Map[String, String] = Map(
     "q56_star_rollup" -> withFact(
@@ -111,5 +149,23 @@ object Pipeline {
         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-        |FROM sp GROUP BY 1 ORDER BY split""".stripMargin))
+        |FROM sp GROUP BY 1 ORDER BY split""".stripMargin),
+    "q77_contamination" -> withDocs(
+      s""", sp AS (
+         |  SELECT doc_id, shingles,
+         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100
+         |           AS bucket
+         |  FROM docs),
+         |tr AS (SELECT DISTINCT unnest(shingles) AS sh FROM sp WHERE bucket < 80),
+         |te AS (
+         |  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh, unnest(shingles) AS sh
+         |  FROM sp WHERE bucket >= 90 AND len(shingles) > 0),
+         |j AS (
+         |  SELECT doc_id, n_sh, CAST(count(tr.sh) AS BIGINT) AS n_hit
+         |  FROM te LEFT JOIN tr USING (sh) GROUP BY 1, 2)
+         |SELECT doc_id, n_sh, n_hit,
+         |       ${round4Sql("CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE)")} AS containment,
+         |       CAST(CASE WHEN CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) >= 0.6
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         |FROM j ORDER BY doc_id""".stripMargin))
 }

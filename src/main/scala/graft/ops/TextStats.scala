@@ -189,6 +189,39 @@ object TextStats {
       .orderBy("lang")
   }
 
+  /** q76: Gopher-style repetition quality filter (Rae et al. 2021 §A1.1
+    * use the same family of signals: fraction of the text covered by the
+    * most frequent n-gram, and by duplicated n-grams) — per doc,
+    * `top2_frac` = occurrences of the most frequent word 2-gram / total
+    * 2-grams, `dup3_frac` = occurrences belonging to duplicated word
+    * 3-grams / total 3-grams, and the keep/drop decision at (0.05, 0.05)
+    * — thresholds sit between the corpus median and p99 so both branches
+    * are exercised. Thresholds compare the RAW ratios (rounding only the
+    * output, per the determinism rules). Scale shape: explode → count per
+    * (doc, gram) → per-doc agg, i.e. shuffles on (doc_id, gram) then
+    * doc_id — no global structure, no windows. Docs with < 3 words have
+    * no 3-grams and are excluded (none in this corpus). */
+  val q76_repetition_filter: Q = (s, d) => {
+    val base = docShingles(s, d).select(col("doc_id"), col("words"))
+      .where(size(col("words")) >= 3)
+    def grams(n: Int) = base.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("words")) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(col("words"), i + k)): _*))).as("g"))
+    val t2 = grams(2).groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top2"), sum("c").as("n2"))
+    val t3 = grams(3).groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup3"), sum("c").as("n3"))
+    val top2Frac = col("top2").cast("double") / col("n2").cast("double")
+    val dup3Frac = col("dup3").cast("double") / col("n3").cast("double")
+    t2.join(t3, "doc_id")
+      .select(col("doc_id"),
+        round4(top2Frac).as("top2_frac"),
+        round4(dup3Frac).as("dup3_frac"),
+        when(top2Frac <= 0.05 && dup3Frac <= 0.05, 1L).otherwise(0L).as("keep_doc"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_lang_id" -> q40_lang_id,
     "q41_token_stats" -> q41_token_stats,
@@ -199,7 +232,8 @@ object TextStats {
     "q65_chunk_docs" -> q65_chunk_docs,
     "q66_chunk_dedup" -> q66_chunk_dedup,
     "q71_balanced_sample" -> q71_balanced_sample,
-    "q72_token_percentiles" -> q72_token_percentiles)
+    "q72_token_percentiles" -> q72_token_percentiles,
+    "q76_repetition_filter" -> q76_repetition_filter)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -301,6 +335,28 @@ object TextStats {
         |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM ranked WHERE rnk <= 100
         |GROUP BY lang ORDER BY lang""".stripMargin),
+    "q76_repetition_filter" -> withDocs(
+      s""", base AS (SELECT doc_id, words FROM docs WHERE len(words) >= 3),
+         |g2 AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(words)),
+         |           i -> words[i] || ' ' || words[i+1])) AS g
+         |  FROM base),
+         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+         |t2 AS (SELECT doc_id, max(c) AS top2, sum(c) AS n2 FROM c2 GROUP BY 1),
+         |g3 AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(words)-1),
+         |           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS g
+         |  FROM base),
+         |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+         |t3 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3,
+         |              sum(c) AS n3 FROM c3 GROUP BY 1)
+         |SELECT doc_id,
+         |       ${round4Sql("CAST(top2 AS DOUBLE) / CAST(n2 AS DOUBLE)")} AS top2_frac,
+         |       ${round4Sql("CAST(dup3 AS DOUBLE) / CAST(n3 AS DOUBLE)")} AS dup3_frac,
+         |       CAST(CASE WHEN CAST(top2 AS DOUBLE) / CAST(n2 AS DOUBLE) <= 0.05
+         |                  AND CAST(dup3 AS DOUBLE) / CAST(n3 AS DOUBLE) <= 0.05
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS keep_doc
+         |FROM t2 JOIN t3 USING (doc_id) ORDER BY doc_id""".stripMargin),
     "q72_token_percentiles" -> withDocs(
       """, base AS (
         |  SELECT doc_id, lang, CAST(len(words) AS BIGINT) AS n_tokens FROM docs),

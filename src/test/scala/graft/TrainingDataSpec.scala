@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Pipeline, TextStats}
+
+/** Semantic edges of the training-data curation operators added in r5:
+  * the Gopher-style repetition filter (q76) and the train/eval
+  * contamination check (q77). The corpus-level answers are gated by the
+  * DuckDB oracle; these tests pin the per-document semantics on
+  * constructed extremes. */
+class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
+
+  test("q76: degenerate repetition drops a doc, diverse text keeps it") {
+    // doc 0: one word repeated — every 2-gram identical (top2_frac = 1),
+    // every 3-gram duplicated (dup3_frac = 1) → keep_doc = 0.
+    // doc 1: all-distinct words — top2_frac = 1/(n-1), no duplicate
+    // 3-grams → keep_doc = 1 (21 words → 1/20 = 0.05, exactly on the
+    // inclusive threshold).
+    val dir = writeMiniDocs(Seq(
+      (0L, Seq.fill(30)("spam").mkString(" ")),
+      (1L, (1 to 21).map(i => s"w$i").mkString(" "))))
+    val got = TextStats.q76_repetition_filter(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("top2_frac"), r.getAs[Double]("dup3_frac"), r.getAs[Long]("keep_doc")))
+      .toMap
+    assert(got(0L) == ((1.0, 1.0, 0L)))
+    assert(got(1L) == ((0.05, 0.0, 1L)))
+  }
+
+  test("q76: mixed doc counts duplicated 3-gram occurrences, not distinct grams") {
+    // "a b c a b c a b c d": 3-grams = abc,bca,cab,abc,bca,cab,abc,bcd —
+    // 7 of 8 occurrences belong to duplicated grams (bcd is unique).
+    val dir = writeMiniDocs(Seq((0L, "a b c a b c a b c d")))
+    val row = TextStats.q76_repetition_filter(spark, dir).collect().head
+    assert(row.getAs[Double]("dup3_frac") == 0.875)
+    assert(row.getAs[Long]("keep_doc") == 0L)
+  }
+
+  test("q77: containment is the fraction of test shingles present in train") {
+    // The q70 hash split buckets doc_ids deterministically; find ids that
+    // land in train (<80) and test (>=90) instead of hardcoding them.
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(2).map("%02x".format(_)).mkString, 16) % 100
+    }
+    val trainId = (0L to 200L).find(bucket(_) < 80).get
+    val testId = (0L to 200L).find(bucket(_) >= 90).get
+    // train doc: "x1 x2 x3 x4" → shingles {x1 x2 x3, x2 x3 x4}
+    // test doc:  "x1 x2 x3 q1 q2" → shingles {x1 x2 x3, x2 x3 q1, x3 q1 q2}
+    //            exactly 1 of 3 in train → containment 1/3, not contaminated
+    val dir = writeMiniDocs(Seq(
+      (trainId, "x1 x2 x3 x4"),
+      (testId, "x1 x2 x3 q1 q2")))
+    val rows = Pipeline.q77_contamination(spark, dir).collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("doc_id") == testId)
+    assert(rows.head.getAs[Long]("n_sh") == 3L && rows.head.getAs[Long]("n_hit") == 1L)
+    assert(rows.head.getAs[Double]("containment") == 0.3333)
+    assert(rows.head.getAs[Long]("contaminated") == 0L)
+  }
+}
