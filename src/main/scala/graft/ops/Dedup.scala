@@ -342,7 +342,9 @@ object Dedup {
         .localCheckpoint(true)
       val nextCnt = next.count()
       // Fixpoint test: next and edges are distinct sets, so next ⊆ edges
-      // (empty except) with equal cardinality means next == edges.
+      // (empty except) with equal cardinality means next == edges. The
+      // except job only runs when the counts agree — a changed count
+      // already proves non-convergence.
       converged = nextCnt == cnt && next.except(edges).isEmpty
       edges = next
       cnt = nextCnt
