@@ -116,6 +116,34 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got(10L) == 10L && got(11L) == 10L)
   }
 
+  test("connectedComponents equals driver-side union-find on random graphs") {
+    import spark.implicits._
+    // Property check of the large-star/small-star rewrite: on arbitrary
+    // pair lists (dense blobs, bridges, self-loops, isolated pairs) the
+    // labels must equal the ground-truth component minima from a
+    // sequential union-find.
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 40 + trial * 20
+      val pairs = Seq.fill(n) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong; (a, b)
+      }.filter { case (a, b) => a != b }
+      // union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+      assert(got == want, s"trial $trial (n=$n)")
+    }
+  }
+
   test("connectedComponents: 200-node chain converges in O(log n) rounds, not O(diameter)") {
     import spark.implicits._
     // Worst case for plain min-label propagation: a path graph of diameter
