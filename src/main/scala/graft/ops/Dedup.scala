@@ -216,12 +216,15 @@ object Dedup {
     // signature via the compiled SignLshSignature expression; the nested
     // transform/aggregate HOF form is the spec (parity-tested in DedupSpec,
     // and the DuckDB oracle computes it declaratively)
+    // materialized in-query: vecs feeds the chunk explode AND both verify
+    // join sides — without the checkpoint the signature expression runs 3×
     val vecs = s.read.parquet(s"$d/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", VectorOps.norm(col("v")))
       .crossJoin(broadcast(planes))
       .withColumn("sig", VectorOps.signLshSignature(col("v"), col("planes")))
       .select("vec_id", "v", "nrm", "sig")
+      .localCheckpoint(true)
     val chunkCols = (0 until 4).map(c =>
       struct(lit(c).as("c"), substring(col("sig"), c * 4 + 1, 4).as("chunk")))
     val chunks = vecs.select(col("vec_id"), explode(array(chunkCols: _*)).as("k"))
