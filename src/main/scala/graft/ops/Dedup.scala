@@ -91,6 +91,10 @@ object Dedup {
   val q33_dedup_simhash: Q = (s, d) => {
     // cached per-shingle md5s, folded by the compiled SimHash64 loop (the
     // declarative TextCore.simhash64 is the spec; parity-tested).
+    // sims is referenced 3× (chunks + both verify joins) like q59's vecs,
+    // but an A/B of localCheckpoint here measured 0.50→0.47 s — inside the
+    // noise floor (SimHash64 over the already-persisted md5s is too cheap
+    // to matter), so no materialization barrier is added.
     val sims = docShingles(s, d)
       .select(col("doc_id"), graft.functions.VectorOps.simhash64(col("sh_md5")).as("sim"))
     val chunkCols = (0 until 4).map(c =>
