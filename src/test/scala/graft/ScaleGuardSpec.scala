@@ -51,10 +51,11 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     // would still pass correctness — this pins the plan shape. (q35 is the
     // declared all-pairs baseline, so it is exempt.)
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
-    // (q59 is not listed although its candidate join is also equi: its plan
-    // legitimately contains a BroadcastNestedLoopJoin for the one-row
-    // broadcast of the 16 plane constants, which a plan-wide scan can't
-    // distinguish from a scaling nested loop.)
+    // (q59 is not listed although its candidate join is also equi: since
+    // r5 it materializes its signature frame eagerly — constructing it
+    // runs jobs — and historically its plan carried a legitimate
+    // BroadcastNestedLoopJoin for the one-row broadcast of the 16 plane
+    // constants, indistinguishable from a scaling nested loop here.)
     val banded = Seq("q31_dedup_exact", "q32_dedup_minhash_lsh",
       "q33_dedup_simhash", "q34_dedup_ngram_jaccard")
     val offenders = banded.flatMap { name =>
