@@ -54,14 +54,19 @@ object Bench {
       val median = if (good.isEmpty) -1.0 else good((good.length - 1) / 2)
       (name, median, failed)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // fixed 3-decimal (ms-precision) formatting: a full double's ~17
+    // significant digits made the JSON line overflow the driver's bounded
+    // stdout tail at 70+ queries (r5's tail lost q01-q15); ms precision is
+    // below the bench noise floor and keeps the whole line visible
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failures = results.filter(_._3 > 0)
     val errs = failures.map { case (k, _, f) => s"\"" + k + "\":" + f }
       .mkString("{", ",", "}")
     val total = results.map { case (_, v, _) => math.max(v, 0.0) }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps}"""
     println(json)
     // also write the artifact to a file: the driver captures stdout via a
     // bounded tail, which truncated the per-query map in r3/r4 — the file

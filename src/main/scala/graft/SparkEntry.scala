@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Dedup, Events, Insights, Multimodal, Pipeline, Similarity, Skew, TextStats}
+import graft.ops.{Curation, Dedup, Events, Insights, Multimodal, Pipeline, Similarity, Skew, TextStats}
 import graft.etl.{StarBuilder, TextExtract}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Insights.queries ++ Dedup.queries ++ Similarity.queries ++
       TextStats.queries ++ TextExtract.queries ++ Multimodal.queries ++
-      Events.queries ++ StarBuilder.queries ++ Pipeline.queries ++ Skew.queries
+      Events.queries ++ StarBuilder.queries ++ Pipeline.queries ++ Skew.queries ++
+      Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Insights.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       TextStats.oracle ++ TextExtract.oracle ++ Multimodal.oracle ++
-      Events.oracle ++ StarBuilder.oracle ++ Pipeline.oracle ++ Skew.oracle
+      Events.oracle ++ StarBuilder.oracle ++ Pipeline.oracle ++ Skew.oracle ++
+      Curation.oracle
 }

@@ -1,0 +1,263 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.etl.Star.{round4, round4Sql}
+import TextCore._
+
+/** Training-data curation operators — the steps between "deduped corpus"
+  * and "tokens on the training cluster": sequence packing, PII / denylist
+  * scrubbing, incremental (cross-batch) dedup, quality-ranked token-budget
+  * selection, per-source duplication accounting, and multilingual
+  * temperature sampling. No reference counterpart (the reference stops at
+  * SQL analytics); these are the driver-mandated LLM-pipeline surface
+  * (SURVEY.md §7.6), each with a DuckDB oracle computing the identical
+  * result.
+  *
+  * 100 TB posture, per operator:
+  *  - q78 packing windows are partitioned by (lang, shard) where shard is a
+  *    pure function of doc_id — packing is embarrassingly parallel across
+  *    shards, the way real pipelines pack per output file; no global window.
+  *  - q79 scrubbing is map-side only (regex over each doc independently).
+  *  - q80 joins the incoming batch against the base corpus on the 32-char
+  *    fingerprint key only — the base side is a DISTINCT fingerprint set
+  *    (vocabulary-sized), never the documents.
+  *  - q82 ranks within lang partitions; at scale the budget cut would first
+  *    bucket by score quantiles (computed via approx summaries) so only the
+  *    boundary bucket needs the exact ordered scan.
+  *  - q83 aggregates on (fingerprint) then (source) keys; both narrow.
+  *  - q84 is a per-lang count + one broadcast scalar.
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q78: sequence-packing plan — assign documents to fixed-size training
+    * sequences (ctx = 256 tokens) by concat-and-chunk order within
+    * (lang, shard): a document starts in sequence floor(start_offset/ctx)
+    * where start_offset is the running token count before it. Shards are
+    * doc_id div 250 — a pure function of the id, so packing is reproducible
+    * and parallel across shards (no global window; each shard's packing is
+    * independent, exactly how a real pipeline packs per output file). */
+  val q78_seq_packing: Q = (s, d) => {
+    val ctx = 256
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docShingles(s, d)
+      .select(col("doc_id"), col("lang"),
+        floor(col("doc_id") / 250).cast("long").as("shard"),
+        size(col("words")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tokens")).cast("double") / ctx).cast("long"))
+      .groupBy("lang", "shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min("doc_id").as("first_doc"))
+      .orderBy("lang", "shard", "seq_id")
+  }
+
+  // PII + denylist scrub patterns. The synthetic corpus contains no natural
+  // emails/IPs (those regexes are exercised by CurationSpec on literal
+  // rows); the denylist term does occur, so the on-corpus query exercises
+  // the full replace chain with nonzero hits. Patterns are RE2-safe (no
+  // backrefs/lookahead) so Java regex and DuckDB RE2 agree.
+  private[graft] val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val termPat = "\\bspark\\b"
+
+  /** Scrubbed text + hit count for any text column (map-side only). */
+  private[graft] def scrubbed(c: org.apache.spark.sql.Column) =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPat, "<EMAIL>"),
+        ipPat, "<IP>"),
+      termPat, "<TERM>")
+
+  private[graft] def scrubHits(c: org.apache.spark.sql.Column) =
+    size(regexp_extract_all(c, lit(emailPat), lit(0))) +
+      size(regexp_extract_all(c, lit(ipPat), lit(0))) +
+      size(regexp_extract_all(c, lit(termPat), lit(0)))
+
+  /** q79: PII / denylist scrub — emails and IPv4 literals become <EMAIL> /
+    * <IP>, the denylist term becomes <TERM>; per document: match count,
+    * md5 of the scrubbed text (the strong cross-engine equality check),
+    * and a changed flag. */
+  val q79_pii_scrub: Q = (s, d) =>
+    docShingles(s, d)
+      .select(col("doc_id"),
+        scrubHits(col("norm")).cast("long").as("n_hits"),
+        md5(scrubbed(col("norm"))).as("scrub_md5"),
+        when(scrubbed(col("norm")) =!= col("norm"), 1L).otherwise(0L).as("changed"))
+      .orderBy("doc_id")
+
+  /** q80: incremental dedup — the nightly-batch shape: documents whose
+    * id-hash bucket < 50 play the already-ingested base corpus; the rest
+    * are the incoming batch. Each incoming doc is classified dup_of_base
+    * (fingerprint already in the base), dup_in_batch (an earlier incoming
+    * doc has the same fingerprint), or new. The base side collapses to a
+    * DISTINCT fingerprint set before the join — at scale that set is the
+    * persisted dedup index, not a re-scan of history. */
+  val q80_incremental_dedup: Q = (s, d) => {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"),
+      lit(100L))
+    val docs = docShingles(s, d)
+      .select(col("doc_id"), md5(col("norm")).as("fp"))
+      .withColumn("bucket", bucket)
+    val base = docs.where(col("bucket") < 50)
+      .select(col("fp")).distinct().withColumn("in_base", lit(1))
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    docs.where(col("bucket") >= 50)
+      .withColumn("rn", row_number().over(w))
+      .join(base, Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        when(col("in_base").isNotNull, "dup_of_base")
+          .when(col("rn") > 1, "dup_in_batch")
+          .otherwise("new").as("status"))
+      .orderBy("doc_id")
+  }
+
+  /** q82: token-budget curation — per language, take documents in
+    * (quality score desc, doc_id) order while the running token total stays
+    * within a 3000-token budget; report what the budget bought. The
+    * strict-prefix rule (a doc that would overflow is skipped along with
+    * everything after it) keeps the cut a pure function of the ordering. */
+  val q82_token_budget: Q = (s, d) => {
+    val budget = 3000L
+    val w = Window.partitionBy("lang").orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    TextStats.withQuality(docShingles(s, d))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .where(col("cum") <= budget)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_selected"),
+        sum("n_tokens").as("tokens_selected"),
+        round4(min("score")).as("min_score"))
+      .orderBy("lang")
+  }
+
+  /** q83: per-source duplication accounting — the crawl-health dashboard:
+    * for each source, how many of its documents are corpus-wide duplicates
+    * (not the first occurrence of their fingerprint, ordered by doc_id). */
+  val q83_source_dup_stats: Q = (s, d) => {
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    docShingles(s, d)
+      .select(col("doc_id"), col("source"), md5(col("norm")).as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_rate",
+        round4(col("n_dup").cast("double") / col("n_docs").cast("double")))
+      .orderBy("source")
+  }
+
+  /** q84: multilingual temperature sampling — per-language sampling
+    * probability p_l ∝ count_l^α at α = 0.5 (the up-weight-the-tail scheme
+    * of multilingual pretraining). α = 0.5 is deliberately sqrt: IEEE sqrt
+    * is correctly rounded in both engines, so the weights (and their fixed
+    * lang-ordered fold into the normalizer) are bit-identical — pow(x, α)
+    * for general α carries a ulp of library slack. The normalizer is a
+    * fold over the lang-sorted weight array (deterministic order on both
+    * sides), broadcast back as a scalar. */
+  val q84_lang_temperature: Q = (s, d) => {
+    val counts = docShingles(s, d).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val denom = counts
+      .agg(sort_array(collect_list(struct(col("lang"), col("n_docs")))).as("arr"))
+      .select(aggregate(col("arr"), lit(0.0),
+        (acc, x) => acc + sqrt(x.getField("n_docs").cast("double"))).as("dn"))
+    counts.crossJoin(broadcast(denom))
+      .select(col("lang"), col("n_docs"),
+        round4(sqrt(col("n_docs").cast("double")) / col("dn")).as("p_sample"))
+      .orderBy("lang")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q78_seq_packing" -> q78_seq_packing,
+    "q79_pii_scrub" -> q79_pii_scrub,
+    "q80_incremental_dedup" -> q80_incremental_dedup,
+    "q82_token_budget" -> q82_token_budget,
+    "q83_source_dup_stats" -> q83_source_dup_stats,
+    "q84_lang_temperature" -> q84_lang_temperature)
+
+  val oracle: Map[String, String] = Map(
+    "q78_seq_packing" -> withDocs(
+      """, p AS (
+        |  SELECT doc_id, lang, doc_id // 250 AS shard,
+        |         CAST(len(words) AS BIGINT) AS n_tokens
+        |  FROM docs),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM p)
+        |SELECT lang, CAST(shard AS BIGINT) AS shard,
+        |       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 256) AS BIGINT) AS seq_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       min(doc_id) AS first_doc
+        |FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, seq_id""".stripMargin),
+    "q79_pii_scrub" -> withDocs(
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(norm, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        |          + len(regexp_extract_all(norm, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |          + len(regexp_extract_all(norm, '\bspark\b')) AS BIGINT) AS n_hits,
+        |       md5(regexp_replace(regexp_replace(regexp_replace(norm,
+        |             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |             '\bspark\b', '<TERM>', 'g')) AS scrub_md5,
+        |       CAST(CASE WHEN regexp_replace(regexp_replace(regexp_replace(norm,
+        |             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |             '\bspark\b', '<TERM>', 'g') <> norm
+        |            THEN 1 ELSE 0 END AS BIGINT) AS changed
+        |FROM docs ORDER BY doc_id""".stripMargin),
+    "q80_incremental_dedup" -> withDocs(
+      """, dd AS (
+        |  SELECT doc_id, md5(norm) AS fp,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100
+        |           AS bucket
+        |  FROM docs),
+        |base AS (SELECT DISTINCT fp FROM dd WHERE bucket < 50),
+        |inc AS (
+        |  SELECT doc_id, fp,
+        |         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM dd WHERE bucket >= 50)
+        |SELECT inc.doc_id, inc.fp AS fp,
+        |       CASE WHEN base.fp IS NOT NULL THEN 'dup_of_base'
+        |            WHEN rn > 1 THEN 'dup_in_batch' ELSE 'new' END AS status
+        |FROM inc LEFT JOIN base ON inc.fp = base.fp
+        |ORDER BY inc.doc_id""".stripMargin),
+    "q82_token_budget" -> withDocs(
+      s""", ${TextStats.qualCte},
+         |c AS (
+         |  SELECT lang, n_tokens, score,
+         |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM qual)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_selected,
+         |       CAST(sum(n_tokens) AS BIGINT) AS tokens_selected,
+         |       ${round4Sql("min(score)")} AS min_score
+         |FROM c WHERE cum <= 3000 GROUP BY lang ORDER BY lang""".stripMargin),
+    "q83_source_dup_stats" -> withDocs(
+      s""", r AS (
+         |  SELECT source,
+         |         row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+         |  FROM docs),
+         |g AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM r GROUP BY source)
+         |SELECT source, n_docs, n_dup,
+         |       ${round4Sql("CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE)")} AS dup_rate
+         |FROM g ORDER BY source""".stripMargin),
+    "q84_lang_temperature" -> withDocs(
+      s""", counts AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM docs GROUP BY lang),
+         |denom AS (
+         |  SELECT list_aggregate(list_transform(list(n_docs ORDER BY lang),
+         |           x -> sqrt(CAST(x AS DOUBLE))), 'sum') AS dn
+         |  FROM counts)
+         |SELECT lang, n_docs,
+         |       ${round4Sql("sqrt(CAST(n_docs AS DOUBLE)) / dn")} AS p_sample
+         |FROM counts, denom ORDER BY lang""".stripMargin))
+}

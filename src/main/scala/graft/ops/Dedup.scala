@@ -375,6 +375,33 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q81: cluster-representative selection — the keep-one policy applied
+    * after canonicalization (q61): per near-dup component, the kept
+    * document is the longest (max n_chars, ties to the smallest doc_id),
+    * the usual "keep the most complete copy" rule of crawl dedup. Output
+    * is the per-component summary a curation report wants: representative,
+    * its length, member count, and total duplicated chars. Same scale
+    * shape as q61 (pair-set-sized input) plus one window partitioned by
+    * component and one narrow-key aggregate. */
+  lazy val q81_cluster_reps: Q = (s, d) => {
+    val pairs = memoPairs(s, d, "q32")(
+      q32_dedup_minhash_lsh(s, d).select(col("doc_a"), col("doc_b")))
+    val sizes = docShingles(s, d).select(col("doc_id"), col("n_chars"))
+    val labeled = connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("label").as("component_id"))
+      .join(sizes, "doc_id")
+    val w = Window.partitionBy("component_id")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    labeled
+      .withColumn("rn", row_number().over(w))
+      .groupBy("component_id")
+      .agg(max(when(col("rn") === 1, col("doc_id"))).as("rep_id"),
+        max(when(col("rn") === 1, col("n_chars"))).cast("long").as("rep_chars"),
+        count(lit(1)).as("n_members"),
+        sum("n_chars").cast("long").as("total_chars"))
+      .orderBy("component_id")
+  }
+
   /** q63: recall of the MinHash-LSH banding (q32) against the exact
     * PPJoin-pruned Jaccard pair set (q34, lossless for J ≥ 0.5) — the
     * text-side analog of q58/q60: every approximate path in the engine
@@ -402,7 +429,8 @@ object Dedup {
     "q59_dedup_embed_lsh" -> q59_dedup_embed_lsh,
     "q60_embed_lsh_recall" -> q60_embed_lsh_recall,
     "q61_dedup_components" -> q61_dedup_components,
-    "q63_minhash_recall" -> q63_minhash_recall)
+    "q63_minhash_recall" -> q63_minhash_recall,
+    "q81_cluster_reps" -> q81_cluster_reps)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -446,6 +474,33 @@ object Dedup {
       |cand AS (
       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       |  FROM ch a JOIN ch b ON a.c = b.c AND a.chunk = b.chunk AND a.vec_id < b.vec_id)""".stripMargin
+
+  /** Recursive CTE chain shared by q61/q81: verified MinHash pair graph →
+    * symmetric edges → transitive closure (`reach`). Callers must prefix
+    * the final statement with WITH RECURSIVE (via replaceFirst). */
+  private val ccReachCtes =
+    s""", sig AS (
+       |  SELECT doc_id, $mhSelect
+       |  FROM docs),
+       |bands AS (
+       |  $bandsSql),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand JOIN docs x ON doc_a = x.doc_id JOIN docs y ON doc_b = y.doc_id
+       |  WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+       |        CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q31_dedup_exact" -> withDocs(
@@ -539,33 +594,29 @@ object Dedup {
          |FROM exact e LEFT JOIN banded b
          |  ON e.doc_a = b.doc_a AND e.doc_b = b.doc_b""".stripMargin),
     "q61_dedup_components" -> withDocs(
-      s""", sig AS (
-         |  SELECT doc_id, $mhSelect
-         |  FROM docs),
-         |bands AS (
-         |  $bandsSql),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |pairs AS (
-         |  SELECT doc_a, doc_b
-         |  FROM cand JOIN docs x ON doc_a = x.doc_id JOIN docs y ON doc_b = y.doc_id
-         |  WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
-         |        CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE) >= 0.5),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b, doc_a FROM pairs),
-         |reach AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      s"""$ccReachCtes
          |SELECT src AS doc_id,
          |       CAST(least(src, min(dst)) AS BIGINT) AS component_id,
          |       CAST(CASE WHEN least(src, min(dst)) = src THEN 1 ELSE 0 END AS BIGINT)
          |         AS is_survivor
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)
+      .replaceFirst("^WITH ", "WITH RECURSIVE "),
+    "q81_cluster_reps" -> withDocs(
+      s"""$ccReachCtes,
+         |comp AS (
+         |  SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS component_id
+         |  FROM reach GROUP BY src),
+         |m AS (
+         |  SELECT c.doc_id AS doc_id, component_id, n_chars,
+         |         row_number() OVER (PARTITION BY component_id
+         |                            ORDER BY n_chars DESC, c.doc_id) AS rn
+         |  FROM comp c JOIN docs ON c.doc_id = docs.doc_id)
+         |SELECT component_id,
+         |       max(CASE WHEN rn = 1 THEN doc_id END) AS rep_id,
+         |       CAST(max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS rep_chars,
+         |       CAST(count(*) AS BIGINT) AS n_members,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM m GROUP BY component_id ORDER BY component_id""".stripMargin)
       .replaceFirst("^WITH ", "WITH RECURSIVE "),
     "q60_embed_lsh_recall" ->
       s"""WITH $embVecsCte,

@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Curation, Dedup}
+
+/** Semantic edges of the round-6 curation operators. The corpus-level
+  * answers are gated by the DuckDB oracle; these tests pin per-document
+  * semantics on constructed extremes — in particular the PII regexes,
+  * which the synthetic corpus cannot exercise (it contains no emails/IPs).
+  */
+class CurationSpec extends AnyFunSuite with SparkTestBase {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The q70/q80 deterministic id-hash bucket, recomputed independently. */
+  private def bucket(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    java.lang.Long.parseLong(md.take(2).map("%02x".format(_)).mkString, 16) % 100
+  }
+
+  test("q79: emails, IPv4s and denylist terms are redacted with correct counts") {
+    val dir = writeMiniDocs(Seq(
+      (0L, "contact me at john.doe@example.com or 10.0.0.1 via spark"),
+      (1L, "plain text with no sensitive content at all")))
+    val got = Curation.q79_pii_scrub(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[String]("scrub_md5"), r.getAs[Long]("changed")))
+      .toMap
+    assert(got(0L) == ((3L,
+      md5hex("contact me at <EMAIL> or <IP> via <TERM>"), 1L)))
+    assert(got(1L) == ((0L,
+      md5hex("plain text with no sensitive content at all"), 0L)))
+  }
+
+  test("q79: sparkly does not match the \\bspark\\b denylist term") {
+    val dir = writeMiniDocs(Seq((0L, "a sparkly thing is not the term")))
+    val row = Curation.q79_pii_scrub(spark, dir).collect().head
+    assert(row.getAs[Long]("n_hits") == 0L && row.getAs[Long]("changed") == 0L)
+  }
+
+  test("q78: a document is packed into the sequence its start offset falls in") {
+    // ctx = 256. Token counts 100/100/100/50 → start offsets 0/100/200/300
+    // → sequences 0/0/0/1 (doc 2 STARTS at 200 < 256 so it belongs to
+    // seq 0 even though it runs past the boundary — concat-and-chunk).
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val dir = writeMiniDocs(Seq(
+      (0L, words(100)), (1L, words(100)), (2L, words(100)), (3L, words(50))))
+    val rows = Curation.q78_seq_packing(spark, dir).collect()
+      .map(r => (r.getAs[Long]("seq_id"),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"), r.getAs[Long]("first_doc"))))
+      .toMap
+    assert(rows == Map(0L -> ((3L, 300L, 0L)), 1L -> ((1L, 50L, 3L))))
+  }
+
+  test("q80: dup_of_base wins over dup_in_batch; batch-internal dups keep first") {
+    val baseId = (0L to 300L).find(bucket(_) < 50).get
+    val incoming = (0L to 300L).filter(bucket(_) >= 50).take(4)
+    val Seq(i1, i2, i3, i4) = incoming.sorted.toSeq
+    val dir = writeMiniDocs(Seq(
+      (baseId, "shared with the base corpus"),
+      (i1, "shared with the base corpus"), // in base → dup_of_base
+      (i2, "batch only duplicate text"),   // first in batch → new
+      (i3, "batch only duplicate text"),   // later in batch → dup_in_batch
+      (i4, "shared with the base corpus")  // also in base → dup_of_base, not dup_in_batch
+    ))
+    val got = Curation.q80_incremental_dedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(got == Map(
+      i1 -> "dup_of_base", i2 -> "new", i3 -> "dup_in_batch", i4 -> "dup_of_base"))
+  }
+
+  test("q82: strict running-total budget — an overflowing doc is cut, not skipped around") {
+    // ≥64 distinct non-stopword tokens → score exactly 1.0, so selection
+    // order within the lang is doc_id. 2000 + 900 = 2900 ≤ 3000; doc 2
+    // pushes the running total to 3100 → cut; doc 3 (lower score) comes
+    // after the overflow so the 100 remaining tokens are NOT backfilled.
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val dir = writeMiniDocs(Seq(
+      (0L, words(2000)), (1L, words(900)), (2L, words(200)), (3L, words(50))))
+    val row = Curation.q82_token_budget(spark, dir).collect().head
+    assert(row.getAs[String]("lang") == "en")
+    assert(row.getAs[Long]("n_selected") == 2L)
+    assert(row.getAs[Long]("tokens_selected") == 2900L)
+    assert(row.getAs[Double]("min_score") == 1.0)
+  }
+
+  test("q83: duplicates are charged to the source of the LATER copy") {
+    // ids 0,1,2 map to src0,src1,src2 (writeMiniDocs: src{id % 3});
+    // 0 and 2 share text → the rn>1 copy is doc 2, so src2 carries the dup.
+    val dir = writeMiniDocs(Seq(
+      (0L, "same text here"), (1L, "unique text here"), (2L, "same text here")))
+    val got = Curation.q83_source_dup_stats(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup"), r.getAs[Double]("dup_rate")))
+      .toMap
+    assert(got == Map(
+      "src0" -> ((1L, 0L, 0.0)), "src1" -> ((1L, 0L, 0.0)), "src2" -> ((1L, 1L, 1.0))))
+  }
+
+  test("q84: probabilities are sqrt-count weights over the lang-ordered fold") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Curation.q84_lang_temperature(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"), r.getAs[Double]("p_sample")))
+    // independent recomputation: same fold order (lang asc), same rounding
+    val denom = rows.sortBy(_._1).map(r => math.sqrt(r._2.toDouble)).sum
+    rows.foreach { case (_, n, p) =>
+      val expected = math.floor(math.sqrt(n.toDouble) / denom * 10000 + 0.5) / 10000
+      assert(p == expected)
+    }
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 0.001)
+  }
+
+  test("q81: representative is the longest member, ties to the smallest id") {
+    // Three exact near-dups (identical norm → identical MinHash signature →
+    // banded pair for every band, Jaccard 1). Doc 21 carries doubled spaces:
+    // same normalized text (same component) but larger raw n_chars → it is
+    // the representative despite not having the smallest id.
+    val text = (1 to 30).map(i => s"t$i").mkString(" ")
+    val spaced = (1 to 30).map(i => s"t$i").mkString("  ")
+    val dir = writeMiniDocs(Seq((20L, text), (21L, spaced), (22L, text)))
+    val rows = Dedup.q81_cluster_reps(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("component_id") == 20L)
+    assert(r.getAs[Long]("rep_id") == 21L)
+    assert(r.getAs[Long]("rep_chars") == spaced.length.toLong)
+    assert(r.getAs[Long]("n_members") == 3L)
+    assert(r.getAs[Long]("total_chars") == (2 * text.length + spaced.length).toLong)
+  }
+}
