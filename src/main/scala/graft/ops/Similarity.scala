@@ -135,12 +135,59 @@ object Similarity {
       .orderBy("c_id")
   }
 
+  /** Reconstructed (dequantized) vectors: the q62 int8 quantization
+    * applied and inverted (r_i = q_i · scale), with the reconstruction's
+    * norm — what an ANN service actually searches over after 8×
+    * compression. Zero-scale (all-zero) vectors reconstruct to zeros. */
+  private def reconstructed(s: SparkSession, d: String): DataFrame = {
+    val qArr = transform(col("v"), x =>
+      when(col("scale") === 0.0, lit(0L)).otherwise(
+        greatest(lit(-127L), least(lit(127L),
+          floor(x / col("scale") + lit(0.5)).cast("long")))))
+    s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .where(size(col("v")) > 0)
+      .withColumn("scale",
+        aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))) / lit(127.0))
+      .withColumn("rv", transform(qArr, q => q.cast("double") * col("scale")))
+      .select(col("vec_id"), col("rv").as("v"),
+        graft.functions.VectorOps.norm(col("rv")).as("nrm"))
+  }
+
+  /** q85: retrieval recall after int8 quantization — brute-force top-5
+    * over the RECONSTRUCTED vectors (the compressed index a serving system
+    * would hold) vs the exact top-5 (q36). Closes the measured-accuracy
+    * loop for the compression path the way q58/q60/q63 do for IVF,
+    * sign-LSH and MinHash banding: no approximation ships without its
+    * recall number. Same plan shape as q36 (broadcast queries, corpus
+    * never shuffles). */
+  lazy val q85_quantized_knn_recall: Q = (s, d) => {
+    val all = reconstructed(s, d)
+    val q = all.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    val qknn = broadcast(q).join(all, col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id").as("q2"), col("vec_id").as("n2"))
+    val exact = q36_knn_brute(s, d).select(col("query_id"), col("neighbor_id"))
+    exact.join(qknn,
+        col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("n2")).as("n_matched"))
+      .withColumn("recall",
+        round4(col("n_matched").cast("double") / col("n_exact").cast("double")))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q36_knn_brute" -> q36_knn_brute,
     "q37_knn_ivf" -> q37_knn_ivf,
     "q58_ivf_recall" -> q58_ivf_recall,
     "q62_embed_quantize" -> q62_embed_quantize,
-    "q67_ivf_bucket_sizes" -> q67_ivf_bucket_sizes)
+    "q67_ivf_bucket_sizes" -> q67_ivf_bucket_sizes,
+    "q85_quantized_knn_recall" -> q85_quantized_knn_recall)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -246,6 +293,39 @@ object Similarity {
          |       CAST(list_min(q) AS BIGINT) AS q_min,
          |       CAST(list_max(q) AS BIGINT) AS q_max
          |FROM qv ORDER BY vec_id""".stripMargin,
+    "q85_quantized_knn_recall" ->
+      s"""WITH $vecsCte, $bruteCte,
+         |rvecs AS (
+         |  SELECT vec_id,
+         |         list_transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+         |           ELSE greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+         |                         CAST(floor(x/scale + 0.5) AS BIGINT))) END) AS q,
+         |         scale
+         |  FROM (SELECT vec_id, v,
+         |               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+         |        FROM vecs WHERE len(v) > 0)),
+         |rv AS (
+         |  SELECT vec_id, list_transform(q, x -> CAST(x AS DOUBLE) * scale) AS v
+         |  FROM rvecs),
+         |rvn AS (
+         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM rv),
+         |qknn AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY list_dot_product(q.v, n.v) / (q.nrm * n.nrm) DESC,
+         |                      n.vec_id ASC) AS rank
+         |    FROM rvn q JOIN rvn n ON n.vec_id <> q.vec_id
+         |    WHERE q.vec_id < $numQueries)
+         |  WHERE rank <= $topK)
+         |SELECT b.query_id,
+         |       CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(count(k.neighbor_id) AS BIGINT) AS n_matched,
+         |       ${round4Sql("CAST(count(k.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS recall
+         |FROM brute b LEFT JOIN qknn k
+         |  ON b.query_id = k.query_id AND b.neighbor_id = k.neighbor_id
+         |GROUP BY b.query_id
+         |ORDER BY b.query_id""".stripMargin,
     "q67_ivf_bucket_sizes" ->
       s"""WITH $vecsCte,
          |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vecs
