@@ -113,6 +113,26 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(rows.map(_._3).sum - 1.0) < 0.001)
   }
 
+  test("q86: near-dup pairs that a doc-level split separates stay together") {
+    // Two identical docs whose ids hash into DIFFERENT doc-level splits —
+    // the contamination case: a test doc with a train near-copy. The
+    // cluster-level split must put both in the split of the cluster id
+    // (= min member id) and report the doc-level scheme as leaky.
+    val trainId = (0L to 300L).find(bucket(_) < 80).get
+    val testId = (trainId + 1 to 300L).find(bucket(_) >= 90).get
+    val text = (1 to 30).map(i => s"t$i").mkString(" ")
+    val dir = writeMiniDocs(Seq((trainId, text), (testId, text)))
+    val rows = Dedup.q86_leakage_safe_split(spark, dir).collect()
+    assert(rows.length == 1) // one cluster, one split row
+    val r = rows.head
+    val expectedSplit = if (bucket(math.min(trainId, testId)) < 80) "train"
+      else if (bucket(math.min(trainId, testId)) < 90) "val" else "test"
+    assert(r.getAs[String]("split") == expectedSplit)
+    assert(r.getAs[Long]("n_docs") == 2L && r.getAs[Long]("n_clusters") == 1L)
+    assert(r.getAs[Long]("doc_split_leaky_clusters") == 1L)
+    assert(r.getAs[Long]("cluster_split_leaky_clusters") == 0L)
+  }
+
   test("q81: representative is the longest member, ties to the smallest id") {
     // Three exact near-dups (identical norm → identical MinHash signature →
     // banded pair for every band, Jaccard 1). Doc 21 carries doubled spaces:
