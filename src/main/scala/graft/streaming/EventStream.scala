@@ -48,6 +48,22 @@ object EventStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming ingest curation — the map-side curation columns (q79's
+    * normalize + PII/denylist scrub, token count) applied to a document
+    * stream: every expression is stateless and per-row, so the SAME column
+    * definitions run unchanged under a streaming plan (no watermark or
+    * state needed) — the curate-on-ingest shape. Batch-vs-stream parity is
+    * proved in EventStreamSpec. */
+  def curateStream(docs: DataFrame): DataFrame = {
+    import graft.ops.{Curation, TextCore}
+    val norm = TextCore.normCol(col("text"))
+    docs.select(col("doc_id"), norm.as("norm"))
+      .select(col("doc_id"),
+        Curation.scrubHits(col("norm")).cast("long").as("n_hits"),
+        md5(Curation.scrubbed(col("norm"))).as("scrub_md5"),
+        size(split(col("norm"), " ")).cast("long").as("n_tokens"))
+  }
+
   /** Streaming twin of the batch AS-OF attribution (q68): stream-stream
     * inner join of purchases to same-user clicks within the preceding 30
     * minutes. Both sides carry watermarks so the join state is bounded —

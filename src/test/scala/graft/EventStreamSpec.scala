@@ -111,6 +111,31 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("curateStream computes the batch scrub columns identically on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "Contact  me at JOHN.doe@example.com  or 10.0.0.1 via Spark"),
+      (1L, "plain text with no sensitive content"),
+      (2L, "spark spark sparkly 999.999.999.999"))
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.curateStream(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curate").outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val got = spark.table("curate").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"),
+          r.getAs[String]("scrub_md5"), r.getAs[Long]("n_tokens"))).sortBy(_._1)
+      val batch = EventStream.curateStream(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"),
+          r.getAs[String]("scrub_md5"), r.getAs[Long]("n_tokens"))).sortBy(_._1)
+      assert(got.toSeq == batch.toSeq)
+      assert(got(0)._2 == 3L) // email + ip + term all redacted on the stream
+      assert(got(2)._2 == 3L) // two terms + the ip (each octet ≤ 3 digits)
+    } finally query.stop()
+  }
+
   test("attributionStream matches purchases to in-window clicks only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
