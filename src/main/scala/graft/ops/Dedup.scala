@@ -398,7 +398,9 @@ object Dedup {
 
   lazy val q81_cluster_reps: Q = (s, d) => {
     val sizes = docShingles(s, d).select(col("doc_id"), col("n_chars"))
-    val labeled = memoLabels(s, d).join(sizes, "doc_id")
+    // labels are pair-graph-sized (near-dups only) — broadcast them so the
+    // corpus side never shuffles for this join
+    val labeled = broadcast(memoLabels(s, d)).join(sizes, "doc_id")
     val w = Window.partitionBy("component_id")
       .orderBy(col("n_chars").desc, col("doc_id").asc)
     labeled
@@ -429,7 +431,7 @@ object Dedup {
     def splitOf(b: Column): Column =
       when(b < 80, "train").when(b < 90, "val").otherwise("test")
     val labeled = docShingles(s, d).select(col("doc_id"))
-      .join(memoLabels(s, d), Seq("doc_id"), "left")
+      .join(broadcast(memoLabels(s, d)), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("component_id"), col("doc_id")))
       .withColumn("doc_split", splitOf(bucketOf(col("doc_id"))))
       .withColumn("cl_split", splitOf(bucketOf(col("cluster_id"))))

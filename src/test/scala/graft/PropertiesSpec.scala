@@ -22,6 +22,25 @@ class PropertiesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q79 scrub is idempotent: replacement tokens never re-match a pattern") {
+    import spark.implicits._
+    import graft.ops.Curation
+    // random text with PII fragments spliced in at random positions —
+    // idempotence would break if <EMAIL>/<IP>/<TERM> matched any pattern
+    val word = Gen.oneOf("spark", "sparkly", "data", "a.b@c.de", "1.2.3.4",
+      "999.999.999.999", "x@y", "10.0.0.1.9", "the", "spark.")
+    val texts = Gen.listOfN(120, Gen.listOfN(8, word).map(_.mkString(" "))).sample.get
+    val got = texts.toDF("t")
+      .select(Curation.scrubbed(col("t")).as("once"))
+      .select(col("once"), Curation.scrubbed(col("once")).as("twice"),
+        Curation.scrubHits(col("twice")).as("residual_hits"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("once") == r.getAs[String]("twice"))
+      assert(r.getAs[Int]("residual_hits") == 0)
+    }
+  }
+
   test("ips is bounded by [min, max] course weight for random semesters") {
     import spark.implicits._
     val gen = Gen.listOfN(40, for {
