@@ -14,6 +14,15 @@ case class Session(user_id: Long, start_es: Long, end_es: Long, n_events: Long)
 /** Open-session state carried between micro-batches. */
 case class SessionState(start_es: Long, end_es: Long, n_events: Long)
 
+/** One document entering streaming sequence packing ([[EventStream.packStream]]). */
+case class PackDoc(lang: String, shard: Long, doc_id: Long, n_tokens: Long)
+
+/** A packing assignment: which training sequence a document starts in. */
+case class PackAssign(lang: String, shard: Long, doc_id: Long, seq_id: Long)
+
+/** Per-(lang, shard) packing state: tokens emitted so far. */
+case class PackState(cum: Long)
+
 /** Structured Streaming forms of the event operators (the reference is
   * batch-only — SURVEY.md §2.5 records "streaming: none" — so these are
   * north-star surface: readStream → transform → writeStream shapes,
@@ -97,6 +106,36 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n_events"))
+
+  /** Streaming sequence packing — the stateful streaming twin of the batch
+    * q78 plan: per (lang, shard) the state is one Long (tokens emitted so
+    * far); each arriving document is assigned the sequence its start
+    * offset falls in (ctx = 256, concat-and-chunk) and advances the
+    * counter. Matches the batch assignment exactly when each shard's
+    * documents arrive in doc_id order (the deterministic-ingest contract;
+    * within a micro-batch arrival order is irrelevant because the group
+    * iterator is sorted by doc_id before folding) — proved by the
+    * batch-parity spec. State per key is O(1); keys = lang × shard, the
+    * same parallelism the batch window uses. */
+  def packStream(docs: Dataset[PackDoc]): Dataset[PackAssign] = {
+    import docs.sparkSession.implicits._
+    val ctx = 256L
+    docs
+      .groupByKey(d => (d.lang, d.shard))
+      .flatMapGroupsWithState[PackState, PackAssign](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), batch: Iterator[PackDoc], state: GroupState[PackState]) =>
+          val sorted = batch.toSeq.sortBy(_.doc_id)
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = sorted.map { d =>
+            val seqId = cum / ctx
+            cum += d.n_tokens
+            PackAssign(key._1, key._2, d.doc_id, seqId)
+          }
+          state.update(PackState(cum))
+          out.iterator
+      }
+  }
 
   /** Gap-based sessionization closing sessions by event-time timeout:
     * each user's open session sets a timeout at (last event + gap); when

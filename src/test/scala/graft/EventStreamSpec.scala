@@ -111,6 +111,38 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("packStream assignments aggregate to the batch q78 packing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{PackAssign, PackDoc}
+    // same corpus through both paths: ids 0-3 (shard 0) and 260 (shard 1)
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val tokenCounts = Seq(0L -> 100, 1L -> 100, 2L -> 100, 3L -> 50, 260L -> 30)
+    val dir = writeMiniDocs(tokenCounts.map { case (id, n) => (id, words(n)) })
+    val batch = graft.ops.Curation.q78_seq_packing(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("shard"), r.getAs[Long]("seq_id")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"), r.getAs[Long]("first_doc")))
+      .toMap
+    val input = MemoryStream[PackDoc]
+    val query = EventStream.packStream(input.toDS())
+      .writeStream.format("memory").queryName("pack").outputMode("append").start()
+    try {
+      // two micro-batches, in doc_id order per shard (the ingest contract)
+      input.addData(PackDoc("en", 0L, 0L, 100L), PackDoc("en", 0L, 1L, 100L),
+        PackDoc("en", 1L, 260L, 30L))
+      query.processAllAvailable()
+      input.addData(PackDoc("en", 0L, 2L, 100L), PackDoc("en", 0L, 3L, 50L))
+      query.processAllAvailable()
+      val assigns = spark.table("pack").as[PackAssign].collect()
+      val tok = tokenCounts.toMap
+      val streamed = assigns.groupBy(a => (a.lang, a.shard, a.seq_id))
+        .map { case (k, as) =>
+          k -> (as.length.toLong, as.map(a => tok(a.doc_id).toLong).sum, as.map(_.doc_id).min)
+        }
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("curateStream computes the batch scrub columns identically on a stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
