@@ -388,7 +388,7 @@ object Dedup {
     * same policy as [[memoPairs]]: the primary query (q61) always builds
     * its labels fresh so its bench median stays honest; consumers read the
     * materialized (pair-set-sized) label table. */
-  private def memoLabels(s: SparkSession, d: String): DataFrame =
+  private[ops] def memoLabels(s: SparkSession, d: String): DataFrame =
     graft.SessionMemo(s, d, "cc:q32") {
       val pairs = memoPairs(s, d, "q32")(
         q32_dedup_minhash_lsh(s, d).select(col("doc_a"), col("doc_b")))
@@ -524,7 +524,7 @@ object Dedup {
   /** Recursive CTE chain shared by q61/q81: verified MinHash pair graph →
     * symmetric edges → transitive closure (`reach`). Callers must prefix
     * the final statement with WITH RECURSIVE (via replaceFirst). */
-  private val ccReachCtes =
+  private[ops] val ccReachCtes =
     s""", sig AS (
        |  SELECT doc_id, $mhSelect
        |  FROM docs),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.etl.Star
@@ -111,11 +111,52 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** q87: the curation funnel — the one-page report a pipeline run prints:
+    * corpus size after each curation stage (raw → exact dedup → near-dup
+    * cluster survivors → quality gate), in documents and tokens. Stages
+    * are successive filters (each row passes stage k iff it passes k-1):
+    * exact keeps the first doc_id per fingerprint; near-dup keeps cluster
+    * survivors (q61 component label = own id; a cluster survivor is
+    * always also its fingerprint group's first, since the fp group is a
+    * subset of the cluster); quality applies the q57 thresholds. One
+    * conditional aggregation over the corpus (single pass, no per-stage
+    * re-scan), exploded to the 4 report rows. */
+  val q87_curation_funnel: Q = (s, d) => {
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    val base = TextStats.withQuality(docShingles(s, d))
+      .withColumn("fp", md5(col("norm")))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(Dedup.memoLabels(s, d)), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component_id"), col("doc_id")))
+    val s2 = col("rn") === 1
+    val s3 = s2 && col("cluster_id") === col("doc_id")
+    val s4 = s3 && col("score") >= 0.68 && col("n_tokens") >= 20
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    def tok(c: Column) = coalesce(sum(when(c, col("n_tokens")).otherwise(0L)), lit(0L))
+    val agg = base.agg(
+      count(lit(1)).as("c1"), coalesce(sum("n_tokens"), lit(0L)).as("t1"),
+      cnt(s2).as("c2"), tok(s2).as("t2"),
+      cnt(s3).as("c3"), tok(s3).as("t3"),
+      cnt(s4).as("c4"), tok(s4).as("t4"))
+    def stageStruct(id: Int, name: String, c: String, t: String) =
+      struct(lit(id.toLong).as("stage_id"), lit(name).as("stage"),
+        col(c).as("n_docs"), col(t).as("n_tokens"))
+    agg.select(explode(array(
+        stageStruct(1, "raw", "c1", "t1"),
+        stageStruct(2, "exact_dedup", "c2", "t2"),
+        stageStruct(3, "near_dedup", "c3", "t3"),
+        stageStruct(4, "quality", "c4", "t4"))).as("st"))
+      .select(col("st.stage_id").as("stage_id"), col("st.stage").as("stage"),
+        col("st.n_docs").as("n_docs"), col("st.n_tokens").as("n_tokens"))
+      .orderBy("stage_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q56_star_rollup" -> q56_star_rollup,
     "q57_pipeline" -> q57_pipeline,
     "q70_data_split" -> q70_data_split,
-    "q77_contamination" -> q77_contamination)
+    "q77_contamination" -> q77_contamination,
+    "q87_curation_funnel" -> q87_curation_funnel)
 
   val oracle: Map[String, String] = Map(
     "q56_star_rollup" -> withFact(
@@ -150,6 +191,38 @@ object Pipeline {
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM sp GROUP BY 1 ORDER BY split""".stripMargin),
+    "q87_curation_funnel" -> withDocs(
+      s"""${Dedup.ccReachCtes},
+         |comp AS (
+         |  SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS component_id
+         |  FROM reach GROUP BY src),
+         |${TextStats.qualCte},
+         |lab AS (
+         |  SELECT q.doc_id, q.n_tokens, q.score,
+         |         coalesce(c.component_id, q.doc_id) AS cluster_id,
+         |         row_number() OVER (PARTITION BY md5(q.norm) ORDER BY q.doc_id) AS rn
+         |  FROM qual q LEFT JOIN comp c ON q.doc_id = c.doc_id),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS c1,
+         |         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS t1,
+         |         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         |         CAST(coalesce(sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t2,
+         |         CAST(sum(CASE WHEN rn = 1 AND cluster_id = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         |         CAST(coalesce(sum(CASE WHEN rn = 1 AND cluster_id = doc_id THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t3,
+         |         CAST(sum(CASE WHEN rn = 1 AND cluster_id = doc_id
+         |                        AND score >= 0.68 AND n_tokens >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         |         CAST(coalesce(sum(CASE WHEN rn = 1 AND cluster_id = doc_id
+         |                        AND score >= 0.68 AND n_tokens >= 20 THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t4
+         |  FROM lab)
+         |SELECT CAST(1 AS BIGINT) AS stage_id, 'raw' AS stage, c1 AS n_docs, t1 AS n_tokens FROM a
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), 'exact_dedup', c2, t2 FROM a
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), 'near_dedup', c3, t3 FROM a
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), 'quality', c4, t4 FROM a
+         |ORDER BY stage_id""".stripMargin)
+      .replaceFirst("^WITH ", "WITH RECURSIVE "),
     "q77_contamination" -> withDocs(
       s""", sp AS (
          |  SELECT doc_id, shingles,

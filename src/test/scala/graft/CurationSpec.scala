@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{Curation, Dedup}
+import graft.ops.{Curation, Dedup, Pipeline}
 
 /** Semantic edges of the round-6 curation operators. The corpus-level
   * answers are gated by the DuckDB oracle; these tests pin per-document
@@ -131,6 +131,23 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("n_docs") == 2L && r.getAs[Long]("n_clusters") == 1L)
     assert(r.getAs[Long]("doc_split_leaky_clusters") == 1L)
     assert(r.getAs[Long]("cluster_split_leaky_clusters") == 0L)
+  }
+
+  test("q87: funnel stages are successive filters with the expected drops") {
+    // doc 0 = doc 1 (exact dup: one survives exact, the survivor is also
+    // the cluster rep); doc 2 = 10-token junk (passes dedup, fails the
+    // quality gate's n_tokens >= 20).
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val dir = writeMiniDocs(Seq(
+      (0L, words(100)), (1L, words(100)), (2L, "a a a a a a a a a a")))
+    val got = Pipeline.q87_curation_funnel(spark, dir).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+    assert(got.toSeq == Seq(
+      "raw" -> ((3L, 210L)),
+      "exact_dedup" -> ((2L, 110L)),
+      "near_dedup" -> ((2L, 110L)),
+      "quality" -> ((1L, 100L))))
   }
 
   test("q81: representative is the longest member, ties to the smallest id") {
