@@ -133,6 +133,24 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("cluster_split_leaky_clusters") == 0L)
   }
 
+  test("q61/q81/q86 agree on the component structure at sf0.001") {
+    // cross-query invariants over the real corpus: the three consumers of
+    // the q32 pair graph must describe the same clustering
+    val d = "/root/testdata/sf0.001"
+    val comp = Dedup.q61_dedup_components(spark, d).collect()
+    val reps = Dedup.q81_cluster_reps(spark, d).collect()
+    val splits = Dedup.q86_leakage_safe_split(spark, d).collect()
+    // every labeled node appears in exactly one q81 component
+    assert(reps.map(_.getAs[Long]("n_members")).sum == comp.length)
+    // q61 survivors are exactly the q81 components
+    assert(comp.count(_.getAs[Long]("is_survivor") == 1L) == reps.length)
+    // q86 clusters = singletons + q81 components; never leaky by construction
+    val nDocs = splits.map(_.getAs[Long]("n_docs")).sum
+    val nClusters = splits.map(_.getAs[Long]("n_clusters")).sum
+    assert(nClusters == (nDocs - comp.length) + reps.length)
+    assert(splits.forall(_.getAs[Long]("cluster_split_leaky_clusters") == 0L))
+  }
+
   test("q87: funnel stages are successive filters with the expected drops") {
     // doc 0 = doc 1 (exact dup: one survives exact, the survivor is also
     // the cluster rep); doc 2 = 10-token junk (passes dedup, fails the
