@@ -83,6 +83,17 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "expected the part-dim join to be a broadcast hash join")
   }
 
+  test("q86's component-label join broadcasts the label side") {
+    // The label table is pair-graph-sized by construction (near-dup nodes
+    // only); q86's correctness would survive a sort-merge join, but the
+    // 100 TB story depends on the corpus side NOT shuffling for it — pin
+    // the broadcast on the plan, not in a comment.
+    val tree = SparkEntry.queries("q86_leakage_safe_split")(spark, sfDir)
+      .queryExecution.sparkPlan.treeString
+    assert(tree.contains("BroadcastHashJoin"),
+      "expected the component-label join to be a broadcast hash join")
+  }
+
   test("surrogate-key dims have no window at all in their final plan") {
     // withSurrogateId materializes via localCheckpoint: consumers see a
     // scan of checkpointed rows, not a re-executable window/sampling plan.
