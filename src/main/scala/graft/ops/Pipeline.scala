@@ -111,6 +111,44 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** q88: verbatim contamination — the long-run detector that complements
+    * q77's shingle-fraction containment: a TEST-split document is flagged
+    * when ANY of its rolling 8-token windows (stride 1) occurs verbatim
+    * anywhere in the TRAIN split — the n-gram-overlap decontamination rule
+    * of large-LM eval hygiene (a verbatim 8-gram is near-certain copying;
+    * a 60% 3-shingle fraction can be topical). At sf0.01 it flags 3 of 52
+    * test docs — the dedup plants crossing the split — while q77's
+    * threshold flags overlap-heavy docs; the two detectors are
+    * deliberately different signals. Scale shape identical to q77: the
+    * train side collapses to a DISTINCT window-hash set (shuffles on
+    * 32-char hashes only), test windows left-join it. */
+  val q88_verbatim_contamination: Q = (s, d) => {
+    val n = 8
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"),
+      lit(100L))
+    // rolling windows hashed in place — no document text ever shuffles;
+    // size >= n guard before sequence() (sequence(1, 0) counts DOWN)
+    val wins = when(size(col("words")) >= n,
+      array_distinct(transform(sequence(lit(1), size(col("words")) - (n - 1)),
+        i => md5(concat_ws(" ",
+          (0 until n).map(k => element_at(col("words"), i + k)): _*)))))
+      .otherwise(array().cast("array<string>"))
+    val docs = docShingles(s, d).select(col("doc_id"), wins.as("wins"))
+      .withColumn("bucket", bucket)
+    val train = docs.where(col("bucket") < 80)
+      .select(explode(col("wins")).as("w")).distinct().withColumn("hit", lit(1))
+    val test = docs.where(col("bucket") >= 90 && size(col("wins")) > 0)
+      .select(col("doc_id"), size(col("wins")).cast("long").as("n_windows"),
+        explode(col("wins")).as("w"))
+    test.join(train, Seq("w"), "left")
+      .groupBy("doc_id", "n_windows")
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("doc_id"), col("n_windows"), col("n_hits"),
+        when(col("n_hits") > 0, 1L).otherwise(0L).as("verbatim_contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** q87: the curation funnel — the one-page report a pipeline run prints:
     * corpus size after each curation stage (raw → exact dedup → near-dup
     * cluster survivors → quality gate), in documents and tokens. Stages
@@ -156,7 +194,8 @@ object Pipeline {
     "q57_pipeline" -> q57_pipeline,
     "q70_data_split" -> q70_data_split,
     "q77_contamination" -> q77_contamination,
-    "q87_curation_funnel" -> q87_curation_funnel)
+    "q87_curation_funnel" -> q87_curation_funnel,
+    "q88_verbatim_contamination" -> q88_verbatim_contamination)
 
   val oracle: Map[String, String] = Map(
     "q56_star_rollup" -> withFact(
@@ -191,6 +230,28 @@ object Pipeline {
         |       CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM sp GROUP BY 1 ORDER BY split""".stripMargin),
+    "q88_verbatim_contamination" -> withDocs(
+      """, w8 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(words) >= 8
+        |              THEN list_distinct(list_transform(range(1, len(words) - 6),
+        |                i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+        |                         words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
+        |                         words[i+6] || ' ' || words[i+7])))
+        |              ELSE CAST([] AS VARCHAR[]) END AS wins,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100
+        |           AS bucket
+        |  FROM docs),
+        |tr AS (SELECT DISTINCT unnest(wins) AS w FROM w8 WHERE bucket < 80),
+        |te AS (
+        |  SELECT doc_id, CAST(len(wins) AS BIGINT) AS n_windows, unnest(wins) AS w
+        |  FROM w8 WHERE bucket >= 90 AND len(wins) > 0)
+        |SELECT te.doc_id, n_windows, CAST(count(tr.w) AS BIGINT) AS n_hits,
+        |       CAST(CASE WHEN count(tr.w) > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS verbatim_contaminated
+        |FROM te LEFT JOIN tr ON te.w = tr.w
+        |GROUP BY te.doc_id, n_windows
+        |ORDER BY te.doc_id""".stripMargin),
     "q87_curation_funnel" -> withDocs(
       s"""${Dedup.ccReachCtes},
          |comp AS (

@@ -151,6 +151,22 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(splits.forall(_.getAs[Long]("cluster_split_leaky_clusters") == 0L))
   }
 
+  test("q88: an 8-token verbatim run flags contamination, a 7-token run does not") {
+    val trainId = (0L to 300L).find(bucket(_) < 80).get
+    val tests = (0L to 300L).filter(bucket(_) >= 90).take(2)
+    val Seq(t8, t7) = tests.sorted.toSeq
+    val a = (1 to 20).map(i => s"a$i")
+    val dir = writeMiniDocs(Seq(
+      (trainId, a.mkString(" ")),
+      (t8, (a.take(8) ++ Seq("z1", "z2")).mkString(" ")),   // verbatim 8-run
+      (t7, (a.take(7) ++ Seq("y1", "y2", "y3")).mkString(" ")))) // only 7-run
+    val got = Pipeline.q88_verbatim_contamination(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("verbatim_contaminated"))).toMap
+    assert(got(t8) == ((1L, 1L)))
+    assert(got(t7) == ((0L, 0L)))
+  }
+
   test("q87: funnel stages are successive filters with the expected drops") {
     // doc 0 = doc 1 (exact dup: one survives exact, the survivor is also
     // the cluster rep); doc 2 = 10-token junk (passes dedup, fails the
