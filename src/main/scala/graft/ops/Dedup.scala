@@ -413,6 +413,63 @@ object Dedup {
       .orderBy("component_id")
   }
 
+  /** q89: incremental NEAR-dup dedup — the production shape of q32: the
+    * base corpus (id-hash bucket < 50, playing already-ingested history)
+    * exists only as its MinHash BAND-KEY INDEX — a signature store, not
+    * raw documents; the incoming batch's band keys probe that index and
+    * candidates are verified at Jaccard ≥ 0.5. Complements q80 (exact
+    * incremental dedup): a lightly-edited re-crawl slips past the
+    * fingerprint but not the band index. Per incoming doc: verified base
+    * matches, the smallest matching base id, the best Jaccard, and the
+    * near-dup flag. Scale shape: the index is (docs × 4 bands) 32-char
+    * keys; the probe is an equi-join on (band, bkey); shingle arrays are
+    * joined back by id only for verification. */
+  lazy val q89_incremental_neardup: Q = (s, d) => {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"),
+      lit(100L))
+    val docs = docShingles(s, d)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n_sh"))
+      .withColumn("bucket", bucket)
+    val sigs = docShingles(s, d).select(col("doc_id"),
+        graft.functions.VectorOps.minhashSignature(col("sh_md5"), numHashes).as("mhs"))
+      .withColumn("bucket", bucket)
+    val bandCols = (0 until numBands).map { bd =>
+      def mh(i: Int): Column = element_at(col("mhs"), i + 1).cast("string")
+      val key = md5(concat(mh(3 * bd), lit("|"), mh(3 * bd + 1), lit("|"), mh(3 * bd + 2)))
+      struct(lit(bd).as("band"), key.as("bkey"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), col("bucket"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bucket"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val baseIndex = bands.where(col("bucket") < 50)
+      .select(col("doc_id").as("base_id"), col("band"), col("bkey"))
+    val cand = bands.where(col("bucket") >= 50)
+      .select(col("doc_id"), col("band"), col("bkey"))
+      .join(baseIndex, Seq("band", "bkey"))
+      .select("doc_id", "base_id").distinct()
+    val verified = cand
+      .join(docs.select(col("doc_id"), col("shingles").as("sh_a"),
+        col("n_sh").as("n_a")), "doc_id")
+      .join(docs.select(col("doc_id").as("base_id"), col("shingles").as("sh_b"),
+        col("n_sh").as("n_b")), "base_id")
+      .withColumn("inter",
+        graft.functions.VectorOps.sortedIntersectCount(col("sh_a"), col("sh_b")).cast("long"))
+      .withColumn("j",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .where(col("j") >= 0.5)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nm"), min("base_id").as("best_base_id"),
+        round4(max(col("j"))).as("best_jaccard"))
+    docs.where(col("bucket") >= 50).select(col("doc_id"))
+      .join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nm"), lit(0L)).as("n_base_matches"),
+        col("best_base_id"), col("best_jaccard"),
+        when(col("nm").isNotNull, 1L).otherwise(0L).as("near_dup"))
+      .orderBy("doc_id")
+  }
+
   /** q86: leakage-safe train/val/test split — the composition a training
     * pipeline actually needs from dedup + splitting: near-duplicate
     * documents must land in the SAME split, or eval is contaminated by
@@ -476,7 +533,8 @@ object Dedup {
     "q61_dedup_components" -> q61_dedup_components,
     "q63_minhash_recall" -> q63_minhash_recall,
     "q81_cluster_reps" -> q81_cluster_reps,
-    "q86_leakage_safe_split" -> q86_leakage_safe_split)
+    "q86_leakage_safe_split" -> q86_leakage_safe_split,
+    "q89_incremental_neardup" -> q89_incremental_neardup)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -664,6 +722,45 @@ object Dedup {
          |       CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM m GROUP BY component_id ORDER BY component_id""".stripMargin)
       .replaceFirst("^WITH ", "WITH RECURSIVE "),
+    "q89_incremental_neardup" -> withDocs(
+      s""", bkt AS (
+         |  SELECT doc_id,
+         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100
+         |           AS bucket
+         |  FROM docs),
+         |sig AS (
+         |  SELECT doc_id, $mhSelect
+         |  FROM docs),
+         |bands AS (
+         |  $bandsSql),
+         |bb AS (
+         |  SELECT b.doc_id AS base_id, band, bkey
+         |  FROM bands b JOIN bkt ON b.doc_id = bkt.doc_id WHERE bucket < 50),
+         |ib AS (
+         |  SELECT b.doc_id, band, bkey
+         |  FROM bands b JOIN bkt ON b.doc_id = bkt.doc_id WHERE bucket >= 50),
+         |cand AS (
+         |  SELECT DISTINCT ib.doc_id, base_id
+         |  FROM ib JOIN bb ON ib.band = bb.band AND ib.bkey = bb.bkey),
+         |ver AS (
+         |  SELECT c.doc_id,
+         |         CAST(count(*) AS BIGINT) AS nm,
+         |         min(base_id) AS best_base_id,
+         |         ${round4Sql(
+                     "max(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) / " +
+                     "CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE))")} AS best_jaccard
+         |  FROM cand c JOIN docs x ON c.doc_id = x.doc_id
+         |               JOIN docs y ON c.base_id = y.doc_id
+         |  WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+         |        CAST(len(list_distinct(x.shingles || y.shingles)) AS DOUBLE) >= 0.5
+         |  GROUP BY c.doc_id)
+         |SELECT i.doc_id,
+         |       CAST(coalesce(nm, 0) AS BIGINT) AS n_base_matches,
+         |       best_base_id, best_jaccard,
+         |       CAST(CASE WHEN nm IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS near_dup
+         |FROM (SELECT doc_id FROM bkt WHERE bucket >= 50) i
+         |LEFT JOIN ver ON i.doc_id = ver.doc_id
+         |ORDER BY i.doc_id""".stripMargin),
     "q86_leakage_safe_split" -> withDocs(
       s"""$ccReachCtes,
          |comp AS (

@@ -151,6 +151,26 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(splits.forall(_.getAs[Long]("cluster_split_leaky_clusters") == 0L))
   }
 
+  test("q89 catches a near-copy the q80 fingerprint calls new") {
+    // incoming doc = the base doc's text doubled: different normalized
+    // fingerprint (q80 → 'new') but Jaccard ≈ 0.93 on shingles → the
+    // band index flags it. A second unrelated incoming doc stays clean.
+    val baseId = (0L to 300L).find(bucket(_) < 50).get
+    val incoming = (0L to 300L).filter(bucket(_) >= 50).take(2)
+    val Seq(i1, i2) = incoming.sorted.toSeq
+    val t = (1 to 30).map(i => s"t$i").mkString(" ")
+    val dir = writeMiniDocs(Seq(
+      (baseId, t), (i1, s"$t $t"), (i2, (1 to 30).map(i => s"u$i").mkString(" "))))
+    val q80 = Curation.q80_incremental_dedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(q80(i1) == "new") // the exact fingerprint misses the near-copy
+    val q89 = Dedup.q89_incremental_neardup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("near_dup"), Option(r.getAs[java.lang.Long]("best_base_id")))).toMap
+    assert(q89(i1) == ((1L, Some(java.lang.Long.valueOf(baseId)))))
+    assert(q89(i2) == ((0L, None)))
+  }
+
   test("q88: an 8-token verbatim run flags contamination, a 7-token run does not") {
     val trainId = (0L to 300L).find(bucket(_) < 80).get
     val tests = (0L to 300L).filter(bucket(_) >= 90).take(2)
