@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.etl.Star.round2Sql
+import graft.etl.Star.{round2Sql, round4, round4Sql}
 
 /** Event-table operators over `events` (batch forms; the streaming
   * equivalents — watermarked windows, stateful sessionization — live in
@@ -173,15 +173,58 @@ object Events {
       .orderBy("stage")
   }
 
+  /** q90: retention cohorts — the classic product-analytics matrix: users
+    * grouped by first-seen day (cohort), counted on each later day they
+    * return, with retention as a fraction of the cohort's day-0 size.
+    * Scale shape: (user, day) DISTINCT and the cohort min both shuffle on
+    * user_id (co-partitioned, so the join back is exchange-free under one
+    * partitioning); the final aggregate rides (cohort, offset) — calendar-
+    * bounded keys; the day-0 size join is broadcastable (one row per
+    * cohort day). */
+  val q90_retention_cohorts: Q = (s, d) => {
+    val userDays = events(s, d)
+      .select(col("user_id"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
+      .distinct()
+    val cohorts = userDays.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val ret = userDays.join(cohorts, "user_id")
+      .withColumn("day_offset", col("day") - col("cohort_day"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+    val sizes = ret.where(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_users").as("cohort_size"))
+    ret.join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_users"),
+        round4(col("n_users").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val queries: Map[String, Q] = Map(
     "q50_event_windows" -> q50_event_windows,
     "q51_sessionize" -> q51_sessionize,
     "q52_props_json" -> q52_props_json,
     "q68_asof_attribution" -> q68_asof_attribution,
     "q69_range_join" -> q69_range_join,
-    "q73_funnel" -> q73_funnel)
+    "q73_funnel" -> q73_funnel,
+    "q90_retention_cohorts" -> q90_retention_cohorts)
 
   val oracle: Map[String, String] = Map(
+    "q90_retention_cohorts" ->
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id,
+         |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+         |  FROM events),
+         |co AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id),
+         |ret AS (
+         |  SELECT cohort_day, day - cohort_day AS day_offset,
+         |         CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_users
+         |  FROM ud JOIN co ON ud.user_id = co.user_id
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT cohort_day, n_users AS cohort_size FROM ret WHERE day_offset = 0)
+         |SELECT r.cohort_day AS cohort_day, day_offset, n_users,
+         |       ${round4Sql("CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE)")} AS retention
+         |FROM ret r JOIN sz ON r.cohort_day = sz.cohort_day
+         |ORDER BY cohort_day, day_offset""".stripMargin,
     "q73_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),

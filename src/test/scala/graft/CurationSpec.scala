@@ -204,6 +204,24 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       "quality" -> ((1L, 100L))))
   }
 
+  test("q90: retention is counted against the cohort's day-0 size") {
+    // user 1: days 0,1 · user 2: day 0 · user 3: days 1,2 (two events on
+    // day 1 — the (user, day) DISTINCT collapses them).
+    val day = 86400L
+    val dir = writeMiniEvents(Seq(
+      (1L, 1L, 10L), (2L, 1L, day + 10L),
+      (3L, 2L, 20L),
+      (4L, 3L, day + 5L), (5L, 3L, day + 6L), (6L, 3L, 2 * day + 5L)))
+    val got = graft.ops.Events.q90_retention_cohorts(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("day_offset")) ->
+        (r.getAs[Long]("n_users"), r.getAs[Double]("retention"))).toMap
+    assert(got == Map(
+      (0L, 0L) -> ((2L, 1.0)), // users 1,2 first seen day 0
+      (0L, 1L) -> ((1L, 0.5)), // user 1 returns on day 1
+      (1L, 0L) -> ((1L, 1.0)), // user 3's cohort is day 1
+      (1L, 1L) -> ((1L, 1.0)))) // user 3 returns on day 2
+  }
+
   test("q81: representative is the longest member, ties to the smallest id") {
     // Three exact near-dups (identical norm → identical MinHash signature →
     // banded pair for every band, Jaccard 1). Doc 21 carries doubled spaces:

@@ -49,6 +49,21 @@ trait SparkTestBase {
     dir
   }
 
+  /** Write a tiny events.parquet from (event_id, user_id, epoch-second)
+    * rows. The `ts` column is a Long of nanoseconds — the same shape the
+    * driver's TIMESTAMP(NANOS) parquet presents under the session's
+    * nanosAsLong conf, so `Events.events`' `ts div 1e9` path is exercised
+    * unchanged. */
+  def writeMiniEvents(evs: Seq[(Long, Long, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evs").toString
+    evs.map { case (eid, uid, es) =>
+      (eid, es * 1000000000L, uid, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
   /** Write a tiny documents.parquet from (doc_id, text) pairs. */
   def writeMiniDocs(docs: Seq[(Long, String)]): String = {
     import spark.implicits._
