@@ -204,6 +204,25 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       "quality" -> ((1L, 100L))))
   }
 
+  test("document-family queries survive an empty corpus") {
+    // the degenerate input every operator must not crash on: empty
+    // aggregations, empty pair graphs, empty window partitions
+    val dir = writeMiniDocs(Seq.empty)
+    val zeroRow = Seq(
+      Curation.q78_seq_packing, Curation.q79_pii_scrub,
+      Curation.q80_incremental_dedup, Curation.q82_token_budget,
+      Curation.q83_source_dup_stats, Curation.q84_lang_temperature,
+      Dedup.q31_dedup_exact, Dedup.q81_cluster_reps,
+      Dedup.q86_leakage_safe_split, Dedup.q89_incremental_neardup,
+      Pipeline.q88_verbatim_contamination)
+    zeroRow.foreach { q => assert(q(spark, dir).count() == 0L) }
+    // the funnel's global aggregate still emits its 4 report rows, zeroed
+    val funnel = Pipeline.q87_curation_funnel(spark, dir).collect()
+    assert(funnel.length == 4)
+    assert(funnel.forall(r =>
+      r.getAs[Long]("n_docs") == 0L && r.getAs[Long]("n_tokens") == 0L))
+  }
+
   test("q90: retention is counted against the cohort's day-0 size") {
     // user 1: days 0,1 · user 2: day 0 · user 3: days 1,2 (two events on
     // day 1 — the (user, day) DISTINCT collapses them).
