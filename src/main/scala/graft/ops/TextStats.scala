@@ -189,6 +189,37 @@ object TextStats {
       .orderBy("lang")
   }
 
+  /** q91: the scale path for q72 — `percentile_approx` (the mergeable
+    * GK-sketch aggregate that needs no per-language sort) with a
+    * FALSIFIABLE accuracy claim: the sketch's p50/p90 must land inside
+    * the exact [p45, p55] / [p85, p95] rank bands, which BOTH engines
+    * compute exactly. The oracle emits the literal claim (1): if a Spark
+    * upgrade or accuracy change ever pushed the sketch outside the band,
+    * the Spark side would emit 0 and the hash gate would fail — the same
+    * measured-accuracy contract as q58/q60/q63/q85, adapted to a sketch
+    * the oracle engine cannot reproduce bit-for-bit. */
+  val q91_token_pctl_approx: Q = (s, d) => {
+    val base = docShingles(s, d)
+      .select(col("doc_id"), col("lang"), size(col("words")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("lang").orderBy(col("n_tokens"), col("doc_id"))
+    val ranked = base
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")).cast("long"))
+    def pct(q: Double, name: String) =
+      max(when(col("rnk") === ceil(col("n") * q).cast("long"), col("n_tokens"))).as(name)
+    ranked.groupBy("lang")
+      .agg(max(col("n")).as("n_docs"),
+        pct(0.45, "p45"), pct(0.5, "p50"), pct(0.55, "p55"),
+        pct(0.85, "p85"), pct(0.9, "p90"), pct(0.95, "p95"),
+        percentile_approx(col("n_tokens"), lit(0.5), lit(100)).as("a50"),
+        percentile_approx(col("n_tokens"), lit(0.9), lit(100)).as("a90"))
+      .select(col("lang"), col("n_docs"), col("p50"), col("p90"),
+        when(col("a50").between(col("p45"), col("p55")) &&
+          col("a90").between(col("p85"), col("p95")), 1L).otherwise(0L)
+          .as("approx_within_rank_band"))
+      .orderBy("lang")
+  }
+
   /** q76: Gopher-style repetition quality filter (Rae et al. 2021 §A1.1
     * use the same family of signals: fraction of the text covered by the
     * most frequent n-gram, and by duplicated n-grams) — per doc,
@@ -233,7 +264,8 @@ object TextStats {
     "q66_chunk_dedup" -> q66_chunk_dedup,
     "q71_balanced_sample" -> q71_balanced_sample,
     "q72_token_percentiles" -> q72_token_percentiles,
-    "q76_repetition_filter" -> q76_repetition_filter)
+    "q76_repetition_filter" -> q76_repetition_filter,
+    "q91_token_pctl_approx" -> q91_token_pctl_approx)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -370,5 +402,19 @@ object TextStats {
         |       max(CASE WHEN rnk = CAST(ceil(n * 0.5) AS BIGINT) THEN n_tokens END) AS p50,
         |       max(CASE WHEN rnk = CAST(ceil(n * 0.9) AS BIGINT) THEN n_tokens END) AS p90,
         |       max(CASE WHEN rnk = CAST(ceil(n * 0.99) AS BIGINT) THEN n_tokens END) AS p99
+        |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin),
+    "q91_token_pctl_approx" -> withDocs(
+      """, base AS (
+        |  SELECT doc_id, lang, CAST(len(words) AS BIGINT) AS n_tokens FROM docs),
+        |ranked AS (
+        |  SELECT lang, n_tokens,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY n_tokens, doc_id) AS BIGINT) AS rnk,
+        |         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM base)
+        |SELECT lang, max(n) AS n_docs,
+        |       max(CASE WHEN rnk = CAST(ceil(n * 0.5) AS BIGINT) THEN n_tokens END) AS p50,
+        |       max(CASE WHEN rnk = CAST(ceil(n * 0.9) AS BIGINT) THEN n_tokens END) AS p90,
+        |       CAST(1 AS BIGINT) AS approx_within_rank_band
         |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin))
 }
