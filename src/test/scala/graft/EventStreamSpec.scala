@@ -252,6 +252,43 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq == Seq(Session(1L, 0L, 100L, 2L))) // exactly once, spans restart
   }
 
+  test("packStream resumes the token counter across a checkpointed restart") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.streaming.{PackAssign, PackDoc}
+    val inDir = Files.createTempDirectory("graft_pin").toString
+    val outDir = Files.createTempDirectory("graft_pout").toString
+    val chkDir = Files.createTempDirectory("graft_pchk").toString
+    val schema = org.apache.spark.sql.Encoders.product[PackDoc].schema
+
+    def startQuery() = EventStream.packStream(
+        spark.readStream.schema(schema).parquet(inDir).as[PackDoc])
+      .writeStream.format("parquet")
+      .option("checkpointLocation", chkDir)
+      .option("path", outDir)
+      .outputMode("append")
+      .start()
+
+    // batch 1 fills 200 of the 256-token sequence 0, then the query dies
+    Seq(PackDoc("en", 0L, 1L, 200L)).toDS().write.mode("append").parquet(inDir)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // batch 2 after restart: doc 2 starts at offset 200 (< 256 → seq 0),
+    // doc 3 at offset 300 (→ seq 1) — both depend on the checkpointed
+    // counter surviving the restart; a reset counter would emit seq 0/0
+    Seq(PackDoc("en", 0L, 2L, 100L), PackDoc("en", 0L, 3L, 50L)).toDS()
+      .write.mode("append").parquet(inDir)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read
+      .schema(org.apache.spark.sql.Encoders.product[PackAssign].schema)
+      .parquet(outDir).as[PackAssign].collect().sortBy(_.doc_id)
+    assert(got.map(a => a.doc_id -> a.seq_id).toSeq ==
+      Seq(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
   test("windowedCounts emits a window once the watermark passes it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
