@@ -199,6 +199,25 @@ object Events {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** q93: distinct users per event type via HyperLogLog++ with a
+    * falsifiable accuracy claim — the q91 contract applied to the other
+    * ubiquitous sketch: `approx_count_distinct` at rsd 0.02 must land
+    * within 5% of the exact distinct count, which both engines compute;
+    * the oracle emits the claim as a literal, so an HLL regression flips
+    * the Spark side to 0 and fails the hash gate. At scale the sketch is
+    * the mergeable per-partition path (no distinct shuffle); the exact
+    * count here doubles as the oracle-verified reference. */
+  val q93_hll_users: Q = (s, d) =>
+    events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"),
+        approx_count_distinct("user_id", 0.02).as("hll"))
+      .select(col("event_type"), col("n_users"),
+        when(abs(col("hll").cast("double") - col("n_users").cast("double")) /
+          col("n_users").cast("double") <= 0.05, 1L).otherwise(0L)
+          .as("hll_within_5pct"))
+      .orderBy("event_type")
+
   val queries: Map[String, Q] = Map(
     "q50_event_windows" -> q50_event_windows,
     "q51_sessionize" -> q51_sessionize,
@@ -206,9 +225,15 @@ object Events {
     "q68_asof_attribution" -> q68_asof_attribution,
     "q69_range_join" -> q69_range_join,
     "q73_funnel" -> q73_funnel,
-    "q90_retention_cohorts" -> q90_retention_cohorts)
+    "q90_retention_cohorts" -> q90_retention_cohorts,
+    "q93_hll_users" -> q93_hll_users)
 
   val oracle: Map[String, String] = Map(
+    "q93_hll_users" ->
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(1 AS BIGINT) AS hll_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q90_retention_cohorts" ->
       s"""WITH ud AS (
          |  SELECT DISTINCT user_id,

@@ -56,8 +56,9 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** q37: IVF top-5 — bucket by nearest centroid, probe 4 buckets. */
-  val q37_knn_ivf: Q = (s, d) => {
+  /** The q37 IVF pipeline with the probe count as a parameter (the sweep
+    * query q92 re-runs it at 1/2/4/8 probes). */
+  private def ivfKnn(s: SparkSession, d: String, probeCount: Int): DataFrame = {
     val all = vecs(s, d)
     val cent = all.where(col("vec_id") < numCentroids)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
@@ -70,7 +71,7 @@ object Similarity {
         .select(col("vec_id"), col("c_id"))
     }
     val assign = nearestCentroids(all, 1)
-    val probes = nearestCentroids(all.where(col("vec_id") < numQueries), nProbe)
+    val probes = nearestCentroids(all.where(col("vec_id") < numQueries), probeCount)
       .select(col("vec_id").as("query_id"), col("c_id"))
     val q = all.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val cand = probes.join(assign, "c_id")
@@ -84,6 +85,30 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round4(col("cosine")).as("cosine"))
       .orderBy("query_id", "rank")
+  }
+
+  /** q37: IVF top-5 — bucket by nearest centroid, probe 4 buckets. */
+  val q37_knn_ivf: Q = (s, d) => ivfKnn(s, d, nProbe)
+
+  /** q92: the IVF tuning curve — recall vs probe count (1/2/4/8) against
+    * the exact baseline, aggregated over all query-neighbor pairs. This is
+    * the table an operator reads to pick nprobe for a latency budget: at
+    * cluster scale each probe is a partition read, so the curve IS the
+    * cost/accuracy tradeoff. The exact pair set is checkpointed once and
+    * reused across the four sweep points. */
+  lazy val q92_ivf_nprobe_sweep: Q = (s, d) => {
+    val exact = q36_knn_brute(s, d)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    Seq(1, 2, 4, 8).map { p =>
+      val ivf = ivfKnn(s, d, p)
+        .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+      exact.join(ivf,
+          col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("n2")).as("n_found"))
+        .select(lit(p.toLong).as("nprobe"), col("n_exact"), col("n_found"),
+          round4(col("n_found").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    }.reduce(_ unionAll _).orderBy("nprobe")
   }
 
   /** q62: symmetric int8 quantization of the embedding column — the
@@ -187,7 +212,8 @@ object Similarity {
     "q58_ivf_recall" -> q58_ivf_recall,
     "q62_embed_quantize" -> q62_embed_quantize,
     "q67_ivf_bucket_sizes" -> q67_ivf_bucket_sizes,
-    "q85_quantized_knn_recall" -> q85_quantized_knn_recall)
+    "q85_quantized_knn_recall" -> q85_quantized_knn_recall,
+    "q92_ivf_nprobe_sweep" -> q92_ivf_nprobe_sweep)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -239,6 +265,30 @@ object Similarity {
        |    JOIN vecs q ON q.vec_id = p.query_id
        |    JOIN vecs n ON n.vec_id = a.vec_id)
        |  WHERE rank <= $topK)""".stripMargin
+
+  /** One sweep-point CTE (`ivf<p>`) reusing the shared `ranked`/`assign`
+    * CTEs of [[ivfCte]] with the probe cutoff at `p`. */
+  private def ivfSweepCte(p: Int): String =
+    s"""ivf$p AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT pr.query_id, a.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY pr.query_id
+       |             ORDER BY list_dot_product(q.v, n.v) / (q.nrm * n.nrm) DESC,
+       |                      a.vec_id ASC) AS rank
+       |    FROM (SELECT vec_id AS query_id, c_id FROM ranked
+       |          WHERE vec_id < $numQueries AND rn <= $p) pr
+       |    JOIN assign a ON pr.c_id = a.c_id AND a.vec_id <> pr.query_id
+       |    JOIN vecs q ON q.vec_id = pr.query_id
+       |    JOIN vecs n ON n.vec_id = a.vec_id)
+       |  WHERE rank <= $topK)""".stripMargin
+
+  private def ivfSweepArm(p: Int): String =
+    s"""SELECT CAST($p AS BIGINT) AS nprobe,
+       |       CAST(count(*) AS BIGINT) AS n_exact,
+       |       CAST(count(i.neighbor_id) AS BIGINT) AS n_found,
+       |       ${round4Sql("CAST(count(i.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS recall
+       |FROM brute b LEFT JOIN ivf$p i
+       |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id""".stripMargin
 
   /** q58: recall of the IVF path against the exact baseline — the
     * measured accuracy/cost tradeoff of the 4-probe bucket search. */
@@ -293,6 +343,12 @@ object Similarity {
          |       CAST(list_min(q) AS BIGINT) AS q_min,
          |       CAST(list_max(q) AS BIGINT) AS q_max
          |FROM qv ORDER BY vec_id""".stripMargin,
+    "q92_ivf_nprobe_sweep" ->
+      s"""WITH $vecsCte, $bruteCte, $ivfCte,
+         |${Seq(1, 2, 4, 8).map(ivfSweepCte).mkString(",\n")}
+         |SELECT * FROM (
+         |${Seq(1, 2, 4, 8).map(ivfSweepArm).mkString("\nUNION ALL\n")}
+         |) ORDER BY nprobe""".stripMargin,
     "q85_quantized_knn_recall" ->
       s"""WITH $vecsCte, $bruteCte,
          |rvecs AS (
