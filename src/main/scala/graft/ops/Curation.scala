@@ -98,12 +98,9 @@ object Curation {
     * DISTINCT fingerprint set before the join — at scale that set is the
     * persisted dedup index, not a re-scan of history. */
   val q80_incremental_dedup: Q = (s, d) => {
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"),
-      lit(100L))
     val docs = docShingles(s, d)
       .select(col("doc_id"), md5(col("norm")).as("fp"))
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", idBucket(col("doc_id")))
     val base = docs.where(col("bucket") < 50)
       .select(col("fp")).distinct().withColumn("in_base", lit(1))
     val w = Window.partitionBy("fp").orderBy("doc_id")

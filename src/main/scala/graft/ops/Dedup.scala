@@ -425,9 +425,7 @@ object Dedup {
     * keys; the probe is an equi-join on (band, bkey); shingle arrays are
     * joined back by id only for verification. */
   lazy val q89_incremental_neardup: Q = (s, d) => {
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"),
-      lit(100L))
+    val bucket = idBucket(col("doc_id"))
     val docs = docShingles(s, d)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n_sh"))
       .withColumn("bucket", bucket)
@@ -483,15 +481,13 @@ object Dedup {
     * gate proves it, not just asserts it). Scale shape: the label table is
     * pair-graph-sized (broadcastable); everything else is the q70 shape. */
   lazy val q86_leakage_safe_split: Q = (s, d) => {
-    def bucketOf(c: Column): Column = pmod(
-      conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long"), lit(100L))
     def splitOf(b: Column): Column =
       when(b < 80, "train").when(b < 90, "val").otherwise("test")
     val labeled = docShingles(s, d).select(col("doc_id"))
       .join(broadcast(memoLabels(s, d)), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("component_id"), col("doc_id")))
-      .withColumn("doc_split", splitOf(bucketOf(col("doc_id"))))
-      .withColumn("cl_split", splitOf(bucketOf(col("cluster_id"))))
+      .withColumn("doc_split", splitOf(idBucket(col("doc_id"))))
+      .withColumn("cl_split", splitOf(idBucket(col("cluster_id"))))
     val straddle = labeled.groupBy("cluster_id")
       .agg(countDistinct("doc_split").as("nds"), countDistinct("cl_split").as("ncs"))
       .agg(sum(when(col("nds") > 1, 1L).otherwise(0L)).as("doc_split_leaky_clusters"),

@@ -19,6 +19,9 @@ import TextCore._
   *    exist for: quality-score filter → exact-dedup survivor pass →
   *    per-language corpus statistics, in one declarative plan (filter and
   *    dedup window are map-side/one shuffle; the final agg is on lang).
+  *  - q70: deterministic hash split; q77/q88: the two train/eval
+  *    contamination detectors over that split; q87: the staged curation
+  *    funnel report. All four ride [[TextCore.idBucket]].
   */
 object Pipeline {
   type Q = (SparkSession, String) => DataFrame
@@ -62,9 +65,7 @@ object Pipeline {
     * seed plumbing, and re-partitioned data re-splits differently — a
     * silent train/test leak. Map-side assignment, 3-row aggregate. */
   val q70_data_split: Q = (s, d) => {
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"),
-      lit(100L))
+    val bucket = idBucket(col("doc_id"))
     docShingles(s, d)
       .select(col("doc_id"), size(col("words")).cast("long").as("n_tokens"))
       .withColumn("split",
@@ -90,11 +91,8 @@ object Pipeline {
     * nothing is quadratic in documents. Test docs with no shingles
     * (< 3 words) are excluded on both sides. */
   val q77_contamination: Q = (s, d) => {
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"),
-      lit(100L))
     val docs = docShingles(s, d).select(col("doc_id"), col("shingles"))
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", idBucket(col("doc_id")))
     val train = docs.where(col("bucket") < 80)
       .select(explode(col("shingles")).as("sh")).distinct()
       .withColumn("hit", lit(1))
@@ -124,9 +122,6 @@ object Pipeline {
     * 32-char hashes only), test windows left-join it. */
   val q88_verbatim_contamination: Q = (s, d) => {
     val n = 8
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"),
-      lit(100L))
     // rolling windows hashed in place — no document text ever shuffles;
     // size >= n guard before sequence() (sequence(1, 0) counts DOWN)
     val wins = when(size(col("words")) >= n,
@@ -135,7 +130,7 @@ object Pipeline {
           (0 until n).map(k => element_at(col("words"), i + k)): _*)))))
       .otherwise(array().cast("array<string>"))
     val docs = docShingles(s, d).select(col("doc_id"), wins.as("wins"))
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", idBucket(col("doc_id")))
     val train = docs.where(col("bucket") < 80)
       .select(explode(col("wins")).as("w")).distinct().withColumn("hit", lit(1))
     val test = docs.where(col("bucket") >= 90 && size(col("wins")) > 0)
@@ -169,7 +164,9 @@ object Pipeline {
     val s2 = col("rn") === 1
     val s3 = s2 && col("cluster_id") === col("doc_id")
     val s4 = s3 && col("score") >= 0.68 && col("n_tokens") >= 20
-    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    // both aggregates coalesce to 0 on an empty corpus (sum-over-nothing is
+    // NULL) — the funnel's documented all-zeros contract, EmptyCorpusSpec
+    def cnt(c: Column) = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
     def tok(c: Column) = coalesce(sum(when(c, col("n_tokens")).otherwise(0L)), lit(0L))
     val agg = base.agg(
       count(lit(1)).as("c1"), coalesce(sum("n_tokens"), lit(0L)).as("t1"),
@@ -266,12 +263,12 @@ object Pipeline {
          |a AS (
          |  SELECT CAST(count(*) AS BIGINT) AS c1,
          |         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS t1,
-         |         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         |         CAST(coalesce(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c2,
          |         CAST(coalesce(sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t2,
-         |         CAST(sum(CASE WHEN rn = 1 AND cluster_id = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         |         CAST(coalesce(sum(CASE WHEN rn = 1 AND cluster_id = doc_id THEN 1 ELSE 0 END), 0) AS BIGINT) AS c3,
          |         CAST(coalesce(sum(CASE WHEN rn = 1 AND cluster_id = doc_id THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t3,
-         |         CAST(sum(CASE WHEN rn = 1 AND cluster_id = doc_id
-         |                        AND score >= 0.68 AND n_tokens >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         |         CAST(coalesce(sum(CASE WHEN rn = 1 AND cluster_id = doc_id
+         |                        AND score >= 0.68 AND n_tokens >= 20 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c4,
          |         CAST(coalesce(sum(CASE WHEN rn = 1 AND cluster_id = doc_id
          |                        AND score >= 0.68 AND n_tokens >= 20 THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t4
          |  FROM lab)

@@ -56,22 +56,30 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** The q37 IVF pipeline with the probe count as a parameter (the sweep
-    * query q92 re-runs it at 1/2/4/8 probes). */
-  private def ivfKnn(s: SparkSession, d: String, probeCount: Int): DataFrame = {
+  /** (vec_id, c_id, rn): every vector's centroids ranked by cosine (desc,
+    * c_id asc), kept to `keep` — the one IVF primitive everything else
+    * derives from: rn = 1 is the bucket assignment, rn ≤ p a query's probe
+    * set. One corpus × centroids cross join per call; q92 checkpoints one
+    * call and derives all four sweep points from it. */
+  private def centroidRanks(s: SparkSession, d: String, keep: Int): DataFrame = {
     val all = vecs(s, d)
     val cent = all.where(col("vec_id") < numCentroids)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    def nearestCentroids(src: DataFrame, keep: Int): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
-      src.crossJoin(broadcast(cent))
-        .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= keep)
-        .select(col("vec_id"), col("c_id"))
-    }
-    val assign = nearestCentroids(all, 1)
-    val probes = nearestCentroids(all.where(col("vec_id") < numQueries), probeCount)
+    val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
+    all.crossJoin(broadcast(cent))
+      .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= keep)
+      .select(col("vec_id"), col("c_id"), col("rn"))
+  }
+
+  /** The q37 IVF search over a prebuilt [[centroidRanks]] frame (ranked to
+    * ≥ probeCount). */
+  private def ivfKnnFrom(s: SparkSession, d: String, ranked: DataFrame,
+      probeCount: Int): DataFrame = {
+    val all = vecs(s, d)
+    val assign = ranked.where(col("rn") === 1).select(col("vec_id"), col("c_id"))
+    val probes = ranked.where(col("vec_id") < numQueries && col("rn") <= probeCount)
       .select(col("vec_id").as("query_id"), col("c_id"))
     val q = all.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val cand = probes.join(assign, "c_id")
@@ -88,19 +96,23 @@ object Similarity {
   }
 
   /** q37: IVF top-5 — bucket by nearest centroid, probe 4 buckets. */
-  val q37_knn_ivf: Q = (s, d) => ivfKnn(s, d, nProbe)
+  val q37_knn_ivf: Q = (s, d) =>
+    ivfKnnFrom(s, d, centroidRanks(s, d, nProbe), nProbe)
 
   /** q92: the IVF tuning curve — recall vs probe count (1/2/4/8) against
     * the exact baseline, aggregated over all query-neighbor pairs. This is
     * the table an operator reads to pick nprobe for a latency budget: at
     * cluster scale each probe is a partition read, so the curve IS the
-    * cost/accuracy tradeoff. The exact pair set is checkpointed once and
-    * reused across the four sweep points. */
+    * cost/accuracy tradeoff. The exact pair set AND the centroid ranking
+    * (the corpus × centroids cross join) are each checkpointed once and
+    * reused across the four sweep points — the sweep pays one assignment
+    * build, not four. */
   lazy val q92_ivf_nprobe_sweep: Q = (s, d) => {
     val exact = q36_knn_brute(s, d)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val ranked = centroidRanks(s, d, 8).localCheckpoint(true)
     Seq(1, 2, 4, 8).map { p =>
-      val ivf = ivfKnn(s, d, p)
+      val ivf = ivfKnnFrom(s, d, ranked, p)
         .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
       exact.join(ivf,
           col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
@@ -119,20 +131,28 @@ object Similarity {
     * output reports integer aggregates of q (exact in both engines — the
     * quantized array itself is not hash-comparable across engines) plus
     * the round4'd scale. */
-  val q62_embed_quantize: Q = (s, d) => {
+  /** Embeddings with `scale` and int8 `q` columns — the quantization step
+    * shared by q62 (reports it) and q85 (searches its reconstruction).
+    * Per vector: scale = max|v|/127; q_i = round-half-up of v_i/scale,
+    * clamped to [-127, 127]; zero vectors quantize to zeros. Empty arrays
+    * are excluded on BOTH engines: Spark's empty-fold yields 0.0/0 where
+    * DuckDB's list_max/list_sum yield NULL — an empty embedding is a
+    * malformed row, not a quantizable vector. Entirely map-side. */
+  private def quantized(s: SparkSession, d: String): DataFrame = {
     val qArr = transform(col("v"), x =>
       when(col("scale") === 0.0, lit(0L)).otherwise(
         greatest(lit(-127L), least(lit(127L),
           floor(x / col("scale") + lit(0.5)).cast("long")))))
     s.read.parquet(s"$d/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      // empty arrays are excluded on BOTH sides: Spark's empty-fold yields
-      // 0.0/0 where DuckDB's list_max/list_sum yield NULL — an empty
-      // embedding is a malformed row, not a quantizable vector
       .where(size(col("v")) > 0)
       .withColumn("scale",
         aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))) / lit(127.0))
       .withColumn("q", qArr)
+  }
+
+  val q62_embed_quantize: Q = (s, d) =>
+    quantized(s, d)
       .select(col("vec_id"),
         size(col("v")).cast("long").as("n_dims"),
         round4(col("scale")).as("scale"),
@@ -140,44 +160,26 @@ object Similarity {
         array_min(col("q")).as("q_min"),
         array_max(col("q")).as("q_max"))
       .orderBy("vec_id")
-  }
 
   /** q67: IVF bucket-size histogram — the skew diagnostic for the ANN
     * partitioning: at cluster scale each centroid bucket is a partition,
     * and a hot bucket is the straggler, so balance is an operational
     * metric, not a curiosity. One narrow groupBy over the assignment. */
-  val q67_ivf_bucket_sizes: Q = (s, d) => {
-    val all = vecs(s, d)
-    val cent = all.where(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
-    all.crossJoin(broadcast(cent))
-      .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+  val q67_ivf_bucket_sizes: Q = (s, d) =>
+    centroidRanks(s, d, 1)
       .groupBy("c_id")
       .agg(count(lit(1)).as("n_assigned"))
       .orderBy("c_id")
-  }
 
-  /** Reconstructed (dequantized) vectors: the q62 int8 quantization
-    * applied and inverted (r_i = q_i · scale), with the reconstruction's
-    * norm — what an ANN service actually searches over after 8×
-    * compression. Zero-scale (all-zero) vectors reconstruct to zeros. */
-  private def reconstructed(s: SparkSession, d: String): DataFrame = {
-    val qArr = transform(col("v"), x =>
-      when(col("scale") === 0.0, lit(0L)).otherwise(
-        greatest(lit(-127L), least(lit(127L),
-          floor(x / col("scale") + lit(0.5)).cast("long")))))
-    s.read.parquet(s"$d/embeddings.parquet")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .where(size(col("v")) > 0)
-      .withColumn("scale",
-        aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))) / lit(127.0))
-      .withColumn("rv", transform(qArr, q => q.cast("double") * col("scale")))
+  /** Reconstructed (dequantized) vectors: [[quantized]] inverted
+    * (r_i = q_i · scale), with the reconstruction's norm — what an ANN
+    * service actually searches over after 8× compression. Zero-scale
+    * (all-zero) vectors reconstruct to zeros. */
+  private def reconstructed(s: SparkSession, d: String): DataFrame =
+    quantized(s, d)
+      .withColumn("rv", transform(col("q"), q => q.cast("double") * col("scale")))
       .select(col("vec_id"), col("rv").as("v"),
         graft.functions.VectorOps.norm(col("rv")).as("nrm"))
-  }
 
   /** q85: retrieval recall after int8 quantization — brute-force top-5
     * over the RECONSTRUCTED vectors (the compressed index a serving system

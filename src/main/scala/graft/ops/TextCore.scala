@@ -30,6 +30,14 @@ object TextCore {
 
   def wordsCol(norm: Column): Column = split(norm, " ")
 
+  /** Deterministic 0..99 id-hash bucket (first 4 md5 hex digits of the
+    * decimal id, mod 100) — the split/batch assignment primitive shared by
+    * the data-split (q70), contamination (q77/q88) and incremental-dedup
+    * (q80) queries. A pure function of the id: reproducible across runs,
+    * engines and partitionings (`randomSplit` is none of those). */
+  def idBucket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long"), lit(100L))
+
   /** Distinct word 3-shingles of a word array (empty if < 3 words),
     * sorted ascending so intersection sizes can be computed by a compiled
     * merge walk ([[graft.functions.SortedIntersectCount]]). Built with
@@ -121,6 +129,10 @@ object TextCore {
       |    FROM (SELECT doc_id, lang, source, n_chars,
       |                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
       |          FROM documents))))""".stripMargin
+
+  /** SQL spelling of [[idBucket]] over the docs CTE's `doc_id`. */
+  val idBucketSql: String =
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
 
   /** SQL for [[minhash]] over the docs CTE's `sh_md5`. */
   def minhashSql(seed: Int): String =

@@ -70,7 +70,7 @@ object EventStream {
       .select(col("doc_id"),
         Curation.scrubHits(col("norm")).cast("long").as("n_hits"),
         md5(Curation.scrubbed(col("norm"))).as("scrub_md5"),
-        size(split(col("norm"), " ")).cast("long").as("n_tokens"))
+        size(TextCore.wordsCol(col("norm"))).cast("long").as("n_tokens"))
   }
 
   /** Streaming twin of the batch AS-OF attribution (q68): stream-stream
