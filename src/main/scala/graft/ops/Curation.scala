@@ -169,13 +169,44 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** q95: cross-source duplicate overlap — for every pair of sources, how
+    * many distinct content fingerprints they share, and the Jaccard of
+    * their fingerprint sets: the crawl-health matrix that tells a curation
+    * team which feeds are re-serving each other's content (q83 counts
+    * duplication per source; q95 says WHERE it comes from). The full pair
+    * matrix is reported (zero-overlap pairs included) so the output shape
+    * is stable. Scale shape: the (source, fp) projection is distinct'd
+    * first (shuffle on fp+source), the overlap self-join shuffles on the
+    * 32-char fp key only — duplicate groups are small, so no key explodes —
+    * and the per-source totals and the pair matrix are #sources-sized
+    * (broadcast). Jaccard's denominator is ≥ 1 (sets are non-empty). */
+  val q95_source_overlap: Q = (s, d) => {
+    val fps = docShingles(s, d)
+      .select(col("source"), md5(col("norm")).as("fp")).distinct()
+    val perSrc = fps.groupBy("source").agg(count(lit(1)).as("n_fps"))
+    val shared = fps.select(col("source").as("source_a"), col("fp"))
+      .join(fps.select(col("source").as("source_b"), col("fp")), Seq("fp"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+    perSrc.select(col("source").as("source_a"), col("n_fps").as("n_a"))
+      .crossJoin(broadcast(perSrc.select(col("source").as("source_b"), col("n_fps").as("n_b"))))
+      .where(col("source_a") < col("source_b"))
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_shared"),
+        round4(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double")).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q78_seq_packing" -> q78_seq_packing,
     "q79_pii_scrub" -> q79_pii_scrub,
     "q80_incremental_dedup" -> q80_incremental_dedup,
     "q82_token_budget" -> q82_token_budget,
     "q83_source_dup_stats" -> q83_source_dup_stats,
-    "q84_lang_temperature" -> q84_lang_temperature)
+    "q84_lang_temperature" -> q84_lang_temperature,
+    "q95_source_overlap" -> q95_source_overlap)
 
   val oracle: Map[String, String] = Map(
     "q78_seq_packing" -> withDocs(
@@ -256,5 +287,25 @@ object Curation {
          |  FROM counts)
          |SELECT lang, n_docs,
          |       ${round4Sql("sqrt(CAST(n_docs AS DOUBLE)) / dn")} AS p_sample
-         |FROM counts, denom ORDER BY lang""".stripMargin))
+         |FROM counts, denom ORDER BY lang""".stripMargin),
+    "q95_source_overlap" -> withDocs(
+      s""", fps AS (SELECT DISTINCT source, md5(norm) AS fp FROM docs),
+         |per_src AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_fps FROM fps GROUP BY source),
+         |shared AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |         CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT pa.source AS source_a, pb.source AS source_b,
+         |         pa.n_fps AS n_a, pb.n_fps AS n_b,
+         |         coalesce(s.n_shared, CAST(0 AS BIGINT)) AS n_shared
+         |  FROM per_src pa
+         |  CROSS JOIN per_src pb
+         |  LEFT JOIN shared s ON s.source_a = pa.source AND s.source_b = pb.source
+         |  WHERE pa.source < pb.source)
+         |SELECT source_a, source_b, n_a, n_b, n_shared,
+         |       ${round4Sql("CAST(n_shared AS DOUBLE) / CAST(n_a + n_b - n_shared AS DOUBLE)")} AS jaccard
+         |FROM pairs ORDER BY source_a, source_b""".stripMargin))
 }

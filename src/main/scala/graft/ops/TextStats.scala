@@ -253,6 +253,39 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** q94: TF-IDF top terms — each document's 3 highest-scoring WORD terms
+    * under score = tf · (N/df): term frequency in the doc times inverse
+    * document frequency. The idf is the raw ratio, not log(N/df): the
+    * ranking is identical (x ↦ log x is monotone) and the score stays a
+    * single IEEE multiply+divide, bit-identical across engines — libm log
+    * carries a ulp of slack (the q84 sqrt-not-pow rule). Complements q64
+    * (df-ranked rare shingles): q94 weighs how much a doc USES a term, not
+    * just how rare it is.
+    *
+    * Scale shape: tf shuffles on (doc_id, term); the df table is
+    * vocabulary-sized and BROADCAST back onto tf (no second shuffle — at
+    * 100 TB the vocabulary is millions of rows, the postings billions);
+    * the top-3 window partitions by doc_id. */
+  val q94_tfidf_terms: Q = (s, d) => {
+    val toks = docShingles(s, d)
+      .select(col("doc_id"), explode(col("words")).as("term"))
+      .where(col("term") =!= "") // split("") yields [""] — not a term
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nd = docShingles(s, d).agg(count(lit(1)).as("n_corpus"))
+    val score =
+      col("tf").cast("double") * col("n_corpus").cast("double") / col("df").cast("double")
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nd))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        round4(col("score")).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_lang_id" -> q40_lang_id,
     "q41_token_stats" -> q41_token_stats,
@@ -265,7 +298,8 @@ object TextStats {
     "q71_balanced_sample" -> q71_balanced_sample,
     "q72_token_percentiles" -> q72_token_percentiles,
     "q76_repetition_filter" -> q76_repetition_filter,
-    "q91_token_pctl_approx" -> q91_token_pctl_approx)
+    "q91_token_pctl_approx" -> q91_token_pctl_approx,
+    "q94_tfidf_terms" -> q94_tfidf_terms)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -416,5 +450,24 @@ object TextStats {
         |       max(CASE WHEN rnk = CAST(ceil(n * 0.5) AS BIGINT) THEN n_tokens END) AS p50,
         |       max(CASE WHEN rnk = CAST(ceil(n * 0.9) AS BIGINT) THEN n_tokens END) AS p90,
         |       CAST(1 AS BIGINT) AS approx_within_rank_band
-        |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin))
+        |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin),
+    "q94_tfidf_terms" -> withDocs(
+      s""", tk AS (
+         |  SELECT doc_id, unnest(words) AS term FROM docs),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tk WHERE term <> '' GROUP BY 1, 2),
+         |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM docs),
+         |sc AS (
+         |  SELECT doc_id, term, tf, df,
+         |         CAST(tf AS DOUBLE) * CAST(n_corpus AS DOUBLE) / CAST(df AS DOUBLE)
+         |           AS score,
+         |         CAST(row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY CAST(tf AS DOUBLE) * CAST(n_corpus AS DOUBLE)
+         |                      / CAST(df AS DOUBLE) DESC,
+         |                    term ASC) AS BIGINT) AS rank
+         |  FROM tf JOIN dfx USING (term) CROSS JOIN nd)
+         |SELECT doc_id, rank, term, tf, df, ${round4Sql("score")} AS score
+         |FROM sc WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
 }

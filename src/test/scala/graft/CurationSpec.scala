@@ -212,9 +212,11 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       Curation.q78_seq_packing, Curation.q79_pii_scrub,
       Curation.q80_incremental_dedup, Curation.q82_token_budget,
       Curation.q83_source_dup_stats, Curation.q84_lang_temperature,
+      Curation.q95_source_overlap,
       Dedup.q31_dedup_exact, Dedup.q81_cluster_reps,
       Dedup.q86_leakage_safe_split, Dedup.q89_incremental_neardup,
-      Pipeline.q88_verbatim_contamination)
+      Pipeline.q88_verbatim_contamination,
+      graft.ops.TextStats.q94_tfidf_terms)
     zeroRow.foreach { q => assert(q(spark, dir).count() == 0L) }
     // the funnel's global aggregate still emits its 4 report rows, zeroed
     val funnel = Pipeline.q87_curation_funnel(spark, dir).collect()
@@ -257,5 +259,26 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("rep_chars") == spaced.length.toLong)
     assert(r.getAs[Long]("n_members") == 3L)
     assert(r.getAs[Long]("total_chars") == (2 * text.length + spaced.length).toLong)
+  }
+
+  test("q95: the full pair matrix reports shared fingerprints and Jaccard") {
+    // writeMiniDocs assigns source = src{id % 3}. Docs 0 and 3 (both src0)
+    // share text → src0's DISTINCT fp set is {A, Z}; doc 1 (src1) repeats
+    // text A across sources; doc 2 (src2) is unique.
+    val dir = writeMiniDocs(Seq(
+      (0L, "dup text a"),   // src0, fp A
+      (1L, "dup text a"),   // src1, fp A
+      (2L, "unique text c"),// src2, fp C
+      (3L, "dup text a"),   // src0, fp A again — collapses in the distinct
+      (6L, "only in zero")))// src0, fp Z
+    val got = Curation.q95_source_overlap(spark, dir).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_shared"),
+          r.getAs[Double]("jaccard")))
+      .toMap
+    assert(got == Map(
+      ("src0", "src1") -> ((2L, 1L, 1L, 0.5)), // |{A,Z} ∩ {A}| / |{A,Z} ∪ {A}|
+      ("src0", "src2") -> ((2L, 1L, 0L, 0.0)),
+      ("src1", "src2") -> ((1L, 1L, 0L, 0.0))))
   }
 }

@@ -58,4 +58,37 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.head.getAs[Double]("containment") == 0.3333)
     assert(rows.head.getAs[Long]("contaminated") == 0L)
   }
+
+  test("q94: tf-idf ranks a doc's own heavy rare terms over corpus-wide terms") {
+    // N = 3. df: apple 1, banana 2, cherry 1, durian 1, the 3.
+    // doc 0 scores: apple 2·3/1 = 6, banana 1·3/2 = 1.5, the 1·3/3 = 1
+    // doc 1 scores: cherry 3, the 2·3/3 = 2, banana 1.5
+    // doc 2 scores: durian 3, the 1 — only two terms, so only two rows.
+    val dir = writeMiniDocs(Seq(
+      (0L, "apple apple banana the"),
+      (1L, "banana cherry the the"),
+      (2L, "the durian")))
+    val got = TextStats.q94_tfidf_terms(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("df"),
+          r.getAs[Double]("score")))
+      .toMap
+    assert(got == Map(
+      (0L, 1L) -> (("apple", 2L, 1L, 6.0)),
+      (0L, 2L) -> (("banana", 1L, 2L, 1.5)),
+      (0L, 3L) -> (("the", 1L, 3L, 1.0)),
+      (1L, 1L) -> (("cherry", 1L, 1L, 3.0)),
+      (1L, 2L) -> (("the", 2L, 3L, 2.0)),
+      (1L, 3L) -> (("banana", 1L, 2L, 1.5)),
+      (2L, 1L) -> (("durian", 1L, 1L, 3.0)),
+      (2L, 2L) -> (("the", 1L, 3L, 1.0))))
+  }
+
+  test("q94: score ties within a doc break by term text ascending") {
+    // Both terms have tf = 1, df = 1 → identical score N/1 = 1.0.
+    val dir = writeMiniDocs(Seq((0L, "zebra aardvark")))
+    val rows = TextStats.q94_tfidf_terms(spark, dir).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("term")))
+    assert(rows.toSeq == Seq((1L, "aardvark"), (2L, "zebra")))
+  }
 }
