@@ -73,6 +73,23 @@ object EventStream {
         size(TextCore.wordsCol(col("norm"))).cast("long").as("n_tokens"))
   }
 
+  /** Streaming twin of q80's base-corpus classification: a document
+    * stream joined against the STATIC base fingerprint index (the
+    * stream-static left join — the base side is a fixed snapshot consumed
+    * per micro-batch, no streaming state, exactly how a nightly-built
+    * dedup index is served to an ingest stream). Each arriving doc is
+    * classified dup_of_base or new. In-stream replays are [[dedupStream]]'s
+    * job (watermark-bounded state); composing the two gives q80's full
+    * three-way classification. At scale the index side is a parquet table
+    * joined on the 32-char fp key (broadcast if vocabulary-sized, else a
+    * bucketed join — never a re-scan of history). */
+  def incrementalDedupStream(docs: DataFrame, baseFps: DataFrame): DataFrame =
+    docs.join(
+        baseFps.select(col("fp")).distinct().withColumn("in_base", lit(1)),
+        Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        when(col("in_base").isNotNull, "dup_of_base").otherwise("new").as("status"))
+
   /** Streaming twin of the batch AS-OF attribution (q68): stream-stream
     * inner join of purchases to same-user clicks within the preceding 30
     * minutes. Both sides carry watermarks so the join state is bounded —

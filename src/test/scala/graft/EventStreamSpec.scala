@@ -168,6 +168,28 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("incrementalDedupStream classifies against the static base index across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Seq("fpA", "fpB").toDF("fp") // the nightly-built index snapshot
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream
+      .incrementalDedupStream(input.toDS().toDF("doc_id", "fp"), base)
+      .writeStream.format("memory").queryName("incdedup").outputMode("append").start()
+    try {
+      input.addData((10L, "fpA"), (11L, "fpC"))
+      query.processAllAvailable()
+      // a later micro-batch re-joins the SAME snapshot — stream-static
+      input.addData((12L, "fpB"), (13L, "fpC"))
+      query.processAllAvailable()
+      val got = spark.table("incdedup").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+      assert(got == Map(
+        10L -> "dup_of_base", 11L -> "new",
+        12L -> "dup_of_base", 13L -> "new")) // fpC stays new: replays are dedupStream's job
+    } finally query.stop()
+  }
+
   test("attributionStream matches purchases to in-window clicks only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
