@@ -181,9 +181,14 @@ object Curation {
     * and the per-source totals and the pair matrix are #sources-sized
     * (broadcast). Jaccard's denominator is ≥ 1 (sets are non-empty). */
   val q95_source_overlap: Q = (s, d) => {
+    // built once and checkpointed: fps feeds three plan subtrees (perSrc +
+    // both sides of the self-join) and perSrc two — without pinning, each
+    // reference re-runs the corpus-wide DISTINCT shuffle (the q92 rule)
     val fps = docShingles(s, d)
       .select(col("source"), md5(col("norm")).as("fp")).distinct()
+      .localCheckpoint(true)
     val perSrc = fps.groupBy("source").agg(count(lit(1)).as("n_fps"))
+      .localCheckpoint(true)
     val shared = fps.select(col("source").as("source_a"), col("fp"))
       .join(fps.select(col("source").as("source_b"), col("fp")), Seq("fp"))
       .where(col("source_a") < col("source_b"))
@@ -240,10 +245,9 @@ object Curation {
         |            THEN 1 ELSE 0 END AS BIGINT) AS changed
         |FROM docs ORDER BY doc_id""".stripMargin),
     "q80_incremental_dedup" -> withDocs(
-      """, dd AS (
+      s""", dd AS (
         |  SELECT doc_id, md5(norm) AS fp,
-        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100
-        |           AS bucket
+        |         ${idBucketSql("doc_id")} AS bucket
         |  FROM docs),
         |base AS (SELECT DISTINCT fp FROM dd WHERE bucket < 50),
         |inc AS (

@@ -721,7 +721,7 @@ object Dedup {
     "q89_incremental_neardup" -> withDocs(
       s""", bkt AS (
          |  SELECT doc_id,
-         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100
+         |         ${idBucketSql("doc_id")}
          |           AS bucket
          |  FROM docs),
          |sig AS (
@@ -772,8 +772,8 @@ object Dedup {
          |         CASE WHEN b2 < 80 THEN 'train' WHEN b2 < 90 THEN 'val'
          |              ELSE 'test' END AS cl_split
          |  FROM (SELECT doc_id, cluster_id,
-         |          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS b1,
-         |          CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS b2
+         |          ${idBucketSql("doc_id")} AS b1,
+         |          ${idBucketSql("cluster_id")} AS b2
          |        FROM lab)),
          |str AS (
          |  SELECT CAST(sum(CASE WHEN nds > 1 THEN 1 ELSE 0 END) AS BIGINT)

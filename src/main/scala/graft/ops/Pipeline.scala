@@ -217,10 +217,9 @@ object Pipeline {
          |WHERE rn = 1 AND score >= 0.68 AND n_tokens >= 20
          |GROUP BY lang ORDER BY lang""".stripMargin),
     "q70_data_split" -> withDocs(
-      """, sp AS (
+      s""", sp AS (
         |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
-        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100
-        |           AS bucket
+        |         ${idBucketSql("doc_id")} AS bucket
         |  FROM docs)
         |SELECT CASE WHEN bucket < 80 THEN 'train'
         |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
@@ -228,7 +227,7 @@ object Pipeline {
         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM sp GROUP BY 1 ORDER BY split""".stripMargin),
     "q88_verbatim_contamination" -> withDocs(
-      """, w8 AS (
+      s""", w8 AS (
         |  SELECT doc_id,
         |         CASE WHEN len(words) >= 8
         |              THEN list_distinct(list_transform(range(1, len(words) - 6),
@@ -236,8 +235,7 @@ object Pipeline {
         |                         words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
         |                         words[i+6] || ' ' || words[i+7])))
         |              ELSE CAST([] AS VARCHAR[]) END AS wins,
-        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100
-        |           AS bucket
+        |         ${idBucketSql("doc_id")} AS bucket
         |  FROM docs),
         |tr AS (SELECT DISTINCT unnest(wins) AS w FROM w8 WHERE bucket < 80),
         |te AS (
@@ -284,8 +282,7 @@ object Pipeline {
     "q77_contamination" -> withDocs(
       s""", sp AS (
          |  SELECT doc_id, shingles,
-         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100
-         |           AS bucket
+         |         ${idBucketSql("doc_id")} AS bucket
          |  FROM docs),
          |tr AS (SELECT DISTINCT unnest(shingles) AS sh FROM sp WHERE bucket < 80),
          |te AS (

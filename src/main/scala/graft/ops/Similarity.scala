@@ -123,14 +123,6 @@ object Similarity {
     }.reduce(_ unionAll _).orderBy("nprobe")
   }
 
-  /** q62: symmetric int8 quantization of the embedding column — the
-    * compression step of an embedding pipeline (8× smaller vectors for
-    * ANN serving/storage). Per vector: scale = max|v|/127; q_i =
-    * round-half-up of v_i/scale, clamped to [-127, 127]; zero vectors
-    * quantize to zeros. Entirely map-side (no shuffle at any scale). The
-    * output reports integer aggregates of q (exact in both engines — the
-    * quantized array itself is not hash-comparable across engines) plus
-    * the round4'd scale. */
   /** Embeddings with `scale` and int8 `q` columns — the quantization step
     * shared by q62 (reports it) and q85 (searches its reconstruction).
     * Per vector: scale = max|v|/127; q_i = round-half-up of v_i/scale,
@@ -151,6 +143,12 @@ object Similarity {
       .withColumn("q", qArr)
   }
 
+  /** q62: symmetric int8 quantization of the embedding column — the
+    * compression step of an embedding pipeline (8× smaller vectors for
+    * ANN serving/storage). Entirely map-side (no shuffle at any scale).
+    * Reports integer aggregates of [[quantized]]'s q (exact in both
+    * engines — the quantized array itself is not hash-comparable across
+    * engines) plus the round4'd scale. */
   val q62_embed_quantize: Q = (s, d) =>
     quantized(s, d)
       .select(col("vec_id"),

@@ -130,9 +130,10 @@ object TextCore {
       |                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
       |          FROM documents))))""".stripMargin
 
-  /** SQL spelling of [[idBucket]] over the docs CTE's `doc_id`. */
-  val idBucketSql: String =
-    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
+  /** SQL spelling of [[idBucket]] for the DuckDB oracles — `id` is the
+    * column expression to bucket (`doc_id`, `cluster_id`, …). */
+  def idBucketSql(id: String): String =
+    s"CAST('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
 
   /** SQL for [[minhash]] over the docs CTE's `sh_md5`. */
   def minhashSql(seed: Int): String =
