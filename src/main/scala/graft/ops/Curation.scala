@@ -204,6 +204,29 @@ object Curation {
       .orderBy("source_a", "source_b")
   }
 
+  /** q97: ingest novelty curve — with ingest batches proxied by
+    * batch = doc_id div 100 (ids are assigned in crawl order), each
+    * batch's document count and the number whose content fingerprint was
+    * never seen in ANY earlier document (first corpus-wide occurrence by
+    * doc_id, credited to the batch containing it). This is the
+    * dedup-saturation dashboard: a crawl whose novelty rate decays toward
+    * zero has stopped yielding new content, and the re-crawl budget should
+    * move elsewhere. q83 answers WHO duplicates, q95 answers WHERE
+    * duplicates come from, q97 answers WHEN novelty dried up. One window
+    * over the fp partition + a batch-keyed aggregate — both narrow keys. */
+  val q97_novelty_curve: Q = (s, d) => {
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    docShingles(s, d)
+      .select(col("doc_id"), md5(col("norm")).as("fp"))
+      .withColumn("is_new", when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .withColumn("batch", floor(col("doc_id") / 100).cast("long"))
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n_docs"), sum("is_new").as("n_novel"))
+      .withColumn("novelty_rate",
+        round4(col("n_novel").cast("double") / col("n_docs").cast("double")))
+      .orderBy("batch")
+  }
+
   val queries: Map[String, Q] = Map(
     "q78_seq_packing" -> q78_seq_packing,
     "q79_pii_scrub" -> q79_pii_scrub,
@@ -211,7 +234,8 @@ object Curation {
     "q82_token_budget" -> q82_token_budget,
     "q83_source_dup_stats" -> q83_source_dup_stats,
     "q84_lang_temperature" -> q84_lang_temperature,
-    "q95_source_overlap" -> q95_source_overlap)
+    "q95_source_overlap" -> q95_source_overlap,
+    "q97_novelty_curve" -> q97_novelty_curve)
 
   val oracle: Map[String, String] = Map(
     "q78_seq_packing" -> withDocs(
@@ -311,5 +335,15 @@ object Curation {
          |  WHERE pa.source < pb.source)
          |SELECT source_a, source_b, n_a, n_b, n_shared,
          |       ${round4Sql("CAST(n_shared AS DOUBLE) / CAST(n_a + n_b - n_shared AS DOUBLE)")} AS jaccard
-         |FROM pairs ORDER BY source_a, source_b""".stripMargin))
+         |FROM pairs ORDER BY source_a, source_b""".stripMargin),
+    "q97_novelty_curve" -> withDocs(
+      s""", r AS (
+         |  SELECT doc_id, doc_id // 100 AS batch,
+         |         row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+         |  FROM docs)
+         |SELECT CAST(batch AS BIGINT) AS batch,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       ${round4Sql("CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS novelty_rate
+         |FROM r GROUP BY batch ORDER BY batch""".stripMargin))
 }

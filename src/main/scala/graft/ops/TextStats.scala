@@ -286,6 +286,28 @@ object TextStats {
       .orderBy("doc_id", "rank")
   }
 
+  /** q96: BPE training's first merge table — corpus-wide frequencies of
+    * adjacent character pairs within words, top 10 by (freq desc, pair
+    * asc): the statistic the first iteration of byte-pair-encoding
+    * tokenizer training merges on (later iterations re-count after each
+    * merge — an iterative driver loop over this same aggregation, the q61
+    * shape). Complements q44, which applies a FIXED tokenizer; q96 is the
+    * first step of LEARNING one. Pairs are extracted map-side with a
+    * per-word index transform (guarded at length ≥ 2 — `sequence(1, 0)`
+    * counts down); the only shuffle is the (pair) count, 2-char keys; the
+    * top-10 cut is orderBy+limit (`TakeOrderedAndProject` — per-partition
+    * top-k then a driver merge, no global sort), the q44 shape. */
+  val q96_bpe_merge_pairs: Q = (s, d) =>
+    docShingles(s, d)
+      .select(explode(col("words")).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("pair").asc)
+      .limit(10)
+
   val queries: Map[String, Q] = Map(
     "q40_lang_id" -> q40_lang_id,
     "q41_token_stats" -> q41_token_stats,
@@ -299,7 +321,8 @@ object TextStats {
     "q72_token_percentiles" -> q72_token_percentiles,
     "q76_repetition_filter" -> q76_repetition_filter,
     "q91_token_pctl_approx" -> q91_token_pctl_approx,
-    "q94_tfidf_terms" -> q94_tfidf_terms)
+    "q94_tfidf_terms" -> q94_tfidf_terms,
+    "q96_bpe_merge_pairs" -> q96_bpe_merge_pairs)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -469,5 +492,15 @@ object TextStats {
          |                    term ASC) AS BIGINT) AS rank
          |  FROM tf JOIN dfx USING (term) CROSS JOIN nd)
          |SELECT doc_id, rank, term, tf, df, ${round4Sql("score")} AS score
-         |FROM sc WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
+         |FROM sc WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+    "q96_bpe_merge_pairs" -> withDocs(
+      """, wd AS (
+        |  SELECT unnest(words) AS w FROM docs),
+        |pr AS (
+        |  SELECT unnest(list_transform(range(1, length(w)),
+        |           i -> substr(w, CAST(i AS INT), 2))) AS pair
+        |  FROM wd WHERE length(w) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS freq
+        |FROM pr GROUP BY pair
+        |ORDER BY freq DESC, pair ASC LIMIT 10""".stripMargin))
 }

@@ -212,11 +212,12 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       Curation.q78_seq_packing, Curation.q79_pii_scrub,
       Curation.q80_incremental_dedup, Curation.q82_token_budget,
       Curation.q83_source_dup_stats, Curation.q84_lang_temperature,
-      Curation.q95_source_overlap,
+      Curation.q95_source_overlap, Curation.q97_novelty_curve,
       Dedup.q31_dedup_exact, Dedup.q81_cluster_reps,
       Dedup.q86_leakage_safe_split, Dedup.q89_incremental_neardup,
       Pipeline.q88_verbatim_contamination,
-      graft.ops.TextStats.q94_tfidf_terms)
+      graft.ops.TextStats.q94_tfidf_terms,
+      graft.ops.TextStats.q96_bpe_merge_pairs)
     zeroRow.foreach { q => assert(q(spark, dir).count() == 0L) }
     // the funnel's global aggregate still emits its 4 report rows, zeroed
     val funnel = Pipeline.q87_curation_funnel(spark, dir).collect()

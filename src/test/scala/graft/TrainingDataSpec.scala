@@ -84,6 +84,27 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
       (2L, 2L) -> (("the", 1L, 3L, 1.0))))
   }
 
+  test("q96: adjacent char pairs count overlapping occurrences within words") {
+    // "aaab" → aa, aa, ab (overlap counted); "bc" → bc; "x" has no pair.
+    val dir = writeMiniDocs(Seq((0L, "aaab bc x")))
+    val rows = TextStats.q96_bpe_merge_pairs(spark, dir).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("freq")))
+    assert(rows.toSeq == Seq(("aa", 2L), ("ab", 1L), ("bc", 1L)))
+  }
+
+  test("q97: novelty is credited to the batch holding the first occurrence") {
+    // batches of 100 ids: docs 0, 1 → batch 0; docs 150, 160 → batch 1.
+    // doc 150 repeats doc 0's text (seen → not novel); 160 is new.
+    val dir = writeMiniDocs(Seq(
+      (0L, "alpha beta"), (1L, "gamma delta"),
+      (150L, "alpha beta"), (160L, "epsilon zeta")))
+    val got = graft.ops.Curation.q97_novelty_curve(spark, dir).collect()
+      .map(r => r.getAs[Long]("batch") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_novel"), r.getAs[Double]("novelty_rate")))
+      .toMap
+    assert(got == Map(0L -> ((2L, 2L, 1.0)), 1L -> ((2L, 1L, 0.5))))
+  }
+
   test("q94: score ties within a doc break by term text ascending") {
     // Both terms have tf = 1, df = 1 → identical score N/1 = 1.0.
     val dir = writeMiniDocs(Seq((0L, "zebra aardvark")))
