@@ -156,6 +156,11 @@ object Dedup {
       .withColumn("_rn", row_number().over(wOrd))
       .where(col("_rn") <= (col("n_sh").cast("double") / 2).cast("int") + 1)
       .select("doc_id", "shingle", "n_sh")
+    // prefix-frame A/B (r6): localCheckpoint(true)-ing `prefixes` before
+    // the self-join measured ~25% SLOWER (1.90 vs 1.51 s median-of-5,
+    // sf0.1 focused) — ReuseExchange already shares the identical
+    // build subtree across both join sides, so the checkpoint only adds
+    // a materialization pass. Do not "fix" the apparent double reference.
     // PPJoin length filter, also lossless: J ≥ 0.5 and inter ≤ min imply
     // max(n_a, n_b) ≤ 2·min(n_a, n_b), so size-mismatched candidates are
     // pruned before the array-intersect verify. The condition rides on the
