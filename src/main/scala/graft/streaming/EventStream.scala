@@ -90,6 +90,18 @@ object EventStream {
       .select(col("doc_id"), col("fp"),
         when(col("in_base").isNotNull, "dup_of_base").otherwise("new").as("status"))
 
+  /** Idempotent micro-batch parquet sink for `writeStream.foreachBatch`:
+    * each micro-batch overwrites its own `batch_id=<id>` directory, so a
+    * REPLAYED batch (restart after a sink-side failure — the at-least-once
+    * delivery case) rewrites the same files instead of appending
+    * duplicates: exactly-once OUTPUT from at-least-once delivery, the
+    * standard transactional-sink pattern on a non-transactional store
+    * (micro-batch ids are stable across checkpoint recovery, so the
+    * replayed epoch lands on the same directory). Readers see `path` as a
+    * normal parquet table partitioned by `batch_id`. */
+  def parquetBatchSink(path: String): (DataFrame, Long) => Unit =
+    (batch, id) => batch.write.mode("overwrite").parquet(s"$path/batch_id=$id")
+
   /** Streaming twin of the batch AS-OF attribution (q68): stream-stream
     * inner join of purchases to same-user clicks within the preceding 30
     * minutes. Both sides carry watermarks so the join state is bounded —
