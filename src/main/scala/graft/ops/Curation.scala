@@ -157,15 +157,46 @@ object Curation {
     * for general α carries a ulp of library slack. The normalizer is a
     * fold over the lang-sorted weight array (deterministic order on both
     * sides), broadcast back as a scalar. */
-  val q84_lang_temperature: Q = (s, d) => {
-    val counts = docShingles(s, d).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+  /** (lang, n_docs, n_tokens, dn): per-language corpus counts plus the
+    * sqrt-weight normalizer (folded over the lang-sorted weight array —
+    * deterministic order on both engines), broadcast back as a scalar.
+    * Shared by q84 (reports the probabilities) and q98 (turns them into a
+    * token-budget plan). */
+  private def langWeights(s: SparkSession, d: String): DataFrame = {
+    val counts = docShingles(s, d).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("words")).cast("long")).as("n_tokens"))
     val denom = counts
       .agg(sort_array(collect_list(struct(col("lang"), col("n_docs")))).as("arr"))
       .select(aggregate(col("arr"), lit(0.0),
         (acc, x) => acc + sqrt(x.getField("n_docs").cast("double"))).as("dn"))
     counts.crossJoin(broadcast(denom))
+  }
+
+  val q84_lang_temperature: Q = (s, d) =>
+    langWeights(s, d)
       .select(col("lang"), col("n_docs"),
         round4(sqrt(col("n_docs").cast("double")) / col("dn")).as("p_sample"))
+      .orderBy("lang")
+
+  /** q98: the sampling PLAN q84's probabilities exist for — per language,
+    * the token allocation of a 100k-token mixing budget
+    * (target = round-half-up of p_l · budget) against what the corpus
+    * actually has, with an oversampled flag when the target exceeds the
+    * available tokens (the tail languages temperature sampling up-weights
+    * are exactly the ones that can run out — epochs > 1 in training
+    * terms). Composes q84's weights with q41-style token totals in one
+    * plan; the budget arithmetic is integer after one deterministic
+    * multiply (raw p, not the rounded display value). */
+  val q98_sampling_plan: Q = (s, d) => {
+    val budget = 100000L
+    val p = sqrt(col("n_docs").cast("double")) / col("dn")
+    langWeights(s, d)
+      .select(col("lang"), col("n_docs"), col("n_tokens").as("available_tokens"),
+        round4(p).as("p_sample"),
+        floor(p * budget + lit(0.5)).cast("long").as("target_tokens"))
+      .withColumn("oversampled",
+        when(col("target_tokens") > col("available_tokens"), 1L).otherwise(0L))
       .orderBy("lang")
   }
 
@@ -235,7 +266,8 @@ object Curation {
     "q83_source_dup_stats" -> q83_source_dup_stats,
     "q84_lang_temperature" -> q84_lang_temperature,
     "q95_source_overlap" -> q95_source_overlap,
-    "q97_novelty_curve" -> q97_novelty_curve)
+    "q97_novelty_curve" -> q97_novelty_curve,
+    "q98_sampling_plan" -> q98_sampling_plan)
 
   val oracle: Map[String, String] = Map(
     "q78_seq_packing" -> withDocs(
@@ -345,5 +377,21 @@ object Curation {
          |       CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
          |       ${round4Sql("CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS novelty_rate
-         |FROM r GROUP BY batch ORDER BY batch""".stripMargin))
+         |FROM r GROUP BY batch ORDER BY batch""".stripMargin),
+    "q98_sampling_plan" -> withDocs(
+      s""", counts AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(len(words)) AS BIGINT) AS n_tokens
+         |  FROM docs GROUP BY lang),
+         |denom AS (
+         |  SELECT list_aggregate(list_transform(list(n_docs ORDER BY lang),
+         |           x -> sqrt(CAST(x AS DOUBLE))), 'sum') AS dn
+         |  FROM counts)
+         |SELECT lang, n_docs, n_tokens AS available_tokens,
+         |       ${round4Sql("sqrt(CAST(n_docs AS DOUBLE)) / dn")} AS p_sample,
+         |       CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / dn * 100000 + 0.5)
+         |         AS BIGINT) AS target_tokens,
+         |       CAST(CASE WHEN floor(sqrt(CAST(n_docs AS DOUBLE)) / dn * 100000 + 0.5)
+         |                      > n_tokens THEN 1 ELSE 0 END AS BIGINT) AS oversampled
+         |FROM counts, denom ORDER BY lang""".stripMargin))
 }

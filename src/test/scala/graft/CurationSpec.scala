@@ -213,6 +213,7 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       Curation.q80_incremental_dedup, Curation.q82_token_budget,
       Curation.q83_source_dup_stats, Curation.q84_lang_temperature,
       Curation.q95_source_overlap, Curation.q97_novelty_curve,
+      Curation.q98_sampling_plan,
       Dedup.q31_dedup_exact, Dedup.q81_cluster_reps,
       Dedup.q86_leakage_safe_split, Dedup.q89_incremental_neardup,
       Pipeline.q88_verbatim_contamination,
@@ -260,6 +261,30 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("rep_chars") == spaced.length.toLong)
     assert(r.getAs[Long]("n_members") == 3L)
     assert(r.getAs[Long]("total_chars") == (2 * text.length + spaced.length).toLong)
+  }
+
+  test("q98: budget targets follow sqrt weights; tail languages flag oversampled") {
+    import spark.implicits._
+    // en: 4 docs (weight 2), und: 1 doc (weight 1) → dn = 3, p = 2/3 and
+    // 1/3, targets 66667 / 33333 of the 100k budget. en has 68k tokens
+    // available (covered), und has 10 (oversampled — the up-weighted tail).
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    Seq(
+      (0L, words(17000), "en"), (1L, words(17000), "en"),
+      (2L, words(17000), "en"), (3L, words(17000), "en"),
+      (4L, words(10), "und"))
+      .map { case (id, t, l) => (id, t, l, s"src${id % 3}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.q98_sampling_plan(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("available_tokens"), r.getAs[Long]("target_tokens"),
+          r.getAs[Long]("oversampled")))
+      .toMap
+    assert(got == Map(
+      "en" -> ((68000L, 66667L, 0L)),
+      "und" -> ((10L, 33333L, 1L))))
   }
 
   test("q95: the full pair matrix reports shared fingerprints and Jaccard") {
