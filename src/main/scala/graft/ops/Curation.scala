@@ -133,21 +133,30 @@ object Curation {
       .orderBy("lang")
   }
 
-  /** q83: per-source duplication accounting — the crawl-health dashboard:
-    * for each source, how many of its documents are corpus-wide duplicates
-    * (not the first occurrence of their fingerprint, ordered by doc_id). */
-  val q83_source_dup_stats: Q = (s, d) => {
+  /** (doc_id, source, fp, rn): every document with its content
+    * fingerprint and its corpus-wide occurrence rank (rn = 1 ⇔ first
+    * occurrence of the fingerprint by doc_id) — the one spelling of
+    * "corpus-wide first occurrence" shared by q83 and q97 and mirrored
+    * once per oracle. (q80's rank is deliberately NOT this: it ranks
+    * within the incoming batch only.) */
+  private def fpRanked(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("fp").orderBy("doc_id")
     docShingles(s, d)
       .select(col("doc_id"), col("source"), md5(col("norm")).as("fp"))
       .withColumn("rn", row_number().over(w))
+  }
+
+  /** q83: per-source duplication accounting — the crawl-health dashboard:
+    * for each source, how many of its documents are corpus-wide duplicates
+    * (not the first occurrence of their fingerprint, ordered by doc_id). */
+  val q83_source_dup_stats: Q = (s, d) =>
+    fpRanked(s, d)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup"))
       .withColumn("dup_rate",
         round4(col("n_dup").cast("double") / col("n_docs").cast("double")))
       .orderBy("source")
-  }
 
   /** q84: multilingual temperature sampling — per-language sampling
     * probability p_l ∝ count_l^α at α = 0.5 (the up-weight-the-tail scheme
@@ -245,18 +254,15 @@ object Curation {
     * move elsewhere. q83 answers WHO duplicates, q95 answers WHERE
     * duplicates come from, q97 answers WHEN novelty dried up. One window
     * over the fp partition + a batch-keyed aggregate — both narrow keys. */
-  val q97_novelty_curve: Q = (s, d) => {
-    val w = Window.partitionBy("fp").orderBy("doc_id")
-    docShingles(s, d)
-      .select(col("doc_id"), md5(col("norm")).as("fp"))
-      .withColumn("is_new", when(row_number().over(w) === 1, 1L).otherwise(0L))
+  val q97_novelty_curve: Q = (s, d) =>
+    fpRanked(s, d)
       .withColumn("batch", floor(col("doc_id") / 100).cast("long"))
       .groupBy("batch")
-      .agg(count(lit(1)).as("n_docs"), sum("is_new").as("n_novel"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty_rate",
         round4(col("n_novel").cast("double") / col("n_docs").cast("double")))
       .orderBy("batch")
-  }
 
   val queries: Map[String, Q] = Map(
     "q78_seq_packing" -> q78_seq_packing,

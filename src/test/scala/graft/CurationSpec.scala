@@ -264,19 +264,14 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("q98: budget targets follow sqrt weights; tail languages flag oversampled") {
-    import spark.implicits._
     // en: 4 docs (weight 2), und: 1 doc (weight 1) → dn = 3, p = 2/3 and
     // 1/3, targets 66667 / 33333 of the 100k budget. en has 68k tokens
     // available (covered), und has 10 (oversampled — the up-weighted tail).
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
-    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
-    Seq(
+    val dir = writeMiniDocsLang(Seq(
       (0L, words(17000), "en"), (1L, words(17000), "en"),
       (2L, words(17000), "en"), (3L, words(17000), "en"),
-      (4L, words(10), "und"))
-      .map { case (id, t, l) => (id, t, l, s"src${id % 3}", t.length.toLong) }
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      (4L, words(10), "und")))
     val got = Curation.q98_sampling_plan(spark, dir).collect()
       .map(r => r.getAs[String]("lang") ->
         (r.getAs[Long]("available_tokens"), r.getAs[Long]("target_tokens"),

@@ -65,10 +65,16 @@ trait SparkTestBase {
   }
 
   /** Write a tiny documents.parquet from (doc_id, text) pairs. */
-  def writeMiniDocs(docs: Seq[(Long, String)]): String = {
+  def writeMiniDocs(docs: Seq[(Long, String)]): String =
+    writeMiniDocsLang(docs.map { case (id, t) => (id, t, "en") })
+
+  /** [[writeMiniDocs]] with an explicit lang per doc — the one writer of
+    * the documents fixture schema (source = src{id % 3}, n_chars = text
+    * length). */
+  def writeMiniDocsLang(docs: Seq[(Long, String, String)]): String = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
-    docs.map { case (id, t) => (id, t, "en", s"src${id % 3}", t.length.toLong) }
+    docs.map { case (id, t, l) => (id, t, l, s"src${id % 3}", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     dir
