@@ -206,6 +206,80 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** q99: TRAINED IVF codebook — one deterministic Lloyd iteration
+    * (spherical k-means step) on q37's training-free seed codebook, with
+    * the recall of both codebooks against the exact top-5 reported side by
+    * side: the measured answer to "is centroid training worth a pass over
+    * the corpus?". The step: assign every vector to its nearest seed
+    * centroid (cosine, the q37 ranking), recompute each centroid as the
+    * elementwise mean of its members — folded in vec_id order via
+    * `zip_with` addition so the double sums are bit-identical across
+    * engines (the q84 sorted-fold rule; no dim constant needed) — then
+    * re-assign, re-probe and re-search. A centroid that loses every member
+    * keeps its seed vector (can only happen with duplicate seed vectors).
+    *
+    * Measured at sf0.01 (both engines agree — it's the gated result): one
+    * iteration leaves 4-probe recall flat (0.92 → 0.90; this corpus has no
+    * cluster structure for training to find) but BALANCES the buckets
+    * (max bucket 42 → 37) — and at cluster scale, where each bucket is a
+    * partition, the max bucket is the straggler, so balance is the real
+    * operational win of training. Both halves of that answer ship in the
+    * output: recall AND bucket extremes per codebook.
+    *
+    * Scale shape: training is one narrow groupBy on c_id over (id, vector)
+    * pairs — the same aggregate a full Lloyd loop iterates, so the 100 TB
+    * path is this exact plan driven in a q61-style loop; the search stays
+    * q37's partition-pruning shape. */
+  lazy val q99_ivf_trained_recall: Q = (s, d) => {
+    val all = vecs(s, d)
+    val seed = all.where(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    // one seed-codebook ranking serves both the Lloyd assignment (rn = 1)
+    // and the naive-recall arm's search (rn ≤ nProbe)
+    val ranked0 = centroidRanks(s, d, nProbe).localCheckpoint(true)
+    val members = ranked0.where(col("rn") === 1).join(all, "vec_id")
+      .groupBy("c_id")
+      .agg(sort_array(collect_list(struct(col("vec_id").as("k"), col("v").as("v"))))
+        .as("arr"), count(lit(1)).as("n"))
+      .withColumn("zero", transform(element_at(col("arr"), 1).getField("v"), _ => lit(0.0)))
+      .withColumn("sum_v", aggregate(col("arr"), col("zero"),
+        (acc, m) => zip_with(acc, m.getField("v"), (a, b) => a + b)))
+      .select(col("c_id"), transform(col("sum_v"), x => x / col("n")).as("mv"))
+    val trained = seed.join(members, Seq("c_id"), "left")
+      .withColumn("cv2", coalesce(col("mv"), col("cv")))
+      .select(col("c_id"), col("cv2").as("cv"),
+        graft.functions.VectorOps.norm(col("cv2")).as("cn"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
+    val ranked1 = all.crossJoin(broadcast(trained))
+      .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= nProbe)
+      .select(col("vec_id"), col("c_id"), col("rn"))
+      .localCheckpoint(true)
+    val exact = q36_knn_brute(s, d)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    def recallRow(ranked: DataFrame, label: String): DataFrame = {
+      // bucket balance is the operational half of the answer: at cluster
+      // scale each bucket is a partition, so max_bucket IS the straggler
+      val buckets = ranked.where(col("rn") === 1)
+        .groupBy("c_id").agg(count(lit(1)).as("bs"))
+        .agg(max("bs").as("max_bucket"), min("bs").as("min_bucket"))
+      exact.join(ivfKnnFrom(s, d, ranked, nProbe)
+          .select(col("query_id").as("q2"), col("neighbor_id").as("n2")),
+          col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("n2")).as("n_found"))
+        .crossJoin(broadcast(buckets))
+        .select(lit(label).as("codebook"), col("n_exact"), col("n_found"),
+          round4(col("n_found").cast("double") / col("n_exact").cast("double"))
+            .as("recall"),
+          col("max_bucket"), col("min_bucket"))
+    }
+    recallRow(ranked0, "naive")
+      .unionAll(recallRow(ranked1, "trained"))
+      .orderBy("codebook")
+  }
+
   val queries: Map[String, Q] = Map(
     "q36_knn_brute" -> q36_knn_brute,
     "q37_knn_ivf" -> q37_knn_ivf,
@@ -213,7 +287,8 @@ object Similarity {
     "q62_embed_quantize" -> q62_embed_quantize,
     "q67_ivf_bucket_sizes" -> q67_ivf_bucket_sizes,
     "q85_quantized_knn_recall" -> q85_quantized_knn_recall,
-    "q92_ivf_nprobe_sweep" -> q92_ivf_nprobe_sweep)
+    "q92_ivf_nprobe_sweep" -> q92_ivf_nprobe_sweep,
+    "q99_ivf_trained_recall" -> q99_ivf_trained_recall)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -382,6 +457,66 @@ object Similarity {
          |  ON b.query_id = k.query_id AND b.neighbor_id = k.neighbor_id
          |GROUP BY b.query_id
          |ORDER BY b.query_id""".stripMargin,
+    "q99_ivf_trained_recall" ->
+      s"""WITH $vecsCte, $bruteCte, $ivfCte,
+         |mem AS (
+         |  SELECT a.c_id, list(x.v ORDER BY x.vec_id) AS vs,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM assign a JOIN vecs x USING (vec_id) GROUP BY a.c_id),
+         |tc AS (
+         |  SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+         |    SELECT c.c_id,
+         |           coalesce(list_transform(range(1, len(m.vs[1]) + 1),
+         |             j -> list_aggregate(list_transform(m.vs, w -> w[CAST(j AS INT)]),
+         |                    'sum') / m.n), c.cv) AS cv
+         |    FROM cent c LEFT JOIN mem m ON c.c_id = m.c_id)),
+         |ranked1 AS (
+         |  SELECT x.vec_id, t.c_id,
+         |         row_number() OVER (PARTITION BY x.vec_id
+         |           ORDER BY list_dot_product(x.v, t.cv) / (x.nrm * t.cn) DESC,
+         |                    t.c_id ASC) AS rn
+         |  FROM vecs x CROSS JOIN tc t),
+         |assign1 AS (SELECT vec_id, c_id FROM ranked1 WHERE rn = 1),
+         |probes1 AS (SELECT vec_id AS query_id, c_id FROM ranked1
+         |            WHERE vec_id < $numQueries AND rn <= $nProbe),
+         |ivf1 AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, a.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY p.query_id
+         |             ORDER BY list_dot_product(q.v, n.v) / (q.nrm * n.nrm) DESC,
+         |                      a.vec_id ASC) AS rank
+         |    FROM probes1 p
+         |    JOIN assign1 a ON p.c_id = a.c_id AND a.vec_id <> p.query_id
+         |    JOIN vecs q ON q.vec_id = p.query_id
+         |    JOIN vecs n ON n.vec_id = a.vec_id)
+         |  WHERE rank <= $topK),
+         |bk0 AS (
+         |  SELECT CAST(max(bs) AS BIGINT) AS max_bucket,
+         |         CAST(min(bs) AS BIGINT) AS min_bucket
+         |  FROM (SELECT count(*) AS bs FROM assign GROUP BY c_id)),
+         |bk1 AS (
+         |  SELECT CAST(max(bs) AS BIGINT) AS max_bucket,
+         |         CAST(min(bs) AS BIGINT) AS min_bucket
+         |  FROM (SELECT count(*) AS bs FROM assign1 GROUP BY c_id))
+         |SELECT * FROM (
+         |  SELECT 'naive' AS codebook,
+         |         CAST(count(*) AS BIGINT) AS n_exact,
+         |         CAST(count(i.neighbor_id) AS BIGINT) AS n_found,
+         |         ${round4Sql("CAST(count(i.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS recall,
+         |         max(bk0.max_bucket) AS max_bucket, max(bk0.min_bucket) AS min_bucket
+         |  FROM brute b LEFT JOIN ivf i
+         |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |  CROSS JOIN bk0
+         |  UNION ALL
+         |  SELECT 'trained',
+         |         CAST(count(*) AS BIGINT),
+         |         CAST(count(i.neighbor_id) AS BIGINT),
+         |         ${round4Sql("CAST(count(i.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)")},
+         |         max(bk1.max_bucket), max(bk1.min_bucket)
+         |  FROM brute b LEFT JOIN ivf1 i
+         |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |  CROSS JOIN bk1)
+         |ORDER BY codebook""".stripMargin,
     "q67_ivf_bucket_sizes" ->
       s"""WITH $vecsCte,
          |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vecs
