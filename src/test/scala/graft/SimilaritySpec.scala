@@ -46,4 +46,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .toMap
     assert(ivf(0L) == 1L && ivf(2L) == 3L)
   }
+
+  test("q99: singleton buckets train to themselves — trained equals naive") {
+    // every vector is its own centroid, so each Lloyd mean is the mean of
+    // one member = the vector itself: the trained codebook must reproduce
+    // the naive row exactly (pins the fold+divide identity end to end)
+    val rows = Similarity.q99_ivf_trained_recall(spark, dir).collect()
+      .map(r => r.getAs[String]("codebook") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_found"), r.getAs[Double]("recall"),
+          r.getAs[Long]("max_bucket"), r.getAs[Long]("min_bucket")))
+      .toMap
+    assert(rows.keySet == Set("naive", "trained"))
+    assert(rows("trained") == rows("naive"))
+    assert(rows("naive")._4 == 1L && rows("naive")._5 == 1L) // singleton buckets
+  }
+
+  test("q99: a centroid emptied by a duplicate seed keeps its seed vector") {
+    // seeds 0 and 1 are identical: every vector ties at cosine 1.0·sim and
+    // the c_id tie-break sends ALL members to centroid 0, leaving centroid
+    // 1 memberless — the coalesce fallback path. The query must still
+    // produce both well-formed rows (one populated bucket per codebook).
+    val ddir = writeMiniEmbeddings(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(1f, 0f, 0f, 0f),
+      16L -> Seq(0.9f, 0.1f, 0f, 0f),
+      17L -> Seq(0.9f, -0.1f, 0f, 0f)))
+    val rows = Similarity.q99_ivf_trained_recall(spark, ddir).collect()
+      .map(r => r.getAs[String]("codebook") ->
+        (r.getAs[Long]("max_bucket"), r.getAs[Long]("min_bucket")))
+      .toMap
+    assert(rows("naive") == ((4L, 4L)))   // one bucket holds all 4 vectors
+    assert(rows("trained") == ((4L, 4L))) // empty centroid kept its seed
+  }
 }
