@@ -226,10 +226,15 @@ object Similarity {
     * operational win of training. Both halves of that answer ship in the
     * output: recall AND bucket extremes per codebook.
     *
-    * Scale shape: training is one narrow groupBy on c_id over (id, vector)
-    * pairs — the same aggregate a full Lloyd loop iterates, so the 100 TB
-    * path is this exact plan driven in a q61-style loop; the search stays
-    * q37's partition-pruning shape. */
+    * Scale shape: the vec_id-ordered collect_list fold exists for the
+    * cross-engine gate (bit-identical mean sums); it bounds a centroid's
+    * members into one task, which is fine at test scale but NOT the
+    * 100 TB shape. The production Lloyd step replaces it with a partial
+    * elementwise SUM + count (mergeable, map-side combined, no per-group
+    * array) — same result up to float reassociation, which a training
+    * loop tolerates and a hash gate cannot. Everything else (assignment,
+    * probe, search) is q37's partition-pruning shape, and the full Lloyd
+    * loop drives this plan q61-style. */
   lazy val q99_ivf_trained_recall: Q = (s, d) => {
     val all = vecs(s, d)
     val seed = all.where(col("vec_id") < numCentroids)
