@@ -186,10 +186,59 @@ object Pipeline {
       .orderBy("stage_id")
   }
 
+  /** q100: the capstone composition — q87's curation funnel run PER SPLIT
+    * of q70's deterministic hash split: for each of train/val/test, the
+    * doc and token counts surviving raw → split-local exact dedup (first
+    * doc per (split, fp)) → split-local near-dup survivors (first doc per
+    * (split, cluster): each split keeps one representative of every q61
+    * cluster it sees, which implies the exact-dedup stage since identical
+    * docs always share a cluster) → the q57 quality gate. This is the
+    * table a training run reads last: what each split actually ships
+    * after curation. One pass over the corpus: two (split, key) windows +
+    * a split-keyed conditional aggregation exploded to 4 rows per split —
+    * no per-stage re-scan. An empty corpus yields no splits, hence no
+    * rows (unlike q87's fixed 4-row report). */
+  val q100_split_funnel: Q = (s, d) => {
+    val b = idBucket(col("doc_id"))
+    val base = TextStats.withQuality(docShingles(s, d))
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+      .withColumn("fp", md5(col("norm")))
+      .join(broadcast(Dedup.memoLabels(s, d)), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component_id"), col("doc_id")))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("split", "fp").orderBy("doc_id")))
+      .withColumn("rn_cl",
+        row_number().over(Window.partitionBy("split", "cluster_id").orderBy("doc_id")))
+    val s2 = col("rn") === 1
+    val s3 = col("rn_cl") === 1 // ⊆ s2: the fp group is a subset of the cluster
+    val s4 = s3 && col("score") >= 0.68 && col("n_tokens") >= 20
+    def cnt(c: Column) = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    def tok(c: Column) = coalesce(sum(when(c, col("n_tokens")).otherwise(0L)), lit(0L))
+    val agg = base.groupBy("split").agg(
+      count(lit(1)).as("c1"), coalesce(sum("n_tokens"), lit(0L)).as("t1"),
+      cnt(s2).as("c2"), tok(s2).as("t2"),
+      cnt(s3).as("c3"), tok(s3).as("t3"),
+      cnt(s4).as("c4"), tok(s4).as("t4"))
+    def stageStruct(id: Int, name: String, c: String, t: String) =
+      struct(lit(id.toLong).as("stage_id"), lit(name).as("stage"),
+        col(c).as("n_docs"), col(t).as("n_tokens"))
+    agg.select(col("split"), explode(array(
+        stageStruct(1, "raw", "c1", "t1"),
+        stageStruct(2, "exact_dedup", "c2", "t2"),
+        stageStruct(3, "near_dedup", "c3", "t3"),
+        stageStruct(4, "quality", "c4", "t4"))).as("st"))
+      .select(col("split"), col("st.stage_id").as("stage_id"),
+        col("st.stage").as("stage"),
+        col("st.n_docs").as("n_docs"), col("st.n_tokens").as("n_tokens"))
+      .orderBy("split", "stage_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q56_star_rollup" -> q56_star_rollup,
     "q57_pipeline" -> q57_pipeline,
     "q70_data_split" -> q70_data_split,
+    "q100_split_funnel" -> q100_split_funnel,
     "q77_contamination" -> q77_contamination,
     "q87_curation_funnel" -> q87_curation_funnel,
     "q88_verbatim_contamination" -> q88_verbatim_contamination)
@@ -247,6 +296,50 @@ object Pipeline {
         |FROM te LEFT JOIN tr ON te.w = tr.w
         |GROUP BY te.doc_id, n_windows
         |ORDER BY te.doc_id""".stripMargin),
+    "q100_split_funnel" -> withDocs(
+      s"""${Dedup.ccReachCtes},
+         |comp AS (
+         |  SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS component_id
+         |  FROM reach GROUP BY src),
+         |${TextStats.qualCte},
+         |lab AS (
+         |  SELECT q.doc_id, q.n_tokens, q.score,
+         |         CASE WHEN ${idBucketSql("q.doc_id")} < 80 THEN 'train'
+         |              WHEN ${idBucketSql("q.doc_id")} < 90 THEN 'val'
+         |              ELSE 'test' END AS split,
+         |         coalesce(c.component_id, q.doc_id) AS cluster_id,
+         |         md5(q.norm) AS fp
+         |  FROM qual q LEFT JOIN comp c ON q.doc_id = c.doc_id),
+         |rk AS (
+         |  SELECT *,
+         |         row_number() OVER (PARTITION BY split, fp ORDER BY doc_id) AS rn,
+         |         row_number() OVER (PARTITION BY split, cluster_id ORDER BY doc_id)
+         |           AS rn_cl
+         |  FROM lab),
+         |a AS (
+         |  SELECT split,
+         |         CAST(count(*) AS BIGINT) AS c1,
+         |         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS t1,
+         |         CAST(coalesce(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c2,
+         |         CAST(coalesce(sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t2,
+         |         CAST(coalesce(sum(CASE WHEN rn_cl = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c3,
+         |         CAST(coalesce(sum(CASE WHEN rn_cl = 1 THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t3,
+         |         CAST(coalesce(sum(CASE WHEN rn_cl = 1 AND score >= 0.68
+         |                        AND n_tokens >= 20 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c4,
+         |         CAST(coalesce(sum(CASE WHEN rn_cl = 1 AND score >= 0.68
+         |                        AND n_tokens >= 20 THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t4
+         |  FROM rk GROUP BY split)
+         |SELECT * FROM (
+         |  SELECT split, CAST(1 AS BIGINT) AS stage_id, 'raw' AS stage,
+         |         c1 AS n_docs, t1 AS n_tokens FROM a
+         |  UNION ALL
+         |  SELECT split, CAST(2 AS BIGINT), 'exact_dedup', c2, t2 FROM a
+         |  UNION ALL
+         |  SELECT split, CAST(3 AS BIGINT), 'near_dedup', c3, t3 FROM a
+         |  UNION ALL
+         |  SELECT split, CAST(4 AS BIGINT), 'quality', c4, t4 FROM a)
+         |ORDER BY split, stage_id""".stripMargin)
+      .replaceFirst("^WITH ", "WITH RECURSIVE "),
     "q87_curation_funnel" -> withDocs(
       s"""${Dedup.ccReachCtes},
          |comp AS (

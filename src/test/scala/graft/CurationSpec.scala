@@ -204,6 +204,29 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       "quality" -> ((1L, 100L))))
   }
 
+  test("q100: funnel stages are split-local — a dup pair inside train dedups, a cross-split pair does not") {
+    def wordsN(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val trainIds = (0L to 400L).filter(bucket(_) < 80).take(2)
+    val testId = (0L to 400L).find(bucket(_) >= 90).get
+    val Seq(tr1, tr2) = trainIds.sorted.toSeq
+    // tr1/tr2 duplicate each other INSIDE train → train keeps one at the
+    // exact-dedup stage; testId carries the same text but is alone in its
+    // split, so test keeps its copy (split-local, not corpus-wide, dedup)
+    val text = wordsN(100, "w")
+    val dir = writeMiniDocs(Seq((tr1, text), (tr2, text), (testId, text)))
+    val rows = Pipeline.q100_split_funnel(spark, dir).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("stage_id")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+      .toMap
+    assert(rows(("train", 1L)) == ((2L, 200L)))
+    assert(rows(("train", 2L)) == ((1L, 100L))) // split-local exact dedup
+    assert(rows(("train", 3L)) == ((1L, 100L)))
+    assert(rows(("train", 4L)) == ((1L, 100L))) // 100 distinct words → score passes
+    assert(rows(("test", 1L)) == ((1L, 100L)))
+    assert(rows(("test", 2L)) == ((1L, 100L))) // the cross-split copy survives
+    assert(rows(("test", 3L)) == ((1L, 100L))) // its cluster's only doc in test
+  }
+
   test("document-family queries survive an empty corpus") {
     // the degenerate input every operator must not crash on: empty
     // aggregations, empty pair graphs, empty window partitions
@@ -216,7 +239,7 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       Curation.q98_sampling_plan,
       Dedup.q31_dedup_exact, Dedup.q81_cluster_reps,
       Dedup.q86_leakage_safe_split, Dedup.q89_incremental_neardup,
-      Pipeline.q88_verbatim_contamination,
+      Pipeline.q88_verbatim_contamination, Pipeline.q100_split_funnel,
       graft.ops.TextStats.q94_tfidf_terms,
       graft.ops.TextStats.q96_bpe_merge_pairs)
     zeroRow.foreach { q => assert(q(spark, dir).count() == 0L) }
