@@ -154,6 +154,39 @@ object Pipeline {
     * subset of the cluster); quality applies the q57 thresholds. One
     * conditional aggregation over the corpus (single pass, no per-stage
     * re-scan), exploded to the 4 report rows. */
+  /** The staged conditional aggregation + explode shared by q87 (global)
+    * and q100 (per split): 4 report rows per group from one corpus pass.
+    * The coalesces matter only in the global (keys-empty) form, where an
+    * empty corpus still emits its 4 zeroed rows; a grouped form has no
+    * empty groups. `s2 ⊇ s3 ⊇ s4` is the CALLER's monotonicity
+    * obligation. */
+  private def funnelReport(base: DataFrame, s2: Column, s3: Column,
+      s4: Column, keys: Seq[String]): DataFrame = {
+    def cnt(c: Column) = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    def tok(c: Column) = coalesce(sum(when(c, col("n_tokens")).otherwise(0L)), lit(0L))
+    val measures = Seq(
+      count(lit(1)).as("c1"), coalesce(sum("n_tokens"), lit(0L)).as("t1"),
+      cnt(s2).as("c2"), tok(s2).as("t2"),
+      cnt(s3).as("c3"), tok(s3).as("t3"),
+      cnt(s4).as("c4"), tok(s4).as("t4"))
+    val agg =
+      if (keys.isEmpty) base.agg(measures.head, measures.tail: _*)
+      else base.groupBy(keys.map(col): _*).agg(measures.head, measures.tail: _*)
+    def stageStruct(id: Int, name: String, c: String, t: String) =
+      struct(lit(id.toLong).as("stage_id"), lit(name).as("stage"),
+        col(c).as("n_docs"), col(t).as("n_tokens"))
+    val outKeys = keys.map(col)
+    agg.select(outKeys :+ explode(array(
+        stageStruct(1, "raw", "c1", "t1"),
+        stageStruct(2, "exact_dedup", "c2", "t2"),
+        stageStruct(3, "near_dedup", "c3", "t3"),
+        stageStruct(4, "quality", "c4", "t4"))).as("st"): _*)
+      .select(outKeys ++ Seq(col("st.stage_id").as("stage_id"),
+        col("st.stage").as("stage"),
+        col("st.n_docs").as("n_docs"), col("st.n_tokens").as("n_tokens")): _*)
+      .orderBy((keys :+ "stage_id").map(col): _*)
+  }
+
   val q87_curation_funnel: Q = (s, d) => {
     val w = Window.partitionBy("fp").orderBy("doc_id")
     val base = TextStats.withQuality(docShingles(s, d))
@@ -164,26 +197,7 @@ object Pipeline {
     val s2 = col("rn") === 1
     val s3 = s2 && col("cluster_id") === col("doc_id")
     val s4 = s3 && col("score") >= 0.68 && col("n_tokens") >= 20
-    // both aggregates coalesce to 0 on an empty corpus (sum-over-nothing is
-    // NULL) — the funnel's documented all-zeros contract, EmptyCorpusSpec
-    def cnt(c: Column) = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
-    def tok(c: Column) = coalesce(sum(when(c, col("n_tokens")).otherwise(0L)), lit(0L))
-    val agg = base.agg(
-      count(lit(1)).as("c1"), coalesce(sum("n_tokens"), lit(0L)).as("t1"),
-      cnt(s2).as("c2"), tok(s2).as("t2"),
-      cnt(s3).as("c3"), tok(s3).as("t3"),
-      cnt(s4).as("c4"), tok(s4).as("t4"))
-    def stageStruct(id: Int, name: String, c: String, t: String) =
-      struct(lit(id.toLong).as("stage_id"), lit(name).as("stage"),
-        col(c).as("n_docs"), col(t).as("n_tokens"))
-    agg.select(explode(array(
-        stageStruct(1, "raw", "c1", "t1"),
-        stageStruct(2, "exact_dedup", "c2", "t2"),
-        stageStruct(3, "near_dedup", "c3", "t3"),
-        stageStruct(4, "quality", "c4", "t4"))).as("st"))
-      .select(col("st.stage_id").as("stage_id"), col("st.stage").as("stage"),
-        col("st.n_docs").as("n_docs"), col("st.n_tokens").as("n_tokens"))
-      .orderBy("stage_id")
+    funnelReport(base, s2, s3, s4, Seq.empty)
   }
 
   /** q100: the capstone composition — q87's curation funnel run PER SPLIT
@@ -211,27 +225,13 @@ object Pipeline {
       .withColumn("rn_cl",
         row_number().over(Window.partitionBy("split", "cluster_id").orderBy("doc_id")))
     val s2 = col("rn") === 1
-    val s3 = col("rn_cl") === 1 // ⊆ s2: the fp group is a subset of the cluster
+    // the explicit s2 conjunction matters: identical docs with < 3 words
+    // have EMPTY shingle sets, so they never become near-dup candidates
+    // and each keeps a singleton cluster — rn_cl alone would then admit
+    // stage-3 rows that failed stage 2, breaking funnel monotonicity
+    val s3 = s2 && col("rn_cl") === 1
     val s4 = s3 && col("score") >= 0.68 && col("n_tokens") >= 20
-    def cnt(c: Column) = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
-    def tok(c: Column) = coalesce(sum(when(c, col("n_tokens")).otherwise(0L)), lit(0L))
-    val agg = base.groupBy("split").agg(
-      count(lit(1)).as("c1"), coalesce(sum("n_tokens"), lit(0L)).as("t1"),
-      cnt(s2).as("c2"), tok(s2).as("t2"),
-      cnt(s3).as("c3"), tok(s3).as("t3"),
-      cnt(s4).as("c4"), tok(s4).as("t4"))
-    def stageStruct(id: Int, name: String, c: String, t: String) =
-      struct(lit(id.toLong).as("stage_id"), lit(name).as("stage"),
-        col(c).as("n_docs"), col(t).as("n_tokens"))
-    agg.select(col("split"), explode(array(
-        stageStruct(1, "raw", "c1", "t1"),
-        stageStruct(2, "exact_dedup", "c2", "t2"),
-        stageStruct(3, "near_dedup", "c3", "t3"),
-        stageStruct(4, "quality", "c4", "t4"))).as("st"))
-      .select(col("split"), col("st.stage_id").as("stage_id"),
-        col("st.stage").as("stage"),
-        col("st.n_docs").as("n_docs"), col("st.n_tokens").as("n_tokens"))
-      .orderBy("split", "stage_id")
+    funnelReport(base, s2, s3, s4, Seq("split"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -322,11 +322,11 @@ object Pipeline {
          |         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS t1,
          |         CAST(coalesce(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c2,
          |         CAST(coalesce(sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t2,
-         |         CAST(coalesce(sum(CASE WHEN rn_cl = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c3,
-         |         CAST(coalesce(sum(CASE WHEN rn_cl = 1 THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t3,
-         |         CAST(coalesce(sum(CASE WHEN rn_cl = 1 AND score >= 0.68
+         |         CAST(coalesce(sum(CASE WHEN rn = 1 AND rn_cl = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c3,
+         |         CAST(coalesce(sum(CASE WHEN rn = 1 AND rn_cl = 1 THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t3,
+         |         CAST(coalesce(sum(CASE WHEN rn = 1 AND rn_cl = 1 AND score >= 0.68
          |                        AND n_tokens >= 20 THEN 1 ELSE 0 END), 0) AS BIGINT) AS c4,
-         |         CAST(coalesce(sum(CASE WHEN rn_cl = 1 AND score >= 0.68
+         |         CAST(coalesce(sum(CASE WHEN rn = 1 AND rn_cl = 1 AND score >= 0.68
          |                        AND n_tokens >= 20 THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t4
          |  FROM rk GROUP BY split)
          |SELECT * FROM (

@@ -118,7 +118,10 @@ object Similarity {
           col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
         .agg(count(lit(1)).as("n_exact"), count(col("n2")).as("n_found"))
         .select(lit(p.toLong).as("nprobe"), col("n_exact"), col("n_found"),
-          round4(col("n_found").cast("double") / col("n_exact").cast("double"))
+          // 0/0 guard: NULL recall when the exact set is empty (see q60)
+          when(col("n_exact") === 0, lit(null).cast("double"))
+            .otherwise(round4(
+              col("n_found").cast("double") / col("n_exact").cast("double")))
             .as("recall"))
     }.reduce(_ unionAll _).orderBy("nprobe")
   }
@@ -250,11 +253,18 @@ object Similarity {
       .withColumn("sum_v", aggregate(col("arr"), col("zero"),
         (acc, m) => zip_with(acc, m.getField("v"), (a, b) => a + b)))
       .select(col("c_id"), transform(col("sum_v"), x => x / col("n")).as("mv"))
+    // a centroid keeps its seed when memberless OR when its members' mean
+    // is the zero vector (e.g. a v/-v bucket): a zero-norm centroid makes
+    // every cosine 0/0 — NaN ranking chaos in both engines. The dot test
+    // branches identically cross-engine because the mean sums are
+    // bit-identical. No checkpoint: trained has exactly one consumer
+    // (ranked1, itself checkpointed), so pinning it only adds a job.
     val trained = seed.join(members, Seq("c_id"), "left")
-      .withColumn("cv2", coalesce(col("mv"), col("cv")))
+      .withColumn("cv2",
+        when(col("mv").isNull || dot(col("mv"), col("mv")) === 0.0, col("cv"))
+          .otherwise(col("mv")))
       .select(col("c_id"), col("cv2").as("cv"),
         graft.functions.VectorOps.norm(col("cv2")).as("cn"))
-      .localCheckpoint(true)
     val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
     val ranked1 = all.crossJoin(broadcast(trained))
       .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
@@ -276,7 +286,10 @@ object Similarity {
         .agg(count(lit(1)).as("n_exact"), count(col("n2")).as("n_found"))
         .crossJoin(broadcast(buckets))
         .select(lit(label).as("codebook"), col("n_exact"), col("n_found"),
-          round4(col("n_found").cast("double") / col("n_exact").cast("double"))
+          // 0/0 guard: NULL recall when the exact set is empty (see q60)
+          when(col("n_exact") === 0, lit(null).cast("double"))
+            .otherwise(round4(
+              col("n_found").cast("double") / col("n_exact").cast("double")))
             .as("recall"),
           col("max_bucket"), col("min_bucket"))
     }
@@ -366,7 +379,9 @@ object Similarity {
     s"""SELECT CAST($p AS BIGINT) AS nprobe,
        |       CAST(count(*) AS BIGINT) AS n_exact,
        |       CAST(count(i.neighbor_id) AS BIGINT) AS n_found,
-       |       ${round4Sql("CAST(count(i.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS recall
+       |       CASE WHEN count(*) = 0 THEN NULL
+       |            ELSE ${round4Sql("CAST(count(i.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+       |       END AS recall
        |FROM brute b LEFT JOIN ivf$p i
        |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id""".stripMargin
 
@@ -468,13 +483,19 @@ object Similarity {
          |  SELECT a.c_id, list(x.v ORDER BY x.vec_id) AS vs,
          |         CAST(count(*) AS BIGINT) AS n
          |  FROM assign a JOIN vecs x USING (vec_id) GROUP BY a.c_id),
+         |tm AS (
+         |  SELECT c.c_id, c.cv AS seed,
+         |         CASE WHEN m.n IS NULL THEN NULL
+         |              ELSE list_transform(range(1, len(m.vs[1]) + 1),
+         |                j -> list_aggregate(list_transform(m.vs, w -> w[CAST(j AS INT)]),
+         |                       'sum') / m.n) END AS mv
+         |  FROM cent c LEFT JOIN mem m ON c.c_id = m.c_id),
          |tc AS (
          |  SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
-         |    SELECT c.c_id,
-         |           coalesce(list_transform(range(1, len(m.vs[1]) + 1),
-         |             j -> list_aggregate(list_transform(m.vs, w -> w[CAST(j AS INT)]),
-         |                    'sum') / m.n), c.cv) AS cv
-         |    FROM cent c LEFT JOIN mem m ON c.c_id = m.c_id)),
+         |    SELECT c_id,
+         |           CASE WHEN mv IS NULL OR list_dot_product(mv, mv) = 0
+         |                THEN seed ELSE mv END AS cv
+         |    FROM tm)),
          |ranked1 AS (
          |  SELECT x.vec_id, t.c_id,
          |         row_number() OVER (PARTITION BY x.vec_id
@@ -507,7 +528,9 @@ object Similarity {
          |  SELECT 'naive' AS codebook,
          |         CAST(count(*) AS BIGINT) AS n_exact,
          |         CAST(count(i.neighbor_id) AS BIGINT) AS n_found,
-         |         ${round4Sql("CAST(count(i.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS recall,
+         |         CASE WHEN count(*) = 0 THEN NULL
+         |              ELSE ${round4Sql("CAST(count(i.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+         |         END AS recall,
          |         max(bk0.max_bucket) AS max_bucket, max(bk0.min_bucket) AS min_bucket
          |  FROM brute b LEFT JOIN ivf i
          |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
@@ -516,7 +539,9 @@ object Similarity {
          |  SELECT 'trained',
          |         CAST(count(*) AS BIGINT),
          |         CAST(count(i.neighbor_id) AS BIGINT),
-         |         ${round4Sql("CAST(count(i.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)")},
+         |         CASE WHEN count(*) = 0 THEN NULL
+         |              ELSE ${round4Sql("CAST(count(i.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+         |         END,
          |         max(bk1.max_bucket), max(bk1.min_bucket)
          |  FROM brute b LEFT JOIN ivf1 i
          |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id

@@ -227,6 +227,20 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(("test", 3L)) == ((1L, 100L))) // its cluster's only doc in test
   }
 
+  test("q100: identical sub-shingle docs (no near-dup candidacy) still dedup exactly — stages stay monotone") {
+    // < 3 words → empty shingle sets → the pair never becomes a near-dup
+    // candidate and each doc keeps a singleton cluster. Stage 3 must not
+    // resurrect the stage-2 casualty (s3 is s2-conjoined).
+    val Seq(tr1, tr2) = (0L to 400L).filter(bucket(_) < 80).take(2).sorted.toSeq
+    val dir = writeMiniDocs(Seq((tr1, "hi there"), (tr2, "hi there")))
+    val rows = Pipeline.q100_split_funnel(spark, dir).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("stage_id")) -> r.getAs[Long]("n_docs"))
+      .toMap
+    assert(rows(("train", 1L)) == 2L)
+    assert(rows(("train", 2L)) == 1L)
+    assert(rows(("train", 3L)) == 1L) // NOT 2: monotone through near_dedup
+  }
+
   test("document-family queries survive an empty corpus") {
     // the degenerate input every operator must not crash on: empty
     // aggregations, empty pair graphs, empty window partitions

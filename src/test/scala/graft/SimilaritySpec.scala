@@ -78,4 +78,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rows("naive") == ((4L, 4L)))   // one bucket holds all 4 vectors
     assert(rows("trained") == ((4L, 4L))) // empty centroid kept its seed
   }
+
+  test("q99: a bucket whose members sum to zero keeps its seed centroid") {
+    // single centroid (id 0); member 16 is its exact negation, so the
+    // Lloyd mean is the zero vector — cosine to it would be 0/0 for every
+    // vector. The zero-norm fallback must keep the seed, making trained
+    // identical to naive.
+    val zdir = writeMiniEmbeddings(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      16L -> Seq(-1f, 0f, 0f, 0f)))
+    val rows = Similarity.q99_ivf_trained_recall(spark, zdir).collect()
+      .map(r => r.getAs[String]("codebook") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_found"), r.getAs[Double]("recall")))
+      .toMap
+    assert(rows("trained") == rows("naive"))
+    assert(rows("naive") == ((1L, 1L, 1.0))) // query 0's only neighbor is 16
+  }
 }
