@@ -56,21 +56,30 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** (vec_id, c_id, rn): every vector's centroids ranked by cosine (desc,
+  /** (vec_id, c_id, rn): every vector's `cents` ranked by cosine (desc,
     * c_id asc), kept to `keep` — the one IVF primitive everything else
     * derives from: rn = 1 is the bucket assignment, rn ≤ p a query's probe
-    * set. One corpus × centroids cross join per call; q92 checkpoints one
-    * call and derives all four sweep points from it. */
-  private def centroidRanks(s: SparkSession, d: String, keep: Int): DataFrame = {
-    val all = vecs(s, d)
-    val cent = all.where(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    * set. One corpus × centroids cross join per call. `cents` must be tiny
+    * (it is broadcast): a codebook, never data. */
+  private def rankAgainst(all: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
-    all.crossJoin(broadcast(cent))
+    all.crossJoin(broadcast(cents))
       .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= keep)
       .select(col("vec_id"), col("c_id"), col("rn"))
+  }
+
+  /** The seed (training-free) codebook: the 16 vectors with vec_id < 16. */
+  private def seedCents(all: DataFrame): DataFrame =
+    all.where(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+
+  /** [[rankAgainst]] the seed codebook; q92 checkpoints one call and
+    * derives all four sweep points from it. */
+  private def centroidRanks(s: SparkSession, d: String, keep: Int): DataFrame = {
+    val all = vecs(s, d)
+    rankAgainst(all, seedCents(all), keep)
   }
 
   /** The q37 IVF search over a prebuilt [[centroidRanks]] frame (ranked to
@@ -209,69 +218,85 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Fixed-point scale for the Lloyd mean sums: member coordinates are
+    * quantized to `floor(x·10⁶ + 0.5)` longs (the q62 round-half-up
+    * convention) before summing, so the per-(centroid, dim) sums are EXACT
+    * INTEGERS — associative, commutative, partition-order-free — and the
+    * mean is one deterministic double division. That is what lets the
+    * production partial-sum aggregation (map-side combined, merge order
+    * nondeterministic) stay bit-identical across engines for the hash
+    * gate; a raw double sum would need a pinned fold order (the old
+    * collect_list shape, which bounds a centroid's members into one
+    * task). Headroom: |x| < 1 in this corpus, so |q| < 10⁶ and a long
+    * holds the sum of ~9·10¹² members per (centroid, dim). */
+  private val lloydScale = 1000000L
+
+  /** One production Lloyd step: recompute each centroid of `assign`
+    * ((vec_id, c_id) rows) as the elementwise mean of its members, keeping
+    * the seed vector for a centroid that is memberless or whose members
+    * sum to zero (a zero-norm centroid makes every cosine 0/0 — NaN
+    * ranking chaos in both engines).
+    *
+    * Scale shape (the 100 TB Lloyd step): members posexplode to narrow
+    * (c_id, dim, q) rows; the groupBy(c_id, dim) integer sum is a
+    * mergeable partial aggregation (map-side combined — SimilaritySpec
+    * pins `partial_sum` on the plan), so a hot centroid's members spread
+    * over every partition instead of folding in one task. The only array
+    * collection is the final groupBy(c_id) over its 64 dim rows — bounded
+    * by dimensionality, not membership. Assumes fixed-dimension vectors
+    * (the embeddings contract; the oracle's template-row CTE assumes the
+    * same). */
+  private[graft] def lloydCodebook(all: DataFrame, assign: DataFrame,
+      seed: DataFrame): DataFrame = {
+    val sums = assign.join(all, "vec_id")
+      .select(col("c_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("c_id"), col("dim"),
+        floor(col("x") * lloydScale + lit(0.5)).as("q"))
+      .groupBy("c_id", "dim")
+      .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+    val means = sums
+      .withColumn("m", col("sq").cast("double") / (col("n") * lit(lloydScale)).cast("double"))
+      .groupBy("c_id")
+      .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("c_id"), transform(col("dm"), x => x.getField("m")).as("mv"))
+    seed.join(means, Seq("c_id"), "left")
+      .withColumn("cv2",
+        when(col("mv").isNull || dot(col("mv"), col("mv")) === 0.0, col("cv"))
+          .otherwise(col("mv")))
+      .select(col("c_id"), col("cv2").as("cv"),
+        graft.functions.VectorOps.norm(col("cv2")).as("cn"))
+  }
+
   /** q99: TRAINED IVF codebook — one deterministic Lloyd iteration
     * (spherical k-means step) on q37's training-free seed codebook, with
     * the recall of both codebooks against the exact top-5 reported side by
     * side: the measured answer to "is centroid training worth a pass over
     * the corpus?". The step: assign every vector to its nearest seed
     * centroid (cosine, the q37 ranking), recompute each centroid as the
-    * elementwise mean of its members — folded in vec_id order via
-    * `zip_with` addition so the double sums are bit-identical across
-    * engines (the q84 sorted-fold rule; no dim constant needed) — then
-    * re-assign, re-probe and re-search. A centroid that loses every member
-    * keeps its seed vector (can only happen with duplicate seed vectors).
+    * elementwise mean of its members ([[lloydCodebook]] — quantized
+    * partial sums, the production shape), then re-assign, re-probe and
+    * re-search. A centroid that loses every member keeps its seed vector
+    * (can only happen with duplicate seed vectors).
     *
     * Measured at sf0.01 (both engines agree — it's the gated result): one
-    * iteration leaves 4-probe recall flat (0.92 → 0.90; this corpus has no
-    * cluster structure for training to find) but BALANCES the buckets
-    * (max bucket 42 → 37) — and at cluster scale, where each bucket is a
-    * partition, the max bucket is the straggler, so balance is the real
-    * operational win of training. Both halves of that answer ship in the
-    * output: recall AND bucket extremes per codebook.
-    *
-    * Scale shape: the vec_id-ordered collect_list fold exists for the
-    * cross-engine gate (bit-identical mean sums); it bounds a centroid's
-    * members into one task, which is fine at test scale but NOT the
-    * 100 TB shape. The production Lloyd step replaces it with a partial
-    * elementwise SUM + count (mergeable, map-side combined, no per-group
-    * array) — same result up to float reassociation, which a training
-    * loop tolerates and a hash gate cannot. Everything else (assignment,
-    * probe, search) is q37's partition-pruning shape, and the full Lloyd
-    * loop drives this plan q61-style. */
+    * iteration leaves 4-probe recall flat (this corpus has no cluster
+    * structure for training to find) but BALANCES the buckets — and at
+    * cluster scale, where each bucket is a partition, the max bucket is
+    * the straggler, so balance is the real operational win of training.
+    * Both halves of that answer ship in the output: recall AND bucket
+    * extremes per codebook. The multi-iteration loop over this step is
+    * q101. */
   lazy val q99_ivf_trained_recall: Q = (s, d) => {
     val all = vecs(s, d)
-    val seed = all.where(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val seed = seedCents(all)
     // one seed-codebook ranking serves both the Lloyd assignment (rn = 1)
     // and the naive-recall arm's search (rn ≤ nProbe)
     val ranked0 = centroidRanks(s, d, nProbe).localCheckpoint(true)
-    val members = ranked0.where(col("rn") === 1).join(all, "vec_id")
-      .groupBy("c_id")
-      .agg(sort_array(collect_list(struct(col("vec_id").as("k"), col("v").as("v"))))
-        .as("arr"), count(lit(1)).as("n"))
-      .withColumn("zero", transform(element_at(col("arr"), 1).getField("v"), _ => lit(0.0)))
-      .withColumn("sum_v", aggregate(col("arr"), col("zero"),
-        (acc, m) => zip_with(acc, m.getField("v"), (a, b) => a + b)))
-      .select(col("c_id"), transform(col("sum_v"), x => x / col("n")).as("mv"))
-    // a centroid keeps its seed when memberless OR when its members' mean
-    // is the zero vector (e.g. a v/-v bucket): a zero-norm centroid makes
-    // every cosine 0/0 — NaN ranking chaos in both engines. The dot test
-    // branches identically cross-engine because the mean sums are
-    // bit-identical. No checkpoint: trained has exactly one consumer
-    // (ranked1, itself checkpointed), so pinning it only adds a job.
-    val trained = seed.join(members, Seq("c_id"), "left")
-      .withColumn("cv2",
-        when(col("mv").isNull || dot(col("mv"), col("mv")) === 0.0, col("cv"))
-          .otherwise(col("mv")))
-      .select(col("c_id"), col("cv2").as("cv"),
-        graft.functions.VectorOps.norm(col("cv2")).as("cn"))
-    val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
-    val ranked1 = all.crossJoin(broadcast(trained))
-      .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= nProbe)
-      .select(col("vec_id"), col("c_id"), col("rn"))
-      .localCheckpoint(true)
+    // no checkpoint: trained has exactly one consumer (ranked1, itself
+    // checkpointed), so pinning it only adds a job.
+    val trained = lloydCodebook(all, ranked0.where(col("rn") === 1)
+      .select(col("vec_id"), col("c_id")), seed)
+    val ranked1 = rankAgainst(all, trained, nProbe).localCheckpoint(true)
     val exact = q36_knn_brute(s, d)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
     def recallRow(ranked: DataFrame, label: String): DataFrame = {
@@ -298,6 +323,53 @@ object Similarity {
       .orderBy("codebook")
   }
 
+  private val lloydIters = 3
+
+  /** q101: the full Lloyd training loop — [[lloydCodebook]] driven k = 3
+    * iterations q61-style (driver loop, per-round localCheckpoint of the
+    * small frames, convergence detected on the assignment-change count),
+    * reporting per iteration the integer convergence trajectory: how many
+    * vectors changed buckets, and the bucket extremes (the straggler
+    * metric). All outputs are integers, so the cross-engine gate is immune
+    * to float formatting; the mean sums themselves are exact quantized
+    * integers (see [[lloydScale]]), so the trajectories are bit-identical
+    * too.
+    *
+    * Convergence short-circuit: a converged assignment (n_changed = 0) is
+    * an exact fixed point — the recomputed codebook is a deterministic
+    * function of the (unchanged) assignment, so every later iteration
+    * repeats the same stats row, which the driver emits without running
+    * further jobs. Per iteration only the codebook (k rows) and the
+    * assignment (narrow (vec_id, c_id)) are checkpointed — the corpus is
+    * re-scanned per round, never materialized, the q61 lineage rule. */
+  lazy val q101_lloyd_loop: Q = (s, d) => {
+    val all = vecs(s, d)
+    val seed = seedCents(all).localCheckpoint(true)
+    def assignOf(cents: DataFrame): DataFrame =
+      rankAgainst(all, cents, 1).where(col("rn") === 1)
+        .select(col("vec_id"), col("c_id")).localCheckpoint(true)
+    var assign = assignOf(seed)
+    var stats = Vector.empty[(Long, Long, Long, Long)]
+    var converged = false
+    for (i <- 1 to lloydIters) {
+      if (converged) stats = stats :+ stats.last.copy(_1 = i.toLong)
+      else {
+        val code = lloydCodebook(all, assign, seed).localCheckpoint(true)
+        val next = assignOf(code)
+        val nChanged = next.join(assign.withColumnRenamed("c_id", "pc"), "vec_id")
+          .where(col("c_id") =!= col("pc")).count()
+        val bk = next.groupBy("c_id").agg(count(lit(1)).as("bs"))
+          .agg(max("bs").as("mx"), min("bs").as("mn")).head()
+        stats = stats :+ ((i.toLong, nChanged, bk.getLong(0), bk.getLong(1)))
+        assign = next
+        converged = nChanged == 0L
+      }
+    }
+    import s.implicits._
+    stats.toDF("iter", "n_changed", "max_bucket", "min_bucket")
+      .orderBy("iter")
+  }
+
   val queries: Map[String, Q] = Map(
     "q36_knn_brute" -> q36_knn_brute,
     "q37_knn_ivf" -> q37_knn_ivf,
@@ -306,7 +378,8 @@ object Similarity {
     "q67_ivf_bucket_sizes" -> q67_ivf_bucket_sizes,
     "q85_quantized_knn_recall" -> q85_quantized_knn_recall,
     "q92_ivf_nprobe_sweep" -> q92_ivf_nprobe_sweep,
-    "q99_ivf_trained_recall" -> q99_ivf_trained_recall)
+    "q99_ivf_trained_recall" -> q99_ivf_trained_recall,
+    "q101_lloyd_loop" -> q101_lloyd_loop)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -384,6 +457,51 @@ object Similarity {
        |       END AS recall
        |FROM brute b LEFT JOIN ivf$p i
        |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id""".stripMargin
+
+  /** The dim-j Lloyd mean over a (vs: list of member vectors, n: count)
+    * row aliased `m`: quantized integer sum (order-free — the oracle's
+    * list fold and Spark's partial aggregation agree exactly) divided by
+    * n·10⁶ in one double op. Mirrors [[lloydCodebook]]. */
+  private def lloydMeanSql(m: String): String =
+    s"CAST(list_aggregate(list_transform($m.vs, " +
+      s"w -> CAST(floor(w[CAST(j AS INT)] * $lloydScale + 0.5) AS BIGINT)), 'sum') AS DOUBLE)" +
+      s" / CAST($m.n * $lloydScale AS DOUBLE)"
+
+  /** One unrolled Lloyd iteration for the q101 oracle: codebook `tc$i`
+    * from `as${i-1}`'s members (quantized means, seed fallback), the
+    * re-assignment `as$i`, and the iteration's integer stats `chg$i` /
+    * `bk$i`. */
+  private def lloydIterCte(i: Int): String =
+    s"""mem$i AS (
+       |  SELECT a.c_id, list(x.v) AS vs, CAST(count(*) AS BIGINT) AS n
+       |  FROM as${i - 1} a JOIN vecs x USING (vec_id) GROUP BY a.c_id),
+       |tm$i AS (
+       |  SELECT c.c_id, c.cv AS seed_v,
+       |         CASE WHEN m.n IS NULL THEN NULL
+       |              ELSE list_transform(range(1, len(m.vs[1]) + 1),
+       |                j -> ${lloydMeanSql("m")}) END AS mv
+       |  FROM cent c LEFT JOIN mem$i m ON c.c_id = m.c_id),
+       |tc$i AS (
+       |  SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+       |    SELECT c_id,
+       |           CASE WHEN mv IS NULL OR list_dot_product(mv, mv) = 0
+       |                THEN seed_v ELSE mv END AS cv
+       |    FROM tm$i)),
+       |rk$i AS (
+       |  SELECT x.vec_id, t.c_id,
+       |         row_number() OVER (PARTITION BY x.vec_id
+       |           ORDER BY list_dot_product(x.v, t.cv) / (x.nrm * t.cn) DESC,
+       |                    t.c_id ASC) AS rn
+       |  FROM vecs x CROSS JOIN tc$i t),
+       |as$i AS (SELECT vec_id, c_id FROM rk$i WHERE rn = 1),
+       |chg$i AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_changed
+       |  FROM as$i b JOIN as${i - 1} a
+       |    ON a.vec_id = b.vec_id AND a.c_id <> b.c_id),
+       |bk$i AS (
+       |  SELECT CAST(max(bs) AS BIGINT) AS max_bucket,
+       |         CAST(min(bs) AS BIGINT) AS min_bucket
+       |  FROM (SELECT count(*) AS bs FROM as$i GROUP BY c_id))""".stripMargin
 
   /** q58: recall of the IVF path against the exact baseline — the
     * measured accuracy/cost tradeoff of the 4-probe bucket search. */
@@ -480,15 +598,14 @@ object Similarity {
     "q99_ivf_trained_recall" ->
       s"""WITH $vecsCte, $bruteCte, $ivfCte,
          |mem AS (
-         |  SELECT a.c_id, list(x.v ORDER BY x.vec_id) AS vs,
+         |  SELECT a.c_id, list(x.v) AS vs,
          |         CAST(count(*) AS BIGINT) AS n
          |  FROM assign a JOIN vecs x USING (vec_id) GROUP BY a.c_id),
          |tm AS (
          |  SELECT c.c_id, c.cv AS seed,
          |         CASE WHEN m.n IS NULL THEN NULL
          |              ELSE list_transform(range(1, len(m.vs[1]) + 1),
-         |                j -> list_aggregate(list_transform(m.vs, w -> w[CAST(j AS INT)]),
-         |                       'sum') / m.n) END AS mv
+         |                j -> ${lloydMeanSql("m")}) END AS mv
          |  FROM cent c LEFT JOIN mem m ON c.c_id = m.c_id),
          |tc AS (
          |  SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
@@ -547,6 +664,23 @@ object Similarity {
          |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
          |  CROSS JOIN bk1)
          |ORDER BY codebook""".stripMargin,
+    "q101_lloyd_loop" ->
+      s"""WITH $vecsCte,
+         |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vecs
+         |         WHERE vec_id < $numCentroids),
+         |rk0 AS (
+         |  SELECT x.vec_id, c.c_id,
+         |         row_number() OVER (PARTITION BY x.vec_id
+         |           ORDER BY list_dot_product(x.v, c.cv) / (x.nrm * c.cn) DESC,
+         |                    c.c_id ASC) AS rn
+         |  FROM vecs x CROSS JOIN cent c),
+         |as0 AS (SELECT vec_id, c_id FROM rk0 WHERE rn = 1),
+         |${(1 to lloydIters).map(lloydIterCte).mkString(",\n")}
+         |SELECT * FROM (
+         |${(1 to lloydIters).map(i =>
+              s"""SELECT CAST($i AS BIGINT) AS iter, n_changed, max_bucket, min_bucket
+                 |FROM chg$i, bk$i""".stripMargin).mkString("\nUNION ALL\n")}
+         |) ORDER BY iter""".stripMargin,
     "q67_ivf_bucket_sizes" ->
       s"""WITH $vecsCte,
          |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vecs

@@ -31,8 +31,13 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     // the surrogate path via StarSpec + the dim test below, the pair
     // pipelines via q32/q34/q35/q59, sessionization via q51, and their
     // final plans are small aggregates/checkpoint scans.
+    // (q101 runs the whole Lloyd training loop at construction; its final
+    // frame is literal driver rows. Its per-round plans are q37's ranking
+    // shape — covered via q37/q99 — plus lloydCodebook, whose partial-sum
+    // shape SimilaritySpec pins directly.)
     val eager = Set("q48_dim_waktu", "q49_star_roundtrip", "q60_embed_lsh_recall",
-      "q61_dedup_components", "q63_minhash_recall", "q69_range_join")
+      "q61_dedup_components", "q63_minhash_recall", "q69_range_join",
+      "q101_lloyd_loop")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => eager(name) }
       .flatMap { case (name, fn) =>

