@@ -23,9 +23,9 @@ import TextCore._
   *  - q80 joins the incoming batch against the base corpus on the 32-char
   *    fingerprint key only — the base side is a DISTINCT fingerprint set
   *    (vocabulary-sized), never the documents.
-  *  - q82 ranks within lang partitions; at scale the budget cut would first
-  *    bucket by score quantiles (computed via approx summaries) so only the
-  *    boundary bucket needs the exact ordered scan.
+  *  - q82 pre-buckets by approx score quantiles: whole buckets are accepted
+  *    from their aggregates and only the one boundary bucket per lang gets
+  *    the exact ordered scan — no per-lang window over the corpus.
   *  - q83 aggregates on (fingerprint) then (source) keys; both narrow.
   *  - q84 is a per-lang count + one broadcast scalar.
   */
@@ -118,18 +118,73 @@ object Curation {
     * (quality score desc, doc_id) order while the running token total stays
     * within a 3000-token budget; report what the budget bought. The
     * strict-prefix rule (a doc that would overflow is skipped along with
-    * everything after it) keeps the cut a pure function of the ordering. */
+    * everything after it) keeps the cut a pure function of the ordering —
+    * and since token counts are non-negative the running total is
+    * monotone, so "cum ≤ budget" IS the prefix.
+    *
+    * Scale shape (the 100 TB cut): a naive per-lang cumulative window is a
+    * single-task ordered scan of the dominant language. Instead:
+    *  1. approx score-quantile boundaries per lang (`percentile_approx` —
+    *     a mergeable sketch) split each language into score-range buckets.
+    *     Buckets are a function of score ALONE, so equal scores share a
+    *     bucket and each bucket is a contiguous block of the
+    *     (score desc, doc_id) order; the boundaries' accuracy affects only
+    *     bucket sizes, never the result (the prefix is recomputed exactly).
+    *  2. per-(lang, bucket) token totals give each bucket's EXACT running
+    *     prefix via a sorted fold over the ≤4 bucket summaries (no window;
+    *     the frame is #langs × #buckets).
+    *  3. a bucket whose prefix fits entirely inside the budget is accepted
+    *     as a whole from its aggregates — its rows are never sorted. The
+    *     at-most-one boundary bucket per lang (prefix ≤ budget < prefix +
+    *     total) gets the exact ordered window, partitioned by
+    *     (lang, bucket) — a quantile-sized slice, not the corpus
+    *     (ScaleGuardSpec pins the ≥2-column partitioning).
+    * Buckets past the boundary can contain no selectable row (their
+    * prefix already exceeds the budget) and are pruned unread. */
   val q82_token_budget: Q = (s, d) => {
     val budget = 3000L
-    val w = Window.partitionBy("lang").orderBy(col("score").desc, col("doc_id"))
+    val qual = TextStats.withQuality(docShingles(s, d))
+      .select(col("doc_id"), col("lang"), col("score"), col("n_tokens"))
+    val bnd = qual.groupBy("lang")
+      .agg(percentile_approx(col("score"),
+        array(lit(0.75), lit(0.5), lit(0.25)), lit(100)).as("b"))
+    val bucketed = qual.join(broadcast(bnd), "lang")
+      .withColumn("bucket",
+        when(col("score") >= element_at(col("b"), 1), 0L)
+          .when(col("score") >= element_at(col("b"), 2), 1L)
+          .when(col("score") >= element_at(col("b"), 3), 2L)
+          .otherwise(3L))
+      .drop("b")
+    // exact per-bucket totals; prev = exact token total of all
+    // higher-score buckets, folded over the lang's sorted bucket summaries
+    val pref = bucketed.groupBy("lang", "bucket")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("n"), min("score").as("mn"))
+      .groupBy("lang")
+      .agg(sort_array(collect_list(
+        struct(col("bucket"), col("tot"), col("n"), col("mn")))).as("arr"))
+      .select(col("lang"), col("arr"), posexplode(col("arr")).as(Seq("pos", "s")))
+      .select(col("lang"), col("s.bucket").as("bucket"), col("s.tot").as("tot"),
+        col("s.n").as("n"), col("s.mn").as("mn"),
+        aggregate(slice(col("arr"), lit(1), col("pos")), lit(0L),
+          (acc, x) => acc + x.getField("tot")).as("prev"))
+    val full = pref.where(col("prev") + col("tot") <= budget)
+      .select(col("lang"), col("n"), col("tot").as("tokens"), col("mn").as("mnsc"))
+    val boundary = pref
+      .where(col("prev") <= budget && col("prev") + col("tot") > budget)
+      .select(col("lang"), col("bucket"), col("prev"))
+    val wB = Window.partitionBy("lang", "bucket")
+      .orderBy(col("score").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    TextStats.withQuality(docShingles(s, d))
-      .withColumn("cum", sum("n_tokens").over(w))
+    val partial = bucketed.join(broadcast(boundary), Seq("lang", "bucket"))
+      .withColumn("cum", col("prev") + sum("n_tokens").over(wB))
       .where(col("cum") <= budget)
       .groupBy("lang")
-      .agg(count(lit(1)).as("n_selected"),
-        sum("n_tokens").as("tokens_selected"),
-        round4(min("score")).as("min_score"))
+      .agg(count(lit(1)).as("n"), sum("n_tokens").as("tokens"), min("score").as("mnsc"))
+    full.unionByName(partial)
+      .groupBy("lang")
+      .agg(sum("n").as("n_selected"),
+        sum("tokens").as("tokens_selected"),
+        round4(min("mnsc")).as("min_score"))
       .orderBy("lang")
   }
 

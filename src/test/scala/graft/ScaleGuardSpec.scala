@@ -49,6 +49,20 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       s"partitionless Window (single-task at scale) in: ${offenders.mkString(", ")}")
   }
 
+  test("q82's exact ordered scan stays inside the boundary bucket") {
+    // The q82 scale path accepts whole score-quantile buckets from their
+    // aggregates; only the boundary bucket may be sorted. A regression to
+    // the naive per-lang cumulative window (one task per language — the
+    // dominant language IS the corpus at 100 TB) would partition a window
+    // by lang alone: require every window to partition by ≥ 2 columns
+    // (lang AND bucket).
+    val plan = SparkEntry.queries("q82_token_budget")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val narrow = plan.collect { case w: LWindow if w.partitionSpec.size < 2 => w }
+    assert(narrow.isEmpty,
+      s"q82 window not bucket-scoped: ${narrow.map(_.partitionSpec).mkString("; ")}")
+  }
+
   test("banded dedup candidate joins never degrade to nested-loop/cartesian") {
     // q32/q33/q34's whole point is that candidates come from EQUI joins on
     // band/chunk/shingle keys (hash-partitionable at 100 TB). A condition
