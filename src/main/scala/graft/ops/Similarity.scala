@@ -18,8 +18,9 @@ import graft.etl.Star.{round4, round4Sql}
   *    deterministic training-free codebook); queries probe their 4 nearest
   *    centroids and search only those buckets. At cluster scale the
   *    assignment is a partitioned table and the probe join prunes
-  *    partitions; recall loss is the IVF tradeoff, identically computed by
-  *    both engines (same codebook, same ranking).
+  *    partitions — made physical by [[writeIvfIndex]] and asserted at the
+  *    file level in PartitionPruningSpec; recall loss is the IVF tradeoff,
+  *    identically computed by both engines (same codebook, same ranking).
   *
   * Determinism: cosines are sequential folds (identical order both
   * engines); rankings order by (cosine DESC, id ASC); output cosine is
@@ -107,6 +108,23 @@ object Similarity {
   /** q37: IVF top-5 — bucket by nearest centroid, probe 4 buckets. */
   val q37_knn_ivf: Q = (s, d) =>
     ivfKnnFrom(s, d, centroidRanks(s, d, nProbe), nProbe)
+
+  /** Materialize the IVF index in its serving layout: the corpus with its
+    * bucket assignment, written as a parquet table PARTITIONED BY the
+    * centroid id. This is the physical form behind q37's scale story — a
+    * probe set becomes a partition filter, so an nprobe-bucket search
+    * reads exactly nprobe directories and leaves the rest of the corpus
+    * untouched (PartitionPruningSpec asserts the file-level pruning).
+    * Norms are precomputed into the index so serving never rescans raw
+    * embeddings. */
+  def writeIvfIndex(s: SparkSession, d: String, out: String): Unit = {
+    val all = vecs(s, d)
+    rankAgainst(all, seedCents(all), 1).where(col("rn") === 1)
+      .select(col("vec_id"), col("c_id"))
+      .join(all, "vec_id")
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(out)
+  }
 
   /** q92: the IVF tuning curve — recall vs probe count (1/2/4/8) against
     * the exact baseline, aggregated over all query-neighbor pairs. This is
