@@ -289,9 +289,8 @@ object TextStats {
   /** q96: BPE training's first merge table — corpus-wide frequencies of
     * adjacent character pairs within words, top 10 by (freq desc, pair
     * asc): the statistic the first iteration of byte-pair-encoding
-    * tokenizer training merges on (later iterations re-count after each
-    * merge — an iterative driver loop over this same aggregation, the q61
-    * shape). Complements q44, which applies a FIXED tokenizer; q96 is the
+    * tokenizer training merges on (q102 drives the full training loop).
+    * Complements q44, which applies a FIXED tokenizer; q96 is the
     * first step of LEARNING one. Pairs are extracted map-side with a
     * per-word index transform (guarded at length ≥ 2 — `sequence(1, 0)`
     * counts down); the only shuffle is the (pair) count, 2-char keys; the
@@ -308,6 +307,65 @@ object TextStats {
       .orderBy(col("freq").desc, col("pair").asc)
       .limit(10)
 
+  private[graft] val bpeMerges = 6
+
+  /** q102: BPE tokenizer TRAINING — q96's first merge driven to a learned
+    * merge SEQUENCE: k = 6 iterations of (count adjacent symbol pairs →
+    * merge the most frequent everywhere → recount), the q61/q101 driver-
+    * loop shape. Output: (step, left, right, freq) — the merge table a
+    * tokenizer ships.
+    *
+    * Scale shape: training state is the VOCABULARY with counts (the
+    * classic BPE trick — one corpus pass builds (word, count), every
+    * iteration after that is vocabulary-sized, shuffling on 2-symbol
+    * keys; the corpus is never re-read). Words are represented as
+    * boundary-delimited symbol strings (`|a||b||c|`), so applying a merge
+    * is ONE literal string replace — non-overlapping left-to-right in
+    * both engines, which IS greedy BPE application (a merged symbol
+    * cannot re-match inside the same pass) — and symbol boundaries can't
+    * false-match across symbols. The vocab is restricted to purely
+    * alphabetic words so the delimiter never collides with a symbol.
+    * Top-1 selection ties break on (freq desc, l, r) — compared as
+    * separate columns, since '|' sorts above 'z' and would skew a joined-
+    * string order. Per iteration the vocab is localCheckpoint'd (the q61
+    * lineage rule) and only the 1-row argmax reaches the driver. */
+  lazy val q102_bpe_train: Q = (s, d) => {
+    val vocab0 = docShingles(s, d)
+      .select(explode(col("words")).as("w"))
+      .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit("|"), array_join(split(col("w"), ""), "||"), lit("|"))
+        .as("sym"), col("cnt"))
+    var vocab = vocab0.localCheckpoint(true)
+    var merges = Vector.empty[(Long, String, String, Long)]
+    var done = false
+    for (step <- 1 to bpeMerges if !done) {
+      val syms = split(regexp_replace(col("sym"), "^\\||\\|$", ""), "\\|\\|")
+      val top = vocab
+        .select(col("cnt"), syms.as("sy"))
+        .where(size(col("sy")) >= 2) // sequence(1, 0) counts down (q96)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("sy")) - 1),
+          i => struct(element_at(col("sy"), i).as("l"),
+            element_at(col("sy"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("freq"))
+        .orderBy(col("freq").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true // every word is one symbol: nothing to merge
+      else {
+        val (l, r, f) = (top(0).getAs[String]("l"), top(0).getAs[String]("r"),
+          top(0).getAs[Long]("freq"))
+        merges = merges :+ ((step.toLong, l, r, f))
+        vocab = vocab.select(
+          replace(col("sym"), lit(s"|$l||$r|"), lit(s"|$l$r|")).as("sym"),
+          col("cnt")).localCheckpoint(true)
+      }
+    }
+    import s.implicits._
+    merges.toDF("step", "left_sym", "right_sym", "freq").orderBy("step")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_lang_id" -> q40_lang_id,
     "q41_token_stats" -> q41_token_stats,
@@ -322,7 +380,8 @@ object TextStats {
     "q76_repetition_filter" -> q76_repetition_filter,
     "q91_token_pctl_approx" -> q91_token_pctl_approx,
     "q94_tfidf_terms" -> q94_tfidf_terms,
-    "q96_bpe_merge_pairs" -> q96_bpe_merge_pairs)
+    "q96_bpe_merge_pairs" -> q96_bpe_merge_pairs,
+    "q102_bpe_train" -> q102_bpe_train)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -346,7 +405,41 @@ object TextStats {
        |           ${round4Sql(s"CAST(len(list_filter(words, w -> list_contains([$stopList], w))) AS DOUBLE) / CAST(len(words) AS DOUBLE)")} AS stop_ratio
        |    FROM docs))""".stripMargin
 
+  /** One unrolled BPE training iteration for the q102 oracle: pair counts
+    * `pc$i` over vocab `v${i-1}`, the argmax merge `m$i` ((freq desc, l,
+    * r) — matching Spark's orderBy exactly), and the merged vocab `v$i`
+    * via the same literal boundary-string replace. */
+  private def bpeIterCte(i: Int): String =
+    s"""pc$i AS (
+       |  SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS freq
+       |  FROM (
+       |    SELECT cnt, unnest(list_transform(range(1, len(sy)),
+       |             j -> {'l': sy[j], 'r': sy[j+1]})) AS p
+       |    FROM (SELECT cnt, string_split(substr(sym, 2, length(sym) - 2), '||') AS sy
+       |          FROM v${i - 1})
+       |    WHERE len(sy) >= 2)
+       |  GROUP BY 1, 2),
+       |m$i AS (SELECT l, r, freq FROM pc$i ORDER BY freq DESC, l, r LIMIT 1),
+       |v$i AS (
+       |  SELECT replace(sym, '|' || l || '||' || r || '|',
+       |                 '|' || l || r || '|') AS sym, cnt
+       |  FROM v${i - 1}, m$i)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q102_bpe_train" -> withDocs(
+      s""", v0 AS (
+         |  SELECT '|' || array_to_string(list_transform(range(1, length(w) + 1),
+         |           i -> w[i]), '||') || '|' AS sym,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(words) AS w FROM docs)
+         |  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2
+         |  GROUP BY w),
+         |${(1 to bpeMerges).map(bpeIterCte).mkString(",\n")}
+         |SELECT * FROM (
+         |${(1 to bpeMerges).map(i =>
+              s"""SELECT CAST($i AS BIGINT) AS step, l AS left_sym, r AS right_sym, freq
+                 |FROM m$i""".stripMargin).mkString("\nUNION ALL\n")}
+         |) ORDER BY step""".stripMargin),
     "q40_lang_id" -> withDocs(
       s"""SELECT doc_id, ${round4Sql(ratioSql)} AS en_ratio,
          |       CASE WHEN ($ratioSql) >= 0.05 THEN 'en' ELSE 'und' END AS pred_lang

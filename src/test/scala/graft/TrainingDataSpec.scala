@@ -105,6 +105,22 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(0L -> ((2L, 2L, 1.0)), 1L -> ((2L, 1L, 0.5))))
   }
 
+  test("q102: the merge sequence is learned greedily and stops when pairs run out") {
+    // vocab: abab ×3, cd ×3.
+    //  step 1: (a,b) freq 6 (two overlapping occurrences per abab) beats
+    //          (b,a) 3 and (c,d) 3 → abab becomes [ab, ab]
+    //  step 2: (ab,ab) 3 ties (c,d) 3; l asc breaks to (ab,ab) → [abab]
+    //  step 3: (c,d) 3 is the only pair left → [cd]
+    //  step 4: no adjacent pairs remain → the loop stops at 3 rows (< k)
+    val dir = writeMiniDocs(Seq(
+      (0L, "abab abab cd"), (1L, "abab cd cd")))
+    val rows = TextStats.q102_bpe_train(spark, dir).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("freq")))
+    assert(rows.toSeq == Seq(
+      (1L, "a", "b", 6L), (2L, "ab", "ab", 3L), (3L, "c", "d", 3L)))
+  }
+
   test("q94: score ties within a doc break by term text ascending") {
     // Both terms have tf = 1, df = 1 → identical score N/1 = 1.0.
     val dir = writeMiniDocs(Seq((0L, "zebra aardvark")))
