@@ -55,11 +55,67 @@ object Skew {
       .select(col("k").as("huruf"), col("n").as("n_rows"), col("s").as("sum_sks"))
       .orderBy("huruf")
 
+  /** Salted skew JOIN: equi-join `left` to `right` on `key` with the hot
+    * key spread over `numSalts` reducers — the manual fallback when AQE's
+    * runtime skew-split can't apply (e.g. the join feeds an operator that
+    * pins the partitioning, or AQE is off). The probe side gets a
+    * nondeterministic salt (safe for the same reason as
+    * [[saltedCountSum]]: the salt never escapes, and each probe row
+    * matches EXACTLY the replica of its key carrying its salt, so join
+    * multiplicity is unchanged under any salt assignment); the build side
+    * is replicated ×numSalts — its size cost is the price of spreading
+    * the hot key, which is why numSalts stays single-digit. The join key
+    * becomes (key, salt): still a hash-partitionable equi-join. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      numSalts: Int): DataFrame = {
+    val salted = left.withColumn("salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(numSalts.toLong)))
+    val replicated = right.withColumn("salt",
+      explode(sequence(lit(0L), lit(numSalts.toLong - 1L))))
+    salted.join(replicated, Seq(key, "salt")).drop("salt")
+  }
+
+  /** q103: the salted join as an oracle-checked operator — each event
+    * joined to its user's profile row (event count), the canonical
+    * hot-user fact⋈profile shape: one bot user's events all hash to one
+    * reducer in a plain shuffle join, and the salt spreads them over 8.
+    * The per-user profile here is derived from the same table (so the
+    * oracle is self-contained); at scale it stands in for any
+    * user-keyed table too large to broadcast. The oracle computes the
+    * PLAIN join + aggregate, so the gate checks the rewrite's
+    * equivalence, exactly like q74. Aggregated output (per event type)
+    * keeps the result set small; sums are of integer counts — exact,
+    * order-free. */
+  val q103_salted_join: (SparkSession, String) => DataFrame = (s, d) => {
+    // events.parquet carries TIMESTAMP(NANOS); same session contract as
+    // graft.ops.Events (the runner sets nanosAsLong at session build)
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events queries read TIMESTAMP(NANOS) parquet: set " +
+        "spark.sql.legacy.parquet.nanosAsLong=true when building the SparkSession")
+    val ev = s.read.parquet(s"$d/events.parquet").select("user_id", "event_type")
+    val prof = ev.groupBy("user_id").agg(count(lit(1)).as("n_user_events"))
+    saltedJoin(ev, prof, "user_id", 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("n_user_events").as("sum_profile"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q74_salted_agg" -> q74_salted_agg)
+    Map("q74_salted_agg" -> q74_salted_agg,
+      "q103_salted_join" -> q103_salted_join)
 
   val oracle: Map[String, String] = Map(
     "q74_salted_agg" -> withFact(
       """SELECT huruf, CAST(count(*) AS BIGINT) AS n_rows, sum(sks) AS sum_sks
-        |FROM fact GROUP BY huruf ORDER BY huruf""".stripMargin))
+        |FROM fact GROUP BY huruf ORDER BY huruf""".stripMargin),
+    "q103_salted_join" ->
+      """WITH ev AS (SELECT user_id, event_type FROM events),
+        |prof AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_user_events
+        |  FROM ev GROUP BY user_id)
+        |SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(n_user_events) AS BIGINT) AS sum_profile
+        |FROM ev JOIN prof USING (user_id)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

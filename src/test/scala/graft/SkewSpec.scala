@@ -22,6 +22,57 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     assert(salted == direct)
   }
 
+  test("saltedJoin equals the plain join under any physical layout") {
+    import spark.implicits._
+    // hot key 0 holds 90% of the probe side; the build side has one row
+    // per key (the profile shape). Join multiplicity must be unchanged:
+    // every probe row matches exactly its key's replica with its salt.
+    val left = ((1 to 9000).map(_ => 0L) ++ (1 to 1000).map(i => (i % 50 + 1).toLong))
+      .map(k => (k, s"t${k % 3}")).toDF("user_id", "event_type")
+    val right = (0L to 51L).map(k => (k, k * 10)).toDF("user_id", "w")
+    def agg(j: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      j.groupBy("event_type").agg(count(lit(1)).as("n"), sum("w").as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = agg(left.join(right, "user_id"))
+    assert(agg(Skew.saltedJoin(left, right, "user_id", 8)) == plain)
+    assert(agg(Skew.saltedJoin(left.repartition(13), right, "user_id", 8)) == plain)
+    assert(agg(Skew.saltedJoin(left.repartition(1), right.repartition(3), "user_id", 8)) == plain)
+  }
+
+  test("AQE splits the skewed partition of a shuffle join at runtime") {
+    import spark.implicits._
+    // The automatic counterpart of saltedJoin: with adaptive skew-join
+    // handling on (default) and the size thresholds scaled down to test
+    // data, a join whose probe side funnels 90% of rows through one key
+    // must show a skew-handled join in the FINAL adaptive plan. Configs
+    // are restored in finally — a leaked threshold would distort every
+    // later suite on the shared session (the r6 nanosAsLong lesson).
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val saved = keys.map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      val left = ((1 to 40000).map(_ => 0L) ++ (1 to 2000).map(i => (i % 100 + 1).toLong))
+        .map(k => (k, k.toString * 8)).toDF("k", "pad")
+      val right = (0L to 101L).map(k => (k, k * 10)).toDF("k", "w")
+      val joined = left.join(right, "k")
+      // collect() executes THIS queryExecution (count() would plan a new
+      // one and leave this adaptive plan unfinalized)
+      assert(joined.collect().length == 42000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true") || finalPlan.contains("skewed"),
+        s"expected a skew-handled join in the final adaptive plan:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedCountSum is invariant to the physical partitioning (salt nondeterminism is safe)") {
     import spark.implicits._
     // The salt derives from spark_partition_id + monotonically_increasing_id,
