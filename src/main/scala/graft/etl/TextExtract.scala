@@ -137,11 +137,19 @@ object TextExtract {
           .cast("long").as("first_num"))
       .orderBy("doc_id")
 
+  /** The corpus-grammar failure predicate behind the A18 quarantine: a
+    * document is malformed when it has no "table <w>" match or fewer than
+    * 10 tokens. ONE spelling shared by the batch split (q47) and the
+    * streaming dead-letter route ([[graft.streaming.EventStream
+    * .curateStream]]) — parity is proved in EventStreamSpec. */
+  private[graft] def grammarBad(norm: Column, words: Column): Column =
+    size(regexp_extract_all(norm, lit("table ([a-z]+)"), lit(1))) === 0 ||
+      size(words) < 10
+
   /** q47 (A18 analog): quarantine — docs failing the corpus grammar
-    * (≥1 "table <w>" match and ≥10 tokens), counted per source. */
+    * ([[grammarBad]]), counted per source. */
   val q47_quarantine: Q = (s, d) => {
-    val bad = size(regexp_extract_all(col("norm"), lit("table ([a-z]+)"), lit(1))) === 0 ||
-      size(col("words")) < 10
+    val bad = grammarBad(col("norm"), col("words"))
     graft.ops.TextCore.docShingles(s, d)
       .groupBy("source")
       .agg(count(lit(1)).as("n_total"),

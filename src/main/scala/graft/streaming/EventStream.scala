@@ -61,8 +61,16 @@ object EventStream {
     * normalize + PII/denylist scrub, token count) applied to a document
     * stream: every expression is stateless and per-row, so the SAME column
     * definitions run unchanged under a streaming plan (no watermark or
-    * state needed) — the curate-on-ingest shape. Batch-vs-stream parity is
-    * proved in EventStreamSpec. */
+    * state needed) — the curate-on-ingest shape.
+    *
+    * Malformed documents are NOT dropped: each row carries `quarantined`
+    * (1 when the doc fails the batch A18 grammar — the SAME predicate as
+    * q47, [[graft.etl.TextExtract.grammarBad]]), so the sink routes them
+    * to a dead-letter output instead of silently losing them — e.g.
+    * `.where('quarantined === 1)` to a quarantine path, or one sink
+    * `partitionBy("quarantined")`. Batch-vs-stream parity of both the
+    * curation columns AND the quarantine split is proved in
+    * EventStreamSpec. */
   def curateStream(docs: DataFrame): DataFrame = {
     import graft.ops.{Curation, TextCore}
     val norm = TextCore.normCol(col("text"))
@@ -70,7 +78,9 @@ object EventStream {
       .select(col("doc_id"),
         Curation.scrubHits(col("norm")).cast("long").as("n_hits"),
         md5(Curation.scrubbed(col("norm"))).as("scrub_md5"),
-        size(TextCore.wordsCol(col("norm"))).cast("long").as("n_tokens"))
+        size(TextCore.wordsCol(col("norm"))).cast("long").as("n_tokens"),
+        when(graft.etl.TextExtract.grammarBad(col("norm"),
+          TextCore.wordsCol(col("norm"))), 1L).otherwise(0L).as("quarantined"))
   }
 
   /** Streaming twin of q80's base-corpus classification: a document

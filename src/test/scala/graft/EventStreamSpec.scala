@@ -168,6 +168,33 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("curateStream quarantines exactly the rows the batch A18 grammar rejects") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      // passes: has "table <w>" and ≥ 10 tokens
+      (0L, "table alpha holds one two three four five six seven"),
+      // fails: no "table <w>" match
+      (1L, "this text has plenty of tokens but mentions no marker anywhere"),
+      // fails: "table <w>" present but < 10 tokens
+      (2L, "table beta short"))
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.curateStream(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curate_q").outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("curate_q").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("quarantined")).toMap
+      // no silent drops: every input row reaches the sink, flagged
+      assert(streamed == Map(0L -> 0L, 1L -> 1L, 2L -> 1L))
+      // parity: the same plan in batch mode flags the same rows
+      val batch = EventStream.curateStream(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("quarantined")).toMap
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("incrementalDedupStream classifies against the static base index across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
