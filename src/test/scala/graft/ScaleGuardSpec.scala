@@ -115,6 +115,17 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "expected the component-label join to be a broadcast hash join")
   }
 
+  test("every registered query ships a DuckDB oracle (and no oracle is orphaned)") {
+    // A queries key without an oracleSql entry silently downgrades the
+    // driver's gate to a rows-only check — coverage rot that nothing else
+    // would flag. Exact key equality both ways: an orphaned oracle is a
+    // renamed/deleted query whose SQL would never run again.
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries with no oracle (rows-only check): ${(q -- o).mkString(", ")}")
+    assert((o -- q).isEmpty, s"oracles with no query: ${(o -- q).mkString(", ")}")
+  }
+
   test("surrogate-key dims have no window at all in their final plan") {
     // withSurrogateId materializes via localCheckpoint: consumers see a
     // scan of checkpointed rows, not a re-executable window/sampling plan.
