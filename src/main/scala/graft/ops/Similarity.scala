@@ -357,9 +357,13 @@ object Similarity {
     * an exact fixed point — the recomputed codebook is a deterministic
     * function of the (unchanged) assignment, so every later iteration
     * repeats the same stats row, which the driver emits without running
-    * further jobs. Per iteration only the codebook (k rows) and the
-    * assignment (narrow (vec_id, c_id)) are checkpointed — the corpus is
-    * re-scanned per round, never materialized, the q61 lineage rule. */
+    * further jobs. Two jobs per iteration: the re-assignment checkpoint
+    * (with the codebook recomputation folded into its plan — a separate
+    * 16-row checkpoint only added scheduling) and one combined stats
+    * aggregate (change count + bucket extremes share the same
+    * assign⋈prev join). Only the narrow (vec_id, c_id) assignment is
+    * checkpointed — the corpus is re-scanned per round, never
+    * materialized, the q61 lineage rule. */
   lazy val q101_lloyd_loop: Q = (s, d) => {
     val all = vecs(s, d)
     val seed = seedCents(all).localCheckpoint(true)
@@ -372,15 +376,16 @@ object Similarity {
     for (i <- 1 to lloydIters) {
       if (converged) stats = stats :+ stats.last.copy(_1 = i.toLong)
       else {
-        val code = lloydCodebook(all, assign, seed).localCheckpoint(true)
-        val next = assignOf(code)
-        val nChanged = next.join(assign.withColumnRenamed("c_id", "pc"), "vec_id")
-          .where(col("c_id") =!= col("pc")).count()
-        val bk = next.groupBy("c_id").agg(count(lit(1)).as("bs"))
-          .agg(max("bs").as("mx"), min("bs").as("mn")).head()
-        stats = stats :+ ((i.toLong, nChanged, bk.getLong(0), bk.getLong(1)))
+        val next = assignOf(lloydCodebook(all, assign, seed))
+        val st = next.join(assign.withColumnRenamed("c_id", "pc"), "vec_id")
+          .groupBy("c_id")
+          .agg(count(lit(1)).as("bs"),
+            sum(when(col("c_id") =!= col("pc"), 1L).otherwise(0L)).as("ch"))
+          .agg(sum("ch").as("nch"), max("bs").as("mx"), min("bs").as("mn"))
+          .head()
+        stats = stats :+ ((i.toLong, st.getLong(0), st.getLong(1), st.getLong(2)))
         assign = next
-        converged = nChanged == 0L
+        converged = st.getLong(0) == 0L
       }
     }
     import s.implicits._
