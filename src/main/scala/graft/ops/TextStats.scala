@@ -329,41 +329,93 @@ object TextStats {
     * separate columns, since '|' sorts above 'z' and would skew a joined-
     * string order. Per iteration the vocab is localCheckpoint'd (the q61
     * lineage rule) and only the 1-row argmax reaches the driver. */
-  lazy val q102_bpe_train: Q = (s, d) => {
-    val vocab0 = docShingles(s, d)
-      .select(explode(col("words")).as("w"))
-      .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(concat(lit("|"), array_join(split(col("w"), ""), "||"), lit("|"))
-        .as("sym"), col("cnt"))
-    var vocab = vocab0.localCheckpoint(true)
-    var merges = Vector.empty[(Long, String, String, Long)]
-    var done = false
-    for (step <- 1 to bpeMerges if !done) {
-      val syms = split(regexp_replace(col("sym"), "^\\||\\|$", ""), "\\|\\|")
-      val top = vocab
-        .select(col("cnt"), syms.as("sy"))
-        .where(size(col("sy")) >= 2) // sequence(1, 0) counts down (q96)
-        .select(col("cnt"), explode(transform(
-          sequence(lit(1), size(col("sy")) - 1),
-          i => struct(element_at(col("sy"), i).as("l"),
-            element_at(col("sy"), i + 1).as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("cnt").as("freq"))
-        .orderBy(col("freq").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (top.isEmpty) done = true // every word is one symbol: nothing to merge
-      else {
-        val (l, r, f) = (top(0).getAs[String]("l"), top(0).getAs[String]("r"),
-          top(0).getAs[Long]("freq"))
-        merges = merges :+ ((step.toLong, l, r, f))
-        vocab = vocab.select(
-          replace(col("sym"), lit(s"|$l||$r|"), lit(s"|$l$r|")).as("sym"),
-          col("cnt")).localCheckpoint(true)
+  /** The trained tokenizer artifact — (merge sequence, final vocab) —
+    * memoized per (session, dir) like [[graft.SessionMemo]]'s frames (the
+    * tuple shape needs its own map): q102 reports the merges, q104
+    * applies the vocab; training runs once per session, charged to
+    * whichever runs first (the q61/q81 memo precedent — in the sorted
+    * bench order, q102 pays). Each iteration's vocab is already
+    * localCheckpoint'd, so the cached final vocab is materialized. */
+  private val bpeMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Vector[(Long, String, String, Long)], DataFrame)]
+
+  private def bpeTrained(s: SparkSession, d: String)
+      : (Vector[(Long, String, String, Long)], DataFrame) =
+    bpeMemo.getOrElseUpdate((s, d), {
+      val vocab0 = docShingles(s, d)
+        .select(explode(col("words")).as("w"))
+        .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(concat(lit("|"), array_join(split(col("w"), ""), "||"), lit("|"))
+          .as("sym"), col("cnt"))
+      var vocab = vocab0.localCheckpoint(true)
+      var merges = Vector.empty[(Long, String, String, Long)]
+      var done = false
+      for (step <- 1 to bpeMerges if !done) {
+        val syms = split(regexp_replace(col("sym"), "^\\||\\|$", ""), "\\|\\|")
+        val top = vocab
+          .select(col("cnt"), syms.as("sy"))
+          .where(size(col("sy")) >= 2) // sequence(1, 0) counts down (q96)
+          .select(col("cnt"), explode(transform(
+            sequence(lit(1), size(col("sy")) - 1),
+            i => struct(element_at(col("sy"), i).as("l"),
+              element_at(col("sy"), i + 1).as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("cnt").as("freq"))
+          .orderBy(col("freq").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (top.isEmpty) done = true // every word is one symbol: nothing to merge
+        else {
+          val (l, r, f) = (top(0).getAs[String]("l"), top(0).getAs[String]("r"),
+            top(0).getAs[Long]("freq"))
+          merges = merges :+ ((step.toLong, l, r, f))
+          vocab = vocab.select(
+            replace(col("sym"), lit(s"|$l||$r|"), lit(s"|$l$r|")).as("sym"),
+            col("cnt")).localCheckpoint(true)
+        }
       }
-    }
+      (merges, vocab)
+    })
+
+  lazy val q102_bpe_train: Q = (s, d) => {
     import s.implicits._
-    merges.toDF("step", "left_sym", "right_sym", "freq").orderBy("step")
+    bpeTrained(s, d)._1
+      .toDF("step", "left_sym", "right_sym", "freq").orderBy("step")
+  }
+
+  /** q104: APPLY the q102-trained tokenizer and measure what it bought —
+    * per language: words, characters, tokens under the learned merges,
+    * and chars-per-token (the compression ratio a tokenizer exists to
+    * maximize; whitespace baseline = tokens_per_word 1.0, character
+    * baseline = chars_per_token 1.0). A word in the trained vocab costs
+    * its final symbol count; a word outside it (non-alphabetic, or
+    * shorter than 2 chars) falls back to character tokens — standard BPE
+    * behavior for text with no applicable merges.
+    *
+    * Scale shape: the trained vocab is vocabulary-sized and joins the
+    * exploded corpus words BROADCAST (at 100 TB: millions of vocab rows
+    * vs billions of postings — broadcast or bucket join, never a corpus
+    * shuffle); everything else is map-side lengths + a per-lang
+    * aggregate. */
+  lazy val q104_bpe_compression: Q = (s, d) => {
+    val vt = bpeTrained(s, d)._2.select(
+      regexp_replace(col("sym"), "\\|", "").as("w"),
+      size(split(regexp_replace(col("sym"), "^\\||\\|$", ""), "\\|\\|"))
+        .cast("long").as("n_syms"))
+    docShingles(s, d).select(col("lang"), explode(col("words")).as("w"))
+      .join(broadcast(vt), Seq("w"), "left")
+      .select(col("lang"), length(col("w")).cast("long").as("nc"),
+        coalesce(col("n_syms"), length(col("w")).cast("long")).as("nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum("nc").as("n_chars"),
+        sum("nt").as("n_tokens"))
+      .withColumn("chars_per_token",
+        // 0/0 guard (the q60 rule): a lang of empty-string words has
+        // zero tokens — NULL, not a NaN-vs-NULL engine divergence
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(round4(
+            col("n_chars").cast("double") / col("n_tokens").cast("double"))))
+      .orderBy("lang")
   }
 
   val queries: Map[String, Q] = Map(
@@ -381,7 +433,8 @@ object TextStats {
     "q91_token_pctl_approx" -> q91_token_pctl_approx,
     "q94_tfidf_terms" -> q94_tfidf_terms,
     "q96_bpe_merge_pairs" -> q96_bpe_merge_pairs,
-    "q102_bpe_train" -> q102_bpe_train)
+    "q102_bpe_train" -> q102_bpe_train,
+    "q104_bpe_compression" -> q104_bpe_compression)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -425,21 +478,45 @@ object TextStats {
        |                 '|' || l || r || '|') AS sym, cnt
        |  FROM v${i - 1}, m$i)""".stripMargin
 
+  /** The shared q102/q104 oracle prefix: initial char-symbol vocab `v0`
+    * plus the unrolled [[bpeIterCte]] training chain to `v$bpeMerges`. */
+  private val bpeChainCtes: String =
+    s""", v0 AS (
+       |  SELECT '|' || array_to_string(list_transform(range(1, length(w) + 1),
+       |           i -> w[i]), '||') || '|' AS sym,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(words) AS w FROM docs)
+       |  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2
+       |  GROUP BY w),
+       |${(1 to bpeMerges).map(bpeIterCte).mkString(",\n")}""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q102_bpe_train" -> withDocs(
-      s""", v0 AS (
-         |  SELECT '|' || array_to_string(list_transform(range(1, length(w) + 1),
-         |           i -> w[i]), '||') || '|' AS sym,
-         |         CAST(count(*) AS BIGINT) AS cnt
-         |  FROM (SELECT unnest(words) AS w FROM docs)
-         |  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2
-         |  GROUP BY w),
-         |${(1 to bpeMerges).map(bpeIterCte).mkString(",\n")}
+      s"""$bpeChainCtes
          |SELECT * FROM (
          |${(1 to bpeMerges).map(i =>
               s"""SELECT CAST($i AS BIGINT) AS step, l AS left_sym, r AS right_sym, freq
                  |FROM m$i""".stripMargin).mkString("\nUNION ALL\n")}
          |) ORDER BY step""".stripMargin),
+    "q104_bpe_compression" -> withDocs(
+      s"""$bpeChainCtes,
+         |vt AS (
+         |  SELECT replace(sym, '|', '') AS w,
+         |         CAST(len(string_split(substr(sym, 2, length(sym) - 2), '||'))
+         |           AS BIGINT) AS n_syms
+         |  FROM v$bpeMerges),
+         |wd AS (SELECT lang, unnest(words) AS w FROM docs),
+         |j AS (
+         |  SELECT lang, CAST(length(wd.w) AS BIGINT) AS nc,
+         |         coalesce(vt.n_syms, CAST(length(wd.w) AS BIGINT)) AS nt
+         |  FROM wd LEFT JOIN vt ON wd.w = vt.w)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(nc) AS BIGINT) AS n_chars,
+         |       CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |       CASE WHEN sum(nt) = 0 THEN NULL
+         |            ELSE ${round4Sql("CAST(sum(nc) AS DOUBLE) / CAST(sum(nt) AS DOUBLE)")}
+         |       END AS chars_per_token
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin),
     "q40_lang_id" -> withDocs(
       s"""SELECT doc_id, ${round4Sql(ratioSql)} AS en_ratio,
          |       CASE WHEN ($ratioSql) >= 0.05 THEN 'en' ELSE 'und' END AS pred_lang

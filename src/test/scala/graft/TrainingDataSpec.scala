@@ -121,6 +121,19 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
       (1L, "a", "b", 6L), (2L, "ab", "ab", 3L), (3L, "c", "d", 3L)))
   }
 
+  test("q104: trained-tokenizer compression counts merged words as one token") {
+    // same corpus as the q102 test: after its 3 learned merges both vocab
+    // words collapse to single symbols, so 6 corpus words → 6 tokens and
+    // 18 chars → chars_per_token = 3.0 (character baseline would be 1.0)
+    val dir = writeMiniDocs(Seq(
+      (0L, "abab abab cd"), (1L, "abab cd cd")))
+    val rows = TextStats.q104_bpe_compression(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("chars_per_token")))
+    assert(rows.toSeq == Seq(("en", 6L, 18L, 6L, 3.0)))
+  }
+
   test("q94: score ties within a doc break by term text ascending") {
     // Both terms have tf = 1, df = 1 → identical score N/1 = 1.0.
     val dir = writeMiniDocs(Seq((0L, "zebra aardvark")))
