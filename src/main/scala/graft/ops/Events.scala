@@ -32,7 +32,7 @@ object Events {
     * builder mutating shared session state would silently change how any
     * later query in the same session reads nanos parquet. Fail fast with
     * the remedy instead. */
-  private def events(s: SparkSession, d: String): DataFrame = {
+  private[graft] def events(s: SparkSession, d: String): DataFrame = {
     require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "events queries read TIMESTAMP(NANOS) parquet: set " +
         "spark.sql.legacy.parquet.nanosAsLong=true when building the SparkSession")

@@ -76,6 +76,11 @@ object Similarity {
     all.where(col("vec_id") < numCentroids)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
 
+  /** The bucket assignment under a codebook: keep = 1 of [[rankAgainst]]
+    * IS the per-vector argmax — one narrow (vec_id, c_id) row each. */
+  private def assignments(all: DataFrame, cents: DataFrame): DataFrame =
+    rankAgainst(all, cents, 1).select(col("vec_id"), col("c_id"))
+
   /** [[rankAgainst]] the seed codebook; q92 checkpoints one call and
     * derives all four sweep points from it. */
   private def centroidRanks(s: SparkSession, d: String, keep: Int): DataFrame = {
@@ -119,8 +124,7 @@ object Similarity {
     * embeddings. */
   def writeIvfIndex(s: SparkSession, d: String, out: String): Unit = {
     val all = vecs(s, d)
-    rankAgainst(all, seedCents(all), 1).where(col("rn") === 1)
-      .select(col("vec_id"), col("c_id"))
+    assignments(all, seedCents(all))
       .join(all, "vec_id")
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
       .write.mode("overwrite").partitionBy("c_id").parquet(out)
@@ -368,8 +372,7 @@ object Similarity {
     val all = vecs(s, d)
     val seed = seedCents(all).localCheckpoint(true)
     def assignOf(cents: DataFrame): DataFrame =
-      rankAgainst(all, cents, 1).where(col("rn") === 1)
-        .select(col("vec_id"), col("c_id")).localCheckpoint(true)
+      assignments(all, cents).localCheckpoint(true)
     var assign = assignOf(seed)
     var stats = Vector.empty[(Long, Long, Long, Long)]
     var converged = false

@@ -68,11 +68,16 @@ object Skew {
     * becomes (key, salt): still a hash-partitionable equi-join. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       numSalts: Int): DataFrame = {
-    val salted = left.withColumn("salt",
+    // the working column must not shadow (left) or drop (right) a real
+    // business column — fail loudly rather than silently losing data
+    val salt = "__graft_salt"
+    require(!left.columns.contains(salt) && !right.columns.contains(salt),
+      s"saltedJoin reserves the column name '$salt'")
+    val salted = left.withColumn(salt,
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(numSalts.toLong)))
-    val replicated = right.withColumn("salt",
+    val replicated = right.withColumn(salt,
       explode(sequence(lit(0L), lit(numSalts.toLong - 1L))))
-    salted.join(replicated, Seq(key, "salt")).drop("salt")
+    salted.join(replicated, Seq(key, salt)).drop(salt)
   }
 
   /** q103: the salted join as an oracle-checked operator — each event
@@ -87,12 +92,9 @@ object Skew {
     * keeps the result set small; sums are of integer counts — exact,
     * order-free. */
   val q103_salted_join: (SparkSession, String) => DataFrame = (s, d) => {
-    // events.parquet carries TIMESTAMP(NANOS); same session contract as
-    // graft.ops.Events (the runner sets nanosAsLong at session build)
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events queries read TIMESTAMP(NANOS) parquet: set " +
-        "spark.sql.legacy.parquet.nanosAsLong=true when building the SparkSession")
-    val ev = s.read.parquet(s"$d/events.parquet").select("user_id", "event_type")
+    // the ONE events reader (TIMESTAMP(NANOS) session contract enforced
+    // there); the unused es column is pruned by Catalyst
+    val ev = Events.events(s, d).select("user_id", "event_type")
     val prof = ev.groupBy("user_id").agg(count(lit(1)).as("n_user_events"))
     saltedJoin(ev, prof, "user_id", 8)
       .groupBy("event_type")

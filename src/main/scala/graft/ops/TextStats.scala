@@ -458,10 +458,15 @@ object TextStats {
        |           ${round4Sql(s"CAST(len(list_filter(words, w -> list_contains([$stopList], w))) AS DOUBLE) / CAST(len(words) AS DOUBLE)")} AS stop_ratio
        |    FROM docs))""".stripMargin
 
-  /** One unrolled BPE training iteration for the q102 oracle: pair counts
-    * `pc$i` over vocab `v${i-1}`, the argmax merge `m$i` ((freq desc, l,
-    * r) — matching Spark's orderBy exactly), and the merged vocab `v$i`
-    * via the same literal boundary-string replace. */
+  /** One unrolled BPE training iteration for the q102/q104 oracles: pair
+    * counts `pc$i` over vocab `v${i-1}`, the argmax merge `m$i` ((freq
+    * desc, l, r) — matching Spark's orderBy exactly), and the merged
+    * vocab `v$i` via the same literal boundary-string replace. `v$i`
+    * LEFT JOINs the (0-or-1-row) merge so an EXHAUSTED training run —
+    * m$i empty before the k-th iteration — passes the vocab through
+    * unchanged, mirroring Spark's early-stop (an inner/cross join would
+    * empty the vocab chain and make q104 fall back to character tokens
+    * while Spark applies the learned merges). */
   private def bpeIterCte(i: Int): String =
     s"""pc$i AS (
        |  SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS freq
@@ -474,9 +479,9 @@ object TextStats {
        |  GROUP BY 1, 2),
        |m$i AS (SELECT l, r, freq FROM pc$i ORDER BY freq DESC, l, r LIMIT 1),
        |v$i AS (
-       |  SELECT replace(sym, '|' || l || '||' || r || '|',
-       |                 '|' || l || r || '|') AS sym, cnt
-       |  FROM v${i - 1}, m$i)""".stripMargin
+       |  SELECT coalesce(replace(sym, '|' || l || '||' || r || '|',
+       |                          '|' || l || r || '|'), sym) AS sym, cnt
+       |  FROM v${i - 1} LEFT JOIN m$i ON TRUE)""".stripMargin
 
   /** The shared q102/q104 oracle prefix: initial char-symbol vocab `v0`
     * plus the unrolled [[bpeIterCte]] training chain to `v$bpeMerges`. */

@@ -35,11 +35,13 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     // frame is literal driver rows. Its per-round plans are q37's ranking
     // shape — covered via q37/q99 — plus lloydCodebook, whose partial-sum
     // shape SimilaritySpec pins directly.)
-    // (q102 likewise runs the BPE merge loop eagerly; its per-iteration
-    // plan is a vocabulary-sized pair aggregate + limit(1), the q44 shape.)
+    // (q102/q104 likewise run the BPE merge loop eagerly at construction
+    // — whichever is built first pays the shared bpeMemo; per-iteration
+    // plans are vocabulary-sized pair aggregates + limit(1), the q44
+    // shape, and q104's final plan is a broadcast join + aggregate.)
     val eager = Set("q48_dim_waktu", "q49_star_roundtrip", "q60_embed_lsh_recall",
       "q61_dedup_components", "q63_minhash_recall", "q69_range_join",
-      "q101_lloyd_loop", "q102_bpe_train")
+      "q101_lloyd_loop", "q102_bpe_train", "q104_bpe_compression")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => eager(name) }
       .flatMap { case (name, fn) =>
