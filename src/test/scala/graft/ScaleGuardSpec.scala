@@ -117,6 +117,24 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "expected the component-label join to be a broadcast hash join")
   }
 
+  test("per-key top-k rank filters plan with WindowGroupLimit") {
+    // The declarative payoff pinned: `row_number over (partition by key)
+    // ... where rn <= k` is NOT a full per-key sort — Catalyst's
+    // WindowGroupLimit (Spark 3.5+) pre-filters every partition to its
+    // local top-k BEFORE the window shuffle, the bounded-heap shape a
+    // custom operator would otherwise exist for. A rewrite that breaks
+    // the pattern (e.g. filtering on a derived column) would silently
+    // lose the optimization and only show up as a 100×-scale sort spill.
+    val topK = Seq("q36_knn_brute", "q64_rare_terms", "q71_balanced_sample",
+      "q94_tfidf_terms")
+    val offenders = topK.filterNot { name =>
+      SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.sparkPlan.treeString.contains("WindowGroupLimit")
+    }
+    assert(offenders.isEmpty,
+      s"top-k window filter lost WindowGroupLimit in: ${offenders.mkString(", ")}")
+  }
+
   test("every registered query ships a DuckDB oracle (and no oracle is orphaned)") {
     // A queries key without an oracleSql entry silently downgrades the
     // driver's gate to a rows-only check — coverage rot that nothing else
