@@ -17,8 +17,9 @@ import scala.collection.concurrent.TrieMap
   * session (never evicted — keys are bounded: tables × sf dirs), and a
   * dir whose CONTENTS change mid-session would serve stale data (the
   * driver's dirs are immutable snapshots). Keys are namespaced by caller
-  * ("star:", "dim:", "pairs:", "docs:", "events:" — grep SessionMemo for
-  * the live list before adding one) so modules cannot collide. */
+  * ("star:", "dim:", "pairs:", "docs:", "events:", "bpe:" — grep
+  * SessionMemo for the live list before adding one) so modules cannot
+  * collide. */
 private[graft] object SessionMemo {
   private val cache = TrieMap.empty[(SparkSession, String, String), DataFrame]
 

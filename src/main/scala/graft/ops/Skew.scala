@@ -13,28 +13,35 @@ import graft.etl.Star.withFact
   * direct aggregation. */
 object Skew {
 
+  /** Deterministic per-row salt: xxhash64 over ALL columns of `df`, mod
+    * `numSalts`. Deterministic across task retries, which is the property
+    * that makes salting safe under shuffle-fetch failures: a recomputed
+    * map task re-derives the SAME salt for every row, so reducers that
+    * already fetched the lost task's output and reducers backfilling from
+    * the recompute see one consistent assignment. A
+    * `spark_partition_id`/`monotonically_increasing_id` salt re-rolls on
+    * retry — rows can migrate between shuffle partitions mid-stage,
+    * silently dropping or duplicating them, and Spark does not mark the
+    * SQL map stage indeterminate for those expressions, so no rollback
+    * protects the fetch-side state. The price of determinism: exact
+    * duplicate rows share a salt, so a hot key's spread degrades toward
+    * its distinct-row count — pass a frame that still carries a
+    * high-cardinality column (timestamp, id) when hot rows would
+    * otherwise be identical. */
+  private def rowSalt(df: DataFrame, numSalts: Int): Column =
+    pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(numSalts.toLong))
+
   /** Two-phase salted aggregation: count + sum per key, computed as
     * groupBy(key, salt) partials followed by a final groupBy(key) merge.
     * The salt spreads a hot key over `numSalts` reducers in phase 1; the
     * phase-2 input has at most `numSalts` rows per key. Sums must be
     * re-aggregatable (here: counts and exact integer/half-step sums).
-    *
-    * The salt is NONDETERMINISTIC across task retries
-    * (`spark_partition_id` + `monotonically_increasing_id` both change if
-    * a task re-executes elsewhere) — and that is SAFE here, but only
-    * because of what this operator computes: the salt never reaches the
-    * output, it only partitions rows into phase-1 groups, and count/sum
-    * are commutative monoids, so ANY assignment of rows to salts merges
-    * to the same per-key totals in phase 2. Do NOT copy this salt
-    * derivation into an operator whose aggregate is order- or
-    * partition-sensitive (floating-point sums needing a fixed fold order,
-    * first/last, collect_list) or whose salt value escapes — those need a
-    * deterministic salt, e.g. `pmod(hash(payload-cols), numSalts)`.
-    * SkewSpec pins the equivalence under a forced repartition; the q74
-    * oracle (plain group-by in DuckDB) gates it per-round. */
+    * The salt is [[rowSalt]] — deterministic under task retries (see
+    * there for why that matters at the 100 TB regime this operator is
+    * for). SkewSpec pins layout-invariance; the q74 oracle (plain
+    * group-by in DuckDB) gates the rewrite's equivalence per-round. */
   def saltedCountSum(df: DataFrame, key: Column, value: Column, numSalts: Int): DataFrame = {
-    val salted = df.select(key.as("k"), value.as("v"))
-      .withColumn("salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(numSalts)))
+    val salted = df.select(key.as("k"), value.as("v"), rowSalt(df, numSalts).as("salt"))
     salted
       .groupBy("k", "salt")
       .agg(count(lit(1)).as("pn"), sum(col("v")).as("ps"))
@@ -59,13 +66,13 @@ object Skew {
     * key spread over `numSalts` reducers — the manual fallback when AQE's
     * runtime skew-split can't apply (e.g. the join feeds an operator that
     * pins the partitioning, or AQE is off). The probe side gets a
-    * nondeterministic salt (safe for the same reason as
-    * [[saltedCountSum]]: the salt never escapes, and each probe row
-    * matches EXACTLY the replica of its key carrying its salt, so join
-    * multiplicity is unchanged under any salt assignment); the build side
-    * is replicated ×numSalts — its size cost is the price of spreading
-    * the hot key, which is why numSalts stays single-digit. The join key
-    * becomes (key, salt): still a hash-partitionable equi-join. */
+    * deterministic [[rowSalt]] (each probe row matches EXACTLY the
+    * replica of its key carrying its salt, so join multiplicity is
+    * unchanged, and the salt survives task retries — see [[rowSalt]]);
+    * the build side is replicated ×numSalts — its size cost is the price
+    * of spreading the hot key, which is why numSalts stays single-digit.
+    * The join key becomes (key, salt): still a hash-partitionable
+    * equi-join. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       numSalts: Int): DataFrame = {
     // the working column must not shadow (left) or drop (right) a real
@@ -73,8 +80,7 @@ object Skew {
     val salt = "__graft_salt"
     require(!left.columns.contains(salt) && !right.columns.contains(salt),
       s"saltedJoin reserves the column name '$salt'")
-    val salted = left.withColumn(salt,
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(numSalts.toLong)))
+    val salted = left.withColumn(salt, rowSalt(left, numSalts))
     val replicated = right.withColumn(salt,
       explode(sequence(lit(0L), lit(numSalts.toLong - 1L))))
     salted.join(replicated, Seq(key, salt)).drop(salt)
@@ -93,8 +99,12 @@ object Skew {
     * order-free. */
   val q103_salted_join: (SparkSession, String) => DataFrame = (s, d) => {
     // the ONE events reader (TIMESTAMP(NANOS) session contract enforced
-    // there); the unused es column is pruned by Catalyst
-    val ev = Events.events(s, d).select("user_id", "event_type")
+    // there); the unused es column is pruned by Catalyst. ts rides along
+    // as the high-cardinality payload rowSalt needs — a hot user's events
+    // are identical in (user_id, event_type) but distinct in ts, so the
+    // deterministic salt still spreads them; the final aggregate never
+    // reads ts, so Catalyst prunes it right after the salt projection.
+    val ev = Events.events(s, d).select("user_id", "event_type", "ts")
     val prof = ev.groupBy("user_id").agg(count(lit(1)).as("n_user_events"))
     saltedJoin(ev, prof, "user_id", 8)
       .groupBy("event_type")

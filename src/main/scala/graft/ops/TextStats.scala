@@ -329,19 +329,24 @@ object TextStats {
     * separate columns, since '|' sorts above 'z' and would skew a joined-
     * string order. Per iteration the vocab is localCheckpoint'd (the q61
     * lineage rule) and only the 1-row argmax reaches the driver. */
-  /** The trained tokenizer artifact — (merge sequence, final vocab) —
-    * memoized per (session, dir) like [[graft.SessionMemo]]'s frames (the
-    * tuple shape needs its own map): q102 reports the merges, q104
-    * applies the vocab; training runs once per session, charged to
-    * whichever runs first (the q61/q81 memo precedent — in the sorted
-    * bench order, q102 pays). Each iteration's vocab is already
-    * localCheckpoint'd, so the cached final vocab is materialized. */
-  private val bpeMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (Vector[(Long, String, String, Long)], DataFrame)]
+  /** The trained tokenizer artifact — (merge sequence, final vocab):
+    * q102 reports the merges, q104 applies the vocab; training runs once
+    * per session, charged to whichever runs first (the q61/q81 memo
+    * precedent — in the sorted bench order, q102 pays). The vocab
+    * DataFrame (the part that pins localCheckpoint'd RDD blocks) lives in
+    * [[graft.SessionMemo]] under the registered "bpe:" namespace, so
+    * block-lifetime accounting stays in one place; only the small merge
+    * Vector — plain driver data, no Spark state — is memoized locally.
+    * Training produces both atomically inside the SessionMemo build, so
+    * the merge map is always populated before the vocab is served from
+    * cache. Each iteration's vocab is already localCheckpoint'd, so the
+    * cached final frame needs no further materialization (identity). */
+  private val bpeMergeMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Vector[(Long, String, String, Long)]]
 
   private def bpeTrained(s: SparkSession, d: String)
-      : (Vector[(Long, String, String, Long)], DataFrame) =
-    bpeMemo.getOrElseUpdate((s, d), {
+      : (Vector[(Long, String, String, Long)], DataFrame) = {
+    val vocabFinal = graft.SessionMemo(s, d, "bpe:vocab") {
       val vocab0 = docShingles(s, d)
         .select(explode(col("words")).as("w"))
         .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
@@ -374,8 +379,11 @@ object TextStats {
             col("cnt")).localCheckpoint(true)
         }
       }
-      (merges, vocab)
-    })
+      bpeMergeMemo((s, d)) = merges
+      vocab
+    }(identity)
+    (bpeMergeMemo((s, d)), vocabFinal)
+  }
 
   lazy val q102_bpe_train: Q = (s, d) => {
     import s.implicits._

@@ -27,8 +27,12 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     // hot key 0 holds 90% of the probe side; the build side has one row
     // per key (the profile shape). Join multiplicity must be unchanged:
     // every probe row matches exactly its key's replica with its salt.
+    // the index column is the high-cardinality payload the deterministic
+    // rowSalt hashes — without it every hot row is identical and they
+    // would all share one salt (documented degradation, not a bug)
     val left = ((1 to 9000).map(_ => 0L) ++ (1 to 1000).map(i => (i % 50 + 1).toLong))
-      .map(k => (k, s"t${k % 3}")).toDF("user_id", "event_type")
+      .zipWithIndex.map { case (k, i) => (k, s"t${k % 3}", i.toLong) }
+      .toDF("user_id", "event_type", "i")
     val right = (0L to 51L).map(k => (k, k * 10)).toDF("user_id", "w")
     def agg(j: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
       j.groupBy("event_type").agg(count(lit(1)).as("n"), sum("w").as("s"))
@@ -73,13 +77,15 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("saltedCountSum is invariant to the physical partitioning (salt nondeterminism is safe)") {
+  test("saltedCountSum salt is deterministic: layout-invariant AND actually spreads the hot key") {
     import spark.implicits._
-    // The salt derives from spark_partition_id + monotonically_increasing_id,
-    // so DIFFERENT physical layouts of the same rows produce DIFFERENT salt
-    // assignments — re-aggregability (count/sum are commutative monoids)
-    // is the property that makes every assignment merge to the same totals.
-    // Force three distinct layouts and require identical results.
+    // The salt is pmod(xxhash64(all columns), numSalts) — a pure function
+    // of row CONTENT, so any physical layout (and any task retry, the
+    // 100 TB fetch-failure case) assigns identical salts. Pin both halves
+    // of the contract: identical results across layouts, and the hot
+    // key's distinct (k, salt) partials actually use >1 salt (content
+    // hashing spreads because v varies — a degenerate all-duplicate hot
+    // key would collapse to one salt, which rowSalt's doc calls out).
     val rows = (1 to 5000).map(i => ("hot", i.toLong)) ++
       (1 to 500).map(i => (s"k${i % 20}", i.toLong))
     val df = rows.toDF("key", "v")
@@ -89,5 +95,9 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     val base = run(df)
     assert(run(df.repartition(13)) == base)
     assert(run(df.repartition(1)) == base)
+    val hotSalts = df.select(col("key"), col("v"),
+        pmod(xxhash64(col("key"), col("v")), lit(8L)).as("salt"))
+      .where(col("key") === "hot").select("salt").distinct().count()
+    assert(hotSalts > 1, s"hot key collapsed to $hotSalts salt(s) — no spread")
   }
 }
