@@ -473,6 +473,66 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Window length for span-level dedup — 8 tokens, matching q88's
+    * verbatim-contamination n-gram: a verbatim 8-gram is near-certain
+    * copying, shorter windows flag idiom. */
+  private[graft] val spanK = 8
+
+  /** q105: SPAN-level exact-substring dedup — the last rung of the dedup
+    * ladder after document (q31–q34) and chunk (q66) granularity: find
+    * verbatim repeated token spans (≥ [[spanK]] tokens) anywhere in the
+    * corpus — across documents OR repeated inside one — and report, per
+    * affected document, what excising them would remove. This is the
+    * dedup that catches boilerplate stitched INTO otherwise-unique
+    * documents (license headers, navigation, quoted passages), which no
+    * whole-doc or fixed-chunk pass can see.
+    *
+    * Mechanics: every rolling spanK-token window (stride 1) is hashed in
+    * place with its start position; a window whose hash occurs more than
+    * once globally (q88's machinery, generalized from the train/test cut
+    * to the whole corpus) marks tokens [start, start+k−1] as duplicated.
+    * Per document, the marked intervals are unioned by a sorted-window
+    * sweep: with `nxt` = the next flagged start in the doc,
+    * covered tokens = Σ min(k, nxt − start) (+k for the last window) and
+    * a span ends exactly where the gap exceeds k — no interval list is
+    * ever materialized, so the merge is one lead() window, not a
+    * collect.
+    *
+    * Scale shape: windows shuffle on the 32-char hash only (narrow key,
+    * map-side hashing, document text never shuffles); the dup-hash set
+    * is a fraction of the window count and joins back by equi-key; the
+    * sweep shuffles on doc_id. Nothing is quadratic; TrainingDataSpec
+    * pins the interval-union semantics on planted spans. */
+  lazy val q105_span_dedup: Q = (s, d) => {
+    val k = spanK
+    val wins = when(size(col("words")) >= k,
+      transform(sequence(lit(1), size(col("words")) - (k - 1)),
+        i => struct(i.cast("long").as("start"),
+          md5(concat_ws(" ",
+            (0 until k).map(j => element_at(col("words"), i + j)): _*)).as("h"))))
+      .otherwise(array().cast("array<struct<start:bigint,h:string>>"))
+    val w = docShingles(s, d)
+      .select(col("doc_id"), size(col("words")).cast("long").as("n_tokens"),
+        explode(wins).as("win"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("win.start").as("start"), col("win.h").as("h"))
+    val dup = w.groupBy("h").agg(count(lit(1)).as("occ"))
+      .where(col("occ") > 1).select("h")
+    val byDoc = Window.partitionBy("doc_id").orderBy("start")
+    w.join(dup, "h")
+      .withColumn("nxt", lead(col("start"), 1).over(byDoc))
+      .groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sum(when(col("nxt").isNull || col("nxt") - col("start") > k, 1L)
+          .otherwise(0L)).as("n_spans"),
+        sum(when(col("nxt").isNull, lit(k.toLong))
+          .otherwise(least(lit(k.toLong), col("nxt") - col("start"))))
+          .as("tokens_removed"))
+      .withColumn("frac_removed", round4(
+        col("tokens_removed").cast("double") / col("n_tokens").cast("double")))
+      .orderBy("doc_id")
+  }
+
   /** q86: leakage-safe train/val/test split — the composition a training
     * pipeline actually needs from dedup + splitting: near-duplicate
     * documents must land in the SAME split, or eval is contaminated by
@@ -535,7 +595,8 @@ object Dedup {
     "q63_minhash_recall" -> q63_minhash_recall,
     "q81_cluster_reps" -> q81_cluster_reps,
     "q86_leakage_safe_split" -> q86_leakage_safe_split,
-    "q89_incremental_neardup" -> q89_incremental_neardup)
+    "q89_incremental_neardup" -> q89_incremental_neardup,
+    "q105_span_dedup" -> q105_span_dedup)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -608,6 +669,32 @@ object Dedup {
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q105_span_dedup" -> withDocs(
+      s""", w AS (
+         |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+         |         unnest(range(1, len(words) - 6)) AS start,
+         |         unnest(list_transform(range(1, len(words) - 6),
+         |           i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+         |                    words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
+         |                    words[i+6] || ' ' || words[i+7]))) AS h
+         |  FROM docs WHERE len(words) >= 8),
+         |dup AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+         |led AS (
+         |  SELECT w.doc_id, w.n_tokens, w.start,
+         |         lead(w.start) OVER (PARTITION BY w.doc_id ORDER BY w.start) AS nxt
+         |  FROM w JOIN dup USING (h)),
+         |agg AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(count(*) AS BIGINT) AS n_dup_windows,
+         |         CAST(sum(CASE WHEN nxt IS NULL OR nxt - start > 8
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+         |         CAST(sum(CASE WHEN nxt IS NULL THEN 8
+         |                       ELSE least(8, nxt - start) END) AS BIGINT) AS tokens_removed
+         |  FROM led GROUP BY doc_id, n_tokens)
+         |SELECT doc_id, n_tokens, n_dup_windows, n_spans, tokens_removed,
+         |       ${round4Sql("CAST(tokens_removed AS DOUBLE) / CAST(n_tokens AS DOUBLE)")}
+         |         AS frac_removed
+         |FROM agg ORDER BY doc_id""".stripMargin),
     "q31_dedup_exact" -> withDocs(
       """SELECT md5(norm) AS fp, min(doc_id) AS keep_id,
         |       CAST(count(*) AS BIGINT) AS n_copies

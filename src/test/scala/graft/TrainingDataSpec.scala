@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{Pipeline, TextStats}
+import graft.ops.{Dedup, Pipeline, TextStats}
 
 /** Semantic edges of the training-data curation operators added in r5:
   * the Gopher-style repetition filter (q76) and the train/eval
@@ -140,5 +140,34 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
     val rows = TextStats.q94_tfidf_terms(spark, dir).collect()
       .map(r => (r.getAs[Long]("rank"), r.getAs[String]("term")))
     assert(rows.toSeq == Seq((1L, "aardvark"), (2L, "zebra")))
+  }
+
+  test("q105: planted spans are excised as merged intervals, per occurrence") {
+    // One 12-token span S planted in docs 0 and 1 at different offsets,
+    // and an 8-token span T planted TWICE inside doc 2 (within-doc
+    // repetition counts: the hash occurs twice globally). doc 3 is all
+    // unique and must not appear.
+    val S = (1 to 12).map(i => s"s$i").mkString(" ")
+    val T = (1 to 8).map(i => s"t$i").mkString(" ")
+    val dir = writeMiniDocs(Seq(
+      (0L, s"a1 a2 a3 a4 $S a5 a6 a7 a8"), //  S at tokens 5..16 of 20
+      (1L, s"b1 b2 $S b3 b4 b5 b6 b7 b8"), //  S at tokens 3..14 of 20
+      (2L, s"c1 c2 $T c3 c4 c5 $T c6"), //     T at 3..10 and 14..21 of 22
+      (3L, (1 to 20).map(i => s"u$i").mkString(" "))))
+    val got = Dedup.q105_span_dedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_windows"),
+          r.getAs[Long]("n_spans"), r.getAs[Long]("tokens_removed"),
+          r.getAs[Double]("frac_removed")))).toMap
+    // docs 0/1: the 5 fully-inside-S windows (starts 5..9 / 3..7) overlap
+    // pairwise (gap 1 ≤ k) → ONE merged span covering all 12 tokens;
+    // windows straddling the span boundary mix in per-doc unique tokens
+    // and stay unflagged.
+    assert(got(0L) == ((20L, 5L, 1L, 12L, 0.6)))
+    assert(got(1L) == ((20L, 5L, 1L, 12L, 0.6)))
+    // doc 2: each T copy is exactly one window (starts 3 and 14); the gap
+    // 11 > k keeps them separate spans — 2 spans, 16 tokens.
+    assert(got(2L) == ((22L, 2L, 2L, 16L, 0.7273)))
+    assert(!got.contains(3L))
   }
 }
