@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.etl.Star.{round2Sql, round4, round4Sql, round2}
@@ -342,12 +342,20 @@ object TextStats {
     * cache. Each iteration's vocab is already localCheckpoint'd, so the
     * cached final frame needs no further materialization (identity). */
   private val bpeMergeMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Vector[(Long, String, String, Long)]]
+    .empty[(SparkSession, String, String), Vector[(Long, String, String, Long)]]
 
   private def bpeTrained(s: SparkSession, d: String)
-      : (Vector[(Long, String, String, Long)], DataFrame) = {
-    val vocabFinal = graft.SessionMemo(s, d, "bpe:vocab") {
-      val vocab0 = docShingles(s, d)
+      : (Vector[(Long, String, String, Long)], DataFrame) =
+    bpeTrainedOn(s, d, "bpe:vocab", lit(true))
+
+  /** [[bpeTrained]] over a doc subset — q106 trains on the q70 TRAIN
+    * split only, so held-out application measures generalization, not
+    * memorization. One memo entry per (dir, key): the full-corpus and
+    * train-split artifacts coexist. */
+  private def bpeTrainedOn(s: SparkSession, d: String, memoKey: String,
+      docFilter: Column): (Vector[(Long, String, String, Long)], DataFrame) = {
+    val vocabFinal = graft.SessionMemo(s, d, memoKey) {
+      val vocab0 = docShingles(s, d).where(docFilter)
         .select(explode(col("words")).as("w"))
         .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
         .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -379,10 +387,10 @@ object TextStats {
             col("cnt")).localCheckpoint(true)
         }
       }
-      bpeMergeMemo((s, d)) = merges
+      bpeMergeMemo((s, d, memoKey)) = merges
       vocab
     }(identity)
-    (bpeMergeMemo((s, d)), vocabFinal)
+    (bpeMergeMemo((s, d, memoKey)), vocabFinal)
   }
 
   lazy val q102_bpe_train: Q = (s, d) => {
@@ -426,6 +434,49 @@ object TextStats {
       .orderBy("lang")
   }
 
+  /** q106: tokenizer GENERALIZATION — train BPE on the q70 TRAIN split
+    * only, then apply the learned merge sequence to train AND test words
+    * by MERGE REPLAY: each word (alphabetic only — the training domain,
+    * and '|' can't collide with the boundary delimiter) is rebuilt as a
+    * boundary-delimited character string and the k learned merges are
+    * applied as k sequential literal replaces — map-side, NO vocab join,
+    * so an unseen-but-mergeable word still compresses (the exact
+    * behavior q104's vocab-join fallback understates: there an OOV word
+    * costs one token per character even when every merge applies).
+    * Output: per split, words/chars/tokens and chars-per-token — the
+    * train-vs-heldout compression gap a tokenizer report ships.
+    *
+    * Scale shape: training is q102's vocabulary-sized loop (train-split
+    * corpus read once); application is a chain of k literal replaces
+    * inside one codegen'd projection over exploded words, then a 2-group
+    * aggregate. The merge table reaches executors as literals in the
+    * plan (k rows, the broadcast-free degenerate case). */
+  lazy val q106_bpe_heldout: Q = (s, d) => {
+    val merges = bpeTrainedOn(s, d, "bpe:vocab_train",
+      idBucket(col("doc_id")) < 80)._1
+    val bucket = idBucket(col("doc_id"))
+    val sym0 = concat(lit("|"), array_join(split(col("w"), ""), "||"), lit("|"))
+    val symFinal = merges.foldLeft(sym0) { case (c, (_, l, r, _)) =>
+      replace(c, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+    }
+    docShingles(s, d)
+      .where(bucket < 80 || bucket >= 90)
+      .select(when(bucket < 80, "train").otherwise("test").as("split"),
+        explode(col("words")).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .select(col("split"), length(col("w")).cast("long").as("nc"),
+        size(split(regexp_replace(symFinal, "^\\||\\|$", ""), "\\|\\|"))
+          .cast("long").as("nt"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_words"), sum("nc").as("n_chars"),
+        sum("nt").as("n_tokens"))
+      .withColumn("chars_per_token",
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(round4(
+            col("n_chars").cast("double") / col("n_tokens").cast("double"))))
+      .orderBy("split")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_lang_id" -> q40_lang_id,
     "q41_token_stats" -> q41_token_stats,
@@ -442,7 +493,8 @@ object TextStats {
     "q94_tfidf_terms" -> q94_tfidf_terms,
     "q96_bpe_merge_pairs" -> q96_bpe_merge_pairs,
     "q102_bpe_train" -> q102_bpe_train,
-    "q104_bpe_compression" -> q104_bpe_compression)
+    "q104_bpe_compression" -> q104_bpe_compression,
+    "q106_bpe_heldout" -> q106_bpe_heldout)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -491,17 +543,21 @@ object TextStats {
        |                          '|' || l || r || '|'), sym) AS sym, cnt
        |  FROM v${i - 1} LEFT JOIN m$i ON TRUE)""".stripMargin
 
-  /** The shared q102/q104 oracle prefix: initial char-symbol vocab `v0`
-    * plus the unrolled [[bpeIterCte]] training chain to `v$bpeMerges`. */
-  private val bpeChainCtes: String =
+  /** The shared q102/q104/q106 oracle prefix: initial char-symbol vocab
+    * `v0` (from `docsSrc` — "docs", or a filtered subquery for q106's
+    * train-split chain) plus the unrolled [[bpeIterCte]] training chain
+    * to `v$bpeMerges`. */
+  private def bpeChainCtesFrom(docsSrc: String): String =
     s""", v0 AS (
        |  SELECT '|' || array_to_string(list_transform(range(1, length(w) + 1),
        |           i -> w[i]), '||') || '|' AS sym,
        |         CAST(count(*) AS BIGINT) AS cnt
-       |  FROM (SELECT unnest(words) AS w FROM docs)
+       |  FROM (SELECT unnest(words) AS w FROM $docsSrc)
        |  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2
        |  GROUP BY w),
        |${(1 to bpeMerges).map(bpeIterCte).mkString(",\n")}""".stripMargin
+
+  private val bpeChainCtes: String = bpeChainCtesFrom("docs")
 
   val oracle: Map[String, String] = Map(
     "q102_bpe_train" -> withDocs(
@@ -530,6 +586,35 @@ object TextStats {
          |            ELSE ${round4Sql("CAST(sum(nc) AS DOUBLE) / CAST(sum(nt) AS DOUBLE)")}
          |       END AS chars_per_token
          |FROM j GROUP BY lang ORDER BY lang""".stripMargin),
+    "q106_bpe_heldout" -> withDocs(
+      s"""${bpeChainCtesFrom(s"(SELECT words FROM docs WHERE ${idBucketSql("doc_id")} < 80)")},
+         |wd AS (
+         |  SELECT CASE WHEN bucket < 80 THEN 'train' ELSE 'test' END AS split, w
+         |  FROM (SELECT ${idBucketSql("doc_id")} AS bucket, unnest(words) AS w
+         |        FROM docs)
+         |  WHERE (bucket < 80 OR bucket >= 90) AND regexp_matches(w, '^[a-z]+$$')),
+         |a0 AS (
+         |  SELECT split, CAST(length(w) AS BIGINT) AS nc,
+         |         '|' || array_to_string(list_transform(range(1, length(w) + 1),
+         |           i -> w[i]), '||') || '|' AS s
+         |  FROM wd),
+         |${(1 to bpeMerges).map(i =>
+            s"""a$i AS (
+               |  SELECT split, nc,
+               |         coalesce(replace(s, '|' || l || '||' || r || '|',
+               |                          '|' || l || r || '|'), s) AS s
+               |  FROM a${i - 1} LEFT JOIN m$i ON TRUE)""".stripMargin).mkString(",\n")}
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(nc) AS BIGINT) AS n_chars,
+         |       CAST(sum(len(string_split(substr(s, 2, length(s) - 2), '||')))
+         |         AS BIGINT) AS n_tokens,
+         |       CASE WHEN sum(len(string_split(substr(s, 2, length(s) - 2), '||'))) = 0
+         |            THEN NULL
+         |            ELSE ${round4Sql(
+                        "CAST(sum(nc) AS DOUBLE) / " +
+                        "CAST(sum(len(string_split(substr(s, 2, length(s) - 2), '||'))) AS DOUBLE)")}
+         |       END AS chars_per_token
+         |FROM a$bpeMerges GROUP BY split ORDER BY split""".stripMargin),
     "q40_lang_id" -> withDocs(
       s"""SELECT doc_id, ${round4Sql(ratioSql)} AS en_ratio,
          |       CASE WHEN ($ratioSql) >= 0.05 THEN 'en' ELSE 'und' END AS pred_lang

@@ -41,7 +41,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     // shape, and q104's final plan is a broadcast join + aggregate.)
     val eager = Set("q48_dim_waktu", "q49_star_roundtrip", "q60_embed_lsh_recall",
       "q61_dedup_components", "q63_minhash_recall", "q69_range_join",
-      "q101_lloyd_loop", "q102_bpe_train", "q104_bpe_compression")
+      "q101_lloyd_loop", "q102_bpe_train", "q104_bpe_compression",
+      "q106_bpe_heldout")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => eager(name) }
       .flatMap { case (name, fn) =>

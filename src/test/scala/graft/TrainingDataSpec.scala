@@ -142,6 +142,33 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.toSeq == Seq((1L, "aardvark"), (2L, "zebra")))
   }
 
+  test("q106: held-out OOV words compress by merge replay, not vocab lookup") {
+    // Train split: "abab abab cd" → learned merges (a,b), (ab,ab), (c,d)
+    // (the q102 test corpus). Test split: "ababab cd q" — 'ababab' was
+    // NEVER seen in training, but replaying the merges still compresses
+    // it: |a||b||a||b||a||b| →(a,b) |ab||ab||ab| →(ab,ab, leftmost
+    // non-overlapping) |abab||ab| = 2 tokens. A vocab join (q104's
+    // shape) would have charged it 6 character tokens — the exact gap
+    // this query exists to close. 'cd' replays to 1 token; 'q' is a
+    // 1-char word, 1 token.
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(2).map("%02x".format(_)).mkString, 16) % 100
+    }
+    val trainId = (0L to 200L).find(bucket(_) < 80).get
+    val testId = (0L to 200L).find(bucket(_) >= 90).get
+    val dir = writeMiniDocs(Seq(
+      (trainId, "abab abab cd"),
+      (testId, "ababab cd q")))
+    val got = TextStats.q106_bpe_heldout(spark, dir).collect()
+      .map(r => r.getAs[String]("split") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("n_tokens"), r.getAs[Double]("chars_per_token")))).toMap
+    assert(got("train") == ((3L, 10L, 3L, 3.3333)))
+    assert(got("test") == ((3L, 9L, 4L, 2.25)))
+  }
+
   test("q105: planted spans are excised as merged intervals, per occurrence") {
     // One 12-token span S planted in docs 0 and 1 at different offsets,
     // and an 8-token span T planted TWICE inside doc 2 (within-doc
