@@ -122,12 +122,75 @@ object Similarity {
     * untouched (PartitionPruningSpec asserts the file-level pruning).
     * Norms are precomputed into the index so serving never rescans raw
     * embeddings. */
-  def writeIvfIndex(s: SparkSession, d: String, out: String): Unit = {
+  def writeIvfIndex(s: SparkSession, d: String, out: String): Unit =
+    ivfIndexRows(s, d, lit(true)).write
+      .mode("overwrite").partitionBy("c_id").parquet(out)
+
+  /** The index rows for the corpus subset passing `rowFilter`, assigned
+    * under the FROZEN seed codebook (the codebook is fixed at index-build
+    * time; incremental appends must reuse it or bucket membership would
+    * shift under the readers). */
+  private def ivfIndexRows(s: SparkSession, d: String, rowFilter: Column): DataFrame = {
     val all = vecs(s, d)
-    assignments(all, seedCents(all))
-      .join(all, "vec_id")
+    val subset = all.where(rowFilter)
+    assignments(subset, seedCents(all))
+      .join(subset, "vec_id")
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id"))
-      .write.mode("overwrite").partitionBy("c_id").parquet(out)
+  }
+
+  /** Incremental IVF maintenance — the serving path [[writeIvfIndex]]
+    * lacks: assign ONLY the incoming batch against the frozen codebook
+    * and APPEND its rows; dynamic partitionBy writes touch exactly the
+    * directories of buckets that received a new vector, so the base
+    * index files are never rewritten (PartitionPruningSpec asserts both
+    * at the file level). The codebook is deliberately NOT retrained here
+    * — q107 is the report that tells the operator when the accumulated
+    * drift justifies a [[writeIvfIndex]] rebuild (with a q99/q101
+    * retrain). */
+  def appendIvfIndex(s: SparkSession, d: String, out: String,
+      rowFilter: Column): Unit =
+    ivfIndexRows(s, d, rowFilter).write
+      .mode("append").partitionBy("c_id").parquet(out)
+
+  /** q107: IVF index STALENESS after an incremental append — the report
+    * behind [[appendIvfIndex]]'s no-retrain trade: with the base corpus
+    * (vec_id hash bucket < 50, playing already-ingested history — the
+    * q80/q89 incremental-family convention) indexed under the frozen
+    * seed codebook and the incoming batch (bucket ≥ 50) appended under
+    * that SAME stale codebook, report per centroid bucket how the append
+    * shifted it: base/new/total sizes and the new-row fraction, flagged
+    * `retrain` where incoming rows dominate (> 0.55 — just above the
+    * ≈ 0.5 corpus-wide incoming fraction, so both branches are exercised
+    * at the gate's sf0.01). A
+    * skewed new_frac distribution is the retrain trigger: the frozen
+    * centroids no longer describe where new data lands.
+    *
+    * Scale shape: two broadcast-codebook assignment passes (corpus never
+    * shuffles wider than the narrow (vec_id, c_id) frame), counts
+    * aggregated on the 16-value c_id key, left-joined back onto the
+    * codebook so every bucket reports even when empty. */
+  lazy val q107_ivf_staleness: Q = (s, d) => {
+    val all = vecs(s, d)
+    val bucket = TextCore.idBucket(col("vec_id"))
+    val aBase = assignments(all.where(bucket < 50), seedCents(all))
+      .groupBy("c_id").agg(count(lit(1)).as("n_base"))
+    val aNew = assignments(all.where(bucket >= 50), seedCents(all))
+      .groupBy("c_id").agg(count(lit(1)).as("n_new"))
+    val newFrac = col("n_new").cast("double") / col("n_total").cast("double")
+    seedCents(all).select(col("c_id"))
+      .join(aBase, Seq("c_id"), "left")
+      .join(aNew, Seq("c_id"), "left")
+      .select(col("c_id"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_total", col("n_base") + col("n_new"))
+      .withColumn("new_frac",
+        // 0/0 guard (the q60 rule): a bucket no vector maps to
+        when(col("n_total") === 0, lit(null).cast("double"))
+          .otherwise(round4(newFrac)))
+      .withColumn("retrain",
+        when(col("n_total") > 0 && newFrac > 0.55, 1L).otherwise(0L))
+      .orderBy("c_id")
   }
 
   /** q92: the IVF tuning curve — recall vs probe count (1/2/4/8) against
@@ -405,7 +468,8 @@ object Similarity {
     "q85_quantized_knn_recall" -> q85_quantized_knn_recall,
     "q92_ivf_nprobe_sweep" -> q92_ivf_nprobe_sweep,
     "q99_ivf_trained_recall" -> q99_ivf_trained_recall,
-    "q101_lloyd_loop" -> q101_lloyd_loop)
+    "q101_lloyd_loop" -> q101_lloyd_loop,
+    "q107_ivf_staleness" -> q107_ivf_staleness)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -543,6 +607,36 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "q107_ivf_staleness" ->
+      s"""WITH $vecsCte,
+         |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vecs
+         |         WHERE vec_id < $numCentroids),
+         |rk AS (
+         |  SELECT x.vec_id, c.c_id,
+         |         row_number() OVER (PARTITION BY x.vec_id
+         |           ORDER BY list_dot_product(x.v, c.cv) / (x.nrm * c.cn) DESC,
+         |                    c.c_id ASC) AS rn
+         |  FROM vecs x CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, c_id FROM rk WHERE rn = 1),
+         |ab AS (SELECT c_id, CAST(count(*) AS BIGINT) AS n_base FROM asg
+         |       WHERE ${TextCore.idBucketSql("vec_id")} < 50 GROUP BY c_id),
+         |an AS (SELECT c_id, CAST(count(*) AS BIGINT) AS n_new FROM asg
+         |       WHERE ${TextCore.idBucketSql("vec_id")} >= 50 GROUP BY c_id),
+         |rep AS (
+         |  SELECT c.c_id,
+         |         CAST(coalesce(ab.n_base, 0) AS BIGINT) AS n_base,
+         |         CAST(coalesce(an.n_new, 0) AS BIGINT) AS n_new
+         |  FROM cent c LEFT JOIN ab USING (c_id) LEFT JOIN an USING (c_id))
+         |SELECT c_id, n_base, n_new,
+         |       CAST(n_base + n_new AS BIGINT) AS n_total,
+         |       CASE WHEN n_base + n_new = 0 THEN NULL
+         |            ELSE ${round4Sql(
+                      "CAST(n_new AS DOUBLE) / CAST(n_base + n_new AS DOUBLE)")}
+         |       END AS new_frac,
+         |       CAST(CASE WHEN n_base + n_new > 0 AND
+         |                      CAST(n_new AS DOUBLE) / CAST(n_base + n_new AS DOUBLE) > 0.55
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS retrain
+         |FROM rep ORDER BY c_id""".stripMargin,
     "q36_knn_brute" ->
       s"""WITH $vecsCte, $bruteCte
          |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine

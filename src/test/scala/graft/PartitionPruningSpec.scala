@@ -34,6 +34,53 @@ class PartitionPruningSpec extends AnyFunSuite with SparkTestBase {
     assert(probed.count() == expected)
   }
 
+  test("an incremental IVF append touches only assigned-bucket directories") {
+    import graft.ops.{Similarity, TextCore}
+    val sfDir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    val bucket = TextCore.idBucket(col("vec_id"))
+    // full rebuild = ground truth for step 3; base-only index = the
+    // already-ingested history (vec_id hash bucket < 50) the append grows
+    Similarity.writeIvfIndex(spark, sfDir, idx)
+    val baseIdx = idx + "_base"
+    Similarity.appendIvfIndex(spark, sfDir, baseIdx, bucket < 50)
+    def filesIn(dir: String): Map[String, Set[String]] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("c_id="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    }
+    val before = filesIn(baseIdx)
+    Similarity.appendIvfIndex(spark, sfDir, baseIdx, bucket >= 50)
+    val after = filesIn(baseIdx)
+    // 1. no base file was rewritten or removed
+    before.foreach { case (dir, fs) =>
+      assert(fs.subsetOf(after.getOrElse(dir, Set.empty)),
+        s"append rewrote files under $dir")
+    }
+    // 2. new files appear exactly under the buckets the incoming batch
+    //    was assigned to (read the appended rows back for the truth)
+    // partition-column inference reads c_id back as int — normalize via Number
+    val incomingBuckets = spark.read.parquet(baseIdx)
+      .where(bucket >= 50).select("c_id").distinct()
+      .collect().map(r => s"c_id=${r.getAs[Number]("c_id").longValue}").toSet
+    val grown = after.filter { case (dir, fs) =>
+      fs != before.getOrElse(dir, Set.empty)
+    }.keySet
+    assert(grown == incomingBuckets,
+      s"append touched $grown, expected $incomingBuckets")
+    // 3. the appended index serves the same rows as a full rebuild (the
+    //    frozen codebook makes base assignments append-invariant)
+    def pairs(dir: String): Set[(Long, Long)] = spark.read.parquet(dir)
+      .select("vec_id", "c_id").collect()
+      .map(r => (r.getAs[Number]("vec_id").longValue,
+        r.getAs[Number]("c_id").longValue)).toSet
+    val rebuilt = pairs(idx)
+    val incremental = pairs(baseIdx)
+    assert(incremental == rebuilt)
+  }
+
   test("tahun filter prunes fact partitions in the warehouse read") {
     val dir = writeMiniStar(Seq(
       (1L, 1L, 101L, "2023-03-15", "A", "F", 3.0),
