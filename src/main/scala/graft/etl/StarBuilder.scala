@@ -232,6 +232,34 @@ object StarBuilder {
       .partitionBy("tahun").parquet(s"$warehouse/fact_nilai_semester")
   }
 
+  /** Clustered fact layout — the single-dimension Z-order/data-clustering
+    * analog: range-partition the fact on `student` and sort within each
+    * write task, so every file AND every parquet row group inside it
+    * covers a tight student interval. A selective student predicate then
+    * prunes twice from min/max statistics alone: file-level (range
+    * partitioning ⇒ disjoint file intervals) and row-group-level (the
+    * parquet reader skips groups whose stats exclude the predicate) —
+    * without any directory partitioning, which would be the wrong tool
+    * for a high-cardinality key (one directory per student). The
+    * [[writeAll]] layout clusters by tahun for time pruning; this is the
+    * complementary layout for student-keyed access paths. blockSize
+    * shrinks row groups so sandbox-scale files have several to skip; at
+    * 100 TB the default 128 MB groups play the same role.
+    * PartitionPruningSpec measures the skip on identical data in sorted
+    * vs unsorted layouts. */
+  def writeFactClustered(spark: SparkSession, dir: String, out: String,
+      sorted: Boolean, blockSize: Int = 128 * 1024 * 1024): Unit = {
+    val fact = factNilaiMk(spark, dir)
+    val laid =
+      if (sorted) fact.repartitionByRange(4, col("student"))
+        .sortWithinPartitions("student")
+      // same task count, layout uncorrelated with student — the control
+      else fact.repartition(4, col("course"))
+    laid.write.mode("overwrite")
+      .option("parquet.block.size", blockSize.toString)
+      .parquet(out)
+  }
+
   /** q48 (A10): the surrogate-keyed time dimension itself. Deliberately
     * bypasses [[memoDim]]: the benched number must measure the two-phase
     * surrogate-key BUILD every rep, not a cache read — q48 is the

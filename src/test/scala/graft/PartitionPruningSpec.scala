@@ -81,6 +81,53 @@ class PartitionPruningSpec extends AnyFunSuite with SparkTestBase {
     assert(incremental == rebuilt)
   }
 
+  test("clustered (sorted) layout skips row groups an unsorted layout must read") {
+    // The data-clustering story beyond directory partitioning: identical
+    // fact rows written twice with small row groups — once range-
+    // partitioned + sorted by student, once hash-laid-out by course —
+    // then the same selective student range is read from both. Parquet
+    // row-group/file min-max pruning means the SCAN (pre-filter) surfaces
+    // far fewer rows from the sorted layout; the unsorted layout's every
+    // row group straddles the range and must be read. Metrics come from
+    // the executed scan node (through AQE's final plan).
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val sfDir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft_cluster").toString
+    val blockSize = 64 * 1024 // several row groups per sandbox-scale file
+    StarBuilder.writeFactClustered(spark, sfDir, s"$base/sorted", sorted = true, blockSize)
+    StarBuilder.writeFactClustered(spark, sfDir, s"$base/unsorted", sorted = false, blockSize)
+
+    val (lo, hi) = {
+      val r = spark.read.parquet(s"$base/sorted")
+        .agg(org.apache.spark.sql.functions.min("student"),
+          org.apache.spark.sql.functions.max("student")).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      (mn + (mx - mn) * 45 / 100, mn + (mx - mn) * 50 / 100) // ~5% band
+    }
+    def scanRows(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir).where(col("student").between(lo, hi))
+      val selected = df.count()
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scan = finalPlan.collectFirst { case f: FileSourceScanExec => f }
+        .getOrElse(fail(s"no FileSourceScanExec under $dir"))
+      (scan.metrics("numOutputRows").value, selected)
+    }
+    val (sortedScan, sortedSel) = scanRows(s"$base/sorted")
+    val (unsortedScan, unsortedSel) = scanRows(s"$base/unsorted")
+    assert(sortedSel == unsortedSel && sortedSel > 0, "layouts must hold the same rows")
+    // the sorted layout's scan must surface a small multiple of the
+    // selected rows; the unsorted one reads essentially the whole fact
+    assert(sortedScan * 4 <= unsortedScan,
+      s"row-group skipping bought nothing: sorted scan $sortedScan rows " +
+        s"vs unsorted $unsortedScan (selected $sortedSel)")
+    info(s"scan rows sorted=$sortedScan unsorted=$unsortedScan selected=$sortedSel " +
+      f"(skip ratio ${unsortedScan.toDouble / sortedScan}%.1f×)")
+  }
+
   test("tahun filter prunes fact partitions in the warehouse read") {
     val dir = writeMiniStar(Seq(
       (1L, 1L, 101L, "2023-03-15", "A", "F", 3.0),
