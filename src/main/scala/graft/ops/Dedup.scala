@@ -50,21 +50,32 @@ object Dedup {
     * verification. Both engines compute the same md5 minhashes, so the
     * candidate sets are identical by construction (recall of the banding is
     * a property of the shared signature, not of either engine). */
-  val q32_dedup_minhash_lsh: Q = (s, d) => {
-    val docs = docShingles(s, d)
-      .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n_sh"))
-    // all 12 minhashes in one compiled pass (TextCore.minhash per seed is
-    // the declarative spec, parity-tested in DedupSpec)
-    val sigs = docShingles(s, d).select(col("doc_id"),
-      graft.functions.VectorOps.minhashSignature(col("sh_md5"), numHashes).as("mhs"))
+  /** (input columns minus sh_md5) + (band, bkey): every row's MinHash
+    * band keys — all 12 minhashes in one compiled pass
+    * (TextCore.minhash per seed is the declarative spec, parity-tested
+    * in DedupSpec), then 4 bands of 3 rows each hashed to a 32-char
+    * bucket key. THE band-key definition: q32's self-join, q89's index
+    * probe and the streaming twin
+    * ([[graft.streaming.EventStream.neardupProbeStream]]) all call this,
+    * so batch and stream can never drift. Input must carry `sh_md5`;
+    * other columns pass through. */
+  private[graft] def withBandKeys(docs: DataFrame): DataFrame = {
+    val sigs = docs.withColumn("mhs",
+      graft.functions.VectorOps.minhashSignature(col("sh_md5"), numHashes))
     val bandCols = (0 until numBands).map { bd =>
       def mh(i: Int): Column = element_at(col("mhs"), i + 1).cast("string")
       val key = md5(concat(mh(3 * bd), lit("|"), mh(3 * bd + 1), lit("|"), mh(3 * bd + 2)))
       struct(lit(bd).as("band"), key.as("bkey"))
     }
-    val bands = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val others = docs.columns.filterNot(_ == "sh_md5").toIndexedSeq.map(col)
+    sigs.select(others :+ explode(array(bandCols: _*)).as("bk"): _*)
+      .select(others :+ col("bk.band").as("band") :+ col("bk.bkey").as("bkey"): _*)
+  }
+
+  val q32_dedup_minhash_lsh: Q = (s, d) => {
+    val docs = docShingles(s, d)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n_sh"))
+    val bands = withBandKeys(docShingles(s, d).select(col("doc_id"), col("sh_md5")))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -429,32 +440,24 @@ object Dedup {
     * near-dup flag. Scale shape: the index is (docs × 4 bands) 32-char
     * keys; the probe is an equi-join on (band, bkey); shingle arrays are
     * joined back by id only for verification. */
-  lazy val q89_incremental_neardup: Q = (s, d) => {
-    val bucket = idBucket(col("doc_id"))
-    val docs = docShingles(s, d)
-      .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n_sh"))
-      .withColumn("bucket", bucket)
-    val sigs = docShingles(s, d).select(col("doc_id"),
-        graft.functions.VectorOps.minhashSignature(col("sh_md5"), numHashes).as("mhs"))
-      .withColumn("bucket", bucket)
-    val bandCols = (0 until numBands).map { bd =>
-      def mh(i: Int): Column = element_at(col("mhs"), i + 1).cast("string")
-      val key = md5(concat(mh(3 * bd), lit("|"), mh(3 * bd + 1), lit("|"), mh(3 * bd + 2)))
-      struct(lit(bd).as("band"), key.as("bkey"))
-    }
-    val bands = sigs
-      .select(col("doc_id"), col("bucket"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bucket"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val baseIndex = bands.where(col("bucket") < 50)
+  /** The base-corpus band-index snapshot (base_id, band, bkey) — what a
+    * nightly build persists, q89 probes in batch, and the streaming twin
+    * serves as its static side. */
+  private[graft] def baseBandIndex(s: SparkSession, d: String): DataFrame =
+    withBandKeys(docShingles(s, d).select(col("doc_id"), col("sh_md5")))
+      .where(idBucket(col("doc_id")) < 50)
       .select(col("doc_id").as("base_id"), col("band"), col("bkey"))
-    val cand = bands.where(col("bucket") >= 50)
-      .select(col("doc_id"), col("band"), col("bkey"))
-      .join(baseIndex, Seq("band", "bkey"))
-      .select("doc_id", "base_id").distinct()
-    val verified = cand
-      .join(docs.select(col("doc_id"), col("shingles").as("sh_a"),
+
+  /** Exact-Jaccard ≥ 0.5 verification of (doc_id, base_id) candidate
+    * pairs against the incoming/base shingle stores, aggregated per
+    * incoming doc — the q89 verify, factored so the streaming twin's
+    * foreachBatch runs the SAME definition on each micro-batch. */
+  private[graft] def neardupVerify(cand: DataFrame, incoming: DataFrame,
+      base: DataFrame): DataFrame =
+    cand
+      .join(incoming.select(col("doc_id"), col("shingles").as("sh_a"),
         col("n_sh").as("n_a")), "doc_id")
-      .join(docs.select(col("doc_id").as("base_id"), col("shingles").as("sh_b"),
+      .join(base.select(col("doc_id").as("base_id"), col("shingles").as("sh_b"),
         col("n_sh").as("n_b")), "base_id")
       .withColumn("inter",
         graft.functions.VectorOps.sortedIntersectCount(col("sh_a"), col("sh_b")).cast("long"))
@@ -464,12 +467,29 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("nm"), min("base_id").as("best_base_id"),
         round4(max(col("j"))).as("best_jaccard"))
-    docs.where(col("bucket") >= 50).select(col("doc_id"))
-      .join(verified, Seq("doc_id"), "left")
+
+  /** Per-incoming-doc report over the verified matches: q89's output
+    * shape (match count, smallest matching base id, best Jaccard,
+    * near-dup flag), with unmatched docs present at zero. */
+  private[graft] def neardupReport(incomingIds: DataFrame,
+      verified: DataFrame): DataFrame =
+    incomingIds.join(verified, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("nm"), lit(0L)).as("n_base_matches"),
         col("best_base_id"), col("best_jaccard"),
         when(col("nm").isNotNull, 1L).otherwise(0L).as("near_dup"))
+
+  lazy val q89_incremental_neardup: Q = (s, d) => {
+    val bucket = idBucket(col("doc_id"))
+    val docs = docShingles(s, d)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n_sh"))
+      .withColumn("bucket", bucket)
+    val cand = withBandKeys(docShingles(s, d).select(col("doc_id"), col("sh_md5")))
+      .where(idBucket(col("doc_id")) >= 50)
+      .join(baseBandIndex(s, d), Seq("band", "bkey"))
+      .select("doc_id", "base_id").distinct()
+    val verified = neardupVerify(cand, docs, docs)
+    neardupReport(docs.where(col("bucket") >= 50).select(col("doc_id")), verified)
       .orderBy("doc_id")
   }
 

@@ -100,6 +100,48 @@ object EventStream {
       .select(col("doc_id"), col("fp"),
         when(col("in_base").isNotNull, "dup_of_base").otherwise("new").as("status"))
 
+  /** Streaming NEAR-dup dedup — the q89 twin [[incrementalDedupStream]]
+    * can't be: a lightly-edited re-crawl slips past the exact fingerprint
+    * index, so each arriving document's raw text is shingled and
+    * MinHash-banded in-stream (all stateless expressions, the SAME
+    * [[graft.ops.Dedup.withBandKeys]] definition as batch) and its band
+    * keys probe the static base band index — a stream-static equi-LEFT-
+    * join on (band, bkey), the nightly q89 snapshot served per
+    * micro-batch with no streaming state. The left join keeps documents
+    * with no candidate so the downstream report covers every arrival.
+    * Candidate dedup, exact-Jaccard verification and the per-doc report
+    * are aggregations, so they run in `foreachBatch` via
+    * [[neardupReportBatch]] — EventStreamSpec proves the composition's
+    * row parity with batch q89 on the same corpus split. At scale the
+    * index is a parquet table keyed by 32-char band keys: broadcast if
+    * vocabulary-sized, else bucketed — history is never re-scanned. */
+  def neardupProbeStream(docs: DataFrame, baseBands: DataFrame): DataFrame = {
+    import graft.ops.{Dedup, TextCore}
+    val norm = TextCore.normCol(col("text"))
+    val feats = docs.select(col("doc_id"), norm.as("norm"))
+      .withColumn("shingles", TextCore.shingles3(TextCore.wordsCol(col("norm"))))
+      .withColumn("sh_md5", transform(col("shingles"), sh => md5(sh)))
+      .select("doc_id", "sh_md5")
+    Dedup.withBandKeys(feats)
+      .join(baseBands, Seq("band", "bkey"), "left")
+      .select(col("doc_id"), col("base_id"))
+  }
+
+  /** The foreachBatch half of the streaming near-dup path: dedup the
+    * micro-batch's candidate pairs, verify them at exact Jaccard ≥ 0.5
+    * and emit the q89-shaped per-doc report — all through the SAME
+    * [[graft.ops.Dedup]] verify/report the batch query uses. `incoming` /
+    * `base` are the shingle stores ((doc_id, shingles, n_sh)) candidates
+    * are verified against. */
+  def neardupReportBatch(candBatch: DataFrame, incoming: DataFrame,
+      base: DataFrame): DataFrame = {
+    import graft.ops.Dedup
+    val cand = candBatch.where(col("base_id").isNotNull)
+      .select("doc_id", "base_id").distinct()
+    Dedup.neardupReport(candBatch.select("doc_id").distinct(),
+      Dedup.neardupVerify(cand, incoming, base))
+  }
+
   /** Idempotent micro-batch parquet sink for `writeStream.foreachBatch`:
     * each micro-batch overwrites its own `batch_id=<id>` directory, so a
     * REPLAYED batch (restart after a sink-side failure — the at-least-once

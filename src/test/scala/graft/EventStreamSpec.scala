@@ -217,6 +217,51 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming near-dup probe + foreachBatch verify equals batch q89 on the same split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.{Dedup, TextCore}
+    import org.apache.spark.sql.functions.{col, size}
+    val sfDir = "/root/testdata/sf0.001"
+    val bucket = TextCore.idBucket(col("doc_id"))
+    val stores = TextCore.docShingles(spark, sfDir)
+      .select(col("doc_id"), col("shingles"),
+        size(col("shingles")).cast("long").as("n_sh"))
+    val baseBands = Dedup.baseBandIndex(spark, sfDir)
+    // the incoming split arrives as RAW TEXT over two micro-batches —
+    // shingling/banding happens in-stream
+    val arrivals = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(bucket >= 50).select("doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val (first, second) = arrivals.splitAt(arrivals.length / 2)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Option[Long], Option[Double], Long)]
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream
+      .neardupProbeStream(input.toDS().toDF("doc_id", "text"), baseBands)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        results ++= EventStream.neardupReportBatch(b, stores, stores).collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_base_matches"),
+            Option(r.getAs[java.lang.Long]("best_base_id")).map(_.longValue),
+            Option(r.getAs[java.lang.Double]("best_jaccard")).map(_.doubleValue),
+            r.getAs[Long]("near_dup")))
+        ()
+      }.start()
+    try {
+      input.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      input.addData(second.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    val batch = Dedup.q89_incremental_neardup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_base_matches"),
+        Option(r.getAs[java.lang.Long]("best_base_id")).map(_.longValue),
+        Option(r.getAs[java.lang.Double]("best_jaccard")).map(_.doubleValue),
+        r.getAs[Long]("near_dup"))).toSet
+    assert(results.nonEmpty && results.toSet == batch,
+      s"stream/batch mismatch: stream ${results.size} rows, batch ${batch.size}")
+    assert(batch.exists(_._5 == 1L), "split should contain at least one near-dup")
+  }
+
   test("parquetBatchSink is idempotent under micro-batch replay") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
