@@ -94,6 +94,63 @@ class PropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("q102 merge sequence equals an in-memory BPE reference on random corpora") {
+    import graft.ops.TextStats
+    // The trivial driver-side BPE: pair counts with multiplicity over the
+    // word-count vocab, argmax by (freq desc, l, r), left-to-right
+    // non-overlapping merge — the semantics the boundary-string replace
+    // implements distributedly. Random small corpora over a 3-letter
+    // alphabet force ties and overlapping pairs (aaa, abab...), the
+    // cases where greedy BPE implementations classically diverge.
+    def mergePass(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    def refBpe(words: Seq[String], k: Int): Vector[(Long, String, String, Long)] = {
+      var vocab = words.groupBy(identity).toVector
+        .map { case (w, ws) => (w.map(_.toString).toVector, ws.size.toLong) }
+      var merges = Vector.empty[(Long, String, String, Long)]
+      var step = 1L
+      var done = false
+      while (step <= k && !done) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+          pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + c
+        if (pc.isEmpty) done = true
+        else {
+          val ((l, r), f) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+          merges = merges :+ ((step, l, r, f))
+          vocab = vocab.map { case (syms, c) => (mergePass(syms, l, r), c) }
+          step += 1
+        }
+      }
+      merges
+    }
+    val wordGen = for {
+      n <- Gen.chooseNum(2, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val corpusGen = for {
+      nw <- Gen.chooseNum(2, 5)
+      ws <- Gen.listOfN(nw, wordGen)
+      counts <- Gen.listOfN(nw, Gen.chooseNum(1, 4))
+    } yield ws.zip(counts).flatMap { case (w, c) => Seq.fill(c)(w) }
+    (1 to 6).foreach { _ =>
+      val words = corpusGen.sample.get
+      val dir = writeMiniDocs(Seq((0L, words.mkString(" "))))
+      val got = TextStats.q102_bpe_train(spark, dir).collect()
+        .map(r => (r.getAs[Long]("step"), r.getAs[String]("left_sym"),
+          r.getAs[String]("right_sym"), r.getAs[Long]("freq"))).toVector
+      assert(got == refBpe(words, 6), s"corpus: ${words.mkString(" ")}")
+    }
+  }
+
   test("hamming distance is 0 iff bitstrings equal, symmetric, <= 64") {
     import spark.implicits._
     val bits = Gen.listOfN(64, Gen.oneOf('0', '1')).map(_.mkString)
