@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is ONE machine-readable JSON line on stdout.
+// By default sbt relogs forked output with an "[info] " prefix and then
+// prints its own "[success] Total time..." footer AFTER it — so the last
+// stdout line is never the JSON and a last-line parser records null.
+// StdoutOutput passes the forked process's stdout through verbatim (and
+// its stderr to real stderr, instead of relogging Spark WARNs as
+// "[error]" lines on stdout); showSuccess drops the footer so the JSON
+// line is genuinely last.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
