@@ -424,27 +424,30 @@ object Similarity {
     * an exact fixed point — the recomputed codebook is a deterministic
     * function of the (unchanged) assignment, so every later iteration
     * repeats the same stats row, which the driver emits without running
-    * further jobs. Two jobs per iteration: the re-assignment checkpoint
-    * (with the codebook recomputation folded into its plan — a separate
-    * 16-row checkpoint only added scheduling) and one combined stats
-    * aggregate (change count + bucket extremes share the same
-    * assign⋈prev join). Only the narrow (vec_id, c_id) assignment is
+    * further jobs. Two jobs per iteration, with ALL the distributed work
+    * in the first: the re-assignment checkpoint folds in both the
+    * codebook recomputation (a separate 16-row checkpoint only added
+    * scheduling) and the join to the previous assignment, so the
+    * checkpointed frame is (vec_id, c_id, pc) and the stats action —
+    * change count + bucket extremes — is a plain aggregate over those
+    * materialized narrow rows: no join, no shuffle beyond the 16-key
+    * groupBy, no corpus access. Only that narrow assignment frame is
     * checkpointed — the corpus is re-scanned per round, never
     * materialized, the q61 lineage rule. */
   lazy val q101_lloyd_loop: Q = (s, d) => {
     val all = vecs(s, d)
     val seed = seedCents(all).localCheckpoint(true)
-    def assignOf(cents: DataFrame): DataFrame =
-      assignments(all, cents).localCheckpoint(true)
-    var assign = assignOf(seed)
+    var assign = assignments(all, seed).localCheckpoint(true)
     var stats = Vector.empty[(Long, Long, Long, Long)]
     var converged = false
     for (i <- 1 to lloydIters) {
       if (converged) stats = stats :+ stats.last.copy(_1 = i.toLong)
       else {
-        val next = assignOf(lloydCodebook(all, assign, seed))
-        val st = next.join(assign.withColumnRenamed("c_id", "pc"), "vec_id")
-          .groupBy("c_id")
+        val next = assignments(all,
+            lloydCodebook(all, assign.select("vec_id", "c_id"), seed))
+          .join(assign.select(col("vec_id"), col("c_id").as("pc")), "vec_id")
+          .localCheckpoint(true)
+        val st = next.groupBy("c_id")
           .agg(count(lit(1)).as("bs"),
             sum(when(col("c_id") =!= col("pc"), 1L).otherwise(0L)).as("ch"))
           .agg(sum("ch").as("nch"), max("bs").as("mx"), min("bs").as("mn"))
