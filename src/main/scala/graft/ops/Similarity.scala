@@ -165,21 +165,22 @@ object Similarity {
     * skewed new_frac distribution is the retrain trigger: the frozen
     * centroids no longer describe where new data lands.
     *
-    * Scale shape: two broadcast-codebook assignment passes (corpus never
-    * shuffles wider than the narrow (vec_id, c_id) frame), counts
-    * aggregated on the 16-value c_id key, left-joined back onto the
-    * codebook so every bucket reports even when empty. */
+    * Scale shape: ONE broadcast-codebook assignment pass over the whole
+    * corpus (assignment is per-vector, so base and incoming need not be
+    * assigned separately — the bucket membership splits inside the
+    * aggregate as conditional sums), counts aggregated on the 16-value
+    * c_id key, left-joined back onto the codebook so every bucket
+    * reports even when empty. */
   lazy val q107_ivf_staleness: Q = (s, d) => {
     val all = vecs(s, d)
     val bucket = TextCore.idBucket(col("vec_id"))
-    val aBase = assignments(all.where(bucket < 50), seedCents(all))
-      .groupBy("c_id").agg(count(lit(1)).as("n_base"))
-    val aNew = assignments(all.where(bucket >= 50), seedCents(all))
-      .groupBy("c_id").agg(count(lit(1)).as("n_new"))
+    val counts = assignments(all, seedCents(all))
+      .groupBy("c_id")
+      .agg(sum(when(bucket < 50, 1L).otherwise(0L)).as("n_base"),
+        sum(when(bucket >= 50, 1L).otherwise(0L)).as("n_new"))
     val newFrac = col("n_new").cast("double") / col("n_total").cast("double")
     seedCents(all).select(col("c_id"))
-      .join(aBase, Seq("c_id"), "left")
-      .join(aNew, Seq("c_id"), "left")
+      .join(counts, Seq("c_id"), "left")
       .select(col("c_id"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))

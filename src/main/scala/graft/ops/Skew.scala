@@ -13,35 +13,40 @@ import graft.etl.Star.withFact
   * direct aggregation. */
 object Skew {
 
-  /** Deterministic per-row salt: xxhash64 over ALL columns of `df`, mod
-    * `numSalts`. Deterministic across task retries, which is the property
-    * that makes salting safe under shuffle-fetch failures: a recomputed
-    * map task re-derives the SAME salt for every row, so reducers that
-    * already fetched the lost task's output and reducers backfilling from
-    * the recompute see one consistent assignment. A
+  /** Deterministic per-row salt: xxhash64 over the caller-designated
+    * `saltOn` columns, mod `numSalts`. Deterministic across task
+    * retries, which is the property that makes salting safe under
+    * shuffle-fetch failures: a recomputed map task re-derives the SAME
+    * salt for every row, so reducers that already fetched the lost
+    * task's output and reducers backfilling from the recompute see one
+    * consistent assignment. A
     * `spark_partition_id`/`monotonically_increasing_id` salt re-rolls on
     * retry — rows can migrate between shuffle partitions mid-stage,
     * silently dropping or duplicating them, and Spark does not mark the
     * SQL map stage indeterminate for those expressions, so no rollback
-    * protects the fetch-side state. The price of determinism: exact
-    * duplicate rows share a salt, so a hot key's spread degrades toward
-    * its distinct-row count — pass a frame that still carries a
-    * high-cardinality column (timestamp, id) when hot rows would
-    * otherwise be identical. */
-  private def rowSalt(df: DataFrame, numSalts: Int): Column =
-    pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(numSalts.toLong))
+    * protects the fetch-side state. The caller picks `saltOn` — the key
+    * and value plus enough high-cardinality payload (timestamp, id) to
+    * spread a hot key — rather than the salt hashing every column, which
+    * would force the scan to materialize the full row width and defeat
+    * column pruning. Rows identical across `saltOn` share a salt
+    * (documented degradation, not a bug). */
+  private[graft] def rowSalt(saltOn: Seq[Column], numSalts: Int): Column =
+    pmod(xxhash64(saltOn: _*), lit(numSalts.toLong))
 
   /** Two-phase salted aggregation: count + sum per key, computed as
     * groupBy(key, salt) partials followed by a final groupBy(key) merge.
     * The salt spreads a hot key over `numSalts` reducers in phase 1; the
     * phase-2 input has at most `numSalts` rows per key. Sums must be
     * re-aggregatable (here: counts and exact integer/half-step sums).
-    * The salt is [[rowSalt]] — deterministic under task retries (see
-    * there for why that matters at the 100 TB regime this operator is
-    * for). SkewSpec pins layout-invariance; the q74 oracle (plain
-    * group-by in DuckDB) gates the rewrite's equivalence per-round. */
-  def saltedCountSum(df: DataFrame, key: Column, value: Column, numSalts: Int): DataFrame = {
-    val salted = df.select(key.as("k"), value.as("v"), rowSalt(df, numSalts).as("salt"))
+    * The salt is [[rowSalt]] over `saltOn` — deterministic under task
+    * retries (see there for why that matters at the 100 TB regime this
+    * operator is for). SkewSpec pins layout-invariance; the q74 oracle
+    * (plain group-by in DuckDB) gates the rewrite's equivalence
+    * per-round. */
+  def saltedCountSum(df: DataFrame, key: Column, value: Column,
+      numSalts: Int, saltOn: Seq[Column]): DataFrame = {
+    val salted = df.select(key.as("k"), value.as("v"),
+      rowSalt(saltOn, numSalts).as("salt"))
     salted
       .groupBy("k", "salt")
       .agg(count(lit(1)).as("pn"), sum(col("v")).as("ps"))
@@ -58,7 +63,11 @@ object Skew {
     * the gate itself (sks sums are integral doubles — exact,
     * order-free). */
   val q74_salted_agg: (SparkSession, String) => DataFrame = (s, d) =>
-    saltedCountSum(Star.fact(s, d), col("huruf"), col("sks"), 8)
+    // salt on key+value plus (student, course) — the high-cardinality
+    // pair that spreads a hot grade without touching the fact's other
+    // columns (column pruning keeps the scan at these 4)
+    saltedCountSum(Star.fact(s, d), col("huruf"), col("sks"), 8,
+        Seq(col("huruf"), col("sks"), col("student"), col("course")))
       .select(col("k").as("huruf"), col("n").as("n_rows"), col("s").as("sum_sks"))
       .orderBy("huruf")
 
@@ -66,21 +75,21 @@ object Skew {
     * key spread over `numSalts` reducers — the manual fallback when AQE's
     * runtime skew-split can't apply (e.g. the join feeds an operator that
     * pins the partitioning, or AQE is off). The probe side gets a
-    * deterministic [[rowSalt]] (each probe row matches EXACTLY the
-    * replica of its key carrying its salt, so join multiplicity is
-    * unchanged, and the salt survives task retries — see [[rowSalt]]);
-    * the build side is replicated ×numSalts — its size cost is the price
-    * of spreading the hot key, which is why numSalts stays single-digit.
-    * The join key becomes (key, salt): still a hash-partitionable
-    * equi-join. */
+    * deterministic [[rowSalt]] over the caller's `saltOn` columns (each
+    * probe row matches EXACTLY the replica of its key carrying its salt,
+    * so join multiplicity is unchanged, and the salt survives task
+    * retries — see [[rowSalt]]); the build side is replicated ×numSalts
+    * — its size cost is the price of spreading the hot key, which is why
+    * numSalts stays single-digit. The join key becomes (key, salt):
+    * still a hash-partitionable equi-join. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
-      numSalts: Int): DataFrame = {
+      numSalts: Int, saltOn: Seq[Column]): DataFrame = {
     // the working column must not shadow (left) or drop (right) a real
     // business column — fail loudly rather than silently losing data
     val salt = "__graft_salt"
     require(!left.columns.contains(salt) && !right.columns.contains(salt),
       s"saltedJoin reserves the column name '$salt'")
-    val salted = left.withColumn(salt, rowSalt(left, numSalts))
+    val salted = left.withColumn(salt, rowSalt(saltOn, numSalts))
     val replicated = right.withColumn(salt,
       explode(sequence(lit(0L), lit(numSalts.toLong - 1L))))
     salted.join(replicated, Seq(key, salt)).drop(salt)
@@ -106,7 +115,8 @@ object Skew {
     // reads ts, so Catalyst prunes it right after the salt projection.
     val ev = Events.events(s, d).select("user_id", "event_type", "ts")
     val prof = ev.groupBy("user_id").agg(count(lit(1)).as("n_user_events"))
-    saltedJoin(ev, prof, "user_id", 8)
+    saltedJoin(ev, prof, "user_id", 8,
+        Seq(col("user_id"), col("event_type"), col("ts")))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), sum("n_user_events").as("sum_profile"))
       .orderBy("event_type")

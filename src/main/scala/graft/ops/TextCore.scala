@@ -93,6 +93,19 @@ object TextCore {
     aggregate(sequence(lit(1), lit(64)), lit(0), (acc, i) =>
       acc + when(a.substr(i.cast("int"), lit(1)) === b.substr(i.cast("int"), lit(1)), 0).otherwise(1))
 
+  /** Append the per-document shingle feature chain to `df`: norm →
+    * words → shingles → sh_md5 (one md5 per shingle, shared by minhash
+    * q32, simhash q33 and fingerprints q43 — hashing is the dominant
+    * per-doc cost). THE definition of the chain: the batch
+    * [[docShingles]] build and the streaming near-dup probe
+    * ([[graft.streaming.EventStream.neardupProbeStream]]) both call
+    * this, so the feature definition cannot drift between them. */
+  def withShingleFeatures(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("norm", normCol(text))
+      .withColumn("words", wordsCol(col("norm")))
+      .withColumn("shingles", shingles3(col("words")))
+      .withColumn("sh_md5", transform(col("shingles"), sh => md5(sh)))
+
   /** documents with norm/words/shingles columns — memoized + persisted per
     * (session, dir): a dozen queries derive from it, and the interpreted
     * shingle transform over the corpus is the expensive part (recomputing
@@ -101,13 +114,8 @@ object TextCore {
   def docShingles(spark: SparkSession, dir: String): DataFrame =
     graft.SessionMemo(spark, dir, "docs:shingles") {
       val d = spark.read.parquet(s"$dir/documents.parquet")
-      val norm = normCol(col("text"))
-      d.select(col("doc_id"), col("lang"), col("source"), col("n_chars"), norm.as("norm"))
-        .withColumn("words", wordsCol(col("norm")))
-        .withColumn("shingles", shingles3(col("words")))
-        // one md5 per shingle, shared by minhash (q32), simhash (q33) and
-        // fingerprints (q43) — hashing is the dominant per-doc cost
-        .withColumn("sh_md5", transform(col("shingles"), sh => md5(sh)))
+        .select("doc_id", "lang", "source", "n_chars", "text")
+      withShingleFeatures(d, col("text")).drop("text")
     }(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   // -------------------------------------------------------------------------

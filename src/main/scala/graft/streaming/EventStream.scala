@@ -117,10 +117,8 @@ object EventStream {
     * vocabulary-sized, else bucketed — history is never re-scanned. */
   def neardupProbeStream(docs: DataFrame, baseBands: DataFrame): DataFrame = {
     import graft.ops.{Dedup, TextCore}
-    val norm = TextCore.normCol(col("text"))
-    val feats = docs.select(col("doc_id"), norm.as("norm"))
-      .withColumn("shingles", TextCore.shingles3(TextCore.wordsCol(col("norm"))))
-      .withColumn("sh_md5", transform(col("shingles"), sh => md5(sh)))
+    val feats = TextCore
+      .withShingleFeatures(docs.select(col("doc_id"), col("text")), col("text"))
       .select("doc_id", "sh_md5")
     Dedup.withBandKeys(feats)
       .join(baseBands, Seq("band", "bkey"), "left")

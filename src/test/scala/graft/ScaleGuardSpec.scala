@@ -126,11 +126,11 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     // custom operator would otherwise exist for. A rewrite that breaks
     // the pattern (e.g. filtering on a derived column) would silently
     // lose the optimization and only show up as a 100×-scale sort spill.
-    // name → number of top-k rank filters in the query; each plans a
-    // Partial (map-side, before the window shuffle) + Final pair of
-    // WindowGroupLimitExec nodes, so expect 2·filters — counting nodes,
-    // not a whole-tree substring hit, so one surviving instance can't
-    // mask a regression in another filter of the same query
+    // name → expected WindowGroupLimitExec NODE count: each rank filter
+    // plans a Partial (map-side, before the window shuffle) + Final
+    // pair, so the value is 2 per rank filter in the query. Counting
+    // nodes, not a whole-tree substring hit, so one surviving instance
+    // can't mask a regression in another filter of the same query.
     val topK = Seq("q36_knn_brute" -> 2, "q64_rare_terms" -> 2,
       "q71_balanced_sample" -> 2, "q94_tfidf_terms" -> 2)
     val offenders = topK.flatMap { case (name, expected) =>

@@ -17,7 +17,8 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     val direct = df.groupBy("key")
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    val salted = Skew.saltedCountSum(df, col("key"), col("v"), numSalts = 8)
+    val salted = Skew.saltedCountSum(df, col("key"), col("v"), numSalts = 8,
+        saltOn = Seq(col("key"), col("v")))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(salted == direct)
   }
@@ -37,10 +38,11 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     def agg(j: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
       j.groupBy("event_type").agg(count(lit(1)).as("n"), sum("w").as("s"))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val saltOn = Seq(col("user_id"), col("event_type"), col("i"))
     val plain = agg(left.join(right, "user_id"))
-    assert(agg(Skew.saltedJoin(left, right, "user_id", 8)) == plain)
-    assert(agg(Skew.saltedJoin(left.repartition(13), right, "user_id", 8)) == plain)
-    assert(agg(Skew.saltedJoin(left.repartition(1), right.repartition(3), "user_id", 8)) == plain)
+    assert(agg(Skew.saltedJoin(left, right, "user_id", 8, saltOn)) == plain)
+    assert(agg(Skew.saltedJoin(left.repartition(13), right, "user_id", 8, saltOn)) == plain)
+    assert(agg(Skew.saltedJoin(left.repartition(1), right.repartition(3), "user_id", 8, saltOn)) == plain)
   }
 
   test("AQE splits the skewed partition of a shuffle join at runtime") {
@@ -90,13 +92,16 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
       (1 to 500).map(i => (s"k${i % 20}", i.toLong))
     val df = rows.toDF("key", "v")
     def run(d: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
-      Skew.saltedCountSum(d, col("key"), col("v"), numSalts = 8)
+      Skew.saltedCountSum(d, col("key"), col("v"), numSalts = 8,
+          saltOn = Seq(col("key"), col("v")))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     val base = run(df)
     assert(run(df.repartition(13)) == base)
     assert(run(df.repartition(1)) == base)
-    val hotSalts = df.select(col("key"), col("v"),
-        pmod(xxhash64(col("key"), col("v")), lit(8L)).as("salt"))
+    // the PRODUCTION salt expression, not a re-derivation — if rowSalt's
+    // definition changes in a way that collapses spread, this fails
+    val hotSalts = df.select(col("key"),
+        Skew.rowSalt(Seq(col("key"), col("v")), 8).as("salt"))
       .where(col("key") === "hot").select("salt").distinct().count()
     assert(hotSalts > 1, s"hot key collapsed to $hotSalts salt(s) — no spread")
   }
