@@ -32,6 +32,14 @@ object VectorOps {
   /** L2 norm via [[dot]] — sqrt of the same sequential fold. */
   def norm(v: Column): Column = sqrt(dot(v, v))
 
+  /** Sequential-fold squared L2 distance of two double arrays
+    * (codegen'd) — the compiled twin of
+    * `aggregate(sequence(1, n), 0.0, (acc, i) => acc + (a(i)−b(i))²)`
+    * (parity-tested in PropertiesSpec). */
+  def squaredL2(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(
+      SquaredL2(GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+
   /** 64-bit SimHash over pre-hashed (md5 hex) features, as a '0'/'1'
     * string — the imperative twin of [[graft.ops.TextCore.simhash64]]. */
   def simhash64(md5Hashes: Column): Column =
@@ -90,6 +98,47 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** acc = Σ (a(i) − b(i))², folded left-to-right — bit-equal to the
+  * ascending-index HOF fold AND the oracle's list_transform +
+  * list_aggregate('sum') (same per-element subtract/square, same
+  * addition order). Inputs must be array<double> without null elements
+  * (embeddings are dense). */
+case class SquaredL2(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2sq"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val dd = x.getDouble(i) - y.getDouble(i)
+      acc += dd * dd
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double acc = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double dd = $x.getDouble(i) - $y.getDouble(i);
+         |  acc += dd * dd;
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredL2 =
     copy(left = newLeft, right = newRight)
 }
 

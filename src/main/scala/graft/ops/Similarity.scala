@@ -409,6 +409,134 @@ object Similarity {
       .orderBy("codebook")
   }
 
+  // ---------------------------------------------------------------------------
+  // Product quantization (q108/q109)
+  // ---------------------------------------------------------------------------
+
+  private val pqSubspaces = 4
+  private val pqSubDim = 16 // 64-dim embeddings / 4 subspaces
+
+  /** Unit-normalized corpus: PQ operates on the unit sphere so ADC's
+    * L2 ranking equals the cosine ranking (‖a−b‖² = 2 − 2·cos on unit
+    * vectors) — q109's recall against the cosine-exact q36 then
+    * measures QUANTIZATION loss, not a metric mismatch. */
+  private def unitVecs(s: SparkSession, d: String): DataFrame =
+    vecs(s, d).select(col("vec_id"),
+      transform(col("v"), x => x / col("nrm")).as("u"))
+
+  /** Ordered-fold squared L2 between two `pqSubDim`-element arrays —
+    * the compiled [[graft.functions.VectorOps.squaredL2]], whose
+    * left-to-right fold is bit-identical to the declarative
+    * ascending-index HOF (PropertiesSpec parity) and to the oracle's
+    * list_transform + list_aggregate('sum') (the q35 dot-product
+    * precedent). */
+  private def l2sq(a: Column, b: Column): Column =
+    graft.functions.VectorOps.squaredL2(a, b)
+
+  /** The PQ codebook (j, k, cb): subspace j's code k = seed vector k's
+    * j-th subvector (vec_id < 16, unit-normalized) — training-free and
+    * deterministic, the q37 seed-codebook convention; a Lloyd-trained
+    * PQ would swap this table via [[lloydCodebook]]'s machinery. 64 rows
+    * total: always broadcast, never data. */
+  private def pqCodebook(s: SparkSession, d: String): DataFrame =
+    unitVecs(s, d).where(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("k"),
+        explode(sequence(lit(0), lit(pqSubspaces - 1))).as("j"), col("u"))
+      .select(col("j"), col("k"),
+        slice(col("u"), col("j") * pqSubDim + 1, lit(pqSubDim)).as("cb"))
+
+  /** Every vector's PQ code per subspace: (vec_id, j, code, dist) with
+    * dist = the squared L2 to the chosen (nearest, ties → min k) code.
+    * Map-side: 16 codes × 4 subspaces per vector via the broadcast
+    * codebook; the argmin is a (vec_id, j)-partitioned top-1 window
+    * (WindowGroupLimit pre-filters map-side like every per-key top-k
+    * here). */
+  private def pqCodes(s: SparkSession, d: String): DataFrame = {
+    val subs = unitVecs(s, d)
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(pqSubspaces - 1))).as("j"), col("u"))
+      .select(col("vec_id"), col("j"),
+        slice(col("u"), col("j") * pqSubDim + 1, lit(pqSubDim)).as("x"))
+    val w = Window.partitionBy("vec_id", "j").orderBy(col("dist").asc, col("k").asc)
+    subs.join(broadcast(pqCodebook(s, d)), "j")
+      .withColumn("dist", l2sq(col("x"), col("cb")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("j"), col("k").as("code"), col("dist"))
+  }
+
+  /** Per-subspace single-value "sums" pivoted to fixed columns and added
+    * in a FIXED order — a plain sum() over the 4 subspace doubles would
+    * merge partials in nondeterministic order and could flip
+    * bit-boundary rankings between engines; each conditional sum has
+    * exactly one non-null contribution, so this is exact. */
+  private def subspaceTotal(df: DataFrame, keys: Seq[String], value: Column,
+      total: String): DataFrame = {
+    val parts = (0 until pqSubspaces).map(j =>
+      sum(when(col("j") === j, value)).as(s"d$j"))
+    df.groupBy(keys.map(col): _*)
+      .agg(parts.head, parts.tail: _*)
+      .withColumn(total,
+        (0 until pqSubspaces).map(j => col(s"d$j")).reduce(_ + _))
+      .drop((0 until pqSubspaces).map(j => s"d$j"): _*)
+  }
+
+  /** q108: PQ ENCODING — each embedding compressed to 4 bytes-worth of
+    * code ids (one per 16-dim subspace, codes = the 16 seed subvectors)
+    * plus the reconstruction error the compression cost: the memory
+    * story beyond q62's int8 (64 × 8 B → 4 × 1 B per vector, 128×), and
+    * the encoding half of the q109 ADC search. All-integer codes make
+    * the gate float-free except the rounded error. */
+  lazy val q108_pq_encode: Q = (s, d) => {
+    val codes = pqCodes(s, d)
+    val ids = (0 until pqSubspaces).map(j =>
+      sum(when(col("j") === j, col("code"))).as(s"c$j"))
+    val errs = subspaceTotal(codes, Seq("vec_id"), col("dist"), "err")
+      .select(col("vec_id"), round4(col("err")).as("recon_err"))
+    codes.groupBy("vec_id").agg(ids.head, ids.tail: _*)
+      .join(errs, "vec_id")
+      .orderBy("vec_id")
+  }
+
+  /** q109: PQ ADC search recall — asymmetric distance computation: the
+    * query stays exact, the corpus exists only as its 4 code ids, and
+    * the approximate distance is the sum of precomputed
+    * (query, subspace, code) table entries — the classic Jégou et al.
+    * TPAMI'11 serving shape. Top-5 per query by (adist asc, vec_id asc)
+    * vs the exact cosine q36, per query — the same measured-accuracy
+    * contract as q58/q60/q63/q85, closing the loop for the PQ path.
+    *
+    * Scale shape: the distance table is queries × 4 × 16 rows
+    * (broadcast); the corpus side joins it on (j, code) — equi, narrow,
+    * no corpus shuffle wider than (vec_id, j, code); the per-query
+    * top-k is a WindowGroupLimit rank filter. */
+  lazy val q109_pq_adc_recall: Q = (s, d) => {
+    val codes = pqCodes(s, d).select(col("vec_id"), col("j"), col("code"))
+    val qsubs = unitVecs(s, d).where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(sequence(lit(0), lit(pqSubspaces - 1))).as("j"), col("u"))
+      .select(col("query_id"), col("j"),
+        slice(col("u"), col("j") * pqSubDim + 1, lit(pqSubDim)).as("qx"))
+    val dtab = qsubs.join(broadcast(pqCodebook(s, d)), "j")
+      .select(col("query_id"), col("j"), col("k").as("code"),
+        l2sq(col("qx"), col("cb")).as("dq"))
+    val approx = subspaceTotal(
+      codes.join(broadcast(dtab), Seq("j", "code"))
+        .where(col("vec_id") =!= col("query_id")),
+      Seq("query_id", "vec_id"), col("dq"), "adist")
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)
+    val top = approx.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("query_id").as("q2"), col("vec_id").as("n2"))
+    q36_knn_brute(s, d).select(col("query_id"), col("neighbor_id"))
+      .join(top, col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_brute"), count(col("n2")).as("n_matched"))
+      .withColumn("recall",
+        round4(col("n_matched").cast("double") / col("n_brute").cast("double")))
+      .orderBy("query_id")
+  }
+
   private val lloydIters = 3
 
   /** q101: the full Lloyd training loop — [[lloydCodebook]] driven k = 3
@@ -473,7 +601,9 @@ object Similarity {
     "q92_ivf_nprobe_sweep" -> q92_ivf_nprobe_sweep,
     "q99_ivf_trained_recall" -> q99_ivf_trained_recall,
     "q101_lloyd_loop" -> q101_lloyd_loop,
-    "q107_ivf_staleness" -> q107_ivf_staleness)
+    "q107_ivf_staleness" -> q107_ivf_staleness,
+    "q108_pq_encode" -> q108_pq_encode,
+    "q109_pq_adc_recall" -> q109_pq_adc_recall)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -525,6 +655,31 @@ object Similarity {
        |    JOIN vecs q ON q.vec_id = p.query_id
        |    JOIN vecs n ON n.vec_id = a.vec_id)
        |  WHERE rank <= $topK)""".stripMargin
+
+  /** Shared PQ CTE chain (q108/q109): unit vectors → subvectors →
+    * codebook (seed subvectors) → per-(vector, subspace) nearest-code
+    * encoding. The L2² is the same ascending-index ordered fold as the
+    * Spark side's [[l2sq]]. */
+  private val pqL2 = (a: String, b: String) =>
+    s"""list_aggregate(list_transform(range(1, ${pqSubDim + 1}),
+       |             i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum')""".stripMargin
+  private val pqCtes =
+    s"""uv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM vecs),
+       |sub AS (
+       |  SELECT vec_id, j, u[j*$pqSubDim+1 : j*$pqSubDim+$pqSubDim] AS x
+       |  FROM uv, (SELECT unnest(range(0, $pqSubspaces)) AS j)),
+       |cb AS (SELECT j, vec_id AS k, x AS cb FROM sub WHERE vec_id < $numCentroids),
+       |pdists AS (
+       |  SELECT s.vec_id, s.j, c.k,
+       |         ${pqL2("s.x", "c.cb")} AS dist
+       |  FROM sub s JOIN cb c ON s.j = c.j),
+       |enc AS (
+       |  SELECT vec_id, j, k AS code, dist FROM (
+       |    SELECT vec_id, j, k, dist,
+       |           row_number() OVER (PARTITION BY vec_id, j
+       |             ORDER BY dist ASC, k ASC) AS rn
+       |    FROM pdists)
+       |  WHERE rn = 1)""".stripMargin
 
   /** One sweep-point CTE (`ivf<p>`) reusing the shared `ranked`/`assign`
     * CTEs of [[ivfCte]] with the probe cutoff at `p`. */
@@ -641,6 +796,53 @@ object Similarity {
          |                      CAST(n_new AS DOUBLE) / CAST(n_base + n_new AS DOUBLE) > 0.55
          |                 THEN 1 ELSE 0 END AS BIGINT) AS retrain
          |FROM rep ORDER BY c_id""".stripMargin,
+    "q108_pq_encode" ->
+      s"""WITH $vecsCte, $pqCtes,
+         |encp AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CASE WHEN j = 0 THEN code END) AS BIGINT) AS c0,
+         |         CAST(sum(CASE WHEN j = 1 THEN code END) AS BIGINT) AS c1,
+         |         CAST(sum(CASE WHEN j = 2 THEN code END) AS BIGINT) AS c2,
+         |         CAST(sum(CASE WHEN j = 3 THEN code END) AS BIGINT) AS c3,
+         |         sum(CASE WHEN j = 0 THEN dist END) AS d0,
+         |         sum(CASE WHEN j = 1 THEN dist END) AS d1,
+         |         sum(CASE WHEN j = 2 THEN dist END) AS d2,
+         |         sum(CASE WHEN j = 3 THEN dist END) AS d3
+         |  FROM enc GROUP BY vec_id)
+         |SELECT vec_id, c0, c1, c2, c3,
+         |       ${round4Sql("d0 + d1 + d2 + d3")} AS recon_err
+         |FROM encp ORDER BY vec_id""".stripMargin,
+    "q109_pq_adc_recall" ->
+      s"""WITH $vecsCte, $bruteCte, $pqCtes,
+         |qsub AS (SELECT vec_id AS query_id, j, x AS qx FROM sub
+         |         WHERE vec_id < $numQueries),
+         |dtab AS (
+         |  SELECT q.query_id, q.j, c.k AS code,
+         |         ${pqL2("q.qx", "c.cb")} AS dq
+         |  FROM qsub q JOIN cb c ON q.j = c.j),
+         |ap AS (
+         |  SELECT t.query_id, e.vec_id,
+         |         sum(CASE WHEN e.j = 0 THEN dq END) AS d0,
+         |         sum(CASE WHEN e.j = 1 THEN dq END) AS d1,
+         |         sum(CASE WHEN e.j = 2 THEN dq END) AS d2,
+         |         sum(CASE WHEN e.j = 3 THEN dq END) AS d3
+         |  FROM enc e JOIN dtab t ON e.j = t.j AND e.code = t.code
+         |  WHERE e.vec_id <> t.query_id
+         |  GROUP BY t.query_id, e.vec_id),
+         |pqtop AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY d0 + d1 + d2 + d3 ASC, vec_id ASC) AS rank
+         |    FROM ap)
+         |  WHERE rank <= $topK)
+         |SELECT b.query_id,
+         |       CAST(count(*) AS BIGINT) AS n_brute,
+         |       CAST(count(t.vec_id) AS BIGINT) AS n_matched,
+         |       ${round4Sql("CAST(count(t.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS recall
+         |FROM brute b LEFT JOIN pqtop t
+         |  ON b.query_id = t.query_id AND b.neighbor_id = t.vec_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
     "q36_knn_brute" ->
       s"""WITH $vecsCte, $bruteCte
          |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine

@@ -153,6 +153,22 @@ class PropertiesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("SquaredL2 equals the HOF fold for random vector pairs") {
+    import spark.implicits._
+    import graft.functions.VectorOps
+    val vec = Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0))
+    val pairs = Gen.listOfN(60, Gen.zip(vec, vec)).sample.get
+    val got = pairs.toDF("a", "b")
+      .select(VectorOps.squaredL2(col("a"), col("b")).as("c"),
+        aggregate(sequence(lit(1), lit(16)), lit(0.0), (acc, i) =>
+          acc + (element_at(col("a"), i) - element_at(col("b"), i)) *
+            (element_at(col("a"), i) - element_at(col("b"), i))).as("h"))
+      .collect()
+    // bit-identical, not approximately equal: the PQ oracle parity
+    // depends on the exact fold
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("hamming distance is 0 iff bitstrings equal, symmetric, <= 64") {
     import spark.implicits._
     val bits = Gen.listOfN(64, Gen.oneOf('0', '1')).map(_.mkString)

@@ -127,6 +127,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(r => r._3 == 3L && r._4 == 3L)) // two balanced buckets
   }
 
+  test("q108: seed vectors encode to their own codes with zero reconstruction error") {
+    import org.apache.spark.sql.functions.col
+    // The PQ codebook IS the 16 seed vectors' subvectors, so each seed
+    // must encode to code k = its own id in every subspace with dist 0
+    // (the identity that pins slicing, the argmin tie-break direction,
+    // and the fixed-order error sum all at once). Real corpus: PQ
+    // assumes the 64-dim embeddings contract.
+    val rows = Similarity.q108_pq_encode(spark, "/root/testdata/sf0.001")
+      .where(col("vec_id") < 16).collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      Seq("c0", "c1", "c2", "c3").foreach(c =>
+        assert(r.getAs[Long](c) == id, s"vec $id: $c != $id"))
+      assert(r.getAs[Double]("recon_err") == 0.0, s"vec $id: nonzero err")
+    }
+  }
+
   test("q99: a bucket whose members sum to zero keeps its seed centroid") {
     // single centroid (id 0); member 16 is its exact negation, so the
     // Lloyd mean is the zero vector — cosine to it would be 0/0 for every
