@@ -510,20 +510,24 @@ object Similarity {
     * (broadcast); the corpus side joins it on (j, code) — equi, narrow,
     * no corpus shuffle wider than (vec_id, j, code); the per-query
     * top-k is a WindowGroupLimit rank filter. */
-  lazy val q109_pq_adc_recall: Q = (s, d) => {
-    val codes = pqCodes(s, d).select(col("vec_id"), col("j"), col("code"))
+  /** The ADC distance table (query_id, j, code, dq): every query
+    * subvector's squared L2 to every code — queries × 4 × 16 rows,
+    * always broadcast. */
+  private def pqDistTable(s: SparkSession, d: String): DataFrame = {
     val qsubs = unitVecs(s, d).where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"),
         explode(sequence(lit(0), lit(pqSubspaces - 1))).as("j"), col("u"))
       .select(col("query_id"), col("j"),
         slice(col("u"), col("j") * pqSubDim + 1, lit(pqSubDim)).as("qx"))
-    val dtab = qsubs.join(broadcast(pqCodebook(s, d)), "j")
+    qsubs.join(broadcast(pqCodebook(s, d)), "j")
       .select(col("query_id"), col("j"), col("k").as("code"),
         l2sq(col("qx"), col("cb")).as("dq"))
-    val approx = subspaceTotal(
-      codes.join(broadcast(dtab), Seq("j", "code"))
-        .where(col("vec_id") =!= col("query_id")),
-      Seq("query_id", "vec_id"), col("dq"), "adist")
+  }
+
+  /** Per-query recall of an ADC ranking vs the exact q36 top-5:
+    * `approx` is (query_id, vec_id, adist); top-5 by (adist asc,
+    * vec_id asc), left-joined onto the exact pairs. */
+  private def adcRecall(s: SparkSession, d: String, approx: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)
     val top = approx.withColumn("rank", row_number().over(w))
       .where(col("rank") <= topK)
@@ -535,6 +539,41 @@ object Similarity {
       .withColumn("recall",
         round4(col("n_matched").cast("double") / col("n_brute").cast("double")))
       .orderBy("query_id")
+  }
+
+  lazy val q109_pq_adc_recall: Q = (s, d) => {
+    val codes = pqCodes(s, d).select(col("vec_id"), col("j"), col("code"))
+    val approx = subspaceTotal(
+      codes.join(broadcast(pqDistTable(s, d)), Seq("j", "code"))
+        .where(col("vec_id") =!= col("query_id")),
+      Seq("query_id", "vec_id"), col("dq"), "adist")
+    adcRecall(s, d, approx)
+  }
+
+  /** q110: IVF+PQ — the full ANN serving stack (the FAISS IVFPQ shape,
+    * Jégou et al. TPAMI'11 §V): the coarse quantizer prunes the corpus
+    * to the query's nProbe centroid buckets (q37's partition-pruning
+    * story — at scale the candidate read is nprobe directories of the
+    * [[writeIvfIndex]] layout), and ONLY those candidates are ranked by
+    * the PQ asymmetric distance (q109's shape — the candidate's 4 code
+    * ids meet the query's broadcast distance table; raw vectors are
+    * never touched after encoding). Reported per query against the
+    * exact cosine top-5: the recall cost of stacking both
+    * approximations, read next to q58 (IVF alone) and q109 (PQ alone).
+    * All joins equi and narrow; no corpus shuffle. */
+  lazy val q110_ivfpq_recall: Q = (s, d) => {
+    val ranked = centroidRanks(s, d, nProbe)
+    val cand = ranked.where(col("vec_id") < numQueries && col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("c_id"))
+      .join(ranked.where(col("rn") === 1).select(col("vec_id"), col("c_id")), "c_id")
+      .where(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    val codes = pqCodes(s, d).select(col("vec_id"), col("j"), col("code"))
+    val approx = subspaceTotal(
+      cand.join(codes, "vec_id")
+        .join(broadcast(pqDistTable(s, d)), Seq("query_id", "j", "code")),
+      Seq("query_id", "vec_id"), col("dq"), "adist")
+    adcRecall(s, d, approx)
   }
 
   private val lloydIters = 3
@@ -603,7 +642,8 @@ object Similarity {
     "q101_lloyd_loop" -> q101_lloyd_loop,
     "q107_ivf_staleness" -> q107_ivf_staleness,
     "q108_pq_encode" -> q108_pq_encode,
-    "q109_pq_adc_recall" -> q109_pq_adc_recall)
+    "q109_pq_adc_recall" -> q109_pq_adc_recall,
+    "q110_ivfpq_recall" -> q110_ivfpq_recall)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -680,6 +720,37 @@ object Similarity {
        |             ORDER BY dist ASC, k ASC) AS rn
        |    FROM pdists)
        |  WHERE rn = 1)""".stripMargin
+
+  /** Shared q109/q110 oracle fragments: the ADC distance table and the
+    * top-k + recall tail over an `ap` CTE holding
+    * (query_id, vec_id, d0..d3). */
+  private val pqDtabCtes =
+    s"""qsub AS (SELECT vec_id AS query_id, j, x AS qx FROM sub
+       |         WHERE vec_id < $numQueries),
+       |dtab AS (
+       |  SELECT q.query_id, q.j, c.k AS code,
+       |         ${pqL2("q.qx", "c.cb")} AS dq
+       |  FROM qsub q JOIN cb c ON q.j = c.j)""".stripMargin
+
+  private def adcSubspaceSums(alias: String): String =
+    (0 until pqSubspaces).map(j =>
+      s"sum(CASE WHEN $alias.j = $j THEN dq END) AS d$j").mkString(",\n         ")
+
+  private val adcTailSql =
+    s"""pqtop AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY d0 + d1 + d2 + d3 ASC, vec_id ASC) AS rank
+       |    FROM ap)
+       |  WHERE rank <= $topK)
+       |SELECT b.query_id,
+       |       CAST(count(*) AS BIGINT) AS n_brute,
+       |       CAST(count(t.vec_id) AS BIGINT) AS n_matched,
+       |       ${round4Sql("CAST(count(t.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS recall
+       |FROM brute b LEFT JOIN pqtop t
+       |  ON b.query_id = t.query_id AND b.neighbor_id = t.vec_id
+       |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
 
   /** One sweep-point CTE (`ivf<p>`) reusing the shared `ranked`/`assign`
     * CTEs of [[ivfCte]] with the probe cutoff at `p`. */
@@ -814,35 +885,29 @@ object Similarity {
          |FROM encp ORDER BY vec_id""".stripMargin,
     "q109_pq_adc_recall" ->
       s"""WITH $vecsCte, $bruteCte, $pqCtes,
-         |qsub AS (SELECT vec_id AS query_id, j, x AS qx FROM sub
-         |         WHERE vec_id < $numQueries),
-         |dtab AS (
-         |  SELECT q.query_id, q.j, c.k AS code,
-         |         ${pqL2("q.qx", "c.cb")} AS dq
-         |  FROM qsub q JOIN cb c ON q.j = c.j),
+         |$pqDtabCtes,
          |ap AS (
          |  SELECT t.query_id, e.vec_id,
-         |         sum(CASE WHEN e.j = 0 THEN dq END) AS d0,
-         |         sum(CASE WHEN e.j = 1 THEN dq END) AS d1,
-         |         sum(CASE WHEN e.j = 2 THEN dq END) AS d2,
-         |         sum(CASE WHEN e.j = 3 THEN dq END) AS d3
+         |         ${adcSubspaceSums("e")}
          |  FROM enc e JOIN dtab t ON e.j = t.j AND e.code = t.code
          |  WHERE e.vec_id <> t.query_id
          |  GROUP BY t.query_id, e.vec_id),
-         |pqtop AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id,
-         |           row_number() OVER (PARTITION BY query_id
-         |             ORDER BY d0 + d1 + d2 + d3 ASC, vec_id ASC) AS rank
-         |    FROM ap)
-         |  WHERE rank <= $topK)
-         |SELECT b.query_id,
-         |       CAST(count(*) AS BIGINT) AS n_brute,
-         |       CAST(count(t.vec_id) AS BIGINT) AS n_matched,
-         |       ${round4Sql("CAST(count(t.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS recall
-         |FROM brute b LEFT JOIN pqtop t
-         |  ON b.query_id = t.query_id AND b.neighbor_id = t.vec_id
-         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
+         |$adcTailSql""".stripMargin,
+    "q110_ivfpq_recall" ->
+      s"""WITH $vecsCte, $bruteCte, $ivfCte, $pqCtes,
+         |$pqDtabCtes,
+         |acand AS (
+         |  SELECT p.query_id, a.vec_id
+         |  FROM probes p JOIN assign a
+         |    ON p.c_id = a.c_id AND a.vec_id <> p.query_id),
+         |ap AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         ${adcSubspaceSums("e")}
+         |  FROM acand c
+         |  JOIN enc e ON c.vec_id = e.vec_id
+         |  JOIN dtab t ON t.query_id = c.query_id AND t.j = e.j AND t.code = e.code
+         |  GROUP BY c.query_id, c.vec_id),
+         |$adcTailSql""".stripMargin,
     "q36_knn_brute" ->
       s"""WITH $vecsCte, $bruteCte
          |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine
