@@ -433,37 +433,40 @@ object Similarity {
   private def l2sq(a: Column, b: Column): Column =
     graft.functions.VectorOps.squaredL2(a, b)
 
-  /** The PQ codebook (j, k, cb): subspace j's code k = seed vector k's
-    * j-th subvector (vec_id < 16, unit-normalized) — training-free and
-    * deterministic, the q37 seed-codebook convention; a Lloyd-trained
-    * PQ would swap this table via [[lloydCodebook]]'s machinery. 64 rows
-    * total: always broadcast, never data. */
-  private def pqCodebook(s: SparkSession, d: String): DataFrame =
-    unitVecs(s, d).where(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("k"),
-        explode(sequence(lit(0), lit(pqSubspaces - 1))).as("j"), col("u"))
-      .select(col("j"), col("k"),
-        slice(col("u"), col("j") * pqSubDim + 1, lit(pqSubDim)).as("cb"))
-
-  /** Every vector's PQ code per subspace: (vec_id, j, code, dist) with
-    * dist = the squared L2 to the chosen (nearest, ties → min k) code.
-    * Map-side: 16 codes × 4 subspaces per vector via the broadcast
-    * codebook; the argmin is a (vec_id, j)-partitioned top-1 window
-    * (WindowGroupLimit pre-filters map-side like every per-key top-k
-    * here). */
-  private def pqCodes(s: SparkSession, d: String): DataFrame = {
-    val subs = unitVecs(s, d)
+  /** (vec_id, j, x): every unit vector's 4 subvectors. */
+  private def pqSubvectors(s: SparkSession, d: String): DataFrame =
+    unitVecs(s, d)
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(pqSubspaces - 1))).as("j"), col("u"))
       .select(col("vec_id"), col("j"),
         slice(col("u"), col("j") * pqSubDim + 1, lit(pqSubDim)).as("x"))
+
+  /** The seed PQ codebook (j, k, cb): subspace j's code k = seed vector
+    * k's j-th subvector (vec_id < 16, unit-normalized) — training-free
+    * and deterministic, the q37 seed-codebook convention; q111 trains
+    * it with the Lloyd machinery. 64 rows total: always broadcast,
+    * never data. */
+  private def pqCodebook(s: SparkSession, d: String): DataFrame =
+    pqSubvectors(s, d).where(col("vec_id") < numCentroids)
+      .select(col("j"), col("vec_id").as("k"), col("x").as("cb"))
+
+  /** Every vector's PQ code per subspace under codebook `cb`:
+    * (vec_id, j, code, dist) with dist = the squared L2 to the chosen
+    * (nearest, ties → min k) code. Map-side: 16 codes × 4 subspaces per
+    * vector via the broadcast codebook; the argmin is a
+    * (vec_id, j)-partitioned top-1 window (WindowGroupLimit pre-filters
+    * map-side like every per-key top-k here). */
+  private def pqCodesFor(s: SparkSession, d: String, cb: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id", "j").orderBy(col("dist").asc, col("k").asc)
-    subs.join(broadcast(pqCodebook(s, d)), "j")
+    pqSubvectors(s, d).join(broadcast(cb), "j")
       .withColumn("dist", l2sq(col("x"), col("cb")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("vec_id"), col("j"), col("k").as("code"), col("dist"))
   }
+
+  private def pqCodes(s: SparkSession, d: String): DataFrame =
+    pqCodesFor(s, d, pqCodebook(s, d))
 
   /** Per-subspace single-value "sums" pivoted to fixed columns and added
     * in a FIXED order — a plain sum() over the 4 subspace doubles would
@@ -510,19 +513,18 @@ object Similarity {
     * (broadcast); the corpus side joins it on (j, code) — equi, narrow,
     * no corpus shuffle wider than (vec_id, j, code); the per-query
     * top-k is a WindowGroupLimit rank filter. */
-  /** The ADC distance table (query_id, j, code, dq): every query
-    * subvector's squared L2 to every code — queries × 4 × 16 rows,
-    * always broadcast. */
-  private def pqDistTable(s: SparkSession, d: String): DataFrame = {
-    val qsubs = unitVecs(s, d).where(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"),
-        explode(sequence(lit(0), lit(pqSubspaces - 1))).as("j"), col("u"))
-      .select(col("query_id"), col("j"),
-        slice(col("u"), col("j") * pqSubDim + 1, lit(pqSubDim)).as("qx"))
-    qsubs.join(broadcast(pqCodebook(s, d)), "j")
+  /** The ADC distance table (query_id, j, code, dq) under codebook
+    * `cb`: every query subvector's squared L2 to every code — queries ×
+    * 4 × 16 rows, always broadcast. */
+  private def pqDistTableFor(s: SparkSession, d: String, cb: DataFrame): DataFrame =
+    pqSubvectors(s, d).where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("j"), col("x").as("qx"))
+      .join(broadcast(cb), "j")
       .select(col("query_id"), col("j"), col("k").as("code"),
         l2sq(col("qx"), col("cb")).as("dq"))
-  }
+
+  private def pqDistTable(s: SparkSession, d: String): DataFrame =
+    pqDistTableFor(s, d, pqCodebook(s, d))
 
   /** Per-query recall of an ADC ranking vs the exact q36 top-5:
     * `approx` is (query_id, vec_id, adist); top-5 by (adist asc,
@@ -561,6 +563,71 @@ object Similarity {
     * exact cosine top-5: the recall cost of stacking both
     * approximations, read next to q58 (IVF alone) and q109 (PQ alone).
     * All joins equi and narrow; no corpus shuffle. */
+  /** One Lloyd step per SUBSPACE: each code (j, k) recomputed as the
+    * elementwise mean of its assigned subvectors, with the same
+    * 10⁻⁶-quantized integer partial sums as [[lloydCodebook]] — keyed
+    * (j, code, dim) instead of (c_id, dim), order-free and map-side
+    * combined, bit-identical in the oracle. A memberless code keeps its
+    * seed subvector. (No zero-norm guard needed: ADC ranks by L2, where
+    * the zero vector is a legitimate centroid — the cosine-specific
+    * 0/0 hazard doesn't exist.) */
+  private def pqTrainedCodebook(s: SparkSession, d: String): DataFrame = {
+    val assign = pqCodes(s, d).select(col("vec_id"), col("j"), col("code"))
+    val sums = assign.join(pqSubvectors(s, d), Seq("vec_id", "j"))
+      .select(col("j"), col("code"), posexplode(col("x")).as(Seq("dim", "xv")))
+      .select(col("j"), col("code"), col("dim"),
+        floor(col("xv") * lloydScale + lit(0.5)).as("q"))
+      .groupBy("j", "code", "dim")
+      .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+    val means = sums
+      .withColumn("m", col("sq").cast("double") / (col("n") * lit(lloydScale)).cast("double"))
+      .groupBy("j", "code")
+      .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("j"), col("code").as("k"),
+        transform(col("dm"), x => x.getField("m")).as("mv"))
+    pqCodebook(s, d).join(means, Seq("j", "k"), "left")
+      .select(col("j"), col("k"), coalesce(col("mv"), col("cb")).as("cb"))
+  }
+
+  /** q111: TRAINED PQ — the q99 question asked of the product
+    * quantizer: is a Lloyd pass over the subspaces worth it? One
+    * per-subspace k-means step ([[pqTrainedCodebook]]) refits the 64
+    * codes to the corpus, then the full ADC search runs under BOTH
+    * codebooks and the aggregate recall vs the exact cosine top-5 ships
+    * side by side. Scale shape identical to q108/q109 twice over — the
+    * training itself is one narrow (j, code, dim) integer aggregation,
+    * the corpus read but never shuffled wide. */
+  lazy val q111_pq_trained_recall: Q = (s, d) => {
+    val exact = q36_knn_brute(s, d)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    def arm(cb: DataFrame, label: String): DataFrame = {
+      val codes = pqCodesFor(s, d, cb).select(col("vec_id"), col("j"), col("code"))
+      val approx = subspaceTotal(
+        codes.join(broadcast(pqDistTableFor(s, d, cb)), Seq("j", "code"))
+          .where(col("vec_id") =!= col("query_id")),
+        Seq("query_id", "vec_id"), col("dq"), "adist")
+      val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)
+      val top = approx.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= topK)
+        .select(col("query_id").as("q2"), col("vec_id").as("n2"))
+      exact.join(top,
+          col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("n2")).as("n_found"))
+        .select(lit(label).as("codebook"), col("n_exact"), col("n_found"),
+          // 0/0 guard: NULL recall when the exact set is empty (see q60)
+          when(col("n_exact") === 0, lit(null).cast("double"))
+            .otherwise(round4(
+              col("n_found").cast("double") / col("n_exact").cast("double")))
+            .as("recall"))
+    }
+    // the trained codebook is consumed by two arms' encodes + dist
+    // tables: checkpoint the 64 rows once instead of re-running the
+    // training aggregation per consumer
+    val trained = pqTrainedCodebook(s, d).localCheckpoint(true)
+    arm(pqCodebook(s, d), "seed").unionAll(arm(trained, "trained"))
+      .orderBy("codebook")
+  }
+
   lazy val q110_ivfpq_recall: Q = (s, d) => {
     val ranked = centroidRanks(s, d, nProbe)
     val cand = ranked.where(col("vec_id") < numQueries && col("rn") <= nProbe)
@@ -643,7 +710,8 @@ object Similarity {
     "q107_ivf_staleness" -> q107_ivf_staleness,
     "q108_pq_encode" -> q108_pq_encode,
     "q109_pq_adc_recall" -> q109_pq_adc_recall,
-    "q110_ivfpq_recall" -> q110_ivfpq_recall)
+    "q110_ivfpq_recall" -> q110_ivfpq_recall,
+    "q111_pq_trained_recall" -> q111_pq_trained_recall)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -893,6 +961,81 @@ object Similarity {
          |  WHERE e.vec_id <> t.query_id
          |  GROUP BY t.query_id, e.vec_id),
          |$adcTailSql""".stripMargin,
+    "q111_pq_trained_recall" ->
+      s"""WITH $vecsCte, $bruteCte, $pqCtes,
+         |$pqDtabCtes,
+         |tmem AS (
+         |  SELECT e.j, e.code, list(s.x) AS vs, CAST(count(*) AS BIGINT) AS n
+         |  FROM enc e JOIN sub s ON e.vec_id = s.vec_id AND e.j = s.j
+         |  GROUP BY e.j, e.code),
+         |tcb AS (
+         |  SELECT c.j, c.k,
+         |         CASE WHEN m.n IS NULL THEN c.cb
+         |              ELSE list_transform(range(1, ${pqSubDim + 1}), dd ->
+         |                CAST(list_aggregate(list_transform(m.vs,
+         |                  w -> CAST(floor(w[CAST(dd AS INT)] * $lloydScale + 0.5) AS BIGINT)),
+         |                  'sum') AS DOUBLE) / CAST(m.n * $lloydScale AS DOUBLE)) END AS cb
+         |  FROM cb c LEFT JOIN tmem m ON c.j = m.j AND c.k = m.code),
+         |tdists AS (
+         |  SELECT s.vec_id, s.j, c.k,
+         |         ${pqL2("s.x", "c.cb")} AS dist
+         |  FROM sub s JOIN tcb c ON s.j = c.j),
+         |tenc AS (
+         |  SELECT vec_id, j, k AS code FROM (
+         |    SELECT vec_id, j, k,
+         |           row_number() OVER (PARTITION BY vec_id, j
+         |             ORDER BY dist ASC, k ASC) AS rn
+         |    FROM tdists)
+         |  WHERE rn = 1),
+         |tdtab AS (
+         |  SELECT q.query_id, q.j, c.k AS code,
+         |         ${pqL2("q.qx", "c.cb")} AS dq
+         |  FROM qsub q JOIN tcb c ON q.j = c.j),
+         |ap AS (
+         |  SELECT t.query_id, e.vec_id,
+         |         ${adcSubspaceSums("e")}
+         |  FROM enc e JOIN dtab t ON e.j = t.j AND e.code = t.code
+         |  WHERE e.vec_id <> t.query_id
+         |  GROUP BY t.query_id, e.vec_id),
+         |pqtop AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY d0 + d1 + d2 + d3 ASC, vec_id ASC) AS rank
+         |    FROM ap)
+         |  WHERE rank <= $topK),
+         |tap AS (
+         |  SELECT t.query_id, e.vec_id,
+         |         ${adcSubspaceSums("e")}
+         |  FROM tenc e JOIN tdtab t ON e.j = t.j AND e.code = t.code
+         |  WHERE e.vec_id <> t.query_id
+         |  GROUP BY t.query_id, e.vec_id),
+         |tpqtop AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY d0 + d1 + d2 + d3 ASC, vec_id ASC) AS rank
+         |    FROM tap)
+         |  WHERE rank <= $topK)
+         |SELECT * FROM (
+         |  SELECT 'seed' AS codebook,
+         |         CAST(count(*) AS BIGINT) AS n_exact,
+         |         CAST(count(t.vec_id) AS BIGINT) AS n_found,
+         |         CASE WHEN count(*) = 0 THEN NULL
+         |              ELSE ${round4Sql("CAST(count(t.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+         |         END AS recall
+         |  FROM brute b LEFT JOIN pqtop t
+         |    ON b.query_id = t.query_id AND b.neighbor_id = t.vec_id
+         |  UNION ALL
+         |  SELECT 'trained',
+         |         CAST(count(*) AS BIGINT),
+         |         CAST(count(t.vec_id) AS BIGINT),
+         |         CASE WHEN count(*) = 0 THEN NULL
+         |              ELSE ${round4Sql("CAST(count(t.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+         |         END
+         |  FROM brute b LEFT JOIN tpqtop t
+         |    ON b.query_id = t.query_id AND b.neighbor_id = t.vec_id)
+         |ORDER BY codebook""".stripMargin,
     "q110_ivfpq_recall" ->
       s"""WITH $vecsCte, $bruteCte, $ivfCte, $pqCtes,
          |$pqDtabCtes,
