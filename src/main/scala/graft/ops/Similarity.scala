@@ -491,13 +491,19 @@ object Similarity {
     * the encoding half of the q109 ADC search. All-integer codes make
     * the gate float-free except the rounded error. */
   lazy val q108_pq_encode: Q = (s, d) => {
-    val codes = pqCodes(s, d)
-    val ids = (0 until pqSubspaces).map(j =>
-      sum(when(col("j") === j, col("code"))).as(s"c$j"))
-    val errs = subspaceTotal(codes, Seq("vec_id"), col("dist"), "err")
-      .select(col("vec_id"), round4(col("err")).as("recon_err"))
-    codes.groupBy("vec_id").agg(ids.head, ids.tail: _*)
-      .join(errs, "vec_id")
+    // ONE aggregation pass: code ids and per-subspace errors pivot
+    // together (a second aggregate + join over the same pqCodes subtree
+    // would re-run the whole encode)
+    val aggs = (0 until pqSubspaces).map(j =>
+      sum(when(col("j") === j, col("code"))).as(s"c$j")) ++
+      (0 until pqSubspaces).map(j =>
+        sum(when(col("j") === j, col("dist"))).as(s"d$j"))
+    pqCodes(s, d).groupBy("vec_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("vec_id")) ++
+        (0 until pqSubspaces).map(j => col(s"c$j")) :+
+        round4((0 until pqSubspaces).map(j => col(s"d$j")).reduce(_ + _))
+          .as("recon_err"): _*)
       .orderBy("vec_id")
   }
 
@@ -526,14 +532,21 @@ object Similarity {
   private def pqDistTable(s: SparkSession, d: String): DataFrame =
     pqDistTableFor(s, d, pqCodebook(s, d))
 
-  /** Per-query recall of an ADC ranking vs the exact q36 top-5:
-    * `approx` is (query_id, vec_id, adist); top-5 by (adist asc,
-    * vec_id asc), left-joined onto the exact pairs. */
-  private def adcRecall(s: SparkSession, d: String, approx: DataFrame): DataFrame = {
+  /** Top-k of an ADC ranking: (query_id, vec_id, adist) → the 5 best
+    * (adist asc, vec_id asc) per query as (q2, n2) — THE selection both
+    * recall shapes (per-query q109/q110, labelled-global q111) join
+    * against the exact pairs, so the tie-break lives in one place. */
+  private def adcTop(approx: DataFrame): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)
-    val top = approx.withColumn("rank", row_number().over(w))
+    approx.withColumn("rank", row_number().over(w))
       .where(col("rank") <= topK)
       .select(col("query_id").as("q2"), col("vec_id").as("n2"))
+  }
+
+  /** Per-query recall of an ADC ranking vs the exact q36 top-5:
+    * `approx` is (query_id, vec_id, adist). */
+  private def adcRecall(s: SparkSession, d: String, approx: DataFrame): DataFrame = {
+    val top = adcTop(approx)
     q36_knn_brute(s, d).select(col("query_id"), col("neighbor_id"))
       .join(top, col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
       .groupBy("query_id")
@@ -571,8 +584,8 @@ object Similarity {
     * seed subvector. (No zero-norm guard needed: ADC ranks by L2, where
     * the zero vector is a legitimate centroid — the cosine-specific
     * 0/0 hazard doesn't exist.) */
-  private def pqTrainedCodebook(s: SparkSession, d: String): DataFrame = {
-    val assign = pqCodes(s, d).select(col("vec_id"), col("j"), col("code"))
+  private def pqTrainedCodebook(s: SparkSession, d: String,
+      assign: DataFrame): DataFrame = {
     val sums = assign.join(pqSubvectors(s, d), Seq("vec_id", "j"))
       .select(col("j"), col("code"), posexplode(col("x")).as(Seq("dim", "xv")))
       .select(col("j"), col("code"), col("dim"),
@@ -600,17 +613,18 @@ object Similarity {
   lazy val q111_pq_trained_recall: Q = (s, d) => {
     val exact = q36_knn_brute(s, d)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
-    def arm(cb: DataFrame, label: String): DataFrame = {
-      val codes = pqCodesFor(s, d, cb).select(col("vec_id"), col("j"), col("code"))
+    // the seed encoding serves BOTH the trainer's assignment and the
+    // seed arm's corpus side — checkpoint the narrow (vec_id, j, code)
+    // frame once instead of re-running the full encode per consumer
+    // (the q99 ranked0 precedent)
+    val seedCodes = pqCodes(s, d)
+      .select(col("vec_id"), col("j"), col("code")).localCheckpoint(true)
+    def arm(codes: DataFrame, cb: DataFrame, label: String): DataFrame = {
       val approx = subspaceTotal(
         codes.join(broadcast(pqDistTableFor(s, d, cb)), Seq("j", "code"))
           .where(col("vec_id") =!= col("query_id")),
         Seq("query_id", "vec_id"), col("dq"), "adist")
-      val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)
-      val top = approx.withColumn("rank", row_number().over(w))
-        .where(col("rank") <= topK)
-        .select(col("query_id").as("q2"), col("vec_id").as("n2"))
-      exact.join(top,
+      exact.join(adcTop(approx),
           col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
         .agg(count(lit(1)).as("n_exact"), count(col("n2")).as("n_found"))
         .select(lit(label).as("codebook"), col("n_exact"), col("n_found"),
@@ -620,11 +634,13 @@ object Similarity {
               col("n_found").cast("double") / col("n_exact").cast("double")))
             .as("recall"))
     }
-    // the trained codebook is consumed by two arms' encodes + dist
-    // tables: checkpoint the 64 rows once instead of re-running the
-    // training aggregation per consumer
-    val trained = pqTrainedCodebook(s, d).localCheckpoint(true)
-    arm(pqCodebook(s, d), "seed").unionAll(arm(trained, "trained"))
+    // the trained codebook is consumed by the trained arm's encode +
+    // dist table: checkpoint the 64 rows once
+    val trained = pqTrainedCodebook(s, d, seedCodes).localCheckpoint(true)
+    arm(seedCodes, pqCodebook(s, d), "seed")
+      .unionAll(arm(
+        pqCodesFor(s, d, trained).select(col("vec_id"), col("j"), col("code")),
+        trained, "trained"))
       .orderBy("codebook")
   }
 

@@ -39,10 +39,13 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     // — whichever is built first pays the shared bpeMemo; per-iteration
     // plans are vocabulary-sized pair aggregates + limit(1), the q44
     // shape, and q104's final plan is a broadcast join + aggregate.)
+    // (q111 checkpoints its shared seed encoding + trained codebook at
+    // construction — the q101 pattern; its per-arm plans are q109's
+    // shape, covered there.)
     val eager = Set("q48_dim_waktu", "q49_star_roundtrip", "q60_embed_lsh_recall",
       "q61_dedup_components", "q63_minhash_recall", "q69_range_join",
       "q101_lloyd_loop", "q102_bpe_train", "q104_bpe_compression",
-      "q106_bpe_heldout")
+      "q106_bpe_heldout", "q111_pq_trained_recall")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => eager(name) }
       .flatMap { case (name, fn) =>
@@ -131,8 +134,14 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     // pair, so the value is 2 per rank filter in the query. Counting
     // nodes, not a whole-tree substring hit, so one surviving instance
     // can't mask a regression in another filter of the same query.
+    // PQ family: q108 = the encode argmin; q109 adds the ADC top-k and
+    // the embedded q36 exact-baseline subtree (3 filters); q110 further
+    // embeds centroidRanks twice (probes + assign read the same ranked
+    // subtree as two plan instances) for 5 filters total
     val topK = Seq("q36_knn_brute" -> 2, "q64_rare_terms" -> 2,
-      "q71_balanced_sample" -> 2, "q94_tfidf_terms" -> 2)
+      "q71_balanced_sample" -> 2, "q94_tfidf_terms" -> 2,
+      "q108_pq_encode" -> 2, "q109_pq_adc_recall" -> 6,
+      "q110_ivfpq_recall" -> 10)
     val offenders = topK.flatMap { case (name, expected) =>
       val got = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.sparkPlan.collect {
