@@ -523,7 +523,10 @@ object Dedup {
     * is a fraction of the window count and joins back by equi-key; the
     * sweep shuffles on doc_id. Nothing is quadratic; TrainingDataSpec
     * pins the interval-union semantics on planted spans. */
-  lazy val q105_span_dedup: Q = (s, d) => {
+  /** (doc_id, n_tokens, start, h): every rolling [[spanK]]-token window
+    * of every document, hashed in place — shared by q105 (interval
+    * report) and q112 (excision). */
+  private def spanWindows(s: SparkSession, d: String): DataFrame = {
     val k = spanK
     val wins = when(size(col("words")) >= k,
       transform(sequence(lit(1), size(col("words")) - (k - 1)),
@@ -531,15 +534,26 @@ object Dedup {
           md5(concat_ws(" ",
             (0 until k).map(j => element_at(col("words"), i + j)): _*)).as("h"))))
       .otherwise(array().cast("array<struct<start:bigint,h:string>>"))
-    val w = docShingles(s, d)
+    docShingles(s, d)
       .select(col("doc_id"), size(col("words")).cast("long").as("n_tokens"),
         explode(wins).as("win"))
       .select(col("doc_id"), col("n_tokens"),
         col("win.start").as("start"), col("win.h").as("h"))
+  }
+
+  /** The flagged (doc_id, start) rows: windows whose hash occurs more
+    * than once corpus-wide. */
+  private def spanDupFlagged(s: SparkSession, d: String): DataFrame = {
+    val w = spanWindows(s, d)
     val dup = w.groupBy("h").agg(count(lit(1)).as("occ"))
       .where(col("occ") > 1).select("h")
-    val byDoc = Window.partitionBy("doc_id").orderBy("start")
     w.join(dup, "h")
+  }
+
+  lazy val q105_span_dedup: Q = (s, d) => {
+    val k = spanK
+    val byDoc = Window.partitionBy("doc_id").orderBy("start")
+    spanDupFlagged(s, d)
       .withColumn("nxt", lead(col("start"), 1).over(byDoc))
       .groupBy("doc_id", "n_tokens")
       .agg(count(lit(1)).as("n_dup_windows"),
@@ -550,6 +564,41 @@ object Dedup {
           .as("tokens_removed"))
       .withColumn("frac_removed", round4(
         col("tokens_removed").cast("double") / col("n_tokens").cast("double")))
+      .orderBy("doc_id")
+  }
+
+  /** q112: span EXCISION — q105 reports what span dedup would remove;
+    * this performs it: for every affected document, drop exactly the
+    * tokens covered by some flagged window ([start, start+k−1]) and
+    * emit the retained token count plus the md5 of the excised text
+    * (fixed-width for the cross-engine gate, the q65 chunk-md5
+    * convention). The per-doc flagged-starts array is bounded by
+    * document length — the same per-doc memory class as the `words`
+    * array itself — and the keep/drop test is a map-side higher-order
+    * expression over it: token t survives iff no flagged start s has
+    * s ≤ t ≤ s+k−1, spelled as transform-to-NULL + filter so the Spark
+    * and DuckDB forms are structurally identical. TrainingDataSpec pins
+    * the excised text on the planted-span corpus and the
+    * q105-consistency invariant (n_tokens − tokens_kept =
+    * q105.tokens_removed). */
+  lazy val q112_span_excise: Q = (s, d) => {
+    val k = spanK
+    val flagged = spanDupFlagged(s, d)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("start"))).as("starts"))
+    val covered = (t: Column) => exists(col("starts"),
+      st => st <= t && t <= st + (k - 1))
+    docShingles(s, d).select(col("doc_id"), col("words"))
+      .join(flagged, "doc_id")
+      .withColumn("kept", filter(
+        transform(sequence(lit(1), size(col("words"))),
+          t => when(covered(t.cast("long")), lit(null).cast("string"))
+            .otherwise(element_at(col("words"), t))),
+        x => x.isNotNull))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("tokens_kept"),
+        md5(concat_ws(" ", col("kept"))).as("kept_md5"))
       .orderBy("doc_id")
   }
 
@@ -616,7 +665,8 @@ object Dedup {
     "q81_cluster_reps" -> q81_cluster_reps,
     "q86_leakage_safe_split" -> q86_leakage_safe_split,
     "q89_incremental_neardup" -> q89_incremental_neardup,
-    "q105_span_dedup" -> q105_span_dedup)
+    "q105_span_dedup" -> q105_span_dedup,
+    "q112_span_excise" -> q112_span_excise)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -715,6 +765,34 @@ object Dedup {
          |       ${round4Sql("CAST(tokens_removed AS DOUBLE) / CAST(n_tokens AS DOUBLE)")}
          |         AS frac_removed
          |FROM agg ORDER BY doc_id""".stripMargin),
+    "q112_span_excise" -> withDocs(
+      s""", w AS (
+         |  SELECT doc_id,
+         |         unnest(range(1, len(words) - 6)) AS start,
+         |         unnest(list_transform(range(1, len(words) - 6),
+         |           i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+         |                    words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
+         |                    words[i+6] || ' ' || words[i+7]))) AS h
+         |  FROM docs WHERE len(words) >= 8),
+         |dup AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+         |fl AS (
+         |  SELECT w.doc_id, list_sort(list(w.start)) AS starts
+         |  FROM w JOIN dup USING (h) GROUP BY w.doc_id),
+         |ex AS (
+         |  SELECT d.doc_id,
+         |         CAST(len(d.words) AS BIGINT) AS n_tokens,
+         |         list_filter(list_transform(range(1, len(d.words) + 1),
+         |           t -> CASE WHEN len(list_filter(f.starts,
+         |                       s -> s <= t AND t <= s + 7)) > 0
+         |                     THEN NULL ELSE d.words[t] END),
+         |           x -> x IS NOT NULL) AS kept
+         |  FROM docs d JOIN fl f USING (doc_id))
+         |SELECT doc_id, n_tokens,
+         |       CAST(len(kept) AS BIGINT) AS tokens_kept,
+         |       -- array_to_string([]) is NULL in DuckDB, '' in Spark's
+         |       -- concat_ws: a fully-excised doc must hash md5('')
+         |       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+         |FROM ex ORDER BY doc_id""".stripMargin),
     "q31_dedup_exact" -> withDocs(
       """SELECT md5(norm) AS fp, min(doc_id) AS keep_id,
         |       CAST(count(*) AS BIGINT) AS n_copies

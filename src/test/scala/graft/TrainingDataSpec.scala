@@ -197,4 +197,33 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == ((22L, 2L, 2L, 16L, 0.7273)))
     assert(!got.contains(3L))
   }
+
+  test("q112: excision drops exactly the flagged spans and agrees with q105's counts") {
+    // Same planted corpus as the q105 test; q112 must remove exactly the
+    // planted spans' tokens and keep the per-doc unique surroundings.
+    val S = (1 to 12).map(i => s"s$i").mkString(" ")
+    val T = (1 to 8).map(i => s"t$i").mkString(" ")
+    val dir = writeMiniDocs(Seq(
+      (0L, s"a1 a2 a3 a4 $S a5 a6 a7 a8"),
+      (1L, s"b1 b2 $S b3 b4 b5 b6 b7 b8"),
+      (2L, s"c1 c2 $T c3 c4 c5 $T c6"),
+      (3L, (1 to 20).map(i => s"u$i").mkString(" "))))
+    def md5Of(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = Dedup.q112_span_excise(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("tokens_kept"),
+          r.getAs[String]("kept_md5")))).toMap
+    assert(got(0L) == ((20L, 8L, md5Of("a1 a2 a3 a4 a5 a6 a7 a8"))))
+    assert(got(1L) == ((20L, 8L, md5Of("b1 b2 b3 b4 b5 b6 b7 b8"))))
+    assert(got(2L) == ((22L, 6L, md5Of("c1 c2 c3 c4 c5 c6"))))
+    assert(!got.contains(3L))
+    // cross-query invariant: what q105 REPORTS removed is what q112
+    // actually removes
+    val reported = Dedup.q105_span_dedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("tokens_removed")).toMap
+    got.foreach { case (id, (n, kept, _)) =>
+      assert(n - kept == reported(id), s"doc $id: excised ${n - kept} != reported ${reported(id)}")
+    }
+  }
 }
