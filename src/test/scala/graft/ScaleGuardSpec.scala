@@ -84,7 +84,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     // BroadcastNestedLoopJoin for the one-row broadcast of the 16 plane
     // constants, indistinguishable from a scaling nested loop here.)
     val banded = Seq("q31_dedup_exact", "q32_dedup_minhash_lsh",
-      "q33_dedup_simhash", "q34_dedup_ngram_jaccard", "q105_span_dedup")
+      "q33_dedup_simhash", "q34_dedup_ngram_jaccard", "q105_span_dedup",
+      "q112_span_excise")
     val offenders = banded.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
       val bad = plan.collect {
