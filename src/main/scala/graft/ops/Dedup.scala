@@ -498,34 +498,12 @@ object Dedup {
     * copying, shorter windows flag idiom. */
   private[graft] val spanK = 8
 
-  /** q105: SPAN-level exact-substring dedup — the last rung of the dedup
-    * ladder after document (q31–q34) and chunk (q66) granularity: find
-    * verbatim repeated token spans (≥ [[spanK]] tokens) anywhere in the
-    * corpus — across documents OR repeated inside one — and report, per
-    * affected document, what excising them would remove. This is the
-    * dedup that catches boilerplate stitched INTO otherwise-unique
-    * documents (license headers, navigation, quoted passages), which no
-    * whole-doc or fixed-chunk pass can see.
-    *
-    * Mechanics: every rolling spanK-token window (stride 1) is hashed in
-    * place with its start position; a window whose hash occurs more than
-    * once globally (q88's machinery, generalized from the train/test cut
-    * to the whole corpus) marks tokens [start, start+k−1] as duplicated.
-    * Per document, the marked intervals are unioned by a sorted-window
-    * sweep: with `nxt` = the next flagged start in the doc,
-    * covered tokens = Σ min(k, nxt − start) (+k for the last window) and
-    * a span ends exactly where the gap exceeds k — no interval list is
-    * ever materialized, so the merge is one lead() window, not a
-    * collect.
-    *
-    * Scale shape: windows shuffle on the 32-char hash only (narrow key,
-    * map-side hashing, document text never shuffles); the dup-hash set
-    * is a fraction of the window count and joins back by equi-key; the
-    * sweep shuffles on doc_id. Nothing is quadratic; TrainingDataSpec
-    * pins the interval-union semantics on planted spans. */
   /** (doc_id, n_tokens, start, h): every rolling [[spanK]]-token window
-    * of every document, hashed in place — shared by q105 (interval
-    * report) and q112 (excision). */
+    * (stride 1) of every document, hashed in place with its start
+    * position — q88's machinery generalized from the train/test cut to
+    * the whole corpus. Shared by q105 (interval report) and q112
+    * (excision). Map-side: document text never shuffles, only the
+    * 32-char hashes do. */
   private def spanWindows(s: SparkSession, d: String): DataFrame = {
     val k = spanK
     val wins = when(size(col("words")) >= k,
@@ -550,6 +528,28 @@ object Dedup {
     w.join(dup, "h")
   }
 
+  /** q105: SPAN-level exact-substring dedup — the last rung of the dedup
+    * ladder after document (q31–q34) and chunk (q66) granularity: find
+    * verbatim repeated token spans (≥ [[spanK]] tokens) anywhere in the
+    * corpus — across documents OR repeated inside one — and report, per
+    * affected document, what excising them would remove ([[q112_span_excise]]
+    * performs it). This is the dedup that catches boilerplate stitched
+    * INTO otherwise-unique documents (license headers, navigation,
+    * quoted passages), which no whole-doc or fixed-chunk pass can see.
+    *
+    * Mechanics: a [[spanWindows]] hash occurring more than once globally
+    * marks tokens [start, start+k−1] as duplicated. Per document, the
+    * marked intervals are unioned by a sorted-window sweep: with `nxt` =
+    * the next flagged start in the doc, covered tokens =
+    * Σ min(k, nxt − start) (+k for the last window) and a span ends
+    * exactly where the gap exceeds k — no interval list is ever
+    * materialized, so the merge is one lead() window, not a collect.
+    *
+    * Scale shape: windows shuffle on the 32-char hash only; the
+    * dup-hash set is a fraction of the window count and joins back by
+    * equi-key; the sweep shuffles on doc_id. Nothing is quadratic;
+    * TrainingDataSpec pins the interval-union semantics on planted
+    * spans. */
   lazy val q105_span_dedup: Q = (s, d) => {
     val k = spanK
     val byDoc = Window.partitionBy("doc_id").orderBy("start")
@@ -569,27 +569,40 @@ object Dedup {
 
   /** q112: span EXCISION — q105 reports what span dedup would remove;
     * this performs it: for every affected document, drop exactly the
-    * tokens covered by some flagged window ([start, start+k−1]) and
-    * emit the retained token count plus the md5 of the excised text
-    * (fixed-width for the cross-engine gate, the q65 chunk-md5
-    * convention). The per-doc flagged-starts array is bounded by
-    * document length — the same per-doc memory class as the `words`
-    * array itself — and the keep/drop test is a map-side higher-order
-    * expression over it: token t survives iff no flagged start s has
-    * s ≤ t ≤ s+k−1, spelled as transform-to-NULL + filter so the Spark
-    * and DuckDB forms are structurally identical. TrainingDataSpec pins
-    * the excised text on the planted-span corpus and the
-    * q105-consistency invariant (n_tokens − tokens_kept =
+    * tokens covered by some duplicated window and emit the retained
+    * token count plus the md5 of the excised text (fixed-width for the
+    * cross-engine gate, the q65 chunk-md5 convention).
+    *
+    * The flagged windows are first MERGED into disjoint spans by a
+    * gaps-and-islands pass (lag + running island count — the q105 sweep
+    * as a grouping): the per-doc membership list is then n_spans
+    * entries, not n_dup_windows, so the keep/drop test is
+    * O(n_tokens × n_spans) — a fully-boilerplate document (every
+    * window duplicated) collapses to ONE span, where a raw starts list
+    * would make the test quadratic in document length. The test itself
+    * is a map-side higher-order expression: token t survives iff no
+    * span [s, e] has s ≤ t ≤ e, spelled as transform-to-NULL + filter
+    * so the Spark and DuckDB forms are structurally identical.
+    * TrainingDataSpec pins the excised text on the planted-span corpus
+    * and the q105-consistency invariant (n_tokens − tokens_kept =
     * q105.tokens_removed). */
   lazy val q112_span_excise: Q = (s, d) => {
     val k = spanK
-    val flagged = spanDupFlagged(s, d)
+    val byDoc = Window.partitionBy("doc_id").orderBy("start")
+    val spans = spanDupFlagged(s, d)
+      .withColumn("prev", lag(col("start"), 1).over(byDoc))
+      .withColumn("new_span",
+        when(col("prev").isNull || col("start") - col("prev") > k, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("new_span").over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min("start").as("s"), (max("start") + lit((k - 1).toLong)).as("e"))
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("start"))).as("starts"))
-    val covered = (t: Column) => exists(col("starts"),
-      st => st <= t && t <= st + (k - 1))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    val covered = (t: Column) => exists(col("spans"),
+      sp => sp.getField("s") <= t && t <= sp.getField("e"))
     docShingles(s, d).select(col("doc_id"), col("words"))
-      .join(flagged, "doc_id")
+      .join(spans, "doc_id")
       .withColumn("kept", filter(
         transform(sequence(lit(1), size(col("words"))),
           t => when(covered(t.cast("long")), lit(null).cast("string"))
@@ -738,21 +751,29 @@ object Dedup {
        |  UNION
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
 
+  /** Shared q105/q112 oracle fragment: rolling [[spanK]]-token window
+    * hashes (`w`), the corpus-duplicated hash set (`dup`) and the
+    * flagged (doc_id, n_tokens, start) rows (`flg`) — ONE definition so
+    * the two span oracles cannot drift (the ccReachCtes pattern). */
+  private val spanWindowCtes =
+    s""", w AS (
+       |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+       |         unnest(range(1, len(words) - 6)) AS start,
+       |         unnest(list_transform(range(1, len(words) - 6),
+       |           i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+       |                    words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
+       |                    words[i+6] || ' ' || words[i+7]))) AS h
+       |  FROM docs WHERE len(words) >= 8),
+       |dup AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+       |flg AS (SELECT w.doc_id, w.n_tokens, w.start FROM w JOIN dup USING (h))""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q105_span_dedup" -> withDocs(
-      s""", w AS (
-         |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
-         |         unnest(range(1, len(words) - 6)) AS start,
-         |         unnest(list_transform(range(1, len(words) - 6),
-         |           i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
-         |                    words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
-         |                    words[i+6] || ' ' || words[i+7]))) AS h
-         |  FROM docs WHERE len(words) >= 8),
-         |dup AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+      s"""$spanWindowCtes,
          |led AS (
-         |  SELECT w.doc_id, w.n_tokens, w.start,
-         |         lead(w.start) OVER (PARTITION BY w.doc_id ORDER BY w.start) AS nxt
-         |  FROM w JOIN dup USING (h)),
+         |  SELECT doc_id, n_tokens, start,
+         |         lead(start) OVER (PARTITION BY doc_id ORDER BY start) AS nxt
+         |  FROM flg),
          |agg AS (
          |  SELECT doc_id, n_tokens,
          |         CAST(count(*) AS BIGINT) AS n_dup_windows,
@@ -766,24 +787,29 @@ object Dedup {
          |         AS frac_removed
          |FROM agg ORDER BY doc_id""".stripMargin),
     "q112_span_excise" -> withDocs(
-      s""", w AS (
-         |  SELECT doc_id,
-         |         unnest(range(1, len(words) - 6)) AS start,
-         |         unnest(list_transform(range(1, len(words) - 6),
-         |           i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
-         |                    words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
-         |                    words[i+6] || ' ' || words[i+7]))) AS h
-         |  FROM docs WHERE len(words) >= 8),
-         |dup AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+      s"""$spanWindowCtes,
+         |led AS (
+         |  SELECT doc_id, start,
+         |         CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL
+         |                OR start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 8
+         |              THEN 1 ELSE 0 END AS new_span
+         |  FROM flg),
+         |isl AS (
+         |  SELECT doc_id, start,
+         |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY start) AS island
+         |  FROM led),
+         |sp AS (
+         |  SELECT doc_id, min(start) AS s, max(start) + 7 AS e
+         |  FROM isl GROUP BY doc_id, island),
          |fl AS (
-         |  SELECT w.doc_id, list_sort(list(w.start)) AS starts
-         |  FROM w JOIN dup USING (h) GROUP BY w.doc_id),
+         |  SELECT doc_id, list_sort(list({'s': s, 'e': e})) AS spans
+         |  FROM sp GROUP BY doc_id),
          |ex AS (
          |  SELECT d.doc_id,
          |         CAST(len(d.words) AS BIGINT) AS n_tokens,
          |         list_filter(list_transform(range(1, len(d.words) + 1),
-         |           t -> CASE WHEN len(list_filter(f.starts,
-         |                       s -> s <= t AND t <= s + 7)) > 0
+         |           t -> CASE WHEN len(list_filter(f.spans,
+         |                       x -> x.s <= t AND t <= x.e)) > 0
          |                     THEN NULL ELSE d.words[t] END),
          |           x -> x IS NOT NULL) AS kept
          |  FROM docs d JOIN fl f USING (doc_id))

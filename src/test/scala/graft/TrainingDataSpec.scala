@@ -169,18 +169,24 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
     assert(got("test") == ((3L, 9L, 4L, 2.25)))
   }
 
-  test("q105: planted spans are excised as merged intervals, per occurrence") {
-    // One 12-token span S planted in docs 0 and 1 at different offsets,
-    // and an 8-token span T planted TWICE inside doc 2 (within-doc
-    // repetition counts: the hash occurs twice globally). doc 3 is all
-    // unique and must not appear.
+  /** The q105/q112 planted corpus — ONE definition so both tests pin
+    * the same documents: a 12-token span S in docs 0 (tokens 5..16 of
+    * 20) and 1 (tokens 3..14 of 20), an 8-token span T planted TWICE
+    * inside doc 2 (at 3..10 and 14..21 of 22 — within-doc repetition
+    * counts: the hash occurs twice globally), and all-unique doc 3
+    * which must not appear in either result. */
+  private def plantedSpanCorpus: Seq[(Long, String)] = {
     val S = (1 to 12).map(i => s"s$i").mkString(" ")
     val T = (1 to 8).map(i => s"t$i").mkString(" ")
-    val dir = writeMiniDocs(Seq(
-      (0L, s"a1 a2 a3 a4 $S a5 a6 a7 a8"), //  S at tokens 5..16 of 20
-      (1L, s"b1 b2 $S b3 b4 b5 b6 b7 b8"), //  S at tokens 3..14 of 20
-      (2L, s"c1 c2 $T c3 c4 c5 $T c6"), //     T at 3..10 and 14..21 of 22
-      (3L, (1 to 20).map(i => s"u$i").mkString(" "))))
+    Seq(
+      (0L, s"a1 a2 a3 a4 $S a5 a6 a7 a8"),
+      (1L, s"b1 b2 $S b3 b4 b5 b6 b7 b8"),
+      (2L, s"c1 c2 $T c3 c4 c5 $T c6"),
+      (3L, (1 to 20).map(i => s"u$i").mkString(" ")))
+  }
+
+  test("q105: planted spans are excised as merged intervals, per occurrence") {
+    val dir = writeMiniDocs(plantedSpanCorpus)
     val got = Dedup.q105_span_dedup(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_windows"),
@@ -199,15 +205,9 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("q112: excision drops exactly the flagged spans and agrees with q105's counts") {
-    // Same planted corpus as the q105 test; q112 must remove exactly the
-    // planted spans' tokens and keep the per-doc unique surroundings.
-    val S = (1 to 12).map(i => s"s$i").mkString(" ")
-    val T = (1 to 8).map(i => s"t$i").mkString(" ")
-    val dir = writeMiniDocs(Seq(
-      (0L, s"a1 a2 a3 a4 $S a5 a6 a7 a8"),
-      (1L, s"b1 b2 $S b3 b4 b5 b6 b7 b8"),
-      (2L, s"c1 c2 $T c3 c4 c5 $T c6"),
-      (3L, (1 to 20).map(i => s"u$i").mkString(" "))))
+    // q112 must remove exactly the planted spans' tokens and keep the
+    // per-doc unique surroundings (corpus shared with the q105 test).
+    val dir = writeMiniDocs(plantedSpanCorpus)
     def md5Of(s: String): String = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val got = Dedup.q112_span_excise(spark, dir).collect()
