@@ -567,29 +567,19 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** q112: span EXCISION — q105 reports what span dedup would remove;
-    * this performs it: for every affected document, drop exactly the
-    * tokens covered by some duplicated window and emit the retained
-    * token count plus the md5 of the excised text (fixed-width for the
-    * cross-engine gate, the q65 chunk-md5 convention).
-    *
-    * The flagged windows are first MERGED into disjoint spans by a
-    * gaps-and-islands pass (lag + running island count — the q105 sweep
-    * as a grouping): the per-doc membership list is then n_spans
+  /** Gaps-and-islands merge of flagged windows into disjoint per-doc
+    * spans (the q105 sweep as a grouping): (doc_id, spans) with spans a
+    * sorted array of (s, e) token intervals. Merging first means the
+    * per-doc membership list handed to [[exciseSpans]] is n_spans
     * entries, not n_dup_windows, so the keep/drop test is
     * O(n_tokens × n_spans) — a fully-boilerplate document (every
     * window duplicated) collapses to ONE span, where a raw starts list
-    * would make the test quadratic in document length. The test itself
-    * is a map-side higher-order expression: token t survives iff no
-    * span [s, e] has s ≤ t ≤ e, spelled as transform-to-NULL + filter
-    * so the Spark and DuckDB forms are structurally identical.
-    * TrainingDataSpec pins the excised text on the planted-span corpus
-    * and the q105-consistency invariant (n_tokens − tokens_kept =
-    * q105.tokens_removed). */
-  lazy val q112_span_excise: Q = (s, d) => {
+    * would make the test quadratic in document length. Input must carry
+    * (doc_id, start). */
+  private def mergedSpans(flagged: DataFrame): DataFrame = {
     val k = spanK
     val byDoc = Window.partitionBy("doc_id").orderBy("start")
-    val spans = spanDupFlagged(s, d)
+    flagged
       .withColumn("prev", lag(col("start"), 1).over(byDoc))
       .withColumn("new_span",
         when(col("prev").isNull || col("start") - col("prev") > k, 1L)
@@ -599,10 +589,24 @@ object Dedup {
       .agg(min("start").as("s"), (max("start") + lit((k - 1).toLong)).as("e"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+  }
+
+  /** Drop the tokens covered by `spans` from every doc in `docIds`:
+    * (doc_id, n_tokens, tokens_kept, kept_md5). The membership test is
+    * a map-side higher-order expression — token t survives iff no span
+    * [s, e] has s ≤ t ≤ e, spelled as transform-to-NULL + filter so the
+    * Spark and DuckDB forms are structurally identical. Docs in
+    * `docIds` with no spans row keep every token (left join +
+    * empty-array coalesce). */
+  private def exciseSpans(s: SparkSession, d: String, docIds: DataFrame,
+      spans: DataFrame): DataFrame = {
     val covered = (t: Column) => exists(col("spans"),
       sp => sp.getField("s") <= t && t <= sp.getField("e"))
     docShingles(s, d).select(col("doc_id"), col("words"))
-      .join(spans, "doc_id")
+      .join(docIds, "doc_id")
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("spans",
+        coalesce(col("spans"), array().cast("array<struct<s:bigint,e:bigint>>")))
       .withColumn("kept", filter(
         transform(sequence(lit(1), size(col("words"))),
           t => when(covered(t.cast("long")), lit(null).cast("string"))
@@ -613,6 +617,55 @@ object Dedup {
         size(col("kept")).cast("long").as("tokens_kept"),
         md5(concat_ws(" ", col("kept"))).as("kept_md5"))
       .orderBy("doc_id")
+  }
+
+  /** q112: span EXCISION — q105 reports what span dedup would remove;
+    * this performs it: for every affected document, drop exactly the
+    * tokens covered by some duplicated window ([[mergedSpans]] +
+    * [[exciseSpans]]) and emit the retained token count plus the md5 of
+    * the excised text (fixed-width for the cross-engine gate, the q65
+    * chunk-md5 convention). Every occurrence goes — including the
+    * corpus-first one; [[q113_span_excise_keep_first]] is the variant
+    * that retains the canonical copy. TrainingDataSpec pins the excised
+    * text on the planted-span corpus and the q105-consistency invariant
+    * (n_tokens − tokens_kept = q105.tokens_removed). */
+  lazy val q112_span_excise: Q = (s, d) => {
+    val spans = mergedSpans(spanDupFlagged(s, d))
+    exciseSpans(s, d, spans.select("doc_id"), spans)
+  }
+
+  /** q113: FIRST-OCCURRENCE-PRESERVING span excision — the production
+    * semantics of span dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22: keep one copy of each
+    * duplicated substring): where q112 excises EVERY occurrence of a
+    * duplicated window — destroying the content itself — q113 ranks the
+    * occurrences of each duplicated hash by (doc_id, start), the
+    * deterministic corpus scan order, and excises only rank > 1. The
+    * earliest (canonical) occurrence keeps its text verbatim, so every
+    * duplicated span survives exactly once where its copies stood
+    * alone. (Under adversarial overlap a rank-1 window can still lose
+    * tokens to a DIFFERENT hash's rank-2 window covering them — the
+    * known residual of greedy per-hash ranking; the planted-span spec
+    * pins the conservation invariant on the non-overlapping case.)
+    *
+    * Output covers every document containing ANY duplicated window —
+    * canonical-only docs report tokens_kept = n_tokens with the md5 of
+    * their untouched text, so conservation is auditable from the query
+    * result itself.
+    *
+    * Scale shape: q112's plus one row_number over the 32-char hash key
+    * (same shuffle key the dup-count groupBy already uses). The ranked
+    * flagged frame is narrow (doc_id, start, rn) and consumed twice
+    * (affected set + rank > 1 spans) — checkpointed once, the q111
+    * seedCodes pattern. */
+  lazy val q113_span_excise_keep_first: Q = (s, d) => {
+    val byHash = Window.partitionBy("h").orderBy("doc_id", "start")
+    val ranked = spanDupFlagged(s, d)
+      .withColumn("rn", row_number().over(byHash))
+      .select("doc_id", "start", "rn")
+      .localCheckpoint(true)
+    exciseSpans(s, d, ranked.select("doc_id").distinct(),
+      mergedSpans(ranked.where(col("rn") > 1)))
   }
 
   /** q86: leakage-safe train/val/test split — the composition a training
@@ -679,7 +732,8 @@ object Dedup {
     "q86_leakage_safe_split" -> q86_leakage_safe_split,
     "q89_incremental_neardup" -> q89_incremental_neardup,
     "q105_span_dedup" -> q105_span_dedup,
-    "q112_span_excise" -> q112_span_excise)
+    "q112_span_excise" -> q112_span_excise,
+    "q113_span_excise_keep_first" -> q113_span_excise_keep_first)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -817,6 +871,43 @@ object Dedup {
          |       CAST(len(kept) AS BIGINT) AS tokens_kept,
          |       -- array_to_string([]) is NULL in DuckDB, '' in Spark's
          |       -- concat_ws: a fully-excised doc must hash md5('')
+         |       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+         |FROM ex ORDER BY doc_id""".stripMargin),
+    "q113_span_excise_keep_first" -> withDocs(
+      s"""$spanWindowCtes,
+         |rnk AS (
+         |  SELECT w.doc_id, w.start,
+         |         row_number() OVER (PARTITION BY w.h ORDER BY w.doc_id, w.start) AS rn
+         |  FROM w JOIN dup ON w.h = dup.h),
+         |led AS (
+         |  SELECT doc_id, start,
+         |         CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL
+         |                OR start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 8
+         |              THEN 1 ELSE 0 END AS new_span
+         |  FROM rnk WHERE rn > 1),
+         |isl AS (
+         |  SELECT doc_id, start,
+         |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY start) AS island
+         |  FROM led),
+         |sp AS (
+         |  SELECT doc_id, min(start) AS s, max(start) + 7 AS e
+         |  FROM isl GROUP BY doc_id, island),
+         |fl AS (
+         |  SELECT doc_id, list_sort(list({'s': s, 'e': e})) AS spans
+         |  FROM sp GROUP BY doc_id),
+         |aff AS (SELECT DISTINCT doc_id FROM flg),
+         |ex AS (
+         |  SELECT d.doc_id,
+         |         CAST(len(d.words) AS BIGINT) AS n_tokens,
+         |         list_filter(list_transform(range(1, len(d.words) + 1),
+         |           t -> CASE WHEN len(list_filter(
+         |                       coalesce(f.spans, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+         |                       x -> x.s <= t AND t <= x.e)) > 0
+         |                     THEN NULL ELSE d.words[t] END),
+         |           x -> x IS NOT NULL) AS kept
+         |  FROM docs d JOIN aff USING (doc_id) LEFT JOIN fl f USING (doc_id))
+         |SELECT doc_id, n_tokens,
+         |       CAST(len(kept) AS BIGINT) AS tokens_kept,
          |       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
          |FROM ex ORDER BY doc_id""".stripMargin),
     "q31_dedup_exact" -> withDocs(

@@ -42,10 +42,14 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     // (q111 checkpoints its shared seed encoding + trained codebook at
     // construction — the q101 pattern; its per-arm plans are q109's
     // shape, covered there.)
+    // (q113 checkpoints its ranked flagged-window frame at construction
+    // — its component plans are q105/q112's, covered there; every
+    // window it adds is hash- or doc-partitioned.)
     val eager = Set("q48_dim_waktu", "q49_star_roundtrip", "q60_embed_lsh_recall",
       "q61_dedup_components", "q63_minhash_recall", "q69_range_join",
       "q101_lloyd_loop", "q102_bpe_train", "q104_bpe_compression",
-      "q106_bpe_heldout", "q111_pq_trained_recall")
+      "q106_bpe_heldout", "q111_pq_trained_recall",
+      "q113_span_excise_keep_first")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => eager(name) }
       .flatMap { case (name, fn) =>

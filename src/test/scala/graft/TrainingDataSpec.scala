@@ -226,4 +226,43 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
       assert(n - kept == reported(id), s"doc $id: excised ${n - kept} != reported ${reported(id)}")
     }
   }
+
+  test("q113: the earliest occurrence keeps its span verbatim; later copies lose it") {
+    val corpus = plantedSpanCorpus
+    val dir = writeMiniDocs(corpus)
+    def md5Of(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = Dedup.q113_span_excise_keep_first(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("tokens_kept"),
+          r.getAs[String]("kept_md5")))).toMap
+    // doc 0 holds the corpus-first occurrence of every S window
+    // (doc_id 0 < 1): every flagged window is rank 1, so the doc keeps
+    // its text VERBATIM — and still appears in the output as the
+    // canonical copy, auditable as tokens_kept = n_tokens.
+    val doc0Text = corpus.find(_._1 == 0L).get._2
+    assert(got(0L) == ((20L, 20L, md5Of(doc0Text))))
+    // doc 1's S windows are all rank 2 → S excised, exactly q112's result
+    val doc1Kept = "b1 b2 b3 b4 b5 b6 b7 b8"
+    assert(got(1L) == ((20L, 8L, md5Of(doc1Kept))))
+    // doc 2 repeats T internally: the start-3 copy is rank 1 (kept), the
+    // start-14 copy rank 2 (excised) — within-doc dedup keeps one copy too
+    val doc2Kept = "c1 c2 " + (1 to 8).map(i => s"t$i").mkString(" ") + " c3 c4 c5 c6"
+    assert(got(2L) == ((22L, 14L, md5Of(doc2Kept))))
+    assert(!got.contains(3L))
+    // conservation invariant: every corpus-duplicated 8-gram survives in
+    // at least one kept text (computed generically from the corpus, not
+    // from knowledge of where S/T were planted)
+    def grams(t: String): Seq[String] =
+      t.split(" ").toSeq.sliding(8).filter(_.size == 8).map(_.mkString(" ")).toSeq
+    val dupGrams = corpus.flatMap { case (_, t) => grams(t) }
+      .groupBy(identity).filter(_._2.size > 1).keySet
+    assert(dupGrams.nonEmpty)
+    val keptTexts = Seq(doc0Text, doc1Kept, doc2Kept,
+      corpus.find(_._1 == 3L).get._2) // untouched docs keep their text
+    dupGrams.foreach { g =>
+      assert(keptTexts.exists(_.contains(g)),
+        s"duplicated 8-gram lost from every kept text: '$g'")
+    }
+  }
 }
