@@ -543,10 +543,10 @@ object Similarity {
       .select(col("query_id").as("q2"), col("vec_id").as("n2"))
   }
 
-  /** Per-query recall of an ADC ranking vs the exact q36 top-5:
-    * `approx` is (query_id, vec_id, adist). */
-  private def adcRecall(s: SparkSession, d: String, approx: DataFrame): DataFrame = {
-    val top = adcTop(approx)
+  /** The recall tail over an already-selected top-k pair set `top`
+    * ((q2, n2) rows) vs the exact q36 top-5 — shared by the in-memory
+    * ADC recalls and the persisted-index q114. */
+  private def adcRecallFromTop(s: SparkSession, d: String, top: DataFrame): DataFrame =
     q36_knn_brute(s, d).select(col("query_id"), col("neighbor_id"))
       .join(top, col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
       .groupBy("query_id")
@@ -554,7 +554,11 @@ object Similarity {
       .withColumn("recall",
         round4(col("n_matched").cast("double") / col("n_brute").cast("double")))
       .orderBy("query_id")
-  }
+
+  /** Per-query recall of an ADC ranking vs the exact q36 top-5:
+    * `approx` is (query_id, vec_id, adist). */
+  private def adcRecall(s: SparkSession, d: String, approx: DataFrame): DataFrame =
+    adcRecallFromTop(s, d, adcTop(approx))
 
   lazy val q109_pq_adc_recall: Q = (s, d) => {
     val codes = pqCodes(s, d).select(col("vec_id"), col("j"), col("code"))
@@ -659,6 +663,129 @@ object Similarity {
     adcRecall(s, d, approx)
   }
 
+  // ---------------------------------------------------------------------------
+  // Persisted PQ serving index (the writeIvfIndex twin for the PQ stack)
+  // ---------------------------------------------------------------------------
+
+  /** The code rows of a PQ index for the corpus subset passing
+    * `rowFilter`: (vec_id, j, code) under product codebook `cb` plus
+    * the coarse IVF bucket under `cents` — the partition key. Both
+    * codebooks arrive as arguments (read back from the index on
+    * append) so incremental growth can never shift existing rows'
+    * buckets or codes. */
+  private def pqIndexRows(s: SparkSession, d: String, cb: DataFrame,
+      cents: DataFrame, rowFilter: Column): DataFrame =
+    pqCodesFor(s, d, cb)
+      .where(rowFilter)
+      .select(col("vec_id"), col("j"), col("code"))
+      .join(assignments(vecs(s, d).where(rowFilter), cents), "vec_id")
+
+  /** Materialize the PQ serving index — the physical artifact
+    * q108–q111 recompute per query: under `out`,
+    *  - `codebook/`  the 64-row (j, k, cb) product codebook
+    *  - `centroids/` the 16-row coarse (c_id, cv, cn) IVF codebook, so
+    *    query-side probe ranking reads the index, never raw embeddings
+    *  - `codes/`     (vec_id, j, code) PARTITIONED BY the coarse c_id —
+    *    aligned with [[writeIvfIndex]]'s directory layout so an IVFPQ
+    *    probe set prunes code directories the same way (q110's story)
+    * Codebooks are tiny (always broadcast at read); codes are three
+    * narrow integer columns per (vector, subspace) — q108's 128×
+    * memory story made durable. */
+  def writePqIndex(s: SparkSession, d: String, out: String,
+      rowFilter: Column = lit(true)): Unit = {
+    val all = vecs(s, d)
+    pqCodebook(s, d).coalesce(1).write.mode("overwrite").parquet(s"$out/codebook")
+    seedCents(all).coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
+    pqIndexRows(s, d, pqCodebook(s, d), seedCents(all), rowFilter)
+      .write.mode("overwrite").partitionBy("c_id").parquet(s"$out/codes")
+  }
+
+  /** Incremental PQ maintenance — [[appendIvfIndex]]'s twin: encode
+    * ONLY the incoming batch under the index's own FROZEN codebooks
+    * (read back from `out`, not recomputed) and append; dynamic
+    * partitionBy writes touch exactly the coarse buckets that received
+    * a vector, so base code files are never rewritten
+    * (PartitionPruningSpec asserts byte-identity file by file).
+    * Codebooks are deliberately not retrained here — q107 is the
+    * staleness report that schedules the [[writePqIndex]] rebuild. */
+  def appendPqIndex(s: SparkSession, d: String, out: String,
+      rowFilter: Column): Unit =
+    pqIndexRows(s, d,
+      s.read.parquet(s"$out/codebook"), s.read.parquet(s"$out/centroids"),
+      rowFilter)
+      .write.mode("append").partitionBy("c_id").parquet(s"$out/codes")
+
+  /** ADC top-k search FROM a persisted [[writePqIndex]] artifact: the
+    * corpus side exists ONLY as the code table — raw embeddings are
+    * never scanned (PartitionPruningSpec asserts every file relation
+    * in the plan lives under the index root). `queries` carries
+    * (query_id, qv) raw query vectors — queries are new data; only the
+    * corpus is pre-encoded. Probe pruning: rank the index centroids
+    * per query (cosine desc, c_id asc), keep `nprobe`, and push the
+    * probe UNION down as a static c_id partition filter (a driver-side
+    * list bounded by min(queries × nprobe, numCentroids) — the q37
+    * "nprobe directories" story on the code table), while the
+    * per-query candidate scoping stays a broadcast equi-join on c_id.
+    * Returns (query_id, rank, vec_id, adist): top `k` by ADC distance
+    * (asc, vec_id asc tie-break), self-matches excluded. */
+  def pqIndexSearch(s: SparkSession, index: String, queries: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val cb = s.read.parquet(s"$index/codebook")
+    val cents = s.read.parquet(s"$index/centroids")
+    val qn = queries.withColumn("qn", graft.functions.VectorOps.norm(col("qv")))
+    val wp = Window.partitionBy("query_id").orderBy(col("c_cos").desc, col("c_id").asc)
+    val probes = qn.crossJoin(broadcast(cents))
+      .withColumn("c_cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("c_id"))
+    val qsub = qn
+      .withColumn("u", transform(col("qv"), x => x / col("qn")))
+      .select(col("query_id"),
+        explode(sequence(lit(0), lit(pqSubspaces - 1))).as("j"), col("u"))
+      .select(col("query_id"), col("j"),
+        slice(col("u"), col("j") * pqSubDim + 1, lit(pqSubDim)).as("x"))
+    val dtab = qsub.join(broadcast(cb), "j")
+      .select(col("query_id"), col("j"), col("k").as("code"),
+        l2sq(col("x"), col("cb")).as("dq"))
+    val probedBuckets = probes.select("c_id").distinct()
+      .collect().map(_.getAs[Number]("c_id").longValue).toSeq
+    val codes = s.read.parquet(s"$index/codes")
+      .where(col("c_id").isin(probedBuckets: _*))
+    val cand = codes.join(broadcast(probes), Seq("c_id"))
+      .where(col("vec_id") =!= col("query_id"))
+    val approx = subspaceTotal(
+      cand.join(broadcast(dtab), Seq("query_id", "j", "code")),
+      Seq("query_id", "vec_id"), col("dq"), "adist")
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)
+    approx.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adist"))
+  }
+
+  /** q114: IVFPQ search served FROM the persisted index — build the
+    * base index over already-ingested history (vec_id hash bucket
+    * < 50, the q80/q89/q107 incremental-family convention), grow it
+    * with [[appendPqIndex]] under the frozen codebooks, then run
+    * [[pqIndexSearch]] against the files and report per-query recall
+    * vs the exact q36 — the SAME contract as q110, which computes the
+    * identical search in-memory: matching results are the proof that
+    * the persisted, incrementally-grown index serves exactly what a
+    * full recompute would (the oracle is literally q110's). */
+  lazy val q114_pq_index_recall: Q = (s, d) => {
+    // keyed by (application, dataset dir): the q49 tmp-dir convention
+    val idx = s"${sys.props("java.io.tmpdir")}/graft_pq_" +
+      s"${s.sparkContext.applicationId}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val bucket = TextCore.idBucket(col("vec_id"))
+    writePqIndex(s, d, idx, bucket < 50)
+    appendPqIndex(s, d, idx, bucket >= 50)
+    val queries = vecs(s, d).where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val top = pqIndexSearch(s, idx, queries, nProbe, topK)
+      .select(col("query_id").as("q2"), col("vec_id").as("n2"))
+    adcRecallFromTop(s, d, top)
+  }
+
   private val lloydIters = 3
 
   /** q101: the full Lloyd training loop — [[lloydCodebook]] driven k = 3
@@ -727,7 +854,8 @@ object Similarity {
     "q108_pq_encode" -> q108_pq_encode,
     "q109_pq_adc_recall" -> q109_pq_adc_recall,
     "q110_ivfpq_recall" -> q110_ivfpq_recall,
-    "q111_pq_trained_recall" -> q111_pq_trained_recall)
+    "q111_pq_trained_recall" -> q111_pq_trained_recall,
+    "q114_pq_index_recall" -> q114_pq_index_recall)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -920,6 +1048,25 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** The IVFPQ recall oracle, shared verbatim by q110 (in-memory) and
+    * q114 (served from the persisted index): coarse probes prune
+    * candidates, ADC ranks them, recall vs the exact top-5 per query. */
+  private lazy val ivfpqRecallSql =
+    s"""WITH $vecsCte, $bruteCte, $ivfCte, $pqCtes,
+       |$pqDtabCtes,
+       |acand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN assign a
+       |    ON p.c_id = a.c_id AND a.vec_id <> p.query_id),
+       |ap AS (
+       |  SELECT c.query_id, c.vec_id,
+       |         ${adcSubspaceSums("e")}
+       |  FROM acand c
+       |  JOIN enc e ON c.vec_id = e.vec_id
+       |  JOIN dtab t ON t.query_id = c.query_id AND t.j = e.j AND t.code = e.code
+       |  GROUP BY c.query_id, c.vec_id),
+       |$adcTailSql""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q107_ivf_staleness" ->
       s"""WITH $vecsCte,
@@ -1052,21 +1199,11 @@ object Similarity {
          |  FROM brute b LEFT JOIN tpqtop t
          |    ON b.query_id = t.query_id AND b.neighbor_id = t.vec_id)
          |ORDER BY codebook""".stripMargin,
-    "q110_ivfpq_recall" ->
-      s"""WITH $vecsCte, $bruteCte, $ivfCte, $pqCtes,
-         |$pqDtabCtes,
-         |acand AS (
-         |  SELECT p.query_id, a.vec_id
-         |  FROM probes p JOIN assign a
-         |    ON p.c_id = a.c_id AND a.vec_id <> p.query_id),
-         |ap AS (
-         |  SELECT c.query_id, c.vec_id,
-         |         ${adcSubspaceSums("e")}
-         |  FROM acand c
-         |  JOIN enc e ON c.vec_id = e.vec_id
-         |  JOIN dtab t ON t.query_id = c.query_id AND t.j = e.j AND t.code = e.code
-         |  GROUP BY c.query_id, c.vec_id),
-         |$adcTailSql""".stripMargin,
+    "q110_ivfpq_recall" -> ivfpqRecallSql,
+    // q114 searches the persisted+appended index; its result must equal
+    // the in-memory IVFPQ search — the oracle IS q110's (the equality
+    // is the point: the grown file artifact serves a full recompute)
+    "q114_pq_index_recall" -> ivfpqRecallSql,
     "q36_knn_brute" ->
       s"""WITH $vecsCte, $bruteCte
          |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine

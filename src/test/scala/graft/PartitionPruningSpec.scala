@@ -81,6 +81,65 @@ class PartitionPruningSpec extends AnyFunSuite with SparkTestBase {
     assert(incremental == rebuilt)
   }
 
+  test("PQ append keeps base code files byte-identical; search reads only the index") {
+    import graft.ops.{Similarity, TextCore}
+    val sfDir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_inc").toString
+    val bucket = TextCore.idBucket(col("vec_id"))
+    Similarity.writePqIndex(spark, sfDir, idx, bucket < 50)
+    // content hash per code file — append must leave every base file's
+    // BYTES untouched, not just its name
+    def codeFileHashes(dir: String): Map[String, String] = {
+      val root = new java.io.File(s"$dir/codes")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("c_id="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          s"${d.getName}/${f.getName}" -> h.map("%02x".format(_)).mkString
+        }).toMap
+    }
+    val before = codeFileHashes(idx)
+    assert(before.nonEmpty)
+    Similarity.appendPqIndex(spark, sfDir, idx, bucket >= 50)
+    val after = codeFileHashes(idx)
+    before.foreach { case (path, h) =>
+      assert(after.get(path).contains(h), s"append rewrote base code file $path")
+    }
+    // the grown index holds exactly what a full rebuild would
+    val full = java.nio.file.Files.createTempDirectory("graft_pq_full").toString
+    Similarity.writePqIndex(spark, sfDir, full)
+    def codeRows(dir: String): Set[(Long, Long, Long, Long)] =
+      spark.read.parquet(s"$dir/codes").select("vec_id", "j", "code", "c_id")
+        .collect().map(r => (r.getAs[Number]("vec_id").longValue,
+          r.getAs[Number]("j").longValue, r.getAs[Number]("code").longValue,
+          r.getAs[Number]("c_id").longValue)).toSet
+    assert(codeRows(idx) == codeRows(full))
+    // ADC search touches ONLY index files: every file relation in the
+    // search plan must live under the index root — raw embeddings are
+    // never scanned (the queries frame is materialized beforehand, so
+    // its lineage carries no file scan)
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val queries = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .localCheckpoint(true)
+    val res = Similarity.pqIndexSearch(spark, idx, queries, nprobe = 4, k = 5)
+    val fileRoots = res.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+    assert(fileRoots.nonEmpty)
+    fileRoots.foreach { p =>
+      assert(p.contains(idx), s"index search scans a non-index file source: $p")
+    }
+    // and it returns a full top-5 per query
+    val rows = res.collect()
+    assert(rows.length == 2 * 5)
+  }
+
   test("clustered (sorted) layout skips row groups an unsorted layout must read") {
     // The data-clustering story beyond directory partitioning: identical
     // fact rows written twice with small row groups — once range-
