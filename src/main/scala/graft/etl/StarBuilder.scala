@@ -206,7 +206,14 @@ object StarBuilder {
 
   /** Full-refresh star write (A17/A19/A20): overwrite the warehouse dir;
     * facts partitioned by tahun for partition pruning. */
-  def writeAll(spark: SparkSession, dir: String, warehouse: String): Unit = {
+  def writeAll(spark: SparkSession, dir: String, warehouse: String): Unit =
+    writeTables(spark, dir, warehouse)
+
+  /** The star tables written under one target root — shared by the
+    * flat [[writeAll]] layout and each [[writeAllVersioned]] snapshot
+    * (private[graft] so the spec can simulate a writer killed before
+    * its commit marker lands). */
+  private[graft] def writeTables(spark: SparkSession, dir: String, warehouse: String): Unit = {
     // dim_waktu/dim_nilai have bounded cardinality (calendar × 2 semesters,
     // fixed grade scale) → one file each is correct at any scale. The
     // student/course dims scale WITH the data — the same argument that bans
@@ -230,6 +237,68 @@ object StarBuilder {
       .partitionBy("tahun").parquet(s"$warehouse/fact_nilai_mk")
     saltedByYear(Star.semesterFact(spark, dir)).write.mode("overwrite")
       .partitionBy("tahun").parquet(s"$warehouse/fact_nilai_semester")
+  }
+
+  // ---------------------------------------------------------------------------
+  // Snapshot-versioned warehouse (the time-travel analog)
+  // ---------------------------------------------------------------------------
+
+  /** Version numbers with a commit marker in `$warehouse/_log`,
+    * ascending. The marker file — not the data directory — is the unit
+    * of visibility: a `v=<n>` directory without its marker is an
+    * aborted write that no reader ever resolves. */
+  def committedVersions(warehouse: String): Seq[Long] =
+    Option(new java.io.File(s"$warehouse/_log").listFiles())
+      .map(_.toSeq.map(_.getName).filter(_.endsWith(".commit"))
+        .map(_.stripSuffix(".commit").toLong).sorted)
+      .getOrElse(Seq.empty)
+
+  def latestVersion(warehouse: String): Option[Long] =
+    committedVersions(warehouse).lastOption
+
+  /** Snapshot-versioned star write — the lakehouse-table property the
+    * flat [[writeAll]] lacks (Delta/Iceberg being unresolvable offline,
+    * SURVEY §8): every refresh lands in a fresh `$warehouse/v=<n>/`
+    * snapshot, and ONLY after every table directory is fully written
+    * does the zero-byte commit marker `_log/<n>.commit` appear (staged
+    * as a dot-file, then atomically renamed — the classic
+    * filesystem-commit protocol; an object store swaps this for a
+    * conditional PUT of the same marker). Readers resolve versions
+    * exclusively through the log, so
+    *  - a writer killed mid-snapshot leaves an orphaned uncommitted
+    *    directory and CHANGES NOTHING for readers (StarSpec proves it),
+    *  - a reader pinned to version n ([[readAt]]) sees immutable data
+    *    forever — snapshots are never rewritten, the time-travel
+    *    contract,
+    *  - concurrent readers of "latest" never observe a half-written
+    *    refresh (the full-overwrite writeAll's failure mode).
+    * Returns the committed version number. Old snapshots are retained
+    * for time travel; a retention sweep would delete v-dirs strictly
+    * below the oldest pinned version, log-first. */
+  def writeAllVersioned(spark: SparkSession, dir: String, warehouse: String): Long = {
+    val v = latestVersion(warehouse).getOrElse(0L) + 1
+    writeTables(spark, dir, s"$warehouse/v=$v")
+    val log = new java.io.File(s"$warehouse/_log")
+    log.mkdirs()
+    val staged = new java.io.File(log, s".staging_$v.commit")
+    java.nio.file.Files.write(staged.toPath, Array.emptyByteArray)
+    val committed = new java.io.File(log, s"$v.commit")
+    java.nio.file.Files.move(staged.toPath, committed.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Read `table` from the snapshot `version` (or the latest committed
+    * one). Fails loudly on an uncommitted/unknown version — an aborted
+    * write's orphan directory is not data. */
+  def readAt(spark: SparkSession, warehouse: String, table: String,
+      version: Option[Long] = None): DataFrame = {
+    val vs = committedVersions(warehouse)
+    require(vs.nonEmpty, s"no committed version in $warehouse")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"version $v is not committed in $warehouse (committed: ${vs.mkString(", ")})")
+    spark.read.parquet(s"$warehouse/v=$v/$table")
   }
 
   /** Clustered fact layout — the single-dimension Z-order/data-clustering

@@ -180,4 +180,44 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("multiple incoming rows"))
   }
+
+  test("versioned warehouse: pinned readers survive refreshes and aborted writes") {
+    import graft.etl.StarBuilder
+    val dir1 = writeMiniStar(Seq(
+      (1L, 1L, 101L, "2023-03-15", "A", "F", 3.0),
+      (2L, 1L, 103L, "2023-09-01", "R", "O", 4.0)))
+    val dir2 = writeMiniStar(Seq(
+      (1L, 1L, 101L, "2023-03-15", "A", "F", 3.0),
+      (2L, 1L, 103L, "2023-09-01", "R", "O", 4.0),
+      (3L, 2L, 104L, "2024-03-01", "A", "O", 2.0)))
+    val wh = java.nio.file.Files.createTempDirectory("graft_versioned").toString
+    def factRows(version: Option[Long]): Set[(Long, Long, Long)] =
+      StarBuilder.readAt(spark, wh, "fact_nilai_mk", version)
+        .select("student", "course", "tahun").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+
+    val v1 = StarBuilder.writeAllVersioned(spark, dir1, wh)
+    assert(v1 == 1L)
+    val pinned = factRows(Some(v1))
+    assert(pinned.size == 2)
+
+    // a refresh lands as v2: the v1-pinned reader sees the identical
+    // rows afterwards (snapshots are immutable), latest resolves to v2
+    val v2 = StarBuilder.writeAllVersioned(spark, dir2, wh)
+    assert(v2 == 2L)
+    assert(factRows(Some(v1)) == pinned)
+    assert(StarBuilder.latestVersion(wh).contains(2L))
+    assert(factRows(None).size == 3)
+
+    // a writer killed mid-snapshot: v=3 table data exists but its
+    // commit marker never landed — readers still resolve v2, and a
+    // pin to the orphan refuses instead of serving half a write
+    StarBuilder.writeTables(spark, dir1, s"$wh/v=3")
+    assert(StarBuilder.latestVersion(wh).contains(2L))
+    assert(factRows(None).size == 3)
+    val e = intercept[IllegalArgumentException] {
+      StarBuilder.readAt(spark, wh, "fact_nilai_mk", Some(3L))
+    }
+    assert(e.getMessage.contains("not committed"))
+  }
 }
