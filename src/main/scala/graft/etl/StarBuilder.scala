@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
@@ -325,6 +325,55 @@ object StarBuilder {
       // same task count, layout uncorrelated with student — the control
       else fact.repartition(4, col("course"))
     laid.write.mode("overwrite")
+      .option("parquet.block.size", blockSize.toString)
+      .parquet(out)
+  }
+
+  /** Per-dimension bucket bits for the Z-order key (16 buckets/dim). */
+  private val zBits = 4
+
+  /** Morton interleave of two [[zBits]]-bit bucket ids: a's bit i lands
+    * at position 2i+1, b's at 2i. A range predicate on EITHER dimension
+    * fixes a prefix of its own bit-lane, which keeps matching rows
+    * spatially local on the curve — the property that lets parquet
+    * min/max stats skip row groups for both dimensions at once. */
+  private def interleaved(a: Column, b: Column): Column =
+    (0 until zBits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+
+  /** value → its 2^[[zBits]]-quantile bucket id under the column's own
+    * distribution: boundaries come from ONE bounded approxQuantile pass
+    * (collects 2^zBits − 1 doubles — at cluster scale this is the
+    * sampling pass, the Delta OPTIMIZE ZORDER `range_partition_id`
+    * shape), and the bucket id is the count of boundaries ≤ x — a
+    * broadcast-literal, map-side expression. Quantile (not min/max
+    * linear) bucketing keeps the curve balanced under skew. */
+  private def quantileBucket(df: DataFrame, c: String): Column = {
+    val n = 1 << zBits
+    val bnds = df.stat.approxQuantile(c, (1 until n).map(_.toDouble / n).toArray, 0.001)
+    size(filter(typedLit(bnds.toSeq), b => b <= col(c).cast("double"))).cast("long")
+  }
+
+  /** Multi-dimension clustered layout — the Z-order (OPTIMIZE ZORDER
+    * BY) analog: [[writeFactClustered]] sorts by ONE key, so a range
+    * predicate on any other column gets no row-group skip; here the
+    * sort key is the Morton interleave of the (student, id_waktu)
+    * quantile buckets, so BOTH a student range and a time range prune
+    * row groups from min/max stats alone — each somewhat weaker than a
+    * dedicated single-key sort on its own dimension, the standard
+    * Z-order trade. Same write shape as the single-sort layout (range
+    * partition + in-task sort on the key, no directory partitioning);
+    * PartitionPruningSpec measures the two-dimensional skip against
+    * the single-sort and uncorrelated layouts on identical rows. */
+  def writeFactClusteredZ(spark: SparkSession, dir: String, out: String,
+      blockSize: Int = 128 * 1024 * 1024): Unit = {
+    val fact = factNilaiMk(spark, dir)
+    val z = interleaved(
+      quantileBucket(fact, "student"), quantileBucket(fact, "id_waktu"))
+    fact.repartitionByRange(4, z).sortWithinPartitions(z)
+      .write.mode("overwrite")
       .option("parquet.block.size", blockSize.toString)
       .parquet(out)
   }

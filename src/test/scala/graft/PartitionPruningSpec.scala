@@ -189,6 +189,76 @@ class PartitionPruningSpec extends AnyFunSuite with SparkTestBase {
       f"(skip ratio ${unsortedScan.toDouble / sortedScan}%.1f×)")
   }
 
+  test("Z-order layout prunes row groups on BOTH dimensions; single-sort on one") {
+    // writeFactClustered sorts by student alone: a time predicate gets
+    // zero skip from it. The Morton-interleaved layout must skip row
+    // groups for a student range AND an id_waktu range on the same
+    // files, each measured from the executed scan's pre-filter rows.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.Column
+    val sfDir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // finer than the single-sort test's 64 KB: the Z-curve's skip
+    // granularity is the row group, and at ~6000 rows a 64 KB group
+    // spans a whole curve quadrant, blurring the min/max stats; 16 KB
+    // gives ~16 groups so each covers a tight (student, time) cell (at
+    // 100 TB the default 128 MB groups play this role)
+    val blockSize = 16 * 1024
+    StarBuilder.writeFactClustered(spark, sfDir, s"$base/bystudent", sorted = true, blockSize)
+    StarBuilder.writeFactClustered(spark, sfDir, s"$base/uncorrelated", sorted = false, blockSize)
+    StarBuilder.writeFactClusteredZ(spark, sfDir, s"$base/zorder", blockSize)
+    def scanRows(dir: String, pred: Column): (Long, Long) = {
+      val df = spark.read.parquet(dir).where(pred)
+      val selected = df.count()
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scan = finalPlan.collectFirst { case f: FileSourceScanExec => f }
+        .getOrElse(fail(s"no FileSourceScanExec under $dir"))
+      (scan.metrics("numOutputRows").value, selected)
+    }
+    val stats = spark.read.parquet(s"$base/zorder")
+      .agg(org.apache.spark.sql.functions.min("student"),
+        org.apache.spark.sql.functions.max("student"),
+        org.apache.spark.sql.functions.min("id_waktu"),
+        org.apache.spark.sql.functions.max("id_waktu"),
+        org.apache.spark.sql.functions.count(col("student"))).head()
+    // student: a band strictly inside the second rank-quartile — the
+    // Z key buckets by ROW-MASS quantiles, so the probe band must be
+    // rank-aligned too (a value-midpoint band can straddle the curve's
+    // student-half boundary and double the touched groups)
+    val Array(sLo, sHi) = spark.read.parquet(s"$base/zorder")
+      .stat.approxQuantile("student", Array(0.27, 0.48), 0.001)
+    val sPred = col("student").between(sLo.toLong, sHi.toLong)
+    // time: the lower quarter of the id_waktu surrogate range — aligned
+    // with a curve quadrant (like the student band), so row groups in
+    // the other time-quarters have disjoint min/max stats and skip
+    val tPred = col("id_waktu") <=
+      stats.getLong(2) + (stats.getLong(3) - stats.getLong(2)) / 4
+    val total = stats.getLong(4)
+
+    val (zStu, zStuSel) = scanRows(s"$base/zorder", sPred)
+    val (zTime, zTimeSel) = scanRows(s"$base/zorder", tPred)
+    val (oneStu, oneStuSel) = scanRows(s"$base/bystudent", sPred)
+    val (oneTime, oneTimeSel) = scanRows(s"$base/bystudent", tPred)
+    val (uncStu, uncStuSel) = scanRows(s"$base/uncorrelated", sPred)
+    // identical rows in every layout
+    assert(zStuSel == oneStuSel && zStuSel == uncStuSel && zStuSel > 0)
+    assert(zTimeSel == oneTimeSel && zTimeSel > 0)
+    // the single-sort layout cannot skip for the time predicate — it
+    // reads (essentially) everything; the Z-layout must beat it by 2×
+    assert(zTime * 2 <= oneTime,
+      s"Z gave no time-dimension skip: z=$zTime vs bystudent=$oneTime (total $total)")
+    // and the Z-layout still skips on student vs the uncorrelated
+    // layout (weaker than the dedicated student sort — that's the trade)
+    assert(zStu * 2 <= uncStu,
+      s"Z gave no student-dimension skip: z=$zStu vs uncorrelated=$uncStu (total $total)")
+    info(f"student pred: z=$zStu bystudent=$oneStu uncorrelated=$uncStu (selected $zStuSel)")
+    info(f"time pred:    z=$zTime bystudent=$oneTime (selected $zTimeSel, total $total)")
+  }
+
   test("tahun filter prunes fact partitions in the warehouse read") {
     val dir = writeMiniStar(Seq(
       (1L, 1L, 101L, "2023-03-15", "A", "F", 3.0),
