@@ -1,0 +1,102 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Small-file compaction — the OPTIMIZE analog for this engine's
+  * incremental paths ([[StarBuilder.upsertDim]] rewrites,
+  * [[graft.ops.Similarity.appendIvfIndex]]/`appendPqIndex` appends, the
+  * streaming `parquetBatchSink`), all of which accumulate one-or-more
+  * files per increment. At 100 TB the file-count explosion, not the
+  * bytes, is the serving killer: scan planning, footer reads and
+  * open() round-trips all scale with file count.
+  *
+  * [[Compact.compact]] bin-packs each partition LEAF directory's files
+  * into ⌈Σbytes / targetBytes⌉ outputs, preserving the partition
+  * directory structure (a `tahun=…`/`c_id=…` dir is rewritten in place,
+  * never merged across partition values) and — when `sortBy` is given —
+  * re-establishing the clustered order inside the packed files (range
+  * partition + in-task sort, the [[StarBuilder.writeFactClustered]]
+  * shape), so row-group min/max skipping survives the rewrite
+  * (PartitionPruningSpec measures it on the executed scan).
+  *
+  * The swap is write-aside-then-replace per directory: new files land in
+  * a dot-prefixed sibling staging dir, then the old data files are
+  * removed and the packed ones moved in. On a lakehouse table this
+  * rewrite would instead commit as a new snapshot version
+  * ([[StarBuilder.writeAllVersioned]]'s log) so readers never observe
+  * the intermediate state; on the flat layout it carries the same
+  * visibility caveat as any in-place overwrite.
+  */
+object Compact {
+
+  /** One compacted directory: (path, files before, files after). */
+  final case class Result(dir: String, before: Int, after: Int)
+
+  /** Bin-pack every partition leaf directory under `root` whose file
+    * count exceeds ⌈Σbytes / targetBytes⌉. `sortBy` re-sorts packed
+    * files on the given columns (restores clustering); empty = pure
+    * repack. Returns per-directory file counts for observability —
+    * directories already at or under target are left byte-untouched. */
+  def compact(spark: SparkSession, root: String, targetBytes: Long,
+      sortBy: Seq[String] = Nil,
+      blockSize: Int = 128 * 1024 * 1024): Seq[Result] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    leafDirs(new java.io.File(root)).flatMap { leaf =>
+      val files = dataFiles(leaf)
+      if (files.length < 2) None
+      else {
+        val total = files.map(_.length()).sum
+        val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+        if (nOut >= files.length) None
+        else {
+          val df = spark.read.parquet(leaf.toString)
+          val packed =
+            if (sortBy.nonEmpty)
+              df.repartitionByRange(nOut, sortBy.map(col): _*)
+                .sortWithinPartitions(sortBy.map(col): _*)
+            else df.repartition(nOut)
+          val staging = new java.io.File(leaf.getParentFile, s".compact_${leaf.getName}")
+          packed.write.mode("overwrite")
+            .option("parquet.block.size", blockSize.toString)
+            .parquet(staging.toString)
+          // replace: old data files (and their checksum twins) out, packed in
+          files.foreach { f =>
+            f.delete()
+            new java.io.File(leaf, s".${f.getName}.crc").delete()
+          }
+          dataFiles(staging).foreach { nf =>
+            java.nio.file.Files.move(nf.toPath,
+              new java.io.File(leaf, nf.getName).toPath)
+            val crc = new java.io.File(staging, s".${nf.getName}.crc")
+            if (crc.exists())
+              java.nio.file.Files.move(crc.toPath,
+                new java.io.File(leaf, s".${nf.getName}.crc").toPath,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+          deleteRecursively(staging)
+          Some(Result(leaf.toString, files.length, nOut))
+        }
+      }
+    }
+  }
+
+  private def dataFiles(dir: java.io.File): Array[java.io.File] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  /** Deepest directories holding data files, skipping metadata dirs
+    * (`_log`, staging dot-dirs): the units a partitioned table's
+    * `partitionBy` layout writes into. */
+  private def leafDirs(f: java.io.File): Seq[java.io.File] = {
+    val subs = Option(f.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory &&
+        !d.getName.startsWith("_") && !d.getName.startsWith("."))
+    if (subs.isEmpty) Seq(f) else subs.toSeq.flatMap(leafDirs)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+}

@@ -259,6 +259,101 @@ class PartitionPruningSpec extends AnyFunSuite with SparkTestBase {
     info(f"time pred:    z=$zTime bystudent=$oneTime (selected $zTimeSel, total $total)")
   }
 
+  test("compact bin-packs each partition's small files, contents identical") {
+    import spark.implicits._
+    import graft.etl.Compact
+    val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // two partition values, fragmented into 6 files each — the
+    // accumulation pattern of per-increment appends
+    (1L to 600L).map(i => (i, s"val_$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "payload", "p")
+      .repartition(6)
+      .write.mode("overwrite").partitionBy("p").parquet(root)
+    def filesPerPartition: Map[String, Array[java.io.File]] =
+      new java.io.File(root).listFiles().filter(_.getName.startsWith("p="))
+        .map(d => d.getName ->
+          d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet")))
+        .toMap
+    // counts AND bytes captured eagerly — the files are deleted by the
+    // compaction, after which File.length() silently reports 0
+    val before: Map[String, (Int, Long)] = filesPerPartition.map {
+      case (p, fs) => p -> ((fs.length, fs.map(_.length()).sum))
+    }
+    assert(before.values.forall(_._1 == 6))
+    val rowsBefore = spark.read.parquet(root).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"), r.getAs[String]("p")))
+      .sorted.toSeq
+    // target ≈ half of each partition's bytes → expect ceil(bytes/target)
+    // files per partition, computed by the same formula the spec states
+    val target = before.values.map(_._2).max / 2 + 1
+    val results = Compact.compact(spark, root, target)
+    val after = filesPerPartition
+    before.foreach { case (p, (n, bytes)) =>
+      val expected = math.max(1L, (bytes + target - 1) / target).toInt
+      assert(after(p).length == expected,
+        s"$p: ${after(p).length} files, expected $expected")
+      assert(after(p).length < n)
+    }
+    assert(results.map(_.dir).toSet.size == 2)
+    // contents survive byte-for-byte (as rows)
+    val rowsAfter = spark.read.parquet(root).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"), r.getAs[String]("p")))
+      .sorted.toSeq
+    assert(rowsAfter == rowsBefore)
+    // idempotent: a second pass at the same target touches nothing
+    assert(Compact.compact(spark, root, target).isEmpty)
+  }
+
+  test("row-group skip survives compaction of a clustered table") {
+    import graft.etl.{Compact, StarBuilder}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val sfDir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_cl").toString
+    val blockSize = 64 * 1024
+    // a fragmented clustered table: 12 small student-sorted files (the
+    // state after many clustered increments), plus the unsorted control
+    StarBuilder.factNilaiMk(spark, sfDir)
+      .repartitionByRange(12, col("student")).sortWithinPartitions("student")
+      .write.option("parquet.block.size", blockSize.toString)
+      .parquet(s"$base/clustered")
+    StarBuilder.writeFactClustered(spark, sfDir, s"$base/unsorted", sorted = false, blockSize)
+    def scanRows(dir: String, pred: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(dir).where(pred)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      finalPlan.collectFirst { case f: FileSourceScanExec => f }
+        .getOrElse(fail(s"no FileSourceScanExec under $dir")).metrics("numOutputRows").value
+    }
+    val r = spark.read.parquet(s"$base/clustered")
+      .agg(org.apache.spark.sql.functions.min("student"),
+        org.apache.spark.sql.functions.max("student")).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val pred = col("student").between(mn + (mx - mn) * 45 / 100, mn + (mx - mn) * 50 / 100)
+    val skipBefore = scanRows(s"$base/clustered", pred)
+    def fileCount = new java.io.File(s"$base/clustered")
+      .listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val nBefore = fileCount
+    assert(nBefore == 12)
+    // pack ~4:1, re-sorting on the cluster key
+    val target = new java.io.File(s"$base/clustered").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length()).sum / 3
+    val res = Compact.compact(spark, s"$base/clustered", target,
+      sortBy = Seq("student"), blockSize = blockSize)
+    assert(res.exists(_.dir.endsWith("clustered")))
+    assert(fileCount < nBefore)
+    val skipAfter = scanRows(s"$base/clustered", pred)
+    val unsortedScan = scanRows(s"$base/unsorted", pred)
+    // clustering survives: the compacted table still skips ≥ 2× vs the
+    // uncorrelated layout on the same predicate
+    assert(skipAfter * 2 <= unsortedScan,
+      s"compaction destroyed clustering: $skipAfter vs unsorted $unsortedScan")
+    info(s"files $nBefore→$fileCount; scan rows before=$skipBefore after=$skipAfter " +
+      s"unsorted=$unsortedScan")
+  }
+
   test("tahun filter prunes fact partitions in the warehouse read") {
     val dir = writeMiniStar(Seq(
       (1L, 1L, 101L, "2023-03-15", "A", "F", 3.0),
