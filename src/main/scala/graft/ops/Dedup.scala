@@ -504,7 +504,17 @@ object Dedup {
     * the whole corpus. Shared by q105 (interval report) and q112
     * (excision). Map-side: document text never shuffles, only the
     * 32-char hashes do. */
-  private def spanWindows(s: SparkSession, d: String): DataFrame = {
+  private def spanWindows(s: SparkSession, d: String): DataFrame =
+    spanWindowsOf(docShingles(s, d))
+
+  /** The window expressions alone, over any frame carrying
+    * (doc_id, words) — THE span-window definition: batch q105/q112/q113
+    * and the streaming probe
+    * ([[graft.streaming.EventStream.spanProbeStream]]) all call this,
+    * so batch and stream hashes can never drift (the withBandKeys
+    * convention). Stateless per-row expressions — safe under a
+    * streaming plan. */
+  private[graft] def spanWindowsOf(docs: DataFrame): DataFrame = {
     val k = spanK
     val wins = when(size(col("words")) >= k,
       transform(sequence(lit(1), size(col("words")) - (k - 1)),
@@ -512,21 +522,24 @@ object Dedup {
           md5(concat_ws(" ",
             (0 until k).map(j => element_at(col("words"), i + j)): _*)).as("h"))))
       .otherwise(array().cast("array<struct<start:bigint,h:string>>"))
-    docShingles(s, d)
+    docs
       .select(col("doc_id"), size(col("words")).cast("long").as("n_tokens"),
         explode(wins).as("win"))
       .select(col("doc_id"), col("n_tokens"),
         col("win.start").as("start"), col("win.h").as("h"))
   }
 
+  /** The corpus-duplicated window-hash set (h): q105's `occ > 1` table —
+    * exactly the nightly span-index shape the streaming probe joins
+    * against. */
+  private[graft] def spanDupHashes(s: SparkSession, d: String): DataFrame =
+    spanWindows(s, d).groupBy("h").agg(count(lit(1)).as("occ"))
+      .where(col("occ") > 1).select("h")
+
   /** The flagged (doc_id, start) rows: windows whose hash occurs more
     * than once corpus-wide. */
-  private def spanDupFlagged(s: SparkSession, d: String): DataFrame = {
-    val w = spanWindows(s, d)
-    val dup = w.groupBy("h").agg(count(lit(1)).as("occ"))
-      .where(col("occ") > 1).select("h")
-    w.join(dup, "h")
-  }
+  private def spanDupFlagged(s: SparkSession, d: String): DataFrame =
+    spanWindows(s, d).join(spanDupHashes(s, d), "h")
 
   /** q105: SPAN-level exact-substring dedup — the last rung of the dedup
     * ladder after document (q31–q34) and chunk (q66) granularity: find
@@ -550,10 +563,17 @@ object Dedup {
     * equi-key; the sweep shuffles on doc_id. Nothing is quadratic;
     * TrainingDataSpec pins the interval-union semantics on planted
     * spans. */
-  lazy val q105_span_dedup: Q = (s, d) => {
+  lazy val q105_span_dedup: Q = (s, d) => spanReport(spanDupFlagged(s, d))
+
+  /** The per-doc interval-union report over flagged
+    * (doc_id, n_tokens, start) windows — q105's aggregation, shared
+    * with the streaming probe's foreachBatch
+    * ([[graft.streaming.EventStream.spanReportBatch]]) so the in-stream
+    * report can never drift from the batch one. */
+  private[graft] def spanReport(flagged: DataFrame): DataFrame = {
     val k = spanK
     val byDoc = Window.partitionBy("doc_id").orderBy("start")
-    spanDupFlagged(s, d)
+    flagged
       .withColumn("nxt", lead(col("start"), 1).over(byDoc))
       .groupBy("doc_id", "n_tokens")
       .agg(count(lit(1)).as("n_dup_windows"),

@@ -140,6 +140,38 @@ object EventStream {
       Dedup.neardupVerify(cand, incoming, base))
   }
 
+  /** Streaming SPAN-dedup probe — the span-granularity rung
+    * [[neardupProbeStream]] (doc-level MinHash) can't see: an arriving
+    * document that stitches corpus boilerplate INTO otherwise-unique
+    * text. Each arrival's rolling 8-token window hashes are computed
+    * in-flight (stateless per-row expressions, the SAME
+    * [[graft.ops.Dedup.spanWindowsOf]] definition as batch q105) and
+    * probe the STATIC corpus dup-hash set — q105's `occ > 1` table, the
+    * nightly span index — via a stream-static equi-join on the 32-char
+    * hash, emitting the flagged (doc_id, n_tokens, start) windows. The
+    * per-doc interval union is an aggregation → foreachBatch via
+    * [[spanReportBatch]]. Docs shorter than 8 tokens yield no windows
+    * and drop out, exactly as in batch. At scale the index is a parquet
+    * table keyed by the hash: broadcast if boilerplate-sized, else
+    * bucketed — the corpus is never re-scanned per batch. */
+  def spanProbeStream(docs: DataFrame, dupHashes: DataFrame): DataFrame = {
+    import graft.ops.{Dedup, TextCore}
+    val words = docs.select(col("doc_id"),
+      TextCore.wordsCol(TextCore.normCol(col("text"))).as("words"))
+    Dedup.spanWindowsOf(words)
+      .join(dupHashes, Seq("h"))
+      .select(col("doc_id"), col("n_tokens"), col("start"))
+  }
+
+  /** The foreachBatch half of the streaming span path: q105's per-doc
+    * interval-union report over the micro-batch's flagged windows —
+    * the SAME [[graft.ops.Dedup.spanReport]] aggregation the batch
+    * query uses, so the in-stream flagged-token fractions are
+    * row-for-row the batch ones (EventStreamSpec proves it on a
+    * two-micro-batch split). */
+  def spanReportBatch(flaggedBatch: DataFrame): DataFrame =
+    graft.ops.Dedup.spanReport(flaggedBatch)
+
   /** Idempotent micro-batch parquet sink for `writeStream.foreachBatch`:
     * each micro-batch overwrites its own `batch_id=<id>` directory, so a
     * REPLAYED batch (restart after a sink-side failure — the at-least-once

@@ -262,6 +262,45 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(batch.exists(_._5 == 1L), "split should contain at least one near-dup")
   }
 
+  test("streaming span probe + foreachBatch report equals batch q105 on the same split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions.col
+    val sfDir = "/root/testdata/sf0.001"
+    // the nightly span index snapshot: q105's corpus-wide occ > 1 table
+    val dupHashes = Dedup.spanDupHashes(spark, sfDir).localCheckpoint(true)
+    // the whole corpus arrives as RAW TEXT over two micro-batches —
+    // window hashing happens in-stream; each doc arrives whole, so its
+    // per-doc report is complete within its own micro-batch
+    val arrivals = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val (first, second) = arrivals.splitAt(arrivals.length / 2)
+    type Rep = (Long, Long, Long, Long, Long, Double)
+    def repOf(r: org.apache.spark.sql.Row): Rep =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_dup_windows"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("tokens_removed"), r.getAs[Double]("frac_removed"))
+    val results = scala.collection.mutable.ArrayBuffer.empty[Rep]
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream
+      .spanProbeStream(input.toDS().toDF("doc_id", "text"), dupHashes)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        results ++= EventStream.spanReportBatch(b).collect().map(repOf)
+        ()
+      }.start()
+    try {
+      input.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      input.addData(second.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    val batch = Dedup.q105_span_dedup(spark, sfDir).collect().map(repOf).toSet
+    assert(results.nonEmpty && results.toSet == batch,
+      s"stream/batch mismatch: stream ${results.size} rows, batch ${batch.size}")
+  }
+
   test("parquetBatchSink is idempotent under micro-batch replay") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
