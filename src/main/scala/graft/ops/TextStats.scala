@@ -346,14 +346,29 @@ object TextStats {
 
   private def bpeTrained(s: SparkSession, d: String)
       : (Vector[(Long, String, String, Long)], DataFrame) =
-    bpeTrainedOn(s, d, "bpe:vocab", lit(true))
+    bpeTrainedOn(s, d, "vocab", lit(true))
+
+  /** Probe hook for the merge-count scaling measurement (SURVEY §8,
+    * [[graft.BpeProbe]]): train with an arbitrary k under its own memo
+    * entry. The GATE stays at [[bpeMerges]] — this measures the
+    * driver-loop cost curve, nothing more. */
+  private[graft] def bpeTrainProbe(s: SparkSession, d: String, k: Int)
+      : Vector[(Long, String, String, Long)] =
+    bpeTrainedOn(s, d, "probe", lit(true), k)._1
 
   /** [[bpeTrained]] over a doc subset — q106 trains on the q70 TRAIN
     * split only, so held-out application measures generalization, not
-    * memorization. One memo entry per (dir, key): the full-corpus and
-    * train-split artifacts coexist. */
-  private def bpeTrainedOn(s: SparkSession, d: String, memoKey: String,
-      docFilter: Column): (Vector[(Long, String, String, Long)], DataFrame) = {
+    * memorization. The memo key DERIVES from (label, filter SQL, merge
+    * count), so a caller reusing a label with a different filter or k
+    * gets its own cache entry — never another filter's vocab (r8
+    * ADVICE: the old caller-supplied key made that a silent hazard). */
+  private def bpeTrainedOn(s: SparkSession, d: String, label: String,
+      docFilter: Column, numMerges: Int = bpeMerges)
+      : (Vector[(Long, String, String, Long)], DataFrame) = {
+    val fSig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${docFilter.toString}|k=$numMerges".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    val memoKey = s"bpe:$label:$fSig"
     val vocabFinal = graft.SessionMemo(s, d, memoKey) {
       val vocab0 = docShingles(s, d).where(docFilter)
         .select(explode(col("words")).as("w"))
@@ -364,7 +379,7 @@ object TextStats {
       var vocab = vocab0.localCheckpoint(true)
       var merges = Vector.empty[(Long, String, String, Long)]
       var done = false
-      for (step <- 1 to bpeMerges if !done) {
+      for (step <- 1 to numMerges if !done) {
         val syms = split(regexp_replace(col("sym"), "^\\||\\|$", ""), "\\|\\|")
         val top = vocab
           .select(col("cnt"), syms.as("sy"))
@@ -452,7 +467,7 @@ object TextStats {
     * aggregate. The merge table reaches executors as literals in the
     * plan (k rows, the broadcast-free degenerate case). */
   lazy val q106_bpe_heldout: Q = (s, d) => {
-    val merges = bpeTrainedOn(s, d, "bpe:vocab_train",
+    val merges = bpeTrainedOn(s, d, "vocab_train",
       idBucket(col("doc_id")) < 80)._1
     val bucket = idBucket(col("doc_id"))
     val sym0 = concat(lit("|"), array_join(split(col("w"), ""), "||"), lit("|"))
