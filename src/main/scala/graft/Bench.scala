@@ -31,6 +31,14 @@ object Bench {
     // cannot support round-over-round regression analysis.
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
+    // Volatility sentinel: q34 and q72 have drifted across three rounds on
+    // unchanged code (q34 local 1.51→2.47 s in r8) — round-over-round
+    // judgment on the known-noisy queries rests on 5-sample medians, so a
+    // single slow rep can no longer move their reported number.
+    val volatileReps = 5
+    val volatileQueries = Set("q34_dedup_ngram_jaccard", "q72_token_percentiles")
+    def repsFor(name: String): Int =
+      if (volatileQueries(name)) math.max(reps, volatileReps) else reps
     // optional comma-separated query filter for focused profiling runs
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
@@ -40,7 +48,7 @@ object Bench {
       // a rep that throws is a FAILURE, not a sample: its time-to-failure
       // must not enter the median (a broken query would masquerade as a
       // fast one in round-over-round comparisons)
-      val samples = (1 to reps).map { _ =>
+      val samples = (1 to repsFor(name)).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
@@ -67,8 +75,13 @@ object Bench {
       "\"" + (if (short) k.takeWhile(_ != '_') else k) + "\":" + f
     }.mkString("{", ",", "}")
     val total = results.map { case (_, v, _) => math.max(v, 0.0) }.sum
+    // the override is visible in the artifact so round-over-round readers
+    // know which medians carry 5 samples
+    def volJson(short: Boolean) = volatileQueries.toSeq.sorted
+      .map(q => "\"" + (if (short) q.takeWhile(_ != '_') else q) + "\":" +
+        math.max(reps, volatileReps)).mkString("{", ",", "}")
     def json(short: Boolean) =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(short)},"errors":${errsJson(short)},"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(short)},"errors":${errsJson(short)},"sf":"$sfDir","reps":$reps,"reps_overrides":${volJson(short)}}"""
     // stdout gets SHORT query keys (q34, not q34_dedup_ngram_jaccard): the
     // driver records only a ~2000-char stdout tail (with sbt's [success]
     // footer inside it), and at 90+ queries the full-name line is ~2.5 KB —

@@ -326,6 +326,14 @@ object StarBuilder {
       else fact.repartition(4, col("course"))
     laid.write.mode("overwrite")
       .option("parquet.block.size", blockSize.toString)
+      // pin the size-check interval (default adapts 100→10000 rows on
+      // the previous group's average row width): flush points — and so
+      // the row-group min/max stats the skip measurements assert on —
+      // become a deterministic function of the rows alone (r8 ADVICE:
+      // adaptive check intervals were the residual flake in the 2×
+      // sorted-vs-unsorted margin)
+      .option("parquet.block.size.row.check.min", "100")
+      .option("parquet.block.size.row.check.max", "100")
       .parquet(out)
   }
 
@@ -375,6 +383,9 @@ object StarBuilder {
     fact.repartitionByRange(4, z).sortWithinPartitions(z)
       .write.mode("overwrite")
       .option("parquet.block.size", blockSize.toString)
+      // deterministic flush points — see writeFactClustered
+      .option("parquet.block.size.row.check.min", "100")
+      .option("parquet.block.size.row.check.max", "100")
       .parquet(out)
   }
 

@@ -443,8 +443,20 @@ object Dedup {
   /** The base-corpus band-index snapshot (base_id, band, bkey) — what a
     * nightly build persists, q89 probes in batch, and the streaming twin
     * serves as its static side. */
+  /** The whole corpus banded ONCE — (doc_id, band, bkey), memoized per
+    * (session, dir): q89's probe side and [[baseBandIndex]] each slice
+    * this frame by bucket instead of recomputing the 12-hash minhash
+    * signatures per side (r8 ADVICE). Eagerly checkpointed like the
+    * pair sets — band keys are 3 narrow columns × 4 rows per doc, far
+    * smaller than the shingle store; the cross-run form is the
+    * materialized nightly band index itself. */
+  private def bandedCorpus(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo(s, d, "pairs:bands")(
+      withBandKeys(docShingles(s, d).select(col("doc_id"), col("sh_md5"))))(
+      _.localCheckpoint(true))
+
   private[graft] def baseBandIndex(s: SparkSession, d: String): DataFrame =
-    withBandKeys(docShingles(s, d).select(col("doc_id"), col("sh_md5")))
+    bandedCorpus(s, d)
       .where(idBucket(col("doc_id")) < 50)
       .select(col("doc_id").as("base_id"), col("band"), col("bkey"))
 
@@ -484,7 +496,7 @@ object Dedup {
     val docs = docShingles(s, d)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).cast("long").as("n_sh"))
       .withColumn("bucket", bucket)
-    val cand = withBandKeys(docShingles(s, d).select(col("doc_id"), col("sh_md5")))
+    val cand = bandedCorpus(s, d)
       .where(idBucket(col("doc_id")) >= 50)
       .join(baseBandIndex(s, d), Seq("band", "bkey"))
       .select("doc_id", "base_id").distinct()

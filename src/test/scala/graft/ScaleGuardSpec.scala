@@ -137,25 +137,32 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     // custom operator would otherwise exist for. A rewrite that breaks
     // the pattern (e.g. filtering on a derived column) would silently
     // lose the optimization and only show up as a 100×-scale sort spill.
-    // name → expected WindowGroupLimitExec NODE count: each rank filter
+    // name → MINIMUM WindowGroupLimitExec NODE count: each rank filter
     // plans a Partial (map-side, before the window shuffle) + Final
-    // pair, so the value is 2 per rank filter in the query. Counting
+    // pair, so the floor is 2 per rank filter in the query. Counting
     // nodes, not a whole-tree substring hit, so one surviving instance
     // can't mask a regression in another filter of the same query.
-    // PQ family: q108 = the encode argmin; q109 adds the ADC top-k and
-    // the embedded q36 exact-baseline subtree (3 filters); q110 further
-    // embeds centroidRanks twice (probes + assign read the same ranked
-    // subtree as two plan instances) for 5 filters total
+    // Asserted as >= (not ==, r8 ADVICE): the floor catches a LOST
+    // optimization — the failure this guard exists for — while a Spark
+    // upgrade that merges duplicated subtree instances (fewer plan
+    // copies of the same protected filter) would only fail an exact
+    // pin spuriously. Floors = 2 × DISTINCT rank filters. On Spark
+    // 4.1.2 the actual counts are 2/2/2/2/2/6/10: q108 = the encode
+    // argmin; q109 adds the ADC top-k and the embedded q36
+    // exact-baseline subtree (3 distinct filters); q110 has 4 distinct
+    // filters (centroidRanks, encode argmin, q36, ADC top-k) planned as
+    // 5 instances — centroidRanks appears twice (probes + assign), the
+    // one duplication subtree reuse could legitimately collapse.
     val topK = Seq("q36_knn_brute" -> 2, "q64_rare_terms" -> 2,
       "q71_balanced_sample" -> 2, "q94_tfidf_terms" -> 2,
       "q108_pq_encode" -> 2, "q109_pq_adc_recall" -> 6,
-      "q110_ivfpq_recall" -> 10)
-    val offenders = topK.flatMap { case (name, expected) =>
+      "q110_ivfpq_recall" -> 8)
+    val offenders = topK.flatMap { case (name, minimum) =>
       val got = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.sparkPlan.collect {
           case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
         }.length
-      if (got == expected) None else Some(s"$name (expected $expected, got $got)")
+      if (got >= minimum) None else Some(s"$name (expected >= $minimum, got $got)")
     }
     assert(offenders.isEmpty,
       s"top-k window filter lost WindowGroupLimit in: ${offenders.mkString(", ")}")
