@@ -81,21 +81,45 @@ object Compact {
     }
   }
 
-  private def dataFiles(dir: java.io.File): Array[java.io.File] =
+  private[etl] def dataFiles(dir: java.io.File): Array[java.io.File] =
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
 
   /** Deepest directories holding data files, skipping metadata dirs
     * (`_log`, staging dot-dirs): the units a partitioned table's
     * `partitionBy` layout writes into. */
-  private def leafDirs(f: java.io.File): Seq[java.io.File] = {
+  private[etl] def leafDirs(f: java.io.File): Seq[java.io.File] = {
     val subs = Option(f.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory &&
         !d.getName.startsWith("_") && !d.getName.startsWith("."))
     if (subs.isEmpty) Seq(f) else subs.toSeq.flatMap(leafDirs)
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  /** Pack `srcLeaf`'s data files into `dstLeaf` at the same
+    * ⌈Σbytes/target⌉ sizing [[compact]] uses — or, when the source is
+    * already at/under target, BYTE-copy the files across (no
+    * decode/re-encode): the copy-on-write building block of
+    * [[StarBuilder.compactVersioned]]. Returns (files before, after). */
+  private[etl] def packInto(spark: SparkSession, srcLeaf: java.io.File,
+      dstLeaf: java.io.File, targetBytes: Long, blockSize: Int): (Int, Int) = {
+    val files = dataFiles(srcLeaf)
+    val total = files.map(_.length()).sum
+    val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    if (files.isEmpty || nOut >= files.length) {
+      dstLeaf.mkdirs()
+      files.foreach(f => java.nio.file.Files.copy(f.toPath,
+        new java.io.File(dstLeaf, f.getName).toPath))
+      (files.length, files.length)
+    } else {
+      spark.read.parquet(srcLeaf.toString).repartition(nOut)
+        .write.mode("overwrite")
+        .option("parquet.block.size", blockSize.toString)
+        .parquet(dstLeaf.toString)
+      (files.length, nOut)
+    }
+  }
+
+  private[etl] def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete()
   }

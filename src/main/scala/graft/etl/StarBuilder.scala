@@ -278,6 +278,13 @@ object StarBuilder {
   def writeAllVersioned(spark: SparkSession, dir: String, warehouse: String): Long = {
     val v = latestVersion(warehouse).getOrElse(0L) + 1
     writeTables(spark, dir, s"$warehouse/v=$v")
+    commitVersion(warehouse, v)
+    v
+  }
+
+  /** The marker commit: stage a dot-file, atomically rename it into
+    * `_log/` — the single instant version `v` becomes resolvable. */
+  private def commitVersion(warehouse: String, v: Long): Unit = {
     val log = new java.io.File(s"$warehouse/_log")
     log.mkdirs()
     val staged = new java.io.File(log, s".staging_$v.commit")
@@ -285,7 +292,51 @@ object StarBuilder {
     val committed = new java.io.File(log, s"$v.commit")
     java.nio.file.Files.move(staged.toPath, committed.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    v
+  }
+
+  /** Copy-on-write snapshot compaction — OPTIMIZE as a COMMIT instead
+    * of an in-place rewrite: bin-pack the latest committed snapshot's
+    * tables into a NEW version directory and commit it through the
+    * same marker protocol, so a reader of "latest" sees either the old
+    * snapshot or the fully-committed compacted one — never the
+    * intermediate state the in-place [[Compact.compact]] documents as
+    * its caveat (and version pins keep working: the source snapshot is
+    * untouched). Each partition leaf keeps its relative path
+    * (`fact_nilai_mk/tahun=…` stays that leaf); leaves already at or
+    * under the ⌈Σbytes/target⌉ count are byte-copied without
+    * decode/re-encode, fragmented ones repacked with [[Compact]]'s
+    * formula. Returns the committed new version. */
+  def compactVersioned(spark: SparkSession, warehouse: String,
+      targetBytes: Long, blockSize: Int = 128 * 1024 * 1024): Long = {
+    val cur = latestVersion(warehouse).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $warehouse"))
+    val next = cur + 1
+    val srcRoot = new java.io.File(s"$warehouse/v=$cur")
+    Compact.leafDirs(srcRoot).foreach { leaf =>
+      val rel = srcRoot.toPath.relativize(leaf.toPath).toString
+      val dst = new java.io.File(s"$warehouse/v=$next" +
+        (if (rel.isEmpty) "" else s"/$rel"))
+      Compact.packInto(spark, leaf, dst, targetBytes, blockSize)
+    }
+    commitVersion(warehouse, next)
+    next
+  }
+
+  /** Retention sweep: keep the newest `keep` committed versions, drop
+    * the rest — LOG MARKER FIRST (the version disappears from
+    * resolution in one delete), THEN the orphaned data directory, so a
+    * crash mid-vacuum leaves only invisible orphans, never a
+    * resolvable version with missing data. Returns the dropped
+    * versions. The caller owns the pin contract: vacuum only below the
+    * oldest version any reader still pins. */
+  def vacuumVersions(warehouse: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "must keep at least the latest version")
+    val drop = committedVersions(warehouse).dropRight(keep)
+    drop.foreach { v =>
+      new java.io.File(s"$warehouse/_log/$v.commit").delete()
+      Compact.deleteRecursively(new java.io.File(s"$warehouse/v=$v"))
+    }
+    drop
   }
 
   /** Read `table` from the snapshot `version` (or the latest committed

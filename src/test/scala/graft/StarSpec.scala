@@ -220,4 +220,61 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("not committed"))
   }
+
+  test("compactVersioned commits a packed snapshot; vacuum drops versions marker-first") {
+    import graft.etl.StarBuilder
+    // the real sf0.001 star: the salted fact write spreads each year
+    // over several tasks, so year leaves hold multiple small files —
+    // the state snapshot compaction exists for
+    val dir = "/root/testdata/sf0.001"
+    val wh = java.nio.file.Files.createTempDirectory("graft_cow").toString
+    val v1 = StarBuilder.writeAllVersioned(spark, dir, wh)
+    val tahun = new java.io.File(s"$wh/v=$v1/fact_nilai_mk").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("tahun=")).head.getName
+    def factLeaf(v: Long) = new java.io.File(s"$wh/v=$v/fact_nilai_mk/$tahun")
+    // fragment the witness leaf in place — same rows, 4 small files —
+    // simulating the accumulation incremental appends leave behind
+    val leaf1 = factLeaf(v1)
+    val frag = java.nio.file.Files.createTempDirectory("graft_cow_frag").toString
+    spark.read.parquet(leaf1.toString).repartition(4)
+      .write.mode("overwrite").parquet(frag)
+    leaf1.listFiles().filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    new java.io.File(frag).listFiles().filter(_.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(leaf1, s"part-frag-$i.parquet").toPath)
+      }
+    def md5s(d: java.io.File): Map[String, String] =
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath))
+        f.getName -> h.map("%02x".format(_)).mkString
+      }.toMap
+    val v1Files = md5s(factLeaf(v1))
+    assert(v1Files.size > 1, s"fixture should fragment the fact (got ${v1Files.size} files)")
+    def factRows(v: Long): Seq[(Long, Long)] =
+      StarBuilder.readAt(spark, wh, "fact_nilai_mk", Some(v))
+        .select("student", "course").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val rowsV1 = factRows(v1)
+
+    // copy-on-write compaction: a NEW committed version with the fact
+    // leaf packed to one file; the source snapshot is byte-untouched
+    val v2 = StarBuilder.compactVersioned(spark, wh, targetBytes = 1L << 30)
+    assert(v2 == v1 + 1)
+    assert(StarBuilder.committedVersions(wh) == Seq(v1, v2))
+    assert(md5s(factLeaf(v2)).size == 1)
+    assert(factRows(v2) == rowsV1)
+    assert(md5s(factLeaf(v1)) == v1Files) // v1 pins still serve identical bytes
+
+    // retention: the marker goes first, then the data dir — v1 stops
+    // resolving and its directory is gone; latest still serves
+    assert(StarBuilder.vacuumVersions(wh, keep = 1) == Seq(v1))
+    assert(StarBuilder.committedVersions(wh) == Seq(v2))
+    assert(!new java.io.File(s"$wh/v=$v1").exists())
+    assert(factRows(v2) == rowsV1)
+    intercept[IllegalArgumentException] {
+      StarBuilder.readAt(spark, wh, "fact_nilai_mk", Some(v1))
+    }
+  }
 }
