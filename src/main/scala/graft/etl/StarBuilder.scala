@@ -450,16 +450,45 @@ object StarBuilder {
   /** q49 (A17/A19/A20): write the whole star to a warehouse dir, read it
     * back, and report per-table row counts — the write path exercised
     * inside the correctness gate. */
-  val q49_star_roundtrip: Q = (s, d) => {
-    // keyed by (application, dataset dir): two concurrent sessions on the
-    // same sf must not race on one overwrite dir
-    val warehouse = s"${sys.props("java.io.tmpdir")}/graft_warehouse_" +
+  private val starTables = Seq("dim_waktu", "dim_nilai", "dim_matakuliah",
+    "dim_mahasiswa", "fact_nilai_mk", "fact_nilai_semester")
+
+  /** (session, dataset)-keyed scratch dir: two concurrent sessions on
+    * the same sf must not race on one overwrite dir (the q49
+    * convention). */
+  private def scratchDir(s: SparkSession, d: String, tag: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
       s"${s.sparkContext.applicationId}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  val q49_star_roundtrip: Q = (s, d) => {
+    val warehouse = scratchDir(s, d, "warehouse")
     writeAll(s, d, warehouse)
-    val tables = Seq("dim_waktu", "dim_nilai", "dim_matakuliah", "dim_mahasiswa",
-      "fact_nilai_mk", "fact_nilai_semester")
-    tables.map { t =>
+    starTables.map { t =>
       s.read.parquet(s"$warehouse/$t")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(t).as("table_name"), col("n_rows"))
+    }.reduce(_.unionAll(_)).orderBy("table_name")
+  }
+
+  /** q115: the versioned-warehouse LIFECYCLE inside the correctness
+    * gate — snapshot write ([[writeAllVersioned]]), copy-on-write
+    * compaction ([[compactVersioned]]), retention sweep
+    * ([[vacuumVersions]] keeping only the compacted snapshot), then
+    * per-table counts read back STRICTLY through the version log
+    * ([[readAt]]), never via raw paths. The oracle is q49's: after
+    * write → compact → vacuum, the one surviving snapshot must hold
+    * exactly the source-derived star — any row lost or duplicated by
+    * the packing or the sweep fails the hash gate. Re-invocation in
+    * the same session keeps cycling versions forward (the vacuum
+    * bounds the accumulation), so every bench rep pays the full
+    * lifecycle. */
+  val q115_versioned_star: Q = (s, d) => {
+    val wh = scratchDir(s, d, "vwh")
+    writeAllVersioned(s, d, wh)
+    compactVersioned(s, wh, targetBytes = 64L * 1024 * 1024)
+    vacuumVersions(wh, keep = 1)
+    starTables.map { t =>
+      readAt(s, wh, t)
         .agg(count(lit(1)).as("n_rows"))
         .select(lit(t).as("table_name"), col("n_rows"))
     }.reduce(_.unionAll(_)).orderBy("table_name")
@@ -467,15 +496,13 @@ object StarBuilder {
 
   val queries: Map[String, Q] = Map(
     "q48_dim_waktu" -> q48_dim_waktu,
-    "q49_star_roundtrip" -> q49_star_roundtrip)
+    "q49_star_roundtrip" -> q49_star_roundtrip,
+    "q115_versioned_star" -> q115_versioned_star)
 
-  val oracle: Map[String, String] = Map(
-    "q48_dim_waktu" -> withFact(
-      """SELECT CAST(dense_rank() OVER (ORDER BY tahun, semester) AS BIGINT) AS id_waktu,
-        |       tahun, semester
-        |FROM (SELECT DISTINCT tahun, semester FROM fact)
-        |ORDER BY id_waktu""".stripMargin),
-    "q49_star_roundtrip" -> withFactSem(
+  /** q49's per-table-count oracle, shared VERBATIM by q115: the
+    * versioned lifecycle (write → compact → vacuum → readAt) must
+    * serve exactly what the flat write serves. */
+  private lazy val starCountsSql: String = withFactSem(
       s""", factt AS (
          |  SELECT fact.*, CASE WHEN p_size <= 25 THEN 'Persiapan' ELSE 'Sarjana' END AS tahap
          |  FROM fact JOIN part ON course = p_partkey)
@@ -492,5 +519,14 @@ object StarBuilder {
          |  SELECT 'fact_nilai_mk', CAST(count(*) AS BIGINT) FROM fact
          |  UNION ALL
          |  SELECT 'fact_nilai_semester', CAST(count(*) AS BIGINT) FROM sem)
-         |ORDER BY table_name""".stripMargin))
+         |ORDER BY table_name""".stripMargin)
+
+  val oracle: Map[String, String] = Map(
+    "q48_dim_waktu" -> withFact(
+      """SELECT CAST(dense_rank() OVER (ORDER BY tahun, semester) AS BIGINT) AS id_waktu,
+        |       tahun, semester
+        |FROM (SELECT DISTINCT tahun, semester FROM fact)
+        |ORDER BY id_waktu""".stripMargin),
+    "q49_star_roundtrip" -> starCountsSql,
+    "q115_versioned_star" -> starCountsSql)
 }
