@@ -76,10 +76,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map { case (_, v, _) => math.max(v, 0.0) }.sum
     // the override is visible in the artifact so round-over-round readers
-    // know which medians carry 5 samples
+    // know which medians carry 5 samples — listing only queries that
+    // actually RAN (a BENCH_ONLY-filtered run must not claim overrides
+    // for queries it never executed), at the reps the run really used
     def volJson(short: Boolean) = volatileQueries.toSeq.sorted
+      .filter(q => results.exists(_._1 == q))
       .map(q => "\"" + (if (short) q.takeWhile(_ != '_') else q) + "\":" +
-        math.max(reps, volatileReps)).mkString("{", ",", "}")
+        repsFor(q)).mkString("{", ",", "}")
     def json(short: Boolean) =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(short)},"errors":${errsJson(short)},"sf":"$sfDir","reps":$reps,"reps_overrides":${volJson(short)}}"""
     // stdout gets SHORT query keys (q34, not q34_dedup_ngram_jaccard): the

@@ -60,11 +60,16 @@ object Compact {
           packed.write.mode("overwrite")
             .option("parquet.block.size", blockSize.toString)
             .parquet(staging.toString)
-          // replace: old data files (and their checksum twins) out, packed in
-          files.foreach { f =>
-            f.delete()
-            new java.io.File(leaf, s".${f.getName}.crc").delete()
-          }
+          // replace, PACKED FILES IN FIRST, old files out second: a
+          // crash between the phases leaves the rows present twice
+          // (transient, and the next pass repacks the union) — the
+          // delete-first order would leave them present ZERO times,
+          // with the only copy in a dot-dir every reader ignores.
+          // Packed part names carry a fresh write UUID, so they cannot
+          // collide with the files being replaced. The crash-SAFE form
+          // of this rewrite is StarBuilder.compactVersioned's
+          // commit-marker snapshot; this in-place form is for flat
+          // (unversioned) tables.
           dataFiles(staging).foreach { nf =>
             java.nio.file.Files.move(nf.toPath,
               new java.io.File(leaf, nf.getName).toPath)
@@ -73,6 +78,10 @@ object Compact {
               java.nio.file.Files.move(crc.toPath,
                 new java.io.File(leaf, s".${nf.getName}.crc").toPath,
                 java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+          files.foreach { f =>
+            f.delete()
+            new java.io.File(leaf, s".${f.getName}.crc").delete()
           }
           deleteRecursively(staging)
           Some(Result(leaf.toString, files.length, nOut))

@@ -249,7 +249,11 @@ object StarBuilder {
     * aborted write that no reader ever resolves. */
   def committedVersions(warehouse: String): Seq[Long] =
     Option(new java.io.File(s"$warehouse/_log").listFiles())
-      .map(_.toSeq.map(_.getName).filter(_.endsWith(".commit"))
+      .map(_.toSeq.map(_.getName)
+        // strict <digits>.commit match: anything else in _log (a crashed
+        // writer's leftover, an editor temp file) must be ignored, not
+        // crash every reader forever on toLong
+        .filter(_.matches("^[0-9]+\\.commit$"))
         .map(_.stripSuffix(".commit").toLong).sorted)
       .getOrElse(Seq.empty)
 
@@ -260,38 +264,67 @@ object StarBuilder {
     * flat [[writeAll]] lacks (Delta/Iceberg being unresolvable offline,
     * SURVEY §8): every refresh lands in a fresh `$warehouse/v=<n>/`
     * snapshot, and ONLY after every table directory is fully written
-    * does the zero-byte commit marker `_log/<n>.commit` appear (staged
-    * as a dot-file, then atomically renamed — the classic
-    * filesystem-commit protocol; an object store swaps this for a
-    * conditional PUT of the same marker). Readers resolve versions
+    * does the zero-byte commit marker `_log/<n>.commit` appear (the
+    * [[publishSnapshot]] claim-then-commit protocol: snapshot staged in
+    * a writer-private dot-dir, version number claimed by atomic rename,
+    * marker created create-if-absent; an object store swaps the rename
+    * and createFile for conditional PUTs). Readers resolve versions
     * exclusively through the log, so
-    *  - a writer killed mid-snapshot leaves an orphaned uncommitted
-    *    directory and CHANGES NOTHING for readers (StarSpec proves it),
+    *  - a writer killed mid-snapshot leaves either an invisible staging
+    *    dot-dir or a claimed-but-uncommitted `v=<n>` orphan — both
+    *    CHANGE NOTHING for readers (StarSpec proves the orphan case),
+    *    and later writers claim past the orphan,
     *  - a reader pinned to version n ([[readAt]]) sees immutable data
     *    forever — snapshots are never rewritten, the time-travel
     *    contract,
     *  - concurrent readers of "latest" never observe a half-written
-    *    refresh (the full-overwrite writeAll's failure mode).
+    *    refresh (the full-overwrite writeAll's failure mode), and
+    *    concurrent WRITERS can never interleave into one snapshot or
+    *    silently overwrite each other's commit.
     * Returns the committed version number. Old snapshots are retained
     * for time travel; a retention sweep would delete v-dirs strictly
     * below the oldest pinned version, log-first. */
   def writeAllVersioned(spark: SparkSession, dir: String, warehouse: String): Long = {
-    val v = latestVersion(warehouse).getOrElse(0L) + 1
-    writeTables(spark, dir, s"$warehouse/v=$v")
-    commitVersion(warehouse, v)
-    v
+    val txn = stageDir(warehouse)
+    writeTables(spark, dir, txn.toString)
+    publishSnapshot(warehouse, txn)
   }
 
-  /** The marker commit: stage a dot-file, atomically rename it into
-    * `_log/` — the single instant version `v` becomes resolvable. */
-  private def commitVersion(warehouse: String, v: Long): Unit = {
+  /** A writer-private staging directory for one snapshot attempt —
+    * dot-prefixed so readers, [[Compact.leafDirs]] and the log scan all
+    * ignore it until [[publishSnapshot]] renames it into place. */
+  private def stageDir(warehouse: String): java.io.File = {
+    val f = new java.io.File(warehouse, s".txn_${java.util.UUID.randomUUID}")
+    f.mkdirs()
+    f
+  }
+
+  /** Two-phase publish of a fully-written staging dir: (1) CLAIM a
+    * version number by atomically renaming the dir to `v=<n>` — rename
+    * fails if the target exists, so two concurrent writers can never
+    * interleave into one snapshot directory; the loser just claims the
+    * next number. (2) COMMIT by create-if-absent of the `_log` marker —
+    * `Files.createFile` is the conflict-DETECTING primitive the classic
+    * protocol needs (a rename-over would silently replace a concurrent
+    * committer's marker). A crash between the phases leaves a claimed
+    * but uncommitted `v=<n>` orphan that readers never resolve and
+    * later writers skip past. */
+  private def publishSnapshot(warehouse: String, txn: java.io.File): Long = {
+    var v = latestVersion(warehouse).getOrElse(0L) + 1
+    var claimed = false
+    while (!claimed) {
+      try {
+        java.nio.file.Files.move(txn.toPath,
+          new java.io.File(warehouse, s"v=$v").toPath)
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => v += 1
+      }
+    }
     val log = new java.io.File(s"$warehouse/_log")
     log.mkdirs()
-    val staged = new java.io.File(log, s".staging_$v.commit")
-    java.nio.file.Files.write(staged.toPath, Array.emptyByteArray)
-    val committed = new java.io.File(log, s"$v.commit")
-    java.nio.file.Files.move(staged.toPath, committed.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.createFile(new java.io.File(log, s"$v.commit").toPath)
+    v
   }
 
   /** Copy-on-write snapshot compaction — OPTIMIZE as a COMMIT instead
@@ -310,16 +343,14 @@ object StarBuilder {
       targetBytes: Long, blockSize: Int = 128 * 1024 * 1024): Long = {
     val cur = latestVersion(warehouse).getOrElse(
       throw new IllegalArgumentException(s"no committed version in $warehouse"))
-    val next = cur + 1
     val srcRoot = new java.io.File(s"$warehouse/v=$cur")
+    val txn = stageDir(warehouse)
     Compact.leafDirs(srcRoot).foreach { leaf =>
       val rel = srcRoot.toPath.relativize(leaf.toPath).toString
-      val dst = new java.io.File(s"$warehouse/v=$next" +
-        (if (rel.isEmpty) "" else s"/$rel"))
+      val dst = new java.io.File(txn, rel)
       Compact.packInto(spark, leaf, dst, targetBytes, blockSize)
     }
-    commitVersion(warehouse, next)
-    next
+    publishSnapshot(warehouse, txn)
   }
 
   /** Retention sweep: keep the newest `keep` committed versions, drop
@@ -402,18 +433,12 @@ object StarBuilder {
         shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i)
     }.reduce(_ + _)
 
-  /** value → its 2^[[zBits]]-quantile bucket id under the column's own
-    * distribution: boundaries come from ONE bounded approxQuantile pass
-    * (collects 2^zBits − 1 doubles — at cluster scale this is the
-    * sampling pass, the Delta OPTIMIZE ZORDER `range_partition_id`
-    * shape), and the bucket id is the count of boundaries ≤ x — a
-    * broadcast-literal, map-side expression. Quantile (not min/max
-    * linear) bucketing keeps the curve balanced under skew. */
-  private def quantileBucket(df: DataFrame, c: String): Column = {
-    val n = 1 << zBits
-    val bnds = df.stat.approxQuantile(c, (1 until n).map(_.toDouble / n).toArray, 0.001)
-    size(filter(typedLit(bnds.toSeq), b => b <= col(c).cast("double"))).cast("long")
-  }
+  /** value → its 2^[[zBits]]-quantile bucket id given precomputed
+    * boundaries: the count of boundaries ≤ x — a broadcast-literal,
+    * map-side expression. Quantile (not min/max linear) bucketing keeps
+    * the curve balanced under skew. */
+  private def quantileBucket(c: String, bnds: Seq[Double]): Column =
+    size(filter(typedLit(bnds), b => b <= col(c).cast("double"))).cast("long")
 
   /** Multi-dimension clustered layout — the Z-order (OPTIMIZE ZORDER
     * BY) analog: [[writeFactClustered]] sorts by ONE key, so a range
@@ -429,8 +454,17 @@ object StarBuilder {
   def writeFactClusteredZ(spark: SparkSession, dir: String, out: String,
       blockSize: Int = 128 * 1024 * 1024): Unit = {
     val fact = factNilaiMk(spark, dir)
+    // ONE bounded approxQuantile job computes BOTH dimensions'
+    // boundaries (2 × (2^zBits − 1) doubles to the driver — at cluster
+    // scale this is the sampling pass, the Delta OPTIMIZE ZORDER
+    // `range_partition_id` shape); per-column calls would scan the
+    // fact pipeline once each
+    val n = 1 << zBits
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val Array(sBnds, tBnds) =
+      fact.stat.approxQuantile(Array("student", "id_waktu"), probs, 0.001)
     val z = interleaved(
-      quantileBucket(fact, "student"), quantileBucket(fact, "id_waktu"))
+      quantileBucket("student", sBnds.toSeq), quantileBucket("id_waktu", tBnds.toSeq))
     fact.repartitionByRange(4, z).sortWithinPartitions(z)
       .write.mode("overwrite")
       .option("parquet.block.size", blockSize.toString)
@@ -455,8 +489,9 @@ object StarBuilder {
 
   /** (session, dataset)-keyed scratch dir: two concurrent sessions on
     * the same sf must not race on one overwrite dir (the q49
-    * convention). */
-  private def scratchDir(s: SparkSession, d: String, tag: String): String =
+    * convention; private[graft] — q114's index build keys the same
+    * way). */
+  private[graft] def scratchDir(s: SparkSession, d: String, tag: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
       s"${s.sparkContext.applicationId}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
 

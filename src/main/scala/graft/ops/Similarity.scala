@@ -773,9 +773,7 @@ object Similarity {
     * the persisted, incrementally-grown index serves exactly what a
     * full recompute would (the oracle is literally q110's). */
   lazy val q114_pq_index_recall: Q = (s, d) => {
-    // keyed by (application, dataset dir): the q49 tmp-dir convention
-    val idx = s"${sys.props("java.io.tmpdir")}/graft_pq_" +
-      s"${s.sparkContext.applicationId}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val idx = graft.etl.StarBuilder.scratchDir(s, d, "pq")
     val bucket = TextCore.idBucket(col("vec_id"))
     writePqIndex(s, d, idx, bucket < 50)
     appendPqIndex(s, d, idx, bucket >= 50)
