@@ -138,6 +138,22 @@ class PartitionPruningSpec extends AnyFunSuite with SparkTestBase {
     // and it returns a full top-5 per query
     val rows = res.collect()
     assert(rows.length == 2 * 5)
+    // OPTIMIZE on the serving index: bin-packing the appended code
+    // table must not change a single search result — the maintenance
+    // op an accumulating index needs, proven against its own query
+    def pairs(r: Array[org.apache.spark.sql.Row]): Seq[(Long, Long, Long)] =
+      r.map(x => (x.getAs[Long]("query_id"), x.getAs[Long]("rank"),
+        x.getAs[Long]("vec_id"))).sorted.toSeq
+    val beforeCompact = pairs(rows)
+    def codeFileCount = new java.io.File(s"$idx/codes").listFiles()
+      .filter(_.getName.startsWith("c_id="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    val nFiles = codeFileCount
+    val packed = graft.etl.Compact.compact(spark, s"$idx/codes", 1L << 30)
+    assert(packed.nonEmpty && codeFileCount < nFiles,
+      s"append should leave multi-file buckets to pack (had $nFiles files)")
+    val reSearched = Similarity.pqIndexSearch(spark, idx, queries, nprobe = 4, k = 5)
+    assert(pairs(reSearched.collect()) == beforeCompact)
   }
 
   test("clustered (sorted) layout skips row groups an unsorted layout must read") {

@@ -219,6 +219,19 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
       StarBuilder.readAt(spark, wh, "fact_nilai_mk", Some(3L))
     }
     assert(e.getMessage.contains("not committed"))
+    // a crashed committer's leftover in _log must be ignored, not crash
+    // every subsequent reader on the name parse
+    java.nio.file.Files.write(
+      new java.io.File(s"$wh/_log", ".staging_junk.commit").toPath,
+      Array.emptyByteArray)
+    assert(StarBuilder.committedVersions(wh) == Seq(1L, 2L))
+    // the next writer CLAIMS PAST the orphaned v=3 (rename onto an
+    // existing dir fails → bump), so the orphan is never overwritten
+    // and the new snapshot commits as v=4
+    val v4 = StarBuilder.writeAllVersioned(spark, dir2, wh)
+    assert(v4 == 4L)
+    assert(StarBuilder.committedVersions(wh) == Seq(1L, 2L, 4L))
+    assert(factRows(Some(4L)).size == 3)
   }
 
   test("compactVersioned commits a packed snapshot; vacuum drops versions marker-first") {
