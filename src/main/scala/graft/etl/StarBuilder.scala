@@ -422,16 +422,23 @@ object StarBuilder {
   /** Per-dimension bucket bits for the Z-order key (16 buckets/dim). */
   private val zBits = 4
 
-  /** Morton interleave of two [[zBits]]-bit bucket ids: a's bit i lands
-    * at position 2i+1, b's at 2i. A range predicate on EITHER dimension
-    * fixes a prefix of its own bit-lane, which keeps matching rows
-    * spatially local on the curve — the property that lets parquet
-    * min/max stats skip row groups for both dimensions at once. */
-  private def interleaved(a: Column, b: Column): Column =
-    (0 until zBits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1) +
-        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i)
+  /** Morton interleave of N [[zBits]]-bit bucket ids: dimension j's
+    * bit i lands at position i·N + (N−1−j), so every dimension owns one
+    * bit-lane of the key. A range predicate on ANY dimension fixes a
+    * prefix of its own lane, which keeps matching rows spatially local
+    * on the curve — the property that lets parquet min/max stats skip
+    * row groups for each dimension from one layout. Skip selectivity
+    * per dimension degrades as N grows (each added lane halves a
+    * lane's weight per key bit) — 2–4 dims is the useful range, the
+    * Delta ZORDER guidance. */
+  private def interleaved(dims: Seq[Column]): Column = {
+    val n = dims.length
+    (0 until zBits).flatMap { i =>
+      dims.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + (n - 1 - j))
+      }
     }.reduce(_ + _)
+  }
 
   /** value → its 2^[[zBits]]-quantile bucket id given precomputed
     * boundaries: the count of boundaries ≤ x — a broadcast-literal,
@@ -452,19 +459,20 @@ object StarBuilder {
     * PartitionPruningSpec measures the two-dimensional skip against
     * the single-sort and uncorrelated layouts on identical rows. */
   def writeFactClusteredZ(spark: SparkSession, dir: String, out: String,
-      blockSize: Int = 128 * 1024 * 1024): Unit = {
+      blockSize: Int = 128 * 1024 * 1024,
+      dims: Seq[String] = Seq("student", "id_waktu")): Unit = {
     val fact = factNilaiMk(spark, dir)
-    // ONE bounded approxQuantile job computes BOTH dimensions'
-    // boundaries (2 × (2^zBits − 1) doubles to the driver — at cluster
-    // scale this is the sampling pass, the Delta OPTIMIZE ZORDER
-    // `range_partition_id` shape); per-column calls would scan the
-    // fact pipeline once each
+    // ONE bounded approxQuantile job computes EVERY dimension's
+    // boundaries (dims × (2^zBits − 1) doubles to the driver — at
+    // cluster scale this is the sampling pass, the Delta OPTIMIZE
+    // ZORDER `range_partition_id` shape); per-column calls would scan
+    // the fact pipeline once each
     val n = 1 << zBits
     val probs = (1 until n).map(_.toDouble / n).toArray
-    val Array(sBnds, tBnds) =
-      fact.stat.approxQuantile(Array("student", "id_waktu"), probs, 0.001)
-    val z = interleaved(
-      quantileBucket("student", sBnds.toSeq), quantileBucket("id_waktu", tBnds.toSeq))
+    val bnds = fact.stat.approxQuantile(dims.toArray, probs, 0.001)
+    val z = interleaved(dims.zip(bnds).map {
+      case (c, b) => quantileBucket(c, b.toSeq)
+    })
     fact.repartitionByRange(4, z).sortWithinPartitions(z)
       .write.mode("overwrite")
       .option("parquet.block.size", blockSize.toString)
