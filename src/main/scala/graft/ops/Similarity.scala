@@ -691,12 +691,26 @@ object Similarity {
     * Codebooks are tiny (always broadcast at read); codes are three
     * narrow integer columns per (vector, subspace) — q108's 128×
     * memory story made durable. */
+  /** With `train = true`, the persisted product codebook is the q111
+    * Lloyd-refit one (one per-subspace k-means step over the seed
+    * encoding) — trained ONCE at build time and frozen into the index;
+    * [[appendPqIndex]] reads the codebook back from disk, so
+    * incremental batches automatically encode under the same trained
+    * book (the FAISS `train`-then-`add` lifecycle). */
   def writePqIndex(s: SparkSession, d: String, out: String,
-      rowFilter: Column = lit(true)): Unit = {
+      rowFilter: Column = lit(true), train: Boolean = false): Unit = {
     val all = vecs(s, d)
-    pqCodebook(s, d).coalesce(1).write.mode("overwrite").parquet(s"$out/codebook")
+    val cb =
+      if (train)
+        // trained on exactly the rows the index will hold (the base
+        // corpus), not on data that hasn't arrived yet
+        pqTrainedCodebook(s, d,
+          pqCodes(s, d).where(rowFilter).select(col("vec_id"), col("j"), col("code")))
+          .localCheckpoint(true)
+      else pqCodebook(s, d)
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$out/codebook")
     seedCents(all).coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
-    pqIndexRows(s, d, pqCodebook(s, d), seedCents(all), rowFilter)
+    pqIndexRows(s, d, cb, seedCents(all), rowFilter)
       .write.mode("overwrite").partitionBy("c_id").parquet(s"$out/codes")
   }
 

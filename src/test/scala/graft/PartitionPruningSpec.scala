@@ -156,6 +156,42 @@ class PartitionPruningSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs(reSearched.collect()) == beforeCompact)
   }
 
+  test("trained PQ index: appends encode under the frozen trained codebook") {
+    // the FAISS train-then-add lifecycle: the codebook is Lloyd-refit
+    // ONCE at build time on the base corpus and persisted; appendPqIndex
+    // reads it back, so growing the index batch by batch must yield the
+    // same codes as a single trained build over everything it trained
+    // on + received
+    import graft.ops.{Similarity, TextCore}
+    val sfDir = "/root/testdata/sf0.001"
+    val bucket = TextCore.idBucket(col("vec_id"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_tr").toString
+    Similarity.writePqIndex(spark, sfDir, idx, bucket < 50, train = true)
+    // the persisted codebook really is the trained one, not the seed
+    val seedIdx = java.nio.file.Files.createTempDirectory("graft_pq_seed").toString
+    Similarity.writePqIndex(spark, sfDir, seedIdx, bucket < 50)
+    def cbRows(dir: String): Set[(Long, Long, Seq[Double])] =
+      spark.read.parquet(s"$dir/codebook").collect()
+        .map(r => (r.getAs[Number]("j").longValue, r.getAs[Number]("k").longValue,
+          r.getAs[Seq[Double]]("cb"))).toSet
+    assert(cbRows(idx) != cbRows(seedIdx))
+    Similarity.appendPqIndex(spark, sfDir, idx, bucket >= 50)
+    // grown-under-frozen-book == full-corpus rebuild under that book:
+    // rebuild by copying the trained codebook dir and re-encoding all
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_pq_tr_full").toString
+    spark.read.parquet(s"$idx/codebook").coalesce(1)
+      .write.parquet(s"$rebuilt/codebook")
+    spark.read.parquet(s"$idx/centroids").coalesce(1)
+      .write.parquet(s"$rebuilt/centroids")
+    Similarity.appendPqIndex(spark, sfDir, rebuilt, col("vec_id") >= Long.MinValue)
+    def codeRows(dir: String): Set[(Long, Long, Long, Long)] =
+      spark.read.parquet(s"$dir/codes").select("vec_id", "j", "code", "c_id")
+        .collect().map(r => (r.getAs[Number]("vec_id").longValue,
+          r.getAs[Number]("j").longValue, r.getAs[Number]("code").longValue,
+          r.getAs[Number]("c_id").longValue)).toSet
+    assert(codeRows(idx) == codeRows(rebuilt))
+  }
+
   test("clustered (sorted) layout skips row groups an unsorted layout must read") {
     // The data-clustering story beyond directory partitioning: identical
     // fact rows written twice with small row groups — once range-
