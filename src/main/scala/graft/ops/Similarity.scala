@@ -798,6 +798,92 @@ object Similarity {
     adcRecallFromTop(s, d, top)
   }
 
+  // ---------------------------------------------------------------------------
+  // Deterministic PCA (power iteration) over the embedding corpus
+  // ---------------------------------------------------------------------------
+
+  private val pcaDims = 64
+  private val pcaIters = 3
+
+  /** q116: POWER-ITERATION PCA — the dimensionality-reduction rung of
+    * the embedding pipeline (the projection/whitening step ahead of ANN
+    * or embedding dedup): the top principal direction of the CENTERED
+    * corpus by 3 fixed power steps of the covariance action
+    * w ← Σ_rows ((v−m)·u)(v−m), reported as the top-5 loadings
+    * (|loading| desc, dim asc; sign-canonicalized so the heaviest dim
+    * is positive) with the Rayleigh eigenvalue (unnormalized Σ form —
+    * n·variance along the direction).
+    *
+    * Cross-engine exactness by the q99/q111 quantized-integer trick,
+    * applied twice: the mean vector's per-dim sums AND each power
+    * step's per-(dim) sums quantize every row contribution to ·10⁶
+    * round-half-up integers, so the aggregations are exact,
+    * associative, partition-order-free — both engines reconstruct
+    * bit-identical w vectors, and the driver-side folds (norm,
+    * Rayleigh, normalization) run in fixed dim order over 64 doubles
+    * (bounded driver data, the q101 stats precedent) exactly as the
+    * oracle's list folds do. u₀ = the all-ones direction (1/8 per dim
+    * — exact in binary), generically non-orthogonal to dense embedding
+    * corpora; a corpus exactly orthogonal to it would need the usual
+    * restart, documented not handled.
+    *
+    * Scale shape: one mean pass + one narrow (dim, long) integer
+    * aggregation per iteration — 64 groups, nothing wider than
+    * (dim, long) shuffles; u and m reach executors as 64-double
+    * literals. */
+  lazy val q116_pca_power: Q = (s, d) => {
+    val vecs64 = s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("v"))
+      .where(size(col("v")) === pcaDims)
+    val qscale = lloydScale.toDouble
+    // centered corpus: m_j = Σ floor(v_j·10⁶ + ½) / (n·10⁶)
+    val mq = vecs64
+      .select(posexplode(col("v")).as(Seq("dim", "vj")))
+      .select(col("dim"),
+        floor(col("vj") * lit(qscale) + lit(0.5)).cast("long").as("q"))
+      .groupBy("dim").agg(sum("q").as("sq"), count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Int]("dim") ->
+        ((r.getAs[Long]("sq"), r.getAs[Long]("n")))).toMap
+    val mean = Array.tabulate(pcaDims) { j =>
+      val (sq, n) = mq.getOrElse(j, (0L, 1L)); sq / (n * qscale)
+    }
+    val mLit = typedLit(mean.toSeq)
+    val centered = transform(sequence(lit(1), lit(pcaDims)),
+      i => element_at(col("v"), i) - element_at(mLit, i))
+    var u = Array.fill(pcaDims)(0.125)
+    var lambda = 0.0
+    for (_ <- 1 to pcaIters) {
+      val uLit = typedLit(u.toSeq)
+      val sums = vecs64.select(centered.as("cv"))
+        .select(dot(col("cv"), uLit).as("sc"), posexplode(col("cv")).as(Seq("dim", "vj")))
+        .select(col("dim"),
+          floor(col("sc") * col("vj") * lit(qscale) + lit(0.5)).cast("long").as("q"))
+        .groupBy("dim").agg(sum("q").as("sq"))
+        .collect().map(r => r.getAs[Int]("dim") -> r.getAs[Long]("sq")).toMap
+      val w = Array.tabulate(pcaDims)(j => sums.getOrElse(j, 0L) / qscale)
+      var acc = 0.0
+      var j = 0
+      while (j < pcaDims) { acc += u(j) * w(j); j += 1 }
+      lambda = acc
+      var n2 = 0.0
+      j = 0
+      while (j < pcaDims) { n2 += w(j) * w(j); j += 1 }
+      val nrm = math.sqrt(n2)
+      u = w.map(_ / nrm)
+    }
+    val heaviest = u.zipWithIndex.maxBy { case (x, i) => (math.abs(x), -i) }._1
+    val canon = if (heaviest < 0) u.map(-_) else u
+    def round4d(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    import s.implicits._
+    canon.zipWithIndex
+      .sortBy { case (x, i) => (-math.abs(x), i) }
+      .take(5).zipWithIndex
+      .map { case ((x, i), r) =>
+        ((r + 1).toLong, (i + 1).toLong, round4d(x), round4d(lambda)) }
+      .toSeq.toDF("rank", "dim", "loading", "eigenvalue")
+      .orderBy("rank")
+  }
+
   private val lloydIters = 3
 
   /** q101: the full Lloyd training loop — [[lloydCodebook]] driven k = 3
@@ -867,7 +953,8 @@ object Similarity {
     "q109_pq_adc_recall" -> q109_pq_adc_recall,
     "q110_ivfpq_recall" -> q110_ivfpq_recall,
     "q111_pq_trained_recall" -> q111_pq_trained_recall,
-    "q114_pq_index_recall" -> q114_pq_index_recall)
+    "q114_pq_index_recall" -> q114_pq_index_recall,
+    "q116_pca_power" -> q116_pca_power)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -1060,6 +1147,21 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** One q116 power step: w$i from u${i-1} via the quantized-integer
+    * per-dim sums, u$i = w$i normalized. Mirrors the Spark driver loop
+    * op for op (same fold orders, same quantization). */
+  private def pcaIterCte(i: Int): String =
+    s"""w$i AS (
+       |  SELECT list(qs / 1000000.0 ORDER BY dim) AS w FROM (
+       |    SELECT dim,
+       |           sum(CAST(floor(list_dot_product(c.cv, u.u) *
+       |                 c.cv[CAST(dim AS INT)] * 1000000.0 + 0.5) AS BIGINT)) AS qs
+       |    FROM cvecs c, u${i - 1} u, (SELECT unnest(range(1, ${pcaDims + 1})) AS dim) d$i
+       |    GROUP BY dim)),
+       |u$i AS (
+       |  SELECT list_transform(w, x -> x / sqrt(list_dot_product(w, w))) AS u
+       |  FROM w$i)""".stripMargin
+
   /** The IVFPQ recall oracle, shared verbatim by q110 (in-memory) and
     * q114 (served from the persisted index): coarse probes prune
     * candidates, ADC ranks them, recall vs the exact top-5 per query. */
@@ -1216,6 +1318,38 @@ object Similarity {
     // the in-memory IVFPQ search — the oracle IS q110's (the equality
     // is the point: the grown file artifact serves a full recompute)
     "q114_pq_index_recall" -> ivfpqRecallSql,
+    "q116_pca_power" ->
+      s"""WITH vecs64 AS (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE len(embedding) = $pcaDims),
+         |mq AS (
+         |  SELECT dim,
+         |         sum(CAST(floor(v[CAST(dim AS INT)] * 1000000.0 + 0.5) AS BIGINT)) AS qs,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM vecs64, (SELECT unnest(range(1, ${pcaDims + 1})) AS dim) dm
+         |  GROUP BY dim),
+         |mean AS (SELECT list(qs / (n * 1000000.0) ORDER BY dim) AS m FROM mq),
+         |cvecs AS (
+         |  SELECT list_transform(range(1, ${pcaDims + 1}),
+         |           i -> v[CAST(i AS INT)] - m[CAST(i AS INT)]) AS cv
+         |  FROM vecs64, mean),
+         |u0 AS (SELECT list_transform(range(1, ${pcaDims + 1}), i -> 0.125) AS u),
+         |${(1 to pcaIters).map(pcaIterCte).mkString(",\n")},
+         |lam AS (SELECT list_dot_product(u.u, w.w) AS lambda
+         |        FROM u${pcaIters - 1} u, w$pcaIters w),
+         |load AS (
+         |  SELECT CAST(dim AS BIGINT) AS dim, u.u[CAST(dim AS INT)] AS x
+         |  FROM u$pcaIters u, (SELECT unnest(range(1, ${pcaDims + 1})) AS dim) dl),
+         |heavy AS (SELECT x AS hx FROM load ORDER BY abs(x) DESC, dim ASC LIMIT 1),
+         |canon AS (SELECT dim, CASE WHEN hx < 0 THEN -x ELSE x END AS x
+         |          FROM load, heavy),
+         |top AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY abs(x) DESC, dim ASC) AS BIGINT)
+         |           AS rank, dim, x
+         |  FROM canon)
+         |SELECT rank, dim, ${round4Sql("x")} AS loading,
+         |       ${round4Sql("lambda")} AS eigenvalue
+         |FROM top, lam WHERE rank <= 5 ORDER BY rank""".stripMargin,
     "q36_knn_brute" ->
       s"""WITH $vecsCte, $bruteCte
          |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine

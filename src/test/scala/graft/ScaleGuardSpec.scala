@@ -51,12 +51,16 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     // (q115 runs the whole versioned write→compact→vacuum lifecycle at
     // construction — q49's class; its read plans are plain count
     // aggregates over the resolved snapshot.)
+    // (q116 runs the mean pass + 3 power-step aggregations at
+    // construction — the q101 driver-loop class; its final frame is
+    // literal driver rows, and each step is a 64-group narrow integer
+    // aggregation with no window at all.)
     val eager = Set("q48_dim_waktu", "q49_star_roundtrip", "q60_embed_lsh_recall",
       "q61_dedup_components", "q63_minhash_recall", "q69_range_join",
       "q101_lloyd_loop", "q102_bpe_train", "q104_bpe_compression",
       "q106_bpe_heldout", "q111_pq_trained_recall",
       "q113_span_excise_keep_first", "q114_pq_index_recall",
-      "q115_versioned_star")
+      "q115_versioned_star", "q116_pca_power")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => eager(name) }
       .flatMap { case (name, fn) =>

@@ -160,4 +160,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(rows("trained") == rows("naive"))
     assert(rows("naive") == ((1L, 1L, 1.0))) // query 0's only neighbor is 16
   }
+
+  test("q116: power iteration recovers a planted dominant direction") {
+    // variance planted along dim 3 (1-based): a +/-2 pair, with a much
+    // smaller +/-0.1 pair along dim 7 that the 10^-6 quantization grinds
+    // away by iteration 3. Mean is exactly zero, so centering is a
+    // no-op; the all-ones start has components on both planted dims.
+    def e(dim1: Int, x: Float): Seq[Float] =
+      Seq.tabulate(64)(j => if (j == dim1 - 1) x else 0f)
+    val pdir = writeMiniEmbeddings(Seq(
+      0L -> e(3, 2f), 1L -> e(3, -2f), 2L -> e(7, 0.1f), 3L -> e(7, -0.1f)))
+    val rows = Similarity.q116_pca_power(spark, pdir).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("dim"),
+        r.getAs[Double]("loading"), r.getAs[Double]("eigenvalue")))
+    // the top direction is exactly e3 (canonicalized positive), with
+    // Rayleigh eigenvalue Σ (v·e3)^2 = 4 + 4 = 8
+    assert(rows.head == ((1L, 3L, 1.0, 8.0)))
+    // every other loading quantized to zero; ties order by dim asc
+    assert(rows.tail.map(_._2).toSeq == Seq(1L, 2L, 4L, 5L))
+    assert(rows.tail.forall(r => r._3 == 0.0 && r._4 == 8.0))
+  }
 }
