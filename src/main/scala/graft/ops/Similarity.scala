@@ -831,10 +831,34 @@ object Similarity {
     * aggregation per iteration — 64 groups, nothing wider than
     * (dim, long) shuffles; u and m reach executors as 64-double
     * literals. */
-  lazy val q116_pca_power: Q = (s, d) => {
-    val vecs64 = s.read.parquet(s"$d/embeddings.parquet")
+  /** The fitted (mean, sign-canonicalized direction, Rayleigh λ) —
+    * q116's power loop, shared with q117's variance report and
+    * memoized per (session, dir) like the BPE trainer (the fit runs
+    * once, charged to whichever consumer executes first; all three
+    * values are bounded driver data). */
+  private val pcaFitMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Array[Double], Array[Double], Double)]
+
+  private def pcaVecs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
       .select(col("embedding").cast("array<double>").as("v"))
       .where(size(col("v")) === pcaDims)
+
+  /** The centering expression for a frame carrying `v`, given the
+    * fitted mean — the literal-array subtraction both q116/q117 apply
+    * map-side. */
+  private def centeredExpr(mean: Array[Double]): Column = {
+    val mLit = typedLit(mean.toSeq)
+    transform(sequence(lit(1), lit(pcaDims)),
+      i => element_at(col("v"), i) - element_at(mLit, i))
+  }
+
+  private def pcaFit(s: SparkSession, d: String): (Array[Double], Array[Double], Double) =
+    pcaFitMemo.getOrElseUpdate((s, d), pcaFitBuild(s, d))
+
+  private def pcaFitBuild(s: SparkSession, d: String)
+      : (Array[Double], Array[Double], Double) = {
+    val vecs64 = pcaVecs(s, d)
     val qscale = lloydScale.toDouble
     // centered corpus: m_j = Σ floor(v_j·10⁶ + ½) / (n·10⁶)
     val mq = vecs64
@@ -847,9 +871,7 @@ object Similarity {
     val mean = Array.tabulate(pcaDims) { j =>
       val (sq, n) = mq.getOrElse(j, (0L, 1L)); sq / (n * qscale)
     }
-    val mLit = typedLit(mean.toSeq)
-    val centered = transform(sequence(lit(1), lit(pcaDims)),
-      i => element_at(col("v"), i) - element_at(mLit, i))
+    val centered = centeredExpr(mean)
     var u = Array.fill(pcaDims)(0.125)
     var lambda = 0.0
     for (_ <- 1 to pcaIters) {
@@ -873,7 +895,14 @@ object Similarity {
     }
     val heaviest = u.zipWithIndex.maxBy { case (x, i) => (math.abs(x), -i) }._1
     val canon = if (heaviest < 0) u.map(-_) else u
-    def round4d(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    (mean, canon, lambda)
+  }
+
+  /** Driver-side twin of [[graft.etl.Star.round4]]/round4Sql. */
+  private def round4d(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+
+  lazy val q116_pca_power: Q = (s, d) => {
+    val (_, canon, lambda) = pcaFit(s, d)
     import s.implicits._
     canon.zipWithIndex
       .sortBy { case (x, i) => (-math.abs(x), i) }
@@ -882,6 +911,34 @@ object Similarity {
         ((r + 1).toLong, (i + 1).toLong, round4d(x), round4d(lambda)) }
       .toSeq.toDF("rank", "dim", "loading", "eigenvalue")
       .orderBy("rank")
+  }
+
+  /** q117: VARIANCE EXPLAINED by the top principal direction — the
+    * scree number that tells an operator whether projecting (for
+    * whitening, dedup or ANN preprocessing) keeps the signal: q116's
+    * Rayleigh λ over the corpus total scatter Σ‖v−m‖², both in the
+    * unnormalized Σ form so the ratio is the classic λ₁/Σλᵢ. The
+    * scatter uses the same quantized-integer trick — each row's
+    * squared norm (an ordered fold) quantizes to a ·10⁶ integer, the
+    * sum is exact and order-free — so both engines compute the
+    * identical ratio. One extra narrow aggregation over the corpus on
+    * top of the memoized [[pcaFit]] (fit charged to whichever of
+    * q116/q117 runs first — the BPE-trainer memo pattern). 0-scatter
+    * corpora (every row identical) report NULL, the q60 0/0 rule. */
+  lazy val q117_pca_variance: Q = (s, d) => {
+    val (mean, _, lambda) = pcaFit(s, d)
+    val qscale = lloydScale.toDouble
+    val tot = pcaVecs(s, d).select(centeredExpr(mean).as("cv"))
+      .select(floor(dot(col("cv"), col("cv")) * lit(qscale) + lit(0.5))
+        .cast("long").as("q"))
+      .agg(count(lit(1)).as("n"), sum("q").as("qt")).head()
+    val n = tot.getLong(0)
+    val qt = tot.getLong(1)
+    val t = qt / qscale
+    import s.implicits._
+    Seq((n, round4d(lambda), round4d(t),
+      if (qt == 0L) None else Some(round4d(lambda / t))))
+      .toDF("n_vectors", "eigenvalue", "total_var", "var_explained")
   }
 
   private val lloydIters = 3
@@ -954,7 +1011,8 @@ object Similarity {
     "q110_ivfpq_recall" -> q110_ivfpq_recall,
     "q111_pq_trained_recall" -> q111_pq_trained_recall,
     "q114_pq_index_recall" -> q114_pq_index_recall,
-    "q116_pca_power" -> q116_pca_power)
+    "q116_pca_power" -> q116_pca_power,
+    "q117_pca_variance" -> q117_pca_variance)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -1350,6 +1408,35 @@ object Similarity {
          |SELECT rank, dim, ${round4Sql("x")} AS loading,
          |       ${round4Sql("lambda")} AS eigenvalue
          |FROM top, lam WHERE rank <= 5 ORDER BY rank""".stripMargin,
+    "q117_pca_variance" ->
+      s"""WITH vecs64 AS (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE len(embedding) = $pcaDims),
+         |mq AS (
+         |  SELECT dim,
+         |         sum(CAST(floor(v[CAST(dim AS INT)] * 1000000.0 + 0.5) AS BIGINT)) AS qs,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM vecs64, (SELECT unnest(range(1, ${pcaDims + 1})) AS dim) dm
+         |  GROUP BY dim),
+         |mean AS (SELECT list(qs / (n * 1000000.0) ORDER BY dim) AS m FROM mq),
+         |cvecs AS (
+         |  SELECT list_transform(range(1, ${pcaDims + 1}),
+         |           i -> v[CAST(i AS INT)] - m[CAST(i AS INT)]) AS cv
+         |  FROM vecs64, mean),
+         |u0 AS (SELECT list_transform(range(1, ${pcaDims + 1}), i -> 0.125) AS u),
+         |${(1 to pcaIters).map(pcaIterCte).mkString(",\n")},
+         |lam AS (SELECT list_dot_product(u.u, w.w) AS lambda
+         |        FROM u${pcaIters - 1} u, w$pcaIters w),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         |         sum(CAST(floor(list_dot_product(cv, cv) * 1000000.0 + 0.5) AS BIGINT)) AS qt
+         |  FROM cvecs)
+         |SELECT n_vectors, ${round4Sql("lambda")} AS eigenvalue,
+         |       ${round4Sql("qt / 1000000.0")} AS total_var,
+         |       CASE WHEN qt = 0 THEN CAST(NULL AS DOUBLE)
+         |            ELSE ${round4Sql("lambda / (qt / 1000000.0)")}
+         |       END AS var_explained
+         |FROM tot, lam""".stripMargin,
     "q36_knn_brute" ->
       s"""WITH $vecsCte, $bruteCte
          |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine

@@ -79,6 +79,19 @@ class PartitionPruningSpec extends AnyFunSuite with SparkTestBase {
     val rebuilt = pairs(idx)
     val incremental = pairs(baseIdx)
     assert(incremental == rebuilt)
+    // 4. OPTIMIZE on the grown index: bin-packing the accumulated
+    //    small files must not change a single served row, and the
+    //    bucket directories (the probe-pruning unit) must survive
+    val fragged = new java.io.File(baseIdx).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("c_id="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    val packed = graft.etl.Compact.compact(spark, baseIdx, 1L << 30)
+    assert(packed.nonEmpty, s"append should leave multi-file buckets (had $fragged files)")
+    val afterFiles = new java.io.File(baseIdx).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("c_id="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(afterFiles < fragged)
+    assert(pairs(baseIdx) == rebuilt)
   }
 
   test("PQ append keeps base code files byte-identical; search reads only the index") {

@@ -179,5 +179,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // every other loading quantized to zero; ties order by dim asc
     assert(rows.tail.map(_._2).toSeq == Seq(1L, 2L, 4L, 5L))
     assert(rows.tail.forall(r => r._3 == 0.0 && r._4 == 8.0))
+    // q117: total scatter = 2·4 + 2·0.01 (0.1f is float-inexact, so
+    // compare the round4'd expected from the actual float value);
+    // explained = 8 / T
+    val v = Similarity.q117_pca_variance(spark, pdir).head()
+    val small = 0.1f.toDouble
+    val t = math.floor((2 * 4.0 + 2 * small * small) * 10000 + 0.5) / 10000
+    assert(v.getAs[Long]("n_vectors") == 4L)
+    assert(v.getAs[Double]("eigenvalue") == 8.0)
+    assert(v.getAs[Double]("total_var") == t)
+    assert(math.abs(v.getAs[Double]("var_explained") - 8.0 / t) < 2e-4)
   }
 }
