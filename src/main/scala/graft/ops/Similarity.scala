@@ -875,34 +875,55 @@ object Similarity {
     var u = Array.fill(pcaDims)(0.125)
     var lambda = 0.0
     for (_ <- 1 to pcaIters) {
-      val uLit = typedLit(u.toSeq)
-      val sums = vecs64.select(centered.as("cv"))
-        .select(dot(col("cv"), uLit).as("sc"), posexplode(col("cv")).as(Seq("dim", "vj")))
-        .select(col("dim"),
-          floor(col("sc") * col("vj") * lit(qscale) + lit(0.5)).cast("long").as("q"))
-        .groupBy("dim").agg(sum("q").as("sq"))
-        .collect().map(r => r.getAs[Int]("dim") -> r.getAs[Long]("sq")).toMap
-      val w = Array.tabulate(pcaDims)(j => sums.getOrElse(j, 0L) / qscale)
-      var acc = 0.0
-      var j = 0
-      while (j < pcaDims) { acc += u(j) * w(j); j += 1 }
-      lambda = acc
-      var n2 = 0.0
-      j = 0
-      while (j < pcaDims) { n2 += w(j) * w(j); j += 1 }
-      val nrm = math.sqrt(n2)
-      u = w.map(_ / nrm)
+      val w = powerStepW(vecs64, centered, u)
+      lambda = dotD(u, w)
+      u = normalized(w)
     }
+    (mean, canonicalized(u), lambda)
+  }
+
+  /** One power step's raw action vector w = Σ_rows (vc·u)·vc — the
+    * quantized-integer aggregation both the fit and the deflated
+    * second-component loop (q118) run per iteration. */
+  private def powerStepW(vecs64: DataFrame, centered: Column,
+      u: Array[Double]): Array[Double] = {
+    val qscale = lloydScale.toDouble
+    val uLit = typedLit(u.toSeq)
+    val sums = vecs64.select(centered.as("cv"))
+      .select(dot(col("cv"), uLit).as("sc"), posexplode(col("cv")).as(Seq("dim", "vj")))
+      .select(col("dim"),
+        floor(col("sc") * col("vj") * lit(qscale) + lit(0.5)).cast("long").as("q"))
+      .groupBy("dim").agg(sum("q").as("sq"))
+      .collect().map(r => r.getAs[Int]("dim") -> r.getAs[Long]("sq")).toMap
+    Array.tabulate(pcaDims)(j => sums.getOrElse(j, 0L) / qscale)
+  }
+
+  /** Ascending-index dot fold over 64 doubles — the driver twin of the
+    * oracle's `list_dot_product`. */
+  private def dotD(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var j = 0
+    while (j < pcaDims) { acc += a(j) * b(j); j += 1 }
+    acc
+  }
+
+  private def normalized(w: Array[Double]): Array[Double] = {
+    val nrm = math.sqrt(dotD(w, w))
+    w.map(_ / nrm)
+  }
+
+  /** Sign canonicalization: the heaviest-|loading| dim (ties → lowest
+    * dim) made positive. */
+  private def canonicalized(u: Array[Double]): Array[Double] = {
     val heaviest = u.zipWithIndex.maxBy { case (x, i) => (math.abs(x), -i) }._1
-    val canon = if (heaviest < 0) u.map(-_) else u
-    (mean, canon, lambda)
+    if (heaviest < 0) u.map(-_) else u
   }
 
   /** Driver-side twin of [[graft.etl.Star.round4]]/round4Sql. */
   private def round4d(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
 
-  lazy val q116_pca_power: Q = (s, d) => {
-    val (_, canon, lambda) = pcaFit(s, d)
+  /** The (rank, dim, loading, eigenvalue) top-5 report q116/q118 share. */
+  private def pcaTop5Df(s: SparkSession, canon: Array[Double], lambda: Double): DataFrame = {
     import s.implicits._
     canon.zipWithIndex
       .sortBy { case (x, i) => (-math.abs(x), i) }
@@ -911,6 +932,38 @@ object Similarity {
         ((r + 1).toLong, (i + 1).toLong, round4d(x), round4d(lambda)) }
       .toSeq.toDF("rank", "dim", "loading", "eigenvalue")
       .orderBy("rank")
+  }
+
+  lazy val q116_pca_power: Q = (s, d) => {
+    val (_, canon, lambda) = pcaFit(s, d)
+    pcaTop5Df(s, canon, lambda)
+  }
+
+  /** q118: the SECOND principal component by DEFLATION — power
+    * iteration on the deflated action C − λ₁u₁u₁ᵀ: each step computes
+    * the same quantized-integer raw action w and subtracts
+    * λ₁(u₁·u)u₁ driver-side (64 doubles, fixed-order folds — the
+    * oracle's list expressions op for op), so the iterate converges to
+    * the dominant direction ORTHOGONAL to component 1. Same top-5
+    * loading report as q116 with the component-2 Rayleigh eigenvalue;
+    * together with q117's scree ratio this is the top-k PCA surface a
+    * projection/whitening pipeline consumes. Reuses the memoized
+    * [[pcaFit]] for (mean, u₁, λ₁); pays 3 more narrow 64-group
+    * aggregations. */
+  lazy val q118_pca_deflate: Q = (s, d) => {
+    val (mean, u1, l1) = pcaFit(s, d)
+    val vecs64 = pcaVecs(s, d)
+    val centered = centeredExpr(mean)
+    var u = Array.fill(pcaDims)(0.125)
+    var lambda2 = 0.0
+    for (_ <- 1 to pcaIters) {
+      val wr = powerStepW(vecs64, centered, u)
+      val f = l1 * dotD(u1, u)
+      val w = Array.tabulate(pcaDims)(j => wr(j) - f * u1(j))
+      lambda2 = dotD(u, w)
+      u = normalized(w)
+    }
+    pcaTop5Df(s, canonicalized(u), lambda2)
   }
 
   /** q117: VARIANCE EXPLAINED by the top principal direction — the
@@ -1012,7 +1065,8 @@ object Similarity {
     "q111_pq_trained_recall" -> q111_pq_trained_recall,
     "q114_pq_index_recall" -> q114_pq_index_recall,
     "q116_pca_power" -> q116_pca_power,
-    "q117_pca_variance" -> q117_pca_variance)
+    "q117_pca_variance" -> q117_pca_variance,
+    "q118_pca_deflate" -> q118_pca_deflate)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -1205,6 +1259,28 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** The shared q116/q117/q118 oracle prefix: centered corpus, u₀ and
+    * the 3 power steps to (u₃, w₃) with the Rayleigh λ. */
+  private lazy val pcaFitCtes: String =
+    s"""vecs64 AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE len(embedding) = $pcaDims),
+       |mq AS (
+       |  SELECT dim,
+       |         sum(CAST(floor(v[CAST(dim AS INT)] * 1000000.0 + 0.5) AS BIGINT)) AS qs,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM vecs64, (SELECT unnest(range(1, ${pcaDims + 1})) AS dim) dm
+       |  GROUP BY dim),
+       |mean AS (SELECT list(qs / (n * 1000000.0) ORDER BY dim) AS m FROM mq),
+       |cvecs AS (
+       |  SELECT list_transform(range(1, ${pcaDims + 1}),
+       |           i -> v[CAST(i AS INT)] - m[CAST(i AS INT)]) AS cv
+       |  FROM vecs64, mean),
+       |u0 AS (SELECT list_transform(range(1, ${pcaDims + 1}), i -> 0.125) AS u),
+       |${(1 to pcaIters).map(pcaIterCte).mkString(",\n")},
+       |lam AS (SELECT list_dot_product(u.u, w.w) AS lambda
+       |        FROM u${pcaIters - 1} u, w$pcaIters w)""".stripMargin
+
   /** One q116 power step: w$i from u${i-1} via the quantized-integer
     * per-dim sums, u$i = w$i normalized. Mirrors the Spark driver loop
     * op for op (same fold orders, same quantization). */
@@ -1219,6 +1295,28 @@ object Similarity {
        |u$i AS (
        |  SELECT list_transform(w, x -> x / sqrt(list_dot_product(w, w))) AS u
        |  FROM w$i)""".stripMargin
+
+  /** One q118 DEFLATED power step: the raw action dr$i, the deflation
+    * scalar df$i = λ₁(u₁·u), the deflated dw$i and the normalized
+    * du$i — mirroring the Spark driver loop op for op. */
+  private def pcaDeflIterCte(i: Int): String = {
+    val prev = if (i == 1) "u0" else s"du${i - 1}"
+    s"""dr$i AS (
+       |  SELECT list(qs / 1000000.0 ORDER BY dim) AS wr FROM (
+       |    SELECT dim,
+       |           sum(CAST(floor(list_dot_product(c.cv, u.u) *
+       |                 c.cv[CAST(dim AS INT)] * 1000000.0 + 0.5) AS BIGINT)) AS qs
+       |    FROM cvecs c, $prev u, (SELECT unnest(range(1, ${pcaDims + 1})) AS dim) dd$i
+       |    GROUP BY dim)),
+       |df$i AS (SELECT lam.lambda * list_dot_product(u1c.u, p.u) AS f
+       |         FROM lam, u1c, $prev p),
+       |dw$i AS (
+       |  SELECT list_transform(range(1, ${pcaDims + 1}), j ->
+       |    wr[CAST(j AS INT)] - f * u1c.u[CAST(j AS INT)]) AS w
+       |  FROM dr$i, df$i, u1c),
+       |du$i AS (SELECT list_transform(w, x -> x / sqrt(list_dot_product(w, w))) AS u
+       |         FROM dw$i)""".stripMargin
+  }
 
   /** The IVFPQ recall oracle, shared verbatim by q110 (in-memory) and
     * q114 (served from the persisted index): coarse probes prune
@@ -1377,24 +1475,7 @@ object Similarity {
     // is the point: the grown file artifact serves a full recompute)
     "q114_pq_index_recall" -> ivfpqRecallSql,
     "q116_pca_power" ->
-      s"""WITH vecs64 AS (
-         |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |  WHERE len(embedding) = $pcaDims),
-         |mq AS (
-         |  SELECT dim,
-         |         sum(CAST(floor(v[CAST(dim AS INT)] * 1000000.0 + 0.5) AS BIGINT)) AS qs,
-         |         CAST(count(*) AS BIGINT) AS n
-         |  FROM vecs64, (SELECT unnest(range(1, ${pcaDims + 1})) AS dim) dm
-         |  GROUP BY dim),
-         |mean AS (SELECT list(qs / (n * 1000000.0) ORDER BY dim) AS m FROM mq),
-         |cvecs AS (
-         |  SELECT list_transform(range(1, ${pcaDims + 1}),
-         |           i -> v[CAST(i AS INT)] - m[CAST(i AS INT)]) AS cv
-         |  FROM vecs64, mean),
-         |u0 AS (SELECT list_transform(range(1, ${pcaDims + 1}), i -> 0.125) AS u),
-         |${(1 to pcaIters).map(pcaIterCte).mkString(",\n")},
-         |lam AS (SELECT list_dot_product(u.u, w.w) AS lambda
-         |        FROM u${pcaIters - 1} u, w$pcaIters w),
+      s"""WITH $pcaFitCtes,
          |load AS (
          |  SELECT CAST(dim AS BIGINT) AS dim, u.u[CAST(dim AS INT)] AS x
          |  FROM u$pcaIters u, (SELECT unnest(range(1, ${pcaDims + 1})) AS dim) dl),
@@ -1409,24 +1490,7 @@ object Similarity {
          |       ${round4Sql("lambda")} AS eigenvalue
          |FROM top, lam WHERE rank <= 5 ORDER BY rank""".stripMargin,
     "q117_pca_variance" ->
-      s"""WITH vecs64 AS (
-         |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |  WHERE len(embedding) = $pcaDims),
-         |mq AS (
-         |  SELECT dim,
-         |         sum(CAST(floor(v[CAST(dim AS INT)] * 1000000.0 + 0.5) AS BIGINT)) AS qs,
-         |         CAST(count(*) AS BIGINT) AS n
-         |  FROM vecs64, (SELECT unnest(range(1, ${pcaDims + 1})) AS dim) dm
-         |  GROUP BY dim),
-         |mean AS (SELECT list(qs / (n * 1000000.0) ORDER BY dim) AS m FROM mq),
-         |cvecs AS (
-         |  SELECT list_transform(range(1, ${pcaDims + 1}),
-         |           i -> v[CAST(i AS INT)] - m[CAST(i AS INT)]) AS cv
-         |  FROM vecs64, mean),
-         |u0 AS (SELECT list_transform(range(1, ${pcaDims + 1}), i -> 0.125) AS u),
-         |${(1 to pcaIters).map(pcaIterCte).mkString(",\n")},
-         |lam AS (SELECT list_dot_product(u.u, w.w) AS lambda
-         |        FROM u${pcaIters - 1} u, w$pcaIters w),
+      s"""WITH $pcaFitCtes,
          |tot AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_vectors,
          |         sum(CAST(floor(list_dot_product(cv, cv) * 1000000.0 + 0.5) AS BIGINT)) AS qt
@@ -1437,6 +1501,30 @@ object Similarity {
          |            ELSE ${round4Sql("lambda / (qt / 1000000.0)")}
          |       END AS var_explained
          |FROM tot, lam""".stripMargin,
+    "q118_pca_deflate" ->
+      s"""WITH $pcaFitCtes,
+         |lload AS (
+         |  SELECT CAST(dim AS BIGINT) AS dim, u.u[CAST(dim AS INT)] AS x
+         |  FROM u$pcaIters u, (SELECT unnest(range(1, ${pcaDims + 1})) AS dim) dl1),
+         |lheavy AS (SELECT x AS hx FROM lload ORDER BY abs(x) DESC, dim ASC LIMIT 1),
+         |u1c AS (SELECT list_transform(u.u, x -> CASE WHEN h.hx < 0 THEN -x ELSE x END) AS u
+         |        FROM u$pcaIters u, lheavy h),
+         |${(1 to pcaIters).map(pcaDeflIterCte).mkString(",\n")},
+         |dlam AS (SELECT list_dot_product(u.u, w.w) AS lambda2
+         |         FROM du${pcaIters - 1} u, dw$pcaIters w),
+         |load2 AS (
+         |  SELECT CAST(dim AS BIGINT) AS dim, u.u[CAST(dim AS INT)] AS x
+         |  FROM du$pcaIters u, (SELECT unnest(range(1, ${pcaDims + 1})) AS dim) dl2),
+         |heavy2 AS (SELECT x AS hx FROM load2 ORDER BY abs(x) DESC, dim ASC LIMIT 1),
+         |canon2 AS (SELECT dim, CASE WHEN hx < 0 THEN -x ELSE x END AS x
+         |           FROM load2, heavy2),
+         |top2 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY abs(x) DESC, dim ASC) AS BIGINT)
+         |           AS rank, dim, x
+         |  FROM canon2)
+         |SELECT rank, dim, ${round4Sql("x")} AS loading,
+         |       ${round4Sql("lambda2")} AS eigenvalue
+         |FROM top2, dlam WHERE rank <= 5 ORDER BY rank""".stripMargin,
     "q36_knn_brute" ->
       s"""WITH $vecsCte, $bruteCte
          |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine

@@ -60,7 +60,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "q101_lloyd_loop", "q102_bpe_train", "q104_bpe_compression",
       "q106_bpe_heldout", "q111_pq_trained_recall",
       "q113_span_excise_keep_first", "q114_pq_index_recall",
-      "q115_versioned_star", "q116_pca_power", "q117_pca_variance")
+      "q115_versioned_star", "q116_pca_power", "q117_pca_variance",
+      "q118_pca_deflate")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => eager(name) }
       .flatMap { case (name, fn) =>

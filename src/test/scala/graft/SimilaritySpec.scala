@@ -189,5 +189,18 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(v.getAs[Double]("eigenvalue") == 8.0)
     assert(v.getAs[Double]("total_var") == t)
     assert(math.abs(v.getAs[Double]("var_explained") - 8.0 / t) < 2e-4)
+    // q118: deflation removes the dim-3 component exactly (lambda1 =
+    // 8, u1 = e3), leaving the +/-0.1 pair's direction as component 2:
+    // dim 7 with eigenvalue 2*(0.1f)^2 -> round4 = 0.02
+    val rows2 = Similarity.q118_pca_deflate(spark, pdir).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("dim"),
+        r.getAs[Double]("loading"), r.getAs[Double]("eigenvalue")))
+    assert(rows2.head == ((1L, 7L, 1.0, 0.02)))
+    // the deflated component-1 axis survives only as a sub-round4
+    // residual: every non-dominant loading rounds to 0.0 (their raw
+    // ordering among themselves is quantization residue, not
+    // semantics — the oracle computes the identical doubles, so the
+    // gate still pins it)
+    assert(rows2.tail.forall(r => r._3 == 0.0 && r._4 == 0.02))
   }
 }
