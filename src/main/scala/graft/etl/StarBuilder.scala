@@ -383,6 +383,174 @@ object StarBuilder {
     spark.read.parquet(s"$warehouse/v=$v/$table")
   }
 
+  /** Commit ONE table's refresh as a new snapshot version — the
+    * single-table form of [[writeAllVersioned]] through the same
+    * stage → claim → commit protocol, for tables maintained on their
+    * own cadence (a materialized summary, a serving index) rather
+    * than as part of the full star refresh. */
+  def writeTableVersioned(df: DataFrame, warehouse: String, table: String): Long = {
+    val txn = stageDir(warehouse)
+    df.write.mode("overwrite").parquet(new java.io.File(txn, table).toString)
+    publishSnapshot(warehouse, txn)
+  }
+
+  /** Row-level diff of two frames sharing a key — the change-data-feed
+    * primitive (Delta CDF's insert/delete/update_preimage+postimage,
+    * collapsed to one row per changed key with `old_*`/`new_*` columns):
+    *   - key only in `neu`            → 'insert'
+    *   - key only in `old`            → 'delete'
+    *   - key in both, any value col differing (null-safe) → 'update'
+    *   - key in both, all value cols equal → NO row (unchanged keys are
+    *     the overwhelming majority of a refresh; emitting them would make
+    *     the feed as big as the table).
+    * Value columns are the UNION of both sides' non-key columns; a column
+    * absent on one side reads as null there (schema evolution: an added
+    * column surfaces as updates only where its value is non-null, and the
+    * diff never crashes on a schema change between versions).
+    *
+    * Scale shape: ONE full-outer shuffle join on the key — both sides
+    * hash-partition on `keys`, nothing is collected; at cluster scale the
+    * two snapshot scans prune to the key+changed columns
+    * (`ReadSchema`), and a warehouse bucketed on the key makes the join
+    * shuffle-free. Presence is tracked with literal marker columns, not
+    * key-null checks, so all-null value rows and null-typed columns
+    * classify correctly. */
+  def tableDiff(old: DataFrame, neu: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "tableDiff needs at least one key column")
+    Seq(("old", old), ("new", neu)).foreach { case (side, df) =>
+      require(keys.forall(df.columns.contains),
+        s"tableDiff: $side side is missing key columns " +
+          s"(${keys.filterNot(df.columns.contains).mkString(", ")})")
+    }
+    val vals = (old.columns ++ neu.columns).distinct.filterNot(keys.contains).toSeq
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val typesByName = df.schema.map(f => f.name -> f.dataType).toMap
+      val aligned = vals.map { c =>
+        typesByName.get(c) match {
+          case Some(_) => col(c).as(s"${tag}_$c")
+          case None    => lit(null).as(s"${tag}_$c") // absent on this side
+        }
+      }
+      df.select((keys.map(col) ++ aligned :+ lit(true).as(s"_${tag}_present")): _*)
+    }
+    val joined = side(old, "old").join(side(neu, "new"), keys, "full_outer")
+    val changed = vals.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined
+      .withColumn("change_type",
+        when(col("_new_present").isNull, "delete")
+          .when(col("_old_present").isNull, "insert")
+          .otherwise("update"))
+      .where(col("change_type") =!= "update" || changed)
+      .drop("_old_present", "_new_present")
+  }
+
+  /** [[tableDiff]] between two committed snapshot versions, resolved
+    * strictly through the version log ([[readAt]]) — the time-travel
+    * store's CDC read path: "what changed between v_from and v_to". */
+  def snapshotDiff(spark: SparkSession, warehouse: String, table: String,
+      fromV: Long, toV: Long, keys: Seq[String]): DataFrame =
+    tableDiff(
+      readAt(spark, warehouse, table, Some(fromV)),
+      readAt(spark, warehouse, table, Some(toV)), keys)
+
+  /** Apply a [[tableDiff]] change feed to a base snapshot — the MERGE /
+    * incremental-view-maintenance half of CDC. Contract (spec-pinned as a
+    * ScalaCheck round trip): for key-unique frames,
+    * `applyChanges(old, tableDiff(old, neu, keys), keys) ≡ neu`.
+    * Deletes and update pre-images leave via ONE anti-join on the feed's
+    * keys; insert/update post-images (`new_*`) union in. Columns are the
+    * union of base and feed value columns, absent-side nulls — the same
+    * schema-evolution stance as [[tableDiff]], so replaying a feed whose
+    * snapshot added a column widens the base instead of crashing.
+    *
+    * Scale shape: the feed is the CHANGED rows only — tiny next to the
+    * base in a steady-state refresh — so the anti-join broadcasts and the
+    * base never shuffles; this is the whole point of consuming the feed
+    * instead of re-reading the new snapshot (at 100 TB the base table
+    * stays in place, only deltas move). */
+  def applyChanges(base: DataFrame, feed: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.forall(base.columns.contains) && keys.forall(feed.columns.contains),
+      s"applyChanges: both sides need key columns (${keys.mkString(", ")})")
+    require(feed.columns.contains("change_type"),
+      "applyChanges: feed must be a tableDiff output (missing change_type)")
+    val feedVals = feed.columns.collect { case c if c.startsWith("new_") => c.drop(4) }.toSeq
+    val vals = (base.columns.filterNot(keys.contains) ++ feedVals).distinct.toSeq
+    def aligned(df: DataFrame, has: String => Boolean, read: String => Column) =
+      df.select(keys.map(col) ++ vals.map(c =>
+        (if (has(c)) read(c) else lit(null)).as(c)): _*)
+    val kept = aligned(base, base.columns.contains, col)
+      .join(feed.select(keys.map(col): _*), keys, "left_anti")
+    val upserts = aligned(feed.where(col("change_type") =!= "delete"),
+      c => feedVals.contains(c), c => col(s"new_$c"))
+    kept.unionByName(upserts)
+  }
+
+  /** The per-student summary under CDC in q119: mergeable partials
+    * (count, Σsks) plus the round2'd GPA ratio — every value
+    * deterministic cross-engine (sks·bobot are exact multiples of 0.5,
+    * so the sums are exact and the one division is the only rounding
+    * site, Star.round2's contract). */
+  private def studentSummary(fact: DataFrame): DataFrame =
+    fact.groupBy("student").agg(
+      count(lit(1)).as("n_rows"),
+      sum("sks").as("total_sks"),
+      Star.round2(sum(col("sks") * col("bobot")) / sum(col("sks"))).as("gpa"))
+
+  /** q119: snapshot diff / change-data-feed over the versioned
+    * warehouse. A sliding-window refresh of the student summary — v_old
+    * covers years [min, max) (last cycle's window), v_new covers
+    * (min, max] (the window slid by one year: oldest year retired,
+    * newest arrived) — is committed as two snapshot versions of one
+    * table, then [[snapshotDiff]] reads both THROUGH the version log
+    * and emits the change feed: students active only in the retired
+    * year DELETE, students first active in the new year INSERT, and
+    * students whose window contents shifted UPDATE with old/new values
+    * side by side. Unchanged students (all activity strictly inside
+    * both windows) produce no row — the CDC contract the oracle pins.
+    * Reps keep committing fresh version pairs; the vacuum keeps the
+    * newest pair so the scratch store stays bounded. */
+  val q119_snapshot_diff: Q = (s, d) => {
+    val wh = scratchDir(s, d, "cdc")
+    val f = Star.fact(s, d)
+    val yr = f.agg(min("tahun"), max("tahun")).head()
+    val (minY, maxY) = (yr.getLong(0), yr.getLong(1))
+    val v1 = writeTableVersioned(
+      studentSummary(f.where(col("tahun") < maxY)), wh, "student_summary")
+    val v2 = writeTableVersioned(
+      studentSummary(f.where(col("tahun") > minY)), wh, "student_summary")
+    val feed = snapshotDiff(s, wh, "student_summary", v1, v2, Seq("student"))
+      .orderBy("student")
+    vacuumVersions(wh, keep = 2)
+    feed
+  }
+
+  /** q120: CDC APPLY — the consuming half of q119's feed. The v1
+    * summary (read back through the version log) plus the v1→v2 change
+    * feed must reconstruct the v2 summary EXACTLY — deletes drop their
+    * students, inserts add theirs, updates swap in the post-image, and
+    * every student the feed is silent about passes through untouched.
+    * The oracle computes v2 directly from the fact table, so the gate
+    * hashes "base + feed" against "recompute from scratch" — the
+    * incremental-view-maintenance equivalence, proved cross-engine on
+    * real data rather than asserted. */
+  val q120_cdc_apply: Q = (s, d) => {
+    val wh = scratchDir(s, d, "cdc_apply")
+    val f = Star.fact(s, d)
+    val yr = f.agg(min("tahun"), max("tahun")).head()
+    val (minY, maxY) = (yr.getLong(0), yr.getLong(1))
+    val v1 = writeTableVersioned(
+      studentSummary(f.where(col("tahun") < maxY)), wh, "student_summary")
+    val v2 = writeTableVersioned(
+      studentSummary(f.where(col("tahun") > minY)), wh, "student_summary")
+    val feed = snapshotDiff(s, wh, "student_summary", v1, v2, Seq("student"))
+    val applied = applyChanges(
+      readAt(s, wh, "student_summary", Some(v1)), feed, Seq("student"))
+      .orderBy("student")
+    vacuumVersions(wh, keep = 2)
+    applied
+  }
+
   /** Clustered fact layout — the single-dimension Z-order/data-clustering
     * analog: range-partition the fact on `student` and sort within each
     * write task, so every file AND every parquet row group inside it
@@ -540,7 +708,9 @@ object StarBuilder {
   val queries: Map[String, Q] = Map(
     "q48_dim_waktu" -> q48_dim_waktu,
     "q49_star_roundtrip" -> q49_star_roundtrip,
-    "q115_versioned_star" -> q115_versioned_star)
+    "q115_versioned_star" -> q115_versioned_star,
+    "q119_snapshot_diff" -> q119_snapshot_diff,
+    "q120_cdc_apply" -> q120_cdc_apply)
 
   /** q49's per-table-count oracle, shared VERBATIM by q115: the
     * versioned lifecycle (write → compact → vacuum → readAt) must
@@ -571,5 +741,40 @@ object StarBuilder {
         |FROM (SELECT DISTINCT tahun, semester FROM fact)
         |ORDER BY id_waktu""".stripMargin),
     "q49_star_roundtrip" -> starCountsSql,
-    "q115_versioned_star" -> starCountsSql)
+    "q115_versioned_star" -> starCountsSql,
+    // the CDC feed recomputed declaratively: the two window summaries
+    // FULL OUTER JOINed on the key, classified, unchanged rows dropped
+    "q119_snapshot_diff" -> withFact(
+      s""", yrs AS (SELECT min(tahun) AS miny, max(tahun) AS maxy FROM fact),
+         |s1 AS (
+         |  SELECT student, CAST(count(*) AS BIGINT) AS n_rows, sum(sks) AS total_sks,
+         |         ${Star.round2Sql("sum(sks*bobot) / sum(sks)")} AS gpa
+         |  FROM fact WHERE tahun < (SELECT maxy FROM yrs) GROUP BY student),
+         |s2 AS (
+         |  SELECT student, CAST(count(*) AS BIGINT) AS n_rows, sum(sks) AS total_sks,
+         |         ${Star.round2Sql("sum(sks*bobot) / sum(sks)")} AS gpa
+         |  FROM fact WHERE tahun > (SELECT miny FROM yrs) GROUP BY student)
+         |SELECT * FROM (
+         |  SELECT coalesce(s1.student, s2.student) AS student,
+         |         CASE WHEN s2.student IS NULL THEN 'delete'
+         |              WHEN s1.student IS NULL THEN 'insert'
+         |              ELSE 'update' END AS change_type,
+         |         s1.n_rows AS old_n_rows, s1.total_sks AS old_total_sks,
+         |         s1.gpa AS old_gpa,
+         |         s2.n_rows AS new_n_rows, s2.total_sks AS new_total_sks,
+         |         s2.gpa AS new_gpa
+         |  FROM s1 FULL OUTER JOIN s2 ON s1.student = s2.student)
+         |WHERE change_type <> 'update'
+         |   OR old_n_rows IS DISTINCT FROM new_n_rows
+         |   OR old_total_sks IS DISTINCT FROM new_total_sks
+         |   OR old_gpa IS DISTINCT FROM new_gpa
+         |ORDER BY student""".stripMargin),
+    // base + feed must equal the new snapshot recomputed from scratch:
+    // the oracle IS that recompute (q119's s2 window, stated directly)
+    "q120_cdc_apply" -> withFact(
+      s""", yrs AS (SELECT min(tahun) AS miny FROM fact)
+         |SELECT student, CAST(count(*) AS BIGINT) AS n_rows, sum(sks) AS total_sks,
+         |       ${Star.round2Sql("sum(sks*bobot) / sum(sks)")} AS gpa
+         |FROM fact WHERE tahun > (SELECT miny FROM yrs)
+         |GROUP BY student ORDER BY student""".stripMargin))
 }

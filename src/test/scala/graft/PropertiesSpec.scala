@@ -56,6 +56,29 @@ class PropertiesSpec extends AnyFunSuite with SparkTestBase {
     assert(ips >= ws.min - 0.005 && ips <= ws.max + 0.005)
   }
 
+  test("tableDiff/applyChanges round-trip: base + feed reconstructs neu exactly") {
+    import spark.implicits._
+    import graft.etl.StarBuilder.{applyChanges, tableDiff}
+    // random key-unique snapshots with overlapping keys and null-heavy
+    // values: diff-then-apply must reproduce the new snapshot row-for-row
+    val snapGen = Gen.mapOfN(30, for {
+      k <- Gen.chooseNum(0L, 40L)
+      s <- Gen.option(Gen.oneOf("a", "b", "c"))
+      x <- Gen.option(Gen.chooseNum(-5.0, 5.0))
+    } yield k -> (s, x))
+    (1 to 5).foreach { _ =>
+      val (oldM, neuM) = (snapGen.sample.get, snapGen.sample.get)
+      val old = oldM.toSeq.map { case (k, (s, x)) => (k, s, x) }.toDF("k", "s", "x")
+      val neu = neuM.toSeq.map { case (k, (s, x)) => (k, s, x) }.toDF("k", "s", "x")
+      val applied = applyChanges(old, tableDiff(old, neu, Seq("k")), Seq("k"))
+        .collect().map(r => (r.getAs[Long]("k"),
+          Option(r.getAs[String]("s")), Option(r.getAs[java.lang.Double]("x")).map(_.doubleValue)))
+        .toSet
+      val want = neuM.map { case (k, (s, x)) => (k, s, x) }.toSet
+      assert(applied == want)
+    }
+  }
+
   test("SignLshSignature equals the HOF fold for random vectors and planes") {
     import spark.implicits._
     val vec = Gen.listOfN(64, Gen.chooseNum(-1.0, 1.0))

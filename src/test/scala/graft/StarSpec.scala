@@ -234,6 +234,86 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
     assert(factRows(Some(4L)).size == 3)
   }
 
+  test("tableDiff: CDC classification is null-safe and drops unchanged keys") {
+    import spark.implicits._
+    import graft.etl.StarBuilder.tableDiff
+    val old = Seq(
+      (1L, Option("a"), Option(1.0)),  // only in old → delete
+      (2L, Option("b"), Option(2.0)),  // identical both sides → NO row
+      (3L, Option.empty[String], Option(3.0)), // null → "c": update (null-safe)
+      (4L, Option("d"), Option(4.0)),  // numeric change → update
+      (6L, Option.empty[String], Option.empty[Double])) // all-null, same → NO row
+      .toDF("k", "s", "x")
+    val neu = Seq(
+      (2L, Option("b"), Option(2.0)),
+      (3L, Option("c"), Option(3.0)),
+      (4L, Option("d"), Option(9.0)),
+      (5L, Option.empty[String], Option.empty[Double]), // all-null insert: the
+      (6L, Option.empty[String], Option.empty[Double])) // presence-marker case
+      .toDF("k", "s", "x")
+    val got = tableDiff(old, neu, Seq("k")).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[String]("change_type"),
+          Option(r.getAs[String]("old_s")), Option(r.getAs[String]("new_s")))).toMap
+    assert(got.keySet == Set(1L, 3L, 4L, 5L)) // 2 and 6 (unchanged) absent
+    assert(got(1L)._1 == "delete" && got(1L)._2.contains("a") && got(1L)._3.isEmpty)
+    assert(got(3L) == ("update", None, Some("c")))
+    assert(got(4L)._1 == "update")
+    assert(got(5L)._1 == "insert" && got(5L)._2.isEmpty && got(5L)._3.isEmpty)
+  }
+
+  test("tableDiff schema evolution: a column added in the new snapshot") {
+    import spark.implicits._
+    import graft.etl.StarBuilder.tableDiff
+    val old = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val neu = Seq(
+      (1L, "a", Option(7L)),              // new col non-null → update
+      (2L, "b", Option.empty[Long]))      // new col null ≡ old's absent-null → NO row
+      .toDF("k", "s", "extra")
+    val got = tableDiff(old, neu, Seq("k")).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"),
+        Option(r.getAs[java.lang.Long]("old_extra")).map(_.longValue),
+        Option(r.getAs[java.lang.Long]("new_extra")).map(_.longValue)))
+    assert(got.toSeq == Seq((1L, "update", None, Some(7L))))
+  }
+
+  test("snapshotDiff resolves both sides through the version log") {
+    import spark.implicits._
+    import graft.etl.StarBuilder
+    val wh = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val v1 = StarBuilder.writeTableVersioned(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x"), wh, "t")
+    val v2 = StarBuilder.writeTableVersioned(
+      Seq((2L, 21.0), (3L, 30.0)).toDF("k", "x"), wh, "t")
+    assert((v1, v2) == (1L, 2L))
+    val feed = StarBuilder.snapshotDiff(spark, wh, "t", v1, v2, Seq("k"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("change_type")).toMap
+    assert(feed == Map(1L -> "delete", 2L -> "update", 3L -> "insert"))
+    // the feed must come FROM the snapshots: a later version landing
+    // does not change the v1→v2 diff
+    StarBuilder.writeTableVersioned(Seq((9L, 90.0)).toDF("k", "x"), wh, "t")
+    val again = StarBuilder.snapshotDiff(spark, wh, "t", v1, v2, Seq("k"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("change_type")).toMap
+    assert(again == feed)
+  }
+
+  test("applyChanges widens the base when the feed carries an added column") {
+    import spark.implicits._
+    import graft.etl.StarBuilder.{applyChanges, tableDiff}
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    val neu = Seq(
+      (1L, "a", Option(7L)),          // update: extra appears
+      (2L, "b", Option.empty[Long]),  // unchanged (null ≡ absent) → passthrough
+      (4L, "d", Option(8L)))          // insert; 3 deleted
+      .toDF("k", "s", "extra")
+    val applied = applyChanges(old, tableDiff(old, neu, Seq("k")), Seq("k"))
+    val got = applied.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("s"),
+        Option(r.getAs[java.lang.Long]("extra")).map(_.longValue)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a", Some(7L)), (2L, "b", None), (4L, "d", Some(8L))))
+  }
+
   test("compactVersioned commits a packed snapshot; vacuum drops versions marker-first") {
     import graft.etl.StarBuilder
     // the real sf0.001 star: the salted fact write spreads each year
