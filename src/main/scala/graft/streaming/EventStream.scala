@@ -184,6 +184,36 @@ object EventStream {
   def parquetBatchSink(path: String): (DataFrame, Long) => Unit =
     (batch, id) => batch.write.mode("overwrite").parquet(s"$path/batch_id=$id")
 
+  /** Streaming CDC APPLY — `writeStream.foreachBatch` sink that MERGEs
+    * each micro-batch of a [[graft.etl.StarBuilder.tableDiff]]-shaped
+    * change feed into a versioned warehouse table: read the LATEST
+    * committed snapshot, [[graft.etl.StarBuilder.applyChanges]] the
+    * batch onto it, and commit the result as a NEW snapshot version —
+    * the continuous half of q120, and the streaming-MERGE surface a
+    * lakehouse table format exposes. Each micro-batch is one committed
+    * version, so downstream "latest" readers only ever see feed-batch
+    * boundaries, never a half-applied batch, and time travel across
+    * versions replays the feed's history. A REPLAYED batch (restart
+    * after a sink-side failure, the at-least-once case) is harmless:
+    * on a key-unique feed `applyChanges` is idempotent — re-deleting
+    * an absent key removes nothing and a re-upserted post-image equals
+    * the row already in place — so the re-committed version is
+    * content-identical (spec-pinned): exactly-once TABLE STATE from
+    * at-least-once delivery. Empty ticks commit nothing. At scale each
+    * batch moves only the delta (the applyChanges anti-join broadcasts
+    * the feed); the base table is re-read per batch from the snapshot
+    * files, which a cluster deployment serves from the page cache or
+    * prunes via the same bucketed layout as the batch path. */
+  def cdcApplySink(warehouse: String, table: String,
+      keys: Seq[String]): (DataFrame, Long) => Unit =
+    (feedBatch, _) => if (!feedBatch.isEmpty) {
+      import graft.etl.StarBuilder
+      val base = StarBuilder.readAt(feedBatch.sparkSession, warehouse, table, None)
+      StarBuilder.writeTableVersioned(
+        StarBuilder.applyChanges(base, feedBatch, keys), warehouse, table)
+      ()
+    }
+
   /** Streaming twin of the batch AS-OF attribution (q68): stream-stream
     * inner join of purchases to same-user clicks within the preceding 30
     * minutes. Both sides carry watermarks so the join state is bounded —
