@@ -345,10 +345,25 @@ object StarBuilder {
       throw new IllegalArgumentException(s"no committed version in $warehouse"))
     val srcRoot = new java.io.File(s"$warehouse/v=$cur")
     val txn = stageDir(warehouse)
-    Compact.leafDirs(srcRoot).foreach { leaf =>
-      val rel = srcRoot.toPath.relativize(leaf.toPath).toString
-      val dst = new java.io.File(txn, rel)
-      Compact.packInto(spark, leaf, dst, targetBytes, blockSize)
+    val tables = Option(srcRoot.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory &&
+        !d.getName.startsWith("_") && !d.getName.startsWith("."))
+    tables.foreach { t =>
+      if (dvDir(srcRoot, t.getName).isDirectory) {
+        // a deletion-vector sidecar addresses rows by (file, position):
+        // any repack would break those addresses, so compaction is where
+        // deletes MATERIALIZE — rewrite the live view, drop the sidecar
+        val bytes = Compact.leafDirs(t)
+          .flatMap(l => Compact.dataFiles(l)).map(_.length()).sum
+        val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        applyDv(spark, srcRoot, t.getName).repartition(nOut)
+          .write.mode("overwrite")
+          .option("parquet.block.size", blockSize.toString)
+          .parquet(new java.io.File(txn, t.getName).toString)
+      } else Compact.leafDirs(t).foreach { leaf =>
+        val rel = srcRoot.toPath.relativize(leaf.toPath).toString
+        Compact.packInto(spark, leaf, new java.io.File(txn, rel), targetBytes, blockSize)
+      }
     }
     publishSnapshot(warehouse, txn)
   }
@@ -380,8 +395,100 @@ object StarBuilder {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v),
       s"version $v is not committed in $warehouse (committed: ${vs.mkString(", ")})")
-    spark.read.parquet(s"$warehouse/v=$v/$table")
+    val root = new java.io.File(s"$warehouse/v=$v")
+    if (dvDir(root, table).isDirectory) applyDv(spark, root, table)
+    else spark.read.parquet(new java.io.File(root, table).toString)
   }
+
+  // ---------------------------------------------------------------------------
+  // Deletion vectors — row-level DELETE without rewriting data files
+  // ---------------------------------------------------------------------------
+
+  /** The sidecar lives BESIDE the table dir (`v=<n>/_dv/<table>/`), not
+    * inside it: the snapshot-root `_dv` prefix keeps it out of every
+    * table scan and [[Compact.leafDirs]] walk, while the explicit read
+    * path `.../_dv/<table>` has a clean basename so the sidecar itself
+    * reads as a normal parquet table. */
+  private def dvDir(versionRoot: java.io.File, table: String) =
+    new java.io.File(versionRoot, s"_dv/$table")
+
+  /** Every physical row of a snapshot table tagged with its position
+    * identity: (`_file` = data-file path RELATIVE to the table root —
+    * stable across the byte-copy that builds the next version, unlike
+    * the absolute `file_path`, and unambiguous across partition leaves,
+    * unlike the bare file name — `_pos` = `_metadata.row_index`, the
+    * row's physical index within its file). This (file, position) pair
+    * is exactly the row address an Iceberg v2 position-delete / Delta
+    * deletion vector records. */
+  private def withRowId(spark: SparkSession, versionRoot: java.io.File,
+      table: String): DataFrame =
+    spark.read.parquet(new java.io.File(versionRoot, table).toString).select(col("*"),
+      regexp_extract(col("_metadata.file_path"),
+        "/v=[0-9]+/" + java.util.regex.Pattern.quote(table) + "/(.*)$", 1).as("_file"),
+      col("_metadata.row_index").as("_pos"))
+
+  /** The live view of a DV-carrying table: base rows anti-joined
+    * against the sidecar on the (file, pos) row address. The sidecar is
+    * deletes-sized — tiny next to the table — so the anti-join
+    * broadcasts and the base scan itself never shuffles. */
+  private def applyDv(spark: SparkSession, versionRoot: java.io.File,
+      table: String): DataFrame = {
+    val base = withRowId(spark, versionRoot, table)
+    val dv = spark.read.parquet(dvDir(versionRoot, table).toString)
+    base.join(dv, base("_file") === dv("file") && base("_pos") === dv("pos"), "left_anti")
+      .drop("_file", "_pos")
+  }
+
+  /** Row-level DELETE via deletion vectors — the Iceberg-v2/Delta-DV
+    * write path: rows matching `predicate` are soft-deleted by
+    * committing a NEW snapshot version whose data files are BYTE-COPIES
+    * of the current ones (spec: md5-identical — never decoded,
+    * shuffled, or re-encoded) plus a `_dv/` parquet sidecar of deleted
+    * (file, pos) row addresses, merged with any existing sidecar. At
+    * 100 TB this is the difference between a GDPR erasure touching
+    * kilobytes (the sidecar) and rewriting terabytes; an object-store
+    * deployment would reference the base files from a manifest instead
+    * of copying them — the same caveat [[compactVersioned]] carries.
+    * The predicate is evaluated on the LIVE view, so re-deleting an
+    * already-deleted row is a no-op and a repeated call is idempotent
+    * in content. Readers through [[readAt]] see the live view (the
+    * `_`-prefixed sidecar is invisible to plain parquet readers, which
+    * therefore see all physical rows — use the log-resolved path);
+    * pinned versions are untouched, and [[compactVersioned]] folds the
+    * sidecar into a real rewrite ([[Compact]] would otherwise break
+    * the file-relative row addresses). Returns the committed version. */
+  def deleteWhere(spark: SparkSession, warehouse: String, table: String,
+      predicate: Column): Long = {
+    import spark.implicits._
+    val cur = latestVersion(warehouse).getOrElse(
+      throw new IllegalArgumentException(s"no committed version in $warehouse"))
+    val srcRoot = new java.io.File(s"$warehouse/v=$cur")
+    require(new java.io.File(srcRoot, table).isDirectory,
+      s"table $table is not in v=$cur of $warehouse")
+    val oldDv =
+      if (dvDir(srcRoot, table).isDirectory)
+        spark.read.parquet(dvDir(srcRoot, table).toString)
+      else Seq.empty[(String, Long)].toDF("file", "pos")
+    val base = withRowId(spark, srcRoot, table)
+    val live = base.join(oldDv,
+      base("_file") === oldDv("file") && base("_pos") === oldDv("pos"), "left_anti")
+    val merged = oldDv.union(
+      live.where(predicate).select(col("_file").as("file"), col("_pos").as("pos")))
+    val txn = stageDir(warehouse)
+    copyTree(srcRoot, txn)
+    // the merged sidecar still READS from the source version's files;
+    // the overwrite only replaces the copied sidecar in the staging dir
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(txn, s"_dv/$table").toString)
+    publishSnapshot(warehouse, txn)
+  }
+
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit =
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).getOrElse(Array.empty)
+        .foreach(c => copyTree(c, new java.io.File(dst, c.getName)))
+    } else java.nio.file.Files.copy(src.toPath, dst.toPath)
 
   /** Commit ONE table's refresh as a new snapshot version — the
     * single-table form of [[writeAllVersioned]] through the same
@@ -551,6 +658,25 @@ object StarBuilder {
     applied
   }
 
+  /** q121: deletion-vector DELETE inside the correctness gate. The full
+    * student summary is committed, then the low-activity cohort
+    * (total_sks < 1000 — roughly the bottom half) is soft-deleted via
+    * [[deleteWhere]]: the new version's data files are byte-copies (the
+    * spec proves md5 identity; only the kilobyte sidecar is new), and
+    * the log-resolved read serves the live view. The oracle recomputes
+    * the surviving cohort from the fact table directly, so the gate
+    * hashes "physical rows minus the sidecar" against "the rows that
+    * were never there" — any row the DV misses, double-drops, or
+    * resurrects fails the hash. */
+  val q121_delete_vectors: Q = (s, d) => {
+    val wh = scratchDir(s, d, "dv")
+    writeTableVersioned(studentSummary(Star.fact(s, d)), wh, "student_summary")
+    deleteWhere(s, wh, "student_summary", col("total_sks") < 1000)
+    val out = readAt(s, wh, "student_summary", None).orderBy("student")
+    vacuumVersions(wh, keep = 2)
+    out
+  }
+
   /** Clustered fact layout — the single-dimension Z-order/data-clustering
     * analog: range-partition the fact on `student` and sort within each
     * write task, so every file AND every parquet row group inside it
@@ -710,7 +836,8 @@ object StarBuilder {
     "q49_star_roundtrip" -> q49_star_roundtrip,
     "q115_versioned_star" -> q115_versioned_star,
     "q119_snapshot_diff" -> q119_snapshot_diff,
-    "q120_cdc_apply" -> q120_cdc_apply)
+    "q120_cdc_apply" -> q120_cdc_apply,
+    "q121_delete_vectors" -> q121_delete_vectors)
 
   /** q49's per-table-count oracle, shared VERBATIM by q115: the
     * versioned lifecycle (write → compact → vacuum → readAt) must
@@ -776,5 +903,12 @@ object StarBuilder {
          |SELECT student, CAST(count(*) AS BIGINT) AS n_rows, sum(sks) AS total_sks,
          |       ${Star.round2Sql("sum(sks*bobot) / sum(sks)")} AS gpa
          |FROM fact WHERE tahun > (SELECT miny FROM yrs)
-         |GROUP BY student ORDER BY student""".stripMargin))
+         |GROUP BY student ORDER BY student""".stripMargin),
+    // physical rows minus the deletion vector ≡ the cohort that survives
+    // the predicate, recomputed from scratch
+    "q121_delete_vectors" -> withFact(
+      s"""SELECT student, CAST(count(*) AS BIGINT) AS n_rows, sum(sks) AS total_sks,
+         |       ${Star.round2Sql("sum(sks*bobot) / sum(sks)")} AS gpa
+         |FROM fact GROUP BY student HAVING NOT (sum(sks) < 1000)
+         |ORDER BY student""".stripMargin))
 }

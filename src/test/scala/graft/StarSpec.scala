@@ -314,6 +314,49 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq == Seq((1L, "a", Some(7L)), (2L, "b", None), (4L, "d", Some(8L))))
   }
 
+  test("deletion vectors: soft delete never rewrites data files; compaction materializes") {
+    import spark.implicits._
+    import graft.etl.StarBuilder
+    def md5s(dir: java.io.File): Map[String, String] =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          f.getName -> java.security.MessageDigest.getInstance("MD5")
+            .digest(bytes).map("%02x".format(_)).mkString
+        }.toMap
+    val wh = java.nio.file.Files.createTempDirectory("graft_dv").toString
+    val v1 = StarBuilder.writeTableVersioned(
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("k", "x"), wh, "t")
+    def liveKeys(v: Option[Long] = None): Set[Long] =
+      StarBuilder.readAt(spark, wh, "t", v).select("k").as[Long].collect().toSet
+
+    val v2 = StarBuilder.deleteWhere(spark, wh, "t", col("x") < 1.5) // drops k=1
+    // the DV contract: data files are BYTE-identical copies, only the
+    // sidecar is new — and the pinned previous version is untouched
+    assert(md5s(new java.io.File(s"$wh/v=$v2/t")) == md5s(new java.io.File(s"$wh/v=$v1/t")))
+    assert(new java.io.File(s"$wh/v=$v2/_dv/t").isDirectory)
+    assert(liveKeys() == Set(2L, 3L, 4L))
+    assert(liveKeys(Some(v1)) == Set(1L, 2L, 3L, 4L))
+    // a plain parquet reader sees all physical rows (the `_dv` sidecar
+    // is hidden) — the documented reason readers go through the log
+    assert(spark.read.parquet(s"$wh/v=$v2/t").count() == 4L)
+
+    // a second delete UNIONs into the sidecar; re-deleting an
+    // already-deleted row is a no-op (predicate runs on the live view)
+    val v3 = StarBuilder.deleteWhere(spark, wh, "t", col("x") < 1.5 || col("x") > 3.5)
+    assert(liveKeys() == Set(2L, 3L))
+    assert(md5s(new java.io.File(s"$wh/v=$v3/t")) == md5s(new java.io.File(s"$wh/v=$v1/t")))
+
+    // compaction folds the sidecar into a real rewrite: no _dv in the
+    // new version, physical rows == live rows, content unchanged
+    val v4 = StarBuilder.compactVersioned(spark, wh, targetBytes = 1L << 30)
+    assert(!new java.io.File(s"$wh/v=$v4/_dv").exists())
+    assert(spark.read.parquet(s"$wh/v=$v4/t").count() == 2L)
+    assert(liveKeys() == Set(2L, 3L))
+    assert(liveKeys(Some(v3)) == Set(2L, 3L)) // DV version still serves
+  }
+
   test("compactVersioned commits a packed snapshot; vacuum drops versions marker-first") {
     import graft.etl.StarBuilder
     // the real sf0.001 star: the salted fact write spreads each year
