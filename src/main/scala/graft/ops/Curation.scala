@@ -264,6 +264,68 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** Deterministic hash-ordered take-while — the primitive that EXECUTES
+    * a token-budget sampling plan: documents are consumed per language in
+    * md5(doc_id) order (a deterministic pseudo-random shuffle both
+    * engines reproduce bit-identically) until the language's budget is
+    * reached; the straddling document is included (`cum_before <
+    * target`). The running sum is TWO-PHASE, never a per-language global
+    * window (a handful of languages would make that a handful of
+    * straggler tasks at 100 TB): the window partitions on (lang, bucket)
+    * where the bucket is the hash's first 2 hex chars — ordering by hash
+    * within a hash-prefix bucket IS the global hash order — and the 256
+    * per-bucket totals per language are cumulated driver-side into
+    * bucket-start offsets (the [[graft.etl.StarBuilder.withSurrogateId]]
+    * two-phase-rank pattern; the collect is #langs × 256 rows, the
+    * partition-count-sized driver-materialization class). `docs` needs
+    * (lang, h, n_tokens); `targets` (lang, target_tokens) is
+    * plan-sized and broadcast. */
+  private[graft] def selectToBudget(docs: DataFrame, targets: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("lang", "bkt").orderBy("h")
+    val within = docs.withColumn("bkt", substring(col("h"), 1, 2))
+      .withColumn("cum_in", sum("n_tokens").over(w))
+      .localCheckpoint(true) // feeds the offsets action AND the final join
+    val perBucket = within.groupBy("lang", "bkt").agg(sum("n_tokens").as("tot"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val offs = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    perBucket.groupBy(_._1).foreach { case (_, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).foreach { case (l, b, tot) => offs += ((l, b, acc)); acc += tot }
+    }
+    within.join(broadcast(offs.toSeq.toDF("lang", "bkt", "off")), Seq("lang", "bkt"))
+      .join(broadcast(targets), Seq("lang"))
+      .where(col("off") + col("cum_in") - col("n_tokens") < col("target_tokens"))
+  }
+
+  /** q122: EXECUTE q98's sampling plan — the materialized training mix.
+    * q98 says how many tokens each language contributes; q122 picks the
+    * actual documents: per language, hash-ordered (deterministic, so the
+    * mix is reproducible run-to-run and auditable — no rand()), taken
+    * until the target is met, via [[selectToBudget]]'s two-phase running
+    * sum. The gate pins the exact SELECTED SET, not just its size:
+    * set_md5 hashes the sorted selected doc hashes, so an engine that
+    * picks even one different document fails. Oversampled languages
+    * (q98's flag) simply take everything they have — visible here as
+    * tokens_sel < target_tokens. */
+  val q122_mix_execute: Q = (s, d) => {
+    val budget = 100000L
+    val p = sqrt(col("n_docs").cast("double")) / col("dn")
+    val targets = langWeights(s, d)
+      .select(col("lang"), floor(p * budget + lit(0.5)).cast("long").as("target_tokens"))
+    val docs = docShingles(s, d).select(col("lang"),
+      md5(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"),
+      size(col("words")).cast("long").as("n_tokens"))
+    selectToBudget(docs, targets)
+      .groupBy("lang", "target_tokens").agg(
+        count(lit(1)).as("n_docs_sel"),
+        sum("n_tokens").as("tokens_sel"),
+        md5(concat_ws("", sort_array(collect_list(col("h"))))).as("set_md5"))
+      .select("lang", "target_tokens", "n_docs_sel", "tokens_sel", "set_md5")
+      .orderBy("lang")
+  }
+
   /** q95: cross-source duplicate overlap — for every pair of sources, how
     * many distinct content fingerprints they share, and the Jaccard of
     * their fingerprint sets: the crawl-health matrix that tells a curation
@@ -328,7 +390,8 @@ object Curation {
     "q84_lang_temperature" -> q84_lang_temperature,
     "q95_source_overlap" -> q95_source_overlap,
     "q97_novelty_curve" -> q97_novelty_curve,
-    "q98_sampling_plan" -> q98_sampling_plan)
+    "q98_sampling_plan" -> q98_sampling_plan,
+    "q122_mix_execute" -> q122_mix_execute)
 
   val oracle: Map[String, String] = Map(
     "q78_seq_packing" -> withDocs(
@@ -454,5 +517,35 @@ object Curation {
          |         AS BIGINT) AS target_tokens,
          |       CAST(CASE WHEN floor(sqrt(CAST(n_docs AS DOUBLE)) / dn * 100000 + 0.5)
          |                      > n_tokens THEN 1 ELSE 0 END AS BIGINT) AS oversampled
-         |FROM counts, denom ORDER BY lang""".stripMargin))
+         |FROM counts, denom ORDER BY lang""".stripMargin),
+    // the oracle states the take-while directly: one per-lang cumulative
+    // sum in hash order (the two-phase bucket decomposition is a Spark
+    // scale tactic, not a semantic)
+    "q122_mix_execute" -> withDocs(
+      s""", counts AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM docs GROUP BY lang),
+         |denom AS (
+         |  SELECT list_aggregate(list_transform(list(n_docs ORDER BY lang),
+         |           x -> sqrt(CAST(x AS DOUBLE))), 'sum') AS dn
+         |  FROM counts),
+         |targets AS (
+         |  SELECT lang, CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / dn * 100000 + 0.5)
+         |           AS BIGINT) AS target_tokens
+         |  FROM counts, denom),
+         |h AS (
+         |  SELECT lang, md5('mix:' || CAST(doc_id AS VARCHAR)) AS h,
+         |         CAST(len(words) AS BIGINT) AS n_tokens
+         |  FROM docs),
+         |c AS (
+         |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY h
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            - n_tokens AS cum_before
+         |  FROM h),
+         |sel AS (
+         |  SELECT c.*, t.target_tokens FROM c JOIN targets t USING (lang)
+         |  WHERE cum_before < target_tokens)
+         |SELECT lang, target_tokens, CAST(count(*) AS BIGINT) AS n_docs_sel,
+         |       CAST(sum(n_tokens) AS BIGINT) AS tokens_sel,
+         |       md5(string_agg(h, '' ORDER BY h)) AS set_md5
+         |FROM sel GROUP BY lang, target_tokens ORDER BY lang""".stripMargin))
 }

@@ -319,6 +319,36 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       "und" -> ((10L, 33333L, 1L))))
   }
 
+  test("selectToBudget: two-phase running sum equals one global window; straddler included") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // md5-spread hashes across many prefix buckets, two languages
+    val df = (0 until 400).map { i =>
+      (if (i % 3 == 0) "aa" else "bb", s"t:$i", 5L + i % 7)
+    }.toDF("lang", "seed", "n_tokens")
+      .withColumn("h", md5(col("seed"))).drop("seed")
+    val targets = Seq(("aa", 100L), ("bb", 300L)).toDF("lang", "target_tokens")
+    val got = Curation.selectToBudget(df, targets)
+      .select("lang", "h").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // reference: ONE global per-lang window (the semantics, stated directly)
+    val ref = df.withColumn("cum_before",
+        sum("n_tokens").over(Window.partitionBy("lang").orderBy("h")) - col("n_tokens"))
+      .join(targets, Seq("lang")).where(col("cum_before") < col("target_tokens"))
+      .select("lang", "h").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == ref && got.nonEmpty)
+    // straddle semantics: per lang, selected tokens reach-or-exceed the
+    // target (nothing here is oversampled), and dropping the LAST
+    // selected doc in hash order goes under it
+    val sel = Curation.selectToBudget(df, targets)
+      .select("lang", "h", "n_tokens").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.sortBy(_.getString(1))).toMap
+    for ((lang, target) <- Seq("aa" -> 100L, "bb" -> 300L)) {
+      val toks = sel(lang).map(_.getLong(2))
+      assert(toks.sum >= target && toks.dropRight(1).sum < target)
+    }
+  }
+
   test("q95: the full pair matrix reports shared fingerprints and Jaccard") {
     // writeMiniDocs assigns source = src{id % 3}. Docs 0 and 3 (both src0)
     // share text → src0's DISTINCT fp set is {A, Z}; doc 1 (src1) repeats
