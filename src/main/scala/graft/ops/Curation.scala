@@ -326,6 +326,44 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** q123: the EPOCH plan — what q98's `oversampled` flag actually means
+    * operationally. A language whose temperature target exceeds its
+    * corpus repeats: `full_epochs = ⌊target / available⌋` whole passes
+    * over everything it has, plus a REMAINDER selected by the same
+    * deterministic hash-ordered take-while as q122 (so the partial
+    * epoch is a stable, auditable document set, not a random residue —
+    * and an under-target language degenerates to full_epochs = 0 with
+    * the remainder being exactly its q122 selection). The remainder
+    * set's sorted-hash digest is gated, pinning the document identity
+    * of the partial pass cross-engine. */
+  val q123_epoch_plan: Q = (s, d) => {
+    val budget = 100000L
+    val p = sqrt(col("n_docs").cast("double")) / col("dn")
+    val plan = langWeights(s, d)
+      .select(col("lang"), col("n_tokens").as("available_tokens"),
+        floor(p * budget + lit(0.5)).cast("long").as("target_tokens"))
+      .withColumn("full_epochs",
+        floor(col("target_tokens").cast("double") / col("available_tokens")).cast("long"))
+      .withColumn("rem_target",
+        col("target_tokens") - col("full_epochs") * col("available_tokens"))
+    val docs = docShingles(s, d).select(col("lang"),
+      md5(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"),
+      size(col("words")).cast("long").as("n_tokens"))
+    val rem = selectToBudget(docs,
+        plan.select(col("lang"), col("rem_target").as("target_tokens")))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs_rem"),
+        sum("n_tokens").as("tokens_rem"),
+        md5(concat_ws("", sort_array(collect_list(col("h"))))).as("rem_set_md5"))
+    plan.join(rem, Seq("lang"), "left")
+      .select(col("lang"), col("target_tokens"), col("available_tokens"),
+        col("full_epochs"), col("rem_target"),
+        coalesce(col("n_docs_rem"), lit(0L)).as("n_docs_rem"),
+        coalesce(col("tokens_rem"), lit(0L)).as("tokens_rem"),
+        coalesce(col("rem_set_md5"), lit("")).as("rem_set_md5"))
+      .orderBy("lang")
+  }
+
   /** q95: cross-source duplicate overlap — for every pair of sources, how
     * many distinct content fingerprints they share, and the Jaccard of
     * their fingerprint sets: the crawl-health matrix that tells a curation
@@ -391,7 +429,8 @@ object Curation {
     "q95_source_overlap" -> q95_source_overlap,
     "q97_novelty_curve" -> q97_novelty_curve,
     "q98_sampling_plan" -> q98_sampling_plan,
-    "q122_mix_execute" -> q122_mix_execute)
+    "q122_mix_execute" -> q122_mix_execute,
+    "q123_epoch_plan" -> q123_epoch_plan)
 
   val oracle: Map[String, String] = Map(
     "q78_seq_packing" -> withDocs(
@@ -547,5 +586,49 @@ object Curation {
          |SELECT lang, target_tokens, CAST(count(*) AS BIGINT) AS n_docs_sel,
          |       CAST(sum(n_tokens) AS BIGINT) AS tokens_sel,
          |       md5(string_agg(h, '' ORDER BY h)) AS set_md5
-         |FROM sel GROUP BY lang, target_tokens ORDER BY lang""".stripMargin))
+         |FROM sel GROUP BY lang, target_tokens ORDER BY lang""".stripMargin),
+    "q123_epoch_plan" -> withDocs(
+      s""", counts AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(len(words)) AS BIGINT) AS n_tokens
+         |  FROM docs GROUP BY lang),
+         |denom AS (
+         |  SELECT list_aggregate(list_transform(list(n_docs ORDER BY lang),
+         |           x -> sqrt(CAST(x AS DOUBLE))), 'sum') AS dn
+         |  FROM counts),
+         |plan AS (
+         |  SELECT lang, n_tokens AS available_tokens,
+         |         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / dn * 100000 + 0.5)
+         |           AS BIGINT) AS target_tokens
+         |  FROM counts, denom),
+         |plan2 AS (
+         |  SELECT *, CAST(floor(CAST(target_tokens AS DOUBLE) / available_tokens)
+         |              AS BIGINT) AS full_epochs
+         |  FROM plan),
+         |plan3 AS (
+         |  SELECT *, target_tokens - full_epochs * available_tokens AS rem_target
+         |  FROM plan2),
+         |h AS (
+         |  SELECT lang, md5('mix:' || CAST(doc_id AS VARCHAR)) AS h,
+         |         CAST(len(words) AS BIGINT) AS n_tokens
+         |  FROM docs),
+         |c AS (
+         |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY h
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            - n_tokens AS cum_before
+         |  FROM h),
+         |sel AS (
+         |  SELECT c.* , p.rem_target FROM c JOIN plan3 p USING (lang)
+         |  WHERE cum_before < rem_target),
+         |rem AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_rem,
+         |         CAST(sum(n_tokens) AS BIGINT) AS tokens_rem,
+         |         md5(string_agg(h, '' ORDER BY h)) AS rem_set_md5
+         |  FROM sel GROUP BY lang)
+         |SELECT p.lang, p.target_tokens, p.available_tokens, p.full_epochs,
+         |       p.rem_target,
+         |       CAST(coalesce(r.n_docs_rem, 0) AS BIGINT) AS n_docs_rem,
+         |       CAST(coalesce(r.tokens_rem, 0) AS BIGINT) AS tokens_rem,
+         |       coalesce(r.rem_set_md5, '') AS rem_set_md5
+         |FROM plan3 p LEFT JOIN rem r USING (lang) ORDER BY p.lang""".stripMargin))
 }

@@ -319,6 +319,26 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       "und" -> ((10L, 33333L, 1L))))
   }
 
+  test("q123: covered languages take a partial pass; oversampled ones repeat") {
+    // the q98 corpus: en covered (target 66667 < 68000 available →
+    // full_epochs 0, remainder = its q122 selection), und oversampled
+    // (target 33333 over 10 tokens → 3333 whole epochs + 3-token rest,
+    // which one 10-token doc straddles)
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val dir = writeMiniDocsLang(Seq(
+      (0L, words(17000), "en"), (1L, words(17000), "en"),
+      (2L, words(17000), "en"), (3L, words(17000), "en"),
+      (4L, words(10), "und")))
+    val got = Curation.q123_epoch_plan(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("full_epochs"), r.getAs[Long]("rem_target"),
+          r.getAs[Long]("n_docs_rem"), r.getAs[Long]("tokens_rem")))
+      .toMap
+    assert(got("und") == ((3333L, 3L, 1L, 10L)))
+    val (enEpochs, enRem, enDocs, enToks) = got("en")
+    assert(enEpochs == 0L && enRem == 66667L && enDocs == 4L && enToks == 68000L)
+  }
+
   test("selectToBudget: two-phase running sum equals one global window; straddler included") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
