@@ -348,6 +348,13 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
     assert(liveKeys() == Set(2L, 3L))
     assert(md5s(new java.io.File(s"$wh/v=$v3/t")) == md5s(new java.io.File(s"$wh/v=$v1/t")))
 
+    // the 100 TB contract: the kilobyte sidecar broadcasts, the base
+    // scan never shuffles for the anti-join — pinned on the plan
+    val tree = StarBuilder.readAt(spark, wh, "t", Some(v3))
+      .queryExecution.sparkPlan.treeString
+    assert(tree.contains("BroadcastHashJoin") && tree.contains("LeftAnti"),
+      s"DV application should be a broadcast anti-join:\n$tree")
+
     // compaction folds the sidecar into a real rewrite: no _dv in the
     // new version, physical rows == live rows, content unchanged
     val v4 = StarBuilder.compactVersioned(spark, wh, targetBytes = 1L << 30)
