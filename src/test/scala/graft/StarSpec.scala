@@ -364,6 +364,29 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
     assert(liveKeys(Some(v3)) == Set(2L, 3L)) // DV version still serves
   }
 
+  test("CDC over a deletion-vector transition: the feed is exactly the deleted rows") {
+    import spark.implicits._
+    import graft.etl.StarBuilder
+    // the two lakehouse features compose: snapshotDiff reads both sides
+    // through readAt, so a deleteWhere version boundary surfaces as a
+    // pure-delete change feed carrying the deleted rows' old images
+    val wh = java.nio.file.Files.createTempDirectory("graft_dv_cdc").toString
+    val v1 = StarBuilder.writeTableVersioned(
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "x"), wh, "t")
+    val v2 = StarBuilder.deleteWhere(spark, wh, "t", col("x") < 2.5)
+    val feed = StarBuilder.snapshotDiff(spark, wh, "t", v1, v2, Seq("k"))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"),
+        r.getAs[Double]("old_x"))).sortBy(_._1)
+    assert(feed.toSeq == Seq((1L, "delete", 1.0), (2L, "delete", 2.0)))
+    // and applying that feed to the pinned pre-delete snapshot yields
+    // the live post-delete view — CDC replays a DV delete faithfully
+    val applied = StarBuilder.applyChanges(
+        StarBuilder.readAt(spark, wh, "t", Some(v1)),
+        StarBuilder.snapshotDiff(spark, wh, "t", v1, v2, Seq("k")), Seq("k"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("x")).toMap
+    assert(applied == Map(3L -> 3.0))
+  }
+
   test("compactVersioned commits a packed snapshot; vacuum drops versions marker-first") {
     import graft.etl.StarBuilder
     // the real sf0.001 star: the salted fact write spreads each year
