@@ -321,6 +321,34 @@ object StarBuilder {
         case _: java.nio.file.FileAlreadyExistsException => v += 1
       }
     }
+    commitMarker(warehouse, v)
+  }
+
+  /** Publish a staging dir as EXACTLY version `v` — the commit primitive
+    * for read-modify-write writers ([[deleteWhere]], [[compactVersioned]],
+    * the streaming CDC sink), whose staged content DERIVES from the
+    * version they read: claiming "the next free number" after a
+    * concurrent commit would silently erase that commit from the latest
+    * view (a lost update). A full-refresh writer's snapshot is
+    * self-contained, so [[publishSnapshot]]'s claim-next-free stays
+    * correct there. On conflict the staging dir is deleted and a
+    * ConcurrentModificationException asks the caller to re-read and
+    * retry — optimistic concurrency, the Delta/Iceberg commit rule. */
+  private def publishSnapshotExactly(warehouse: String, txn: java.io.File,
+      v: Long): Long = {
+    try java.nio.file.Files.move(txn.toPath,
+      new java.io.File(warehouse, s"v=$v").toPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Compact.deleteRecursively(txn)
+        throw new java.util.ConcurrentModificationException(
+          s"version $v of $warehouse was claimed by a concurrent writer " +
+            "since this read-modify-write began; re-read latest and retry")
+    }
+    commitMarker(warehouse, v)
+  }
+
+  private def commitMarker(warehouse: String, v: Long): Long = {
     val log = new java.io.File(s"$warehouse/_log")
     log.mkdirs()
     java.nio.file.Files.createFile(new java.io.File(log, s"$v.commit").toPath)
@@ -352,20 +380,32 @@ object StarBuilder {
       if (dvDir(srcRoot, t.getName).isDirectory) {
         // a deletion-vector sidecar addresses rows by (file, position):
         // any repack would break those addresses, so compaction is where
-        // deletes MATERIALIZE — rewrite the live view, drop the sidecar
-        val bytes = Compact.leafDirs(t)
-          .flatMap(l => Compact.dataFiles(l)).map(_.length()).sum
-        val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-        applyDv(spark, srcRoot, t.getName).repartition(nOut)
+        // deletes MATERIALIZE — rewrite the live view, drop the sidecar.
+        // Output sizing scales the physical bytes by the live-row
+        // fraction (a mostly-deleted table must not keep its pre-delete
+        // file count), and a `k=v` directory layout is preserved via
+        // partitionBy so partition pruning survives the rewrite.
+        val leaves = Compact.leafDirs(t)
+        val bytes = leaves.flatMap(l => Compact.dataFiles(l)).map(_.length()).sum
+        val partCols = srcRoot.toPath.relativize(leaves.head.toPath).toString
+          .split("/").drop(1).filter(_.contains("=")).map(_.split("=", 2)(0)).toSeq
+        val live = applyDv(spark, srcRoot, t.getName).localCheckpoint(true)
+        val physRows = math.max(1L, spark.read.parquet(t.toString).count())
+        val liveBytes = bytes * live.count() / physRows
+        val nOut = math.max(1L, (liveBytes + targetBytes - 1) / targetBytes).toInt
+        val writer = (if (partCols.isEmpty) live.repartition(nOut)
+          else live.repartition(nOut, partCols.map(col): _*))
           .write.mode("overwrite")
           .option("parquet.block.size", blockSize.toString)
+        (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
           .parquet(new java.io.File(txn, t.getName).toString)
       } else Compact.leafDirs(t).foreach { leaf =>
         val rel = srcRoot.toPath.relativize(leaf.toPath).toString
         Compact.packInto(spark, leaf, new java.io.File(txn, rel), targetBytes, blockSize)
       }
     }
-    publishSnapshot(warehouse, txn)
+    // compaction derives from v=cur: same lost-update rule as deleteWhere
+    publishSnapshotExactly(warehouse, txn, cur + 1)
   }
 
   /** Retention sweep: keep the newest `keep` committed versions, drop
@@ -427,17 +467,28 @@ object StarBuilder {
         "/v=[0-9]+/" + java.util.regex.Pattern.quote(table) + "/(.*)$", 1).as("_file"),
       col("_metadata.row_index").as("_pos"))
 
-  /** The live view of a DV-carrying table: base rows anti-joined
-    * against the sidecar on the (file, pos) row address. The sidecar is
-    * deletes-sized — tiny next to the table — so the anti-join
-    * broadcasts and the base scan itself never shuffles. */
-  private def applyDv(spark: SparkSession, versionRoot: java.io.File,
+  /** The live rows of a (possibly DV-carrying) table, still carrying
+    * their `_file`/`_pos` row addresses: base rows anti-joined against
+    * the sidecar on the (file, pos) address — ONE definition shared by
+    * the read path ([[applyDv]]) and the delete path ([[deleteWhere]]),
+    * so the address-matching semantics cannot drift between them. The
+    * sidecar is deletes-sized — tiny next to the table — so the
+    * anti-join is HINTED broadcast (a session with auto-broadcast off
+    * must not shuffle the base on (_file, _pos)). */
+  private def liveWithRowId(spark: SparkSession, versionRoot: java.io.File,
       table: String): DataFrame = {
     val base = withRowId(spark, versionRoot, table)
-    val dv = spark.read.parquet(dvDir(versionRoot, table).toString)
-    base.join(dv, base("_file") === dv("file") && base("_pos") === dv("pos"), "left_anti")
-      .drop("_file", "_pos")
+    if (!dvDir(versionRoot, table).isDirectory) base
+    else {
+      val dv = spark.read.parquet(dvDir(versionRoot, table).toString)
+      base.join(broadcast(dv),
+        base("_file") === dv("file") && base("_pos") === dv("pos"), "left_anti")
+    }
   }
+
+  private def applyDv(spark: SparkSession, versionRoot: java.io.File,
+      table: String): DataFrame =
+    liveWithRowId(spark, versionRoot, table).drop("_file", "_pos")
 
   /** Row-level DELETE via deletion vectors — the Iceberg-v2/Delta-DV
     * write path: rows matching `predicate` are soft-deleted by
@@ -469,18 +520,18 @@ object StarBuilder {
       if (dvDir(srcRoot, table).isDirectory)
         spark.read.parquet(dvDir(srcRoot, table).toString)
       else Seq.empty[(String, Long)].toDF("file", "pos")
-    val base = withRowId(spark, srcRoot, table)
-    val live = base.join(oldDv,
-      base("_file") === oldDv("file") && base("_pos") === oldDv("pos"), "left_anti")
     val merged = oldDv.union(
-      live.where(predicate).select(col("_file").as("file"), col("_pos").as("pos")))
+      liveWithRowId(spark, srcRoot, table).where(predicate)
+        .select(col("_file").as("file"), col("_pos").as("pos")))
     val txn = stageDir(warehouse)
     copyTree(srcRoot, txn)
     // the merged sidecar still READS from the source version's files;
     // the overwrite only replaces the copied sidecar in the staging dir
     merged.coalesce(1).write.mode("overwrite")
       .parquet(new java.io.File(txn, s"_dv/$table").toString)
-    publishSnapshot(warehouse, txn)
+    // staged content derives from v=cur → commit exactly cur+1, or fail
+    // if a concurrent writer got there first (lost-update protection)
+    publishSnapshotExactly(warehouse, txn, cur + 1)
   }
 
   private def copyTree(src: java.io.File, dst: java.io.File): Unit =
@@ -499,6 +550,18 @@ object StarBuilder {
     val txn = stageDir(warehouse)
     df.write.mode("overwrite").parquet(new java.io.File(txn, table).toString)
     publishSnapshot(warehouse, txn)
+  }
+
+  /** [[writeTableVersioned]] for content DERIVED from version `from` (a
+    * CDC apply, any read-modify-write): commits exactly `from + 1`, or
+    * throws ConcurrentModificationException if a concurrent writer
+    * committed first — the staged derivation would silently erase that
+    * commit if it claimed the next free number instead. */
+  def writeTableVersionedFrom(df: DataFrame, warehouse: String, table: String,
+      from: Long): Long = {
+    val txn = stageDir(warehouse)
+    df.write.mode("overwrite").parquet(new java.io.File(txn, table).toString)
+    publishSnapshotExactly(warehouse, txn, from + 1)
   }
 
   /** Row-level diff of two frames sharing a key — the change-data-feed
@@ -530,13 +593,13 @@ object StarBuilder {
           s"(${keys.filterNot(df.columns.contains).mkString(", ")})")
     }
     val vals = (old.columns ++ neu.columns).distinct.filterNot(keys.contains).toSeq
+    val allTypes = (old.schema ++ neu.schema).map(f => f.name -> f.dataType).toMap
     def side(df: DataFrame, tag: String): DataFrame = {
-      val typesByName = df.schema.map(f => f.name -> f.dataType).toMap
+      val has = df.columns.toSet
       val aligned = vals.map { c =>
-        typesByName.get(c) match {
-          case Some(_) => col(c).as(s"${tag}_$c")
-          case None    => lit(null).as(s"${tag}_$c") // absent on this side
-        }
+        // absent on this side → a TYPED null (the other side's type), so
+        // the feed itself stays writable to parquet (void columns aren't)
+        (if (has(c)) col(c) else lit(null).cast(allTypes(c))).as(s"${tag}_$c")
       }
       df.select((keys.map(col) ++ aligned :+ lit(true).as(s"_${tag}_present")): _*)
     }
@@ -581,11 +644,16 @@ object StarBuilder {
       s"applyChanges: both sides need key columns (${keys.mkString(", ")})")
     require(feed.columns.contains("change_type"),
       "applyChanges: feed must be a tableDiff output (missing change_type)")
-    val feedVals = feed.columns.collect { case c if c.startsWith("new_") => c.drop(4) }.toSeq
+    // key columns are NOT prefix-scanned: a key literally named "new_x"
+    // must not conjure a phantom value column "x"
+    val feedVals = feed.columns.filterNot(keys.contains)
+      .collect { case c if c.startsWith("new_") => c.drop(4) }.toSeq
     val vals = (base.columns.filterNot(keys.contains) ++ feedVals).distinct.toSeq
+    val types = (base.schema.map(f => f.name -> f.dataType) ++
+      feed.schema.map(f => f.name.stripPrefix("new_") -> f.dataType)).toMap
     def aligned(df: DataFrame, has: String => Boolean, read: String => Column) =
       df.select(keys.map(col) ++ vals.map(c =>
-        (if (has(c)) read(c) else lit(null)).as(c)): _*)
+        (if (has(c)) read(c) else lit(null).cast(types(c))).as(c)): _*)
     val kept = aligned(base, base.columns.contains, col)
       .join(feed.select(keys.map(col): _*), keys, "left_anti")
     val upserts = aligned(feed.where(col("change_type") =!= "delete"),

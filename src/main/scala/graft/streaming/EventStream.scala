@@ -208,9 +208,26 @@ object EventStream {
       keys: Seq[String]): (DataFrame, Long) => Unit =
     (feedBatch, _) => if (!feedBatch.isEmpty) {
       import graft.etl.StarBuilder
-      val base = StarBuilder.readAt(feedBatch.sparkSession, warehouse, table, None)
-      StarBuilder.writeTableVersioned(
-        StarBuilder.applyChanges(base, feedBatch, keys), warehouse, table)
+      // the idempotence AND correctness arguments both assume one change
+      // per key per batch (tableDiff's contract): two changes for one key
+      // in a single batch have no defined order here, and blindly
+      // unioning both post-images would commit a duplicate-key version
+      // that stays time-travel-readable forever — fail loudly instead
+      val dup = feedBatch.groupBy(keys.map(col): _*).count()
+        .where(col("count") > 1).limit(1).count()
+      require(dup == 0L,
+        s"cdcApplySink: feed batch carries multiple changes for one key " +
+          s"(${keys.mkString(", ")}); collapse to one change per key per " +
+          "batch upstream (tableDiff feeds are key-unique by construction)")
+      // read-modify-write: pin the version we derive from and commit
+      // exactly its successor — a concurrent commit makes this batch
+      // fail (and replay after restart, idempotently) instead of
+      // silently erasing the other writer's version from the latest view
+      val cur = StarBuilder.latestVersion(warehouse).getOrElse(
+        throw new IllegalStateException(s"no committed version in $warehouse"))
+      val base = StarBuilder.readAt(feedBatch.sparkSession, warehouse, table, Some(cur))
+      StarBuilder.writeTableVersionedFrom(
+        StarBuilder.applyChanges(base, feedBatch, keys), warehouse, table, cur)
       ()
     }
 

@@ -358,6 +358,15 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       // an empty tick commits nothing
       sink(b2.take(0).toDF("k", "change_type", "old_x", "new_x"), 2L)
       assert(StarBuilder.committedVersions(wh) == Seq(1L, 2L, 3L, 4L))
+      // two changes for one key in a single batch have no defined order:
+      // the sink must refuse rather than commit a duplicate-key version
+      val dup = Seq(
+        (7L, "insert", Option.empty[Double], Option(70.0)),
+        (7L, "update", Option(70.0), Option(71.0)))
+      intercept[IllegalArgumentException] {
+        sink(dup.toDF("k", "change_type", "old_x", "new_x"), 3L)
+      }
+      assert(StarBuilder.committedVersions(wh) == Seq(1L, 2L, 3L, 4L))
     } finally query.stop()
   }
 

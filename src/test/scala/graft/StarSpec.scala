@@ -270,11 +270,44 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
       (1L, "a", Option(7L)),              // new col non-null → update
       (2L, "b", Option.empty[Long]))      // new col null ≡ old's absent-null → NO row
       .toDF("k", "s", "extra")
-    val got = tableDiff(old, neu, Seq("k")).collect()
+    val feed = tableDiff(old, neu, Seq("k"))
+    val got = feed.collect()
       .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_type"),
         Option(r.getAs[java.lang.Long]("old_extra")).map(_.longValue),
         Option(r.getAs[java.lang.Long]("new_extra")).map(_.longValue)))
     assert(got.toSeq == Seq((1L, "update", None, Some(7L))))
+    // the absent-side column is a TYPED null: the feed itself must be
+    // persistable (a void column would fail the parquet write)
+    val out = java.nio.file.Files.createTempDirectory("graft_feed").toString
+    feed.write.mode("overwrite").parquet(out)
+    assert(spark.read.parquet(out).count() == 1L)
+  }
+
+  test("applyChanges: a key column named new_* is not mistaken for a value column") {
+    import spark.implicits._
+    import graft.etl.StarBuilder.{applyChanges, tableDiff}
+    val base = Seq(("new_a", 1.0)).toDF("new_id", "x")
+    val neu = Seq(("new_a", 2.0), ("new_b", 3.0)).toDF("new_id", "x")
+    val applied = applyChanges(base, tableDiff(base, neu, Seq("new_id")), Seq("new_id"))
+    assert(applied.columns.toSeq == Seq("new_id", "x")) // no phantom "id"
+    assert(applied.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      == Map("new_a" -> 2.0, "new_b" -> 3.0))
+  }
+
+  test("read-modify-write commits refuse to paper over a concurrent claim") {
+    import spark.implicits._
+    import graft.etl.StarBuilder
+    val wh = java.nio.file.Files.createTempDirectory("graft_occ").toString
+    StarBuilder.writeTableVersioned(Seq((1L, 1.0)).toDF("k", "x"), wh, "t")
+    // another writer claims v=2 between this writer's read and commit
+    new java.io.File(s"$wh/v=2").mkdirs()
+    intercept[java.util.ConcurrentModificationException] {
+      StarBuilder.deleteWhere(spark, wh, "t", col("x") > 0.0)
+    }
+    // the failed attempt cleaned its staging dir and changed nothing
+    assert(!new java.io.File(wh).listFiles().exists(_.getName.startsWith(".txn_")))
+    assert(StarBuilder.committedVersions(wh) == Seq(1L))
+    assert(StarBuilder.readAt(spark, wh, "t", None).count() == 1L)
   }
 
   test("snapshotDiff resolves both sides through the version log") {
@@ -362,6 +395,24 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(s"$wh/v=$v4/t").count() == 2L)
     assert(liveKeys() == Set(2L, 3L))
     assert(liveKeys(Some(v3)) == Set(2L, 3L)) // DV version still serves
+  }
+
+  test("DV on a partitioned fact: compaction materializes and keeps the tahun layout") {
+    import graft.etl.StarBuilder
+    val wh = java.nio.file.Files.createTempDirectory("graft_dv_part").toString
+    StarBuilder.writeAllVersioned(spark, "/root/testdata/sf0.001", wh)
+    val pre = StarBuilder.readAt(spark, wh, "fact_nilai_mk", None).count()
+    StarBuilder.deleteWhere(spark, wh, "fact_nilai_mk", col("sks") < 10.0)
+    val live = StarBuilder.readAt(spark, wh, "fact_nilai_mk", None).count()
+    assert(live > 0 && live < pre)
+    val v = StarBuilder.compactVersioned(spark, wh, targetBytes = 1L << 30)
+    val factDir = new java.io.File(s"$wh/v=$v/fact_nilai_mk")
+    // the k=v partition layout survives the materializing rewrite —
+    // time-range partition pruning must not be lost to a compaction
+    assert(factDir.listFiles().exists(f => f.isDirectory && f.getName.startsWith("tahun=")))
+    assert(!new java.io.File(s"$wh/v=$v/_dv").exists())
+    assert(StarBuilder.readAt(spark, wh, "fact_nilai_mk", None).count() == live)
+    assert(spark.read.parquet(factDir.toString).count() == live) // deletes folded
   }
 
   test("CDC over a deletion-vector transition: the feed is exactly the deleted rows") {
