@@ -950,20 +950,57 @@ object Similarity {
     * projection/whitening pipeline consumes. Reuses the memoized
     * [[pcaFit]] for (mean, u₁, λ₁); pays 3 more narrow 64-group
     * aggregations. */
+  private val pca2FitMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Array[Double], Double)]
+
+  /** The deflated (second-component) fit q118 reports and q124
+    * projects with — memoized like [[pcaFit]] (one corpus pass set per
+    * session, the BPE-trainer pattern). */
+  private def pca2Fit(s: SparkSession, d: String): (Array[Double], Double) =
+    pca2FitMemo.getOrElseUpdate((s, d), {
+      val (mean, u1, l1) = pcaFit(s, d)
+      val vecs64 = pcaVecs(s, d)
+      val centered = centeredExpr(mean)
+      var u = Array.fill(pcaDims)(0.125)
+      var lambda2 = 0.0
+      for (_ <- 1 to pcaIters) {
+        val wr = powerStepW(vecs64, centered, u)
+        val f = l1 * dotD(u1, u)
+        val w = Array.tabulate(pcaDims)(j => wr(j) - f * u1(j))
+        lambda2 = dotD(u, w)
+        u = normalized(w)
+      }
+      (canonicalized(u), lambda2)
+    })
+
   lazy val q118_pca_deflate: Q = (s, d) => {
-    val (mean, u1, l1) = pcaFit(s, d)
-    val vecs64 = pcaVecs(s, d)
-    val centered = centeredExpr(mean)
-    var u = Array.fill(pcaDims)(0.125)
-    var lambda2 = 0.0
-    for (_ <- 1 to pcaIters) {
-      val wr = powerStepW(vecs64, centered, u)
-      val f = l1 * dotD(u1, u)
-      val w = Array.tabulate(pcaDims)(j => wr(j) - f * u1(j))
-      lambda2 = dotD(u, w)
-      u = normalized(w)
-    }
-    pcaTop5Df(s, canonicalized(u), lambda2)
+    val (u2, lambda2) = pca2Fit(s, d)
+    pcaTop5Df(s, u2, lambda2)
+  }
+
+  /** q124: PCA TRANSFORM — the consuming half of the q116/q118 fit
+    * (fit without transform serves nobody): every embedding projected
+    * onto the canonical top-2 components, (c1, c2) = (cv·u₁, cv·u₂)
+    * over the centered vector. This is the whitening/visualization/
+    * coarse-bucketing input a pipeline actually materializes. Map-side
+    * only: the two component vectors are 64-double literals baked into
+    * a codegen'd [[graft.functions.VectorOps.dot]] projection — the
+    * corpus is read once and never shuffles (the final orderBy is the
+    * gate's determinism, not the operator). The gate hashes every
+    * row's rounded coordinates, so both engines must reconstruct the
+    * identical fit AND fold the identical projection. */
+  lazy val q124_pca_project: Q = (s, d) => {
+    val (mean, _, _) = pcaFit(s, d)
+    val u1 = pcaFit(s, d)._2
+    val (u2, _) = pca2Fit(s, d)
+    val cv = centeredExpr(mean)
+    s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .where(size(col("v")) === pcaDims)
+      .select(col("vec_id"),
+        graft.etl.Star.round4(dot(cv, typedLit(u1.toSeq))).as("c1"),
+        graft.etl.Star.round4(dot(cv, typedLit(u2.toSeq))).as("c2"))
+      .orderBy("vec_id")
   }
 
   /** q117: VARIANCE EXPLAINED by the top principal direction — the
@@ -1066,7 +1103,8 @@ object Similarity {
     "q114_pq_index_recall" -> q114_pq_index_recall,
     "q116_pca_power" -> q116_pca_power,
     "q117_pca_variance" -> q117_pca_variance,
-    "q118_pca_deflate" -> q118_pca_deflate)
+    "q118_pca_deflate" -> q118_pca_deflate,
+    "q124_pca_project" -> q124_pca_project)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -1318,6 +1356,26 @@ object Similarity {
        |         FROM dw$i)""".stripMargin
   }
 
+  /** The q118 deflation chain up through the canonicalized second
+    * component — shared by the q118 report and the q124 projection. */
+  private lazy val pcaDeflCtes: String =
+    s"""$pcaFitCtes,
+       |lload AS (
+       |  SELECT CAST(dim AS BIGINT) AS dim, u.u[CAST(dim AS INT)] AS x
+       |  FROM u$pcaIters u, (SELECT unnest(range(1, ${pcaDims + 1})) AS dim) dl1),
+       |lheavy AS (SELECT x AS hx FROM lload ORDER BY abs(x) DESC, dim ASC LIMIT 1),
+       |u1c AS (SELECT list_transform(u.u, x -> CASE WHEN h.hx < 0 THEN -x ELSE x END) AS u
+       |        FROM u$pcaIters u, lheavy h),
+       |${(1 to pcaIters).map(pcaDeflIterCte).mkString(",\n")},
+       |dlam AS (SELECT list_dot_product(u.u, w.w) AS lambda2
+       |         FROM du${pcaIters - 1} u, dw$pcaIters w),
+       |load2 AS (
+       |  SELECT CAST(dim AS BIGINT) AS dim, u.u[CAST(dim AS INT)] AS x
+       |  FROM du$pcaIters u, (SELECT unnest(range(1, ${pcaDims + 1})) AS dim) dl2),
+       |heavy2 AS (SELECT x AS hx FROM load2 ORDER BY abs(x) DESC, dim ASC LIMIT 1),
+       |canon2 AS (SELECT dim, CASE WHEN hx < 0 THEN -x ELSE x END AS x
+       |           FROM load2, heavy2)""".stripMargin
+
   /** The IVFPQ recall oracle, shared verbatim by q110 (in-memory) and
     * q114 (served from the persisted index): coarse probes prune
     * candidates, ADC ranks them, recall vs the exact top-5 per query. */
@@ -1502,22 +1560,7 @@ object Similarity {
          |       END AS var_explained
          |FROM tot, lam""".stripMargin,
     "q118_pca_deflate" ->
-      s"""WITH $pcaFitCtes,
-         |lload AS (
-         |  SELECT CAST(dim AS BIGINT) AS dim, u.u[CAST(dim AS INT)] AS x
-         |  FROM u$pcaIters u, (SELECT unnest(range(1, ${pcaDims + 1})) AS dim) dl1),
-         |lheavy AS (SELECT x AS hx FROM lload ORDER BY abs(x) DESC, dim ASC LIMIT 1),
-         |u1c AS (SELECT list_transform(u.u, x -> CASE WHEN h.hx < 0 THEN -x ELSE x END) AS u
-         |        FROM u$pcaIters u, lheavy h),
-         |${(1 to pcaIters).map(pcaDeflIterCte).mkString(",\n")},
-         |dlam AS (SELECT list_dot_product(u.u, w.w) AS lambda2
-         |         FROM du${pcaIters - 1} u, dw$pcaIters w),
-         |load2 AS (
-         |  SELECT CAST(dim AS BIGINT) AS dim, u.u[CAST(dim AS INT)] AS x
-         |  FROM du$pcaIters u, (SELECT unnest(range(1, ${pcaDims + 1})) AS dim) dl2),
-         |heavy2 AS (SELECT x AS hx FROM load2 ORDER BY abs(x) DESC, dim ASC LIMIT 1),
-         |canon2 AS (SELECT dim, CASE WHEN hx < 0 THEN -x ELSE x END AS x
-         |           FROM load2, heavy2),
+      s"""WITH $pcaDeflCtes,
          |top2 AS (
          |  SELECT CAST(row_number() OVER (ORDER BY abs(x) DESC, dim ASC) AS BIGINT)
          |           AS rank, dim, x
@@ -1525,6 +1568,21 @@ object Similarity {
          |SELECT rank, dim, ${round4Sql("x")} AS loading,
          |       ${round4Sql("lambda2")} AS eigenvalue
          |FROM top2, dlam WHERE rank <= 5 ORDER BY rank""".stripMargin,
+    // projection: both components reconstructed by the exact q116/q118
+    // chains, then one list_dot_product per (row, component)
+    "q124_pca_project" ->
+      s"""WITH $pcaDeflCtes,
+         |u2c AS (SELECT list(x ORDER BY dim) AS u FROM canon2),
+         |vid AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE len(embedding) = $pcaDims),
+         |cvid AS (
+         |  SELECT vec_id, list_transform(range(1, ${pcaDims + 1}),
+         |           i -> v[CAST(i AS INT)] - m[CAST(i AS INT)]) AS cv
+         |  FROM vid, mean)
+         |SELECT vec_id, ${round4Sql("list_dot_product(cv, u1c.u)")} AS c1,
+         |       ${round4Sql("list_dot_product(cv, u2c.u)")} AS c2
+         |FROM cvid, u1c, u2c ORDER BY vec_id""".stripMargin,
     "q36_knn_brute" ->
       s"""WITH $vecsCte, $bruteCte
          |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine

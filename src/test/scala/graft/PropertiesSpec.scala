@@ -176,6 +176,27 @@ class PropertiesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("two compiled vector expressions share one projection without codegen collision") {
+    import spark.implicits._
+    import graft.functions.VectorOps
+    // regression: DotProduct/SquaredL2 used fixed local names (n/acc/i) in
+    // doGenCode — two instances in ONE projection (q124's c1/c2 was the
+    // first) generated colliding locals and silently fell back to the
+    // interpreter. fallback=false turns that silent downgrade into a test
+    // failure.
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0), Seq(5.0, 6.0)))
+        .toDF("v", "a", "b")
+        .select(VectorOps.dot(col("v"), col("a")).as("d1"),
+          VectorOps.dot(col("v"), col("b")).as("d2"),
+          VectorOps.squaredL2(col("a"), col("b")).as("l2"))
+      val r = df.collect().head
+      assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 17.0 && r.getDouble(2) == 8.0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("SquaredL2 equals the HOF fold for random vector pairs") {
     import spark.implicits._
     import graft.functions.VectorOps
