@@ -990,16 +990,24 @@ object Similarity {
     * row's rounded coordinates, so both engines must reconstruct the
     * identical fit AND fold the identical projection. */
   lazy val q124_pca_project: Q = (s, d) => {
-    val (mean, _, _) = pcaFit(s, d)
-    val u1 = pcaFit(s, d)._2
+    val (mean, u1, _) = pcaFit(s, d)
     val (u2, _) = pca2Fit(s, d)
-    val cv = centeredExpr(mean)
+    val (u1L, u2L) = (typedLit(u1.toSeq), typedLit(u2.toSeq))
     s.read.parquet(s"$d/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .where(size(col("v")) === pcaDims)
+      .withColumn("cv", centeredExpr(mean))
+      .withColumn("d1", dot(col("cv"), u1L))
+      .withColumn("d2", dot(col("cv"), u2L))
+      // rank-2 reconstruction d1·u1 + d2·u2; err = ‖cv − recon‖² is what
+      // the projection DISCARDS per vector (the row-level complement of
+      // q117's corpus-level scree ratio)
+      .withColumn("recon", transform(sequence(lit(1), lit(pcaDims)),
+        j => col("d1") * element_at(u1L, j) + col("d2") * element_at(u2L, j)))
       .select(col("vec_id"),
-        graft.etl.Star.round4(dot(cv, typedLit(u1.toSeq))).as("c1"),
-        graft.etl.Star.round4(dot(cv, typedLit(u2.toSeq))).as("c2"))
+        graft.etl.Star.round4(col("d1")).as("c1"),
+        graft.etl.Star.round4(col("d2")).as("c2"),
+        graft.etl.Star.round4(l2sq(col("cv"), col("recon"))).as("err"))
       .orderBy("vec_id")
   }
 
@@ -1579,10 +1587,20 @@ object Similarity {
          |cvid AS (
          |  SELECT vec_id, list_transform(range(1, ${pcaDims + 1}),
          |           i -> v[CAST(i AS INT)] - m[CAST(i AS INT)]) AS cv
-         |  FROM vid, mean)
-         |SELECT vec_id, ${round4Sql("list_dot_product(cv, u1c.u)")} AS c1,
-         |       ${round4Sql("list_dot_product(cv, u2c.u)")} AS c2
-         |FROM cvid, u1c, u2c ORDER BY vec_id""".stripMargin,
+         |  FROM vid, mean),
+         |proj AS (
+         |  SELECT vec_id, cv,
+         |         list_dot_product(cv, u1c.u) AS d1,
+         |         list_dot_product(cv, u2c.u) AS d2,
+         |         u1c.u AS w1, u2c.u AS w2
+         |  FROM cvid, u1c, u2c)
+         |SELECT vec_id, ${round4Sql("d1")} AS c1, ${round4Sql("d2")} AS c2,
+         |       ${round4Sql(
+             """list_aggregate(list_transform(range(1, 65),
+               |           i -> (cv[CAST(i AS INT)] - (d1*w1[CAST(i AS INT)] + d2*w2[CAST(i AS INT)]))
+               |              * (cv[CAST(i AS INT)] - (d1*w1[CAST(i AS INT)] + d2*w2[CAST(i AS INT)]))),
+               |           'sum')""".stripMargin)} AS err
+         |FROM proj ORDER BY vec_id""".stripMargin,
     "q36_knn_brute" ->
       s"""WITH $vecsCte, $bruteCte
          |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine
