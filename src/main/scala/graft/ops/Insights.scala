@@ -300,7 +300,45 @@ object Insights {
     Star.semesterFact(s, d).select("student", "tahun", "semester", "rep_huruf")
       .orderBy("student", "tahun", "semester")
 
+  /** q125: cohort percentile standings — the distribution-rank trio
+    * (`ntile`, `percent_rank`, `cume_dist`) the 29 reference queries
+    * never reach (they stop at rank/lag): per enrollment year, students
+    * rank by year-GPA into deciles, and each decile reports its size,
+    * GPA bounds, and the boundary (top) student's percent_rank and
+    * cume_dist. Determinism: the ranking ORDER BY is the unique
+    * (gpa, student) pair, so ntile bucket assignment and the two
+    * distribution functions are total-order-defined in both engines; the
+    * boundary row is selected by row_number = 1 (no float aggregation —
+    * averaging percent_ranks would sum doubles in shuffle order). Scale:
+    * the windows partition by tahun (and decile) over the per-(student,
+    * year) AGGREGATE — one row per student-year, not per event; at 100 TB
+    * a single year's cohort is still millions of rows through one sort
+    * task, so the scale path is the q122 two-phase shape (bucket by gpa
+    * range, cumulate bucket counts driver-side); this query states the
+    * semantics the two-phase form must reproduce. */
+  val q125_gpa_percentiles: Q = (s, d) => {
+    val yearly = Star.fact(s, d).groupBy("student", "tahun")
+      .agg(round2(sum(col("sks") * col("bobot")) / sum(col("sks"))).as("gpa"))
+    val w = Window.partitionBy("tahun").orderBy(col("gpa"), col("student"))
+    val wd = Window.partitionBy("tahun", "decile")
+    val wdTop = wd.orderBy(col("gpa").desc, col("student").desc)
+    yearly
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("rn", row_number().over(wdTop))
+      .withColumn("n_students", count(lit(1)).over(wd))
+      .withColumn("lo_gpa", min("gpa").over(wd))
+      .withColumn("hi_gpa", max("gpa").over(wd))
+      .where(col("rn") === 1)
+      .select(col("tahun"), col("decile"), col("n_students"),
+        col("lo_gpa"), col("hi_gpa"),
+        Star.round4(col("pr")).as("top_pr"), Star.round4(col("cd")).as("top_cd"))
+      .orderBy("tahun", "decile")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q125_gpa_percentiles" -> q125_gpa_percentiles,
     "q30_rep_grade" -> q30_rep_grade,
     "q01_avg_ipk" -> q01_avg_ipk,
     "q02_top10_ipk" -> q02_top10_ipk,
@@ -334,6 +372,29 @@ object Insights {
   )
 
   val oracle: Map[String, String] = Map(
+    "q125_gpa_percentiles" -> withFact(
+      s""", yearly AS (
+         |  SELECT student, tahun, ${round2Sql("sum(sks*bobot) / sum(sks)")} AS gpa
+         |  FROM fact GROUP BY student, tahun),
+         |rk AS (
+         |  SELECT student, tahun, gpa,
+         |         CAST(ntile(10) OVER w AS BIGINT) AS decile,
+         |         percent_rank() OVER w AS pr,
+         |         cume_dist() OVER w AS cd
+         |  FROM yearly
+         |  WINDOW w AS (PARTITION BY tahun ORDER BY gpa, student)),
+         |agg AS (
+         |  SELECT *,
+         |         row_number() OVER (PARTITION BY tahun, decile
+         |                            ORDER BY gpa DESC, student DESC) AS rn,
+         |         CAST(count(*) OVER (PARTITION BY tahun, decile) AS BIGINT)
+         |           AS n_students,
+         |         min(gpa) OVER (PARTITION BY tahun, decile) AS lo_gpa,
+         |         max(gpa) OVER (PARTITION BY tahun, decile) AS hi_gpa
+         |  FROM rk)
+         |SELECT tahun, decile, n_students, lo_gpa, hi_gpa,
+         |       ${Star.round4Sql("pr")} AS top_pr, ${Star.round4Sql("cd")} AS top_cd
+         |FROM agg WHERE rn = 1 ORDER BY tahun, decile""".stripMargin),
     // max_by ties are impossible here: gradeWeights is injective (distinct
     // weights), so equal bobot within a group implies equal huruf — both
     // engines' otherwise-arbitrary tie choice cannot differ.

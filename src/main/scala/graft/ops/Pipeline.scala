@@ -44,6 +44,24 @@ object Pipeline {
         |ORDER BY gid ASC, tahun ASC NULLS FIRST, semester ASC NULLS FIRST""".stripMargin)
   }
 
+  /** q126: CUBE over the same hierarchy — the grouping-sets surface q56's
+    * ROLLUP doesn't reach: CUBE adds the (semester)-only slice (every
+    * semester across years), the cross-tab a reporting layer actually
+    * pivots on. Same SQL-path rationale as q56; the gid disambiguates the
+    * four grouping sets in both engines. */
+  val q126_star_cube: Q = (s, d) => {
+    Star.fact(s, d).createOrReplaceTempView("graft_fact_v")
+    s.sql(
+      """SELECT CAST(grouping_id() AS BIGINT) AS gid,
+        |       tahun, semester,
+        |       count(*) AS n,
+        |       sum(sks) AS sum_sks,
+        |       sum(bobot_matkul) AS sum_bm
+        |FROM graft_fact_v
+        |GROUP BY CUBE (tahun, semester)
+        |ORDER BY gid ASC, tahun ASC NULLS FIRST, semester ASC NULLS FIRST""".stripMargin)
+  }
+
   /** q57: quality filter → dedup survivors → per-lang stats. */
   val q57_pipeline: Q = (s, d) => {
     val w = Window.partitionBy("fp").orderBy("doc_id")
@@ -236,6 +254,7 @@ object Pipeline {
 
   val queries: Map[String, Q] = Map(
     "q56_star_rollup" -> q56_star_rollup,
+    "q126_star_cube" -> q126_star_cube,
     "q57_pipeline" -> q57_pipeline,
     "q70_data_split" -> q70_data_split,
     "q100_split_funnel" -> q100_split_funnel,
@@ -252,6 +271,15 @@ object Pipeline {
         |       sum(bobot_matkul) AS sum_bm
         |FROM fact
         |GROUP BY ROLLUP (tahun, semester)
+        |ORDER BY gid ASC, tahun ASC NULLS FIRST, semester ASC NULLS FIRST""".stripMargin),
+    "q126_star_cube" -> withFact(
+      """SELECT CAST(GROUPING(tahun, semester) AS BIGINT) AS gid,
+        |       tahun, semester,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       sum(sks) AS sum_sks,
+        |       sum(bobot_matkul) AS sum_bm
+        |FROM fact
+        |GROUP BY CUBE (tahun, semester)
         |ORDER BY gid ASC, tahun ASC NULLS FIRST, semester ASC NULLS FIRST""".stripMargin),
     "q57_pipeline" -> withDocs(
       s""", ${TextStats.qualCte},
