@@ -553,6 +553,85 @@ object Dedup {
   private def spanDupFlagged(s: SparkSession, d: String): DataFrame =
     spanWindows(s, d).join(spanDupHashes(s, d), "h")
 
+  // ---------------------------------------------------------------------------
+  // Persisted span index — log-structured (LSM) incremental maintenance
+  // ---------------------------------------------------------------------------
+
+  /** A doc frame's per-window-hash occurrence counts — the index
+    * GENERATION unit. Counts, not the `occ > 1` flag: a hash unique in
+    * the base can become duplicated when a batch re-serves it, so the
+    * mergeable state is the count (sum-combinable), the flag is not. */
+  private def spanIndexRows(docs: DataFrame): DataFrame =
+    spanWindowsOf(docs).groupBy("h").agg(count(lit(1)).as("occ"))
+
+  /** Write generation 0 of the persisted span index: (h, occ) parquet
+    * partitioned by `gen` — the nightly base build. */
+  def writeSpanIndex(docs: DataFrame, out: String): Unit =
+    spanIndexRows(docs).withColumn("gen", lit(0L))
+      .write.mode("overwrite").partitionBy("gen").parquet(out)
+
+  /** Incremental span-index maintenance — the q107/`appendIvfIndex`
+    * pattern applied to the span family, with a twist: unlike IVF rows,
+    * counts for the SAME hash exist in base and batch, so rows can't
+    * simply append into a shared keyspace. The LSM answer: each batch
+    * lands as a NEW GENERATION (`gen=<n>` directory — the dynamic
+    * partitionBy append touches only that directory, base generation
+    * files are never rewritten; spec-asserted byte-identical), and
+    * [[readSpanIndex]] is merge-on-read. At 100 TB this is exactly how
+    * log-structured stores absorb writes: O(batch) per append, the
+    * merge cost deferred to reads and folded periodically by
+    * [[compactSpanIndex]]. */
+  def appendSpanIndex(docs: DataFrame, out: String, gen: Long): Unit = {
+    require(gen > 0, s"generation must be > 0 (0 is the base build); got $gen")
+    spanIndexRows(docs).withColumn("gen", lit(gen))
+      .write.mode("append").partitionBy("gen").parquet(out)
+  }
+
+  /** Merge-on-read over all generations: total occurrence count per
+    * hash — the frame whose `occ > 1` slice is the streaming probe's
+    * dup-hash set. One sum-aggregate shuffle on the 32-char hash key. */
+  def readSpanIndex(s: SparkSession, out: String): DataFrame =
+    s.read.parquet(out).groupBy("h").agg(sum("occ").as("occ"))
+
+  /** Major compaction: fold every generation into a fresh gen 0 —
+    * read-merge-rewrite, the LSM compaction that bounds read
+    * amplification. The merged frame is checkpointed BEFORE the
+    * overwrite (the rewrite reads the files it replaces); same in-place
+    * visibility caveat as [[graft.etl.Compact.compact]] — on the
+    * versioned warehouse this would commit as a snapshot instead. */
+  def compactSpanIndex(s: SparkSession, out: String): Unit =
+    readSpanIndex(s, out).localCheckpoint(true)
+      .withColumn("gen", lit(0L))
+      .write.mode("overwrite").partitionBy("gen").parquet(out)
+
+  /** q127: span-index STALENESS after an incremental append — q107's
+    * report for the span family. Base corpus (doc hash bucket < 50, the
+    * incremental-family convention) builds generation 0; the incoming
+    * batch (bucket ≥ 50) appends generation 1 WITHOUT touching base
+    * files; the report reads THROUGH the persisted index (gen 0 via
+    * partition pruning, the merge via [[readSpanIndex]]) and counts
+    * what the batch did to the dup set: `n_new_dups` is the hashes the
+    * append pushed over the occ > 1 line — spans that became
+    * boilerplate only once the batch re-served them, invisible to any
+    * batch-local dedup and exactly what the nightly index refresh
+    * exists to catch. The oracle recomputes all five counters from the
+    * raw documents with the same split. */
+  val q127_span_staleness: Q = (s, d) => {
+    val idx = graft.etl.StarBuilder.scratchDir(s, d, "spanidx")
+    val docs = docShingles(s, d)
+    writeSpanIndex(docs.where(idBucket(col("doc_id")) < 50), idx)
+    appendSpanIndex(docs.where(idBucket(col("doc_id")) >= 50), idx, gen = 1L)
+    val base = s.read.parquet(idx).where(col("gen") === 0L)
+      .select(col("h"), col("occ").as("occ0"))
+    readSpanIndex(s, idx).join(base, Seq("h"), "left").agg(
+      count(lit(1)).as("n_hashes"),
+      sum(when(col("occ0").isNotNull, 1L).otherwise(0L)).as("n_hashes_base"),
+      sum(when(col("occ0") > 1, 1L).otherwise(0L)).as("n_dup_base"),
+      sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_merged"),
+      sum(when(col("occ") > 1 && (col("occ0").isNull || col("occ0") <= 1), 1L)
+        .otherwise(0L)).as("n_new_dups"))
+  }
+
   /** q105: SPAN-level exact-substring dedup — the last rung of the dedup
     * ladder after document (q31–q34) and chunk (q66) granularity: find
     * verbatim repeated token spans (≥ [[spanK]] tokens) anywhere in the
@@ -765,7 +844,8 @@ object Dedup {
     "q89_incremental_neardup" -> q89_incremental_neardup,
     "q105_span_dedup" -> q105_span_dedup,
     "q112_span_excise" -> q112_span_excise,
-    "q113_span_excise_keep_first" -> q113_span_excise_keep_first)
+    "q113_span_excise_keep_first" -> q113_span_excise_keep_first,
+    "q127_span_staleness" -> q127_span_staleness)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -853,7 +933,34 @@ object Dedup {
        |dup AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
        |flg AS (SELECT w.doc_id, w.n_tokens, w.start FROM w JOIN dup USING (h))""".stripMargin
 
+  /** The q127 window CTE body, parameterized by the idBucket split. */
+  private def spanSplitCte(name: String, cond: String) =
+    s"""$name AS (
+       |  SELECT unnest(list_transform(range(1, len(words) - 6),
+       |           i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+       |                    words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
+       |                    words[i+6] || ' ' || words[i+7]))) AS h
+       |  FROM docs WHERE len(words) >= 8 AND ${idBucketSql("doc_id")} $cond)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q127_span_staleness" -> withDocs(
+      s""", ${spanSplitCte("wA", "< 50")},
+         |${spanSplitCte("wB", ">= 50")},
+         |cb AS (SELECT h, CAST(count(*) AS BIGINT) AS occ0 FROM wA GROUP BY h),
+         |cn AS (SELECT h, CAST(count(*) AS BIGINT) AS occn FROM wB GROUP BY h),
+         |m AS (
+         |  SELECT coalesce(cb.occ0, 0) + coalesce(cn.occn, 0) AS occ, cb.occ0
+         |  FROM cb FULL OUTER JOIN cn USING (h))
+         |SELECT CAST(count(*) AS BIGINT) AS n_hashes,
+         |       CAST(sum(CASE WHEN occ0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_hashes_base,
+         |       CAST(sum(CASE WHEN occ0 > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_dup_base,
+         |       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_dup_merged,
+         |       CAST(sum(CASE WHEN occ > 1 AND (occ0 IS NULL OR occ0 <= 1)
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_new_dups
+         |FROM m""".stripMargin),
     "q105_span_dedup" -> withDocs(
       s"""$spanWindowCtes,
          |led AS (

@@ -144,6 +144,47 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("span index LSM: append never rewrites base files; merge = recompute; compaction folds") {
+    import spark.implicits._
+    def md5s(dir: java.io.File): Map[String, String] =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map { f =>
+          f.getName -> java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+        }.toMap
+    val ws = (1 to 12).map(i => s"w$i")
+    // doc 1 and doc 2 (the batch) share their first 8-token window: the
+    // hash is UNIQUE in each side alone and duplicated only after merge
+    val base = Seq((1L, ws.take(9)), (3L, ws.drop(3))).toDF("doc_id", "words")
+    val batch = Seq((2L, ws.take(8))).toDF("doc_id", "words")
+    val out = java.nio.file.Files.createTempDirectory("graft_spanidx").toString
+    Dedup.writeSpanIndex(base, out)
+    val gen0 = md5s(new java.io.File(s"$out/gen=0"))
+    Dedup.appendSpanIndex(batch, out, gen = 1L)
+    // LSM contract: the base generation is byte-untouched by the append
+    assert(md5s(new java.io.File(s"$out/gen=0")) == gen0)
+    assert(new java.io.File(s"$out/gen=1").isDirectory)
+    def counts(): Map[String, Long] = Dedup.readSpanIndex(spark, out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = counts()
+    // merge-on-read equals a from-scratch rebuild over base ∪ batch
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_spanidx2").toString
+    Dedup.writeSpanIndex(base.unionByName(batch), rebuilt)
+    assert(merged == Dedup.readSpanIndex(spark, rebuilt).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    // the planted cross-generation dup: unique per side, dup after merge
+    val sharedH = java.security.MessageDigest.getInstance("MD5")
+      .digest(ws.take(8).mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(merged(sharedH) == 2L)
+    // major compaction folds generations without changing the counts
+    Dedup.compactSpanIndex(spark, out)
+    assert(counts() == merged)
+    assert(!new java.io.File(s"$out/gen=1").exists())
+  }
+
   test("connectedComponents: 200-node chain converges in O(log n) rounds, not O(diameter)") {
     import spark.implicits._
     // Worst case for plain min-label propagation: a path graph of diameter
