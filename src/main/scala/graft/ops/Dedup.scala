@@ -616,6 +616,23 @@ object Dedup {
     * batch-local dedup and exactly what the nightly index refresh
     * exists to catch. The oracle recomputes all five counters from the
     * raw documents with the same split. */
+  /** q128: the q105 report SERVED FROM the persisted span index — the
+    * q114-vs-q110 proof pattern: build the index (full corpus, gen 0),
+    * take the dup-hash set from the FILES via [[readSpanIndex]]'s
+    * merge-on-read (`occ > 1` — exactly what the nightly refresh
+    * publishes and the streaming probe joins), and run the same
+    * [[spanReport]] over windows flagged against it. Gated on q105's
+    * oracle VERBATIM: equality with the in-memory recompute is the
+    * proof the persisted artifact serves exactly what a full recompute
+    * would. */
+  val q128_span_index_report: Q = (s, d) => {
+    val idx = graft.etl.StarBuilder.scratchDir(s, d, "spanidx_full")
+    val docs = docShingles(s, d)
+    writeSpanIndex(docs, idx)
+    val dupFromFiles = readSpanIndex(s, idx).where(col("occ") > 1).select("h")
+    spanReport(spanWindowsOf(docs).join(dupFromFiles, "h"))
+  }
+
   val q127_span_staleness: Q = (s, d) => {
     val idx = graft.etl.StarBuilder.scratchDir(s, d, "spanidx")
     val docs = docShingles(s, d)
@@ -845,7 +862,8 @@ object Dedup {
     "q105_span_dedup" -> q105_span_dedup,
     "q112_span_excise" -> q112_span_excise,
     "q113_span_excise_keep_first" -> q113_span_excise_keep_first,
-    "q127_span_staleness" -> q127_span_staleness)
+    "q127_span_staleness" -> q127_span_staleness,
+    "q128_span_index_report" -> q128_span_index_report)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -942,6 +960,25 @@ object Dedup {
        |                    words[i+6] || ' ' || words[i+7]))) AS h
        |  FROM docs WHERE len(words) >= 8 AND ${idBucketSql("doc_id")} $cond)""".stripMargin
 
+  private lazy val spanReportSql: String = withDocs(
+      s"""$spanWindowCtes,
+         |led AS (
+         |  SELECT doc_id, n_tokens, start,
+         |         lead(start) OVER (PARTITION BY doc_id ORDER BY start) AS nxt
+         |  FROM flg),
+         |agg AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(count(*) AS BIGINT) AS n_dup_windows,
+         |         CAST(sum(CASE WHEN nxt IS NULL OR nxt - start > 8
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+         |         CAST(sum(CASE WHEN nxt IS NULL THEN 8
+         |                       ELSE least(8, nxt - start) END) AS BIGINT) AS tokens_removed
+         |  FROM led GROUP BY doc_id, n_tokens)
+         |SELECT doc_id, n_tokens, n_dup_windows, n_spans, tokens_removed,
+         |       ${round4Sql("CAST(tokens_removed AS DOUBLE) / CAST(n_tokens AS DOUBLE)")}
+         |         AS frac_removed
+         |FROM agg ORDER BY doc_id""".stripMargin)
+
   val oracle: Map[String, String] = Map(
     "q127_span_staleness" -> withDocs(
       s""", ${spanSplitCte("wA", "< 50")},
@@ -961,24 +998,10 @@ object Dedup {
          |       CAST(sum(CASE WHEN occ > 1 AND (occ0 IS NULL OR occ0 <= 1)
          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_new_dups
          |FROM m""".stripMargin),
-    "q105_span_dedup" -> withDocs(
-      s"""$spanWindowCtes,
-         |led AS (
-         |  SELECT doc_id, n_tokens, start,
-         |         lead(start) OVER (PARTITION BY doc_id ORDER BY start) AS nxt
-         |  FROM flg),
-         |agg AS (
-         |  SELECT doc_id, n_tokens,
-         |         CAST(count(*) AS BIGINT) AS n_dup_windows,
-         |         CAST(sum(CASE WHEN nxt IS NULL OR nxt - start > 8
-         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
-         |         CAST(sum(CASE WHEN nxt IS NULL THEN 8
-         |                       ELSE least(8, nxt - start) END) AS BIGINT) AS tokens_removed
-         |  FROM led GROUP BY doc_id, n_tokens)
-         |SELECT doc_id, n_tokens, n_dup_windows, n_spans, tokens_removed,
-         |       ${round4Sql("CAST(tokens_removed AS DOUBLE) / CAST(n_tokens AS DOUBLE)")}
-         |         AS frac_removed
-         |FROM agg ORDER BY doc_id""".stripMargin),
+    "q105_span_dedup" -> spanReportSql,
+    // q128 serves the same report FROM the persisted span index; the
+    // oracle IS q105's (the equality is the point, the q114 pattern)
+    "q128_span_index_report" -> spanReportSql,
     "q112_span_excise" -> withDocs(
       s"""$spanWindowCtes,
          |led AS (
