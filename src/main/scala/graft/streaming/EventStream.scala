@@ -23,6 +23,15 @@ case class PackAssign(lang: String, shard: Long, doc_id: Long, seq_id: Long)
 /** Per-(lang, shard) packing state: tokens emitted so far. */
 case class PackState(cum: Long)
 
+/** One typed event entering the streaming funnel ([[EventStream.funnelStream]]). */
+case class FunnelEv(user_id: Long, event_type: String, es: Long)
+
+/** Per-user funnel state: first-occurrence timestamp of each stage type. */
+case class FunnelState(tView: Option[Long], tClick: Option[Long], tPurchase: Option[Long])
+
+/** A user's current funnel stage (0 = not entered, 3 = fully converted). */
+case class FunnelStage(user_id: Long, stage: Long)
+
 /** Structured Streaming forms of the event operators (the reference is
   * batch-only — SURVEY.md §2.5 records "streaming: none" — so these are
   * north-star surface: readStream → transform → writeStream shapes,
@@ -292,6 +301,44 @@ object EventStream {
           }
           state.update(PackState(cum))
           out.iterator
+      }
+  }
+
+  /** Streaming funnel — the stateful twin of batch q73's ordered
+    * conversion funnel: per user, track the FIRST-occurrence timestamp
+    * of each stage type and emit the user's current stage after every
+    * micro-batch that touches them (`mapGroupsWithState` + Update mode:
+    * a dashboard upserts by user_id). Min-chaining semantics identical
+    * to batch q73 — a stage counts only if its first occurrence is
+    * strictly after the previous stage's first occurrence — and because
+    * the state is the three FIRST timestamps (not the running verdict),
+    * out-of-order arrivals converge to the batch answer: a late early
+    * click lowers t_click and the next emission re-evaluates the chain.
+    * State per user is three Options — O(1), the streaming-funnel
+    * contract; at scale state partitions by user_id via the groupByKey
+    * shuffle. EventStreamSpec proves final-snapshot parity with batch
+    * q73's per-user staging on an out-of-order two-batch ingest. */
+  def funnelStream(events: Dataset[FunnelEv]): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelStage](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          batch.foreach { e =>
+            def first(cur: Option[Long]) = Some(cur.fold(e.es)(math.min(_, e.es)))
+            e.event_type match {
+              case "view"     => st = st.copy(tView = first(st.tView))
+              case "click"    => st = st.copy(tClick = first(st.tClick))
+              case "purchase" => st = st.copy(tPurchase = first(st.tPurchase))
+              case _          => () // non-funnel types pass through untracked
+            }
+          }
+          state.update(st)
+          val s1 = st.tView.isDefined
+          val s2 = s1 && st.tClick.exists(_ > st.tView.get)
+          val s3 = s2 && st.tPurchase.exists(_ > st.tClick.get)
+          FunnelStage(uid, if (s3) 3L else if (s2) 2L else if (s1) 1L else 0L)
       }
   }
 

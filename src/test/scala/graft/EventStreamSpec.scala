@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.streaming.{Ev, EventStream, Session}
+import graft.streaming.{Ev, EventStream, FunnelEv, Session}
 
 /** Structured Streaming shapes over MemoryStream: stateful sessionization
   * (flatMapGroupsWithState) and watermarked tumbling windows. */
@@ -323,6 +323,48 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       assert(spark.read.parquet(path).count() == 3L)
       assert(spark.read.parquet(path).select("doc_id").as[Long].collect().sorted
         .toSeq == Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
+  test("funnelStream: out-of-order ingest converges to batch q73 staging") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val b1 = Seq(FunnelEv(1L, "view", 10), FunnelEv(1L, "click", 20),
+      FunnelEv(2L, "click", 5), FunnelEv(3L, "view", 10))
+    // batch 2 carries the LATE data: user 1's earlier click (t_click drops
+    // to 5 ≤ t_view → the stage must REGRESS from 2 to 1, the first-times
+    // state re-evaluating the chain), user 2's view (click stays before
+    // view → still stage 1), user 3 completing, user 4 purchase-only
+    val b2 = Seq(FunnelEv(1L, "click", 5), FunnelEv(2L, "view", 10),
+      FunnelEv(3L, "click", 15), FunnelEv(3L, "purchase", 30),
+      FunnelEv(4L, "purchase", 7))
+    val input = MemoryStream[FunnelEv]
+    val query = EventStream.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel").outputMode("update").start()
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      val after1 = spark.table("funnel").collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("stage"))
+      assert(after1.toMap == Map(1L -> 2L, 2L -> 0L, 3L -> 1L))
+      input.addData(b2: _*); query.processAllAvailable()
+      val delta = {
+        val all = spark.table("funnel").collect()
+          .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("stage")).toSeq
+        all.diff(after1.toSeq).toMap
+      }
+      // batch semantics over ALL events (q73's conditional-min staging)
+      def firstEs(t: String) = min(when(col("event_type") === t, col("es")))
+      val expected = (b1 ++ b2).toDF("user_id", "event_type", "es")
+        .groupBy("user_id").agg(firstEs("view").as("tv"),
+          firstEs("click").as("tc"), firstEs("purchase").as("tp"))
+        .select(col("user_id"),
+          when(col("tv").isNotNull && col("tc") > col("tv") && col("tp") > col("tc"), 3L)
+            .when(col("tv").isNotNull && col("tc") > col("tv"), 2L)
+            .when(col("tv").isNotNull, 1L).otherwise(0L).as("stage"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(delta == expected)
+      assert(expected == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 0L))
     } finally query.stop()
   }
 
