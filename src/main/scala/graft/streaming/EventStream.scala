@@ -32,6 +32,12 @@ case class FunnelState(tView: Option[Long], tClick: Option[Long], tPurchase: Opt
 /** A user's current funnel stage (0 = not entered, 3 = fully converted). */
 case class FunnelStage(user_id: Long, stage: Long)
 
+/** Per-user funnel state for the timeout variant: first-occurrence
+  * timestamps plus the last activity time the attribution clock runs
+  * from. */
+case class FunnelTimedState(tView: Option[Long], tClick: Option[Long],
+  tPurchase: Option[Long], lastEs: Long)
+
 /** Structured Streaming forms of the event operators (the reference is
   * batch-only — SURVEY.md §2.5 records "streaming: none" — so these are
   * north-star surface: readStream → transform → writeStream shapes,
@@ -339,6 +345,51 @@ object EventStream {
           val s2 = s1 && st.tClick.exists(_ > st.tView.get)
           val s3 = s2 && st.tPurchase.exists(_ > st.tClick.get)
           FunnelStage(uid, if (s3) 3L else if (s2) 2L else if (s1) 1L else 0L)
+      }
+  }
+
+  /** [[funnelStream]] with BOUNDED state — the attribution-window form a
+    * production funnel needs on an infinite stream (the NoTimeout
+    * variant's per-user state lives forever, so state grows with the
+    * all-time user count): each user's state sets an event-time timeout
+    * at (last activity + attributionSeconds); when the watermark passes
+    * it, the user's FINAL stage is emitted once and the state removed —
+    * conversions later than the attribution window correctly don't
+    * count, the funnel-analytics contract. Append mode: one verdict row
+    * per expired user. The caller sets the watermark on `ts` before the
+    * groupByKey (the [[sessionizeWithTimeout]] convention). */
+  def funnelStreamWithTimeout(events: Dataset[FunnelEv],
+      attributionSeconds: Long): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelTimedState, FunnelStage](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[FunnelEv], state: GroupState[FunnelTimedState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            val s1 = st.tView.isDefined
+            val s2 = s1 && st.tClick.exists(_ > st.tView.get)
+            val s3 = s2 && st.tPurchase.exists(_ > st.tClick.get)
+            Iterator.single(
+              FunnelStage(uid, if (s3) 3L else if (s2) 2L else if (s1) 1L else 0L))
+          } else {
+            var st = state.getOption.getOrElse(FunnelTimedState(None, None, None, 0L))
+            batch.foreach { e =>
+              def first(cur: Option[Long]) = Some(cur.fold(e.es)(math.min(_, e.es)))
+              e.event_type match {
+                case "view"     => st = st.copy(tView = first(st.tView))
+                case "click"    => st = st.copy(tClick = first(st.tClick))
+                case "purchase" => st = st.copy(tPurchase = first(st.tPurchase))
+                case _          => ()
+              }
+              st = st.copy(lastEs = math.max(st.lastEs, e.es))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp((st.lastEs + attributionSeconds) * 1000L)
+            Iterator.empty
+          }
       }
   }
 

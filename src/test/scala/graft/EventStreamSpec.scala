@@ -368,6 +368,34 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("funnelStreamWithTimeout emits the final verdict and clears expired state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[FunnelEv]
+    val watermarked = input.toDS()
+      .withColumn("ts", timestamp_seconds(col("es")))
+      .withWatermark("ts", "10 seconds")
+      .as[FunnelEv]
+    val query = EventStream.funnelStreamWithTimeout(watermarked, attributionSeconds = 100L)
+      .writeStream.format("memory").queryName("funnel_to").outputMode("append").start()
+    try {
+      // user 1 converts fully inside the window; nothing emits while the
+      // attribution clock runs
+      input.addData(FunnelEv(1L, "view", 1000L), FunnelEv(1L, "click", 1010L),
+        FunnelEv(1L, "purchase", 1020L))
+      query.processAllAvailable()
+      assert(spark.table("funnel_to").count() == 0)
+      // another user's much-later activity advances the watermark past
+      // user 1's (last activity + attribution) — the verdict fires once
+      input.addData(FunnelEv(2L, "view", 20000L)); query.processAllAvailable()
+      input.addData(FunnelEv(2L, "click", 20001L)); query.processAllAvailable()
+      val got = spark.table("funnel_to").collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("stage"))
+      assert(got.toSeq == Seq(1L -> 3L)) // final stage, exactly once; state gone
+    } finally query.stop()
+  }
+
   test("cdcApplySink merges feed micro-batches as versions; replay is content-idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
