@@ -112,13 +112,85 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** q129: content-addressable media dedup — the storage-side dedup a
+    * 100 TB multimodal corpus does FIRST, before any feature work: media
+    * blobs are identified by their sha256 (the content-addressable-store
+    * key, q54's fingerprint), and per source the report prices what
+    * CAS layout saves: references vs distinct blobs, raw bytes vs
+    * unique bytes, and the reclaimable difference. Scale shape: one
+    * shuffle on (source, sha) for the distinct — the 32-byte hash, never
+    * the blob bytes — then source-sized aggregates; equal hashes imply
+    * equal payloads so blob size rides the distinct for free. */
+  val q129_media_dedup: Q = (s, d) => {
+    val media = col("text").cast("binary")
+    // raw sha = the storage CAS key (byte-identical payloads); canonical
+    // sha = the hash AFTER canonicalization (here the text-normalization
+    // stand-in for decode-and-canonicalize: whitespace/case here, JPEG
+    // re-compressions in real media). On THIS corpus every payload is
+    // unique at both rungs (the synthetic docs duplicate spans, never
+    // whole payloads), so all reclaimable counters are honestly zero at
+    // the gate — the classification math itself (refs vs blobs vs
+    // canonical groups, per-group representative byte accounting) is
+    // exercised on planted duplicate/re-encoded blobs in
+    // TrainingDataSpec, the PII-regex precedent.
+    val blobs = s.read.parquet(s"$d/documents.parquet")
+      .select(col("source"), sha2(media, 256).as("sha"),
+        sha2(graft.ops.TextCore.normCol(col("text")).cast("binary"), 256).as("csha"),
+        length(media).cast("long").as("bytes"))
+    def scoped(b: DataFrame) = {
+      val refs = b.groupBy("source").agg(
+        count(lit(1)).as("n_refs"),
+        countDistinct("sha").as("n_blobs"),
+        countDistinct("csha").as("n_canonical"),
+        sum("bytes").as("total_bytes"))
+      // one deterministic representative per canonical group (min raw
+      // sha); what its copies occupy beyond it is reclaimable
+      val canon = b.groupBy("source", "csha")
+        .agg(sum("bytes").as("grp_bytes"),
+          min(struct(col("sha"), col("bytes"))).getField("bytes").as("rep_bytes"))
+        .groupBy("source")
+        .agg(sum(col("grp_bytes") - col("rep_bytes")).as("canon_reclaimable_bytes"))
+      refs.join(canon, "source")
+    }
+    scoped(blobs)
+      .unionByName(scoped(blobs.withColumn("source", lit("_all"))))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q53_multimodal_join" -> q53_multimodal_join,
     "q54_media_meta" -> q54_media_meta,
     "q55_media_features" -> q55_media_features,
-    "q75_media_resize" -> q75_media_resize)
+    "q75_media_resize" -> q75_media_resize,
+    "q129_media_dedup" -> q129_media_dedup)
 
   val oracle: Map[String, String] = Map(
+    "q129_media_dedup" ->
+      """WITH raw AS (
+        |  SELECT source, sha256(text) AS sha,
+        |         sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS csha,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+        |  FROM documents),
+        |blobs AS (
+        |  SELECT * FROM raw
+        |  UNION ALL SELECT '_all' AS source, sha, csha, bytes FROM raw),
+        |refs AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_refs,
+        |         CAST(count(DISTINCT sha) AS BIGINT) AS n_blobs,
+        |         CAST(count(DISTINCT csha) AS BIGINT) AS n_canonical,
+        |         CAST(sum(bytes) AS BIGINT) AS total_bytes
+        |  FROM blobs GROUP BY source),
+        |grp AS (
+        |  SELECT source, csha, CAST(sum(bytes) AS BIGINT) AS grp_bytes,
+        |         arg_min(bytes, sha) AS rep_bytes
+        |  FROM blobs GROUP BY source, csha),
+        |canon AS (
+        |  SELECT source, CAST(sum(grp_bytes - rep_bytes) AS BIGINT)
+        |           AS canon_reclaimable_bytes
+        |  FROM grp GROUP BY source)
+        |SELECT refs.source, n_refs, n_blobs, n_canonical, total_bytes,
+        |       canon_reclaimable_bytes
+        |FROM refs JOIN canon USING (source) ORDER BY source""".stripMargin,
     "q53_multimodal_join" ->
       s"""SELECT doc_id, lang, n_chars, CAST(label AS BIGINT) AS label,
          |       CAST(len(embedding) AS BIGINT) AS emb_dim,

@@ -265,4 +265,33 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
         s"duplicated 8-gram lost from every kept text: '$g'")
     }
   }
+
+  test("q129 media dedup: raw CAS vs canonical rung classify planted blobs") {
+    // docs 0/3 (both src0): byte-identical payloads → raw CAS dedup.
+    // doc 6 (src0): a "re-encoding" of the same content (case/whitespace
+    // differ, canonical form identical) → collapses only at the
+    // canonical rung. doc 1 (src1): unique. The gate corpus has no
+    // duplicate payloads at either rung (all-zero counters there); this
+    // pins the classification math the query would apply when they exist.
+    val raw = "shared media payload bytes"
+    val dir = writeMiniDocs(Seq(
+      (0L, raw), (3L, raw), (6L, "Shared  MEDIA payload bytes"),
+      (1L, "something else entirely")))
+    val got = graft.ops.Multimodal.q129_media_dedup(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_refs"), r.getAs[Long]("n_blobs"),
+          r.getAs[Long]("n_canonical"), r.getAs[Long]("canon_reclaimable_bytes")))
+      .toMap
+    val bytes = raw.getBytes("UTF-8").length.toLong
+    val reenc = "Shared  MEDIA payload bytes".getBytes("UTF-8").length.toLong
+    // src0: 3 refs, 2 raw blobs (0 ≡ 3), ONE canonical group; the
+    // representative is the min-raw-sha member, so reclaim is the group's
+    // total minus whichever payload that representative has
+    val (refs0, blobs0, canon0, reclaim0) = got("src0")
+    assert((refs0, blobs0, canon0) == (3L, 2L, 1L))
+    assert(reclaim0 == (2 * bytes + reenc) - bytes || reclaim0 == (2 * bytes + reenc) - reenc)
+    assert(got("src1") == ((1L, 1L, 1L, 0L)))
+    val (refsA, blobsA, canonA, reclaimA) = got("_all")
+    assert((refsA, blobsA, canonA) == (4L, 3L, 2L) && reclaimA == reclaim0)
+  }
 }
