@@ -29,6 +29,15 @@ object BpeProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"bpe_probe k=$k%-3d merges_learned=${merges.length}%-3d time=$secs%.2f s")
     }
+    // the batched scale path: same k, passes divided by the batch size
+    Seq(1, 4, 8).foreach { m =>
+      val t0 = System.nanoTime()
+      val merges = graft.ops.TextStats
+        .bpeTrainBatched(spark, sfDir, numMerges = 32, batch = m)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"bpe_probe_batched k=32 batch=$m%-2d " +
+        f"merges_learned=${merges.length}%-3d time=$secs%.2f s")
+    }
     spark.stop()
   }
 }

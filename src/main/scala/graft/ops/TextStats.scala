@@ -362,6 +362,30 @@ object TextStats {
     * count), so a caller reusing a label with a different filter or k
     * gets its own cache entry — never another filter's vocab (r8
     * ADVICE: the old caller-supplied key made that a silent hazard). */
+  /** The symbolized word-count frame BPE training starts from. */
+  private def bpeVocab0(s: SparkSession, d: String, docFilter: Column): DataFrame =
+    docShingles(s, d).where(docFilter)
+      .select(explode(col("words")).as("w"))
+      .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit("|"), array_join(split(col("w"), ""), "||"), lit("|"))
+        .as("sym"), col("cnt"))
+
+  /** Adjacent-pair frequency table of a symbolized vocab — the one
+    * vocabulary-sized job each training pass pays. */
+  private def bpePairCounts(vocab: DataFrame): DataFrame = {
+    val syms = split(regexp_replace(col("sym"), "^\\||\\|$", ""), "\\|\\|")
+    vocab
+      .select(col("cnt"), syms.as("sy"))
+      .where(size(col("sy")) >= 2) // sequence(1, 0) counts down (q96)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), size(col("sy")) - 1),
+        i => struct(element_at(col("sy"), i).as("l"),
+          element_at(col("sy"), i + 1).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("cnt").as("freq"))
+  }
+
   private def bpeTrainedOn(s: SparkSession, d: String, label: String,
       docFilter: Column, numMerges: Int = bpeMerges)
       : (Vector[(Long, String, String, Long)], DataFrame) = {
@@ -370,26 +394,11 @@ object TextStats {
       .take(4).map("%02x".format(_)).mkString
     val memoKey = s"bpe:$label:$fSig"
     val vocabFinal = graft.SessionMemo(s, d, memoKey) {
-      val vocab0 = docShingles(s, d).where(docFilter)
-        .select(explode(col("words")).as("w"))
-        .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
-        .groupBy("w").agg(count(lit(1)).as("cnt"))
-        .select(concat(lit("|"), array_join(split(col("w"), ""), "||"), lit("|"))
-          .as("sym"), col("cnt"))
-      var vocab = vocab0.localCheckpoint(true)
+      var vocab = bpeVocab0(s, d, docFilter).localCheckpoint(true)
       var merges = Vector.empty[(Long, String, String, Long)]
       var done = false
       for (step <- 1 to numMerges if !done) {
-        val syms = split(regexp_replace(col("sym"), "^\\||\\|$", ""), "\\|\\|")
-        val top = vocab
-          .select(col("cnt"), syms.as("sy"))
-          .where(size(col("sy")) >= 2) // sequence(1, 0) counts down (q96)
-          .select(col("cnt"), explode(transform(
-            sequence(lit(1), size(col("sy")) - 1),
-            i => struct(element_at(col("sy"), i).as("l"),
-              element_at(col("sy"), i + 1).as("r")))).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum("cnt").as("freq"))
+        val top = bpePairCounts(vocab)
           .orderBy(col("freq").desc, col("l").asc, col("r").asc)
           .limit(1).collect()
         if (top.isEmpty) done = true // every word is one symbol: nothing to merge
@@ -406,6 +415,57 @@ object TextStats {
       vocab
     }(identity)
     (bpeMergeMemo((s, d, memoKey)), vocabFinal)
+  }
+
+  /** BATCHED BPE training — the scale path the sequential loop's probe
+    * curve (SURVEY §8: ~one vocabulary-sized job per merge) demands for
+    * a real 10⁴–10⁵-merge run: each PASS collects the frozen pair-count
+    * table once, greedily selects up to `batch` pairwise-DISJOINT pairs
+    * from it (no symbol shared between any two selected pairs, and no
+    * selected pair's merged symbol colliding with another's operand —
+    * so within the pass each replace is invariant to the others and the
+    * frozen counts are the true counts for every selected pair), and
+    * applies them in ONE projection + checkpoint — dividing the job
+    * count by up to `batch`. What batching gives up, stated precisely:
+    * sequential greedy recounts after every merge, so a pair CREATED by
+    * an earlier merge in the same pass (one involving the new symbol)
+    * could outrank the pass's later picks; disjoint picks' own counts
+    * are exact, only the between-merge re-ranking is coarsened — and
+    * `batch = 1` degenerates to exactly the sequential trainer
+    * (spec-pinned on the corpus). Candidate pool: `8 × batch` top rows —
+    * plenty, since ≥ half of any prefix is always selectable (each pick
+    * blocks pairs sharing its 3 symbol strings). */
+  private[graft] def bpeTrainBatched(s: SparkSession, d: String, numMerges: Int,
+      batch: Int, docFilter: Column = lit(true))
+      : Vector[(Long, String, String, Long)] = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    var vocab = bpeVocab0(s, d, docFilter).localCheckpoint(true)
+    var merges = Vector.empty[(Long, String, String, Long)]
+    var done = false
+    while (merges.size < numMerges && !done) {
+      val cands = bpePairCounts(vocab)
+        .orderBy(col("freq").desc, col("l").asc, col("r").asc)
+        .limit(8 * batch).collect()
+      if (cands.isEmpty) done = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val chosen = cands.iterator.map { row =>
+          (row.getAs[String]("l"), row.getAs[String]("r"), row.getAs[Long]("freq"))
+        }.filter { case (l, r, _) =>
+          val ok = !used(l) && !used(r) && !used(l + r)
+          if (ok) { used += l; used += r; used += (l + r) }
+          ok
+        }.take(math.min(batch, numMerges - merges.size)).toVector
+        merges = merges ++ chosen.zipWithIndex.map { case ((l, r, f), i) =>
+          ((merges.size + i + 1).toLong, l, r, f)
+        }
+        val applied = chosen.foldLeft(col("sym")) { case (c, (l, r, _)) =>
+          replace(c, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+        }
+        vocab = vocab.select(applied.as("sym"), col("cnt")).localCheckpoint(true)
+      }
+    }
+    merges
   }
 
   lazy val q102_bpe_train: Q = (s, d) => {

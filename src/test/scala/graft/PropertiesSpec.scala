@@ -176,6 +176,39 @@ class PropertiesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("batched BPE with batch=1 equals the sequential trainer on random corpora") {
+    import graft.ops.TextStats
+    // the batched scale path's degenerate case IS the gated sequential
+    // semantics: one pick per pass from the frozen table = recount-after-
+    // every-merge greedy. Fixed seeds as in the reference-parity test.
+    val wordGen = for {
+      n <- Gen.chooseNum(2, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val corpusGen = for {
+      nw <- Gen.chooseNum(2, 5)
+      ws <- Gen.listOfN(nw, wordGen)
+      counts <- Gen.listOfN(nw, Gen.chooseNum(1, 4))
+    } yield ws.zip(counts).flatMap { case (w, c) => Seq.fill(c)(w) }
+    (1 to 4).foreach { i =>
+      val words = corpusGen.pureApply(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(142L + i))
+      val dir = writeMiniDocs(Seq((0L, words.mkString(" "))))
+      val seq = TextStats.q102_bpe_train(spark, dir).collect()
+        .map(r => (r.getAs[Long]("step"), r.getAs[String]("left_sym"),
+          r.getAs[String]("right_sym"), r.getAs[Long]("freq"))).toVector
+      val batched = TextStats.bpeTrainBatched(spark, dir, numMerges = 6, batch = 1)
+      assert(batched == seq, s"corpus: ${words.mkString(" ")}")
+    }
+    // and a batch > 1 run picks pairwise-disjoint merges per pass: on a
+    // corpus with two independent high-frequency pairs, one pass learns
+    // both, and their recorded frozen freqs are the true initial counts
+    val dir = writeMiniDocs(Seq((0L, Seq.fill(5)("abab cdcd").mkString(" "))))
+    val two = TextStats.bpeTrainBatched(spark, dir, numMerges = 2, batch = 2)
+    assert(two.map { case (_, l, r, f) => (l, r, f) }.toSet ==
+      Set(("a", "b", 10L), ("c", "d", 10L)))
+  }
+
   test("two compiled vector expressions share one projection without codegen collision") {
     import spark.implicits._
     import graft.functions.VectorOps
