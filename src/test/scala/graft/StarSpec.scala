@@ -294,6 +294,33 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
       == Map("new_a" -> 2.0, "new_b" -> 3.0))
   }
 
+  test("concurrent full-refresh writers all commit distinct versions") {
+    import spark.implicits._
+    import graft.etl.StarBuilder
+    // the claim-then-commit protocol's liveness/uniqueness under real
+    // contention: N threads race writeTableVersioned on one warehouse;
+    // every writer must land on its own version, every version must be
+    // log-committed and readable, and no staging dir may survive
+    val wh = java.nio.file.Files.createTempDirectory("graft_mw").toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val writes = (1 to 6).map { i =>
+      scala.concurrent.Future {
+        StarBuilder.writeTableVersioned(Seq((i.toLong, i * 1.0)).toDF("k", "x"), wh, "t")
+      }
+    }
+    val versions = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(writes),
+      scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    assert(versions.sorted == (1L to 6L))
+    assert(StarBuilder.committedVersions(wh) == (1L to 6L))
+    (1L to 6L).foreach { v =>
+      assert(StarBuilder.readAt(spark, wh, "t", Some(v)).count() == 1L)
+    }
+    assert(!new java.io.File(wh).listFiles().exists(_.getName.startsWith(".txn_")))
+  }
+
   test("read-modify-write commits refuse to paper over a concurrent claim") {
     import spark.implicits._
     import graft.etl.StarBuilder
