@@ -318,7 +318,10 @@ object StarBuilder {
           new java.io.File(warehouse, s"v=$v").toPath)
         claimed = true
       } catch {
+        // FileAlreadyExists from the pre-check; DirectoryNotEmpty when a
+        // concurrent writer wins the stat-then-rename race itself
         case _: java.nio.file.FileAlreadyExistsException => v += 1
+        case _: java.nio.file.DirectoryNotEmptyException => v += 1
       }
     }
     commitMarker(warehouse, v)
@@ -339,13 +342,41 @@ object StarBuilder {
     try java.nio.file.Files.move(txn.toPath,
       new java.io.File(warehouse, s"v=$v").toPath)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
+      case e @ (_: java.nio.file.FileAlreadyExistsException |
+                _: java.nio.file.DirectoryNotEmptyException) =>
         Compact.deleteRecursively(txn)
+        val committed = committedVersions(warehouse).contains(v)
         throw new java.util.ConcurrentModificationException(
-          s"version $v of $warehouse was claimed by a concurrent writer " +
-            "since this read-modify-write began; re-read latest and retry")
+          if (committed)
+            s"version $v of $warehouse was committed by a concurrent writer " +
+              "since this read-modify-write began; re-read latest and retry"
+          else
+            s"version $v of $warehouse is claimed but UNCOMMITTED — either a " +
+              "concurrent writer mid-commit, or a crashed writer's orphan; if " +
+              "no writer is live (e.g. on single-writer stream restart), run " +
+              s"recoverUncommitted and retry [${e.getClass.getSimpleName}]")
     }
     commitMarker(warehouse, v)
+  }
+
+  /** Delete claimed-but-uncommitted version directories — the recovery a
+    * crashed EXACT-version writer ([[deleteWhere]], [[compactVersioned]],
+    * the streaming CDC sink) needs: its orphan claim blocks every retry
+    * of `cur + 1` forever (the claim-next-free full-refresh writers just
+    * skip past orphans). ONLY safe when no other writer can be mid-commit
+    * — the caller asserts that (the standard case: a single-writer CDC
+    * stream restarting after a crash, before the query starts; an
+    * object-store deployment replaces the whole claim/commit pair with
+    * conditional PUTs and has no orphan window at all). Returns the
+    * removed version numbers. */
+  def recoverUncommitted(warehouse: String): Seq[Long] = {
+    val committed = committedVersions(warehouse).toSet
+    Option(new java.io.File(warehouse).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.matches("^v=[0-9]+$"))
+      .map(d => d -> d.getName.stripPrefix("v=").toLong)
+      .filterNot { case (_, v) => committed(v) }
+      .map { case (d, v) => Compact.deleteRecursively(d); v }
+      .sorted.toSeq
   }
 
   private def commitMarker(warehouse: String, v: Long): Long = {
@@ -391,14 +422,33 @@ object StarBuilder {
           .split("/").drop(1).filter(_.contains("=")).map(_.split("=", 2)(0)).toSeq
         val live = applyDv(spark, srcRoot, t.getName).localCheckpoint(true)
         val physRows = math.max(1L, spark.read.parquet(t.toString).count())
-        val liveBytes = bytes * live.count() / physRows
-        val nOut = math.max(1L, (liveBytes + targetBytes - 1) / targetBytes).toInt
-        val writer = (if (partCols.isEmpty) live.repartition(nOut)
-          else live.repartition(nOut, partCols.map(col): _*))
-          .write.mode("overwrite")
-          .option("parquet.block.size", blockSize.toString)
-        (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
-          .parquet(new java.io.File(txn, t.getName).toString)
+        val liveRows = live.count()
+        // double arithmetic: bytes × rows overflows Long at the 100 TB
+        // scale this exists for (2e11 bytes × 5e7 rows > Long.MaxValue)
+        val liveBytes = bytes.toDouble * liveRows / physRows
+        val nOut = math.max(1L, math.ceil(liveBytes / targetBytes).toLong).toInt
+        if (liveRows == 0L)
+          // a fully-deleted table: dynamic partitionBy of an empty frame
+          // writes NO schema-bearing file (the dir would be unreadable);
+          // the plain write leaves one empty schema file
+          live.write.mode("overwrite").parquet(new java.io.File(txn, t.getName).toString)
+        else if (partCols.isEmpty)
+          live.repartition(nOut).write.mode("overwrite")
+            .option("parquet.block.size", blockSize.toString)
+            .parquet(new java.io.File(txn, t.getName).toString)
+        else {
+          // one task per partition value keeps rows with their leaf; the
+          // per-file row cap re-establishes target-sized files WITHIN a
+          // big leaf (compaction-throughput, not query-path, parallelism)
+          val rowsPerFile = math.max(1L,
+            (targetBytes / math.max(1.0, bytes.toDouble / physRows)).toLong)
+          live.repartition(partCols.map(col): _*)
+            .write.mode("overwrite")
+            .option("parquet.block.size", blockSize.toString)
+            .option("maxRecordsPerFile", rowsPerFile.toString)
+            .partitionBy(partCols: _*)
+            .parquet(new java.io.File(txn, t.getName).toString)
+        }
       } else Compact.leafDirs(t).foreach { leaf =>
         val rel = srcRoot.toPath.relativize(leaf.toPath).toString
         Compact.packInto(spark, leaf, new java.io.File(txn, rel), targetBytes, blockSize)

@@ -939,25 +939,30 @@ object Dedup {
     * hashes (`w`), the corpus-duplicated hash set (`dup`) and the
     * flagged (doc_id, n_tokens, start) rows (`flg`) — ONE definition so
     * the two span oracles cannot drift (the ccReachCtes pattern). */
+  /** THE span-window hash expression in SQL — one definition shared by
+    * every span oracle (q105/q112/q113/q127/q128), mirroring
+    * [[spanWindowsOf]]; a spanK change edits exactly one string. */
+  private val spanWindowHashSql: String =
+    """md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+      |                    words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
+      |                    words[i+6] || ' ' || words[i+7])""".stripMargin
+
   private val spanWindowCtes =
     s""", w AS (
        |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
        |         unnest(range(1, len(words) - 6)) AS start,
        |         unnest(list_transform(range(1, len(words) - 6),
-       |           i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
-       |                    words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
-       |                    words[i+6] || ' ' || words[i+7]))) AS h
+       |           i -> $spanWindowHashSql)) AS h
        |  FROM docs WHERE len(words) >= 8),
        |dup AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
        |flg AS (SELECT w.doc_id, w.n_tokens, w.start FROM w JOIN dup USING (h))""".stripMargin
 
-  /** The q127 window CTE body, parameterized by the idBucket split. */
+  /** The q127 window CTE body, parameterized by the idBucket split —
+    * same [[spanWindowHashSql]] definition as every other span oracle. */
   private def spanSplitCte(name: String, cond: String) =
     s"""$name AS (
        |  SELECT unnest(list_transform(range(1, len(words) - 6),
-       |           i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
-       |                    words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
-       |                    words[i+6] || ' ' || words[i+7]))) AS h
+       |           i -> $spanWindowHashSql)) AS h
        |  FROM docs WHERE len(words) >= 8 AND ${idBucketSql("doc_id")} $cond)""".stripMargin
 
   private lazy val spanReportSql: String = withDocs(

@@ -133,10 +133,13 @@ object Multimodal {
     // canonical groups, per-group representative byte accounting) is
     // exercised on planted duplicate/re-encoded blobs in
     // TrainingDataSpec, the PII-regex precedent.
+    // checkpointed: four aggregations (refs + canon, two scopes) would
+    // otherwise each rescan the corpus and recompute both digests
     val blobs = s.read.parquet(s"$d/documents.parquet")
       .select(col("source"), sha2(media, 256).as("sha"),
         sha2(graft.ops.TextCore.normCol(col("text")).cast("binary"), 256).as("csha"),
         length(media).cast("long").as("bytes"))
+      .localCheckpoint(true)
     def scoped(b: DataFrame) = {
       val refs = b.groupBy("source").agg(
         count(lit(1)).as("n_refs"),

@@ -328,7 +328,8 @@ object EventStream {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[FunnelState, FunnelStage](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[FunnelState, FunnelStage](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (uid: Long, batch: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(FunnelState(None, None, None))
           batch.foreach { e =>
@@ -340,11 +341,19 @@ object EventStream {
               case _          => () // non-funnel types pass through untracked
             }
           }
-          state.update(st)
-          val s1 = st.tView.isDefined
-          val s2 = s1 && st.tClick.exists(_ > st.tView.get)
-          val s3 = s2 && st.tPurchase.exists(_ > st.tClick.get)
-          FunnelStage(uid, if (s3) 3L else if (s2) 2L else if (s1) 1L else 0L)
+          // a user whose events were ALL non-funnel types gets no state
+          // entry and no row — otherwise per-user state (and stage-0
+          // noise) would grow with every user who ever produced ANY
+          // event, not with funnel participants
+          if (st == FunnelState(None, None, None)) Iterator.empty
+          else {
+            state.update(st)
+            val s1 = st.tView.isDefined
+            val s2 = s1 && st.tClick.exists(_ > st.tView.get)
+            val s3 = s2 && st.tPurchase.exists(_ > st.tClick.get)
+            Iterator.single(
+              FunnelStage(uid, if (s3) 3L else if (s2) 2L else if (s1) 1L else 0L))
+          }
       }
   }
 
@@ -378,17 +387,25 @@ object EventStream {
             var st = state.getOption.getOrElse(FunnelTimedState(None, None, None, 0L))
             batch.foreach { e =>
               def first(cur: Option[Long]) = Some(cur.fold(e.es)(math.min(_, e.es)))
+              // only funnel events are tracked — and only they run the
+              // attribution clock (a non-funnel event neither creates
+              // state nor extends the window)
               e.event_type match {
-                case "view"     => st = st.copy(tView = first(st.tView))
-                case "click"    => st = st.copy(tClick = first(st.tClick))
-                case "purchase" => st = st.copy(tPurchase = first(st.tPurchase))
+                case "view"     => st = st.copy(tView = first(st.tView),
+                  lastEs = math.max(st.lastEs, e.es))
+                case "click"    => st = st.copy(tClick = first(st.tClick),
+                  lastEs = math.max(st.lastEs, e.es))
+                case "purchase" => st = st.copy(tPurchase = first(st.tPurchase),
+                  lastEs = math.max(st.lastEs, e.es))
                 case _          => ()
               }
-              st = st.copy(lastEs = math.max(st.lastEs, e.es))
             }
-            state.update(st)
-            state.setTimeoutTimestamp((st.lastEs + attributionSeconds) * 1000L)
-            Iterator.empty
+            if (st == FunnelTimedState(None, None, None, 0L)) Iterator.empty
+            else {
+              state.update(st)
+              state.setTimeoutTimestamp((st.lastEs + attributionSeconds) * 1000L)
+              Iterator.empty
+            }
           }
       }
   }

@@ -338,7 +338,11 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     // view → still stage 1), user 3 completing, user 4 purchase-only
     val b2 = Seq(FunnelEv(1L, "click", 5), FunnelEv(2L, "view", 10),
       FunnelEv(3L, "click", 15), FunnelEv(3L, "purchase", 30),
-      FunnelEv(4L, "purchase", 7))
+      FunnelEv(4L, "purchase", 7),
+      // user 9 only ever scrolls: no state entry, no row — funnel state
+      // must grow with participants, not with every user who ever
+      // produced any event
+      FunnelEv(9L, "scroll", 99))
     val input = MemoryStream[FunnelEv]
     val query = EventStream.funnelStream(input.toDS())
       .writeStream.format("memory").queryName("funnel").outputMode("update").start()
@@ -353,9 +357,11 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
           .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("stage")).toSeq
         all.diff(after1.toSeq).toMap
       }
+      assert(!delta.contains(9L)) // the scroll-only user emitted nothing
       // batch semantics over ALL events (q73's conditional-min staging)
       def firstEs(t: String) = min(when(col("event_type") === t, col("es")))
-      val expected = (b1 ++ b2).toDF("user_id", "event_type", "es")
+      val expected = (b1 ++ b2).filter(_.event_type != "scroll")
+        .toDF("user_id", "event_type", "es")
         .groupBy("user_id").agg(firstEs("view").as("tv"),
           firstEs("click").as("tc"), firstEs("purchase").as("tp"))
         .select(col("user_id"),

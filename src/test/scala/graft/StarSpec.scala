@@ -335,6 +335,11 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
     assert(!new java.io.File(wh).listFiles().exists(_.getName.startsWith(".txn_")))
     assert(StarBuilder.committedVersions(wh) == Seq(1L))
     assert(StarBuilder.readAt(spark, wh, "t", None).count() == 1L)
+    // the orphan claim would block cur+1 retries FOREVER (it never
+    // commits); the single-writer recovery sweeps it and the retry lands
+    assert(StarBuilder.recoverUncommitted(wh) == Seq(2L))
+    val v2 = StarBuilder.deleteWhere(spark, wh, "t", col("x") > 0.0)
+    assert(v2 == 2L && StarBuilder.readAt(spark, wh, "t", None).count() == 0L)
   }
 
   test("snapshotDiff resolves both sides through the version log") {
