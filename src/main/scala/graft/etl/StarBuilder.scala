@@ -776,6 +776,36 @@ object StarBuilder {
     applied
   }
 
+  /** q130: CDC CHAIN replay — the multi-hop consumer loop q120's single
+    * hop doesn't prove: three growing ingest windows commit as three
+    * snapshot versions, and a consumer pinned at v1 applies feed(v1→v2)
+    * then feed(v2→v3) — the nightly incremental consumer that was down
+    * for a cycle and catches up feed by feed. The result must
+    * hash-equal the NEWEST snapshot recomputed from scratch by the
+    * oracle: the diff/apply round trip composes across commits, proved
+    * cross-engine on real data. Each feed moves only that hop's delta —
+    * the consumer never re-reads a snapshot after its base pin. */
+  val q130_cdc_chain: Q = (s, d) => {
+    val wh = scratchDir(s, d, "cdc_chain")
+    val f = Star.fact(s, d)
+    val yr = f.agg(min("tahun"), max("tahun")).head()
+    val (minY, maxY) = (yr.getLong(0), yr.getLong(1))
+    val v1 = writeTableVersioned(
+      studentSummary(f.where(col("tahun") < maxY - 1)), wh, "student_summary")
+    val v2 = writeTableVersioned(
+      studentSummary(f.where(col("tahun") < maxY)), wh, "student_summary")
+    val v3 = writeTableVersioned(
+      studentSummary(f.where(col("tahun") >= minY)), wh, "student_summary")
+    val caught = applyChanges(
+      applyChanges(
+        readAt(s, wh, "student_summary", Some(v1)),
+        snapshotDiff(s, wh, "student_summary", v1, v2, Seq("student")), Seq("student")),
+      snapshotDiff(s, wh, "student_summary", v2, v3, Seq("student")), Seq("student"))
+      .orderBy("student")
+    vacuumVersions(wh, keep = 3)
+    caught
+  }
+
   /** q121: deletion-vector DELETE inside the correctness gate. The full
     * student summary is committed, then the low-activity cohort
     * (total_sks < 1000 — roughly the bottom half) is soft-deleted via
@@ -955,7 +985,8 @@ object StarBuilder {
     "q115_versioned_star" -> q115_versioned_star,
     "q119_snapshot_diff" -> q119_snapshot_diff,
     "q120_cdc_apply" -> q120_cdc_apply,
-    "q121_delete_vectors" -> q121_delete_vectors)
+    "q121_delete_vectors" -> q121_delete_vectors,
+    "q130_cdc_chain" -> q130_cdc_chain)
 
   /** q49's per-table-count oracle, shared VERBATIM by q115: the
     * versioned lifecycle (write → compact → vacuum → readAt) must
@@ -1028,5 +1059,11 @@ object StarBuilder {
       s"""SELECT student, CAST(count(*) AS BIGINT) AS n_rows, sum(sks) AS total_sks,
          |       ${Star.round2Sql("sum(sks*bobot) / sum(sks)")} AS gpa
          |FROM fact GROUP BY student HAVING NOT (sum(sks) < 1000)
-         |ORDER BY student""".stripMargin))
+         |ORDER BY student""".stripMargin),
+    // catch-up via two composed feeds ≡ the newest snapshot recomputed
+    // from scratch: the oracle IS that recompute (full-corpus summary)
+    "q130_cdc_chain" -> withFact(
+      s"""SELECT student, CAST(count(*) AS BIGINT) AS n_rows, sum(sks) AS total_sks,
+         |       ${Star.round2Sql("sum(sks*bobot) / sum(sks)")} AS gpa
+         |FROM fact GROUP BY student ORDER BY student""".stripMargin))
 }
