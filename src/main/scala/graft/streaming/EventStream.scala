@@ -280,6 +280,24 @@ object EventStream {
       .select(unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n_events"))
 
+  /** Windowed DISTINCT users via the HLL sketch — the streaming twin of
+    * batch q93's falsifiable-error distinct counts, and the form a
+    * stream can actually afford: an exact streaming `countDistinct` per
+    * window would hold every user id seen in every open window (state ∝
+    * traffic), where the HLL state is a fixed-size sketch per (window ×
+    * type) regardless of cardinality — Spark merges sketch buffers
+    * across micro-batches just like any partial aggregate. Same sketch,
+    * same rsd, same input → the estimate is deterministic, so the spec
+    * pins stream ≡ batch on the identical events (not just "close"). */
+  def windowedDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_seconds(col("es")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(approx_count_distinct("user_id", 0.02).as("hll_users"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("hll_users"))
+
   /** Streaming sequence packing — the stateful streaming twin of the batch
     * q78 plan: per (lang, shard) the state is one Long (tokens emitted so
     * far); each arriving document is assigned the sequence its start

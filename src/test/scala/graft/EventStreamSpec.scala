@@ -586,4 +586,33 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       assert(got.toSeq.contains((0L, "click", 2L)))
     } finally query.stop()
   }
+
+  test("windowedDistinctUsers: the streamed HLL estimate equals the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 3 distinct users across 5 click events in hour 0, split over two
+    // micro-batches so the sketch state must MERGE across batches
+    val b1 = Seq((100L, 1L, "click"), (200L, 2L, "click"), (300L, 1L, "click"))
+    val b2 = Seq((400L, 3L, "click"), (500L, 2L, "click"))
+    val input = MemoryStream[(Long, Long, String)]
+    val query = EventStream
+      .windowedDistinctUsers(input.toDS().toDF("es", "user_id", "event_type"))
+      .writeStream.format("memory").queryName("winu").outputMode("append").start()
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+      input.addData((7300L, 9L, "view")); query.processAllAvailable()
+      input.addData((7400L, 9L, "view")); query.processAllAvailable() // flush hour 0
+      val got = spark.table("winu").collect()
+        .map(r => (r.getAs[Long]("window_start"), r.getAs[String]("event_type")) ->
+          r.getAs[Long]("hll_users")).toMap
+      // same sketch, same rsd, same input → the BATCH estimate, exactly
+      val batch = EventStream.windowedDistinctUsers(
+          (b1 ++ b2).toDF("es", "user_id", "event_type"))
+        .collect().map(r => (r.getAs[Long]("window_start"),
+          r.getAs[String]("event_type")) -> r.getAs[Long]("hll_users")).toMap
+      assert(got((0L, "click")) == batch((0L, "click")))
+      assert(got((0L, "click")) == 3L) // and at this cardinality, exact
+    } finally query.stop()
+  }
 }
