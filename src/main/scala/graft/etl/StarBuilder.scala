@@ -370,8 +370,14 @@ object StarBuilder {
     * conditional PUTs and has no orphan window at all). Returns the
     * removed version numbers. */
   def recoverUncommitted(warehouse: String): Seq[Long] = {
+    val entries = Option(new java.io.File(warehouse).listFiles()).getOrElse(Array.empty)
+    // pre-claim crashes leave snapshot-sized .txn_ staging dirs no reader
+    // or writer ever touches — the recovery sweep is the one place that
+    // reclaims them
+    entries.filter(d => d.isDirectory && d.getName.startsWith(".txn_"))
+      .foreach(Compact.deleteRecursively)
     val committed = committedVersions(warehouse).toSet
-    Option(new java.io.File(warehouse).listFiles()).getOrElse(Array.empty)
+    entries
       .filter(d => d.isDirectory && d.getName.matches("^v=[0-9]+$"))
       .map(d => d -> d.getName.stripPrefix("v=").toLong)
       .filterNot { case (_, v) => committed(v) }
@@ -788,14 +794,12 @@ object StarBuilder {
   val q130_cdc_chain: Q = (s, d) => {
     val wh = scratchDir(s, d, "cdc_chain")
     val f = Star.fact(s, d)
-    val yr = f.agg(min("tahun"), max("tahun")).head()
-    val (minY, maxY) = (yr.getLong(0), yr.getLong(1))
+    val maxY = f.agg(max("tahun")).head().getLong(0)
     val v1 = writeTableVersioned(
       studentSummary(f.where(col("tahun") < maxY - 1)), wh, "student_summary")
     val v2 = writeTableVersioned(
       studentSummary(f.where(col("tahun") < maxY)), wh, "student_summary")
-    val v3 = writeTableVersioned(
-      studentSummary(f.where(col("tahun") >= minY)), wh, "student_summary")
+    val v3 = writeTableVersioned(studentSummary(f), wh, "student_summary")
     val caught = applyChanges(
       applyChanges(
         readAt(s, wh, "student_summary", Some(v1)),

@@ -935,10 +935,6 @@ object Dedup {
        |  UNION
        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
 
-  /** Shared q105/q112 oracle fragment: rolling [[spanK]]-token window
-    * hashes (`w`), the corpus-duplicated hash set (`dup`) and the
-    * flagged (doc_id, n_tokens, start) rows (`flg`) — ONE definition so
-    * the two span oracles cannot drift (the ccReachCtes pattern). */
   /** THE span-window hash expression in SQL — one definition shared by
     * every span oracle (q105/q112/q113/q127/q128), mirroring
     * [[spanWindowsOf]]; a spanK change edits exactly one string. */
@@ -947,6 +943,10 @@ object Dedup {
       |                    words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
       |                    words[i+6] || ' ' || words[i+7])""".stripMargin
 
+  /** Shared q105/q112 oracle fragment: rolling [[spanK]]-token window
+    * hashes (`w`), the corpus-duplicated hash set (`dup`) and the
+    * flagged (doc_id, n_tokens, start) rows (`flg`) — ONE definition so
+    * the two span oracles cannot drift (the ccReachCtes pattern). */
   private val spanWindowCtes =
     s""", w AS (
        |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,

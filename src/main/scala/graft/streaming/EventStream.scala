@@ -350,20 +350,21 @@ object EventStream {
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (uid: Long, batch: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          var touched = false
           batch.foreach { e =>
             def first(cur: Option[Long]) = Some(cur.fold(e.es)(math.min(_, e.es)))
             e.event_type match {
-              case "view"     => st = st.copy(tView = first(st.tView))
-              case "click"    => st = st.copy(tClick = first(st.tClick))
-              case "purchase" => st = st.copy(tPurchase = first(st.tPurchase))
+              case "view"     => st = st.copy(tView = first(st.tView)); touched = true
+              case "click"    => st = st.copy(tClick = first(st.tClick)); touched = true
+              case "purchase" => st = st.copy(tPurchase = first(st.tPurchase)); touched = true
               case _          => () // non-funnel types pass through untracked
             }
           }
-          // a user whose events were ALL non-funnel types gets no state
-          // entry and no row — otherwise per-user state (and stage-0
-          // noise) would grow with every user who ever produced ANY
-          // event, not with funnel participants
-          if (st == FunnelState(None, None, None)) Iterator.empty
+          // a batch with no funnel event for this user changes nothing:
+          // no state entry for never-participants (state must grow with
+          // funnel users, not with every user who ever produced ANY
+          // event) and no re-emitted unchanged row for participants
+          if (!touched) Iterator.empty
           else {
             state.update(st)
             val s1 = st.tView.isDefined
@@ -403,6 +404,7 @@ object EventStream {
               FunnelStage(uid, if (s3) 3L else if (s2) 2L else if (s1) 1L else 0L))
           } else {
             var st = state.getOption.getOrElse(FunnelTimedState(None, None, None, 0L))
+            var touched = false
             batch.foreach { e =>
               def first(cur: Option[Long]) = Some(cur.fold(e.es)(math.min(_, e.es)))
               // only funnel events are tracked — and only they run the
@@ -410,15 +412,22 @@ object EventStream {
               // state nor extends the window)
               e.event_type match {
                 case "view"     => st = st.copy(tView = first(st.tView),
-                  lastEs = math.max(st.lastEs, e.es))
+                  lastEs = math.max(st.lastEs, e.es)); touched = true
                 case "click"    => st = st.copy(tClick = first(st.tClick),
-                  lastEs = math.max(st.lastEs, e.es))
+                  lastEs = math.max(st.lastEs, e.es)); touched = true
                 case "purchase" => st = st.copy(tPurchase = first(st.tPurchase),
-                  lastEs = math.max(st.lastEs, e.es))
+                  lastEs = math.max(st.lastEs, e.es)); touched = true
                 case _          => ()
               }
             }
-            if (st == FunnelTimedState(None, None, None, 0L)) Iterator.empty
+            // an untouched user's state and TIMEOUT stay as they are —
+            // re-issuing setTimeoutTimestamp from a stale lastEs would
+            // throw once the watermark has passed it (a non-funnel event
+            // arriving in the very batch the timeout should fire would
+            // otherwise kill the whole query), and funnel events are
+            // never late under EventTimeTimeout so a touched user's
+            // (lastEs + attribution) is always above the watermark
+            if (!touched) Iterator.empty
             else {
               state.update(st)
               state.setTimeoutTimestamp((st.lastEs + attributionSeconds) * 1000L)

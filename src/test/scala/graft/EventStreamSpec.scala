@@ -393,9 +393,15 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       query.processAllAvailable()
       assert(spark.table("funnel_to").count() == 0)
       // another user's much-later activity advances the watermark past
-      // user 1's (last activity + attribution) — the verdict fires once
+      // user 1's (last activity + attribution) — the verdict fires once.
+      // The scroll event for user 1 lands in the very batch the timeout
+      // would fire: a NON-funnel event must not re-arm the timeout from
+      // the stale lastEs (setTimeoutTimestamp below the watermark throws
+      // and kills the query — the regression this line guards)
       input.addData(FunnelEv(2L, "view", 20000L)); query.processAllAvailable()
-      input.addData(FunnelEv(2L, "click", 20001L)); query.processAllAvailable()
+      input.addData(FunnelEv(1L, "scroll", 20005L), FunnelEv(2L, "click", 20001L))
+      query.processAllAvailable()
+      input.addData(FunnelEv(2L, "view", 20010L)); query.processAllAvailable()
       val got = spark.table("funnel_to").collect()
         .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("stage"))
       assert(got.toSeq == Seq(1L -> 3L)) // final stage, exactly once; state gone
