@@ -318,10 +318,13 @@ object StarBuilder {
           new java.io.File(warehouse, s"v=$v").toPath)
         claimed = true
       } catch {
-        // FileAlreadyExists from the pre-check; DirectoryNotEmpty when a
-        // concurrent writer wins the stat-then-rename race itself
-        case _: java.nio.file.FileAlreadyExistsException => v += 1
-        case _: java.nio.file.DirectoryNotEmptyException => v += 1
+        // a lost claim surfaces as FileAlreadyExists from the pre-check,
+        // OR as the raw rename(2) ENOTEMPTY — on Linux a generic
+        // FileSystemException, not the DirectoryNotEmptyException
+        // subclass. Classify by the target: if v=<n> now exists, a
+        // concurrent writer won the race; anything else is a real error.
+        case e: java.nio.file.FileSystemException =>
+          if (new java.io.File(warehouse, s"v=$v").exists()) v += 1 else throw e
       }
     }
     commitMarker(warehouse, v)
@@ -342,8 +345,10 @@ object StarBuilder {
     try java.nio.file.Files.move(txn.toPath,
       new java.io.File(warehouse, s"v=$v").toPath)
     catch {
-      case e @ (_: java.nio.file.FileAlreadyExistsException |
-                _: java.nio.file.DirectoryNotEmptyException) =>
+      // same classification rule as publishSnapshot's claim loop: only a
+      // move that lost to an existing v=<n> is a conflict
+      case e: java.nio.file.FileSystemException
+          if new java.io.File(warehouse, s"v=$v").exists() =>
         Compact.deleteRecursively(txn)
         val committed = committedVersions(warehouse).contains(v)
         throw new java.util.ConcurrentModificationException(
