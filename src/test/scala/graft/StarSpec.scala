@@ -336,8 +336,11 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
     assert(StarBuilder.committedVersions(wh) == Seq(1L))
     assert(StarBuilder.readAt(spark, wh, "t", None).count() == 1L)
     // the orphan claim would block cur+1 retries FOREVER (it never
-    // commits); the single-writer recovery sweeps it and the retry lands
+    // commits); the single-writer recovery sweeps it — and also reclaims
+    // a pre-claim crash's staging dir, which nothing else ever touches
+    new java.io.File(wh, ".txn_deadbeef").mkdirs()
     assert(StarBuilder.recoverUncommitted(wh) == Seq(2L))
+    assert(!new java.io.File(wh, ".txn_deadbeef").exists())
     val v2 = StarBuilder.deleteWhere(spark, wh, "t", col("x") > 0.0)
     assert(v2 == 2L && StarBuilder.readAt(spark, wh, "t", None).count() == 0L)
   }
