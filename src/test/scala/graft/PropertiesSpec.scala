@@ -76,6 +76,15 @@ class PropertiesSpec extends AnyFunSuite with SparkTestBase {
         .toSet
       val want = neuM.map { case (k, (s, x)) => (k, s, x) }.toSet
       assert(applied == want)
+      // schema evolution: the SAME round trip with the old snapshot
+      // missing a column entirely (absent ≡ null on both halves)
+      val oldNarrow = old.drop("x")
+      val appliedN = applyChanges(oldNarrow,
+          tableDiff(oldNarrow, neu, Seq("k")), Seq("k"))
+        .collect().map(r => (r.getAs[Long]("k"),
+          Option(r.getAs[String]("s")), Option(r.getAs[java.lang.Double]("x")).map(_.doubleValue)))
+        .toSet
+      assert(appliedN == want)
     }
   }
 
