@@ -1,0 +1,227 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level data skipping via commit-time sidecar manifests — the
+  * planning half of the lakehouse-table story ([[StarBuilder]]'s
+  * versioned warehouse provides the commit half). Two complementary
+  * indexes, each a tiny parquet table living under the data directory
+  * in a `_`-prefixed sidecar (invisible to plain parquet scans, skipped
+  * by [[Compact.leafDirs]]):
+  *
+  *  - `_idx/stats`: per-file min/max/count for designated columns — the
+  *    Delta/Iceberg "stats in the log" shape. An interval predicate
+  *    prunes FILES at planning time from the manifest alone, without
+  *    opening a single parquet footer. At 100 TB this is the difference
+  *    between a driver-side filter over #files manifest rows and 10⁵
+  *    footer round-trips before the first task launches; parquet's own
+  *    row-group min/max skipping then applies WITHIN the surviving
+  *    files (the two tiers [[StarBuilder.writeFactClustered]] measures).
+  *    Effective when the layout is clustered on the stats column
+  *    (sorted files ⇒ disjoint intervals); useless for a
+  *    hash-distributed key — which is what `_idx/bloom` is for.
+  *
+  *  - `_idx/bloom`: per-file Bloom filter over a high-cardinality key
+  *    (fingerprints, ids), encoded as the sorted array of set bit
+  *    positions — the Delta BLOOMFILTER index shape. A point lookup
+  *    reads only files whose filter holds every probe bit; false
+  *    positives cost an extra file read, false negatives are
+  *    impossible by construction (PartitionPruningSpec pins both).
+  *
+  * File paths are stored RELATIVE to the table directory (the
+  * deletion-vector precedent): a manifest written in a staging dir
+  * stays valid after [[StarBuilder]]'s atomic rename into `v=<n>/`,
+  * and a byte-copied snapshot keeps its manifest. A REPACK invalidates
+  * both sidecars (file names change) — [[StarBuilder.compactVersioned]]
+  * therefore regenerates `_idx/stats` for the compacted snapshot; `_idx/bloom`
+  * follows the serving-index rule (rebuild with the artifact, the
+  * IVF/PQ stance in SURVEY §8's round-9 limits).
+  */
+object DataSkipping {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The `_metadata.file_path` of every row, relativized to the table
+    * root by matching on the root's basename — unambiguous because the
+    * path tail `<basename>/<file>` appears exactly once. */
+  private def relFile(tableDir: String): Column = {
+    val base = new java.io.File(tableDir).getName
+    regexp_extract(col("_metadata.file_path"),
+      "/" + java.util.regex.Pattern.quote(base) + "/(.*)$", 1)
+  }
+
+  // ---------------------------------------------------------------------------
+  // _stats: per-file min/max manifest
+  // ---------------------------------------------------------------------------
+
+  /** Write the `_idx/stats` manifest for `tableDir`: one row per data file
+    * with (file, n_rows, min_<c>, max_<c> per stats column). ONE
+    * aggregation job over the table, grouped on the file identity the
+    * scan already carries (`_metadata.file_path` is a metadata column —
+    * no data is shuffled wider than the stats values themselves). At a
+    * lakehouse deployment this collection rides the write itself
+    * (parquet footers already hold the values); the explicit pass keeps
+    * the manifest buildable for any existing table. */
+  def writeStats(spark: SparkSession, tableDir: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "writeStats needs at least one stats column")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(tableDir)
+      .groupBy(relFile(tableDir).as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$tableDir/_idx/stats")
+  }
+
+  /** The manifest as a DataFrame; loud failure when absent (a scan that
+    * silently fell back to reading everything would hide a lost
+    * manifest forever). */
+  def statsManifest(spark: SparkSession, tableDir: String): DataFrame = {
+    require(new java.io.File(s"$tableDir/_idx/stats").isDirectory,
+      s"no stats manifest under $tableDir — writeStats was never run " +
+        "(or a repack dropped it; compactVersioned regenerates stats, " +
+        "in-place Compact.compact does not)")
+    spark.read.parquet(s"$tableDir/_idx/stats")
+  }
+
+  /** The data files whose [min, max] interval on `c` intersects
+    * [lo, hi] — the planning-time file prune. Files whose stats are
+    * NULL hold only NULL values of `c` (min/max ignore nulls), which no
+    * interval predicate matches, so they prune too. Returns ABSOLUTE
+    * paths ready for a parquet scan. The manifest is #files-sized: this
+    * collect is query planning, not data movement (the Delta log read). */
+  def prunedFiles(spark: SparkSession, tableDir: String, c: String,
+      lo: Any, hi: Any): Seq[String] =
+    statsManifest(spark, tableDir)
+      .where(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
+      .select("file").collect().map(r => s"$tableDir/${r.getString(0)}").toSeq
+
+  /** Scan only the files an interval predicate on `c` can touch. The
+    * caller still applies the exact predicate — file pruning is a
+    * superset guarantee, same contract as partition pruning. Zero
+    * surviving files → an empty frame with the table's schema (a
+    * footer-only read). */
+  def prunedScan(spark: SparkSession, tableDir: String, c: String,
+      lo: Any, hi: Any): DataFrame = {
+    val files = prunedFiles(spark, tableDir, c, lo, hi)
+    if (files.isEmpty) spark.read.parquet(tableDir).where(lit(false))
+    else spark.read.parquet(files: _*)
+  }
+
+  // ---------------------------------------------------------------------------
+  // _bloom: per-file Bloom filter for point lookups
+  // ---------------------------------------------------------------------------
+
+  /** m (bits) and k (hash functions): at 4096 bits a 1000-key file
+    * carries ~1.2 bits/key load → per-probe false-positive rate
+    * (1 − e^(−kn/m))^k ≈ 4% — an occasional extra file read, never a
+    * wrong result. Sized for this harness's file row counts; a real
+    * deployment scales m with maxRecordsPerFile. */
+  private[etl] val bloomBits = 4096
+  private[etl] val bloomHashes = 5
+
+  /** The k bit positions of one key value: xxhash64 seeded by the probe
+    * index (mixed in as a literal hash input — the double-hashing
+    * family the MinHash signatures use). Deterministic across runs and
+    * partitionings; the probe side evaluates THE SAME expression, so
+    * build and lookup can never disagree. */
+  private def bloomPositions(key: Column): Column =
+    transform(sequence(lit(0), lit(bloomHashes - 1)),
+      i => pmod(xxhash64(i, key), lit(bloomBits.toLong)))
+
+  /** Write the `_idx/bloom` sidecar for `tableDir`: one row per data file
+    * with the SORTED DISTINCT set-bit positions of every key in the
+    * file (the sparse encoding of an m-bit filter — exact same
+    * membership semantics, parquet-friendly). One aggregation job:
+    * explode to (file, pos), distinct, collect per file. */
+  def writeBloom(spark: SparkSession, tableDir: String, keyCol: String): Unit =
+    spark.read.parquet(tableDir)
+      .select(relFile(tableDir).as("file"),
+        explode(bloomPositions(col(keyCol))).as("pos"))
+      .distinct()
+      .groupBy("file")
+      .agg(sort_array(collect_list(col("pos"))).as("bits"))
+      .withColumn("key_col", lit(keyCol))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$tableDir/_idx/bloom")
+
+  /** The files a point-lookup on `keys` must read: a file is a
+    * candidate iff ALL k bit positions of SOME probe key are set in its
+    * filter — the standard Bloom test, evaluated as a join between the
+    * probe positions (k × #keys rows, broadcast) and the exploded
+    * manifest, counting matched positions per (file, key). Absolute
+    * paths; #files-sized planning collect, like [[prunedFiles]]. */
+  def bloomCandidateFiles(spark: SparkSession, tableDir: String,
+      keys: Seq[String]): Seq[String] = {
+    require(new java.io.File(s"$tableDir/_idx/bloom").isDirectory,
+      s"no bloom sidecar under $tableDir — writeBloom was never run " +
+        "(a repack invalidates it; rebuild with the table, the serving-index rule)")
+    import spark.implicits._
+    val probes = keys.toDF("k")
+      .select(col("k"), explode(bloomPositions(col("k"))).as("pos"))
+    spark.read.parquet(s"$tableDir/_idx/bloom")
+      .select(col("file"), explode(col("bits")).as("pos"))
+      .join(broadcast(probes), "pos")
+      .groupBy("file", "k")
+      // positions are distinct per side, so #matches = #distinct probe
+      // positions present; a key whose k hashes collide to fewer
+      // distinct positions still matches iff all of THOSE are present
+      .agg(count_distinct(col("pos")).as("n_hit"))
+      .join(broadcast(probes.groupBy("k")
+        .agg(count_distinct(col("pos")).as("n_need"))), "k")
+      .where(col("n_hit") === col("n_need"))
+      .select("file").distinct()
+      .collect().map(r => s"$tableDir/${r.getString(0)}").toSeq
+  }
+
+  /** Scan only the Bloom-candidate files for `keys`; the caller applies
+    * the exact membership filter (false positives are pruned there). */
+  def bloomScan(spark: SparkSession, tableDir: String, keyCol: String,
+      keys: Seq[String]): DataFrame = {
+    val files = bloomCandidateFiles(spark, tableDir, keys)
+    if (files.isEmpty) spark.read.parquet(tableDir).where(lit(false))
+    else spark.read.parquet(files: _*)
+  }
+
+  // ---------------------------------------------------------------------------
+  // q135: Bloom point-lookup inside the correctness gate
+  // ---------------------------------------------------------------------------
+
+  /** q135: Bloom-indexed point lookup on the document fingerprint table
+    * — the skipping story for a key min/max can't help with: the table
+    * is written hash-distributed on `fingerprint` (every file's [min,
+    * max] spans the whole key space, so a `_idx/stats` prune would keep
+    * every file — the spec measures exactly that), and the `_idx/bloom`
+    * sidecar restores file-level skipping for point lookups. The gate
+    * probes the fingerprints of doc_id 0/1/2 THROUGH the sidecar and
+    * must return exactly the rows a full scan returns (duplicate texts
+    * share a fingerprint, so hits can include other doc_ids — both
+    * engines compute the same set). The scratch table is rebuilt per
+    * invocation (the q49 write-cost class). */
+  val q135_bloom_lookup: Q = (s, d) => {
+    val out = StarBuilder.scratchDir(s, d, "bloomidx")
+    val fp = graft.ops.TextCore.docShingles(s, d)
+      .select(col("doc_id"), md5(col("norm")).as("fingerprint"))
+    fp.repartition(8, col("fingerprint"))
+      .write.mode("overwrite").parquet(out)
+    writeBloom(s, out, "fingerprint")
+    val probes = fp.where(col("doc_id") < 3)
+      .select("fingerprint").collect().map(_.getString(0)).toSeq
+    bloomScan(s, out, "fingerprint", probes)
+      .where(col("fingerprint").isin(probes: _*))
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q135_bloom_lookup" -> q135_bloom_lookup)
+
+  val oracle: Map[String, String] = Map(
+    // the lookup's answer, stated directly: rows whose fingerprint
+    // matches any probed doc's — how the files were found (bloom prune
+    // vs full scan) must not change the rows
+    "q135_bloom_lookup" -> graft.ops.TextCore.withDocs(
+      """SELECT doc_id, md5(norm) AS fingerprint FROM docs
+        |WHERE md5(norm) IN (SELECT md5(norm) FROM docs WHERE doc_id < 3)
+        |ORDER BY doc_id""".stripMargin))
+}

@@ -464,6 +464,20 @@ object StarBuilder {
         val rel = srcRoot.toPath.relativize(leaf.toPath).toString
         Compact.packInto(spark, leaf, new java.io.File(txn, rel), targetBytes, blockSize)
       }
+      // a stats manifest addresses files BY NAME: any repack leaves it
+      // pointing at files that no longer exist, so the compacted
+      // snapshot regenerates its manifest before the commit (stats
+      // columns are recoverable from the manifest's own min_* schema).
+      // Cheap next to the repack itself, and atomic with it — readers
+      // resolve either (old files, old stats) or (new files, new
+      // stats), never a mix. `_bloom` sidecars follow the serving-index
+      // rule instead (rebuild with the artifact; SURVEY §8 r9 limits).
+      val srcStats = new java.io.File(t, "_idx/stats")
+      if (srcStats.isDirectory) {
+        val cols = spark.read.parquet(srcStats.toString).columns
+          .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
+        DataSkipping.writeStats(spark, new java.io.File(txn, t.getName).toString, cols)
+      }
     }
     // compaction derives from v=cur: same lost-update rule as deleteWhere
     publishSnapshotExactly(warehouse, txn, cur + 1)
@@ -623,6 +637,84 @@ object StarBuilder {
     val txn = stageDir(warehouse)
     df.write.mode("overwrite").parquet(new java.io.File(txn, table).toString)
     publishSnapshotExactly(warehouse, txn, from + 1)
+  }
+
+  /** [[writeTableVersioned]] with a clustered layout and a committed
+    * `_stats` data-skipping manifest — the "stats in the log" shape: the
+    * table is range-partitioned + sorted on `sortBy` (so file min/max
+    * intervals on those columns are tight and disjoint), the per-file
+    * manifest is written INSIDE the staging dir, and both become visible
+    * in one commit — a reader never sees data without its stats or
+    * stats for files that aren't there. blockSize/check-interval pins
+    * follow [[writeFactClustered]] (deterministic row groups). */
+  def writeTableVersionedStats(df: DataFrame, warehouse: String, table: String,
+      sortBy: Seq[String], statsCols: Seq[String],
+      blockSize: Int = 128 * 1024 * 1024): Long = {
+    require(sortBy.nonEmpty, "writeTableVersionedStats needs a clustering key")
+    val txn = stageDir(warehouse)
+    val tableDir = new java.io.File(txn, table).toString
+    df.repartitionByRange(4, sortBy.map(col): _*)
+      .sortWithinPartitions(sortBy.map(col): _*)
+      .write.mode("overwrite")
+      .option("parquet.block.size", blockSize.toString)
+      // deterministic flush points — see writeFactClustered
+      .option("parquet.block.size.row.check.min", "100")
+      .option("parquet.block.size.row.check.max", "100")
+      .parquet(tableDir)
+    DataSkipping.writeStats(df.sparkSession, tableDir, statsCols)
+    publishSnapshot(warehouse, txn)
+  }
+
+  /** Manifest-pruned interval scan of a committed snapshot table: the
+    * version resolves through the log ([[readAt]]'s rule), then the
+    * `_stats` manifest — not a directory listing, not parquet footers —
+    * decides which files the scan opens ([[DataSkipping.prunedScan]]).
+    * The caller still applies the exact predicate (file pruning is a
+    * superset guarantee, like partition pruning). DV-carrying tables
+    * refuse: a pruned scan that skipped the sidecar's files would
+    * resurrect deleted rows. */
+  def readAtPruned(spark: SparkSession, warehouse: String, table: String,
+      c: String, lo: Any, hi: Any, version: Option[Long] = None): DataFrame = {
+    val vs = committedVersions(warehouse)
+    require(vs.nonEmpty, s"no committed version in $warehouse")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"version $v is not committed in $warehouse (committed: ${vs.mkString(", ")})")
+    val root = new java.io.File(s"$warehouse/v=$v")
+    require(!dvDir(root, table).isDirectory,
+      s"readAtPruned: $table carries a deletion vector at v=$v — " +
+        "compactVersioned materializes it; pruned scans don't apply DVs")
+    DataSkipping.prunedScan(spark, new java.io.File(root, table).toString, c, lo, hi)
+  }
+
+  /** q131: stats-manifest file skipping inside the correctness gate —
+    * the fact is committed clustered on `student` with its `_stats`
+    * manifest ([[writeTableVersionedStats]]), then a ~5% student band
+    * (min + (max−min)/20, integer arithmetic both engines truncate
+    * identically for these positive keys) is served THROUGH
+    * [[readAtPruned]]: the manifest decides which files open, the exact
+    * predicate filters within them, and the per-student rollup must
+    * hash-equal the oracle's plain filtered aggregate — a manifest that
+    * drops a boundary file loses rows and fails the gate; one that
+    * keeps everything still passes but the spec's file-count assertion
+    * catches it (correctness and skipping pinned by different tests,
+    * deliberately). Reps recommit and vacuum (the q49 write class). */
+  val q131_stats_prune: Q = (s, d) => {
+    val wh = scratchDir(s, d, "statswh")
+    val f = Star.fact(s, d)
+    writeTableVersionedStats(f, wh, "fact_by_student",
+      sortBy = Seq("student"), statsCols = Seq("student"),
+      blockSize = 64 * 1024)
+    val r = f.agg(min("student"), max("student")).head()
+    val lo = r.getLong(0)
+    val hi = lo + (r.getLong(1) - lo) / 20
+    val out = readAtPruned(s, wh, "fact_by_student", "student", lo, hi)
+      .where(col("student").between(lo, hi))
+      .groupBy("student")
+      .agg(count(lit(1)).as("n_rows"), sum("sks").as("total_sks"))
+      .orderBy("student")
+    vacuumVersions(wh, keep = 1)
+    out
   }
 
   /** Row-level diff of two frames sharing a key — the change-data-feed
@@ -995,7 +1087,8 @@ object StarBuilder {
     "q119_snapshot_diff" -> q119_snapshot_diff,
     "q120_cdc_apply" -> q120_cdc_apply,
     "q121_delete_vectors" -> q121_delete_vectors,
-    "q130_cdc_chain" -> q130_cdc_chain)
+    "q130_cdc_chain" -> q130_cdc_chain,
+    "q131_stats_prune" -> q131_stats_prune)
 
   /** q49's per-table-count oracle, shared VERBATIM by q115: the
     * versioned lifecycle (write → compact → vacuum → readAt) must
@@ -1074,5 +1167,14 @@ object StarBuilder {
     "q130_cdc_chain" -> withFact(
       s"""SELECT student, CAST(count(*) AS BIGINT) AS n_rows, sum(sks) AS total_sks,
          |       ${Star.round2Sql("sum(sks*bobot) / sum(sks)")} AS gpa
-         |FROM fact GROUP BY student ORDER BY student""".stripMargin))
+         |FROM fact GROUP BY student ORDER BY student""".stripMargin),
+    // the band's rollup stated directly: which files the manifest let
+    // the scan open must not change the rows (same contract as q135)
+    "q131_stats_prune" -> withFact(
+      """, b AS (SELECT min(student) AS lo,
+        |               min(student) + (max(student) - min(student)) // 20 AS hi
+        |        FROM fact)
+        |SELECT student, CAST(count(*) AS BIGINT) AS n_rows, sum(sks) AS total_sks
+        |FROM fact, b WHERE student BETWEEN lo AND hi
+        |GROUP BY student ORDER BY student""".stripMargin))
 }

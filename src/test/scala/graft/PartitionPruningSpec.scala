@@ -419,6 +419,90 @@ class PartitionPruningSpec extends AnyFunSuite with SparkTestBase {
       s"unsorted=$unsortedScan")
   }
 
+  test("stats manifest prunes files at planning time; compaction regenerates it") {
+    import spark.implicits._
+    import graft.etl.DataSkipping
+    val wh = java.nio.file.Files.createTempDirectory("graft_statsm").toString
+    val df = (1L to 400L).map(i => (i, s"p_$i")).toDF("id", "payload")
+    val v1 = StarBuilder.writeTableVersionedStats(df, wh, "t",
+      sortBy = Seq("id"), statsCols = Seq("id"))
+    val tdir = s"$wh/v=$v1/t"
+    // one manifest row per data file, counts summing to the table
+    val manifest = DataSkipping.statsManifest(spark, tdir).collect()
+    val nFiles = new java.io.File(tdir).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(manifest.length == nFiles && nFiles >= 4)
+    assert(manifest.map(_.getAs[Long]("n_rows")).sum == 400L)
+    // a narrow band prunes files (sorted layout ⇒ disjoint intervals)
+    val pruned = DataSkipping.prunedFiles(spark, tdir, "id", 50L, 60L)
+    assert(pruned.nonEmpty && pruned.length < nFiles,
+      s"no file skip: ${pruned.length} of $nFiles files for an 11-id band")
+    // superset guarantee on a boundary-straddling band: pruned scan +
+    // exact filter ≡ full scan + exact filter
+    def band(d: org.apache.spark.sql.DataFrame, lo: Long, hi: Long) =
+      d.where(col("id").between(lo, hi)).select("id", "payload")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val lo = 95L; val hi = 205L // straddles the 100/200 file boundaries
+    assert(band(DataSkipping.prunedScan(spark, tdir, "id", lo, hi), lo, hi)
+      == band(spark.read.parquet(tdir), lo, hi))
+    // a band outside every file's interval reads nothing, schema intact
+    val empty = DataSkipping.prunedScan(spark, tdir, "id", 1000L, 2000L)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "payload"))
+    // the pruned read goes through readAtPruned (log-resolved), same rows
+    assert(band(StarBuilder.readAtPruned(spark, wh, "t", "id", lo, hi), lo, hi)
+      == band(spark.read.parquet(tdir), lo, hi))
+    // compaction renames every file — the manifest MUST be regenerated
+    // for the new snapshot or pruned reads would miss all data
+    val v2 = StarBuilder.compactVersioned(spark, wh, targetBytes = 1L << 30)
+    val t2 = s"$wh/v=$v2/t"
+    val m2 = DataSkipping.statsManifest(spark, t2).collect()
+    val files2 = new java.io.File(t2).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(m2.map(_.getAs[String]("file")).toSet == files2,
+      "compacted manifest references stale files")
+    assert(m2.map(_.getAs[Long]("n_rows")).sum == 400L)
+    assert(band(StarBuilder.readAtPruned(spark, wh, "t", "id", lo, hi), lo, hi)
+      == band(spark.read.parquet(t2), lo, hi))
+  }
+
+  test("bloom sidecar skips files for point lookups where min/max stats cannot") {
+    import spark.implicits._
+    import graft.etl.DataSkipping
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomt").toString
+    (1L to 400L).map(i => (s"k_$i", i)).toDF("key", "x")
+      .repartition(8, col("key"))
+      .write.mode("overwrite").parquet(dir)
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(nFiles == 8)
+    // min/max stats are useless on a hash-distributed key: every file's
+    // interval spans the key space, so a mid-range band keeps ALL files
+    DataSkipping.writeStats(spark, dir, Seq("key"))
+    assert(DataSkipping.prunedFiles(spark, dir, "key", "k_5", "k_50").length == nFiles)
+    DataSkipping.writeBloom(spark, dir, "key")
+    // zero false negatives: the bloom-pruned scan + exact filter returns
+    // exactly the full scan's rows for present keys
+    val probes = Seq("k_10", "k_250", "k_399")
+    def hits(d: org.apache.spark.sql.DataFrame) =
+      d.where(col("key").isin(probes: _*))
+        .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("x"))).sorted.toSeq
+    assert(hits(DataSkipping.bloomScan(spark, dir, "key", probes))
+      == hits(spark.read.parquet(dir)))
+    assert(hits(spark.read.parquet(dir)).map(_._1) == probes.sorted)
+    // and it actually skips: 3 probe keys live in ≤ 3 files; false
+    // positives may add a file or two but can never reach all 8
+    // (deterministic — the hash family is fixed)
+    val cand = DataSkipping.bloomCandidateFiles(spark, dir, probes)
+    assert(cand.nonEmpty && cand.length < nFiles,
+      s"bloom kept ${cand.length} of $nFiles files")
+    // absent keys prune even harder, and the scan is empty after the
+    // exact filter regardless of false positives
+    val absent = Seq("nope_1", "nope_2")
+    assert(DataSkipping.bloomCandidateFiles(spark, dir, absent).length < nFiles)
+    assert(DataSkipping.bloomScan(spark, dir, "key", absent)
+      .where(col("key").isin(absent: _*)).count() == 0)
+  }
+
   test("tahun filter prunes fact partitions in the warehouse read") {
     val dir = writeMiniStar(Seq(
       (1L, 1L, 101L, "2023-03-15", "A", "F", 3.0),
