@@ -390,6 +390,38 @@ object StarBuilder {
       .sorted.toSeq
   }
 
+  /** Streaming-transaction ledger — the Delta `txn` action's role: a
+    * committed (stream id, batch id) pair recorded as `_log/txn.<id>.<batch>`
+    * (the strict `<digits>.commit` scan ignores it), holding the version
+    * that batch produced. [[txnVersion]] is how an at-least-once sink
+    * turns replay into a no-op at COMMIT level (the r9 limit: without a
+    * ledger a replayed batch re-commits an identical-content version).
+    * The marker lands AFTER the version commit, so a crash between the
+    * two degrades exactly to the old content-level idempotence — a
+    * duplicate version, never wrong data — and the next success
+    * re-marks. Create-if-absent keeps a concurrent double-replay from
+    * double-marking. */
+  def txnMark(warehouse: String, streamId: String, batchId: Long, v: Long): Unit = {
+    require(!streamId.contains("/") && !streamId.contains("."),
+      s"streamId must be path- and ledger-safe: $streamId")
+    val log = new java.io.File(s"$warehouse/_log")
+    log.mkdirs()
+    try java.nio.file.Files.write(
+      new java.io.File(log, s"txn.$streamId.$batchId").toPath,
+      v.toString.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
+
+  /** The version a (stream, batch) pair committed, if its ledger marker
+    * exists — None means the batch never committed (or crashed before
+    * marking, which replays safely). */
+  def txnVersion(warehouse: String, streamId: String, batchId: Long): Option[Long] = {
+    val f = new java.io.File(s"$warehouse/_log/txn.$streamId.$batchId")
+    if (!f.isFile) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong)
+  }
+
   private def commitMarker(warehouse: String, v: Long): Long = {
     val log = new java.io.File(s"$warehouse/_log")
     log.mkdirs()
@@ -907,6 +939,89 @@ object StarBuilder {
     caught
   }
 
+  /** [[studentSummary]] carrying its MERGEABLE partials (Σ sks·bobot
+    * alongside count and Σ sks) — the self-maintainable form an
+    * incrementally-maintained aggregate view needs: the ratio gpa can't
+    * absorb a delta, but its numerator and denominator can, and every
+    * partial is exact (sks integral, bobot a 0.5 multiple — sums are
+    * exact doubles in any order), so the one rounding site stays the
+    * final division, recomputed from merged partials. */
+  private def studentSummaryM(fact: DataFrame): DataFrame =
+    fact.groupBy("student").agg(
+      count(lit(1)).as("n_rows"),
+      sum("sks").as("total_sks"),
+      sum(col("sks") * col("bobot")).as("total_w"))
+      .withColumn("gpa", Star.round2(col("total_w") / col("total_sks")))
+
+  /** Incremental maintenance of the [[studentSummaryM]] aggregate view
+    * from FACT-level deltas — true incremental view maintenance, one
+    * rung past [[applyChanges]]: that consumes a feed of the view's OWN
+    * rows (someone already recomputed each changed group); this
+    * consumes raw fact insertions/deletions and folds them into the
+    * group partials directly, so no group is ever recomputed from base
+    * facts. Standard delta-aggregation (Gupta & Mumick's IVM for
+    * SUM/COUNT views): each delta fact contributes ±1/±sks/±(sks·bobot)
+    * to its group; groups whose count reaches zero leave the view;
+    * groups the delta never touches pass through UNTOUCHED — at 100 TB
+    * the base view never shuffles (anti/semi joins on the broadcast
+    * delta key set) and only delta-keyed groups are rebuilt, each from
+    * its old partials plus the delta sums, never from the fact table.
+    *
+    * Exactness (the gate's proof obligation): partials are exact
+    * doubles (see [[studentSummaryM]]), so old + delta ≡ recompute from
+    * scratch BIT-identically, and the maintained view hash-equals the
+    * oracle's full recompute — PropertiesSpec pins the same equivalence
+    * on ScalaCheck-random fact splits. Caller contract: `removed` rows
+    * must actually exist in the view's base (removing an absent fact
+    * would drive partials negative — there is nothing to validate them
+    * against without the base facts, which is the point of not having
+    * them). */
+  def maintainStudentSummary(base: DataFrame, removed: DataFrame,
+      added: DataFrame): DataFrame = {
+    def deltas(df: DataFrame, sign: Int): DataFrame =
+      df.select(col("student"), lit(sign.toLong).as("sign"), col("sks"),
+        (col("sks") * col("bobot")).as("w"))
+    val d = deltas(added, 1).unionByName(deltas(removed, -1))
+      .groupBy("student")
+      .agg(sum(col("sign")).as("dn"),
+        sum(col("sign").cast("double") * col("sks")).as("dsks"),
+        sum(col("sign").cast("double") * col("w")).as("dw"))
+    val dKeys = d.select("student")
+    val untouched = base.join(broadcast(dKeys), Seq("student"), "left_anti")
+    // both sides of the merge are delta-sized: the view contributes
+    // only its touched groups (broadcast semi), the delta its sums
+    val touched = base.join(broadcast(dKeys), Seq("student"), "left_semi")
+    val merged = d.join(touched, Seq("student"), "left")
+      .select(col("student"),
+        (coalesce(col("n_rows"), lit(0L)) + col("dn")).as("n_rows"),
+        (coalesce(col("total_sks"), lit(0.0)) + col("dsks")).as("total_sks"),
+        (coalesce(col("total_w"), lit(0.0)) + col("dw")).as("total_w"))
+      .where(col("n_rows") > 0)
+      .withColumn("gpa", Star.round2(col("total_w") / col("total_sks")))
+    untouched.unionByName(merged)
+  }
+
+  /** q132: incremental view maintenance from fact-level deltas, gated
+    * against the from-scratch recompute. The summary view is built on
+    * last cycle's window [min, max); the window slides by one year —
+    * the retired year's facts are the DELETIONS, the arriving year's
+    * the INSERTIONS — and [[maintainStudentSummary]] folds both into
+    * the view. The oracle recomputes the slid window (min, max]
+    * directly from the fact table: any group the delta fold loses,
+    * fabricates, or gets bit-wrong fails the hash gate (q120's
+    * equivalence, one level deeper — fact deltas instead of view-row
+    * feeds). */
+  val q132_ivm_maintain: Q = (s, d) => {
+    val f = Star.fact(s, d)
+    val yr = f.agg(min("tahun"), max("tahun")).head()
+    val (minY, maxY) = (yr.getLong(0), yr.getLong(1))
+    val base = studentSummaryM(f.where(col("tahun") < maxY))
+    maintainStudentSummary(base,
+      removed = f.where(col("tahun") === minY),
+      added = f.where(col("tahun") === maxY))
+      .orderBy("student")
+  }
+
   /** q121: deletion-vector DELETE inside the correctness gate. The full
     * student summary is committed, then the low-activity cohort
     * (total_sks < 1000 — roughly the bottom half) is soft-deleted via
@@ -1088,7 +1203,8 @@ object StarBuilder {
     "q120_cdc_apply" -> q120_cdc_apply,
     "q121_delete_vectors" -> q121_delete_vectors,
     "q130_cdc_chain" -> q130_cdc_chain,
-    "q131_stats_prune" -> q131_stats_prune)
+    "q131_stats_prune" -> q131_stats_prune,
+    "q132_ivm_maintain" -> q132_ivm_maintain)
 
   /** q49's per-table-count oracle, shared VERBATIM by q115: the
     * versioned lifecycle (write → compact → vacuum → readAt) must
@@ -1176,5 +1292,15 @@ object StarBuilder {
         |        FROM fact)
         |SELECT student, CAST(count(*) AS BIGINT) AS n_rows, sum(sks) AS total_sks
         |FROM fact, b WHERE student BETWEEN lo AND hi
-        |GROUP BY student ORDER BY student""".stripMargin))
+        |GROUP BY student ORDER BY student""".stripMargin),
+    // the maintained view must equal the slid window recomputed from
+    // scratch — delta folding is invisible in the answer (q120's
+    // contract at fact-delta granularity)
+    "q132_ivm_maintain" -> withFact(
+      s""", yrs AS (SELECT min(tahun) AS miny FROM fact)
+         |SELECT student, CAST(count(*) AS BIGINT) AS n_rows, sum(sks) AS total_sks,
+         |       sum(sks*bobot) AS total_w,
+         |       ${Star.round2Sql("sum(sks*bobot) / sum(sks)")} AS gpa
+         |FROM fact WHERE tahun > (SELECT miny FROM yrs)
+         |GROUP BY student ORDER BY student""".stripMargin))
 }

@@ -218,32 +218,46 @@ object EventStream {
     * batch moves only the delta (the applyChanges anti-join broadcasts
     * the feed); the base table is re-read per batch from the snapshot
     * files, which a cluster deployment serves from the page cache or
-    * prunes via the same bucketed layout as the batch path. */
-  def cdcApplySink(warehouse: String, table: String,
-      keys: Seq[String]): (DataFrame, Long) => Unit =
-    (feedBatch, _) => if (!feedBatch.isEmpty) {
+    * prunes via the same bucketed layout as the batch path.
+    *
+    * COMMIT-level exactly-once (the r9 limit, closed): each applied
+    * batch records its (streamId, batchId) in the version log's txn
+    * ledger ([[graft.etl.StarBuilder.txnMark]] — the Delta `txn`
+    * action), and a replayed batch whose marker exists SKIPS entirely —
+    * no duplicate version, no wasted apply. Marker lands after the
+    * commit, so a crash in between degrades to the content-level
+    * idempotence above (a duplicate version, never wrong data); batch
+    * ids are per-stream, so `streamId` must be unique among streams
+    * writing this warehouse (defaults to the table name — the
+    * single-writer-per-table case). */
+  def cdcApplySink(warehouse: String, table: String, keys: Seq[String],
+      streamId: String = ""): (DataFrame, Long) => Unit =
+    (feedBatch, batchId) => if (!feedBatch.isEmpty) {
       import graft.etl.StarBuilder
-      // the idempotence AND correctness arguments both assume one change
-      // per key per batch (tableDiff's contract): two changes for one key
-      // in a single batch have no defined order here, and blindly
-      // unioning both post-images would commit a duplicate-key version
-      // that stays time-travel-readable forever — fail loudly instead
-      val dup = feedBatch.groupBy(keys.map(col): _*).count()
-        .where(col("count") > 1).limit(1).count()
-      require(dup == 0L,
-        s"cdcApplySink: feed batch carries multiple changes for one key " +
-          s"(${keys.mkString(", ")}); collapse to one change per key per " +
-          "batch upstream (tableDiff feeds are key-unique by construction)")
-      // read-modify-write: pin the version we derive from and commit
-      // exactly its successor — a concurrent commit makes this batch
-      // fail (and replay after restart, idempotently) instead of
-      // silently erasing the other writer's version from the latest view
-      val cur = StarBuilder.latestVersion(warehouse).getOrElse(
-        throw new IllegalStateException(s"no committed version in $warehouse"))
-      val base = StarBuilder.readAt(feedBatch.sparkSession, warehouse, table, Some(cur))
-      StarBuilder.writeTableVersionedFrom(
-        StarBuilder.applyChanges(base, feedBatch, keys), warehouse, table, cur)
-      ()
+      val sid = if (streamId.nonEmpty) streamId else table
+      if (StarBuilder.txnVersion(warehouse, sid, batchId).isEmpty) {
+        // the idempotence AND correctness arguments both assume one change
+        // per key per batch (tableDiff's contract): two changes for one key
+        // in a single batch have no defined order here, and blindly
+        // unioning both post-images would commit a duplicate-key version
+        // that stays time-travel-readable forever — fail loudly instead
+        val dup = feedBatch.groupBy(keys.map(col): _*).count()
+          .where(col("count") > 1).limit(1).count()
+        require(dup == 0L,
+          s"cdcApplySink: feed batch carries multiple changes for one key " +
+            s"(${keys.mkString(", ")}); collapse to one change per key per " +
+            "batch upstream (tableDiff feeds are key-unique by construction)")
+        // read-modify-write: pin the version we derive from and commit
+        // exactly its successor — a concurrent commit makes this batch
+        // fail (and replay after restart, idempotently) instead of
+        // silently erasing the other writer's version from the latest view
+        val cur = StarBuilder.latestVersion(warehouse).getOrElse(
+          throw new IllegalStateException(s"no committed version in $warehouse"))
+        val base = StarBuilder.readAt(feedBatch.sparkSession, warehouse, table, Some(cur))
+        val v = StarBuilder.writeTableVersionedFrom(
+          StarBuilder.applyChanges(base, feedBatch, keys), warehouse, table, cur)
+        StarBuilder.txnMark(warehouse, sid, batchId, v)
+      }
     }
 
   /** Streaming twin of the batch AS-OF attribution (q68): stream-stream

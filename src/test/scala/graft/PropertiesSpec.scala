@@ -88,6 +88,46 @@ class PropertiesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("IVM delta fold equals from-scratch recompute on random fact splits") {
+    import spark.implicits._
+    import graft.etl.StarBuilder.maintainStudentSummary
+    // random graded-event facts over the real grade scale; any split into
+    // (surviving base, removed-from-base, newly-added) must satisfy
+    //   maintain(view(base), removed, added) ≡ view(base − removed + added)
+    // bit-exactly — partials are exact doubles, so the fold and the
+    // recompute round the identical quotient (the q132 gate's argument,
+    // exercised on adversarial splits: groups that vanish, groups born
+    // from deltas alone, untouched groups)
+    val factRow = for {
+      student <- Gen.chooseNum(0L, 8L)
+      sks <- Gen.chooseNum(1, 6).map(_.toDouble)
+      bobot <- Gen.oneOf(Star.gradeWeights.map(_._2))
+    } yield (student, sks, bobot)
+    (1 to 5).foreach { _ =>
+      val base = Gen.listOfN(40, factRow).sample.get
+      val removed = base.zipWithIndex.collect {
+        case (r, i) if i % 3 == 0 => r } // a third of the base leaves
+      val added = Gen.listOfN(15, factRow).sample.get
+      def df(rows: Seq[(Long, Double, Double)]) =
+        rows.toDF("student", "sks", "bobot")
+      def summarize(rows: Seq[(Long, Double, Double)]) =
+        df(rows).groupBy("student").agg(
+          count(lit(1)).as("n_rows"), sum("sks").as("total_sks"),
+          sum(col("sks") * col("bobot")).as("total_w"))
+          .withColumn("gpa", Star.round2(col("total_w") / col("total_sks")))
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getAs[Long]("student"), r.getAs[Long]("n_rows"),
+          r.getAs[Double]("total_sks"), r.getAs[Double]("total_w"),
+          r.getAs[Double]("gpa"))).sortBy(_._1).toSeq
+      val maintained = maintainStudentSummary(summarize(base),
+        df(removed), df(added))
+      // multiset subtraction: removed was TAKEN FROM base by position
+      val survivors = base.zipWithIndex.collect {
+        case (r, i) if i % 3 != 0 => r }
+      assert(rows(maintained) == rows(summarize(survivors ++ added)))
+    }
+  }
+
   test("SignLshSignature equals the HOF fold for random vectors and planes") {
     import spark.implicits._
     val vec = Gen.listOfN(64, Gen.chooseNum(-1.0, 1.0))
