@@ -663,6 +663,74 @@ object Similarity {
     adcRecall(s, d, approx)
   }
 
+  /** ADC shortlist size for the q133 refine stage: 4× the served k —
+    * the FAISS `k_factor` convention's small end. */
+  private val refineR = 20
+
+  /** q133: IVFPQ + exact RE-RANK — the refine stage completing the
+    * serving stack (FAISS IndexRefineFlat over IVFPQ): the coarse probe
+    * prunes to nprobe buckets (q37), ADC ranks the survivors from codes
+    * alone (q110), and then ONLY the ADC top-R shortlist (R = 4k) is
+    * re-ranked by the EXACT cosine against raw vectors — the 20-row
+    * fetch that buys back quantization error without ever ranking the
+    * corpus exactly. Ships both arms per query: n_adc vs n_refined
+    * matches against the exact q36 top-5, with recalls side by side —
+    * the measured value of the refine hop. Refined recall dominates by
+    * construction (any exact-top-5 member IN the shortlist survives an
+    * exact re-rank; SimilaritySpec pins the per-query dominance), so
+    * the interesting number is the gap that remains: exact neighbors
+    * the PQ shortlist never surfaced.
+    *
+    * Scale shape: everything up to the shortlist is q110's (no corpus
+    * shuffle wider than codes); the re-rank joins R×queries shortlist
+    * rows to the corpus on vec_id — an equi-join fetching tens of rows
+    * per query (at cluster scale: point reads against the vec_id-keyed
+    * store), with the query vectors broadcast. */
+  lazy val q133_ivfpq_refine: Q = (s, d) => {
+    val ranked = centroidRanks(s, d, nProbe)
+    val cand = ranked.where(col("vec_id") < numQueries && col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("c_id"))
+      .join(ranked.where(col("rn") === 1).select(col("vec_id"), col("c_id")), "c_id")
+      .where(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    val codes = pqCodes(s, d).select(col("vec_id"), col("j"), col("code"))
+    val approx = subspaceTotal(
+      cand.join(codes, "vec_id")
+        .join(broadcast(pqDistTable(s, d)), Seq("query_id", "j", "code")),
+      Seq("query_id", "vec_id"), col("dq"), "adist")
+      .localCheckpoint(true) // two rankings (top-k arm + shortlist) read it
+    val wR = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)
+    val shortlist = approx.withColumn("rr", row_number().over(wR))
+      .where(col("rr") <= refineR)
+      .select("query_id", "vec_id")
+    val all = vecs(s, d)
+    val qv = all.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wK = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    val refinedTop = shortlist
+      .join(all, "vec_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(wK))
+      .where(col("rank") <= topK)
+      .select(col("query_id").as("q2"), col("vec_id").as("n2"))
+    val exact = q36_knn_brute(s, d)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    def arm(top: DataFrame, n: String): DataFrame =
+      exact.join(top,
+          col("query_id") === col("q2") && col("neighbor_id") === col("n2"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"), count(col("n2")).as(n))
+    arm(adcTop(approx), "n_adc")
+      .join(arm(refinedTop, "n_refined").drop("n_exact"), "query_id")
+      .select(col("query_id"), col("n_exact"), col("n_adc"), col("n_refined"),
+        round4(col("n_adc").cast("double") / col("n_exact").cast("double"))
+          .as("recall_adc"),
+        round4(col("n_refined").cast("double") / col("n_exact").cast("double"))
+          .as("recall_refined"))
+      .orderBy("query_id")
+  }
+
   // ---------------------------------------------------------------------------
   // Persisted PQ serving index (the writeIvfIndex twin for the PQ stack)
   // ---------------------------------------------------------------------------
@@ -1108,6 +1176,7 @@ object Similarity {
     "q109_pq_adc_recall" -> q109_pq_adc_recall,
     "q110_ivfpq_recall" -> q110_ivfpq_recall,
     "q111_pq_trained_recall" -> q111_pq_trained_recall,
+    "q133_ivfpq_refine" -> q133_ivfpq_refine,
     "q114_pq_index_recall" -> q114_pq_index_recall,
     "q116_pca_power" -> q116_pca_power,
     "q117_pca_variance" -> q117_pca_variance,
@@ -1540,6 +1609,51 @@ object Similarity {
     // the in-memory IVFPQ search — the oracle IS q110's (the equality
     // is the point: the grown file artifact serves a full recompute)
     "q114_pq_index_recall" -> ivfpqRecallSql,
+    // both arms recomputed declaratively: the ADC top-k (q110's) and
+    // the exact re-rank of the ADC top-R shortlist
+    "q133_ivfpq_refine" ->
+      s"""WITH $vecsCte, $bruteCte, $ivfCte, $pqCtes,
+         |$pqDtabCtes,
+         |acand AS (
+         |  SELECT p.query_id, a.vec_id
+         |  FROM probes p JOIN assign a
+         |    ON p.c_id = a.c_id AND a.vec_id <> p.query_id),
+         |ap AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         ${adcSubspaceSums("e")}
+         |  FROM acand c
+         |  JOIN enc e ON c.vec_id = e.vec_id
+         |  JOIN dtab t ON t.query_id = c.query_id AND t.j = e.j AND t.code = e.code
+         |  GROUP BY c.query_id, c.vec_id),
+         |ranked_ap AS (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY d0 + d1 + d2 + d3 ASC, vec_id ASC) AS rr
+         |  FROM ap),
+         |adctop AS (SELECT query_id, vec_id FROM ranked_ap WHERE rr <= $topK),
+         |shortlist AS (SELECT query_id, vec_id FROM ranked_ap WHERE rr <= $refineR),
+         |ref AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT s.query_id, s.vec_id,
+         |           row_number() OVER (PARTITION BY s.query_id
+         |             ORDER BY list_dot_product(q.v, n.v) / (q.nrm * n.nrm) DESC,
+         |                      s.vec_id ASC) AS rank
+         |    FROM shortlist s
+         |    JOIN vecs q ON q.vec_id = s.query_id
+         |    JOIN vecs n ON n.vec_id = s.vec_id)
+         |  WHERE rank <= $topK)
+         |SELECT b.query_id,
+         |       CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(count(a.vec_id) AS BIGINT) AS n_adc,
+         |       CAST(count(r.vec_id) AS BIGINT) AS n_refined,
+         |       ${round4Sql("CAST(count(a.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+         |         AS recall_adc,
+         |       ${round4Sql("CAST(count(r.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+         |         AS recall_refined
+         |FROM brute b
+         |LEFT JOIN adctop a ON b.query_id = a.query_id AND b.neighbor_id = a.vec_id
+         |LEFT JOIN ref r ON b.query_id = r.query_id AND b.neighbor_id = r.vec_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
     "q116_pca_power" ->
       s"""WITH $pcaFitCtes,
          |load AS (

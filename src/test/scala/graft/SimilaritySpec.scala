@@ -145,6 +145,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q133: exact re-rank dominates the ADC arm per query") {
+    import org.apache.spark.sql.functions.col
+    // The refine theorem: any exact-top-5 neighbor present in the ADC
+    // top-R shortlist survives an exact re-rank (whatever outranks it
+    // there is globally closer, hence also exact-top-5), so per query
+    // n_refined >= n_adc — a structural property of the refine stage,
+    // not a lucky corpus. Real corpus: PQ assumes 64-dim embeddings.
+    val rows = Similarity.q133_ivfpq_refine(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 10) // one row per query
+    rows.foreach { r =>
+      val (ne, na, nr) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_adc"),
+        r.getAs[Long]("n_refined"))
+      assert(ne == 5L)
+      assert(nr >= na, s"query ${r.getAs[Long]("query_id")}: refine lost matches ($nr < $na)")
+      assert(nr <= ne)
+    }
+  }
+
   test("q99: a bucket whose members sum to zero keeps its seed centroid") {
     // single centroid (id 0); member 16 is its exact negation, so the
     // Lloyd mean is the zero vector — cosine to it would be 0/0 for every
