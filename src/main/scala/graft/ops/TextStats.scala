@@ -552,6 +552,81 @@ object TextStats {
       .orderBy("split")
   }
 
+  /** q134: unigram-LM surprisal scoring — the perplexity-filter rung
+    * (the CCNet/Gopher recipe: score every document by how surprising a
+    * reference LM finds it, then gate or re-weight on the score). The
+    * LM is the TRAIN split's unigram table (q70's deterministic hash
+    * split, so the filter never scores a document against a model that
+    * saw it... except the train docs themselves, reported under the
+    * same columns for the honest train-vs-rest contrast). Per token the
+    * surprisal proxy is the INTEGER ⌊T/count⌋ — the inverse relative
+    * frequency on the same determinism ground as q94's ratio idf: a
+    * true −log p would make the gate hang on libm's last ulp, while
+    * the integer division is bit-identical in both engines and
+    * preserves the ranking a log would induce (monotone in 1/p). OOV
+    * tokens charge the ceiling T (count 0 → the rarest-possible score)
+    * and are counted separately — n_oov is the q104 OOV-rate signal at
+    * the document grain.
+    *
+    * Scale shape: the unigram table is vocabulary-sized → broadcast
+    * onto the exploded tokens (q94's df-table shape); per-doc sums
+    * shuffle on doc_id only. The one driver-side action is the 1-row
+    * total. */
+  lazy val q134_surprisal: Q = (s, d) => {
+    val docs = docShingles(s, d)
+    val vocab = docs.where(idBucket(col("doc_id")) < 80)
+      .select(explode(col("words")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    // coalesce: an all-eval corpus has an empty table (sum → null); the
+    // filter then degrades to all-OOV zero scores instead of an NPE
+    val t = vocab.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    docs.select(col("doc_id"), explode(col("words")).as("word"))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .select(col("doc_id"),
+        when(col("cnt").isNull, lit(t))
+          .otherwise(expr(s"CAST($t AS BIGINT) div cnt")).as("sp"),
+        when(col("cnt").isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("oov").as("n_oov"),
+        sum("sp").as("surprisal_sum"))
+      .withColumn("mean_surprisal",
+        round2(col("surprisal_sum").cast("double") / col("n_tokens").cast("double")))
+      .orderBy("doc_id")
+  }
+
+  /** The q136 bucket ladder: pad-to boundaries in tokens; documents
+    * past the last boundary are TRUNCATED to it (the fixed-context
+    * batching rule). Powers of two, the packing-friendly convention. */
+  private val lenBuckets = Seq(16, 32, 64, 128, 256, 512)
+
+  /** q136: sequence-length bucketing for batch inference/training — the
+    * padding-waste accounting a dynamic-batching pipeline reads to pick
+    * its bucket boundaries: each document pads to the smallest bucket
+    * holding it (or truncates to the last), and per (lang, bucket) the
+    * table reports docs, real tokens kept, padded slots, tokens lost to
+    * truncation, and the waste fraction — pure integer ladders and one
+    * rounded ratio, bit-identical cross-engine. (q78 PACKS sequences
+    * into fixed contexts; this is the complementary design table for
+    * the pad-don't-pack regime, where waste = padding.) Map-side
+    * per-doc math; one narrow (lang, bucket) aggregate. */
+  lazy val q136_length_buckets: Q = (s, d) => {
+    val n = size(col("words")).cast("long")
+    val bucket = lenBuckets.init.foldRight(lit(lenBuckets.last.toLong)) {
+      case (b, rest) => when(n <= b, lit(b.toLong)).otherwise(rest)
+    }
+    docShingles(s, d)
+      .select(col("lang"), n.as("n"), bucket.as("bucket_len"))
+      .groupBy("lang", "bucket_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("n"), col("bucket_len"))).as("token_sum"),
+        sum(col("bucket_len")).as("padded_sum"),
+        sum(greatest(col("n") - col("bucket_len"), lit(0L))).as("trunc_tokens"))
+      .withColumn("waste_frac",
+        round4((col("padded_sum") - col("token_sum")).cast("double") /
+          col("padded_sum").cast("double")))
+      .orderBy("lang", "bucket_len")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_lang_id" -> q40_lang_id,
     "q41_token_stats" -> q41_token_stats,
@@ -569,7 +644,9 @@ object TextStats {
     "q96_bpe_merge_pairs" -> q96_bpe_merge_pairs,
     "q102_bpe_train" -> q102_bpe_train,
     "q104_bpe_compression" -> q104_bpe_compression,
-    "q106_bpe_heldout" -> q106_bpe_heldout)
+    "q106_bpe_heldout" -> q106_bpe_heldout,
+    "q134_surprisal" -> q134_surprisal,
+    "q136_length_buckets" -> q136_length_buckets)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -634,7 +711,44 @@ object TextStats {
 
   private val bpeChainCtes: String = bpeChainCtesFrom("docs")
 
+  private val lenBucketCaseSql: String =
+    lenBuckets.init.map(b => s"WHEN len(words) <= $b THEN $b")
+      .mkString("CASE ", " ", s" ELSE ${lenBuckets.last} END")
+
   val oracle: Map[String, String] = Map(
+    // the train-split unigram table, the total, then the same integer
+    // surprisal ladder per token (OOV charges the ceiling T)
+    "q134_surprisal" -> withDocs(
+      s""", tv AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(words) AS word FROM docs
+         |        WHERE ${idBucketSql("doc_id")} < 80)
+         |  GROUP BY word),
+         |tot AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS t FROM tv),
+         |scored AS (
+         |  SELECT doc_id,
+         |         CASE WHEN cnt IS NULL THEN t ELSE t // cnt END AS sp,
+         |         CASE WHEN cnt IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM (SELECT doc_id, unnest(words) AS word FROM docs)
+         |  LEFT JOIN tv USING (word), tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(oov) AS BIGINT) AS n_oov,
+         |       CAST(sum(sp) AS BIGINT) AS surprisal_sum,
+         |       ${round2Sql("CAST(sum(sp) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+         |         AS mean_surprisal
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "q136_length_buckets" -> withDocs(
+      s""", bl AS (
+         |  SELECT lang, CAST(len(words) AS BIGINT) AS n,
+         |         CAST($lenBucketCaseSql AS BIGINT) AS bucket_len
+         |  FROM docs)
+         |SELECT lang, bucket_len, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(least(n, bucket_len)) AS BIGINT) AS token_sum,
+         |       CAST(sum(bucket_len) AS BIGINT) AS padded_sum,
+         |       CAST(sum(greatest(n - bucket_len, 0)) AS BIGINT) AS trunc_tokens,
+         |       ${round4Sql("CAST(sum(bucket_len) - sum(least(n, bucket_len)) AS DOUBLE)" +
+                  " / CAST(sum(bucket_len) AS DOUBLE)")} AS waste_frac
+         |FROM bl GROUP BY lang, bucket_len ORDER BY lang, bucket_len""".stripMargin),
     "q102_bpe_train" -> withDocs(
       s"""$bpeChainCtes
          |SELECT * FROM (

@@ -294,4 +294,63 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
     val (refsA, blobsA, canonA, reclaimA) = got("_all")
     assert((refsA, blobsA, canonA) == (4L, 3L, 2L) && reclaimA == reclaim0)
   }
+
+  /** The q70 deterministic id bucket, recomputed in-test (same as the
+    * q77 spec) so train/eval membership is found, not hardcoded. */
+  private def idBucket(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    java.lang.Long.parseLong(md.take(2).map("%02x".format(_)).mkString, 16) % 100
+  }
+
+  test("q134: surprisal is integer T/cnt per token; OOV charges the ceiling") {
+    // train doc (bucket < 80): "a a a b" → unigram table a:3, b:1, T=4.
+    // eval doc (bucket >= 80): "a b z" → a: 4 div 3 = 1, b: 4 div 1 = 4,
+    // z is OOV → charges T = 4 and counts in n_oov.
+    val trainId = (0L to 200L).find(idBucket(_) < 80).get
+    val evalId = (0L to 200L).find(idBucket(_) >= 80).get
+    val dir = writeMiniDocs(Seq((trainId, "a a a b"), (evalId, "a b z")))
+    val got = TextStats.q134_surprisal(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("surprisal_sum"), r.getAs[Double]("mean_surprisal")))
+      .toMap
+    assert(got(evalId) == ((3L, 1L, 9L, 3.0)))
+    // the train doc scores against its own table: 3×(4 div 3) + 4 div 1
+    assert(got(trainId) == ((4L, 0L, 7L, 1.75)))
+  }
+
+  test("q134: with no train-split docs every token is OOV at the full-table ceiling") {
+    // All docs land in eval buckets → the unigram table is empty, T = 0,
+    // and every token is OOV with sp = T = 0. The filter degrades to
+    // all-zero scores rather than dividing by an absent count.
+    val evalIds = (0L to 400L).filter(idBucket(_) >= 80).take(2)
+    val dir = writeMiniDocs(evalIds.map(id => (id, "x y")))
+    val got = TextStats.q134_surprisal(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_oov"), r.getAs[Long]("surprisal_sum")))
+      .toMap
+    evalIds.foreach(id => assert(got(id) == ((2L, 0L))))
+  }
+
+  test("q136: docs pad to the smallest holding bucket and truncate past the last") {
+    // en: len 10 and len 16 → bucket 16 (pad 6+0); len 18 → bucket 32
+    // (pad 14); len 600 → truncated to 512 (trunc 88, zero padding).
+    // id: len 96 → bucket 128 (pad 32, waste exactly 0.25).
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val dir = writeMiniDocsLang(Seq(
+      (0L, words(10), "en"), (1L, words(16), "en"), (2L, words(18), "en"),
+      (3L, words(600), "en"), (4L, words(96), "id")))
+    val got = TextStats.q136_length_buckets(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("bucket_len")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("token_sum"),
+          r.getAs[Long]("padded_sum"), r.getAs[Long]("trunc_tokens"),
+          r.getAs[Double]("waste_frac")))
+      .toMap
+    assert(got(("en", 16L)) == ((2L, 26L, 32L, 0L, 0.1875)))
+    assert(got(("en", 32L)) == ((1L, 18L, 32L, 0L, 0.4375)))
+    assert(got(("en", 512L)) == ((1L, 512L, 512L, 88L, 0.0)))
+    assert(got(("id", 128L)) == ((1L, 96L, 128L, 0L, 0.25)))
+    assert(got.size == 4)
+  }
 }
