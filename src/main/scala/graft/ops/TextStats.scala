@@ -627,6 +627,61 @@ object TextStats {
       .orderBy("lang", "bucket_len")
   }
 
+  /** TextRank fixed iteration count / rank scale / damping (÷100). */
+  private val trIters = 10
+  private val trScale = 1000000L
+
+  /** q137: TextRank keyword scoring (Mihalcea & Tarau 2004) — weighted
+    * PageRank over the corpus word co-occurrence graph: nodes are words,
+    * edges connect ADJACENT words (both directions, weight = adjacency
+    * count, self-loops dropped), and rank iterates
+    * `r'(v) = 0.15 + 0.85 · Σ_{u→v} r(u)·w(u,v)/wout(u)` for a fixed 10
+    * rounds. The arithmetic is integer-scaled (rank × 1e6, per-edge
+    * integer div, damping as ×85 div 100) on the q134/q94 determinism
+    * ground: integer sums are addition-order-free, so Spark and DuckDB
+    * agree bitwise where double PageRank would drift in the last ulp.
+    *
+    * Scale shape: the ONE corpus-sized pass is the adjacency explode +
+    * (src,dst) count — map-side transform, narrow 2-word shuffle key.
+    * Everything after is vocabulary-sized: the edge table and rank
+    * vector are checkpointed once and each iteration is a vocab×vocab
+    * sparse join (broadcastable at any corpus size — the co-occurrence
+    * graph grows with the VOCABULARY, not the corpus). The driver loop
+    * is the q61/q101/BPE precedent: fixed iterations, localCheckpoint
+    * per round to cut lineage, nothing but metadata on the driver. */
+  lazy val q137_textrank: Q = (s, d) => {
+    val pairs = docShingles(s, d)
+      .where(size(col("words")) >= 2) // sequence(1, 0) counts down (q96)
+      .select(explode(transform(
+        sequence(lit(1), size(col("words")) - 1),
+        i => struct(element_at(col("words"), i).as("l"),
+          element_at(col("words"), i + 1).as("r")))).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+      .where(col("l") =!= col("r"))
+    val ed = pairs.select(col("l").as("src"), col("r").as("dst"))
+      .unionAll(pairs.select(col("r").as("src"), col("l").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    // out-weight rides the edge row so iterations join ONLY the rank
+    val edN = ed.join(ed.groupBy("src").agg(sum("w").as("wout")), "src")
+      .localCheckpoint(true)
+    var rank = edN.select(col("src").as("word")).distinct()
+      .select(col("word"), lit(trScale).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to trIters) {
+      // symmetric edges ⇒ every node has in-edges ⇒ groupBy(dst)
+      // preserves the node set across iterations
+      rank = edN.join(rank, edN("src") === rank("word"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("(rank * w) div wout")).as("inc"))
+        .select(col("dst").as("word"),
+          (lit(15L * trScale / 100L) + expr("(85 * inc) div 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    rank.select(col("word"), col("rank").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("word"))
+      .limit(50)
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_lang_id" -> q40_lang_id,
     "q41_token_stats" -> q41_token_stats,
@@ -646,7 +701,8 @@ object TextStats {
     "q104_bpe_compression" -> q104_bpe_compression,
     "q106_bpe_heldout" -> q106_bpe_heldout,
     "q134_surprisal" -> q134_surprisal,
-    "q136_length_buckets" -> q136_length_buckets)
+    "q136_length_buckets" -> q136_length_buckets,
+    "q137_textrank" -> q137_textrank)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -711,6 +767,16 @@ object TextStats {
 
   private val bpeChainCtes: String = bpeChainCtesFrom("docs")
 
+  /** One TextRank iteration CTE: tr{i} from tr{i-1}, mirroring the Spark
+    * loop body — per-edge integer div, damped integer sum, teleport. */
+  private def textrankIterCte(i: Int): String =
+    s"""tr$i AS (
+       |  SELECT dst AS word,
+       |         CAST(${15L * trScale / 100L}
+       |              + (85 * sum((rank * w) // wout)) // 100 AS BIGINT) AS rank
+       |  FROM edn JOIN tr${i - 1} ON edn.src = tr${i - 1}.word
+       |  GROUP BY dst)""".stripMargin
+
   private val lenBucketCaseSql: String =
     lenBuckets.init.map(b => s"WHEN len(words) <= $b THEN $b")
       .mkString("CASE ", " ", s" ELSE ${lenBuckets.last} END")
@@ -749,6 +815,29 @@ object TextStats {
          |       ${round4Sql("CAST(sum(bucket_len) - sum(least(n, bucket_len)) AS DOUBLE)" +
                   " / CAST(sum(bucket_len) AS DOUBLE)")} AS waste_frac
          |FROM bl GROUP BY lang, bucket_len ORDER BY lang, bucket_len""".stripMargin),
+    // the same integer-scaled TextRank: symmetric adjacency edges, then
+    // 10 unrolled rank CTEs mirroring the Spark driver loop exactly
+    "q137_textrank" -> withDocs(
+      s""", pr AS (
+         |  SELECT p.l AS l, p.r AS r FROM (
+         |    SELECT unnest(list_transform(range(1, len(words)),
+         |             i -> {'l': words[i], 'r': words[i+1]})) AS p
+         |    FROM docs WHERE len(words) >= 2)
+         |  WHERE p.l <> p.r),
+         |ed AS (
+         |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+         |    SELECT l AS src, r AS dst FROM pr
+         |    UNION ALL SELECT r AS src, l AS dst FROM pr)
+         |  GROUP BY src, dst),
+         |edn AS (
+         |  SELECT e.src, e.dst, e.w, o.wout
+         |  FROM ed e JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS wout
+         |                  FROM ed GROUP BY src) o USING (src)),
+         |tr0 AS (SELECT DISTINCT src AS word, CAST($trScale AS BIGINT) AS rank
+         |        FROM edn),
+         |${(1 to trIters).map(textrankIterCte).mkString(",\n")}
+         |SELECT word, rank AS rank_scaled FROM tr$trIters
+         |ORDER BY rank_scaled DESC, word LIMIT 50""".stripMargin),
     "q102_bpe_train" -> withDocs(
       s"""$bpeChainCtes
          |SELECT * FROM (

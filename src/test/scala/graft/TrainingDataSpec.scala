@@ -353,4 +353,28 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
     assert(got(("id", 128L)) == ((1L, 96L, 128L, 0L, 0.25)))
     assert(got.size == 4)
   }
+
+  test("q137: TextRank matches the integer recurrence; loops and loners drop out") {
+    // "a b a b c" → adjacencies (a,b),(b,a),(a,b),(b,c); symmetrized
+    // edge weights a→b 3, b→a 3, b→c 1, c→b 1 (wout a=3 b=4 c=1).
+    // "x x" is only a self-loop → x is not a node; "solo" has no
+    // adjacency at all → not a node either.
+    val dir = writeMiniDocs(Seq((0L, "a b a b c"), (1L, "x x"), (2L, "solo")))
+    val got = TextStats.q137_textrank(spark, dir).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("rank_scaled"))
+    // independent in-memory reference: the same integer recurrence
+    val edges = Map(("a", "b") -> 3L, ("b", "a") -> 3L, ("b", "c") -> 1L, ("c", "b") -> 1L)
+    val wout = Map("a" -> 3L, "b" -> 4L, "c" -> 1L)
+    var rank = Map("a" -> 1000000L, "b" -> 1000000L, "c" -> 1000000L)
+    for (_ <- 1 to 10) {
+      val inc = edges.toSeq.groupBy(_._1._2).map { case (dst, es) =>
+        dst -> es.map { case ((src, _), w) => rank(src) * w / wout(src) }.sum
+      }
+      rank = inc.map { case (v, i) => v -> (150000L + 85L * i / 100L) }
+    }
+    val expect = rank.toSeq.sortBy { case (w, r) => (-r, w) }
+    assert(got.toSeq == expect)
+    // the hub word carries the most rank
+    assert(got.head._1 == "b")
+  }
 }
