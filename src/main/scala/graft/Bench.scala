@@ -8,8 +8,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // session-level nanos conf (Events.events requires it; builders
-      // themselves never mutate session state)
+      // session tz pinned: events.ts may arrive as TIMESTAMP_NTZ and its
+      // epoch conversion goes through the session zone (Events.events)
+      .config("spark.sql.session.timeZone", "UTC")
+      // legacy nanos conf kept for the nanos-shaped events feed; harmless
+      // for micros files (builders themselves never mutate session state)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -20,24 +20,38 @@ import graft.etl.Star.{round2Sql, round4, round4Sql}
 object Events {
   type Q = (SparkSession, String) => DataFrame
 
-  /** `events` with `ts` as a proper TimestampType at second precision.
-    * The driver parquet stores TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default — the session must read nanos as long (legacy conf) and we
-    * floor-divide to epoch seconds (integer div; a double division would
-    * lose precision at 1e18 ns). DuckDB reads the same file as
-    * TIMESTAMP_NS natively, so oracles use floor(epoch(ts)).
+  /** `events` with an `es` epoch-second column derived from whatever
+    * physical `ts` type the parquet presents. Generated data has shipped
+    * both shapes across rounds — TIMESTAMP(NANOS) (readable only as a
+    * long of nanos under the legacy `nanosAsLong` conf, floor-divided
+    * here by integer 1e9: a double division would lose precision at
+    * 1e18 ns) and TIMESTAMP(MICROS) with no UTC adjustment (read as
+    * TIMESTAMP_NTZ). A reader pinned to one shape breaks silently when a
+    * feed switches writers, so the branch is on the RESOLVED schema, not
+    * on a conf.
     *
-    * The conf is a SESSION-SETUP concern ([[graft.Verify]]/[[graft.Bench]]
-    * builders, `SparkTestSession`), deliberately NOT set here: a query
-    * builder mutating shared session state would silently change how any
-    * later query in the same session reads nanos parquet. Fail fast with
-    * the remedy instead. */
+    * For the NTZ shape the naive wall-clock is epoch-converted through a
+    * TimestampType cast, which applies the session time zone — sessions
+    * MUST pin UTC ([[graft.Verify]]/[[graft.Bench]] builders,
+    * `SparkTestSession` all do) or the epoch shifts by the zone offset;
+    * fail fast with the remedy instead of flaking the cross-engine gate.
+    * DuckDB reads either file shape natively and `floor(epoch(ts))`
+    * treats naive timestamps as UTC, so oracles are unchanged. */
   private[graft] def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events queries read TIMESTAMP(NANOS) parquet: set " +
-        "spark.sql.legacy.parquet.nanosAsLong=true when building the SparkSession")
-    s.read.parquet(s"$d/events.parquet")
-      .withColumn("es", expr("CAST(ts div 1000000000 AS BIGINT)"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val es = raw.schema("ts").dataType match {
+      case LongType => expr("CAST(ts div 1000000000 AS BIGINT)")
+      case TimestampNTZType =>
+        require(s.conf.get("spark.sql.session.timeZone", "") == "UTC",
+          "events.ts is TIMESTAMP_NTZ: pin spark.sql.session.timeZone=UTC " +
+            "when building the SparkSession so epoch conversion is exact")
+        col("ts").cast(TimestampType).cast(LongType)
+      case TimestampType => col("ts").cast(LongType)
+      case other => throw new IllegalArgumentException(
+        s"unsupported events.ts type: $other (expected nanos-as-long or timestamp)")
+    }
+    raw.withColumn("es", es)
   }
 
   /** q50: tumbling 1-hour event-time windows per event type. */
