@@ -52,32 +52,50 @@ object Bench {
       // must not enter the median (a broken query would masquerade as a
       // fast one in round-over-round comparisons)
       val samples = (1 to repsFor(name)).map { _ =>
+        BuildPhase.drain() // clear any residue from a failed prior rep
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
-        (ok, (System.nanoTime() - t0) / 1e9)
+        val wall = (System.nanoTime() - t0) / 1e9
+        // artifact-write seconds the query charged via BuildPhase.timed
+        // during this rep (0 for pure-read queries)
+        (ok, wall, BuildPhase.drain())
       }
-      val good = samples.filter(_._1).map(_._2).sorted
+      def med(xs: Seq[Double]): Double =
+        if (xs.isEmpty) -1.0 else { val s = xs.sorted; s((s.length - 1) / 2) }
+      val good = samples.filter(_._1)
       val failed = samples.count(!_._1)
       // lower median of the SUCCESSFUL reps: exact middle for odd counts,
       // the conservative (smaller) of the two middles for even. -1 sentinel
-      // when every rep failed.
-      val median = if (good.isEmpty) -1.0 else good((good.length - 1) / 2)
-      (name, median, failed)
+      // when every rep failed. build and serve get their OWN medians (the
+      // wall median may come from a different rep than the build median —
+      // each column answers its own round-over-round question).
+      val median = med(good.map(_._2))
+      val buildMed = med(good.map(_._3))
+      val serveMed = med(good.map(t => t._2 - t._3))
+      (name, median, failed, buildMed, serveMed)
     }
     // fixed 3-decimal (ms-precision) formatting: a full double's ~17
     // significant digits made the JSON line overflow the driver's bounded
     // stdout tail at 70+ queries (r5's tail lost q01-q15); ms precision is
     // below the bench noise floor and keeps the whole line visible
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    def qsJson(short: Boolean) = results.map { case (k, v, _) =>
+    def qsJson(short: Boolean) = results.map { case (k, v, _, _, _) =>
       "\"" + (if (short) k.takeWhile(_ != '_') else k) + "\":" + fmt(v)
     }.mkString("{", ",", "}")
+    // build/serve split (r10): ~10 queries pay full artifact writes per
+    // rep (snapshots, indexes, scratch tables — BuildPhase.timed spans);
+    // reporting {build_s, serve_s} per query keeps the suite total
+    // honest while exposing the actual query latency. FILE artifact
+    // only — the stdout line must stay under the driver's bounded tail.
+    def splitJson(sel: ((String, Double, Int, Double, Double)) => Double) =
+      results.map { case t @ (k, _, _, _, _) => "\"" + k + "\":" + fmt(sel(t)) }
+        .mkString("{", ",", "}")
     val failures = results.filter(_._3 > 0)
-    def errsJson(short: Boolean) = failures.map { case (k, _, f) =>
+    def errsJson(short: Boolean) = failures.map { case (k, _, f, _, _) =>
       "\"" + (if (short) k.takeWhile(_ != '_') else k) + "\":" + f
     }.mkString("{", ",", "}")
-    val total = results.map { case (_, v, _) => math.max(v, 0.0) }.sum
+    val total = results.map { case (_, v, _, _, _) => math.max(v, 0.0) }.sum
     // the override is visible in the artifact so round-over-round readers
     // know which medians carry 5 samples — listing only queries that
     // actually RAN (a BENCH_ONLY-filtered run must not claim overrides
@@ -86,8 +104,12 @@ object Bench {
       .filter(q => results.exists(_._1 == q))
       .map(q => "\"" + (if (short) q.takeWhile(_ != '_') else q) + "\":" +
         repsFor(q)).mkString("{", ",", "}")
-    def json(short: Boolean) =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(short)},"errors":${errsJson(short)},"sf":"$sfDir","reps":$reps,"reps_overrides":${volJson(short)}}"""
+    def json(short: Boolean) = {
+      // the split rides only the file artifact (see splitJson comment)
+      val split = if (short) ""
+        else s""","build":${splitJson(_._4)},"serve":${splitJson(_._5)}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(short)},"errors":${errsJson(short)},"sf":"$sfDir","reps":$reps,"reps_overrides":${volJson(short)}$split}"""
+    }
     // stdout gets SHORT query keys (q34, not q34_dedup_ngram_jaccard): the
     // driver records only a ~2000-char stdout tail (with sbt's [success]
     // footer inside it), and at 90+ queries the full-name line is ~2.5 KB —

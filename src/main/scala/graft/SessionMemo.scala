@@ -17,7 +17,8 @@ import scala.collection.concurrent.TrieMap
   * session (never evicted — keys are bounded: tables × sf dirs), and a
   * dir whose CONTENTS change mid-session would serve stale data (the
   * driver's dirs are immutable snapshots). Keys are namespaced by caller
-  * ("star:", "dim:", "pairs:", "docs:", "events:", "bpe:" — grep
+  * ("star:", "dim:", "pairs:", "docs:", "events:", "bpe:", "mix:",
+  * "knn:", "pq:" — grep
   * SessionMemo for the live list before adding one) so modules cannot
   * collide. */
 private[graft] object SessionMemo {
@@ -27,4 +28,15 @@ private[graft] object SessionMemo {
            (build: => DataFrame)
            (materialize: DataFrame => DataFrame): DataFrame =
     cache.getOrElseUpdate((spark, dir, key), materialize(build))
+
+  private val onceDone = TrieMap.empty[(SparkSession, String, String), Unit]
+
+  /** Effect-valued twin of [[apply]]: run `body` the first time this
+    * (session, dir, key) is seen, skip it after — for idempotent
+    * artifact builds (a scratch warehouse's base commit) whose re-run
+    * per bench rep costs real write I/O without changing any result.
+    * Same staleness caveat as the frame memo: the dir must be an
+    * immutable snapshot. */
+  def once(spark: SparkSession, dir: String, key: String)(body: => Unit): Unit =
+    onceDone.getOrElseUpdate((spark, dir, key), body)
 }

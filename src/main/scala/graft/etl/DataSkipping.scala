@@ -73,6 +73,45 @@ object DataSkipping {
       .write.mode("overwrite").parquet(s"$tableDir/_idx/stats")
   }
 
+  /** The data files of `tableDir` (recursive — partitioned layouts
+    * included; `_`-prefixed sidecars and dot-staging dirs skipped, the
+    * [[Compact.leafDirs]] rule), RELATIVE to the table root — the same
+    * file identity [[relFile]] gives manifest rows, so set-difference
+    * against the manifest is exact. */
+  private def listDataFiles(tableDir: String): Seq[String] = {
+    val root = new java.io.File(tableDir)
+    Compact.leafDirs(root)
+      .flatMap(leaf => Compact.dataFiles(leaf).toSeq)
+      .map(f => root.toPath.relativize(f.toPath).toString)
+  }
+
+  /** Incremental `_idx/stats` maintenance — the append twin
+    * [[writeStats]] lacked (r9 verdict: the one artifact family without
+    * one). Aggregates ONLY data files absent from the manifest and
+    * APPENDS their rows; existing manifest part files are never read,
+    * rewritten, or touched (per-file rows are naturally incremental —
+    * DataSkippingSpec pins byte-identity of the old parts and
+    * pruning ≡ full rebuild). At 100 TB this is the difference between
+    * a nightly manifest refresh scanning the day's ingest and scanning
+    * the table: the stats pass costs O(new files), like
+    * [[graft.ops.Dedup.appendSpanIndex]] and `appendPqIndex` before it.
+    * No-op when every file is already covered. */
+  def appendStats(spark: SparkSession, tableDir: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "appendStats needs at least one stats column")
+    val covered = statsManifest(spark, tableDir)
+      .select("file").collect().map(_.getString(0)).toSet
+    val fresh = listDataFiles(tableDir).filterNot(covered)
+    if (fresh.nonEmpty) {
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      spark.read.parquet(fresh.map(f => s"$tableDir/$f"): _*)
+        .groupBy(relFile(tableDir).as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .coalesce(1)
+        .write.mode("append").parquet(s"$tableDir/_idx/stats")
+    }
+  }
+
   /** The manifest as a DataFrame; loud failure when absent (a scan that
     * silently fell back to reading everything would hide a lost
     * manifest forever). */
@@ -145,6 +184,36 @@ object DataSkipping {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$tableDir/_idx/bloom")
 
+  /** Incremental `_idx/bloom` maintenance — [[appendStats]]'s twin for
+    * the point-lookup sidecar: build filters ONLY for data files absent
+    * from the manifest and append their rows, existing parts untouched.
+    * The key column is pinned by the existing manifest (`key_col` rides
+    * every row), so an append can never silently index a different
+    * key than the base did. */
+  def appendBloom(spark: SparkSession, tableDir: String, keyCol: String): Unit = {
+    require(new java.io.File(s"$tableDir/_idx/bloom").isDirectory,
+      s"no bloom sidecar under $tableDir — writeBloom first (appendBloom " +
+        "only extends an existing manifest)")
+    val manifest = spark.read.parquet(s"$tableDir/_idx/bloom")
+    val keyCols = manifest.select("key_col").distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(keyCols.forall(_ == keyCol),
+      s"bloom sidecar under $tableDir indexes ${keyCols.mkString(", ")}, " +
+        s"not $keyCol — one key per sidecar")
+    val covered = manifest.select("file").collect().map(_.getString(0)).toSet
+    val fresh = listDataFiles(tableDir).filterNot(covered)
+    if (fresh.nonEmpty)
+      spark.read.parquet(fresh.map(f => s"$tableDir/$f"): _*)
+        .select(relFile(tableDir).as("file"),
+          explode(bloomPositions(col(keyCol))).as("pos"))
+        .distinct()
+        .groupBy("file")
+        .agg(sort_array(collect_list(col("pos"))).as("bits"))
+        .withColumn("key_col", lit(keyCol))
+        .coalesce(1)
+        .write.mode("append").parquet(s"$tableDir/_idx/bloom")
+  }
+
   /** The files a point-lookup on `keys` must read: a file is a
     * candidate iff ALL k bit positions of SOME probe key are set in its
     * filter — the standard Bloom test, evaluated as a join between the
@@ -202,9 +271,11 @@ object DataSkipping {
     val out = StarBuilder.scratchDir(s, d, "bloomidx")
     val fp = graft.ops.TextCore.docShingles(s, d)
       .select(col("doc_id"), md5(col("norm")).as("fingerprint"))
-    fp.repartition(8, col("fingerprint"))
-      .write.mode("overwrite").parquet(out)
-    writeBloom(s, out, "fingerprint")
+    graft.BuildPhase.timed {
+      fp.repartition(8, col("fingerprint"))
+        .write.mode("overwrite").parquet(out)
+      writeBloom(s, out, "fingerprint")
+    }
     val probes = fp.where(col("doc_id") < 3)
       .select("fingerprint").collect().map(_.getString(0)).toSeq
     bloomScan(s, out, "fingerprint", probes)

@@ -43,9 +43,19 @@ object Events {
     val es = raw.schema("ts").dataType match {
       case LongType => expr("CAST(ts div 1000000000 AS BIGINT)")
       case TimestampNTZType =>
-        require(s.conf.get("spark.sql.session.timeZone", "") == "UTC",
-          "events.ts is TIMESTAMP_NTZ: pin spark.sql.session.timeZone=UTC " +
-            "when building the SparkSession so epoch conversion is exact")
+        // no-default conf read: the entry always resolves (to the JVM
+        // zone when unset), and passing "" as a default would itself
+        // throw INVALID_CONF_VALUE before the remedy message could
+        // (r9 ADVICE). Any UTC-equivalent zone id passes — the cast's
+        // epoch arithmetic is identical under Etc/UTC, GMT, +00:00.
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        val utc = try {
+          java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+        } catch { case _: java.time.DateTimeException => false }
+        require(utc,
+          s"events.ts is TIMESTAMP_NTZ and the session zone is '$tz': pin " +
+            "spark.sql.session.timeZone=UTC when building the SparkSession " +
+            "so epoch conversion is exact")
         col("ts").cast(TimestampType).cast(LongType)
       case TimestampType => col("ts").cast(LongType)
       case other => throw new IllegalArgumentException(

@@ -503,6 +503,190 @@ class PartitionPruningSpec extends AnyFunSuite with SparkTestBase {
       .where(col("key").isin(absent: _*)).count() == 0)
   }
 
+  test("appendStats extends the manifest incrementally: old parts byte-identical, pruning ≡ full rebuild") {
+    import spark.implicits._
+    import graft.etl.DataSkipping
+    val dir = java.nio.file.Files.createTempDirectory("graft_appstats").toString
+    (1L to 200L).map(i => (i, s"p_$i")).toDF("id", "payload")
+      .repartitionByRange(2, col("id")).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(dir)
+    DataSkipping.writeStats(spark, dir, Seq("id"))
+    def md5s(sub: String): Map[String, String] =
+      new java.io.File(s"$dir/$sub").listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).map { f =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          f.getName -> h.map("%02x".format(_)).mkString
+        }.toMap
+    val dataBefore = md5s(".").keySet
+    val manifestBefore = md5s("_idx/stats")
+    // the day's ingest lands as new files; the manifest refresh must
+    // scan ONLY them
+    (201L to 300L).map(i => (i, s"p_$i")).toDF("id", "payload")
+      .repartitionByRange(1, col("id")).sortWithinPartitions("id")
+      .write.mode("append").parquet(dir)
+    DataSkipping.appendStats(spark, dir, Seq("id"))
+    // old manifest parts untouched, byte for byte
+    val manifestAfter = md5s("_idx/stats")
+    manifestBefore.foreach { case (f, h) =>
+      assert(manifestAfter.get(f).contains(h), s"appendStats rewrote manifest part $f")
+    }
+    assert(manifestAfter.size > manifestBefore.size)
+    // new rows cover exactly the new data files
+    val rows = DataSkipping.statsManifest(spark, dir).collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("min_id"), r.getAs[Long]("max_id"))).toSet
+    val newFiles = md5s(".").keySet -- dataBefore
+    assert(newFiles.nonEmpty)
+    assert(rows.map(_._1) == dataBefore ++ newFiles)
+    // a second append with nothing new is a no-op
+    DataSkipping.appendStats(spark, dir, Seq("id"))
+    assert(md5s("_idx/stats") == manifestAfter)
+    // incremental manifest ≡ full rebuild, row for row
+    DataSkipping.writeStats(spark, dir, Seq("id"))
+    val rebuilt = DataSkipping.statsManifest(spark, dir).collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("min_id"), r.getAs[Long]("max_id"))).toSet
+    assert(rows == rebuilt)
+  }
+
+  test("appendBloom extends the bloom sidecar incrementally and matches a rebuild") {
+    import spark.implicits._
+    import graft.etl.DataSkipping
+    val dir = java.nio.file.Files.createTempDirectory("graft_appbloom").toString
+    (1L to 200L).map(i => (s"k_$i", i)).toDF("key", "x")
+      .repartition(4, col("key"))
+      .write.mode("overwrite").parquet(dir)
+    DataSkipping.writeBloom(spark, dir, "key")
+    def md5s(sub: String): Map[String, String] =
+      new java.io.File(s"$dir/$sub").listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).map { f =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          f.getName -> h.map("%02x".format(_)).mkString
+        }.toMap
+    val sidecarBefore = md5s("_idx/bloom")
+    (201L to 260L).map(i => (s"k_$i", i)).toDF("key", "x")
+      .repartition(2, col("key"))
+      .write.mode("append").parquet(dir)
+    DataSkipping.appendBloom(spark, dir, "key")
+    val sidecarAfter = md5s("_idx/bloom")
+    sidecarBefore.foreach { case (f, h) =>
+      assert(sidecarAfter.get(f).contains(h), s"appendBloom rewrote sidecar part $f")
+    }
+    // the wrong key is refused — an append can't silently index a
+    // different column than the base
+    val e = intercept[IllegalArgumentException] {
+      DataSkipping.appendBloom(spark, dir, "x")
+    }
+    assert(e.getMessage.contains("one key per sidecar"))
+    // point lookups through the grown sidecar: new keys found, zero
+    // false negatives, candidates ≡ a full rebuild's
+    val probes = Seq("k_10", "k_250")
+    def hits(d: org.apache.spark.sql.DataFrame) =
+      d.where(col("key").isin(probes: _*))
+        .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("x"))).sorted.toSeq
+    assert(hits(DataSkipping.bloomScan(spark, dir, "key", probes))
+      == hits(spark.read.parquet(dir)))
+    val candInc = DataSkipping.bloomCandidateFiles(spark, dir, probes).sorted
+    DataSkipping.writeBloom(spark, dir, "key")
+    assert(candInc == DataSkipping.bloomCandidateFiles(spark, dir, probes).sorted)
+  }
+
+  test("appendTableVersionedStats: new snapshot = byte-copied base + new files, manifest grows in place") {
+    import spark.implicits._
+    import graft.etl.DataSkipping
+    val wh = java.nio.file.Files.createTempDirectory("graft_appvstats").toString
+    val v1 = StarBuilder.writeTableVersionedStats(
+      (1L to 400L).map(i => (i, s"p_$i")).toDF("id", "payload"), wh, "t",
+      sortBy = Seq("id"), statsCols = Seq("id"))
+    def md5s(root: String): Map[String, String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(root)).filter(_.getName.endsWith(".parquet")).map { f =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath))
+        new java.io.File(root).toPath.relativize(f.toPath).toString ->
+          h.map("%02x".format(_)).mkString
+      }.toMap
+    }
+    val base = md5s(s"$wh/v=$v1/t")
+    val v2 = StarBuilder.appendTableVersionedStats(
+      (401L to 500L).map(i => (i, s"p_$i")).toDF("id", "payload"), wh, "t",
+      sortBy = Seq("id"), statsCols = Seq("id"))
+    assert(v2 == v1 + 1)
+    // every v1 file (data AND manifest parts) rides into v2 byte-identical
+    val grown = md5s(s"$wh/v=$v2/t")
+    base.foreach { case (f, h) =>
+      assert(grown.get(f).contains(h), s"append rewrote $f")
+    }
+    assert(grown.size > base.size)
+    // the manifest covers exactly the data files, and the pruned
+    // log-resolved read serves base + appended rows
+    val tdir = s"$wh/v=$v2/t"
+    val mFiles = DataSkipping.statsManifest(spark, tdir)
+      .collect().map(_.getAs[String]("file")).toSet
+    val dFiles = new java.io.File(tdir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(mFiles == dFiles)
+    def band(d: org.apache.spark.sql.DataFrame, lo: Long, hi: Long) =
+      d.where(col("id").between(lo, hi)).select("id", "payload")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(band(StarBuilder.readAtPruned(spark, wh, "t", "id", 380L, 420L), 380L, 420L)
+      == band(spark.read.parquet(tdir), 380L, 420L))
+    assert(spark.read.parquet(tdir).count() == 500L)
+    // and the appended band still prunes: a new-rows-only interval
+    // keeps strictly fewer files than the table holds
+    val pruned = DataSkipping.prunedFiles(spark, tdir, "id", 450L, 460L)
+    assert(pruned.nonEmpty && pruned.length < dFiles.size)
+  }
+
+  test("PQ DV sidecar: erasure vanishes from search on unchanged code files; rebuild drops it") {
+    import graft.ops.Similarity
+    val sfDir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_dv").toString
+    Similarity.writePqIndex(spark, sfDir, idx)
+    val queries = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .localCheckpoint(true)
+    def search(i: String) = Similarity.pqIndexSearch(spark, i, queries, nprobe = 4, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"))).sorted.toSeq
+    val before = search(idx)
+    val victim = before.head._3 // a served neighbor — the erasure target
+    def codeMd5s(dir: String): Map[String, String] = {
+      val root = new java.io.File(s"$dir/codes")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("c_id="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          s"${d.getName}/${f.getName}" -> h.map("%02x".format(_)).mkString
+        }).toMap
+    }
+    val codesBefore = codeMd5s(idx)
+    Similarity.deletePqVectors(spark, idx, Seq(victim))
+    val after = search(idx)
+    // the deleted id never appears; code files untouched byte for byte
+    assert(!after.exists(_._3 == victim))
+    assert(codeMd5s(idx) == codesBefore)
+    // surviving results ≡ an index REBUILT without the victim (the
+    // anti-join runs before the top-k window, so ranks recompute)
+    val rebuiltIdx = java.nio.file.Files.createTempDirectory("graft_pq_dv_rb").toString
+    Similarity.writePqIndex(spark, sfDir, rebuiltIdx, col("vec_id") =!= victim)
+    assert(after == search(rebuiltIdx))
+    // idempotent: re-deleting merges to the same sidecar content
+    Similarity.deletePqVectors(spark, idx, Seq(victim))
+    assert(search(idx) == after)
+    // a rebuild starts clean: the sidecar is dropped and the victim
+    // (re-added by the unfiltered rebuild) serves again
+    Similarity.writePqIndex(spark, sfDir, idx)
+    assert(!new java.io.File(s"$idx/_dv").exists())
+    assert(search(idx) == before)
+  }
+
   test("tahun filter prunes fact partitions in the warehouse read") {
     val dir = writeMiniStar(Seq(
       (1L, 1L, 101L, "2023-03-15", "A", "F", 3.0),

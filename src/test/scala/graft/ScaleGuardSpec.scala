@@ -156,16 +156,18 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     // upgrade that merges duplicated subtree instances (fewer plan
     // copies of the same protected filter) would only fail an exact
     // pin spuriously. Floors = 2 × DISTINCT rank filters. On Spark
-    // 4.1.2 the actual counts are 2/2/2/2/2/6/10: q108 = the encode
-    // argmin; q109 adds the ADC top-k and the embedded q36
-    // exact-baseline subtree (3 distinct filters); q110 has 4 distinct
-    // filters (centroidRanks, encode argmin, q36, ADC top-k) planned as
-    // 5 instances — centroidRanks appears twice (probes + assign), the
-    // one duplication subtree reuse could legitimately collapse.
+    // 4.1.2 the actual counts are 2/2/2/2/2/4/8: q108 = the encode
+    // argmin; q109 adds the ADC top-k (2 distinct filters — the q36
+    // exact-baseline subtree is session-memoized since r10, so recall
+    // plans see a checkpointed scan of its 50 rows, not its window);
+    // q110 has 3 distinct filters (centroidRanks, encode argmin, ADC
+    // top-k) planned as 4 instances — centroidRanks appears twice
+    // (probes + assign), the one duplication subtree reuse could
+    // legitimately collapse.
     val topK = Seq("q36_knn_brute" -> 2, "q64_rare_terms" -> 2,
       "q71_balanced_sample" -> 2, "q94_tfidf_terms" -> 2,
-      "q108_pq_encode" -> 2, "q109_pq_adc_recall" -> 6,
-      "q110_ivfpq_recall" -> 8)
+      "q108_pq_encode" -> 2, "q109_pq_adc_recall" -> 4,
+      "q110_ivfpq_recall" -> 6)
     val offenders = topK.flatMap { case (name, minimum) =>
       val got = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.sparkPlan.collect {

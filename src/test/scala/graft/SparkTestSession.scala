@@ -64,6 +64,40 @@ trait SparkTestBase {
     dir
   }
 
+  /** [[writeMiniEvents]] with `ts` stored as TIMESTAMP_NTZ (micros,
+    * isAdjustedToUTC=false) — the modern feed shape `Events.events`'
+    * NTZ branch converts through the (UTC-pinned) session zone. The
+    * wall-clock is derived from the epoch under UTC, so `es` must read
+    * back exactly the input. */
+  def writeMiniEventsNtz(evs: Seq[(Long, Long, Long)]): String = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val dir = java.nio.file.Files.createTempDirectory("graft_evs_ntz").toString
+    evs.map { case (eid, uid, es) => (eid, es, uid, "view", 1.0, "{}") }
+      .toDF("event_id", "es0", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_seconds(col("es0"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType))
+      .drop("es0")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  /** [[writeMiniEvents]] with `ts` stored as an instant (TimestampType)
+    * — the third physical shape `Events.events` accepts. */
+  def writeMiniEventsInstant(evs: Seq[(Long, Long, Long)]): String = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val dir = java.nio.file.Files.createTempDirectory("graft_evs_inst").toString
+    evs.map { case (eid, uid, es) => (eid, es, uid, "view", 1.0, "{}") }
+      .toDF("event_id", "es0", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_seconds(col("es0")))
+      .drop("es0")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
   /** Write a tiny documents.parquet from (doc_id, text) pairs. */
   def writeMiniDocs(docs: Seq[(Long, String)]): String =
     writeMiniDocsLang(docs.map { case (id, t) => (id, t, "en") })
