@@ -165,4 +165,10 @@ object TextCore {
        |       THEN 0 ELSE 1 END), 'sum') AS BIGINT)""".stripMargin
 
   def withDocs(select: String): String = s"WITH $docsCte $select"
+
+  /** [[withDocs]] with the RECURSIVE keyword — for oracles that carry a
+    * recursive CTE (q138's greedy disjoint-pair selection); DuckDB
+    * requires RECURSIVE on the WITH itself, and non-recursive CTEs under
+    * it are unaffected. */
+  def withDocsRecursive(select: String): String = s"WITH RECURSIVE $docsCte $select"
 }

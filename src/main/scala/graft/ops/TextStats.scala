@@ -474,6 +474,38 @@ object TextStats {
       .toDF("step", "left_sym", "right_sym", "freq").orderBy("step")
   }
 
+  /** q138 knobs: 32 merges at batch 4 — the measured-probe point where
+    * batching matters (8 passes instead of 32 sequential argmax jobs;
+    * SURVEY §8's k-scaling curve), small enough for the oracle to
+    * unroll each pass. */
+  private[graft] val bpeBatchGateK = 32
+  private[graft] val bpeBatchGateB = 4
+
+  /** The merge sequence is driver data computed by a deterministic
+    * multi-job loop — memoized so bench reps after the first read the
+    * Vector (the q102 training-charged-once convention). */
+  private val bpeBatchedMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Vector[(Long, String, String, Long)]]
+
+  /** q138: the BATCHED BPE trainer inside the correctness gate — until
+    * r10 [[bpeTrainBatched]] was only spec-pinned (batch=1 ≡ sequential)
+    * while the oracle gate ran the sequential trainer; this gates the
+    * path that would actually run at 10⁵ merges. The DuckDB oracle
+    * unrolls the SAME semantics pass by pass: freeze the pair-count
+    * table, rank (freq desc, l, r), greedily take up to `batch`
+    * pairwise-disjoint pairs from the top-8×batch pool (a recursive CTE
+    * carries the used-symbol set through the ranked candidates — the
+    * exact sequential scan the Scala iterator performs), apply all
+    * selected replaces in one projection, recount. Any divergence in
+    * ranking, disjointness blocking, or application order fails the
+    * hash on (step, l, r, freq). */
+  lazy val q138_bpe_batched: Q = (s, d) => {
+    import s.implicits._
+    bpeBatchedMemo.getOrElseUpdate((s, d),
+      bpeTrainBatched(s, d, bpeBatchGateK, bpeBatchGateB))
+      .toDF("step", "left_sym", "right_sym", "freq").orderBy("step")
+  }
+
   /** q104: APPLY the q102-trained tokenizer and measure what it bought —
     * per language: words, characters, tokens under the learned merges,
     * and chars-per-token (the compression ratio a tokenizer exists to
@@ -702,7 +734,8 @@ object TextStats {
     "q106_bpe_heldout" -> q106_bpe_heldout,
     "q134_surprisal" -> q134_surprisal,
     "q136_length_buckets" -> q136_length_buckets,
-    "q137_textrank" -> q137_textrank)
+    "q137_textrank" -> q137_textrank,
+    "q138_bpe_batched" -> q138_bpe_batched)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -750,6 +783,86 @@ object TextStats {
        |  SELECT coalesce(replace(sym, '|' || l || '||' || r || '|',
        |                          '|' || l || r || '|'), sym) AS sym, cnt
        |  FROM v${i - 1} LEFT JOIN m$i ON TRUE)""".stripMargin
+
+  /** One unrolled BATCHED-BPE pass for the q138 oracle, mirroring a
+    * [[bpeTrainBatched]] loop iteration exactly:
+    *  - `cand$i`: the frozen pair-count table of vocab `bv${i-1}` ranked
+    *    (freq desc, l, r), top 8×batch pool;
+    *  - `sel$i`: a RECURSIVE single-row walk down the ranked pool
+    *    carrying the used-symbol list — candidate rn is taken iff fewer
+    *    than `batch` picks so far and none of {l, r, l||r} is used (the
+    *    Scala iterator's exact filter; k is a multiple of batch so the
+    *    remaining-merges cap never binds below batch);
+    *  - `pk$i`: the final picks row (max rn);
+    *  - `bv$i`: all selected replaces applied in one projection —
+    *    disjointness makes the nesting order immaterial, matching the
+    *    foldLeft.
+    * Every CTE is MATERIALIZED: the pass chain references each level
+    * from two consumers (next pass + step output), and DuckDB would
+    * otherwise inline the tree exponentially. */
+  private def bpeBatchedPassCtes(i: Int): String = {
+    val b = bpeBatchGateB
+    val ok = s"len(s.picks) < $b AND NOT list_contains(s.used, c.l) " +
+      "AND NOT list_contains(s.used, c.r) AND NOT list_contains(s.used, c.l || c.r)"
+    val applied = (1 to b).foldLeft("sym") { (acc, j) =>
+      s"(CASE WHEN len(pk.picks) >= $j THEN replace($acc, " +
+        s"'|' || (pk.picks[$j]).l || '||' || (pk.picks[$j]).r || '|', " +
+        s"'|' || (pk.picks[$j]).l || (pk.picks[$j]).r || '|') ELSE $acc END)"
+    }
+    s"""cand$i AS MATERIALIZED (
+       |  SELECT l, r, freq, rn FROM (
+       |    SELECT l, r, freq, row_number() OVER (ORDER BY freq DESC, l, r) AS rn FROM (
+       |      SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS freq
+       |      FROM (
+       |        SELECT cnt, unnest(list_transform(range(1, len(sy)),
+       |                 j -> {'l': sy[j], 'r': sy[j+1]})) AS p
+       |        FROM (SELECT cnt, string_split(substr(sym, 2, length(sym) - 2), '||') AS sy
+       |              FROM bv${i - 1})
+       |        WHERE len(sy) >= 2)
+       |      GROUP BY 1, 2))
+       |  WHERE rn <= ${8 * b}),
+       |sel$i AS MATERIALIZED (
+       |  SELECT 0 AS rn, CAST([] AS VARCHAR[]) AS used,
+       |         CAST([] AS STRUCT(l VARCHAR, r VARCHAR, freq BIGINT)[]) AS picks
+       |  UNION ALL
+       |  SELECT c.rn,
+       |    CASE WHEN $ok THEN s.used || [c.l, c.r, c.l || c.r] ELSE s.used END,
+       |    CASE WHEN $ok THEN s.picks || [{'l': c.l, 'r': c.r, 'freq': c.freq}]
+       |         ELSE s.picks END
+       |  FROM sel$i s JOIN cand$i c ON c.rn = s.rn + 1),
+       |pk$i AS MATERIALIZED (SELECT picks FROM sel$i ORDER BY rn DESC LIMIT 1),
+       |bv$i AS MATERIALIZED (SELECT $applied AS sym, cnt FROM bv${i - 1}, pk$i pk)"""
+      .stripMargin
+  }
+
+  /** The q138 oracle: bv0 (the [[bpeChainCtesFrom]] v0 under another
+    * name — the batched chain must not collide with the sequential
+    * chain's CTEs when both gates run in one DuckDB session), the
+    * unrolled passes, and the picks flattened to (step, l, r, freq)
+    * with steps numbered consecutively across passes (an early-dry pass
+    * shifts later numbering exactly like the Scala merges.size + i). */
+  private def bpeBatchedOracleSql: String = {
+    val nPass = bpeBatchGateK / bpeBatchGateB
+    def steps(i: Int): String = {
+      val off = (1 until i).map(j => s"(SELECT len(picks) FROM pk$j)")
+        .mkString(" + ") match { case "" => "0"; case s => s }
+      s"""(SELECT CAST(($off) + j AS BIGINT) AS step, (picks[j]).l AS left_sym,
+         |        (picks[j]).r AS right_sym, (picks[j]).freq AS freq
+         | FROM pk$i, unnest(range(1, len(picks) + 1)) AS t(j))""".stripMargin
+    }
+    TextCore.withDocsRecursive(
+      s""", bv0 AS MATERIALIZED (
+         |  SELECT '|' || array_to_string(list_transform(range(1, length(w) + 1),
+         |           i -> w[i]), '||') || '|' AS sym,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(words) AS w FROM docs)
+         |  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2
+         |  GROUP BY w),
+         |${(1 to nPass).map(bpeBatchedPassCtes).mkString(",\n")}
+         |SELECT step, left_sym, right_sym, freq FROM (
+         |${(1 to nPass).map(steps).mkString("\nUNION ALL\n")}
+         |) ORDER BY step""".stripMargin)
+  }
 
   /** The shared q102/q104/q106 oracle prefix: initial char-symbol vocab
     * `v0` (from `docsSrc` — "docs", or a filtered subquery for q106's
@@ -838,6 +951,7 @@ object TextStats {
          |${(1 to trIters).map(textrankIterCte).mkString(",\n")}
          |SELECT word, rank AS rank_scaled FROM tr$trIters
          |ORDER BY rank_scaled DESC, word LIMIT 50""".stripMargin),
+    "q138_bpe_batched" -> bpeBatchedOracleSql,
     "q102_bpe_train" -> withDocs(
       s"""$bpeChainCtes
          |SELECT * FROM (
