@@ -788,6 +788,42 @@ object StarBuilder {
     out
   }
 
+  /** q139: the INCREMENTAL stats-manifest path inside the correctness
+    * gate — q131 proves the full-rebuild manifest serves correct rows;
+    * this proves the append-maintained one does. The fact's lower
+    * student half commits with its manifest
+    * ([[writeTableVersionedStats]]), the upper half arrives as an
+    * incremental commit ([[appendTableVersionedStats]] — base files
+    * byte-copied, manifest grown by the new files' rows only), and a
+    * band STRADDLING the append boundary is served through
+    * [[readAtPruned]]: rows must come from base-manifest files AND
+    * appended-manifest rows alike, so a manifest that lost either side
+    * (or an append that perturbed base rows) fails the hash against
+    * the oracle's plain filtered aggregate. */
+  val q139_stats_append: Q = (s, d) => {
+    val wh = scratchDir(s, d, "statsapp")
+    val f = Star.fact(s, d)
+    val r = f.agg(min("student"), max("student")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val mid = lo + (hi - lo) / 2
+    graft.BuildPhase.timed {
+      writeTableVersionedStats(f.where(col("student") <= mid), wh,
+        "fact_by_student", sortBy = Seq("student"), statsCols = Seq("student"),
+        blockSize = 64 * 1024)
+      appendTableVersionedStats(f.where(col("student") > mid), wh,
+        "fact_by_student", sortBy = Seq("student"), statsCols = Seq("student"),
+        blockSize = 64 * 1024)
+    }
+    val (blo, bhi) = (mid - (hi - lo) / 40, mid + (hi - lo) / 40)
+    val out = readAtPruned(s, wh, "fact_by_student", "student", blo, bhi)
+      .where(col("student").between(blo, bhi))
+      .groupBy("student")
+      .agg(count(lit(1)).as("n_rows"), sum("sks").as("total_sks"))
+      .orderBy("student")
+    graft.BuildPhase.timed(vacuumVersions(wh, keep = 1))
+    out
+  }
+
   /** Row-level diff of two frames sharing a key — the change-data-feed
     * primitive (Delta CDF's insert/delete/update_preimage+postimage,
     * collapsed to one row per changed key with `old_*`/`new_*` columns):
@@ -1266,7 +1302,8 @@ object StarBuilder {
     "q121_delete_vectors" -> q121_delete_vectors,
     "q130_cdc_chain" -> q130_cdc_chain,
     "q131_stats_prune" -> q131_stats_prune,
-    "q132_ivm_maintain" -> q132_ivm_maintain)
+    "q132_ivm_maintain" -> q132_ivm_maintain,
+    "q139_stats_append" -> q139_stats_append)
 
   /** q49's per-table-count oracle, shared VERBATIM by q115: the
     * versioned lifecycle (write → compact → vacuum → readAt) must
@@ -1354,6 +1391,16 @@ object StarBuilder {
         |        FROM fact)
         |SELECT student, CAST(count(*) AS BIGINT) AS n_rows, sum(sks) AS total_sks
         |FROM fact, b WHERE student BETWEEN lo AND hi
+        |GROUP BY student ORDER BY student""".stripMargin),
+    // the boundary-straddling band stated directly: which manifest
+    // rows (base-built or append-grown) let the scan open files must
+    // not change the rows (q131's contract through the append path)
+    "q139_stats_append" -> withFact(
+      """, b AS (SELECT min(student) AS lo, max(student) AS hi FROM fact),
+        |bb AS (SELECT lo + (hi - lo) // 2 - (hi - lo) // 40 AS blo,
+        |              lo + (hi - lo) // 2 + (hi - lo) // 40 AS bhi FROM b)
+        |SELECT student, CAST(count(*) AS BIGINT) AS n_rows, sum(sks) AS total_sks
+        |FROM fact, bb WHERE student BETWEEN blo AND bhi
         |GROUP BY student ORDER BY student""".stripMargin),
     // the maintained view must equal the slid window recomputed from
     // scratch — delta folding is invisible in the answer (q120's
