@@ -131,10 +131,24 @@ object Similarity {
     * reads exactly nprobe directories and leaves the rest of the corpus
     * untouched (PartitionPruningSpec asserts the file-level pruning).
     * Norms are precomputed into the index so serving never rescans raw
-    * embeddings. */
-  def writeIvfIndex(s: SparkSession, d: String, out: String): Unit =
-    ivfIndexRows(s, d, lit(true)).write
+    * embeddings. The frozen centroid codebook rides along under
+    * `_centroids/` (underscore-prefixed, so partition discovery on the
+    * root never sees it) — [[ivfIndexSearch]] ranks probes from the
+    * artifact alone, the [[writePqIndex]] rule. `rowFilter` scopes the
+    * indexed rows (base-corpus builds that [[appendIvfIndex]] grows);
+    * the codebook stays the full seed book regardless — bucket routing
+    * is fixed at build time, not a function of which rows arrived.
+    * The root overwrite clears any previous `_dv/` sidecar: a rebuild
+    * starts clean, whatever was soft-deleted is simply not re-added by
+    * the caller's rowFilter. */
+  def writeIvfIndex(s: SparkSession, d: String, out: String,
+      rowFilter: Column = lit(true)): Unit = {
+    val all = vecs(s, d)
+    ivfIndexRows(s, d, rowFilter).write
       .mode("overwrite").partitionBy("c_id").parquet(out)
+    seedCents(all).coalesce(1).write.mode("overwrite")
+      .parquet(s"$out/_centroids")
+  }
 
   /** The index rows for the corpus subset passing `rowFilter`, assigned
     * under the FROZEN seed codebook (the codebook is fixed at index-build
@@ -161,6 +175,123 @@ object Similarity {
       rowFilter: Column): Unit =
     ivfIndexRows(s, d, rowFilter).write
       .mode("append").partitionBy("c_id").parquet(out)
+
+  /** Merge `ids` into the kilobyte `_dv/` deletion-vector sidecar under
+    * `index` — the one erasure mechanism both persisted ANN indexes
+    * share ([[deleteIvfVectors]] / [[deletePqVectors]]): keyed on
+    * vec_id because a code/vector row's identity IS its vec_id, no
+    * file/pos addressing needed. Stage-then-rename publish (the
+    * warehouse commit rule: a concurrent search never reads a
+    * half-overwritten sidecar); idempotent — re-deleting an id merges
+    * to the same sorted set. Index data files are never touched, so a
+    * GDPR-class erasure costs a sidecar write at any index size. */
+  private def mergeDvSidecar(s: SparkSession, index: String, ids: Seq[Long]): Unit = {
+    import s.implicits._
+    val dvDir = new java.io.File(s"$index/_dv")
+    val old =
+      if (dvDir.isDirectory) s.read.parquet(dvDir.toString).as[Long].collect().toSeq
+      else Seq.empty[Long]
+    val staged = new java.io.File(s"$index/.dv_staging")
+    graft.etl.Compact.deleteRecursively(staged)
+    (old ++ ids).distinct.sorted.toDF("vec_id")
+      .coalesce(1).write.parquet(staged.toString)
+    graft.etl.Compact.deleteRecursively(dvDir)
+    require(staged.renameTo(dvDir), s"could not publish DV sidecar under $index")
+  }
+
+  /** Anti-join `rows` against the `_dv/` sidecar if one exists — the
+    * serve-side half of the deletion-vector contract, applied BEFORE
+    * any top-k window so surviving ranks equal a
+    * rebuild-without-the-ids. The sidecar is kilobytes: broadcast. */
+  private def dvAntiJoin(s: SparkSession, index: String, rows: DataFrame): DataFrame = {
+    val dv = new java.io.File(s"$index/_dv")
+    if (dv.isDirectory)
+      rows.join(broadcast(s.read.parquet(dv.toString)), Seq("vec_id"), "left_anti")
+    else rows
+  }
+
+  /** Soft-delete vectors from a persisted IVF index — [[deletePqVectors]]'s
+    * twin for the flat-vector artifact: [[ivfIndexSearch]] honors the
+    * sidecar between rebuilds, and the nightly [[writeIvfIndex]] rebuild
+    * drops it by excluding the ids from its rowFilter. */
+  def deleteIvfVectors(s: SparkSession, index: String, ids: Seq[Long]): Unit =
+    mergeDvSidecar(s, index, ids)
+
+  /** Cosine top-k served FROM a persisted [[writeIvfIndex]] artifact
+    * alone: probe ranking reads the `_centroids/` sidecar (never raw
+    * embeddings), the probe UNION is pushed down as a static c_id
+    * partition filter on the index root (an nprobe search reads nprobe
+    * directories — the PartitionPruningSpec claim, now a serving path),
+    * per-query candidate scoping is a broadcast equi-join on c_id, and
+    * the `_dv/` deletion sidecar is anti-joined before the top-k window
+    * so an erased vector never surfaces as a neighbor between rebuilds.
+    * `queries` carries (query_id, qv) raw vectors — queries are new
+    * data; only the corpus is pre-indexed. Returns (query_id, rank,
+    * neighbor_id, cosine): top `k` by cosine desc, vec_id asc
+    * tie-break, self-matches excluded — q37's exact contract. */
+  def ivfIndexSearch(s: SparkSession, index: String, queries: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val cents = s.read.parquet(s"$index/_centroids")
+    val qn = queries.withColumn("qn", graft.functions.VectorOps.norm(col("qv")))
+    val wp = Window.partitionBy("query_id").orderBy(col("c_cos").desc, col("c_id").asc)
+    val probes = qn.crossJoin(broadcast(cents))
+      .withColumn("c_cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("c_id"))
+    val probedBuckets = probes.select("c_id").distinct()
+      .collect().map(_.getAs[Number]("c_id").longValue).toSeq
+    val rows = dvAntiJoin(s, index,
+      s.read.parquet(index).where(col("c_id").isin(probedBuckets: _*)))
+    val cand = rows.join(broadcast(probes), Seq("c_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round4(col("cosine")).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The q140 deterministic erasure set: a bounded GDPR-request-sized
+    * id list (≤ 10 ids at any scale — `deleteIvfVectors` takes a
+    * driver-side Seq because erasure requests arrive as lists, never as
+    * data-sized frames), expressible identically in the DuckDB oracle. */
+  private def q140DeletedIds(s: SparkSession, d: String): Seq[Long] =
+    vecs(s, d).where(col("vec_id") % 97 === 13 && col("vec_id") < 970)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+
+  /** q140: IVF search served from the files WITH deletion vectors live —
+    * the erasure-SLA path for the flat-vector index (the r9 verdict gap
+    * [[deletePqVectors]] closed for PQ): build the base index over
+    * already-ingested history (vec_id hash bucket < 50, the q107/q114
+    * convention), grow it with [[appendIvfIndex]] under the frozen
+    * codebook, soft-delete a bounded deterministic id set
+    * (vec_id % 97 = 13, < 970 — ≤ 10 ids), then run [[ivfIndexSearch]]
+    * against the files. The DuckDB oracle computes the q37 IVF search
+    * with the SAME ids excluded from the candidate side — matching
+    * rows+hash proves the grown artifact + kilobyte sidecar serve
+    * exactly what a rebuild without the erased vectors would, without
+    * touching one index data file (PartitionPruningSpec pins the
+    * byte-identity and the rebuild equivalence). Deleted ids stay valid
+    * ROUTING entries (centroids are frozen at build); they stop being
+    * candidates. The build+delete is session-invariant: built once,
+    * reps serve (delete merges idempotently to the same sidecar). */
+  lazy val q140_ivf_dv_search: Q = (s, d) => {
+    val idx = graft.etl.StarBuilder.scratchDir(s, d, "ivfserve")
+    val bucket = TextCore.idBucket(col("vec_id"))
+    graft.BuildPhase.timed {
+      graft.SessionMemo.once(s, d, "ivf:serve") {
+        writeIvfIndex(s, d, idx, bucket < 50)
+        appendIvfIndex(s, d, idx, bucket >= 50)
+        deleteIvfVectors(s, idx, q140DeletedIds(s, d))
+      }
+    }
+    val queries = vecs(s, d).where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    ivfIndexSearch(s, idx, queries, nProbe, topK)
+  }
 
   /** q107: IVF index STALENESS after an incremental append — the report
     * behind [[appendIvfIndex]]'s no-retrain trade: with the base corpus
@@ -807,22 +938,10 @@ object Similarity {
     * byte-identity), so a GDPR-class erasure costs a sidecar write at
     * any index size; the nightly [[writePqIndex]] rebuild drops the
     * sidecar by excluding the ids from its rowFilter. Idempotent:
-    * re-deleting an id merges to the same set. */
-  def deletePqVectors(s: SparkSession, index: String, ids: Seq[Long]): Unit = {
-    import s.implicits._
-    val dvDir = new java.io.File(s"$index/_dv")
-    val old =
-      if (dvDir.isDirectory) s.read.parquet(dvDir.toString).as[Long].collect().toSeq
-      else Seq.empty[Long]
-    // stage-then-rename: the merged sidecar must never half-overwrite
-    // the one a concurrent search is reading (the warehouse commit rule)
-    val staged = new java.io.File(s"$index/.dv_staging")
-    graft.etl.Compact.deleteRecursively(staged)
-    (old ++ ids).distinct.sorted.toDF("vec_id")
-      .coalesce(1).write.parquet(staged.toString)
-    graft.etl.Compact.deleteRecursively(dvDir)
-    require(staged.renameTo(dvDir), s"could not publish DV sidecar under $index")
-  }
+    * re-deleting an id merges to the same set ([[mergeDvSidecar]] — the
+    * machinery shared with [[deleteIvfVectors]]). */
+  def deletePqVectors(s: SparkSession, index: String, ids: Seq[Long]): Unit =
+    mergeDvSidecar(s, index, ids)
 
   /** Incremental PQ maintenance — [[appendIvfIndex]]'s twin: encode
     * ONLY the incoming batch under the index's own FROZEN codebooks
@@ -878,15 +997,11 @@ object Similarity {
       .where(col("c_id").isin(probedBuckets: _*))
     // honor the deletion-vector sidecar (r9 verdict: an erasure must
     // not keep surfacing as a neighbor until the nightly rebuild —
-    // erasure SLAs don't wait for index cadence). The sidecar is
-    // kilobytes, the anti-join broadcasts, and it runs BEFORE the
-    // top-k window, so surviving ranks equal a rebuild-without-the-ids
-    // (PartitionPruningSpec pins that equivalence on unchanged files).
-    val dv = new java.io.File(s"$index/_dv")
-    val codes =
-      if (dv.isDirectory)
-        codes0.join(broadcast(s.read.parquet(dv.toString)), Seq("vec_id"), "left_anti")
-      else codes0
+    // erasure SLAs don't wait for index cadence). The anti-join runs
+    // BEFORE the top-k window, so surviving ranks equal a
+    // rebuild-without-the-ids (PartitionPruningSpec pins that
+    // equivalence on unchanged files).
+    val codes = dvAntiJoin(s, index, codes0)
     val cand = codes.join(broadcast(probes), Seq("c_id"))
       .where(col("vec_id") =!= col("query_id"))
     val approx = subspaceTotal(
@@ -910,9 +1025,14 @@ object Similarity {
   lazy val q114_pq_index_recall: Q = (s, d) => {
     val idx = graft.etl.StarBuilder.scratchDir(s, d, "pq")
     val bucket = TextCore.idBucket(col("vec_id"))
+    // the build-then-grow artifact is deterministic per (session, dir):
+    // built once, reps serve from the files (the training-charged-once
+    // convention) — re-writing an identical index per rep was pure I/O
     graft.BuildPhase.timed {
-      writePqIndex(s, d, idx, bucket < 50)
-      appendPqIndex(s, d, idx, bucket >= 50)
+      graft.SessionMemo.once(s, d, "pq:index") {
+        writePqIndex(s, d, idx, bucket < 50)
+        appendPqIndex(s, d, idx, bucket >= 50)
+      }
     }
     val queries = vecs(s, d).where(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -1233,6 +1353,7 @@ object Similarity {
     "q111_pq_trained_recall" -> q111_pq_trained_recall,
     "q133_ivfpq_refine" -> q133_ivfpq_refine,
     "q114_pq_index_recall" -> q114_pq_index_recall,
+    "q140_ivf_dv_search" -> q140_ivf_dv_search,
     "q116_pca_power" -> q116_pca_power,
     "q117_pca_variance" -> q117_pca_variance,
     "q118_pca_deflate" -> q118_pca_deflate,
@@ -1274,6 +1395,36 @@ object Similarity {
        |                    c.c_id ASC) AS rn
        |  FROM vecs x CROSS JOIN cent c),
        |assign AS (SELECT vec_id, c_id FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, c_id FROM ranked
+       |           WHERE vec_id < $numQueries AND rn <= $nProbe),
+       |ivf AS (
+       |  SELECT query_id, rank, neighbor_id, cosine FROM (
+       |    SELECT p.query_id, a.vec_id AS neighbor_id,
+       |           list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cosine,
+       |           row_number() OVER (PARTITION BY p.query_id
+       |             ORDER BY list_dot_product(q.v, n.v) / (q.nrm * n.nrm) DESC,
+       |                      a.vec_id ASC) AS rank
+       |    FROM probes p
+       |    JOIN assign a ON p.c_id = a.c_id AND a.vec_id <> p.query_id
+       |    JOIN vecs q ON q.vec_id = p.query_id
+       |    JOIN vecs n ON n.vec_id = a.vec_id)
+       |  WHERE rank <= $topK)""".stripMargin
+
+  /** `ivf` CTE body with the q140 deletion-vector set excised from the
+    * candidate join — the oracle twin of [[dvAntiJoin]] applied before
+    * the top-k window (assignments and probe routing unchanged: erasure
+    * removes a vector as a NEIGHBOR, never as a centroid). */
+  private val ivfDvCte =
+    s"""cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vecs
+       |         WHERE vec_id < $numCentroids),
+       |ranked AS (
+       |  SELECT x.vec_id, c.c_id,
+       |         row_number() OVER (PARTITION BY x.vec_id
+       |           ORDER BY list_dot_product(x.v, c.cv) / (x.nrm * c.cn) DESC,
+       |                    c.c_id ASC) AS rn
+       |  FROM vecs x CROSS JOIN cent c),
+       |assign AS (SELECT vec_id, c_id FROM ranked WHERE rn = 1
+       |           AND NOT (vec_id % 97 = 13 AND vec_id < 970)),
        |probes AS (SELECT vec_id AS query_id, c_id FROM ranked
        |           WHERE vec_id < $numQueries AND rn <= $nProbe),
        |ivf AS (
@@ -1776,6 +1927,13 @@ object Similarity {
          |FROM brute ORDER BY query_id, rank""".stripMargin,
     "q37_knn_ivf" ->
       s"""WITH $vecsCte, $ivfCte
+         |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine
+         |FROM ivf ORDER BY query_id, rank""".stripMargin,
+    // q37's search with the q140 erasure set excluded from the CANDIDATE
+    // side only (deleted ids stay frozen routing entries; they are never
+    // queries — the query set is vec_id < 10, the deleted set ≥ 13)
+    "q140_ivf_dv_search" ->
+      s"""WITH $vecsCte, $ivfDvCte
          |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine
          |FROM ivf ORDER BY query_id, rank""".stripMargin,
     "q58_ivf_recall" ->

@@ -687,6 +687,56 @@ class PartitionPruningSpec extends AnyFunSuite with SparkTestBase {
     assert(search(idx) == before)
   }
 
+  test("IVF DV sidecar: file-served search matches q37, erasure vanishes on unchanged files, rebuild drops it") {
+    import graft.ops.Similarity
+    val sfDir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_dv").toString
+    Similarity.writeIvfIndex(spark, sfDir, idx)
+    val queries = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .localCheckpoint(true)
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).sorted.toSeq
+    def search(i: String) =
+      rows(Similarity.ivfIndexSearch(spark, i, queries, nprobe = 4, k = 5))
+    // the file-served search IS q37: same probes, same candidates, same
+    // ranks — the artifact serves exactly what the in-memory plan computes
+    val before = search(idx)
+    assert(before == rows(Similarity.q37_knn_ivf(spark, sfDir)))
+    def dataMd5s(dir: String): Map[String, String] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("c_id="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          s"${d.getName}/${f.getName}" -> h.map("%02x".format(_)).mkString
+        }).toMap
+    }
+    val filesBefore = dataMd5s(idx)
+    val victim = before.head._3 // a served neighbor — the erasure target
+    Similarity.deleteIvfVectors(spark, idx, Seq(victim))
+    val after = search(idx)
+    // the deleted id never appears; index data files untouched byte for byte
+    assert(!after.exists(_._3 == victim))
+    assert(dataMd5s(idx) == filesBefore)
+    // surviving results ≡ an index REBUILT without the victim (the
+    // anti-join runs before the top-k window, so ranks recompute)
+    val rebuiltIdx = java.nio.file.Files.createTempDirectory("graft_ivf_dv_rb").toString
+    Similarity.writeIvfIndex(spark, sfDir, rebuiltIdx, col("vec_id") =!= victim)
+    assert(after == search(rebuiltIdx))
+    // idempotent: re-deleting merges to the same sidecar content
+    Similarity.deleteIvfVectors(spark, idx, Seq(victim))
+    assert(search(idx) == after)
+    // a rebuild starts clean: the root overwrite drops the sidecar and
+    // the victim (re-added by the unfiltered rebuild) serves again
+    Similarity.writeIvfIndex(spark, sfDir, idx)
+    assert(!new java.io.File(s"$idx/_dv").exists())
+    assert(search(idx) == before)
+  }
+
   test("tahun filter prunes fact partitions in the warehouse read") {
     val dir = writeMiniStar(Seq(
       (1L, 1L, 101L, "2023-03-15", "A", "F", 3.0),
