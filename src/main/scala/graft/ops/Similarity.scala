@@ -1041,6 +1041,46 @@ object Similarity {
     adcRecallFromTop(s, d, top)
   }
 
+  /** The q142 similarity threshold — q35's embedding near-dup bar, so
+    * "semantic duplicate" means the same thing cluster-scoped (q142) and
+    * corpus-wide (q35). */
+  private val semDedupTau = 0.45
+
+  /** q142: SemDeDup — semantic deduplication at CLUSTER scope (Abbas et
+    * al. 2023: k-means-cluster the embedding corpus, compare pairs only
+    * within clusters, keep one representative per semantic-duplicate
+    * relation). The cluster is the engine's IVF seed-codebook
+    * assignment (q37/q67's bucket), so the quadratic step is bounded by
+    * the largest bucket and never sees the corpus — the c_id equi-join
+    * IS the SemDeDup trick, and at 100 TB the bucket count grows with
+    * the corpus (the √n rule) to keep per-bucket membership flat.
+    * Similarity is raw cosine at the q35 near-dup threshold; the
+    * representative is keep-lowest-vec_id (the q31/q113 keep-first
+    * convention — deterministic where the paper's
+    * keep-farthest-from-centroid can tie): a vector is dropped iff SOME
+    * lower-id cluster neighbor is ≥ τ similar. Output is every
+    * vector's (vec_id, c_id, kept) — row-level gated, both engines must
+    * agree on every individual drop decision. Cross-cluster near-dups
+    * survive by design (the paper's stated recall trade); q35 is the
+    * corpus-wide exact baseline that measures what cluster scoping
+    * misses. */
+  lazy val q142_semdedup: Q = (s, d) => {
+    val all = vecs(s, d)
+    val av = assignments(all, seedCents(all)).join(all, "vec_id")
+    val x = av.select(col("vec_id"), col("c_id"), col("v"), col("nrm"))
+    val y = av.select(col("vec_id").as("y_id"), col("c_id"),
+      col("v").as("yv"), col("nrm").as("yn"))
+    val dropped = x.join(y, Seq("c_id"))
+      .where(col("y_id") < col("vec_id") &&
+        dot(col("v"), col("yv")) / (col("nrm") * col("yn")) >= semDedupTau)
+      .select("vec_id").distinct()
+    x.select(col("vec_id"), col("c_id"))
+      .join(dropped.withColumn("drp", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"),
+        when(col("drp").isNull, 1L).otherwise(0L).as("kept"))
+      .orderBy("vec_id")
+  }
+
   // ---------------------------------------------------------------------------
   // Deterministic PCA (power iteration) over the embedding corpus
   // ---------------------------------------------------------------------------
@@ -1354,6 +1394,7 @@ object Similarity {
     "q133_ivfpq_refine" -> q133_ivfpq_refine,
     "q114_pq_index_recall" -> q114_pq_index_recall,
     "q140_ivf_dv_search" -> q140_ivf_dv_search,
+    "q142_semdedup" -> q142_semdedup,
     "q116_pca_power" -> q116_pca_power,
     "q117_pca_variance" -> q117_pca_variance,
     "q118_pca_deflate" -> q118_pca_deflate,
@@ -1936,6 +1977,21 @@ object Similarity {
       s"""WITH $vecsCte, $ivfDvCte
          |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine
          |FROM ivf ORDER BY query_id, rank""".stripMargin,
+    // reuses ivfCte's cent/ranked/assign chain (probes/ivf go unreferenced
+    // and unevaluated); the threshold comparison sees the same raw-double
+    // ordered-fold dot product both engines compute
+    "q142_semdedup" ->
+      s"""WITH $vecsCte, $ivfCte,
+         |av AS (SELECT a.vec_id, a.c_id, v.v, v.nrm
+         |       FROM assign a JOIN vecs v USING (vec_id)),
+         |drp AS (
+         |  SELECT DISTINCT x.vec_id FROM av x JOIN av y
+         |    ON x.c_id = y.c_id AND y.vec_id < x.vec_id
+         |   AND list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= $semDedupTau)
+         |SELECT a.vec_id, a.c_id,
+         |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM av a LEFT JOIN drp d USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
     "q58_ivf_recall" ->
       s"""WITH $vecsCte, $bruteCte, $ivfCte
          |SELECT b.query_id,

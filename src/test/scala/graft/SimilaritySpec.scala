@@ -221,4 +221,41 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // gate still pins it)
     assert(rows2.tail.forall(r => r._3 == 0.0 && r._4 == 0.02))
   }
+
+  test("q142: SemDeDup drop decisions equal an in-memory within-cluster brute force") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = Similarity.q142_semdedup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("c_id"), r.getAs[Long]("kept")))
+      .sortBy(_._1).toSeq
+    // independent reference: assign every vector to its argmax seed
+    // centroid, then within each cluster drop iff a lower-id member is
+    // >= tau cosine-similar (the keep-lowest-id greedy, restated)
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    val cents = vecs.filter(_._1 < 16)
+    val assign = vecs.map { case (id, v) =>
+      val c = cents.map { case (cid, cv) =>
+        (cid, dot(v, cv) / (nrm(v) * nrm(cv)))
+      }.maxBy { case (cid, cos) => (cos, -cid) }._1
+      (id, c, v)
+    }
+    val expected = assign.map { case (id, c, v) =>
+      val dropped = assign.exists { case (yid, yc, yv) =>
+        yc == c && yid < id && dot(v, yv) / (nrm(v) * nrm(yv)) >= 0.45
+      }
+      (id, c, if (dropped) 0L else 1L)
+    }.sortBy(_._1).toSeq
+    assert(got == expected)
+    // the corpus actually exercises both branches
+    assert(got.exists(_._3 == 0L) && got.exists(_._3 == 1L))
+    // every cluster keeps at least its lowest-id member
+    got.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.minBy(_._1)._3 == 1L)
+    }
+  }
 }
