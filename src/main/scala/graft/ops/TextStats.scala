@@ -626,6 +626,63 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** q143 hashed-feature space: words hash to 1024 buckets via the md5
+    * idBucket family — identical text-to-integer math in both engines. */
+  private val dsirBuckets = 1024L
+  private def wordBucket(word: Column): Column =
+    pmod(conv(substring(md5(word), 1, 4), 16, 10).cast("long"), lit(dsirBuckets))
+
+  /** q143: DSIR-style importance weights (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS 2023):
+    * score every document by how much more typical its tokens are of a
+    * TARGET distribution than of the SOURCE — the hashed-n-gram
+    * importance weight DSIR resamples on. Target = the English subset
+    * (the declared in-corpus target domain); source = the whole corpus;
+    * features are [[wordBucket]] hashed unigrams counted per
+    * distribution (both models are 1024-row tables — broadcast
+    * vocabulary-sized state, the q94/q134 shape). A token's log-ratio
+    * log(p_tgt/p_src) = surprisal_src − surprisal_tgt is replaced by
+    * the INTEGER inverse-relative-frequency contrast
+    * ⌊T_src/cnt_src⌋ − ⌊T_tgt/cnt_tgt⌋ on q134's determinism ground: a
+    * true log would hang the gate on libm's last ulp, the integer form
+    * is bit-identical cross-engine and keeps the per-token ranking
+    * (the per-doc SUM is the declared deterministic variant of the
+    * paper's log-sum). Target-OOV buckets charge the ceiling T_tgt and
+    * are counted (the q134 rule); source-OOV is impossible — the
+    * source model saw every scored token. Positive dsir_sum ⇒ the
+    * document reads more target-like than source-average; the
+    * selection/resampling rung that consumes the score is q82/q122's
+    * budget machinery, deliberately not duplicated here.
+    *
+    * Scale shape: scoring is map-side under two broadcast model tables;
+    * per-doc sums shuffle on doc_id only; the two totals are 1-row
+    * driver scalars. */
+  lazy val q143_dsir_weights: Q = (s, d) => {
+    val tok = docShingles(s, d)
+      .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
+      .withColumn("b", wordBucket(col("word")))
+    val tgt = tok.where(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("t_cnt"))
+    val src = tok.groupBy("b").agg(count(lit(1)).as("s_cnt"))
+    // coalesce: a target-free corpus degrades to all-OOV zero charges
+    // instead of an NPE (the q134 empty-table rule)
+    val tTot = tgt.agg(coalesce(sum("t_cnt"), lit(0L))).head().getLong(0)
+    val sTot = src.agg(coalesce(sum("s_cnt"), lit(0L))).head().getLong(0)
+    tok.join(broadcast(src), Seq("b"))
+      .join(broadcast(tgt), Seq("b"), "left")
+      .select(col("doc_id"),
+        (expr(s"CAST($sTot AS BIGINT) div s_cnt") -
+          when(col("t_cnt").isNull, lit(tTot))
+            .otherwise(expr(s"CAST($tTot AS BIGINT) div t_cnt"))).as("w"),
+        when(col("t_cnt").isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("oov").as("n_oov_tgt"),
+        sum("w").as("dsir_sum"))
+      .withColumn("mean_w",
+        round2(col("dsir_sum").cast("double") / col("n_tokens").cast("double")))
+      .orderBy("doc_id")
+  }
+
   /** The q136 bucket ladder: pad-to boundaries in tokens; documents
     * past the last boundary are TRUNCATED to it (the fixed-context
     * batching rule). Powers of two, the packing-friendly convention. */
@@ -733,6 +790,7 @@ object TextStats {
     "q104_bpe_compression" -> q104_bpe_compression,
     "q106_bpe_heldout" -> q106_bpe_heldout,
     "q134_surprisal" -> q134_surprisal,
+    "q143_dsir_weights" -> q143_dsir_weights,
     "q136_length_buckets" -> q136_length_buckets,
     "q137_textrank" -> q137_textrank,
     "q138_bpe_batched" -> q138_bpe_batched)
@@ -915,6 +973,30 @@ object TextStats {
          |       CAST(sum(sp) AS BIGINT) AS surprisal_sum,
          |       ${round2Sql("CAST(sum(sp) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
          |         AS mean_surprisal
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // the same hashed-bucket math as idBucketSql, modulus 1024; the two
+    // model totals ride as 1-row CTEs exactly like q134's `tot`
+    "q143_dsir_weights" -> withDocs(
+      s""", tok AS (
+         |  SELECT doc_id, lang,
+         |         CAST('0x' || substr(md5(word), 1, 4) AS BIGINT) % $dsirBuckets AS b
+         |  FROM (SELECT doc_id, lang, unnest(words) AS word FROM docs)),
+         |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS t_cnt FROM tok
+         |        WHERE lang = 'en' GROUP BY b),
+         |src AS (SELECT b, CAST(count(*) AS BIGINT) AS s_cnt FROM tok GROUP BY b),
+         |tt AS (SELECT CAST(coalesce(sum(t_cnt), 0) AS BIGINT) AS t FROM tgt),
+         |st AS (SELECT CAST(coalesce(sum(s_cnt), 0) AS BIGINT) AS t FROM src),
+         |scored AS (
+         |  SELECT doc_id,
+         |         (st.t // s_cnt) -
+         |           (CASE WHEN t_cnt IS NULL THEN tt.t ELSE tt.t // t_cnt END) AS w,
+         |         CASE WHEN t_cnt IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM tok JOIN src USING (b) LEFT JOIN tgt USING (b), tt, st)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(oov) AS BIGINT) AS n_oov_tgt,
+         |       CAST(sum(w) AS BIGINT) AS dsir_sum,
+         |       ${round2Sql("CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+         |         AS mean_w
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "q136_length_buckets" -> withDocs(
       s""", bl AS (
