@@ -187,6 +187,26 @@ object EventStream {
   def spanReportBatch(flaggedBatch: DataFrame): DataFrame =
     graft.ops.Dedup.spanReport(flaggedBatch)
 
+  /** Streaming ANN serving — the EMBEDDING rung of the probe-stream
+    * family (exact fingerprints → MinHash bands → span hashes →
+    * vectors): arriving query vectors are answered with top-k cosine
+    * neighbors FROM the persisted IVF index, per micro-batch. Unlike
+    * the text probes there is no useful stateless in-flight half —
+    * probe ranking, the partition-pruned candidate scope, the
+    * deletion-vector anti-join and the top-k window are all
+    * aggregation-shaped — so the WHOLE search runs in `foreachBatch`
+    * through the batch helper
+    * [[graft.ops.Similarity.ivfIndexSearch]] (the [[spanReportBatch]]
+    * convention: one definition, stream and batch can never drift).
+    * Queries are independent rows, so the stream holds no state; the
+    * index is static files the nightly build owns, erasures reach
+    * results through the `_dv/` sidecar without waiting for a rebuild
+    * (EventStreamSpec proves two-micro-batch parity with the batch
+    * search AND live erasure mid-stream). */
+  def annSearchBatch(s: org.apache.spark.sql.SparkSession, index: String,
+      nprobe: Int = 4, k: Int = 5)(batch: DataFrame): DataFrame =
+    graft.ops.Similarity.ivfIndexSearch(s, index, batch, nprobe, k)
+
   /** Idempotent micro-batch parquet sink for `writeStream.foreachBatch`:
     * each micro-batch overwrites its own `batch_id=<id>` directory, so a
     * REPLAYED batch (restart after a sink-side failure — the at-least-once

@@ -634,4 +634,52 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       assert(got((0L, "click")) == 3L) // and at this cardinality, exact
     } finally query.stop()
   }
+
+  test("annSearchBatch serves micro-batches from the IVF index; a mid-stream erasure lands next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions.col
+    val sfDir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graft_ann_stream").toString
+    Similarity.writeIvfIndex(spark, sfDir, idx)
+    val queries = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    def batchSearch(ids: Seq[Long]): Seq[(Long, Long, Long)] =
+      Similarity.ivfIndexSearch(spark, idx,
+          queries.where(col("query_id").isin(ids: _*)), nprobe = 4, k = 5)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("neighbor_id"))).sorted.toSeq
+    val arrivals = queries.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getSeq[Double](1)))
+    val (first, second) = arrivals.splitAt(5)
+    val expectedFirst = batchSearch(first.map(_._1).toSeq)
+    // the victim: a neighbor the SECOND wave would be served pre-erasure
+    val victim = batchSearch(second.map(_._1).toSeq).head._3
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val input = MemoryStream[(Long, Seq[Double])]
+    val query = input.toDS().toDF("query_id", "qv")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        results ++= EventStream.annSearchBatch(spark, idx)(b)
+          .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+            r.getAs[Long]("neighbor_id")))
+        ()
+      }.start()
+    try {
+      input.addData(first.toIndexedSeq: _*)
+      query.processAllAvailable()
+      assert(results.sorted.toSeq == expectedFirst) // stream ≡ batch, wave 1
+      // erase MID-STREAM: the sidecar is honored on the very next
+      // micro-batch — no rebuild, no restart
+      Similarity.deleteIvfVectors(spark, idx, Seq(victim))
+      val expectedSecond = batchSearch(second.map(_._1).toSeq)
+      assert(!expectedSecond.exists(_._3 == victim))
+      results.clear()
+      input.addData(second.toIndexedSeq: _*)
+      query.processAllAvailable()
+      assert(results.sorted.toSeq == expectedSecond) // stream ≡ batch, wave 2
+    } finally query.stop()
+  }
 }
