@@ -706,6 +706,21 @@ class PartitionPruningSpec extends AnyFunSuite with SparkTestBase {
     // ranks — the artifact serves exactly what the in-memory plan computes
     val before = search(idx)
     assert(before == rows(Similarity.q37_knn_ivf(spark, sfDir)))
+    // and it touches ONLY index files: every file relation in the plan
+    // lives under the index root — raw embeddings are never scanned
+    // (queries are checkpointed, so their lineage carries no file scan)
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val fileRoots = Similarity.ivfIndexSearch(spark, idx, queries, nprobe = 4, k = 5)
+      .queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+      }.flatten
+    assert(fileRoots.nonEmpty)
+    fileRoots.foreach { p =>
+      assert(p.contains(idx), s"index search scans a non-index file source: $p")
+    }
     def dataMd5s(dir: String): Map[String, String] = {
       val root = new java.io.File(dir)
       root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("c_id="))
