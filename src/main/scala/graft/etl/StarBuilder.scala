@@ -502,13 +502,27 @@ object StarBuilder {
       // columns are recoverable from the manifest's own min_* schema).
       // Cheap next to the repack itself, and atomic with it — readers
       // resolve either (old files, old stats) or (new files, new
-      // stats), never a mix. `_bloom` sidecars follow the serving-index
-      // rule instead (rebuild with the artifact; SURVEY §8 r9 limits).
+      // stats), never a mix.
       val srcStats = new java.io.File(t, "_idx/stats")
       if (srcStats.isDirectory) {
         val cols = spark.read.parquet(srcStats.toString).columns
           .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
         DataSkipping.writeStats(spark, new java.io.File(txn, t.getName).toString, cols)
+      }
+      // the bloom sidecar addresses files by name too; its key column is
+      // pinned in the manifest itself (`key_col` rides every row), so the
+      // compacted snapshot regenerates it with the same atomicity (r10 —
+      // closes the r9 "bloom follows the serving-index rebuild rule"
+      // limitation for warehouse tables; the ANN indexes keep that rule,
+      // and Compact.resort proves their searches survive a repack)
+      val srcBloom = new java.io.File(t, "_idx/bloom")
+      if (srcBloom.isDirectory) {
+        val keys = spark.read.parquet(srcBloom.toString)
+          .select("key_col").distinct().collect().map(_.getString(0)).toSeq
+        require(keys.size == 1,
+          s"bloom sidecar under ${t.getName} indexes ${keys.mkString(", ")} — one key per sidecar")
+        DataSkipping.writeBloom(spark,
+          new java.io.File(txn, t.getName).toString, keys.head)
       }
     }
     // compaction derives from v=cur: same lost-update rule as deleteWhere

@@ -642,6 +642,39 @@ class PartitionPruningSpec extends AnyFunSuite with SparkTestBase {
     assert(pruned.nonEmpty && pruned.length < dFiles.size)
   }
 
+  test("compactVersioned regenerates the bloom sidecar with the repacked files") {
+    import spark.implicits._
+    import graft.etl.DataSkipping
+    val wh = java.nio.file.Files.createTempDirectory("graft_cvbloom").toString
+    val v1 = StarBuilder.writeTableVersionedStats(
+      (1L to 400L).map(i => (i, s"k_$i")).toDF("id", "key"), wh, "t",
+      sortBy = Seq("id"), statsCols = Seq("id"), blockSize = 64 * 1024)
+    val t1 = s"$wh/v=$v1/t"
+    DataSkipping.writeBloom(spark, t1, "key")
+    def lookup(tdir: String, keys: Seq[String]) =
+      DataSkipping.bloomScan(spark, tdir, "key", keys)
+        .where(col("key").isin(keys: _*))
+        .select("id", "key").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val probes = Seq("k_5", "k_211")
+    val before = lookup(t1, probes)
+    assert(before.map(_._2).sorted == probes.sorted)
+    // compaction renames every file — the regenerated sidecar must
+    // reference exactly the compacted files, and the lookup answer
+    // must survive the repack
+    val v2 = StarBuilder.compactVersioned(spark, wh, targetBytes = 1L << 30)
+    val t2 = s"$wh/v=$v2/t"
+    val bFiles = spark.read.parquet(s"$t2/_idx/bloom").collect()
+      .map(_.getAs[String]("file")).toSet
+    val dFiles = new java.io.File(t2).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(bFiles == dFiles, s"bloom sidecar references stale files: $bFiles vs $dFiles")
+    assert(lookup(t2, probes) == before)
+    // the pinned key column rides into the regenerated manifest
+    assert(spark.read.parquet(s"$t2/_idx/bloom")
+      .select("key_col").distinct().collect().map(_.getString(0)).toSeq == Seq("key"))
+  }
+
   test("PQ DV sidecar: erasure vanishes from search on unchanged code files; rebuild drops it") {
     import graft.ops.Similarity
     val sfDir = "/root/testdata/sf0.001"
