@@ -1081,6 +1081,43 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q144: SEMANTIC train/eval contamination — the embedding rung of
+    * the contamination family (q77 measures topical shingle
+    * containment, q88 verbatim 8-grams; a paraphrased or translated
+    * eval leak slips past both). For each TEST-split vector (q70's
+    * deterministic hash split: bucket ≥ 90), report its within-cluster
+    * TRAIN-side (bucket < 80) candidates — the IVF seed-bucket
+    * equi-join, q142's scale trick — with hit count and max cosine at
+    * the q35 near-dup threshold, flagged where any train doc is ≥ τ
+    * similar. Test vectors whose bucket holds no train vector report
+    * n_cands = 0 with NULL max_cos (the q60 0/0 guard convention), so
+    * the audit covers every eval doc, not just the suspicious ones.
+    * Cluster scoping carries q142's stated recall trade: a cross-bucket
+    * semantic leak is missed; the corpus-wide exact baseline (a q35
+    * shape over the split boundary) is what measures it. */
+  lazy val q144_semantic_contamination: Q = (s, d) => {
+    val all = vecs(s, d)
+    val av = assignments(all, seedCents(all)).join(all, "vec_id")
+    val bucket = TextCore.idBucket(col("vec_id"))
+    val test = av.where(bucket >= 90)
+      .select(col("vec_id"), col("c_id"), col("v"), col("nrm"))
+    val train = av.where(bucket < 80)
+      .select(col("vec_id").as("t_id"), col("c_id"),
+        col("v").as("tv"), col("nrm").as("tn"))
+    val cos = dot(col("v"), col("tv")) / (col("nrm") * col("tn"))
+    test.join(train, Seq("c_id"), "left")
+      .select(col("vec_id"), col("c_id"), col("t_id"),
+        when(col("t_id").isNull, lit(null).cast("double")).otherwise(cos).as("cos"))
+      .groupBy("vec_id", "c_id")
+      .agg(count(col("t_id")).as("n_cands"),
+        sum(when(col("cos") >= semDedupTau, 1L).otherwise(0L)).as("n_hits"),
+        max(col("cos")).as("mc"))
+      .select(col("vec_id"), col("c_id"), col("n_cands"), col("n_hits"),
+        round4(col("mc")).as("max_cos"),
+        when(col("mc") >= semDedupTau, 1L).otherwise(0L).as("flagged"))
+      .orderBy("vec_id")
+  }
+
   // ---------------------------------------------------------------------------
   // Deterministic PCA (power iteration) over the embedding corpus
   // ---------------------------------------------------------------------------
@@ -1395,6 +1432,7 @@ object Similarity {
     "q114_pq_index_recall" -> q114_pq_index_recall,
     "q140_ivf_dv_search" -> q140_ivf_dv_search,
     "q142_semdedup" -> q142_semdedup,
+    "q144_semantic_contamination" -> q144_semantic_contamination,
     "q116_pca_power" -> q116_pca_power,
     "q117_pca_variance" -> q117_pca_variance,
     "q118_pca_deflate" -> q118_pca_deflate,
@@ -1992,6 +2030,28 @@ object Similarity {
          |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM av a LEFT JOIN drp d USING (vec_id)
          |ORDER BY vec_id""".stripMargin,
+    // NULL-cos rows (no train candidate in the bucket) fall to the ELSE 0
+    // branch on both engines; max over an all-NULL group stays NULL
+    "q144_semantic_contamination" ->
+      s"""WITH $vecsCte, $ivfCte,
+         |av AS (SELECT a.vec_id, a.c_id, v.v, v.nrm
+         |       FROM assign a JOIN vecs v USING (vec_id)),
+         |tst AS (SELECT * FROM av
+         |        WHERE ${graft.ops.TextCore.idBucketSql("vec_id")} >= 90),
+         |trn AS (SELECT vec_id AS t_id, c_id, v AS tv, nrm AS tn FROM av
+         |        WHERE ${graft.ops.TextCore.idBucketSql("vec_id")} < 80),
+         |pairs AS (
+         |  SELECT x.vec_id, x.c_id, y.t_id,
+         |         list_dot_product(x.v, y.tv) / (x.nrm * y.tn) AS cos
+         |  FROM tst x LEFT JOIN trn y ON x.c_id = y.c_id)
+         |SELECT vec_id, c_id,
+         |       CAST(count(t_id) AS BIGINT) AS n_cands,
+         |       CAST(sum(CASE WHEN cos >= $semDedupTau THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_hits,
+         |       ${round4Sql("max(cos)")} AS max_cos,
+         |       CAST(CASE WHEN max(cos) >= $semDedupTau THEN 1 ELSE 0 END
+         |            AS BIGINT) AS flagged
+         |FROM pairs GROUP BY vec_id, c_id ORDER BY vec_id""".stripMargin,
     "q58_ivf_recall" ->
       s"""WITH $vecsCte, $bruteCte, $ivfCte
          |SELECT b.query_id,
