@@ -1118,6 +1118,36 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q145: measured recall of q144's cluster scoping against the exact
+    * cross-split baseline — the q60/q63 convention (every approximate
+    * path ships with its measured accuracy): count ALL (train, test)
+    * pairs at cosine ≥ τ, count how many share an IVF bucket (the only
+    * ones q144 can see), report the ratio. One row. The all-pairs arm
+    * is the deliberate oracle baseline (the q35 stance) and the TEST
+    * side is the eval set — benchmark-sized in practice, broadcast
+    * here — so the baseline stays runnable exactly where this audit
+    * runs. A recall well under 1 tells the operator to raise nprobe-
+    * style bucket unions or fall back to the exact sweep before
+    * trusting a clean q144 report. */
+  lazy val q145_semcon_recall: Q = (s, d) => {
+    val all = vecs(s, d)
+    val bucket = TextCore.idBucket(col("vec_id"))
+    val av = assignments(all, seedCents(all)).join(all, "vec_id")
+    val test = av.where(bucket >= 90)
+      .select(col("vec_id"), col("c_id"), col("v"), col("nrm"))
+    val train = av.where(bucket < 80)
+      .select(col("vec_id").as("t_id"), col("c_id").as("tc"),
+        col("v").as("tv"), col("nrm").as("tn"))
+    val cos = dot(col("v"), col("tv")) / (col("nrm") * col("tn"))
+    train.join(broadcast(test), cos >= semDedupTau)
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(when(col("c_id") === col("tc"), 1L).otherwise(0L)), lit(0L))
+          .as("n_found"))
+      // 0/0 guard: NULL recall when no cross-split pair clears τ (q60)
+      .withColumn("recall", when(col("n_exact") === 0, lit(null).cast("double"))
+        .otherwise(round4(col("n_found").cast("double") / col("n_exact").cast("double"))))
+  }
+
   // ---------------------------------------------------------------------------
   // Deterministic PCA (power iteration) over the embedding corpus
   // ---------------------------------------------------------------------------
@@ -1433,6 +1463,7 @@ object Similarity {
     "q140_ivf_dv_search" -> q140_ivf_dv_search,
     "q142_semdedup" -> q142_semdedup,
     "q144_semantic_contamination" -> q144_semantic_contamination,
+    "q145_semcon_recall" -> q145_semcon_recall,
     "q116_pca_power" -> q116_pca_power,
     "q117_pca_variance" -> q117_pca_variance,
     "q118_pca_deflate" -> q118_pca_deflate,
@@ -1488,6 +1519,18 @@ object Similarity {
        |    JOIN vecs q ON q.vec_id = p.query_id
        |    JOIN vecs n ON n.vec_id = a.vec_id)
        |  WHERE rank <= $topK)""".stripMargin
+
+  /** The q144/q145 split CTEs over `assign`: all vectors with their
+    * cluster + raw arrays (`av`), the TEST split (`tst`, bucket ≥ 90)
+    * and the TRAIN split (`trn`, bucket < 80) — q70's hash split in
+    * the oracle's own md5 arithmetic. */
+  private val semSplitCtes =
+    s"""av AS (SELECT a.vec_id, a.c_id, v.v, v.nrm
+       |       FROM assign a JOIN vecs v USING (vec_id)),
+       |tst AS (SELECT * FROM av
+       |        WHERE ${graft.ops.TextCore.idBucketSql("vec_id")} >= 90),
+       |trn AS (SELECT vec_id AS t_id, c_id, v AS tv, nrm AS tn FROM av
+       |        WHERE ${graft.ops.TextCore.idBucketSql("vec_id")} < 80)""".stripMargin
 
   /** `ivf` CTE body with the q140 deletion-vector set excised from the
     * candidate join — the oracle twin of [[dvAntiJoin]] applied before
@@ -2033,13 +2076,7 @@ object Similarity {
     // NULL-cos rows (no train candidate in the bucket) fall to the ELSE 0
     // branch on both engines; max over an all-NULL group stays NULL
     "q144_semantic_contamination" ->
-      s"""WITH $vecsCte, $ivfCte,
-         |av AS (SELECT a.vec_id, a.c_id, v.v, v.nrm
-         |       FROM assign a JOIN vecs v USING (vec_id)),
-         |tst AS (SELECT * FROM av
-         |        WHERE ${graft.ops.TextCore.idBucketSql("vec_id")} >= 90),
-         |trn AS (SELECT vec_id AS t_id, c_id, v AS tv, nrm AS tn FROM av
-         |        WHERE ${graft.ops.TextCore.idBucketSql("vec_id")} < 80),
+      s"""WITH $vecsCte, $ivfCte, $semSplitCtes,
          |pairs AS (
          |  SELECT x.vec_id, x.c_id, y.t_id,
          |         list_dot_product(x.v, y.tv) / (x.nrm * y.tn) AS cos
@@ -2052,6 +2089,18 @@ object Similarity {
          |       CAST(CASE WHEN max(cos) >= $semDedupTau THEN 1 ELSE 0 END
          |            AS BIGINT) AS flagged
          |FROM pairs GROUP BY vec_id, c_id ORDER BY vec_id""".stripMargin,
+    "q145_semcon_recall" ->
+      s"""WITH $vecsCte, $ivfCte, $semSplitCtes,
+         |hits AS (
+         |  SELECT x.c_id AS xc, y.c_id AS yc FROM tst x JOIN trn y
+         |    ON list_dot_product(x.v, y.tv) / (x.nrm * y.tn) >= $semDedupTau)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(coalesce(sum(CASE WHEN xc = yc THEN 1 ELSE 0 END), 0)
+         |            AS BIGINT) AS n_found,
+         |       CASE WHEN count(*) = 0 THEN CAST(NULL AS DOUBLE)
+         |            ELSE ${round4Sql("CAST(coalesce(sum(CASE WHEN xc = yc THEN 1 ELSE 0 END), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+         |       END AS recall
+         |FROM hits""".stripMargin,
     "q58_ivf_recall" ->
       s"""WITH $vecsCte, $bruteCte, $ivfCte
          |SELECT b.query_id,

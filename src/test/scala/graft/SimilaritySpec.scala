@@ -258,4 +258,16 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       assert(members.minBy(_._1)._3 == 1L)
     }
   }
+
+  test("q144/q145 agree: bucket-scoped hits sum to the recall numerator") {
+    import org.apache.spark.sql.functions.sum
+    val sfDir = "/root/testdata/sf0.001"
+    // q145's n_found counts (train, test) pairs ≥ τ sharing a bucket —
+    // exactly the pairs q144 distributes over test docs as n_hits
+    val hits = Similarity.q144_semantic_contamination(spark, sfDir)
+      .agg(sum("n_hits")).head().getLong(0)
+    val r = Similarity.q145_semcon_recall(spark, sfDir).head()
+    assert(r.getAs[Long]("n_found") == hits)
+    assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_exact"))
+  }
 }
