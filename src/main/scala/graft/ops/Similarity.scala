@@ -180,23 +180,24 @@ object Similarity {
     * `index` — the one erasure mechanism both persisted ANN indexes
     * share ([[deleteIvfVectors]] / [[deletePqVectors]]): keyed on
     * vec_id because a code/vector row's identity IS its vec_id, no
-    * file/pos addressing needed. Stage-then-rename publish (the
-    * warehouse commit rule: a concurrent search never reads a
-    * half-overwritten sidecar); idempotent — re-deleting an id merges
-    * to the same sorted set. Index data files are never touched, so a
-    * GDPR-class erasure costs a sidecar write at any index size. */
+    * file/pos addressing needed. The sidecar is an APPEND-ONLY log of
+    * erased ids: between rebuilds the deletion set only grows, and the
+    * serve-side anti-join is insensitive to duplicate rows, so the
+    * merged set is always the union of every file ever appended — no
+    * file is ever rewritten, renamed, or deleted, which is what makes
+    * a concurrent [[dvAntiJoin]] read safe (a plan that captured the
+    * old file list sees a valid, possibly one-delete-stale set; a
+    * stage-then-swap scheme would instead yank captured paths out from
+    * under in-flight tasks). Idempotent: re-deleting an id appends a
+    * duplicate row to the same logical set. Rebuilds clear the log
+    * wholesale ([[writeIvfIndex]]/[[writePqIndex]] — the only writers
+    * that may touch existing sidecar files, and only while they own
+    * the whole artifact). Index data files are never touched, so a
+    * GDPR-class erasure costs a sidecar append at any index size. */
   private def mergeDvSidecar(s: SparkSession, index: String, ids: Seq[Long]): Unit = {
     import s.implicits._
-    val dvDir = new java.io.File(s"$index/_dv")
-    val old =
-      if (dvDir.isDirectory) s.read.parquet(dvDir.toString).as[Long].collect().toSeq
-      else Seq.empty[Long]
-    val staged = new java.io.File(s"$index/.dv_staging")
-    graft.etl.Compact.deleteRecursively(staged)
-    (old ++ ids).distinct.sorted.toDF("vec_id")
-      .coalesce(1).write.parquet(staged.toString)
-    graft.etl.Compact.deleteRecursively(dvDir)
-    require(staged.renameTo(dvDir), s"could not publish DV sidecar under $index")
+    ids.distinct.sorted.toDF("vec_id")
+      .coalesce(1).write.mode("append").parquet(s"$index/_dv")
   }
 
   /** Anti-join `rows` against the `_dv/` sidecar if one exists — the
@@ -910,6 +911,12 @@ object Similarity {
     * book (the FAISS `train`-then-`add` lifecycle). */
   def writePqIndex(s: SparkSession, d: String, out: String,
       rowFilter: Column = lit(true), train: Boolean = false): Unit = {
+    // a REBUILD starts from a clean slate: whatever the previous index
+    // generation soft-deleted is simply not re-added by the caller's
+    // rowFilter — carrying the old sidecar forward would double-apply
+    // it. Cleared FIRST: a crash mid-rebuild must leave a loudly broken
+    // index, never fresh codes silently suppressed by a stale sidecar.
+    graft.etl.Compact.deleteRecursively(new java.io.File(s"$out/_dv"))
     val all = vecs(s, d)
     val cb =
       if (train)
@@ -923,10 +930,6 @@ object Similarity {
     seedCents(all).coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
     pqIndexRows(s, d, cb, seedCents(all), rowFilter)
       .write.mode("overwrite").partitionBy("c_id").parquet(s"$out/codes")
-    // a REBUILD starts from a clean slate: whatever the previous index
-    // generation had soft-deleted is simply not re-added by the caller's
-    // rowFilter — carrying the old sidecar forward would double-apply it
-    graft.etl.Compact.deleteRecursively(new java.io.File(s"$out/_dv"))
   }
 
   /** Soft-delete vectors from a persisted PQ index — the erasure path
