@@ -34,9 +34,10 @@ import org.apache.spark.sql.functions._
   * stays valid after [[StarBuilder]]'s atomic rename into `v=<n>/`,
   * and a byte-copied snapshot keeps its manifest. A REPACK invalidates
   * both sidecars (file names change) — [[StarBuilder.compactVersioned]]
-  * therefore regenerates `_idx/stats` for the compacted snapshot; `_idx/bloom`
-  * follows the serving-index rule (rebuild with the artifact, the
-  * IVF/PQ stance in SURVEY §8's round-9 limits).
+  * therefore regenerates BOTH for the compacted snapshot (`_idx/stats`
+  * from its own min_* schema, `_idx/bloom` from its pinned key_col);
+  * the in-place [[Compact.compact]] does not, and the ANN serving
+  * indexes keep the rebuild-with-the-artifact rule.
   */
 object DataSkipping {
   type Q = (SparkSession, String) => DataFrame
@@ -64,14 +65,30 @@ object DataSkipping {
     * the manifest buildable for any existing table. */
   def writeStats(spark: SparkSession, tableDir: String, cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "writeStats needs at least one stats column")
-    val aggs = count(lit(1)).as("n_rows") +:
-      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    spark.read.parquet(tableDir)
-      .groupBy(relFile(tableDir).as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1)
+    statsRowsFor(spark.read.parquet(tableDir), tableDir, cols)
       .write.mode("overwrite").parquet(s"$tableDir/_idx/stats")
   }
+
+  /** One manifest row per data file of `df` — THE manifest shape,
+    * shared by [[writeStats]] (whole-table frame) and [[appendStats]]
+    * (fresh-files frame) so the full rebuild and its append twin can
+    * never diverge on schema. */
+  private def statsRowsFor(df: DataFrame, tableDir: String, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(relFile(tableDir).as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+  }
+
+  /** The fresh-files frame for the append twins: explicit file paths
+    * read under `basePath = tableDir`, so PARTITION columns survive —
+    * without it each file is its own root and a stats/key column that
+    * lives in the directory structure would vanish from the read. */
+  private def freshFilesFrame(spark: SparkSession, tableDir: String,
+      fresh: Seq[String]): DataFrame =
+    spark.read.option("basePath", tableDir)
+      .parquet(fresh.map(f => s"$tableDir/$f"): _*)
 
   /** The data files of `tableDir` (recursive — partitioned layouts
     * included; `_`-prefixed sidecars and dot-staging dirs skipped, the
@@ -98,18 +115,22 @@ object DataSkipping {
     * No-op when every file is already covered. */
   def appendStats(spark: SparkSession, tableDir: String, cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "appendStats needs at least one stats column")
-    val covered = statsManifest(spark, tableDir)
+    val manifest = statsManifest(spark, tableDir)
+    // the appendBloom key_col rule, for stats: a column-set mismatch
+    // would append rows whose min_*/max_* read back NULL against the
+    // base parts' schema, and prunedFiles drops NULL-stats rows — data
+    // files silently vanishing from pruned reads. Refuse instead.
+    val existing = manifest.columns
+      .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSet
+    require(existing == cols.toSet,
+      s"stats manifest under $tableDir indexes ${existing.toSeq.sorted.mkString(", ")}, " +
+        s"not ${cols.sorted.mkString(", ")} — one column set per manifest")
+    val covered = manifest
       .select("file").collect().map(_.getString(0)).toSet
     val fresh = listDataFiles(tableDir).filterNot(covered)
-    if (fresh.nonEmpty) {
-      val aggs = count(lit(1)).as("n_rows") +:
-        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-      spark.read.parquet(fresh.map(f => s"$tableDir/$f"): _*)
-        .groupBy(relFile(tableDir).as("file"))
-        .agg(aggs.head, aggs.tail: _*)
-        .coalesce(1)
+    if (fresh.nonEmpty)
+      statsRowsFor(freshFilesFrame(spark, tableDir, fresh), tableDir, cols)
         .write.mode("append").parquet(s"$tableDir/_idx/stats")
-    }
   }
 
   /** The manifest as a DataFrame; loud failure when absent (a scan that
@@ -144,7 +165,10 @@ object DataSkipping {
       lo: Any, hi: Any): DataFrame = {
     val files = prunedFiles(spark, tableDir, c, lo, hi)
     if (files.isEmpty) spark.read.parquet(tableDir).where(lit(false))
-    else spark.read.parquet(files: _*)
+    // basePath keeps partition columns resolvable on the explicit-file
+    // read (the freshFilesFrame rule — without it a partitioned layout's
+    // directory-borne columns vanish from the pruned frame)
+    else spark.read.option("basePath", tableDir).parquet(files: _*)
   }
 
   // ---------------------------------------------------------------------------
@@ -174,15 +198,20 @@ object DataSkipping {
     * membership semantics, parquet-friendly). One aggregation job:
     * explode to (file, pos), distinct, collect per file. */
   def writeBloom(spark: SparkSession, tableDir: String, keyCol: String): Unit =
-    spark.read.parquet(tableDir)
-      .select(relFile(tableDir).as("file"),
+    bloomRowsFor(spark.read.parquet(tableDir), tableDir, keyCol)
+      .write.mode("overwrite").parquet(s"$tableDir/_idx/bloom")
+
+  /** One sidecar row per data file of `df` — THE bloom-manifest shape,
+    * shared by [[writeBloom]] and [[appendBloom]] (the
+    * [[statsRowsFor]] rule). */
+  private def bloomRowsFor(df: DataFrame, tableDir: String, keyCol: String): DataFrame =
+    df.select(relFile(tableDir).as("file"),
         explode(bloomPositions(col(keyCol))).as("pos"))
       .distinct()
       .groupBy("file")
       .agg(sort_array(collect_list(col("pos"))).as("bits"))
       .withColumn("key_col", lit(keyCol))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$tableDir/_idx/bloom")
 
   /** Incremental `_idx/bloom` maintenance — [[appendStats]]'s twin for
     * the point-lookup sidecar: build filters ONLY for data files absent
@@ -203,14 +232,7 @@ object DataSkipping {
     val covered = manifest.select("file").collect().map(_.getString(0)).toSet
     val fresh = listDataFiles(tableDir).filterNot(covered)
     if (fresh.nonEmpty)
-      spark.read.parquet(fresh.map(f => s"$tableDir/$f"): _*)
-        .select(relFile(tableDir).as("file"),
-          explode(bloomPositions(col(keyCol))).as("pos"))
-        .distinct()
-        .groupBy("file")
-        .agg(sort_array(collect_list(col("pos"))).as("bits"))
-        .withColumn("key_col", lit(keyCol))
-        .coalesce(1)
+      bloomRowsFor(freshFilesFrame(spark, tableDir, fresh), tableDir, keyCol)
         .write.mode("append").parquet(s"$tableDir/_idx/bloom")
   }
 
@@ -249,7 +271,7 @@ object DataSkipping {
       keys: Seq[String]): DataFrame = {
     val files = bloomCandidateFiles(spark, tableDir, keys)
     if (files.isEmpty) spark.read.parquet(tableDir).where(lit(false))
-    else spark.read.parquet(files: _*)
+    else spark.read.option("basePath", tableDir).parquet(files: _*)
   }
 
   // ---------------------------------------------------------------------------

@@ -542,12 +542,45 @@ class PartitionPruningSpec extends AnyFunSuite with SparkTestBase {
     // a second append with nothing new is a no-op
     DataSkipping.appendStats(spark, dir, Seq("id"))
     assert(md5s("_idx/stats") == manifestAfter)
+    // a mismatched column set is refused — appended rows would read
+    // back NULL stats against the base schema and silently vanish from
+    // pruned reads (the appendBloom key_col rule)
+    val e = intercept[IllegalArgumentException] {
+      DataSkipping.appendStats(spark, dir, Seq("payload"))
+    }
+    assert(e.getMessage.contains("one column set per manifest"))
     // incremental manifest ≡ full rebuild, row for row
     DataSkipping.writeStats(spark, dir, Seq("id"))
     val rebuilt = DataSkipping.statsManifest(spark, dir).collect()
       .map(r => (r.getAs[String]("file"), r.getAs[Long]("n_rows"),
         r.getAs[Long]("min_id"), r.getAs[Long]("max_id"))).toSet
     assert(rows == rebuilt)
+  }
+
+  test("append twins keep partition columns: stats/bloom on a partition-column key") {
+    import spark.implicits._
+    import graft.etl.DataSkipping
+    // the stats column LIVES in the directory structure — without a
+    // basePath read the fresh-file frames would lose it entirely
+    // string partition values: partition-type inference keeps them
+    // strings, so the bloom build and the string probes hash the same
+    // type (the probe-side same-expression contract)
+    val dir = java.nio.file.Files.createTempDirectory("graft_apppart").toString
+    (1L to 100L).map(i => (i, s"d${i % 3}", s"p_$i")).toDF("id", "dt", "payload")
+      .write.mode("overwrite").partitionBy("dt").parquet(dir)
+    DataSkipping.writeStats(spark, dir, Seq("dt"))
+    DataSkipping.writeBloom(spark, dir, "dt")
+    (101L to 140L).map(i => (i, "d3", s"p_$i")).toDF("id", "dt", "payload")
+      .write.mode("append").partitionBy("dt").parquet(dir)
+    DataSkipping.appendStats(spark, dir, Seq("dt"))
+    DataSkipping.appendBloom(spark, dir, "dt")
+    // the appended partition's files carry real dt stats and the
+    // pruned/bloom reads serve the new partition's rows
+    assert(DataSkipping.statsManifest(spark, dir).where(col("min_dt") === "d3").count() > 0)
+    assert(DataSkipping.prunedScan(spark, dir, "dt", "d3", "d3")
+      .where(col("dt") === "d3").count() == 40L)
+    assert(DataSkipping.bloomScan(spark, dir, "dt", Seq("d3"))
+      .where(col("dt") === "d3").count() == 40L)
   }
 
   test("appendBloom extends the bloom sidecar incrementally and matches a rebuild") {
