@@ -442,7 +442,17 @@ object TextStats {
     var vocab = bpeVocab0(s, d, docFilter).localCheckpoint(true)
     var merges = Vector.empty[(Long, String, String, Long)]
     var done = false
-    while (merges.size < numMerges && !done) {
+    // the pass count is FIXED at ceil(k/b): bounded driver-loop jobs is
+    // the contract batching exists for, and it is what the q138 oracle
+    // unrolls. A pass whose disjointness filter underfills (one hot
+    // symbol blocking the pool) therefore yields fewer than k merges —
+    // the same early-stop surface the sequential trainer has on an
+    // exhausted pair table, and both engines underfill identically
+    // because they scan the same frozen ranked pool.
+    val nPass = (numMerges + batch - 1) / batch
+    var pass = 0
+    while (pass < nPass && merges.size < numMerges && !done) {
+      pass += 1
       val cands = bpePairCounts(vocab)
         .orderBy(col("freq").desc, col("l").asc, col("r").asc)
         .limit(8 * batch).collect()
@@ -654,27 +664,38 @@ object TextStats {
     * selection/resampling rung that consumes the score is q82/q122's
     * budget machinery, deliberately not duplicated here.
     *
-    * Scale shape: scoring is map-side under two broadcast model tables;
-    * per-doc sums shuffle on doc_id only; the two totals are 1-row
-    * driver scalars. */
+    * Scale shape: one model-building aggregation (1024 groups, both
+    * distributions as conditional sums) collected driver-side — a
+    * planning-sized collect, feature-space- not corpus-sized — then
+    * map-side scoring under the broadcast model; per-doc sums shuffle
+    * on doc_id only. */
   lazy val q143_dsir_weights: Q = (s, d) => {
     val tok = docShingles(s, d)
       .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
       .withColumn("b", wordBucket(col("word")))
-    val tgt = tok.where(col("lang") === "en")
-      .groupBy("b").agg(count(lit(1)).as("t_cnt"))
-    val src = tok.groupBy("b").agg(count(lit(1)).as("s_cnt"))
-    // coalesce: a target-free corpus degrades to all-OOV zero charges
-    // instead of an NPE (the q134 empty-table rule)
-    val tTot = tgt.agg(coalesce(sum("t_cnt"), lit(0L))).head().getLong(0)
-    val sTot = src.agg(coalesce(sum("s_cnt"), lit(0L))).head().getLong(0)
-    tok.join(broadcast(src), Seq("b"))
-      .join(broadcast(tgt), Seq("b"), "left")
+    // ONE model-building job computes both distributions — per bucket,
+    // the source count and the target (English) count as a conditional
+    // sum — and lands the 1024-row table driver-side, where the two
+    // totals fold for free; the model re-enters the scoring pass as a
+    // broadcast literal frame. Two corpus scans total (build + score)
+    // where separate src/tgt aggregations plus two total actions cost
+    // four. A bucket with t_cnt = 0 IS target-OOV (charged the ceiling,
+    // the q134 rule); a target-free corpus degrades to all-OOV zero
+    // charges since tTot = 0.
+    val model = tok.groupBy("b")
+      .agg(count(lit(1)).as("s_cnt"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_cnt"))
+      .collect()
+      .map(r => (r.getAs[Long]("b"), r.getAs[Long]("s_cnt"), r.getAs[Long]("t_cnt")))
+    val sTot = model.map(_._2).sum
+    val tTot = model.map(_._3).sum
+    import s.implicits._
+    tok.join(broadcast(model.toSeq.toDF("b", "s_cnt", "t_cnt")), Seq("b"))
       .select(col("doc_id"),
         (expr(s"CAST($sTot AS BIGINT) div s_cnt") -
-          when(col("t_cnt").isNull, lit(tTot))
+          when(col("t_cnt") === 0L, lit(tTot))
             .otherwise(expr(s"CAST($tTot AS BIGINT) div t_cnt"))).as("w"),
-        when(col("t_cnt").isNull, 1L).otherwise(0L).as("oov"))
+        when(col("t_cnt") === 0L, 1L).otherwise(0L).as("oov"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("oov").as("n_oov_tgt"),
         sum("w").as("dsir_sum"))
