@@ -113,6 +113,31 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     assert(offenders.isEmpty, s"non-equi candidate join in: ${offenders.mkString(", ")}")
   }
 
+  test("r10 queries: no cartesian product; q143's model join broadcasts") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+    // q142/q144's candidate joins are c_id-equi (bucket-bounded) and
+    // q145's all-pairs arm is a declared broadcast baseline — all three
+    // legitimately carry the 16-row centroid BNLJ from probe ranking,
+    // so the guard here is the stronger degradation (CartesianProduct:
+    // both sides shuffled to every pairing — never legitimate).
+    val r10 = Seq("q140_ivf_dv_search", "q142_semdedup", "q143_dsir_weights",
+      "q144_semantic_contamination", "q145_semcon_recall", "q141_bloom_append",
+      "q139_stats_append")
+    val cartesian = r10.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+      if (plan.collect { case c: CartesianProductExec => c }.nonEmpty) Some(name)
+      else None
+    }
+    assert(cartesian.isEmpty, s"cartesian product in: ${cartesian.mkString(", ")}")
+    // q143's scoring join must stay a broadcast hash join on the
+    // 1024-row model — a sort-merge regression would shuffle the whole
+    // exploded token stream on the bucket key
+    val q143 = SparkEntry.queries("q143_dsir_weights")(spark, sfDir)
+      .queryExecution.sparkPlan
+    assert(q143.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "expected q143's model join to be a broadcast hash join")
+  }
+
   test("fact-to-dim joins broadcast the dim side") {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     // factWithTahap is memoized+persisted, so its visible plan is an
