@@ -120,8 +120,7 @@ object DataSkipping {
     // would append rows whose min_*/max_* read back NULL against the
     // base parts' schema, and prunedFiles drops NULL-stats rows — data
     // files silently vanishing from pruned reads. Refuse instead.
-    val existing = manifest.columns
-      .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSet
+    val existing = statsColsOf(manifest.columns).toSet
     require(existing == cols.toSet,
       s"stats manifest under $tableDir indexes ${existing.toSeq.sorted.mkString(", ")}, " +
         s"not ${cols.sorted.mkString(", ")} — one column set per manifest")
@@ -132,6 +131,14 @@ object DataSkipping {
       statsRowsFor(freshFilesFrame(spark, tableDir, fresh), tableDir, cols)
         .write.mode("append").parquet(s"$tableDir/_idx/stats")
   }
+
+  /** The stats columns a manifest indexes, recovered from its own
+    * min_* schema — THE definition, shared with
+    * [[StarBuilder.compactVersioned]]'s regeneration so the append
+    * guard and the repack can never disagree on what a manifest
+    * covers. */
+  private[etl] def statsColsOf(manifestColumns: Seq[String]): Seq[String] =
+    manifestColumns.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
 
   /** The manifest as a DataFrame; loud failure when absent (a scan that
     * silently fell back to reading everything would hide a lost
@@ -197,9 +204,24 @@ object DataSkipping {
     * file (the sparse encoding of an m-bit filter — exact same
     * membership semantics, parquet-friendly). One aggregation job:
     * explode to (file, pos), distinct, collect per file. */
-  def writeBloom(spark: SparkSession, tableDir: String, keyCol: String): Unit =
-    bloomRowsFor(spark.read.parquet(tableDir), tableDir, keyCol)
+  def writeBloom(spark: SparkSession, tableDir: String, keyCol: String): Unit = {
+    val df = spark.read.parquet(tableDir)
+    requireStringKey(df, tableDir, keyCol)
+    bloomRowsFor(df, tableDir, keyCol)
       .write.mode("overwrite").parquet(s"$tableDir/_idx/bloom")
+  }
+
+  /** The bloom key must be STRING: [[bloomCandidateFiles]] probes are
+    * strings, and xxhash64 is type-sensitive — a numeric key (e.g. an
+    * int-inferred partition value) would hash differently on the build
+    * side than every probe, making every lookup a silent false
+    * negative. Refused loudly instead (the key_col-pin rule); cast or
+    * format the key into a string column first. */
+  private def requireStringKey(df: DataFrame, tableDir: String, keyCol: String): Unit =
+    require(df.schema(keyCol).dataType == org.apache.spark.sql.types.StringType,
+      s"bloom key $keyCol under $tableDir is ${df.schema(keyCol).dataType.simpleString}, " +
+        "not string — probes hash strings, so a non-string key would " +
+        "false-negative on every lookup; cast/format the key to string first")
 
   /** One sidecar row per data file of `df` — THE bloom-manifest shape,
     * shared by [[writeBloom]] and [[appendBloom]] (the
@@ -231,9 +253,12 @@ object DataSkipping {
         s"not $keyCol — one key per sidecar")
     val covered = manifest.select("file").collect().map(_.getString(0)).toSet
     val fresh = listDataFiles(tableDir).filterNot(covered)
-    if (fresh.nonEmpty)
-      bloomRowsFor(freshFilesFrame(spark, tableDir, fresh), tableDir, keyCol)
+    if (fresh.nonEmpty) {
+      val df = freshFilesFrame(spark, tableDir, fresh)
+      requireStringKey(df, tableDir, keyCol)
+      bloomRowsFor(df, tableDir, keyCol)
         .write.mode("append").parquet(s"$tableDir/_idx/bloom")
+    }
   }
 
   /** The files a point-lookup on `keys` must read: a file is a

@@ -505,8 +505,8 @@ object StarBuilder {
       // stats), never a mix.
       val srcStats = new java.io.File(t, "_idx/stats")
       if (srcStats.isDirectory) {
-        val cols = spark.read.parquet(srcStats.toString).columns
-          .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
+        val cols = DataSkipping.statsColsOf(
+          spark.read.parquet(srcStats.toString).columns.toIndexedSeq)
         DataSkipping.writeStats(spark, new java.io.File(txn, t.getName).toString, cols)
       }
       // the bloom sidecar addresses files by name too; its key column is

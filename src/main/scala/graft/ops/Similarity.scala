@@ -203,12 +203,22 @@ object Similarity {
   /** Anti-join `rows` against the `_dv/` sidecar if one exists — the
     * serve-side half of the deletion-vector contract, applied BEFORE
     * any top-k window so surviving ranks equal a
-    * rebuild-without-the-ids. The sidecar is kilobytes: broadcast. */
+    * rebuild-without-the-ids. The sidecar is kilobytes: broadcast.
+    * Reads the COMMITTED part files by explicit list, not the
+    * directory: a concurrent first-ever append creates `_dv/` (holding
+    * only `_temporary`) before any footer commits, and a directory
+    * read would fail schema inference in exactly the window the
+    * append-only design exists to keep safe. A part file committed
+    * between the list and the read is simply not seen yet —
+    * one-delete-stale, the documented freshness bound. */
   private def dvAntiJoin(s: SparkSession, index: String, rows: DataFrame): DataFrame = {
     val dv = new java.io.File(s"$index/_dv")
-    if (dv.isDirectory)
-      rows.join(broadcast(s.read.parquet(dv.toString)), Seq("vec_id"), "left_anti")
-    else rows
+    val parts = Option(dv.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (parts.isEmpty) rows
+    else rows.join(
+      broadcast(s.read.parquet(parts.map(_.toString).toIndexedSeq: _*)),
+      Seq("vec_id"), "left_anti")
   }
 
   /** Soft-delete vectors from a persisted IVF index — [[deletePqVectors]]'s
@@ -911,12 +921,6 @@ object Similarity {
     * book (the FAISS `train`-then-`add` lifecycle). */
   def writePqIndex(s: SparkSession, d: String, out: String,
       rowFilter: Column = lit(true), train: Boolean = false): Unit = {
-    // a REBUILD starts from a clean slate: whatever the previous index
-    // generation soft-deleted is simply not re-added by the caller's
-    // rowFilter — carrying the old sidecar forward would double-apply
-    // it. Cleared FIRST: a crash mid-rebuild must leave a loudly broken
-    // index, never fresh codes silently suppressed by a stale sidecar.
-    graft.etl.Compact.deleteRecursively(new java.io.File(s"$out/_dv"))
     val all = vecs(s, d)
     val cb =
       if (train)
@@ -930,6 +934,20 @@ object Similarity {
     seedCents(all).coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
     pqIndexRows(s, d, cb, seedCents(all), rowFilter)
       .write.mode("overwrite").partitionBy("c_id").parquet(s"$out/codes")
+    // a REBUILD starts from a clean slate: whatever the previous index
+    // generation soft-deleted is simply not re-added by the caller's
+    // rowFilter — carrying the old sidecar forward would double-apply
+    // it. Cleared LAST, deliberately: an in-place rebuild of three
+    // artifact dirs is not atomic, so a mid-rebuild crash leaves SOME
+    // bad window under any ordering — clearing first would leave the
+    // intact OLD index serving with no sidecar (silent RESURRECTION of
+    // erased vectors, the one failure an erasure mechanism must not
+    // have), while clearing last leaves at worst a tiny window where a
+    // completed rebuild still carries the stale sidecar, whose effect
+    // is conservative over-suppression until the operator's retry.
+    // (The rebuild itself assumes exclusive ownership — the codes
+    // overwrite already breaks concurrent searches regardless.)
+    graft.etl.Compact.deleteRecursively(new java.io.File(s"$out/_dv"))
   }
 
   /** Soft-delete vectors from a persisted PQ index — the erasure path
