@@ -669,19 +669,24 @@ object TextStats {
     * planning-sized collect, feature-space- not corpus-sized — then
     * map-side scoring under the broadcast model; per-doc sums shuffle
     * on doc_id only. */
-  lazy val q143_dsir_weights: Q = (s, d) => {
-    val tok = docShingles(s, d)
+  lazy val q143_dsir_weights: Q = (s, d) =>
+    dsirScore(s, docShingles(s, d)
       .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
-      .withColumn("b", wordBucket(col("word")))
-    // ONE model-building job computes both distributions — per bucket,
-    // the source count and the target (English) count as a conditional
-    // sum — and lands the 1024-row table driver-side, where the two
-    // totals fold for free; the model re-enters the scoring pass as a
-    // broadcast literal frame. Two corpus scans total (build + score)
-    // where separate src/tgt aggregations plus two total actions cost
-    // four. A bucket with t_cnt = 0 IS target-OOV (charged the ceiling,
-    // the q134 rule); a target-free corpus degrades to all-OOV zero
-    // charges since tTot = 0.
+      .withColumn("b", wordBucket(col("word"))))
+
+  /** The DSIR scoring engine shared by q143 (unigram features) and
+    * q146 (bigram features): given a (doc_id, lang, b) hashed-feature
+    * stream, ONE model-building job computes both distributions — per
+    * bucket, the source count and the target (English) count as a
+    * conditional sum — and lands the feature-space-sized table
+    * driver-side, where the two totals fold for free; the model
+    * re-enters the scoring pass as a broadcast literal frame. Two
+    * corpus scans total (build + score) where separate src/tgt
+    * aggregations plus two total actions cost four. A bucket with
+    * t_cnt = 0 IS target-OOV (charged the ceiling, the q134 rule); a
+    * target-free corpus degrades to all-OOV zero charges since
+    * tTot = 0. */
+  private def dsirScore(s: SparkSession, tok: DataFrame): DataFrame = {
     val model = tok.groupBy("b")
       .agg(count(lit(1)).as("s_cnt"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_cnt"))
@@ -702,6 +707,32 @@ object TextStats {
       .withColumn("mean_w",
         round2(col("dsir_sum").cast("double") / col("n_tokens").cast("double")))
       .orderBy("doc_id")
+  }
+
+  /** q146 bigram feature space: 4096 buckets (bigrams are sparser per
+    * bucket than unigrams; the wider table is still broadcast-tiny). */
+  private val dsirBigramBuckets = 4096L
+
+  /** q146: DSIR importance weights over hashed BIGRAM features — the
+    * paper's actual feature space (hashed n-grams capture local word
+    * order a bag of unigrams cannot: "bank of the river" vs financial
+    * text score apart even on shared vocabulary). Adjacent word pairs
+    * join with a single space, hash into 4096 buckets, and run the
+    * exact q143 scoring engine; n_tokens here counts bigrams
+    * (len(words) − 1), and documents under two words carry no feature
+    * and drop out, the q134 empty-explode convention. Comparing q143
+    * and q146 per doc is the practical feature-ablation view an
+    * operator reads before committing a resampling run. */
+  lazy val q146_dsir_bigram: Q = (s, d) => {
+    val n = size(col("words"))
+    val bigrams = zip_with(
+      slice(col("words"), lit(1), greatest(n - 1, lit(0))),
+      slice(col("words"), lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    dsirScore(s, docShingles(s, d)
+      .select(col("doc_id"), col("lang"), explode(bigrams).as("word"))
+      .withColumn("b", pmod(conv(substring(md5(col("word")), 1, 4), 16, 10)
+        .cast("long"), lit(dsirBigramBuckets))))
   }
 
   /** The q136 bucket ladder: pad-to boundaries in tokens; documents
@@ -812,6 +843,7 @@ object TextStats {
     "q106_bpe_heldout" -> q106_bpe_heldout,
     "q134_surprisal" -> q134_surprisal,
     "q143_dsir_weights" -> q143_dsir_weights,
+    "q146_dsir_bigram" -> q146_dsir_bigram,
     "q136_length_buckets" -> q136_length_buckets,
     "q137_textrank" -> q137_textrank,
     "q138_bpe_batched" -> q138_bpe_batched)
@@ -1002,6 +1034,33 @@ object TextStats {
          |  SELECT doc_id, lang,
          |         CAST('0x' || substr(md5(word), 1, 4) AS BIGINT) % $dsirBuckets AS b
          |  FROM (SELECT doc_id, lang, unnest(words) AS word FROM docs)),
+         |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS t_cnt FROM tok
+         |        WHERE lang = 'en' GROUP BY b),
+         |src AS (SELECT b, CAST(count(*) AS BIGINT) AS s_cnt FROM tok GROUP BY b),
+         |tt AS (SELECT CAST(coalesce(sum(t_cnt), 0) AS BIGINT) AS t FROM tgt),
+         |st AS (SELECT CAST(coalesce(sum(s_cnt), 0) AS BIGINT) AS t FROM src),
+         |scored AS (
+         |  SELECT doc_id,
+         |         (st.t // s_cnt) -
+         |           (CASE WHEN t_cnt IS NULL THEN tt.t ELSE tt.t // t_cnt END) AS w,
+         |         CASE WHEN t_cnt IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM tok JOIN src USING (b) LEFT JOIN tgt USING (b), tt, st)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(oov) AS BIGINT) AS n_oov_tgt,
+         |       CAST(sum(w) AS BIGINT) AS dsir_sum,
+         |       ${round2Sql("CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+         |         AS mean_w
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // the bigram twin: adjacent pairs joined with one space, 4096
+    // buckets, otherwise the identical scoring chain
+    "q146_dsir_bigram" -> withDocs(
+      s""", tok AS (
+         |  SELECT doc_id, lang,
+         |         CAST('0x' || substr(md5(bg), 1, 4) AS BIGINT) % $dsirBigramBuckets AS b
+         |  FROM (SELECT doc_id, lang,
+         |               unnest(list_transform(range(1, len(words)),
+         |                 i -> words[i] || ' ' || words[i + 1])) AS bg
+         |        FROM docs)),
          |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS t_cnt FROM tok
          |        WHERE lang = 'en' GROUP BY b),
          |src AS (SELECT b, CAST(count(*) AS BIGINT) AS s_cnt FROM tok GROUP BY b),
