@@ -549,16 +549,22 @@ object StarBuilder {
   /** Read `table` from the snapshot `version` (or the latest committed
     * one). Fails loudly on an uncommitted/unknown version — an aborted
     * write's orphan directory is not data. */
+  /** `mergeSchema = true` reads the UNION of all data files' schemas
+    * (nulls where a file predates a column) — required after an
+    * [[appendTableVersioned]] schema evolution, where old files keep
+    * their narrow footer; the default single-footer read stays the
+    * cheap path for tables whose schema never widened. */
   def readAt(spark: SparkSession, warehouse: String, table: String,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None, mergeSchema: Boolean = false): DataFrame = {
     val vs = committedVersions(warehouse)
     require(vs.nonEmpty, s"no committed version in $warehouse")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v),
       s"version $v is not committed in $warehouse (committed: ${vs.mkString(", ")})")
     val root = new java.io.File(s"$warehouse/v=$v")
-    if (dvDir(root, table).isDirectory) applyDv(spark, root, table)
-    else spark.read.parquet(new java.io.File(root, table).toString)
+    if (dvDir(root, table).isDirectory) applyDv(spark, root, table, mergeSchema)
+    else spark.read.option("mergeSchema", mergeSchema)
+      .parquet(new java.io.File(root, table).toString)
   }
 
   // ---------------------------------------------------------------------------
@@ -582,8 +588,9 @@ object StarBuilder {
     * is exactly the row address an Iceberg v2 position-delete / Delta
     * deletion vector records. */
   private def withRowId(spark: SparkSession, versionRoot: java.io.File,
-      table: String): DataFrame =
-    spark.read.parquet(new java.io.File(versionRoot, table).toString).select(col("*"),
+      table: String, mergeSchema: Boolean = false): DataFrame =
+    spark.read.option("mergeSchema", mergeSchema)
+      .parquet(new java.io.File(versionRoot, table).toString).select(col("*"),
       regexp_extract(col("_metadata.file_path"),
         "/v=[0-9]+/" + java.util.regex.Pattern.quote(table) + "/(.*)$", 1).as("_file"),
       col("_metadata.row_index").as("_pos"))
@@ -597,8 +604,8 @@ object StarBuilder {
     * anti-join is HINTED broadcast (a session with auto-broadcast off
     * must not shuffle the base on (_file, _pos)). */
   private def liveWithRowId(spark: SparkSession, versionRoot: java.io.File,
-      table: String): DataFrame = {
-    val base = withRowId(spark, versionRoot, table)
+      table: String, mergeSchema: Boolean = false): DataFrame = {
+    val base = withRowId(spark, versionRoot, table, mergeSchema)
     if (!dvDir(versionRoot, table).isDirectory) base
     else {
       val dv = spark.read.parquet(dvDir(versionRoot, table).toString)
@@ -608,8 +615,8 @@ object StarBuilder {
   }
 
   private def applyDv(spark: SparkSession, versionRoot: java.io.File,
-      table: String): DataFrame =
-    liveWithRowId(spark, versionRoot, table).drop("_file", "_pos")
+      table: String, mergeSchema: Boolean = false): DataFrame =
+    liveWithRowId(spark, versionRoot, table, mergeSchema).drop("_file", "_pos")
 
   /** Row-level DELETE via deletion vectors — the Iceberg-v2/Delta-DV
     * write path: rows matching `predicate` are soft-deleted by
@@ -682,6 +689,43 @@ object StarBuilder {
       from: Long): Long = {
     val txn = stageDir(warehouse)
     df.write.mode("overwrite").parquet(new java.io.File(txn, table).toString)
+    publishSnapshotExactly(warehouse, txn, from + 1)
+  }
+
+  /** Append `df`'s rows to `table` as a new snapshot derived from
+    * version `from`: the prior snapshot is byte-copied (base data files
+    * never rewritten — the [[deleteWhere]]/[[appendTableVersionedStats]]
+    * stance) and `df` lands as ADDITIONAL files in the table directory,
+    * committed as exactly `from + 1` (lost-update protection, like every
+    * read-modify-write writer). `df`'s schema may be a SUPERSET of the
+    * table's — schema evolution by append, the Delta `mergeSchema`
+    * write: old files keep their narrow footer untouched, new files
+    * carry the added columns, and a merged read ([[readAt]] with
+    * `mergeSchema = true`) surfaces the union with nulls where a file
+    * predates a column. Existing columns must keep their exact type —
+    * dropping or retyping a column is a REWRITE, not an append, and is
+    * rejected here (silent type widening would poison every merged
+    * read downstream). At 100 TB this is the only affordable way to
+    * add a derived column going forward: terabytes of history stay
+    * byte-identical, the new column exists only where new data carries
+    * it, and a backfill is an explicit separate rewrite. */
+  def appendTableVersioned(df: DataFrame, warehouse: String, table: String,
+      from: Long): Long = {
+    val srcRoot = new java.io.File(s"$warehouse/v=$from")
+    require(new java.io.File(srcRoot, table).isDirectory,
+      s"table $table is not in v=$from of $warehouse")
+    // merged read: after a prior evolution the table's files carry mixed
+    // footers, and the superset check must hold against their UNION
+    val existing = df.sparkSession.read.option("mergeSchema", true)
+      .parquet(new java.io.File(srcRoot, table).toString).schema
+    val incoming = df.schema.map(f => f.name -> f.dataType).toMap
+    val broken = existing.filterNot(f => incoming.get(f.name).contains(f.dataType))
+    require(broken.isEmpty,
+      s"appendTableVersioned to $table: incoming schema must be a superset " +
+        s"with identical types; missing/retyped: ${broken.map(_.name).mkString(", ")}")
+    val txn = stageDir(warehouse)
+    copyTree(srcRoot, txn)
+    df.write.mode("append").parquet(new java.io.File(txn, table).toString)
     publishSnapshotExactly(warehouse, txn, from + 1)
   }
 
@@ -845,6 +889,64 @@ object StarBuilder {
       .orderBy("student")
   }
 
+  /** q149: SCHEMA EVOLUTION through the versioned log — the
+    * add-a-column lifecycle every long-lived table eventually needs:
+    * v1 commits the lower-student-half summary under the ORIGINAL
+    * 3-column schema; v2 arrives via [[appendTableVersioned]] carrying
+    * the upper half WITH a new `gpa` column (v1's files byte-copied,
+    * never rewritten — the spec pins md5 identity); the gate reads
+    * latest with `mergeSchema = true` and must see the union schema
+    * with `gpa` null exactly on pre-evolution rows. The oracle
+    * recomputes the same frame from the fact table with a CASE-null on
+    * the old half, so a read that lost the appended files, perturbed a
+    * base row, or backfilled where it shouldn't fails the hash. Build
+    * is session-invariant (memoized); reps pay the merged read. */
+  val q149_schema_evolution: Q = (s, d) => {
+    val wh = scratchDir(s, d, "evolve")
+    val f = Star.fact(s, d)
+    val r = f.agg(min("student"), max("student")).head()
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    graft.BuildPhase.timed {
+      graft.SessionMemo.once(s, d, "evolve:wh") {
+        val v1 = writeTableVersioned(
+          f.where(col("student") <= mid).groupBy("student")
+            .agg(count(lit(1)).as("n_rows"), sum("sks").as("total_sks")),
+          wh, "student_summary")
+        appendTableVersioned(
+          f.where(col("student") > mid).groupBy("student")
+            .agg(count(lit(1)).as("n_rows"), sum("sks").as("total_sks"),
+              Star.round2(sum(col("sks") * col("bobot")) / sum(col("sks"))).as("gpa")),
+          wh, "student_summary", from = v1)
+        ()
+      }
+    }
+    readAt(s, wh, "student_summary", mergeSchema = true)
+      .select("student", "n_rows", "total_sks", "gpa")
+      .orderBy("student")
+  }
+
+  /** q150: MERGE INTO over the student summary — all four branches of
+    * [[mergeInto]] live on real data: base = pre-latest-year summaries
+    * of students in id-hash buckets < 90 (so ~10% of the population is
+    * absent from the base and must INSERT), source = the latest year's
+    * summaries (matched students UPDATE to the source row), and
+    * matched source rows under 60 total SKS DELETE (the
+    * WHEN MATCHED AND cond THEN DELETE clause; unmatched small rows
+    * still insert — the ANSI rule the oracle pins). Students with no
+    * latest-year activity pass through untouched. The oracle restates
+    * the full-outer classification directly, so any branch leaking
+    * into another fails the hash. */
+  val q150_merge_upsert: Q = (s, d) => {
+    val f = Star.fact(s, d)
+    val maxY = f.agg(max("tahun")).head().getLong(0)
+    val base = studentSummary(f.where(col("tahun") < maxY &&
+      graft.ops.TextCore.idBucket(col("student")) < 90))
+    val src = studentSummary(f.where(col("tahun") === maxY))
+    mergeInto(base, src, Seq("student"),
+      deleteWhen = Some(col("total_sks") < 60))
+      .orderBy("student")
+  }
+
   /** Row-level diff of two frames sharing a key — the change-data-feed
     * primitive (Delta CDF's insert/delete/update_preimage+postimage,
     * collapsed to one row per changed key with `old_*`/`new_*` columns):
@@ -940,6 +1042,57 @@ object StarBuilder {
     val upserts = aligned(feed.where(col("change_type") =!= "delete"),
       c => feedVals.contains(c), c => col(s"new_$c"))
     kept.unionByName(upserts)
+  }
+
+  /** MERGE INTO — the general upsert over key-matched frames (Delta /
+    * Iceberg / ANSI MERGE collapsed to its data-pipeline core):
+    *   - key in both        → source values (WHEN MATCHED UPDATE),
+    *     unless `deleteWhen` holds on the SOURCE row → row dropped
+    *     (WHEN MATCHED AND cond THEN DELETE),
+    *   - key only in source → inserted (WHEN NOT MATCHED INSERT — the
+    *     delete clause never applies to unmatched rows, the ANSI rule),
+    *   - key only in base   → kept untouched.
+    * Columns are the union of both sides' value columns with typed
+    * nulls for an absent side — the [[tableDiff]]/[[applyChanges]]
+    * schema-evolution stance; a column the SOURCE lacks keeps its base
+    * value on matched rows (Delta's `UPDATE SET *` rule — the update
+    * writes the columns the source carries, not nulls over the rest).
+    * `deleteWhen` is evaluated against the source row BEFORE the join,
+    * so it can only reference source columns; matched-row conditions
+    * over base columns belong to a diff-then-apply flow (q119/q120).
+    *
+    * Scale shape: ONE full-outer shuffle join on the keys — the
+    * irreducible MERGE wire cost when the source is itself table-sized
+    * (a reprocessed partition, a backfill). A steady-state flow with a
+    * delta-sized source should take [[tableDiff]]→[[applyChanges]]
+    * instead: there the base never shuffles and the feed broadcasts. */
+  def mergeInto(base: DataFrame, source: DataFrame, keys: Seq[String],
+      deleteWhen: Option[Column] = None): DataFrame = {
+    Seq(("base", base), ("source", source)).foreach { case (side, df) =>
+      require(keys.forall(df.columns.contains),
+        s"mergeInto: $side side is missing key columns " +
+          s"(${keys.filterNot(df.columns.contains).mkString(", ")})")
+    }
+    val vals = (base.columns ++ source.columns).distinct.filterNot(keys.contains).toSeq
+    val types = (base.schema ++ source.schema).map(f => f.name -> f.dataType).toMap
+    def side(df: DataFrame, tag: String, extra: Seq[Column]): DataFrame =
+      df.select(keys.map(col) ++ vals.map(c =>
+        (if (df.columns.contains(c)) col(c) else lit(null).cast(types(c)))
+          .as(s"${tag}_$c")) ++ extra: _*)
+    val b = side(base, "b", Seq(lit(true).as("_b_present")))
+    val sr = side(
+      source.withColumn("_merge_del",
+        coalesce(deleteWhen.getOrElse(lit(false)), lit(false))),
+      "s", Seq(lit(true).as("_s_present"), col("_merge_del")))
+    val srcHas = source.columns.toSet
+    b.join(sr, keys, "full_outer")
+      .where(!(col("_b_present").isNotNull && col("_s_present").isNotNull &&
+        col("_merge_del")))
+      .select(keys.map(col) ++ vals.map { c =>
+        (if (srcHas(c))
+          when(col("_s_present").isNotNull, col(s"s_$c")).otherwise(col(s"b_$c"))
+        else col(s"b_$c")).as(c)
+      }: _*)
   }
 
   /** The per-student summary under CDC in q119: mergeable partials
@@ -1324,7 +1477,9 @@ object StarBuilder {
     "q130_cdc_chain" -> q130_cdc_chain,
     "q131_stats_prune" -> q131_stats_prune,
     "q132_ivm_maintain" -> q132_ivm_maintain,
-    "q139_stats_append" -> q139_stats_append)
+    "q139_stats_append" -> q139_stats_append,
+    "q149_schema_evolution" -> q149_schema_evolution,
+    "q150_merge_upsert" -> q150_merge_upsert)
 
   /** q49's per-table-count oracle, shared VERBATIM by q115: the
     * versioned lifecycle (write → compact → vacuum → readAt) must
@@ -1432,5 +1587,40 @@ object StarBuilder {
          |       sum(sks*bobot) AS total_w,
          |       ${Star.round2Sql("sum(sks*bobot) / sum(sks)")} AS gpa
          |FROM fact WHERE tahun > (SELECT miny FROM yrs)
-         |GROUP BY student ORDER BY student""".stripMargin))
+         |GROUP BY student ORDER BY student""".stripMargin),
+    // the evolved table recomputed directly: gpa exists only where a
+    // post-evolution file would carry it (the upper student half) —
+    // a backfilled or lost-append read changes rows and fails the hash
+    "q149_schema_evolution" -> withFact(
+      s""", b AS (SELECT min(student) + (max(student) - min(student)) // 2 AS mid
+         |        FROM fact)
+         |SELECT student, CAST(count(*) AS BIGINT) AS n_rows, sum(sks) AS total_sks,
+         |       CASE WHEN student <= (SELECT mid FROM b) THEN NULL
+         |            ELSE ${Star.round2Sql("sum(sks*bobot) / sum(sks)")} END AS gpa
+         |FROM fact GROUP BY student ORDER BY student""".stripMargin),
+    // the MERGE's full-outer classification restated directly: source
+    // row wins where matched (unless the small-sks delete fires), base
+    // row survives alone, source-only rows insert regardless of size
+    "q150_merge_upsert" -> withFact(
+      s""", yrs AS (SELECT max(tahun) AS maxy FROM fact),
+         |b AS (
+         |  SELECT student, CAST(count(*) AS BIGINT) AS n_rows, sum(sks) AS total_sks,
+         |         ${Star.round2Sql("sum(sks*bobot) / sum(sks)")} AS gpa
+         |  FROM fact WHERE tahun < (SELECT maxy FROM yrs)
+         |    AND ${graft.ops.TextCore.idBucketSql("student")} < 90
+         |  GROUP BY student),
+         |sr AS (
+         |  SELECT student, CAST(count(*) AS BIGINT) AS n_rows, sum(sks) AS total_sks,
+         |         ${Star.round2Sql("sum(sks*bobot) / sum(sks)")} AS gpa
+         |  FROM fact WHERE tahun = (SELECT maxy FROM yrs)
+         |  GROUP BY student)
+         |SELECT student, n_rows, total_sks, gpa FROM (
+         |  SELECT coalesce(sr.student, b.student) AS student,
+         |         CASE WHEN sr.student IS NOT NULL THEN sr.n_rows ELSE b.n_rows END AS n_rows,
+         |         CASE WHEN sr.student IS NOT NULL THEN sr.total_sks ELSE b.total_sks END AS total_sks,
+         |         CASE WHEN sr.student IS NOT NULL THEN sr.gpa ELSE b.gpa END AS gpa,
+         |         (sr.student IS NOT NULL AND b.student IS NOT NULL
+         |          AND sr.total_sks < 60) AS del
+         |  FROM b FULL OUTER JOIN sr ON b.student = sr.student)
+         |WHERE NOT del ORDER BY student""".stripMargin))
 }

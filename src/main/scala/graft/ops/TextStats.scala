@@ -735,6 +735,91 @@ object TextStats {
         .cast("long"), lit(dsirBigramBuckets))))
   }
 
+  /** q147 Count-Min geometry: 4 independent hash rows × 256 buckets —
+    * 1 KiB of counters total, the point of the sketch. Row r hashes a
+    * word through the md5 family with the row index as a seed prefix
+    * (`"r:word"`), the [[wordBucket]] text-to-integer math, so the four
+    * rows are independent and both engines compute identical buckets. */
+  private val cmsRows = 4
+  private val cmsWidth = 256L
+  private def cmsBucket(row: Int, word: Column): Column =
+    pmod(conv(substring(md5(concat(lit(s"$row:"), word)), 1, 4), 16, 10)
+      .cast("long"), lit(cmsWidth))
+
+  /** q147: Count-Min Sketch heavy-hitter audit (Cormode & Muthukrishnan,
+    * J. Algorithms 2005) — the mergeable frequency sketch a 100 TB
+    * pipeline keeps INSTEAD of an exact term table: each token
+    * increments one counter per hash row, a point estimate is the MIN
+    * over its rows' counters (never an undercount; collisions only
+    * inflate). The query builds the 4×256 sketch over the corpus in one
+    * narrow aggregation (map-side combine onto ≤1024 cells — the
+    * counters, not the corpus, cross the wire), takes the exact top-20
+    * terms (count desc, word asc — the deterministic tie), and reports
+    * per term the exact count, the CMS estimate through the broadcast
+    * sketch, and the collision overcount. The exact side exists to
+    * AUDIT the sketch's error on the heavy tail — at scale the exact
+    * table is the thing you drop, and this query is the calibration an
+    * operator runs on a sample before trusting the sketch's estimates.
+    * Every value is an integer; both engines hash with the same md5
+    * prefix math, so the gate pins estimate = oracle estimate exactly. */
+  lazy val q147_cms_topk: Q = (s, d) => {
+    val tok = docShingles(s, d).select(explode(col("words")).as("word"))
+    def buckets(word: Column): Column =
+      array((0 until cmsRows).map(r => cmsBucket(r, word)): _*)
+    val cells = tok.select(posexplode(buckets(col("word"))).as(Seq("r", "b")))
+      .groupBy("r", "b").agg(count(lit(1)).as("cell_cnt"))
+    val top = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(20)
+    top.select(col("word"), col("cnt"),
+        posexplode(buckets(col("word"))).as(Seq("r", "b")))
+      .join(broadcast(cells), Seq("r", "b"))
+      .groupBy("word", "cnt")
+      .agg(min("cell_cnt").as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
+  /** q148: trained Naive-Bayes language classifier — the learned rung
+    * above q40's stopword heuristic: per-class unigram models fitted on
+    * the TRAIN split (q70's deterministic id-hash buckets < 80) over the
+    * q143 1024-bucket hashed feature space, then every document scored
+    * against every class and assigned the argmin total surprisal. Per
+    * token the class charge is the INTEGER inverse relative frequency
+    * ⌊T_c / cnt_{c,b}⌋ (q134's determinism ground — a real −log p would
+    * hang the gate on libm's last ulp; the integer form preserves the
+    * ranking), with class-OOV buckets charged the ceiling T_c. Charges
+    * are precomputed driver-side into a DENSE #classes×1024 literal
+    * frame (feature-space-sized, broadcast — the dsirScore collect
+    * pattern), so scoring is ONE broadcast join: each token fans out to
+    * #classes (b, class, charge) rows map-side, partial sums combine
+    * before the narrow (doc, class) shuffle, and the per-document argmin
+    * is a #classes-row window. The gate row is the confusion matrix
+    * (true lang × predicted lang × docs) over ALL docs — train rows
+    * included, the honest in-sample/out-sample contrast under one
+    * schema; ties break on class name asc in both engines. */
+  lazy val q148_nb_langid: Q = (s, d) => {
+    import s.implicits._
+    val tok = docShingles(s, d)
+      .select(col("doc_id"), col("lang"), explode(col("words")).as("word"))
+      .withColumn("b", wordBucket(col("word")))
+    val fitted = tok.where(idBucket(col("doc_id")) < 80)
+      .groupBy("lang", "b").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val totals = fitted.groupBy(_._1).map { case (c, rs) => c -> rs.map(_._3).sum }
+    val cnts = fitted.map { case (c, b, n) => (c, b) -> n }.toMap
+    val model = (for {
+      c <- totals.keys.toSeq.sorted; b <- 0L until dsirBuckets
+    } yield (c, b, cnts.get((c, b)).fold(totals(c))(totals(c) / _)))
+      .toDF("c", "b", "charge")
+    val w = Window.partitionBy("doc_id").orderBy(col("score").asc, col("c").asc)
+    tok.join(broadcast(model), Seq("b"))
+      .groupBy("doc_id", "lang", "c").agg(sum("charge").as("score"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .groupBy(col("lang"), col("c").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** The q136 bucket ladder: pad-to boundaries in tokens; documents
     * past the last boundary are TRUNCATED to it (the fixed-context
     * batching rule). Powers of two, the packing-friendly convention. */
@@ -846,7 +931,9 @@ object TextStats {
     "q146_dsir_bigram" -> q146_dsir_bigram,
     "q136_length_buckets" -> q136_length_buckets,
     "q137_textrank" -> q137_textrank,
-    "q138_bpe_batched" -> q138_bpe_batched)
+    "q138_bpe_batched" -> q138_bpe_batched,
+    "q147_cms_topk" -> q147_cms_topk,
+    "q148_nb_langid" -> q148_nb_langid)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -1051,6 +1138,55 @@ object TextStats {
          |       ${round2Sql("CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
          |         AS mean_w
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // the sketch cells, the exact top-20, and the min-over-rows probe
+    // restated directly — same md5 row-seed bucket math, same
+    // (cnt desc, word) tie at the limit boundary
+    "q147_cms_topk" -> withDocs(
+      s""", tok AS (SELECT unnest(words) AS word FROM docs),
+         |rows4 AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         |cells AS (
+         |  SELECT r,
+         |         CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || word), 1, 4)
+         |              AS BIGINT) % $cmsWidth AS b,
+         |         CAST(count(*) AS BIGINT) AS cell_cnt
+         |  FROM tok, rows4 GROUP BY 1, 2),
+         |top AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1
+         |  ORDER BY cnt DESC, word LIMIT 20),
+         |probes AS (
+         |  SELECT word, cnt, r,
+         |         CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || word), 1, 4)
+         |              AS BIGINT) % $cmsWidth AS b
+         |  FROM top, rows4)
+         |SELECT word, cnt, CAST(min(cell_cnt) AS BIGINT) AS cms_est,
+         |       CAST(min(cell_cnt) - cnt AS BIGINT) AS overcount
+         |FROM probes JOIN cells USING (r, b)
+         |GROUP BY word, cnt ORDER BY cnt DESC, word""".stripMargin),
+    // the per-class models as lazy CTEs (the Spark side precomputes the
+    // same integer charges driver-side), then the identical argmin chain
+    "q148_nb_langid" -> withDocs(
+      s""", tok AS (
+         |  SELECT doc_id, lang,
+         |         CAST('0x' || substr(md5(word), 1, 4) AS BIGINT) % $dsirBuckets AS b
+         |  FROM (SELECT doc_id, lang, unnest(words) AS word FROM docs)),
+         |model AS (
+         |  SELECT lang AS c, b, CAST(count(*) AS BIGINT) AS cnt FROM tok
+         |  WHERE ${idBucketSql("doc_id")} < 80 GROUP BY 1, 2),
+         |tot AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS t FROM model GROUP BY 1),
+         |scored AS (
+         |  SELECT tok.doc_id, tok.lang, tot.c,
+         |         CAST(sum(CASE WHEN model.cnt IS NULL THEN tot.t
+         |                       ELSE tot.t // model.cnt END) AS BIGINT) AS score
+         |  FROM tok CROSS JOIN tot
+         |  LEFT JOIN model ON model.c = tot.c AND model.b = tok.b
+         |  GROUP BY 1, 2, 3),
+         |pred AS (
+         |  SELECT lang, c AS pred_lang,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY score ASC, c ASC) AS rn
+         |  FROM scored)
+         |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     // the bigram twin: adjacent pairs joined with one space, 4096
     // buckets, otherwise the identical scoring chain
     "q146_dsir_bigram" -> withDocs(

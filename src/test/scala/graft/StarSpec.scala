@@ -529,4 +529,88 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
       StarBuilder.readAt(spark, wh, "fact_nilai_mk", Some(v1))
     }
   }
+
+  test("mergeInto: all four MERGE branches classify on one frame") {
+    import spark.implicits._
+    import graft.etl.StarBuilder.mergeInto
+    import org.apache.spark.sql.functions.col
+    val base = Seq((1L, 100.0), (2L, 200.0), (3L, 300.0)).toDF("k", "v")
+    val source = Seq(
+      (1L, 111.0), // matched, cond false → UPDATE to source value
+      (2L, 5.0),   // matched, cond true  → DELETE
+      (4L, 444.0), // unmatched           → INSERT
+      (5L, 7.0))   // unmatched, cond true → still INSERT (the ANSI rule)
+      .toDF("k", "v")
+    val got = mergeInto(base, source, Seq("k"), Some(col("v") < 50.0))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 111.0, 3L -> 300.0, 4L -> 444.0, 5L -> 7.0))
+    // no delete clause → the matched small row updates instead
+    val noDel = mergeInto(base, source, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(noDel(2L) == 5.0 && noDel.size == 5)
+    // empty source → base passes through untouched
+    val empty = mergeInto(base, source.where(col("k") < 0), Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(empty == Map(1L -> 100.0, 2L -> 200.0, 3L -> 300.0))
+  }
+
+  test("mergeInto schema evolution: UPDATE SET * keeps columns the source lacks") {
+    import spark.implicits._
+    import graft.etl.StarBuilder.mergeInto
+    // base carries `b` (absent in source); source carries `c` (absent in
+    // base): matched rows take source's a and c but KEEP base's b (the
+    // Delta UPDATE SET * rule); inserts null the base-only column;
+    // untouched base rows null the source-only column
+    val base = Seq((1L, "a1", "b1"), (3L, "a3", "b3")).toDF("k", "a", "b")
+    val source = Seq((1L, "A1", "c1"), (4L, "A4", "c4")).toDF("k", "a", "c")
+    val got = mergeInto(base, source, Seq("k"))
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[String]("a"), Option(r.getAs[String]("b")),
+          Option(r.getAs[String]("c"))))).toMap
+    assert(got == Map(
+      1L -> (("A1", Some("b1"), Some("c1"))),
+      3L -> (("a3", Some("b3"), None)),
+      4L -> (("A4", None, Some("c4")))))
+  }
+
+  test("appendTableVersioned: schema evolves by append; base files stay byte-identical") {
+    import spark.implicits._
+    import graft.etl.StarBuilder
+    val wh = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    val v1 = StarBuilder.writeTableVersioned(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "n"), wh, "t")
+    def md5s(v: Long): Map[String, String] =
+      new java.io.File(s"$wh/v=$v/t").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          f.getName -> java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+        }.toMap
+    val v1Files = md5s(v1)
+    val v2 = StarBuilder.appendTableVersioned(
+      Seq((3L, 30L, 3.5), (4L, 40L, 4.5)).toDF("k", "n", "extra"),
+      wh, "t", from = v1)
+    assert(v2 == v1 + 1)
+    // the copied base files are byte-identical; only new files appeared
+    val v2Files = md5s(v2)
+    assert(v1Files.toSet.subsetOf(v2Files.toSet))
+    assert(v2Files.size > v1Files.size)
+    assert(md5s(v1) == v1Files)
+    // the pinned old version still reads under its ORIGINAL schema
+    assert(StarBuilder.readAt(spark, wh, "t", Some(v1)).columns.toSeq == Seq("k", "n"))
+    // the merged read surfaces the union schema, nulls exactly where a
+    // file predates the column
+    val merged = StarBuilder.readAt(spark, wh, "t", mergeSchema = true)
+      .select("k", "n", "extra").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getAs[java.lang.Double]("extra")).map(_.doubleValue))).toSet
+    assert(merged == Set((1L, 10L, None), (2L, 20L, None),
+      (3L, 30L, Some(3.5)), (4L, 40L, Some(4.5))))
+    // dropping or retyping an existing column is a rewrite, not an append
+    val e = intercept[IllegalArgumentException] {
+      StarBuilder.appendTableVersioned(
+        Seq((5L, 5.0)).toDF("k", "n"), wh, "t", from = v2)
+    }
+    assert(e.getMessage.contains("superset"))
+  }
 }

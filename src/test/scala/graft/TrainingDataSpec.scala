@@ -377,4 +377,74 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
     // the hub word carries the most rank
     assert(got.head._1 == "b")
   }
+
+  test("q147: CMS estimates match an independent sketch recompute; never undercount") {
+    // 300 distinct words (word wNNN appears (NNN % 7) + 1 times) — wide
+    // enough that the 4×256 sketch rows genuinely share buckets, so the
+    // min-over-rows logic is exercised against REAL collisions. The
+    // reference sketch is recomputed here with java MessageDigest — an
+    // independent implementation of the same row-seeded md5 bucket math.
+    val words = (0 until 300).map(i => f"w$i%03d" -> ((i % 7) + 1L))
+    val text = words.flatMap { case (w, n) => Seq.fill(n.toInt)(w) }
+      .mkString(" ")
+    val dir = writeMiniDocs(Seq((0L, text)))
+    def bucket(r: Int, w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r:$w".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(2).map("%02x".format(_)).mkString, 16) % 256
+    }
+    val cells: Map[(Int, Long), Long] = (for {
+      (w, n) <- words; r <- 0 until 4
+    } yield (r, bucket(r, w)) -> n)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    // per-row collisions must actually occur for the test to mean much
+    assert(cells.size < 4 * 256 && cells.size > 0)
+    val top = words.sortBy { case (w, n) => (-n, w) }.take(20)
+    val expect = top.map { case (w, n) =>
+      val est = (0 until 4).map(r => cells((r, bucket(r, w)))).min
+      (w, n, est, est - n)
+    }
+    val got = TextStats.q147_cms_topk(spark, dir).collect().map(r =>
+      (r.getAs[String]("word"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("cms_est"), r.getAs[Long]("overcount")))
+    assert(got.toSeq == expect)
+    assert(got.forall { case (_, cnt, est, over) => est >= cnt && over == est - cnt })
+    // with 300 words in 256-wide rows, at least one heavy hitter should
+    // carry a genuine collision overcount (pigeonhole makes per-row
+    // collisions certain; this asserts the min didn't erase all of them
+    // by luck of the draw — a deterministic fact of this fixed corpus)
+    assert(got.exists(_._4 > 0))
+  }
+
+  test("q148: disjoint per-lang vocabularies classify perfectly; fit is train-split-only") {
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(2).map("%02x".format(_)).mkString, 16) % 100
+    }
+    val trainIds = (0L to 400L).filter(bucket(_) < 80).take(4)
+    val evalIds = (0L to 400L).filter(bucket(_) >= 80).take(2)
+    // two langs with DISJOINT vocabularies: every eval doc's words are
+    // OOV for the wrong class (ceiling charge) and cheap for its own —
+    // the argmin must put every doc on the diagonal
+    def text(l: String) = (1 to 6).map(i => s"$l$i").mkString(" ")
+    val docs =
+      trainIds.take(2).map(id => (id, text("aa"), "aa")) ++
+      trainIds.drop(2).map(id => (id, text("bb"), "bb")) ++
+      Seq((evalIds(0), text("aa"), "aa"), (evalIds(1), text("bb"), "bb"))
+    val dir = writeMiniDocsLang(docs)
+    val got = TextStats.q148_nb_langid(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("pred_lang")) ->
+        r.getAs[Long]("n_docs")).toMap
+    assert(got == Map(("aa", "aa") -> 3L, ("bb", "bb") -> 3L))
+    // and on the real corpus: every doc is scored exactly once, and the
+    // learned model beats the 1/#langs chance floor
+    val real = TextStats.q148_nb_langid(spark, "/root/testdata/sf0.001").collect()
+    val total = real.map(_.getAs[Long]("n_docs")).sum
+    val correct = real.filter(r => r.getAs[String]("lang") == r.getAs[String]("pred_lang"))
+      .map(_.getAs[Long]("n_docs")).sum
+    val langs = real.map(_.getAs[String]("lang")).distinct.length
+    assert(total == spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count())
+    assert(correct.toDouble / total > 1.0 / langs)
+  }
 }
