@@ -762,21 +762,61 @@ object TextStats {
     * operator runs on a sample before trusting the sketch's estimates.
     * Every value is an integer; both engines hash with the same md5
     * prefix math, so the gate pins estimate = oracle estimate exactly. */
-  lazy val q147_cms_topk: Q = (s, d) => {
-    val tok = docShingles(s, d).select(explode(col("words")).as("word"))
-    def buckets(word: Column): Column =
-      array((0 until cmsRows).map(r => cmsBucket(r, word)): _*)
-    val cells = tok.select(posexplode(buckets(col("word"))).as(Seq("r", "b")))
+  /** All [[cmsRows]] buckets of a word as one array (posexplode pairs
+    * each row index with its bucket). */
+  private def cmsBuckets(word: Column): Column =
+    array((0 until cmsRows).map(r => cmsBucket(r, word)): _*)
+
+  /** The sketch of a token stream: (row, bucket) → counter. ≤ 1024
+    * cells regardless of corpus size — map-side combine does the work. */
+  private def cmsCells(tok: DataFrame): DataFrame =
+    tok.select(posexplode(cmsBuckets(col("word"))).as(Seq("r", "b")))
       .groupBy("r", "b").agg(count(lit(1)).as("cell_cnt"))
-    val top = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("word")).limit(20)
-    top.select(col("word"), col("cnt"),
-        posexplode(buckets(col("word"))).as(Seq("r", "b")))
+
+  /** Serve (word, cnt) probes through a sketch: estimate = MIN over the
+    * word's per-row counters, plus the collision overcount. */
+  private def cmsServe(probes: DataFrame, cells: DataFrame): DataFrame =
+    probes.select(col("word"), col("cnt"),
+        posexplode(cmsBuckets(col("word"))).as(Seq("r", "b")))
       .join(broadcast(cells), Seq("r", "b"))
       .groupBy("word", "cnt")
       .agg(min("cell_cnt").as("cms_est"))
       .withColumn("overcount", col("cms_est") - col("cnt"))
       .orderBy(col("cnt").desc, col("word"))
+
+  lazy val q147_cms_topk: Q = (s, d) => {
+    val tok = docShingles(s, d).select(explode(col("words")).as("word"))
+    val top = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(20)
+    cmsServe(top, cmsCells(tok))
+  }
+
+  /** q151: the CMS MERGE LAW — the property that makes q147's sketch
+    * the 100 TB design: sketches of DISJOINT ingest batches merged by
+    * plain cell-wise addition serve exactly what a single-pass sketch
+    * over the union serves (counters are linear; min-over-rows commutes
+    * with nothing, so the merge must happen at the CELL level — merging
+    * estimates would be wrong, which is precisely what this gate would
+    * catch). Here the corpus splits on the q70 id-hash (buckets < 50 vs
+    * ≥ 50 — two ingest days), each half builds its own ≤1024-cell
+    * sketch without ever seeing the other's rows, the merge is a
+    * union + sum over (row, bucket), and the top-20 probes are served
+    * through the MERGED sketch. The oracle is q147's single-pass oracle
+    * VERBATIM: lost mass, double counting, or row/bucket mixing in the
+    * merge fails the hash. At scale this is the sketch's whole value:
+    * per-batch map-side build, kilobyte merge, no re-read. */
+  lazy val q151_cms_merge: Q = (s, d) => {
+    val docs = docShingles(s, d)
+    def halfTok(lower: Boolean) = docs
+      .where(if (lower) idBucket(col("doc_id")) < 50 else idBucket(col("doc_id")) >= 50)
+      .select(explode(col("words")).as("word"))
+    val merged = cmsCells(halfTok(lower = true))
+      .unionByName(cmsCells(halfTok(lower = false)))
+      .groupBy("r", "b").agg(sum("cell_cnt").as("cell_cnt"))
+    val tok = docs.select(explode(col("words")).as("word"))
+    val top = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(20)
+    cmsServe(top, merged)
   }
 
   /** q148: trained Naive-Bayes language classifier — the learned rung
@@ -818,6 +858,55 @@ object TextStats {
       .groupBy(col("lang"), col("c").as("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "pred_lang")
+  }
+
+  /** q152 HLL geometry: m = 16 registers, addressed by the doc-id md5's
+    * first 4 hex digits mod 16; the NEXT 8 hex digits (32 bits) feed the
+    * leading-zero rank. The harmonic sum is kept as an INTEGER scaled by
+    * 2^33 (each term 2^(33−M) is an exact shift, an empty register
+    * contributes 2^33), so the only floating-point step is the final
+    * constant-over-integer division — bit-identical cross-engine, where
+    * a pow(2, −M) chain would lean on libm. α₁₆ = 0.673, the Flajolet
+    * et al. 2007 constant; the small-range correction is deliberately
+    * OMITTED (its ln() is a libm call — presentation, not gate math),
+    * so `hll_est` is the raw estimator and `rel_err` reports honestly
+    * what raw HLL-16 does at these cardinalities. */
+  private val hllRegs = 16L
+  private val hllEmptyTerm = 8589934592L // 2^33
+  private val hllNum = 0.673 * (16.0 * 16.0) * 8589934592.0
+
+  /** q152: HyperLogLog registers built from scratch — the register-exact
+    * twin of q93's claim-style gate (there Spark's native
+    * approx_count_distinct is asserted within 5%; here every register,
+    * rank and the raw estimate are pinned cross-engine). Distinct
+    * doc_ids per lang: register b of class `lang` holds the max
+    * leading-zero rank of any doc hashing there; the estimate is
+    * α·m²/Σ2^(−M_b). The register table is (#langs × 16) rows built by
+    * one map-side-combined aggregation — the sketch a 100 TB pipeline
+    * ships instead of a count-distinct shuffle; the exact count rides
+    * along as the audit baseline (the q147 stance: you run this on a
+    * sample to calibrate, then drop the exact side). */
+  lazy val q152_hll_registers: Q = (s, d) => {
+    val docs = docShingles(s, d).select(col("doc_id"), col("lang"))
+    val h = md5(col("doc_id").cast("string"))
+    val reg = docs.select(col("lang"),
+        pmod(conv(substring(h, 1, 4), 16, 10).cast("long"), lit(hllRegs)).as("b"),
+        conv(substring(h, 5, 8), 16, 10).cast("long").as("v"))
+      .withColumn("rnk",
+        when(col("v") === 0L, lit(33L))
+          .otherwise(lit(33L) - length(bin(col("v"))).cast("long")))
+      .groupBy("lang", "b").agg(max("rnk").as("m"))
+    reg.groupBy("lang").agg(
+        count(lit(1)).as("regs_hit"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - m AS INT))")).as("ssum_hit"))
+      .join(docs.groupBy("lang").agg(countDistinct("doc_id").as("n_exact")), Seq("lang"))
+      .select(col("lang"), col("n_exact"), col("regs_hit"),
+        round2(lit(hllNum) /
+          (col("ssum_hit") + (lit(hllRegs) - col("regs_hit")) * lit(hllEmptyTerm))
+            .cast("double")).as("hll_est"))
+      .withColumn("rel_err", round4(abs(col("hll_est") - col("n_exact").cast("double")) /
+        col("n_exact").cast("double")))
+      .orderBy("lang")
   }
 
   /** The q136 bucket ladder: pad-to boundaries in tokens; documents
@@ -933,7 +1022,9 @@ object TextStats {
     "q137_textrank" -> q137_textrank,
     "q138_bpe_batched" -> q138_bpe_batched,
     "q147_cms_topk" -> q147_cms_topk,
-    "q148_nb_langid" -> q148_nb_langid)
+    "q148_nb_langid" -> q148_nb_langid,
+    "q151_cms_merge" -> q151_cms_merge,
+    "q152_hll_registers" -> q152_hll_registers)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -1092,6 +1183,31 @@ object TextStats {
     lenBuckets.init.map(b => s"WHEN len(words) <= $b THEN $b")
       .mkString("CASE ", " ", s" ELSE ${lenBuckets.last} END")
 
+  /** The CMS sketch/probe oracle, shared VERBATIM by q147 (single-pass
+    * sketch) and q151 (two disjoint-batch sketches merged cell-wise):
+    * the merge law says both must serve this exact answer. */
+  private lazy val cmsTopkSql: String = withDocs(
+    s""", tok AS (SELECT unnest(words) AS word FROM docs),
+       |rows4 AS (SELECT unnest([0, 1, 2, 3]) AS r),
+       |cells AS (
+       |  SELECT r,
+       |         CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || word), 1, 4)
+       |              AS BIGINT) % $cmsWidth AS b,
+       |         CAST(count(*) AS BIGINT) AS cell_cnt
+       |  FROM tok, rows4 GROUP BY 1, 2),
+       |top AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1
+       |  ORDER BY cnt DESC, word LIMIT 20),
+       |probes AS (
+       |  SELECT word, cnt, r,
+       |         CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || word), 1, 4)
+       |              AS BIGINT) % $cmsWidth AS b
+       |  FROM top, rows4)
+       |SELECT word, cnt, CAST(min(cell_cnt) AS BIGINT) AS cms_est,
+       |       CAST(min(cell_cnt) - cnt AS BIGINT) AS overcount
+       |FROM probes JOIN cells USING (r, b)
+       |GROUP BY word, cnt ORDER BY cnt DESC, word""".stripMargin)
+
   val oracle: Map[String, String] = Map(
     // the train-split unigram table, the total, then the same integer
     // surprisal ladder per token (OOV charges the ceiling T)
@@ -1141,27 +1257,41 @@ object TextStats {
     // the sketch cells, the exact top-20, and the min-over-rows probe
     // restated directly — same md5 row-seed bucket math, same
     // (cnt desc, word) tie at the limit boundary
-    "q147_cms_topk" -> withDocs(
-      s""", tok AS (SELECT unnest(words) AS word FROM docs),
-         |rows4 AS (SELECT unnest([0, 1, 2, 3]) AS r),
-         |cells AS (
-         |  SELECT r,
-         |         CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || word), 1, 4)
-         |              AS BIGINT) % $cmsWidth AS b,
-         |         CAST(count(*) AS BIGINT) AS cell_cnt
-         |  FROM tok, rows4 GROUP BY 1, 2),
-         |top AS (
-         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1
-         |  ORDER BY cnt DESC, word LIMIT 20),
-         |probes AS (
-         |  SELECT word, cnt, r,
-         |         CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || word), 1, 4)
-         |              AS BIGINT) % $cmsWidth AS b
-         |  FROM top, rows4)
-         |SELECT word, cnt, CAST(min(cell_cnt) AS BIGINT) AS cms_est,
-         |       CAST(min(cell_cnt) - cnt AS BIGINT) AS overcount
-         |FROM probes JOIN cells USING (r, b)
-         |GROUP BY word, cnt ORDER BY cnt DESC, word""".stripMargin),
+    "q147_cms_topk" -> cmsTopkSql,
+    // the merge law: two disjoint-batch sketches summed cell-wise must
+    // serve exactly the single-pass answer — the oracle IS q147's
+    "q151_cms_merge" -> cmsTopkSql,
+    // register ranks, the integer-scaled harmonic sum, and the one
+    // double division restated directly — same md5 bucket/rank math,
+    // same shift-scaled exactness (see the q152 scaladoc)
+    "q152_hll_registers" -> withDocs(
+      s""", base AS (
+         |  SELECT lang, doc_id,
+         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+         |           % $hllRegs AS b,
+         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 8) AS BIGINT) AS v
+         |  FROM docs),
+         |reg AS (
+         |  SELECT lang, b,
+         |         max(CASE WHEN v = 0 THEN 33
+         |                  ELSE 33 - length(bin(v)) END) AS m
+         |  FROM base GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS regs_hit,
+         |         CAST(sum(CAST(1 AS BIGINT) << (33 - m)) AS BIGINT) AS ssum_hit
+         |  FROM reg GROUP BY 1),
+         |ex AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact
+         |       FROM docs GROUP BY 1)
+         |SELECT lang, n_exact, regs_hit, hll_est,
+         |       ${round4Sql("abs(hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)")}
+         |         AS rel_err
+         |FROM (
+         |  SELECT lang, n_exact, regs_hit,
+         |         ${round2Sql(
+               s"$hllNum / CAST(ssum_hit + ($hllRegs - regs_hit) * $hllEmptyTerm AS DOUBLE)")}
+         |           AS hll_est
+         |  FROM agg JOIN ex USING (lang))
+         |ORDER BY lang""".stripMargin),
     // the per-class models as lazy CTEs (the Spark side precomputes the
     // same integer charges driver-side), then the identical argmin chain
     "q148_nb_langid" -> withDocs(

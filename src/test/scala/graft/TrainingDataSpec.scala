@@ -416,6 +416,64 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
     assert(got.exists(_._4 > 0))
   }
 
+  test("q151: merged half-corpus sketches serve exactly the single-pass answer") {
+    // the same 300-word corpus as the q147 spec, spread over doc ids on
+    // BOTH sides of the id-hash split (bucket < 50 vs >= 50) so each
+    // ingest batch sketches a real share; the merge law says q151's
+    // two-sketch path and q147's single-pass path are indistinguishable
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(2).map("%02x".format(_)).mkString, 16) % 100
+    }
+    val loIds = (0L to 400L).filter(bucket(_) < 50).take(3)
+    val hiIds = (0L to 400L).filter(bucket(_) >= 50).take(3)
+    val words = (0 until 300).map(i => f"w$i%03d" -> ((i % 7) + 1))
+    val texts = words.flatMap { case (w, n) => Seq.fill(n)(w) }
+      .grouped(200).map(_.mkString(" ")).toSeq
+    val docs = texts.zipWithIndex.map { case (t, i) =>
+      ((if (i % 2 == 0) loIds else hiIds)(i / 2 % 3), t)
+    }
+    val dir = writeMiniDocs(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[String]("word"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("cms_est"), r.getAs[Long]("overcount"))).toSeq
+    assert(rows(TextStats.q151_cms_merge(spark, dir))
+      == rows(TextStats.q147_cms_topk(spark, dir)))
+  }
+
+  test("q152: registers, scaled harmonic sum and estimate match a reference HLL") {
+    // langs of very different cardinality, ids chosen freely — the
+    // reference recomputes registers with java MessageDigest (an
+    // independent implementation of the bucket/rank/shift math),
+    // including the empty-register 2^33 terms
+    val docs = (0L until 40L).map(id => (id, s"text $id", "aa")) ++
+      (100L until 103L).map(id => (id, s"text $id", "bb"))
+    val dir = writeMiniDocsLang(docs)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def expect(ids: Seq[Long]): (Long, Double) = {
+      val regs = ids.groupBy(id =>
+          java.lang.Long.parseLong(md5hex(id.toString).take(4), 16) % 16)
+        .map { case (b, bid) => b -> bid.map { id =>
+          val v = java.lang.Long.parseLong(md5hex(id.toString).slice(4, 12), 16)
+          if (v == 0L) 33L else 33L - java.lang.Long.toBinaryString(v).length
+        }.max }
+      val ssum = regs.values.map(m => 1L << (33 - m)).sum +
+        (16 - regs.size) * 8589934592L
+      val est = math.floor(0.673 * 256.0 * 8589934592.0 / ssum * 100.0 + 0.5) / 100.0
+      (regs.size.toLong, est)
+    }
+    val got = TextStats.q152_hll_registers(spark, dir).collect().map(r =>
+      r.getAs[String]("lang") -> ((r.getAs[Long]("n_exact"),
+        r.getAs[Long]("regs_hit"), r.getAs[Double]("hll_est")))).toMap
+    val (raHit, raEst) = expect(0L until 40L)
+    val (rbHit, rbEst) = expect(100L until 103L)
+    assert(got("aa") == ((40L, raHit, raEst)))
+    assert(got("bb") == ((3L, rbHit, rbEst)))
+  }
+
   test("q148: disjoint per-lang vocabularies classify perfectly; fit is train-split-only") {
     def bucket(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
