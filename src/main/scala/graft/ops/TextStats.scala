@@ -763,13 +763,15 @@ object TextStats {
     * Every value is an integer; both engines hash with the same md5
     * prefix math, so the gate pins estimate = oracle estimate exactly. */
   /** All [[cmsRows]] buckets of a word as one array (posexplode pairs
-    * each row index with its bucket). */
-  private def cmsBuckets(word: Column): Column =
+    * each row index with its bucket). Shared with the streaming twin
+    * ([[graft.streaming.EventStream.cmsCellsStream]]) so the sketch
+    * geometry cannot drift between batch and stream. */
+  private[graft] def cmsBuckets(word: Column): Column =
     array((0 until cmsRows).map(r => cmsBucket(r, word)): _*)
 
   /** The sketch of a token stream: (row, bucket) → counter. ≤ 1024
     * cells regardless of corpus size — map-side combine does the work. */
-  private def cmsCells(tok: DataFrame): DataFrame =
+  private[graft] def cmsCells(tok: DataFrame): DataFrame =
     tok.select(posexplode(cmsBuckets(col("word"))).as(Seq("r", "b")))
       .groupBy("r", "b").agg(count(lit(1)).as("cell_cnt"))
 

@@ -332,6 +332,26 @@ object EventStream {
       .select(unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("hll_users"))
 
+  /** Streaming Count-Min sketch — the streaming twin of batch q147/q151:
+    * each arriving document's tokens increment the sketch's (row, bucket)
+    * counters, and Spark merges the partial counts across micro-batches
+    * like any streaming aggregate, so the STATE IS THE SKETCH — ≤ 1024
+    * cells regardless of traffic (the [[windowedDistinctUsers]] argument
+    * at the corpus grain: an exact term table would hold every distinct
+    * token ever seen). Counters are linear (q151's merge law), so in
+    * complete output mode the cells after any prefix of batches equal
+    * the batch sketch of the data seen so far — the parity the spec
+    * pins cell-for-cell. Bucket math and normalization are the batch
+    * helpers themselves ([[graft.ops.TextStats.cmsBuckets]],
+    * [[graft.ops.TextCore.normCol]]), so the geometry cannot drift. */
+  def cmsCellsStream(docs: DataFrame): DataFrame = {
+    import graft.ops.{TextCore, TextStats}
+    docs
+      .select(explode(TextCore.wordsCol(TextCore.normCol(col("text")))).as("word"))
+      .select(posexplode(TextStats.cmsBuckets(col("word"))).as(Seq("r", "b")))
+      .groupBy("r", "b").agg(count(lit(1)).as("cell_cnt"))
+  }
+
   /** Streaming sequence packing — the stateful streaming twin of the batch
     * q78 plan: per (lang, shard) the state is one Long (tokens emitted so
     * far); each arriving document is assigned the sequence its start

@@ -682,4 +682,35 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       assert(results.sorted.toSeq == expectedSecond) // stream ≡ batch, wave 2
     } finally query.stop()
   }
+
+  test("cmsCellsStream: streamed sketch cells equal the batch sketch after every batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    // 40 docs over a 120-word vocabulary — enough that buckets genuinely
+    // collide; two ingest waves prove cross-micro-batch counter merging
+    val docs = (0 until 40).map(i =>
+      (i.toLong, (0 until 15).map(j => f"t${(i * 7 + j * 3) % 120}%03d").mkString(" ")))
+    def batchCells(upTo: Int): Set[(Int, Long, Long)] = {
+      val tok = docs.take(upTo).toDF("doc_id", "text")
+        .select(explode(graft.ops.TextCore.wordsCol(
+          graft.ops.TextCore.normCol(col("text")))).as("word"))
+      graft.ops.TextStats.cmsCells(tok).collect()
+        .map(r => (r.getAs[Int]("r"), r.getAs[Long]("b"), r.getAs[Long]("cell_cnt"))).toSet
+    }
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.cmsCellsStream(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cms_cells").outputMode("complete").start()
+    def streamedCells(): Set[(Int, Long, Long)] =
+      spark.table("cms_cells").collect()
+        .map(r => (r.getAs[Int]("r"), r.getAs[Long]("b"), r.getAs[Long]("cell_cnt"))).toSet
+    try {
+      input.addData(docs.take(25).toIndexedSeq: _*)
+      query.processAllAvailable()
+      assert(streamedCells() == batchCells(25)) // prefix parity, wave 1
+      input.addData(docs.drop(25).toIndexedSeq: _*)
+      query.processAllAvailable()
+      assert(streamedCells() == batchCells(40)) // counters merged across batches
+    } finally query.stop()
+  }
 }
