@@ -138,6 +138,30 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "expected q143's model join to be a broadcast hash join")
   }
 
+  test("sketch/merge/evolution queries: no cartesian; broadcast where pinned") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+    val fresh = Seq("q147_cms_topk", "q148_nb_langid", "q149_schema_evolution",
+      "q150_merge_upsert", "q151_cms_merge", "q152_hll_registers")
+    val degraded = fresh.flatMap { name =>
+      val p = plan(name)
+      if (p.collect { case c: CartesianProductExec => c
+                      case b: BroadcastNestedLoopJoinExec => b }.nonEmpty)
+        Some(name)
+      else None
+    }
+    assert(degraded.isEmpty, s"cartesian/nested-loop join in: ${degraded.mkString(", ")}")
+    // the kilobyte sides must broadcast: q147/q151's ≤1024-cell sketch
+    // onto the probes, q148's dense model onto the token stream — a
+    // sort-merge regression would shuffle the exploded corpus instead
+    Seq("q147_cms_topk", "q151_cms_merge", "q148_nb_langid").foreach { name =>
+      assert(plan(name).collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        s"expected a broadcast hash join in $name")
+    }
+  }
+
   test("fact-to-dim joins broadcast the dim side") {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     // factWithTahap is memoized+persisted, so its visible plan is an
