@@ -120,7 +120,7 @@ object DataSkipping {
     // would append rows whose min_*/max_* read back NULL against the
     // base parts' schema, and prunedFiles drops NULL-stats rows — data
     // files silently vanishing from pruned reads. Refuse instead.
-    val existing = statsColsOf(manifest.columns).toSet
+    val existing = statsColsOf(manifest.columns.toSeq).toSet
     require(existing == cols.toSet,
       s"stats manifest under $tableDir indexes ${existing.toSeq.sorted.mkString(", ")}, " +
         s"not ${cols.sorted.mkString(", ")} — one column set per manifest")

@@ -260,6 +260,41 @@ object StarBuilder {
   def latestVersion(warehouse: String): Option[Long] =
     committedVersions(warehouse).lastOption
 
+  /** The commit history: (version, commit epoch-millis), log order. The
+    * commit INSTANT is the `_log` marker's mtime — the marker is the
+    * atomic publish step ([[publishSnapshot]]), so its timestamp is by
+    * construction the moment the snapshot became visible (data-file
+    * mtimes predate it and staging dirs never surface). Planning-sized:
+    * one row per commit. */
+  def history(warehouse: String): Seq[(Long, Long)] =
+    committedVersions(warehouse).map { v =>
+      v -> new java.io.File(s"$warehouse/_log/$v.commit").lastModified()
+    }
+
+  /** Resolve the snapshot that was LATEST as of `epochMillis` — the
+    * `TIMESTAMP AS OF` half of time travel ([[readAt]]'s version pin is
+    * the `VERSION AS OF` half): the newest version whose commit marker
+    * landed at or before the instant. Commit mtimes are monotone along
+    * the version order by construction (markers are created in claim
+    * order and never rewritten), so the scan is a simple takeWhile.
+    * Throws if the instant predates the first commit — "the table did
+    * not exist yet" must not silently serve the oldest snapshot. */
+  def versionAsOf(warehouse: String, epochMillis: Long): Long = {
+    val h = history(warehouse)
+    require(h.nonEmpty, s"no committed version in $warehouse")
+    val at = h.takeWhile(_._2 <= epochMillis).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot of $warehouse existed at $epochMillis " +
+          s"(first commit: v=${h.head._1} at ${h.head._2})"))
+    at._1
+  }
+
+  /** [[readAt]] pinned by instant instead of version number. */
+  def readAsOf(spark: SparkSession, warehouse: String, table: String,
+      epochMillis: Long, mergeSchema: Boolean = false): DataFrame =
+    readAt(spark, warehouse, table,
+      Some(versionAsOf(warehouse, epochMillis)), mergeSchema)
+
   /** Snapshot-versioned star write — the lakehouse-table property the
     * flat [[writeAll]] lacks (Delta/Iceberg being unresolvable offline,
     * SURVEY §8): every refresh lands in a fresh `$warehouse/v=<n>/`

@@ -530,6 +530,32 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("readAsOf: timestamp time travel resolves the latest commit at the instant") {
+    import spark.implicits._
+    import graft.etl.StarBuilder
+    val wh = java.nio.file.Files.createTempDirectory("graft_asof").toString
+    val v1 = StarBuilder.writeTableVersioned(Seq((1L, 10L)).toDF("k", "n"), wh, "t")
+    val v2 = StarBuilder.writeTableVersioned(Seq((1L, 11L), (2L, 20L)).toDF("k", "n"), wh, "t")
+    // pin the commit instants explicitly (marker mtime IS the commit time)
+    def setCommitTime(v: Long, ms: Long): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        new java.io.File(s"$wh/_log/$v.commit").toPath,
+        java.nio.file.attribute.FileTime.fromMillis(ms))
+    setCommitTime(v1, 1000L)
+    setCommitTime(v2, 2000L)
+    assert(StarBuilder.history(wh) == Seq(v1 -> 1000L, v2 -> 2000L))
+    // before the first commit: the table did not exist — refuse
+    val e = intercept[IllegalArgumentException](StarBuilder.versionAsOf(wh, 999L))
+    assert(e.getMessage.contains("no snapshot"))
+    // boundaries are inclusive; between commits resolves the older one
+    assert(StarBuilder.versionAsOf(wh, 1000L) == v1)
+    assert(StarBuilder.versionAsOf(wh, 1999L) == v1)
+    assert(StarBuilder.versionAsOf(wh, 2000L) == v2)
+    assert(StarBuilder.versionAsOf(wh, Long.MaxValue) == v2)
+    assert(StarBuilder.readAsOf(spark, wh, "t", 1500L).count() == 1L)
+    assert(StarBuilder.readAsOf(spark, wh, "t", 2500L).count() == 2L)
+  }
+
   test("mergeInto: all four MERGE branches classify on one frame") {
     import spark.implicits._
     import graft.etl.StarBuilder.mergeInto
