@@ -120,7 +120,15 @@ object Compact {
         new java.io.File(dstLeaf, f.getName).toPath))
       (files.length, files.length)
     } else {
-      spark.read.parquet(srcLeaf.toString).repartition(nOut)
+      // mergeSchema: after a schema evolution by append
+      // ([[StarBuilder.appendTableVersioned]]) the leaf holds MIXED
+      // footers, and a single-footer read here would let an old narrow
+      // footer win schema inference — the repack would silently project
+      // the evolved column away and commit the loss. The merged read
+      // materializes the union schema (nulls where a file predates a
+      // column), the Delta OPTIMIZE semantic.
+      spark.read.option("mergeSchema", true)
+        .parquet(srcLeaf.toString).repartition(nOut)
         .write.mode("overwrite")
         .option("parquet.block.size", blockSize.toString)
         .parquet(dstLeaf.toString)

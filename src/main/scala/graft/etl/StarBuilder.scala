@@ -273,20 +273,23 @@ object StarBuilder {
 
   /** Resolve the snapshot that was LATEST as of `epochMillis` — the
     * `TIMESTAMP AS OF` half of time travel ([[readAt]]'s version pin is
-    * the `VERSION AS OF` half): the newest version whose commit marker
+    * the `VERSION AS OF` half): the HIGHEST version whose commit marker
     * landed at or before the instant. Commit mtimes are monotone along
-    * the version order by construction (markers are created in claim
-    * order and never rewritten), so the scan is a simple takeWhile.
-    * Throws if the instant predates the first commit — "the table did
-    * not exist yet" must not silently serve the oldest snapshot. */
+    * the version order on a live warehouse (markers are created in
+    * claim order and never rewritten), but a restore that lost mtimes
+    * (cp without -p, an object-store download) breaks that — so the
+    * resolution filters and takes the max version rather than
+    * takeWhile-scanning, which would silently stop at the first
+    * out-of-order marker and time-travel to a stale snapshot. Throws if
+    * the instant predates every commit — "the table did not exist yet"
+    * must not silently serve the oldest snapshot. */
   def versionAsOf(warehouse: String, epochMillis: Long): Long = {
     val h = history(warehouse)
     require(h.nonEmpty, s"no committed version in $warehouse")
-    val at = h.takeWhile(_._2 <= epochMillis).lastOption.getOrElse(
+    h.filter(_._2 <= epochMillis).map(_._1).maxOption.getOrElse(
       throw new IllegalArgumentException(
         s"no snapshot of $warehouse existed at $epochMillis " +
           s"(first commit: v=${h.head._1} at ${h.head._2})"))
-    at._1
   }
 
   /** [[readAt]] pinned by instant instead of version number. */
@@ -498,7 +501,12 @@ object StarBuilder {
         val bytes = leaves.flatMap(l => Compact.dataFiles(l)).map(_.length()).sum
         val partCols = srcRoot.toPath.relativize(leaves.head.toPath).toString
           .split("/").drop(1).filter(_.contains("=")).map(_.split("=", 2)(0)).toSeq
-        val live = applyDv(spark, srcRoot, t.getName).localCheckpoint(true)
+        // mergeSchema: a DV-carrying table that also evolved by append
+        // must materialize the UNION schema in the rewrite, not whichever
+        // footer schema inference happens to pick (Compact.packInto
+        // carries the same guard on the no-DV path)
+        val live = applyDv(spark, srcRoot, t.getName, mergeSchema = true)
+          .localCheckpoint(true)
         val physRows = math.max(1L, spark.read.parquet(t.toString).count())
         val liveRows = live.count()
         // double arithmetic: bytes × rows overflows Long at the 100 TB
@@ -583,12 +591,12 @@ object StarBuilder {
 
   /** Read `table` from the snapshot `version` (or the latest committed
     * one). Fails loudly on an uncommitted/unknown version — an aborted
-    * write's orphan directory is not data. */
-  /** `mergeSchema = true` reads the UNION of all data files' schemas
-    * (nulls where a file predates a column) — required after an
-    * [[appendTableVersioned]] schema evolution, where old files keep
-    * their narrow footer; the default single-footer read stays the
-    * cheap path for tables whose schema never widened. */
+    * write's orphan directory is not data. `mergeSchema = true` reads
+    * the UNION of all data files' schemas (nulls where a file predates
+    * a column) — required after an [[appendTableVersioned]] schema
+    * evolution, where old files keep their narrow footer; the default
+    * single-footer read stays the cheap path for tables whose schema
+    * never widened. */
   def readAt(spark: SparkSession, warehouse: String, table: String,
       version: Option[Long] = None, mergeSchema: Boolean = false): DataFrame = {
     val vs = committedVersions(warehouse)
@@ -746,9 +754,26 @@ object StarBuilder {
     * it, and a backfill is an explicit separate rewrite. */
   def appendTableVersioned(df: DataFrame, warehouse: String, table: String,
       from: Long): Long = {
+    // the orphan rule readAt enforces holds for writers too: deriving a
+    // snapshot from a claimed-but-uncommitted v-dir would publish a
+    // crashed writer's half-write as committed data
+    require(committedVersions(warehouse).contains(from),
+      s"version $from is not committed in $warehouse — refusing to derive " +
+        "a snapshot from an uncommitted/orphan directory")
     val srcRoot = new java.io.File(s"$warehouse/v=$from")
     require(new java.io.File(srcRoot, table).isDirectory,
       s"table $table is not in v=$from of $warehouse")
+    // a data-skipping sidecar byte-copied across this append would NOT
+    // cover the new files — pruned reads at from+1 would silently drop
+    // every appended row (the DataSkipping 'refuse instead' rule). The
+    // stats path with manifest maintenance is appendTableVersionedStats;
+    // a bloom sidecar grows through appendBloom on that same path.
+    Seq("stats", "bloom").foreach { kind =>
+      require(!new java.io.File(srcRoot, s"$table/_idx/$kind").isDirectory,
+        s"table $table carries an _idx/$kind sidecar in v=$from: a plain " +
+          "append would leave it stale (appended files invisible to pruned " +
+          "reads) — use appendTableVersionedStats, which grows the manifest")
+    }
     // merged read: after a prior evolution the table's files carry mixed
     // footers, and the superset check must hold against their UNION
     val existing = df.sparkSession.read.option("mergeSchema", true)
@@ -1095,6 +1120,11 @@ object StarBuilder {
     * `deleteWhen` is evaluated against the source row BEFORE the join,
     * so it can only reference source columns; matched-row conditions
     * over base columns belong to a diff-then-apply flow (q119/q120).
+    * Duplicate source keys RAISE at runtime — the ANSI cardinality
+    * violation for matched rows, extended to unmatched ones (two
+    * inserts under one key would break the target's key uniqueness
+    * just as silently). The check is a window on the join's own keys —
+    * co-partitioned with the join exchange, no extra pass.
     *
     * Scale shape: ONE full-outer shuffle join on the keys — the
     * irreducible MERGE wire cost when the source is itself table-sized
@@ -1116,13 +1146,24 @@ object StarBuilder {
           .as(s"${tag}_$c")) ++ extra: _*)
     val b = side(base, "b", Seq(lit(true).as("_b_present")))
     val sr = side(
-      source.withColumn("_merge_del",
-        coalesce(deleteWhen.getOrElse(lit(false)), lit(false))),
-      "s", Seq(lit(true).as("_s_present"), col("_merge_del")))
+      source
+        .withColumn("_merge_del",
+          coalesce(deleteWhen.getOrElse(lit(false)), lit(false)))
+        .withColumn("_merge_dup",
+          count(lit(1)).over(Window.partitionBy(keys.map(col): _*))),
+      "s", Seq(lit(true).as("_s_present"), col("_merge_del"), col("_merge_dup")))
     val srcHas = source.columns.toSet
+    // the dup guard lives INSIDE the filter predicate so it is evaluated
+    // for every joined row (a free-standing projected column would be
+    // pruned away unused); base-only rows carry a null count → otherwise
     b.join(sr, keys, "full_outer")
-      .where(!(col("_b_present").isNotNull && col("_s_present").isNotNull &&
-        col("_merge_del")))
+      .where(
+        when(col("_merge_dup") > 1L,
+          raise_error(concat(lit("mergeInto: duplicate source rows for key ("),
+            concat_ws(", ", keys.map(col(_).cast("string")): _*), lit(")")))
+            .cast("boolean"))
+        .otherwise(!(col("_b_present").isNotNull && col("_s_present").isNotNull &&
+          col("_merge_del"))))
       .select(keys.map(col) ++ vals.map { c =>
         (if (srcHas(c))
           when(col("_s_present").isNotNull, col(s"s_$c")).otherwise(col(s"b_$c"))

@@ -554,6 +554,12 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
     assert(StarBuilder.versionAsOf(wh, Long.MaxValue) == v2)
     assert(StarBuilder.readAsOf(spark, wh, "t", 1500L).count() == 1L)
     assert(StarBuilder.readAsOf(spark, wh, "t", 2500L).count() == 2L)
+    // a restore that lost mtime order (cp without -p) must not
+    // silently time-travel to a stale snapshot: resolution is
+    // filter+max-version, not a scan that stops at the first
+    // out-of-order marker
+    setCommitTime(v1, 5000L)
+    assert(StarBuilder.versionAsOf(wh, 4000L) == v2)
   }
 
   test("mergeInto: all four MERGE branches classify on one frame") {
@@ -638,5 +644,58 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
         Seq((5L, 5.0)).toDF("k", "n"), wh, "t", from = v2)
     }
     assert(e.getMessage.contains("superset"))
+    // deriving from an uncommitted/orphan version is refused (the readAt
+    // orphan rule applies to writers too)
+    val e2 = intercept[IllegalArgumentException] {
+      StarBuilder.appendTableVersioned(
+        Seq((6L, 60L, 6.5)).toDF("k", "n", "extra"), wh, "t", from = v2 + 7)
+    }
+    assert(e2.getMessage.contains("not committed"))
+    // COMPACTION after evolution materializes the UNION schema: a repack
+    // that let one narrow footer win schema inference would silently
+    // delete the evolved column from the appended rows
+    val v3 = StarBuilder.compactVersioned(spark, wh, targetBytes = 1L << 30)
+    val packed = StarBuilder.readAt(spark, wh, "t", Some(v3))
+    assert(packed.columns.toSet == Set("k", "n", "extra"))
+    val packedRows = packed.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n"),
+        Option(r.getAs[java.lang.Double]("extra")).map(_.doubleValue))).toSet
+    assert(packedRows == Set((1L, 10L, None), (2L, 20L, None),
+      (3L, 30L, Some(3.5)), (4L, 40L, Some(4.5))))
+  }
+
+  test("appendTableVersioned refuses a table carrying a data-skipping sidecar") {
+    import spark.implicits._
+    import graft.etl.StarBuilder
+    val wh = java.nio.file.Files.createTempDirectory("graft_evsc").toString
+    val v1 = StarBuilder.writeTableVersionedStats(
+      (1L to 100L).map(k => (k, k * 10L)).toDF("k", "n"), wh, "t",
+      sortBy = Seq("k"), statsCols = Seq("k"), blockSize = 64 * 1024)
+    // a plain append would byte-copy the manifest and leave the new
+    // files invisible to pruned reads — refuse with the remedy
+    val e = intercept[IllegalArgumentException] {
+      StarBuilder.appendTableVersioned(
+        Seq((101L, 1010L, "x")).toDF("k", "n", "tag"), wh, "t", from = v1)
+    }
+    assert(e.getMessage.contains("appendTableVersionedStats"))
+  }
+
+  test("mergeInto raises on duplicate source keys, matched or not") {
+    import spark.implicits._
+    import graft.etl.StarBuilder.mergeInto
+    val base = Seq((1L, 100.0)).toDF("k", "v")
+    // duplicate MATCHED key: the ANSI cardinality violation
+    val dupMatched = Seq((1L, 1.0), (1L, 2.0)).toDF("k", "v")
+    val e1 = intercept[Exception] {
+      mergeInto(base, dupMatched, Seq("k")).collect()
+    }
+    assert(e1.getMessage.contains("duplicate source rows"))
+    // duplicate UNMATCHED key: two inserts under one key would break the
+    // target's key uniqueness just as silently — also refused
+    val dupUnmatched = Seq((9L, 1.0), (9L, 2.0)).toDF("k", "v")
+    val e2 = intercept[Exception] {
+      mergeInto(base, dupUnmatched, Seq("k")).collect()
+    }
+    assert(e2.getMessage.contains("duplicate source rows"))
   }
 }
