@@ -716,10 +716,18 @@ object StarBuilder {
     * single-table form of [[writeAllVersioned]] through the same
     * stage → claim → commit protocol, for tables maintained on their
     * own cadence (a materialized summary, a serving index) rather
-    * than as part of the full star refresh. */
-  def writeTableVersioned(df: DataFrame, warehouse: String, table: String): Long = {
+    * than as part of the full star refresh. `partitionBy` commits a
+    * hive-layout (`k=v/`) snapshot; because every snapshot is
+    * self-contained, the layout may CHANGE between versions (Iceberg's
+    * partition evolution): pinned readers resolve whichever layout
+    * their version carries, and partition pruning applies per
+    * snapshot — spec-pinned. */
+  def writeTableVersioned(df: DataFrame, warehouse: String, table: String,
+      partitionBy: Seq[String] = Nil): Long = {
     val txn = stageDir(warehouse)
-    df.write.mode("overwrite").parquet(new java.io.File(txn, table).toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(new java.io.File(txn, table).toString)
     publishSnapshot(warehouse, txn)
   }
 
@@ -983,6 +991,35 @@ object StarBuilder {
     readAt(s, wh, "student_summary", mergeSchema = true)
       .select("student", "n_rows", "total_sks", "gpa")
       .orderBy("student")
+  }
+
+  /** q153: q150's MERGE run THROUGH the version log — the transactional
+    * composition a warehouse user actually executes: the base summary
+    * commits as a snapshot, the merge result commits as EXACTLY
+    * base+1 ([[writeTableVersionedFrom]] — a concurrent commit between
+    * the read and the write must fail the claim, not be silently
+    * erased), and the gate reads the merged table back via [[readAt]],
+    * never from the in-memory frame. The oracle is q150's VERBATIM:
+    * surviving the round trip through stage → claim → commit → resolve
+    * without changing a row is the point. Reps keep cycling version
+    * pairs; vacuum bounds the scratch store (the q119 convention). */
+  val q153_merge_versioned: Q = (s, d) => {
+    val wh = scratchDir(s, d, "merge_log")
+    val f = Star.fact(s, d)
+    val maxY = f.agg(max("tahun")).head().getLong(0)
+    val base = studentSummary(f.where(col("tahun") < maxY &&
+      graft.ops.TextCore.idBucket(col("student")) < 90))
+    val src = studentSummary(f.where(col("tahun") === maxY))
+    val vm = graft.BuildPhase.timed {
+      val vb = writeTableVersioned(base, wh, "student_summary")
+      val v = writeTableVersionedFrom(
+        mergeInto(readAt(s, wh, "student_summary", Some(vb)), src,
+          Seq("student"), deleteWhen = Some(col("total_sks") < 60)),
+        wh, "student_summary", from = vb)
+      vacuumVersions(wh, keep = 2) // keeps (vb, vm) — the newest pair
+      v
+    }
+    readAt(s, wh, "student_summary", Some(vm)).orderBy("student")
   }
 
   /** q150: MERGE INTO over the student summary — all four branches of
@@ -1555,7 +1592,8 @@ object StarBuilder {
     "q132_ivm_maintain" -> q132_ivm_maintain,
     "q139_stats_append" -> q139_stats_append,
     "q149_schema_evolution" -> q149_schema_evolution,
-    "q150_merge_upsert" -> q150_merge_upsert)
+    "q150_merge_upsert" -> q150_merge_upsert,
+    "q153_merge_versioned" -> q153_merge_versioned)
 
   /** q49's per-table-count oracle, shared VERBATIM by q115: the
     * versioned lifecycle (write → compact → vacuum → readAt) must
@@ -1677,7 +1715,14 @@ object StarBuilder {
     // the MERGE's full-outer classification restated directly: source
     // row wins where matched (unless the small-sks delete fires), base
     // row survives alone, source-only rows insert regardless of size
-    "q150_merge_upsert" -> withFact(
+    "q150_merge_upsert" -> mergeUpsertSql,
+    // q150's oracle VERBATIM: the stage→claim→commit→resolve round trip
+    // through the version log must not change a row
+    "q153_merge_versioned" -> mergeUpsertSql)
+
+  /** The q150 MERGE oracle, shared VERBATIM by q153 (the same merge run
+    * through the version log). */
+  private lazy val mergeUpsertSql: String = withFact(
       s""", yrs AS (SELECT max(tahun) AS maxy FROM fact),
          |b AS (
          |  SELECT student, CAST(count(*) AS BIGINT) AS n_rows, sum(sks) AS total_sks,
@@ -1698,5 +1743,5 @@ object StarBuilder {
          |         (sr.student IS NOT NULL AND b.student IS NOT NULL
          |          AND sr.total_sks < 60) AS del
          |  FROM b FULL OUTER JOIN sr ON b.student = sr.student)
-         |WHERE NOT del ORDER BY student""".stripMargin))
+         |WHERE NOT del ORDER BY student""".stripMargin)
 }

@@ -680,6 +680,41 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("appendTableVersionedStats"))
   }
 
+  test("partition evolution: snapshots may change layout; pinned readers are unaffected") {
+    import spark.implicits._
+    import graft.etl.StarBuilder
+    import org.apache.spark.sql.functions.col
+    // Iceberg-style partition evolution falls out of snapshot
+    // self-containment: v1 commits unpartitioned, v2 repartitions by
+    // `y` — readers resolve whichever layout their pin carries, and the
+    // old snapshot's directory shape is untouched by the new commit
+    val wh = java.nio.file.Files.createTempDirectory("graft_partev").toString
+    val rows = Seq((1L, 2023L, 10L), (2L, 2023L, 20L), (3L, 2024L, 30L))
+    val df = rows.toDF("k", "y", "n")
+    val v1 = StarBuilder.writeTableVersioned(df, wh, "t")
+    val v2 = StarBuilder.writeTableVersioned(df, wh, "t", partitionBy = Seq("y"))
+    // v1 stays flat, v2 carries the hive layout — per-snapshot shapes
+    assert(new java.io.File(s"$wh/v=$v1/t").listFiles()
+      .forall(f => !f.getName.startsWith("y=")))
+    assert(new java.io.File(s"$wh/v=$v2/t").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("y=")))
+    // partition-dir values read back as the inferred (int) type — the
+    // documented hive-layout tradeoff, normalized here for comparison
+    def all(v: Long) = StarBuilder.readAt(spark, wh, "t", Some(v))
+      .select("k", "y", "n").collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("y").longValue, r.getLong(2))).toSet
+    assert(all(v1) == rows.toSet)
+    assert(all(v2) == rows.toSet)
+    // the evolved layout prunes: a y-filtered scan of v2 reads only its
+    // partition directory
+    val pruned = StarBuilder.readAt(spark, wh, "t", Some(v2))
+      .where(col("y") === 2024L)
+    val files = pruned.select(
+        org.apache.spark.sql.functions.input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("y=2024")))
+  }
+
   test("mergeInto raises on duplicate source keys, matched or not") {
     import spark.implicits._
     import graft.etl.StarBuilder.mergeInto
