@@ -57,6 +57,33 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** q154: embedding outlier QA — the filter a pipeline runs BEFORE
+    * indexing or training: a vector far from EVERY centroid is the
+    * signature of a corrupt or out-of-domain embedding (a failed
+    * decode, a wrong-modality row, a zero-padded vector), and at 100 TB
+    * the QA pass is the same one map-side sweep the IVF assignment
+    * already pays — score = the q37 assignment cosine itself (best
+    * cosine over the broadcast 16-centroid codebook). The gate reports
+    * the 20 most outlying DATA vectors (lowest best-cos; the codebook
+    * seeds are the model, not data, and are excluded), each with its
+    * would-be bucket — the triage list an operator inspects before
+    * deciding a drop threshold. Selection ranks on the raw double
+    * (the q36 rule: rankings see raw, output rounds to 4). */
+  lazy val q154_embedding_outliers: Q = (s, d) => {
+    val all = vecs(s, d)
+    val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
+    all.where(col("vec_id") >= numCentroids)
+      .crossJoin(broadcast(seedCents(all)))
+      .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .orderBy(col("c_cos").asc, col("vec_id").asc)
+      .limit(20)
+      .select(col("vec_id"), col("c_id").as("bucket"),
+        round4(col("c_cos")).as("best_cos"))
+      .orderBy(col("best_cos").asc, col("vec_id").asc)
+  }
+
   /** The exact top-k (query_id, neighbor_id) pair set every recall gate
     * joins against — session-memoized: the brute-force scan is invariant
     * per (session, dir), and before r10 each of the seven recall queries
@@ -1467,6 +1494,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "q36_knn_brute" -> q36_knn_brute,
     "q37_knn_ivf" -> q37_knn_ivf,
+    "q154_embedding_outliers" -> q154_embedding_outliers,
     "q58_ivf_recall" -> q58_ivf_recall,
     "q62_embed_quantize" -> q62_embed_quantize,
     "q67_ivf_bucket_sizes" -> q67_ivf_bucket_sizes,
@@ -2068,6 +2096,25 @@ object Similarity {
       s"""WITH $vecsCte, $bruteCte
          |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine
          |FROM brute ORDER BY query_id, rank""".stripMargin,
+    // the assignment cosine restated directly; selection on the RAW
+    // double (limit before rounding, the q36 rule), output rounded
+    "q154_embedding_outliers" ->
+      s"""WITH $vecsCte,
+         |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vecs
+         |          WHERE vec_id < $numCentroids),
+         |cand AS (
+         |  SELECT vecs.vec_id AS vec_id, c_id,
+         |         list_dot_product(v, cv) / (nrm * cn) AS c_cos
+         |  FROM vecs, cents WHERE vecs.vec_id >= $numCentroids),
+         |best AS (
+         |  SELECT vec_id, c_id, c_cos,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY c_cos DESC, c_id ASC) AS rn
+         |  FROM cand)
+         |SELECT vec_id, c_id AS bucket, ${round4Sql("c_cos")} AS best_cos
+         |FROM (SELECT * FROM best WHERE rn = 1
+         |      ORDER BY c_cos ASC, vec_id ASC LIMIT 20)
+         |ORDER BY best_cos ASC, vec_id ASC""".stripMargin,
     "q37_knn_ivf" ->
       s"""WITH $vecsCte, $ivfCte
          |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine

@@ -270,4 +270,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("n_found") == hits)
     assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_exact"))
   }
+
+  test("q154: a planted off-manifold vector is the top outlier; seeds are excluded") {
+    // 16 basis-vector centroids (ids 0..15); data vectors aligned with a
+    // centroid score cos = 1, the planted uniform vector (id 99) scores
+    // 1/4 against EVERY centroid — the lowest possible max here — and
+    // ties to bucket 0 by c_id asc
+    val dim = 16
+    def basis(i: Int): Seq[Float] =
+      Seq.tabulate(dim)(j => if (j == i) 1.0f else 0.0f)
+    val uniform = Seq.fill(dim)(0.25f) // unit norm: 16 · 0.25² = 1
+    val edir = writeMiniEmbeddings(
+      (0 until 16).map(i => (i.toLong, basis(i))) ++
+        Seq((20L, basis(3)), (21L, basis(7)), (99L, uniform)))
+    val got = Similarity.q154_embedding_outliers(spark, edir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("bucket"),
+        r.getAs[Double]("best_cos")))
+    assert(got.head == ((99L, 0L, 0.25)))
+    assert(got.map(_._1).toSet == Set(20L, 21L, 99L)) // no codebook seed leaks in
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
+  }
 }
