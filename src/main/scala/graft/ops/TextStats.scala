@@ -888,16 +888,46 @@ object TextStats {
     * ships instead of a count-distinct shuffle; the exact count rides
     * along as the audit baseline (the q147 stance: you run this on a
     * sample to calibrate, then drop the exact side). */
-  lazy val q152_hll_registers: Q = (s, d) => {
-    val docs = docShingles(s, d).select(col("doc_id"), col("lang"))
+  lazy val q152_hll_registers: Q = (s, d) =>
+    hllServe(hllRegisters(docShingles(s, d)), docShingles(s, d))
+
+  /** The per-(lang, register) max-rank table of a document frame — the
+    * HLL state. Shared by q152 (single pass) and q155 (merge law). */
+  private def hllRegisters(docs: DataFrame): DataFrame = {
     val h = md5(col("doc_id").cast("string"))
-    val reg = docs.select(col("lang"),
+    docs.select(col("lang"),
         pmod(conv(substring(h, 1, 4), 16, 10).cast("long"), lit(hllRegs)).as("b"),
         conv(substring(h, 5, 8), 16, 10).cast("long").as("v"))
       .withColumn("rnk",
         when(col("v") === 0L, lit(33L))
           .otherwise(lit(33L) - length(bin(col("v"))).cast("long")))
       .groupBy("lang", "b").agg(max("rnk").as("m"))
+  }
+
+  /** q155: the HLL MERGE LAW — q151's argument for the distinct-count
+    * sketch: registers of DISJOINT ingest batches merge by ELEMENT-WISE
+    * MAX (each register already holds a max, and max is associative/
+    * commutative/idempotent — unlike CMS's additive counters, an HLL
+    * merge even tolerates overlapping batches, which is why warehouse
+    * rollups keep HLL state per partition and fold upward). The corpus
+    * splits on the q70 id-hash (< 50 vs ≥ 50), each half builds its own
+    * #langs×16 register table blind to the other, the merge is a
+    * union + max, and the estimate chain runs over the MERGED
+    * registers — gated against q152's single-pass oracle VERBATIM. */
+  lazy val q155_hll_merge: Q = (s, d) => {
+    val docs = docShingles(s, d).select(col("doc_id"), col("lang"))
+    def half(lower: Boolean) = hllRegisters(
+      docs.where(if (lower) idBucket(col("doc_id")) < 50
+                 else idBucket(col("doc_id")) >= 50))
+    val merged = half(lower = true).unionByName(half(lower = false))
+      .groupBy("lang", "b").agg(max("m").as("m"))
+    hllServe(merged, docs)
+  }
+
+  /** The q152 estimate chain over a register table: integer-scaled
+    * harmonic sum (empty registers charge 2^33), one double division,
+    * the exact side as audit baseline. */
+  private def hllServe(reg: DataFrame, docs: DataFrame): DataFrame =
     reg.groupBy("lang").agg(
         count(lit(1)).as("regs_hit"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - m AS INT))")).as("ssum_hit"))
@@ -909,7 +939,6 @@ object TextStats {
       .withColumn("rel_err", round4(abs(col("hll_est") - col("n_exact").cast("double")) /
         col("n_exact").cast("double")))
       .orderBy("lang")
-  }
 
   /** The q136 bucket ladder: pad-to boundaries in tokens; documents
     * past the last boundary are TRUNCATED to it (the fixed-context
@@ -1026,7 +1055,8 @@ object TextStats {
     "q147_cms_topk" -> q147_cms_topk,
     "q148_nb_langid" -> q148_nb_langid,
     "q151_cms_merge" -> q151_cms_merge,
-    "q152_hll_registers" -> q152_hll_registers)
+    "q152_hll_registers" -> q152_hll_registers,
+    "q155_hll_merge" -> q155_hll_merge)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -1210,6 +1240,39 @@ object TextStats {
        |FROM probes JOIN cells USING (r, b)
        |GROUP BY word, cnt ORDER BY cnt DESC, word""".stripMargin)
 
+  /** The HLL oracle — register ranks, the integer-scaled harmonic sum
+    * and the one double division (see the q152 scaladoc) — shared
+    * VERBATIM by q152 (single-pass registers) and q155 (disjoint
+    * halves merged by element-wise max). */
+  private lazy val hllRegistersSql: String = withDocs(
+    s""", base AS (
+       |  SELECT lang, doc_id,
+       |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+       |           % $hllRegs AS b,
+       |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 8) AS BIGINT) AS v
+       |  FROM docs),
+       |reg AS (
+       |  SELECT lang, b,
+       |         max(CASE WHEN v = 0 THEN 33
+       |                  ELSE 33 - length(bin(v)) END) AS m
+       |  FROM base GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS regs_hit,
+       |         CAST(sum(CAST(1 AS BIGINT) << (33 - m)) AS BIGINT) AS ssum_hit
+       |  FROM reg GROUP BY 1),
+       |ex AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact
+       |       FROM docs GROUP BY 1)
+       |SELECT lang, n_exact, regs_hit, hll_est,
+       |       ${round4Sql("abs(hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)")}
+       |         AS rel_err
+       |FROM (
+       |  SELECT lang, n_exact, regs_hit,
+       |         ${round2Sql(
+             s"$hllNum / CAST(ssum_hit + ($hllRegs - regs_hit) * $hllEmptyTerm AS DOUBLE)")}
+       |           AS hll_est
+       |  FROM agg JOIN ex USING (lang))
+       |ORDER BY lang""".stripMargin)
+
   val oracle: Map[String, String] = Map(
     // the train-split unigram table, the total, then the same integer
     // surprisal ladder per token (OOV charges the ceiling T)
@@ -1266,34 +1329,11 @@ object TextStats {
     // register ranks, the integer-scaled harmonic sum, and the one
     // double division restated directly — same md5 bucket/rank math,
     // same shift-scaled exactness (see the q152 scaladoc)
-    "q152_hll_registers" -> withDocs(
-      s""", base AS (
-         |  SELECT lang, doc_id,
-         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
-         |           % $hllRegs AS b,
-         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 8) AS BIGINT) AS v
-         |  FROM docs),
-         |reg AS (
-         |  SELECT lang, b,
-         |         max(CASE WHEN v = 0 THEN 33
-         |                  ELSE 33 - length(bin(v)) END) AS m
-         |  FROM base GROUP BY 1, 2),
-         |agg AS (
-         |  SELECT lang, CAST(count(*) AS BIGINT) AS regs_hit,
-         |         CAST(sum(CAST(1 AS BIGINT) << (33 - m)) AS BIGINT) AS ssum_hit
-         |  FROM reg GROUP BY 1),
-         |ex AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_exact
-         |       FROM docs GROUP BY 1)
-         |SELECT lang, n_exact, regs_hit, hll_est,
-         |       ${round4Sql("abs(hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)")}
-         |         AS rel_err
-         |FROM (
-         |  SELECT lang, n_exact, regs_hit,
-         |         ${round2Sql(
-               s"$hllNum / CAST(ssum_hit + ($hllRegs - regs_hit) * $hllEmptyTerm AS DOUBLE)")}
-         |           AS hll_est
-         |  FROM agg JOIN ex USING (lang))
-         |ORDER BY lang""".stripMargin),
+    "q152_hll_registers" -> hllRegistersSql,
+    // the merge law: two disjoint-half register tables folded by
+    // element-wise max must serve the single-pass answer — q152's
+    // oracle verbatim
+    "q155_hll_merge" -> hllRegistersSql,
     // the per-class models as lazy CTEs (the Spark side precomputes the
     // same integer charges driver-side), then the identical argmin chain
     "q148_nb_langid" -> withDocs(

@@ -474,6 +474,26 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
     assert(got("bb") == ((3L, rbHit, rbEst)))
   }
 
+  test("q155: merged HLL registers equal the single pass; max-merge tolerates overlap") {
+    // disjoint-halves merge is the gated law; this pins the STRONGER
+    // property CMS lacks: because registers fold by max (idempotent),
+    // merging OVERLAPPING batches leaves the estimate unchanged —
+    // re-ingesting a batch cannot inflate a distinct count
+    val docs = (0L until 60L).map(id => (id, s"text $id", if (id < 40) "aa" else "bb"))
+    val dir = writeMiniDocsLang(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[String]("lang"), r.getAs[Long]("n_exact"),
+        r.getAs[Long]("regs_hit"), r.getAs[Double]("hll_est"))).toSeq
+    val single = rows(TextStats.q152_hll_registers(spark, dir))
+    assert(rows(TextStats.q155_hll_merge(spark, dir)) == single)
+    // overlap: duplicate every document row — same distinct ids, so
+    // registers and estimate must be identical to the clean corpus
+    val dupDir = writeMiniDocsLang(docs ++ docs)
+    val dup = rows(TextStats.q152_hll_registers(spark, dupDir))
+    assert(dup.map { case (l, _, h, e) => (l, h, e) }
+      == single.map { case (l, _, h, e) => (l, h, e) })
+  }
+
   test("q148: disjoint per-lang vocabularies classify perfectly; fit is train-split-only") {
     def bucket(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
