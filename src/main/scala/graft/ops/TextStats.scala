@@ -594,6 +594,56 @@ object TextStats {
       .orderBy("split")
   }
 
+  /** Persist the full-corpus-trained merge sequence as a parquet model
+    * artifact — the tokenizer FILE a training stack ships: training
+    * happens once on the data team's cluster, every consumer (the
+    * packing job, the serving encoder, next month's incremental crawl)
+    * reads the artifact, never retrains. One k-row file; the write is
+    * a plain overwrite (the model is tiny and rebuilt atomically by
+    * its producer — the snapshot-log ceremony would be ceremony). */
+  def writeBpeModel(s: SparkSession, d: String, out: String): Unit = {
+    import s.implicits._
+    bpeTrained(s, d)._1.toDF("step", "left_sym", "right_sym", "freq")
+      .coalesce(1).write.mode("overwrite").parquet(out)
+  }
+
+  /** q156: the tokenizer SERVED FROM ITS FILE — q106's merge-replay
+    * application driven by merges read back from the [[writeBpeModel]]
+    * artifact in step order, never from session state: per lang,
+    * words/chars/tokens and chars-per-token over the alphabetic corpus.
+    * The oracle retrains the same chain from scratch and replays it, so
+    * the gate proves the artifact ROUND-TRIPS the model bit-exactly —
+    * a step dropped, reordered, or corrupted in the file changes token
+    * counts and fails the hash (the q114/q128 serve-from-files rule,
+    * applied to the tokenizer). Model write is session-once (build
+    * phase); serving replays k literal replaces inside one codegen'd
+    * projection — the merge table rides the plan as literals. */
+  lazy val q156_bpe_model_serve: Q = (s, d) => {
+    val path = graft.etl.StarBuilder.scratchDir(s, d, "bpemodel")
+    graft.BuildPhase.timed {
+      graft.SessionMemo.once(s, d, "bpe:model")(writeBpeModel(s, d, path))
+    }
+    val merges = s.read.parquet(path).orderBy("step").collect()
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+    val sym0 = concat(lit("|"), array_join(split(col("w"), ""), "||"), lit("|"))
+    val symFinal = merges.foldLeft(sym0) { case (c, (l, r)) =>
+      replace(c, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+    }
+    docShingles(s, d).select(col("lang"), explode(col("words")).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .select(col("lang"), length(col("w")).cast("long").as("nc"),
+        size(split(regexp_replace(symFinal, "^\\||\\|$", ""), "\\|\\|"))
+          .cast("long").as("nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum("nc").as("n_chars"),
+        sum("nt").as("n_tokens"))
+      .withColumn("chars_per_token",
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(round4(
+            col("n_chars").cast("double") / col("n_tokens").cast("double"))))
+      .orderBy("lang")
+  }
+
   /** q134: unigram-LM surprisal scoring — the perplexity-filter rung
     * (the CCNet/Gopher recipe: score every document by how surprising a
     * reference LM finds it, then gate or re-weight on the score). The
@@ -1056,7 +1106,8 @@ object TextStats {
     "q148_nb_langid" -> q148_nb_langid,
     "q151_cms_merge" -> q151_cms_merge,
     "q152_hll_registers" -> q152_hll_registers,
-    "q155_hll_merge" -> q155_hll_merge)
+    "q155_hll_merge" -> q155_hll_merge,
+    "q156_bpe_model_serve" -> q156_bpe_model_serve)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -1477,6 +1528,37 @@ object TextStats {
                         "CAST(sum(len(string_split(substr(s, 2, length(s) - 2), '||'))) AS DOUBLE)")}
          |       END AS chars_per_token
          |FROM a$bpeMerges GROUP BY split ORDER BY split""".stripMargin),
+    // the full-corpus training chain retrained from scratch, then the
+    // same per-word merge replay grouped by lang — matching proves the
+    // model artifact round-trips bit-exactly
+    "q156_bpe_model_serve" -> withDocs(
+      s"""${bpeChainCtesFrom("(SELECT words FROM docs)")},
+         |wd AS (
+         |  SELECT lang, w
+         |  FROM (SELECT lang, unnest(words) AS w FROM docs)
+         |  WHERE regexp_matches(w, '^[a-z]+$$')),
+         |a0 AS (
+         |  SELECT lang, CAST(length(w) AS BIGINT) AS nc,
+         |         '|' || array_to_string(list_transform(range(1, length(w) + 1),
+         |           i -> w[i]), '||') || '|' AS s
+         |  FROM wd),
+         |${(1 to bpeMerges).map(i =>
+            s"""a$i AS (
+               |  SELECT lang, nc,
+               |         coalesce(replace(s, '|' || l || '||' || r || '|',
+               |                          '|' || l || r || '|'), s) AS s
+               |  FROM a${i - 1} LEFT JOIN m$i ON TRUE)""".stripMargin).mkString(",\n")}
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(nc) AS BIGINT) AS n_chars,
+         |       CAST(sum(len(string_split(substr(s, 2, length(s) - 2), '||')))
+         |         AS BIGINT) AS n_tokens,
+         |       CASE WHEN sum(len(string_split(substr(s, 2, length(s) - 2), '||'))) = 0
+         |            THEN NULL
+         |            ELSE ${round4Sql(
+                        "CAST(sum(nc) AS DOUBLE) / " +
+                        "CAST(sum(len(string_split(substr(s, 2, length(s) - 2), '||'))) AS DOUBLE)")}
+         |       END AS chars_per_token
+         |FROM a$bpeMerges GROUP BY lang ORDER BY lang""".stripMargin),
     "q40_lang_id" -> withDocs(
       s"""SELECT doc_id, ${round4Sql(ratioSql)} AS en_ratio,
          |       CASE WHEN ($ratioSql) >= 0.05 THEN 'en' ELSE 'und' END AS pred_lang

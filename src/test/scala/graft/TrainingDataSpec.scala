@@ -474,6 +474,27 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
     assert(got("bb") == ((3L, rbHit, rbEst)))
   }
 
+  test("q156: the persisted BPE model round-trips the merge sequence in step order") {
+    val dir = writeMiniDocs(Seq(
+      (0L, "banana bandana banana"), (1L, "cabana banana bandana")))
+    val out = java.nio.file.Files.createTempDirectory("graft_bpe_model").toString
+    TextStats.writeBpeModel(spark, dir, out)
+    val back = spark.read.parquet(out).orderBy("step").collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("freq")))
+    // the artifact must carry the exact learned sequence — steps dense
+    // from 1, pairs and frequencies byte-equal to a retrained run
+    assert(back.nonEmpty && back.map(_._1).toSeq == (1L to back.length).toSeq)
+    val out2 = java.nio.file.Files.createTempDirectory("graft_bpe_model2").toString
+    TextStats.writeBpeModel(spark, dir, out2)
+    val back2 = spark.read.parquet(out2).orderBy("step").collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("freq")))
+    assert(back.toSeq == back2.toSeq) // deterministic producer
+    // 'an' is the dominant pair of this corpus: it must lead the model
+    assert((back.head._2, back.head._3) == (("a", "n")))
+  }
+
   test("q155: merged HLL registers equal the single pass; max-merge tolerates overlap") {
     // disjoint-halves merge is the gated law; this pins the STRONGER
     // property CMS lacks: because registers fold by max (idempotent),
