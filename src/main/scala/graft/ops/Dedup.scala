@@ -801,6 +801,32 @@ object Dedup {
       mergedSpans(ranked.where(col("rn") > 1)))
   }
 
+  /** q157: train-split DECONTAMINATION — the removal half of the
+    * contamination family (q77/q88/q144 DETECT; this EXCISES): every
+    * [[spanK]]-token window of a TRAIN document (q70 buckets < 80)
+    * whose hash appears ANYWHERE in the EVAL split (buckets ≥ 90) is
+    * flagged, flags merge gaps-and-islands into disjoint spans, and the
+    * covered tokens are dropped — the n-gram decontamination rule
+    * (scrub the train set of verbatim eval overlap so benchmark numbers
+    * measure generalization, not memorization of leaked eval text).
+    * Same output shape and machinery as q112 ([[mergedSpans]] +
+    * [[exciseSpans]]); only the flag source differs — overlap with the
+    * eval hash set instead of corpus-wide duplication, and eval docs
+    * themselves are never touched.
+    *
+    * Scale shape: the eval hash set is eval-sized (a benchmark suite —
+    * tiny next to 100 TB of train) and DISTINCT-deduplicated before the
+    * equi-join on the 32-char hash key; excision rewrites only affected
+    * train docs. */
+  lazy val q157_decontaminate: Q = (s, d) => {
+    val docs = docShingles(s, d)
+    val flagged = spanWindowsOf(docs.where(idBucket(col("doc_id")) < 80))
+      .join(spanWindowsOf(docs.where(idBucket(col("doc_id")) >= 90))
+        .select("h").distinct(), "h")
+    val spans = mergedSpans(flagged)
+    exciseSpans(s, d, spans.select("doc_id"), spans)
+  }
+
   /** q86: leakage-safe train/val/test split — the composition a training
     * pipeline actually needs from dedup + splitting: near-duplicate
     * documents must land in the SAME split, or eval is contaminated by
@@ -868,7 +894,8 @@ object Dedup {
     "q112_span_excise" -> q112_span_excise,
     "q113_span_excise_keep_first" -> q113_span_excise_keep_first,
     "q127_span_staleness" -> q127_span_staleness,
-    "q128_span_index_report" -> q128_span_index_report)
+    "q128_span_index_report" -> q128_span_index_report,
+    "q157_decontaminate" -> q157_decontaminate)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -1078,6 +1105,51 @@ object Dedup {
          |                     THEN NULL ELSE d.words[t] END),
          |           x -> x IS NOT NULL) AS kept
          |  FROM docs d JOIN aff USING (doc_id) LEFT JOIN fl f USING (doc_id))
+         |SELECT doc_id, n_tokens,
+         |       CAST(len(kept) AS BIGINT) AS tokens_kept,
+         |       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+         |FROM ex ORDER BY doc_id""".stripMargin),
+    // q112's excision tail over a DIFFERENT flag source: train windows
+    // joined to the eval split's distinct hash set (the contamination
+    // overlap), instead of the corpus-wide dup set
+    "q157_decontaminate" -> withDocs(
+      s""", w AS (
+         |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+         |         unnest(range(1, len(words) - 6)) AS start,
+         |         unnest(list_transform(range(1, len(words) - 6),
+         |           i -> $spanWindowHashSql)) AS h
+         |  FROM docs WHERE len(words) >= 8 AND ${idBucketSql("doc_id")} < 80),
+         |ev AS (
+         |  SELECT DISTINCT h FROM (
+         |    SELECT unnest(list_transform(range(1, len(words) - 6),
+         |             i -> $spanWindowHashSql)) AS h
+         |    FROM docs WHERE len(words) >= 8 AND ${idBucketSql("doc_id")} >= 90)),
+         |flg AS (SELECT w.doc_id, w.start FROM w JOIN ev USING (h)),
+         |led AS (
+         |  SELECT doc_id, start,
+         |         CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL
+         |                OR start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 8
+         |              THEN 1 ELSE 0 END AS new_span
+         |  FROM flg),
+         |isl AS (
+         |  SELECT doc_id, start,
+         |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY start) AS island
+         |  FROM led),
+         |sp AS (
+         |  SELECT doc_id, min(start) AS s, max(start) + 7 AS e
+         |  FROM isl GROUP BY doc_id, island),
+         |fl AS (
+         |  SELECT doc_id, list_sort(list({'s': s, 'e': e})) AS spans
+         |  FROM sp GROUP BY doc_id),
+         |ex AS (
+         |  SELECT d.doc_id,
+         |         CAST(len(d.words) AS BIGINT) AS n_tokens,
+         |         list_filter(list_transform(range(1, len(d.words) + 1),
+         |           t -> CASE WHEN len(list_filter(f.spans,
+         |                       x -> x.s <= t AND t <= x.e)) > 0
+         |                     THEN NULL ELSE d.words[t] END),
+         |           x -> x IS NOT NULL) AS kept
+         |  FROM docs d JOIN fl f USING (doc_id))
          |SELECT doc_id, n_tokens,
          |       CAST(len(kept) AS BIGINT) AS tokens_kept,
          |       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5

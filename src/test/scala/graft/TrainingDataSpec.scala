@@ -474,6 +474,36 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
     assert(got("bb") == ((3L, rbHit, rbEst)))
   }
 
+  test("q157: a planted eval 8-gram is excised from train docs; eval stays untouched") {
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(2).map("%02x".format(_)).mkString, 16) % 100
+    }
+    val trainIds = (0L to 400L).filter(bucket(_) < 80).take(2)
+    val evalId = (0L to 400L).find(bucket(_) >= 90).get
+    val leak = (1 to 8).map(i => s"leak$i").mkString(" ")
+    // train doc 0 embeds the eval 8-gram mid-text; train doc 1 is clean;
+    // the eval doc IS the 8-gram (plus padding to clear the >= 8 floor)
+    val pre = (1 to 4).map(i => s"pre$i").mkString(" ")
+    val post = (1 to 4).map(i => s"post$i").mkString(" ")
+    val dir = writeMiniDocs(Seq(
+      (trainIds(0), s"$pre $leak $post"),
+      (trainIds(1), (1 to 12).map(i => s"clean$i").mkString(" ")),
+      (evalId, s"$leak tail1 tail2")))
+    val got = Dedup.q157_decontaminate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("tokens_kept"),
+          r.getAs[String]("kept_md5")))).toMap
+    // only the contaminated train doc appears; exactly the 8 leaked
+    // tokens go, the pre/post context survives verbatim
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got.keySet == Set(trainIds(0)))
+    assert(got(trainIds(0)) == ((16L, 8L, md5hex(s"$pre $post"))))
+  }
+
   test("q156: the persisted BPE model round-trips the merge sequence in step order") {
     val dir = writeMiniDocs(Seq(
       (0L, "banana bandana banana"), (1L, "cabana banana bandana")))
