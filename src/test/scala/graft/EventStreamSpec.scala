@@ -683,6 +683,39 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("spanProbeStream decontaminates in-flight: eval-hash static side flags a planted leak") {
+    // q157's flag source (the eval split's window hashes) IS a valid
+    // static side for the existing span probe — decontamination at
+    // ingest is pure reuse, pinned here: a document arriving with a
+    // leaked eval 8-gram is flagged at exactly the leak's offsets, a
+    // clean arrival produces no row
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val leak = (1 to 8).map(i => s"leak$i").mkString(" ")
+    val evalDir = writeMiniDocs(Seq((0L, s"$leak tail1 tail2")))
+    val evalHashes = graft.ops.Dedup.spanWindowsOf(
+        spark.read.parquet(s"$evalDir/documents.parquet")
+          .select(col("doc_id"),
+            graft.ops.TextCore.wordsCol(
+              graft.ops.TextCore.normCol(col("text"))).as("words")))
+      .select("h").distinct().localCheckpoint(true)
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.spanProbeStream(input.toDS().toDF("doc_id", "text"), evalHashes)
+      .writeStream.format("memory").queryName("decon_probe").outputMode("append").start()
+    try {
+      val pre = (1 to 4).map(i => s"pre$i").mkString(" ")
+      input.addData((10L, s"$pre $leak more1 more2"),
+        (11L, (1 to 12).map(i => s"clean$i").mkString(" ")))
+      query.processAllAvailable()
+      val got = spark.table("decon_probe").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start"))).sorted
+      // doc 10: 14 tokens, leak at positions 5..12 → only window start 5
+      // hashes to a full leak 8-gram
+      assert(got.toSeq == Seq((10L, 5L)))
+    } finally query.stop()
+  }
+
   test("cmsCellsStream: streamed sketch cells equal the batch sketch after every batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
