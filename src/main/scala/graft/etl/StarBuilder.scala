@@ -782,6 +782,17 @@ object StarBuilder {
           "append would leave it stale (appended files invisible to pruned " +
           "reads) — use appendTableVersionedStats, which grows the manifest")
     }
+    // a hive-partitioned (`k=v/`) snapshot cannot take a flat file
+    // drop-in: appended files at the table root break Spark's partition
+    // discovery ("conflicting directory structures") and the partition
+    // column's inferred type need not match the frame's — a committed
+    // snapshot would be unreadable. Refuse with the remedy.
+    require(!Option(new java.io.File(srcRoot, table).listFiles())
+      .getOrElse(Array.empty)
+      .exists(f => f.isDirectory && f.getName.contains("=")),
+      s"table $table in v=$from has a hive-partitioned layout: a flat append " +
+        "would break partition discovery — commit a fresh snapshot via " +
+        "writeTableVersioned with the same partitionBy instead")
     // merged read: after a prior evolution the table's files carry mixed
     // footers, and the superset check must hold against their UNION
     val existing = df.sparkSession.read.option("mergeSchema", true)

@@ -989,6 +989,45 @@ object Dedup {
        |dup AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
        |flg AS (SELECT w.doc_id, w.n_tokens, w.start FROM w JOIN dup USING (h))""".stripMargin
 
+  /** The excision tail shared VERBATIM by the q112 and q157 oracles:
+    * gaps-and-islands over a `flg` CTE carrying (doc_id, start), the
+    * merged (s, e) span list, and the drop-covered-tokens rewrite —
+    * extracted so a spanK or excision-rule change cannot desynchronize
+    * the two gates (the [[spanWindowCtes]] convention; q113's variant
+    * keeps its own tail — its affected set and rank filter differ). */
+  private lazy val spanExciseTailSql: String =
+    """led AS (
+      |  SELECT doc_id, start,
+      |         CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL
+      |                OR start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 8
+      |              THEN 1 ELSE 0 END AS new_span
+      |  FROM flg),
+      |isl AS (
+      |  SELECT doc_id, start,
+      |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY start) AS island
+      |  FROM led),
+      |sp AS (
+      |  SELECT doc_id, min(start) AS s, max(start) + 7 AS e
+      |  FROM isl GROUP BY doc_id, island),
+      |fl AS (
+      |  SELECT doc_id, list_sort(list({'s': s, 'e': e})) AS spans
+      |  FROM sp GROUP BY doc_id),
+      |ex AS (
+      |  SELECT d.doc_id,
+      |         CAST(len(d.words) AS BIGINT) AS n_tokens,
+      |         list_filter(list_transform(range(1, len(d.words) + 1),
+      |           t -> CASE WHEN len(list_filter(f.spans,
+      |                       x -> x.s <= t AND t <= x.e)) > 0
+      |                     THEN NULL ELSE d.words[t] END),
+      |           x -> x IS NOT NULL) AS kept
+      |  FROM docs d JOIN fl f USING (doc_id))
+      |SELECT doc_id, n_tokens,
+      |       CAST(len(kept) AS BIGINT) AS tokens_kept,
+      |       -- array_to_string([]) is NULL in DuckDB, '' in Spark's
+      |       -- concat_ws: a fully-excised doc must hash md5('')
+      |       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+      |FROM ex ORDER BY doc_id""".stripMargin
+
   /** The q127 window CTE body, parameterized by the idBucket split —
     * same [[spanWindowHashSql]] definition as every other span oracle. */
   private def spanSplitCte(name: String, cond: String) =
@@ -1041,37 +1080,7 @@ object Dedup {
     "q128_span_index_report" -> spanReportSql,
     "q112_span_excise" -> withDocs(
       s"""$spanWindowCtes,
-         |led AS (
-         |  SELECT doc_id, start,
-         |         CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL
-         |                OR start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 8
-         |              THEN 1 ELSE 0 END AS new_span
-         |  FROM flg),
-         |isl AS (
-         |  SELECT doc_id, start,
-         |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY start) AS island
-         |  FROM led),
-         |sp AS (
-         |  SELECT doc_id, min(start) AS s, max(start) + 7 AS e
-         |  FROM isl GROUP BY doc_id, island),
-         |fl AS (
-         |  SELECT doc_id, list_sort(list({'s': s, 'e': e})) AS spans
-         |  FROM sp GROUP BY doc_id),
-         |ex AS (
-         |  SELECT d.doc_id,
-         |         CAST(len(d.words) AS BIGINT) AS n_tokens,
-         |         list_filter(list_transform(range(1, len(d.words) + 1),
-         |           t -> CASE WHEN len(list_filter(f.spans,
-         |                       x -> x.s <= t AND t <= x.e)) > 0
-         |                     THEN NULL ELSE d.words[t] END),
-         |           x -> x IS NOT NULL) AS kept
-         |  FROM docs d JOIN fl f USING (doc_id))
-         |SELECT doc_id, n_tokens,
-         |       CAST(len(kept) AS BIGINT) AS tokens_kept,
-         |       -- array_to_string([]) is NULL in DuckDB, '' in Spark's
-         |       -- concat_ws: a fully-excised doc must hash md5('')
-         |       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
-         |FROM ex ORDER BY doc_id""".stripMargin),
+         |$spanExciseTailSql""".stripMargin),
     "q113_span_excise_keep_first" -> withDocs(
       s"""$spanWindowCtes,
          |rnk AS (
@@ -1125,35 +1134,7 @@ object Dedup {
          |             i -> $spanWindowHashSql)) AS h
          |    FROM docs WHERE len(words) >= 8 AND ${idBucketSql("doc_id")} >= 90)),
          |flg AS (SELECT w.doc_id, w.start FROM w JOIN ev USING (h)),
-         |led AS (
-         |  SELECT doc_id, start,
-         |         CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL
-         |                OR start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 8
-         |              THEN 1 ELSE 0 END AS new_span
-         |  FROM flg),
-         |isl AS (
-         |  SELECT doc_id, start,
-         |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY start) AS island
-         |  FROM led),
-         |sp AS (
-         |  SELECT doc_id, min(start) AS s, max(start) + 7 AS e
-         |  FROM isl GROUP BY doc_id, island),
-         |fl AS (
-         |  SELECT doc_id, list_sort(list({'s': s, 'e': e})) AS spans
-         |  FROM sp GROUP BY doc_id),
-         |ex AS (
-         |  SELECT d.doc_id,
-         |         CAST(len(d.words) AS BIGINT) AS n_tokens,
-         |         list_filter(list_transform(range(1, len(d.words) + 1),
-         |           t -> CASE WHEN len(list_filter(f.spans,
-         |                       x -> x.s <= t AND t <= x.e)) > 0
-         |                     THEN NULL ELSE d.words[t] END),
-         |           x -> x IS NOT NULL) AS kept
-         |  FROM docs d JOIN fl f USING (doc_id))
-         |SELECT doc_id, n_tokens,
-         |       CAST(len(kept) AS BIGINT) AS tokens_kept,
-         |       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
-         |FROM ex ORDER BY doc_id""".stripMargin),
+         |$spanExciseTailSql""".stripMargin),
     "q31_dedup_exact" -> withDocs(
       """SELECT md5(norm) AS fp, min(doc_id) AS keep_id,
         |       CAST(count(*) AS BIGINT) AS n_copies

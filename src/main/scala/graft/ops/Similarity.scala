@@ -71,12 +71,7 @@ object Similarity {
     * (the q36 rule: rankings see raw, output rounds to 4). */
   lazy val q154_embedding_outliers: Q = (s, d) => {
     val all = vecs(s, d)
-    val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
-    all.where(col("vec_id") >= numCentroids)
-      .crossJoin(broadcast(seedCents(all)))
-      .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+    rankAgainstScored(all.where(col("vec_id") >= numCentroids), seedCents(all), 1)
       .orderBy(col("c_cos").asc, col("vec_id").asc)
       .limit(20)
       .select(col("vec_id"), col("c_id").as("bucket"),
@@ -99,14 +94,19 @@ object Similarity {
     * derives from: rn = 1 is the bucket assignment, rn ≤ p a query's probe
     * set. One corpus × centroids cross join per call. `cents` must be tiny
     * (it is broadcast): a codebook, never data. */
-  private def rankAgainst(all: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
+  private def rankAgainstScored(all: DataFrame, cents: DataFrame, keep: Int): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)
     all.crossJoin(broadcast(cents))
       .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= keep)
-      .select(col("vec_id"), col("c_id"), col("rn"))
+      .select(col("vec_id"), col("c_id"), col("rn"), col("c_cos"))
   }
+
+  /** [[rankAgainstScored]] minus the score — the narrow frame every IVF
+    * consumer checkpoints/joins; q154 is the one score consumer. */
+  private def rankAgainst(all: DataFrame, cents: DataFrame, keep: Int): DataFrame =
+    rankAgainstScored(all, cents, keep).drop("c_cos")
 
   /** The seed (training-free) codebook: the 16 vectors with vec_id < 16. */
   private def seedCents(all: DataFrame): DataFrame =

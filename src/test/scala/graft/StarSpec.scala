@@ -713,6 +713,13 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
         org.apache.spark.sql.functions.input_file_name()).distinct()
       .collect().map(_.getString(0))
     assert(files.nonEmpty && files.forall(_.contains("y=2024")))
+    // a flat append onto the hive layout would break partition
+    // discovery on the committed snapshot — refused with the remedy
+    val e = intercept[IllegalArgumentException] {
+      StarBuilder.appendTableVersioned(
+        Seq((4L, 2025L, 40L)).toDF("k", "y", "n"), wh, "t", from = v2)
+    }
+    assert(e.getMessage.contains("hive-partitioned"))
   }
 
   test("mergeInto raises on duplicate source keys, matched or not") {
