@@ -510,6 +510,11 @@ object Dedup {
     * copying, shorter windows flag idiom. */
   private[graft] val spanK = 8
 
+  /** The WITHIN-document repetition window (q158): boilerplate inside
+    * one page is short (menu items, repeated headers), so the self-pass
+    * runs at 3 tokens where the cross-document family demands 8. */
+  private[graft] val selfSpanK = 3
+
   /** (doc_id, n_tokens, start, h): every rolling [[spanK]]-token window
     * (stride 1) of every document, hashed in place with its start
     * position — q88's machinery generalized from the train/test cut to
@@ -526,8 +531,12 @@ object Dedup {
     * so batch and stream hashes can never drift (the withBandKeys
     * convention). Stateless per-row expressions — safe under a
     * streaming plan. */
-  private[graft] def spanWindowsOf(docs: DataFrame): DataFrame = {
-    val k = spanK
+  private[graft] def spanWindowsOf(docs: DataFrame): DataFrame =
+    spanWindowsOfK(docs, spanK)
+
+  /** [[spanWindowsOf]] at an arbitrary window size — q158's within-doc
+    * pass runs at [[selfSpanK]] (repeated boilerplate is short). */
+  private[graft] def spanWindowsOfK(docs: DataFrame, k: Int): DataFrame = {
     val wins = when(size(col("words")) >= k,
       transform(sequence(lit(1), size(col("words")) - (k - 1)),
         i => struct(i.cast("long").as("start"),
@@ -709,8 +718,7 @@ object Dedup {
     * window duplicated) collapses to ONE span, where a raw starts list
     * would make the test quadratic in document length. Input must carry
     * (doc_id, start). */
-  private def mergedSpans(flagged: DataFrame): DataFrame = {
-    val k = spanK
+  private def mergedSpans(flagged: DataFrame, k: Int = spanK): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("start")
     flagged
       .withColumn("prev", lag(col("start"), 1).over(byDoc))
@@ -799,6 +807,38 @@ object Dedup {
       .localCheckpoint(true)
     exciseSpans(s, d, ranked.select("doc_id").distinct(),
       mergedSpans(ranked.where(col("rn") > 1)))
+  }
+
+  /** q158: WITHIN-document self-repetition excision — the repair rung
+    * under q76's Gopher-style detector: q76 DROPS a degenerate document
+    * wholesale; this keeps the document and collapses its internal
+    * repetition instead (navigation menus, repeated headers, scraper
+    * stutter — the within-page boilerplate that survives corpus-level
+    * dedup because no OTHER document shares it). Every [[spanK]]-token
+    * window hash is ranked WITHIN its (doc, hash) group by start; only
+    * rank > 1 is excised — the q113 keep-first semantics at document
+    * scope, so each repeated span survives exactly once where its
+    * later copies stood.
+    *
+    * The window is [[selfSpanK]] = 3 tokens, NOT the corpus family's 8:
+    * within-page boilerplate (menu items, repeated headers) is short,
+    * and an 8-token window would demand verbatim 8-gram stutter a
+    * generator or scraper rarely produces inside one page — measured:
+    * this corpus has zero within-doc 8-gram repeats but a live 3-gram
+    * tail, so the 3-token pass is the one that earns its keep.
+    *
+    * Scale shape: strictly cheaper than the corpus-level family — the
+    * rank shuffles on (doc_id, hash), a doc-local key, and there is NO
+    * corpus-wide dup-hash table at all; excision rewrites only
+    * documents that repeat themselves. */
+  lazy val q158_self_excise: Q = (s, d) => {
+    val byDocHash = Window.partitionBy("doc_id", "h").orderBy("start")
+    val repeats = spanWindowsOfK(docShingles(s, d), selfSpanK)
+      .withColumn("rn", row_number().over(byDocHash))
+      .where(col("rn") > 1)
+      .select("doc_id", "start")
+    val spans = mergedSpans(repeats, selfSpanK)
+    exciseSpans(s, d, spans.select("doc_id"), spans)
   }
 
   /** q157: train-split DECONTAMINATION — the removal half of the
@@ -895,7 +935,8 @@ object Dedup {
     "q113_span_excise_keep_first" -> q113_span_excise_keep_first,
     "q127_span_staleness" -> q127_span_staleness,
     "q128_span_index_report" -> q128_span_index_report,
-    "q157_decontaminate" -> q157_decontaminate)
+    "q157_decontaminate" -> q157_decontaminate,
+    "q158_self_excise" -> q158_self_excise)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -995,11 +1036,15 @@ object Dedup {
     * extracted so a spanK or excision-rule change cannot desynchronize
     * the two gates (the [[spanWindowCtes]] convention; q113's variant
     * keeps its own tail — its affected set and rank filter differ). */
-  private lazy val spanExciseTailSql: String =
-    """led AS (
+  private lazy val spanExciseTailSql: String = spanExciseTail(spanK)
+
+  /** The tail at an arbitrary window size — q158's within-doc pass
+    * excises [[selfSpanK]]-token spans through the same fragment. */
+  private def spanExciseTail(k: Int): String =
+    s"""led AS (
       |  SELECT doc_id, start,
       |         CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL
-      |                OR start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 8
+      |                OR start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > $k
       |              THEN 1 ELSE 0 END AS new_span
       |  FROM flg),
       |isl AS (
@@ -1007,7 +1052,7 @@ object Dedup {
       |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY start) AS island
       |  FROM led),
       |sp AS (
-      |  SELECT doc_id, min(start) AS s, max(start) + 7 AS e
+      |  SELECT doc_id, min(start) AS s, max(start) + ${k - 1} AS e
       |  FROM isl GROUP BY doc_id, island),
       |fl AS (
       |  SELECT doc_id, list_sort(list({'s': s, 'e': e})) AS spans
@@ -1118,6 +1163,21 @@ object Dedup {
          |       CAST(len(kept) AS BIGINT) AS tokens_kept,
          |       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
          |FROM ex ORDER BY doc_id""".stripMargin),
+    // the shared excision tail at the selfSpanK window: 3-gram windows
+    // ranked inside their (doc, hash) group, rank > 1 excised
+    "q158_self_excise" -> withDocs(
+      s""", w AS (
+         |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+         |         unnest(range(1, len(words) - ${selfSpanK - 2})) AS start,
+         |         unnest(list_transform(range(1, len(words) - ${selfSpanK - 2}),
+         |           i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS h
+         |  FROM docs WHERE len(words) >= $selfSpanK),
+         |rnk AS (
+         |  SELECT doc_id, start,
+         |         row_number() OVER (PARTITION BY doc_id, h ORDER BY start) AS rn
+         |  FROM w),
+         |flg AS (SELECT doc_id, start FROM rnk WHERE rn > 1),
+         |${spanExciseTail(selfSpanK)}""".stripMargin),
     // q112's excision tail over a DIFFERENT flag source: train windows
     // joined to the eval split's distinct hash set (the contamination
     // overlap), instead of the corpus-wide dup set

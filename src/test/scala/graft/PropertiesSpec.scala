@@ -88,6 +88,40 @@ class PropertiesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("mergeInto law: result = source rows + untouched base remainder, minus deletes") {
+    import spark.implicits._
+    import graft.etl.StarBuilder.mergeInto
+    // the MERGE algebra on random key-unique frames with overlapping
+    // keys and null-heavy values: without a delete clause the result is
+    // exactly src ∪ base⟨keys ∉ src⟩; with one, matched source rows
+    // satisfying it vanish while unmatched ones still insert (ANSI)
+    val snapGen = Gen.mapOfN(30, for {
+      k <- Gen.chooseNum(0L, 40L)
+      s <- Gen.option(Gen.oneOf("a", "b", "c"))
+      x <- Gen.option(Gen.chooseNum(-5.0, 5.0))
+    } yield k -> (s, x))
+    (1 to 5).foreach { _ =>
+      val (baseM, srcM) = (snapGen.sample.get, snapGen.sample.get)
+      val base = baseM.toSeq.map { case (k, (s, x)) => (k, s, x) }.toDF("k", "s", "x")
+      val src = srcM.toSeq.map { case (k, (s, x)) => (k, s, x) }.toDF("k", "s", "x")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[Long]("k"), Option(r.getAs[String]("s")),
+          Option(r.getAs[java.lang.Double]("x")).map(_.doubleValue))).toSet
+      val plain = rows(mergeInto(base, src, Seq("k")))
+      val want = srcM.map { case (k, (s, x)) => (k, s, x) }.toSet ++
+        baseM.filterNot { case (k, _) => srcM.contains(k) }
+          .map { case (k, (s, x)) => (k, s, x) }
+      assert(plain == want)
+      // delete clause: matched src rows with x > 0 go; unmatched insert
+      val del = rows(mergeInto(base, src, Seq("k"),
+        Some(col("x") > 0.0)))
+      val wantDel = want -- srcM.collect {
+        case (k, (s, x)) if baseM.contains(k) && x.exists(_ > 0.0) => (k, s, x)
+      }
+      assert(del == wantDel)
+    }
+  }
+
   test("IVM delta fold equals from-scratch recompute on random fact splits") {
     import spark.implicits._
     import graft.etl.StarBuilder.maintainStudentSummary

@@ -504,6 +504,23 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
     assert(got(trainIds(0)) == ((16L, 8L, md5hex(s"$pre $post"))))
   }
 
+  test("q158: a repeated in-doc 3-gram loses its later copy; the first survives") {
+    // doc 0: "m1 m2 m3 f1 f2 m1 m2 m3" — the menu trigram repeats at
+    // starts 1 and 6; keep-first excises [6, 8] only. doc 1 is clean.
+    val dir = writeMiniDocs(Seq(
+      (0L, "m1 m2 m3 f1 f2 m1 m2 m3"),
+      (1L, "c1 c2 c3 c4 c5 c6 c7 c8")))
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val got = Dedup.q158_self_excise(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("tokens_kept"),
+          r.getAs[String]("kept_md5")))).toMap
+    assert(got.keySet == Set(0L))
+    assert(got(0L) == ((8L, 5L, md5hex("m1 m2 m3 f1 f2"))))
+  }
+
   test("q156: the persisted BPE model round-trips the merge sequence in step order") {
     val dir = writeMiniDocs(Seq(
       (0L, "banana bandana banana"), (1L, "cabana banana bandana")))
