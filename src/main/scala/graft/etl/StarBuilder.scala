@@ -731,6 +731,55 @@ object StarBuilder {
     publishSnapshot(warehouse, txn)
   }
 
+  /** Constraint-checked snapshot commit — Delta CHECK constraints / DLT
+    * expectations over the versioned log: every row is tested against
+    * every named constraint (SQL CHECK semantics: a row violates only
+    * when the expression evaluates to literal FALSE — NULL/unknown
+    * passes, the ANSI rule).
+    *  - `failFast = true`: ANY violation aborts BEFORE the claim — no
+    *    version is committed and the exception carries per-constraint
+    *    counts (the CHECK-constraint contract: bad data never becomes
+    *    a resolvable snapshot).
+    *  - `failFast = false`: valid rows commit as `table`, violators
+    *    land beside them as `<table>_quarantine` carrying a
+    *    `_violated` array naming the failed constraints — BOTH inside
+    *    ONE atomic snapshot commit (the A18 dead-letter rule at
+    *    warehouse grain: malformed rows are routed, never silently
+    *    dropped, and readers can never observe accepted rows without
+    *    their quarantine ledger).
+    * Scale shape: one validation pass (the constraint columns ride the
+    * write projection — no second scan); the fail-fast count is a
+    * #constraints-row aggregate. Returns the committed version. */
+  def writeTableVersionedChecked(df: DataFrame, warehouse: String, table: String,
+      constraints: Seq[(String, Column)], failFast: Boolean = true): Long = {
+    require(constraints.nonEmpty, "writeTableVersionedChecked needs >= 1 constraint")
+    require(!df.columns.contains("_violated"),
+      "_violated is reserved for the quarantine ledger")
+    val tagged = df.withColumn("_violated",
+      array_compact(array(constraints.map { case (n, c) =>
+        when(c <=> lit(false), lit(n)) }: _*)))
+    if (failFast) {
+      val counts = tagged.select(explode(col("_violated")).as("c"))
+        .groupBy("c").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}")
+      if (counts.nonEmpty)
+        throw new IllegalStateException(
+          s"constraint violations in $table, nothing committed: " +
+            counts.sorted.mkString(", "))
+      writeTableVersioned(df, warehouse, table)
+    } else {
+      val txn = stageDir(warehouse)
+      val persisted = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+      persisted.where(size(col("_violated")) === 0).drop("_violated")
+        .write.mode("overwrite").parquet(new java.io.File(txn, table).toString)
+      persisted.where(size(col("_violated")) > 0)
+        .write.mode("overwrite")
+        .parquet(new java.io.File(txn, s"${table}_quarantine").toString)
+      persisted.unpersist()
+      publishSnapshot(warehouse, txn)
+    }
+  }
+
   /** [[writeTableVersioned]] for content DERIVED from version `from` (a
     * CDC apply, any read-modify-write): commits exactly `from + 1`, or
     * throws ConcurrentModificationException if a concurrent writer
@@ -1031,6 +1080,45 @@ object StarBuilder {
       v
     }
     readAt(s, wh, "student_summary", Some(vm)).orderBy("student")
+  }
+
+  /** q159: CONSTRAINT-CHECKED commit inside the correctness gate — the
+    * quarantine arm of [[writeTableVersionedChecked]] on real data: the
+    * fact commits under two expectations ('positive_sks': sks > 0 —
+    * satisfied corpus-wide; 'known_grade': bobot > 0 — the RO grade
+    * rows violate), and the gate reads BOTH tables back through the
+    * version log: accepted count, quarantined count, and per-constraint
+    * violation counts served from the quarantine ledger's `_violated`
+    * arrays. The oracle restates the expectations as conditional
+    * aggregates over the raw fact, so a routing error on either side of
+    * the split — or a ledger that lost a constraint name — fails the
+    * hash. Build is session-invariant (memoized commit); reps pay the
+    * two log-resolved reads. */
+  val q159_checked_commit: Q = (s, d) => {
+    import s.implicits._
+    val wh = scratchDir(s, d, "checked")
+    graft.BuildPhase.timed {
+      graft.SessionMemo.once(s, d, "checked:wh") {
+        writeTableVersionedChecked(Star.fact(s, d), wh, "fact",
+          constraints = Seq(
+            "positive_sks" -> (col("sks") > 0),
+            "known_grade" -> (col("bobot") > 0)),
+          failFast = false)
+        ()
+      }
+    }
+    val accepted = readAt(s, wh, "fact")
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit("accepted").as("name"), col("n_rows"))
+    val quarantine = readAt(s, wh, "fact_quarantine")
+    val quarantined = quarantine.agg(count(lit(1)).as("n_rows"))
+      .select(lit("quarantined").as("name"), col("n_rows"))
+    val perConstraint = quarantine
+      .select(explode(col("_violated")).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n_rows"))
+      .select(concat(lit("viol_"), col("c")).as("name"), col("n_rows"))
+    accepted.unionByName(quarantined).unionByName(perConstraint)
+      .orderBy("name")
   }
 
   /** q150: MERGE INTO over the student summary — all four branches of
@@ -1604,7 +1692,8 @@ object StarBuilder {
     "q139_stats_append" -> q139_stats_append,
     "q149_schema_evolution" -> q149_schema_evolution,
     "q150_merge_upsert" -> q150_merge_upsert,
-    "q153_merge_versioned" -> q153_merge_versioned)
+    "q153_merge_versioned" -> q153_merge_versioned,
+    "q159_checked_commit" -> q159_checked_commit)
 
   /** q49's per-table-count oracle, shared VERBATIM by q115: the
     * versioned lifecycle (write → compact → vacuum → readAt) must
@@ -1729,7 +1818,28 @@ object StarBuilder {
     "q150_merge_upsert" -> mergeUpsertSql,
     // q150's oracle VERBATIM: the stage→claim→commit→resolve round trip
     // through the version log must not change a row
-    "q153_merge_versioned" -> mergeUpsertSql)
+    "q153_merge_versioned" -> mergeUpsertSql,
+    // the expectations restated as conditional aggregates over the raw
+    // fact: accepted = all constraints hold, quarantined = any fails,
+    // per-constraint = rows where THAT expression is literal FALSE
+    // (NULL passes — the ANSI CHECK rule on both sides)
+    "q159_checked_commit" -> withFact(
+      """SELECT * FROM (
+        |  SELECT 'accepted' AS name,
+        |         CAST(count(*) FILTER (sks > 0 AND bobot > 0) AS BIGINT) AS n_rows
+        |  FROM fact
+        |  UNION ALL
+        |  SELECT 'quarantined',
+        |         CAST(count(*) FILTER (NOT (sks > 0) OR NOT (bobot > 0)) AS BIGINT)
+        |  FROM fact
+        |  UNION ALL
+        |  SELECT 'viol_known_grade',
+        |         CAST(count(*) FILTER (NOT (bobot > 0)) AS BIGINT) FROM fact
+        |  UNION ALL
+        |  SELECT 'viol_positive_sks',
+        |         CAST(count(*) FILTER (NOT (sks > 0)) AS BIGINT) FROM fact)
+        |WHERE n_rows > 0 OR name IN ('accepted', 'quarantined')
+        |ORDER BY name""".stripMargin))
 
   /** The q150 MERGE oracle, shared VERBATIM by q153 (the same merge run
     * through the version log). */

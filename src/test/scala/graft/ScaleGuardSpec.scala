@@ -146,7 +146,7 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     val fresh = Seq("q147_cms_topk", "q148_nb_langid", "q149_schema_evolution",
       "q150_merge_upsert", "q151_cms_merge", "q152_hll_registers",
       "q153_merge_versioned", "q155_hll_merge", "q156_bpe_model_serve",
-      "q157_decontaminate", "q158_self_excise")
+      "q157_decontaminate", "q158_self_excise", "q159_checked_commit")
     val degraded = fresh.flatMap { name =>
       val p = plan(name)
       if (p.collect { case c: CartesianProductExec => c

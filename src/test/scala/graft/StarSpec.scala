@@ -722,6 +722,38 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("hive-partitioned"))
   }
 
+  test("checked commit: fail-fast refuses before the claim; quarantine routes atomically; NULL passes") {
+    import spark.implicits._
+    import graft.etl.StarBuilder
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files.createTempDirectory("graft_checked").toString
+    val df = Seq((1L, Option(5.0)), (2L, Option(-1.0)), (3L, Option.empty[Double]))
+      .toDF("k", "x")
+    // fail-fast: the violation aborts BEFORE any claim — the log stays
+    // empty, bad data never becomes a resolvable snapshot
+    val e = intercept[IllegalStateException] {
+      StarBuilder.writeTableVersionedChecked(df, wh, "t",
+        Seq("pos_x" -> (col("x") > 0)))
+    }
+    assert(e.getMessage.contains("pos_x=1"))
+    assert(StarBuilder.committedVersions(wh).isEmpty)
+    // quarantine mode: ONE atomic commit carrying both tables; the NULL
+    // row PASSES (ANSI CHECK: only literal FALSE violates)
+    val v = StarBuilder.writeTableVersionedChecked(df, wh, "t",
+      Seq("pos_x" -> (col("x") > 0)), failFast = false)
+    assert(StarBuilder.committedVersions(wh) == Seq(v))
+    assert(StarBuilder.readAt(spark, wh, "t", Some(v))
+      .collect().map(_.getAs[Long]("k")).toSet == Set(1L, 3L))
+    val q = StarBuilder.readAt(spark, wh, "t_quarantine", Some(v)).collect()
+    assert(q.map(_.getAs[Long]("k")).toSeq == Seq(2L))
+    assert(q.head.getAs[scala.collection.Seq[String]]("_violated").toSeq == Seq("pos_x"))
+    // a clean frame under fail-fast commits normally
+    val v2 = StarBuilder.writeTableVersionedChecked(
+      Seq((9L, Option(1.0))).toDF("k", "x"), wh, "t",
+      Seq("pos_x" -> (col("x") > 0)))
+    assert(v2 == v + 1)
+  }
+
   test("mergeInto raises on duplicate source keys, matched or not") {
     import spark.implicits._
     import graft.etl.StarBuilder.mergeInto
