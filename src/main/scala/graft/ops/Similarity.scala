@@ -1094,14 +1094,121 @@ object Similarity {
     * corpus-wide (q35). */
   private val semDedupTau = 0.45
 
+  /** SemDeDup k policy (r10 verdict item 1): the cluster count SCALES
+    * with the corpus — k = max(seed 16, ⌈n / semTargetBucketRows⌉) — so
+    * expected bucket membership stays flat as n grows (Abbas et al.
+    * 2023's regime: ~10⁴–10⁵ clusters at web scale), instead of a fixed
+    * k whose buckets grow linearly in n and make the in-bucket pairwise
+    * join Θ(n²/k). At the driver's gate scales (n = 500 / 2 000) the
+    * policy resolves to the seed 16, so gated output is unchanged; at
+    * 100 TB (n ~ 10⁹ vectors) it yields k ~ 2.5×10⁵ — the codebook is
+    * then the q99/q101 trained-Lloyd artifact rather than the first-k
+    * seed, but the policy (and the cap below) is the same. */
+  private[graft] val semTargetBucketRows = 4096L
+
+  /** SemDeDup hard per-shard row cap: ANY bucket larger than this —
+    * codebook skew, a degenerate corpus (all-near-identical vectors
+    * collapse into one cluster no matter how large k is) — is
+    * hash-sub-sharded into ⌈rows/cap⌉ shards before the pairwise join,
+    * bounding candidate pairs by shards·cap² ≈ rows·cap instead of
+    * rows². The cost is recall: a near-dup pair split across shards is
+    * not compared (measured q145-style by [[semDedupCapRecall]] and the
+    * planted-skew spec). At gate scales no bucket approaches the cap,
+    * so the shard column is constant 0 and output is unchanged. */
+  private[graft] val semBucketCap = 8192L
+
+  /** The seed codebook generalized to k entries (vec_id < k) — the k=16
+    * form is [[seedCents]]; the SemDeDup k policy picks k from n. */
+  private def seedCentsK(all: DataFrame, k: Int): DataFrame =
+    all.where(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+
+  private val corpusNCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  /** Corpus cardinality, session-memoized (one metadata-cheap count per
+    * (session, dir) — the k policy needs n before building the plan). */
+  private def corpusSize(s: SparkSession, d: String): Long =
+    corpusNCache.getOrElseUpdate((s, d), vecs(s, d).count())
+
+  /** The scaled cluster count for a corpus of n vectors (see
+    * [[semTargetBucketRows]]). */
+  private[graft] def semNumCentroids(n: Long): Int =
+    math.max(numCentroids.toLong,
+      (n + semTargetBucketRows - 1) / semTargetBucketRows).toInt
+
+  /** The capped candidate-pair frame for cluster-scoped semantic dedup:
+    * count bucket membership (a kilobyte aggregate, broadcast back),
+    * sub-shard any bucket over `cap` by pmod(vec_id, shards), and
+    * self-join on (c_id, shard) keeping y_id < vec_id. This is the ONLY
+    * quadratic step in the SemDeDup family and the cap is what keeps it
+    * from degenerating: with shards = ⌈rows/cap⌉ the per-bucket
+    * candidate count is Σ_shard C(shardRows, 2) ≤ shards·cap²/2 — linear
+    * in bucket rows at fixed cap, never rows². `av` carries
+    * (vec_id, c_id, v, nrm). Package-visible so the planted-skew spec
+    * can count these rows directly. */
+  private[graft] def semCandidates(av: DataFrame, cap: Long): DataFrame = {
+    val shardCnt = av.groupBy("c_id")
+      .agg(count(lit(1)).as("b_rows"))
+      .select(col("c_id"),
+        ceil(col("b_rows").cast("double") / cap).cast("long").as("n_shards"))
+    val sharded = av.join(broadcast(shardCnt), "c_id")
+      .withColumn("shard", pmod(col("vec_id"), col("n_shards")))
+    val x = sharded.select(col("vec_id"), col("c_id"), col("shard"),
+      col("v"), col("nrm"))
+    val y = sharded.select(col("vec_id").as("y_id"), col("c_id"),
+      col("shard"), col("v").as("yv"), col("nrm").as("yn"))
+    x.join(y, Seq("c_id", "shard")).where(col("y_id") < col("vec_id"))
+  }
+
+  /** Drop decisions over [[semCandidates]]: (vec_id, c_id, kept) — a
+    * vector is dropped iff SOME lower-id same-(bucket, shard) neighbor
+    * is ≥ τ similar (keep-lowest-id, the q31/q113 keep-first
+    * convention). Shared by q142 and the skew/recall specs. */
+  private[graft] def semDeDup(av: DataFrame, tau: Double, cap: Long): DataFrame = {
+    val dropped = semCandidates(av, cap)
+      .where(dot(col("v"), col("yv")) / (col("nrm") * col("yn")) >= tau)
+      .select("vec_id").distinct()
+    av.select(col("vec_id"), col("c_id"))
+      .join(dropped.withColumn("drp", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"),
+        when(col("drp").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
+  /** q145-style measured cost of the [[semBucketCap]] sub-shard: one row
+    * (n_bucket_dropped, n_capped_dropped, recall) comparing the capped
+    * drop set against the UNCAPPED within-bucket drop set (cap = ∞ — the
+    * pre-r11 q142 semantics). recall = |capped ∩ bucket| / |bucket|,
+    * NULL when the uncapped pass drops nothing (the q60 0/0 guard).
+    * Every approximate path in this engine ships with its measured
+    * accuracy (q60/q63/q85/q145); this is the cap's. */
+  private[graft] def semDedupCapRecall(av: DataFrame, tau: Double,
+      cap: Long): DataFrame = {
+    val exact = semDeDup(av, tau, Long.MaxValue)
+      .where(col("kept") === 0).select("vec_id")
+    val capped = semDeDup(av, tau, cap)
+      .where(col("kept") === 0).select(col("vec_id").as("c_vec"))
+    exact.join(capped, col("vec_id") === col("c_vec"), "left")
+      .agg(count(lit(1)).as("n_bucket_dropped"),
+        count(col("c_vec")).as("n_capped_dropped"))
+      .withColumn("recall",
+        when(col("n_bucket_dropped") === 0, lit(null).cast("double"))
+          .otherwise(round4(col("n_capped_dropped").cast("double") /
+            col("n_bucket_dropped").cast("double"))))
+  }
+
   /** q142: SemDeDup — semantic deduplication at CLUSTER scope (Abbas et
     * al. 2023: k-means-cluster the embedding corpus, compare pairs only
     * within clusters, keep one representative per semantic-duplicate
-    * relation). The cluster is the engine's IVF seed-codebook
-    * assignment (q37/q67's bucket), so the quadratic step is bounded by
-    * the largest bucket and never sees the corpus — the c_id equi-join
-    * IS the SemDeDup trick, and at 100 TB the bucket count grows with
-    * the corpus (the √n rule) to keep per-bucket membership flat.
+    * relation). The cluster is the engine's IVF codebook assignment
+    * (q37/q67's bucket) with the cluster count SCALED to the corpus by
+    * the [[semNumCentroids]] policy (k = ⌈n/4096⌉, floored at the seed
+    * 16 — at the gate scales this resolves to exactly the q37 seed
+    * codebook), and every bucket is hard-capped at [[semBucketCap]] rows
+    * by hash sub-sharding before the pairwise join — so the quadratic
+    * step is bounded by shards·cap², never bucket², even under codebook
+    * skew (the planted-skew spec pins the bound; [[semDedupCapRecall]]
+    * measures what the cap costs).
     * Similarity is raw cosine at the q35 near-dup threshold; the
     * representative is keep-lowest-vec_id (the q31/q113 keep-first
     * convention — deterministic where the paper's
@@ -1112,21 +1219,18 @@ object Similarity {
     * survive by design (the paper's stated recall trade); q35 is the
     * corpus-wide exact baseline that measures what cluster scoping
     * misses. */
-  lazy val q142_semdedup: Q = (s, d) => {
+  lazy val q142_semdedup: Q = (s, d) =>
+    semDeDup(semAv(s, d), semDedupTau, semBucketCap).orderBy("vec_id")
+
+  /** q142's assignment frame (vec_id, c_id, v, nrm) under the scaled-k
+    * codebook — package-visible so the skew spec can assert the
+    * gate-scale cap invariance with [[semDedupCapRecall]] on the REAL
+    * corpus, not just planted frames. */
+  private[graft] def semAv(s: SparkSession, d: String): DataFrame = {
     val all = vecs(s, d)
-    val av = assignments(all, seedCents(all)).join(all, "vec_id")
-    val x = av.select(col("vec_id"), col("c_id"), col("v"), col("nrm"))
-    val y = av.select(col("vec_id").as("y_id"), col("c_id"),
-      col("v").as("yv"), col("nrm").as("yn"))
-    val dropped = x.join(y, Seq("c_id"))
-      .where(col("y_id") < col("vec_id") &&
-        dot(col("v"), col("yv")) / (col("nrm") * col("yn")) >= semDedupTau)
-      .select("vec_id").distinct()
-    x.select(col("vec_id"), col("c_id"))
-      .join(dropped.withColumn("drp", lit(1L)), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("c_id"),
-        when(col("drp").isNull, 1L).otherwise(0L).as("kept"))
-      .orderBy("vec_id")
+    val k = semNumCentroids(corpusSize(s, d))
+    assignments(all, seedCentsK(all, k)).join(all, "vec_id")
+      .select(col("vec_id"), col("c_id"), col("v"), col("nrm"))
   }
 
   /** q144: SEMANTIC train/eval contamination — the embedding rung of
