@@ -261,14 +261,22 @@ object StarBuilder {
     committedVersions(warehouse).lastOption
 
   /** The commit history: (version, commit epoch-millis), log order. The
-    * commit INSTANT is the `_log` marker's mtime — the marker is the
-    * atomic publish step ([[publishSnapshot]]), so its timestamp is by
-    * construction the moment the snapshot became visible (data-file
-    * mtimes predate it and staging dirs never surface). Planning-sized:
-    * one row per commit. */
+    * commit INSTANT is the `_log` marker's BODY — [[commitMarker]]
+    * stamps the publish-time epoch-millis into the marker at creation,
+    * so TIMESTAMP-AS-OF boundaries survive coarse filesystem timestamp
+    * granularity (1 s on some filesystems) and mtime-losing restores
+    * (cp without -p, object-store downloads). Markers written before
+    * r11 are zero-byte; those fall back to mtime (r10 advice — the
+    * filter+max resolution in [[versionAsOf]] already tolerates the
+    * reordering a fallback can introduce). Planning-sized: one row per
+    * commit. */
   def history(warehouse: String): Seq[(Long, Long)] =
     committedVersions(warehouse).map { v =>
-      v -> new java.io.File(s"$warehouse/_log/$v.commit").lastModified()
+      val f = new java.io.File(s"$warehouse/_log/$v.commit")
+      val body = try new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+      catch { case _: java.io.IOException => "" }
+      v -> (if (body.matches("^[0-9]+$")) body.toLong else f.lastModified())
     }
 
   /** Resolve the snapshot that was LATEST as of `epochMillis` — the
@@ -302,7 +310,8 @@ object StarBuilder {
     * flat [[writeAll]] lacks (Delta/Iceberg being unresolvable offline,
     * SURVEY §8): every refresh lands in a fresh `$warehouse/v=<n>/`
     * snapshot, and ONLY after every table directory is fully written
-    * does the zero-byte commit marker `_log/<n>.commit` appear (the
+    * does the commit marker `_log/<n>.commit` appear, its body the
+    * commit epoch-millis (the
     * [[publishSnapshot]] claim-then-commit protocol: snapshot staged in
     * a writer-private dot-dir, version number claimed by atomic rename,
     * marker created create-if-absent; an object store swaps the rename
@@ -463,7 +472,14 @@ object StarBuilder {
   private def commitMarker(warehouse: String, v: Long): Long = {
     val log = new java.io.File(s"$warehouse/_log")
     log.mkdirs()
-    java.nio.file.Files.createFile(new java.io.File(log, s"$v.commit").toPath)
+    // CREATE_NEW keeps create-if-absent as the atomic claim; the body
+    // carries the commit epoch-millis so [[history]] does not depend on
+    // filesystem mtime granularity (a reader racing the claim may see
+    // the marker momentarily empty — history()'s mtime fallback covers
+    // that window, and the instant it falls back to is the same write)
+    java.nio.file.Files.write(new java.io.File(log, s"$v.commit").toPath,
+      String.valueOf(System.currentTimeMillis()).getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
     v
   }
 
@@ -759,14 +775,22 @@ object StarBuilder {
       array_compact(array(constraints.map { case (n, c) =>
         when(c <=> lit(false), lit(n)) }: _*)))
     if (failFast) {
-      val counts = tagged.select(explode(col("_violated")).as("c"))
-        .groupBy("c").count().collect()
-        .map(r => s"${r.getString(0)}=${r.getLong(1)}")
-      if (counts.nonEmpty)
-        throw new IllegalStateException(
-          s"constraint violations in $table, nothing committed: " +
-            counts.sorted.mkString(", "))
-      writeTableVersioned(df, warehouse, table)
+      // persist so the rows the validation saw are EXACTLY the rows the
+      // commit writes: recomputing `df` for the write would let a
+      // non-deterministic source pass validation yet commit violating
+      // rows (r10 advice — the 'bad data never becomes a resolvable
+      // snapshot' contract holds against rand()/concurrent inputs too)
+      val persisted = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val counts = persisted.select(explode(col("_violated")).as("c"))
+          .groupBy("c").count().collect()
+          .map(r => s"${r.getString(0)}=${r.getLong(1)}")
+        if (counts.nonEmpty)
+          throw new IllegalStateException(
+            s"constraint violations in $table, nothing committed: " +
+              counts.sorted.mkString(", "))
+        writeTableVersioned(persisted.drop("_violated"), warehouse, table)
+      } finally persisted.unpersist()
     } else {
       val txn = stageDir(warehouse)
       val persisted = tagged.persist(StorageLevel.MEMORY_AND_DISK)

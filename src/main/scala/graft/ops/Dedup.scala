@@ -854,6 +854,16 @@ object Dedup {
     * eval hash set instead of corpus-wide duplication, and eval docs
     * themselves are never touched.
     *
+    * Scope (deliberate, r10 advice): the q70 VALIDATION split (buckets
+    * 80–89) is neither a flag source nor scrubbed. Decontamination
+    * exists to protect BENCHMARK numbers — the held-out test/eval split
+    * (≥ 90) that reports generalization; validation is drawn from the
+    * same distribution as train and is consumed during training
+    * (early stopping, HPO), so scrubbing train against it would buy
+    * nothing and cost real tokens. A pipeline that treats validation as
+    * a benchmark should widen the flag source to `>= 80` — one
+    * predicate, same machinery.
+    *
     * Scale shape: the eval hash set is eval-sized (a benchmark suite —
     * tiny next to 100 TB of train) and DISTINCT-deduplicated before the
     * equi-join on the 32-char hash key; excision rewrites only affected

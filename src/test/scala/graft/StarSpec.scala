@@ -536,12 +536,21 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
     val wh = java.nio.file.Files.createTempDirectory("graft_asof").toString
     val v1 = StarBuilder.writeTableVersioned(Seq((1L, 10L)).toDF("k", "n"), wh, "t")
     val v2 = StarBuilder.writeTableVersioned(Seq((1L, 11L), (2L, 20L)).toDF("k", "n"), wh, "t")
-    // pin the commit instants explicitly (marker mtime IS the commit time)
-    def setCommitTime(v: Long, ms: Long): Unit =
+    // real markers carry their commit instant in the BODY (granularity-
+    // proof); check both resolution paths by pinning v1 via body and v2
+    // via the pre-r11 zero-byte + mtime fallback
+    def setCommitBody(v: Long, ms: Long): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(s"$wh/_log/$v.commit").toPath,
+        String.valueOf(ms).getBytes("UTF-8"))
+    def setCommitTime(v: Long, ms: Long): Unit = {
+      java.nio.file.Files.write( // legacy marker: empty body
+        new java.io.File(s"$wh/_log/$v.commit").toPath, Array.empty[Byte])
       java.nio.file.Files.setLastModifiedTime(
         new java.io.File(s"$wh/_log/$v.commit").toPath,
         java.nio.file.attribute.FileTime.fromMillis(ms))
-    setCommitTime(v1, 1000L)
+    }
+    setCommitBody(v1, 1000L)
     setCommitTime(v2, 2000L)
     assert(StarBuilder.history(wh) == Seq(v1 -> 1000L, v2 -> 2000L))
     // before the first commit: the table did not exist — refuse
