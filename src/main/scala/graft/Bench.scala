@@ -73,29 +73,46 @@ object Bench {
       val median = med(good.map(_._2))
       val buildMed = med(good.map(_._3))
       val serveMed = med(good.map(t => t._2 - t._3))
-      (name, median, failed, buildMed, serveMed)
+      // min/max of the successful reps: the self-adjudication band (r10
+      // verdict item 4) — a driver-run number outside [min, max] is
+      // attributable to container noise WITHOUT a local rerun, because
+      // the artifact itself shows what the same commit measured
+      val lo = good.map(_._2).minOption.getOrElse(-1.0)
+      val hi = good.map(_._2).maxOption.getOrElse(-1.0)
+      (name, median, failed, buildMed, serveMed, lo, hi)
     }
     // fixed 3-decimal (ms-precision) formatting: a full double's ~17
     // significant digits made the JSON line overflow the driver's bounded
     // stdout tail at 70+ queries (r5's tail lost q01-q15); ms precision is
     // below the bench noise floor and keeps the whole line visible
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    def qsJson(short: Boolean) = results.map { case (k, v, _, _, _) =>
-      "\"" + (if (short) k.takeWhile(_ != '_') else k) + "\":" + fmt(v)
+    // stdout gets CENTISECOND precision with trailing zeros trimmed
+    // ("0.3", not "0.300") — r10's tail still lost q01–q03 at 157
+    // queries with 3-decimal values; 10 ms is far below the noise floor
+    // and trimming keeps the whole line inside the driver's ~2.6 KB
+    // window at 160+ queries
+    def fmtShort(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
+    def qsJson(short: Boolean) = results.map { case (k, v, _, _, _, _, _) =>
+      "\"" + (if (short) k.takeWhile(_ != '_') else k) + "\":" +
+        (if (short) fmtShort(v) else fmt(v))
     }.mkString("{", ",", "}")
-    // build/serve split (r10): ~10 queries pay full artifact writes per
-    // rep (snapshots, indexes, scratch tables — BuildPhase.timed spans);
-    // reporting {build_s, serve_s} per query keeps the suite total
-    // honest while exposing the actual query latency. FILE artifact
+    // build/serve split (r10) and min/max spread (r11): FILE artifact
     // only — the stdout line must stay under the driver's bounded tail.
-    def splitJson(sel: ((String, Double, Int, Double, Double)) => Double) =
-      results.map { case t @ (k, _, _, _, _) => "\"" + k + "\":" + fmt(sel(t)) }
+    // The spread is what makes the bench self-adjudicating: a
+    // driver-vs-local delta outside the committed [min, max] band is
+    // container noise by the artifact's own evidence.
+    def splitJson(sel: ((String, Double, Int, Double, Double, Double, Double)) => Double) =
+      results.map { case t @ (k, _, _, _, _, _, _) => "\"" + k + "\":" + fmt(sel(t)) }
         .mkString("{", ",", "}")
     val failures = results.filter(_._3 > 0)
-    def errsJson(short: Boolean) = failures.map { case (k, _, f, _, _) =>
+    def errsJson(short: Boolean) = failures.map { case (k, _, f, _, _, _, _) =>
       "\"" + (if (short) k.takeWhile(_ != '_') else k) + "\":" + f
     }.mkString("{", ",", "}")
-    val total = results.map { case (_, v, _, _, _) => math.max(v, 0.0) }.sum
+    val total = results.map { case (_, v, _, _, _, _, _) => math.max(v, 0.0) }.sum
     // the override is visible in the artifact so round-over-round readers
     // know which medians carry 5 samples — listing only queries that
     // actually RAN (a BENCH_ONLY-filtered run must not claim overrides
@@ -105,9 +122,9 @@ object Bench {
       .map(q => "\"" + (if (short) q.takeWhile(_ != '_') else q) + "\":" +
         repsFor(q)).mkString("{", ",", "}")
     def json(short: Boolean) = {
-      // the split rides only the file artifact (see splitJson comment)
+      // split + spread ride only the file artifact (see splitJson comment)
       val split = if (short) ""
-        else s""","build":${splitJson(_._4)},"serve":${splitJson(_._5)}"""
+        else s""","build":${splitJson(_._4)},"serve":${splitJson(_._5)},"min":${splitJson(_._6)},"max":${splitJson(_._7)}"""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(short)},"errors":${errsJson(short)},"sf":"$sfDir","reps":$reps,"reps_overrides":${volJson(short)}$split}"""
     }
     // stdout gets SHORT query keys (q34, not q34_dedup_ngram_jaccard): the
