@@ -1,0 +1,224 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.etl.Star.{round4, round4Sql}
+
+/** Hybrid retrieval — the rung above per-doc scoring (q94 TF-IDF) that a
+  * training-data pipeline uses for TARGETED retrieval: find the corpus
+  * documents most relevant to a query by fusing a lexical BM25 ranking
+  * with the vector (ANN) ranking, Cormack et al.'s reciprocal-rank
+  * fusion. The standard hybrid-search shape (Elasticsearch/Vespa/Milvus
+  * all ship exactly this pair): sparse retrieval catches exact-term
+  * matches embeddings smear out, dense retrieval catches paraphrases
+  * lexical scoring misses, and RRF needs no score calibration between
+  * the two — only ranks.
+  *
+  * Determinism across engines (the gate): BM25's idf is the RATIO form
+  * (N − df + 0.5)/(df + 0.5), not its log — per-term monotone, keeps
+  * every score a chain of IEEE mul/div on integers (the q94/q84
+  * no-libm rule); the ≤3 per-term contributions are summed as a FIXED
+  * three-addend expression in query-term-rank order (no unordered
+  * aggregate-sum of doubles ever reaches a ranking); RRF adds exactly
+  * two reciprocals in a fixed written order. Rankings order on the raw
+  * double with id tie-breaks; output rounds to 4 (the q36 rule).
+  */
+object Retrieval {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** BM25 shape parameters (Robertson's defaults). */
+  private val k1 = 1.2
+  private val b = 0.75
+  /** RRF smoothing constant (Cormack et al. 2009's k = 60). */
+  private val rrfK = 60.0
+  /** Per-query terms (the q94 top-3) and lexical candidate depth. */
+  private val qTerms = 3
+  private val lexDepth = 10
+
+  /** (doc_id, dl, term, tf): the BM25 postings — term frequency per
+    * (doc, term) with the doc length DENORMALIZED onto the posting (the
+    * classic index-build trick: dl is functionally dependent on doc_id,
+    * so carrying it through the (doc, term) shuffle costs one long per
+    * posting and saves the corpus-sized doc-length join at query time).
+    * Same tokenization as q94: docShingles words, empty terms dropped. */
+  private def postings(s: SparkSession, d: String): DataFrame =
+    TextCore.docShingles(s, d)
+      .select(col("doc_id"), size(col("words")).cast("long").as("dl"),
+        explode(col("words")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+
+  /** One row: (n_corpus, avgdl) — corpus cardinality and mean doc
+    * length in words, the BM25 normalization constants. */
+  private def corpusStats(s: SparkSession, d: String): DataFrame =
+    TextCore.docShingles(s, d)
+      .select(size(col("words")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("sum_dl"))
+      .select(col("n_corpus"),
+        (col("sum_dl").cast("double") / col("n_corpus").cast("double")).as("avgdl"))
+
+  /** The lexical arm: BM25(k1, b) top-[[lexDepth]] docs per query.
+    * Query formulation is the q94 rung composed: each query doc's
+    * (doc_id < numQueries, the q36 convention) top-3 TF-IDF terms ARE
+    * the query — (query_id, q_rank, term), a ≤30-row table, BROADCAST
+    * onto the postings (the plan guard: the postings join must stay a
+    * broadcast equi-join on term; at 100 TB the postings are billions
+    * of rows and the query-term table stays query-set-sized).
+    * Score per (query, doc) = Σ_r idf(t_r)·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    * summed as a fixed 3-addend expression in q_rank order —
+    * bit-identical in both engines, no unordered double aggregation.
+    * The query doc itself is excluded (the q36 self-match rule). */
+  private[graft] def lexTop(s: SparkSession, d: String): DataFrame = {
+    val post = postings(s, d)
+    val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = corpusStats(s, d)
+    // query terms: q94's score = tf · N/df over the query docs only
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("qscore").desc, col("term").asc)
+    // the query-doc postings are query-set-sized: broadcast THEM against
+    // the vocabulary-sized df table (never shuffle the vocabulary)
+    val qterms = broadcast(post.where(col("doc_id") < Similarity.numQueries))
+      .join(dfreq, "term").crossJoin(broadcast(stats))
+      .withColumn("qscore", col("tf").cast("double") *
+        col("n_corpus").cast("double") / col("df").cast("double"))
+      .withColumnRenamed("doc_id", "query_id")
+      .withColumn("q_rank", row_number().over(wq).cast("long"))
+      .where(col("q_rank") <= qTerms)
+      .select(col("query_id"), col("term"), col("q_rank"))
+    val idf = (col("n_corpus").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val contrib = idf * (col("tf").cast("double") * lit(k1 + 1)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    def arm(r: Int): Column =
+      coalesce(max(when(col("q_rank") === r, col("contrib"))), lit(0.0))
+    val wl = Window.partitionBy("query_id")
+      .orderBy(col("bscore").desc, col("doc_id").asc)
+    post.join(broadcast(qterms), "term")
+      .where(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", contrib)
+      .groupBy("query_id", "doc_id")
+      .agg((arm(1) + arm(2) + arm(3)).as("bscore"))
+      .withColumn("lex_rank", row_number().over(wl).cast("long"))
+      .where(col("lex_rank") <= lexDepth)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"), col("bscore"))
+  }
+
+  /** q160: hybrid BM25 + vector retrieval with reciprocal-rank fusion.
+    * The lexical arm is [[lexTop]]; the vector arm is the PERSISTED IVF
+    * index served by [[Similarity.ivfIndexSearch]] (nprobe/top-k at the
+    * q37 defaults — the oracle recomputes that search declaratively, so
+    * a green row re-proves files-served ≡ recomputed, the q114
+    * pattern). Fusion: full-outer on (query_id, doc_id),
+    * rrf = 1/(60+lex_rank) + 1/(60+vec_rank) with an absent side
+    * contributing 0, top-5 per query by (rrf desc, doc_id asc). The
+    * embeddings table indexes the corpus id space (vec_id ≡ doc_id); a
+    * doc outside the indexed subset simply fuses lexical-only — RRF's
+    * graceful asymmetric-coverage degradation is the point of using
+    * ranks, not scores. Output carries both arm ranks (NULL where an
+    * arm didn't surface the doc) — the triage view an operator reads
+    * to see WHY a doc ranked. */
+  lazy val q160_hybrid_bm25_rrf: Q = (s, d) => {
+    val idx = graft.etl.StarBuilder.scratchDir(s, d, "ivfhy")
+    graft.BuildPhase.timed {
+      graft.SessionMemo.once(s, d, "ivf:hybrid") {
+        Similarity.writeIvfIndex(s, d, idx)
+      }
+    }
+    val queries = s.read.parquet(s"$d/embeddings.parquet")
+      .where(col("vec_id") < Similarity.numQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val vec = Similarity
+      .ivfIndexSearch(s, idx, queries, Similarity.nProbe, Similarity.topK)
+      .select(col("query_id").as("vq"), col("neighbor_id").as("vd"),
+        col("rank").as("vec_rank"))
+    val lex = lexTop(s, d)
+    val rrf =
+      coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank").cast("double")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank").cast("double")), lit(0.0))
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    lex.join(vec, col("query_id") === col("vq") && col("doc_id") === col("vd"),
+        "full_outer")
+      .select(coalesce(col("query_id"), col("vq")).as("query_id"),
+        coalesce(col("doc_id"), col("vd")).as("doc_id"),
+        col("lex_rank"), col("vec_rank"))
+      .withColumn("rrf", rrf)
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .where(col("rank") <= Similarity.topK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("lex_rank"), col("vec_rank"), round4(col("rrf")).as("rrf_score"))
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q160_hybrid_bm25_rrf" -> q160_hybrid_bm25_rrf)
+
+  /** The BM25 + RRF chain, computed declaratively by DuckDB over the
+    * same parquet — every constant spelled identically, every double
+    * expression the same left-associative chain, so scores are
+    * bit-equal and rankings (raw-double ordered, id tie-breaks) agree
+    * row for row. */
+  val oracle: Map[String, String] = Map(
+    "q160_hybrid_bm25_rrf" ->
+      s"""WITH ${TextCore.docsCte}, ${Similarity.vecsCte}, ${Similarity.ivfCte},
+         |tk AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl,
+         |              unnest(words) AS term FROM docs),
+         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tk WHERE term <> '' GROUP BY 1, 2, 3),
+         |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+         |              CAST(sum(len(words)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |       FROM docs),
+         |qt AS (
+         |  SELECT query_id, term, q_rank FROM (
+         |    SELECT t.doc_id AS query_id, t.term,
+         |           CAST(row_number() OVER (PARTITION BY t.doc_id
+         |             ORDER BY CAST(t.tf AS DOUBLE) * CAST(n_corpus AS DOUBLE)
+         |                        / CAST(df AS DOUBLE) DESC,
+         |                      t.term ASC) AS BIGINT) AS q_rank
+         |    FROM tf t JOIN dfx USING (term) CROSS JOIN st
+         |    WHERE t.doc_id < ${Similarity.numQueries})
+         |  WHERE q_rank <= $qTerms),
+         |cb AS (
+         |  SELECT q.query_id, q.q_rank, t.doc_id,
+         |         (CAST(n_corpus AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |           / (CAST(df AS DOUBLE) + 0.5)
+         |         * (CAST(t.tf AS DOUBLE) * ${k1 + 1})
+         |         / (CAST(t.tf AS DOUBLE)
+         |            + $k1 * (1.0 - $b + $b * CAST(t.dl AS DOUBLE) / avgdl)) AS contrib
+         |  FROM tf t JOIN qt q USING (term) JOIN dfx USING (term) CROSS JOIN st
+         |  WHERE t.doc_id <> q.query_id),
+         |bm AS (
+         |  SELECT query_id, doc_id,
+         |         coalesce(max(CASE WHEN q_rank = 1 THEN contrib END), 0.0)
+         |       + coalesce(max(CASE WHEN q_rank = 2 THEN contrib END), 0.0)
+         |       + coalesce(max(CASE WHEN q_rank = 3 THEN contrib END), 0.0) AS bscore
+         |  FROM cb GROUP BY 1, 2),
+         |lex AS (
+         |  SELECT query_id, doc_id, lex_rank FROM (
+         |    SELECT query_id, doc_id,
+         |           CAST(row_number() OVER (PARTITION BY query_id
+         |             ORDER BY bscore DESC, doc_id ASC) AS BIGINT) AS lex_rank
+         |    FROM bm)
+         |  WHERE lex_rank <= $lexDepth),
+         |fused AS (
+         |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |         coalesce(l.doc_id, v.neighbor_id) AS doc_id,
+         |         l.lex_rank, v.rank AS vec_rank,
+         |         coalesce(1.0 / ($rrfK + CAST(l.lex_rank AS DOUBLE)), 0.0)
+         |       + coalesce(1.0 / ($rrfK + CAST(v.rank AS DOUBLE)), 0.0) AS rrf
+         |  FROM lex l FULL JOIN ivf v
+         |    ON l.query_id = v.query_id AND l.doc_id = v.neighbor_id)
+         |SELECT query_id, rank, doc_id, lex_rank, vec_rank,
+         |       ${round4Sql("rrf")} AS rrf_score
+         |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
+         |      FROM fused)
+         |WHERE rank <= ${Similarity.topK}
+         |ORDER BY query_id, rank""".stripMargin)
+}

@@ -29,10 +29,10 @@ import graft.etl.Star.{round4, round4Sql}
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  private val numQueries = 10
+  private[ops] val numQueries = 10
   private val numCentroids = 16
-  private val nProbe = 4
-  private val topK = 5
+  private[ops] val nProbe = 4
+  private[ops] val topK = 5
 
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorOps.dot(a, b) // codegen'd; bit-equal to the HOF fold
@@ -1626,7 +1626,7 @@ object Similarity {
   // DuckDB oracles
   // ---------------------------------------------------------------------------
 
-  private val vecsCte =
+  private[ops] val vecsCte =
     """vecs AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -1648,7 +1648,7 @@ object Similarity {
        |  WHERE rank <= $topK)""".stripMargin
 
   /** `ivf` CTE body: the q37 result set, reused by the recall oracle. */
-  private val ivfCte =
+  private[ops] val ivfCte =
     s"""cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vecs
        |         WHERE vec_id < $numCentroids),
        |ranked AS (
