@@ -39,7 +39,9 @@ object GraftExtensions {
     ("graft_sorted_intersect_count", info("graft_sorted_intersect_count", "sorted intersect"),
       (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))),
     ("graft_sign_lsh_signature", info("graft_sign_lsh_signature", "sign-LSH signature"),
-      (es: Seq[Expression]) => SignLshSignature(es(0), es(1))))
+      (es: Seq[Expression]) => SignLshSignature(es(0), es(1))),
+    ("graft_jpeg_sof", info("graft_jpeg_sof", "JPEG SOF [w, h] from a binary payload"),
+      (es: Seq[Expression]) => JpegSofDims(es(0))))
 
   /** Register the same functions into an already-running session. */
   def register(spark: SparkSession): Unit =

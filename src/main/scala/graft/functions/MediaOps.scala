@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst expression for the JPEG frame-header walk.
+  *
+  * PNG dimensions live at FIXED offsets (IHDR is mandated first), so
+  * the declarative substr/hex/conv chain in
+  * [[graft.ops.Multimodal.mediaHeaderDims]] covers them. JPEG puts its
+  * SOF frame header behind a variable number of variable-length
+  * segments — a DATA-DEPENDENT walk. Expressing that walk as an
+  * unrolled nested-when blows up exponentially (each level re-inlines
+  * the running offset ~7×; depth 16 ≈ 7¹⁶ nodes hung Catalyst
+  * analysis), so the walk is what the custom-expression tier is FOR: a
+  * tight compiled loop with `doGenCode`, whole-stage-codegen'd like
+  * [[DotProduct]]. */
+object MediaOps {
+
+  /** [w, h] from the first JPEG SOF segment, NULL when `bin` is not a
+    * JPEG or the walk fails (truncated/corrupt header). */
+  def jpegSofDims(bin: Column): Column =
+    GraftExpressionBridge.column(
+      JpegSofDims(GraftExpressionBridge.expression(bin)))
+}
+
+/** The ITU T.81 segment walk: SOI, then [FF][marker][len₂][payload]
+  * segments until a SOF marker (C0–CF minus DHT C4 / JPG C8 / DAC CC),
+  * whose payload is len₂ | precision₁ | height₂ | width₂. Bounded at 64
+  * segments — far past any real header — so a corrupt length field can
+  * never loop. */
+case class JpegSofDims(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_jpeg_sof"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = JpegSofDims.scan(input.asInstanceOf[Array[Byte]])
+    if (r == null) null else new GenericArrayData(r)
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val r = ctx.freshName("sof")
+      s"""
+         |long[] $r = graft.functions.JpegSofDims$$.MODULE$$.scan($x);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($r);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): JpegSofDims =
+    copy(child = newChild)
+}
+
+object JpegSofDims {
+  /** Shared by eval and generated code: Array(w, h) or null. */
+  def scan(b: Array[Byte]): Array[Long] = {
+    @inline def u8(i: Int): Int = b(i) & 0xFF
+    @inline def u16(i: Int): Int = ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+    if (b.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return null
+    var off = 2
+    var steps = 0
+    while (steps < 64 && off + 3 < b.length && u8(off) == 0xFF) {
+      val m = u8(off + 1)
+      val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+      if (isSof) {
+        return if (off + 8 < b.length)
+          Array(u16(off + 7).toLong, u16(off + 5).toLong)
+        else null
+      }
+      val segLen = u16(off + 2)
+      if (segLen < 2) return null // corrupt length would stall the walk
+      off += 2 + segLen
+      steps += 1
+    }
+    null
+  }
+}

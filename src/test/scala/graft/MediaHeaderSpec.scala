@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+
+/** Planted REAL container bytes through the expression-level header
+  * parser (the PII-regex precedent: the corpus has no real media, so
+  * the production branch is proven on fixtures with known answers). */
+class MediaHeaderSpec extends AnyFunSuite with SparkTestBase {
+
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  /** A real PNG prefix: signature + IHDR chunk for `w`×`h`. */
+  private def pngHeader(w: Int, h: Int): Array[Byte] =
+    bytes(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, // signature
+      0, 0, 0, 13) ++ "IHDR".getBytes("US-ASCII") ++
+      bytes(w >>> 24, (w >>> 16) & 0xFF, (w >>> 8) & 0xFF, w & 0xFF,
+        h >>> 24, (h >>> 16) & 0xFF, (h >>> 8) & 0xFF, h & 0xFF,
+        8, 6, 0, 0, 0) ++ bytes(0xDE, 0xAD, 0xBE, 0xEF) // depth..interlace + CRC
+
+  /** A real JPEG prefix: SOI, APP0/JFIF, a DHT (C4 — in C0–CF but NOT a
+    * SOF: the walk must skip it), then SOF0 with `h`×`w`. */
+  private def jpegHeader(w: Int, h: Int): Array[Byte] =
+    bytes(0xFF, 0xD8) ++ // SOI
+      (bytes(0xFF, 0xE0, 0x00, 0x10) ++ "JFIF".getBytes("US-ASCII") ++
+        bytes(0, 1, 1, 0, 0, 1, 0, 1, 0, 0)) ++ // APP0 len 16
+      bytes(0xFF, 0xC4, 0x00, 0x05, 1, 2, 3) ++ // DHT len 5 (not a SOF)
+      bytes(0xFF, 0xC0, 0x00, 0x11, 8, // SOF0 len 17, precision 8
+        (h >>> 8) & 0xFF, h & 0xFF, (w >>> 8) & 0xFF, w & 0xFF,
+        3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1) // 3 components
+
+  private def parse(payloads: Seq[Array[Byte]]) = {
+    import spark.implicits._
+    payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "media")
+      .select(col("id"), Multimodal.mediaHeaderDims(col("media")).as("hdr"))
+      .select(col("id"), col("hdr.fmt"), col("hdr.w"), col("hdr.h"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+  }
+
+  test("PNG IHDR: exact dimensions from planted real headers") {
+    val got = parse(Seq(pngHeader(640, 480), pngHeader(2560, 1440),
+      pngHeader(1, 99999)))
+    assert(got(0L) == (Some("png"), Some(640L), Some(480L)))
+    assert(got(1L) == (Some("png"), Some(2560L), Some(1440L)))
+    assert(got(2L) == (Some("png"), Some(1L), Some(99999L)))
+  }
+
+  test("JPEG SOF walk: skips APP0 and DHT, reads SOF0 dims exactly") {
+    val got = parse(Seq(jpegHeader(640, 480), jpegHeader(1920, 1080)))
+    assert(got(0L) == (Some("jpeg"), Some(640L), Some(480L)))
+    assert(got(1L) == (Some("jpeg"), Some(1920L), Some(1080L)))
+  }
+
+  test("non-media and truncated payloads yield NULL, never garbage") {
+    val got = parse(Seq(
+      "plain ascii text".getBytes("US-ASCII"),
+      bytes(0x89, 0x50, 0x4E, 0x47), // PNG signature cut short
+      bytes(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10), // JPEG truncated mid-APP0
+      Array.empty[Byte]))
+    got.values.foreach(v => assert(v == (None, None, None), v))
+  }
+
+  test("q75 prefers header dims over the arithmetic stub for real media") {
+    // plant a documents dir WITH a binary `media` column (the real
+    // multimodal table shape): q75 must emit the IHDR dims for the PNG
+    // payload and fall back to the arithmetic stub for the non-media one
+    import spark.implicits._
+    val png = pngHeader(320, 200)
+    val plain = "just words here".getBytes("UTF-8")
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    Seq((0L, "png doc", png), (1L, "plain doc", plain))
+      .toDF("doc_id", "text", "media")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Multimodal.q75_media_resize(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("src_w"), r.getAs[Long]("src_h"))).toMap
+    assert(rows(0L) == (320L, 200L),
+      s"header dims must win for real media: ${rows(0L)}")
+    // the non-container payload falls back to the arithmetic stub
+    val bl = plain.length.toLong
+    assert(rows(1L) == (64L + bl % 1920L, 64L + (bl / 7) % 1080L))
+  }
+}
