@@ -1,0 +1,104 @@
+package graft.etl
+
+/** The storage seam of the versioned log's claim-then-commit publish
+  * (r10 verdict item 6): everything [[StarBuilder.publishSnapshot]] /
+  * [[StarBuilder.publishSnapshotExactly]] need from the filesystem is
+  * these two CONDITIONAL-CREATE primitives. POSIX supplies them as
+  * atomic rename-no-replace and O_EXCL file creation
+  * ([[RenameCommitProtocol]]); an object store supplies them as
+  * conditional PUTs (`If-None-Match: *` — S3/GCS/ABFS all have it),
+  * which [[ConditionalPutCommitProtocol]] models so the SAME protocol
+  * logic is exercised against both shapes by the concurrency specs.
+  * The protocol logic above this seam (claim-next-free loops, exact-
+  * successor refusal, orphan recovery, crash-window reasoning) is
+  * storage-agnostic and unchanged.
+  */
+trait CommitProtocol {
+  /** Atomically claim the snapshot directory name `v=<v>` for the
+    * fully-staged `txn` dir: true iff THIS caller won the name and the
+    * staged content now lives at `v=<v>`; false iff the name was
+    * already taken (lost race / pre-existing claim) and `txn` is left
+    * untouched. Any other failure throws. */
+  def claimVersion(warehouse: String, txn: java.io.File, v: Long): Boolean
+
+  /** Atomically publish the commit record `_log/<v>.commit` with
+    * `payload` as its body: true iff this caller created it, false iff
+    * it already existed. */
+  def putCommitMarker(warehouse: String, v: Long, payload: Array[Byte]): Boolean
+}
+
+/** The POSIX implementation — rename(2) without replace is the atomic
+  * claim (two movers into one target: exactly one wins), O_EXCL
+  * creation the atomic marker. This is the single-filesystem default;
+  * no mutex needed because the kernel IS the arbiter. */
+object RenameCommitProtocol extends CommitProtocol {
+  override def claimVersion(warehouse: String, txn: java.io.File, v: Long): Boolean = {
+    val target = new java.io.File(warehouse, s"v=$v")
+    try {
+      java.nio.file.Files.move(txn.toPath, target.toPath)
+      true
+    } catch {
+      // a lost claim surfaces as FileAlreadyExists from the pre-check,
+      // OR as the raw rename(2) ENOTEMPTY — on Linux a generic
+      // FileSystemException, not the DirectoryNotEmptyException
+      // subclass. Classify by the target: if v=<n> now exists, a
+      // concurrent writer won the race; anything else is a real error.
+      case e: java.nio.file.FileSystemException =>
+        if (target.exists()) false else throw e
+    }
+  }
+
+  override def putCommitMarker(warehouse: String, v: Long,
+      payload: Array[Byte]): Boolean = {
+    val log = new java.io.File(s"$warehouse/_log")
+    log.mkdirs()
+    try {
+      java.nio.file.Files.write(new java.io.File(log, s"$v.commit").toPath,
+        payload, java.nio.file.StandardOpenOption.CREATE_NEW)
+      true
+    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  }
+}
+
+/** The object-store shape: each primitive is a conditional PUT — probe
+  * the name, create it only if absent, with the probe+put made atomic
+  * PER KEY. On S3/GCS/ABFS that atomicity is server-side
+  * (`If-None-Match: *` / x-ms-if-none-match); here it is modeled by a
+  * per-key mutex so the protocol logic runs against the exact
+  * conditional-PUT contract: no rename anywhere, deletes (orphan
+  * recovery, vacuum) free the name again because the STORE stays the
+  * ground truth — there is no side-channel state to reconcile.
+  * Instantiate one per test/deployment; the key space is scoped to the
+  * instance. */
+final class ConditionalPutCommitProtocol extends CommitProtocol {
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def locked[T](key: String)(body: => T): T =
+    locks.computeIfAbsent(key, _ => new Object).synchronized(body)
+
+  override def claimVersion(warehouse: String, txn: java.io.File, v: Long): Boolean =
+    locked(s"$warehouse#v=$v") {
+      val target = new java.io.File(warehouse, s"v=$v")
+      if (target.exists()) false
+      else {
+        // the winner's materialization is uncontended by construction
+        // (it holds the name): an object store would now copy the
+        // staged objects under the claimed prefix / write the manifest
+        java.nio.file.Files.move(txn.toPath, target.toPath)
+        true
+      }
+    }
+
+  override def putCommitMarker(warehouse: String, v: Long,
+      payload: Array[Byte]): Boolean =
+    locked(s"$warehouse#commit=$v") {
+      val log = new java.io.File(s"$warehouse/_log")
+      log.mkdirs()
+      val marker = new java.io.File(log, s"$v.commit")
+      if (marker.exists()) false
+      else {
+        java.nio.file.Files.write(marker.toPath, payload)
+        true
+      }
+    }
+}

@@ -356,24 +356,27 @@ object StarBuilder {
     * committer's marker). A crash between the phases leaves a claimed
     * but uncommitted `v=<n>` orphan that readers never resolve and
     * later writers skip past. */
+  /** The active storage protocol (the [[CommitProtocol]] seam): POSIX
+    * rename by default; swapped per-scope by [[withCommitProtocol]]
+    * (the concurrency specs run both implementations through the same
+    * publish logic). */
+  @volatile private var commitProtocol: CommitProtocol = RenameCommitProtocol
+
+  /** Run `body` with `p` as the storage commit protocol, restoring the
+    * default after — the deployment/test seam for the conditional-PUT
+    * implementation. Process-global: callers are the specs (serial) and
+    * a deployment's one-time setup, not concurrent query code. */
+  def withCommitProtocol[T](p: CommitProtocol)(body: => T): T = {
+    val prev = commitProtocol
+    commitProtocol = p
+    try body finally commitProtocol = prev
+  }
+
   private def publishSnapshot(warehouse: String, txn: java.io.File): Long = {
     var v = latestVersion(warehouse).getOrElse(0L) + 1
-    var claimed = false
-    while (!claimed) {
-      try {
-        java.nio.file.Files.move(txn.toPath,
-          new java.io.File(warehouse, s"v=$v").toPath)
-        claimed = true
-      } catch {
-        // a lost claim surfaces as FileAlreadyExists from the pre-check,
-        // OR as the raw rename(2) ENOTEMPTY — on Linux a generic
-        // FileSystemException, not the DirectoryNotEmptyException
-        // subclass. Classify by the target: if v=<n> now exists, a
-        // concurrent writer won the race; anything else is a real error.
-        case e: java.nio.file.FileSystemException =>
-          if (new java.io.File(warehouse, s"v=$v").exists()) v += 1 else throw e
-      }
-    }
+    // a lost claim means a concurrent writer owns v=<n>: claim the next
+    // number (full-refresh snapshots are self-contained, any number works)
+    while (!commitProtocol.claimVersion(warehouse, txn, v)) v += 1
     commitMarker(warehouse, v)
   }
 
@@ -389,24 +392,20 @@ object StarBuilder {
     * retry — optimistic concurrency, the Delta/Iceberg commit rule. */
   private def publishSnapshotExactly(warehouse: String, txn: java.io.File,
       v: Long): Long = {
-    try java.nio.file.Files.move(txn.toPath,
-      new java.io.File(warehouse, s"v=$v").toPath)
-    catch {
-      // same classification rule as publishSnapshot's claim loop: only a
-      // move that lost to an existing v=<n> is a conflict
-      case e: java.nio.file.FileSystemException
-          if new java.io.File(warehouse, s"v=$v").exists() =>
-        Compact.deleteRecursively(txn)
-        val committed = committedVersions(warehouse).contains(v)
-        throw new java.util.ConcurrentModificationException(
-          if (committed)
-            s"version $v of $warehouse was committed by a concurrent writer " +
-              "since this read-modify-write began; re-read latest and retry"
-          else
-            s"version $v of $warehouse is claimed but UNCOMMITTED — either a " +
-              "concurrent writer mid-commit, or a crashed writer's orphan; if " +
-              "no writer is live (e.g. on single-writer stream restart), run " +
-              s"recoverUncommitted and retry [${e.getClass.getSimpleName}]")
+    if (!commitProtocol.claimVersion(warehouse, txn, v)) {
+      // a lost exact claim is a CONFLICT, never a retry-with-next: the
+      // staged content derives from v−1 and would erase the winner
+      Compact.deleteRecursively(txn)
+      val committed = committedVersions(warehouse).contains(v)
+      throw new java.util.ConcurrentModificationException(
+        if (committed)
+          s"version $v of $warehouse was committed by a concurrent writer " +
+            "since this read-modify-write began; re-read latest and retry"
+        else
+          s"version $v of $warehouse is claimed but UNCOMMITTED — either a " +
+            "concurrent writer mid-commit, or a crashed writer's orphan; if " +
+            "no writer is live (e.g. on single-writer stream restart), run " +
+            "recoverUncommitted and retry")
     }
     commitMarker(warehouse, v)
   }
@@ -470,16 +469,16 @@ object StarBuilder {
   }
 
   private def commitMarker(warehouse: String, v: Long): Long = {
-    val log = new java.io.File(s"$warehouse/_log")
-    log.mkdirs()
-    // CREATE_NEW keeps create-if-absent as the atomic claim; the body
-    // carries the commit epoch-millis so [[history]] does not depend on
-    // filesystem mtime granularity (a reader racing the claim may see
-    // the marker momentarily empty — history()'s mtime fallback covers
-    // that window, and the instant it falls back to is the same write)
-    java.nio.file.Files.write(new java.io.File(log, s"$v.commit").toPath,
-      String.valueOf(System.currentTimeMillis()).getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
+    // conditional create keeps create-if-absent as the atomic commit
+    // step; the body carries the commit epoch-millis so [[history]]
+    // does not depend on filesystem mtime granularity (a reader racing
+    // the claim may see the marker momentarily empty on the rename
+    // protocol — history()'s mtime fallback covers that window, and
+    // the instant it falls back to is the same write)
+    if (!commitProtocol.putCommitMarker(warehouse, v,
+        String.valueOf(System.currentTimeMillis()).getBytes("UTF-8")))
+      throw new java.nio.file.FileAlreadyExistsException(
+        s"$warehouse/_log/$v.commit")
     v
   }
 

@@ -294,13 +294,15 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
       == Map("new_a" -> 2.0, "new_b" -> 3.0))
   }
 
-  test("concurrent full-refresh writers all commit distinct versions") {
+  /** The claim-then-commit protocol's liveness/uniqueness under real
+    * contention: N threads race writeTableVersioned on one warehouse;
+    * every writer must land on its own version, every version must be
+    * log-committed and readable, and no staging dir may survive.
+    * Shared by the rename-protocol and conditional-PUT-protocol tests
+    * (the r10 CommitProtocol seam: same publish logic, both storages). */
+  private def stressSixWriters(): Unit = {
     import spark.implicits._
     import graft.etl.StarBuilder
-    // the claim-then-commit protocol's liveness/uniqueness under real
-    // contention: N threads race writeTableVersioned on one warehouse;
-    // every writer must land on its own version, every version must be
-    // log-committed and readable, and no staging dir may survive
     val wh = java.nio.file.Files.createTempDirectory("graft_mw").toString
     val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
     implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
@@ -321,7 +323,16 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
     assert(!new java.io.File(wh).listFiles().exists(_.getName.startsWith(".txn_")))
   }
 
-  test("read-modify-write commits refuse to paper over a concurrent claim") {
+  test("concurrent full-refresh writers all commit distinct versions") {
+    stressSixWriters()
+  }
+
+  test("conditional-PUT protocol: six racing writers, same guarantees") {
+    graft.etl.StarBuilder.withCommitProtocol(
+      new graft.etl.ConditionalPutCommitProtocol)(stressSixWriters())
+  }
+
+  private def occRefusalScenario(): Unit = {
     import spark.implicits._
     import graft.etl.StarBuilder
     val wh = java.nio.file.Files.createTempDirectory("graft_occ").toString
@@ -343,6 +354,19 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
     assert(!new java.io.File(wh, ".txn_deadbeef").exists())
     val v2 = StarBuilder.deleteWhere(spark, wh, "t", col("x") > 0.0)
     assert(v2 == 2L && StarBuilder.readAt(spark, wh, "t", None).count() == 0L)
+  }
+
+  test("read-modify-write commits refuse to paper over a concurrent claim") {
+    occRefusalScenario()
+  }
+
+  test("conditional-PUT protocol: OCC refusal + recovery, same guarantees") {
+    // the delete in recoverUncommitted frees the claimed NAME for the
+    // conditional-PUT protocol too (the store is the ground truth — no
+    // side-channel state survives the delete), so the post-recovery
+    // retry must succeed exactly as on the rename path
+    graft.etl.StarBuilder.withCommitProtocol(
+      new graft.etl.ConditionalPutCommitProtocol)(occRefusalScenario())
   }
 
   test("snapshotDiff resolves both sides through the version log") {
