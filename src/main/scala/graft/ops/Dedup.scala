@@ -557,10 +557,31 @@ object Dedup {
     spanWindows(s, d).groupBy("h").agg(count(lit(1)).as("occ"))
       .where(col("occ") > 1).select("h")
 
+  /** Salts for the span-family flag join (r10 verdict item 7): a
+    * boilerplate-heavy corpus concentrates one window hash (a license
+    * header, a nav bar) on one reducer of the windows⋈dup-hashes join —
+    * 30% of ALL windows can share a hash. Single-digit, the
+    * [[Skew.saltedJoin]] replication trade. */
+  private val spanSalts = 8
+
   /** The flagged (doc_id, start) rows: windows whose hash occurs more
-    * than once corpus-wide. */
+    * than once corpus-wide. The join is SALTED ([[Skew.saltedJoin]] on
+    * h, salt over (h, doc_id, start) — the high-cardinality probe
+    * payload): the dup-hash side is one row per hash and replicates
+    * ×[[spanSalts]]; the probe side's hot hash spreads over
+    * [[spanSalts]] reducers instead of stalling one. Results are
+    * identical to the plain equi-join (the q74/q103 equivalence stance
+    * — q105's oracle computes the plain join and gates it per round);
+    * SpanSkewSpec measures the planted-boilerplate partition balance. */
   private def spanDupFlagged(s: SparkSession, d: String): DataFrame =
-    spanWindows(s, d).join(spanDupHashes(s, d), "h")
+    flagAgainst(spanWindows(s, d), spanDupHashes(s, d))
+
+  /** The salted windows⋈hash-set flag join, shared by every span-family
+    * consumer (q105/q112/q113 via [[spanDupFlagged]], q128's
+    * from-files serving, q157's decontamination) and the skew spec. */
+  private[graft] def flagAgainst(windows: DataFrame, hashes: DataFrame): DataFrame =
+    Skew.saltedJoin(windows, hashes, "h", spanSalts,
+      Seq(col("h"), col("doc_id"), col("start")))
 
   // ---------------------------------------------------------------------------
   // Persisted span index — log-structured (LSM) incremental maintenance
@@ -640,7 +661,7 @@ object Dedup {
     graft.BuildPhase.timed(
       graft.SessionMemo.once(s, d, "spans:idxFull")(writeSpanIndex(docs, idx)))
     val dupFromFiles = readSpanIndex(s, idx).where(col("occ") > 1).select("h")
-    spanReport(spanWindowsOf(docs).join(dupFromFiles, "h"))
+    spanReport(flagAgainst(spanWindowsOf(docs), dupFromFiles))
   }
 
   val q127_span_staleness: Q = (s, d) => {
@@ -870,9 +891,10 @@ object Dedup {
     * train docs. */
   lazy val q157_decontaminate: Q = (s, d) => {
     val docs = docShingles(s, d)
-    val flagged = spanWindowsOf(docs.where(idBucket(col("doc_id")) < 80))
-      .join(spanWindowsOf(docs.where(idBucket(col("doc_id")) >= 90))
-        .select("h").distinct(), "h")
+    val flagged = flagAgainst(
+      spanWindowsOf(docs.where(idBucket(col("doc_id")) < 80)),
+      spanWindowsOf(docs.where(idBucket(col("doc_id")) >= 90))
+        .select("h").distinct())
     val spans = mergedSpans(flagged)
     exciseSpans(s, d, spans.select("doc_id"), spans)
   }
