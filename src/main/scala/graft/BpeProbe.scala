@@ -38,6 +38,40 @@ object BpeProbe {
       println(f"bpe_probe_batched k=32 batch=$m%-2d " +
         f"merges_learned=${merges.length}%-3d time=$secs%.2f s")
     }
+    // DEPTH probe (r10 verdict item 3): the 10⁴–10⁵-merge claim was
+    // extrapolated from k ≤ 64 — push the batched trainer to k = 256/512
+    // at batch 16/32 and report fill rate (merges/passes ÷ batch): if
+    // the disjointness filter starves (picks ≪ batch), the fallback
+    // (re-rank within pass) is required; if fill stays ≥ b/2, the fixed
+    // ⌈k/b⌉ pass contract holds at depth.
+    for (k <- Seq(256, 512); m <- Seq(16, 32)) {
+      val t0 = System.nanoTime()
+      val (merges, stats) = graft.ops.TextStats
+        .bpeTrainBatchedStats(spark, sfDir, numMerges = k, batch = m)
+      val secs = (System.nanoTime() - t0) / 1e9
+      // full-pool passes are where disjointness starvation would show;
+      // shrunken pools mean the PAIR TABLE is running dry (corpus
+      // exhaustion — the sequential trainer's early stop, not a batching
+      // artifact)
+      val full = stats.filter(_.poolSize >= 8 * m)
+      val fullFill = if (full.isEmpty) Double.NaN
+        else full.map(_.picks).sum.toDouble / (full.size * m)
+      println(f"bpe_probe_depth k=$k%-4d batch=$m%-3d passes=${stats.size}%-3d " +
+        f"merges_learned=${merges.length}%-4d fullpool_passes=${full.size}%-3d " +
+        f"fullpool_fill=$fullFill%.2f time=$secs%.2f s " +
+        s"per_pass=${stats.map(st => s"${st.picks}/${st.poolSize}").mkString(",")}")
+    }
+    // the starvation fallback: same depth points with in-pass re-ranking
+    // on — every pass must fill its quota until the pair table dries
+    for (k <- Seq(256, 512); m <- Seq(16, 32)) {
+      val t0 = System.nanoTime()
+      val (merges, stats) = graft.ops.TextStats
+        .bpeTrainBatchedStats(spark, sfDir, numMerges = k, batch = m, refill = true)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"bpe_probe_refill k=$k%-4d batch=$m%-3d passes=${stats.size}%-3d " +
+        f"merges_learned=${merges.length}%-4d time=$secs%.2f s " +
+        s"per_pass=${stats.map(st => s"${st.picks}/${st.poolSize}").mkString(",")}")
+    }
     spark.stop()
   }
 }

@@ -292,6 +292,32 @@ class PropertiesSpec extends AnyFunSuite with SparkTestBase {
       Set(("a", "b", 10L), ("c", "d", 10L)))
   }
 
+  test("batched BPE depth: refill fills every starved pass until the table dries") {
+    import graft.ops.TextStats
+    // r10 verdict item 3, measured on the probe corpus: a letters-only
+    // symbol space makes the ranked pool dense over few symbols, so the
+    // frozen-pool pass picks ≪ batch (the sf0.1 depth probe: 8/32 on
+    // pass 1). The spec pins both halves of the finding:
+    val b = 32
+    val (plain, ps) = TextStats.bpeTrainBatchedStats(
+      spark, "/root/testdata/sf0.001", numMerges = 64, batch = b)
+    assert(ps.nonEmpty)
+    // (1) starvation is REAL here — the fallback is required, not
+    // hypothetical (first frozen pool admits under half the batch)
+    assert(ps.head.picks < b / 2,
+      s"expected a starved first pass, got ${ps.head.picks}/$b")
+    // (2) the refill fallback fills EVERY pass to quota until the pair
+    // table itself is dry (the sequential trainer's early stop)
+    val (refilled, rs) = TextStats.bpeTrainBatchedStats(
+      spark, "/root/testdata/sf0.001", numMerges = 64, batch = b, refill = true)
+    rs.dropRight(1).foreach(st =>
+      assert(st.picks == b, s"refill pass underfilled: ${rs.map(_.picks)}"))
+    // refill learns at least as many merges in no more passes
+    assert(refilled.size >= plain.size && rs.size <= ps.size)
+    info(s"plain per-pass: ${ps.map(st => s"${st.picks}/${st.poolSize}")}; " +
+      s"refill per-pass: ${rs.map(st => s"${st.picks}/${st.poolSize}")}")
+  }
+
   test("two compiled vector expressions share one projection without codegen collision") {
     import spark.implicits._
     import graft.functions.VectorOps
