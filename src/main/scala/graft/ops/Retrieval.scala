@@ -36,27 +36,40 @@ object Retrieval {
   private val qTerms = 3
   private val lexDepth = 10
 
-  /** (doc_id, dl, term, tf): the BM25 postings — term frequency per
-    * (doc, term) with the doc length DENORMALIZED onto the posting (the
-    * classic index-build trick: dl is functionally dependent on doc_id,
-    * so carrying it through the (doc, term) shuffle costs one long per
-    * posting and saves the corpus-sized doc-length join at query time).
-    * Same tokenization as q94: docShingles words, empty terms dropped. */
-  private def postings(s: SparkSession, d: String): DataFrame =
-    TextCore.docShingles(s, d)
+  /** (doc_id, dl, term, tf) over a docShingles-shaped frame: the BM25
+    * postings — term frequency per (doc, term) with the doc length
+    * DENORMALIZED onto the posting (the classic index-build trick: dl
+    * is functionally dependent on doc_id, so carrying it through the
+    * (doc, term) shuffle costs one long per posting and saves the
+    * corpus-sized doc-length join at query time). Same tokenization as
+    * q94: docShingles words, empty terms dropped. */
+  private def postingsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), size(col("words")).cast("long").as("dl"),
         explode(col("words")).as("term"))
       .where(col("term") =!= "")
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
 
-  /** One row: (n_corpus, avgdl) — corpus cardinality and mean doc
-    * length in words, the BM25 normalization constants. */
-  private def corpusStats(s: SparkSession, d: String): DataFrame =
-    TextCore.docShingles(s, d)
-      .select(size(col("words")).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("sum_dl"))
+  private def postings(s: SparkSession, d: String): DataFrame =
+    postingsOf(TextCore.docShingles(s, d))
+
+  /** One row of ADDITIVE corpus stats: (n_docs, sum_dl) — longs, so
+    * index generations merge by plain summation (the span-LSM rule:
+    * mergeable state is the count, never the ratio). */
+  private def statsOf(docs: DataFrame): DataFrame =
+    docs.select(size(col("words")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  /** (n_corpus, avgdl) from an additive stats frame — THE one place the
+    * avgdl division happens, shared by the in-memory arm and the
+    * file-served index so the double is bit-identical in both. */
+  private def deriveStats(stats: DataFrame): DataFrame =
+    stats.agg(sum(col("n_docs")).as("n_corpus"), sum(col("sum_dl")).as("sdl"))
       .select(col("n_corpus"),
-        (col("sum_dl").cast("double") / col("n_corpus").cast("double")).as("avgdl"))
+        (col("sdl").cast("double") / col("n_corpus").cast("double")).as("avgdl"))
+
+  private def corpusStats(s: SparkSession, d: String): DataFrame =
+    deriveStats(statsOf(TextCore.docShingles(s, d)))
 
   /** The lexical arm: BM25(k1, b) top-[[lexDepth]] docs per query.
     * Query formulation is the q94 rung composed: each query doc's
@@ -69,10 +82,15 @@ object Retrieval {
     * summed as a fixed 3-addend expression in q_rank order —
     * bit-identical in both engines, no unordered double aggregation.
     * The query doc itself is excluded (the q36 self-match rule). */
-  private[graft] def lexTop(s: SparkSession, d: String): DataFrame = {
-    val post = postings(s, d)
+  private[graft] def lexTop(s: SparkSession, d: String): DataFrame =
+    bm25Top(postings(s, d), corpusStats(s, d))
+
+  /** The BM25 arm over an arbitrary (postings, derived-stats) pair —
+    * THE scoring definition, shared by the in-memory q160 arm and the
+    * file-served q161 index search so the two can never drift: same
+    * query formulation, same idf/tf/length arithmetic, same ranking. */
+  private def bm25Top(post: DataFrame, stats: DataFrame): DataFrame = {
     val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = corpusStats(s, d)
     // query terms: q94's score = tf · N/df over the query docs only
     val wq = Window.partitionBy("query_id")
       .orderBy(col("qscore").desc, col("term").asc)
@@ -155,57 +173,147 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  // -------------------------------------------------------------------------
+  // Persisted lexical (BM25) index — the retrieval family's serve-from-
+  // files rung, symmetric with the IVF/PQ (q114/q140) and span (q127/
+  // q128) index artifacts.
+  // -------------------------------------------------------------------------
+
+  /** Write generation 0 of the persisted postings index: `postings/
+    * gen=0/` (doc_id, dl, term, tf) plus the additive `_stats/` sidecar
+    * (n_docs, sum_dl) — underscore-prefixed so partition discovery on
+    * the postings root never sees it. df is deliberately NOT persisted:
+    * postings are unique per (doc, term), so df(term) = the row count
+    * of that term's postings across generations — derivable in the same
+    * scan that serves the scores, and automatically correct under
+    * appends (a persisted df table would need read-merge like the span
+    * index's counts; the postings themselves already ARE that
+    * mergeable state). */
+  def writeLexIndex(s: SparkSession, d: String, out: String,
+      rowFilter: Column = lit(true)): Unit = {
+    val docs = TextCore.docShingles(s, d).where(rowFilter)
+    postingsOf(docs).withColumn("gen", lit(0L))
+      .write.mode("overwrite").partitionBy("gen").parquet(s"$out/postings")
+    statsOf(docs).withColumn("gen", lit(0L)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$out/_stats")
+  }
+
+  /** Incremental maintenance: the batch's postings land as a NEW
+    * generation directory (dynamic partitionBy append — base generation
+    * files are never rewritten, spec-pinned byte-identical) and its
+    * stats row appends to the sidecar. The caller's batches must be
+    * doc-disjoint (the incremental-family convention): a doc split
+    * across generations would double-count its dl in avgdl and its
+    * postings in df. */
+  def appendLexIndex(s: SparkSession, d: String, out: String,
+      rowFilter: Column, gen: Long): Unit = {
+    require(gen > 0, s"generation must be > 0 (0 is the base build); got $gen")
+    val docs = TextCore.docShingles(s, d).where(rowFilter)
+    postingsOf(docs).withColumn("gen", lit(gen))
+      .write.mode("append").partitionBy("gen").parquet(s"$out/postings")
+    statsOf(docs).withColumn("gen", lit(gen)).coalesce(1)
+      .write.mode("append").parquet(s"$out/_stats")
+  }
+
+  /** BM25 top-N served FROM the persisted index alone: merge-on-read
+    * over the postings generations (one union scan — df and scores come
+    * out of the same pass) with the corpus constants summed from the
+    * additive sidecar. Identical arithmetic to the in-memory arm by
+    * construction ([[bm25Top]] is shared). */
+  def lexIndexSearch(s: SparkSession, index: String): DataFrame =
+    bm25Top(s.read.parquet(s"$index/postings").drop("gen"),
+      deriveStats(s.read.parquet(s"$index/_stats")))
+
+  /** q161: BM25 search served from the incrementally-grown postings
+    * index — build the base over already-ingested history (doc hash
+    * bucket < 50, the q107/q114/q127 convention), grow it with
+    * [[appendLexIndex]], and serve [[lexIndexSearch]] from the files.
+    * The DuckDB oracle computes the SAME BM25 arm declaratively over
+    * the raw documents — a green row proves the grown artifact serves
+    * exactly what a full recompute would (the q114/q128 proof pattern
+    * applied to the lexical side; the base-files-untouched half is
+    * spec-pinned md5-identical). */
+  lazy val q161_lex_index_search: Q = (s, d) => {
+    val idx = graft.etl.StarBuilder.scratchDir(s, d, "lexidx")
+    val bucket = TextCore.idBucket(col("doc_id"))
+    graft.BuildPhase.timed {
+      graft.SessionMemo.once(s, d, "lex:index") {
+        writeLexIndex(s, d, idx, bucket < 50)
+        appendLexIndex(s, d, idx, bucket >= 50, gen = 1L)
+      }
+    }
+    lexIndexSearch(s, idx)
+      .select(col("query_id"), col("lex_rank"), col("doc_id"),
+        round4(col("bscore")).as("bscore"))
+      .orderBy("query_id", "lex_rank")
+  }
+
   val queries: Map[String, Q] = Map(
-    "q160_hybrid_bm25_rrf" -> q160_hybrid_bm25_rrf)
+    "q160_hybrid_bm25_rrf" -> q160_hybrid_bm25_rrf,
+    "q161_lex_index_search" -> q161_lex_index_search)
+
+  /** The lexical-arm CTE chain (postings → df → stats → query terms →
+    * contributions → BM25 → ranked lex) — shared VERBATIM by the q160
+    * fusion oracle and the q161 index-serving oracle, so the "one
+    * scoring definition" rule holds on the DuckDB side too. Expects the
+    * docs CTE in scope. */
+  private val lexCtes: String =
+    s"""tk AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl,
+       |              unnest(words) AS term FROM docs),
+       |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tk WHERE term <> '' GROUP BY 1, 2, 3),
+       |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+       |              CAST(sum(len(words)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |       FROM docs),
+       |qt AS (
+       |  SELECT query_id, term, q_rank FROM (
+       |    SELECT t.doc_id AS query_id, t.term,
+       |           CAST(row_number() OVER (PARTITION BY t.doc_id
+       |             ORDER BY CAST(t.tf AS DOUBLE) * CAST(n_corpus AS DOUBLE)
+       |                        / CAST(df AS DOUBLE) DESC,
+       |                      t.term ASC) AS BIGINT) AS q_rank
+       |    FROM tf t JOIN dfx USING (term) CROSS JOIN st
+       |    WHERE t.doc_id < ${Similarity.numQueries})
+       |  WHERE q_rank <= $qTerms),
+       |cb AS (
+       |  SELECT q.query_id, q.q_rank, t.doc_id,
+       |         (CAST(n_corpus AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |           / (CAST(df AS DOUBLE) + 0.5)
+       |         * (CAST(t.tf AS DOUBLE) * ${k1 + 1})
+       |         / (CAST(t.tf AS DOUBLE)
+       |            + $k1 * (1.0 - $b + $b * CAST(t.dl AS DOUBLE) / avgdl)) AS contrib
+       |  FROM tf t JOIN qt q USING (term) JOIN dfx USING (term) CROSS JOIN st
+       |  WHERE t.doc_id <> q.query_id),
+       |bm AS (
+       |  SELECT query_id, doc_id,
+       |         coalesce(max(CASE WHEN q_rank = 1 THEN contrib END), 0.0)
+       |       + coalesce(max(CASE WHEN q_rank = 2 THEN contrib END), 0.0)
+       |       + coalesce(max(CASE WHEN q_rank = 3 THEN contrib END), 0.0) AS bscore
+       |  FROM cb GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT query_id, doc_id, lex_rank, bscore FROM (
+       |    SELECT query_id, doc_id, bscore,
+       |           CAST(row_number() OVER (PARTITION BY query_id
+       |             ORDER BY bscore DESC, doc_id ASC) AS BIGINT) AS lex_rank
+       |    FROM bm)
+       |  WHERE lex_rank <= $lexDepth)""".stripMargin
 
   /** The BM25 + RRF chain, computed declaratively by DuckDB over the
     * same parquet — every constant spelled identically, every double
     * expression the same left-associative chain, so scores are
     * bit-equal and rankings (raw-double ordered, id tie-breaks) agree
-    * row for row. */
+    * row for row. q161 runs the identical lexical chain: the oracle
+    * recomputes from the raw documents what the engine serves from the
+    * incrementally-grown postings files. */
   val oracle: Map[String, String] = Map(
+    "q161_lex_index_search" ->
+      s"""WITH ${TextCore.docsCte}, $lexCtes
+         |SELECT query_id, lex_rank, doc_id, ${round4Sql("bscore")} AS bscore
+         |FROM lex ORDER BY query_id, lex_rank""".stripMargin,
     "q160_hybrid_bm25_rrf" ->
       s"""WITH ${TextCore.docsCte}, ${Similarity.vecsCte}, ${Similarity.ivfCte},
-         |tk AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl,
-         |              unnest(words) AS term FROM docs),
-         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
-         |       FROM tk WHERE term <> '' GROUP BY 1, 2, 3),
-         |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,
-         |              CAST(sum(len(words)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-         |       FROM docs),
-         |qt AS (
-         |  SELECT query_id, term, q_rank FROM (
-         |    SELECT t.doc_id AS query_id, t.term,
-         |           CAST(row_number() OVER (PARTITION BY t.doc_id
-         |             ORDER BY CAST(t.tf AS DOUBLE) * CAST(n_corpus AS DOUBLE)
-         |                        / CAST(df AS DOUBLE) DESC,
-         |                      t.term ASC) AS BIGINT) AS q_rank
-         |    FROM tf t JOIN dfx USING (term) CROSS JOIN st
-         |    WHERE t.doc_id < ${Similarity.numQueries})
-         |  WHERE q_rank <= $qTerms),
-         |cb AS (
-         |  SELECT q.query_id, q.q_rank, t.doc_id,
-         |         (CAST(n_corpus AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-         |           / (CAST(df AS DOUBLE) + 0.5)
-         |         * (CAST(t.tf AS DOUBLE) * ${k1 + 1})
-         |         / (CAST(t.tf AS DOUBLE)
-         |            + $k1 * (1.0 - $b + $b * CAST(t.dl AS DOUBLE) / avgdl)) AS contrib
-         |  FROM tf t JOIN qt q USING (term) JOIN dfx USING (term) CROSS JOIN st
-         |  WHERE t.doc_id <> q.query_id),
-         |bm AS (
-         |  SELECT query_id, doc_id,
-         |         coalesce(max(CASE WHEN q_rank = 1 THEN contrib END), 0.0)
-         |       + coalesce(max(CASE WHEN q_rank = 2 THEN contrib END), 0.0)
-         |       + coalesce(max(CASE WHEN q_rank = 3 THEN contrib END), 0.0) AS bscore
-         |  FROM cb GROUP BY 1, 2),
-         |lex AS (
-         |  SELECT query_id, doc_id, lex_rank FROM (
-         |    SELECT query_id, doc_id,
-         |           CAST(row_number() OVER (PARTITION BY query_id
-         |             ORDER BY bscore DESC, doc_id ASC) AS BIGINT) AS lex_rank
-         |    FROM bm)
-         |  WHERE lex_rank <= $lexDepth),
+         |$lexCtes,
          |fused AS (
          |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
          |         coalesce(l.doc_id, v.neighbor_id) AS doc_id,

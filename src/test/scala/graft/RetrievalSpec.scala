@@ -45,6 +45,37 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     assert(bhj.forall(_.leftKeys.nonEmpty), "broadcast join without equi keys")
   }
 
+  test("lex index LSM: append never rewrites base postings; served == in-memory arm") {
+    import org.apache.spark.sql.functions.col
+    def md5s(dir: java.io.File): Map[String, String] =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map { f =>
+          f.getName -> java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+        }.toMap
+    val dir = writeMiniDocs((0L until 20L).map { i =>
+      i -> s"zebra apple shared w$i x$i common words here"
+    })
+    val out = java.nio.file.Files.createTempDirectory("graft_lexidx").toString
+    Retrieval.writeLexIndex(spark, dir, out, col("doc_id") % 2 === 0)
+    val gen0 = md5s(new java.io.File(s"$out/postings/gen=0"))
+    assert(gen0.nonEmpty)
+    Retrieval.appendLexIndex(spark, dir, out, col("doc_id") % 2 === 1, gen = 1L)
+    // LSM contract: base generation byte-untouched by the append
+    assert(md5s(new java.io.File(s"$out/postings/gen=0")) == gen0)
+    assert(new java.io.File(s"$out/postings/gen=1").isDirectory)
+    // served-from-files equals the in-memory arm over the full corpus:
+    // df/avgdl/scores are bit-identical because the additive sidecar
+    // sums to the same longs and bm25Top is the shared definition
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "lex_rank", "bscore").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(Retrieval.lexIndexSearch(spark, out)) ==
+      rows(Retrieval.lexTop(spark, dir)))
+  }
+
   test("q160: fused output is well-formed on real data") {
     val rows = Retrieval.q160_hybrid_bm25_rrf(spark, "/root/testdata/sf0.001")
       .collect()
