@@ -101,25 +101,31 @@ object Retrieval {
   private def lexTopMemo(s: SparkSession, d: String): DataFrame =
     graft.SessionMemo(s, d, "lex:top")(lexTop(s, d))(_.localCheckpoint(true))
 
-  /** The BM25 arm over an arbitrary (postings, derived-stats) pair —
-    * THE scoring definition, shared by the in-memory q160 arm and the
-    * file-served q161 index search so the two can never drift: same
-    * query formulation, same idf/tf/length arithmetic, same ranking. */
-  private def bm25Top(post: DataFrame, stats: DataFrame): DataFrame = {
-    val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
-    // query terms: q94's score = tf · N/df over the query docs only
+  /** Rank a (query_id, term, tf) frame's terms by q94's tf·N/df and
+    * keep the top [[qTerms]] per query — the query-formulation half,
+    * shared by the corpus-doc path (tf from the query doc's postings)
+    * and the free-text path (tf counted from the query text). The
+    * query side is query-set-sized: broadcast IT against the
+    * vocabulary-sized df table (never shuffle the vocabulary). */
+  private def rankQueryTerms(qtf: DataFrame, dfreq: DataFrame,
+      stats: DataFrame): DataFrame = {
     val wq = Window.partitionBy("query_id")
       .orderBy(col("qscore").desc, col("term").asc)
-    // the query-doc postings are query-set-sized: broadcast THEM against
-    // the vocabulary-sized df table (never shuffle the vocabulary)
-    val qterms = broadcast(post.where(col("doc_id") < Similarity.numQueries))
+    broadcast(qtf)
       .join(dfreq, "term").crossJoin(broadcast(stats))
       .withColumn("qscore", col("tf").cast("double") *
         col("n_corpus").cast("double") / col("df").cast("double"))
-      .withColumnRenamed("doc_id", "query_id")
       .withColumn("q_rank", row_number().over(wq).cast("long"))
       .where(col("q_rank") <= qTerms)
       .select(col("query_id"), col("term"), col("q_rank"))
+  }
+
+  /** The BM25 scoring half: ranked query terms against the postings —
+    * the FIXED three-addend sum in q_rank order, top-[[lexDepth]] per
+    * query. Exact expression chain shared by every consumer (the gate
+    * rests on its bit-stability). */
+  private def bm25ScoreTerms(post: DataFrame, stats: DataFrame,
+      dfreq: DataFrame, qterms: DataFrame): DataFrame = {
     val idf = (col("n_corpus").cast("double") - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))
     val contrib = idf * (col("tf").cast("double") * lit(k1 + 1)) /
@@ -139,6 +145,19 @@ object Retrieval {
       .withColumn("lex_rank", row_number().over(wl).cast("long"))
       .where(col("lex_rank") <= lexDepth)
       .select(col("query_id"), col("doc_id"), col("lex_rank"), col("bscore"))
+  }
+
+  /** The BM25 arm over an arbitrary (postings, derived-stats) pair —
+    * THE scoring definition, shared by the in-memory q160 arm and the
+    * file-served q161 index search so the two can never drift: same
+    * query formulation, same idf/tf/length arithmetic, same ranking. */
+  private def bm25Top(post: DataFrame, stats: DataFrame): DataFrame = {
+    val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
+    // query terms: q94's score = tf · N/df over the query docs only
+    val qtf = post.where(col("doc_id") < Similarity.numQueries)
+      .withColumnRenamed("doc_id", "query_id")
+      .select(col("query_id"), col("term"), col("tf"))
+    bm25ScoreTerms(post, stats, dfreq, rankQueryTerms(qtf, dfreq, stats))
   }
 
   /** q160: hybrid BM25 + vector retrieval with reciprocal-rank fusion.
@@ -239,6 +258,50 @@ object Retrieval {
   def lexIndexSearch(s: SparkSession, index: String): DataFrame =
     bm25Top(s.read.parquet(s"$index/postings").drop("gen"),
       deriveStats(s.read.parquet(s"$index/_stats")))
+
+  /** BM25 top-[[lexDepth]] from the persisted index for FREE-TEXT
+    * queries (query_id, text) — the serving entry the streaming twin
+    * ([[graft.streaming.EventStream.lexSearchBatch]]) wraps: query
+    * terms are tokenized with the SAME normalize/split chain as the
+    * indexed corpus (the withShingleFeatures convention — definitions
+    * shared, so query-side and index-side tokenization can never
+    * drift), tf counted from the query text, df/N read from the index.
+    * A query whose id collides with an indexed doc_id scores without
+    * that doc (the corpus path's self-exclusion predicate, kept so the
+    * two paths agree exactly on corpus-doc queries — parity
+    * spec-pinned). */
+  def lexIndexSearchText(s: SparkSession, index: String,
+      queries: DataFrame): DataFrame = {
+    val post = s.read.parquet(s"$index/postings").drop("gen")
+    val stats = deriveStats(s.read.parquet(s"$index/_stats"))
+    val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
+    val qtf = queries
+      .select(col("query_id"),
+        explode(TextCore.wordsCol(TextCore.normCol(col("text")))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("query_id", "term").agg(count(lit(1)).as("tf"))
+    bm25ScoreTerms(post, stats, dfreq, rankQueryTerms(qtf, dfreq, stats))
+  }
+
+  /** Major compaction: fold every postings generation into a fresh
+    * gen 0 (and the stats sidecar into one row) — the span-index LSM
+    * compaction applied to the lexical artifact: bounds the
+    * generation-directory count a merge-on-read serve unions. The
+    * merged frames are checkpointed BEFORE the overwrite (the rewrite
+    * reads the files it replaces); same in-place visibility caveat as
+    * [[graft.etl.Compact.compact]] — on the versioned warehouse this
+    * would commit as a snapshot instead. */
+  def compactLexIndex(s: SparkSession, index: String): Unit = {
+    val post = s.read.parquet(s"$index/postings").drop("gen")
+      .localCheckpoint(true)
+    val stats = s.read.parquet(s"$index/_stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .localCheckpoint(true)
+    post.withColumn("gen", lit(0L))
+      .write.mode("overwrite").partitionBy("gen").parquet(s"$index/postings")
+    stats.withColumn("gen", lit(0L)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$index/_stats")
+  }
 
   /** q161: BM25 search served from the incrementally-grown postings
     * index — build the base over already-ingested history (doc hash

@@ -207,6 +207,18 @@ object EventStream {
       nprobe: Int = 4, k: Int = 5)(batch: DataFrame): DataFrame =
     graft.ops.Similarity.ivfIndexSearch(s, index, batch, nprobe, k)
 
+  /** Streaming LEXICAL serving — [[annSearchBatch]]'s BM25 twin: free-
+    * text queries (query_id, text) arriving on a stream are searched
+    * against the persisted postings index per micro-batch through the
+    * batch [[graft.ops.Retrieval.lexIndexSearchText]] (one definition,
+    * zero drift). The index is re-resolved per batch, so a mid-stream
+    * [[graft.ops.Retrieval.appendLexIndex]] (a new corpus generation)
+    * is served on the very next micro-batch — no rebuild, no restart:
+    * the LSM merge-on-read freshness the spec pins. */
+  def lexSearchBatch(s: org.apache.spark.sql.SparkSession, index: String)
+      (batch: DataFrame): DataFrame =
+    graft.ops.Retrieval.lexIndexSearchText(s, index, batch)
+
   /** Idempotent micro-batch parquet sink for `writeStream.foreachBatch`:
     * each micro-batch overwrites its own `batch_id=<id>` directory, so a
     * REPLAYED batch (restart after a sink-side failure — the at-least-once

@@ -683,6 +683,58 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("lexSearchBatch serves micro-batches from the postings index; a mid-stream append lands next batch") {
+    // the BM25 twin of the annSearchBatch test, with the LSM twist:
+    // instead of an erasure, a NEW CORPUS GENERATION appended mid-stream
+    // must be served on the very next micro-batch (merge-on-read
+    // freshness — no rebuild, no restart)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Retrieval
+    val dir = writeMiniDocs(
+      (0L until 10L).map(i => i -> s"query q$i zebra topic$i") ++
+        (10L until 30L).map(i => i -> s"corpus zebra doc w$i topic${i % 10}"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_lex_stream").toString
+    // base index: docs < 20; doc 20+ arrives as the mid-stream append
+    Retrieval.writeLexIndex(spark, dir, idx, col("doc_id") < 20)
+    val queries = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("text"))
+    def batchSearch(ids: Seq[Long]): Seq[(Long, Long, Long)] =
+      Retrieval.lexIndexSearchText(spark, idx,
+          queries.where(col("query_id").isin(ids: _*)))
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("lex_rank"),
+          r.getAs[Long]("doc_id"))).sorted.toSeq
+    val arrivals = queries.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[String]("text")))
+    val (first, second) = arrivals.splitAt(5)
+    val expectedFirst = batchSearch(first.map(_._1).toSeq)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val query = input.toDS().toDF("query_id", "text")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        results ++= EventStream.lexSearchBatch(spark, idx)(b)
+          .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("lex_rank"),
+            r.getAs[Long]("doc_id")))
+        ()
+      }.start()
+    try {
+      input.addData(first.toIndexedSeq: _*)
+      query.processAllAvailable()
+      assert(results.sorted.toSeq == expectedFirst) // stream ≡ batch, wave 1
+      // APPEND mid-stream: generation 1 (docs 20+) is served next batch
+      Retrieval.appendLexIndex(spark, dir, idx, col("doc_id") >= 20, gen = 1L)
+      val expectedSecond = batchSearch(second.map(_._1).toSeq)
+      // the appended docs really are reachable (they share the corpus terms)
+      assert(expectedSecond.exists(_._3 >= 20L))
+      results.clear()
+      input.addData(second.toIndexedSeq: _*)
+      query.processAllAvailable()
+      assert(results.sorted.toSeq == expectedSecond) // stream ≡ batch, wave 2
+    } finally query.stop()
+  }
+
   test("spanProbeStream decontaminates in-flight: eval-hash static side flags a planted leak") {
     // q157's flag source (the eval split's window hashes) IS a valid
     // static side for the existing span probe — decontamination at

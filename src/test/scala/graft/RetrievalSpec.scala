@@ -76,6 +76,44 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
       rows(Retrieval.lexTop(spark, dir)))
   }
 
+  test("free-text query path equals the corpus-doc path on corpus queries") {
+    // lexIndexSearchText tokenizes the query TEXT with the shared
+    // norm/split chain; querying with the corpus docs' own text must
+    // reproduce lexIndexSearch exactly (same tf, same df, same ranks)
+    import org.apache.spark.sql.functions.col
+    val dir = writeMiniDocs((0L until 20L).map { i =>
+      i -> s"zebra apple shared w$i x$i common words here"
+    })
+    val out = java.nio.file.Files.createTempDirectory("graft_lexidx_t").toString
+    Retrieval.writeLexIndex(spark, dir, out)
+    val queries = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "lex_rank", "bscore").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(Retrieval.lexIndexSearchText(spark, out, queries)) ==
+      rows(Retrieval.lexIndexSearch(spark, out)))
+  }
+
+  test("lex index compaction folds generations; counts and results unchanged") {
+    import org.apache.spark.sql.functions.col
+    val dir = writeMiniDocs((0L until 20L).map { i =>
+      i -> s"zebra apple shared w$i x$i common words here"
+    })
+    val out = java.nio.file.Files.createTempDirectory("graft_lexidx_c").toString
+    Retrieval.writeLexIndex(spark, dir, out, col("doc_id") % 2 === 0)
+    Retrieval.appendLexIndex(spark, dir, out, col("doc_id") % 2 === 1, gen = 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "lex_rank", "bscore").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val before = rows(Retrieval.lexIndexSearch(spark, out))
+    Retrieval.compactLexIndex(spark, out)
+    assert(!new java.io.File(s"$out/postings/gen=1").exists())
+    assert(new java.io.File(s"$out/postings/gen=0").isDirectory)
+    assert(rows(Retrieval.lexIndexSearch(spark, out)) == before)
+  }
+
   test("q160: fused output is well-formed on real data") {
     val rows = Retrieval.q160_hybrid_bm25_rrf(spark, "/root/testdata/sf0.001")
       .collect()
