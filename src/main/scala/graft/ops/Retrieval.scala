@@ -224,11 +224,24 @@ object Retrieval {
     * appends (a persisted df table would need read-merge like the span
     * index's counts; the postings themselves already ARE that
     * mergeable state). */
+  /** Term-bucket fan-out of the postings partition layout: serving a
+    * query needs only its terms' buckets, so a search reads ≤ |terms|
+    * directories out of [[lexTermBuckets]] — the IVF "nprobe
+    * directories" story applied to the lexical artifact (spec-pinned at
+    * the file level in PartitionPruningSpec). 64 keeps directories
+    * coarse enough that every bucket stays multi-file at corpus scale. */
+  private[graft] val lexTermBuckets = 64L
+
+  private[graft] def termBucket(term: Column): Column =
+    pmod(conv(substring(md5(term), 1, 4), 16, 10).cast("long"),
+      lit(lexTermBuckets))
+
   def writeLexIndex(s: SparkSession, d: String, out: String,
       rowFilter: Column = lit(true)): Unit = {
     val docs = TextCore.docShingles(s, d).where(rowFilter)
-    postingsOf(docs).withColumn("gen", lit(0L))
-      .write.mode("overwrite").partitionBy("gen").parquet(s"$out/postings")
+    postingsOf(docs).withColumn("tb", termBucket(col("term")))
+      .withColumn("gen", lit(0L))
+      .write.mode("overwrite").partitionBy("tb", "gen").parquet(s"$out/postings")
     statsOf(docs).withColumn("gen", lit(0L)).coalesce(1)
       .write.mode("overwrite").parquet(s"$out/_stats")
   }
@@ -244,8 +257,9 @@ object Retrieval {
       rowFilter: Column, gen: Long): Unit = {
     require(gen > 0, s"generation must be > 0 (0 is the base build); got $gen")
     val docs = TextCore.docShingles(s, d).where(rowFilter)
-    postingsOf(docs).withColumn("gen", lit(gen))
-      .write.mode("append").partitionBy("gen").parquet(s"$out/postings")
+    postingsOf(docs).withColumn("tb", termBucket(col("term")))
+      .withColumn("gen", lit(gen))
+      .write.mode("append").partitionBy("tb", "gen").parquet(s"$out/postings")
     statsOf(docs).withColumn("gen", lit(gen)).coalesce(1)
       .write.mode("append").parquet(s"$out/_stats")
   }
@@ -256,7 +270,7 @@ object Retrieval {
     * additive sidecar. Identical arithmetic to the in-memory arm by
     * construction ([[bm25Top]] is shared). */
   def lexIndexSearch(s: SparkSession, index: String): DataFrame =
-    bm25Top(s.read.parquet(s"$index/postings").drop("gen"),
+    bm25Top(s.read.parquet(s"$index/postings").drop("tb", "gen"),
       deriveStats(s.read.parquet(s"$index/_stats")))
 
   /** BM25 top-[[lexDepth]] from the persisted index for FREE-TEXT
@@ -270,9 +284,29 @@ object Retrieval {
     * that doc (the corpus path's self-exclusion predicate, kept so the
     * two paths agree exactly on corpus-doc queries — parity
     * spec-pinned). */
+  /** The postings read scoped to the query terms' buckets — the static
+    * partition filter [[lexIndexSearchText]] serves through (package-
+    * visible so the pruning spec can pin the file-level scan the same
+    * way PartitionPruningSpec pins the IVF probe read). */
+  private[graft] def prunedPostings(s: SparkSession, index: String,
+      queries: DataFrame): DataFrame = {
+    val qbuckets = queries
+      .select(explode(TextCore.wordsCol(TextCore.normCol(col("text")))).as("term"))
+      .where(col("term") =!= "")
+      .select(termBucket(col("term")).as("tb")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    s.read.parquet(s"$index/postings")
+      .where(col("tb").isin(qbuckets: _*)).drop("tb", "gen")
+  }
+
   def lexIndexSearchText(s: SparkSession, index: String,
       queries: DataFrame): DataFrame = {
-    val post = s.read.parquet(s"$index/postings").drop("gen")
+    // push the query terms' buckets down as a static partition filter
+    // (the q37/pqIndexSearch probedBuckets convention — a driver-side
+    // list bounded by the query set's distinct terms): a search reads
+    // only its terms' directories. df over the pruned read is exact —
+    // every posting of a query term lives in that term's bucket.
+    val post = prunedPostings(s, index, queries)
     val stats = deriveStats(s.read.parquet(s"$index/_stats"))
     val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
     val qtf = queries
@@ -292,13 +326,13 @@ object Retrieval {
     * [[graft.etl.Compact.compact]] — on the versioned warehouse this
     * would commit as a snapshot instead. */
   def compactLexIndex(s: SparkSession, index: String): Unit = {
-    val post = s.read.parquet(s"$index/postings").drop("gen")
+    val post = s.read.parquet(s"$index/postings").drop("tb", "gen")
       .localCheckpoint(true)
     val stats = s.read.parquet(s"$index/_stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
       .localCheckpoint(true)
-    post.withColumn("gen", lit(0L))
-      .write.mode("overwrite").partitionBy("gen").parquet(s"$index/postings")
+    post.withColumn("tb", termBucket(col("term"))).withColumn("gen", lit(0L))
+      .write.mode("overwrite").partitionBy("tb", "gen").parquet(s"$index/postings")
     stats.withColumn("gen", lit(0L)).coalesce(1)
       .write.mode("overwrite").parquet(s"$index/_stats")
   }

@@ -45,27 +45,37 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     assert(bhj.forall(_.leftKeys.nonEmpty), "broadcast join without equi keys")
   }
 
-  test("lex index LSM: append never rewrites base postings; served == in-memory arm") {
-    import org.apache.spark.sql.functions.col
-    def md5s(dir: java.io.File): Map[String, String] =
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .map { f =>
-          f.getName -> java.security.MessageDigest.getInstance("MD5")
+  /** Every parquet file under `root` whose path contains the `gen=<g>`
+    * partition dir, keyed by tb-relative path (the layout is
+    * `postings/tb=<b>/gen=<g>/part-*.parquet`). */
+  private def genMd5s(root: java.io.File, gen: Long): Map[String, String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(root)
+      .filter(f => f.getName.endsWith(".parquet") &&
+        f.getPath.contains(s"gen=$gen"))
+      .map { f =>
+        s"${f.getParentFile.getParentFile.getName}/${f.getName}" ->
+          java.security.MessageDigest.getInstance("MD5")
             .digest(java.nio.file.Files.readAllBytes(f.toPath))
             .map("%02x".format(_)).mkString
-        }.toMap
+      }.toMap
+  }
+
+  test("lex index LSM: append never rewrites base postings; served == in-memory arm") {
+    import org.apache.spark.sql.functions.col
     val dir = writeMiniDocs((0L until 20L).map { i =>
       i -> s"zebra apple shared w$i x$i common words here"
     })
     val out = java.nio.file.Files.createTempDirectory("graft_lexidx").toString
     Retrieval.writeLexIndex(spark, dir, out, col("doc_id") % 2 === 0)
-    val gen0 = md5s(new java.io.File(s"$out/postings/gen=0"))
+    val gen0 = genMd5s(new java.io.File(s"$out/postings"), 0L)
     assert(gen0.nonEmpty)
     Retrieval.appendLexIndex(spark, dir, out, col("doc_id") % 2 === 1, gen = 1L)
     // LSM contract: base generation byte-untouched by the append
-    assert(md5s(new java.io.File(s"$out/postings/gen=0")) == gen0)
-    assert(new java.io.File(s"$out/postings/gen=1").isDirectory)
+    assert(genMd5s(new java.io.File(s"$out/postings"), 0L) == gen0)
+    assert(genMd5s(new java.io.File(s"$out/postings"), 1L).nonEmpty)
     // served-from-files equals the in-memory arm over the full corpus:
     // df/avgdl/scores are bit-identical because the additive sidecar
     // sums to the same longs and bm25Top is the shared definition
@@ -109,9 +119,41 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     val before = rows(Retrieval.lexIndexSearch(spark, out))
     Retrieval.compactLexIndex(spark, out)
-    assert(!new java.io.File(s"$out/postings/gen=1").exists())
-    assert(new java.io.File(s"$out/postings/gen=0").isDirectory)
+    assert(genMd5s(new java.io.File(s"$out/postings"), 1L).isEmpty)
+    assert(genMd5s(new java.io.File(s"$out/postings"), 0L).nonEmpty)
     assert(rows(Retrieval.lexIndexSearch(spark, out)) == before)
+  }
+
+  test("a free-text search reads only its terms' bucket directories") {
+    // the IVF "nprobe directories" story on the lexical artifact: the
+    // query's terms map to ≤ |terms| of the 64 tb= partitions, pushed
+    // down as a static partition filter — file-level-pinned like
+    // PartitionPruningSpec's IVF case
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val dir = writeMiniDocs((0L until 20L).map { i =>
+      i -> s"zebra apple shared w$i x$i common words here"
+    })
+    val out = java.nio.file.Files.createTempDirectory("graft_lexidx_p").toString
+    Retrieval.writeLexIndex(spark, dir, out)
+    val q = Seq((100L, "zebra apple")).toDF("query_id", "text")
+    val expectedTbs = spark.range(1)
+      .select(Retrieval.termBucket(org.apache.spark.sql.functions.lit("zebra")),
+        Retrieval.termBucket(org.apache.spark.sql.functions.lit("apple")))
+      .collect()(0) match { case r => Set(r.getLong(0), r.getLong(1)) }
+    val pruned = Retrieval.prunedPostings(spark, out, q)
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.nonEmpty, "no partition filter pushed")
+    val dirs = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files)
+      .map(_.getPath.getParent.getParent.getName).distinct.sorted
+    assert(dirs.toSet == expectedTbs.map(b => s"tb=$b"),
+      s"scan touched ${dirs.mkString(",")} expected tb in $expectedTbs")
+    // and the pruned serve still finds the corpus matches
+    assert(Retrieval.lexIndexSearchText(spark, out, q).count() > 0)
   }
 
   test("q160: fused output is well-formed on real data") {
