@@ -398,10 +398,54 @@ object Retrieval {
       .orderBy("query_id")
   }
 
+  /** q164: lexical-index STALENESS after incremental appends — the
+    * q107/q127 report for the postings artifact, read entirely FROM the
+    * index files (generation column + the additive stats sidecar, no
+    * raw-corpus scan): per the grown q161 artifact, how much the
+    * appends moved the scoring ground the base was built on —
+    *  - `n_docs_base` / `n_docs_appended` (stats sidecar, by gen),
+    *  - `n_terms_base` / `n_terms_new` (vocabulary the appends
+    *    introduced — terms the base index cannot score at all),
+    *  - `n_df_doubled`: base terms whose document frequency at least
+    *    doubled across the appends — the idf-shift set: any CACHED
+    *    ranking touching them predates half its evidence.
+    * The operator reads this one row to decide when accumulated drift
+    * justifies a [[compactLexIndex]] + cache invalidation — the same
+    * contract as the IVF retrain report (q107) and the span dup-set
+    * report (q127). The oracle recomputes all five counters from the
+    * raw documents with the same id-hash split. */
+  lazy val q164_lex_staleness: Q = (s, d) => {
+    val idx = graft.etl.StarBuilder.scratchDir(s, d, "lexidx")
+    val bucket = TextCore.idBucket(col("doc_id"))
+    graft.BuildPhase.timed {
+      graft.SessionMemo.once(s, d, "lex:index") {
+        writeLexIndex(s, d, idx, bucket < 50)
+        appendLexIndex(s, d, idx, bucket >= 50, gen = 1L)
+      }
+    }
+    val byTerm = s.read.parquet(s"$idx/postings")
+      .groupBy("term").agg(
+        sum(when(col("gen") === 0L, 1L).otherwise(0L)).as("df0"),
+        sum(when(col("gen") > 0L, 1L).otherwise(0L)).as("df1"))
+    val terms = byTerm.agg(
+      sum(when(col("df0") > 0, 1L).otherwise(0L)).as("n_terms_base"),
+      sum(when(col("df0") === 0 && col("df1") > 0, 1L).otherwise(0L))
+        .as("n_terms_new"),
+      sum(when(col("df0") > 0 && col("df1") >= col("df0"), 1L).otherwise(0L))
+        .as("n_df_doubled"))
+    val docs = s.read.parquet(s"$idx/_stats").agg(
+      sum(when(col("gen") === 0L, col("n_docs")).otherwise(0L)).as("n_docs_base"),
+      sum(when(col("gen") > 0L, col("n_docs")).otherwise(0L)).as("n_docs_appended"))
+    docs.crossJoin(terms)
+      .select(col("n_docs_base"), col("n_docs_appended"),
+        col("n_terms_base"), col("n_terms_new"), col("n_df_doubled"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q160_hybrid_bm25_rrf" -> q160_hybrid_bm25_rrf,
     "q161_lex_index_search" -> q161_lex_index_search,
-    "q162_hybrid_ablation" -> q162_hybrid_ablation)
+    "q162_hybrid_ablation" -> q162_hybrid_ablation,
+    "q164_lex_staleness" -> q164_lex_staleness)
 
   /** The lexical-arm CTE chain (postings → df → stats → query terms →
     * contributions → BM25 → ranked lex) — shared VERBATIM by the q160
@@ -458,6 +502,39 @@ object Retrieval {
     * recomputes from the raw documents what the engine serves from the
     * incrementally-grown postings files. */
   val oracle: Map[String, String] = Map(
+    // the five staleness counters recomputed from the raw documents
+    // with the same id-hash split the artifact was built under
+    "q164_lex_staleness" ->
+      s"""WITH ${TextCore.docsCte},
+         |tk AS (
+         |  SELECT doc_id, term,
+         |         CASE WHEN ${TextCore.idBucketSql("doc_id")} < 50
+         |              THEN 0 ELSE 1 END AS g
+         |  FROM (SELECT doc_id, unnest(words) AS term FROM docs)
+         |  WHERE term <> ''),
+         |tf AS (SELECT doc_id, term, g FROM tk GROUP BY 1, 2, 3),
+         |bt AS (
+         |  SELECT term,
+         |         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         |         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS df1
+         |  FROM tf GROUP BY term),
+         |tt AS (
+         |  SELECT CAST(sum(CASE WHEN df0 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_terms_base,
+         |         CAST(sum(CASE WHEN df0 = 0 AND df1 > 0 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_terms_new,
+         |         CAST(sum(CASE WHEN df0 > 0 AND df1 >= df0 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_df_doubled
+         |  FROM bt),
+         |dd AS (
+         |  SELECT CAST(sum(CASE WHEN ${TextCore.idBucketSql("doc_id")} < 50
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_base,
+         |         CAST(sum(CASE WHEN ${TextCore.idBucketSql("doc_id")} >= 50
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_appended
+         |  FROM docs)
+         |SELECT n_docs_base, n_docs_appended, n_terms_base, n_terms_new,
+         |       n_df_doubled
+         |FROM dd CROSS JOIN tt""".stripMargin,
     "q162_hybrid_ablation" ->
       s"""WITH ${TextCore.docsCte}, ${Similarity.vecsCte}, ${Similarity.ivfCte},
          |$lexCtes,
