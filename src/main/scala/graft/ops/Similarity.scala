@@ -1152,8 +1152,14 @@ object Similarity {
       .agg(count(lit(1)).as("b_rows"))
       .select(col("c_id"),
         ceil(col("b_rows").cast("double") / cap).cast("long").as("n_shards"))
+    // a real HASH, not modular striping: pmod(vec_id, s) would stripe
+    // id-adjacent near-dups across ALL shards (worst-case recall for
+    // the commonest duplicate shape — copies ingested together with
+    // sequential ids); xxhash64 de-correlates shard assignment from id
+    // locality at the same shards·cap² bound, and is deterministic
+    // under task retries (the rowSalt argument)
     val sharded = av.join(broadcast(shardCnt), "c_id")
-      .withColumn("shard", pmod(col("vec_id"), col("n_shards")))
+      .withColumn("shard", pmod(xxhash64(col("vec_id")), col("n_shards")))
     val x = sharded.select(col("vec_id"), col("c_id"), col("shard"),
       col("v"), col("nrm"))
     val y = sharded.select(col("vec_id").as("y_id"), col("c_id"),
