@@ -43,6 +43,41 @@ object Multimodal {
   private def u32(bin: Column, pos: Int): Column =
     conv(hex(bin.substr(lit(pos), lit(4))), 16, 10).cast("long")
 
+  private def u8(bin: Column, pos: Int): Column =
+    conv(hex(bin.substr(lit(pos), lit(1))), 16, 10).cast("long")
+
+  /** LITTLE-endian u16/u32 at 1-based `pos` — RIFF/WAV stores
+    * multi-byte fields LE, so the reads compose from byte reads. */
+  private def u16le(bin: Column, pos: Int): Column =
+    u8(bin, pos) + u8(bin, pos + 1) * 256L
+  private def u32le(bin: Column, pos: Int): Column =
+    u8(bin, pos) + u8(bin, pos + 1) * 256L +
+      u8(bin, pos + 2) * 65536L + u8(bin, pos + 3) * 16777216L
+
+  /** Parse (fmt, sample_rate, channels, bits) from a canonical WAV
+    * payload — RIFF at 0, WAVE at 8, and the `fmt ` chunk as the first
+    * chunk (offset 12; channels LE u16 at 22, sample rate LE u32 at
+    * 24, bits per sample LE u16 at 34 — all fixed offsets, so the
+    * whole parse is declarative like the PNG IHDR read). NULL for
+    * anything else, including a WAV whose first chunk isn't `fmt `
+    * (the rare LIST-first layout would need a chunk walk — the
+    * [[graft.functions.JpegSofDims]] tier; not planted here). The
+    * audio rung of the multimodal header family: the corpus carries no
+    * real audio, so the branch is proven on PLANTED RIFF bytes
+    * (MediaHeaderSpec, the PII-regex precedent). */
+  def mediaAudioMeta(media: Column): Column = {
+    val isWav = length(media) >= 36 &&
+      hex(media.substr(lit(1), lit(4))) === "52494646" && // "RIFF"
+      hex(media.substr(lit(9), lit(4))) === "57415645" && // "WAVE"
+      hex(media.substr(lit(13), lit(4))) === "666D7420" // "fmt "
+    when(isWav, struct(lit("wav").as("fmt"),
+      u32le(media, 25).as("sample_rate"),
+      u16le(media, 23).as("channels"),
+      u16le(media, 35).as("bits")))
+      .otherwise(lit(null)
+        .cast("struct<fmt:string,sample_rate:bigint,channels:bigint,bits:bigint>"))
+  }
+
   /** Parse (fmt, w, h) from a media payload's container header:
     *  - PNG: 8-byte signature, then the IHDR chunk is mandated first —
     *    width/height are the big-endian u32s at FIXED byte offsets

@@ -189,7 +189,18 @@ object Retrieval {
       .ivfIndexSearch(s, idx, queries, Similarity.nProbe, Similarity.topK)
       .select(col("query_id").as("vq"), col("neighbor_id").as("vd"),
         col("rank").as("vec_rank"))
-    val lex = lexTopMemo(s, d)
+    rrfFuse(lexTopMemo(s, d), vec)
+  }
+
+  /** THE fusion stage: full-outer the lexical (query_id, doc_id,
+    * lex_rank) and vector (vq, vd, vec_rank) arms, score
+    * rrf = 1/(k+lex_rank) + 1/(k+vec_rank) with an absent arm
+    * contributing 0 (two reciprocals added in fixed written order —
+    * bit-stable), top-[[Similarity.topK]] per query by (rrf desc,
+    * doc_id asc). Shared by the gated q160 and the streaming twin
+    * ([[graft.streaming.EventStream.hybridSearchBatch]]) so in-stream
+    * fusion can never drift from the gated definition. */
+  private[graft] def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame = {
     val rrf =
       coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank").cast("double")), lit(0.0)) +
       coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank").cast("double")), lit(0.0))
@@ -206,6 +217,24 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("lex_rank"), col("vec_rank"), round4(col("rrf")).as("rrf_score"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Hybrid serving from the two PERSISTED artifacts alone — free-text
+    * + vector queries (query_id, text, qv) against the postings index
+    * (term-bucket-pruned) and the IVF index (probe-pruned), fused by
+    * [[rrfFuse]]: the full q160 semantics with every input read from
+    * files, which is what a serving tier actually deploys. */
+  def hybridIndexSearch(s: SparkSession, lexIndex: String, ivfIndex: String,
+      queries: DataFrame): DataFrame = {
+    val lex = lexIndexSearchText(s, lexIndex,
+        queries.select(col("query_id"), col("text")))
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    val vec = Similarity.ivfIndexSearch(s, ivfIndex,
+        queries.select(col("query_id"), col("qv")),
+        Similarity.nProbe, Similarity.topK)
+      .select(col("query_id").as("vq"), col("neighbor_id").as("vd"),
+        col("rank").as("vec_rank"))
+    rrfFuse(lex, vec)
   }
 
   // -------------------------------------------------------------------------

@@ -219,6 +219,16 @@ object EventStream {
       (batch: DataFrame): DataFrame =
     graft.ops.Retrieval.lexIndexSearchText(s, index, batch)
 
+  /** Streaming HYBRID serving — full q160 semantics per micro-batch
+    * from the two persisted artifacts: (query_id, text, qv) queries
+    * search the term-bucket-pruned postings index and the probe-pruned
+    * IVF index, fused by the SAME [[graft.ops.Retrieval.rrfFuse]] the
+    * gated q160 runs (one fusion definition, zero drift — parity
+    * spec-pinned against q160's output on corpus queries). */
+  def hybridSearchBatch(s: org.apache.spark.sql.SparkSession,
+      lexIndex: String, ivfIndex: String)(batch: DataFrame): DataFrame =
+    graft.ops.Retrieval.hybridIndexSearch(s, lexIndex, ivfIndex, batch)
+
   /** Idempotent micro-batch parquet sink for `writeStream.foreachBatch`:
     * each micro-batch overwrites its own `batch_id=<id>` directory, so a
     * REPLAYED batch (restart after a sink-side failure — the at-least-once

@@ -735,6 +735,53 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("hybridSearchBatch: streamed fusion over both persisted indexes equals gated q160") {
+    // the strongest streaming-parity claim in the retrieval family:
+    // free-text + vector queries served per micro-batch from the two
+    // FILE artifacts (term-bucket-pruned postings, probe-pruned IVF)
+    // through the shared rrfFuse must reproduce the gated q160 rows
+    // exactly on corpus queries
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.ops.{Retrieval, Similarity}
+    val sfDir = "/root/testdata/sf0.001"
+    val lexIdx = java.nio.file.Files.createTempDirectory("graft_hy_lex").toString
+    val ivfIdx = java.nio.file.Files.createTempDirectory("graft_hy_ivf").toString
+    Retrieval.writeLexIndex(spark, sfDir, lexIdx)
+    Similarity.writeIvfIndex(spark, sfDir, ivfIdx)
+    val expected = Retrieval.q160_hybrid_bm25_rrf(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("rrf_score"))).sorted.toSeq
+    val queries = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") < 10).select(col("doc_id"), col("text"))
+      .join(spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .where(col("vec_id") < 10)
+        .select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("qv")), "doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getSeq[Double](2)))
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val input = MemoryStream[(Long, String, Seq[Double])]
+    val query = input.toDS().toDF("query_id", "text", "qv")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        results ++= EventStream.hybridSearchBatch(spark, lexIdx, ivfIdx)(b)
+          .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+            r.getAs[Long]("doc_id"), r.getAs[Double]("rrf_score")))
+        ()
+      }.start()
+    try {
+      // two waves — fusion is per-query, so split arrivals must not matter
+      val (a, b) = queries.splitAt(4)
+      input.addData(a.toIndexedSeq: _*)
+      query.processAllAvailable()
+      input.addData(b.toIndexedSeq: _*)
+      query.processAllAvailable()
+      assert(results.sorted.toSeq == expected)
+    } finally query.stop()
+  }
+
   test("spanProbeStream decontaminates in-flight: eval-hash static side flags a planted leak") {
     // q157's flag source (the eval split's window hashes) IS a valid
     // static side for the existing span probe — decontamination at

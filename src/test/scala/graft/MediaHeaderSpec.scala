@@ -67,6 +67,40 @@ class MediaHeaderSpec extends AnyFunSuite with SparkTestBase {
     got.values.foreach(v => assert(v == (None, None, None), v))
   }
 
+  /** A real canonical WAV header: RIFF/WAVE + fmt chunk (PCM) for the
+    * given rate/channels/bits, with LE multi-byte fields. */
+  private def wavHeader(rate: Int, channels: Int, bits: Int): Array[Byte] = {
+    def le16(v: Int) = bytes(v & 0xFF, (v >>> 8) & 0xFF)
+    def le32(v: Int) = bytes(v & 0xFF, (v >>> 8) & 0xFF, (v >>> 16) & 0xFF, (v >>> 24) & 0xFF)
+    val blockAlign = channels * bits / 8
+    "RIFF".getBytes("US-ASCII") ++ le32(36) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(rate) ++ le32(rate * blockAlign) ++ le16(blockAlign) ++ le16(bits) ++
+      "data".getBytes("US-ASCII") ++ le32(0)
+  }
+
+  test("WAV fmt chunk: exact little-endian rate/channels/bits from planted headers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val payloads = Seq(wavHeader(44100, 2, 16), wavHeader(16000, 1, 8),
+      "RIFFnot a wav at all........................".getBytes("US-ASCII"),
+      pngHeader(64, 64)) // an image must not parse as audio
+    val got = payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "media")
+      .select(col("id"), Multimodal.mediaAudioMeta(col("media")).as("a"))
+      .select(col("id"), col("a.fmt"), col("a.sample_rate"),
+        col("a.channels"), col("a.bits"))
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(got(0L) == (Some("wav"), 44100L, 2L, 16L))
+    assert(got(1L) == (Some("wav"), 16000L, 1L, 8L))
+    assert(got(2L) == (None, -1L, -1L, -1L))
+    assert(got(3L) == (None, -1L, -1L, -1L))
+  }
+
   test("q75 prefers header dims over the arithmetic stub for real media") {
     // plant a documents dir WITH a binary `media` column (the real
     // multimodal table shape): q75 must emit the IHDR dims for the PNG
