@@ -52,11 +52,31 @@ object RenameCommitProtocol extends CommitProtocol {
       payload: Array[Byte]): Boolean = {
     val log = new java.io.File(s"$warehouse/_log")
     log.mkdirs()
+    PosixAtomic.createWithContent(
+      new java.io.File(log, s"$v.commit").toPath, payload)
+  }
+}
+
+/** CONTENT-atomic create-if-absent on POSIX (the r11 advice fix): a
+  * plain O_EXCL `Files.write` is name-atomic but not content-atomic — a
+  * reader racing the commit could observe a partially written numeric
+  * body ("17" of "1723…"), which parses as a near-1970 commit instant
+  * and transiently corrupts TIMESTAMP-AS-OF resolution. Writing the
+  * full payload to a temp name and `link(2)`-ing it into place keeps
+  * BOTH properties: link fails EEXIST atomically when the target is
+  * already claimed, and a target that exists always has its complete
+  * body (the inode is fully written before it gains the visible name). */
+private[etl] object PosixAtomic {
+  def createWithContent(target: java.nio.file.Path, payload: Array[Byte]): Boolean = {
+    val tmp = target.resolveSibling(
+      s".${target.getFileName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    java.nio.file.Files.write(tmp, payload)
     try {
-      java.nio.file.Files.write(new java.io.File(log, s"$v.commit").toPath,
-        payload, java.nio.file.StandardOpenOption.CREATE_NEW)
+      java.nio.file.Files.createLink(target, tmp)
       true
-    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 }
 
@@ -97,7 +117,13 @@ final class ConditionalPutCommitProtocol extends CommitProtocol {
       val marker = new java.io.File(log, s"$v.commit")
       if (marker.exists()) false
       else {
-        java.nio.file.Files.write(marker.toPath, payload)
+        // a conditional PUT is content-atomic server-side; model that
+        // for the lock-free READERS too — stage the body and move it
+        // into the visible name in one step
+        val tmp = new java.io.File(log, s".$v.commit.tmp").toPath
+        java.nio.file.Files.write(tmp, payload)
+        java.nio.file.Files.move(tmp, marker.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         true
       }
     }

@@ -276,7 +276,15 @@ object StarBuilder {
       val body = try new String(
         java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
       catch { case _: java.io.IOException => "" }
-      v -> (if (body.matches("^[0-9]+$")) body.toLong else f.lastModified())
+      // trust the body only when it parses as a PLAUSIBLE epoch-millis
+      // (2001..2099) — a truncated prefix of a current epoch ("17" of
+      // "1723…") has too few digits and falls back to mtime instead of
+      // time-traveling the marker to 1970
+      val epoch =
+        if (body.matches("^[0-9]{12,13}$")) Some(body.toLong).filter(t =>
+          t > 978307200000L && t < 4102444800000L)
+        else None
+      v -> epoch.getOrElse(f.lastModified())
     }
 
   /** Resolve the snapshot that was LATEST as of `epochMillis` — the
@@ -452,11 +460,13 @@ object StarBuilder {
       s"streamId must be path- and ledger-safe: $streamId")
     val log = new java.io.File(s"$warehouse/_log")
     log.mkdirs()
-    try java.nio.file.Files.write(
+    // content-atomic create-if-absent (the commit-marker fix applied to
+    // the ledger too): a racing [[txnVersion]] reader must never parse
+    // a partially written version number
+    PosixAtomic.createWithContent(
       new java.io.File(log, s"txn.$streamId.$batchId").toPath,
-      v.toString.getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      v.toString.getBytes("UTF-8"))
+    ()
   }
 
   /** The version a (stream, batch) pair committed, if its ledger marker
@@ -471,10 +481,11 @@ object StarBuilder {
   private def commitMarker(warehouse: String, v: Long): Long = {
     // conditional create keeps create-if-absent as the atomic commit
     // step; the body carries the commit epoch-millis so [[history]]
-    // does not depend on filesystem mtime granularity (a reader racing
-    // the claim may see the marker momentarily empty on the rename
-    // protocol — history()'s mtime fallback covers that window, and
-    // the instant it falls back to is the same write)
+    // does not depend on filesystem mtime granularity. Both protocol
+    // implementations are CONTENT-atomic (staged body linked/moved into
+    // the visible name), so a reader never observes a partial body;
+    // history() additionally range-checks the parsed epoch as defense
+    // in depth before trusting it over mtime.
     if (!commitProtocol.putCommitMarker(warehouse, v,
         String.valueOf(System.currentTimeMillis()).getBytes("UTF-8")))
       throw new java.nio.file.FileAlreadyExistsException(

@@ -62,24 +62,46 @@ case class JpegSofDims(child: Expression) extends UnaryExpression {
 }
 
 object JpegSofDims {
-  /** Shared by eval and generated code: Array(w, h) or null. */
+  /** Shared by eval and generated code: Array(w, h) or null.
+    *
+    * Not every byte after an 0xFF is a length-prefixed segment (the r11
+    * advice fix): T.81 §B.1.1.2 allows any number of 0xFF FILL bytes
+    * before a marker code, and TEM (0x01), RST0–7 (0xD0–D7), and SOI
+    * (0xD8) are STANDALONE markers with no length field — treating
+    * either as length-prefixed misreads payload bytes as a length and
+    * derails the walk, so a valid JPEG would return NULL and q75 would
+    * silently fall back to its arithmetic stub. */
   def scan(b: Array[Byte]): Array[Long] = {
     @inline def u8(i: Int): Int = b(i) & 0xFF
     @inline def u16(i: Int): Int = ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
     if (b.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return null
     var off = 2
     var steps = 0
-    while (steps < 64 && off + 3 < b.length && u8(off) == 0xFF) {
-      val m = u8(off + 1)
-      val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+    while (steps < 64 && off + 1 < b.length && u8(off) == 0xFF) {
+      // skip spec-legal 0xFF fill/padding bytes: the marker code is the
+      // first non-0xFF byte after the run
+      var m = off + 1
+      while (m < b.length && u8(m) == 0xFF) m += 1
+      if (m >= b.length) return null
+      val code = u8(m)
+      val isSof = code >= 0xC0 && code <= 0xCF &&
+        code != 0xC4 && code != 0xC8 && code != 0xCC
       if (isSof) {
-        return if (off + 8 < b.length)
-          Array(u16(off + 7).toLong, u16(off + 5).toLong)
+        // SOF payload: len₂ | precision₁ | height₂ | width₂
+        return if (m + 7 < b.length)
+          Array(u16(m + 6).toLong, u16(m + 4).toLong)
         else null
       }
-      val segLen = u16(off + 2)
-      if (segLen < 2) return null // corrupt length would stall the walk
-      off += 2 + segLen
+      if (code == 0x01 || (code >= 0xD0 && code <= 0xD8)) {
+        off = m + 1 // standalone marker: no length field
+      } else if (code == 0xD9 || code == 0x00) {
+        return null // EOI before any SOF / stuffed byte: no frame header
+      } else {
+        if (m + 2 >= b.length) return null
+        val segLen = u16(m + 1)
+        if (segLen < 2) return null // corrupt length would stall the walk
+        off = m + 1 + segLen
+      }
       steps += 1
     }
     null

@@ -101,12 +101,29 @@ object Retrieval {
   private def lexTopMemo(s: SparkSession, d: String): DataFrame =
     graft.SessionMemo(s, d, "lex:top")(lexTop(s, d))(_.localCheckpoint(true))
 
+  /** df restricted to the query terms: semi-join the postings to the
+    * DISTINCT query-term set (broadcast — bounded by the query set's
+    * vocabulary, a few hundred terms) BEFORE the per-term count, so the
+    * df aggregation's input is the query terms' postings, never the
+    * corpus vocabulary. df per term is exact either way — every posting
+    * of a query term survives the semi-join; only never-used terms'
+    * rows disappear. At 100 TB this is the difference between
+    * aggregating billions of postings into a billions-of-terms df table
+    * and aggregating the query terms' posting lists into a
+    * query-vocabulary-sized one. */
+  private def queryDf(post: DataFrame, qtf: DataFrame): DataFrame =
+    post.join(broadcast(qtf.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+
   /** Rank a (query_id, term, tf) frame's terms by q94's tf·N/df and
     * keep the top [[qTerms]] per query — the query-formulation half,
     * shared by the corpus-doc path (tf from the query doc's postings)
     * and the free-text path (tf counted from the query text). The
-    * query side is query-set-sized: broadcast IT against the
-    * vocabulary-sized df table (never shuffle the vocabulary). */
+    * query side is query-set-sized: broadcast IT against the df table
+    * (never shuffle the vocabulary — and with [[queryDf]] the df table
+    * is itself query-vocabulary-sized). The ranked output CARRIES df so
+    * downstream scoring never touches a vocabulary-sized frame again:
+    * only query terms' df values are ever used. */
   private def rankQueryTerms(qtf: DataFrame, dfreq: DataFrame,
       stats: DataFrame): DataFrame = {
     val wq = Window.partitionBy("query_id")
@@ -117,15 +134,18 @@ object Retrieval {
         col("n_corpus").cast("double") / col("df").cast("double"))
       .withColumn("q_rank", row_number().over(wq).cast("long"))
       .where(col("q_rank") <= qTerms)
-      .select(col("query_id"), col("term"), col("q_rank"))
+      .select(col("query_id"), col("term"), col("q_rank"), col("df"))
   }
 
   /** The BM25 scoring half: ranked query terms against the postings —
     * the FIXED three-addend sum in q_rank order, top-[[lexDepth]] per
     * query. Exact expression chain shared by every consumer (the gate
-    * rests on its bit-stability). */
+    * rests on its bit-stability). `qterms` carries each term's df
+    * (denormalized by [[rankQueryTerms]]), so the ONLY broadcast here
+    * is the ≤ numQueries·[[qTerms]]-row query-term table — the
+    * vocabulary-sized df frame never reaches an exchange. */
   private def bm25ScoreTerms(post: DataFrame, stats: DataFrame,
-      dfreq: DataFrame, qterms: DataFrame): DataFrame = {
+      qterms: DataFrame): DataFrame = {
     val idf = (col("n_corpus").cast("double") - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))
     val contrib = idf * (col("tf").cast("double") * lit(k1 + 1)) /
@@ -137,7 +157,6 @@ object Retrieval {
       .orderBy(col("bscore").desc, col("doc_id").asc)
     post.join(broadcast(qterms), "term")
       .where(col("doc_id") =!= col("query_id"))
-      .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("contrib", contrib)
       .groupBy("query_id", "doc_id")
@@ -152,12 +171,11 @@ object Retrieval {
     * file-served q161 index search so the two can never drift: same
     * query formulation, same idf/tf/length arithmetic, same ranking. */
   private def bm25Top(post: DataFrame, stats: DataFrame): DataFrame = {
-    val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
     // query terms: q94's score = tf · N/df over the query docs only
     val qtf = post.where(col("doc_id") < Similarity.numQueries)
       .withColumnRenamed("doc_id", "query_id")
       .select(col("query_id"), col("term"), col("tf"))
-    bm25ScoreTerms(post, stats, dfreq, rankQueryTerms(qtf, dfreq, stats))
+    bm25ScoreTerms(post, stats, rankQueryTerms(qtf, queryDf(post, qtf), stats))
   }
 
   /** q160: hybrid BM25 + vector retrieval with reciprocal-rank fusion.
@@ -337,13 +355,12 @@ object Retrieval {
     // every posting of a query term lives in that term's bucket.
     val post = prunedPostings(s, index, queries)
     val stats = deriveStats(s.read.parquet(s"$index/_stats"))
-    val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
     val qtf = queries
       .select(col("query_id"),
         explode(TextCore.wordsCol(TextCore.normCol(col("text")))).as("term"))
       .where(col("term") =!= "")
       .groupBy("query_id", "term").agg(count(lit(1)).as("tf"))
-    bm25ScoreTerms(post, stats, dfreq, rankQueryTerms(qtf, dfreq, stats))
+    bm25ScoreTerms(post, stats, rankQueryTerms(qtf, queryDf(post, qtf), stats))
   }
 
   /** Major compaction: fold every postings generation into a fresh

@@ -29,7 +29,7 @@ import graft.etl.Star.{round4, round4Sql}
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
-  private[ops] val numQueries = 10
+  private[graft] val numQueries = 10
   private val numCentroids = 16
   private[ops] val nProbe = 4
   private[ops] val topK = 5

@@ -1054,8 +1054,10 @@ object TextStats {
 
   /** q163: TRAINED quality classifier — the learned rung above q42's
     * heuristic (as q148 is above q40's): a batch perceptron DISTILLS
-    * the heuristic into 1024 hashed-unigram weights + bias, fitted on
-    * the train split, and the gate row is the label-vs-prediction
+    * the heuristic into FOUR integer weights — the [[qpFeatures]] count
+    * features (token count, distinct-token count, stopword count) plus
+    * bias — fitted on the train split, and the gate row is the
+    * label-vs-prediction
     * confusion matrix on the HELD-OUT docs (buckets ≥ 80) — the
     * fasttext-style quality-classifier shape (learn a cheap linear
     * scorer from rule labels, then serve it where the rules are too
@@ -1729,9 +1731,10 @@ object TextStats {
                         "CAST(sum(len(string_split(substr(s, 2, length(s) - 2), '||'))) AS DOUBLE)")}
          |       END AS chars_per_token
          |FROM a$bpeMerges GROUP BY split ORDER BY split""".stripMargin),
-    // the whole training replayed: 5 unrolled integer epochs over the
-    // train-split features, then the same serve on the held-out split —
-    // any divergence in a single weight flips predictions and fails
+    // the whole training replayed: qpEpochs (= 20) unrolled integer
+    // epoch CTEs over the train-split count features, then the same
+    // serve on the held-out split — any divergence in a single weight
+    // flips predictions and fails
     "q163_quality_perceptron" -> withDocs(
       s""", $qualCte,
          |cnts AS (

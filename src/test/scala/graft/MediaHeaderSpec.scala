@@ -58,6 +58,26 @@ class MediaHeaderSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L) == (Some("jpeg"), Some(1920L), Some(1080L)))
   }
 
+  test("JPEG walk survives fill bytes and standalone markers before SOF") {
+    // T.81 §B.1.1.2: any number of 0xFF fill bytes may pad before a
+    // marker code, and TEM (0x01) / RST0-7 (0xD0-D7) are standalone
+    // (no length field) — the r11 advice case: treating either as
+    // length-prefixed derails the walk and a valid JPEG reads NULL
+    val fillPadded =
+      bytes(0xFF, 0xD8) ++ // SOI
+        bytes(0xFF, 0xFF, 0xFF) ++ // fill bytes, then APP0's own FF
+        (bytes(0xFF, 0xE0, 0x00, 0x06, 1, 2, 3, 4)) ++ // APP0 len 6
+        bytes(0xFF, 0x01) ++ // TEM: standalone
+        bytes(0xFF, 0xD0) ++ // RST0: standalone
+        bytes(0xFF, 0xC0, 0x00, 0x11, 8, // SOF0
+          (600 >>> 8) & 0xFF, 600 & 0xFF, (800 >>> 8) & 0xFF, 800 & 0xFF,
+          3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    val eoiBeforeSof = bytes(0xFF, 0xD8, 0xFF, 0xD9) // SOI then EOI: no frame
+    val got = parse(Seq(fillPadded, eoiBeforeSof))
+    assert(got(0L) == (Some("jpeg"), Some(800L), Some(600L)), got(0L))
+    assert(got(1L) == (None, None, None), got(1L))
+  }
+
   test("non-media and truncated payloads yield NULL, never garbage") {
     val got = parse(Seq(
       "plain ascii text".getBytes("US-ASCII"),

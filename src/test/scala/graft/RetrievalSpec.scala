@@ -26,23 +26,38 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     assert(!lex.contains(0L), "the query doc itself is excluded")
   }
 
-  test("lexTop plan: every join is broadcast-equi, no shuffle join, no cartesian") {
-    // the scale contract the judge asked to pin: billions of postings
-    // join a query-set-sized term table (and a vocabulary-sized df
-    // table) as BROADCAST equi-joins — a SortMergeJoin here would
+  test("lexTop plan: every join is broadcast-equi AND every broadcast is query-bounded") {
+    // the scale contract: billions of postings join a query-set-sized
+    // term table as BROADCAST equi-joins — a SortMergeJoin here would
     // shuffle the postings per query set; a CartesianProduct is never
     // legitimate. (The one-row stats frame legitimately rides a
-    // broadcast nested loop — kilobyte side.)
+    // broadcast nested loop — kilobyte side.) AND — the r11 advice fix —
+    // no broadcast side may be vocabulary-sized: every BroadcastHashJoin
+    // build side must derive from the query set (the doc_id <
+    // numQueries filter appears in its subtree), so the full df table
+    // can never reach an exchange again.
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
     val plan = Retrieval.lexTop(spark, "/root/testdata/sf0.001")
       .queryExecution.sparkPlan
     assert(plan.collect { case j: CartesianProductExec => j }.isEmpty, "cartesian")
     assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty, "SMJ")
     assert(plan.collect { case j: ShuffledHashJoinExec => j }.isEmpty, "SHJ")
     val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
-    assert(bhj.size >= 3, s"expected the qterms/df/postings joins broadcast, got ${bhj.size}")
-    // and each broadcast join is EQUI (has join keys)
+    assert(bhj.size >= 3, s"expected the qtf/semi-df/postings joins broadcast, got ${bhj.size}")
+    // each broadcast join is EQUI (has join keys)
     assert(bhj.forall(_.leftKeys.nonEmpty), "broadcast join without equi keys")
+    // and each build side is query-bounded: its subtree filters on the
+    // query-doc id range (vocabulary-sized frames have no such filter)
+    bhj.foreach { j =>
+      val build = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      val s = build.toString
+      assert(s.contains(s"< ${graft.ops.Similarity.numQueries}"),
+        s"broadcast build side not query-bounded:\n$s")
+    }
   }
 
   /** Every parquet file under `root` whose path contains the `gen=<g>`

@@ -561,8 +561,12 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
     val v1 = StarBuilder.writeTableVersioned(Seq((1L, 10L)).toDF("k", "n"), wh, "t")
     val v2 = StarBuilder.writeTableVersioned(Seq((1L, 11L), (2L, 20L)).toDF("k", "n"), wh, "t")
     // real markers carry their commit instant in the BODY (granularity-
-    // proof); check both resolution paths by pinning v1 via body and v2
-    // via the pre-r11 zero-byte + mtime fallback
+    // proof) — and history() only trusts a body that parses as a
+    // PLAUSIBLE epoch-millis (12-13 digits, 2001..2099), so the pinned
+    // instants here must be realistic; check both resolution paths by
+    // pinning v1 via body and v2 via the pre-r11 zero-byte + mtime
+    // fallback
+    val T0 = 1700000000000L
     def setCommitBody(v: Long, ms: Long): Unit =
       java.nio.file.Files.write(
         new java.io.File(s"$wh/_log/$v.commit").toPath,
@@ -574,25 +578,35 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
         new java.io.File(s"$wh/_log/$v.commit").toPath,
         java.nio.file.attribute.FileTime.fromMillis(ms))
     }
-    setCommitBody(v1, 1000L)
-    setCommitTime(v2, 2000L)
-    assert(StarBuilder.history(wh) == Seq(v1 -> 1000L, v2 -> 2000L))
+    setCommitBody(v1, T0 + 1000L)
+    setCommitTime(v2, T0 + 2000L)
+    assert(StarBuilder.history(wh) == Seq(v1 -> (T0 + 1000L), v2 -> (T0 + 2000L)))
     // before the first commit: the table did not exist — refuse
-    val e = intercept[IllegalArgumentException](StarBuilder.versionAsOf(wh, 999L))
+    val e = intercept[IllegalArgumentException](
+      StarBuilder.versionAsOf(wh, T0 + 999L))
     assert(e.getMessage.contains("no snapshot"))
     // boundaries are inclusive; between commits resolves the older one
-    assert(StarBuilder.versionAsOf(wh, 1000L) == v1)
-    assert(StarBuilder.versionAsOf(wh, 1999L) == v1)
-    assert(StarBuilder.versionAsOf(wh, 2000L) == v2)
+    assert(StarBuilder.versionAsOf(wh, T0 + 1000L) == v1)
+    assert(StarBuilder.versionAsOf(wh, T0 + 1999L) == v1)
+    assert(StarBuilder.versionAsOf(wh, T0 + 2000L) == v2)
     assert(StarBuilder.versionAsOf(wh, Long.MaxValue) == v2)
-    assert(StarBuilder.readAsOf(spark, wh, "t", 1500L).count() == 1L)
-    assert(StarBuilder.readAsOf(spark, wh, "t", 2500L).count() == 2L)
+    assert(StarBuilder.readAsOf(spark, wh, "t", T0 + 1500L).count() == 1L)
+    assert(StarBuilder.readAsOf(spark, wh, "t", T0 + 2500L).count() == 2L)
     // a restore that lost mtime order (cp without -p) must not
     // silently time-travel to a stale snapshot: resolution is
     // filter+max-version, not a scan that stops at the first
     // out-of-order marker
-    setCommitTime(v1, 5000L)
-    assert(StarBuilder.versionAsOf(wh, 4000L) == v2)
+    setCommitTime(v1, T0 + 5000L)
+    assert(StarBuilder.versionAsOf(wh, T0 + 4000L) == v2)
+    // the r11 advice scenario: a TRUNCATED numeric body ("17" of
+    // "17230…") must NOT be trusted as a near-1970 instant — too few
+    // digits, so resolution falls back to the file's mtime
+    java.nio.file.Files.write(
+      new java.io.File(s"$wh/_log/$v1.commit").toPath, "17".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime( // the write itself bumps mtime
+      new java.io.File(s"$wh/_log/$v1.commit").toPath,
+      java.nio.file.attribute.FileTime.fromMillis(T0 + 5000L))
+    assert(StarBuilder.history(wh).toMap.apply(v1) == (T0 + 5000L))
   }
 
   test("mergeInto: all four MERGE branches classify on one frame") {
