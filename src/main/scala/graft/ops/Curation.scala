@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.etl.Star.{round4, round4Sql}
@@ -442,7 +442,55 @@ object Curation {
         round4(col("n_novel").cast("double") / col("n_docs").cast("double")))
       .orderBy("batch")
 
+  /** Per-language sample size of the q165 weighted draw. */
+  private val sampleK = 10
+  /** Weight tiers of the q165 draw (w = 1 + ⌊score·3⌋ ∈ 1..4). */
+  private val maxDrawsPerDoc = 4
+
+  /** q165: weighted sampling WITHOUT replacement for epoch selection —
+    * per language, [[sampleK]] documents drawn with probability
+    * proportional to an integer QUALITY weight (w = 1 + ⌊q42-score · 3⌋
+    * ∈ 1..[[maxDrawsPerDoc]]), the Efraimidis–Spirakis bottom-k scheme
+    * in its min-of-w-draws form: each document gets w independent
+    * uniform draws (draw j = the first 8 md5 hex digits of
+    * "doc_id:j" — the house oracle-replayable randomness, the
+    * q43/minhash convention) and competes with its MINIMUM; the k
+    * smallest keys per stratum win. A doc with twice the weight holds
+    * twice the draws, so pairwise it wins with odds w_a : w_b — the
+    * weighted-sampling semantics a data-mix epoch wants (q122 selects
+    * to a token budget by rank; q165 SAMPLES, so low-weight docs still
+    * appear at their proportional rate instead of never).
+    * Deterministic end to end: same corpus → same sample, and the
+    * oracle replays every draw. Scale shape: the draws are a per-row
+    * map (≤ 4-element array, no explode), and bottom-k per stratum is
+    * the WindowGroupLimit shape — each map task keeps ≤ k rows per
+    * lang before the shuffle, so the exchange carries k·#langs rows
+    * per task, never the corpus. */
+  /** The q165 competition key: the MINIMUM of `w` independent uniform
+    * draws for `id` — draw j = first 8 md5 hex digits of "id:j".
+    * Monotone in w by construction (the draws of a smaller weight are a
+    * PREFIX of a larger one's), which is what makes re-weighting
+    * incremental: raising a doc's weight can only improve its key. */
+  private[graft] def weightedDrawKey(id: Column, w: Column): Column =
+    array_min(transform(
+      sequence(lit(0L), w - 1),
+      j => conv(substring(md5(concat(id.cast("string"), lit(":"),
+        j.cast("string"))), 1, 8), 16, 10).cast("long")))
+
+  val q165_weighted_sample: Q = (s, d) => {
+    val wq = Window.partitionBy("lang").orderBy(col("skey").asc, col("doc_id").asc)
+    TextStats.withQuality(docShingles(s, d))
+      .select(col("doc_id"), col("lang"),
+        (lit(1L) + floor(col("score") * 3.0).cast("long")).as("w"))
+      .withColumn("skey", weightedDrawKey(col("doc_id"), col("w")))
+      .withColumn("rank", row_number().over(wq).cast("long"))
+      .where(col("rank") <= sampleK)
+      .select(col("lang"), col("rank"), col("doc_id"), col("w"), col("skey"))
+      .orderBy("lang", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q165_weighted_sample" -> q165_weighted_sample,
     "q78_seq_packing" -> q78_seq_packing,
     "q79_pii_scrub" -> q79_pii_scrub,
     "q80_incremental_dedup" -> q80_incremental_dedup,
@@ -456,6 +504,27 @@ object Curation {
     "q123_epoch_plan" -> q123_epoch_plan)
 
   val oracle: Map[String, String] = Map(
+    // every draw replayed: the same md5("doc_id:j") uniforms, the same
+    // min-of-w key, the same bottom-k per language
+    "q165_weighted_sample" -> withDocs(
+      s""", ${TextStats.qualCte},
+         |wt AS (
+         |  SELECT doc_id, lang,
+         |         1 + CAST(floor(score * 3.0) AS BIGINT) AS w
+         |  FROM qual),
+         |keyed AS (
+         |  SELECT lang, doc_id, w,
+         |         list_aggregate(list_transform(range(0, w), j ->
+         |           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+         |             CAST(j AS VARCHAR)), 1, 8) AS BIGINT)), 'min') AS skey
+         |  FROM wt)
+         |SELECT lang, rank, doc_id, w, skey FROM (
+         |  SELECT lang, doc_id, w, skey,
+         |         CAST(row_number() OVER (PARTITION BY lang
+         |           ORDER BY skey ASC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM keyed)
+         |WHERE rank <= $sampleK
+         |ORDER BY lang, rank""".stripMargin),
     "q78_seq_packing" -> withDocs(
       """, p AS (
         |  SELECT doc_id, lang, doc_id // 250 AS shard,

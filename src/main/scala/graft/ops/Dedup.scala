@@ -956,7 +956,103 @@ object Dedup {
         .otherwise(round4(col("n_found").cast("double") / col("n_exact").cast("double"))))
   }
 
+  // -------------------------------------------------------------------------
+  // Content-defined chunking (q166/q167) — the SHIFT-ROBUST dedup rung.
+  // The span family (q105/q112/q113) hashes FIXED 8-token windows at every
+  // position: exact for verbatim spans, but a chunk-level view of "how much
+  // of this doc is copy-paste" wants variable boundaries that RESYNC after
+  // an insertion. Content-defined chunking (the LBFS/rsync/backup-dedup
+  // technique) puts a boundary wherever a rolling window's hash hits a
+  // modulus class — a pure function of local CONTENT, so inserting tokens
+  // at the front of a doc shifts only the chunks up to the next boundary
+  // and every later chunk re-aligns byte-for-byte (a fixed-stride chunker
+  // would lose them all).
+  // -------------------------------------------------------------------------
+
+  /** Rolling-fingerprint window (tokens) and boundary modulus: a chunk
+    * boundary lands AFTER token i when the 32-bit hash (first 8 md5 hex
+    * digits — the house oracle-replayable convention) of the
+    * [[cdcWindow]]-token window ending at i ≡ 0 mod [[cdcMod]], giving
+    * expected chunks of ≈ [[cdcMod]] tokens. Position n is excluded so
+    * the trailing chunk is never empty. */
+  private val cdcWindow = 4
+  private val cdcMod = 16L
+
+  /** (doc_id, chunk_md5): every document's content-defined chunks, one
+    * row per chunk OCCURRENCE. Entirely map-side: boundaries, starts/
+    * ends, and chunk hashes are higher-order array expressions over
+    * `words` — no explode until the final flatten, no shuffle at all.
+    * Memoized per (session, dir): q166 and q167 share the frame. */
+  private[graft] def cdcChunks(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo(s, d, "cdc:chunks") {
+      val n = size(col("words"))
+      def winHash(i: Column): Column =
+        conv(substring(md5(concat_ws(" ",
+          element_at(col("words"), i - 3), element_at(col("words"), i - 2),
+          element_at(col("words"), i - 1), element_at(col("words"), i))), 1, 8),
+          16, 10).cast("long")
+      docShingles(s, d)
+        .withColumn("bounds", when(n >= cdcWindow + 1,
+            filter(sequence(lit(cdcWindow), n - 1), i => winHash(i) % cdcMod === 0))
+          .otherwise(array().cast("array<int>")))
+        .withColumn("starts",
+          concat(array(lit(1)), transform(col("bounds"), b => b + 1)))
+        .withColumn("ends", concat(col("bounds"), array(n)))
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("starts"))),
+          k => md5(concat_ws(" ", slice(col("words"), element_at(col("starts"), k),
+            element_at(col("ends"), k) - element_at(col("starts"), k) + 1)))))
+          .as("chunk_md5"))
+    }(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** q166: chunk-level duplication report — every content-defined chunk
+    * that occurs more than once corpus-wide: occurrence count, distinct
+    * holding docs, and the earliest holder (the q31 keep-first
+    * convention's "original"). The backup-dedup ledger at corpus grain:
+    * which content BLOCKS repeat, independent of document boundaries —
+    * robust to the insert-shifted copies that q31's whole-doc hash and
+    * a fixed-stride chunker both miss. Scale shape: chunking is
+    * map-side ([[cdcChunks]]); the only shuffle keys on the 32-char
+    * chunk hash (narrow, high-cardinality — the q31 exact-dedup
+    * shape). */
+  lazy val q166_cdc_chunk_dups: Q = (s, d) =>
+    cdcChunks(s, d)
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .where(col("n_occ") > 1)
+      .orderBy(col("n_occ").desc, col("chunk_md5").asc)
+
+  /** q167: copy-paste-heavy document filter — per document, the
+    * fraction of its chunks whose content appears in ANOTHER document
+    * (chunk document-frequency > 1), flagged at ≥ 50% (the integer
+    * comparison 2·n_dup ≥ n_chunks — no float threshold): the
+    * "mostly duplicated content" doc-level signal a curation pipeline
+    * reads AFTER near-dedup has kept one copy per cluster — a kept
+    * representative whose body is stitched from other docs' blocks is
+    * boilerplate, not prose, and q42's intra-doc heuristics cannot see
+    * it. Scale shape: chunk-df and the doc rollup are two hash-keyed
+    * aggregations (chunk_md5, then doc_id) joined on the chunk hash —
+    * the q83 source-accounting shape at chunk grain. */
+  lazy val q167_chunk_dup_docs: Q = (s, d) => {
+    val ch = cdcChunks(s, d)
+    val cdf = ch.groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("cdf"))
+    ch.join(cdf, "chunk_md5")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cdf") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac", round4(
+        col("n_dup_chunks").cast("double") / col("n_chunks").cast("double")))
+      .withColumn("flagged",
+        when(lit(2L) * col("n_dup_chunks") >= col("n_chunks"), 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q166_cdc_chunk_dups" -> q166_cdc_chunk_dups,
+    "q167_chunk_dup_docs" -> q167_chunk_dup_docs,
     "q31_dedup_exact" -> q31_dedup_exact,
     "q32_dedup_minhash_lsh" -> q32_dedup_minhash_lsh,
     "q33_dedup_simhash" -> q33_dedup_simhash,
@@ -1139,7 +1235,51 @@ object Dedup {
          |         AS frac_removed
          |FROM agg ORDER BY doc_id""".stripMargin)
 
+  /** The content-defined chunker replayed declaratively: the same
+    * 4-token rolling windows, the same first-8-md5-hex boundary test,
+    * the same start/end slicing — `ck` is (doc_id, chunk_md5), one row
+    * per chunk occurrence, exactly [[cdcChunks]]. */
+  private val cdcCk: String =
+    s"""bnd AS (
+       |  SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n,
+       |         list_filter(range($cdcWindow, CAST(len(words) AS BIGINT)), i ->
+       |           CAST('0x' || substr(md5(words[i-3] || ' ' || words[i-2] || ' ' ||
+       |             words[i-1] || ' ' || words[i]), 1, 8) AS BIGINT)
+       |           % $cdcMod = 0) AS bounds
+       |  FROM docs),
+       |ck AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(starts) + 1), k ->
+       |           md5(array_to_string(words[starts[k]:ends[k]], ' ')))) AS chunk_md5
+       |  FROM (
+       |    SELECT doc_id, words,
+       |           list_prepend(CAST(1 AS BIGINT),
+       |             list_transform(bounds, b -> b + 1)) AS starts,
+       |           list_append(bounds, n) AS ends
+       |    FROM bnd))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q166_cdc_chunk_dups" -> withDocs(
+      s""", $cdcCk
+         |SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_occ,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       min(doc_id) AS first_doc
+         |FROM ck GROUP BY 1 HAVING count(*) > 1
+         |ORDER BY n_occ DESC, chunk_md5 ASC""".stripMargin),
+    "q167_chunk_dup_docs" -> withDocs(
+      s""", $cdcCk,
+         |cdf AS (SELECT chunk_md5,
+         |               CAST(count(DISTINCT doc_id) AS BIGINT) AS cdf
+         |        FROM ck GROUP BY 1)
+         |SELECT doc_id, n_chunks, n_dup_chunks,
+         |       ${round4Sql("CAST(n_dup_chunks AS DOUBLE) / CAST(n_chunks AS DOUBLE)")} AS dup_frac,
+         |       CAST(CASE WHEN 2 * n_dup_chunks >= n_chunks
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+         |FROM (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |             CAST(sum(CASE WHEN cdf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |               AS n_dup_chunks
+         |      FROM ck c JOIN cdf USING (chunk_md5) GROUP BY 1)
+         |ORDER BY doc_id""".stripMargin),
     "q127_span_staleness" -> withDocs(
       s""", ${spanSplitCte("wA", "< 50")},
          |${spanSplitCte("wB", ">= 50")},

@@ -1253,7 +1253,55 @@ object TextStats {
       .limit(50)
   }
 
+  /** q168 histogram geometry: 64 equi-width buckets of 16 tokens
+    * (bucket = min(63, n_tokens div 16), the last bucket open-ended)
+    * and the three probe percentiles a packing/curation pipeline reads
+    * (median, p90, p99 document length). */
+  private val histBuckets = 63L
+  private val histWidth = 16L
+
+  /** q168: MERGEABLE length-histogram sketch + quantile serving — the
+    * third sketch family member (q147 CMS = counts, q152 HLL =
+    * distincts, q168 = DISTRIBUTION): per ingest half (the q151 id-hash
+    * split), a ≤64-cell equi-width histogram of document token counts
+    * built map-side; the halves merge by plain per-bucket addition
+    * (counts are linear — the q151 merge law); percentiles p50/p90/p99
+    * are served FROM the merged cells as the smallest bucket whose
+    * running count reaches ⌈p·N/100⌉, reported with the bucket's upper
+    * bound in tokens. All integer arithmetic — the target is
+    * (p·N + 99) div 100, never a float percentile — so the DuckDB
+    * oracle (which builds the histogram in ONE pass over the union)
+    * hash-gates the merge law exactly: lost or double-counted mass in
+    * the merge moves some running count and flips a served bucket.
+    * Scale shape: the sketch is kilobyte state per batch (the
+    * CMS/HLL posture); the running sum is a window over ≤64 MERGED
+    * cells, never the corpus; quantile accuracy is ± one bucket width
+    * (16 tokens) by construction — the trade a histogram sketch
+    * makes for O(1) merge and serve. */
+  lazy val q168_hist_quantiles: Q = (s, d) => {
+    import s.implicits._
+    val base = docShingles(s, d).select(
+      idBucket(col("doc_id")).as("ib"),
+      least(lit(histBuckets), floor(size(col("words")) / histWidth.toInt).cast("long")).as("b"))
+    def half(pred: Column) =
+      base.where(pred).groupBy("b").agg(count(lit(1)).as("cnt"))
+    val merged = half(col("ib") < 50).unionByName(half(col("ib") >= 50))
+      .groupBy("b").agg(sum("cnt").as("cnt"))
+    val wcum = Window.orderBy(col("b").asc)
+    val cum = merged.withColumn("n_le", sum(col("cnt")).over(wcum))
+    val tot = merged.agg(sum("cnt").as("n_total"))
+    val probes = Seq(50L, 90L, 99L).toDF("p")
+    cum.crossJoin(broadcast(probes.crossJoin(tot)))
+      .where(col("n_le") >= expr("(p * n_total + 99) div 100"))
+      .groupBy("p", "n_total").agg(min(struct(col("b"), col("n_le"))).as("m"))
+      .select(col("p"), col("m.b").as("bucket"),
+        ((col("m.b") + lit(1L)) * histWidth).as("ub_tokens"),
+        col("m.n_le").as("n_le"), col("n_total"))
+      .orderBy("p")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q168_hist_quantiles" -> q168_hist_quantiles,
     "q40_lang_id" -> q40_lang_id,
     "q41_token_stats" -> q41_token_stats,
     "q42_quality_score" -> q42_quality_score,
@@ -1528,6 +1576,23 @@ object TextStats {
        |ORDER BY lang""".stripMargin)
 
   val oracle: Map[String, String] = Map(
+    // ONE pass over the union (no split): hash-equality with the
+    // Spark side's split-build-then-merge is the merge law
+    "q168_hist_quantiles" -> withDocs(
+      s""", h AS (
+         |  SELECT CAST(least($histBuckets, len(words) // $histWidth) AS BIGINT) AS b,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM docs GROUP BY 1),
+         |c AS (SELECT b, CAST(sum(cnt) OVER (ORDER BY b) AS BIGINT) AS n_le FROM h),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM h),
+         |pr AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS p)
+         |SELECT p, b AS bucket, CAST((b + 1) * $histWidth AS BIGINT) AS ub_tokens,
+         |       n_le, n_total
+         |FROM (SELECT pr.p, c.b, c.n_le, t.n_total,
+         |             row_number() OVER (PARTITION BY pr.p ORDER BY c.b) AS rn
+         |      FROM c CROSS JOIN t CROSS JOIN pr
+         |      WHERE c.n_le >= (pr.p * t.n_total + 99) // 100)
+         |WHERE rn = 1 ORDER BY p""".stripMargin),
     // the train-split unigram table, the total, then the same integer
     // surprisal ladder per token (OOV charges the ceiling T)
     "q134_surprisal" -> withDocs(

@@ -1,0 +1,163 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Curation, Dedup, TextStats}
+
+/** Behavioral pins for the round-12 operators: q165 weighted sampling,
+  * q166/q167 content-defined chunking, q168 histogram quantiles. Each
+  * is checked against an independent in-memory reference — the
+  * brute-force-twin convention (StarSpec's fold cross-checks,
+  * PropertiesSpec's BPE reference). */
+class ChunkSampleSketchSpec extends AnyFunSuite with SparkTestBase {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** First 8 md5 hex digits as a long — the house uniform draw. */
+  private def hash32(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(8), 16)
+
+  // ---------------------------------------------------------------- q165
+
+  test("q165 key: min of w draws equals the brute-force md5 minimum") {
+    import spark.implicits._
+    val rows = Seq((7L, 1L), (7L, 4L), (123L, 2L), (99999L, 3L))
+    val got = rows.toDF("id", "w")
+      .select(col("id"), col("w"),
+        Curation.weightedDrawKey(col("id"), col("w")).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (id, w) =>
+      val expect = (0L until w).map(j => hash32(s"$id:$j")).min
+      assert(got((id, w)) == expect, s"id=$id w=$w")
+    }
+  }
+
+  test("q165 key is monotone in w: more draws can only lower the key") {
+    import spark.implicits._
+    val ids = (0L until 500L)
+    val keys = ids.flatMap(i => Seq((i, 1L), (i, 2L), (i, 4L)))
+      .toDF("id", "w")
+      .select(col("id"), col("w"),
+        Curation.weightedDrawKey(col("id"), col("w")).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    ids.foreach { i =>
+      assert(keys((i, 4L)) <= keys((i, 2L)) && keys((i, 2L)) <= keys((i, 1L)))
+    }
+  }
+
+  test("q165 selection is weight-proportional on a planted 1-vs-4 corpus") {
+    // alternating weights 1 and 4 over 4000 ids; the bottom-400 keys
+    // should be ≈ 4/5 weight-4 docs (expected 320). The draw is
+    // deterministic, so the assertion is a fixed fact about md5 — the
+    // bound is loose only to keep it insensitive to the id set.
+    import spark.implicits._
+    val winners = (0L until 4000L).map(i => (i, if (i % 2 == 0) 1L else 4L))
+      .toDF("id", "w")
+      .select(col("id"), col("w"),
+        Curation.weightedDrawKey(col("id"), col("w")).as("k"))
+      .orderBy(col("k").asc, col("id").asc).limit(400)
+      .collect()
+    val heavy = winners.count(_.getLong(1) == 4L)
+    assert(heavy >= 260 && heavy <= 380,
+      s"weight-4 docs won $heavy of 400; expected ≈ 320 under w-proportional draw")
+  }
+
+  // ----------------------------------------------------------- q166/q167
+
+  /** The content-defined chunker, re-derived in memory: 4-token rolling
+    * windows, boundary when hash32(window) % 16 == 0 (position n
+    * excluded), chunk = md5 of the joined slice. */
+  private def refChunks(words: Seq[String]): Seq[String] = {
+    val n = words.length
+    val bounds = (4 until n).filter { i =>
+      hash32(words.slice(i - 4, i).mkString(" ")) % 16 == 0
+    }
+    val starts = 1 +: bounds.map(_ + 1)
+    val ends = bounds :+ n
+    starts.zip(ends).map { case (a, b) => md5hex(words.slice(a - 1, b).mkString(" ")) }
+  }
+
+  private def tokens(seed: Int, n: Int): Seq[String] = {
+    val r = new scala.util.Random(seed)
+    (0 until n).map(_ => s"w${r.nextInt(50)}")
+  }
+
+  test("cdcChunks equals the in-memory reference chunker on random docs") {
+    val docs = Seq(
+      0L -> tokens(1, 200), 1L -> tokens(2, 37), 2L -> tokens(3, 4),
+      3L -> tokens(4, 3), 4L -> tokens(5, 1), 5L -> tokens(6, 400))
+    val dir = writeMiniDocs(docs.map { case (id, ts) => id -> ts.mkString(" ") })
+    val got = Dedup.cdcChunks(spark, dir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getString(1)).sorted.toSeq }
+    docs.foreach { case (id, ts) =>
+      assert(got(id) == refChunks(ts).sorted,
+        s"doc $id: engine chunks != reference")
+    }
+  }
+
+  test("chunking is shift-robust: an inserted prefix loses only the head chunks") {
+    // B = 7 junk tokens + A's 300 tokens. Boundaries are functions of
+    // local content, so they RESYNC after the first post-insertion
+    // boundary: every A-chunk except the first must reappear in B
+    // verbatim. (A fixed-stride chunker would lose every chunk.)
+    val a = tokens(10, 300)
+    val b = tokens(11, 7) ++ a
+    val ca = refChunks(a)
+    val cb = refChunks(b).toSet
+    assert(ca.size >= 10, s"corpus too short to be meaningful: ${ca.size} chunks")
+    val surviving = ca.tail.count(cb.contains)
+    assert(surviving == ca.size - 1,
+      s"expected all ${ca.size - 1} post-head chunks to survive the shift, got $surviving")
+    // and the engine agrees with the reference on both docs
+    val dir = writeMiniDocs(Seq(0L -> a.mkString(" "), 1L -> b.mkString(" ")))
+    val got = Dedup.cdcChunks(spark, dir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getString(1)).sorted.toSeq }
+    assert(got(0L) == ca.sorted && got(1L) == refChunks(b).sorted)
+  }
+
+  test("q167 flags a block-stitched doc and spares unique prose") {
+    // X: 160 unique tokens. Y: X's full body + 20 own tokens (mostly
+    // stitched from X's blocks). Z: 160 different unique tokens.
+    // Brute-force the expected per-doc dup fractions from refChunks and
+    // require exact agreement, plus the headline judgements: Y flagged,
+    // Z not.
+    val x = tokens(20, 160)
+    val y = x ++ tokens(21, 20)
+    val z = tokens(22, 160).map(_ + "z")
+    val dir = writeMiniDocs(Seq(0L -> x.mkString(" "), 1L -> y.mkString(" "),
+      2L -> z.mkString(" ")))
+    val all = Seq(0L -> refChunks(x), 1L -> refChunks(y), 2L -> refChunks(z))
+    val docsPerChunk = all.flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).distinct.size }
+    val got = graft.ops.Dedup.q167_chunk_dup_docs(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    all.foreach { case (id, cs) =>
+      val nDup = cs.count(c => docsPerChunk(c) > 1)
+      val flagged = if (2 * nDup >= cs.size) 1L else 0L
+      assert(got(id) == (cs.size.toLong, nDup.toLong, flagged), s"doc $id")
+    }
+    assert(got(1L)._3 == 1L, "the stitched doc must be flagged")
+    assert(got(2L)._3 == 0L, "unique prose must not be flagged")
+  }
+
+  // ---------------------------------------------------------------- q168
+
+  test("q168 quantiles on planted lengths: exact buckets and counts") {
+    // 100 docs × 10 tokens (bucket 0) + 10 docs × 100 tokens (bucket 6):
+    // N = 110; p50 target 55 → bucket 0; p90 target 99 → bucket 0
+    // (n_le = 100 ≥ 99); p99 target ⌈108.9⌉ = 109 → bucket 6.
+    val dir = writeMiniDocs(
+      (0L until 100L).map(i => i -> tokens(30 + i.toInt, 10).mkString(" ")) ++
+        (100L until 110L).map(i => i -> tokens(60 + i.toInt, 100).mkString(" ")))
+    val got = TextStats.q168_hist_quantiles(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(50L) == (0L, 16L, 100L, 110L))
+    assert(got(90L) == (0L, 16L, 100L, 110L))
+    assert(got(99L) == (6L, 112L, 110L, 110L))
+  }
+}

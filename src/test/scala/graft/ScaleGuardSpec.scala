@@ -17,7 +17,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
   /** Queries allowed a partitionless window, each with the documented
     * bounded-input justification. */
   private val globalWindowAllowed: Map[String, String] = Map(
-    "q29_biggest_drop" -> "window input is per-period averages, bounded by the calendar (Insights.scala q29 doc)")
+    "q29_biggest_drop" -> "window input is per-period averages, bounded by the calendar (Insights.scala q29 doc)",
+    "q168_hist_quantiles" -> "running sum over the MERGED histogram cells, bounded at 64 rows (TextStats.scala q168 doc)")
 
   private def globalWindows(plan: LogicalPlan): Seq[LWindow] =
     plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
