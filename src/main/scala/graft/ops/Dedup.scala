@@ -978,32 +978,47 @@ object Dedup {
   private val cdcWindow = 4
   private val cdcMod = 16L
 
-  /** (doc_id, chunk_md5): every document's content-defined chunks, one
-    * row per chunk OCCURRENCE. Entirely map-side: boundaries, starts/
-    * ends, and chunk hashes are higher-order array expressions over
-    * `words` — no explode until the final flatten, no shuffle at all.
-    * Memoized per (session, dir): q166 and q167 share the frame. */
+  /** (doc_id, chunk_idx, chunk_md5, n_tok): every document's
+    * content-defined chunks, one row per chunk OCCURRENCE in document
+    * order. Entirely map-side: boundaries, starts/ends, and chunk
+    * hashes are higher-order array expressions over `words` — no
+    * shuffle at all. Memoized per (session, dir): q166/q167/q169 share
+    * the frame. */
   private[graft] def cdcChunks(s: SparkSession, d: String): DataFrame =
-    graft.SessionMemo(s, d, "cdc:chunks") {
-      val n = size(col("words"))
-      def winHash(i: Column): Column =
-        conv(substring(md5(concat_ws(" ",
-          element_at(col("words"), i - 3), element_at(col("words"), i - 2),
-          element_at(col("words"), i - 1), element_at(col("words"), i))), 1, 8),
-          16, 10).cast("long")
-      docShingles(s, d)
-        .withColumn("bounds", when(n >= cdcWindow + 1,
-            filter(sequence(lit(cdcWindow), n - 1), i => winHash(i) % cdcMod === 0))
-          .otherwise(array().cast("array<int>")))
-        .withColumn("starts",
-          concat(array(lit(1)), transform(col("bounds"), b => b + 1)))
-        .withColumn("ends", concat(col("bounds"), array(n)))
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("starts"))),
-          k => md5(concat_ws(" ", slice(col("words"), element_at(col("starts"), k),
-            element_at(col("ends"), k) - element_at(col("starts"), k) + 1)))))
-          .as("chunk_md5"))
-    }(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    graft.SessionMemo(s, d, "cdc:chunks")(
+      cdcChunksOf(docShingles(s, d)))(
+      _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The chunker over any docShingles-shaped frame — shared by the
+    * memoized batch frame and the streaming twin
+    * ([[graft.streaming.EventStream]]'s chunk probe), the spanWindows
+    * convention: one definition, so in-flight chunking can never drift
+    * from the gated one. */
+  private[graft] def cdcChunksOf(docs: DataFrame): DataFrame = {
+    val n = size(col("words"))
+    def winHash(i: Column): Column =
+      conv(substring(md5(concat_ws(" ",
+        element_at(col("words"), i - 3), element_at(col("words"), i - 2),
+        element_at(col("words"), i - 1), element_at(col("words"), i))), 1, 8),
+        16, 10).cast("long")
+    docs
+      .withColumn("bounds", when(n >= cdcWindow + 1,
+          filter(sequence(lit(cdcWindow), n - 1), i => winHash(i) % cdcMod === 0))
+        .otherwise(array().cast("array<int>")))
+      .withColumn("starts",
+        concat(array(lit(1)), transform(col("bounds"), b => b + 1)))
+      .withColumn("ends", concat(col("bounds"), array(n)))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("starts"))),
+        k => struct(
+          md5(concat_ws(" ", slice(col("words"), element_at(col("starts"), k),
+            element_at(col("ends"), k) - element_at(col("starts"), k) + 1)))
+            .as("chunk_md5"),
+          (element_at(col("ends"), k) - element_at(col("starts"), k) + 1)
+            .cast("long").as("n_tok")))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_idx"),
+        col("col.chunk_md5").as("chunk_md5"), col("col.n_tok").as("n_tok"))
+  }
 
   /** q166: chunk-level duplication report — every content-defined chunk
     * that occurs more than once corpus-wide: occurrence count, distinct
@@ -1039,20 +1054,57 @@ object Dedup {
     val ch = cdcChunks(s, d)
     val cdf = ch.groupBy("chunk_md5")
       .agg(countDistinct(col("doc_id")).as("cdf"))
-    ch.join(cdf, "chunk_md5")
-      .groupBy("doc_id")
+    chunkDupRollup(ch.join(cdf, "chunk_md5")
+      .withColumn("dup", when(col("cdf") > 1, 1L).otherwise(0L)))
+  }
+
+  /** The q167 per-doc rollup over a chunk frame carrying a 0/1 `dup`
+    * flag — shared with the streaming probe
+    * ([[graft.streaming.EventStream.chunkReportBatch]]), the
+    * spanReport convention: one definition of "copy-paste heavy", so
+    * the in-flight verdicts can never drift from the gated ones. */
+  private[graft] def chunkDupRollup(flagged: DataFrame): DataFrame =
+    flagged.groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("cdf") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+        sum(when(col("dup") > 0, 1L).otherwise(0L)).as("n_dup_chunks"))
       .withColumn("dup_frac", round4(
         col("n_dup_chunks").cast("double") / col("n_chunks").cast("double")))
       .withColumn("flagged",
         when(lit(2L) * col("n_dup_chunks") >= col("n_chunks"), 1L).otherwise(0L))
       .orderBy("doc_id")
+
+  /** q169: chunk-level ingest NOVELTY curve — q97's dashboard re-asked
+    * at block grain: per ingest batch (doc_id div 100, ids in crawl
+    * order), how many of its TOKENS arrive in chunks whose content was
+    * never seen in any earlier document (first corpus-wide chunk
+    * occurrence by (doc_id, chunk_idx) — the q97 first-occurrence
+    * credit, at chunk keys). Doc-fingerprint novelty (q97) calls a
+    * crawl novel when its docs aren't verbatim re-serves; chunk-token
+    * novelty measures how much genuinely NEW text each batch adds even
+    * when every document is technically "new" — the number a re-crawl
+    * budget actually wants. total_tokens sums chunk sizes (≡ corpus
+    * tokens: chunks partition each doc). Scale shape: one window over
+    * the chunk-hash partition (narrow key, the fpRanked shape) + a
+    * batch-keyed aggregate. */
+  lazy val q169_chunk_novelty: Q = (s, d) => {
+    val wf = Window.partitionBy("chunk_md5")
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+    cdcChunks(s, d)
+      .withColumn("rn", row_number().over(wf))
+      .withColumn("batch", floor(col("doc_id") / 100).cast("long"))
+      .groupBy("batch")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(when(col("rn") === 1, col("n_tok")).otherwise(0L)).as("novel_tokens"))
+      .withColumn("novelty_rate", round4(
+        col("novel_tokens").cast("double") / col("total_tokens").cast("double")))
+      .orderBy("batch")
   }
 
   val queries: Map[String, Q] = Map(
     "q166_cdc_chunk_dups" -> q166_cdc_chunk_dups,
     "q167_chunk_dup_docs" -> q167_chunk_dup_docs,
+    "q169_chunk_novelty" -> q169_chunk_novelty,
     "q31_dedup_exact" -> q31_dedup_exact,
     "q32_dedup_minhash_lsh" -> q32_dedup_minhash_lsh,
     "q33_dedup_simhash" -> q33_dedup_simhash,
@@ -1249,8 +1301,11 @@ object Dedup {
        |  FROM docs),
        |ck AS (
        |  SELECT doc_id,
+       |         unnest(range(1, len(starts) + 1)) AS chunk_idx,
        |         unnest(list_transform(range(1, len(starts) + 1), k ->
-       |           md5(array_to_string(words[starts[k]:ends[k]], ' ')))) AS chunk_md5
+       |           md5(array_to_string(words[starts[k]:ends[k]], ' ')))) AS chunk_md5,
+       |         unnest(list_transform(range(1, len(starts) + 1), k ->
+       |           CAST(ends[k] - starts[k] + 1 AS BIGINT))) AS n_tok
        |  FROM (
        |    SELECT doc_id, words,
        |           list_prepend(CAST(1 AS BIGINT),
@@ -1280,6 +1335,21 @@ object Dedup {
          |               AS n_dup_chunks
          |      FROM ck c JOIN cdf USING (chunk_md5) GROUP BY 1)
          |ORDER BY doc_id""".stripMargin),
+    "q169_chunk_novelty" -> withDocs(
+      s""", $cdcCk,
+         |fo AS (
+         |  SELECT doc_id, n_tok,
+         |         row_number() OVER (PARTITION BY chunk_md5
+         |           ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM ck)
+         |SELECT CAST(doc_id // 100 AS BIGINT) AS batch,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |       CAST(sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         |         AS novel_tokens,
+         |       ${round4Sql("CAST(sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)")}
+         |         AS novelty_rate
+         |FROM fo GROUP BY 1 ORDER BY batch""".stripMargin),
     "q127_span_staleness" -> withDocs(
       s""", ${spanSplitCte("wA", "< 50")},
          |${spanSplitCte("wB", ">= 50")},

@@ -187,6 +187,37 @@ object EventStream {
   def spanReportBatch(flaggedBatch: DataFrame): DataFrame =
     graft.ops.Dedup.spanReport(flaggedBatch)
 
+  /** Streaming CHUNK probe — the content-defined-chunking member of
+    * the probe-stream family (exact fingerprints → MinHash bands →
+    * span hashes → chunks): arriving documents are chunked IN-FLIGHT
+    * with the gated chunker ([[graft.ops.Dedup.cdcChunksOf]] — one
+    * definition, zero drift from q166/q167) and every chunk is
+    * classified against a STATIC base chunk-hash set (the nightly
+    * corpus chunk ledger, the incrementalDedupStream convention):
+    * dup = 1 iff the chunk's content already exists in the base.
+    * Chunking is stateless map-side; the classify join is
+    * stream-static on the 32-char hash (broadcastable when the base
+    * set is the q166 DUPLICATED-chunk ledger rather than all chunks).
+    * The base is re-resolved per micro-batch when passed as a file
+    * read, so a nightly ledger refresh lands without a restart. */
+  def chunkProbeStream(docs: DataFrame, baseChunks: DataFrame): DataFrame = {
+    import graft.ops.{Dedup, TextCore}
+    val words = docs.select(col("doc_id"),
+      TextCore.wordsCol(TextCore.normCol(col("text"))).as("words"))
+    Dedup.cdcChunksOf(words)
+      .join(baseChunks.select(col("chunk_md5"), lit(1L).as("dup")),
+        Seq("chunk_md5"), "left")
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_md5"), col("n_tok"),
+        coalesce(col("dup"), lit(0L)).as("dup"))
+  }
+
+  /** The foreachBatch half of the streaming chunk path: q167's per-doc
+    * copy-paste rollup over the micro-batch's probed chunks — the SAME
+    * [[graft.ops.Dedup.chunkDupRollup]] aggregation, so an in-flight
+    * "mostly stitched from known blocks" verdict is the batch one. */
+  def chunkReportBatch(probedBatch: DataFrame): DataFrame =
+    graft.ops.Dedup.chunkDupRollup(probedBatch)
+
   /** Streaming ANN serving — the EMBEDDING rung of the probe-stream
     * family (exact fingerprints → MinHash bands → span hashes →
     * vectors): arriving query vectors are answered with top-k cosine

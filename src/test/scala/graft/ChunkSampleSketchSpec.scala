@@ -91,7 +91,7 @@ class ChunkSampleSketchSpec extends AnyFunSuite with SparkTestBase {
     val dir = writeMiniDocs(docs.map { case (id, ts) => id -> ts.mkString(" ") })
     val got = Dedup.cdcChunks(spark, dir).collect()
       .groupBy(_.getLong(0))
-      .map { case (id, rs) => id -> rs.map(_.getString(1)).sorted.toSeq }
+      .map { case (id, rs) => id -> rs.map(_.getAs[String]("chunk_md5")).sorted.toSeq }
     docs.foreach { case (id, ts) =>
       assert(got(id) == refChunks(ts).sorted,
         s"doc $id: engine chunks != reference")
@@ -115,7 +115,7 @@ class ChunkSampleSketchSpec extends AnyFunSuite with SparkTestBase {
     val dir = writeMiniDocs(Seq(0L -> a.mkString(" "), 1L -> b.mkString(" ")))
     val got = Dedup.cdcChunks(spark, dir).collect()
       .groupBy(_.getLong(0))
-      .map { case (id, rs) => id -> rs.map(_.getString(1)).sorted.toSeq }
+      .map { case (id, rs) => id -> rs.map(_.getAs[String]("chunk_md5")).sorted.toSeq }
     assert(got(0L) == ca.sorted && got(1L) == refChunks(b).sorted)
   }
 
@@ -142,6 +142,47 @@ class ChunkSampleSketchSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(got(1L)._3 == 1L, "the stitched doc must be flagged")
     assert(got(2L)._3 == 0L, "unique prose must not be flagged")
+  }
+
+  /** [[refChunks]] with each chunk's token count. */
+  private def refChunksTok(words: Seq[String]): Seq[(String, Int)] = {
+    val n = words.length
+    val bounds = (4 until n).filter { i =>
+      hash32(words.slice(i - 4, i).mkString(" ")) % 16 == 0
+    }
+    val starts = 1 +: bounds.map(_ + 1)
+    val ends = bounds :+ n
+    starts.zip(ends).map { case (a, b) =>
+      (md5hex(words.slice(a - 1, b).mkString(" ")), b - a + 1)
+    }
+  }
+
+  test("q169 equals a first-occurrence fold; verbatim re-serves add zero novelty") {
+    val t0 = tokens(40, 150); val t1 = tokens(41, 150); val t2 = tokens(42, 150)
+    val fresh = (0 until 150).map(i => s"f$i")
+    val docs = Seq(0L -> t0, 1L -> t1, 2L -> t2,
+      100L -> t0, 101L -> t0, 102L -> fresh)
+    val dir = writeMiniDocs(docs.map { case (i, ts) => i -> ts.mkString(" ") })
+    // the reference fold: chunks in (doc_id, chunk_idx) order, novelty
+    // credited to the batch holding the FIRST corpus occurrence
+    val seen = scala.collection.mutable.Set.empty[String]
+    val novel = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val total = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    docs.sortBy(_._1).foreach { case (id, ts) =>
+      val batch = id / 100
+      refChunksTok(ts).foreach { case (h, nt) =>
+        total(batch) += nt
+        if (seen.add(h)) novel(batch) += nt
+      }
+    }
+    val got = Dedup.q169_chunk_novelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    Seq(0L, 1L).foreach { b =>
+      assert(got(b) == (3L, total(b), novel(b)), s"batch $b: ${got(b)}")
+    }
+    // the verbatim re-serves (docs 100/101) contribute zero novel
+    // tokens: batch 1's novelty is bounded by the fresh doc alone
+    assert(novel(1L) <= refChunksTok(fresh).map(_._2).sum.toLong)
   }
 
   // ---------------------------------------------------------------- q168

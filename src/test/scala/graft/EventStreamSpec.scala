@@ -815,6 +815,51 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("chunkProbeStream classifies in-flight chunks against the base ledger; report = batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // base corpus: one 150-token doc; its distinct chunk hashes are the
+    // static ledger the stream probes against
+    val baseTokens = (0 until 150).map(i => s"b$i")
+    val baseDir = writeMiniDocs(Seq(0L -> baseTokens.mkString(" ")))
+    val baseChunks = graft.ops.Dedup.cdcChunks(spark, baseDir)
+      .select("chunk_md5").distinct().localCheckpoint(true)
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream
+      .chunkProbeStream(input.toDS().toDF("doc_id", "text"), baseChunks)
+      .writeStream.format("memory").queryName("chunk_probe")
+      .outputMode("append").start()
+    try {
+      // doc 10: 120 base tokens + 30 own (mostly stitched from known
+      // blocks); doc 11: entirely fresh
+      val stitched = baseTokens.take(120) ++ (0 until 30).map(i => s"n$i")
+      val fresh = (0 until 100).map(i => s"f$i")
+      input.addData((10L, stitched.mkString(" ")), (11L, fresh.mkString(" ")))
+      query.processAllAvailable()
+      val probed = spark.table("chunk_probe")
+      val rep = EventStream.chunkReportBatch(probed).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup_chunks"),
+            r.getAs[Long]("flagged"))).toMap
+      assert(rep(10L)._3 == 1L,
+        s"stitched doc must be flagged (chunk boundaries resync): ${rep(10L)}")
+      assert(rep(11L)._2 == 0L && rep(11L)._3 == 0L,
+        s"fresh doc must classify clean: ${rep(11L)}")
+      // row-level parity with the batch twin on the same ledger: the
+      // probe is the same chunker + classify join run on a static frame
+      val streamDir = writeMiniDocs(Seq(10L -> stitched.mkString(" "),
+        11L -> fresh.mkString(" ")))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val batchRows = rows(EventStream.chunkProbeStream(
+        spark.read.parquet(s"$streamDir/documents.parquet")
+          .select(col("doc_id"), col("text")), baseChunks))
+      assert(rows(probed) == batchRows)
+    } finally query.stop()
+  }
+
   test("cmsCellsStream: streamed sketch cells equal the batch sketch after every batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
