@@ -170,6 +170,34 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("r12 queries: no cartesian; q165 keeps the partial WindowGroupLimit") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+    // q168 is excluded from the BNLJ scan: its two cross joins carry the
+    // 3-row probe frame and the 1-row total — the documented kilobyte
+    // sides (the q29-class bounded exception)
+    val fresh = Seq("q165_weighted_sample", "q166_cdc_chunk_dups",
+      "q167_chunk_dup_docs", "q169_chunk_novelty")
+    val degraded = fresh.flatMap { name =>
+      val p = plan(name)
+      if (p.collect { case c: CartesianProductExec => c
+                      case b: BroadcastNestedLoopJoinExec => b }.nonEmpty)
+        Some(name)
+      else None
+    }
+    assert(degraded.isEmpty, s"cartesian/nested-loop join in: ${degraded.mkString(", ")}")
+    assert(plan("q168_hist_quantiles")
+      .collect { case c: CartesianProductExec => c }.isEmpty,
+      "q168 cross joins must broadcast their kilobyte sides, not cartesian")
+    // the q165 scale contract: bottom-k per stratum prunes BEFORE the
+    // exchange — each map task ships <= k rows per lang, never the corpus
+    val wgl = plan("q165_weighted_sample")
+      .collect { case w: WindowGroupLimitExec => w }
+    assert(wgl.size >= 2, s"expected partial+final WindowGroupLimit, got ${wgl.size}")
+  }
+
   test("fact-to-dim joins broadcast the dim side") {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     // factWithTahap is memoized+persisted, so its visible plan is an
