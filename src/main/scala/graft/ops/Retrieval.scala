@@ -145,7 +145,16 @@ object Retrieval {
     * is the ≤ numQueries·[[qTerms]]-row query-term table — the
     * vocabulary-sized df frame never reaches an exchange. */
   private def bm25ScoreTerms(post: DataFrame, stats: DataFrame,
-      qterms: DataFrame): DataFrame = {
+      qterms: DataFrame): DataFrame =
+    bm25ScoreTermsK(post, stats, qterms, qTerms)
+
+  /** [[bm25ScoreTerms]] generalized to `k` per-query term arms — the
+    * PRF-expanded query (q170) scores 5 arms (3 original + 2 expansion)
+    * through the SAME fixed-order chain: the arms sum left-to-right in
+    * q_rank order, so the result stays bit-identical cross-engine at
+    * any k. */
+  private def bm25ScoreTermsK(post: DataFrame, stats: DataFrame,
+      qterms: DataFrame, k: Int): DataFrame = {
     val idf = (col("n_corpus").cast("double") - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))
     val contrib = idf * (col("tf").cast("double") * lit(k1 + 1)) /
@@ -160,7 +169,7 @@ object Retrieval {
       .crossJoin(broadcast(stats))
       .withColumn("contrib", contrib)
       .groupBy("query_id", "doc_id")
-      .agg((arm(1) + arm(2) + arm(3)).as("bscore"))
+      .agg((1 to k).map(arm).reduceLeft(_ + _).as("bscore"))
       .withColumn("lex_rank", row_number().over(wl).cast("long"))
       .where(col("lex_rank") <= lexDepth)
       .select(col("query_id"), col("doc_id"), col("lex_rank"), col("bscore"))
@@ -170,11 +179,15 @@ object Retrieval {
     * THE scoring definition, shared by the in-memory q160 arm and the
     * file-served q161 index search so the two can never drift: same
     * query formulation, same idf/tf/length arithmetic, same ranking. */
-  private def bm25Top(post: DataFrame, stats: DataFrame): DataFrame = {
-    // query terms: q94's score = tf · N/df over the query docs only
-    val qtf = post.where(col("doc_id") < Similarity.numQueries)
+  /** The corpus-doc query formulation's (query_id, term, tf) frame:
+    * q94's score source — the query docs' own postings. */
+  private def corpusQtf(post: DataFrame): DataFrame =
+    post.where(col("doc_id") < Similarity.numQueries)
       .withColumnRenamed("doc_id", "query_id")
       .select(col("query_id"), col("term"), col("tf"))
+
+  private def bm25Top(post: DataFrame, stats: DataFrame): DataFrame = {
+    val qtf = corpusQtf(post)
     bm25ScoreTerms(post, stats, rankQueryTerms(qtf, queryDf(post, qtf), stats))
   }
 
@@ -487,7 +500,58 @@ object Retrieval {
         col("n_terms_base"), col("n_terms_new"), col("n_df_doubled"))
   }
 
+  /** PRF geometry: feedback depth (top docs mined per query) and
+    * expansion width (terms added to the original [[qTerms]]). */
+  private val fbDocs = 3
+  private val fbTerms = 2
+
+  /** q170: pseudo-relevance-feedback query EXPANSION (RM3-lite) — the
+    * classic IR rung above plain BM25 (q160's lexical arm): run the
+    * base BM25 ranking, treat its top-[[fbDocs]] docs per query as
+    * relevant, mine their postings for the [[fbTerms]] highest-weight
+    * terms NOT already in the query (candidate weight = the summed q94
+    * tf·N/df over the feedback docs — same ratio form, no libm), and
+    * re-score with the expanded 5-term query through the SAME
+    * fixed-order BM25 chain (arms 1–3 = original ranks, 4–5 =
+    * expansion ranks). Vocabulary-mismatch recovery with zero new
+    * index structure: a doc that says "instructor" when the query says
+    * "lecturer" surfaces if the feedback docs bridge the terms. Scale
+    * shape identical to the base arm — the feedback-doc postings are a
+    * ≤30-doc broadcast join, the candidate vocabulary is feedback-doc-
+    * sized, its df aggregation is semi-join-bounded ([[queryDf]]), and
+    * the rescoring broadcast is the ≤50-row expanded term table. The
+    * oracle replays the WHOLE loop declaratively: base ranking,
+    * feedback mining, exclusion, expansion ranking, 5-arm rescoring. */
+  lazy val q170_prf_expansion: Q = (s, d) => {
+    val post = postings(s, d)
+    val stats = corpusStats(s, d)
+    val qtf = corpusQtf(post)
+    val orig = rankQueryTerms(qtf, queryDf(post, qtf), stats)
+    val fb = lexTopMemo(s, d).where(col("lex_rank") <= fbDocs)
+      .select(col("query_id"), col("doc_id"))
+    // candidate expansion terms: the feedback docs' postings, weighted
+    // by the summed q94 score over the feedback set
+    val candSum = post.join(broadcast(fb), "doc_id")
+      .groupBy("query_id", "term").agg(sum(col("tf")).as("tfsum"))
+    val cdf = queryDf(post, candSum)
+    val we = Window.partitionBy("query_id")
+      .orderBy(col("escore").desc, col("term").asc)
+    val exp = broadcast(candSum).join(cdf, "term").crossJoin(broadcast(stats))
+      .withColumn("escore", col("tfsum").cast("double") *
+        col("n_corpus").cast("double") / col("df").cast("double"))
+      .join(broadcast(orig.select(col("query_id"), col("term"))),
+        Seq("query_id", "term"), "left_anti")
+      .withColumn("q_rank", (row_number().over(we) + qTerms).cast("long"))
+      .where(col("q_rank") <= qTerms + fbTerms)
+      .select(col("query_id"), col("term"), col("q_rank"), col("df"))
+    bm25ScoreTermsK(post, stats, orig.unionByName(exp), qTerms + fbTerms)
+      .select(col("query_id"), col("lex_rank").as("rank"), col("doc_id"),
+        round4(col("bscore")).as("prf_score"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q170_prf_expansion" -> q170_prf_expansion,
     "q160_hybrid_bm25_rrf" -> q160_hybrid_bm25_rrf,
     "q161_lex_index_search" -> q161_lex_index_search,
     "q162_hybrid_ablation" -> q162_hybrid_ablation,
@@ -548,6 +612,57 @@ object Retrieval {
     * recomputes from the raw documents what the engine serves from the
     * incrementally-grown postings files. */
   val oracle: Map[String, String] = Map(
+    // the whole PRF loop replayed: base lex ranking, top-3 feedback
+    // docs, candidate mining + exclusion, expansion ranking, and the
+    // 5-arm fixed-order rescoring
+    "q170_prf_expansion" ->
+      s"""WITH ${TextCore.docsCte},
+         |$lexCtes,
+         |fb AS (SELECT query_id, doc_id FROM lex WHERE lex_rank <= $fbDocs),
+         |ctf AS (SELECT f.query_id, t.term, CAST(sum(t.tf) AS BIGINT) AS tfsum
+         |        FROM tf t JOIN fb f USING (doc_id) GROUP BY 1, 2),
+         |cdfx AS (SELECT t.term, CAST(count(*) AS BIGINT) AS df
+         |         FROM tf t JOIN (SELECT DISTINCT term FROM ctf) c USING (term)
+         |         GROUP BY 1),
+         |ex AS (
+         |  SELECT query_id, term, q_rank, df FROM (
+         |    SELECT c.query_id, c.term, cdfx.df,
+         |           CAST($qTerms + row_number() OVER (PARTITION BY c.query_id
+         |             ORDER BY CAST(c.tfsum AS DOUBLE) * CAST(n_corpus AS DOUBLE)
+         |                        / CAST(cdfx.df AS DOUBLE) DESC,
+         |                      c.term ASC) AS BIGINT) AS q_rank
+         |    FROM ctf c JOIN cdfx USING (term) CROSS JOIN st
+         |    WHERE NOT EXISTS (SELECT 1 FROM qt
+         |                      WHERE qt.query_id = c.query_id
+         |                        AND qt.term = c.term))
+         |  WHERE q_rank <= ${qTerms + fbTerms}),
+         |eq AS (SELECT query_id, term, q_rank, CAST(df AS BIGINT) AS df
+         |       FROM qt JOIN dfx USING (term)
+         |       UNION ALL SELECT query_id, term, q_rank, df FROM ex),
+         |cb2 AS (
+         |  SELECT q.query_id, q.q_rank, t.doc_id,
+         |         (CAST(n_corpus AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
+         |           / (CAST(q.df AS DOUBLE) + 0.5)
+         |         * (CAST(t.tf AS DOUBLE) * ${k1 + 1})
+         |         / (CAST(t.tf AS DOUBLE)
+         |            + $k1 * (1.0 - $b + $b * CAST(t.dl AS DOUBLE) / avgdl)) AS contrib
+         |  FROM tf t JOIN eq q USING (term) CROSS JOIN st
+         |  WHERE t.doc_id <> q.query_id),
+         |bm2 AS (
+         |  SELECT query_id, doc_id,
+         |         coalesce(max(CASE WHEN q_rank = 1 THEN contrib END), 0.0)
+         |       + coalesce(max(CASE WHEN q_rank = 2 THEN contrib END), 0.0)
+         |       + coalesce(max(CASE WHEN q_rank = 3 THEN contrib END), 0.0)
+         |       + coalesce(max(CASE WHEN q_rank = 4 THEN contrib END), 0.0)
+         |       + coalesce(max(CASE WHEN q_rank = 5 THEN contrib END), 0.0) AS bscore
+         |  FROM cb2 GROUP BY 1, 2)
+         |SELECT query_id, rank, doc_id, ${round4Sql("bscore")} AS prf_score
+         |FROM (SELECT query_id, doc_id, bscore,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY bscore DESC, doc_id ASC) AS BIGINT) AS rank
+         |      FROM bm2)
+         |WHERE rank <= $lexDepth
+         |ORDER BY query_id, rank""".stripMargin,
     // the five staleness counters recomputed from the raw documents
     // with the same id-hash split the artifact was built under
     "q164_lex_staleness" ->

@@ -1278,14 +1278,22 @@ object TextStats {
     * cells, never the corpus; quantile accuracy is ± one bucket width
     * (16 tokens) by construction — the trade a histogram sketch
     * makes for O(1) merge and serve. */
+  /** (b, cnt) histogram cells over a words frame — the sketch's
+    * map-side build, shared by the gated split-build (q168) and the
+    * streaming twin ([[graft.streaming.EventStream.histCellsStream]]),
+    * the cmsCells convention: one geometry definition, so streamed
+    * cells can never drift from the gated ones. */
+  private[graft] def histCells(docs: DataFrame): DataFrame =
+    docs.select(least(lit(histBuckets),
+        floor(size(col("words")) / histWidth.toInt).cast("long")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+
   lazy val q168_hist_quantiles: Q = (s, d) => {
     import s.implicits._
-    val base = docShingles(s, d).select(
-      idBucket(col("doc_id")).as("ib"),
-      least(lit(histBuckets), floor(size(col("words")) / histWidth.toInt).cast("long")).as("b"))
-    def half(pred: Column) =
-      base.where(pred).groupBy("b").agg(count(lit(1)).as("cnt"))
-    val merged = half(col("ib") < 50).unionByName(half(col("ib") >= 50))
+    val src = docShingles(s, d)
+    def half(pred: Column) = histCells(src.where(pred))
+    val merged = half(idBucket(col("doc_id")) < 50)
+      .unionByName(half(idBucket(col("doc_id")) >= 50))
       .groupBy("b").agg(sum("cnt").as("cnt"))
     val wcum = Window.orderBy(col("b").asc)
     val cum = merged.withColumn("n_le", sum(col("cnt")).over(wcum))
@@ -1300,8 +1308,72 @@ object TextStats {
       .orderBy("p")
   }
 
+  /** q171 Bloom geometry: m = 1024 bits, k = 2 positions per key (the
+    * first and second 8 md5 hex digits of the content fingerprint, each
+    * mod m). */
+  private val bloomBits = 1024L
+
+  /** The two bit positions of a 32-hex fingerprint. */
+  private def bloomPos(fp: Column): Column = array(
+    pmod(conv(substring(fp, 1, 8), 16, 10).cast("long"), lit(bloomBits)),
+    pmod(conv(substring(fp, 9, 8), 16, 10).cast("long"), lit(bloomBits)))
+
+  /** q171: MERGEABLE Bloom membership sketch with MEASURED false-
+    * positive rate — the fourth sketch family member (CMS = counts,
+    * HLL = distincts, q168 = distribution, q171 = MEMBERSHIP): the
+    * train half's content fingerprints (q80's md5(norm)) set 2 bits
+    * each in a 1024-bit filter built as two QUARTER-corpus sketches
+    * merged by bit-OR (set union — the Bloom merge law; a lost bit
+    * breaks the no-false-negative guarantee and fails the gate), then
+    * EVERY document probes it: hit iff both its positions are set. The
+    * gate row carries bits set, probes, true members, Bloom hits,
+    * false positives, and the measured FPR over the non-members — the
+    * q145 rule: every approximate structure ships with its measured
+    * accuracy (the theoretical (1−e^{−kn/m})^k needs libm; the
+    * MEASURED rate needs one division). No false negative is possible
+    * by construction, and the gate's n_bloom_hits ≥ n_members encodes
+    * it. Scale shape: the sketch is ≤1024 rows (kilobyte state,
+    * map-side build per batch, union-distinct merge); probing is a
+    * broadcast semi-join of 2 positions per doc; the exact-membership
+    * audit joins the DISTINCT train fingerprint set — at 100 TB an
+    * operator drops the audit columns and keeps the kilobyte filter. */
+  lazy val q171_bloom_membership: Q = (s, d) => {
+    val dfp = docShingles(s, d).select(col("doc_id"),
+      idBucket(col("doc_id")).as("ib"), md5(col("norm")).as("fp"))
+    def quarter(lo: Long, hi: Long) =
+      dfp.where(col("ib") >= lo && col("ib") < hi)
+        .select(explode(bloomPos(col("fp"))).as("pos")).distinct()
+    val bits = quarter(0L, 25L).unionByName(quarter(25L, 50L)).distinct()
+    val trainFps = dfp.where(col("ib") < 50).select("fp").distinct()
+    val probePos = dfp.select(col("doc_id"),
+      explode(array_distinct(bloomPos(col("fp")))).as("pos"))
+    val matched = probePos.join(broadcast(bits), Seq("pos"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    val perDoc = dfp
+      .join(probePos.groupBy("doc_id").agg(count(lit(1)).as("n_pos")), "doc_id")
+      .join(matched, Seq("doc_id"), "left")
+      .join(trainFps.withColumn("is_member", lit(1L)), Seq("fp"), "left")
+      .select(
+        when(coalesce(col("n_hit"), lit(0L)) === col("n_pos"), 1L)
+          .otherwise(0L).as("hit"),
+        coalesce(col("is_member"), lit(0L)).as("member"))
+    perDoc.agg(
+        count(lit(1)).as("n_probes"),
+        sum(col("member")).as("n_members"),
+        sum(col("hit")).as("n_bloom_hits"),
+        sum(when(col("hit") === 1 && col("member") === 0, 1L).otherwise(0L))
+          .as("n_false_pos"))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
+      .select(col("n_bits_set"), col("n_probes"), col("n_members"),
+        col("n_bloom_hits"), col("n_false_pos"),
+        when(col("n_probes") - col("n_members") === 0, lit(null).cast("double"))
+          .otherwise(round4(col("n_false_pos").cast("double") /
+            (col("n_probes") - col("n_members")).cast("double"))).as("fpr"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q168_hist_quantiles" -> q168_hist_quantiles,
+    "q171_bloom_membership" -> q171_bloom_membership,
     "q40_lang_id" -> q40_lang_id,
     "q41_token_stats" -> q41_token_stats,
     "q42_quality_score" -> q42_quality_score,
@@ -1576,6 +1648,46 @@ object TextStats {
        |ORDER BY lang""".stripMargin)
 
   val oracle: Map[String, String] = Map(
+    // one-pass bit set over the union of the two quarter builds (the
+    // Bloom merge law), then the same probe/audit accounting
+    "q171_bloom_membership" -> withDocs(
+      s""", dfp AS (SELECT doc_id, ${idBucketSql("doc_id")} AS ib,
+         |              md5(norm) AS fp FROM docs),
+         |bits AS (SELECT DISTINCT pos FROM (
+         |  SELECT unnest([CAST('0x' || substr(fp, 1, 8) AS BIGINT) % $bloomBits,
+         |                 CAST('0x' || substr(fp, 9, 8) AS BIGINT) % $bloomBits])
+         |           AS pos
+         |  FROM dfp WHERE ib < 50)),
+         |tr AS (SELECT DISTINCT fp FROM dfp WHERE ib < 50),
+         |pp AS (SELECT doc_id,
+         |         unnest(list_distinct(
+         |           [CAST('0x' || substr(fp, 1, 8) AS BIGINT) % $bloomBits,
+         |            CAST('0x' || substr(fp, 9, 8) AS BIGINT) % $bloomBits]))
+         |           AS pos
+         |       FROM dfp),
+         |np AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos
+         |       FROM pp GROUP BY 1),
+         |mt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         |       FROM pp JOIN bits USING (pos) GROUP BY 1),
+         |pd AS (SELECT d.doc_id,
+         |         CASE WHEN coalesce(mt.n_hit, 0) = np.n_pos
+         |              THEN 1 ELSE 0 END AS hit,
+         |         CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END AS member
+         |       FROM dfp d JOIN np USING (doc_id)
+         |       LEFT JOIN mt USING (doc_id)
+         |       LEFT JOIN tr ON d.fp = tr.fp),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_probes,
+         |              CAST(sum(member) AS BIGINT) AS n_members,
+         |              CAST(sum(hit) AS BIGINT) AS n_bloom_hits,
+         |              CAST(sum(CASE WHEN hit = 1 AND member = 0
+         |                            THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+         |       FROM pd),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM bits)
+         |SELECT n_bits_set, n_probes, n_members, n_bloom_hits, n_false_pos,
+         |       CASE WHEN n_probes - n_members = 0 THEN NULL
+         |            ELSE ${round4Sql("CAST(n_false_pos AS DOUBLE) / CAST(n_probes - n_members AS DOUBLE)")}
+         |       END AS fpr
+         |FROM nb CROSS JOIN ag""".stripMargin),
     // ONE pass over the union (no split): hash-equality with the
     // Spark side's split-build-then-merge is the merge law
     "q168_hist_quantiles" -> withDocs(

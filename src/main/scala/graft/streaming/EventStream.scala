@@ -405,6 +405,21 @@ object EventStream {
       .groupBy("r", "b").agg(count(lit(1)).as("cell_cnt"))
   }
 
+  /** Streaming length-histogram sketch — [[cmsCellsStream]]'s
+    * distribution twin (q168): arriving documents increment their
+    * token-count bucket's cell, Spark merges the ≤64 counters across
+    * micro-batches, so the STATE IS THE SKETCH and (counters being
+    * linear — the q168 merge law) complete-mode output after any
+    * prefix of batches equals the batch cells of the data seen so far.
+    * The bucket geometry is the shared [[graft.ops.TextStats.histCells]]
+    * definition; a downstream reader serves p50/p90/p99 from these
+    * cells exactly as the gated query does. */
+  def histCellsStream(docs: DataFrame): DataFrame = {
+    import graft.ops.{TextCore, TextStats}
+    TextStats.histCells(docs.select(col("doc_id"),
+      TextCore.wordsCol(TextCore.normCol(col("text"))).as("words")))
+  }
+
   /** Streaming sequence packing — the stateful streaming twin of the batch
     * q78 plan: per (lang, shard) the state is one Long (tokens emitted so
     * far); each arriving document is assigned the sequence its start

@@ -185,6 +185,37 @@ class ChunkSampleSketchSpec extends AnyFunSuite with SparkTestBase {
     assert(novel(1L) <= refChunksTok(fresh).map(_._2).sum.toLong)
   }
 
+  // ---------------------------------------------------------------- q171
+
+  test("q171 equals a brute-force bloom on planted docs; no false negatives") {
+    // ids chosen so the train half (idBucket < 50) and probe-only half
+    // are both populated; duplicates across the split make a probe-side
+    // TRUE member; the brute force recomputes every count from md5s.
+    val texts = (0L until 40L).map(i => i -> s"doc ${i % 25} body text")
+    val dir = writeMiniDocs(texts.map { case (i, t) => i -> t })
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).take(4), 16) % 100
+    def norm(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+    val fps = texts.map { case (i, t) => i -> md5hex(norm(t)) }
+    def pos(fp: String): Set[Long] = Set(
+      java.lang.Long.parseLong(fp.take(8), 16) % 1024,
+      java.lang.Long.parseLong(fp.slice(8, 16), 16) % 1024)
+    val trainFp = fps.filter { case (i, _) => bucket(i) < 50 }.map(_._2).toSet
+    val bits = trainFp.flatMap(pos)
+    val hits = fps.count { case (_, fp) => pos(fp).subsetOf(bits) }
+    val members = fps.count { case (_, fp) => trainFp.contains(fp) }
+    val fpos = fps.count { case (_, fp) =>
+      pos(fp).subsetOf(bits) && !trainFp.contains(fp) }
+    val r = TextStats.q171_bloom_membership(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_bits_set") == bits.size.toLong)
+    assert(r.getAs[Long]("n_probes") == texts.size.toLong)
+    assert(r.getAs[Long]("n_members") == members.toLong)
+    assert(r.getAs[Long]("n_bloom_hits") == hits.toLong)
+    assert(r.getAs[Long]("n_false_pos") == fpos.toLong)
+    // the Bloom guarantee: every true member hits (no false negatives)
+    assert(r.getAs[Long]("n_bloom_hits") >= r.getAs[Long]("n_members"))
+  }
+
   // ---------------------------------------------------------------- q168
 
   test("q168 quantiles on planted lengths: exact buckets and counts") {

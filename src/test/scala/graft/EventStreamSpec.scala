@@ -815,6 +815,36 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("histCellsStream: streamed histogram cells equal the batch cells after every batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // token counts spread across several 16-token buckets; two ingest
+    // waves prove cross-micro-batch counter merging (the q168 merge law
+    // live: state is the <= 64 cells, complete mode serves the prefix)
+    val docs = (0 until 30).map(i =>
+      (i.toLong, (0 until (5 + (i * 7) % 120)).map(j => s"t$j").mkString(" ")))
+    def batchCells(upTo: Int): Set[(Long, Long)] =
+      graft.ops.TextStats.histCells(docs.take(upTo).toDF("doc_id", "text")
+          .select(col("doc_id"), graft.ops.TextCore.wordsCol(
+            graft.ops.TextCore.normCol(col("text"))).as("words")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.histCellsStream(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("hist_cells")
+      .outputMode("complete").start()
+    try {
+      def got() = spark.table("hist_cells").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      input.addData(docs.take(15): _*)
+      query.processAllAvailable()
+      assert(got() == batchCells(15))
+      input.addData(docs.drop(15): _*)
+      query.processAllAvailable()
+      assert(got() == batchCells(30))
+    } finally query.stop()
+  }
+
   test("chunkProbeStream classifies in-flight chunks against the base ledger; report = batch twin") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -171,6 +171,29 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     assert(Retrieval.lexIndexSearchText(spark, out, q).count() > 0)
   }
 
+  test("q170: PRF expansion surfaces a vocabulary-mismatch doc plain BM25 cannot") {
+    // query doc 0 says {aa, bb}. Doc 10 bridges: it matches the query
+    // AND uses 'cc' heavily. Doc 11 uses ONLY 'cc' — zero original-term
+    // overlap, invisible to the base ranking; after feedback mining
+    // promotes 'cc', the expanded query must surface it.
+    val dir = writeMiniDocs(Seq(
+      0L -> "aa bb",
+      10L -> "aa bb cc cc cc",
+      11L -> "cc cc cc dd",
+      12L -> "ee ff gg hh"))
+    val base = Retrieval.lexTop(spark, dir)
+      .where(col("query_id") === 0L).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(base.contains(10L) && !base.contains(11L),
+      s"base BM25 must rank the bridge doc and miss the mismatch doc: $base")
+    val prf = Retrieval.q170_prf_expansion(spark, dir)
+      .where(col("query_id") === 0L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank")).toMap
+    assert(prf.contains(11L),
+      s"PRF must surface the cc-only doc via the mined expansion term: $prf")
+    assert(prf.contains(10L), "the bridge doc must survive the rescoring")
+    assert(!prf.contains(0L), "self-match stays excluded after expansion")
+  }
+
   test("q160: fused output is well-formed on real data") {
     val rows = Retrieval.q160_hybrid_bm25_rrf(spark, "/root/testdata/sf0.001")
       .collect()

@@ -175,9 +175,10 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     import org.apache.spark.sql.execution.window.WindowGroupLimitExec
     def plan(name: String) =
       SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
-    // q168 is excluded from the BNLJ scan: its two cross joins carry the
-    // 3-row probe frame and the 1-row total — the documented kilobyte
-    // sides (the q29-class bounded exception)
+    // q168/q170/q171 are excluded from the BNLJ scan: their cross joins
+    // carry the 3-row probe frame / 1-row corpus-stats and totals —
+    // documented kilobyte sides (the q29-class bounded exception; q170's
+    // is the same broadcast(stats) ride the q160 lexical arm pins)
     val fresh = Seq("q165_weighted_sample", "q166_cdc_chunk_dups",
       "q167_chunk_dup_docs", "q169_chunk_novelty")
     val degraded = fresh.flatMap { name =>
@@ -188,9 +189,11 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       else None
     }
     assert(degraded.isEmpty, s"cartesian/nested-loop join in: ${degraded.mkString(", ")}")
-    assert(plan("q168_hist_quantiles")
-      .collect { case c: CartesianProductExec => c }.isEmpty,
-      "q168 cross joins must broadcast their kilobyte sides, not cartesian")
+    Seq("q168_hist_quantiles", "q170_prf_expansion", "q171_bloom_membership")
+      .foreach { name =>
+        assert(plan(name).collect { case c: CartesianProductExec => c }.isEmpty,
+          s"$name cross joins must broadcast their kilobyte sides, not cartesian")
+      }
     // the q165 scale contract: bottom-k per stratum prunes BEFORE the
     // exchange — each map task ships <= k rows per lang, never the corpus
     val wgl = plan("q165_weighted_sample")
