@@ -1031,8 +1031,13 @@ object Dedup {
     * chunk hash (narrow, high-cardinality — the q31 exact-dedup
     * shape). */
   lazy val q166_cdc_chunk_dups: Q = (s, d) =>
-    cdcChunks(s, d)
-      .groupBy("chunk_md5")
+    chunkDupReport(cdcChunks(s, d))
+
+  /** The q166 aggregation over any (doc_id, chunk_md5) frame — shared
+    * by the in-memory gate and the index-served q172 (the spanReport
+    * convention: one definition of the duplication ledger). */
+  private[graft] def chunkDupReport(ch: DataFrame): DataFrame =
+    ch.groupBy("chunk_md5")
       .agg(count(lit(1)).as("n_occ"),
         countDistinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("first_doc"))
@@ -1101,10 +1106,116 @@ object Dedup {
       .orderBy("batch")
   }
 
+  // -------------------------------------------------------------------------
+  // Persisted chunk ledger (q172/q173) — the serve-from-files rung of the
+  // chunk family, symmetric with the span (q127/q128), lexical (q161/
+  // q164), and IVF/PQ (q107/q114) artifacts: chunk occurrences land
+  // PARTITIONED BY (hash bucket, LSM generation); appends add new gen
+  // directories inside each bucket and never rewrite base files; serving
+  // is merge-on-read over the generations.
+  // -------------------------------------------------------------------------
+
+  /** 64-way md5 bucket fan-out of the chunk layout — coarse enough that
+    * every bucket stays multi-file at corpus scale, and a probe for a
+    * specific chunk set reads only its buckets (the lexTermBuckets
+    * convention). */
+  private[graft] val chunkIdxBuckets = 64L
+  private def chunkBucket(h: Column): Column =
+    pmod(conv(substring(h, 1, 4), 16, 10).cast("long"), lit(chunkIdxBuckets))
+
+  def writeChunkIndex(s: SparkSession, d: String, out: String,
+      rowFilter: Column = lit(true)): Unit =
+    cdcChunksOf(docShingles(s, d).where(rowFilter))
+      .withColumn("cb", chunkBucket(col("chunk_md5")))
+      .withColumn("gen", lit(0L))
+      .write.mode("overwrite").partitionBy("cb", "gen").parquet(s"$out/chunks")
+
+  /** Incremental maintenance: the batch's chunks land as a NEW
+    * generation (dynamic partitionBy append — base files never
+    * rewritten, spec-pinned byte-identical). Batches must be
+    * doc-disjoint (the incremental-family convention). */
+  def appendChunkIndex(s: SparkSession, d: String, out: String,
+      rowFilter: Column, gen: Long): Unit = {
+    require(gen > 0, s"generation must be > 0 (0 is the base build); got $gen")
+    cdcChunksOf(docShingles(s, d).where(rowFilter))
+      .withColumn("cb", chunkBucket(col("chunk_md5")))
+      .withColumn("gen", lit(gen))
+      .write.mode("append").partitionBy("cb", "gen").parquet(s"$out/chunks")
+  }
+
+  /** The duplication ledger served FROM the index files alone —
+    * merge-on-read union over the generations through the shared
+    * [[chunkDupReport]] definition. */
+  def chunkIndexDups(s: SparkSession, index: String): DataFrame =
+    chunkDupReport(s.read.parquet(s"$index/chunks").drop("cb", "gen"))
+
+  /** q172: the chunk ledger served from the incrementally-grown index —
+    * base build over ingested history (id-hash bucket < 50, the
+    * q107/q114/q127/q161 convention), grown with [[appendChunkIndex]],
+    * served by [[chunkIndexDups]]. The oracle is q166's full-corpus
+    * recompute VERBATIM — a green row proves the grown artifact serves
+    * exactly what a from-scratch pass would (the q128/q161 proof
+    * pattern applied to the chunk family; base-files-untouched is
+    * spec-pinned md5-identical). */
+  lazy val q172_chunk_index_dups: Q = (s, d) => {
+    val idx = graft.etl.StarBuilder.scratchDir(s, d, "chunkidx")
+    val bucket = TextCore.idBucket(col("doc_id"))
+    graft.BuildPhase.timed {
+      graft.SessionMemo.once(s, d, "chunk:index") {
+        writeChunkIndex(s, d, idx, bucket < 50)
+        appendChunkIndex(s, d, idx, bucket >= 50, gen = 1L)
+      }
+    }
+    chunkIndexDups(s, idx)
+  }
+
+  /** q173: chunk-index STALENESS after incremental appends — the
+    * q127/q164 report for the chunk artifact, read entirely FROM the
+    * index files (generation column, no raw-corpus scan):
+    *  - `n_docs_base` / `n_docs_appended` (distinct docs per side),
+    *  - `n_chunks_base` (distinct base hashes) / `n_chunks_new`
+    *    (hashes the appends introduced — content the base ledger has
+    *    never seen),
+    *  - `n_new_dups`: hashes NOT duplicated in the base (occ ≤ 1)
+    *    that the appends pushed over occ > 1 — every cached dedup
+    *    verdict touching them predates the evidence.
+    * The operator reads this row to decide when drift justifies a
+    * ledger rebuild + cache invalidation. The oracle recomputes all
+    * five counters from the raw documents under the same id-hash
+    * split. */
+  lazy val q173_chunk_staleness: Q = (s, d) => {
+    val idx = graft.etl.StarBuilder.scratchDir(s, d, "chunkidx")
+    val bucket = TextCore.idBucket(col("doc_id"))
+    graft.BuildPhase.timed {
+      graft.SessionMemo.once(s, d, "chunk:index") {
+        writeChunkIndex(s, d, idx, bucket < 50)
+        appendChunkIndex(s, d, idx, bucket >= 50, gen = 1L)
+      }
+    }
+    val ch = s.read.parquet(s"$idx/chunks")
+    val byHash = ch.groupBy("chunk_md5").agg(
+      sum(when(col("gen") === 0L, 1L).otherwise(0L)).as("occ0"),
+      sum(when(col("gen") > 0L, 1L).otherwise(0L)).as("occn"))
+    val hashes = byHash.agg(
+      sum(when(col("occ0") > 0, 1L).otherwise(0L)).as("n_chunks_base"),
+      sum(when(col("occ0") === 0 && col("occn") > 0, 1L).otherwise(0L))
+        .as("n_chunks_new"),
+      sum(when(col("occ0") <= 1 && col("occ0") + col("occn") > 1, 1L)
+        .otherwise(0L)).as("n_new_dups"))
+    val docs = ch.agg(
+      countDistinct(when(col("gen") === 0L, col("doc_id"))).as("n_docs_base"),
+      countDistinct(when(col("gen") > 0L, col("doc_id"))).as("n_docs_appended"))
+    docs.crossJoin(hashes)
+      .select(col("n_docs_base"), col("n_docs_appended"),
+        col("n_chunks_base"), col("n_chunks_new"), col("n_new_dups"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q166_cdc_chunk_dups" -> q166_cdc_chunk_dups,
     "q167_chunk_dup_docs" -> q167_chunk_dup_docs,
     "q169_chunk_novelty" -> q169_chunk_novelty,
+    "q172_chunk_index_dups" -> q172_chunk_index_dups,
+    "q173_chunk_staleness" -> q173_chunk_staleness,
     "q31_dedup_exact" -> q31_dedup_exact,
     "q32_dedup_minhash_lsh" -> q32_dedup_minhash_lsh,
     "q33_dedup_simhash" -> q33_dedup_simhash,
@@ -1313,14 +1424,51 @@ object Dedup {
        |           list_append(bounds, n) AS ends
        |    FROM bnd))""".stripMargin
 
+  /** The q166 duplication ledger recomputed from the raw corpus — used
+    * VERBATIM for both q166 (in-memory) and q172 (served from the
+    * incrementally-grown index files): equality with the same full
+    * recompute is the q128/q161 proof that the artifact serves exactly
+    * what a from-scratch pass would. */
+  private lazy val cdcDupsOracle: String = withDocs(
+    s""", $cdcCk
+       |SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_occ,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       min(doc_id) AS first_doc
+       |FROM ck GROUP BY 1 HAVING count(*) > 1
+       |ORDER BY n_occ DESC, chunk_md5 ASC""".stripMargin)
+
   val oracle: Map[String, String] = Map(
-    "q166_cdc_chunk_dups" -> withDocs(
-      s""", $cdcCk
-         |SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_occ,
-         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-         |       min(doc_id) AS first_doc
-         |FROM ck GROUP BY 1 HAVING count(*) > 1
-         |ORDER BY n_occ DESC, chunk_md5 ASC""".stripMargin),
+    "q166_cdc_chunk_dups" -> cdcDupsOracle,
+    "q172_chunk_index_dups" -> cdcDupsOracle,
+    // the five staleness counters recomputed from raw documents with
+    // the same id-hash split the artifact was built under
+    "q173_chunk_staleness" -> withDocs(
+      s""", $cdcCk,
+         |cg AS (SELECT chunk_md5, doc_id,
+         |              CASE WHEN ${TextCore.idBucketSql("doc_id")} < 50
+         |                   THEN 0 ELSE 1 END AS g
+         |       FROM ck),
+         |bh AS (SELECT chunk_md5,
+         |         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS occ0,
+         |         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS occn
+         |       FROM cg GROUP BY 1),
+         |hh AS (SELECT
+         |         CAST(sum(CASE WHEN occ0 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_chunks_base,
+         |         CAST(sum(CASE WHEN occ0 = 0 AND occn > 0 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_chunks_new,
+         |         CAST(sum(CASE WHEN occ0 <= 1 AND occ0 + occn > 1
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_new_dups
+         |       FROM bh),
+         |dd AS (SELECT
+         |         CAST(count(DISTINCT CASE WHEN g = 0 THEN doc_id END) AS BIGINT)
+         |           AS n_docs_base,
+         |         CAST(count(DISTINCT CASE WHEN g = 1 THEN doc_id END) AS BIGINT)
+         |           AS n_docs_appended
+         |       FROM cg)
+         |SELECT n_docs_base, n_docs_appended, n_chunks_base, n_chunks_new,
+         |       n_new_dups
+         |FROM dd CROSS JOIN hh""".stripMargin),
     "q167_chunk_dup_docs" -> withDocs(
       s""", $cdcCk,
          |cdf AS (SELECT chunk_md5,

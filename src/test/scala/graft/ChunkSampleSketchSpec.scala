@@ -185,6 +185,43 @@ class ChunkSampleSketchSpec extends AnyFunSuite with SparkTestBase {
     assert(novel(1L) <= refChunksTok(fresh).map(_._2).sum.toLong)
   }
 
+  /** Every parquet file under `root` in the `gen=<g>` partition, keyed
+    * by bucket-relative path (the RetrievalSpec genMd5s convention —
+    * layout is `chunks/cb=<b>/gen=<g>/part-*.parquet`). */
+  private def genMd5s(root: java.io.File, gen: Long): Map[String, String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(root)
+      .filter(f => f.getName.endsWith(".parquet") && f.getPath.contains(s"gen=$gen"))
+      .map { f =>
+        s"${f.getParentFile.getParentFile.getName}/${f.getName}" ->
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+      }.toMap
+  }
+
+  test("chunk index LSM: append never rewrites base files; served == in-memory ledger") {
+    import org.apache.spark.sql.functions.col
+    val dir = writeMiniDocs((0L until 20L).map { i =>
+      i -> ((0 until 40).map(j => s"s${(i.toInt * 3 + j) % 60}").mkString(" "))
+    })
+    val out = java.nio.file.Files.createTempDirectory("graft_chunkidx").toString
+    Dedup.writeChunkIndex(spark, dir, out, col("doc_id") % 2 === 0)
+    val gen0 = genMd5s(new java.io.File(s"$out/chunks"), 0L)
+    assert(gen0.nonEmpty)
+    Dedup.appendChunkIndex(spark, dir, out, col("doc_id") % 2 === 1, gen = 1L)
+    // LSM contract: base generation byte-untouched by the append
+    assert(genMd5s(new java.io.File(s"$out/chunks"), 0L) == gen0)
+    assert(genMd5s(new java.io.File(s"$out/chunks"), 1L).nonEmpty)
+    // served-from-files equals the in-memory ledger over the full corpus
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows(Dedup.chunkIndexDups(spark, out)) ==
+      rows(Dedup.q166_cdc_chunk_dups(spark, dir)))
+  }
+
   // ---------------------------------------------------------------- q171
 
   test("q171 equals a brute-force bloom on planted docs; no false negatives") {
