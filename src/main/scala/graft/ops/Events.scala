@@ -242,7 +242,41 @@ object Events {
           .as("hll_within_5pct"))
       .orderBy("event_type")
 
+  /** q174: event-rate ANOMALY detection — per event type, the hours
+    * whose event count sits more than 2σ above that type's hourly mean:
+    * the traffic-spike/abuse triage a feed operator reads before the
+    * spike pollutes downstream counts. The 2σ test is PURE INTEGER
+    * algebra — c > μ + 2σ ⟺ (n·c − Σc) > 0 ∧ (n·c − Σc)² >
+    * 4·(n·Σc² − (Σc)²) (multiply through by n²; σ² = (nΣc² − (Σc)²)/n²)
+    * — so the FLAG decision involves no float at all, and an unordered
+    * double aggregation can never flip it cross-engine; the reported
+    * z-score divides the same integers once and takes one IEEE sqrt
+    * (exact in both engines, the q84 rule). Zero-variance and
+    * single-hour types flag nothing by construction (dev = 0), so the
+    * division is never reached on a degenerate type. Scale shape: the
+    * hourly aggregate is a (type, hour) narrow-key shuffle with
+    * map-side combine; the per-type stats frame is #types-sized and
+    * broadcast back. */
+  val q174_rate_anomaly: Q = (s, d) => {
+    val hourly = events(s, d)
+      .select(col("event_type"), expr("es div 3600").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("cnt"))
+    val stats = hourly.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum(col("cnt")).as("sc"),
+      sum(col("cnt") * col("cnt")).as("sc2"))
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("dev", col("n") * col("cnt") - col("sc"))
+      .withColumn("varn", col("n") * col("sc2") - col("sc") * col("sc"))
+      .where(col("dev") > 0 &&
+        col("dev") * col("dev") > lit(4L) * col("varn"))
+      .select(col("event_type"), col("hr"), col("cnt"),
+        round4(col("dev").cast("double") / sqrt(col("varn").cast("double")))
+          .as("z"))
+      .orderBy("event_type", "hr")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q174_rate_anomaly" -> q174_rate_anomaly,
     "q50_event_windows" -> q50_event_windows,
     "q51_sessionize" -> q51_sessionize,
     "q52_props_json" -> q52_props_json,
@@ -253,6 +287,23 @@ object Events {
     "q93_hll_users" -> q93_hll_users)
 
   val oracle: Map[String, String] = Map(
+    // same hourly counts, same integer 2-sigma algebra, same one-sqrt z
+    "q174_rate_anomaly" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(cnt) AS BIGINT) AS sc,
+         |              CAST(sum(cnt * cnt) AS BIGINT) AS sc2
+         |       FROM h GROUP BY 1)
+         |SELECT h.event_type AS event_type, hr, cnt,
+         |       ${round4Sql("CAST(n * cnt - sc AS DOUBLE) / sqrt(CAST(n * sc2 - sc * sc AS DOUBLE))")} AS z
+         |FROM h JOIN st ON h.event_type = st.event_type
+         |WHERE n * cnt - sc > 0
+         |  AND (n * cnt - sc) * (n * cnt - sc) > 4 * (n * sc2 - sc * sc)
+         |ORDER BY event_type, hr""".stripMargin,
     "q93_hll_users" ->
       """SELECT event_type,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

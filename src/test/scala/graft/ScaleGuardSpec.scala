@@ -180,7 +180,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     // documented kilobyte sides (the q29-class bounded exception; q170's
     // is the same broadcast(stats) ride the q160 lexical arm pins)
     val fresh = Seq("q165_weighted_sample", "q166_cdc_chunk_dups",
-      "q167_chunk_dup_docs", "q169_chunk_novelty")
+      "q167_chunk_dup_docs", "q169_chunk_novelty", "q172_chunk_index_dups",
+      "q174_rate_anomaly")
     val degraded = fresh.flatMap { name =>
       val p = plan(name)
       if (p.collect { case c: CartesianProductExec => c
@@ -189,7 +190,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       else None
     }
     assert(degraded.isEmpty, s"cartesian/nested-loop join in: ${degraded.mkString(", ")}")
-    Seq("q168_hist_quantiles", "q170_prf_expansion", "q171_bloom_membership")
+    Seq("q168_hist_quantiles", "q170_prf_expansion", "q171_bloom_membership",
+        "q173_chunk_staleness") // q173's BNLJ = its two 1-row aggregates
       .foreach { name =>
         assert(plan(name).collect { case c: CartesianProductExec => c }.isEmpty,
           s"$name cross joins must broadcast their kilobyte sides, not cartesian")
