@@ -1149,6 +1149,42 @@ object Dedup {
   def chunkIndexDups(s: SparkSession, index: String): DataFrame =
     chunkDupReport(s.read.parquet(s"$index/chunks").drop("cb", "gen"))
 
+  /** The index read scoped to a probe batch's chunk buckets — the
+    * static partition filter [[chunkIndexProbe]] serves through (the
+    * prunedPostings convention): a probe reads ≤ |distinct probe
+    * hashes| of the [[chunkIdxBuckets]] directories, never the whole
+    * ledger. The bucket list is a driver-side collect bounded by the
+    * probe batch's chunk count. */
+  private[graft] def prunedChunks(s: SparkSession, index: String,
+      probeChunks: DataFrame): DataFrame = {
+    val buckets = probeChunks
+      .select(chunkBucket(col("chunk_md5")).as("cb")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    s.read.parquet(s"$index/chunks")
+      .where(col("cb").isin(buckets: _*)).drop("cb", "gen")
+  }
+
+  /** Classify a (doc_id, text) frame against the PERSISTED ledger:
+    * chunk in-flight with the gated chunker, push the probe chunks'
+    * buckets down as a static partition filter, and roll up per-doc
+    * copy-paste verdicts through the shared [[chunkDupRollup]] — the
+    * serving entry a curation tier deploys against the nightly chunk
+    * artifact (membership against ANY base occurrence, so dup means
+    * "this block exists in the ledger"). */
+  def chunkIndexProbe(s: SparkSession, index: String,
+      docs: DataFrame): DataFrame = {
+    // pinned: the probe frame feeds both the bucket derivation and the
+    // classify join (the q92 build-once rule; batch-sized)
+    val probe = cdcChunksOf(docs.select(col("doc_id"),
+        TextCore.wordsCol(TextCore.normCol(col("text"))).as("words")))
+      .localCheckpoint(true)
+    val base = prunedChunks(s, index, probe)
+      .select(col("chunk_md5")).distinct()
+    chunkDupRollup(probe
+      .join(base.withColumn("dup", lit(1L)), Seq("chunk_md5"), "left")
+      .withColumn("dup", coalesce(col("dup"), lit(0L))))
+  }
+
   /** q172: the chunk ledger served from the incrementally-grown index —
     * base build over ingested history (id-hash bucket < 50, the
     * q107/q114/q127/q161 convention), grown with [[appendChunkIndex]],

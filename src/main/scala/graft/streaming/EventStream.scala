@@ -23,6 +23,20 @@ case class PackAssign(lang: String, shard: Long, doc_id: Long, seq_id: Long)
 /** Per-(lang, shard) packing state: tokens emitted so far. */
 case class PackState(cum: Long)
 
+/** One weighted document entering the streaming sampler
+  * ([[EventStream.weightedSampleStream]]): the draw key is computed
+  * in-flight by the shared q165 expression. */
+case class SampleDoc(lang: String, doc_id: Long, w: Long, skey: Long)
+
+/** Per-language sampler state: the emission counter and the current
+  * bottom-k winners as (skey, doc_id, w) — bounded at k rows. */
+case class SampleState(upd: Long, winners: Seq[(Long, Long, Long)])
+
+/** One winner row of a sampler snapshot; `upd` is the per-language
+  * snapshot counter (a consumer keeps each lang's max-upd set). */
+case class SampleWinner(lang: String, upd: Long, rank: Long, doc_id: Long,
+  w: Long, skey: Long)
+
 /** One typed event entering the streaming funnel ([[EventStream.funnelStream]]). */
 case class FunnelEv(user_id: Long, event_type: String, es: Long)
 
@@ -447,6 +461,39 @@ object EventStream {
           }
           state.update(PackState(cum))
           out.iterator
+      }
+  }
+
+  /** Streaming weighted sampler — q165's stateful twin: documents
+    * arriving as (lang, doc_id, w) get their min-of-w-draws key from
+    * the SHARED q165 expression ([[graft.ops.Curation.weightedDrawKey]]
+    * — one definition, zero drift) and each language's state is its
+    * current BOTTOM-K winner list, merged per micro-batch and emitted
+    * as a numbered snapshot (a consumer keeps each lang's max-`upd`
+    * set). Bottom-k by a deterministic total order is ORDER-INSENSITIVE
+    * — min is associative/commutative/idempotent at set grain — so any
+    * arrival split converges to the batch sample (the merge-law
+    * argument HLL makes for max, applied to bottom-k), and a replayed
+    * doc is absorbed by the distinct. State per language is k rows —
+    * O(1), the packStream contract; keys partition by lang via the
+    * groupByKey shuffle. */
+  def weightedSampleStream(docs: DataFrame, k: Int = 10): Dataset[SampleWinner] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("lang"), col("doc_id"), col("w"),
+        graft.ops.Curation.weightedDrawKey(col("doc_id"), col("w")).as("skey"))
+      .as[SampleDoc]
+      .groupByKey(_.lang)
+      .flatMapGroupsWithState[SampleState, SampleWinner](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (lang: String, batch: Iterator[SampleDoc], state: GroupState[SampleState]) =>
+          val prev = state.getOption.getOrElse(SampleState(0L, Seq.empty))
+          val merged = (prev.winners ++ batch.map(d => (d.skey, d.doc_id, d.w)))
+            .distinct.sortBy(t => (t._1, t._2)).take(k)
+          val upd = prev.upd + 1
+          state.update(SampleState(upd, merged))
+          merged.zipWithIndex.map { case ((skey, id, w), i) =>
+            SampleWinner(lang, upd, i + 1L, id, w, skey)
+          }.iterator
       }
   }
 

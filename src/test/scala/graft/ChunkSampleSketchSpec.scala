@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.ops.{Curation, Dedup, TextStats}
+import graft.streaming.EventStream
 
 /** Behavioral pins for the round-12 operators: q165 weighted sampling,
   * q166/q167 content-defined chunking, q168 histogram quantiles. Each
@@ -220,6 +221,53 @@ class ChunkSampleSketchSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(rows(Dedup.chunkIndexDups(spark, out)) ==
       rows(Dedup.q166_cdc_chunk_dups(spark, dir)))
+  }
+
+  test("chunkIndexProbe reads only the probe's bucket directories; verdicts = full-ledger twin") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val dir = writeMiniDocs((0L until 20L).map { i =>
+      i -> ((0 until 40).map(j => s"s${(i.toInt * 3 + j) % 60}").mkString(" "))
+    })
+    val out = java.nio.file.Files.createTempDirectory("graft_chunkprobe").toString
+    Dedup.writeChunkIndex(spark, dir, out)
+    // probe: doc 100 re-serves doc 0's text verbatim; doc 101 is fresh
+    val probeDocs = Seq(
+      (100L, (0 until 40).map(j => s"s${(0 * 3 + j) % 60}").mkString(" ")),
+      (101L, (0 until 30).map(j => s"zz$j").mkString(" ")))
+    val pdf = probeDocs.toDF("doc_id", "text")
+    val probeChunkFrame = Dedup.cdcChunksOf(pdf.select(col("doc_id"),
+      graft.ops.TextCore.wordsCol(graft.ops.TextCore.normCol(col("text"))).as("words")))
+    // expected buckets brute-forced from the probe chunk hashes (the
+    // layout hashes the first 4 hex digits of chunk_md5 mod 64)
+    val expectedCbs = probeDocs
+      .flatMap { case (_, t) => refChunks(t.split(" ").toSeq) }
+      .map(h => java.lang.Long.parseLong(h.take(4), 16) % 64).toSet
+    val pruned = Dedup.prunedChunks(spark, out, probeChunkFrame)
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in pruned plan"))
+    assert(scan.partitionFilters.nonEmpty, "no partition filter pushed")
+    val dirs = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files)
+      .map(_.getPath.getParent.getParent.getName).distinct
+    assert(dirs.nonEmpty && dirs.toSet.subsetOf(expectedCbs.map(b => s"cb=$b")),
+      s"scan touched ${dirs.mkString(",")} outside probe buckets $expectedCbs")
+    // verdicts: the re-serve is fully flagged, the fresh doc clean —
+    // and row-for-row equal to classifying against the UNPRUNED ledger
+    // through the streaming probe's batch twin
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSet
+    val got = rows(Dedup.chunkIndexProbe(spark, out, pdf))
+    val fullLedger = spark.read.parquet(s"$out/chunks")
+      .select("chunk_md5").distinct()
+    val twin = rows(EventStream.chunkReportBatch(
+      EventStream.chunkProbeStream(pdf, fullLedger)))
+    assert(got == twin, s"pruned serve != full-ledger twin:\n$got\n$twin")
+    val byDoc = got.map(t => t._1 -> t).toMap
+    assert(byDoc(100L)._4 == 1L, "verbatim re-serve must be flagged")
+    assert(byDoc(101L)._3 == 0L, "fresh doc must have zero dup chunks")
   }
 
   // ---------------------------------------------------------------- q171

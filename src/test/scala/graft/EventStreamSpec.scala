@@ -815,6 +815,45 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("weightedSampleStream: final snapshots equal gated q165 on a split ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor, lit}
+    // the exact q165 weight derivation on the real corpus, streamed in
+    // two waves: bottom-k by a deterministic total order is
+    // order-insensitive, so the final per-lang snapshot must equal the
+    // gated batch sample row for row
+    val d = "/root/testdata/sf0.001"
+    val weighted = graft.ops.TextStats.withQuality(
+        graft.ops.TextCore.docShingles(spark, d))
+      .select(col("lang"), col("doc_id"),
+        (lit(1L) + floor(col("score") * 3.0).cast("long")).as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (wave1, wave2) = weighted.sortBy(_._2).splitAt(weighted.length / 2)
+    val input = MemoryStream[(String, Long, Long)]
+    val query = EventStream.weightedSampleStream(
+        input.toDS().toDF("lang", "doc_id", "w")).writeStream
+      .format("memory").queryName("wsample").outputMode("append").start()
+    try {
+      input.addData(wave1.toSeq: _*)
+      query.processAllAvailable()
+      input.addData(wave2.toSeq: _*)
+      query.processAllAvailable()
+      val rows = spark.table("wsample").collect()
+      val latest = rows.groupBy(_.getAs[String]("lang")).toSeq.flatMap {
+        case (_, rs) =>
+          val maxUpd = rs.map(_.getAs[Long]("upd")).max
+          rs.filter(_.getAs[Long]("upd") == maxUpd).toSeq
+      }
+      val got = latest.map(r => (r.getAs[String]("lang"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("w"), r.getAs[Long]("skey"))).toSet
+      val batch = graft.ops.Curation.q165_weighted_sample(spark, d).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(got == batch, s"streamed final sample != gated q165")
+    } finally query.stop()
+  }
+
   test("histCellsStream: streamed histogram cells equal the batch cells after every batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
