@@ -489,7 +489,51 @@ object Curation {
       .orderBy("lang", "rank")
   }
 
+  /** q175's anonymity threshold: a quasi-identifier class releases only
+    * with ≥ k members. */
+  private val kAnon = 5L
+
+  /** q175: k-ANONYMITY release via a generalization ladder — the
+    * privacy rung of the curation family (q79 redacts direct
+    * identifiers INSIDE text; q175 controls what document METADATA can
+    * be released alongside it): the quasi-identifier tuple
+    * (lang, source, length-bucket) re-identifies documents when its
+    * equivalence class is small, so each document is released at the
+    * FINEST ladder level whose class holds ≥ [[kAnon]] members —
+    * level 0 = (lang, source, len_bucket), level 1 drops the length
+    * bucket, level 2 drops the source, level 3 suppresses everything
+    * ('*' in every generalized field). The class counts at each level
+    * count ALL documents in the class (the standard hierarchy: a
+    * coarser class absorbs its finer members), so the release decision
+    * is per-class, deterministic and row-level gated. Scale shape:
+    * three narrow aggregates (level-1/2 counts are #source·#lang- and
+    * #lang-sized — broadcast) joined back on their own keys; no text
+    * is touched. */
+  val q175_k_anonymity: Q = (s, d) => {
+    val base = s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars div 500").as("lb"))
+    val c0 = base.groupBy("lang", "source", "lb").agg(count(lit(1)).as("n0"))
+    val c1 = base.groupBy("lang", "source").agg(count(lit(1)).as("n1"))
+    val c2 = base.groupBy("lang").agg(count(lit(1)).as("n2"))
+    base.join(c0, Seq("lang", "source", "lb"))
+      .join(broadcast(c1), Seq("lang", "source"))
+      .join(broadcast(c2), Seq("lang"))
+      .withColumn("level",
+        when(col("n0") >= kAnon, 0L)
+          .when(col("n1") >= kAnon, 1L)
+          .when(col("n2") >= kAnon, 2L).otherwise(3L))
+      .select(col("doc_id"),
+        when(col("level") <= 2, col("lang")).otherwise(lit("*")).as("lang_out"),
+        when(col("level") <= 1, col("source")).otherwise(lit("*")).as("source_out"),
+        when(col("level") === 0, col("lb").cast("string")).otherwise(lit("*"))
+          .as("len_bucket_out"),
+        col("level"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q175_k_anonymity" -> q175_k_anonymity,
     "q165_weighted_sample" -> q165_weighted_sample,
     "q78_seq_packing" -> q78_seq_packing,
     "q79_pii_scrub" -> q79_pii_scrub,
@@ -504,6 +548,30 @@ object Curation {
     "q123_epoch_plan" -> q123_epoch_plan)
 
   val oracle: Map[String, String] = Map(
+    // the same three class counts, the same ladder decision per doc
+    "q175_k_anonymity" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang, source, n_chars // 500 AS lb FROM documents),
+         |c0 AS (SELECT lang, source, lb, CAST(count(*) AS BIGINT) AS n0
+         |       FROM b GROUP BY 1, 2, 3),
+         |c1 AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n1
+         |       FROM b GROUP BY 1, 2),
+         |c2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n2 FROM b GROUP BY 1),
+         |lv AS (
+         |  SELECT b.doc_id, b.lang, b.source, b.lb,
+         |         CAST(CASE WHEN n0 >= $kAnon THEN 0
+         |                   WHEN n1 >= $kAnon THEN 1
+         |                   WHEN n2 >= $kAnon THEN 2 ELSE 3 END AS BIGINT) AS level
+         |  FROM b JOIN c0 USING (lang, source, lb)
+         |         JOIN c1 USING (lang, source)
+         |         JOIN c2 USING (lang))
+         |SELECT doc_id,
+         |       CASE WHEN level <= 2 THEN lang ELSE '*' END AS lang_out,
+         |       CASE WHEN level <= 1 THEN source ELSE '*' END AS source_out,
+         |       CASE WHEN level = 0 THEN CAST(lb AS VARCHAR) ELSE '*' END
+         |         AS len_bucket_out,
+         |       level
+         |FROM lv ORDER BY doc_id""".stripMargin,
     // every draw replayed: the same md5("doc_id:j") uniforms, the same
     // min-of-w key, the same bottom-k per language
     "q165_weighted_sample" -> withDocs(

@@ -511,13 +511,28 @@ object Similarity {
     * (the embeddings contract; the oracle's template-row CTE assumes the
     * same). */
   private[graft] def lloydCodebook(all: DataFrame, assign: DataFrame,
-      seed: DataFrame): DataFrame = {
-    val sums = assign.join(all, "vec_id")
+      seed: DataFrame): DataFrame =
+    lloydFromSums(lloydSums(all, assign), seed)
+
+  /** The Lloyd step's per-(centroid, dim) SUFFICIENT STATISTICS over an
+    * assignment: the quantized integer (Σq, n) pair — ADDITIVE, so the
+    * step's state merges across disjoint batches by plain summation
+    * (the q151 CMS argument applied to k-means: quantize each
+    * coordinate FIRST, then every downstream operation is exact integer
+    * arithmetic and batch-order-free). Factored from [[lloydCodebook]]
+    * so the single-pass and incremental (q176) paths share one
+    * quantization. */
+  private def lloydSums(all: DataFrame, assign: DataFrame): DataFrame =
+    assign.join(all, "vec_id")
       .select(col("c_id"), posexplode(col("v")).as(Seq("dim", "x")))
       .select(col("c_id"), col("dim"),
         floor(col("x") * lloydScale + lit(0.5)).as("q"))
       .groupBy("c_id", "dim")
       .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+
+  /** The means/fallback half of the Lloyd step over a (possibly
+    * merged) sums frame. */
+  private def lloydFromSums(sums: DataFrame, seed: DataFrame): DataFrame = {
     val means = sums
       .withColumn("m", col("sq").cast("double") / (col("n") * lit(lloydScale)).cast("double"))
       .groupBy("c_id")
@@ -1601,7 +1616,46 @@ object Similarity {
       .orderBy("iter")
   }
 
+  /** q176: INCREMENTAL codebook refresh — the DO half of q107's
+    * staleness report (q107 says WHEN the frozen codebook has drifted;
+    * q176 refreshes it WITHOUT a full-corpus retrain pass): the Lloyd
+    * step's sufficient statistics are the additive quantized (Σq, n)
+    * pairs ([[lloydSums]]), so the refreshed book is built from
+    * PER-BATCH sums — here the ingested-history half and the appended
+    * half, each aggregated blind to the other under the FROZEN
+    * assignment — merged by plain integer addition and divided once
+    * ([[lloydFromSums]]). The gate is the merge law (the q151/q155/q168
+    * tradition): the oracle computes the SAME refreshed book in one
+    * single pass over the union, so lost or double-counted mass in the
+    * merge moves a centroid and flips an assignment. Output per
+    * centroid: member count and arrivals (vectors whose frozen
+    * assignment differed) under the refreshed book, and the refreshed
+    * centroid norm. At 100 TB this is the index-maintenance loop: each
+    * append batch ships its kilobyte (c_id, dim, Σq, n) table, the
+    * nightly refresh folds them, and only REASSIGNMENT (a bounded
+    * narrow job under the new book) touches the corpus again. */
+  lazy val q176_codebook_refresh: Q = (s, d) => {
+    val all = vecs(s, d)
+    val seed = seedCents(all)
+    val frozen = assignments(all, seed).localCheckpoint(true)
+    def halfSums(pred: Column) = lloydSums(all.where(pred), frozen)
+    val b = TextCore.idBucket(col("vec_id"))
+    val mergedSums = halfSums(b < 50).unionByName(halfSums(b >= 50))
+      .groupBy("c_id", "dim").agg(sum("sq").as("sq"), sum("n").as("n"))
+    val refreshed = lloydFromSums(mergedSums, seed).localCheckpoint(true)
+    val stats = frozen.withColumnRenamed("c_id", "old_c")
+      .join(assignments(all, refreshed), "vec_id")
+      .groupBy("c_id").agg(count(lit(1)).as("n_members"),
+        sum(when(col("old_c") =!= col("c_id"), 1L).otherwise(0L)).as("n_arrived"))
+    refreshed.select(col("c_id"), round4(col("cn")).as("cn"))
+      .join(stats, Seq("c_id"), "left")
+      .select(col("c_id"), coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("n_arrived"), lit(0L)).as("n_arrived"), col("cn"))
+      .orderBy("c_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q176_codebook_refresh" -> q176_codebook_refresh,
     "q36_knn_brute" -> q36_knn_brute,
     "q37_knn_ivf" -> q37_knn_ivf,
     "q154_embedding_outliers" -> q154_embedding_outliers,
@@ -1960,6 +2014,44 @@ object Similarity {
        |$adcTailSql""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // ONE single-pass Lloyd step over the union (no split): equality
+    // with the Spark side's per-half-sums-then-merge build IS the
+    // additive-statistics merge law
+    "q176_codebook_refresh" ->
+      s"""WITH $vecsCte, $ivfCte,
+         |mem AS (
+         |  SELECT a.c_id, list(x.v) AS vs,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM assign a JOIN vecs x USING (vec_id) GROUP BY a.c_id),
+         |tm AS (
+         |  SELECT c.c_id, c.cv AS seed,
+         |         CASE WHEN m.n IS NULL THEN NULL
+         |              ELSE list_transform(range(1, len(m.vs[1]) + 1),
+         |                j -> ${lloydMeanSql("m")}) END AS mv
+         |  FROM cent c LEFT JOIN mem m ON c.c_id = m.c_id),
+         |tc AS (
+         |  SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+         |    SELECT c_id,
+         |           CASE WHEN mv IS NULL OR list_dot_product(mv, mv) = 0
+         |                THEN seed ELSE mv END AS cv
+         |    FROM tm)),
+         |ranked1 AS (
+         |  SELECT x.vec_id, t.c_id,
+         |         row_number() OVER (PARTITION BY x.vec_id
+         |           ORDER BY list_dot_product(x.v, t.cv) / (x.nrm * t.cn) DESC,
+         |                    t.c_id ASC) AS rn
+         |  FROM vecs x CROSS JOIN tc t),
+         |assign1 AS (SELECT vec_id, c_id FROM ranked1 WHERE rn = 1),
+         |st AS (
+         |  SELECT a1.c_id, CAST(count(*) AS BIGINT) AS n_members,
+         |         CAST(sum(CASE WHEN a0.c_id <> a1.c_id THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_arrived
+         |  FROM assign1 a1 JOIN assign a0 USING (vec_id) GROUP BY 1)
+         |SELECT t.c_id, coalesce(n_members, CAST(0 AS BIGINT)) AS n_members,
+         |       coalesce(n_arrived, CAST(0 AS BIGINT)) AS n_arrived,
+         |       ${round4Sql("t.cn")} AS cn
+         |FROM tc t LEFT JOIN st ON t.c_id = st.c_id
+         |ORDER BY t.c_id""".stripMargin,
     "q107_ivf_staleness" ->
       s"""WITH $vecsCte,
          |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vecs

@@ -181,7 +181,7 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     // is the same broadcast(stats) ride the q160 lexical arm pins)
     val fresh = Seq("q165_weighted_sample", "q166_cdc_chunk_dups",
       "q167_chunk_dup_docs", "q169_chunk_novelty", "q172_chunk_index_dups",
-      "q174_rate_anomaly")
+      "q174_rate_anomaly", "q175_k_anonymity")
     val degraded = fresh.flatMap { name =>
       val p = plan(name)
       if (p.collect { case c: CartesianProductExec => c
@@ -191,7 +191,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(degraded.isEmpty, s"cartesian/nested-loop join in: ${degraded.mkString(", ")}")
     Seq("q168_hist_quantiles", "q170_prf_expansion", "q171_bloom_membership",
-        "q173_chunk_staleness") // q173's BNLJ = its two 1-row aggregates
+        "q173_chunk_staleness", // q173's BNLJ = its two 1-row aggregates
+        "q176_codebook_refresh") // q176's BNLJ = the 16-row centroid ride
       .foreach { name =>
         assert(plan(name).collect { case c: CartesianProductExec => c }.isEmpty,
           s"$name cross joins must broadcast their kilobyte sides, not cartesian")
