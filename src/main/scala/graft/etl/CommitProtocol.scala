@@ -70,12 +70,26 @@ private[etl] object PosixAtomic {
   def createWithContent(target: java.nio.file.Path, payload: Array[Byte]): Boolean = {
     val tmp = target.resolveSibling(
       s".${target.getFileName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    java.nio.file.Files.write(tmp, payload)
     try {
-      java.nio.file.Files.createLink(target, tmp)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
+      // the staging write sits INSIDE the cleanup scope: a disk-full /
+      // crash mid-write must not leave an orphaned tmp per retry
+      java.nio.file.Files.write(tmp, payload)
+      try {
+        java.nio.file.Files.createLink(target, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          // link-less filesystem (FUSE object-store mount, VFAT):
+          // degrade to the pre-r12 O_EXCL write — name-atomic but not
+          // content-atomic; history()'s epoch range check covers the
+          // partial-body window as defense in depth
+          try {
+            java.nio.file.Files.write(target, payload,
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      }
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 }

@@ -442,8 +442,9 @@ object Curation {
         round4(col("n_novel").cast("double") / col("n_docs").cast("double")))
       .orderBy("batch")
 
-  /** Per-language sample size of the q165 weighted draw. */
-  private val sampleK = 10
+  /** Per-language sample size of the q165 weighted draw — shared with
+    * the streaming twin's default so the two cannot drift. */
+  private[graft] val sampleK = 10
   /** Weight tiers of the q165 draw (w = 1 + ⌊score·3⌋ ∈ 1..4). */
   private val maxDrawsPerDoc = 4
 

@@ -251,24 +251,32 @@ object Events {
     * — so the FLAG decision involves no float at all, and an unordered
     * double aggregation can never flip it cross-engine; the reported
     * z-score divides the same integers once and takes one IEEE sqrt
-    * (exact in both engines, the q84 rule). Zero-variance and
-    * single-hour types flag nothing by construction (dev = 0), so the
-    * division is never reached on a degenerate type. Scale shape: the
-    * hourly aggregate is a (type, hour) narrow-key shuffle with
-    * map-side combine; the per-type stats frame is #types-sized and
-    * broadcast back. */
+    * (exact in both engines, the q84 rule). The squared terms run in
+    * 128-bit integer arithmetic (decimal(38,0) here ≡ HUGEINT in the
+    * oracle — Long would wrap at (Σc)² ≈ 2⁶³, i.e. Σc ≈ 3×10⁹ events
+    * per type, WITHIN the design scale; 38 digits holds to Σc ≈ 10¹⁹,
+    * beyond any real feed). Zero-variance and single-hour types flag
+    * nothing by construction (dev = 0), so the division is never
+    * reached on a degenerate type. Scale shape: the hourly aggregate
+    * is a (type, hour) narrow-key shuffle with map-side combine; the
+    * per-type stats frame is #types-sized and broadcast back. */
   val q174_rate_anomaly: Q = (s, d) => {
+    val dec = "decimal(38,0)"
     val hourly = events(s, d)
       .select(col("event_type"), expr("es div 3600").as("hr"))
       .groupBy("event_type", "hr").agg(count(lit(1)).as("cnt"))
     val stats = hourly.groupBy("event_type").agg(
       count(lit(1)).as("n"), sum(col("cnt")).as("sc"),
-      sum(col("cnt") * col("cnt")).as("sc2"))
+      // squared in 128-bit BEFORE the sum: Σc² itself passes 2⁶³ at
+      // ~10⁷ events/hour over ~10⁵ hours
+      sum(col("cnt").cast(dec) * col("cnt").cast(dec)).as("sc2"))
     hourly.join(broadcast(stats), "event_type")
-      .withColumn("dev", col("n") * col("cnt") - col("sc"))
-      .withColumn("varn", col("n") * col("sc2") - col("sc") * col("sc"))
+      .withColumn("dev",
+        col("n").cast(dec) * col("cnt").cast(dec) - col("sc").cast(dec))
+      .withColumn("varn", col("n").cast(dec) * col("sc2") -
+        col("sc").cast(dec) * col("sc").cast(dec))
       .where(col("dev") > 0 &&
-        col("dev") * col("dev") > lit(4L) * col("varn"))
+        col("dev") * col("dev") > lit(4).cast(dec) * col("varn"))
       .select(col("event_type"), col("hr"), col("cnt"),
         round4(col("dev").cast("double") / sqrt(col("varn").cast("double")))
           .as("z"))
@@ -294,15 +302,18 @@ object Events {
          |         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
          |         CAST(count(*) AS BIGINT) AS cnt
          |  FROM events GROUP BY 1, 2),
-         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-         |              CAST(sum(cnt) AS BIGINT) AS sc,
-         |              CAST(sum(cnt * cnt) AS BIGINT) AS sc2
-         |       FROM h GROUP BY 1)
-         |SELECT h.event_type AS event_type, hr, cnt,
-         |       ${round4Sql("CAST(n * cnt - sc AS DOUBLE) / sqrt(CAST(n * sc2 - sc * sc AS DOUBLE))")} AS z
-         |FROM h JOIN st ON h.event_type = st.event_type
-         |WHERE n * cnt - sc > 0
-         |  AND (n * cnt - sc) * (n * cnt - sc) > 4 * (n * sc2 - sc * sc)
+         |st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         |              CAST(sum(cnt) AS HUGEINT) AS sc,
+         |              sum(CAST(cnt AS HUGEINT) * cnt) AS sc2
+         |       FROM h GROUP BY 1),
+         |dv AS (
+         |  SELECT h.event_type AS event_type, hr, cnt,
+         |         n * cnt - sc AS dev, n * sc2 - sc * sc AS varn
+         |  FROM h JOIN st ON h.event_type = st.event_type)
+         |SELECT event_type, hr, cnt,
+         |       ${round4Sql("CAST(dev AS DOUBLE) / sqrt(CAST(varn AS DOUBLE))")} AS z
+         |FROM dv
+         |WHERE dev > 0 AND dev * dev > 4 * varn
          |ORDER BY event_type, hr""".stripMargin,
     "q93_hll_users" ->
       """SELECT event_type,

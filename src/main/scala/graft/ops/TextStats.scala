@@ -1338,24 +1338,33 @@ object TextStats {
     * audit joins the DISTINCT train fingerprint set — at 100 TB an
     * operator drops the audit columns and keeps the kilobyte filter. */
   lazy val q171_bloom_membership: Q = (s, d) => {
+    // pinned: the fingerprint frame feeds the quarter builds, the
+    // member audit AND the probe side; the kilobyte bit set feeds the
+    // classify join and the bits-set count (the q92/q95 build-once
+    // rule — without the checkpoints each reference re-runs its
+    // corpus-scan lineage)
     val dfp = docShingles(s, d).select(col("doc_id"),
-      idBucket(col("doc_id")).as("ib"), md5(col("norm")).as("fp"))
+        idBucket(col("doc_id")).as("ib"), md5(col("norm")).as("fp"))
+      .localCheckpoint(true)
     def quarter(lo: Long, hi: Long) =
       dfp.where(col("ib") >= lo && col("ib") < hi)
         .select(explode(bloomPos(col("fp"))).as("pos")).distinct()
     val bits = quarter(0L, 25L).unionByName(quarter(25L, 50L)).distinct()
+      .localCheckpoint(true)
     val trainFps = dfp.where(col("ib") < 50).select("fp").distinct()
-    val probePos = dfp.select(col("doc_id"),
-      explode(array_distinct(bloomPos(col("fp")))).as("pos"))
-    val matched = probePos.join(broadcast(bits), Seq("pos"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    // hit and position counts in ONE pass over the exploded positions
+    // (a left join carrying the bit-set membership flag), not a
+    // semi-join pass plus a count pass
+    val perDocPos = dfp.select(col("doc_id"),
+        explode(array_distinct(bloomPos(col("fp")))).as("pos"))
+      .join(broadcast(bits.withColumn("hitb", lit(1L))), Seq("pos"), "left")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_pos"),
+        sum(coalesce(col("hitb"), lit(0L))).as("n_hit"))
     val perDoc = dfp
-      .join(probePos.groupBy("doc_id").agg(count(lit(1)).as("n_pos")), "doc_id")
-      .join(matched, Seq("doc_id"), "left")
+      .join(perDocPos, "doc_id")
       .join(trainFps.withColumn("is_member", lit(1L)), Seq("fp"), "left")
       .select(
-        when(coalesce(col("n_hit"), lit(0L)) === col("n_pos"), 1L)
-          .otherwise(0L).as("hit"),
+        when(col("n_hit") === col("n_pos"), 1L).otherwise(0L).as("hit"),
         coalesce(col("is_member"), lit(0L)).as("member"))
     perDoc.agg(
         count(lit(1)).as("n_probes"),

@@ -477,7 +477,8 @@ object EventStream {
     * doc is absorbed by the distinct. State per language is k rows —
     * O(1), the packStream contract; keys partition by lang via the
     * groupByKey shuffle. */
-  def weightedSampleStream(docs: DataFrame, k: Int = 10): Dataset[SampleWinner] = {
+  def weightedSampleStream(docs: DataFrame,
+      k: Int = graft.ops.Curation.sampleK): Dataset[SampleWinner] = {
     import docs.sparkSession.implicits._
     docs.select(col("lang"), col("doc_id"), col("w"),
         graft.ops.Curation.weightedDrawKey(col("doc_id"), col("w")).as("skey"))
@@ -487,8 +488,13 @@ object EventStream {
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (lang: String, batch: Iterator[SampleDoc], state: GroupState[SampleState]) =>
           val prev = state.getOption.getOrElse(SampleState(0L, Seq.empty))
+          // collapse per doc_id FIRST: a re-weighted doc (the
+          // weightedDrawKey monotone-in-w scenario) must hold ONE slot
+          // with its best key, never occupy two ranks
           val merged = (prev.winners ++ batch.map(d => (d.skey, d.doc_id, d.w)))
-            .distinct.sortBy(t => (t._1, t._2)).take(k)
+            .groupBy(_._2).valuesIterator
+            .map(_.minBy(t => (t._1, -t._3))).toSeq
+            .sortBy(t => (t._1, t._2)).take(k)
           val upd = prev.upd + 1
           state.update(SampleState(upd, merged))
           merged.zipWithIndex.map { case ((skey, id, w), i) =>

@@ -70,15 +70,8 @@ class ChunkSampleSketchSpec extends AnyFunSuite with SparkTestBase {
   /** The content-defined chunker, re-derived in memory: 4-token rolling
     * windows, boundary when hash32(window) % 16 == 0 (position n
     * excluded), chunk = md5 of the joined slice. */
-  private def refChunks(words: Seq[String]): Seq[String] = {
-    val n = words.length
-    val bounds = (4 until n).filter { i =>
-      hash32(words.slice(i - 4, i).mkString(" ")) % 16 == 0
-    }
-    val starts = 1 +: bounds.map(_ + 1)
-    val ends = bounds :+ n
-    starts.zip(ends).map { case (a, b) => md5hex(words.slice(a - 1, b).mkString(" ")) }
-  }
+  private def refChunks(words: Seq[String]): Seq[String] =
+    refChunksTok(words).map(_._1)
 
   private def tokens(seed: Int, n: Int): Seq[String] = {
     val r = new scala.util.Random(seed)

@@ -854,6 +854,37 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("weightedSampleStream: a re-weighted doc holds ONE slot with its best key") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // doc 1 arrives at w=1, then again at w=4 (the weightedDrawKey
+    // monotone re-weighting scenario): the state must collapse per
+    // doc_id — one rank, the min key — never occupy two slots
+    val input = MemoryStream[(String, Long, Long)]
+    val query = EventStream.weightedSampleStream(
+        input.toDS().toDF("lang", "doc_id", "w"), k = 5).writeStream
+      .format("memory").queryName("wsample_rw").outputMode("append").start()
+    try {
+      input.addData(("en", 1L, 1L), ("en", 2L, 1L), ("en", 3L, 1L))
+      query.processAllAvailable()
+      input.addData(("en", 1L, 4L))
+      query.processAllAvailable()
+      val rows = spark.table("wsample_rw").collect()
+      val maxUpd = rows.map(_.getAs[Long]("upd")).max
+      val fin = rows.filter(_.getAs[Long]("upd") == maxUpd)
+      assert(fin.length == 3, s"3 docs -> 3 slots, got ${fin.length}")
+      val doc1 = fin.filter(_.getAs[Long]("doc_id") == 1L)
+      assert(doc1.length == 1, "re-weighted doc must hold exactly one slot")
+      val expect = (0L until 4L).map { j =>
+        java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+          .digest(s"1:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .take(8), 16)
+      }.min
+      assert(doc1.head.getAs[Long]("skey") == expect,
+        "the surviving slot must carry the min over all 4 draws")
+    } finally query.stop()
+  }
+
   test("histCellsStream: streamed histogram cells equal the batch cells after every batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
