@@ -1149,6 +1149,22 @@ object Dedup {
   def chunkIndexDups(s: SparkSession, index: String): DataFrame =
     chunkDupReport(s.read.parquet(s"$index/chunks").drop("cb", "gen"))
 
+  /** Major compaction: fold every chunk generation into a fresh gen 0
+    * — the span/lexical-index LSM compaction applied to the chunk
+    * artifact: bounds the generation-directory count a merge-on-read
+    * serve unions. The merged frame is checkpointed BEFORE the
+    * overwrite (the rewrite reads the files it replaces); same
+    * in-place visibility caveat as
+    * [[graft.ops.Retrieval.compactLexIndex]] — on the versioned
+    * warehouse this would commit as a snapshot instead. */
+  def compactChunkIndex(s: SparkSession, index: String): Unit = {
+    val ch = s.read.parquet(s"$index/chunks").drop("cb", "gen")
+      .localCheckpoint(true)
+    ch.withColumn("cb", chunkBucket(col("chunk_md5")))
+      .withColumn("gen", lit(0L))
+      .write.mode("overwrite").partitionBy("cb", "gen").parquet(s"$index/chunks")
+  }
+
   /** The index read scoped to a probe batch's chunk buckets — the
     * static partition filter [[chunkIndexProbe]] serves through (the
     * prunedPostings convention): a probe reads ≤ |distinct probe

@@ -212,8 +212,14 @@ class ChunkSampleSketchSpec extends AnyFunSuite with SparkTestBase {
     // served-from-files equals the in-memory ledger over the full corpus
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    assert(rows(Dedup.chunkIndexDups(spark, out)) ==
-      rows(Dedup.q166_cdc_chunk_dups(spark, dir)))
+    val before = rows(Dedup.chunkIndexDups(spark, out))
+    assert(before == rows(Dedup.q166_cdc_chunk_dups(spark, dir)))
+    // major compaction folds the generations; the served ledger is
+    // unchanged and gen=1 directories are gone
+    Dedup.compactChunkIndex(spark, out)
+    assert(genMd5s(new java.io.File(s"$out/chunks"), 1L).isEmpty)
+    assert(genMd5s(new java.io.File(s"$out/chunks"), 0L).nonEmpty)
+    assert(rows(Dedup.chunkIndexDups(spark, out)) == before)
   }
 
   test("chunkIndexProbe reads only the probe's bucket directories; verdicts = full-ledger twin") {
