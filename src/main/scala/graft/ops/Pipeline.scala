@@ -252,7 +252,46 @@ object Pipeline {
     funnelReport(base, s2, s3, s4, Seq("split"))
   }
 
+  /** q177: referential-integrity AUDIT across the corpus tables — the
+    * read-side complement of q159's write-time CHECK constraints (q159
+    * refuses bad rows entering ONE table; q177 audits what already
+    * LANDED across tables, the dbt-test / expectations-suite shape):
+    * one row of violation counters —
+    *  - `n_dup_doc_ids` / `n_dup_vec_ids`: primary-key violations,
+    *  - `n_empty_text`: NOT-NULL/non-empty violations on the payload,
+    *  - `n_docs_without_emb` / `n_embs_without_doc`: the two
+    *    directions of the documents↔embeddings foreign key (a doc
+    *    missing its vector silently vanishes from every ANN/semantic
+    *    operator; an orphan vector pollutes index builds).
+    * All-zero right columns is the healthy state an ingest gate
+    * asserts before promoting a snapshot. Scale shape: two per-table
+    * aggregates plus two anti-joins on the id keys (narrow,
+    * hash-partitioned); no payload column moves. */
+  val q177_integrity_audit: Q = (s, d) => {
+    val docs = s.read.parquet(s"$d/documents.parquet")
+    val embs = s.read.parquet(s"$d/embeddings.parquet")
+    val dd = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("n_dup_doc_ids"),
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+        .otherwise(0L)).as("n_empty_text"))
+    val ee = embs.agg(
+      count(lit(1)).as("n_embs"),
+      (count(lit(1)) - countDistinct(col("vec_id"))).as("n_dup_vec_ids"))
+    val dwe = docs.select("doc_id")
+      .join(embs.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_docs_without_emb"))
+    val ewd = embs.select("vec_id")
+      .join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_embs_without_doc"))
+    dd.crossJoin(ee).crossJoin(dwe).crossJoin(ewd)
+      .select(col("n_docs"), col("n_embs"), col("n_dup_doc_ids"),
+        col("n_dup_vec_ids"), col("n_empty_text"),
+        col("n_docs_without_emb"), col("n_embs_without_doc"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q177_integrity_audit" -> q177_integrity_audit,
     "q56_star_rollup" -> q56_star_rollup,
     "q126_star_cube" -> q126_star_cube,
     "q57_pipeline" -> q57_pipeline,
@@ -263,6 +302,30 @@ object Pipeline {
     "q88_verbatim_contamination" -> q88_verbatim_contamination)
 
   val oracle: Map[String, String] = Map(
+    "q177_integrity_audit" ->
+      """WITH dd AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+        |           AS n_dup_doc_ids,
+        |         CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text
+        |  FROM documents),
+        |ee AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_embs,
+        |         CAST(count(*) - count(DISTINCT vec_id) AS BIGINT)
+        |           AS n_dup_vec_ids
+        |  FROM embeddings),
+        |dwe AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs_without_emb
+        |  FROM documents d WHERE NOT EXISTS
+        |    (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)),
+        |ewd AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_embs_without_doc
+        |  FROM embeddings e WHERE NOT EXISTS
+        |    (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
+        |SELECT n_docs, n_embs, n_dup_doc_ids, n_dup_vec_ids, n_empty_text,
+        |       n_docs_without_emb, n_embs_without_doc
+        |FROM dd CROSS JOIN ee CROSS JOIN dwe CROSS JOIN ewd""".stripMargin,
     "q56_star_rollup" -> withFact(
       """SELECT CAST(GROUPING(tahun, semester) AS BIGINT) AS gid,
         |       tahun, semester,

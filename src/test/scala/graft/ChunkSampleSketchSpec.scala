@@ -300,6 +300,36 @@ class ChunkSampleSketchSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("n_bloom_hits") >= r.getAs[Long]("n_members"))
   }
 
+  // ---------------------------------------------------------------- q177
+
+  test("q177 counts planted violations: dup keys, empty text, both orphan directions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_integrity").toString
+    // docs: id 3 duplicated, id 4 empty text, ids 0-4 (id 9 missing
+    // from embeddings side below)
+    Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"), (3L, "delta"),
+      (3L, "delta again"), (4L, ""))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // embeddings: ids 0-2 matched, id 7 orphan, id 1 duplicated
+    Seq(0L, 1L, 1L, 2L, 7L).zipWithIndex
+      .map { case (id, i) => (id, Seq(1.0f * i, 2.0f), 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = graft.ops.Pipeline.q177_integrity_audit(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 6L)
+    assert(r.getAs[Long]("n_embs") == 5L)
+    assert(r.getAs[Long]("n_dup_doc_ids") == 1L)
+    assert(r.getAs[Long]("n_dup_vec_ids") == 1L)
+    assert(r.getAs[Long]("n_empty_text") == 1L)
+    // docs 3 (x2) and 4 have no embedding -> 3 doc rows without emb
+    assert(r.getAs[Long]("n_docs_without_emb") == 3L)
+    assert(r.getAs[Long]("n_embs_without_doc") == 1L)
+  }
+
   // ---------------------------------------------------------------- q168
 
   test("q168 quantiles on planted lengths: exact buckets and counts") {
