@@ -533,7 +533,55 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q178: TOPIC-balanced mix — q122's temperature machinery with the
+    * stratum moved from the language label to the EMBEDDING CLUSTER
+    * (q37's seed-codebook assignment): languages are metadata, topics
+    * are geometry, and a training mix balanced only by language still
+    * lets one dominant topic swamp the rest. Per cluster, a 100k-token
+    * budget allocated ∝ sqrt(cluster TOKENS) (the q84 temperature —
+    * deliberately tokens, not docs: topic budgets balance what the
+    * model actually trains on), consumed in deterministic hash order
+    * until the target is met through the SAME two-phase rankedCum /
+    * budgetFilter machinery (the stratum column is generic — cluster
+    * ids ride it stringified), with the selected SET digest-pinned
+    * exactly like q122. Scale shape inherits q122's: no global window
+    * (per-(stratum, hash-prefix-bucket) windows + driver-cumulated
+    * bucket offsets), the assignment join is the q53 bucketed id
+    * equi-join, and the ranked frame is session-memoized. */
+  val q178_cluster_mix: Q = (s, d) => {
+    val budget = 100000L
+    val cdocs = graft.SessionMemo(s, d, "mix:clusterDocs")(
+      docShingles(s, d)
+        .join(Similarity.seedAssignments(s, d)
+          .withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .select(concat(lit("c"), col("c_id").cast("string")).as("lang"),
+          md5(concat(lit("cmix:"), col("doc_id").cast("string"))).as("h"),
+          size(col("words")).cast("long").as("n_tokens")))(
+      _.localCheckpoint(true))
+    val ranked = graft.SessionMemo(s, d, "mix:clusterRanked")(
+      rankedCum(cdocs))(identity)
+    val counts = cdocs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val denom = counts
+      .agg(sort_array(collect_list(struct(col("lang"), col("n_tokens")))).as("arr"))
+      .select(aggregate(col("arr"), lit(0.0),
+        (acc, x) => acc + sqrt(x.getField("n_tokens").cast("double"))).as("dn"))
+    val p = sqrt(col("n_tokens").cast("double")) / col("dn")
+    val targets = counts.crossJoin(broadcast(denom))
+      .select(col("lang"),
+        floor(p * budget + lit(0.5)).cast("long").as("target_tokens"))
+    budgetFilter(ranked, targets)
+      .groupBy("lang", "target_tokens").agg(
+        count(lit(1)).as("n_docs_sel"),
+        sum("n_tokens").as("tokens_sel"),
+        md5(concat_ws("", sort_array(collect_list(col("h"))))).as("set_md5"))
+      .select(col("lang").as("cluster"), col("target_tokens"),
+        col("n_docs_sel"), col("tokens_sel"), col("set_md5"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q178_cluster_mix" -> q178_cluster_mix,
     "q175_k_anonymity" -> q175_k_anonymity,
     "q165_weighted_sample" -> q165_weighted_sample,
     "q78_seq_packing" -> q78_seq_packing,
@@ -549,6 +597,39 @@ object Curation {
     "q123_epoch_plan" -> q123_epoch_plan)
 
   val oracle: Map[String, String] = Map(
+    // the q122 selection replayed with the cluster assignment (the
+    // shared ivf CTE) as the stratum and token-weighted temperature
+    "q178_cluster_mix" ->
+      s"""WITH ${TextCore.docsCte}, ${Similarity.vecsCte}, ${Similarity.ivfCte},
+         |cd AS (
+         |  SELECT 'c' || CAST(a.c_id AS VARCHAR) AS lang,
+         |         md5('cmix:' || CAST(d.doc_id AS VARCHAR)) AS h,
+         |         CAST(len(d.words) AS BIGINT) AS n_tokens
+         |  FROM docs d JOIN assign a ON a.vec_id = d.doc_id),
+         |counts AS (
+         |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |  FROM cd GROUP BY 1),
+         |denom AS (
+         |  SELECT list_aggregate(list_transform(list(n_tokens ORDER BY lang),
+         |           x -> sqrt(CAST(x AS DOUBLE))), 'sum') AS dn
+         |  FROM counts),
+         |targets AS (
+         |  SELECT lang, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) / dn
+         |           * 100000 + 0.5) AS BIGINT) AS target_tokens
+         |  FROM counts, denom),
+         |c AS (
+         |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY h
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            - n_tokens AS cum_before
+         |  FROM cd),
+         |sel AS (
+         |  SELECT c.*, t.target_tokens FROM c JOIN targets t USING (lang)
+         |  WHERE cum_before < target_tokens)
+         |SELECT lang AS cluster, target_tokens,
+         |       CAST(count(*) AS BIGINT) AS n_docs_sel,
+         |       CAST(sum(n_tokens) AS BIGINT) AS tokens_sel,
+         |       md5(string_agg(h, '' ORDER BY h)) AS set_md5
+         |FROM sel GROUP BY lang, target_tokens ORDER BY cluster""".stripMargin,
     // the same three class counts, the same ladder decision per doc
     "q175_k_anonymity" ->
       s"""WITH b AS (

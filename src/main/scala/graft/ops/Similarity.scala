@@ -118,6 +118,14 @@ object Similarity {
   private def assignments(all: DataFrame, cents: DataFrame): DataFrame =
     rankAgainst(all, cents, 1).select(col("vec_id"), col("c_id"))
 
+  /** (vec_id, c_id) under the q37 seed codebook — package-visible for
+    * cross-family consumers (q178's topic-balanced mix treats the
+    * cluster as a stratum the way q122 treats the language). */
+  private[graft] def seedAssignments(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    assignments(all, seedCents(all))
+  }
+
   /** [[rankAgainst]] the seed codebook; q92 checkpoints one call and
     * derives all four sweep points from it. */
   private def centroidRanks(s: SparkSession, d: String, keep: Int): DataFrame = {

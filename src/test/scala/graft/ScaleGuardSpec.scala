@@ -193,7 +193,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     Seq("q168_hist_quantiles", "q170_prf_expansion", "q171_bloom_membership",
         "q173_chunk_staleness", // q173's BNLJ = its two 1-row aggregates
         "q176_codebook_refresh", // q176's BNLJ = the 16-row centroid ride
-        "q177_integrity_audit") // q177's BNLJ = four 1-row audit aggregates
+        "q177_integrity_audit", // q177's BNLJ = four 1-row audit aggregates
+        "q178_cluster_mix") // q178's BNLJ = the centroid ride + 1-row denom
       .foreach { name =>
         assert(plan(name).collect { case c: CartesianProductExec => c }.isEmpty,
           s"$name cross joins must broadcast their kilobyte sides, not cartesian")
