@@ -37,9 +37,12 @@ object Bench {
     // Volatility sentinel: q34 and q72 have drifted across three rounds on
     // unchanged code (q34 local 1.51→2.47 s in r8) — round-over-round
     // judgment on the known-noisy queries rests on 5-sample medians, so a
-    // single slow rep can no longer move their reported number.
+    // single slow rep can no longer move their reported number. r12 driver
+    // runs put q64/q144/q66 3-5x above their committed local bands on
+    // unchanged code (r12 verdict item 2) — same treatment.
     val volatileReps = 5
-    val volatileQueries = Set("q34_dedup_ngram_jaccard", "q72_token_percentiles")
+    val volatileQueries = Set("q34_dedup_ngram_jaccard", "q72_token_percentiles",
+      "q64_rare_terms", "q144_semantic_contamination", "q66_chunk_dedup")
     def repsFor(name: String): Int =
       if (volatileQueries(name)) math.max(reps, volatileReps) else reps
     // optional comma-separated query filter for focused profiling runs
@@ -125,17 +128,21 @@ object Bench {
       // split + spread ride only the file artifact (see splitJson comment)
       val split = if (short) ""
         else s""","build":${splitJson(_._4)},"serve":${splitJson(_._5)},"min":${splitJson(_._6)},"max":${splitJson(_._7)}"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(short)},"errors":${errsJson(short)},"sf":"$sfDir","reps":$reps,"reps_overrides":${volJson(short)}$split}"""
+      // STDOUT carries no per-query map: the driver records only a
+      // ~2.6 KB stdout tail, and the compact per-query map outgrew it at
+      // 176 queries (r12: the fragment lost q01-q09 and the driver
+      // recorded parsed:null — the r12 verdict's sanctioned fix is
+      // "total+errors only on stdout, per-query data in the file
+      // artifact"). The short line is ~200 bytes and stays parseable at
+      // any query count; "nq" + "detail" point readers at the committed
+      // full artifact (BENCH_LOCAL_r{N}.json).
+      val queries = if (short) "{}" else qsJson(short = false)
+      val detail = if (short) s""","nq":${results.size},"detail":"bench.json"""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$queries,"errors":${errsJson(short)},"sf":"$sfDir","reps":$reps,"reps_overrides":${volJson(short)}$detail$split}"""
     }
-    // stdout gets SHORT query keys (q34, not q34_dedup_ngram_jaccard): the
-    // driver records only a ~2000-char stdout tail (with sbt's [success]
-    // footer inside it), and at 90+ queries the full-name line is ~2.5 KB —
-    // r5's line lost its head and the driver recorded parsed:null. Short
-    // keys keep the whole line ~1.4 KB; the qNN prefixes are unique, and
-    // the contract's own example uses this form ("q1": sec).
     println(json(short = true))
-    // the file artifact keeps FULL names for lossless round-over-round
-    // comparison (the repo's BENCH_LOCAL_r{N}.json snapshots)
+    // the file artifact keeps FULL names and the per-query medians for
+    // lossless round-over-round comparison (committed as BENCH_LOCAL_r{N})
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json(short = false) + "\n")
     spark.stop()

@@ -67,7 +67,39 @@ object RenameCommitProtocol extends CommitProtocol {
   * already claimed, and a target that exists always has its complete
   * body (the inode is fully written before it gains the visible name). */
 private[etl] object PosixAtomic {
+  /** Per-directory link(2) support, probed once (r12 advice): a
+    * transient I/O error (EIO, quota, EPERM-of-the-moment) on a
+    * link-capable filesystem must SURFACE, not silently downgrade the
+    * content-atomicity guarantee — only a directory whose own probe
+    * link fails is treated as link-less. */
+  private val linkSupport =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def linksSupported(dir: java.nio.file.Path): Boolean =
+    linkSupport.computeIfAbsent(dir.toString, _ => {
+      val probe = java.nio.file.Files.createTempFile(dir, ".linkprobe", ".tmp")
+      val lnk = probe.resolveSibling(probe.getFileName.toString + ".lnk")
+      try { java.nio.file.Files.createLink(lnk, probe); true }
+      catch {
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException => false
+      } finally {
+        java.nio.file.Files.deleteIfExists(lnk)
+        java.nio.file.Files.deleteIfExists(probe)
+      }
+    })
+
   def createWithContent(target: java.nio.file.Path, payload: Array[Byte]): Boolean = {
+    // link-less filesystem (FUSE object-store mount, VFAT): degrade to
+    // the pre-r12 O_EXCL write — name-atomic but not content-atomic;
+    // history()'s epoch range check covers the partial-body window as
+    // defense in depth
+    def degraded(): Boolean =
+      try {
+        java.nio.file.Files.write(target, payload,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     val tmp = target.resolveSibling(
       s".${target.getFileName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     try {
@@ -79,16 +111,11 @@ private[etl] object PosixAtomic {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
-        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-          // link-less filesystem (FUSE object-store mount, VFAT):
-          // degrade to the pre-r12 O_EXCL write — name-atomic but not
-          // content-atomic; history()'s epoch range check covers the
-          // partial-body window as defense in depth
-          try {
-            java.nio.file.Files.write(target, payload,
-              java.nio.file.StandardOpenOption.CREATE_NEW)
-            true
-          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        case _: UnsupportedOperationException => degraded()
+        case e: java.nio.file.FileSystemException =>
+          // only degrade when the DIRECTORY is link-less; a transient
+          // error on a link-capable filesystem propagates (r12 advice)
+          if (!linksSupported(target.getParent)) degraded() else throw e
       }
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
@@ -133,11 +160,15 @@ final class ConditionalPutCommitProtocol extends CommitProtocol {
       else {
         // a conditional PUT is content-atomic server-side; model that
         // for the lock-free READERS too — stage the body and move it
-        // into the visible name in one step
+        // into the visible name in one step. finally-cleanup (r12
+        // advice): a failure between write and move must not leave an
+        // orphaned .tmp in _log for the next writer to trip over.
         val tmp = new java.io.File(log, s".$v.commit.tmp").toPath
-        java.nio.file.Files.write(tmp, payload)
-        java.nio.file.Files.move(tmp, marker.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        try {
+          java.nio.file.Files.write(tmp, payload)
+          java.nio.file.Files.move(tmp, marker.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } finally java.nio.file.Files.deleteIfExists(tmp)
         true
       }
     }

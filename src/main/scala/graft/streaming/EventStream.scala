@@ -213,13 +213,18 @@ object EventStream {
     * stream-static on the 32-char hash (broadcastable when the base
     * set is the q166 DUPLICATED-chunk ledger rather than all chunks).
     * The base is re-resolved per micro-batch when passed as a file
-    * read, so a nightly ledger refresh lands without a restart. */
+    * read, so a nightly ledger refresh lands without a restart. The
+    * base is deduplicated HERE (r12 advice): the membership join must
+    * be at-most-one-match regardless of what the caller passes — a raw
+    * per-occurrence ledger would otherwise multiply probe rows and
+    * silently inflate the rollup's n_chunks/dup_frac. */
   def chunkProbeStream(docs: DataFrame, baseChunks: DataFrame): DataFrame = {
     import graft.ops.{Dedup, TextCore}
     val words = docs.select(col("doc_id"),
       TextCore.wordsCol(TextCore.normCol(col("text"))).as("words"))
     Dedup.cdcChunksOf(words)
-      .join(baseChunks.select(col("chunk_md5"), lit(1L).as("dup")),
+      .join(baseChunks.select(col("chunk_md5")).distinct()
+          .withColumn("dup", lit(1L)),
         Seq("chunk_md5"), "left")
       .select(col("doc_id"), col("chunk_idx"), col("chunk_md5"), col("n_tok"),
         coalesce(col("dup"), lit(0L)).as("dup"))
@@ -476,7 +481,20 @@ object EventStream {
     * argument HLL makes for max, applied to bottom-k), and a replayed
     * doc is absorbed by the distinct. State per language is k rows —
     * O(1), the packStream contract; keys partition by lang via the
-    * groupByKey shuffle. */
+    * groupByKey shuffle.
+    *
+    * API CONTRACT (r12 advice): per-doc weights must be NON-DECREASING
+    * across arrivals. The min-merge keeps a doc's best historical draw
+    * key, which equals the latest key only because [[graft.ops
+    * .Curation.weightedDrawKey]] is monotone in w — a LOWERED weight
+    * would leave a stale better key in state, and bottom-k state is
+    * lossy (a previously discarded doc that the lowering should promote
+    * is gone), so no O(k)-state stream can honor weight decreases. The
+    * detectable half is ENFORCED: an arrival that lowers the weight of
+    * a doc currently in the winner list throws rather than silently
+    * diverging from the gated q165 batch sample; decreases on
+    * already-discarded docs are below the state's resolution and remain
+    * the caller's contract. */
   def weightedSampleStream(docs: DataFrame,
       k: Int = graft.ops.Curation.sampleK): Dataset[SampleWinner] = {
     import docs.sparkSession.implicits._
@@ -488,10 +506,21 @@ object EventStream {
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (lang: String, batch: Iterator[SampleDoc], state: GroupState[SampleState]) =>
           val prev = state.getOption.getOrElse(SampleState(0L, Seq.empty))
+          val arrivals = batch.map(d => (d.skey, d.doc_id, d.w)).toSeq
+          // the detectable half of the non-decreasing-weights contract
+          // (see scaladoc): an arrival lowering a current winner's
+          // weight would silently pin its stale (better) draw key
+          val held = prev.winners.map(t => t._2 -> t._3).toMap
+          arrivals.find(a => held.get(a._2).exists(_ > a._3)).foreach { a =>
+            throw new IllegalStateException(
+              s"weightedSampleStream: doc ${a._2} ($lang) arrived with " +
+                s"w=${a._3} below its held weight ${held(a._2)} — per-doc " +
+                "weights must be non-decreasing (q165 parity contract)")
+          }
           // collapse per doc_id FIRST: a re-weighted doc (the
           // weightedDrawKey monotone-in-w scenario) must hold ONE slot
           // with its best key, never occupy two ranks
-          val merged = (prev.winners ++ batch.map(d => (d.skey, d.doc_id, d.w)))
+          val merged = (prev.winners ++ arrivals)
             .groupBy(_._2).valuesIterator
             .map(_.minBy(t => (t._1, -t._3))).toSeq
             .sortBy(t => (t._1, t._2)).take(k)
