@@ -601,45 +601,36 @@ object Dedup {
   private def spanIndexRows(docs: DataFrame): DataFrame =
     spanWindowsOf(docs).groupBy("h").agg(count(lit(1)).as("occ"))
 
-  /** Write generation 0 of the persisted span index: (h, occ) parquet
-    * partitioned by `gen` — the nightly base build. */
-  def writeSpanIndex(docs: DataFrame, out: String): Unit =
-    spanIndexRows(docs).withColumn("gen", lit(0L))
-      .write.mode("overwrite").partitionBy("gen").parquet(out)
+  import graft.etl.LsmIndex
 
-  /** Incremental span-index maintenance — the q107/`appendIvfIndex`
-    * pattern applied to the span family, with a twist: unlike IVF rows,
-    * counts for the SAME hash exist in base and batch, so rows can't
-    * simply append into a shared keyspace. The LSM answer: each batch
-    * lands as a NEW GENERATION (`gen=<n>` directory — the dynamic
-    * partitionBy append touches only that directory, base generation
-    * files are never rewritten; spec-asserted byte-identical), and
-    * [[readSpanIndex]] is merge-on-read. At 100 TB this is exactly how
-    * log-structured stores absorb writes: O(batch) per append, the
-    * merge cost deferred to reads and folded periodically by
-    * [[compactSpanIndex]]. */
-  def appendSpanIndex(docs: DataFrame, out: String, gen: Long): Unit = {
-    require(gen > 0, s"generation must be > 0 (0 is the base build); got $gen")
-    spanIndexRows(docs).withColumn("gen", lit(gen))
-      .write.mode("append").partitionBy("gen").parquet(out)
-  }
+  private def spanLayout(out: String) = LsmIndex.Layout(out)
+
+  /** Write generation 0 of the persisted span index: (h, occ) parquet
+    * in the shared [[graft.etl.LsmIndex]] layout — the nightly base
+    * build. */
+  def writeSpanIndex(docs: DataFrame, out: String): Unit =
+    LsmIndex.write(spanIndexRows(docs), spanLayout(out))
+
+  /** Incremental span-index maintenance — the shared
+    * [[graft.etl.LsmIndex.append]] generation append, with the span
+    * twist: counts for the SAME hash exist in base and batch, so the
+    * mergeable unit is the per-generation count row and
+    * [[readSpanIndex]]'s merge-on-read SUMS them. */
+  def appendSpanIndex(docs: DataFrame, out: String, gen: Long): Unit =
+    LsmIndex.append(spanIndexRows(docs), spanLayout(out), gen)
 
   /** Merge-on-read over all generations: total occurrence count per
     * hash — the frame whose `occ > 1` slice is the streaming probe's
     * dup-hash set. One sum-aggregate shuffle on the 32-char hash key. */
   def readSpanIndex(s: SparkSession, out: String): DataFrame =
-    s.read.parquet(out).groupBy("h").agg(sum("occ").as("occ"))
+    LsmIndex.read(s, spanLayout(out)).groupBy("h").agg(sum("occ").as("occ"))
 
-  /** Major compaction: fold every generation into a fresh gen 0 —
-    * read-merge-rewrite, the LSM compaction that bounds read
-    * amplification. The merged frame is checkpointed BEFORE the
-    * overwrite (the rewrite reads the files it replaces); same in-place
-    * visibility caveat as [[graft.etl.Compact.compact]] — on the
-    * versioned warehouse this would commit as a snapshot instead. */
+  /** Major compaction via the shared crash-safe
+    * [[graft.etl.LsmIndex.compact]]; the span fold sums each hash's
+    * per-generation counts into one gen-0 row. */
   def compactSpanIndex(s: SparkSession, out: String): Unit =
-    readSpanIndex(s, out).localCheckpoint(true)
-      .withColumn("gen", lit(0L))
-      .write.mode("overwrite").partitionBy("gen").parquet(out)
+    LsmIndex.compact(s, spanLayout(out))(
+      _.groupBy("h").agg(sum("occ").as("occ")))
 
   /** q127: span-index STALENESS after an incremental append — q107's
     * report for the span family. Base corpus (doc hash bucket < 50, the
@@ -680,7 +671,7 @@ object Dedup {
         appendSpanIndex(docs.where(idBucket(col("doc_id")) >= 50), idx, gen = 1L)
       }
     }
-    val base = s.read.parquet(idx).where(col("gen") === 0L)
+    val base = LsmIndex.readByGen(s, spanLayout(idx)).where(col("gen") === 0L)
       .select(col("h"), col("occ").as("occ0"))
     readSpanIndex(s, idx).join(base, Seq("h"), "left").agg(
       count(lit(1)).as("n_hashes"),
@@ -1123,47 +1114,34 @@ object Dedup {
   private def chunkBucket(h: Column): Column =
     pmod(conv(substring(h, 1, 4), 16, 10).cast("long"), lit(chunkIdxBuckets))
 
+  private def chunkLayout(out: String) =
+    LsmIndex.Layout(s"$out/chunks", Some(("cb", chunkBucket(col("chunk_md5")))))
+
   def writeChunkIndex(s: SparkSession, d: String, out: String,
       rowFilter: Column = lit(true)): Unit =
-    cdcChunksOf(docShingles(s, d).where(rowFilter))
-      .withColumn("cb", chunkBucket(col("chunk_md5")))
-      .withColumn("gen", lit(0L))
-      .write.mode("overwrite").partitionBy("cb", "gen").parquet(s"$out/chunks")
+    LsmIndex.write(cdcChunksOf(docShingles(s, d).where(rowFilter)),
+      chunkLayout(out))
 
-  /** Incremental maintenance: the batch's chunks land as a NEW
-    * generation (dynamic partitionBy append — base files never
-    * rewritten, spec-pinned byte-identical). Batches must be
+  /** Incremental maintenance via the shared
+    * [[graft.etl.LsmIndex.append]] generation append. Batches must be
     * doc-disjoint (the incremental-family convention). */
   def appendChunkIndex(s: SparkSession, d: String, out: String,
-      rowFilter: Column, gen: Long): Unit = {
-    require(gen > 0, s"generation must be > 0 (0 is the base build); got $gen")
-    cdcChunksOf(docShingles(s, d).where(rowFilter))
-      .withColumn("cb", chunkBucket(col("chunk_md5")))
-      .withColumn("gen", lit(gen))
-      .write.mode("append").partitionBy("cb", "gen").parquet(s"$out/chunks")
-  }
+      rowFilter: Column, gen: Long): Unit =
+    LsmIndex.append(cdcChunksOf(docShingles(s, d).where(rowFilter)),
+      chunkLayout(out), gen)
 
   /** The duplication ledger served FROM the index files alone —
     * merge-on-read union over the generations through the shared
     * [[chunkDupReport]] definition. */
   def chunkIndexDups(s: SparkSession, index: String): DataFrame =
-    chunkDupReport(s.read.parquet(s"$index/chunks").drop("cb", "gen"))
+    chunkDupReport(LsmIndex.read(s, chunkLayout(index)))
 
-  /** Major compaction: fold every chunk generation into a fresh gen 0
-    * — the span/lexical-index LSM compaction applied to the chunk
-    * artifact: bounds the generation-directory count a merge-on-read
-    * serve unions. The merged frame is checkpointed BEFORE the
-    * overwrite (the rewrite reads the files it replaces); same
-    * in-place visibility caveat as
-    * [[graft.ops.Retrieval.compactLexIndex]] — on the versioned
-    * warehouse this would commit as a snapshot instead. */
-  def compactChunkIndex(s: SparkSession, index: String): Unit = {
-    val ch = s.read.parquet(s"$index/chunks").drop("cb", "gen")
-      .localCheckpoint(true)
-    ch.withColumn("cb", chunkBucket(col("chunk_md5")))
-      .withColumn("gen", lit(0L))
-      .write.mode("overwrite").partitionBy("cb", "gen").parquet(s"$index/chunks")
-  }
+  /** Major compaction via the shared crash-safe
+    * [[graft.etl.LsmIndex.compact]] — chunk occurrences are
+    * row-disjoint across generations, so the fold is the identity
+    * re-bucketing. */
+  def compactChunkIndex(s: SparkSession, index: String): Unit =
+    LsmIndex.compact(s, chunkLayout(index))()
 
   /** The index read scoped to a probe batch's chunk buckets — the
     * static partition filter [[chunkIndexProbe]] serves through (the
@@ -1172,13 +1150,9 @@ object Dedup {
     * ledger. The bucket list is a driver-side collect bounded by the
     * probe batch's chunk count. */
   private[graft] def prunedChunks(s: SparkSession, index: String,
-      probeChunks: DataFrame): DataFrame = {
-    val buckets = probeChunks
-      .select(chunkBucket(col("chunk_md5")).as("cb")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    s.read.parquet(s"$index/chunks")
-      .where(col("cb").isin(buckets: _*)).drop("cb", "gen")
-  }
+      probeChunks: DataFrame): DataFrame =
+    LsmIndex.prunedRead(s, chunkLayout(index),
+      LsmIndex.probeBuckets(probeChunks, chunkBucket(col("chunk_md5"))))
 
   /** Classify a (doc_id, text) frame against the PERSISTED ledger:
     * chunk in-flight with the gated chunker, push the probe chunks'
@@ -1244,7 +1218,7 @@ object Dedup {
         appendChunkIndex(s, d, idx, bucket >= 50, gen = 1L)
       }
     }
-    val ch = s.read.parquet(s"$idx/chunks")
+    val ch = LsmIndex.readByGen(s, chunkLayout(idx))
     val byHash = ch.groupBy("chunk_md5").agg(
       sum(when(col("gen") === 0L, 1L).otherwise(0L)).as("occ0"),
       sum(when(col("gen") > 0L, 1L).otherwise(0L)).as("occn"))

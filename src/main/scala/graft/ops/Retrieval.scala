@@ -296,32 +296,31 @@ object Retrieval {
     pmod(conv(substring(md5(term), 1, 4), 16, 10).cast("long"),
       lit(lexTermBuckets))
 
+  import graft.etl.LsmIndex
+
+  private def postingsLayout(index: String) =
+    LsmIndex.Layout(s"$index/postings", Some(("tb", termBucket(col("term")))))
+  private def statsLayout(index: String) =
+    LsmIndex.Layout(s"$index/_stats", singleFile = true)
+
   def writeLexIndex(s: SparkSession, d: String, out: String,
       rowFilter: Column = lit(true)): Unit = {
     val docs = TextCore.docShingles(s, d).where(rowFilter)
-    postingsOf(docs).withColumn("tb", termBucket(col("term")))
-      .withColumn("gen", lit(0L))
-      .write.mode("overwrite").partitionBy("tb", "gen").parquet(s"$out/postings")
-    statsOf(docs).withColumn("gen", lit(0L)).coalesce(1)
-      .write.mode("overwrite").parquet(s"$out/_stats")
+    LsmIndex.write(postingsOf(docs), postingsLayout(out))
+    LsmIndex.write(statsOf(docs), statsLayout(out))
   }
 
-  /** Incremental maintenance: the batch's postings land as a NEW
-    * generation directory (dynamic partitionBy append — base generation
-    * files are never rewritten, spec-pinned byte-identical) and its
-    * stats row appends to the sidecar. The caller's batches must be
-    * doc-disjoint (the incremental-family convention): a doc split
-    * across generations would double-count its dl in avgdl and its
-    * postings in df. */
+  /** Incremental maintenance via the shared
+    * [[graft.etl.LsmIndex.append]]: the batch's postings land as a NEW
+    * generation directory and its stats row appends to the additive
+    * sidecar. The caller's batches must be doc-disjoint (the
+    * incremental-family convention): a doc split across generations
+    * would double-count its dl in avgdl and its postings in df. */
   def appendLexIndex(s: SparkSession, d: String, out: String,
       rowFilter: Column, gen: Long): Unit = {
-    require(gen > 0, s"generation must be > 0 (0 is the base build); got $gen")
     val docs = TextCore.docShingles(s, d).where(rowFilter)
-    postingsOf(docs).withColumn("tb", termBucket(col("term")))
-      .withColumn("gen", lit(gen))
-      .write.mode("append").partitionBy("tb", "gen").parquet(s"$out/postings")
-    statsOf(docs).withColumn("gen", lit(gen)).coalesce(1)
-      .write.mode("append").parquet(s"$out/_stats")
+    LsmIndex.append(postingsOf(docs), postingsLayout(out), gen)
+    LsmIndex.append(statsOf(docs), statsLayout(out), gen)
   }
 
   /** BM25 top-N served FROM the persisted index alone: merge-on-read
@@ -330,8 +329,8 @@ object Retrieval {
     * additive sidecar. Identical arithmetic to the in-memory arm by
     * construction ([[bm25Top]] is shared). */
   def lexIndexSearch(s: SparkSession, index: String): DataFrame =
-    bm25Top(s.read.parquet(s"$index/postings").drop("tb", "gen"),
-      deriveStats(s.read.parquet(s"$index/_stats")))
+    bm25Top(LsmIndex.read(s, postingsLayout(index)),
+      deriveStats(LsmIndex.read(s, statsLayout(index))))
 
   /** BM25 top-[[lexDepth]] from the persisted index for FREE-TEXT
     * queries (query_id, text) — the serving entry the streaming twin
@@ -350,13 +349,11 @@ object Retrieval {
     * way PartitionPruningSpec pins the IVF probe read). */
   private[graft] def prunedPostings(s: SparkSession, index: String,
       queries: DataFrame): DataFrame = {
-    val qbuckets = queries
+    val qterms = queries
       .select(explode(TextCore.wordsCol(TextCore.normCol(col("text")))).as("term"))
       .where(col("term") =!= "")
-      .select(termBucket(col("term")).as("tb")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    s.read.parquet(s"$index/postings")
-      .where(col("tb").isin(qbuckets: _*)).drop("tb", "gen")
+    LsmIndex.prunedRead(s, postingsLayout(index),
+      LsmIndex.probeBuckets(qterms, termBucket(col("term"))))
   }
 
   def lexIndexSearchText(s: SparkSession, index: String,
@@ -367,7 +364,7 @@ object Retrieval {
     // only its terms' directories. df over the pruned read is exact —
     // every posting of a query term lives in that term's bucket.
     val post = prunedPostings(s, index, queries)
-    val stats = deriveStats(s.read.parquet(s"$index/_stats"))
+    val stats = deriveStats(LsmIndex.read(s, statsLayout(index)))
     val qtf = queries
       .select(col("query_id"),
         explode(TextCore.wordsCol(TextCore.normCol(col("text")))).as("term"))
@@ -376,24 +373,14 @@ object Retrieval {
     bm25ScoreTerms(post, stats, rankQueryTerms(qtf, queryDf(post, qtf), stats))
   }
 
-  /** Major compaction: fold every postings generation into a fresh
-    * gen 0 (and the stats sidecar into one row) — the span-index LSM
-    * compaction applied to the lexical artifact: bounds the
-    * generation-directory count a merge-on-read serve unions. The
-    * merged frames are checkpointed BEFORE the overwrite (the rewrite
-    * reads the files it replaces); same in-place visibility caveat as
-    * [[graft.etl.Compact.compact]] — on the versioned warehouse this
-    * would commit as a snapshot instead. */
+  /** Major compaction via the shared crash-safe
+    * [[graft.etl.LsmIndex.compact]]: postings are row-disjoint across
+    * generations (identity fold); the stats sidecar's generations sum
+    * into one gen-0 row. */
   def compactLexIndex(s: SparkSession, index: String): Unit = {
-    val post = s.read.parquet(s"$index/postings").drop("tb", "gen")
-      .localCheckpoint(true)
-    val stats = s.read.parquet(s"$index/_stats")
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-      .localCheckpoint(true)
-    post.withColumn("tb", termBucket(col("term"))).withColumn("gen", lit(0L))
-      .write.mode("overwrite").partitionBy("tb", "gen").parquet(s"$index/postings")
-    stats.withColumn("gen", lit(0L)).coalesce(1)
-      .write.mode("overwrite").parquet(s"$index/_stats")
+    LsmIndex.compact(s, postingsLayout(index))()
+    LsmIndex.compact(s, statsLayout(index))(
+      _.agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")))
   }
 
   /** q161: BM25 search served from the incrementally-grown postings
@@ -482,7 +469,7 @@ object Retrieval {
         appendLexIndex(s, d, idx, bucket >= 50, gen = 1L)
       }
     }
-    val byTerm = s.read.parquet(s"$idx/postings")
+    val byTerm = LsmIndex.readByGen(s, postingsLayout(idx))
       .groupBy("term").agg(
         sum(when(col("gen") === 0L, 1L).otherwise(0L)).as("df0"),
         sum(when(col("gen") > 0L, 1L).otherwise(0L)).as("df1"))
@@ -492,7 +479,7 @@ object Retrieval {
         .as("n_terms_new"),
       sum(when(col("df0") > 0 && col("df1") >= col("df0"), 1L).otherwise(0L))
         .as("n_df_doubled"))
-    val docs = s.read.parquet(s"$idx/_stats").agg(
+    val docs = LsmIndex.readByGen(s, statsLayout(idx)).agg(
       sum(when(col("gen") === 0L, col("n_docs")).otherwise(0L)).as("n_docs_base"),
       sum(when(col("gen") > 0L, col("n_docs")).otherwise(0L)).as("n_docs_appended"))
     docs.crossJoin(terms)
