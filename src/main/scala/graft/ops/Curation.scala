@@ -580,7 +580,65 @@ object Curation {
       .orderBy("cluster")
   }
 
+  /** q179: the sampling family closed END-TO-END (r12 verdict item 4)
+    * — materialize a training epoch by composing the family's two
+    * halves: q178 says how many tokens each topic cluster contributes
+    * (temperature ∝ sqrt(cluster tokens)); q165 says in what ORDER a
+    * stratum's documents should be drawn (the Efraimidis–Spirakis
+    * quality-weighted draw key — min of w uniform md5 draws, w = the
+    * q42 quality tier). q179 consumes each cluster in ascending draw-
+    * key order until its token target is met: a quality-weighted
+    * RANDOM epoch, stratified by topic, where a doc with twice the
+    * weight is twice as likely to land early enough to make the
+    * budget — yet deterministic end to end (the oracle replays every
+    * draw, every stratum, every cutoff; the selected SET is digest-
+    * pinned like q122/q178). The order key rides as a fixed-width
+    * decimal string "skey:doc_id", so string order IS (skey, doc_id)
+    * numeric order and the q122 two-phase rankedCum/budgetFilter
+    * machinery applies verbatim — same scale shape: no global window,
+    * per-(stratum, key-prefix-bucket) windows + driver-cumulated
+    * offsets, broadcast targets. `w_sel_sum` audits the tilt: the
+    * selected set's summed weight sits above a uniform draw's. */
+  val q179_epoch_sample: Q = (s, d) => {
+    val budget = 100000L
+    val cdocs = graft.SessionMemo(s, d, "mix:epochDocs")(
+      TextStats.withQuality(docShingles(s, d))
+        .join(Similarity.seedAssignments(s, d)
+          .withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .withColumn("w", lit(1L) + floor(col("score") * 3.0).cast("long"))
+        .select(concat(lit("c"), col("c_id").cast("string")).as("lang"),
+          concat(
+            lpad(weightedDrawKey(col("doc_id"), col("w")).cast("string"), 10, "0"),
+            lit(":"),
+            lpad(col("doc_id").cast("string"), 10, "0")).as("h"),
+          size(col("words")).cast("long").as("n_tokens"),
+          col("w")))(
+      _.localCheckpoint(true))
+    val ranked = graft.SessionMemo(s, d, "mix:epochRanked")(
+      rankedCum(cdocs))(identity)
+    val counts = cdocs.groupBy("lang").agg(sum("n_tokens").as("n_tokens"))
+    // deterministic fold order for the double summation (the q178 rule)
+    val denom = counts
+      .agg(sort_array(collect_list(struct(col("lang"), col("n_tokens")))).as("arr"))
+      .select(aggregate(col("arr"), lit(0.0),
+        (acc, x) => acc + sqrt(x.getField("n_tokens").cast("double"))).as("dn"))
+    val p = sqrt(col("n_tokens").cast("double")) / col("dn")
+    val targets = counts.crossJoin(broadcast(denom))
+      .select(col("lang"),
+        floor(p * budget + lit(0.5)).cast("long").as("target_tokens"))
+    budgetFilter(ranked, targets)
+      .groupBy("lang", "target_tokens").agg(
+        count(lit(1)).as("n_docs_sel"),
+        sum("n_tokens").as("tokens_sel"),
+        sum("w").as("w_sel_sum"),
+        md5(concat_ws("", sort_array(collect_list(col("h"))))).as("set_md5"))
+      .select(col("lang").as("cluster"), col("target_tokens"),
+        col("n_docs_sel"), col("tokens_sel"), col("w_sel_sum"), col("set_md5"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q179_epoch_sample" -> q179_epoch_sample,
     "q178_cluster_mix" -> q178_cluster_mix,
     "q175_k_anonymity" -> q175_k_anonymity,
     "q165_weighted_sample" -> q165_weighted_sample,
@@ -597,6 +655,48 @@ object Curation {
     "q123_epoch_plan" -> q123_epoch_plan)
 
   val oracle: Map[String, String] = Map(
+    // the full epoch replay: quality weights, every md5 draw, the
+    // cluster strata, the sqrt-temperature targets, and the
+    // draw-key-ordered take-while — one declarative chain
+    "q179_epoch_sample" ->
+      s"""WITH ${TextCore.docsCte}, ${Similarity.vecsCte}, ${Similarity.ivfCte},
+         |${TextStats.qualCte},
+         |cd AS (
+         |  SELECT 'c' || CAST(a.c_id AS VARCHAR) AS lang,
+         |         lpad(CAST(list_aggregate(list_transform(range(0,
+         |             1 + CAST(floor(q.score * 3.0) AS BIGINT)), j ->
+         |           CAST('0x' || substr(md5(CAST(q.doc_id AS VARCHAR) || ':' ||
+         |             CAST(j AS VARCHAR)), 1, 8) AS BIGINT)), 'min') AS VARCHAR),
+         |           10, '0')
+         |           || ':' || lpad(CAST(q.doc_id AS VARCHAR), 10, '0') AS h,
+         |         CAST(len(q.words) AS BIGINT) AS n_tokens,
+         |         1 + CAST(floor(q.score * 3.0) AS BIGINT) AS w
+         |  FROM qual q JOIN assign a ON a.vec_id = q.doc_id),
+         |counts AS (
+         |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |  FROM cd GROUP BY 1),
+         |denom AS (
+         |  SELECT list_aggregate(list_transform(list(n_tokens ORDER BY lang),
+         |           x -> sqrt(CAST(x AS DOUBLE))), 'sum') AS dn
+         |  FROM counts),
+         |targets AS (
+         |  SELECT lang, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) / dn
+         |           * 100000 + 0.5) AS BIGINT) AS target_tokens
+         |  FROM counts, denom),
+         |c AS (
+         |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY h
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            - n_tokens AS cum_before
+         |  FROM cd),
+         |sel AS (
+         |  SELECT c.*, t.target_tokens FROM c JOIN targets t USING (lang)
+         |  WHERE cum_before < target_tokens)
+         |SELECT lang AS cluster, target_tokens,
+         |       CAST(count(*) AS BIGINT) AS n_docs_sel,
+         |       CAST(sum(n_tokens) AS BIGINT) AS tokens_sel,
+         |       CAST(sum(w) AS BIGINT) AS w_sel_sum,
+         |       md5(string_agg(h, '' ORDER BY h)) AS set_md5
+         |FROM sel GROUP BY lang, target_tokens ORDER BY cluster""".stripMargin,
     // the q122 selection replayed with the cluster assignment (the
     // shared ivf CTE) as the stratum and token-weighted temperature
     "q178_cluster_mix" ->

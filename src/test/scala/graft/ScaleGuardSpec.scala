@@ -194,7 +194,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
         "q173_chunk_staleness", // q173's BNLJ = its two 1-row aggregates
         "q176_codebook_refresh", // q176's BNLJ = the 16-row centroid ride
         "q177_integrity_audit", // q177's BNLJ = four 1-row audit aggregates
-        "q178_cluster_mix") // q178's BNLJ = the centroid ride + 1-row denom
+        "q178_cluster_mix", // q178's BNLJ = the centroid ride + 1-row denom
+        "q179_epoch_sample") // q179's BNLJ = q178's centroid ride + denom
       .foreach { name =>
         assert(plan(name).collect { case c: CartesianProductExec => c }.isEmpty,
           s"$name cross joins must broadcast their kilobyte sides, not cartesian")
