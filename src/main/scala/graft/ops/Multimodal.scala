@@ -78,6 +78,39 @@ object Multimodal {
         .cast("struct<fmt:string,sample_rate:bigint,channels:bigint,bits:bigint>"))
   }
 
+  /** Parse (fmt, us_per_frame, n_frames, duration_ms) from a canonical
+    * AVI payload — the VIDEO rung of the multimodal header family
+    * (r12 verdict item 7), declarative like the WAV parse because the
+    * canonical layout is all fixed offsets: RIFF at 0, "AVI " at 8,
+    * the mandated LIST/hdrl at 12, its first chunk `avih` at 24, then
+    * dwMicroSecPerFrame (LE u32 at 32) and dwTotalFrames (LE u32 at
+    * 48). duration_ms = usPerFrame·frames div 1000 — integer, both
+    * engines agree exactly. NULL for anything else, including an AVI
+    * whose hdrl isn't first (would need a chunk walk — the
+    * [[graft.functions.JpegSofDims]] tier; not planted here). The
+    * corpus carries no real video, so the branch is proven on PLANTED
+    * RIFF bytes (MediaHeaderSpec, the WAV precedent). */
+  def mediaVideoMeta(media: Column): Column = {
+    val isAvi = length(media) >= 52 &&
+      hex(media.substr(lit(1), lit(4))) === "52494646" && // "RIFF"
+      hex(media.substr(lit(9), lit(4))) === "41564920" && // "AVI "
+      hex(media.substr(lit(13), lit(4))) === "4C495354" && // "LIST"
+      hex(media.substr(lit(21), lit(4))) === "6864726C" && // "hdrl"
+      hex(media.substr(lit(25), lit(4))) === "61766968" // "avih"
+    // exact integer division: subtract the remainder first so the
+    // double division is of an exact multiple (us·frames < 2^53 for
+    // any real AVI — column `/` is double division, there is no
+    // Column-level div)
+    val prod = u32le(media, 33) * u32le(media, 49)
+    when(isAvi, struct(lit("avi").as("fmt"),
+      u32le(media, 33).as("us_per_frame"),
+      u32le(media, 49).as("n_frames"),
+      ((prod - pmod(prod, lit(1000L))) / lit(1000L)).cast("long")
+        .as("duration_ms")))
+      .otherwise(lit(null).cast(
+        "struct<fmt:string,us_per_frame:bigint,n_frames:bigint,duration_ms:bigint>"))
+  }
+
   /** Parse (fmt, w, h) from a media payload's container header:
     *  - PNG: 8-byte signature, then the IHDR chunk is mandated first —
     *    width/height are the big-endian u32s at FIXED byte offsets
@@ -252,7 +285,66 @@ object Multimodal {
       .orderBy("source")
   }
 
+  /** q180: EXIF-orientation-aware resize planning, gated on a
+    * CONSTRUCTED-JPEG ROUNDTRIP (the q49 write-then-read proof shape
+    * applied to the header walks): both engines derive per-document
+    * geometry from doc_id, Spark then BUILDS a real JPEG carrying it —
+    * SOI, doc-varying 0xFF fill bytes, an APP1/Exif TIFF IFD0 with the
+    * orientation tag (alternating big/little-endian per doc), a
+    * doc-varying-length COM padding segment, then SOF0 with the
+    * dimensions — and re-extracts everything through the PRODUCTION
+    * parsers ([[graft.functions.MediaOps.jpegExifOrientation]] +
+    * [[mediaHeaderDims]]'s SOF walk). The oracle replays only the
+    * generator formulas, so the gate passes iff construct→parse is the
+    * identity for every document — both endiannesses, every fill-run
+    * length, every segment offset the corpus ids produce (the planted-
+    * fixture MediaHeaderSpec proves the walks on hand-built corrupt/
+    * edge bytes; THIS proves them at corpus scale inside the gate).
+    * eff_w/eff_h apply the orientation: values 5–8 transpose, which is
+    * exactly what a resize planner must honor before computing the fit
+    * (a 90°-rotated portrait shot fit as landscape ships every pixel
+    * wrong). Scale shape: pure map-side expression work — no shuffle
+    * but the final orderBy. */
+  val q180_exif_resize: Q = (s, d) => {
+    def be16(x: Column): Column = lpad(lower(hex(x)), 4, "0")
+    val base = s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"),
+        (lit(1L) + pmod(col("doc_id"), lit(8L))).as("ori"),
+        (lit(100L) + pmod(col("doc_id"), lit(97L))).as("w"),
+        (lit(80L) + pmod(col("doc_id"), lit(53L))).as("h"),
+        pmod(col("doc_id"), lit(17L)).as("pad"),
+        pmod(col("doc_id"), lit(3L)).as("nf"))
+    // TIFF block (26 bytes): header, 1-entry IFD0 (tag 0x0112 SHORT×1),
+    // no next IFD — big-endian for even docs, little-endian for odd
+    val tiff = when(pmod(col("doc_id"), lit(2L)) === 0L,
+      concat(lit("4d4d002a00000008"), lit("0001"),
+        lit("0112"), lit("0003"), lit("00000001"),
+        be16(col("ori")), lit("0000"), lit("00000000")))
+      .otherwise(
+        concat(lit("49492a0008000000"), lit("0100"),
+          lit("1201"), lit("0300"), lit("01000000"),
+          lpad(lower(hex(col("ori"))), 2, "0"), lit("000000"), lit("00000000")))
+    val payload = unhex(concat(
+      lit("ffd8"), // SOI
+      expr("repeat('ff', CAST(nf AS INT))"), // T.81 fill bytes before the marker
+      lit("ffe1"), lit("0022"), lit("457869660000"), tiff, // APP1/Exif
+      lit("fffe"), be16(col("pad") + 2L), expr("repeat('00', CAST(pad AS INT))"), // COM
+      lit("ffc0"), lit("0011"), lit("08"), be16(col("h")), be16(col("w")),
+      lit("03"), lit("011100"), lit("021101"), lit("031101"))) // SOF0
+    val hdr = mediaHeaderDims(col("media"))
+    base.withColumn("media", payload)
+      .select(col("doc_id"),
+        graft.functions.MediaOps.jpegExifOrientation(col("media")).as("orientation"),
+        hdr.getField("w").as("src_w"), hdr.getField("h").as("src_h"))
+      .withColumn("eff_w",
+        when(col("orientation") >= 5L, col("src_h")).otherwise(col("src_w")))
+      .withColumn("eff_h",
+        when(col("orientation") >= 5L, col("src_w")).otherwise(col("src_h")))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q180_exif_resize" -> q180_exif_resize,
     "q53_multimodal_join" -> q53_multimodal_join,
     "q54_media_meta" -> q54_media_meta,
     "q55_media_features" -> q55_media_features,
@@ -260,6 +352,19 @@ object Multimodal {
     "q129_media_dedup" -> q129_media_dedup)
 
   val oracle: Map[String, String] = Map(
+    // the generator formulas ONLY — Spark must roundtrip them through
+    // real constructed JPEG bytes and the production header walks
+    "q180_exif_resize" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+        |         CAST(100 + doc_id % 97 AS BIGINT) AS src_w,
+        |         CAST(80 + doc_id % 53 AS BIGINT) AS src_h
+        |  FROM documents)
+        |SELECT doc_id, orientation, src_w, src_h,
+        |       CASE WHEN orientation >= 5 THEN src_h ELSE src_w END AS eff_w,
+        |       CASE WHEN orientation >= 5 THEN src_w ELSE src_h END AS eff_h
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q129_media_dedup" ->
       """WITH raw AS (
         |  SELECT source, sha256(text) AS sha,

@@ -143,4 +143,108 @@ class MediaHeaderSpec extends AnyFunSuite with SparkTestBase {
     val bl = plain.length.toLong
     assert(rows(1L) == (64L + bl % 1920L, 64L + (bl / 7) % 1080L))
   }
+
+  /** APP1/Exif segment carrying one IFD0 entry: orientation `ori`,
+    * big-endian ("MM") or little-endian ("II") TIFF. */
+  private def exifApp1(ori: Int, littleEndian: Boolean): Array[Byte] = {
+    val tiff =
+      if (littleEndian)
+        bytes(0x49, 0x49, 0x2A, 0x00, 8, 0, 0, 0, // II, 42, IFD0 at 8
+          1, 0, // 1 entry
+          0x12, 0x01, 3, 0, 1, 0, 0, 0, ori, 0, 0, 0, // tag 0112 SHORT×1
+          0, 0, 0, 0) // no next IFD
+      else
+        bytes(0x4D, 0x4D, 0x00, 0x2A, 0, 0, 0, 8,
+          0, 1,
+          0x01, 0x12, 0, 3, 0, 0, 0, 1, 0, ori, 0, 0,
+          0, 0, 0, 0)
+    bytes(0xFF, 0xE1, 0x00, 0x22) ++ "Exif".getBytes("US-ASCII") ++
+      bytes(0, 0) ++ tiff
+  }
+
+  private def orientations(payloads: Seq[Array[Byte]]): Map[Long, Option[Long]] = {
+    import spark.implicits._
+    payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "media")
+      .select(col("id"),
+        graft.functions.MediaOps.jpegExifOrientation(col("media")).as("o"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+  }
+
+  test("EXIF orientation: both TIFF endiannesses, fill bytes, APP1 after other segments") {
+    val sof = bytes(0xFF, 0xC0, 0x00, 0x11, 8, 1, 0x90, 2, 0x80,
+      3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    val soi = bytes(0xFF, 0xD8)
+    val app0 = bytes(0xFF, 0xE0, 0x00, 0x06, 1, 2, 3, 4)
+    val got = orientations(Seq(
+      soi ++ exifApp1(6, littleEndian = false) ++ sof, // MM straight after SOI
+      soi ++ app0 ++ bytes(0xFF, 0xFF) ++ exifApp1(8, littleEndian = true) ++ sof, // II behind APP0 + fill
+      soi ++ exifApp1(3, littleEndian = true) ++ sof,
+      soi ++ app0 ++ sof)) // no Exif at all
+    assert(got(0L) == Some(6L))
+    assert(got(1L) == Some(8L))
+    assert(got(2L) == Some(3L))
+    assert(got(3L) == None)
+  }
+
+  test("EXIF orientation: malformed TIFF, XMP-style APP1, SOS cutoff all yield NULL") {
+    val soi = bytes(0xFF, 0xD8)
+    // APP1 that is NOT Exif (XMP rides APP1 too): walk must skip it
+    val xmp = bytes(0xFF, 0xE1, 0x00, 0x0A) ++ "http://x".getBytes("US-ASCII")
+    // Exif header but TIFF magic is wrong
+    val badMagic = {
+      val a = exifApp1(1, littleEndian = false)
+      a(12) = 0x13.toByte // corrupt the 0x002A magic
+      a
+    }
+    // Exif whose IFD0 offset points past the segment
+    val badOff = {
+      val a = exifApp1(1, littleEndian = false)
+      a(17) = 0x7F.toByte // IFD0 offset 0x7F00_0000-ish: out of bounds
+      a
+    }
+    val got = orientations(Seq(
+      soi ++ xmp, // only a non-Exif APP1, then truncation
+      soi ++ badMagic,
+      soi ++ badOff,
+      soi ++ bytes(0xFF, 0xDA, 0x00, 0x04, 1, 2) ++ exifApp1(5, littleEndian = true), // SOS first
+      "not a jpeg".getBytes("US-ASCII"),
+      Array.empty[Byte]))
+    got.values.foreach(v => assert(v == None, v))
+  }
+
+  /** A canonical AVI header: RIFF/AVI + LIST/hdrl with avih first. */
+  private def aviHeader(usPerFrame: Int, frames: Int): Array[Byte] = {
+    def le32(v: Int) = bytes(v & 0xFF, (v >>> 8) & 0xFF, (v >>> 16) & 0xFF, (v >>> 24) & 0xFF)
+    "RIFF".getBytes("US-ASCII") ++ le32(9999) ++ "AVI ".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ le32(200) ++ "hdrl".getBytes("US-ASCII") ++
+      "avih".getBytes("US-ASCII") ++ le32(56) ++
+      le32(usPerFrame) ++ le32(500000) ++ le32(0) ++ le32(16) ++ le32(frames) ++
+      le32(0) ++ le32(1) ++ le32(0)
+  }
+
+  test("AVI avih: little-endian frame timing and exact integer duration") {
+    import spark.implicits._
+    val payloads = Seq(
+      aviHeader(33333, 900), // ~30 fps, 30 s
+      aviHeader(40000, 250), // 25 fps, 10 s exactly
+      wavHeader(44100, 2, 16), // a WAV must not parse as video
+      "RIFFnope".getBytes("US-ASCII"))
+    val got = payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "media")
+      .select(col("id"), Multimodal.mediaVideoMeta(col("media")).as("v"))
+      .select(col("id"), col("v.fmt"), col("v.us_per_frame"),
+        col("v.n_frames"), col("v.duration_ms"))
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(got(0L) == (Some("avi"), 33333L, 900L, 29999L)) // 29999700 us
+    assert(got(1L) == (Some("avi"), 40000L, 250L, 10000L))
+    assert(got(2L) == (None, -1L, -1L, -1L))
+    assert(got(3L) == (None, -1L, -1L, -1L))
+  }
 }
