@@ -12,6 +12,9 @@ import org.apache.spark.sql.SparkSession
   * dir, then the three queries share it — exactly the gate's shape).
   *
   * Usage: `sbt "runMain graft.ChunkProbe"` — one line per (sf, query).
+  * Pass query names as args to curve ANY gated query the same way
+  * (r12 verdict item 6 runs the quadratic-bounded families through it:
+  * `runMain graft.ChunkProbe q34_dedup_ngram_jaccard q142_semdedup`).
   */
 object ChunkProbe {
   def main(args: Array[String]): Unit = {
@@ -22,7 +25,8 @@ object ChunkProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val qs = Seq("q166_cdc_chunk_dups", "q167_chunk_dup_docs", "q169_chunk_novelty")
+    val qs = if (args.nonEmpty) args.toSeq
+      else Seq("q166_cdc_chunk_dups", "q167_chunk_dup_docs", "q169_chunk_novelty")
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
       .foreach { d =>
         // one cold pass charges the shared chunk build to the first query

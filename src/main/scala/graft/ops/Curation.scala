@@ -637,7 +637,40 @@ object Curation {
       .orderBy("cluster")
   }
 
+  /** q181: per-SOURCE document cap with QUALITY-ranked retention — the
+    * per-domain cap every crawl-derived corpus applies before mixing
+    * (one mirror-heavy domain must not dominate the epoch no matter how
+    * many pages it serves): each source keeps at most [[sourceCap]]
+    * documents, and the kept set is the source's TOP-[[sourceCap]] by
+    * the q42 quality score (tie-broken by doc_id — deterministic, both
+    * engines agree on every boundary), so capping removes the domain's
+    * WORST pages first instead of a random slice. The report prices the
+    * cap per source — total vs kept docs, kept tokens, the quality cut
+    * line (min kept score), and the kept-set digest pinning document
+    * identity. Scale shape: one per-source window rank (partitioned,
+    * never global) + a source-sized aggregate; no joins. */
+  private[graft] val sourceCap = 40L
+  val q181_source_cap: Q = (s, d) => {
+    val wq = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val kept = col("rank") <= sourceCap
+    TextStats.withQuality(docShingles(s, d))
+      .select(col("doc_id"), col("source"), col("score"),
+        size(col("words")).cast("long").as("n_tok"))
+      .withColumn("rank", row_number().over(wq).cast("long"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(kept, col("n_tok")).otherwise(0L)).as("tokens_kept"),
+        min(when(kept, col("score"))).as("min_score_kept"),
+        md5(concat_ws(",", transform(
+          sort_array(collect_list(when(kept, col("doc_id")))),
+          x => x.cast("string")))).as("kept_md5"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q181_source_cap" -> q181_source_cap,
     "q179_epoch_sample" -> q179_epoch_sample,
     "q178_cluster_mix" -> q178_cluster_mix,
     "q175_k_anonymity" -> q175_k_anonymity,
@@ -756,6 +789,24 @@ object Curation {
          |FROM lv ORDER BY doc_id""".stripMargin,
     // every draw replayed: the same md5("doc_id:j") uniforms, the same
     // min-of-w key, the same bottom-k per language
+    // the same per-source quality ranking, cap, cut line and digest
+    "q181_source_cap" -> withDocs(
+      s""", ${TextStats.qualCte},
+         |r AS (
+         |  SELECT doc_id, source, score, CAST(len(words) AS BIGINT) AS n_tok,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY score DESC, doc_id) AS rank
+         |  FROM qual)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN rank <= $sourceCap THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_kept,
+         |       CAST(sum(CASE WHEN rank <= $sourceCap THEN n_tok ELSE 0 END) AS BIGINT)
+         |         AS tokens_kept,
+         |       min(CASE WHEN rank <= $sourceCap THEN score END) AS min_score_kept,
+         |       md5(string_agg(CASE WHEN rank <= $sourceCap
+         |                           THEN CAST(doc_id AS VARCHAR) END,
+         |                      ',' ORDER BY doc_id)) AS kept_md5
+         |FROM r GROUP BY source ORDER BY source""".stripMargin),
     "q165_weighted_sample" -> withDocs(
       s""", ${TextStats.qualCte},
          |wt AS (

@@ -1662,7 +1662,55 @@ object Similarity {
       .orderBy("c_id")
   }
 
+  /** q182: embedding COVARIANCE via exact-integer second moments with
+    * a gated MERGE LAW — the sketch-family merge-law discipline (CMS/
+    * HLL/histogram/Bloom/Lloyd) applied to the statistic PCA and
+    * whitening start from. Components are fixed-point quantized at 10⁴
+    * (the Lloyd integer-sums convention, scaled down so every product
+    * and the covariance numerator n·s_ij − s_i·s_j stay far inside
+    * int64 — headroom to |x| ≤ 100 at 10⁶ vectors), the upper-triangle
+    * products are built MAP-SIDE per vector (one flatten(transform)
+    * array, no self-join, no explode-then-join), and the corpus is
+    * split into vec_id-parity halves whose per-(i,j) partial sums merge
+    * by plain addition — the gate compares the MERGED moments against
+    * the oracle's one-pass recompute, so a lost or double-counted
+    * partial fails every affected cell. At 100 TB this is exactly the
+    * shape: d²/2 cells per map task regardless of corpus size, one
+    * d²-sized exchange, and the halves stand in for any partition of
+    * the corpus (associative + commutative by integer addition).
+    * Output: per (i ≤ j) cell, the half counts, merged first/second
+    * moments, and the exact covariance numerator. */
+  val q182_cov_merge: Q = (s, d) => {
+    val q = transform(col("v"), x => floor(x * 10000.0 + lit(0.5)).cast("long"))
+    val dim = size(col("q"))
+    val tri = flatten(transform(sequence(lit(0), dim - 1), i =>
+      transform(sequence(i, dim - 1), j =>
+        struct(i.cast("long").as("i"), j.cast("long").as("j"),
+          element_at(col("q"), i + 1).as("qi"),
+          element_at(col("q"), j + 1).as("qj")))))
+    val cells = s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .where(size(col("v")) > 0)
+      .withColumn("q", q)
+      .select(pmod(col("vec_id"), lit(2L)).as("half"), explode(tri).as("t"))
+    // per-half partials (map-side combined), then the MERGE: plain sums
+    val partial = cells.groupBy(col("half"), col("t.i").as("i"), col("t.j").as("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("t.qi")).as("s_i"), sum(col("t.qj")).as("s_j"),
+        sum(col("t.qi") * col("t.qj")).as("s_ij"))
+    partial.groupBy("i", "j").agg(
+        sum(when(col("half") === 0L, col("n")).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === 1L, col("n")).otherwise(0L)).as("n_b"),
+        sum("s_i").as("s_i"), sum("s_j").as("s_j"), sum("s_ij").as("s_ij"))
+      .withColumn("cov_num",
+        (col("n_a") + col("n_b")) * col("s_ij") - col("s_i") * col("s_j"))
+      .select(col("i"), col("j"), col("n_a"), col("n_b"),
+        col("s_i"), col("s_j"), col("s_ij"), col("cov_num"))
+      .orderBy("i", "j")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q182_cov_merge" -> q182_cov_merge,
     "q176_codebook_refresh" -> q176_codebook_refresh,
     "q36_knn_brute" -> q36_knn_brute,
     "q37_knn_ivf" -> q37_knn_ivf,
@@ -2022,9 +2070,32 @@ object Similarity {
        |$adcTailSql""".stripMargin
 
   val oracle: Map[String, String] = Map(
-    // ONE single-pass Lloyd step over the union (no split): equality
-    // with the Spark side's per-half-sums-then-merge build IS the
-    // additive-statistics merge law
+    // ONE single-pass recompute over the whole corpus (no split):
+    // equality with the Spark side's per-half-partials-then-merge IS
+    // the second-moment merge law (the q176/q151/q155 proof shape)
+    "q182_cov_merge" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id,
+         |         list_transform(CAST(embedding AS DOUBLE[]),
+         |           x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings WHERE len(embedding) > 0),
+         |e AS (
+         |  SELECT vec_id % 2 AS half,
+         |         unnest(flatten(list_transform(range(0, len(q)), i ->
+         |           list_transform(range(i, len(q)), j ->
+         |             {'i': i, 'j': j, 'qi': q[i + 1], 'qj': q[j + 1]})))) AS t
+         |  FROM qv),
+         |m AS (
+         |  SELECT t.i AS i, t.j AS j,
+         |         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |         CAST(sum(t.qi) AS BIGINT) AS s_i,
+         |         CAST(sum(t.qj) AS BIGINT) AS s_j,
+         |         CAST(sum(t.qi * t.qj) AS BIGINT) AS s_ij
+         |  FROM e GROUP BY 1, 2)
+         |SELECT i, j, n_a, n_b, s_i, s_j, s_ij,
+         |       (n_a + n_b) * s_ij - s_i * s_j AS cov_num
+         |FROM m ORDER BY i, j""".stripMargin,
     "q176_codebook_refresh" ->
       s"""WITH $vecsCte, $ivfCte,
          |mem AS (

@@ -181,7 +181,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     // is the same broadcast(stats) ride the q160 lexical arm pins)
     val fresh = Seq("q165_weighted_sample", "q166_cdc_chunk_dups",
       "q167_chunk_dup_docs", "q169_chunk_novelty", "q172_chunk_index_dups",
-      "q174_rate_anomaly", "q175_k_anonymity", "q180_exif_resize")
+      "q174_rate_anomaly", "q175_k_anonymity", "q180_exif_resize",
+      "q181_source_cap", "q182_cov_merge")
     val degraded = fresh.flatMap { name =>
       val p = plan(name)
       if (p.collect { case c: CartesianProductExec => c
