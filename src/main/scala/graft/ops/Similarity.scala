@@ -1680,7 +1680,13 @@ object Similarity {
     * the corpus (associative + commutative by integer addition).
     * Output: per (i ≤ j) cell, the half counts, merged first/second
     * moments, and the exact covariance numerator. */
-  val q182_cov_merge: Q = (s, d) => {
+  /** The per-vector upper-triangle moment cells of the q182 merge law —
+    * input (vec_id, v: array<double>), output one (half, i, j, qi, qj)
+    * row per cell, built entirely map-side (one flatten(transform)
+    * array, no self-join). Shared by the gated q182 and the streaming
+    * twin ([[graft.streaming.EventStream.covCellsStream]]) so in-stream
+    * moments can never drift from the gated definition. */
+  private[graft] def covCellsOf(vecs: DataFrame): DataFrame = {
     val q = transform(col("v"), x => floor(x * 10000.0 + lit(0.5)).cast("long"))
     val dim = size(col("q"))
     val tri = flatten(transform(sequence(lit(0), dim - 1), i =>
@@ -1688,26 +1694,32 @@ object Similarity {
         struct(i.cast("long").as("i"), j.cast("long").as("j"),
           element_at(col("q"), i + 1).as("qi"),
           element_at(col("q"), j + 1).as("qj")))))
-    val cells = s.read.parquet(s"$d/embeddings.parquet")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .where(size(col("v")) > 0)
+    vecs.where(size(col("v")) > 0)
       .withColumn("q", q)
       .select(pmod(col("vec_id"), lit(2L)).as("half"), explode(tri).as("t"))
-    // per-half partials (map-side combined), then the MERGE: plain sums
-    val partial = cells.groupBy(col("half"), col("t.i").as("i"), col("t.j").as("j"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("t.qi")).as("s_i"), sum(col("t.qj")).as("s_j"),
-        sum(col("t.qi") * col("t.qj")).as("s_ij"))
-    partial.groupBy("i", "j").agg(
-        sum(when(col("half") === 0L, col("n")).otherwise(0L)).as("n_a"),
-        sum(when(col("half") === 1L, col("n")).otherwise(0L)).as("n_b"),
-        sum("s_i").as("s_i"), sum("s_j").as("s_j"), sum("s_ij").as("s_ij"))
+      .select(col("half"), col("t.i").as("i"), col("t.j").as("j"),
+        col("t.qi").as("qi"), col("t.qj").as("qj"))
+  }
+
+  /** The merged moments over [[covCellsOf]] cells — ONE aggregation
+    * level (partials merge inside Spark's map-side combine, and the
+    * same frame runs as a streaming complete-mode aggregation, where
+    * chained aggregates are unsupported). */
+  private[graft] def covMoments(cells: DataFrame): DataFrame =
+    cells.groupBy("i", "j").agg(
+        sum(when(col("half") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum("qi").as("s_i"), sum("qj").as("s_j"),
+        sum(col("qi") * col("qj")).as("s_ij"))
       .withColumn("cov_num",
         (col("n_a") + col("n_b")) * col("s_ij") - col("s_i") * col("s_j"))
       .select(col("i"), col("j"), col("n_a"), col("n_b"),
         col("s_i"), col("s_j"), col("s_ij"), col("cov_num"))
       .orderBy("i", "j")
-  }
+
+  val q182_cov_merge: Q = (s, d) =>
+    covMoments(covCellsOf(s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))))
 
   val queries: Map[String, Q] = Map(
     "q182_cov_merge" -> q182_cov_merge,

@@ -38,6 +38,17 @@ case class SampleWinner(lang: String, upd: Long, rank: Long, doc_id: Long,
   w: Long, skey: Long)
 
 /** One typed event entering the streaming funnel ([[EventStream.funnelStream]]). */
+/** One arriving document of the source-cap stream (q181's twin). */
+case class CapDoc(source: String, doc_id: Long, score: Double, n_tok: Long)
+
+/** Per-source cap state: snapshot counter + the current best-`cap`
+  * (score desc, doc_id asc) kept tuples (score, doc_id, n_tok). */
+case class CapState(upd: Long, kept: Seq[(Double, Long, Long)])
+
+/** One kept doc of a source's numbered cap snapshot. */
+case class CapKeep(source: String, upd: Long, rank: Long, doc_id: Long,
+    score: Double, n_tok: Long)
+
 case class FunnelEv(user_id: Long, event_type: String, es: Long)
 
 /** Per-user funnel state: first-occurrence timestamp of each stage type. */
@@ -531,6 +542,54 @@ object EventStream {
           }.iterator
       }
   }
+
+  /** Streaming per-source cap — q181's stateful twin: documents
+    * arriving as (source, doc_id, score, n_tok) compete for their
+    * source's [[graft.ops.Curation.sourceCap]] slots by the SAME
+    * (score desc, doc_id asc) total order the gated q181 ranks with,
+    * and each source's state is its current best-`cap` list, merged
+    * per micro-batch and emitted as a numbered snapshot (a consumer
+    * keeps each source's max-`upd` set). Top-k by a deterministic
+    * total order is ORDER-INSENSITIVE — the bottom-k merge-law
+    * argument of [[weightedSampleStream]] — so any arrival split
+    * converges to the batch kept set, and a replayed doc is absorbed
+    * by the distinct. Unlike the weighted sampler there is no
+    * re-weighting hazard: the q42 score is a pure content function, so
+    * a doc's competing key can never change between arrivals. State
+    * per source is ≤ cap rows — O(1); keys partition by source via the
+    * groupByKey shuffle. */
+  def sourceCapStream(docs: DataFrame,
+      cap: Int = graft.ops.Curation.sourceCap.toInt): Dataset[CapKeep] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("source"), col("doc_id"), col("score"), col("n_tok"))
+      .as[CapDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[CapState, CapKeep](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (src: String, batch: Iterator[CapDoc], state: GroupState[CapState]) =>
+          val prev = state.getOption.getOrElse(CapState(0L, Seq.empty))
+          val merged = (prev.kept ++ batch.map(d => (d.score, d.doc_id, d.n_tok)))
+            .distinct
+            .sortBy(t => (-t._1, t._2)).take(cap)
+          val upd = prev.upd + 1
+          state.update(CapState(upd, merged))
+          merged.zipWithIndex.map { case ((sc, id, nt), i) =>
+            CapKeep(src, upd, i + 1L, id, sc, nt)
+          }.iterator
+      }
+  }
+
+  /** Streaming covariance moments — q182's twin: arriving embedding
+    * rows (vec_id, v) explode into the SAME map-side upper-triangle
+    * cells ([[graft.ops.Similarity.covCellsOf]] — one definition, zero
+    * drift) and the complete-mode aggregation keeps the merged
+    * first/second moments live. The state is d²/2 integer cells
+    * regardless of corpus size, and the q182 gate's merge law IS the
+    * convergence argument: the sums are associative/commutative
+    * integer additions, so any micro-batch split equals the batch
+    * moments (EventStreamSpec proves equality after every batch). */
+  def covCellsStream(vecs: DataFrame): DataFrame =
+    graft.ops.Similarity.covMoments(graft.ops.Similarity.covCellsOf(vecs))
 
   /** Streaming funnel — the stateful twin of batch q73's ordered
     * conversion funnel: per user, track the FIRST-occurrence timestamp

@@ -990,4 +990,81 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       assert(streamedCells() == batchCells(40)) // counters merged across batches
     } finally query.stop()
   }
+
+  test("sourceCapStream: final snapshots equal the gated q181 kept sets on a split ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, row_number, size}
+    import org.apache.spark.sql.expressions.Window
+    // the exact q181 scoring on the real corpus, streamed in two waves:
+    // top-k by the deterministic (score desc, doc_id) order is
+    // order-insensitive, so the final per-source snapshot must hold the
+    // batch kept set rank for rank
+    val d = "/root/testdata/sf0.001"
+    val scored = graft.ops.TextStats.withQuality(
+        graft.ops.TextCore.docShingles(spark, d))
+      .select(col("source"), col("doc_id"), col("score"),
+        size(col("words")).cast("long").as("n_tok"))
+      .localCheckpoint(true)
+    val cap = graft.ops.Curation.sourceCap
+    val w = Window.partitionBy("source").orderBy(col("score").desc, col("doc_id").asc)
+    val batchKept = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= cap)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"))).toSet
+    val rows = scored.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val (wave1, wave2) = rows.sortBy(_._2).splitAt(rows.length / 2)
+    val input = MemoryStream[(String, Long, Double, Long)]
+    val query = EventStream.sourceCapStream(
+        input.toDS().toDF("source", "doc_id", "score", "n_tok")).writeStream
+      .format("memory").queryName("scap").outputMode("append").start()
+    try {
+      input.addData(wave1.toSeq: _*)
+      query.processAllAvailable()
+      input.addData(wave2.toSeq: _*)
+      query.processAllAvailable()
+      val out = spark.table("scap").collect()
+      val latest = out.groupBy(_.getAs[String]("source")).toSeq.flatMap {
+        case (_, rs) =>
+          val maxUpd = rs.map(_.getAs[Long]("upd")).max
+          rs.filter(_.getAs[Long]("upd") == maxUpd).toSeq
+      }
+      val got = latest.map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("rank"), r.getAs[Long]("doc_id"))).toSet
+      assert(got == batchKept, "streamed final cap != batch kept set")
+    } finally query.stop()
+  }
+
+  test("covCellsStream: streamed moments equal the batch merge law after every batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // real embeddings streamed in two waves; the additive-integer merge
+    // law says the complete-mode snapshot equals a batch recompute over
+    // everything ingested so far, after EVERY micro-batch
+    val d = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val (wave1, wave2) = vecs.sortBy(_._1).splitAt(vecs.length / 2)
+    def batchMoments(rows: Seq[(Long, Seq[Double])]): Set[Seq[Long]] =
+      graft.ops.Similarity.covMoments(graft.ops.Similarity.covCellsOf(
+          rows.toDF("vec_id", "v")))
+        .collect().map(r => (0 until 8).map(r.getLong).toSeq).toSet
+    val input = MemoryStream[(Long, Seq[Double])]
+    val query = EventStream.covCellsStream(input.toDS().toDF("vec_id", "v"))
+      .writeStream.format("memory").queryName("cov_cells")
+      .outputMode("complete").start()
+    try {
+      def got() = spark.table("cov_cells").collect()
+        .map(r => (0 until 8).map(r.getLong).toSeq).toSet
+      input.addData(wave1.toSeq: _*)
+      query.processAllAvailable()
+      assert(got() == batchMoments(wave1.toSeq))
+      input.addData(wave2.toSeq: _*)
+      query.processAllAvailable()
+      assert(got() == batchMoments(vecs.toSeq))
+    } finally query.stop()
+  }
 }
