@@ -116,6 +116,9 @@ object Bench {
       "\"" + (if (short) k.takeWhile(_ != '_') else k) + "\":" + f
     }.mkString("{", ",", "}")
     val total = results.map { case (_, v, _, _, _, _, _) => math.max(v, 0.0) }.sum
+    // resolved before json() so the stdout "detail" pointer names the
+    // ACTUAL artifact path, not a hardcoded default (r13 review)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     // the override is visible in the artifact so round-over-round readers
     // know which medians carry 5 samples — listing only queries that
     // actually RAN (a BENCH_ONLY-filtered run must not claim overrides
@@ -137,13 +140,12 @@ object Bench {
       // any query count; "nq" + "detail" point readers at the committed
       // full artifact (BENCH_LOCAL_r{N}.json).
       val queries = if (short) "{}" else qsJson(short = false)
-      val detail = if (short) s""","nq":${results.size},"detail":"bench.json"""" else ""
+      val detail = if (short) s""","nq":${results.size},"detail":"$out"""" else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$queries,"errors":${errsJson(short)},"sf":"$sfDir","reps":$reps,"reps_overrides":${volJson(short)}$detail$split}"""
     }
     println(json(short = true))
     // the file artifact keeps FULL names and the per-query medians for
     // lossless round-over-round comparison (committed as BENCH_LOCAL_r{N})
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json(short = false) + "\n")
     spark.stop()
     // stderr note only — rc stays 0 so the driver still records the JSON;

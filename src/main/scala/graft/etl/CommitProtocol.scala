@@ -67,27 +67,36 @@ object RenameCommitProtocol extends CommitProtocol {
   * already claimed, and a target that exists always has its complete
   * body (the inode is fully written before it gains the visible name). */
 private[etl] object PosixAtomic {
-  /** Per-directory link(2) support, probed once (r12 advice): a
-    * transient I/O error (EIO, quota, EPERM-of-the-moment) on a
-    * link-capable filesystem must SURFACE, not silently downgrade the
-    * content-atomicity guarantee — only a directory whose own probe
-    * link fails is treated as link-less. */
+  /** Per-directory link(2) support (r12 advice): a transient I/O error
+    * (EIO, quota, EPERM-of-the-moment) on a link-capable filesystem
+    * must SURFACE, not silently downgrade the content-atomicity
+    * guarantee — only a directory whose own probe link fails is
+    * treated as link-less. Only the POSITIVE verdict is cached (r13
+    * review): a probe that fails during the same transient condition
+    * that tripped the caller must not pin "link-less" for the JVM's
+    * lifetime — the next call re-probes, so the degraded path persists
+    * only while the failure does. */
   private val linkSupport =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  private def linksSupported(dir: java.nio.file.Path): Boolean =
-    linkSupport.computeIfAbsent(dir.toString, _ => {
-      val probe = java.nio.file.Files.createTempFile(dir, ".linkprobe", ".tmp")
-      val lnk = probe.resolveSibling(probe.getFileName.toString + ".lnk")
-      try { java.nio.file.Files.createLink(lnk, probe); true }
-      catch {
-        case _: UnsupportedOperationException |
-             _: java.nio.file.FileSystemException => false
-      } finally {
-        java.nio.file.Files.deleteIfExists(lnk)
-        java.nio.file.Files.deleteIfExists(probe)
-      }
-    })
+  private def linksSupported(dir: java.nio.file.Path): Boolean = {
+    if (linkSupport.containsKey(dir.toString)) return true
+    val ok =
+      try {
+        val probe = java.nio.file.Files.createTempFile(dir, ".linkprobe", ".tmp")
+        val lnk = probe.resolveSibling(probe.getFileName.toString + ".lnk")
+        try { java.nio.file.Files.createLink(lnk, probe); true }
+        catch {
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException => false
+        } finally {
+          java.nio.file.Files.deleteIfExists(lnk)
+          java.nio.file.Files.deleteIfExists(probe)
+        }
+      } catch { case _: java.io.IOException => false }
+    if (ok) linkSupport.put(dir.toString, java.lang.Boolean.TRUE)
+    ok
+  }
 
   def createWithContent(target: java.nio.file.Path, payload: Array[Byte]): Boolean = {
     // link-less filesystem (FUSE object-store mount, VFAT): degrade to

@@ -103,21 +103,29 @@ object LsmIndex {
     * displaced copy is deleted last. Every step leaves a complete copy
     * of the data on disk: a crash before the swap loses only staging;
     * a crash between the renames leaves the full old artifact at
-    * `<path>.replaced` (recovery = rename it back); after, the new
+    * `<path>.replaced`, which the next [[compact]] restores as live
+    * BEFORE discarding leftovers (spec-pinned); after, the new
     * gen 0 is live. This replaces the old checkpoint-then-overwrite,
     * whose only copy lived in executor memory during the rewrite. On
     * the versioned warehouse this would commit as a snapshot instead. */
   def compact(s: SparkSession, layout: Layout)(
       fold: DataFrame => DataFrame = identity): Unit = {
+    val liveDir = new java.io.File(layout.path)
     val staging = new java.io.File(layout.path + ".compacting")
     val replaced = new java.io.File(layout.path + ".replaced")
+    // crash-window RECOVERY before any cleanup (the r13 review fix: a
+    // predecessor that died between its two renames left the only copy
+    // at .replaced — deleting it here would destroy the artifact):
+    // restore it as live, THEN discard leftovers
+    if (!liveDir.exists() && replaced.exists())
+      java.nio.file.Files.move(replaced.toPath, liveDir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     Compact.deleteRecursively(staging)
     Compact.deleteRecursively(replaced)
     write(fold(read(s, layout)), layout.copy(path = staging.toString))
-    val live = java.nio.file.Paths.get(layout.path)
-    java.nio.file.Files.move(live, replaced.toPath,
+    java.nio.file.Files.move(liveDir.toPath, replaced.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    java.nio.file.Files.move(staging.toPath, live,
+    java.nio.file.Files.move(staging.toPath, liveDir.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     Compact.deleteRecursively(replaced)
   }

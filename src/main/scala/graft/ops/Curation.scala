@@ -548,6 +548,22 @@ object Curation {
     * (per-(stratum, hash-prefix-bucket) windows + driver-cumulated
     * bucket offsets), the assignment join is the q53 bucketed id
     * equi-join, and the ranked frame is session-memoized. */
+  /** sqrt-temperature TOKEN targets over (lang, n_tokens) stratum
+    * counts: deterministic-fold denominator (sort_array so the double
+    * summation order is pinned — load-bearing for the oracles) and the
+    * floor(p·budget + 0.5) allocation. ONE definition shared by q178
+    * and q179 (r13 review: the fold order must not fork). */
+  private def sqrtTokenTargets(counts: DataFrame, budget: Long): DataFrame = {
+    val denom = counts
+      .agg(sort_array(collect_list(struct(col("lang"), col("n_tokens")))).as("arr"))
+      .select(aggregate(col("arr"), lit(0.0),
+        (acc, x) => acc + sqrt(x.getField("n_tokens").cast("double"))).as("dn"))
+    val p = sqrt(col("n_tokens").cast("double")) / col("dn")
+    counts.crossJoin(broadcast(denom))
+      .select(col("lang"),
+        floor(p * budget + lit(0.5)).cast("long").as("target_tokens"))
+  }
+
   val q178_cluster_mix: Q = (s, d) => {
     val budget = 100000L
     val cdocs = graft.SessionMemo(s, d, "mix:clusterDocs")(
@@ -562,14 +578,7 @@ object Curation {
       rankedCum(cdocs))(identity)
     val counts = cdocs.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
-    val denom = counts
-      .agg(sort_array(collect_list(struct(col("lang"), col("n_tokens")))).as("arr"))
-      .select(aggregate(col("arr"), lit(0.0),
-        (acc, x) => acc + sqrt(x.getField("n_tokens").cast("double"))).as("dn"))
-    val p = sqrt(col("n_tokens").cast("double")) / col("dn")
-    val targets = counts.crossJoin(broadcast(denom))
-      .select(col("lang"),
-        floor(p * budget + lit(0.5)).cast("long").as("target_tokens"))
+    val targets = sqrtTokenTargets(counts, budget)
     budgetFilter(ranked, targets)
       .groupBy("lang", "target_tokens").agg(
         count(lit(1)).as("n_docs_sel"),
@@ -617,15 +626,7 @@ object Curation {
     val ranked = graft.SessionMemo(s, d, "mix:epochRanked")(
       rankedCum(cdocs))(identity)
     val counts = cdocs.groupBy("lang").agg(sum("n_tokens").as("n_tokens"))
-    // deterministic fold order for the double summation (the q178 rule)
-    val denom = counts
-      .agg(sort_array(collect_list(struct(col("lang"), col("n_tokens")))).as("arr"))
-      .select(aggregate(col("arr"), lit(0.0),
-        (acc, x) => acc + sqrt(x.getField("n_tokens").cast("double"))).as("dn"))
-    val p = sqrt(col("n_tokens").cast("double")) / col("dn")
-    val targets = counts.crossJoin(broadcast(denom))
-      .select(col("lang"),
-        floor(p * budget + lit(0.5)).cast("long").as("target_tokens"))
+    val targets = sqrtTokenTargets(counts, budget)
     budgetFilter(ranked, targets)
       .groupBy("lang", "target_tokens").agg(
         count(lit(1)).as("n_docs_sel"),
@@ -787,8 +788,6 @@ object Curation {
          |         AS len_bucket_out,
          |       level
          |FROM lv ORDER BY doc_id""".stripMargin,
-    // every draw replayed: the same md5("doc_id:j") uniforms, the same
-    // min-of-w key, the same bottom-k per language
     // the same per-source quality ranking, cap, cut line and digest
     "q181_source_cap" -> withDocs(
       s""", ${TextStats.qualCte},
@@ -807,6 +806,8 @@ object Curation {
          |                           THEN CAST(doc_id AS VARCHAR) END,
          |                      ',' ORDER BY doc_id)) AS kept_md5
          |FROM r GROUP BY source ORDER BY source""".stripMargin),
+    // every draw replayed: the same md5("doc_id:j") uniforms, the same
+    // min-of-w key, the same bottom-k per language
     "q165_weighted_sample" -> withDocs(
       s""", ${TextStats.qualCte},
          |wt AS (

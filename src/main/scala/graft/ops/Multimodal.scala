@@ -98,11 +98,17 @@ object Multimodal {
       hex(media.substr(lit(21), lit(4))) === "6864726C" && // "hdrl"
       hex(media.substr(lit(25), lit(4))) === "61766968" // "avih"
     // exact integer division: subtract the remainder first so the
-    // double division is of an exact multiple (us·frames < 2^53 for
-    // any real AVI — column `/` is double division, there is no
-    // Column-level div)
+    // double division is of an exact multiple — valid only below 2^53,
+    // so magic-spoofing junk whose u32 fields multiply past it (r13
+    // review: 0xFFFFFFFF² wraps int64 AND breaks double exactness) is
+    // rejected as malformed like any other corrupt header. The bound
+    // is checked in double (exact enough for a threshold; the integer
+    // product itself would already have wrapped). Real AVIs sit orders
+    // of magnitude below it.
     val prod = u32le(media, 33) * u32le(media, 49)
-    when(isAvi, struct(lit("avi").as("fmt"),
+    val prodInRange = u32le(media, 33).cast("double") *
+      u32le(media, 49).cast("double") < 9.0e15
+    when(isAvi && prodInRange, struct(lit("avi").as("fmt"),
       u32le(media, 33).as("us_per_frame"),
       u32le(media, 49).as("n_frames"),
       ((prod - pmod(prod, lit(1000L))) / lit(1000L)).cast("long")

@@ -1666,9 +1666,12 @@ object Similarity {
     * a gated MERGE LAW — the sketch-family merge-law discipline (CMS/
     * HLL/histogram/Bloom/Lloyd) applied to the statistic PCA and
     * whitening start from. Components are fixed-point quantized at 10⁴
-    * (the Lloyd integer-sums convention, scaled down so every product
-    * and the covariance numerator n·s_ij − s_i·s_j stay far inside
-    * int64 — headroom to |x| ≤ 100 at 10⁶ vectors), the upper-triangle
+    * (the Lloyd integer-sums convention, scaled down for headroom:
+    * with |x| ≤ 1 the raw moment sums stay exact past 10¹⁰ vectors;
+    * the derived numerator n·s_ij − s_i·s_j is n²-shaped and exact to
+    * n ≈ 3·10⁵ — beyond that a deployment derives covariance from the
+    * moments in decimal on the driver, because the CELLS are the
+    * mergeable artifact and they are what scales), the upper-triangle
     * products are built MAP-SIDE per vector (one flatten(transform)
     * array, no self-join, no explode-then-join), and the corpus is
     * split into vec_id-parity halves whose per-(i,j) partial sums merge

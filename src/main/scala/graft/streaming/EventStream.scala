@@ -501,11 +501,14 @@ object EventStream {
     * would leave a stale better key in state, and bottom-k state is
     * lossy (a previously discarded doc that the lowering should promote
     * is gone), so no O(k)-state stream can honor weight decreases. The
-    * detectable half is ENFORCED: an arrival that lowers the weight of
-    * a doc currently in the winner list throws rather than silently
-    * diverging from the gated q165 batch sample; decreases on
-    * already-discarded docs are below the state's resolution and remain
-    * the caller's contract. */
+    * contract is DOCUMENTED, not runtime-enforced, because it cannot
+    * be: under at-least-once delivery a redelivered PRE-raise record
+    * (doc held at w=3, source replays its old w=2 arrival) is
+    * byte-identical to a genuine lowering, and the redelivery is both
+    * legal and harmless — the monotone key makes min-merge absorb it
+    * exactly (the r13 review killed an earlier throw here for exactly
+    * that false positive). A caller that genuinely lowers weights must
+    * rebuild the snapshot from the batch q165 instead. */
   def weightedSampleStream(docs: DataFrame,
       k: Int = graft.ops.Curation.sampleK): Dataset[SampleWinner] = {
     import docs.sparkSession.implicits._
@@ -518,19 +521,11 @@ object EventStream {
         (lang: String, batch: Iterator[SampleDoc], state: GroupState[SampleState]) =>
           val prev = state.getOption.getOrElse(SampleState(0L, Seq.empty))
           val arrivals = batch.map(d => (d.skey, d.doc_id, d.w)).toSeq
-          // the detectable half of the non-decreasing-weights contract
-          // (see scaladoc): an arrival lowering a current winner's
-          // weight would silently pin its stale (better) draw key
-          val held = prev.winners.map(t => t._2 -> t._3).toMap
-          arrivals.find(a => held.get(a._2).exists(_ > a._3)).foreach { a =>
-            throw new IllegalStateException(
-              s"weightedSampleStream: doc ${a._2} ($lang) arrived with " +
-                s"w=${a._3} below its held weight ${held(a._2)} — per-doc " +
-                "weights must be non-decreasing (q165 parity contract)")
-          }
           // collapse per doc_id FIRST: a re-weighted doc (the
           // weightedDrawKey monotone-in-w scenario) must hold ONE slot
-          // with its best key, never occupy two ranks
+          // with its best key, never occupy two ranks — and a stale
+          // redelivered pre-raise record loses the minBy and vanishes
+          // (see the API-contract scaladoc)
           val merged = (prev.winners ++ arrivals)
             .groupBy(_._2).valuesIterator
             .map(_.minBy(t => (t._1, -t._3))).toSeq

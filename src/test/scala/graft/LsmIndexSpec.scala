@@ -57,6 +57,29 @@ class LsmIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(!stale.exists())
   }
 
+  test("compact recovers the artifact from the between-renames crash window") {
+    import spark.implicits._
+    val (out, l) = layout(bucketed = false)
+    LsmIndex.write(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), l)
+    LsmIndex.append(Seq((3L, 30L)).toDF("k", "v"), l, gen = 1L)
+    val before = rowsOf(l)
+    // simulate a predecessor that died between its two renames: live is
+    // gone, the only copy sits at <path>.replaced (plus stale staging) —
+    // the r13 review case where cleanup-before-recovery destroyed it
+    java.nio.file.Files.move(
+      new java.io.File(out).toPath,
+      new java.io.File(out + ".replaced").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val stale = new java.io.File(out + ".compacting")
+    stale.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(stale, "junk.txt").toPath, "half-written staging")
+    LsmIndex.compact(spark, l)()
+    assert(rowsOf(l) == before)
+    assert(!new java.io.File(out + ".compacting").exists())
+    assert(!new java.io.File(out + ".replaced").exists())
+  }
+
   test("a fold that merges rows is applied exactly once per compaction") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
