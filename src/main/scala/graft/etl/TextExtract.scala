@@ -158,12 +158,61 @@ object TextExtract {
       .orderBy("source")
   }
 
+  /** q185 (A1 + A18 for a semi-structured source): JSONL ingest with
+    * PERMISSIVE corrupt-record quarantine. The build phase materializes
+    * the documents table as a JSON-lines feed (once per session) and
+    * plants a shard of 7 deterministically truncated records — the
+    * malformed-producer case every large-scale JSON ingest meets. The
+    * read declares the parquet schema plus a `_bad` corrupt-record
+    * column; rows Jackson cannot parse land in `_bad` VERBATIM instead
+    * of killing the job (FAILFAST) or vanishing (DROPMALFORMED), and are
+    * counted into a `_quarantined` bucket next to the per-lang good
+    * counts — the q47 split at the source-format layer. Scale shape:
+    * the JSON scan is a distributed line-split read; the quarantine
+    * predicate is map-side; one narrow groupBy on the bucket key. The
+    * oracle recomputes good counts from the parquet truth and pins the
+    * quarantine count at exactly the planted 7. */
+  val q185_jsonl_quarantine: Q = (s, d) => {
+    val scratch = graft.etl.StarBuilder.scratchDir(s, d, "jsonl")
+    graft.BuildPhase.timed {
+      graft.SessionMemo.once(s, d, "jsonl:feed") {
+        s.read.parquet(s"$d/documents.parquet")
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(4)
+          .write.mode("overwrite").json(scratch)
+        val badLines = (0 until 7).map(i =>
+          s"""{"doc_id": ${-1 - i}, "lang": "xx", "text": "trunc""")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(scratch, "part-corrupt.json"),
+          badLines.mkString("\n").getBytes("UTF-8"))
+      }
+    }
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+      .add("_bad", org.apache.spark.sql.types.StringType)
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(scratch)
+      .groupBy(when(col("_bad").isNotNull, lit("_quarantined"))
+        .otherwise(col("lang")).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "q45_extract_rows" -> q45_extract_rows,
     "q46_extract_header" -> q46_extract_header,
-    "q47_quarantine" -> q47_quarantine)
+    "q47_quarantine" -> q47_quarantine,
+    "q185_jsonl_quarantine" -> q185_jsonl_quarantine)
 
   val oracle: Map[String, String] = Map(
+    // good rows = the parquet truth per lang; quarantine = the planted 7
+    "q185_jsonl_quarantine" ->
+      """SELECT lang AS bucket, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM documents GROUP BY lang
+        |UNION ALL
+        |SELECT '_quarantined' AS bucket, CAST(7 AS BIGINT) AS n_rows
+        |ORDER BY bucket""".stripMargin,
     "q45_extract_rows" -> withDocs(
       """SELECT doc_id,
         |       CAST(generate_subscripts(m, 1) AS BIGINT) AS pos,

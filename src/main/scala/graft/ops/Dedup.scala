@@ -1236,7 +1236,58 @@ object Dedup {
         col("n_chunks_base"), col("n_chunks_new"), col("n_new_dups"))
   }
 
+  /** Blocked fuzzy name-pair generation — the record-linkage /
+    * entity-resolution rung of the dedup family, at the CATALOG-NAME
+    * grain (part names, customer names) rather than the document grain
+    * q31–q34 cover. Candidate pairs come from equi-joining a bounded
+    * blocking key (here the name's noun token), never from a cartesian
+    * product: within a block every distinct-name pair is scored with
+    * `levenshtein`, and pairs at edit distance ≤ `maxDist` survive.
+    *
+    * Input contract: `names` has one row per DISTINCT name with columns
+    * (name, block, canon_id, n_rows) — the caller's corpus-sized
+    * distinct aggregation is the only full-data pass; this join touches
+    * vocabulary-sized frames only. `name_a < name_b` makes each
+    * unordered pair appear exactly once.
+    *
+    * Honest-recall caveat (DedupSpec pins both sides): a typo INSIDE
+    * the blocking token lands in a different block and is never scored —
+    * the standard blocking trade. Multi-pass blocking (add a second
+    * pass keyed on the adjective token) is the scale-path fix; the
+    * gated single-pass keeps the oracle replayable in one SQL join. */
+  private[graft] def fuzzyNamePairs(names: DataFrame, maxDist: Int): DataFrame = {
+    val a = names.select(col("block"),
+      col("name").as("name_a"), col("n_rows").as("n_a"))
+    val b = names.select(col("block"),
+      col("name").as("name_b"), col("n_rows").as("n_b"))
+    a.join(b, Seq("block"))
+      .where(col("name_a") < col("name_b"))
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("n_a"), col("n_b"))
+  }
+
+  /** q183: fuzzy entity resolution over the part catalog — near-identical
+    * product names ("old rod" / "cold rod") found by [[fuzzyNamePairs]]
+    * with the noun token as the blocking key and edit distance ≤ 2.
+    * One corpus pass (the distinct-name count aggregation, shuffling
+    * only the name column); the pair join is vocabulary² bounded per
+    * block — at 100 TB the block table is catalog-sized (thousands of
+    * rows), so the quadratic step never touches the corpus. The oracle
+    * replays the same block + levenshtein join in DuckDB. */
+  val q183_fuzzy_entity: Q = (s, d) => {
+    val names = s.read.parquet(s"$d/part.parquet")
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("block", element_at(split(col("name"), " "), 2))
+    fuzzyNamePairs(names, maxDist = 2)
+      .orderBy("name_a", "name_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q183_fuzzy_entity" -> q183_fuzzy_entity,
     "q166_cdc_chunk_dups" -> q166_cdc_chunk_dups,
     "q167_chunk_dup_docs" -> q167_chunk_dup_docs,
     "q169_chunk_novelty" -> q169_chunk_novelty,
@@ -1464,6 +1515,18 @@ object Dedup {
        |ORDER BY n_occ DESC, chunk_md5 ASC""".stripMargin)
 
   val oracle: Map[String, String] = Map(
+    // same distinct-name counts, same noun block, same levenshtein join
+    "q183_fuzzy_entity" ->
+      """WITH names AS (
+        |  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_rows,
+        |         split_part(p_name, ' ', 2) AS block
+        |  FROM part GROUP BY p_name)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        |       a.n_rows AS n_a, b.n_rows AS n_b
+        |FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
     "q166_cdc_chunk_dups" -> cdcDupsOracle,
     "q172_chunk_index_dups" -> cdcDupsOracle,
     // the five staleness counters recomputed from raw documents with

@@ -283,7 +283,46 @@ object Events {
       .orderBy("event_type", "hr")
   }
 
+  /** q186: EWMA-smoothed daily event rate per type — the trend baseline
+    * an operator reads next to q174's spike flags (a 2σ test over the
+    * WHOLE history goes blind under drift; the EWMA tracks the local
+    * level). α = 1/4 in pure integer algebra at scale S = 4096:
+    * e₀ = c₀·S, eₜ = (cₜ·S + 3·eₜ₋₁) div 4 — no float anywhere, so the
+    * fold is exactly replayable cross-engine. The `burst` flag marks
+    * days at more than 2× the smoothed level (cₜ·S > 2·eₜ, same
+    * integers).
+    *
+    * Scale shape: the corpus collapses to (type, day) counts in one
+    * narrow aggregation; the sequential fold runs per type over the
+    * CALENDAR-sized day series (a `sort_array` + `aggregate` HOF over a
+    * collected array bounded by days-in-feed, never by corpus — the
+    * q136-family bounded-collect convention). The oracle replays the
+    * recurrence with a recursive CTE over row-numbered days. */
+  val q186_ewma_rate: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    daily
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("ds"))
+      .withColumn("sm", expr(
+        """aggregate(ds,
+          |  CAST(array() AS ARRAY<STRUCT<day: BIGINT, cnt: BIGINT, ewma_s: BIGINT>>),
+          |  (acc, x) -> array_append(acc, named_struct(
+          |    'day', x.day, 'cnt', x.cnt,
+          |    'ewma_s', CASE WHEN size(acc) = 0 THEN x.cnt * 4096L
+          |      ELSE (x.cnt * 4096L + 3L * element_at(acc, -1).ewma_s) div 4L
+          |      END)))""".stripMargin))
+      .select(col("event_type"), explode(col("sm")).as("r"))
+      .select(col("event_type"), col("r.day").as("day"),
+        col("r.cnt").as("cnt"), col("r.ewma_s").as("ewma_s"))
+      .withColumn("burst",
+        when(col("cnt") * 4096L > lit(2L) * col("ewma_s"), 1L).otherwise(0L))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q186_ewma_rate" -> q186_ewma_rate,
     "q174_rate_anomaly" -> q174_rate_anomaly,
     "q50_event_windows" -> q50_event_windows,
     "q51_sessionize" -> q51_sessionize,
@@ -295,6 +334,32 @@ object Events {
     "q93_hll_users" -> q93_hll_users)
 
   val oracle: Map[String, String] = Map(
+    // same daily counts, same integer α=1/4 recurrence over row-numbered
+    // days, same 2× burst fence — positive integers, so Spark's div
+    // (truncate) and DuckDB's // (floor) agree
+    "q186_ewma_rate" ->
+      """WITH RECURSIVE dly AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, day, cnt,
+        |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |           AS BIGINT) AS rn
+        |  FROM dly),
+        |ew AS (
+        |  SELECT event_type, day, cnt, rn, cnt * 4096 AS ewma_s
+        |  FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.event_type, i.day, i.cnt, i.rn,
+        |         (i.cnt * 4096 + 3 * e.ewma_s) // 4
+        |  FROM idx i JOIN ew e
+        |    ON i.event_type = e.event_type AND i.rn = e.rn + 1)
+        |SELECT event_type, day, cnt, ewma_s,
+        |       CAST(CASE WHEN cnt * 4096 > 2 * ewma_s THEN 1 ELSE 0 END
+        |         AS BIGINT) AS burst
+        |FROM ew ORDER BY event_type, day""".stripMargin,
     // same hourly counts, same integer 2-sigma algebra, same one-sqrt z
     "q174_rate_anomaly" ->
       s"""WITH h AS (

@@ -202,4 +202,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val bound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(n.toLong))
     assert(rounds <= bound, s"took $rounds rounds, bound is $bound (≈2·log2($n))")
   }
+
+  test("fuzzyNamePairs: planted typo found within its block, cross-block typo honestly missed") {
+    import spark.implicits._
+    // (name, block, n_rows): two near names sharing the noun block, one
+    // typo'd INSIDE the blocking token (lands in block "widgit" — the
+    // documented blocking miss), one far name in the shared block.
+    val names = Seq(
+      ("blue widget", "widget", 3L),
+      ("blu widget", "widget", 1L),   // dist 1 from "blue widget"
+      ("large widget", "widget", 2L), // dist > 2 from both blues
+      ("blue widgit", "widgit", 1L))  // typo in the block key itself
+      .toDF("name", "block", "n_rows")
+    val got = Dedup.fuzzyNamePairs(names, maxDist = 2).collect()
+      .map(r => (r.getAs[String]("name_a"), r.getAs[String]("name_b"), r.getAs[Long]("dist")))
+    assert(got.toSeq == Seq(("blu widget", "blue widget", 1L)),
+      s"expected exactly the in-block near pair, got ${got.toSeq}")
+    // the cross-block near-duplicate ("blue widget"/"blue widgit", dist 1)
+    // is NOT in the result — the blocking trade the scaladoc documents
+    assert(!got.exists(p => p._1 == "blue widget" && p._2 == "blue widgit"))
+  }
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.apache.spark.sql.functions._
+import graft.ops.Robust
+
+/** Robust-stats family (q184) + the q186 integer-EWMA fold: the
+  * histogram-median machinery against a driver-side sorted-sequence
+  * reference, the MAD fence's outlier immunity, and the HOF fold against
+  * the scalar recurrence. */
+class RobustSpec extends AnyFunSuite with SparkTestBase {
+
+  private def lowerMedian(xs: Seq[Long]): Long = {
+    val s = xs.sorted
+    s(((s.size + 1) / 2) - 1)
+  }
+
+  test("histMedian equals the sorted-sequence lower median on random multisets") {
+    import spark.implicits._
+    val groups = Gen.listOfN(6, Gen.nonEmptyListOf(Gen.chooseNum(-50L, 50L))).sample.get
+    val rows = groups.zipWithIndex.flatMap { case (vs, g) => vs.map(v => (s"g$g", v)) }
+    val hist = rows.toDF("group", "v")
+      .groupBy("group", "v").agg(count(lit(1)).as("cnt"))
+    val got = Robust.histMedian(hist).collect()
+      .map(r => r.getAs[String]("group") ->
+        (r.getAs[Long]("med"), r.getAs[Long]("n"))).toMap
+    groups.zipWithIndex.foreach { case (vs, g) =>
+      assert(got(s"g$g") == ((lowerMedian(vs.map(_.toLong)), vs.size.toLong)),
+        s"group g$g: vs=${vs.sorted}")
+    }
+  }
+
+  test("MAD fence is outlier-immune: a planted extreme moves the flag count, not the fence") {
+    import spark.implicits._
+    // 99 well-behaved values + 1 extreme: median and MAD must be what the
+    // 99 alone produce (the extreme can't drag its own fence), and exactly
+    // the extreme sits outside 3×MAD. A mean/σ fence fails both halves.
+    val base = (1 to 99).map(i => 1000L + (i % 7))
+    val all = base :+ 999999L
+    val hist = all.map(v => ("g", v)).toDF("group", "v")
+      .groupBy("group", "v").agg(count(lit(1)).as("cnt"))
+    val med = Robust.histMedian(hist).collect().head.getAs[Long]("med")
+    assert(med == lowerMedian(all)) // = lowerMedian(base ± rank shift): still ~1000
+    assert(math.abs(med - 1003L) <= 3)
+    val adHist = all.map(v => ("g", math.abs(v - med))).toDF("group", "v")
+      .groupBy("group", "v").agg(count(lit(1)).as("cnt"))
+    val mad = Robust.histMedian(adHist).collect().head.getAs[Long]("med")
+    assert(mad <= 3, s"MAD must reflect the tight base spread, got $mad")
+    val out = all.count(v => math.abs(v - med) > 3 * mad)
+    assert(out == 1, s"exactly the planted extreme outside the fence, got $out")
+  }
+
+  test("q186 EWMA HOF fold equals the scalar integer recurrence") {
+    import spark.implicits._
+    val cnts = Gen.listOfN(40, Gen.chooseNum(0L, 5000L)).sample.get
+    // scalar reference: e0 = c0*4096, e_t = (c_t*4096 + 3*e_{t-1}) div 4
+    val expect = cnts.tail.scanLeft(cnts.head * 4096L)((e, c) => (c * 4096L + 3L * e) / 4L)
+    // feed the fold through the same expression the query uses, via a
+    // synthetic daily table (bypasses the events() reader on purpose —
+    // this pins the FOLD, the reader has its own spec)
+    val daily = cnts.zipWithIndex.map { case (c, i) => ("tick", i.toLong, c) }
+      .toDF("event_type", "day", "cnt")
+    val got = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("ds"))
+      .withColumn("sm", expr(
+        """aggregate(ds,
+          |  CAST(array() AS ARRAY<STRUCT<day: BIGINT, cnt: BIGINT, ewma_s: BIGINT>>),
+          |  (acc, x) -> array_append(acc, named_struct(
+          |    'day', x.day, 'cnt', x.cnt,
+          |    'ewma_s', CASE WHEN size(acc) = 0 THEN x.cnt * 4096L
+          |      ELSE (x.cnt * 4096L + 3L * element_at(acc, -1).ewma_s) div 4L
+          |      END)))""".stripMargin))
+      .select(explode(col("sm")).as("r"))
+      .select(col("r.day"), col("r.ewma_s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).map(_._2).toSeq
+    assert(got == expect)
+  }
+}
