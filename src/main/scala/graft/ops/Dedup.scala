@@ -1286,8 +1286,42 @@ object Dedup {
       .orderBy("name_a", "name_b")
   }
 
+  /** q187: entity CANONICALIZATION — q183's fuzzy pairs closed into
+    * equivalence classes by [[connectedComponents]] (the same
+    * large-star/small-star engine behind q61, so transitive chains
+    * "blu widget" ~ "blue widget" ~ "bluee widget" collapse into ONE
+    * entity even when the endpoints are > maxDist apart). Per entity:
+    * the min-id canonical key, the lexicographically-first member name
+    * as the display representative, member-name count, and total
+    * underlying rows. Names without any fuzzy neighbor are their own
+    * singleton entity (left join + coalesce, not dropped). Scale shape:
+    * everything after the one corpus-sized distinct-name aggregation
+    * runs on vocabulary-sized frames; the component engine is the
+    * O(log n)-round implementation DedupSpec pins. The oracle replays
+    * pairs + transitive closure with a recursive CTE. */
+  lazy val q187_entity_canon: Q = (s, d) => {
+    val names = s.read.parquet(s"$d/part.parquet")
+      .groupBy(col("p_name").as("name"))
+      .agg(min("p_partkey").as("nid"), count(lit(1)).as("n_rows"))
+      .withColumn("block", element_at(split(col("name"), " "), 2))
+      .localCheckpoint(true) // vocabulary-sized; read three times below
+    val ids = names.select(col("name"), col("nid"))
+    val edges = fuzzyNamePairs(names, maxDist = 2)
+      .join(ids.select(col("name").as("name_a"), col("nid").as("id_a")), "name_a")
+      .join(ids.select(col("name").as("name_b"), col("nid").as("id_b")), "name_b")
+      .select(col("id_a"), col("id_b"))
+    val labels = connectedComponents(edges)
+    names.join(labels, names("nid") === labels("node"), "left")
+      .withColumn("entity", coalesce(col("label"), col("nid")))
+      .groupBy("entity")
+      .agg(min("name").as("rep_name"), count(lit(1)).as("n_names"),
+        sum("n_rows").as("n_rows_total"))
+      .orderBy("entity")
+  }
+
   val queries: Map[String, Q] = Map(
     "q183_fuzzy_entity" -> q183_fuzzy_entity,
+    "q187_entity_canon" -> q187_entity_canon,
     "q166_cdc_chunk_dups" -> q166_cdc_chunk_dups,
     "q167_chunk_dup_docs" -> q167_chunk_dup_docs,
     "q169_chunk_novelty" -> q169_chunk_novelty,
@@ -1515,6 +1549,34 @@ object Dedup {
        |ORDER BY n_occ DESC, chunk_md5 ASC""".stripMargin)
 
   val oracle: Map[String, String] = Map(
+    // q183's pair join + transitive closure + singleton preservation
+    "q187_entity_canon" ->
+      """WITH RECURSIVE names AS (
+        |  SELECT p_name AS name, min(p_partkey) AS nid,
+        |         CAST(count(*) AS BIGINT) AS n_rows,
+        |         split_part(p_name, ' ', 2) AS block
+        |  FROM part GROUP BY p_name),
+        |pr AS (
+        |  SELECT a.nid AS ida, b.nid AS idb
+        |  FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
+        |  WHERE levenshtein(a.name, b.name) <= 2),
+        |edges AS (
+        |  SELECT ida AS src, idb AS dst FROM pr
+        |  UNION SELECT idb, ida FROM pr),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lab AS (
+        |  SELECT src AS nid, least(src, min(dst)) AS entity
+        |  FROM reach GROUP BY src),
+        |memb AS (
+        |  SELECT n.name, n.n_rows, coalesce(l.entity, n.nid) AS entity
+        |  FROM names n LEFT JOIN lab l ON n.nid = l.nid)
+        |SELECT CAST(entity AS BIGINT) AS entity, min(name) AS rep_name,
+        |       CAST(count(*) AS BIGINT) AS n_names,
+        |       CAST(sum(n_rows) AS BIGINT) AS n_rows_total
+        |FROM memb GROUP BY entity ORDER BY entity""".stripMargin,
     // same distinct-name counts, same noun block, same levenshtein join
     "q183_fuzzy_entity" ->
       """WITH names AS (

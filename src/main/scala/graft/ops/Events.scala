@@ -298,6 +298,16 @@ object Events {
     * collected array bounded by days-in-feed, never by corpus — the
     * q136-family bounded-collect convention). The oracle replays the
     * recurrence with a recursive CTE over row-numbered days. */
+  /** The q186 recurrence constants and step, in ONE place so the batch
+    * HOF fold (string below, RobustSpec-pinned against [[ewmaNext]]'s
+    * scalar form) and the streaming twin
+    * ([[graft.streaming.EventStream.ewmaStream]]) cannot drift. */
+  private[graft] val ewmaScale = 4096L
+  private[graft] def ewmaNext(prev: Long, cnt: Long): Long =
+    (cnt * ewmaScale + 3L * prev) / 4L
+  private[graft] def ewmaBurst(cnt: Long, ewma: Long): Boolean =
+    cnt * ewmaScale > 2L * ewma
+
   val q186_ewma_rate: Q = (s, d) => {
     val daily = events(s, d)
       .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
@@ -306,18 +316,18 @@ object Events {
       .groupBy("event_type")
       .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("ds"))
       .withColumn("sm", expr(
-        """aggregate(ds,
-          |  CAST(array() AS ARRAY<STRUCT<day: BIGINT, cnt: BIGINT, ewma_s: BIGINT>>),
-          |  (acc, x) -> array_append(acc, named_struct(
-          |    'day', x.day, 'cnt', x.cnt,
-          |    'ewma_s', CASE WHEN size(acc) = 0 THEN x.cnt * 4096L
-          |      ELSE (x.cnt * 4096L + 3L * element_at(acc, -1).ewma_s) div 4L
-          |      END)))""".stripMargin))
+        s"""aggregate(ds,
+           |  CAST(array() AS ARRAY<STRUCT<day: BIGINT, cnt: BIGINT, ewma_s: BIGINT>>),
+           |  (acc, x) -> array_append(acc, named_struct(
+           |    'day', x.day, 'cnt', x.cnt,
+           |    'ewma_s', CASE WHEN size(acc) = 0 THEN x.cnt * ${ewmaScale}L
+           |      ELSE (x.cnt * ${ewmaScale}L + 3L * element_at(acc, -1).ewma_s) div 4L
+           |      END)))""".stripMargin))
       .select(col("event_type"), explode(col("sm")).as("r"))
       .select(col("event_type"), col("r.day").as("day"),
         col("r.cnt").as("cnt"), col("r.ewma_s").as("ewma_s"))
       .withColumn("burst",
-        when(col("cnt") * 4096L > lit(2L) * col("ewma_s"), 1L).otherwise(0L))
+        when(col("cnt") * ewmaScale > lit(2L) * col("ewma_s"), 1L).otherwise(0L))
       .orderBy("event_type", "day")
   }
 

@@ -49,6 +49,17 @@ case class CapState(upd: Long, kept: Seq[(Double, Long, Long)])
 case class CapKeep(source: String, upd: Long, rank: Long, doc_id: Long,
     score: Double, n_tok: Long)
 
+/** One (type, day) count of the daily-rate feed ([[EventStream.ewmaStream]]). */
+case class DayCount(event_type: String, day: Long, cnt: Long)
+
+/** Per-type EWMA state: the last day folded and its smoothed level. */
+case class EwmaState(lastDay: Long, ewma: Long)
+
+/** One smoothed point of the q186 twin — identical columns to the batch
+  * query's output rows. */
+case class EwmaPoint(event_type: String, day: Long, cnt: Long, ewma_s: Long,
+    burst: Long)
+
 case class FunnelEv(user_id: Long, event_type: String, es: Long)
 
 /** Per-user funnel state: first-occurrence timestamp of each stage type. */
@@ -476,6 +487,46 @@ object EventStream {
             PackAssign(key._1, key._2, d.doc_id, seqId)
           }
           state.update(PackState(cum))
+          out.iterator
+      }
+  }
+
+  /** Streaming EWMA rate — q186's stateful twin: (type, day) counts
+    * arriving in day order fold through the SAME integer recurrence
+    * ([[graft.ops.Events.ewmaNext]]/[[graft.ops.Events.ewmaBurst]] — one
+    * definition, zero drift; the batch HOF-fold string is pinned against
+    * the same scalars in RobustSpec) with per-type state of exactly two
+    * longs (last day folded, current level) — O(1) state per key, the
+    * [[packStream]] contract. Like packStream, correctness rides the
+    * deterministic-ingest contract: each key's daily rows must arrive
+    * complete-per-day and non-decreasing in day across micro-batches
+    * (within a batch arrival order is irrelevant — the group sorts by
+    * day before folding). A replayed or out-of-order PAST day cannot be
+    * folded by any O(1)-state stream (the level already absorbed it),
+    * so it fails loudly instead of silently diverging from the gated
+    * batch result. */
+  def ewmaStream(daily: Dataset[DayCount]): Dataset[EwmaPoint] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[DayCount], state: GroupState[EwmaState]) =>
+          val sorted = batch.toSeq.sortBy(_.day)
+          var st = state.getOption.getOrElse(EwmaState(Long.MinValue, 0L))
+          val out = sorted.map { dc =>
+            require(dc.day > st.lastDay,
+              s"ewmaStream($key): day ${dc.day} arrived at or before folded " +
+                s"day ${st.lastDay} — the daily feed must be complete-per-day " +
+                "and in day order; rebuild from batch q186 instead")
+            val e =
+              if (st.lastDay == Long.MinValue) dc.cnt * graft.ops.Events.ewmaScale
+              else graft.ops.Events.ewmaNext(st.ewma, dc.cnt)
+            st = EwmaState(dc.day, e)
+            EwmaPoint(key, dc.day, dc.cnt, e,
+              if (graft.ops.Events.ewmaBurst(dc.cnt, e)) 1L else 0L)
+          }
+          state.update(st)
           out.iterator
       }
   }

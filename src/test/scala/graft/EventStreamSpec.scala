@@ -1067,4 +1067,41 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       assert(got() == batchMoments(vecs.toSeq))
     } finally query.stop()
   }
+
+  test("ewmaStream equals the scalar recurrence across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{DayCount, EwmaPoint}
+    // two types with different day series, split mid-series across
+    // micro-batches (the day-ordered ingest contract); expected points
+    // from the same scanLeft recurrence RobustSpec pins the batch HOF
+    // fold against — stream ≡ fold ≡ scalar, closing the triangle
+    val cntsA = Seq(100L, 400L, 50L, 50L, 900L)
+    val cntsB = Seq(7L, 7L, 7L)
+    def expect(tp: String, cnts: Seq[Long]): Seq[EwmaPoint] = {
+      val es = cnts.tail.scanLeft(cnts.head * 4096L)((e, c) => (c * 4096L + 3L * e) / 4L)
+      cnts.zip(es).zipWithIndex.map { case ((c, e), i) =>
+        EwmaPoint(tp, i.toLong, c, e, if (c * 4096L > 2L * e) 1L else 0L)
+      }
+    }
+    val input = MemoryStream[DayCount]
+    val query = EventStream.ewmaStream(input.toDS())
+      .writeStream.format("memory").queryName("ewma").outputMode("append").start()
+    try {
+      input.addData(DayCount("a", 0L, cntsA(0)), DayCount("a", 1L, cntsA(1)),
+        DayCount("b", 0L, cntsB(0)))
+      query.processAllAvailable()
+      input.addData(DayCount("a", 2L, cntsA(2)), DayCount("a", 3L, cntsA(3)),
+        DayCount("a", 4L, cntsA(4)), DayCount("b", 1L, cntsB(1)),
+        DayCount("b", 2L, cntsB(2)))
+      query.processAllAvailable()
+      val got = spark.table("ewma").as[EwmaPoint].collect()
+        .groupBy(_.event_type).view.mapValues(_.sortBy(_.day).toSeq).toMap
+      assert(got("a") == expect("a", cntsA))
+      assert(got("b") == expect("b", cntsB))
+      // the day-400 spike and the day-900 spike must both flag against
+      // the smoothed level (the whole-history 2σ would drown the first)
+      assert(got("a").filter(_.burst == 1L).map(_.day) == Seq(1L, 4L))
+    } finally query.stop()
+  }
 }
