@@ -734,6 +734,72 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** q188 backoff penalty — the stupid-backoff α=0.4 discount expressed
+    * as an integer surcharge MULTIPLIER on the backed-off charge (bigger
+    * charge = more surprising, so the penalty multiplies instead of
+    * discounting a probability). */
+  private val backoffPenalty = 4L
+
+  /** q188: trained bigram LM with stupid backoff — the learned rung
+    * above q134's unigram surprisal (the CCNet recipe's actual shape: a
+    * CONTEXT-conditioned model; "the the" is cheap under unigrams but
+    * expensive under a bigram LM, and vice versa for rare-but-wellformed
+    * collocations). Trained on q70's deterministic hash split
+    * (idBucket < 80). Per adjacent pair (w1, w2):
+    *
+    *  - bigram seen in train: charge ⌊cnt(w1)/cnt(w1 w2)⌋ — the integer
+    *    inverse CONDITIONAL relative frequency 1/p̂(w2|w1), q134's
+    *    determinism ground applied to the conditional;
+    *  - unseen bigram, known w2: back off to [[backoffPenalty]]·⌊T/cnt(w2)⌋
+    *    (the unigram charge, penalized);
+    *  - OOV w2: the ceiling [[backoffPenalty]]·T.
+    *
+    * Output per doc: pair count, backoff count (unseen-bigram rate — the
+    * fluency signal), OOV count, integer charge sum, round2 mean.
+    *
+    * Scale shape: the unigram table is vocabulary-sized → broadcast
+    * (q134's shape); the bigram table is bigram-vocabulary-sized and
+    * heavy-tailed, so it joins by SHUFFLE on the narrow bg string —
+    * never broadcast (at 100 TB it outgrows any driver). Pairs are
+    * built map-side (guarded transform, no pre-explode). */
+  lazy val q188_bigram_lm: Q = (s, d) => {
+    val docs = docShingles(s, d)
+    val prs = when(size(col("words")) >= 2,
+      transform(sequence(lit(1), size(col("words")) - 1),
+        i => struct(element_at(col("words"), i).as("w1"),
+          element_at(col("words"), i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val pairs = docs.select(col("doc_id"), explode(prs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"),
+        concat(col("p.w1"), lit(" "), col("p.w2")).as("bg"))
+    val uni = docs.where(idBucket(col("doc_id")) < 80)
+      .select(explode(col("words")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("ucnt"))
+    val bgCnt = pairs.where(idBucket(col("doc_id")) < 80)
+      .groupBy("bg").agg(count(lit(1)).as("bcnt"))
+    // q134's all-eval degradation: empty train → T = 0, every pair OOV
+    val t = uni.agg(coalesce(sum("ucnt"), lit(0L))).head().getLong(0)
+    pairs
+      .join(bgCnt, Seq("bg"), "left")
+      .join(broadcast(uni.select(col("word").as("w1"), col("ucnt").as("ucnt1"))),
+        Seq("w1"), "left")
+      .join(broadcast(uni.select(col("word").as("w2"), col("ucnt").as("ucnt2"))),
+        Seq("w2"), "left")
+      .select(col("doc_id"),
+        when(col("bcnt").isNotNull, expr("ucnt1 div bcnt"))
+          .when(col("ucnt2").isNotNull,
+            lit(backoffPenalty) * expr(s"CAST($t AS BIGINT) div ucnt2"))
+          .otherwise(lit(backoffPenalty * t)).as("sp"),
+        when(col("bcnt").isNotNull, 0L).otherwise(1L).as("backoff"),
+        when(col("bcnt").isNull && col("ucnt2").isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("backoff").as("n_backoff"),
+        sum("oov").as("n_oov"), sum("sp").as("sp_sum"))
+      .withColumn("mean_sp",
+        round2(col("sp_sum").cast("double") / col("n_bigrams").cast("double")))
+      .orderBy("doc_id")
+  }
+
   /** q143 hashed-feature space: words hash to 1024 buckets via the md5
     * idBucket family — identical text-to-integer math in both engines. */
   private val dsirBuckets = 1024L
@@ -1401,6 +1467,7 @@ object TextStats {
     "q104_bpe_compression" -> q104_bpe_compression,
     "q106_bpe_heldout" -> q106_bpe_heldout,
     "q134_surprisal" -> q134_surprisal,
+    "q188_bigram_lm" -> q188_bigram_lm,
     "q143_dsir_weights" -> q143_dsir_weights,
     "q146_dsir_bigram" -> q146_dsir_bigram,
     "q136_length_buckets" -> q136_length_buckets,
@@ -1716,6 +1783,41 @@ object TextStats {
          |WHERE rn = 1 ORDER BY p""".stripMargin),
     // the train-split unigram table, the total, then the same integer
     // surprisal ladder per token (OOV charges the ceiling T)
+    // q134's integer-surprisal ground at the bigram grain: same train
+    // split, same adjacent-pair spelling as q146, same // charges
+    "q188_bigram_lm" -> withDocs(
+      s""", pr AS (
+         |  SELECT doc_id, words[i] AS w1, words[i + 1] AS w2,
+         |         words[i] || ' ' || words[i + 1] AS bg
+         |  FROM (SELECT doc_id, words,
+         |               unnest(generate_series(1, len(words) - 1)) AS i
+         |        FROM docs)),
+         |uni AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS ucnt
+         |  FROM (SELECT unnest(words) AS word FROM docs
+         |        WHERE ${idBucketSql("doc_id")} < 80)
+         |  GROUP BY word),
+         |bgc AS (
+         |  SELECT bg, CAST(count(*) AS BIGINT) AS bcnt
+         |  FROM pr WHERE ${idBucketSql("doc_id")} < 80 GROUP BY bg),
+         |tt AS (SELECT CAST(coalesce(sum(ucnt), 0) AS BIGINT) AS t FROM uni),
+         |scored AS (
+         |  SELECT doc_id,
+         |         CASE WHEN bcnt IS NOT NULL THEN u1.ucnt // bcnt
+         |              WHEN u2.ucnt IS NOT NULL THEN $backoffPenalty * (tt.t // u2.ucnt)
+         |              ELSE $backoffPenalty * tt.t END AS sp,
+         |         CASE WHEN bcnt IS NULL THEN 1 ELSE 0 END AS backoff,
+         |         CASE WHEN bcnt IS NULL AND u2.ucnt IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM pr LEFT JOIN bgc USING (bg)
+         |          LEFT JOIN uni u1 ON pr.w1 = u1.word
+         |          LEFT JOIN uni u2 ON pr.w2 = u2.word, tt)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(sum(backoff) AS BIGINT) AS n_backoff,
+         |       CAST(sum(oov) AS BIGINT) AS n_oov,
+         |       CAST(sum(sp) AS BIGINT) AS sp_sum,
+         |       ${round2Sql("CAST(sum(sp) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+         |         AS mean_sp
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "q134_surprisal" -> withDocs(
       s""", tv AS (
          |  SELECT word, CAST(count(*) AS BIGINT) AS cnt

@@ -320,6 +320,26 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
     assert(got(trainId) == ((4L, 0L, 7L, 1.75)))
   }
 
+  test("q188: bigram charges hit the seen/backoff/OOV branches exactly") {
+    // train doc "a b a b c": bigrams {a b:2, b a:1, b c:1}; unigrams
+    // a:2 b:2 c:1, T=5. Eval doc "a b z c":
+    //   (a b)  seen    → ucnt(a)=2 div bcnt=2  = 1
+    //   (b z)  OOV z   → 4·T                   = 20
+    //   (z c)  backoff → 4·(T div ucnt(c)=1)   = 20
+    val trainId = (0L to 200L).find(idBucket(_) < 80).get
+    val evalId = (0L to 200L).find(idBucket(_) >= 80).get
+    val dir = writeMiniDocs(Seq((trainId, "a b a b c"), (evalId, "a b z c")))
+    val got = TextStats.q188_bigram_lm(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_backoff"),
+          r.getAs[Long]("n_oov"), r.getAs[Long]("sp_sum"),
+          r.getAs[Double]("mean_sp")))
+      .toMap
+    assert(got(evalId) == ((3L, 2L, 1L, 41L, 13.67)))
+    // train doc against its own model: 1 + 2 + 1 + 2, all seen
+    assert(got(trainId) == ((4L, 0L, 0L, 6L, 1.5)))
+  }
+
   test("q134: with no train-split docs every token is OOV at the full-table ceiling") {
     // All docs land in eval buckets → the unigram table is empty, T = 0,
     // and every token is OOV with sp = T = 0. The filter degrades to
