@@ -670,7 +670,50 @@ object Curation {
       .orderBy("source")
   }
 
+  /** q190: Neyman allocation for stratified sampling — given a sample
+    * budget K, allocate draws across strata ∝ N_h·S_h (population size ×
+    * within-stratum spread), the minimum-variance design for estimating
+    * a population total; proportional allocation over-samples flat
+    * strata and starves spread-out ones. Strata = customer market
+    * segments, measure = account balance in cents.
+    *
+    * Determinism: N_h·S_h = √(N_h·Σx² − (Σx)²) (multiply S_h's
+    * definition through by N_h), so each stratum weight is floor of ONE
+    * correctly-rounded IEEE sqrt of a 128-bit integer (q174's rule:
+    * both engines round identically), immediately floored back to an
+    * integer. The split of K is integer largest-remainder: base =
+    * (K·w_h) div W, and the K − Σbase leftover units go to the largest
+    * (K·w_h) mod W with segment name as the total tie-break — no float
+    * ratios, no order-dependent sums. Scale: one narrow aggregation to
+    * 5 stratum rows; everything after is stratum-count-sized. */
+  private[graft] val neymanK = 1000L
+  val q190_neyman_alloc: Q = (s, d) => {
+    val st = s.read.parquet(s"$d/customer.parquet")
+      .select(col("c_mktsegment").as("segment"),
+        round(col("c_acctbal") * 100).cast("long").as("v"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), sum("v").as("sx"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("sx2"))
+      .withColumn("w", floor(sqrt(
+        (col("n").cast("decimal(38,0)") * col("sx2") -
+          col("sx").cast("decimal(38,0)") * col("sx")).cast("double")))
+        .cast("long"))
+    val tot = st.agg(sum("w").as("tw"), count(lit(1)).as("ng"))
+    val based = st.crossJoin(broadcast(tot)) // stratum-count × 1-row
+      .withColumn("base", expr(s"CAST(($neymanK * w) div tw AS BIGINT)"))
+      .withColumn("rem", expr(s"CAST(($neymanK * w) % tw AS BIGINT)"))
+    val leftover = lit(neymanK) - sum("base").over(Window.partitionBy(lit(1)))
+    based
+      .withColumn("rr", row_number().over( // stratum-count-sized window
+        Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("segment"))).cast("long"))
+      .withColumn("alloc", col("base") + when(col("rr") <= leftover, 1L).otherwise(0L))
+      .select(col("segment"), col("n").as("n_cust"), col("w").as("weight"),
+        col("alloc"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q190_neyman_alloc" -> q190_neyman_alloc,
     "q181_source_cap" -> q181_source_cap,
     "q179_epoch_sample" -> q179_epoch_sample,
     "q178_cluster_mix" -> q178_cluster_mix,
@@ -689,6 +732,35 @@ object Curation {
     "q123_epoch_plan" -> q123_epoch_plan)
 
   val oracle: Map[String, String] = Map(
+    // same integer moments, same one-sqrt weights, same largest-remainder
+    "q190_neyman_alloc" ->
+      s"""WITH px AS (
+         |  SELECT c_mktsegment AS segment,
+         |         CAST(round(c_acctbal * 100) AS BIGINT) AS v
+         |  FROM customer),
+         |st AS (
+         |  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(v) AS HUGEINT) AS sx,
+         |         CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS sx2
+         |  FROM px GROUP BY 1),
+         |wgt AS (
+         |  SELECT segment, n,
+         |         CAST(floor(sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))) AS BIGINT) AS w
+         |  FROM st),
+         |tt AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wgt),
+         |base AS (
+         |  SELECT segment, n, w,
+         |         CAST(($neymanK * w) // tw AS BIGINT) AS base,
+         |         CAST(($neymanK * w) % tw AS BIGINT) AS rem
+         |  FROM wgt, tt),
+         |lf AS (SELECT $neymanK - CAST(sum(base) AS BIGINT) AS leftover FROM base),
+         |rk AS (SELECT segment, n, w, base,
+         |              row_number() OVER (ORDER BY rem DESC, segment) AS rr
+         |       FROM base)
+         |SELECT segment, n AS n_cust, w AS weight,
+         |       CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         |         AS alloc
+         |FROM rk, lf ORDER BY segment""".stripMargin,
     // the full epoch replay: quality weights, every md5 draw, the
     // cluster strata, the sqrt-temperature targets, and the
     // draw-key-ordered take-while — one declarative chain

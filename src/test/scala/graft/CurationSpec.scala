@@ -389,4 +389,29 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       ("src0", "src2") -> ((2L, 1L, 0L, 0.0)),
       ("src1", "src2") -> ((1L, 1L, 0L, 0.0))))
   }
+
+  test("q190: allocations sum to K and replay the largest-remainder arithmetic") {
+    val rows = Curation.q190_neyman_alloc(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[String]("segment"), r.getAs[Long]("weight"),
+        r.getAs[Long]("alloc")))
+    val k = Curation.neymanK
+    assert(rows.map(_._3).sum == k, s"allocations must exhaust the budget $k")
+    // replay the integer largest-remainder split from the output's own
+    // weights: base floor + one extra unit to the largest remainders
+    // (segment name as total tie-break)
+    val tw = rows.map(_._2).sum
+    val base = rows.map { case (seg, w, _) => (seg, w, k * w / tw, k * w % tw) }
+    val leftover = (k - base.map(_._3).sum).toInt
+    val bumped = base.sortBy { case (seg, _, _, rem) => (-rem, seg) }
+      .zipWithIndex
+      .map { case ((seg, _, b, _), i) => seg -> (b + (if (i < leftover) 1L else 0L)) }
+      .toMap
+    rows.foreach { case (seg, _, alloc) =>
+      assert(alloc == bumped(seg), s"$seg: got $alloc, reference ${bumped(seg)}")
+    }
+    // weights are nonzero on this corpus (all-zero weights would make
+    // the ∝ N_h·S_h design vacuous and tw=0 divide)
+    assert(tw > 0)
+  }
 }

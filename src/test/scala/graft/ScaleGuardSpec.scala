@@ -18,7 +18,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     * bounded-input justification. */
   private val globalWindowAllowed: Map[String, String] = Map(
     "q29_biggest_drop" -> "window input is per-period averages, bounded by the calendar (Insights.scala q29 doc)",
-    "q168_hist_quantiles" -> "running sum over the MERGED histogram cells, bounded at 64 rows (TextStats.scala q168 doc)")
+    "q168_hist_quantiles" -> "running sum over the MERGED histogram cells, bounded at 64 rows (TextStats.scala q168 doc)",
+    "q190_neyman_alloc" -> "largest-remainder rank over STRATUM rows (one per market segment), bounded by the segment domain (Curation.scala q190 doc)")
 
   private def globalWindows(plan: LogicalPlan): Seq[LWindow] =
     plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
@@ -206,6 +207,33 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     val wgl = plan("q165_weighted_sample")
       .collect { case w: WindowGroupLimitExec => w }
     assert(wgl.size >= 2, s"expected partial+final WindowGroupLimit, got ${wgl.size}")
+  }
+
+  test("r13 queries: no cartesian/nested-loop degradation") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+    // q190 is excluded from the BNLJ scan: its cross join carries the
+    // 1-row (total-weight, leftover) aggregate onto 5 stratum rows —
+    // the documented kilobyte-side exception (q173/q177 class); the
+    // cartesian check below still applies to it. q187 is excluded
+    // entirely: constructing it runs the component-propagation loop
+    // (the q61 eager-query class) and its joins ride vocabulary-sized
+    // checkpointed frames.
+    val fresh = Seq("q183_fuzzy_entity", "q184_mad_outliers",
+      "q185_jsonl_quarantine", "q186_ewma_rate", "q188_bigram_lm",
+      "q189_winsor_stats")
+    val degraded = fresh.flatMap { name =>
+      val p = plan(name)
+      if (p.collect { case c: CartesianProductExec => c
+                      case b: BroadcastNestedLoopJoinExec => b }.nonEmpty)
+        Some(name)
+      else None
+    }
+    assert(degraded.isEmpty, s"cartesian/nested-loop join in: ${degraded.mkString(", ")}")
+    assert(plan("q190_neyman_alloc")
+      .collect { case c: CartesianProductExec => c }.isEmpty,
+      "q190's totals ride must broadcast, not cartesian")
   }
 
   test("fact-to-dim joins broadcast the dim side") {
