@@ -1319,9 +1319,72 @@ object Dedup {
       .orderBy("entity")
   }
 
+  /** The q191 name-ledger layout: rows (name, block, n_rows) land under
+    * `nb=<md5(block) mod 16>/gen=N/` — the FOURTH consumer of the shared
+    * [[graft.etl.LsmIndex]] module (span/lex/chunk + names), which is
+    * the point of the r13 factoring: a new persisted artifact is a
+    * Layout + two row builders, not a fourth append/compact copy. */
+  private def nameLayout(path: String): graft.etl.LsmIndex.Layout =
+    graft.etl.LsmIndex.Layout(path, bucket = Some(("nb",
+      pmod(conv(substring(md5(col("block")), 1, 4), 16, 10).cast("long"),
+        lit(16L)))))
+
+  /** Distinct (name, block, n_rows) of the parts whose id-hash bucket
+    * satisfies `pred` — the name-grain ingest unit for [[q191_name_index_probe]]. */
+  private def nameRows(s: SparkSession, d: String, pred: Column): DataFrame =
+    s.read.parquet(s"$d/part.parquet")
+      .where(pred)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("block", element_at(split(col("name"), " "), 2))
+
+  /** q191: incremental entity-resolution SERVING — the q183 fuzzy match
+    * as a probe against a PERSISTED name ledger instead of a same-batch
+    * self-join: base catalog (id-hash < 40) builds generation 0, the
+    * next ingest half (40–79) appends generation 1 (base files never
+    * rewritten — the LsmIndex contract), and the newest arrivals (≥ 80)
+    * probe the MERGED ledger for exact and fuzzy (edit ≤ 2) prior
+    * names. Per probe name: total prior-row count under the exact name,
+    * the count of distinct fuzzy neighbors, and the best fuzzy match
+    * (min by (dist, name) via an order-encoding string key). Serving
+    * reads only the probe blocks' hash-bucket directories
+    * ([[graft.etl.LsmIndex.probeBuckets]] + `prunedRead` — the
+    * driver-side bounded bucket list every serving path uses). The
+    * oracle recomputes against the raw lower-80 names: serve ≡ full
+    * recompute, the q172 convention. */
+  lazy val q191_name_index_probe: Q = (s, d) => {
+    val idx = graft.etl.StarBuilder.scratchDir(s, d, "nameidx")
+    val bucket = TextCore.idBucket(col("p_partkey"))
+    graft.BuildPhase.timed {
+      graft.SessionMemo.once(s, d, "name:index") {
+        graft.etl.LsmIndex.write(nameRows(s, d, bucket < 40), nameLayout(idx))
+        graft.etl.LsmIndex.append(
+          nameRows(s, d, bucket >= 40 && bucket < 80), nameLayout(idx), gen = 1L)
+      }
+    }
+    val probe = nameRows(s, d, bucket >= 80)
+    val buckets = graft.etl.LsmIndex.probeBuckets(probe,
+      nameLayout(idx).bucket.get._2)
+    val merged = graft.etl.LsmIndex.prunedRead(s, nameLayout(idx), buckets)
+      .groupBy("name", "block").agg(sum("n_rows").as("idx_rows"))
+    probe.select(col("name").as("probe_name"), col("block"))
+      .join(merged, Seq("block"))
+      .withColumn("dist",
+        levenshtein(col("probe_name"), col("name")).cast("long"))
+      .where(col("dist") <= 2)
+      .groupBy("probe_name")
+      .agg(
+        sum(when(col("dist") === 0, col("idx_rows")).otherwise(0L)).as("n_exact"),
+        sum(when(col("dist") > 0, 1L).otherwise(0L)).as("n_fuzzy"),
+        expr("substring(min(CASE WHEN dist > 0 " +
+          "THEN CAST(dist AS STRING) || '|' || name END), 3)").as("best_fuzzy"))
+      .orderBy("probe_name")
+  }
+
   val queries: Map[String, Q] = Map(
     "q183_fuzzy_entity" -> q183_fuzzy_entity,
     "q187_entity_canon" -> q187_entity_canon,
+    "q191_name_index_probe" -> q191_name_index_probe,
     "q166_cdc_chunk_dups" -> q166_cdc_chunk_dups,
     "q167_chunk_dup_docs" -> q167_chunk_dup_docs,
     "q169_chunk_novelty" -> q169_chunk_novelty,
@@ -1549,6 +1612,32 @@ object Dedup {
        |ORDER BY n_occ DESC, chunk_md5 ASC""".stripMargin)
 
   val oracle: Map[String, String] = Map(
+    // serve ≡ full recompute: the merged (gen0 + gen1) ledger equals the
+    // lower-80 name counts, so the oracle probes the raw split directly
+    "q191_name_index_probe" ->
+      s"""WITH base AS (
+         |  SELECT p_name AS name, split_part(p_name, ' ', 2) AS block,
+         |         CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM part WHERE ${graft.ops.TextCore.idBucketSql("p_partkey")} < 80
+         |  GROUP BY 1, 2),
+         |probe AS (
+         |  SELECT p_name AS name, split_part(p_name, ' ', 2) AS block
+         |  FROM part WHERE ${graft.ops.TextCore.idBucketSql("p_partkey")} >= 80
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT pr.name AS probe_name, b.name AS iname, b.n_rows,
+         |         CAST(levenshtein(pr.name, b.name) AS BIGINT) AS dist
+         |  FROM probe pr JOIN base b ON pr.block = b.block
+         |  WHERE levenshtein(pr.name, b.name) <= 2)
+         |SELECT probe_name,
+         |       CAST(sum(CASE WHEN dist = 0 THEN n_rows ELSE 0 END) AS BIGINT)
+         |         AS n_exact,
+         |       CAST(sum(CASE WHEN dist > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_fuzzy,
+         |       substr(min(CASE WHEN dist > 0
+         |                  THEN CAST(dist AS VARCHAR) || '|' || iname END), 3)
+         |         AS best_fuzzy
+         |FROM j GROUP BY 1 ORDER BY probe_name""".stripMargin,
     // q183's pair join + transitive closure + singleton preservation
     "q187_entity_canon" ->
       """WITH RECURSIVE names AS (
