@@ -1338,6 +1338,20 @@ object Dedup {
       .agg(count(lit(1)).as("n_rows"))
       .withColumn("block", element_at(split(col("name"), " "), 2))
 
+  /** Directional fuzzy match: every (probe_name, block) row against
+    * every base row sharing its block, annotated with the edit
+    * distance, kept at ≤ `maxDist` (exact matches included — dist 0 is
+    * the "already known" signal). Base columns ride through untouched.
+    * ONE definition shared by q191's index probe and the streaming
+    * [[graft.streaming.EventStream.fuzzyNameProbeStream]], so the
+    * match predicate cannot drift between serving surfaces. */
+  private[graft] def fuzzyBlockMatch(probe: DataFrame, base: DataFrame,
+      maxDist: Int): DataFrame =
+    probe.join(base, Seq("block"))
+      .withColumn("dist",
+        levenshtein(col("probe_name"), col("name")).cast("long"))
+      .where(col("dist") <= maxDist)
+
   /** q191: incremental entity-resolution SERVING — the q183 fuzzy match
     * as a probe against a PERSISTED name ledger instead of a same-batch
     * self-join: base catalog (id-hash < 40) builds generation 0, the
@@ -1367,11 +1381,8 @@ object Dedup {
       nameLayout(idx).bucket.get._2)
     val merged = graft.etl.LsmIndex.prunedRead(s, nameLayout(idx), buckets)
       .groupBy("name", "block").agg(sum("n_rows").as("idx_rows"))
-    probe.select(col("name").as("probe_name"), col("block"))
-      .join(merged, Seq("block"))
-      .withColumn("dist",
-        levenshtein(col("probe_name"), col("name")).cast("long"))
-      .where(col("dist") <= 2)
+    fuzzyBlockMatch(probe.select(col("name").as("probe_name"), col("block")),
+        merged, maxDist = 2)
       .groupBy("probe_name")
       .agg(
         sum(when(col("dist") === 0, col("idx_rows")).otherwise(0L)).as("n_exact"),

@@ -252,6 +252,27 @@ object EventStream {
         coalesce(col("dup"), lit(0L)).as("dup"))
   }
 
+  /** Streaming fuzzy-NAME probe — the entity-resolution member of the
+    * probe-stream family (exact fingerprints → MinHash bands → span
+    * hashes → chunks → names): arriving catalog names are blocked on
+    * their noun token in-flight and matched against a STATIC base name
+    * set via the SHARED q191 predicate
+    * ([[graft.ops.Dedup.fuzzyBlockMatch]] — one definition, zero
+    * drift): each output row is (probe_name, match_name, dist ≤ 2),
+    * dist 0 meaning "already known". Blocking is stateless map-side;
+    * the match join is stream-static on the block key (broadcastable —
+    * the base side is catalog-sized). The base is deduplicated HERE
+    * (the chunkProbeStream convention): membership semantics must hold
+    * regardless of the caller's input shape. */
+  def fuzzyNameProbeStream(probes: DataFrame, baseNames: DataFrame): DataFrame = {
+    import graft.ops.Dedup
+    val p = probes.select(col("name").as("probe_name"),
+      element_at(split(col("name"), " "), 2).as("block"))
+    Dedup.fuzzyBlockMatch(p,
+        baseNames.select(col("name"), col("block")).distinct(), maxDist = 2)
+      .select(col("probe_name"), col("name").as("match_name"), col("dist"))
+  }
+
   /** The foreachBatch half of the streaming chunk path: q167's per-doc
     * copy-paste rollup over the micro-batch's probed chunks — the SAME
     * [[graft.ops.Dedup.chunkDupRollup]] aggregation, so an in-flight

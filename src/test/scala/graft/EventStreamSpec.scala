@@ -1104,4 +1104,33 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       assert(got("a").filter(_.burst == 1L).map(_.day) == Seq(1L, 4L))
     } finally query.stop()
   }
+
+  test("fuzzyNameProbeStream matches the batch predicate on a static base, dedup enforced") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // base carries a DUPLICATED row — the API must distinct it so a
+    // probe cannot match the same base name twice (the r12 membership
+    // convention); "blu widget" is dist 1 from "blue widget", and the
+    // cross-block "blue widgit" stays invisible to a widget-block probe
+    val base = Seq(("blue widget", "widget"), ("blue widget", "widget"),
+      ("large widget", "widget"), ("blue widgit", "widgit"))
+      .toDF("name", "block")
+    val input = MemoryStream[String]
+    val query = EventStream.fuzzyNameProbeStream(
+        input.toDS().toDF("name"), base)
+      .writeStream.format("memory").queryName("nameprobe")
+      .outputMode("append").start()
+    try {
+      input.addData("blu widget")
+      query.processAllAvailable()
+      input.addData("blue widget", "tiny gizmo")
+      query.processAllAvailable()
+      val got = spark.table("nameprobe").collect()
+        .map(r => (r.getAs[String]("probe_name"), r.getAs[String]("match_name"),
+          r.getAs[Long]("dist"))).toSet
+      assert(got == Set(
+        ("blu widget", "blue widget", 1L),   // fuzzy hit, exactly once
+        ("blue widget", "blue widget", 0L))) // exact "already known"
+    } finally query.stop()
+  }
 }
