@@ -22,38 +22,66 @@ import org.apache.spark.sql.functions._
 object Robust {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Lower median per group from a value histogram (`group`, `v`,
-    * `cnt`): the smallest v whose running count reaches ⌈n/2⌉.
-    * Input is histogram-sized; the window partitions by group over the
-    * value domain. */
-  private[graft] def histMedian(hist: DataFrame): DataFrame = {
-    val tot = hist.groupBy("group").agg(sum("cnt").as("n"))
-    val cum = hist.withColumn("cum",
-      sum("cnt").over(Window.partitionBy("group").orderBy("v")))
-    cum.join(broadcast(tot), "group")
-      .where(col("cum") >= floor((col("n") + 1) / 2))
-      .groupBy("group")
-      .agg(min("v").as("med"), first("n").as("n"))
-  }
+  /** Coarse-bucket width for the two-phase rank selection: cents →
+    * $100 buckets. Truncating division is monotone in v (negatives
+    * land in bucket −1, −2, … contiguously), which is all the
+    * boundary-bucket walk needs. */
+  private val coarseWidth = 10000L
 
-  /** Lower quantiles per group from a value histogram: for each
+  /** Lower median per group from a value histogram — delegates to
+    * [[histQuantiles]] at p = 50 (⌈n·50/100⌉ ≡ ⌈n/2⌉, the lower-median
+    * rank). Returns (group, med, n). */
+  private[graft] def histMedian(hist: DataFrame): DataFrame =
+    histQuantiles(hist, Seq(50 -> "med"))
+
+  /** Exact lower quantiles per group from a value histogram: for each
     * (percent, outName) the smallest v whose running count reaches
-    * ⌈n·p/100⌉ (pure-integer rank — `(n·p + 99) div 100` — so both
-    * engines select the identical row; floor((n+1)/2) in [[histMedian]]
-    * equals this at p = 50). One cumulative pass serves every requested
-    * quantile. */
+    * ⌈n·p/100⌉ (pure-integer rank — `(n·p + 99) div 100` — so every
+    * engine selects the identical row).
+    *
+    * Two-phase boundary-bucket selection (the q82 token-budget
+    * pattern), because a value histogram over prices is nearly
+    * corpus-sized (most cent amounts are distinct) and a running sum
+    * over it partitioned by a 5-value group IS the per-group corpus
+    * sort this module exists to avoid. Phase 1 runs the cumulative
+    * walk over [[coarseWidth]]-wide COARSE buckets (domain/width rows)
+    * to locate, per target rank, the one bucket containing it and the
+    * rank offset remaining inside it; phase 2 runs the exact ordered
+    * walk over that single bucket's rows only. Both windows have
+    * bounded input: coarse-bucket count and within-bucket distinct
+    * values — never the full value domain. */
   private[graft] def histQuantiles(hist: DataFrame,
       pcts: Seq[(Int, String)]): DataFrame = {
     val tot = hist.groupBy("group").agg(sum("cnt").as("n"))
-    val cum = hist.withColumn("cum",
-        sum("cnt").over(Window.partitionBy("group").orderBy("v")))
-      .join(broadcast(tot), "group")
-    val aggs = pcts.map { case (p, name) =>
-      min(when(col("cum") >=
-        greatest(lit(1L), expr(s"CAST((n * $p + 99) div 100 AS BIGINT)")),
-        col("v"))).as(name)
+    val histCb = hist.withColumn("cb",
+      expr(s"CAST(v div $coarseWidth AS BIGINT)"))
+    val ccum = histCb.groupBy("group", "cb").agg(sum("cnt").as("ccnt"))
+      .withColumn("cum",
+        sum("ccnt").over(Window.partitionBy("group").orderBy("cb")))
+    val targets = tot.select(col("group"), explode(array(pcts.map {
+      case (p, name) => struct(lit(name).as("t"), greatest(lit(1L),
+        expr(s"CAST((n * $p + 99) div 100 AS BIGINT)")).as("r"))
+    }: _*)).as("pr")).select(col("group"), col("pr.t").as("t"),
+      col("pr.r").as("r"))
+    // per (group, target): the first coarse bucket whose running count
+    // reaches the rank, and how much of the rank is left inside it
+    val bound = ccum.join(broadcast(targets), Seq("group"))
+      .where(col("cum") >= col("r"))
+      .groupBy("group", "t")
+      .agg(min(struct(col("cb"), (col("cum") - col("ccnt")).as("prev"))).as("bk"),
+        first("r").as("r"))
+      .select(col("group"), col("t"), col("bk.cb").as("cb"),
+        (col("r") - col("bk.prev")).as("off"))
+    // phase 2: exact walk confined to the boundary bucket's rows
+    val sel = histCb.join(broadcast(bound), Seq("group", "cb"))
+      .withColumn("ic",
+        sum("cnt").over(Window.partitionBy("group", "t").orderBy("v")))
+      .where(col("ic") >= col("off"))
+      .groupBy("group", "t").agg(min("v").as("q"))
+    val aggs = pcts.map { case (_, name) =>
+      min(when(col("t") === name, col("q"))).as(name)
     }
-    cum.groupBy("group").agg(aggs.head, aggs.tail: _*)
+    sel.groupBy("group").agg(aggs.head, aggs.tail: _*)
       .join(broadcast(tot), "group")
   }
 
@@ -67,10 +95,13 @@ object Robust {
     * corpus. Integer cents throughout; the only float is the round2
     * mean. */
   val q189_winsor_stats: Q = (s, d) => {
+    // value-domain-bounded histogram, referenced four times below —
+    // checkpoint once instead of re-scanning the corpus per branch
     val hist = s.read.parquet(s"$d/orders.parquet")
       .select(col("o_orderpriority").as("group"),
         round(col("o_totalprice") * 100).cast("long").as("v"))
       .groupBy("group", "v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val qs = histQuantiles(hist, Seq(5 -> "p05", 95 -> "p95"))
     hist.join(broadcast(qs), "group")
       .groupBy("group")
@@ -95,14 +126,22 @@ object Robust {
     val px = s.read.parquet(s"$d/orders.parquet")
       .select(col("o_orderpriority").as("group"),
         round(col("o_totalprice") * 100).cast("long").as("v"))
+    // every frame below is referenced by several branches; the
+    // histograms are value-domain-bounded and the quantile outputs are
+    // group-count-sized, so an eager local checkpoint per frame costs
+    // bounded memory and removes the re-scan of the corpus per branch
     val hist = px.groupBy("group", "v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val med = histMedian(hist).select(col("group"), col("med"), col("n"))
+      .localCheckpoint(true)
     // abs-deviation histogram derived from the VALUE histogram (no second
     // corpus pass: |v - med| aggregates the cnt column, histogram-sized)
     val adHist = hist.join(broadcast(med), "group")
       .groupBy(col("group"), abs(col("v") - col("med")).as("v"))
       .agg(sum("cnt").as("cnt"))
+      .localCheckpoint(true)
     val mad = histMedian(adHist).select(col("group"), col("med").as("mad"))
+      .localCheckpoint(true)
     val fenced = adHist.join(broadcast(mad), "group")
       .groupBy("group")
       .agg(sum(when(col("v") > lit(3) * col("mad"), col("cnt"))

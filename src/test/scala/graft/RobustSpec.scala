@@ -18,7 +18,10 @@ class RobustSpec extends AnyFunSuite with SparkTestBase {
 
   test("histMedian equals the sorted-sequence lower median on random multisets") {
     import spark.implicits._
-    val groups = Gen.listOfN(6, Gen.nonEmptyListOf(Gen.chooseNum(-50L, 50L))).sample.get
+    // range spans several coarse buckets incl. negatives, so the
+    // two-phase boundary-bucket walk (not just the degenerate one-bucket
+    // case) is what this pins
+    val groups = Gen.listOfN(6, Gen.nonEmptyListOf(Gen.chooseNum(-30000L, 30000L))).sample.get
     val rows = groups.zipWithIndex.flatMap { case (vs, g) => vs.map(v => (s"g$g", v)) }
     val hist = rows.toDF("group", "v")
       .groupBy("group", "v").agg(count(lit(1)).as("cnt"))
@@ -29,6 +32,20 @@ class RobustSpec extends AnyFunSuite with SparkTestBase {
       assert(got(s"g$g") == ((lowerMedian(vs.map(_.toLong)), vs.size.toLong)),
         s"group g$g: vs=${vs.sorted}")
     }
+  }
+
+  test("histQuantiles p05/p95 equal the ceil-rank sorted reference across coarse buckets") {
+    import spark.implicits._
+    val vs = Gen.listOfN(300, Gen.chooseNum(-25000L, 25000L)).sample.get
+    val hist = vs.map(v => ("g", v)).toDF("group", "v")
+      .groupBy("group", "v").agg(count(lit(1)).as("cnt"))
+    val row = Robust.histQuantiles(hist, Seq(5 -> "p05", 95 -> "p95"))
+      .collect().head
+    def rank(p: Int) = math.max(1, (vs.size * p + 99) / 100)
+    val sorted = vs.sorted
+    assert(row.getAs[Long]("p05") == sorted(rank(5) - 1))
+    assert(row.getAs[Long]("p95") == sorted(rank(95) - 1))
+    assert(row.getAs[Long]("n") == vs.size.toLong)
   }
 
   test("MAD fence is outlier-immune: a planted extreme moves the flag count, not the fence") {
