@@ -122,11 +122,93 @@ object Skew {
       .orderBy("event_type")
   }
 
+  /** q192 Bloom-prune geometry: m = 2^20 bit positions, k = 2 probes
+    * per key — the first and second 8 md5 hex digits of the key's
+    * fingerprint, each mod m (the q171 position scheme at a join-sized
+    * m). The filter travels as the DISTINCT set of SET positions —
+    * ≤ min(2·n_build, m) rows — so its size is bounded by BOTH the
+    * build-key count and the geometry, and it broadcasts at the build
+    * sizes this operator targets. */
+  private val bloomJoinBits = 1L << 20
+
+  /** The two bit positions of a join key (any type; fingerprinted via
+    * its canonical string form). */
+  private def bloomJoinPos(key: Column): Column = {
+    val fp = md5(key.cast("string"))
+    array(
+      pmod(conv(substring(fp, 1, 8), 16, 10).cast("long"), lit(bloomJoinBits)),
+      pmod(conv(substring(fp, 9, 8), 16, 10).cast("long"), lit(bloomJoinBits)))
+  }
+
+  /** Bloom pre-filter for a semi-join: keep the rows of `big` whose
+    * `key` MIGHT appear in `buildKeys` — both of the key's Bloom
+    * positions are set in the filter built from the build side. No
+    * false negatives by construction (a true match's positions are set
+    * by its own build key), so the follow-up exact join loses nothing;
+    * false positives merely survive until that join. The prune is two
+    * BROADCAST semi-joins against the kilobyte position set, applied
+    * BEFORE any shuffle — at 100 TB this is the difference between
+    * shuffling the full fact and shuffling roughly its matching slice,
+    * the same job Spark's runtime row-level filtering does when it
+    * applies, available here as an explicit, composable operator. */
+  private[graft] def bloomPruned(big: DataFrame, buildKeys: DataFrame,
+      key: String): DataFrame = {
+    val work = "__graft_bpos"
+    require(!big.columns.contains(work),
+      s"bloomPruned reserves the column name '$work'")
+    val bits = buildKeys.select(explode(bloomJoinPos(col(key))).as("pos"))
+      .distinct()
+    big.withColumn(work, bloomJoinPos(col(key)))
+      .join(broadcast(bits), col(work).getItem(0) === col("pos"), "leftsemi")
+      .join(broadcast(bits), col(work).getItem(1) === col("pos"), "leftsemi")
+      .drop(work)
+  }
+
+  /** Bloom-pruned EXACT semi-join: [[bloomPruned]] to shed non-matching
+    * rows map-side, then the exact semi-join on the survivors. Result
+    * is identical to `big.join(buildKeys, key, "leftsemi")` — the q74/
+    * q103 contract: the gate runs the plain join as the oracle, so the
+    * rewrite's equivalence is checked per-round. */
+  def bloomSemiJoin(big: DataFrame, buildKeys: DataFrame,
+      key: String): DataFrame =
+    bloomPruned(big, buildKeys, key)
+      .join(buildKeys.select(key).distinct(), Seq(key), "leftsemi")
+
+  /** q192: the Bloom-pruned semi-join as an oracle-checked operator —
+    * lineitem rows belonging to URGENT orders, revenue by return flag.
+    * The build side (one priority class of orders) is the shape too
+    * big to broadcast at the 100 TB regime but whose kilobyte Bloom
+    * positions still travel to every scan task; the oracle computes
+    * the PLAIN `IN` join, gating the rewrite's equivalence. Cents are
+    * rounded per row before the BIGINT sum (house float rule). */
+  val q192_bloom_semijoin: (SparkSession, String) => DataFrame = (s, d) => {
+    val urgent = s.read.parquet(s"$d/orders.parquet")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"))
+    val items = s.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+    bloomSemiJoin(items, urgent, "l_orderkey")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), sum("price_c").as("rev_c"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q74_salted_agg" -> q74_salted_agg,
-      "q103_salted_join" -> q103_salted_join)
+      "q103_salted_join" -> q103_salted_join,
+      "q192_bloom_semijoin" -> q192_bloom_semijoin)
 
   val oracle: Map[String, String] = Map(
+    "q192_bloom_semijoin" ->
+      """SELECT l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS rev_c
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q74_salted_agg" -> withFact(
       """SELECT huruf, CAST(count(*) AS BIGINT) AS n_rows, sum(sks) AS sum_sks
         |FROM fact GROUP BY huruf ORDER BY huruf""".stripMargin),

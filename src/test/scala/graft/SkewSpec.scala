@@ -105,4 +105,31 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
       .where(col("key") === "hot").select("salt").distinct().count()
     assert(hotSalts > 1, s"hot key collapsed to $hotSalts salt(s) — no spread")
   }
+
+  test("bloomSemiJoin equals the plain semi-join (no false negatives survive)") {
+    import spark.implicits._
+    // build keys are half the probe keys; the other half must be shed
+    val big = (1L to 2000L).map(k => (k, k * 3)).toDF("k", "payload")
+    val build = (1L to 2000L by 2).toDF("k")
+    val plain = big.join(build, Seq("k"), "leftsemi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = Skew.bloomSemiJoin(big, build, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == plain)
+    assert(plain.size == 1000)
+  }
+
+  test("bloomPruned keeps every true match and sheds most non-matches") {
+    import spark.implicits._
+    val big = (1L to 5000L).toDF("k")
+    val build = (1L to 100L).toDF("k")
+    val kept = Skew.bloomPruned(big, build, "k")
+      .collect().map(_.getLong(0)).toSet
+    // no false negatives: every build key present in big survives
+    assert((1L to 100L).forall(kept))
+    // pruning power: with m = 2^20 and 100 keys the false-positive rate
+    // is ~(200/2^20)^2 ≈ 4e-8 — the md5 positions are deterministic, so
+    // this bound is stable, not a flaky sample
+    assert(kept.size < 150, s"bloom prune kept ${kept.size} of 5000")
+  }
 }
