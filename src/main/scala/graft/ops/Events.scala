@@ -331,7 +331,59 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** q193: INTERVAL-OVERLAP self-join — which pairs of users were active
+    * at the same time, and for how long. Each user's activity on a day
+    * collapses to one [first-event, last-event] interval; the join emits
+    * every same-day user pair whose intervals strictly overlap, rolled
+    * up per day (pair count + total overlap seconds). Spark has no
+    * interval join; the naive formulation is a per-day cross join of
+    * user intervals. The scalable composition BLOCKS on hour buckets:
+    * each interval explodes to the ≤ 24 hour blocks it touches
+    * (sequence + explode, guard-free — start ≤ end by construction), the
+    * join is a plain EQUI-join on the block, pairs found in several
+    * shared blocks collapse with one distinct, and the overlap predicate
+    * only filters within blocks. Worst-case work is pairs-per-block, the
+    * knob is the block width, and the output bound is the true overlap
+    * count — the standard blocked interval join (the q69 range-join
+    * bucketing, applied to a SELF join). The DuckDB oracle runs the
+    * direct quadratic condition join, gating the blocked rewrite's
+    * equivalence. */
+  val q193_interval_overlap: Q = (s, d) => {
+    val iv = events(s, d)
+      .groupBy(expr("CAST(es div 86400 AS BIGINT)").as("day"), col("user_id"))
+      .agg(min("es").as("st"), max("es").as("en"))
+      // day×user-bounded frame referenced by both join sides
+      .localCheckpoint(true)
+    overlapPairs(iv)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_pairs"), sum("ov").as("overlap_s"))
+      .orderBy("day")
+  }
+
+  /** The blocked overlap core of q193: intervals (`day`, `user_id`,
+    * `st`, `en`) → strictly-overlapping same-day user pairs (`day`,
+    * `u1`, `u2`, `ov`=overlap seconds), u1 < u2, via the hour-block
+    * equi-join. Factored so the spec can pin its equivalence to the
+    * direct condition join on adversarial synthetic intervals. */
+  private[graft] def overlapPairs(iv: DataFrame): DataFrame = {
+    val blocked = iv.withColumn("hb",
+      explode(sequence(expr("CAST(st div 3600 AS BIGINT)"),
+        expr("CAST(en div 3600 AS BIGINT)"))))
+    val a = blocked.select(col("hb"), col("day"), col("user_id").as("u1"),
+      col("st").as("st1"), col("en").as("en1"))
+    val b = blocked.select(col("hb"), col("day"), col("user_id").as("u2"),
+      col("st").as("st2"), col("en").as("en2"))
+    a.join(b, Seq("hb", "day"))
+      .where(col("u1") < col("u2") &&
+        col("st1") < col("en2") && col("st2") < col("en1"))
+      .select(col("day"), col("u1"), col("u2"),
+        (least(col("en1"), col("en2")) -
+          greatest(col("st1"), col("st2"))).as("ov"))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
+    "q193_interval_overlap" -> q193_interval_overlap,
     "q186_ewma_rate" -> q186_ewma_rate,
     "q174_rate_anomaly" -> q174_rate_anomaly,
     "q50_event_windows" -> q50_event_windows,
@@ -470,6 +522,20 @@ object Events {
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.es >= c.es
         |ORDER BY p.event_id""".stripMargin,
+    "q193_interval_overlap" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |iv AS (
+        |  SELECT es // 86400 AS day, user_id,
+        |         min(es) AS st, max(es) AS en
+        |  FROM e GROUP BY 1, 2)
+        |SELECT a.day AS day, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(least(a.en, b.en) - greatest(a.st, b.st)) AS BIGINT)
+        |         AS overlap_s
+        |FROM iv a JOIN iv b
+        |  ON a.day = b.day AND a.user_id < b.user_id
+        | AND a.st < b.en AND b.st < a.en
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q50_event_windows" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         |       event_type,

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Events
+
+/** The q193 blocked interval-overlap join equals the direct condition
+  * join on adversarial interval layouts. */
+class EventsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("overlapPairs equals the direct condition join incl. cross-hour and point intervals") {
+    import spark.implicits._
+    // one day, hand-adversarial shapes: intervals crossing hour blocks,
+    // nested, identical, point (st == en), touching-but-not-overlapping
+    // (strict predicate must exclude), and users isolated in their own hour
+    val iv = Seq(
+      (0L, 1L, 100L, 7300L),     // spans 3 hour blocks
+      (0L, 2L, 3500L, 3700L),    // inside u1, crosses a block boundary
+      (0L, 3L, 7300L, 8000L),    // touches u1's end — NOT overlapping (strict)
+      (0L, 4L, 200L, 200L),      // point interval strictly inside u1
+      (0L, 5L, 100L, 7300L),     // identical to u1
+      (0L, 6L, 90000L, 90010L),  // isolated hour
+      (1L, 1L, 100L, 200L)       // other day, would overlap u1 if unblocked
+    ).toDF("day", "user_id", "st", "en")
+    val blocked = Events.overlapPairs(iv)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val a = iv.select(col("day"), col("user_id").as("u1"),
+      col("st").as("st1"), col("en").as("en1"))
+    val b = iv.select(col("day"), col("user_id").as("u2"),
+      col("st").as("st2"), col("en").as("en2"))
+    val direct = a.join(b, Seq("day"))
+      .where(col("u1") < col("u2") &&
+        col("st1") < col("en2") && col("st2") < col("en1"))
+      .select(col("day"), col("u1"), col("u2"),
+        (least(col("en1"), col("en2")) - greatest(col("st1"), col("st2"))).as("ov"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(blocked == direct)
+    // the layout above must actually exercise the tricky rows
+    assert(blocked.contains((0L, 1L, 5L, 7200L)), "identical intervals")
+    assert(!blocked.exists(p => p._2 == 3L || p._3 == 3L && p._1 == 0L),
+      "touching intervals must not pair under the strict predicate")
+    assert(blocked.exists(p => p._2 == 1L && p._3 == 4L), "point interval inside")
+  }
+}
