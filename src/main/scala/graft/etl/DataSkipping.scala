@@ -369,9 +369,74 @@ object DataSkipping {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------------------
+  // q194: Z-order clustering vs single-dim sort — the layout decision itself
+  // ---------------------------------------------------------------------------
+
+  /** Morton/Z-value bit interleave of two 8-bit codes as one arithmetic
+    * SQL expression: bit i of `x` lands at position 2i+1, bit i of `y`
+    * at 2i. Generated (not hand-written) so the Spark side and the
+    * DuckDB oracle share one definition and cannot drift; `divOp`
+    * parameterizes the only dialect difference (`div` vs `//` — equal
+    * for the non-negative operands the codes are by construction). */
+  private[graft] def zInterleaveSql(x: String, y: String, divOp: String): String =
+    (0 to 7).map { i =>
+      val p = 1L << i
+      s"(($x $divOp $p) % 2) * ${1L << (2 * i + 1)} + (($y $divOp $p) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+
+  /** q194: the Z-ORDER LAYOUT DECISION, modeled end-to-end — Delta's
+    * `OPTIMIZE ZORDER BY (a, b)` exists because a table range-clustered
+    * on ONE key cannot file-skip on a second: every width-4 `user`
+    * stripe spans the whole time axis, so a (user-band × time-band) box
+    * query must open all 16 intersecting stripes and scan ~N/4 rows.
+    * Interleaving the two 8-bit codes into a 16-bit Morton value and
+    * cutting files as fixed width-1024 z-ranges makes every file an
+    * EXACT 32×32 (user × time) tile — the quadrant-aligned 64×64 box
+    * then touches exactly 4 tiles and `rows_scanned == true_rows`
+    * (ZOrderSpec pins both inequalities; the gate pins the numbers).
+    * Everything is layout MODELING on integer codes — no writes, no
+    * window, no sort: code extents ride a broadcast 1-row aggregate,
+    * the z-value is [[zInterleaveSql]], file ids are integer divisions,
+    * and per-file min/max/count stats are one hash aggregation per
+    * layout — so the comparison itself runs at corpus scale (the
+    * file-cut rule `z div 1024` IS `repartitionByRange` on z at write
+    * time, and the stats are what [[appendStats]] would record). */
+  val q194_zorder_layout: Q = (s, d) => {
+    val e = graft.ops.Events.events(s, d).select(col("user_id").as("u"), col("es"))
+    val bounds = e.agg(min("u").as("minu"), max("u").as("maxu"),
+      min("es").as("mine"), max("es").as("maxe"))
+    val z = e.crossJoin(broadcast(bounds))
+      .select(expr("CAST(((u - minu) * 256) div (maxu - minu + 1) AS BIGINT)").as("x"),
+        expr("CAST(((es - mine) * 256) div (maxe - mine + 1) AS BIGINT)").as("y"))
+      .withColumn("z", expr(zInterleaveSql("x", "y", "div")))
+    val layouts = z.select(lit("user_sorted").as("layout"),
+        expr("x div 4").as("fid"), col("x"), col("y"))
+      .unionAll(z.select(lit("zorder").as("layout"),
+        expr("z div 1024").as("fid"), col("x"), col("y")))
+    val stats = layouts.groupBy("layout", "fid")
+      .agg(min("x").as("lx"), max("x").as("hx"),
+        min("y").as("ly"), max("y").as("hy"), count(lit(1)).as("n"))
+    // the box query: middle quadrant-aligned 64×64 band on BOTH dims;
+    // a file is opened iff its stats box intersects (min/max pruning —
+    // the superset guarantee readAtPruned serves for real manifests)
+    val hit = col("hx") >= 64 && col("lx") <= 127 &&
+      col("hy") >= 64 && col("ly") <= 127
+    val truth = z.where(col("x").between(64, 127) && col("y").between(64, 127))
+      .agg(count(lit(1)).as("true_rows"))
+    stats.groupBy("layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(hit, 1L).otherwise(0L)).as("files_scanned"),
+        sum(when(hit, col("n")).otherwise(0L)).as("rows_scanned"))
+      .crossJoin(broadcast(truth))
+      .select("layout", "n_files", "files_scanned", "rows_scanned", "true_rows")
+      .orderBy("layout")
+  }
+
   val queries: Map[String, Q] = Map(
     "q135_bloom_lookup" -> q135_bloom_lookup,
-    "q141_bloom_append" -> q141_bloom_append)
+    "q141_bloom_append" -> q141_bloom_append,
+    "q194_zorder_layout" -> q194_zorder_layout)
 
   val oracle: Map[String, String] = Map(
     // the lookup's answer, stated directly: rows whose fingerprint
@@ -386,5 +451,38 @@ object DataSkipping {
     "q141_bloom_append" -> graft.ops.TextCore.withDocs(
       """SELECT doc_id, md5(norm) AS fingerprint FROM docs
         |WHERE md5(norm) IN (SELECT md5(norm) FROM docs WHERE doc_id < 6)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin),
+    // the identical layout model stated over the same integer codes —
+    // the interleave expression is GENERATED from the one zInterleaveSql
+    // definition the Spark side uses (only the div spelling differs)
+    "q194_zorder_layout" ->
+      s"""WITH e AS (
+         |  SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS es
+         |  FROM events),
+         |b AS (SELECT min(u) AS minu, max(u) AS maxu,
+         |             min(es) AS mine, max(es) AS maxe FROM e),
+         |z AS (
+         |  SELECT x, y, ${zInterleaveSql("x", "y", "//")} AS z
+         |  FROM (SELECT ((u - minu) * 256) // (maxu - minu + 1) AS x,
+         |               ((es - mine) * 256) // (maxe - mine + 1) AS y
+         |        FROM e, b)),
+         |f AS (
+         |  SELECT 'user_sorted' AS layout, x // 4 AS fid, x, y FROM z
+         |  UNION ALL
+         |  SELECT 'zorder' AS layout, z // 1024 AS fid, x, y FROM z),
+         |st AS (
+         |  SELECT layout, fid, min(x) AS lx, max(x) AS hx,
+         |         min(y) AS ly, max(y) AS hy, count(*) AS n
+         |  FROM f GROUP BY 1, 2),
+         |tr AS (SELECT count(*) AS true_rows FROM z
+         |       WHERE x BETWEEN 64 AND 127 AND y BETWEEN 64 AND 127)
+         |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+         |       CAST(sum(CASE WHEN hx >= 64 AND lx <= 127
+         |                      AND hy >= 64 AND ly <= 127
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+         |       CAST(sum(CASE WHEN hx >= 64 AND lx <= 127
+         |                      AND hy >= 64 AND ly <= 127
+         |                     THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+         |       CAST((SELECT true_rows FROM tr) AS BIGINT) AS true_rows
+         |FROM st GROUP BY layout ORDER BY layout""".stripMargin)
 }

@@ -234,6 +234,19 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     assert(plan("q190_neyman_alloc")
       .collect { case c: CartesianProductExec => c }.isEmpty,
       "q190's totals ride must broadcast, not cartesian")
+    // q193's blocked self-join must stay an equi-join on (hb, day) — a
+    // predicate tweak degrading it to a nested loop would still pass
+    // correctness (the oracle IS the quadratic join) but lose the whole
+    // point of the blocking
+    val q193 = plan("q193_interval_overlap")
+    assert(q193.collect { case c: CartesianProductExec => c
+                          case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "q193's interval join must be the hour-block equi-join")
+    // q194 carries two documented 1-row BNLJ rides (code bounds + the
+    // true-rows anchor); only the cartesian degradation is forbidden
+    assert(plan("q194_zorder_layout")
+      .collect { case c: CartesianProductExec => c }.isEmpty,
+      "q194's bounds/truth rides must broadcast, not cartesian")
   }
 
   test("fact-to-dim joins broadcast the dim side") {
