@@ -382,8 +382,55 @@ object Events {
       .distinct()
   }
 
+  /** q195: MULTI-TOUCH linear attribution — q68 is last-touch (the one
+    * click before the purchase gets everything); this splits each
+    * purchase's credit EQUALLY over every click by the same user in the
+    * trailing 24 h window, the other standard attribution model. Credit
+    * is integer basis points (`10000 div n` — truncation, identical in
+    * both engines on positive operands; the remainder is deliberately
+    * dropped, not redistributed), rolled up per click-day. Scale shape:
+    * the raw theta-join (same user, 24 h band) is quadratic per user —
+    * instead each purchase explodes to the ≤ 2 day-buckets its window
+    * touches while a click maps to exactly ONE bucket, so the join is
+    * EQUI on (user_id, bucket), each true pair matches exactly once (no
+    * dedup), and the band predicate only filters within buckets — the
+    * q69 bucketing applied to a sliding window. The per-purchase n is a
+    * purchase-partitioned window (bounded groups); the DuckDB oracle
+    * runs the direct theta-join, gating the blocked rewrite. */
+  val q195_linear_attribution: Q = (s, d) => {
+    val ev = events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("es").as("ces"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("es").as("pes"))
+    attributionPairs(clicks, purchases)
+      .groupBy(expr("CAST(ces div 86400 AS BIGINT)").as("day"))
+      .agg(count_distinct(col("click_id")).as("n_clicks"),
+        sum(expr("CAST(10000 div n AS BIGINT)")).as("credit_bp"))
+      .orderBy("day")
+  }
+
+  /** The blocked attribution core of q195: clicks (`user_id`,
+    * `click_id`, `ces`) × purchases (`user_id`, `purchase_id`, `pes`) →
+    * one row per (purchase, click-in-trailing-24h) pair carrying `n` =
+    * that purchase's pair count, via the day-bucket equi-join. Factored
+    * so the spec can pin its equivalence to the direct theta-join on
+    * boundary layouts (window edge exactly 86400 s, same-second ties,
+    * cross-midnight windows). */
+  private[graft] def attributionPairs(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val pb = purchases.withColumn("bucket",
+      explode(sequence(expr("CAST((pes - 86400) div 86400 AS BIGINT)"),
+        expr("CAST(pes div 86400 AS BIGINT)"))))
+    val cb = clicks.withColumn("bucket", expr("CAST(ces div 86400 AS BIGINT)"))
+    pb.join(cb, Seq("user_id", "bucket"))
+      .where(col("ces") >= col("pes") - 86400 && col("ces") <= col("pes"))
+      .select(col("purchase_id"), col("click_id"), col("ces"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("purchase_id")))
+  }
+
   val queries: Map[String, Q] = Map(
     "q193_interval_overlap" -> q193_interval_overlap,
+    "q195_linear_attribution" -> q195_linear_attribution,
     "q186_ewma_rate" -> q186_ewma_rate,
     "q174_rate_anomaly" -> q174_rate_anomaly,
     "q50_event_windows" -> q50_event_windows,
@@ -536,6 +583,25 @@ object Events {
         |  ON a.day = b.day AND a.user_id < b.user_id
         | AND a.st < b.en AND b.st < a.en
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the attribution model stated directly: the plain theta-join the
+    // blocked (user, day-bucket) equi-join must reproduce
+    "q195_linear_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, es AS pes
+        |      FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, es AS ces
+        |      FROM e WHERE event_type = 'click'),
+        |pairs AS (
+        |  SELECT p.purchase_id, c.click_id, c.ces,
+        |         count(*) OVER (PARTITION BY p.purchase_id) AS n
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |   AND c.ces BETWEEN p.pes - 86400 AND p.pes)
+        |SELECT ces // 86400 AS day,
+        |       CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks,
+        |       CAST(sum(10000 // n) AS BIGINT) AS credit_bp
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
     "q50_event_windows" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         |       event_type,

@@ -41,4 +41,36 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
       "touching intervals must not pair under the strict predicate")
     assert(blocked.exists(p => p._2 == 1L && p._3 == 4L), "point interval inside")
   }
+
+  test("attributionPairs equals the direct theta-join on window-boundary layouts") {
+    import spark.implicits._
+    val day = 86400L
+    // clicks: exactly-at-window-edge (pes - 86400, included), one second
+    // beyond (excluded), same-second tie (included), cross-midnight
+    // window, different user (excluded), click after purchase (excluded)
+    val clicks = Seq(
+      (1L, 10L, 2 * day + 100L),       // in window of p1 (edge: pes - 86400)
+      (1L, 11L, 2 * day + 99L),        // 1 s beyond the window — excluded
+      (1L, 12L, 3 * day + 100L),       // same second as p1 — included
+      (1L, 13L, 3 * day),              // midnight, in window of p1
+      (2L, 14L, 2 * day + 100L),       // other user — excluded
+      (1L, 15L, 3 * day + 101L)        // after p1 — excluded
+    ).toDF("user_id", "click_id", "ces")
+    val purchases = Seq(
+      (1L, 100L, 3 * day + 100L),      // window [2d+100, 3d+100]
+      (1L, 101L, 2 * day + 100L)       // window [1d+100, 2d+100]: catches click 10
+    ).toDF("user_id", "purchase_id", "pes")
+    val got = Events.attributionPairs(clicks, purchases)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val direct = purchases.join(clicks, Seq("user_id"))
+      .where(col("ces") >= col("pes") - day && col("ces") <= col("pes"))
+      .select("purchase_id", "click_id")
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("purchase_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == direct)
+    assert(got == Set((100L, 10L, 3L), (100L, 12L, 3L), (100L, 13L, 3L),
+      (101L, 10L, 2L), (101L, 11L, 2L)),
+      "edge click shared by both windows, tie included, beyond-edge excluded")
+  }
 }
