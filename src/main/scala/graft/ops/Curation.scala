@@ -533,6 +533,35 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** q196: DIFFERENTIALLY-PRIVATE count release — the NOISY complement
+    * of q175's k-anonymity rung: instead of suppressing small classes,
+    * every (lang, source) cell count is perturbed with additive integer
+    * noise before release, so no exact count ever leaves the engine.
+    * The noise is Binomial(60, ½) − 30 — the popcount of 60 hash bits —
+    * the discrete-Gaussian-shaped mechanism (σ ≈ 3.87; ± 30 worst
+    * case), drawn entirely in integers so the gate hash-matches. The
+    * draw is SEEDED from the cell key (md5("dp1:" ⊕ lang ⊕ source)) —
+    * deterministic by the gate's requirement; a production release
+    * swaps that seed for fresh entropy and NOTHING else in the plan
+    * changes (the honest-stub convention, stated rather than hidden).
+    * Clamping negatives at 0 and suppressing cells whose NOISY count
+    * falls under the publication floor are both post-processing, which
+    * DP composition permits. Scale shape: one narrow aggregate over
+    * cell keys, then per-row expressions — nothing corpus-sized
+    * survives the groupBy. */
+  val q196_dp_release: Q = (s, d) => {
+    val cells = s.read.parquet(s"$d/documents.parquet")
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("v", conv(substring(md5(concat(lit("dp1:"), col("lang"),
+        lit("|"), col("source"))), 1, 15), 16, 10).cast("long"))
+      .withColumn("noisy_n",
+        greatest(lit(0L), col("n") + bit_count(col("v")).cast("long") - lit(30L)))
+      .where(col("noisy_n") >= 10)
+      .select(col("lang"), col("source"), col("noisy_n"))
+      .orderBy("lang", "source")
+  }
+
   /** q178: TOPIC-balanced mix — q122's temperature machinery with the
     * stratum moved from the language label to the EMBEDDING CLUSTER
     * (q37's seed-codebook assignment): languages are metadata, topics
@@ -718,6 +747,7 @@ object Curation {
     "q179_epoch_sample" -> q179_epoch_sample,
     "q178_cluster_mix" -> q178_cluster_mix,
     "q175_k_anonymity" -> q175_k_anonymity,
+    "q196_dp_release" -> q196_dp_release,
     "q165_weighted_sample" -> q165_weighted_sample,
     "q78_seq_packing" -> q78_seq_packing,
     "q79_pii_scrub" -> q79_pii_scrub,
@@ -860,6 +890,19 @@ object Curation {
          |         AS len_bucket_out,
          |       level
          |FROM lv ORDER BY doc_id""".stripMargin,
+    // the same seeded binomial draw: popcount of the cell key's first
+    // 60 md5 bits, centered, clamped, floored — stated directly
+    "q196_dp_release" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+        |noisy AS (
+        |  SELECT lang, source,
+        |         greatest(0, n + bit_count(CAST('0x' ||
+        |           substr(md5('dp1:' || lang || '|' || source), 1, 15)
+        |           AS BIGINT)) - 30) AS noisy_n
+        |  FROM cells)
+        |SELECT lang, source, CAST(noisy_n AS BIGINT) AS noisy_n
+        |FROM noisy WHERE noisy_n >= 10 ORDER BY lang, source""".stripMargin,
     // the same per-source quality ranking, cap, cut line and digest
     "q181_source_cap" -> withDocs(
       s""", ${TextStats.qualCte},

@@ -414,4 +414,27 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     // the ∝ N_h·S_h design vacuous and tw=0 divide)
     assert(tw > 0)
   }
+
+  test("q196: released counts stay within the binomial mechanism's ±30 bound and actually perturb") {
+    val sf = "/root/testdata/sf0.001"
+    val released = SparkEntry.queries("q196_dp_release")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val truth = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang", "source").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(released.nonEmpty)
+    released.foreach { case (cell, noisy) =>
+      assert(noisy >= 10, s"$cell released below the publication floor")
+      val t = truth(cell)
+      assert(math.abs(noisy - t) <= 30, s"$cell: noise out of the popcount bound")
+    }
+    // the mechanism must actually add noise somewhere (an identity
+    // release would pass the bound check vacuously)
+    assert(released.exists { case (cell, noisy) => noisy != truth(cell) },
+      "no cell was perturbed — the noise expression is broken")
+    // determinism: the seeded draw makes a second run byte-identical
+    val again = SparkEntry.queries("q196_dp_release")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(again == released)
+  }
 }
