@@ -433,10 +433,56 @@ object DataSkipping {
       .orderBy("layout")
   }
 
+  // ---------------------------------------------------------------------------
+  // q197: table profiling — the ANALYZE statistics every optimizer feeds on
+  // ---------------------------------------------------------------------------
+
+  /** One-pass column profile of `df` over `cols`: every column's values
+    * are string-rendered and stacked into a (col, v) long frame (the
+    * UNPIVOT shape — a generated `explode(array(struct...))`, no UDF),
+    * then one grouped aggregate per column yields row count, non-null
+    * count, EXACT distinct count and the lexicographic min/max of the
+    * rendered values. This is the `ANALYZE TABLE ... COMPUTE STATISTICS
+    * FOR COLUMNS` payload (null fraction, NDV, extrema) computed as a
+    * plain query so the gate can hash it. Scale shape: the expand
+    * multiplies rows ×|cols| but stays map-side; the distinct count
+    * shuffles on (col, value) with partial aggregation — the same
+    * two-phase shape `count(DISTINCT)` always plans — and the final
+    * frame is |cols| rows. Lexicographic (not numeric) extrema on the
+    * rendered strings are deliberate: one ordering for every type, and
+    * both engines compare binary UTF-8 identically. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col"), col(c).cast("string").as("v"))): _*)).as("r"))
+      .select(col("r.col").as("col"), col("r.v").as("v"))
+      .groupBy("col").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_nonnull"),
+        count_distinct(col("v")).as("n_distinct"),
+        min("v").as("min_s"), max("v").as("max_s"))
+      .orderBy("col")
+
+  /** The q197 profile column set — shared with the generated oracle so
+    * the two sides cannot drift. `l_shipdate` is pre-rendered to epoch
+    * seconds (10-digit strings — lexicographic = numeric there). */
+  private val profileCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_returnflag", "l_linestatus", "ship_es")
+
+  /** q197: the lineitem column profile through [[profile]].
+    * `l_shipdate` arrives TIMESTAMP_NTZ from the driver parquet; the
+    * double cast is the [[graft.ops.Events.events]] epoch rule (exact
+    * under the pinned-UTC session every entry point builds). */
+  val q197_table_profile: Q = (s, d) =>
+    profile(s.read.parquet(s"$d/lineitem.parquet")
+      .withColumn("ship_es", col("l_shipdate")
+        .cast(org.apache.spark.sql.types.TimestampType)
+        .cast(org.apache.spark.sql.types.LongType)), profileCols)
+
   val queries: Map[String, Q] = Map(
     "q135_bloom_lookup" -> q135_bloom_lookup,
     "q141_bloom_append" -> q141_bloom_append,
-    "q194_zorder_layout" -> q194_zorder_layout)
+    "q194_zorder_layout" -> q194_zorder_layout,
+    "q197_table_profile" -> q197_table_profile)
 
   val oracle: Map[String, String] = Map(
     // the lookup's answer, stated directly: rows whose fingerprint
@@ -484,5 +530,21 @@ object DataSkipping {
          |                      AND hy >= 64 AND ly <= 127
          |                     THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
          |       CAST((SELECT true_rows FROM tr) AS BIGINT) AS true_rows
-         |FROM st GROUP BY layout ORDER BY layout""".stripMargin)
+         |FROM st GROUP BY layout ORDER BY layout""".stripMargin,
+    // the same UNPIVOT → grouped profile, its long frame GENERATED from
+    // the one profileCols list the Spark side stacks
+    "q197_table_profile" -> {
+      val stacked = profileCols.map { c =>
+        val v = if (c == "ship_es")
+          "CAST(floor(epoch(l_shipdate)) AS BIGINT)" else c
+        s"SELECT '$c' AS col, CAST($v AS VARCHAR) AS v FROM lineitem"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH long AS (
+         |  $stacked)
+         |SELECT col, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(count(v) AS BIGINT) AS n_nonnull,
+         |       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+         |       min(v) AS min_s, max(v) AS max_s
+         |FROM long GROUP BY col ORDER BY col""".stripMargin
+    })
 }
