@@ -428,9 +428,57 @@ object Events {
       .withColumn("n", count(lit(1)).over(Window.partitionBy("purchase_id")))
   }
 
+  /** q198: A/B EXPERIMENT readout — the analysis every event pipeline
+    * ends a feature launch with: users are assigned to two arms by
+    * id-hash parity (the q70 deterministic-split rule applied to
+    * experimentation — no rand(), so assignment is stable across reps
+    * and engines), a user CONVERTS at ≥ 14 purchase events (the corpus
+    * per-user median is ~13 at every driver scale, so the metric
+    * splits users instead of saturating — "any purchase" converts
+    * EVERYONE here and degenerates the pooled variance to 0), and the
+    * readout is per-arm (users, conversions), the integer basis-point
+    * lift (`c·10000 div n` per arm, then differenced — truncation
+    * identical in both engines), and the pooled two-proportion z
+    * statistic. The z formula runs in doubles with ONE IEEE sqrt and
+    * is quantized to `z_x100` by the house floor(x·100 + 0.5) rule
+    * (q174/q190 precedent: correctly-rounded IEEE ops written in the
+    * same order bit-agree across engines); significance is then an
+    * INTEGER comparison against 196 — the 1.96 two-sided 5% critical
+    * value — so no float boundary ever decides a gated value.
+    * Degenerate inputs (an empty arm; all or no users converting,
+    * where the z denominator is 0) yield NULL readouts rather than an
+    * ANSI division error — the CASE guards in both engines. Scale
+    * shape: one user-keyed aggregate (shuffle on user_id), a 2-row arm
+    * rollup, then 1-row arithmetic. */
+  val q198_ab_test: Q = (s, d) => {
+    val users = events(s, d).groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .select(col("user_id"), when(col("np") >= 14, 1L).otherwise(0L).as("conv"))
+      .withColumn("arm", graft.ops.TextCore.idBucket(col("user_id")) % lit(2L))
+    val wide = users.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c1"))
+    wide.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        expr("""CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+                ELSE c1 * 10000 div n1 - c0 * 10000 div n0 END""").as("lift_bp"),
+        expr("""CASE WHEN n0 = 0 OR n1 = 0
+                     OR c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL
+          ELSE CAST(floor(
+          (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) /
+          sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+               * (CAST(1 AS DOUBLE) - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+               * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1))
+          * 100 + CAST(1 AS DOUBLE) / 2) AS BIGINT) END""").as("z_x100"))
+      .withColumn("significant",
+        when(abs(col("z_x100")) >= 196, 1L).otherwise(0L))
+  }
+
   val queries: Map[String, Q] = Map(
     "q193_interval_overlap" -> q193_interval_overlap,
     "q195_linear_attribution" -> q195_linear_attribution,
+    "q198_ab_test" -> q198_ab_test,
     "q186_ewma_rate" -> q186_ewma_rate,
     "q174_rate_anomaly" -> q174_rate_anomaly,
     "q50_event_windows" -> q50_event_windows,
@@ -602,6 +650,41 @@ object Events {
         |       CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks,
         |       CAST(sum(10000 // n) AS BIGINT) AS credit_bp
         |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same arm assignment, counts, integer lift and z formula —
+    // doubles written in the identical order so the IEEE results agree
+    "q198_ab_test" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+         |                            THEN 1 ELSE 0 END) >= 14
+         |              THEN 1 ELSE 0 END AS conv
+         |  FROM events GROUP BY 1),
+         |a AS (SELECT (${graft.ops.TextCore.idBucketSql("user_id")}) % 2 AS arm,
+         |             conv FROM u),
+         |w AS (
+         |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+         |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+         |  FROM a),
+         |z AS (
+         |  SELECT n0, c0, n1, c1,
+         |         CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+         |              ELSE CAST(c1 * 10000 // n1 - c0 * 10000 // n0 AS BIGINT)
+         |         END AS lift_bp,
+         |         CASE WHEN n0 = 0 OR n1 = 0
+         |                OR c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL
+         |         ELSE CAST(floor(
+         |           (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) /
+         |           sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+         |                * (CAST(1 AS DOUBLE) - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+         |                * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1))
+         |           * 100 + CAST(1 AS DOUBLE) / 2) AS BIGINT) END AS z_x100
+         |  FROM w)
+         |SELECT n0, c0, n1, c1, lift_bp, z_x100,
+         |       CAST(CASE WHEN abs(z_x100) >= 196 THEN 1 ELSE 0 END AS BIGINT)
+         |         AS significant
+         |FROM z""".stripMargin,
     "q50_event_windows" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         |       event_type,

@@ -73,4 +73,21 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
       (101L, 10L, 2L), (101L, 11L, 2L)),
       "edge click shared by both windows, tie included, beyond-edge excluded")
   }
+
+  test("q198: arm counts partition the users and the z statistic replays from the counts") {
+    val sf = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q198_ab_test")(spark, sf).head()
+    val (n0, c0, n1, c1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val totalUsers = Events.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(n0 + n1 == totalUsers, "arms must partition the user set")
+    assert(c0 <= n0 && c1 <= n1)
+    assert(n0 > 0 && n1 > 0, "hash parity must populate both arms")
+    // independent replay of the pooled two-proportion z from the counts
+    val (p0, p1) = (c0.toDouble / n0, c1.toDouble / n1)
+    val pp = (c0 + c1).toDouble / (n0 + n1)
+    val z = (p1 - p0) / math.sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1))
+    assert(r.getLong(5) == math.floor(z * 100 + 0.5).toLong)
+    assert(r.getLong(6) == (if (math.abs(r.getLong(5)) >= 196) 1L else 0L))
+  }
 }
