@@ -450,11 +450,24 @@ object Events {
     * ANSI division error — the CASE guards in both engines. Scale
     * shape: one user-keyed aggregate (shuffle on user_id), a 2-row arm
     * rollup, then 1-row arithmetic. */
-  val q198_ab_test: Q = (s, d) => {
-    val users = events(s, d).groupBy("user_id")
+  /** q198's conversion threshold — shared with the streaming twin
+    * ([[graft.streaming.EventStream.abStatusStream]]) so the two
+    * readouts cannot drift. */
+  private[graft] val abConvThreshold = 14L
+
+  /** q198's user stage: one row per participating user with
+    * (conv ∈ {0,1}, arm ∈ {0,1}) — ONE definition for the gated batch
+    * readout, the streaming twin's parity spec, and anything else that
+    * needs the assignment. */
+  private[graft] def abUsers(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id")
       .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
-      .select(col("user_id"), when(col("np") >= 14, 1L).otherwise(0L).as("conv"))
+      .select(col("user_id"),
+        when(col("np") >= abConvThreshold, 1L).otherwise(0L).as("conv"))
       .withColumn("arm", graft.ops.TextCore.idBucket(col("user_id")) % lit(2L))
+
+  val q198_ab_test: Q = (s, d) => {
+    val users = abUsers(events(s, d))
     val wide = users.agg(
       sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
       sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c0"),

@@ -37,6 +37,16 @@ case class SampleState(upd: Long, winners: Seq[(Long, Long, Long)])
 case class SampleWinner(lang: String, upd: Long, rank: Long, doc_id: Long,
   w: Long, skey: Long)
 
+/** One typed row of the A/B stream after arm assignment
+  * ([[EventStream.abStatusStream]] computes `arm` with the batch Column
+  * helper BEFORE typing, so the assignment rule has one definition). */
+case class AbEv(user_id: Long, arm: Long, event_type: String)
+
+/** A user's current experiment status — Update-mode upsert rows; a
+  * reader keeps the latest per user and rolls up arms exactly like the
+  * batch q198 wide stage. */
+case class AbStatus(user_id: Long, arm: Long, conv: Long)
+
 /** One typed event entering the streaming funnel ([[EventStream.funnelStream]]). */
 /** One arriving document of the source-cap stream (q181's twin). */
 case class CapDoc(source: String, doc_id: Long, score: Double, n_tok: Long)
@@ -657,6 +667,38 @@ object EventStream {
     * moments (EventStreamSpec proves equality after every batch). */
   def covCellsStream(vecs: DataFrame): DataFrame =
     graft.ops.Similarity.covMoments(graft.ops.Similarity.covCellsOf(vecs))
+
+  /** Streaming A/B status — the stateful twin of batch q198's user
+    * stage: per user the state is ONE Long (purchases seen so far); any
+    * batch touching the user re-emits their (arm, conv) status row,
+    * conv flipping exactly when the count crosses the shared
+    * [[graft.ops.Events.abConvThreshold]]. Update mode: a dashboard
+    * upserts by user_id and rolls up arms into the (n, c) table the
+    * batch `wide` stage computes — counting is additive and the
+    * threshold is applied to the CUMULATIVE count, so after any prefix
+    * of batches the snapshot equals the batch user stage on the same
+    * events, in any arrival order (EventStreamSpec pins it). Arm
+    * assignment runs as the batch Column expression BEFORE typing —
+    * one hash-parity definition, no Scala re-implementation to drift.
+    * Non-purchase events still create/emit status (a participant is
+    * anyone with ANY event — the batch denominator), costing one Long
+    * of state per all-time user like the funnel's NoTimeout variant. */
+  def abStatusStream(events: DataFrame): Dataset[AbStatus] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("arm", graft.ops.TextCore.idBucket(col("user_id")) % lit(2L))
+      .select(col("user_id"), col("arm"), col("event_type"))
+      .as[AbEv]
+      .groupByKey(e => (e.user_id, e.arm))
+      .mapGroupsWithState[Long, AbStatus](GroupStateTimeout.NoTimeout) {
+        case ((uid, arm), batch, state) =>
+          val np = state.getOption.getOrElse(0L) +
+            batch.count(_.event_type == "purchase")
+          state.update(np)
+          AbStatus(uid, arm,
+            if (np >= graft.ops.Events.abConvThreshold) 1L else 0L)
+      }
+  }
 
   /** Streaming funnel — the stateful twin of batch q73's ordered
     * conversion funnel: per user, track the FIRST-occurrence timestamp

@@ -374,6 +374,45 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("abStatusStream snapshot equals the batch q198 user stage across out-of-order batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def purchases(uid: Long, n: Int, from: Long) =
+      (0 until n).map(i => FunnelEv(uid, "purchase", from + i))
+    // user 1 crosses the 14-purchase threshold only after batch 2;
+    // user 4 converts inside batch 1; user 2 stalls at 13 forever;
+    // user 3 never purchases but IS a participant (denominator row)
+    val b1 = purchases(1L, 10, 100) ++ purchases(2L, 13, 100) ++
+      Seq(FunnelEv(3L, "view", 50)) ++ purchases(4L, 14, 100)
+    val b2 = purchases(1L, 10, 500) ++ Seq(FunnelEv(3L, "click", 600))
+    val input = MemoryStream[FunnelEv]
+    val query = EventStream.abStatusStream(input.toDS().toDF())
+      .writeStream.format("memory").queryName("ab").outputMode("update").start()
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      val after1 = spark.table("ab").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("arm"), r.getAs[Long]("conv"))).toSeq
+      assert(after1.toMap.view.mapValues(_._2).toMap ==
+        Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+      input.addData(b2: _*); query.processAllAvailable()
+      val delta = spark.table("ab").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("arm"), r.getAs[Long]("conv"))).toSeq
+        .diff(after1)
+      // only touched users re-emit; user 1's cumulative count crossed
+      assert(delta.toMap.keySet == Set(1L, 3L))
+      val snapshot = after1.toMap ++ delta.toMap
+      // the batch user stage on ALL events — one shared definition
+      val batch = graft.ops.Events.abUsers(
+        (b1 ++ b2).toDF("user_id", "event_type", "es"))
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("arm"), r.getAs[Long]("conv"))).toMap
+      assert(snapshot == batch)
+      assert(snapshot(1L)._2 == 1L && snapshot(2L)._2 == 0L)
+    } finally query.stop()
+  }
+
   test("funnelStreamWithTimeout emits the final verdict and clears expired state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
