@@ -194,12 +194,66 @@ object Skew {
       .orderBy("l_returnflag")
   }
 
+  /** q199: JOIN-CARDINALITY estimation from per-key count statistics —
+    * the optimizer arithmetic behind every skew decision in this
+    * module: |A ⋈ₖ B| = Σₖ nₐ(k)·n_b(k) exactly, so the SIZE of the
+    * clicks⋈purchases-by-user join (and its hottest key — the q74/q103
+    * salting trigger) is computable from two narrow count aggregates
+    * WITHOUT ever shuffling a wide row or materializing a pair. The
+    * DuckDB oracle counts the ACTUAL join, so the gate proves the
+    * estimate is the true cardinality, not an approximation of it —
+    * that exactness is why the product-sum is what a cost model plans
+    * shuffles with. Output also carries the max per-key pair count and
+    * its key (deterministic (cnt desc, key) min-string tie-break, the
+    * house total-order rule). Scale shape: two user-keyed count
+    * aggregates (co-partitioned equi-join) + one 1-row rollup; the
+    * estimated join itself — quadratic per hot user — is never
+    * executed. */
+  val q199_join_cardinality: (SparkSession, String) => DataFrame = (s, d) => {
+    val ev = graft.ops.Events.events(s, d).select("user_id", "event_type")
+    def perUser(t: String, as: String) =
+      ev.where(col("event_type") === t)
+        .groupBy("user_id").agg(count(lit(1)).as(as))
+    perUser("click", "na").join(perUser("purchase", "nb"), "user_id")
+      .select(col("user_id"), (col("na") * col("nb")).as("pairs"))
+      .agg(count(lit(1)).as("n_users_both"),
+        sum("pairs").as("est_pairs"),
+        max("pairs").as("max_key_pairs"),
+        min(concat(lpad((lit(1000000000L) - col("pairs")).cast("string"), 10, "0"),
+          lit("|"), col("user_id").cast("string"))).as("hot"))
+      .select(col("n_users_both"), col("est_pairs"), col("max_key_pairs"),
+        expr("CAST(split(hot, '\\\\|')[1] AS BIGINT)").as("hot_user"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q74_salted_agg" -> q74_salted_agg,
       "q103_salted_join" -> q103_salted_join,
-      "q192_bloom_semijoin" -> q192_bloom_semijoin)
+      "q192_bloom_semijoin" -> q192_bloom_semijoin,
+      "q199_join_cardinality" -> q199_join_cardinality)
 
   val oracle: Map[String, String] = Map(
+    // est_pairs in the oracle is the COUNT OF THE ACTUAL JOIN — the
+    // gate proves the product-sum estimate IS the true cardinality
+    "q199_join_cardinality" ->
+      """WITH e AS (SELECT user_id, event_type FROM events),
+        |a AS (SELECT user_id, count(*) AS na FROM e
+        |      WHERE event_type = 'click' GROUP BY 1),
+        |b AS (SELECT user_id, count(*) AS nb FROM e
+        |      WHERE event_type = 'purchase' GROUP BY 1),
+        |p AS (SELECT a.user_id AS user_id, na * nb AS pairs
+        |      FROM a JOIN b USING (user_id)),
+        |truth AS (
+        |  SELECT count(*) AS true_pairs
+        |  FROM (SELECT user_id FROM e WHERE event_type = 'click') c
+        |  JOIN (SELECT user_id FROM e WHERE event_type = 'purchase') pu
+        |    USING (user_id))
+        |SELECT CAST(count(*) AS BIGINT) AS n_users_both,
+        |       CAST((SELECT true_pairs FROM truth) AS BIGINT) AS est_pairs,
+        |       CAST(max(pairs) AS BIGINT) AS max_key_pairs,
+        |       CAST(split_part(min(lpad(CAST(1000000000 - pairs AS VARCHAR),
+        |              10, '0') || '|' || CAST(user_id AS VARCHAR)),
+        |            '|', 2) AS BIGINT) AS hot_user
+        |FROM p""".stripMargin,
     "q192_bloom_semijoin" ->
       """SELECT l_returnflag,
         |       CAST(count(*) AS BIGINT) AS n_items,

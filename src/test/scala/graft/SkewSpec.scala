@@ -132,4 +132,24 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     // this bound is stable, not a flaky sample
     assert(kept.size < 150, s"bloom prune kept ${kept.size} of 5000")
   }
+
+  test("q199: the product-sum estimate equals a directly executed join's size") {
+    val sf = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q199_join_cardinality")(spark, sf).head()
+    val ev = spark.read.parquet(s"$sf/events.parquet").select("user_id", "event_type")
+    val clicks = ev.where(col("event_type") === "click").select("user_id")
+    val purchases = ev.where(col("event_type") === "purchase").select("user_id")
+    val actual = clicks.join(purchases, "user_id").count()
+    assert(r.getLong(1) == actual, "Σ na·nb must BE the join cardinality")
+    // the hottest key really is an argmax of pairs (the string tie-break
+    // must not distort the ordering)
+    val pairs = clicks.groupBy("user_id").count().withColumnRenamed("count", "na")
+      .join(purchases.groupBy("user_id").count().withColumnRenamed("count", "nb"), "user_id")
+      .select(col("user_id"), (col("na") * col("nb")).as("p"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1))
+    val best = pairs.map(_._2).max
+    assert(r.getLong(2) == best)
+    assert(pairs.filter(_._2 == best).map(_._1).min == r.getLong(3),
+      "hot_user must be the smallest user id among argmax keys")
+  }
 }
