@@ -247,4 +247,30 @@ class MediaHeaderSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == (None, -1L, -1L, -1L))
     assert(got(3L) == (None, -1L, -1L, -1L))
   }
+
+  test("GIF logical screen descriptor: little-endian dims, 87a and 89a, junk rejected") {
+    import spark.implicits._
+    def gif(sig: String, w: Int, h: Int): Array[Byte] =
+      sig.getBytes("US-ASCII") ++
+        Array((w & 0xFF).toByte, ((w >> 8) & 0xFF).toByte,
+          (h & 0xFF).toByte, ((h >> 8) & 0xFF).toByte) ++
+        Array[Byte](0, 0, 0) // packed fields / bg / aspect
+    val payloads = Seq(
+      gif("GIF89a", 640, 480),
+      gif("GIF87a", 1, 65535),          // LE extremes: high byte of h = 0xFF
+      "GIF88a1234567890".getBytes("US-ASCII"), // wrong version byte
+      "GIF89".getBytes("US-ASCII"))     // truncated below the descriptor
+    val got = payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "media")
+      .select(col("id"), Multimodal.mediaHeaderDims(col("media")).as("m"))
+      .select(col("id"), col("m.fmt"), col("m.w"), col("m.h"))
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got(0L) == (Some("gif"), 640L, 480L))
+    assert(got(1L) == (Some("gif"), 1L, 65535L))
+    assert(got(2L) == (None, -1L, -1L))
+    assert(got(3L) == (None, -1L, -1L))
+  }
 }
