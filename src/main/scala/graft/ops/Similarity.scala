@@ -42,6 +42,91 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", graft.functions.VectorOps.norm(col("v")))
 
+  /** q200 geometry: candidate pool size, selections, diversity weight. */
+  private[graft] val mmrPool = 20
+  private[graft] val mmrK = 5
+  private[graft] val mmrLambda = 0.5
+
+  /** The greedy MMR core of q200 over a BOUNDED candidate pool: given
+    * each candidate's query relevance and the pool's pairwise cosines,
+    * select k items maximizing `rel − λ·max(cos to already-selected)`
+    * (the first pick scores plain rel), ties broken by (score desc,
+    * vec_id asc) — a total order. Pure comparisons plus one multiply
+    * and one subtract per score, written exactly like the oracle's
+    * `c.rel - 0.5 * max(...)`, so IEEE doubles agree bit-for-bit.
+    * Factored so the spec can pin the diversity behavior on planted
+    * geometry (a near-duplicate of the first pick must lose to a
+    * farther, more novel candidate). Returns (rank, vec_id, rel,
+    * score). */
+  private[graft] def mmrGreedy(rels: Seq[(Long, Double)],
+      pairCos: Map[(Long, Long), Double], k: Int,
+      lambda: Double): Seq[(Long, Long, Double, Double)] = {
+    val remaining = scala.collection.mutable.LinkedHashMap(rels: _*)
+    val out = Seq.newBuilder[(Long, Long, Double, Double)]
+    var selected = List.empty[Long]
+    var rank = 1L
+    while (rank <= k && remaining.nonEmpty) {
+      val scored = remaining.toSeq.map { case (id, rel) =>
+        val score =
+          if (selected.isEmpty) rel
+          else rel - lambda * selected.map(s => pairCos((id, s))).max
+        (id, rel, score)
+      }
+      val (id, rel, score) = scored.minBy { case (i, _, sc) => (-sc, i) }
+      out += ((rank, id, rel, score))
+      selected ::= id
+      remaining.remove(id)
+      rank += 1
+    }
+    out.result()
+  }
+
+  /** q200: MAXIMAL MARGINAL RELEVANCE selection — the diversity-aware
+    * top-k every retrieval/few-shot/dataset-curation pipeline wants
+    * when plain cosine top-k returns five near-copies of the same
+    * item (this corpus plants exactly those: q32's near-dup pairs
+    * share embeddings' neighborhoods). Carbonell & Goldstein SIGIR'98:
+    * greedily pick argmax rel − λ·max-sim-to-selected. MMR is
+    * inherently SEQUENTIAL in k, so the scale design is the standard
+    * two-phase rerank: phase 1 bounds the pool to the cosine top-20
+    * DISTRIBUTED (one TakeOrderedAndProject — the q36 machinery),
+    * phase 2 runs the greedy loop over pool-sized tables whose every
+    * cosine is computed by the SAME codegen'd dot expression the gated
+    * q36 ranks with (the pool and its 20×20 pair cosines are the only
+    * driver-collected data — kilobytes, the q116 bounded-fold
+    * precedent). The DuckDB oracle replays the whole greedy loop as
+    * chained CTEs (the q170 replay rule), so selection order, tie
+    * breaks and scores are gated end-to-end, not just the final set.
+    * Rankings compare RAW doubles; output rounds to 4 (the q36
+    * rule). */
+  val q200_mmr_select: Q = (s, d) => {
+    import s.implicits._
+    val all = vecs(s, d)
+    val q0 = all.where(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val pool = all.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q0)) // 1-row query ride (documented exception)
+      .withColumn("rel", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(mmrPool)
+      .select(col("vec_id"), col("v"), col("nrm"), col("rel"))
+      .localCheckpoint(true)
+    val a = pool.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+    val b = pool.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+    val pairCos = a.join(broadcast(b), col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rels = pool.select("vec_id", "rel").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+      .sortBy { case (id, rel) => (-rel, id) }
+    mmrGreedy(rels, pairCos, mmrK, mmrLambda)
+      .map { case (rank, id, rel, score) =>
+        (rank, id, round4d(rel), round4d(score)) }
+      .toDF("rank", "vec_id", "rel", "mmr")
+      .orderBy("rank")
+  }
+
   /** q36: exact cosine top-5 for each query vector (vec_id < 10). */
   val q36_knn_brute: Q = (s, d) => {
     val all = vecs(s, d)
@@ -1727,6 +1812,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "q182_cov_merge" -> q182_cov_merge,
     "q176_codebook_refresh" -> q176_codebook_refresh,
+    "q200_mmr_select" -> q200_mmr_select,
     "q36_knn_brute" -> q36_knn_brute,
     "q37_knn_ivf" -> q37_knn_ivf,
     "q154_embedding_outliers" -> q154_embedding_outliers,
@@ -2392,6 +2478,43 @@ object Similarity {
       s"""WITH $vecsCte, $bruteCte
          |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine
          |FROM brute ORDER BY query_id, rank""".stripMargin,
+    // the whole greedy loop replayed as chained CTEs (the q170 replay
+    // rule): every stage's argmax, tie-break and score is gated, not
+    // just the final selected set — stages GENERATED from the same
+    // mmrK/mmrLambda/mmrPool constants the Spark side uses
+    "q200_mmr_select" -> {
+      val stages = (2 to mmrK).map { t =>
+        s"""c$t AS (
+           |  SELECT c.vec_id, c.v, c.nrm, c.rel,
+           |         c.rel - $mmrLambda * (
+           |           SELECT max(list_dot_product(c.v, s.v) / (c.nrm * s.nrm))
+           |           FROM sel${t - 1} s) AS score
+           |  FROM cand c
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})),
+           |s$t AS (SELECT vec_id, v, nrm, rel, score, $t AS rank
+           |        FROM c$t ORDER BY score DESC, vec_id LIMIT 1),
+           |sel$t AS (SELECT vec_id, v, nrm FROM sel${t - 1}
+           |          UNION ALL SELECT vec_id, v, nrm FROM s$t)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to mmrK)
+        .map(t => s"SELECT rank, vec_id, rel, score FROM s$t")
+        .mkString(" UNION ALL ")
+      s"""WITH $vecsCte,
+         |cand AS (
+         |  SELECT n.vec_id AS vec_id, n.v AS v, n.nrm AS nrm,
+         |         list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS rel
+         |  FROM vecs n, (SELECT v, nrm FROM vecs WHERE vec_id = 0) q
+         |  WHERE n.vec_id <> 0
+         |  ORDER BY rel DESC, n.vec_id LIMIT $mmrPool),
+         |s1 AS (SELECT vec_id, v, nrm, rel, rel AS score, 1 AS rank
+         |       FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+         |sel1 AS (SELECT vec_id, v, nrm FROM s1),
+         |$stages,
+         |allsel AS ($union)
+         |SELECT CAST(rank AS BIGINT) AS rank, vec_id, ${round4Sql("rel")} AS rel,
+         |       ${round4Sql("score")} AS mmr
+         |FROM allsel ORDER BY rank""".stripMargin
+    },
     // the assignment cosine restated directly; selection on the RAW
     // double (limit before rounding, the q36 rule), output rounded
     "q154_embedding_outliers" ->

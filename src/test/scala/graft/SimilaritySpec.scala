@@ -290,4 +290,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._1).toSet == Set(20L, 21L, 99L)) // no codebook seed leaks in
     assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
   }
+
+  test("mmrGreedy: a near-duplicate of the first pick loses to a farther, novel candidate") {
+    // relevance alone would rank B (0.95) second; B is a near-copy of
+    // the first pick A (cos 0.99), so at lambda = 0.5 its MMR score
+    // 0.95 - 0.495 = 0.455 loses to the novel C: 0.60 - 0.5*0.10 = 0.55
+    val rels = Seq(1L -> 0.97, 2L -> 0.95, 3L -> 0.60)
+    val cos = Map(
+      (1L, 2L) -> 0.99, (2L, 1L) -> 0.99,
+      (1L, 3L) -> 0.10, (3L, 1L) -> 0.10,
+      (2L, 3L) -> 0.12, (3L, 2L) -> 0.12)
+    val got = Similarity.mmrGreedy(rels, cos, 3, 0.5)
+    assert(got.map(_._2) == Seq(1L, 3L, 2L), s"got selection order ${got.map(_._2)}")
+    // scores follow the formula exactly (pure IEEE: rel - 0.5 * maxSim)
+    assert(got(0)._4 == 0.97)
+    assert(got(1)._4 == 0.60 - 0.5 * 0.10)
+    assert(got(2)._4 == 0.95 - 0.5 * 0.99)
+    // tie-break: equal scores resolve to the smaller id
+    val tied = Similarity.mmrGreedy(Seq(5L -> 0.8, 4L -> 0.8), Map(
+      (4L, 5L) -> 0.0, (5L, 4L) -> 0.0), 2, 0.5)
+    assert(tied.map(_._2) == Seq(4L, 5L))
+    // k larger than the pool: selection stops at pool exhaustion
+    assert(Similarity.mmrGreedy(Seq(1L -> 0.5), Map.empty, 5, 0.5).size == 1)
+  }
 }
