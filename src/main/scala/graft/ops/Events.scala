@@ -331,55 +331,102 @@ object Events {
       .orderBy("event_type", "day")
   }
 
-  /** q193: INTERVAL-OVERLAP self-join — which pairs of users were active
-    * at the same time, and for how long. Each user's activity on a day
-    * collapses to one [first-event, last-event] interval; the join emits
-    * every same-day user pair whose intervals strictly overlap, rolled
-    * up per day (pair count + total overlap seconds). Spark has no
-    * interval join; the naive formulation is a per-day cross join of
-    * user intervals. The scalable composition BLOCKS on hour buckets:
-    * each interval explodes to the ≤ 24 hour blocks it touches
-    * (sequence + explode, guard-free — start ≤ end by construction), the
-    * join is a plain EQUI-join on the block, pairs found in several
-    * shared blocks collapse with one distinct, and the overlap predicate
-    * only filters within blocks. Worst-case work is pairs-per-block, the
-    * knob is the block width, and the output bound is the true overlap
-    * count — the standard blocked interval join (the q69 range-join
-    * bucketing, applied to a SELF join). The DuckDB oracle runs the
-    * direct quadratic condition join, gating the blocked rewrite's
-    * equivalence. */
+  /** q193: INTERVAL-OVERLAP aggregation — which pairs of users were
+    * active at the same time, and for how long, rolled up per day.
+    * Each user's activity on a day collapses to one [first-event,
+    * last-event] interval; the answer is the count of same-day user
+    * pairs whose intervals STRICTLY overlap, plus their total overlap
+    * seconds. The naive formulation is a per-day pair join — and for
+    * THIS corpus it is irreducibly quadratic in any blocked form:
+    * intervals average a third of a day, so at sf0.1 the true pair set
+    * is 17 M and an hour-blocked candidate join generates 216 M rows
+    * (measured in r13 — it was the most expensive query in the suite
+    * at 6.8 s). But the OUTPUT is an aggregate, and pairwise-overlap
+    * aggregates have a classic O(n log n) SWEEP-LINE form that never
+    * materializes a pair: with `active(t)` = intervals strictly
+    * covering t,
+    *   n_pairs   = Σ over start times t of  starts_t·a_t + C(starts_t, 2)
+    *               (a_t = active after ends at t are processed — ends
+    *               first encodes the STRICT predicate: touching
+    *               intervals never pair),
+    *   overlap_s = ∫ C(active(t), 2) dt,  piecewise-constant between
+    *               event times,
+    * both in pure integers. [[overlapDayStats]] runs that sweep with
+    * two-phase running sums (within-hour-bucket windows + per-day
+    * bucket offsets — the q122 pattern; no per-day single-task sort).
+    * The DuckDB oracle still runs the DIRECT QUADRATIC pair join, so
+    * the gate proves the sweep ≡ the pairwise definition end-to-end. */
   val q193_interval_overlap: Q = (s, d) => {
     val iv = events(s, d)
       .groupBy(expr("CAST(es div 86400 AS BIGINT)").as("day"), col("user_id"))
       .agg(min("es").as("st"), max("es").as("en"))
-      // day×user-bounded frame referenced by both join sides
-      .localCheckpoint(true)
-    overlapPairs(iv)
-      .groupBy("day")
-      .agg(count(lit(1)).as("n_pairs"), sum("ov").as("overlap_s"))
-      .orderBy("day")
+    overlapDayStats(iv)
   }
 
-  /** The blocked overlap core of q193: intervals (`day`, `user_id`,
-    * `st`, `en`) → strictly-overlapping same-day user pairs (`day`,
-    * `u1`, `u2`, `ov`=overlap seconds), u1 < u2, via the hour-block
-    * equi-join. Factored so the spec can pin its equivalence to the
-    * direct condition join on adversarial synthetic intervals. */
-  private[graft] def overlapPairs(iv: DataFrame): DataFrame = {
-    val blocked = iv.withColumn("hb",
-      explode(sequence(expr("CAST(st div 3600 AS BIGINT)"),
-        expr("CAST(en div 3600 AS BIGINT)"))))
-    val a = blocked.select(col("hb"), col("day"), col("user_id").as("u1"),
-      col("st").as("st1"), col("en").as("en1"))
-    val b = blocked.select(col("hb"), col("day"), col("user_id").as("u2"),
-      col("st").as("st2"), col("en").as("en2"))
-    a.join(b, Seq("hb", "day"))
-      .where(col("u1") < col("u2") &&
-        col("st1") < col("en2") && col("st2") < col("en1"))
-      .select(col("day"), col("u1"), col("u2"),
-        (least(col("en1"), col("en2")) -
-          greatest(col("st1"), col("st2"))).as("ov"))
-      .distinct()
+  /** The sweep-line core of q193: intervals (`day`, `user_id`, `st`,
+    * `en`) → one row per day with ≥ 1 pair under the join predicate
+    * `st1 < en2 ∧ st2 < en1`: (`day`, `n_pairs`, `overlap_s`). A POINT
+    * interval (st == en) pairs, under that predicate, with exactly the
+    * intervals whose OPEN interior contains its instant — ov = 0, no
+    * measure — so points enter the sweep as a third per-time
+    * multiplicity (`points_t · a_t` pairs, nothing else: two points
+    * never pair, nor does a point with an interval starting or ending
+    * at its instant). Every window is either (day, hour-bucket)-scoped
+    * or runs over the ≤ 24-rows-per-day bucket frame, so no day ever
+    * funnels through one task. Factored so the spec can pin
+    * equivalence to the direct condition join on adversarial layouts
+    * (same-second ties, nesting, points, touching endpoints,
+    * multi-interval start times). */
+  private[graft] def overlapDayStats(iv: DataFrame): DataFrame = {
+    // distinct event times per day with start/end/point multiplicities
+    // — the groupBy also makes the sweep input size #distinct-times,
+    // not #intervals
+    val isPoint = col("en") === col("st")
+    val pts = iv
+      .select(col("day"), explode(when(isPoint,
+        array(struct(col("st").as("t"),
+          lit(0L).as("s"), lit(0L).as("e"), lit(1L).as("p"))))
+        .otherwise(array(
+          struct(col("st").as("t"), lit(1L).as("s"), lit(0L).as("e"), lit(0L).as("p")),
+          struct(col("en").as("t"), lit(0L).as("s"), lit(1L).as("e"), lit(0L).as("p")))))
+        .as("x"))
+      .select(col("day"), col("x.t").as("t"), col("x.s").as("s"),
+        col("x.e").as("e"), col("x.p").as("p"))
+      .groupBy("day", "t")
+      .agg(sum("s").as("starts"), sum("e").as("ends"), sum("p").as("points"))
+      .withColumn("hb", expr("CAST(t div 3600 AS BIGINT)"))
+      .localCheckpoint(true) // consumed by the cum window, bucket totals and firsts
+    // two-phase running Σ(starts − ends): within-bucket window +
+    // driver-free per-day bucket offsets (the bucket frame is ≤ 24
+    // rows per day — its day-partitioned windows are bounded)
+    val wIn = Window.partitionBy("day", "hb").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumIn = pts.withColumn("cum_in",
+      sum(col("starts") - col("ends")).over(wIn))
+    val buckets = pts.groupBy("day", "hb")
+      .agg(sum(col("starts") - col("ends")).as("btot"), min("t").as("first_t"))
+    val wOff = Window.partitionBy("day").orderBy("hb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy("day").orderBy("hb")
+    val bucketSide = buckets
+      .withColumn("off", coalesce(sum("btot").over(wOff), lit(0L)))
+      .withColumn("next_first_t", lead("first_t", 1).over(wNext))
+      .select("day", "hb", "off", "next_first_t")
+    val wLead = Window.partitionBy("day", "hb").orderBy("t")
+    cumIn.join(bucketSide, Seq("day", "hb"))
+      .withColumn("active", col("cum_in") + col("off")) // after all events at t
+      .withColumn("a", col("active") - col("starts")) // after ends, before starts
+      .withColumn("t_next",
+        coalesce(lead("t", 1).over(wLead), col("next_first_t")))
+      .groupBy("day")
+      .agg(
+        sum(expr("starts * a + (starts * (starts - 1)) div 2 + points * a"))
+          .as("n_pairs"),
+        sum(when(col("t_next").isNotNull,
+          expr("(active * (active - 1)) div 2") * (col("t_next") - col("t")))
+          .otherwise(0L)).as("overlap_s"))
+      .where(col("n_pairs") > 0)
+      .orderBy("day")
   }
 
   /** q195: MULTI-TOUCH linear attribution — q68 is last-touch (the one

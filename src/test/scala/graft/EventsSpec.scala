@@ -8,22 +8,30 @@ import graft.ops.Events
   * join on adversarial interval layouts. */
 class EventsSpec extends AnyFunSuite with SparkTestBase {
 
-  test("overlapPairs equals the direct condition join incl. cross-hour and point intervals") {
+  test("overlapDayStats equals the direct quadratic join on adversarial interval layouts") {
     import spark.implicits._
-    // one day, hand-adversarial shapes: intervals crossing hour blocks,
-    // nested, identical, point (st == en), touching-but-not-overlapping
-    // (strict predicate must exclude), and users isolated in their own hour
+    // hand-adversarial shapes: cross-hour spans, nesting, identical
+    // intervals, point intervals (st == en — must pair with NOTHING
+    // under the strict predicate and carry no measure), touching
+    // endpoints (excluded), several intervals STARTING the same second
+    // (the C(starts,2) term), empty-hour gaps between events (the
+    // cross-bucket t_next path), and an isolated day with no pairs
+    // (must be absent from the output)
     val iv = Seq(
       (0L, 1L, 100L, 7300L),     // spans 3 hour blocks
-      (0L, 2L, 3500L, 3700L),    // inside u1, crosses a block boundary
-      (0L, 3L, 7300L, 8000L),    // touches u1's end — NOT overlapping (strict)
+      (0L, 2L, 3500L, 3700L),    // nested inside u1, crosses a block boundary
+      (0L, 3L, 7300L, 8000L),    // touches u1's end — NOT overlapping
       (0L, 4L, 200L, 200L),      // point interval strictly inside u1
-      (0L, 5L, 100L, 7300L),     // identical to u1
-      (0L, 6L, 90000L, 90010L),  // isolated hour
-      (1L, 1L, 100L, 200L)       // other day, would overlap u1 if unblocked
+      (0L, 5L, 100L, 7300L),     // identical to u1 (same-second start tie)
+      (0L, 6L, 100L, 100L),      // point AT the tied start — pairs with nothing
+      (0L, 7L, 90000L, 93600L),  // far hour: overlaps u8 across a dead gap
+      (0L, 8L, 90010L, 92000L),
+      (1L, 1L, 100L, 200L),      // other day: u1/u9 overlap there
+      (1L, 9L, 150L, 400L),
+      (2L, 1L, 5L, 10L)          // a day with no pairs at all
     ).toDF("day", "user_id", "st", "en")
-    val blocked = Events.overlapPairs(iv)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = Events.overlapDayStats(iv)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val a = iv.select(col("day"), col("user_id").as("u1"),
       col("st").as("st1"), col("en").as("en1"))
     val b = iv.select(col("day"), col("user_id").as("u2"),
@@ -31,15 +39,19 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     val direct = a.join(b, Seq("day"))
       .where(col("u1") < col("u2") &&
         col("st1") < col("en2") && col("st2") < col("en1"))
-      .select(col("day"), col("u1"), col("u2"),
-        (least(col("en1"), col("en2")) - greatest(col("st1"), col("st2"))).as("ov"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    assert(blocked == direct)
-    // the layout above must actually exercise the tricky rows
-    assert(blocked.contains((0L, 1L, 5L, 7200L)), "identical intervals")
-    assert(!blocked.exists(p => p._2 == 3L || p._3 == 3L && p._1 == 0L),
-      "touching intervals must not pair under the strict predicate")
-    assert(blocked.exists(p => p._2 == 1L && p._3 == 4L), "point interval inside")
+      .groupBy("day")
+      .agg(count(lit(1)), sum(least(col("en1"), col("en2")) -
+        greatest(col("st1"), col("st2"))))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == direct, s"sweep=$got direct=$direct")
+    // the layout must actually exercise the tricky content: the point
+    // u4 inside u1/u5 pairs at zero measure; the point u6 at a tied
+    // START instant pairs with nothing; touching u3 never pairs
+    assert(got(0L)._1 == 6L,
+      "day 0: (1,2) (1,5) (2,5) (7,8) + zero-measure (1,4) (4,5)")
+    assert(got(0L)._2 == 7200L + 200L + 200L + 1990L)
+    assert(got(1L) == (1L, 50L))
+    assert(!got.contains(2L), "pairless days are absent, like the join's")
   }
 
   test("attributionPairs equals the direct theta-join on window-boundary layouts") {

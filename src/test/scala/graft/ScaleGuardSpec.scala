@@ -68,7 +68,12 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       // the q101/q102 class; its per-epoch plans are broadcast joins +
       // narrow integer aggregations and its final frame is a groupBy
       // with no window at all
-      "q163_quality_perceptron")
+      "q163_quality_perceptron",
+      // q200 runs the MMR greedy loop at construction (pool + pairwise
+      // cosines collected — kilobytes); its pool plan is q36's
+      // TakeOrderedAndProject shape with a 1-row query BNLJ ride, and
+      // its final frame is literal driver rows
+      "q200_mmr_select")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => eager(name) }
       .flatMap { case (name, fn) =>
@@ -235,14 +240,14 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     assert(plan("q190_neyman_alloc")
       .collect { case c: CartesianProductExec => c }.isEmpty,
       "q190's totals ride must broadcast, not cartesian")
-    // q193's blocked self-join must stay an equi-join on (hb, day) — a
-    // predicate tweak degrading it to a nested loop would still pass
-    // correctness (the oracle IS the quadratic join) but lose the whole
-    // point of the blocking
+    // q193 is the SWEEP-LINE rewrite — its whole point is that NO pair
+    // join exists in the plan (the oracle is the quadratic join; the
+    // r13 bench measured the blocked-join form at 6.8 s vs 1.0 s).
+    // A regression reintroducing any join degradation fails here.
     val q193 = plan("q193_interval_overlap")
     assert(q193.collect { case c: CartesianProductExec => c
                           case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
-      "q193's interval join must be the hour-block equi-join")
+      "q193's sweep must not reintroduce a pair join")
     // q194 carries two documented 1-row BNLJ rides (code bounds + the
     // true-rows anchor); only the cartesian degradation is forbidden
     assert(plan("q194_zorder_layout")
