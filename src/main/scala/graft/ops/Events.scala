@@ -91,6 +91,36 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** q201: SESSION TRANSITION MATRIX — the Markov next-event table
+    * product analytics reads paths from: within each q51 session
+    * (identical 30-min gap rule and (es, event_id) order — one
+    * definition family), every consecutive event pair contributes one
+    * (from_type → to_type) transition; the matrix reports counts and
+    * integer basis-point row probabilities (`n·10000 div row_total`).
+    * Scale shape: the session/lead windows are user-partitioned (the
+    * q51 shape), the matrix itself is #types²-sized and its row-total
+    * join broadcasts. */
+  val q201_session_transitions: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    val sess = events(s, d)
+      .select(col("user_id"), col("event_id"), col("es"), col("event_type"))
+      .withColumn("new_session",
+        when(lag(col("es"), 1).over(w).isNull ||
+          col("es") - lag(col("es"), 1).over(w) > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy("user_id", "session_id").orderBy("es", "event_id")
+    val trans = sess.withColumn("next_type", lead("event_type", 1).over(ws))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    trans.join(broadcast(trans.groupBy("from_type").agg(sum("n").as("tot"))),
+        "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("CAST(n * 10000 div tot AS BIGINT)").as("p_bp"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** q52: semi-structured props (JSON) extraction + per-type aggregate. */
   val q52_props_json: Q = (s, d) =>
     events(s, d)
@@ -539,6 +569,7 @@ object Events {
     "q193_interval_overlap" -> q193_interval_overlap,
     "q195_linear_attribution" -> q195_linear_attribution,
     "q198_ab_test" -> q198_ab_test,
+    "q201_session_transitions" -> q201_session_transitions,
     "q186_ewma_rate" -> q186_ewma_rate,
     "q174_rate_anomaly" -> q174_rate_anomaly,
     "q50_event_windows" -> q50_event_windows,
@@ -710,6 +741,29 @@ object Events {
         |       CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks,
         |       CAST(sum(10000 // n) AS BIGINT) AS credit_bp
         |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same gap rule, same (es, event_id) order, same bp division
+    "q201_session_transitions" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |s AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL
+        |                       OR es - lag(es) OVER w > 1800
+        |                     THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+        |s2 AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+        |                               ORDER BY es, event_id) AS session_id
+        |       FROM s),
+        |tr AS (SELECT event_type AS from_type,
+        |              lead(event_type) OVER (PARTITION BY user_id, session_id
+        |                                     ORDER BY es, event_id) AS to_type
+        |       FROM s2),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type AS from_type, to_type, n,
+        |       CAST(n * 10000 // tot AS BIGINT) AS p_bp
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     // the same arm assignment, counts, integer lift and z formula —
     // doubles written in the identical order so the IEEE results agree
     "q198_ab_test" ->
