@@ -152,11 +152,91 @@ object Robust {
       .orderBy("priority")
   }
 
+  /** The grid-pruned 2-D SKYLINE core of q202 over points (`id`, `p`,
+    * `e`) — maximize `p`, minimize `e`; a point is on the Pareto
+    * frontier iff no other point has p ≥, e ≤ with one strict. The
+    * naive formulation is an all-pairs dominance anti-join; the
+    * distributed composition prunes at CELL granularity first: points
+    * land in an 8×8 grid (widths from the broadcast 1-row bounds), a
+    * cell dies when some cell's WORST corner (min p, max e) strictly
+    * dominates its BEST corner (max p, min e) — then every point it
+    * holds is dominated by every point of the killer cell — and only
+    * surviving cells' points (the frontier band) enter the exact
+    * anti-join, broadcast because the band is output-bound (worst
+    * case, an all-diagonal corpus, IS the skyline — inherent to the
+    * operator, stated not hidden). The cell table is ≤ 64 rows; its
+    * pairing is a broadcast of kilobytes. Duplicate (p, e) points
+    * never dominate each other (the strict clause), so both survive —
+    * matching the oracle's NOT EXISTS. */
+  private[graft] def skyline2d(pts: DataFrame): DataFrame = {
+    val bounds = pts.agg(min("p").as("minp"), max("p").as("maxp"),
+      min("e").as("mine"), max("e").as("maxe"))
+    val celled = pts.crossJoin(broadcast(bounds))
+      .withColumn("wp", greatest(lit(1L), expr("(maxp - minp + 1) div 8")))
+      .withColumn("we", greatest(lit(1L), expr("(maxe - mine + 1) div 8")))
+      .withColumn("cx", expr("(p - minp) div wp"))
+      .withColumn("cy", expr("(e - mine) div we"))
+      .select("id", "p", "e", "cx", "cy")
+    val cells = celled.groupBy("cx", "cy")
+      .agg(max("p").as("bestp"), min("e").as("beste"),
+        min("p").as("worstp"), max("e").as("worste"))
+    val killers = cells.select(col("worstp").as("kp"), col("worste").as("ke"))
+    val survivors = cells.join(broadcast(killers),
+        col("kp") >= col("bestp") && col("ke") <= col("beste") &&
+          (col("kp") > col("bestp") || col("ke") < col("beste")),
+        "left_anti")
+      .select("cx", "cy")
+    val cand = celled.join(broadcast(survivors), Seq("cx", "cy"))
+      .select("id", "p", "e")
+    val dom = cand.select(col("p").as("dp"), col("e").as("de"))
+    cand.join(broadcast(dom),
+        col("dp") >= col("p") && col("de") <= col("e") &&
+          (col("dp") > col("p") || col("de") < col("e")),
+        "left_anti")
+  }
+
+  /** q202: PARETO-FRONTIER user QA — which users are not dominated on
+    * (purchases ↑, errors ↓): the multi-objective "best" set a single
+    * score column cannot express (any weighted score picks ONE point;
+    * the skyline returns every defensible trade-off). Profile = one
+    * user-keyed aggregate; frontier via [[skyline2d]]'s grid prune;
+    * the DuckDB oracle states the definition directly as NOT EXISTS a
+    * dominating row, so the gate proves the pruned composition equals
+    * the quadratic definition. */
+  val q202_user_skyline: Q = (s, d) => {
+    val prof = graft.ops.Events.events(s, d)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("e"))
+      .select(col("user_id").as("id"), col("p"), col("e"))
+    skyline2d(prof)
+      .select(col("id").as("user_id"), col("p").as("n_purchases"),
+        col("e").as("n_errors"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q184_mad_outliers" -> q184_mad_outliers,
-    "q189_winsor_stats" -> q189_winsor_stats)
+    "q189_winsor_stats" -> q189_winsor_stats,
+    "q202_user_skyline" -> q202_user_skyline)
 
   val oracle: Map[String, String] = Map(
+    // the frontier definition stated directly — NOT EXISTS a dominating
+    // profile — gating the grid-pruned rewrite
+    "q202_user_skyline" ->
+      """WITH prof AS (
+        |  SELECT user_id,
+        |         CAST(sum(CASE WHEN event_type = 'purchase'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |         CAST(sum(CASE WHEN event_type = 'error'
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS e
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, p AS n_purchases, e AS n_errors
+        |FROM prof a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM prof b
+        |  WHERE b.p >= a.p AND b.e <= a.e AND (b.p > a.p OR b.e < a.e))
+        |ORDER BY user_id""".stripMargin,
     // same cent grid, same integer ceil-rank quantile rows, same clamp
     "q189_winsor_stats" ->
       s"""WITH px AS (

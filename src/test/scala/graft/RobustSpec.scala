@@ -93,4 +93,32 @@ class RobustSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).map(_._2).toSeq
     assert(got == expect)
   }
+
+  test("skyline2d: grid prune keeps exactly the non-dominated set on planted geometry") {
+    import spark.implicits._
+    def direct(pts: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] =
+      pts.filter { case (_, p, e) =>
+        !pts.exists { case (_, p2, e2) =>
+          p2 >= p && e2 <= e && (p2 > p || e2 < e) }
+      }.toSet
+    // an all-diagonal frontier (worst case: everything survives), a
+    // dominated interior cloud, a duplicate frontier point (both must
+    // survive under the strict clause), and a point tied on one axis
+    val pts = Seq(
+      (1L, 10L, 10L), (2L, 20L, 20L), (3L, 30L, 30L), (4L, 40L, 40L),
+      (5L, 15L, 25L),              // dominated by 2? p 15<20, e 25>20 -> dominated by (20,20)
+      (6L, 40L, 40L),              // duplicate of 4 — both survive
+      (7L, 40L, 41L),              // dominated by 4 (equal p, worse e)
+      (8L, 5L, 9L),                // frontier: best e
+      (9L, 39L, 39L)               // dominated by 4 (p 40>39, e 40>39? e must be <=: 40<=39 false) -> NOT dominated by 4; by 3? p 30<39 no -> frontier
+    ).map { case (i, p, e) => (i, p, e) }
+    val df = pts.toDF("id", "p", "e")
+    val got = Robust.skyline2d(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == direct(pts), s"got $got expected ${direct(pts)}")
+    assert(got.contains((4L, 40L, 40L)) && got.contains((6L, 40L, 40L)),
+      "duplicate frontier points both survive")
+    assert(!got.exists(_._1 == 7L) && !got.exists(_._1 == 5L))
+    assert(got.exists(_._1 == 9L), "diagonal neighbor is NOT dominated")
+  }
 }

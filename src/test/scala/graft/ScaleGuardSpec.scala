@@ -254,6 +254,13 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     assert(plan("q194_zorder_layout")
       .collect { case c: CartesianProductExec => c }.isEmpty,
       "q194's bounds/truth rides must broadcast, not cartesian")
+    // q202's dominance anti-joins are broadcast theta joins on the
+    // 64-cell table and the output-bound frontier band — legitimate
+    // BNLJs; only cartesian (both sides shuffled to every pairing) is
+    // a degradation
+    assert(plan("q202_user_skyline")
+      .collect { case c: CartesianProductExec => c }.isEmpty,
+      "q202's dominance anti-joins must broadcast, not cartesian")
   }
 
   test("fact-to-dim joins broadcast the dim side") {
