@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Curation, Dedup, Events, Insights, Multimodal, Pipeline, Retrieval, Robust, Similarity, Skew, TextStats}
+import graft.ops.{Curation, Dedup, Events, Insights, Multimodal, Pipeline, Retrieval, Robust, Similarity, Skew, TextStats, Tpch}
 import graft.etl.{DataSkipping, StarBuilder, TextExtract}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,7 +25,7 @@ object SparkEntry {
       TextStats.queries ++ TextExtract.queries ++ Multimodal.queries ++
       Events.queries ++ StarBuilder.queries ++ Pipeline.queries ++ Skew.queries ++
       Curation.queries ++ DataSkipping.queries ++ Retrieval.queries ++
-      Robust.queries
+      Robust.queries ++ Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -34,5 +34,5 @@ object SparkEntry {
       TextStats.oracle ++ TextExtract.oracle ++ Multimodal.oracle ++
       Events.oracle ++ StarBuilder.oracle ++ Pipeline.oracle ++ Skew.oracle ++
       Curation.oracle ++ DataSkipping.oracle ++ Retrieval.oracle ++
-      Robust.oracle
+      Robust.oracle ++ Tpch.oracle
 }

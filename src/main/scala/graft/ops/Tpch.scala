@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+import graft.etl.Star.{round2, round2Sql}
+
+/** The two most-cited TPC-H queries run VERBATIM-semantics over the
+  * driver's TPC-H-ish tables — the recognition check that this engine
+  * speaks the standard warehouse benchmark, not only its own surface.
+  * Money/discount/tax arithmetic is integer-quantized by the house
+  * float rule (cents and basis points; per-row truncating div where
+  * the spec multiplies rates — defined identically in both engines),
+  * so every gated value is exact. Dates compare as epoch seconds (the
+  * NTZ-safe double cast under the pinned-UTC session).
+  *
+  * Reference queries: TPC-H specification rev 2.18 §B (Q1 pricing
+  * summary, Q3 shipping priority).
+  */
+object Tpch {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def es(c: Column): Column =
+    c.cast(TimestampType).cast(LongType)
+
+  /** 1998-09-02 / 1995-03-15 00:00:00 UTC — Q1's delta=90d cutoff and
+    * Q3's date, as epoch seconds for the oracles. The Spark filters
+    * compare the RAW timestamp column against an NTZ literal of the
+    * same instant instead — same predicate, but on the stored column,
+    * so it reaches the parquet scan as a pushed filter (a filter on
+    * the derived epoch cast would not; TpchSpec pins PushedFilters). */
+  private val q1Cutoff = 904694400L
+  private val q3Date = 795225600L
+  private val q1CutoffTs = "TIMESTAMP_NTZ '1998-09-02 00:00:00'"
+  private val q3DateTs = "TIMESTAMP_NTZ '1995-03-15 00:00:00'"
+
+  private def lineitem(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/lineitem.parquet")
+      .withColumn("ship_es", es(col("l_shipdate")))
+      .withColumn("qty", round(col("l_quantity")).cast("long"))
+      .withColumn("ext_c", round(col("l_extendedprice") * 100).cast("long"))
+      .withColumn("disc_bp", round(col("l_discount") * 10000).cast("long"))
+      .withColumn("tax_bp", round(col("l_tax") * 10000).cast("long"))
+      // the spec's ext·(1−disc) and ·(1+tax), per-row truncated to
+      // cents so the running sums stay far inside int64
+      .withColumn("disc_price_c",
+        expr("ext_c * (10000 - disc_bp) div 10000"))
+      .withColumn("charge_c",
+        expr("disc_price_c * (10000 + tax_bp) div 10000"))
+
+  /** q203: TPC-H Q1 — the pricing summary report: per (returnflag,
+    * linestatus) over everything shipped by the cutoff, quantity /
+    * base / discounted / charged sums, three averages and the row
+    * count. ONE scan, one narrow 4-group aggregate — the canonical
+    * map-side-combine query; averages are the single round2 division
+    * each (house rule). */
+  val q203_tpch_q1: Q = (s, d) =>
+    lineitem(s, d)
+      .where(expr(s"l_shipdate <= $q1CutoffTs"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("qty").as("sum_qty"),
+        sum("ext_c").as("sum_base_price_c"),
+        sum("disc_price_c").as("sum_disc_price_c"),
+        sum("charge_c").as("sum_charge_c"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty",
+        round2(col("sum_qty").cast("double") / col("count_order").cast("double")))
+      .withColumn("avg_price_c",
+        round2(col("sum_base_price_c").cast("double") / col("count_order").cast("double")))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_base_price_c"), col("sum_disc_price_c"), col("sum_charge_c"),
+        col("avg_qty"), col("avg_price_c"), col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q204: TPC-H Q3 — shipping priority: BUILDING-segment customers'
+    * orders placed before the date, revenue from their lineitems
+    * shipped after it, top 10 by (revenue desc, orderdate asc) with
+    * o_orderkey completing the deterministic total order. Scale shape:
+    * two hash equi-joins on the key columns (customer side reduced by
+    * the segment filter BEFORE the join; order/lineitem dates pushed
+    * to the scans), a (orderkey, orderdate)-keyed aggregate, and the
+    * global top-10 as one TakeOrderedAndProject — no window, no full
+    * sort. */
+  val q204_tpch_q3: Q = (s, d) => {
+    val cust = s.read.parquet(s"$d/customer.parquet")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = s.read.parquet(s"$d/orders.parquet")
+      .where(expr(s"o_orderdate < $q3DateTs"))
+      .withColumn("order_es", es(col("o_orderdate")))
+      .select("o_orderkey", "o_custkey", "order_es")
+    val li = lineitem(s, d)
+      .where(expr(s"l_shipdate > $q3DateTs"))
+      .select(col("l_orderkey"), col("disc_price_c"))
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "order_es")
+      .agg(sum("disc_price_c").as("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("order_es").asc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("revenue_c"), col("order_es"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q203_tpch_q1" -> q203_tpch_q1,
+    "q204_tpch_q3" -> q204_tpch_q3)
+
+  val oracle: Map[String, String] = Map(
+    // the same quantization, cutoffs and single-division averages
+    "q203_tpch_q1" ->
+      s"""WITH li AS (
+         |  SELECT l_returnflag, l_linestatus,
+         |         CAST(round(l_quantity) AS BIGINT) AS qty,
+         |         CAST(round(l_extendedprice * 100) AS BIGINT) AS ext_c,
+         |         CAST(round(l_discount * 10000) AS BIGINT) AS disc_bp,
+         |         CAST(round(l_tax * 10000) AS BIGINT) AS tax_bp
+         |  FROM lineitem
+         |  WHERE CAST(floor(epoch(l_shipdate)) AS BIGINT) <= $q1Cutoff),
+         |x AS (
+         |  SELECT *, ext_c * (10000 - disc_bp) // 10000 AS disc_price_c
+         |  FROM li),
+         |y AS (
+         |  SELECT *, disc_price_c * (10000 + tax_bp) // 10000 AS charge_c
+         |  FROM x),
+         |g AS (
+         |  SELECT l_returnflag, l_linestatus,
+         |         CAST(sum(qty) AS BIGINT) AS sum_qty,
+         |         CAST(sum(ext_c) AS BIGINT) AS sum_base_price_c,
+         |         CAST(sum(disc_price_c) AS BIGINT) AS sum_disc_price_c,
+         |         CAST(sum(charge_c) AS BIGINT) AS sum_charge_c,
+         |         CAST(count(*) AS BIGINT) AS count_order
+         |  FROM y GROUP BY 1, 2)
+         |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price_c,
+         |       sum_disc_price_c, sum_charge_c,
+         |       ${round2Sql("CAST(sum_qty AS DOUBLE) / CAST(count_order AS DOUBLE)")} AS avg_qty,
+         |       ${round2Sql("CAST(sum_base_price_c AS DOUBLE) / CAST(count_order AS DOUBLE)")} AS avg_price_c,
+         |       count_order
+         |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q204_tpch_q3" ->
+      s"""WITH li AS (
+         |  SELECT l_orderkey,
+         |         CAST(round(l_extendedprice * 100) AS BIGINT)
+         |           * (10000 - CAST(round(l_discount * 10000) AS BIGINT)) // 10000
+         |           AS disc_price_c
+         |  FROM lineitem
+         |  WHERE CAST(floor(epoch(l_shipdate)) AS BIGINT) > $q3Date),
+         |o AS (
+         |  SELECT o_orderkey, o_custkey,
+         |         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_es
+         |  FROM orders
+         |  WHERE CAST(floor(epoch(o_orderdate)) AS BIGINT) < $q3Date),
+         |c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+         |SELECT o_orderkey, CAST(sum(disc_price_c) AS BIGINT) AS revenue_c,
+         |       order_es
+         |FROM o JOIN c ON o_custkey = c_custkey
+         |       JOIN li ON o_orderkey = l_orderkey
+         |GROUP BY o_orderkey, order_es
+         |ORDER BY revenue_c DESC, order_es ASC, o_orderkey ASC
+         |LIMIT 10""".stripMargin)
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** The TPC-H pair's scale posture: date predicates must reach the
+  * parquet scans as pushed filters (a filter on the derived epoch cast
+  * silently reads everything), and Q3's plan must stay equi-join-only. */
+class TpchSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def pushed(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect { case f: FileSourceScanExec =>
+      f.metadata.getOrElse("PushedFilters", "")
+    }
+  }
+
+  test("q203: the shipdate cutoff is pushed to the lineitem scan") {
+    val df = SparkEntry.queries("q203_tpch_q1")(spark, sf)
+    val p = pushed(df)
+    assert(p.exists(_.contains("LessThanOrEqual(l_shipdate")),
+      s"no pushed shipdate filter in: $p")
+  }
+
+  test("q204: all three scans carry their pushed predicates; joins are equi") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q204_tpch_q3")(spark, sf)
+    val p = pushed(df)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case x => x
+    }
+    assert(p.exists(_.contains("GreaterThan(l_shipdate")), s"lineitem: $p")
+    assert(p.exists(_.contains("LessThan(o_orderdate")), s"orders: $p")
+    assert(p.exists(_.contains("EqualTo(c_mktsegment,BUILDING)")), s"customer: $p")
+    assert(plan.collect { case c: CartesianProductExec => c
+                          case b: BroadcastNestedLoopJoinExec => b }.isEmpty)
+  }
+
+  test("q203 yields the canonical 6-group pricing summary with qty conservation") {
+    val rows = SparkEntry.queries("q203_tpch_q1")(spark, sf).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      // disc_price <= base price (nonneg discounts), charge >= disc_price
+      assert(r.getAs[Long]("sum_disc_price_c") <= r.getAs[Long]("sum_base_price_c"))
+      assert(r.getAs[Long]("sum_charge_c") >= r.getAs[Long]("sum_disc_price_c"))
+    }
+  }
+}
