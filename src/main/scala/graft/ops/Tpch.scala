@@ -102,9 +102,49 @@ object Tpch {
       .select(col("o_orderkey"), col("revenue_c"), col("order_es"))
   }
 
+  /** q206-adjacent constants: Q5's year window (the generated data's
+    * order dates start in 1995, so the spec's 1994 window is shifted
+    * to a populated year — semantics unchanged). */
+  private val q5Lo = "TIMESTAMP_NTZ '1996-01-01 00:00:00'"
+  private val q5Hi = "TIMESTAMP_NTZ '1997-01-01 00:00:00'"
+
+  /** q205: TPC-H Q5 — local-supplier revenue per nation: the 6-table
+    * star (region→nation broadcast dims; customer⋈orders⋈lineitem the
+    * fact chain; supplier closing the "customer and supplier share a
+    * nation" condition as an extra equi conjunct, NOT a theta filter).
+    * The canonical broadcast-the-dims / shuffle-the-facts plan: region
+    * and nation are kilobytes at any scale and pinned `broadcast()`;
+    * the fact joins are key-partitioned equi joins; both date bounds
+    * and the region name push to their scans. Revenue is the Q1/Q3
+    * integer disc_price. */
+  val q205_tpch_q5: Q = (s, d) => {
+    val nations = broadcast(
+      s.read.parquet(s"$d/region.parquet").where(col("r_name") === "ASIA")
+        .join(s.read.parquet(s"$d/nation.parquet"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name"))
+    val cust = s.read.parquet(s"$d/customer.parquet")
+      .join(nations, col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey", "n_name")
+    val ord = s.read.parquet(s"$d/orders.parquet")
+      .where(expr(s"o_orderdate >= $q5Lo AND o_orderdate < $q5Hi"))
+      .select("o_orderkey", "o_custkey")
+    val li = lineitem(s, d).select("l_orderkey", "l_suppkey", "disc_price_c")
+    val supp = s.read.parquet(s"$d/supplier.parquet")
+      .select("s_suppkey", "s_nationkey")
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(supp, col("s_suppkey") === col("l_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(sum("disc_price_c").as("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("n_name").asc)
+  }
+
   val queries: Map[String, Q] = Map(
     "q203_tpch_q1" -> q203_tpch_q1,
-    "q204_tpch_q3" -> q204_tpch_q3)
+    "q204_tpch_q3" -> q204_tpch_q3,
+    "q205_tpch_q5" -> q205_tpch_q5)
 
   val oracle: Map[String, String] = Map(
     // the same quantization, cutoffs and single-division averages
@@ -137,6 +177,22 @@ object Tpch {
          |       ${round2Sql("CAST(sum_base_price_c AS DOUBLE) / CAST(count_order AS DOUBLE)")} AS avg_price_c,
          |       count_order
          |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q205_tpch_q5" ->
+      s"""SELECT n_name,
+         |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+         |         * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+         |         // 10000) AS BIGINT) AS revenue_c
+         |FROM region
+         |JOIN nation ON n_regionkey = r_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= ${q5Lo.stripPrefix("TIMESTAMP_NTZ ")}::TIMESTAMP
+         |  AND o_orderdate < ${q5Hi.stripPrefix("TIMESTAMP_NTZ ")}::TIMESTAMP
+         |GROUP BY n_name
+         |ORDER BY revenue_c DESC, n_name ASC""".stripMargin,
     "q204_tpch_q3" ->
       s"""WITH li AS (
          |  SELECT l_orderkey,

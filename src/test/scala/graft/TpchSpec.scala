@@ -44,6 +44,22 @@ class TpchSpec extends AnyFunSuite with SparkTestBase {
                           case b: BroadcastNestedLoopJoinExec => b }.isEmpty)
   }
 
+  test("q205: the region→nation dim side broadcasts; plan carries no cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q205_tpch_q5")(spark, sf)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case x => x
+    }
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "expected the kilobyte nation dim to ride a broadcast hash join")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+    val p = pushed(df)
+    assert(p.exists(_.contains("EqualTo(r_name,ASIA)")), s"region: $p")
+    assert(p.exists(_.contains("o_orderdate")), s"orders: $p")
+  }
+
   test("q203 yields the canonical 6-group pricing summary with qty conservation") {
     val rows = SparkEntry.queries("q203_tpch_q1")(spark, sf).collect()
     assert(rows.length == 6)
