@@ -141,10 +141,36 @@ object Tpch {
       .orderBy(col("revenue_c").desc, col("n_name").asc)
   }
 
+  private val q14Lo = "TIMESTAMP_NTZ '1996-03-01 00:00:00'"
+  private val q14Hi = "TIMESTAMP_NTZ '1996-04-01 00:00:00'"
+
+  /** q206: TPC-H Q14 — promotion revenue share for one ship-month:
+    * `100 · Σ(promo disc_price) / Σ(disc_price)` over lineitem⋈part
+    * (this corpus's p_type is the single word the spec prefixes with
+    * 'PROMO'). Reported as exact integer basis points
+    * (`promo·10000 div total`) plus both cent sums, so the gate needs
+    * no float at all. Scale shape: the month filter pushes to the
+    * lineitem scan; part is dim-sized and rides a key equi-join; one
+    * 1-row conditional aggregate. */
+  val q206_tpch_q14: Q = (s, d) => {
+    val li = lineitem(s, d)
+      .where(expr(s"l_shipdate >= $q14Lo AND l_shipdate < $q14Hi"))
+      .select("l_partkey", "disc_price_c")
+    val part = s.read.parquet(s"$d/part.parquet").select("p_partkey", "p_type")
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("disc_price_c"))
+          .otherwise(0L)).as("promo_rev_c"),
+        sum("disc_price_c").as("total_rev_c"))
+      .withColumn("promo_share_bp",
+        expr("CAST(promo_rev_c * 10000 div total_rev_c AS BIGINT)"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q203_tpch_q1" -> q203_tpch_q1,
     "q204_tpch_q3" -> q204_tpch_q3,
-    "q205_tpch_q5" -> q205_tpch_q5)
+    "q205_tpch_q5" -> q205_tpch_q5,
+    "q206_tpch_q14" -> q206_tpch_q14)
 
   val oracle: Map[String, String] = Map(
     // the same quantization, cutoffs and single-division averages
@@ -193,6 +219,24 @@ object Tpch {
          |  AND o_orderdate < ${q5Hi.stripPrefix("TIMESTAMP_NTZ ")}::TIMESTAMP
          |GROUP BY n_name
          |ORDER BY revenue_c DESC, n_name ASC""".stripMargin,
+    "q206_tpch_q14" ->
+      s"""WITH li AS (
+         |  SELECT l_partkey,
+         |         CAST(round(l_extendedprice * 100) AS BIGINT)
+         |           * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+         |           // 10000 AS dp
+         |  FROM lineitem
+         |  WHERE l_shipdate >= ${q14Lo.stripPrefix("TIMESTAMP_NTZ ")}::TIMESTAMP
+         |    AND l_shipdate < ${q14Hi.stripPrefix("TIMESTAMP_NTZ ")}::TIMESTAMP),
+         |g AS (
+         |  SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN dp ELSE 0 END)
+         |           AS BIGINT) AS promo_rev_c,
+         |         CAST(sum(dp) AS BIGINT) AS total_rev_c
+         |  FROM li JOIN part ON p_partkey = l_partkey)
+         |SELECT promo_rev_c, total_rev_c,
+         |       CAST(promo_rev_c * 10000 // total_rev_c AS BIGINT)
+         |         AS promo_share_bp
+         |FROM g""".stripMargin,
     "q204_tpch_q3" ->
       s"""WITH li AS (
          |  SELECT l_orderkey,
