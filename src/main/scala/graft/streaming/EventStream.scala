@@ -47,6 +47,17 @@ case class AbEv(user_id: Long, arm: Long, event_type: String)
   * batch q198 wide stage. */
 case class AbStatus(user_id: Long, arm: Long, conv: Long)
 
+/** One typed event entering [[EventStream.transitionStream]] — carries
+  * the event_id the batch q201 tie-break orders by. */
+case class TransEv(user_id: Long, event_id: Long, es: Long, event_type: String)
+
+/** Per-user transition state: the last event folded ([[EventStream.transitionStream]]). */
+case class TransState(lastEs: Long, lastEventId: Long, lastType: String)
+
+/** One (from → to) transition increment; a reader rolls these up into
+  * the q201 matrix. */
+case class TransEdge(from_type: String, to_type: String)
+
 /** One typed event entering the streaming funnel ([[EventStream.funnelStream]]). */
 /** One arriving document of the source-cap stream (q181's twin). */
 case class CapDoc(source: String, doc_id: Long, score: Double, n_tok: Long)
@@ -667,6 +678,49 @@ object EventStream {
     * moments (EventStreamSpec proves equality after every batch). */
   def covCellsStream(vecs: DataFrame): DataFrame =
     graft.ops.Similarity.covMoments(graft.ops.Similarity.covCellsOf(vecs))
+
+  /** Streaming SESSION TRANSITIONS — the stateful twin of batch q201:
+    * per user the state is the LAST event folded (three fields, O(1));
+    * each arriving event within [[sessionGapSeconds]] of it emits one
+    * (from → to) edge increment, a larger gap silently opens a new
+    * session (no edge), exactly the batch gap rule. Edges are
+    * increments: a reader (or foreachBatch) rolls them up into q201's
+    * count matrix, and because counting is additive the rollup after
+    * any prefix of batches equals batch q201's counts over the same
+    * events — under the DAY-ORDERED INGEST CONTRACT the ewmaStream
+    * precedent sets: within a micro-batch arrival order is irrelevant
+    * (the group iterator sorts by the batch tie-break (es, event_id)),
+    * but an event older than the folded state would need the edge
+    * history rewritten, so it fails loudly instead of silently
+    * diverging (EventStreamSpec pins both the parity and the
+    * failure). */
+  def transitionStream(events: Dataset[TransEv]): Dataset[TransEdge] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransEdge](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[TransEv], state: GroupState[TransState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.es, e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[TransEdge]
+          sorted.foreach { e =>
+            cur.foreach { st =>
+              require(e.es > st.lastEs ||
+                (e.es == st.lastEs && e.event_id >= st.lastEventId),
+                s"transitionStream: user $uid event ${e.event_id} at ${e.es} " +
+                  s"arrived behind folded state (${st.lastEs}, ${st.lastEventId}) — " +
+                  "the in-order ingest contract is broken and emitted edges " +
+                  "would be unrewritable")
+              if (e.es - st.lastEs <= sessionGapSeconds)
+                out += TransEdge(st.lastType, e.event_type)
+            }
+            cur = Some(TransState(e.es, e.event_id, e.event_type))
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
 
   /** Streaming A/B status — the stateful twin of batch q198's user
     * stage: per user the state is ONE Long (purchases seen so far); any

@@ -1172,4 +1172,54 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
         ("blue widget", "blue widget", 0L))) // exact "already known"
     } finally query.stop()
   }
+
+  test("transitionStream rollup equals batch q201 counts; out-of-order ingest fails loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{TransEv, TransEdge}
+    // user 1: two sessions (gap > 1800 between es 4000 and 99999); the
+    // cross-BATCH boundary (es 3000 -> 4000) must still emit its edge
+    // from state; user 2: same-second tie ordered by event_id
+    val b1 = Seq(TransEv(1L, 1L, 1000L, "view"), TransEv(1L, 2L, 3000L, "click"),
+      TransEv(2L, 10L, 500L, "view"), TransEv(2L, 11L, 500L, "click"))
+    val b2 = Seq(TransEv(1L, 3L, 4000L, "purchase"), TransEv(1L, 4L, 99999L, "view"),
+      TransEv(1L, 5L, 100000L, "click"), TransEv(2L, 12L, 2000L, "purchase"))
+    val input = MemoryStream[TransEv]
+    val query = EventStream.transitionStream(input.toDS())
+      .writeStream.format("memory").queryName("trans").outputMode("append").start()
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+      val got = spark.table("trans").as[TransEdge].collect()
+        .groupBy(e => (e.from_type, e.to_type)).view.mapValues(_.length.toLong).toMap
+      // batch q201 counts over the same events, via the gated window logic
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("es", "event_id")
+      import org.apache.spark.sql.functions.{col, lead}
+      val batch = (b1 ++ b2).toDF("user_id", "event_id", "es", "event_type")
+        .withColumn("nt", lead("event_type", 1).over(w))
+        .withColumn("ne", lead("es", 1).over(w))
+        .where(col("nt").isNotNull && col("ne") - col("es") <= 1800)
+        .groupBy("event_type", "nt").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == batch, s"stream=$got batch=$batch")
+      assert(got(("view", "click")) == 2L) // u1 session 2 + u2 tie order
+      assert(!got.contains(("purchase", "view")), "the session gap breaks the chain")
+    } finally query.stop()
+
+    // an event arriving BEHIND the folded state must kill the query,
+    // not silently emit an unrewritable history
+    val late = MemoryStream[TransEv]
+    val q2 = EventStream.transitionStream(late.toDS())
+      .writeStream.format("memory").queryName("trans_late").outputMode("append").start()
+    try {
+      late.addData(TransEv(9L, 2L, 5000L, "view")); q2.processAllAvailable()
+      late.addData(TransEv(9L, 1L, 4000L, "click"))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("in-order ingest contract") ||
+        Option(ex.getCause).exists(_.getMessage.contains("in-order ingest contract")))
+    } finally q2.stop()
+  }
 }
