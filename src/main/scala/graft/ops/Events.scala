@@ -361,6 +361,69 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** q207: CUSUM CHANGEPOINT detection on daily rates — the classic
+    * Page cumulative-sum chart, the level-shift complement of q186's
+    * EWMA (EWMA smooths and flags bursts against the recent level;
+    * CUSUM accumulates small persistent drifts until they cross a
+    * decision bound, catching slow regime changes a burst fence never
+    * sees). Pure integers: per type, μ = mean daily count (truncating
+    * div), slack k = μ div 10, s_t = max(0, s_{t-1} + (c_t − μ − k)),
+    * alarm when s_t > 2μ. The recurrence is the q186 machinery: one
+    * vocabulary-sized collect per type (calendar-bounded), the fold an
+    * aggregate HOF, the oracle a recursive CTE replaying it — one
+    * definition shape per engine, gated row-for-row. */
+  val q207_cusum_changepoint: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val mu = daily.groupBy("event_type")
+      .agg(expr("CAST(sum(cnt) div count(1) AS BIGINT)").as("mu"))
+    daily.join(broadcast(mu), "event_type")
+      .groupBy("event_type")
+      .agg(first("mu").as("mu"),
+        sort_array(collect_list(struct(col("day"), col("cnt")))).as("ds"))
+      .withColumn("cs", expr(
+        """aggregate(ds,
+          |  CAST(array() AS ARRAY<STRUCT<day: BIGINT, cnt: BIGINT, cusum: BIGINT>>),
+          |  (acc, x) -> array_append(acc, named_struct(
+          |    'day', x.day, 'cnt', x.cnt,
+          |    'cusum', greatest(0L,
+          |      CASE WHEN size(acc) = 0 THEN 0L
+          |           ELSE element_at(acc, -1).cusum END
+          |      + (x.cnt - mu - mu div 10)))))""".stripMargin))
+      .select(col("event_type"), col("mu"), explode(col("cs")).as("r"))
+      .select(col("event_type"), col("r.day").as("day"), col("r.cnt").as("cnt"),
+        col("r.cusum").as("cusum"),
+        when(col("r.cusum") > lit(2L) * col("mu"), 1L).otherwise(0L).as("alarm"))
+      .orderBy("event_type", "day")
+  }
+
+  /** q208: DAILY-RATE TREND per event type — the least-squares slope of
+    * count-vs-day, the drift statistic a pipeline reads before q207's
+    * alarm fires ("is this type growing, and how fast"). All four OLS
+    * sums (n, Σx, Σy, Σxy, Σx²) are exact integers over the
+    * calendar-bounded daily table, so the slope is ONE double division
+    * of exact integers (num = nΣxy − ΣxΣy, den = nΣx² − (Σx)²),
+    * quantized by the house floor(x·100 + 0.5) into slope_x100 —
+    * events/day/day hundredths. den = 0 (a single active day) yields
+    * NULL, not a division error. */
+  val q208_daily_trend: Q = (s, d) =>
+    events(s, d)
+      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("cnt").as("sum_cnt"),
+        sum("day").as("sx"), sum(expr("day * cnt")).as("sxy"),
+        sum(expr("day * day")).as("sx2"))
+      .withColumn("slope_x100", expr(
+        """CASE WHEN n_days * sx2 - sx * sx = 0 THEN NULL
+          |ELSE CAST(floor(
+          |  CAST(n_days * sxy - sx * sum_cnt AS DOUBLE)
+          |    / (n_days * sx2 - sx * sx)
+          |  * 100 + CAST(1 AS DOUBLE) / 2) AS BIGINT) END""".stripMargin))
+      .select("event_type", "n_days", "sum_cnt", "slope_x100")
+      .orderBy("event_type")
+
   /** q193: INTERVAL-OVERLAP aggregation — which pairs of users were
     * active at the same time, and for how long, rolled up per day.
     * Each user's activity on a day collapses to one [first-event,
@@ -570,6 +633,8 @@ object Events {
     "q195_linear_attribution" -> q195_linear_attribution,
     "q198_ab_test" -> q198_ab_test,
     "q201_session_transitions" -> q201_session_transitions,
+    "q207_cusum_changepoint" -> q207_cusum_changepoint,
+    "q208_daily_trend" -> q208_daily_trend,
     "q186_ewma_rate" -> q186_ewma_rate,
     "q174_rate_anomaly" -> q174_rate_anomaly,
     "q50_event_windows" -> q50_event_windows,
@@ -741,6 +806,55 @@ object Events {
         |       CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks,
         |       CAST(sum(10000 // n) AS BIGINT) AS credit_bp
         |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same daily counts, same integer mean/slack, same max(0, ·)
+    // recurrence over row-numbered days, same 2μ decision bound
+    "q207_cusum_changepoint" ->
+      """WITH RECURSIVE dly AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(sum(cnt) // count(*) AS BIGINT) AS mu
+        |      FROM dly GROUP BY 1),
+        |idx AS (
+        |  SELECT d.event_type AS event_type, day, cnt, mu,
+        |         CAST(row_number() OVER (PARTITION BY d.event_type
+        |                                 ORDER BY day) AS BIGINT) AS rn
+        |  FROM dly d JOIN m ON d.event_type = m.event_type),
+        |cs AS (
+        |  SELECT event_type, day, cnt, mu, rn,
+        |         greatest(0, cnt - mu - mu // 10) AS cusum
+        |  FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.event_type, i.day, i.cnt, i.mu, i.rn,
+        |         greatest(0, c.cusum + (i.cnt - i.mu - i.mu // 10))
+        |  FROM idx i JOIN cs c
+        |    ON i.event_type = c.event_type AND i.rn = c.rn + 1)
+        |SELECT event_type, day, cnt, CAST(cusum AS BIGINT) AS cusum,
+        |       CAST(CASE WHEN cusum > 2 * mu THEN 1 ELSE 0 END AS BIGINT)
+        |         AS alarm
+        |FROM cs ORDER BY event_type, day""".stripMargin,
+    // the same exact integer OLS sums and the one quantized division
+    "q208_daily_trend" ->
+      """WITH dly AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+        |         CAST(sum(day) AS BIGINT) AS sx,
+        |         CAST(sum(day * cnt) AS BIGINT) AS sxy,
+        |         CAST(sum(day * day) AS BIGINT) AS sx2
+        |  FROM dly GROUP BY 1)
+        |SELECT event_type, n_days, sum_cnt,
+        |       CASE WHEN n_days * sx2 - sx * sx = 0 THEN NULL
+        |       ELSE CAST(floor(
+        |         CAST(n_days * sxy - sx * sum_cnt AS DOUBLE)
+        |           / (n_days * sx2 - sx * sx)
+        |         * 100 + CAST(1 AS DOUBLE) / 2) AS BIGINT) END AS slope_x100
+        |FROM g ORDER BY event_type""".stripMargin,
     // the same gap rule, same (es, event_id) order, same bp division
     "q201_session_transitions" ->
       """WITH e AS (

@@ -86,6 +86,43 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
       "edge click shared by both windows, tie included, beyond-edge excluded")
   }
 
+  test("q207/q208: CUSUM and OLS slope replay from the daily counts") {
+    val sf = "/root/testdata/sf0.001"
+    val daily = Events.events(spark, sf)
+      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).sortBy(_._1).toSeq).toMap
+    // q207: integer CUSUM recurrence replayed per type
+    val cus = SparkEntry.queries("q207_cusum_changepoint")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    daily.foreach { case (tp, ds) =>
+      val mu = ds.map(_._2).sum / ds.length
+      var s = 0L
+      ds.foreach { case (day, cnt) =>
+        s = math.max(0L, s + (cnt - mu - mu / 10))
+        val (gcnt, gcusum, galarm) = cus((tp, day))
+        assert(gcnt == cnt && gcusum == s, s"$tp day $day")
+        assert(galarm == (if (s > 2 * mu) 1L else 0L))
+      }
+    }
+    // q208: OLS slope replayed per type (exact integer sums, one division)
+    val tr = SparkEntry.queries("q208_daily_trend")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    daily.foreach { case (tp, ds) =>
+      val n = ds.length.toLong
+      val (sx, sy) = (ds.map(_._1).sum, ds.map(_._2).sum)
+      val sxy = ds.map { case (x, y) => x * y }.sum
+      val sx2 = ds.map { case (x, _) => x * x }.sum
+      val den = n * sx2 - sx * sx
+      val expected = if (den == 0) None
+        else Some(math.floor((n * sxy - sx * sy).toDouble / den * 100 + 0.5).toLong)
+      assert(tr(tp) == ((n, sy, expected)), s"$tp")
+    }
+  }
+
   test("q198: arm counts partition the users and the z statistic replays from the counts") {
     val sf = "/root/testdata/sf0.001"
     val r = SparkEntry.queries("q198_ab_test")(spark, sf).head()
