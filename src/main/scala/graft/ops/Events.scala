@@ -372,6 +372,15 @@ object Events {
     * vocabulary-sized collect per type (calendar-bounded), the fold an
     * aggregate HOF, the oracle a recursive CTE replaying it — one
     * definition shape per engine, gated row-for-row. */
+  /** q207's recurrence constants + scalar step, shared with the
+    * [[graft.streaming.EventStream.cusumStream]] twin (the
+    * ewmaScale/ewmaNext convention): slack k = μ div
+    * [[cusumSlackDiv]], decision bound = [[cusumBoundMul]]·μ. */
+  private[graft] val cusumSlackDiv = 10L
+  private[graft] val cusumBoundMul = 2L
+  private[graft] def cusumNext(prev: Long, cnt: Long, mu: Long): Long =
+    math.max(0L, prev + (cnt - mu - mu / cusumSlackDiv))
+
   val q207_cusum_changepoint: Q = (s, d) => {
     val daily = events(s, d)
       .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
@@ -390,11 +399,13 @@ object Events {
           |    'cusum', greatest(0L,
           |      CASE WHEN size(acc) = 0 THEN 0L
           |           ELSE element_at(acc, -1).cusum END
-          |      + (x.cnt - mu - mu div 10)))))""".stripMargin))
+          |      + (x.cnt - mu - mu div """.stripMargin +
+        s"$cusumSlackDiv)))))"))
       .select(col("event_type"), col("mu"), explode(col("cs")).as("r"))
       .select(col("event_type"), col("r.day").as("day"), col("r.cnt").as("cnt"),
         col("r.cusum").as("cusum"),
-        when(col("r.cusum") > lit(2L) * col("mu"), 1L).otherwise(0L).as("alarm"))
+        when(col("r.cusum") > lit(cusumBoundMul) * col("mu"), 1L)
+          .otherwise(0L).as("alarm"))
       .orderBy("event_type", "day")
   }
 

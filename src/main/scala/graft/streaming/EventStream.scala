@@ -37,6 +37,14 @@ case class SampleState(upd: Long, winners: Seq[(Long, Long, Long)])
 case class SampleWinner(lang: String, upd: Long, rank: Long, doc_id: Long,
   w: Long, skey: Long)
 
+/** Per-type CUSUM state: the last day folded and its cumulative sum. */
+case class CusumState(lastDay: Long, cusum: Long)
+
+/** One monitored point of the q207 twin — identical columns to the
+  * batch query's rows. */
+case class CusumPoint(event_type: String, day: Long, cnt: Long,
+  cusum: Long, alarm: Long)
+
 /** One typed row of the A/B stream after arm assignment
   * ([[EventStream.abStatusStream]] computes `arm` with the batch Column
   * helper BEFORE typing, so the assignment rule has one definition). */
@@ -570,6 +578,48 @@ object EventStream {
           }
           state.update(st)
           out.iterator
+      }
+  }
+
+  /** Streaming CUSUM monitor — q207's stateful twin in the production
+    * split the batch query can't have: the batch computes μ from the
+    * WHOLE series (retrospective changepoint analysis), while a stream
+    * cannot know future means, so the monitor takes a FROZEN per-type
+    * baseline μ — trained offline by the batch pass, exactly the
+    * train-offline / monitor-online deployment of a CUSUM chart. State
+    * is two longs per type ([[CusumState]]); the step is the shared
+    * [[graft.ops.Events.cusumNext]] (one definition with the gated
+    * batch recurrence), under the ewmaStream day-ordered ingest
+    * contract (enforced loudly). Against the SAME μ the batch used,
+    * the emitted points equal batch q207's rows — the parity
+    * EventStreamSpec pins. Types absent from the baseline are
+    * ignored (an unmonitored type has no chart). */
+  def cusumStream(daily: Dataset[DayCount],
+      baselineMu: Map[String, Long]): Dataset[CusumPoint] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[DayCount], state: GroupState[CusumState]) =>
+          baselineMu.get(key) match {
+            case None => Iterator.empty
+            case Some(mu) =>
+              val sorted = batch.toSeq.sortBy(_.day)
+              var st = state.getOption.getOrElse(CusumState(Long.MinValue, 0L))
+              val out = sorted.map { dc =>
+                require(dc.day > st.lastDay,
+                  s"cusumStream($key): day ${dc.day} arrived at or before " +
+                    s"folded day ${st.lastDay} — the daily feed must be " +
+                    "complete-per-day and in day order; rebuild from batch q207")
+                val c = graft.ops.Events.cusumNext(st.cusum, dc.cnt, mu)
+                st = CusumState(dc.day, c)
+                CusumPoint(key, dc.day, dc.cnt, c,
+                  if (c > graft.ops.Events.cusumBoundMul * mu) 1L else 0L)
+              }
+              state.update(st)
+              out.iterator
+          }
       }
   }
 

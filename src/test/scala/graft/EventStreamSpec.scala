@@ -1222,4 +1222,51 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
         Option(ex.getCause).exists(_.getMessage.contains("in-order ingest contract")))
     } finally q2.stop()
   }
+
+  test("cusumStream under the batch baseline equals batch q207 across splits; out-of-order fails") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    import graft.streaming.{DayCount, CusumPoint}
+    val sf = "/root/testdata/sf0.001"
+    val daily = graft.ops.Events.events(spark, sf)
+      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => DayCount(r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(d => (d.event_type, d.day))
+    val mu = daily.groupBy(_.event_type).view
+      .mapValues(ds => ds.map(_.cnt).sum / ds.length).toMap
+    // split each type's day series mid-stream (day-ordered contract):
+    // the cut is that type's median day, so both batches are non-empty
+    val cut = daily.groupBy(_.event_type).view
+      .mapValues(ds => { val days = ds.map(_.day).sorted; days(days.length / 2) })
+      .toMap
+    val (c1, c2) = daily.partition(d => d.day <= cut(d.event_type))
+    val input = MemoryStream[DayCount]
+    val query = EventStream.cusumStream(input.toDS(), mu)
+      .writeStream.format("memory").queryName("cusum").outputMode("append").start()
+    try {
+      input.addData(c1: _*); query.processAllAvailable()
+      input.addData(c2: _*); query.processAllAvailable()
+      val got = spark.table("cusum").as[CusumPoint].collect()
+        .map(p => (p.event_type, p.day) -> (p.cnt, p.cusum, p.alarm)).toMap
+      val batch = SparkEntry.queries("q207_cusum_changepoint")(spark, sf)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got == batch, "stream under the batch baseline must equal batch q207")
+    } finally query.stop()
+
+    val late = MemoryStream[DayCount]
+    val q2 = EventStream.cusumStream(late.toDS(), Map("view" -> 10L))
+      .writeStream.format("memory").queryName("cusum_late").outputMode("append").start()
+    try {
+      late.addData(DayCount("view", 5L, 3L)); q2.processAllAvailable()
+      late.addData(DayCount("view", 4L, 3L))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("day order") ||
+        Option(ex.getCause).exists(_.getMessage.contains("day order")))
+    } finally q2.stop()
+  }
 }
