@@ -56,12 +56,12 @@ object Bench {
     // untouched queries measure 1.5-2x their isolated cost (r13: q34
     // 2.74 s in-suite vs 1.62 isolated, q157 2.27 vs 1.14). A periodic
     // explicit GC lets the cleaner unpersist orphans; SessionMemo
-    // artifacts stay referenced and survive. Every 16 queries ≈ 13 GCs
-    // per full run — far cheaper than the contention it prevents.
+    // artifacts stay referenced and survive. Every 8 queries ≈ 26 GCs
+    // per full run — far cheaper than the contention it prevents (measured r13: no-GC 90.3 s, GC-16 83.2, GC-8 79.0 on the same 204-206 queries).
     var sinceGc = 0
     def maybeGc(): Unit = {
       sinceGc += 1
-      if (sinceGc >= 16) { sinceGc = 0; System.gc() }
+      if (sinceGc >= 8) { sinceGc = 0; System.gc() }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
