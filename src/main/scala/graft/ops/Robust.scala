@@ -215,12 +215,92 @@ object Robust {
       .orderBy("user_id")
   }
 
+  /** q209's Poisson(1) inverse CDF as integer thresholds on a 20-bit
+    * uniform (u < t_k ⇒ weight k): floor(CDF(k)·2²⁰) for k = 0..6,
+    * weight 7 beyond — the tail truncation shifts total mass by < 1e-4
+    * and, being part of the DEFINITION, costs the gate nothing. ONE
+    * value list generates both engines' CASE. */
+  private[graft] val poissonCdf20: Seq[Long] =
+    Seq(385749L, 771498L, 964372L, 1028665L, 1044738L, 1047952L, 1048479L)
+  private def poissonWSql(u: String): String =
+    poissonCdf20.zipWithIndex.map { case (t, k) => s"WHEN $u < ${t}L THEN ${k}L" }
+      .mkString("CASE ", " ", " ELSE 7L END")
+  private def poissonWSqlDuck(u: String): String =
+    poissonCdf20.zipWithIndex.map { case (t, k) => s"WHEN $u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 7 END")
+
+  /** q209: BOOTSTRAP uncertainty for the mean order amount — the
+    * resampling answer to "how stable is this statistic", computed the
+    * only way a distributed engine can afford: the POISSON BOOTSTRAP
+    * (Chamandy et al., Google 2012 — each row enters each resample
+    * w ~ Poisson(1) times, independence replacing the impossible exact
+    * multinomial over a distributed corpus). Here even the draws are
+    * deterministic: w comes from 20 md5 bits of (row id, resample id)
+    * through the integer inverse CDF [[poissonCdf20]], so both engines
+    * materialize the IDENTICAL 32 resamples and the gate pins the
+    * whole procedure, not a distribution claim. One pass: rows explode
+    * ×32 straight into the per-resample partial sums (map-side
+    * combine; nothing row-sized survives), each resample's mean is an
+    * integer-cents truncating division, and the spread report is exact
+    * order statistics over the 32-row frame (lower-median convention).
+    * Scale: 32× map-side amplification into 32 groups — no shuffle
+    * grows with the corpus. */
+  val q209_bootstrap_ci: Q = (s, d) => {
+    val px = s.read.parquet(s"$d/orders.parquet")
+      .select(col("o_orderkey").as("id"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+    val reps = px
+      .withColumn("b", explode(sequence(lit(1), lit(32))))
+      .withColumn("u", expr("CAST(conv(substring(md5(concat(" +
+        "CAST(id AS STRING), ':', CAST(b AS STRING))), 1, 5), 16, 10) AS BIGINT)"))
+      .withColumn("w", expr(poissonWSql("u")))
+      .groupBy("b")
+      .agg(sum(col("w") * col("v")).as("sm"), sum("w").as("n"))
+      .select(expr("CAST(sm div n AS BIGINT)").as("mean_c"))
+    val spread = reps.agg(
+      min("mean_c").as("boot_lo_c"),
+      expr("element_at(sort_array(collect_list(mean_c)), 16)").as("boot_med_c"),
+      max("mean_c").as("boot_hi_c"))
+    val full = px.agg(count(lit(1)).as("n_rows"),
+      expr("CAST(sum(v) div count(1) AS BIGINT)").as("mean_c"))
+    full.crossJoin(broadcast(spread))
+      .select("n_rows", "mean_c", "boot_lo_c", "boot_med_c", "boot_hi_c")
+  }
+
   val queries: Map[String, Q] = Map(
     "q184_mad_outliers" -> q184_mad_outliers,
     "q189_winsor_stats" -> q189_winsor_stats,
-    "q202_user_skyline" -> q202_user_skyline)
+    "q202_user_skyline" -> q202_user_skyline,
+    "q209_bootstrap_ci" -> q209_bootstrap_ci)
 
   val oracle: Map[String, String] = Map(
+    // the identical 32 deterministic resamples: same 20 md5 bits, same
+    // generated inverse-CDF CASE, same truncating means, same order
+    // statistics over the 32-row frame
+    "q209_bootstrap_ci" -> {
+      s"""WITH px AS (
+         |  SELECT o_orderkey AS id,
+         |         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+         |  FROM orders),
+         |r AS (
+         |  SELECT b,
+         |         CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':' ||
+         |           CAST(b AS VARCHAR)), 1, 5) AS BIGINT) AS u, v
+         |  FROM px, unnest(range(1, 33)) t(b)),
+         |w AS (SELECT b, ${poissonWSqlDuck("u")} AS w, v FROM r),
+         |m AS (SELECT b, CAST(sum(w * v) // sum(w) AS BIGINT) AS mean_c
+         |      FROM w GROUP BY b),
+         |sp AS (
+         |  SELECT CAST(min(mean_c) AS BIGINT) AS boot_lo_c,
+         |         CAST((SELECT mean_c FROM m ORDER BY mean_c
+         |               LIMIT 1 OFFSET 15) AS BIGINT) AS boot_med_c,
+         |         CAST(max(mean_c) AS BIGINT) AS boot_hi_c
+         |  FROM m),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |             CAST(sum(v) // count(*) AS BIGINT) AS mean_c FROM px)
+         |SELECT n_rows, mean_c, boot_lo_c, boot_med_c, boot_hi_c
+         |FROM f, sp""".stripMargin
+    },
     // the frontier definition stated directly — NOT EXISTS a dominating
     // profile — gating the grid-pruned rewrite
     "q202_user_skyline" ->

@@ -121,4 +121,18 @@ class RobustSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.exists(_._1 == 7L) && !got.exists(_._1 == 5L))
     assert(got.exists(_._1 == 9L), "diagonal neighbor is NOT dominated")
   }
+
+  test("q209: bootstrap band is ordered, brackets the full mean, and thresholds are a CDF") {
+    val r = SparkEntry.queries("q209_bootstrap_ci")(spark, "/root/testdata/sf0.001").head()
+    val (mean, lo, med, hi) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(lo <= med && med <= hi)
+    assert(lo < hi, "32 deterministic resamples of a non-constant column must spread")
+    assert(lo <= mean && mean <= hi,
+      "the full-sample mean should fall inside the bootstrap envelope here")
+    // the inverse-CDF thresholds must be strictly increasing and under 2^20
+    val ts = Robust.poissonCdf20
+    assert(ts == ts.sorted && ts.distinct == ts && ts.last < (1L << 20))
+    // mean weight ~ 1: P(0) mass ~ e^-1 (the Poisson-bootstrap premise)
+    assert(math.abs(ts.head.toDouble / (1L << 20) - math.exp(-1.0)) < 1e-4)
+  }
 }

@@ -262,6 +262,10 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     assert(plan("q202_user_skyline")
       .collect { case c: CartesianProductExec => c }.isEmpty,
       "q202's dominance anti-joins must broadcast, not cartesian")
+    // q209's spread ride is a 1-row × 1-row BNLJ (the q173 class)
+    assert(plan("q209_bootstrap_ci")
+      .collect { case c: CartesianProductExec => c }.isEmpty,
+      "q209's spread ride must broadcast, not cartesian")
   }
 
   test("fact-to-dim joins broadcast the dim side") {
