@@ -290,8 +290,48 @@ object Pipeline {
         col("n_docs_without_emb"), col("n_embs_without_doc"))
   }
 
+  /** q210: CUSTOM GROUPING SETS — the third grouping-sets surface:
+    * q56's ROLLUP walks the hierarchy, q126's CUBE takes every subset,
+    * and this takes a HAND-PICKED set — ((tahun), (semester)) — that
+    * neither shorthand can express (no grand total, no finest cell):
+    * exactly the two independent marginals a report wants without
+    * paying the cross product. Same SQL-path + gid disambiguation as
+    * q56/q126. */
+  val q210_grouping_sets: Q = (s, d) => {
+    Star.fact(s, d).createOrReplaceTempView("graft_fact_v")
+    s.sql(
+      """SELECT CAST(grouping_id() AS BIGINT) AS gid,
+        |       tahun, semester,
+        |       count(*) AS n,
+        |       sum(sks) AS sum_sks,
+        |       sum(bobot_matkul) AS sum_bm
+        |FROM graft_fact_v
+        |GROUP BY GROUPING SETS ((tahun), (semester))
+        |ORDER BY gid ASC, tahun ASC NULLS FIRST, semester ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** q211: PIVOT — the wide cross-tab operator itself (not the CUBE
+    * that feeds one): per day, event counts spread into one column per
+    * type. The Spark side uses the genuine `groupBy().pivot()` relational
+    * operator WITH AN EXPLICIT VALUE LIST — open-ended pivots scan once
+    * to discover columns and make the schema data-dependent, both wrong
+    * at scale — and absent cells are 0-filled so the frame is dense.
+    * The oracle states the same table as conditional sums, proving the
+    * pivot is semantics, not magic. */
+  val q211_pivot_matrix: Q = (s, d) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    graft.ops.Events.events(s, d)
+      .groupBy(expr("CAST(es div 86400 AS BIGINT)").as("day"))
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0L, types)
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
     "q177_integrity_audit" -> q177_integrity_audit,
+    "q210_grouping_sets" -> q210_grouping_sets,
+    "q211_pivot_matrix" -> q211_pivot_matrix,
     "q56_star_rollup" -> q56_star_rollup,
     "q126_star_cube" -> q126_star_cube,
     "q57_pipeline" -> q57_pipeline,
@@ -326,6 +366,29 @@ object Pipeline {
         |SELECT n_docs, n_embs, n_dup_doc_ids, n_dup_vec_ids, n_empty_text,
         |       n_docs_without_emb, n_embs_without_doc
         |FROM dd CROSS JOIN ee CROSS JOIN dwe CROSS JOIN ewd""".stripMargin,
+    // same hand-picked sets, same gid disambiguation
+    "q210_grouping_sets" -> withFact(
+      """SELECT CAST(GROUPING(tahun, semester) AS BIGINT) AS gid,
+        |       tahun, semester,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       sum(sks) AS sum_sks,
+        |       sum(bobot_matkul) AS sum_bm
+        |FROM fact
+        |GROUP BY GROUPING SETS ((tahun), (semester))
+        |ORDER BY gid ASC, tahun ASC NULLS FIRST, semester ASC NULLS FIRST""".stripMargin),
+    // the pivot stated as conditional sums — the wide table is
+    // semantics, not engine magic
+    "q211_pivot_matrix" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |         event_type FROM events)
+        |SELECT day,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM e GROUP BY day ORDER BY day""".stripMargin,
     "q56_star_rollup" -> withFact(
       """SELECT CAST(GROUPING(tahun, semester) AS BIGINT) AS gid,
         |       tahun, semester,

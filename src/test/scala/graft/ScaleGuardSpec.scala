@@ -230,7 +230,7 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "q189_winsor_stats", "q195_linear_attribution", "q196_dp_release",
       "q197_table_profile", "q198_ab_test", "q199_join_cardinality",
       "q201_session_transitions", "q207_cusum_changepoint",
-      "q208_daily_trend")
+      "q208_daily_trend", "q210_grouping_sets", "q211_pivot_matrix")
     val degraded = fresh.flatMap { name =>
       val p = plan(name)
       if (p.collect { case c: CartesianProductExec => c
