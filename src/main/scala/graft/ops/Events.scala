@@ -121,6 +121,44 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** q212: ASSOCIATION RULES over (user, day) event baskets — the
+    * market-basket classic: a basket is one user's one day (median 2
+    * of the 5 types on this corpus — the all-time user grain is
+    * saturated and every rule degenerates to lift 1), and for every
+    * ordered type pair X → Y the rule reports support (baskets with
+    * both), confidence (`n_xy·10000 div n_x` bp) and lift
+    * (`N·n_xy·10000 div (n_x·n_y)` bp — > 10000 means Y is MORE likely
+    * in a basket given X). All integer. Scale shape: one DISTINCT on
+    * (user, day, type) — the basket table, shuffled on its key — then
+    * a self-join per basket bounded by the TYPE DOMAIN (≤ |types|²
+    * pairs per basket, never |events|²), a #types²-sized rollup, and
+    * broadcast per-type counts. */
+  val q212_association_rules: Q = (s, d) => {
+    val basket = events(s, d)
+      .select(col("user_id"), expr("CAST(es div 86400 AS BIGINT)").as("day"),
+        col("event_type")).distinct()
+    val n = basket.select("user_id", "day").distinct().count()
+    val single = basket.groupBy(col("event_type")).agg(count(lit(1)).as("nx"))
+    val pairs = basket.as("a")
+      .join(basket.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.day") === col("b.day") &&
+        col("a.event_type") =!= col("b.event_type"))
+      .groupBy(col("a.event_type").as("x"), col("b.event_type").as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    pairs
+      .join(broadcast(single.select(col("event_type").as("x"), col("nx"))), "x")
+      .join(broadcast(single.select(col("event_type").as("y"),
+        col("nx").as("ny"))), "y")
+      .select(col("x"), col("y"), col("n_xy"),
+        expr("CAST(n_xy * 10000 div nx AS BIGINT)").as("conf_bp"),
+        // N·n_xy·10000 can pass int64 at billion-user scale — the
+        // triple product runs in DECIMAL(38,0) (DuckDB: HUGEINT), one
+        // exact widening, truncating div on positives in both engines
+        expr(s"CAST(CAST(${n}L AS DECIMAL(38,0)) * n_xy * 10000" +
+          " div (CAST(nx AS DECIMAL(38,0)) * ny) AS BIGINT)").as("lift_bp"))
+      .orderBy("x", "y")
+  }
+
   /** q52: semi-structured props (JSON) extraction + per-type aggregate. */
   val q52_props_json: Q = (s, d) =>
     events(s, d)
@@ -644,6 +682,7 @@ object Events {
     "q195_linear_attribution" -> q195_linear_attribution,
     "q198_ab_test" -> q198_ab_test,
     "q201_session_transitions" -> q201_session_transitions,
+    "q212_association_rules" -> q212_association_rules,
     "q207_cusum_changepoint" -> q207_cusum_changepoint,
     "q208_daily_trend" -> q208_daily_trend,
     "q186_ewma_rate" -> q186_ewma_rate,
@@ -817,6 +856,29 @@ object Events {
         |       CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks,
         |       CAST(sum(10000 // n) AS BIGINT) AS credit_bp
         |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same baskets, counts, and exact wide-integer lift
+    "q212_association_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |         event_type FROM events),
+        |n AS (SELECT CAST(count(*) AS HUGEINT) AS nu
+        |      FROM (SELECT DISTINCT user_id, day FROM b)),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nx
+        |      FROM b GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS x, c.event_type AS y,
+        |         CAST(count(*) AS BIGINT) AS n_xy
+        |  FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+        |   AND a.event_type <> c.event_type
+        |  GROUP BY 1, 2)
+        |SELECT x, y, n_xy,
+        |       CAST(n_xy * 10000 // sx.nx AS BIGINT) AS conf_bp,
+        |       CAST(nu * n_xy * 10000
+        |            // (CAST(sx.nx AS HUGEINT) * sy.nx) AS BIGINT) AS lift_bp
+        |FROM p JOIN s sx ON p.x = sx.event_type
+        |       JOIN s sy ON p.y = sy.event_type, n
+        |ORDER BY x, y""".stripMargin,
     // same daily counts, same integer mean/slack, same max(0, ·)
     // recurrence over row-numbered days, same 2μ decision bound
     "q207_cusum_changepoint" ->

@@ -73,7 +73,11 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       // cosines collected — kilobytes); its pool plan is q36's
       // TakeOrderedAndProject shape with a 1-row query BNLJ ride, and
       // its final frame is literal driver rows
-      "q200_mmr_select")
+      "q200_mmr_select",
+      // q212 counts the basket universe at construction (one scalar
+      // job); its pair join is equi on (user, day) and its rollup is
+      // #types²-sized — no window anywhere
+      "q212_association_rules")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => eager(name) }
       .flatMap { case (name, fn) =>
