@@ -159,6 +159,29 @@ object Events {
       .orderBy("x", "y")
   }
 
+  /** q213: TIME-TO-CONVERT distribution — exact p25/p50/p90 of the
+    * first-view → first-purchase gap, the latency histogram a growth
+    * team reads next to q73's funnel counts. Per user: both first
+    * times from ONE conditional-min aggregate (the q73 shape), gaps
+    * only for users whose first purchase strictly follows their first
+    * view; the quantiles are [[graft.ops.Robust.histQuantiles]] over
+    * the gap-seconds VALUE HISTOGRAM — the same two-phase
+    * boundary-bucket machinery the robust-stats family gates, reused
+    * across modules instead of re-derived (integer ceil-rank, so the
+    * oracle replays it bit-for-bit). */
+  val q213_time_to_convert: Q = (s, d) => {
+    val ev = events(s, d)
+    def firstEs(t: String) = min(when(col("event_type") === t, col("es")))
+    val gaps = ev.groupBy("user_id")
+      .agg(firstEs("view").as("tv"), firstEs("purchase").as("tp"))
+      .where(col("tv").isNotNull && col("tp") > col("tv"))
+      .select(lit("all").as("group"), (col("tp") - col("tv")).as("v"))
+    val hist = gaps.groupBy("group", "v").agg(count(lit(1)).as("cnt"))
+    graft.ops.Robust.histQuantiles(hist,
+        Seq(25 -> "p25_s", 50 -> "p50_s", 90 -> "p90_s"))
+      .select(col("n").as("n_users"), col("p25_s"), col("p50_s"), col("p90_s"))
+  }
+
   /** q52: semi-structured props (JSON) extraction + per-type aggregate. */
   val q52_props_json: Q = (s, d) =>
     events(s, d)
@@ -683,6 +706,7 @@ object Events {
     "q198_ab_test" -> q198_ab_test,
     "q201_session_transitions" -> q201_session_transitions,
     "q212_association_rules" -> q212_association_rules,
+    "q213_time_to_convert" -> q213_time_to_convert,
     "q207_cusum_changepoint" -> q207_cusum_changepoint,
     "q208_daily_trend" -> q208_daily_trend,
     "q186_ewma_rate" -> q186_ewma_rate,
@@ -856,6 +880,29 @@ object Events {
         |       CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks,
         |       CAST(sum(10000 // n) AS BIGINT) AS credit_bp
         |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same gaps, the same integer ceil-rank selection off the
+    // cumulative histogram (the q189 oracle pattern)
+    "q213_time_to_convert" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view'
+        |             THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS tv,
+        |         min(CASE WHEN event_type = 'purchase'
+        |             THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS tp
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT tp - tv AS v FROM u WHERE tv IS NOT NULL AND tp > tv),
+        |h AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+        |cum AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS c
+        |        FROM h)
+        |SELECT t.n AS n_users,
+        |       (SELECT min(v) FROM cum, t
+        |        WHERE c >= greatest(1, (n * 25 + 99) // 100)) AS p25_s,
+        |       (SELECT min(v) FROM cum, t
+        |        WHERE c >= greatest(1, (n * 50 + 99) // 100)) AS p50_s,
+        |       (SELECT min(v) FROM cum, t
+        |        WHERE c >= greatest(1, (n * 90 + 99) // 100)) AS p90_s
+        |FROM t""".stripMargin,
     // the same baskets, counts, and exact wide-integer lift
     "q212_association_rules" ->
       """WITH b AS (

@@ -19,7 +19,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
   private val globalWindowAllowed: Map[String, String] = Map(
     "q29_biggest_drop" -> "window input is per-period averages, bounded by the calendar (Insights.scala q29 doc)",
     "q168_hist_quantiles" -> "running sum over the MERGED histogram cells, bounded at 64 rows (TextStats.scala q168 doc)",
-    "q190_neyman_alloc" -> "largest-remainder rank over STRATUM rows (one per market segment), bounded by the segment domain (Curation.scala q190 doc)")
+    "q190_neyman_alloc" -> "largest-remainder rank over STRATUM rows (one per market segment), bounded by the segment domain (Curation.scala q190 doc)",
+    "q213_time_to_convert" -> "histQuantiles' two windows with the constant 'all' group folded partitionless: phase 1 runs over the COARSE-bucket histogram (gap domain div 10000 rows), phase 2 over one boundary bucket's distinct values — both value-domain-bounded, never the user count (Robust.histQuantiles doc)")
 
   private def globalWindows(plan: LogicalPlan): Seq[LWindow] =
     plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
