@@ -74,22 +74,32 @@ object Events {
         col("event_type"), col("n_events"), col("sum_value_cents"))
       .orderBy("window_start", "event_type")
 
-  /** q51: gap-based sessionization (30-min inactivity) per user —
-    * the batch twin of the streaming flatMapGroupsWithState version. */
-  val q51_sessionize: Q = (s, d) => {
+  /** The session gap — ONE constant for q51, q201, their oracles (the
+    * SQL strings interpolate it) and the streaming side
+    * ([[graft.streaming.EventStream.sessionGapSeconds]] aliases it). */
+  private[graft] val sessionGapSeconds = 1800L
+
+  /** Append `new_session`/`session_id` to a frame carrying (user_id,
+    * event_id, es, …) — the single gap-rule definition q51 and q201
+    * share (r13 review: the rule previously lived in two copies). */
+  private[graft] def withSessionIds(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("es", "event_id")
-    events(s, d)
-      .select(col("user_id"), col("event_id"), col("es"))
-      .withColumn("new_session",
+    ev.withColumn("new_session",
         when(lag(col("es"), 1).over(w).isNull ||
-          col("es") - lag(col("es"), 1).over(w) > 1800, 1L).otherwise(0L))
+          col("es") - lag(col("es"), 1).over(w) > sessionGapSeconds, 1L)
+          .otherwise(0L))
       .withColumn("session_id", sum(col("new_session")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** q51: gap-based sessionization (30-min inactivity) per user —
+    * the batch twin of the streaming flatMapGroupsWithState version. */
+  val q51_sessionize: Q = (s, d) =>
+    withSessionIds(events(s, d).select(col("user_id"), col("event_id"), col("es")))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
         min(col("es")).as("start_es"), max(col("es")).as("end_es"))
       .orderBy("user_id", "session_id")
-  }
 
   /** q201: SESSION TRANSITION MATRIX — the Markov next-event table
     * product analytics reads paths from: within each q51 session
@@ -101,19 +111,16 @@ object Events {
     * q51 shape), the matrix itself is #types²-sized and its row-total
     * join broadcasts. */
   val q201_session_transitions: Q = (s, d) => {
-    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
-    val sess = events(s, d)
-      .select(col("user_id"), col("event_id"), col("es"), col("event_type"))
-      .withColumn("new_session",
-        when(lag(col("es"), 1).over(w).isNull ||
-          col("es") - lag(col("es"), 1).over(w) > 1800, 1L).otherwise(0L))
-      .withColumn("session_id", sum("new_session").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sess = withSessionIds(events(s, d)
+      .select(col("user_id"), col("event_id"), col("es"), col("event_type")))
     val ws = Window.partitionBy("user_id", "session_id").orderBy("es", "event_id")
+    // the #types²-sized matrix is referenced twice (rows + row totals);
+    // checkpointing it avoids running the sessionization chain twice
     val trans = sess.withColumn("next_type", lead("event_type", 1).over(ws))
       .where(col("next_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     trans.join(broadcast(trans.groupBy("from_type").agg(sum("n").as("tot"))),
         "from_type")
       .select(col("from_type"), col("to_type"), col("n"),
@@ -132,7 +139,11 @@ object Events {
     * (user, day, type) — the basket table, shuffled on its key — then
     * a self-join per basket bounded by the TYPE DOMAIN (≤ |types|²
     * pairs per basket, never |events|²), a #types²-sized rollup, and
-    * broadcast per-type counts. */
+    * broadcast per-type counts. The basket frame is deliberately NOT
+    * checkpointed: it is corpus-scaled (users × days), so its three
+    * consumers re-run a cheap scan+distinct instead of pinning
+    * corpus-sized blocks in executor storage (the q193/q200
+    * checkpoints are domain-bounded; this one would not be). */
   val q212_association_rules: Q = (s, d) => {
     val basket = events(s, d)
       .select(col("user_id"), expr("CAST(es div 86400 AS BIGINT)").as("day"),
@@ -168,7 +179,10 @@ object Events {
     * the gap-seconds VALUE HISTOGRAM — the same two-phase
     * boundary-bucket machinery the robust-stats family gates, reused
     * across modules instead of re-derived (integer ceil-rank, so the
-    * oracle replays it bit-for-bit). */
+    * oracle replays it bit-for-bit). A corpus with NO qualifying
+    * converter yields ZERO rows in both engines (the oracle's final
+    * WHERE drops its NULL-sum row) — no report, rather than a row of
+    * NULLs. */
   val q213_time_to_convert: Q = (s, d) => {
     val ev = events(s, d)
     def firstEs(t: String) = min(when(col("event_type") === t, col("es")))
@@ -443,9 +457,11 @@ object Events {
     math.max(0L, prev + (cnt - mu - mu / cusumSlackDiv))
 
   val q207_cusum_changepoint: Q = (s, d) => {
+    // calendar×types-bounded and referenced twice (μ + the fold input)
     val daily = events(s, d)
       .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val mu = daily.groupBy("event_type")
       .agg(expr("CAST(sum(cnt) div count(1) AS BIGINT)").as("mu"))
     daily.join(broadcast(mu), "event_type")
@@ -811,12 +827,12 @@ object Events {
         |UNION ALL SELECT CAST(3 AS BIGINT), 'view>click>purchase', n3 FROM agg
         |ORDER BY stage""".stripMargin,
     "q69_range_join" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT event_id, user_id, event_type,
         |         CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
         |marked AS (
         |  SELECT user_id, event_id, es,
-        |         CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+        |         CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > $sessionGapSeconds
         |              THEN 1 ELSE 0 END AS new_session
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
         |numbered AS (
@@ -902,7 +918,7 @@ object Events {
         |        WHERE c >= greatest(1, (n * 50 + 99) // 100)) AS p50_s,
         |       (SELECT min(v) FROM cum, t
         |        WHERE c >= greatest(1, (n * 90 + 99) // 100)) AS p90_s
-        |FROM t""".stripMargin,
+        |FROM t WHERE n IS NOT NULL""".stripMargin,
     // the same baskets, counts, and exact wide-integer lift
     "q212_association_rules" ->
       """WITH b AS (
@@ -977,11 +993,11 @@ object Events {
         |FROM g ORDER BY event_type""".stripMargin,
     // the same gap rule, same (es, event_id) order, same bp division
     "q201_session_transitions" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT event_id, user_id, event_type,
         |         CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
         |s AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL
-        |                       OR es - lag(es) OVER w > 1800
+        |                       OR es - lag(es) OVER w > $sessionGapSeconds
         |                     THEN 1 ELSE 0 END AS ns
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
         |s2 AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
@@ -1041,13 +1057,13 @@ object Events {
         |FROM events
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q51_sessionize" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  -- floor(), not a bare CAST: DuckDB CAST(double AS BIGINT) rounds,
         |  -- Spark's unix_timestamp floors.
         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
         |marked AS (
         |  SELECT user_id, event_id, es,
-        |         CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+        |         CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > $sessionGapSeconds
         |              THEN 1 ELSE 0 END AS new_session
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
         |sess AS (

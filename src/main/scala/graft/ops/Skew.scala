@@ -219,7 +219,13 @@ object Skew {
       .agg(count(lit(1)).as("n_users_both"),
         sum("pairs").as("est_pairs"),
         max("pairs").as("max_key_pairs"),
-        min(concat(lpad((lit(1000000000L) - col("pairs")).cast("string"), 10, "0"),
+        // (pairs desc, user asc) as one min-string: the inversion
+        // constant must DOMINATE any real per-key pair count or the
+        // encoding flips sign and elects a colder key — 10^18 covers
+        // na, nb < 10^9 each (r13 review; the old 10^9 constant broke
+        // exactly in the hot-key regime this statistic exists for)
+        min(concat(lpad((lit(1000000000000000000L) - col("pairs"))
+            .cast("string"), 19, "0"),
           lit("|"), col("user_id").cast("string"))).as("hot"))
       .select(col("n_users_both"), col("est_pairs"), col("max_key_pairs"),
         expr("CAST(split(hot, '\\\\|')[1] AS BIGINT)").as("hot_user"))
@@ -250,8 +256,8 @@ object Skew {
         |SELECT CAST(count(*) AS BIGINT) AS n_users_both,
         |       CAST((SELECT true_pairs FROM truth) AS BIGINT) AS est_pairs,
         |       CAST(max(pairs) AS BIGINT) AS max_key_pairs,
-        |       CAST(split_part(min(lpad(CAST(1000000000 - pairs AS VARCHAR),
-        |              10, '0') || '|' || CAST(user_id AS VARCHAR)),
+        |       CAST(split_part(min(lpad(CAST(1000000000000000000 - pairs AS VARCHAR),
+        |              19, '0') || '|' || CAST(user_id AS VARCHAR)),
         |            '|', 2) AS BIGINT) AS hot_user
         |FROM p""".stripMargin,
     "q192_bloom_semijoin" ->

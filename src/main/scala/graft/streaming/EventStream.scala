@@ -120,7 +120,7 @@ case class FunnelTimedState(tView: Option[Long], tClick: Option[Long],
   */
 object EventStream {
 
-  val sessionGapSeconds: Long = 1800L
+  val sessionGapSeconds: Long = graft.ops.Events.sessionGapSeconds
 
   /** Streaming exact dedup — the streaming twin of q31 for an ingest
     * pipeline: keep the first arrival of each fingerprint, drop replays.
@@ -756,10 +756,14 @@ object EventStream {
           val out = Seq.newBuilder[TransEdge]
           sorted.foreach { e =>
             cur.foreach { st =>
+              // STRICTLY ahead: a redelivered duplicate of the folded
+              // event (same es, same id — at-least-once sources do
+              // this) would otherwise pass and emit a spurious
+              // self-edge that batch q201 never counts (r13 review)
               require(e.es > st.lastEs ||
-                (e.es == st.lastEs && e.event_id >= st.lastEventId),
+                (e.es == st.lastEs && e.event_id > st.lastEventId),
                 s"transitionStream: user $uid event ${e.event_id} at ${e.es} " +
-                  s"arrived behind folded state (${st.lastEs}, ${st.lastEventId}) — " +
+                  s"arrived at or behind folded state (${st.lastEs}, ${st.lastEventId}) — " +
                   "the in-order ingest contract is broken and emitted edges " +
                   "would be unrewritable")
               if (e.es - st.lastEs <= sessionGapSeconds)

@@ -1221,6 +1221,22 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       assert(ex.getMessage.contains("in-order ingest contract") ||
         Option(ex.getCause).exists(_.getMessage.contains("in-order ingest contract")))
     } finally q2.stop()
+
+    // an at-least-once REDELIVERY of the already-folded event must also
+    // fail, not emit a spurious self-edge (r13 review: `>=` let the
+    // byte-identical duplicate through)
+    val dup = MemoryStream[TransEv]
+    val q3 = EventStream.transitionStream(dup.toDS())
+      .writeStream.format("memory").queryName("trans_dup").outputMode("append").start()
+    try {
+      dup.addData(TransEv(9L, 2L, 5000L, "view")); q3.processAllAvailable()
+      dup.addData(TransEv(9L, 2L, 5000L, "view"))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("in-order ingest contract") ||
+        Option(ex.getCause).exists(_.getMessage.contains("in-order ingest contract")))
+    } finally q3.stop()
   }
 
   test("cusumStream under the batch baseline equals batch q207 across splits; out-of-order fails") {

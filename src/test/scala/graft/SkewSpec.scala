@@ -149,7 +149,12 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(x => x.getLong(0) -> x.getLong(1))
     val best = pairs.map(_._2).max
     assert(r.getLong(2) == best)
-    assert(pairs.filter(_._2 == best).map(_._1).min == r.getLong(3),
-      "hot_user must be the smallest user id among argmax keys")
+    // replay the query's OWN tie-break — the lexicographic min of the
+    // (inverted-pairs, user-id-string) encoding, NOT numeric id min:
+    // the two disagree when tied ids have different digit counts
+    // (r13 review), so the test must not over-specify
+    val hot = pairs.map { case (id, p) =>
+      f"${1000000000000000000L - p}%019d|$id" }.min.split("\\|")(1).toLong
+    assert(hot == r.getLong(3), "hot_user must replay the encoded tie-break")
   }
 }
