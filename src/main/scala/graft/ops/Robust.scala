@@ -152,57 +152,60 @@ object Robust {
       .orderBy("priority")
   }
 
-  /** The grid-pruned 2-D SKYLINE core of q202 over points (`id`, `p`,
-    * `e`) — maximize `p`, minimize `e`; a point is on the Pareto
-    * frontier iff no other point has p ≥, e ≤ with one strict. The
-    * naive formulation is an all-pairs dominance anti-join; the
-    * distributed composition prunes at CELL granularity first: points
-    * land in an 8×8 grid (widths from the broadcast 1-row bounds), a
-    * cell dies when some cell's WORST corner (min p, max e) strictly
-    * dominates its BEST corner (max p, min e) — then every point it
-    * holds is dominated by every point of the killer cell — and only
-    * surviving cells' points (the frontier band) enter the exact
-    * anti-join, broadcast because the band is output-bound (worst
-    * case, an all-diagonal corpus, IS the skyline — inherent to the
-    * operator, stated not hidden). The cell table is ≤ 64 rows; its
-    * pairing is a broadcast of kilobytes. Duplicate (p, e) points
-    * never dominate each other (the strict clause), so both survive —
-    * matching the oracle's NOT EXISTS. */
+  /** The 2-D SKYLINE core of q202 over points (`id`, `p`, `e`) —
+    * maximize `p`, minimize `e`; a point is on the Pareto frontier iff
+    * no other point has p ≥, e ≤ with one strict. The naive
+    * formulation is an all-pairs dominance anti-join; in 2-D no pair
+    * ever needs to exist: a point survives iff
+    *
+    *   (1) e = min{e' : p' = p}             — best at its own p, and
+    *   (2) min{e' : p' > p} > e (or ∅)      — beats every higher-p point.
+    *
+    * ((1) kills same-p-worse-e rows; (2) kills rows some strictly-higher
+    * p matches-or-beats on e. Duplicate (p, e) points never dominate
+    * each other — the strict clause — so both survive, matching the
+    * oracle's NOT EXISTS.) The corpus collapses to ONE row per distinct
+    * p (groupBy min), and the strict-suffix min over p is computed
+    * two-phase like [[histQuantiles]]: a within-bucket suffix window
+    * whose frame is hard-capped at [[coarseWidth]] rows (one row per
+    * distinct p inside the bucket) plus a coarse walk over
+    * domain div [[coarseWidth]] bucket rows. The per-p frontier table
+    * then equi-joins back to the points — no broadcast hint (distinct-p
+    * count is corpus-sized in the adversarial all-distinct case; AQE
+    * may still elect broadcast when it is actually small), no theta
+    * join, no pair materialized anywhere. */
   private[graft] def skyline2d(pts: DataFrame): DataFrame = {
-    val bounds = pts.agg(min("p").as("minp"), max("p").as("maxp"),
-      min("e").as("mine"), max("e").as("maxe"))
-    val celled = pts.crossJoin(broadcast(bounds))
-      .withColumn("wp", greatest(lit(1L), expr("(maxp - minp + 1) div 8")))
-      .withColumn("we", greatest(lit(1L), expr("(maxe - mine + 1) div 8")))
-      .withColumn("cx", expr("(p - minp) div wp"))
-      .withColumn("cy", expr("(e - mine) div we"))
-      .select("id", "p", "e", "cx", "cy")
-    val cells = celled.groupBy("cx", "cy")
-      .agg(max("p").as("bestp"), min("e").as("beste"),
-        min("p").as("worstp"), max("e").as("worste"))
-    val killers = cells.select(col("worstp").as("kp"), col("worste").as("ke"))
-    val survivors = cells.join(broadcast(killers),
-        col("kp") >= col("bestp") && col("ke") <= col("beste") &&
-          (col("kp") > col("bestp") || col("ke") < col("beste")),
-        "left_anti")
-      .select("cx", "cy")
-    val cand = celled.join(broadcast(survivors), Seq("cx", "cy"))
+    val perP = pts.groupBy("p").agg(min("e").as("minE"))
+      .withColumn("cb", expr(s"CAST(p div $coarseWidth AS BIGINT)"))
+    // coarse walk: for each bucket, the min e over STRICTLY greater
+    // buckets (suffix frame over domain div coarseWidth rows)
+    val cbSuff = perP.groupBy("cb").agg(min("minE").as("cbMin"))
+      .withColumn("cbSuffGt", min("cbMin").over(Window.orderBy(col("cb").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .select("cb", "cbSuffGt")
+    // within-bucket strict suffix (rows are distinct p, so "strictly
+    // preceding row in p desc" ≡ "strictly greater p"); frame ≤ coarseWidth
+    val frontierP = perP
+      .withColumn("inSuffGt", min("minE").over(Window.partitionBy("cb")
+        .orderBy(col("p").desc).rowsBetween(Window.unboundedPreceding, -1)))
+      .join(cbSuff, Seq("cb"))
+      // least() skips nulls: null ⟺ no strictly-greater p exists at all
+      .withColumn("suffGt", least(col("inSuffGt"), col("cbSuffGt")))
+      .where(col("suffGt").isNull || col("suffGt") > col("minE"))
+      .select(col("p"), col("minE"))
+    pts.join(frontierP, Seq("p"))
+      .where(col("e") === col("minE"))
       .select("id", "p", "e")
-    val dom = cand.select(col("p").as("dp"), col("e").as("de"))
-    cand.join(broadcast(dom),
-        col("dp") >= col("p") && col("de") <= col("e") &&
-          (col("dp") > col("p") || col("de") < col("e")),
-        "left_anti")
   }
 
   /** q202: PARETO-FRONTIER user QA — which users are not dominated on
     * (purchases ↑, errors ↓): the multi-objective "best" set a single
     * score column cannot express (any weighted score picks ONE point;
     * the skyline returns every defensible trade-off). Profile = one
-    * user-keyed aggregate; frontier via [[skyline2d]]'s grid prune;
-    * the DuckDB oracle states the definition directly as NOT EXISTS a
-    * dominating row, so the gate proves the pruned composition equals
-    * the quadratic definition. */
+    * user-keyed aggregate; frontier via [[skyline2d]]'s pair-free
+    * monotone sweep; the DuckDB oracle states the definition directly
+    * as NOT EXISTS a dominating row, so the gate proves the sweep
+    * equals the quadratic definition. */
   val q202_user_skyline: Q = (s, d) => {
     val prof = graft.ops.Events.events(s, d)
       .groupBy("user_id")

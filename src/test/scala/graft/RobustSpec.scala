@@ -94,7 +94,7 @@ class RobustSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expect)
   }
 
-  test("skyline2d: grid prune keeps exactly the non-dominated set on planted geometry") {
+  test("skyline2d: pair-free sweep keeps exactly the non-dominated set on planted geometry") {
     import spark.implicits._
     def direct(pts: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] =
       pts.filter { case (_, p, e) =>
@@ -120,6 +120,19 @@ class RobustSpec extends AnyFunSuite with SparkTestBase {
       "duplicate frontier points both survive")
     assert(!got.exists(_._1 == 7L) && !got.exists(_._1 == 5L))
     assert(got.exists(_._1 == 9L), "diagonal neighbor is NOT dominated")
+  }
+
+  test("q202 plan: no anti-join, no nested-loop join, no pair materialization (r13 verdict item 1)") {
+    // the r13-weak shape was a broadcast theta ANTI-join over a
+    // corpus-linear candidate band; the sweep rewrite must never
+    // reintroduce one — every join in the plan is an equi-join
+    val plan = SparkEntry.queries("q202_user_skyline")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "skyline sweep must not contain a nested-loop join")
+    assert(!plan.contains("LeftAnti"),
+      "skyline sweep must not contain an anti-join")
+    assert(!plan.contains("CartesianProduct"))
   }
 
   test("q209: bootstrap band is ordered, brackets the full mean, and thresholds are a CDF") {

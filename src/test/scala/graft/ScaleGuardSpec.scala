@@ -20,7 +20,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     "q29_biggest_drop" -> "window input is per-period averages, bounded by the calendar (Insights.scala q29 doc)",
     "q168_hist_quantiles" -> "running sum over the MERGED histogram cells, bounded at 64 rows (TextStats.scala q168 doc)",
     "q190_neyman_alloc" -> "largest-remainder rank over STRATUM rows (one per market segment), bounded by the segment domain (Curation.scala q190 doc)",
-    "q213_time_to_convert" -> "histQuantiles' two windows with the constant 'all' group folded partitionless: phase 1 runs over the COARSE-bucket histogram (gap domain div 10000 rows), phase 2 over one boundary bucket's distinct values — both value-domain-bounded, never the user count (Robust.histQuantiles doc)")
+    "q213_time_to_convert" -> "histQuantiles' two windows with the constant 'all' group folded partitionless: phase 1 runs over the COARSE-bucket histogram (gap domain div 10000 rows), phase 2 over one boundary bucket's distinct values — both value-domain-bounded, never the user count (Robust.histQuantiles doc)",
+    "q202_user_skyline" -> "skyline2d's coarse suffix-min walk runs over one row per 10000-wide purchase-count bucket (distinct-p domain div coarseWidth rows, never the user count); the per-p window partitions by bucket with a frame hard-capped at coarseWidth rows (Robust.skyline2d doc)")
 
   private def globalWindows(plan: LogicalPlan): Seq[LWindow] =
     plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
