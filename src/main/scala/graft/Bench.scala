@@ -48,25 +48,20 @@ object Bench {
     // optional comma-separated query filter for focused profiling runs
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    // Between-query hygiene (r13): the suite shares one JVM across 200+
-    // queries, and every non-memoized localCheckpoint leaves orphaned
-    // RDD blocks in storage memory until ContextCleaner runs — which it
-    // only does after a JVM GC collects the dropped DataFrame refs. By
-    // late alphabet the accumulated blocks squeeze execution memory and
-    // untouched queries measure 1.5-2x their isolated cost (r13: q34
-    // 2.74 s in-suite vs 1.62 isolated, q157 2.27 vs 1.14). A periodic
-    // explicit GC lets the cleaner unpersist orphans; SessionMemo
-    // artifacts stay referenced and survive. Every 8 queries ≈ 26 GCs
-    // per full run — far cheaper than the contention it prevents (measured r13: no-GC 90.3 s, GC-16 83.2, GC-8 79.0 on the same 204-206 queries).
-    var sinceGc = 0
-    def maybeGc(): Unit = {
-      sinceGc += 1
-      if (sinceGc >= 8) { sinceGc = 0; System.gc() }
-    }
+    // Between-query hygiene (r13 → r14): the suite shares one JVM across
+    // 200+ queries. In r13 every non-memoized localCheckpoint left
+    // orphaned RDD blocks in storage memory until a JVM GC let
+    // ContextCleaner notice — late-alphabet queries measured 1.5-2x
+    // their isolated cost and the bench papered over it with a
+    // System.gc() every 8 queries. r14 fixes the cause: non-memoized
+    // checkpoints register with graft.Ckpt and are unpersisted
+    // DETERMINISTICALLY when the next query's thunk begins
+    // (SparkEntry.queries wrapper), and driver loops drop superseded
+    // frames mid-query — so no GC crutch remains here, and the suite
+    // total is the demonstration that none is needed.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-      maybeGc()
       // a rep that throws is a FAILURE, not a sample: its time-to-failure
       // must not enter the median (a broken query would masquerade as a
       // fast one in round-over-round comparisons)

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable.ArrayBuffer
+
+/** Deterministic lifecycle for PER-QUERY eager local checkpoints — the
+  * r13 "orphaned checkpoint blocks" fix, at the cause instead of the
+  * symptom.
+  *
+  * A `localCheckpoint(true)` materializes RDD blocks that nothing ever
+  * unpersists: after the query's terminal action the blocks sit in
+  * storage memory until a JVM GC collects the dropped DataFrame refs
+  * and ContextCleaner notices — in a 200-query suite (or any
+  * long-lived Thrift-server-style session) the accumulation squeezed
+  * execution memory until untouched queries measured 1.5–2× their
+  * isolated cost, and the r13 bench papered over it with a
+  * `System.gc()` every 8 queries.
+  *
+  * The deterministic contract instead:
+  *
+  *  - [[eager]] replaces a bare `df.localCheckpoint(true)` at every
+  *    non-memoized site: same eager materialization, but the frame is
+  *    REGISTERED against its session.
+  *  - [[beginQuery]] runs when the next top-level query on the same
+  *    session begins (wired once, in `SparkEntry.queries`' thunks —
+  *    every driver/bench/Verify/Thrift-style caller goes through that
+  *    map): all frames the previous query registered are unpersisted
+  *    on the spot. Steady-state storage is therefore ONE query's
+  *    bounded checkpoint set, never a growing pile waiting for GC.
+  *  - [[drop]] releases a SUPERSEDED checkpoint immediately inside
+  *    iterative driver loops (BPE / Lloyd / connected components): the
+  *    successor's eager materialization has already read the
+  *    predecessor's blocks, so the predecessor is dead the moment the
+  *    successor exists — per-iteration storage stays one frame, not
+  *    one per round.
+  *
+  * Consequence, stated not hidden: a query's returned DataFrame is
+  * valid until the NEXT query on the same session is constructed
+  * (its plan may scan the registered blocks). That is the result-set
+  * contract of every warehouse session — consume the result, then
+  * issue the next statement; a caller needing a longer-lived frame
+  * writes it out (StarBuilder) or owns a memoized artifact
+  * (SessionMemo frames never register here and live for the session).
+  */
+private[graft] object Ckpt {
+  private val live =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, ArrayBuffer[DataFrame]]()
+
+  private def buf(s: SparkSession): ArrayBuffer[DataFrame] =
+    live.computeIfAbsent(s, _ => ArrayBuffer.empty[DataFrame])
+
+  /** Eager local checkpoint whose blocks are released when the next
+    * top-level query on this session begins. */
+  def eager(df: DataFrame): DataFrame = {
+    val m = df.localCheckpoint(true)
+    val b = buf(m.sparkSession)
+    b.synchronized { b += m }
+    m
+  }
+
+  /** Immediately release a superseded loop-iteration checkpoint (safe
+    * once its successor is eagerly materialized). Non-blocking. */
+  def drop(df: DataFrame): Unit = df.unpersist(false)
+
+  /** Release every checkpoint the PREVIOUS query registered on this
+    * session. Called from `SparkEntry.queries`' thunks only — module
+    * query fns invoke each other directly, so composition never
+    * releases a frame its caller still needs. */
+  def beginQuery(s: SparkSession): Unit = {
+    val b = buf(s)
+    b.synchronized { b.foreach(_.unpersist(false)); b.clear() }
+  }
+}

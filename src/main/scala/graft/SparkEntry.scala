@@ -19,8 +19,21 @@ object SparkEntry {
     Insights.q02_top10_ipk(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2 plus the
-    * LLM-data-pipeline families (SURVEY.md §7.6). */
+    * LLM-data-pipeline families (SURVEY.md §7.6).
+    *
+    * Every thunk opens a [[Ckpt]] query scope first: the per-query
+    * eager checkpoints the PREVIOUS query registered on the session
+    * are unpersisted deterministically, so a long-lived session's
+    * storage never accumulates orphaned blocks (see Ckpt's doc for
+    * the result-set validity contract this implies). Module query fns
+    * call each other directly — never through this map — so
+    * composition cannot release a frame mid-query. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, fn) =>
+      name -> { (s: SparkSession, d: String) => Ckpt.beginQuery(s); fn(s, d) }
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] =
     Insights.queries ++ Dedup.queries ++ Similarity.queries ++
       TextStats.queries ++ TextExtract.queries ++ Multimodal.queries ++
       Events.queries ++ StarBuilder.queries ++ Pipeline.queries ++ Skew.queries ++

@@ -531,8 +531,8 @@ object StarBuilder {
         // must materialize the UNION schema in the rewrite, not whichever
         // footer schema inference happens to pick (Compact.packInto
         // carries the same guard on the no-DV path)
-        val live = applyDv(spark, srcRoot, t.getName, mergeSchema = true)
-          .localCheckpoint(true)
+        val live = graft.Ckpt.eager(
+          applyDv(spark, srcRoot, t.getName, mergeSchema = true))
         val physRows = math.max(1L, spark.read.parquet(t.toString).count())
         val liveRows = live.count()
         // double arithmetic: bytes × rows overflows Long at the 100 TB

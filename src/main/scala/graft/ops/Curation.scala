@@ -402,11 +402,10 @@ object Curation {
     // built once and checkpointed: fps feeds three plan subtrees (perSrc +
     // both sides of the self-join) and perSrc two — without pinning, each
     // reference re-runs the corpus-wide DISTINCT shuffle (the q92 rule)
-    val fps = docShingles(s, d)
-      .select(col("source"), md5(col("norm")).as("fp")).distinct()
-      .localCheckpoint(true)
-    val perSrc = fps.groupBy("source").agg(count(lit(1)).as("n_fps"))
-      .localCheckpoint(true)
+    val fps = graft.Ckpt.eager(docShingles(s, d)
+      .select(col("source"), md5(col("norm")).as("fp")).distinct())
+    val perSrc = graft.Ckpt.eager(
+      fps.groupBy("source").agg(count(lit(1)).as("n_fps")))
     val shared = fps.select(col("source").as("source_a"), col("fp"))
       .join(fps.select(col("source").as("source_b"), col("fp")), Seq("fp"))
       .where(col("source_a") < col("source_b"))

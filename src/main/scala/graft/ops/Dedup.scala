@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.etl.Star.{round4, round4Sql}
 import TextCore._
+import scala.util.chaining._
 
 /** Deduplication operator family over the driver's `documents` and
   * `embeddings` tables (driver-mandated LLM-data-pipeline surface; no
@@ -244,7 +245,7 @@ object Dedup {
       .crossJoin(broadcast(planes))
       .withColumn("sig", VectorOps.signLshSignature(col("v"), col("planes")))
       .select("vec_id", "v", "nrm", "sig")
-      .localCheckpoint(true)
+      .pipe(graft.Ckpt.eager)
     val chunkCols = (0 until 4).map(c =>
       struct(lit(c).as("c"), substring(col("sig"), c * 4 + 1, 4).as("chunk")))
     val chunks = vecs.select(col("vec_id"), explode(array(chunkCols: _*)).as("k"))
@@ -331,7 +332,7 @@ object Dedup {
       .where(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .pipe(graft.Ckpt.eager)
     var cnt = edges.count()
     // Round bound: the paper proves O(log² n) worst-case, and every graph
     // we have tested (incl. adversarial chains) converges in < 2·log₂ n;
@@ -352,7 +353,7 @@ object Dedup {
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m ⇒ stays oriented
         .distinct()
-        .localCheckpoint(true)
+        .pipe(graft.Ckpt.eager)
       // Small-star: every node u re-points its smaller neighbors (and
       // itself) at m = min(Γ⁻(u) ∪ {u}) — on the oriented list Γ⁻(u) is
       // exactly the v-side, and m = min(v) < u always.
@@ -362,13 +363,18 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v")) // v > m since m = min
       val next = moved.union(ssMin.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint(true)
+        .pipe(graft.Ckpt.eager)
       val nextCnt = next.count()
       // Fixpoint test: next and edges are distinct sets, so next ⊆ edges
       // (empty except) with equal cardinality means next == edges. The
       // except job only runs when the counts agree — a changed count
       // already proves non-convergence.
       converged = nextCnt == cnt && next.except(edges).isEmpty
+      // next no longer references ls/edges once materialized; the
+      // convergence except above was the last edges read — release both
+      // now so per-round storage stays ONE frame, not one per round
+      graft.Ckpt.drop(ls)
+      graft.Ckpt.drop(edges)
       edges = next
       cnt = nextCnt
       round += 1
@@ -823,7 +829,7 @@ object Dedup {
     val ranked = spanDupFlagged(s, d)
       .withColumn("rn", row_number().over(byHash))
       .select("doc_id", "start", "rn")
-      .localCheckpoint(true)
+      .pipe(graft.Ckpt.eager)
     exciseSpans(s, d, ranked.select("doc_id").distinct(),
       mergedSpans(ranked.where(col("rn") > 1)))
   }
@@ -1167,7 +1173,7 @@ object Dedup {
     // classify join (the q92 build-once rule; batch-sized)
     val probe = cdcChunksOf(docs.select(col("doc_id"),
         TextCore.wordsCol(TextCore.normCol(col("text"))).as("words")))
-      .localCheckpoint(true)
+      .pipe(graft.Ckpt.eager)
     val base = prunedChunks(s, index, probe)
       .select(col("chunk_md5")).distinct()
     chunkDupRollup(probe
@@ -1304,7 +1310,7 @@ object Dedup {
       .groupBy(col("p_name").as("name"))
       .agg(min("p_partkey").as("nid"), count(lit(1)).as("n_rows"))
       .withColumn("block", element_at(split(col("name"), " "), 2))
-      .localCheckpoint(true) // vocabulary-sized; read three times below
+      .pipe(graft.Ckpt.eager) // vocabulary-sized; read three times below
     val ids = names.select(col("name"), col("nid"))
     val edges = fuzzyNamePairs(names, maxDist = 2)
       .join(ids.select(col("name").as("name_a"), col("nid").as("id_a")), "name_a")

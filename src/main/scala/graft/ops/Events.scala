@@ -120,8 +120,8 @@ object Events {
       .where(col("next_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
-    trans.join(broadcast(trans.groupBy("from_type").agg(sum("n").as("tot"))),
+    val transCk = graft.Ckpt.eager(trans)
+    transCk.join(broadcast(transCk.groupBy("from_type").agg(sum("n").as("tot"))),
         "from_type")
       .select(col("from_type"), col("to_type"), col("n"),
         expr("CAST(n * 10000 div tot AS BIGINT)").as("p_bp"))
@@ -458,10 +458,9 @@ object Events {
 
   val q207_cusum_changepoint: Q = (s, d) => {
     // calendar×types-bounded and referenced twice (μ + the fold input)
-    val daily = events(s, d)
+    val daily = graft.Ckpt.eager(events(s, d)
       .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .agg(count(lit(1)).as("cnt")))
     val mu = daily.groupBy("event_type")
       .agg(expr("CAST(sum(cnt) div count(1) AS BIGINT)").as("mu"))
     daily.join(broadcast(mu), "event_type")
@@ -563,7 +562,7 @@ object Events {
     // — the groupBy also makes the sweep input size #distinct-times,
     // not #intervals
     val isPoint = col("en") === col("st")
-    val pts = iv
+    val pts = graft.Ckpt.eager(iv
       .select(col("day"), explode(when(isPoint,
         array(struct(col("st").as("t"),
           lit(0L).as("s"), lit(0L).as("e"), lit(1L).as("p"))))
@@ -575,8 +574,8 @@ object Events {
         col("x.e").as("e"), col("x.p").as("p"))
       .groupBy("day", "t")
       .agg(sum("s").as("starts"), sum("e").as("ends"), sum("p").as("points"))
-      .withColumn("hb", expr("CAST(t div 3600 AS BIGINT)"))
-      .localCheckpoint(true) // consumed by the cum window, bucket totals and firsts
+      .withColumn("hb", expr("CAST(t div 3600 AS BIGINT)")))
+      // consumed by the cum window, bucket totals and firsts
     // two-phase running Σ(starts − ends): within-bucket window +
     // driver-free per-day bucket offsets (the bucket frame is ≤ 24
     // rows per day — its day-partitioned windows are bounded)

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 import graft.etl.Star.{round4, round4Sql}
 
 /** Multimodal-column operators (driver-mandated north-star family,
@@ -281,7 +282,7 @@ object Multimodal {
       .select(col("source"), sha2(media, 256).as("sha"),
         sha2(graft.ops.TextCore.normCol(col("text")).cast("binary"), 256).as("csha"),
         length(media).cast("long").as("bytes"))
-      .localCheckpoint(true)
+      .pipe(graft.Ckpt.eager)
     def scoped(b: DataFrame) = {
       val refs = b.groupBy("source").agg(
         count(lit(1)).as("n_refs"),

@@ -518,15 +518,14 @@ object Retrieval {
     // broadcast and the candidate-df semi-join) — without the
     // checkpoint each reference re-runs a postings-wide aggregation
     // pass (the q92/q95 build-once rule; ≤30 and feedback-vocab rows)
-    val orig = rankQueryTerms(qtf, queryDf(post, qtf), stats)
-      .localCheckpoint(true)
+    val orig = graft.Ckpt.eager(
+      rankQueryTerms(qtf, queryDf(post, qtf), stats))
     val fb = lexTopMemo(s, d).where(col("lex_rank") <= fbDocs)
       .select(col("query_id"), col("doc_id"))
     // candidate expansion terms: the feedback docs' postings, weighted
     // by the summed q94 score over the feedback set
-    val candSum = post.join(broadcast(fb), "doc_id")
-      .groupBy("query_id", "term").agg(sum(col("tf")).as("tfsum"))
-      .localCheckpoint(true)
+    val candSum = graft.Ckpt.eager(post.join(broadcast(fb), "doc_id")
+      .groupBy("query_id", "term").agg(sum(col("tf")).as("tfsum")))
     val cdf = queryDf(post, candSum)
     val we = Window.partitionBy("query_id")
       .orderBy(col("escore").desc, col("term").asc)

@@ -97,11 +97,10 @@ object Robust {
   val q189_winsor_stats: Q = (s, d) => {
     // value-domain-bounded histogram, referenced four times below —
     // checkpoint once instead of re-scanning the corpus per branch
-    val hist = s.read.parquet(s"$d/orders.parquet")
+    val hist = graft.Ckpt.eager(s.read.parquet(s"$d/orders.parquet")
       .select(col("o_orderpriority").as("group"),
         round(col("o_totalprice") * 100).cast("long").as("v"))
-      .groupBy("group", "v").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .groupBy("group", "v").agg(count(lit(1)).as("cnt")))
     val qs = histQuantiles(hist, Seq(5 -> "p05", 95 -> "p95"))
     hist.join(broadcast(qs), "group")
       .groupBy("group")
@@ -130,18 +129,17 @@ object Robust {
     // histograms are value-domain-bounded and the quantile outputs are
     // group-count-sized, so an eager local checkpoint per frame costs
     // bounded memory and removes the re-scan of the corpus per branch
-    val hist = px.groupBy("group", "v").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
-    val med = histMedian(hist).select(col("group"), col("med"), col("n"))
-      .localCheckpoint(true)
+    val hist = graft.Ckpt.eager(
+      px.groupBy("group", "v").agg(count(lit(1)).as("cnt")))
+    val med = graft.Ckpt.eager(
+      histMedian(hist).select(col("group"), col("med"), col("n")))
     // abs-deviation histogram derived from the VALUE histogram (no second
     // corpus pass: |v - med| aggregates the cnt column, histogram-sized)
-    val adHist = hist.join(broadcast(med), "group")
+    val adHist = graft.Ckpt.eager(hist.join(broadcast(med), "group")
       .groupBy(col("group"), abs(col("v") - col("med")).as("v"))
-      .agg(sum("cnt").as("cnt"))
-      .localCheckpoint(true)
-    val mad = histMedian(adHist).select(col("group"), col("med").as("mad"))
-      .localCheckpoint(true)
+      .agg(sum("cnt").as("cnt")))
+    val mad = graft.Ckpt.eager(
+      histMedian(adHist).select(col("group"), col("med").as("mad")))
     val fenced = adHist.join(broadcast(mad), "group")
       .groupBy("group")
       .agg(sum(when(col("v") > lit(3) * col("mad"), col("cnt"))

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 import org.apache.spark.sql.expressions.Window
 import graft.etl.Star.{round4, round4Sql}
 
@@ -110,7 +111,7 @@ object Similarity {
       .orderBy(col("rel").desc, col("vec_id").asc)
       .limit(mmrPool)
       .select(col("vec_id"), col("v"), col("nrm"), col("rel"))
-      .localCheckpoint(true)
+      .pipe(graft.Ckpt.eager)
     val a = pool.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
     val b = pool.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
     val pairCos = a.join(broadcast(b), col("ia") =!= col("ib"))
@@ -476,7 +477,7 @@ object Similarity {
     * build, not four. */
   lazy val q92_ivf_nprobe_sweep: Q = (s, d) => {
     val exact = exactPairs(s, d)
-    val ranked = centroidRanks(s, d, 8).localCheckpoint(true)
+    val ranked = graft.Ckpt.eager(centroidRanks(s, d, 8))
     Seq(1, 2, 4, 8).map { p =>
       val ivf = ivfKnnFrom(s, d, ranked, p)
         .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
@@ -663,12 +664,12 @@ object Similarity {
     val seed = seedCents(all)
     // one seed-codebook ranking serves both the Lloyd assignment (rn = 1)
     // and the naive-recall arm's search (rn ≤ nProbe)
-    val ranked0 = centroidRanks(s, d, nProbe).localCheckpoint(true)
+    val ranked0 = graft.Ckpt.eager(centroidRanks(s, d, nProbe))
     // no checkpoint: trained has exactly one consumer (ranked1, itself
     // checkpointed), so pinning it only adds a job.
     val trained = lloydCodebook(all, ranked0.where(col("rn") === 1)
       .select(col("vec_id"), col("c_id")), seed)
-    val ranked1 = rankAgainst(all, trained, nProbe).localCheckpoint(true)
+    val ranked1 = graft.Ckpt.eager(rankAgainst(all, trained, nProbe))
     val exact = exactPairs(s, d)
     def recallRow(ranked: DataFrame, label: String): DataFrame = {
       // bucket balance is the operational half of the answer: at cluster
@@ -988,7 +989,7 @@ object Similarity {
       cand.join(codes, "vec_id")
         .join(broadcast(pqDistTable(s, d)), Seq("query_id", "j", "code")),
       Seq("query_id", "vec_id"), col("dq"), "adist")
-      .localCheckpoint(true) // two rankings (top-k arm + shortlist) read it
+      .pipe(graft.Ckpt.eager) // two rankings (top-k arm + shortlist) read it
     val wR = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)
     val shortlist = approx.withColumn("rr", row_number().over(wR))
       .where(col("rr") <= refineR)
@@ -1061,9 +1062,8 @@ object Similarity {
       if (train)
         // trained on exactly the rows the index will hold (the base
         // corpus), not on data that hasn't arrived yet
-        pqTrainedCodebook(s, d,
-          pqCodes(s, d).where(rowFilter).select(col("vec_id"), col("j"), col("code")))
-          .localCheckpoint(true)
+        graft.Ckpt.eager(pqTrainedCodebook(s, d,
+          pqCodes(s, d).where(rowFilter).select(col("vec_id"), col("j"), col("code"))))
       else pqCodebook(s, d)
     cb.coalesce(1).write.mode("overwrite").parquet(s"$out/codebook")
     seedCents(all).coalesce(1).write.mode("overwrite").parquet(s"$out/centroids")
@@ -1683,8 +1683,8 @@ object Similarity {
     * materialized, the q61 lineage rule. */
   lazy val q101_lloyd_loop: Q = (s, d) => {
     val all = vecs(s, d)
-    val seed = seedCents(all).localCheckpoint(true)
-    var assign = assignments(all, seed).localCheckpoint(true)
+    val seed = graft.Ckpt.eager(seedCents(all))
+    var assign = graft.Ckpt.eager(assignments(all, seed))
     var stats = Vector.empty[(Long, Long, Long, Long)]
     var converged = false
     for (i <- 1 to lloydIters) {
@@ -1693,13 +1693,14 @@ object Similarity {
         val next = assignments(all,
             lloydCodebook(all, assign.select("vec_id", "c_id"), seed))
           .join(assign.select(col("vec_id"), col("c_id").as("pc")), "vec_id")
-          .localCheckpoint(true)
+          .pipe(graft.Ckpt.eager)
         val st = next.groupBy("c_id")
           .agg(count(lit(1)).as("bs"),
             sum(when(col("c_id") =!= col("pc"), 1L).otherwise(0L)).as("ch"))
           .agg(sum("ch").as("nch"), max("bs").as("mx"), min("bs").as("mn"))
           .head()
         stats = stats :+ ((i.toLong, st.getLong(0), st.getLong(1), st.getLong(2)))
+        graft.Ckpt.drop(assign) // next is materialized; predecessor is dead
         assign = next
         converged = st.getLong(0) == 0L
       }
@@ -1730,12 +1731,12 @@ object Similarity {
   lazy val q176_codebook_refresh: Q = (s, d) => {
     val all = vecs(s, d)
     val seed = seedCents(all)
-    val frozen = assignments(all, seed).localCheckpoint(true)
+    val frozen = graft.Ckpt.eager(assignments(all, seed))
     def halfSums(pred: Column) = lloydSums(all.where(pred), frozen)
     val b = TextCore.idBucket(col("vec_id"))
     val mergedSums = halfSums(b < 50).unionByName(halfSums(b >= 50))
       .groupBy("c_id", "dim").agg(sum("sq").as("sq"), sum("n").as("n"))
-    val refreshed = lloydFromSums(mergedSums, seed).localCheckpoint(true)
+    val refreshed = graft.Ckpt.eager(lloydFromSums(mergedSums, seed))
     val stats = frozen.withColumnRenamed("c_id", "old_c")
       .join(assignments(all, refreshed), "vec_id")
       .groupBy("c_id").agg(count(lit(1)).as("n_members"),

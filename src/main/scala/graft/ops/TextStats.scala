@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 import org.apache.spark.sql.expressions.Window
 import graft.etl.Star.{round2Sql, round4, round4Sql, round2}
 import TextCore._
@@ -406,9 +407,13 @@ object TextStats {
           val (l, r, f) = (top(0).getAs[String]("l"), top(0).getAs[String]("r"),
             top(0).getAs[Long]("freq"))
           merges = merges :+ ((step.toLong, l, r, f))
+          val prev = vocab
           vocab = vocab.select(
             replace(col("sym"), lit(s"|$l||$r|"), lit(s"|$l$r|")).as("sym"),
             col("cnt")).localCheckpoint(true)
+          // the new vocab is materialized; its predecessor is dead (the
+          // FINAL vocab is the memoized artifact and is never dropped)
+          graft.Ckpt.drop(prev)
         }
       }
       bpeMergeMemo((s, d, memoKey)) = merges
@@ -471,7 +476,7 @@ object TextStats {
       refill: Boolean = false)
       : (Vector[(Long, String, String, Long)], Vector[BpePassStats]) = {
     require(batch >= 1, s"batch must be >= 1, got $batch")
-    var vocab = bpeVocab0(s, d, docFilter).localCheckpoint(true)
+    var vocab = graft.Ckpt.eager(bpeVocab0(s, d, docFilter))
     var merges = Vector.empty[(Long, String, String, Long)]
     var done = false
     // the pass count is FIXED at ceil(k/b): bounded driver-loop jobs is
@@ -513,7 +518,9 @@ object TextStats {
           val applied = chosen.foldLeft(col("sym")) { case (c, (l, r, _)) =>
             replace(c, lit(s"|$l||$r|"), lit(s"|$l$r|"))
           }
-          vocab = vocab.select(applied.as("sym"), col("cnt")).localCheckpoint(true)
+          val prev = vocab
+          vocab = graft.Ckpt.eager(vocab.select(applied.as("sym"), col("cnt")))
+          graft.Ckpt.drop(prev)
           // without refill: exactly one sub-round (the frozen-pool gate
           // semantics). With refill: keep going while the quota is
           // unmet and the last sub-round still found something.
@@ -1088,8 +1095,8 @@ object TextStats {
     qpMemo.getOrElseUpdate((s, d), {
       import s.implicits._
       val train = docShingles(s, d).where(idBucket(col("doc_id")) < 80)
-      val feat = qpFeatures(train).localCheckpoint(true)
-      val lab = qpLabels(train).localCheckpoint(true)
+      val feat = graft.Ckpt.eager(qpFeatures(train))
+      val lab = graft.Ckpt.eager(qpLabels(train))
       var w = Map.empty[Long, Long]
       var done = false
       for (ep <- 1 to qpEpochs if !done) {
@@ -1299,11 +1306,10 @@ object TextStats {
       .unionAll(pairs.select(col("r").as("src"), col("l").as("dst")))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
     // out-weight rides the edge row so iterations join ONLY the rank
-    val edN = ed.join(ed.groupBy("src").agg(sum("w").as("wout")), "src")
-      .localCheckpoint(true)
-    var rank = edN.select(col("src").as("word")).distinct()
-      .select(col("word"), lit(trScale).as("rank"))
-      .localCheckpoint(true)
+    val edN = graft.Ckpt.eager(
+      ed.join(ed.groupBy("src").agg(sum("w").as("wout")), "src"))
+    var rank = graft.Ckpt.eager(edN.select(col("src").as("word")).distinct()
+      .select(col("word"), lit(trScale).as("rank")))
     for (_ <- 1 to trIters) {
       // symmetric edges ⇒ every node has in-edges ⇒ groupBy(dst)
       // preserves the node set across iterations
@@ -1312,7 +1318,8 @@ object TextStats {
         .agg(sum(expr("(rank * w) div wout")).as("inc"))
         .select(col("dst").as("word"),
           (lit(15L * trScale / 100L) + expr("(85 * inc) div 100")).as("rank"))
-        .localCheckpoint(true)
+        .pipe(graft.Ckpt.eager)
+        .tap(_ => graft.Ckpt.drop(rank)) // predecessor dead once materialized
     }
     rank.select(col("word"), col("rank").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("word"))
@@ -1409,14 +1416,13 @@ object TextStats {
     // classify join and the bits-set count (the q92/q95 build-once
     // rule — without the checkpoints each reference re-runs its
     // corpus-scan lineage)
-    val dfp = docShingles(s, d).select(col("doc_id"),
-        idBucket(col("doc_id")).as("ib"), md5(col("norm")).as("fp"))
-      .localCheckpoint(true)
+    val dfp = graft.Ckpt.eager(docShingles(s, d).select(col("doc_id"),
+        idBucket(col("doc_id")).as("ib"), md5(col("norm")).as("fp")))
     def quarter(lo: Long, hi: Long) =
       dfp.where(col("ib") >= lo && col("ib") < hi)
         .select(explode(bloomPos(col("fp"))).as("pos")).distinct()
-    val bits = quarter(0L, 25L).unionByName(quarter(25L, 50L)).distinct()
-      .localCheckpoint(true)
+    val bits = graft.Ckpt.eager(
+      quarter(0L, 25L).unionByName(quarter(25L, 50L)).distinct())
     val trainFps = dfp.where(col("ib") < 50).select("fp").distinct()
     // hit and position counts in ONE pass over the exploded positions
     // (a left join carrying the bit-set membership flag), not a
