@@ -24,13 +24,14 @@ object Tpch {
     c.cast(TimestampType).cast(LongType)
 
   /** 1998-09-02 / 1995-03-15 00:00:00 UTC — Q1's delta=90d cutoff and
-    * Q3's date, as epoch seconds for the oracles. The Spark filters
-    * compare the RAW timestamp column against an NTZ literal of the
-    * same instant instead — same predicate, but on the stored column,
-    * so it reaches the parquet scan as a pushed filter (a filter on
-    * the derived epoch cast would not; TpchSpec pins PushedFilters). */
-  private val q1Cutoff = 904694400L
-  private val q3Date = 795225600L
+    * Q3's date. BOTH engines filter the RAW timestamp column against a
+    * literal of the same instant (Spark: NTZ literal, pushed to the
+    * parquet scan — TpchSpec pins PushedFilters; DuckDB: ::TIMESTAMP
+    * literal), so the predicates are form-identical even for
+    * fractional-second timestamps — a floor(epoch(ts)) comparison on
+    * the oracle side would diverge in the 1-second window past each
+    * cutoff (r13 advice). Epoch constants remain only where an OUTPUT
+    * column derives an epoch value. */
   private val q1CutoffTs = "TIMESTAMP_NTZ '1998-09-02 00:00:00'"
   private val q3DateTs = "TIMESTAMP_NTZ '1995-03-15 00:00:00'"
 
@@ -166,11 +167,110 @@ object Tpch {
         expr("CAST(promo_rev_c * 10000 div total_rev_c AS BIGINT)"))
   }
 
+  /** q214: TPC-H Q13 — customer order-count distribution: LEFT OUTER
+    * join customer→orders (with a join-side order filter, so excluded
+    * orders still leave their customer counted at 0 — the semantics an
+    * inner join cannot express), count orders per customer, then the
+    * count-of-counts histogram. This corpus has no o_comment, so the
+    * spec's `NOT LIKE '%special%requests%'` order exclusion becomes
+    * `o_orderpriority NOT LIKE '%URGENT%'` — same shape (a pattern
+    * anti-filter INSIDE the outer join's right side), documented
+    * substitution. Scale: one shuffle equi-join on custkey (orders
+    * filtered before the join), a custkey-keyed count, and a
+    * distribution aggregate over ≤ #distinct-counts rows. */
+  val q214_tpch_q13: Q = (s, d) => {
+    val ord = s.read.parquet(s"$d/orders.parquet")
+      .where(not(col("o_orderpriority").like("%URGENT%")))
+      .select("o_orderkey", "o_custkey")
+    s.read.parquet(s"$d/customer.parquet").select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** q215: TPC-H Q18 — large-volume customers: orders whose total
+    * line quantity exceeds 300 (spec threshold; integer qty under the
+    * house rule), with customer, order date and price. The HAVING
+    * subquery materializes FIRST as a per-orderkey aggregate and the
+    * filtered survivor set (46 keys at sf0.01, output-bound at any
+    * scale since the threshold prunes to the extreme tail) joins back
+    * BROADCAST — the semi-join-against-aggregate shape; lineitem is
+    * scanned twice but never self-joined row-to-row. Deterministic
+    * total order: (price desc, date asc, orderkey asc), top 100. */
+  val q215_tpch_q18: Q = (s, d) => {
+    val big = s.read.parquet(s"$d/lineitem.parquet")
+      .groupBy("l_orderkey")
+      .agg(sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+      .where(col("sum_qty") > 300L)
+    val ord = s.read.parquet(s"$d/orders.parquet")
+      .withColumn("order_es", es(col("o_orderdate")))
+      .withColumn("total_price_c", round(col("o_totalprice") * 100).cast("long"))
+      .select("o_orderkey", "o_custkey", "order_es", "total_price_c")
+    ord.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(s.read.parquet(s"$d/customer.parquet")
+        .select("c_custkey", "c_name"), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("order_es"), col("total_price_c"), col("sum_qty"))
+      .orderBy(col("total_price_c").desc, col("order_es").asc,
+        col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** q216: TPC-H Q21 — suppliers who kept orders waiting: for finished
+    * ('F') orders, count lineitem rows whose supplier shipped LATE
+    * while at least one OTHER supplier fed the same order (EXISTS) and
+    * no other supplier was late on it (NOT EXISTS) — the
+    * who-actually-blocked-the-order audit. This corpus carries no
+    * receipt/commit dates, so "late" is the documented substitution
+    * `l_shipdate > o_orderdate + 60 days`; nation filter NATION_7
+    * (spec: SAUDI ARABIA). The correlated EXISTS + NOT EXISTS pair
+    * DECORRELATES to one per-order aggregate — distinct suppliers and
+    * distinct LATE suppliers — joined back to the fact rows: a row
+    * qualifies iff late ∧ ns > 1 ∧ n_late_supp = 1 (it is late and the
+    * ONLY late supplier among several). No self-join of lineitem at
+    * row grain, no correlated re-scan per row — two passes over the
+    * same orderkey-shuffled frame; the oracle states the spec's
+    * correlated form verbatim, so the gate proves the decorrelation.
+    * The supplier/nation dims are broadcast. */
+  val q216_tpch_q21: Q = (s, d) => {
+    val lo = s.read.parquet(s"$d/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(s.read.parquet(s"$d/orders.parquet")
+        .where(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        expr("CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAYS THEN 1L ELSE 0L END"))
+      .select("l_orderkey", "l_suppkey", "late")
+    val perOrder = lo.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("ns"),
+        countDistinct(when(col("late") === 1L, col("l_suppkey"))).as("nls"))
+    val supp = broadcast(s.read.parquet(s"$d/supplier.parquet")
+      .join(s.read.parquet(s"$d/nation.parquet")
+        .where(col("n_name") === "NATION_7"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name"))
+    lo.where(col("late") === 1L)
+      .join(perOrder, "l_orderkey")
+      .where(col("ns") > 1L && col("nls") === 1L)
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(100)
+  }
+
   val queries: Map[String, Q] = Map(
     "q203_tpch_q1" -> q203_tpch_q1,
     "q204_tpch_q3" -> q204_tpch_q3,
     "q205_tpch_q5" -> q205_tpch_q5,
-    "q206_tpch_q14" -> q206_tpch_q14)
+    "q206_tpch_q14" -> q206_tpch_q14,
+    "q214_tpch_q13" -> q214_tpch_q13,
+    "q215_tpch_q18" -> q215_tpch_q18,
+    "q216_tpch_q21" -> q216_tpch_q21)
 
   val oracle: Map[String, String] = Map(
     // the same quantization, cutoffs and single-division averages
@@ -182,7 +282,7 @@ object Tpch {
          |         CAST(round(l_discount * 10000) AS BIGINT) AS disc_bp,
          |         CAST(round(l_tax * 10000) AS BIGINT) AS tax_bp
          |  FROM lineitem
-         |  WHERE CAST(floor(epoch(l_shipdate)) AS BIGINT) <= $q1Cutoff),
+         |  WHERE l_shipdate <= ${q1CutoffTs.stripPrefix("TIMESTAMP_NTZ ")}::TIMESTAMP),
          |x AS (
          |  SELECT *, ext_c * (10000 - disc_bp) // 10000 AS disc_price_c
          |  FROM li),
@@ -237,6 +337,53 @@ object Tpch {
          |       CAST(promo_rev_c * 10000 // total_rev_c AS BIGINT)
          |         AS promo_share_bp
          |FROM g""".stripMargin,
+    // the outer-join + count-of-counts stated directly
+    "q214_tpch_q13" ->
+      """WITH co AS (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey
+        |   AND o_orderpriority NOT LIKE '%URGENT%'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // the HAVING subquery stated as the spec's IN form
+    "q215_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_es,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS total_price_c,
+        |       (SELECT CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |        FROM lineitem WHERE l_orderkey = o_orderkey) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300)
+        |ORDER BY total_price_c DESC, order_es ASC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+    // the spec's correlated EXISTS + NOT EXISTS form verbatim — gating
+    // the Spark side's per-order-aggregate decorrelation
+    "q216_tpch_q21" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |  AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_7'
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 100""".stripMargin,
     "q204_tpch_q3" ->
       s"""WITH li AS (
          |  SELECT l_orderkey,
@@ -244,12 +391,12 @@ object Tpch {
          |           * (10000 - CAST(round(l_discount * 10000) AS BIGINT)) // 10000
          |           AS disc_price_c
          |  FROM lineitem
-         |  WHERE CAST(floor(epoch(l_shipdate)) AS BIGINT) > $q3Date),
+         |  WHERE l_shipdate > ${q3DateTs.stripPrefix("TIMESTAMP_NTZ ")}::TIMESTAMP),
          |o AS (
          |  SELECT o_orderkey, o_custkey,
          |         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_es
          |  FROM orders
-         |  WHERE CAST(floor(epoch(o_orderdate)) AS BIGINT) < $q3Date),
+         |  WHERE o_orderdate < ${q3DateTs.stripPrefix("TIMESTAMP_NTZ ")}::TIMESTAMP),
          |c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
          |SELECT o_orderkey, CAST(sum(disc_price_c) AS BIGINT) AS revenue_c,
          |       order_es

@@ -161,11 +161,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val batch = Seq((2L, ws.take(8))).toDF("doc_id", "words")
     val out = java.nio.file.Files.createTempDirectory("graft_spanidx").toString
     Dedup.writeSpanIndex(base, out)
-    val gen0 = md5s(new java.io.File(s"$out/gen=0"))
+    // the base build lives under the committed epoch dir (r14 layout:
+    // <out>/v=E/gen=N); resolve gen dirs by walking, not by fixed path
+    def genDir(gen: Long): Option[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Seq(f) ++ Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq.empty
+      walk(new java.io.File(out)).find(_.getName == s"gen=$gen")
+    }
+    val gen0 = md5s(genDir(0L).get)
     Dedup.appendSpanIndex(batch, out, gen = 1L)
     // LSM contract: the base generation is byte-untouched by the append
-    assert(md5s(new java.io.File(s"$out/gen=0")) == gen0)
-    assert(new java.io.File(s"$out/gen=1").isDirectory)
+    assert(md5s(genDir(0L).get) == gen0)
+    assert(genDir(1L).exists(_.isDirectory))
     def counts(): Map[String, Long] = Dedup.readSpanIndex(spark, out)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val merged = counts()
@@ -182,7 +191,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // major compaction folds generations without changing the counts
     Dedup.compactSpanIndex(spark, out)
     assert(counts() == merged)
-    assert(!new java.io.File(s"$out/gen=1").exists())
+    assert(genDir(1L).isEmpty)
   }
 
   test("connectedComponents: 200-node chain converges in O(log n) rounds, not O(diameter)") {

@@ -60,6 +60,54 @@ class TpchSpec extends AnyFunSuite with SparkTestBase {
     assert(p.exists(_.contains("o_orderdate")), s"orders: $p")
   }
 
+  test("q214: outer join preserved (zero-order customers kept); no cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q214_tpch_q13")(spark, sf)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case x => x
+    }
+    assert(plan.collect { case c: CartesianProductExec => c
+                          case b: BroadcastNestedLoopJoinExec => b }.isEmpty)
+    // the optimizer must NOT fold the outer join to inner: a c_count=0
+    // histogram bucket can only come from customers without counted
+    // orders (order-side filter lives in the join condition)
+    assert(plan.toString.contains("LeftOuter") || plan.toString.contains("RightOuter"),
+      s"outer join missing from plan:\n$plan")
+  }
+
+  test("q215: the HAVING-filtered survivor set joins back broadcast; joins stay equi") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q215_tpch_q18")(spark, sf)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case x => x
+    }
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "the threshold-pruned big-order set must ride a broadcast hash join")
+    assert(plan.collect { case c: CartesianProductExec => c
+                          case b: BroadcastNestedLoopJoinExec => b }.isEmpty)
+  }
+
+  test("q216: decorrelated plan has no anti/nested-loop join; orders status filter pushed") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q216_tpch_q21")(spark, sf)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case x => x
+    }
+    // the oracle's correlated EXISTS/NOT EXISTS would plan as anti/semi
+    // self-joins of the fact; the decorrelated form must carry none
+    assert(plan.collect { case c: CartesianProductExec => c
+                          case b: BroadcastNestedLoopJoinExec => b }.isEmpty)
+    assert(!plan.toString.contains("LeftAnti"), "decorrelation must avoid anti-joins")
+    val p = pushed(df)
+    assert(p.exists(_.contains("EqualTo(o_orderstatus,F)")), s"orders: $p")
+  }
+
   test("q203 yields the canonical 6-group pricing summary with qty conservation") {
     val rows = SparkEntry.queries("q203_tpch_q1")(spark, sf).collect()
     assert(rows.length == 6)
