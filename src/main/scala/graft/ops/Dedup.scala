@@ -1325,6 +1325,61 @@ object Dedup {
       .orderBy("entity")
   }
 
+  /** q217: ER BLOCKING RECALL — q183's documented cross-block miss,
+    * measured (the q63/q145 ships-with-its-accuracy rule: an
+    * approximation the engine serves must carry a gated number, not a
+    * doc caveat). A planted-typo corpus is built deterministically
+    * from the real name vocabulary: every distinct name gets ONE
+    * variant with a 2-char edit, md5 parity choosing WHERE — even
+    * hashes mutate the adjective (the non-blocking token: noun-block
+    * pass catchable), odd hashes mutate the NOUN itself (the
+    * cross-block case single-pass blocking cannot see). Ground truth
+    * is the planted (name, variant) pair set by construction. The
+    * report compares single-pass noun blocking against TWO-PASS
+    * blocking (noun ∪ adjective key — the multi-pass fix q183's doc
+    * promises), one row: planted count, found per pass, integer
+    * basis-point recalls. Scale shape: everything downstream of the
+    * one distinct-name aggregation is vocabulary-sized; each pass is
+    * the q183 within-block vocabulary² join under a different key. */
+  val q217_er_blocking_recall: Q = (s, d) => {
+    val vocab = s.read.parquet(s"$d/part.parquet")
+      .select(col("p_name").as("name")).distinct()
+      .withColumn("t1", element_at(split(col("name"), " "), 1))
+      .withColumn("t2", element_at(split(col("name"), " "), 2))
+    val planted = vocab.withColumn("mut",
+        pmod(expr("CAST(conv(substring(md5(concat('erplant:', name)), 1, 4), 16, 10) AS BIGINT)"),
+          lit(2L)))
+      .withColumn("variant",
+        when(col("mut") === 0L, concat(lit("zz"), col("t1"), lit(" "), col("t2")))
+          .otherwise(concat(col("t1"), lit(" zz"), col("t2"))))
+    val truth = planted.select(col("mut"),
+      least(col("name"), col("variant")).as("na"),
+      greatest(col("name"), col("variant")).as("nb"))
+    val corpus = vocab.select("name")
+      .unionByName(planted.select(col("variant").as("name")))
+      .withColumn("t1", element_at(split(col("name"), " "), 1))
+      .withColumn("t2", element_at(split(col("name"), " "), 2))
+    def pairsBy(key: String): DataFrame = {
+      val a = corpus.select(col(key).as("k"), col("name").as("na"))
+      val b = corpus.select(col(key).as("k"), col("name").as("nb"))
+      a.join(b, Seq("k")).where(col("na") < col("nb"))
+        .where(levenshtein(col("na"), col("nb")) <= 2)
+        .select("na", "nb").distinct()
+    }
+    truth
+      .join(pairsBy("t2").withColumn("f1", lit(1L)), Seq("na", "nb"), "left")
+      .join(pairsBy("t1").withColumn("f2", lit(1L)), Seq("na", "nb"), "left")
+      .agg(count(lit(1)).as("n_planted"),
+        sum(coalesce(col("f1"), lit(0L))).as("found_noun_block"),
+        sum(greatest(coalesce(col("f1"), lit(0L)),
+          coalesce(col("f2"), lit(0L)))).as("found_two_pass"))
+      .select(col("n_planted"), col("found_noun_block"), col("found_two_pass"),
+        expr("CAST(found_noun_block * 10000 div n_planted AS BIGINT)")
+          .as("recall_noun_bp"),
+        expr("CAST(found_two_pass * 10000 div n_planted AS BIGINT)")
+          .as("recall_two_pass_bp"))
+  }
+
   /** The q191 name-ledger layout: rows (name, block, n_rows) land under
     * `nb=<md5(block) mod 16>/gen=N/` — the FOURTH consumer of the shared
     * [[graft.etl.LsmIndex]] module (span/lex/chunk + names), which is
@@ -1400,6 +1455,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "q183_fuzzy_entity" -> q183_fuzzy_entity,
+    "q217_er_blocking_recall" -> q217_er_blocking_recall,
     "q187_entity_canon" -> q187_entity_canon,
     "q191_name_index_probe" -> q191_name_index_probe,
     "q166_cdc_chunk_dups" -> q166_cdc_chunk_dups,
@@ -1695,6 +1751,44 @@ object Dedup {
         |FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
         |WHERE levenshtein(a.name, b.name) <= 2
         |ORDER BY name_a, name_b""".stripMargin,
+    // the identical deterministic plant (md5 parity picks the mutated
+    // token), the identical per-key vocabulary joins, integer recalls
+    "q217_er_blocking_recall" ->
+      """WITH vocab AS (SELECT DISTINCT p_name AS name FROM part),
+        |vt AS (SELECT name, split_part(name, ' ', 1) AS t1,
+        |              split_part(name, ' ', 2) AS t2 FROM vocab),
+        |planted AS (
+        |  SELECT name,
+        |         CASE WHEN CAST('0x' || substr(md5('erplant:' || name), 1, 4)
+        |                    AS BIGINT) % 2 = 0
+        |              THEN 'zz' || t1 || ' ' || t2
+        |              ELSE t1 || ' zz' || t2 END AS variant
+        |  FROM vt),
+        |truth AS (SELECT least(name, variant) AS na,
+        |                 greatest(name, variant) AS nb FROM planted),
+        |corpus AS (
+        |  SELECT name, split_part(name, ' ', 1) AS t1,
+        |         split_part(name, ' ', 2) AS t2
+        |  FROM (SELECT name FROM vocab UNION ALL SELECT variant FROM planted)),
+        |p1 AS (SELECT DISTINCT a.name AS na, b.name AS nb
+        |       FROM corpus a JOIN corpus b ON a.t2 = b.t2 AND a.name < b.name
+        |       WHERE levenshtein(a.name, b.name) <= 2),
+        |p2 AS (SELECT DISTINCT a.name AS na, b.name AS nb
+        |       FROM corpus a JOIN corpus b ON a.t1 = b.t1 AND a.name < b.name
+        |       WHERE levenshtein(a.name, b.name) <= 2),
+        |f AS (SELECT t.na, t.nb,
+        |             CASE WHEN p1.na IS NULL THEN 0 ELSE 1 END AS f1,
+        |             CASE WHEN p2.na IS NULL THEN 0 ELSE 1 END AS f2
+        |      FROM truth t
+        |      LEFT JOIN p1 ON t.na = p1.na AND t.nb = p1.nb
+        |      LEFT JOIN p2 ON t.na = p2.na AND t.nb = p2.nb)
+        |SELECT CAST(count(*) AS BIGINT) AS n_planted,
+        |       CAST(sum(f1) AS BIGINT) AS found_noun_block,
+        |       CAST(sum(greatest(f1, f2)) AS BIGINT) AS found_two_pass,
+        |       CAST(sum(f1) * 10000 // count(*) AS BIGINT) AS recall_noun_bp,
+        |       CAST(sum(greatest(f1, f2)) * 10000 // count(*) AS BIGINT)
+        |         AS recall_two_pass_bp
+        |FROM f""".stripMargin,
     "q166_cdc_chunk_dups" -> cdcDupsOracle,
     "q172_chunk_index_dups" -> cdcDupsOracle,
     // the five staleness counters recomputed from raw documents with

@@ -231,4 +231,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // is NOT in the result — the blocking trade the scaladoc documents
     assert(!got.exists(p => p._1 == "blue widget" && p._2 == "blue widgit"))
   }
+
+  test("q217: noun-block recall misses exactly the noun-mutated plants; the two-pass union recovers all") {
+    val r = SparkEntry.queries("q217_er_blocking_recall")(spark, "/root/testdata/sf0.001").head()
+    val (n, f1, f2) = (r.getAs[Long]("n_planted"),
+      r.getAs[Long]("found_noun_block"), r.getAs[Long]("found_two_pass"))
+    assert(n > 0)
+    // by construction: adjective-mutated variants share the noun block
+    // (found by pass 1), noun-mutated ones cannot be (the documented
+    // miss) — so pass-1 recall is strictly partial unless the md5
+    // parity happened to mutate no nouns, and the two-pass union is
+    // total because every variant shares its unmutated token
+    assert(f1 < n, s"expected a measured cross-block miss, got $f1/$n")
+    assert(f2 == n, s"two-pass blocking must recover every planted pair: $f2/$n")
+    assert(r.getAs[Long]("recall_two_pass_bp") == 10000L)
+  }
 }

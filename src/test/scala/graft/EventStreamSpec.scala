@@ -645,6 +645,86 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("dailyCountsStream: bounded lateness absorbed, beyond-watermark rows dropped observably, feed is day-ordered-complete") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream
+      .dailyCountsStream(input.toDS().toDF("es", "event_type"), lateness = "1 hour")
+      .writeStream.format("memory").queryName("dailyc").outputMode("append").start()
+    try {
+      // day 0 traffic, out of ORDER within the lateness bound
+      input.addData((200L, "click"), (100L, "click")); query.processAllAvailable()
+      input.addData((86000L, "click")); query.processAllAvailable() // late-ish, still day 0, on time
+      // day 1 traffic advances the watermark past day 0's end (86400):
+      // watermark = 93000 - 3600 > 86400
+      input.addData((93000L, "view")); query.processAllAvailable()
+      // a BEYOND-WATERMARK straggler for day 0: must not change any
+      // emitted count — dropped, and the drop is observable in metrics
+      input.addData((50L, "click"), (94000L, "view")); query.processAllAvailable()
+      input.addData((95000L, "view")); query.processAllAvailable()
+      val got = spark.table("dailyc").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day")) ->
+          r.getAs[Long]("cnt")).toMap
+      // day 0 click count is the ON-TIME set (3), not 4: the straggler
+      // was dropped; batch parity over exactly the on-time rows
+      assert(got((("click"), 0L)) == 3L, s"got $got")
+      val dropped = query.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L, "the beyond-watermark row must be counted as dropped")
+      // emitted rows satisfy the daily-fold twins' ingest contract by
+      // construction: per key, strictly increasing day (complete-per-day
+      // is what append-on-watermark means)
+      val perKey = spark.table("dailyc").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq)
+      perKey.foreach { case (k, days) =>
+        assert(days == days.sorted && days.distinct == days, s"$k: $days") }
+    } finally query.stop()
+  }
+
+  test("dailyCountsStream → ewmaStream composes: the watermarked feed satisfies the fold contract and matches the batch recurrence") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.DayCount
+    // produce a 3-day feed through the watermark rung, then pipe the
+    // EMITTED rows (in emission order) into the strict fold twin — the
+    // end-to-end raw-events → daily-fold pipeline the r13 verdict said
+    // had no legal producer
+    val input = MemoryStream[(Long, String)]
+    val daily = EventStream
+      .dailyCountsStream(input.toDS().toDF("es", "event_type"), lateness = "1 hour")
+    val q1 = daily.writeStream.format("memory").queryName("dailyc2")
+      .outputMode("append").start()
+    try {
+      input.addData((100L, "click"), (200L, "click")); q1.processAllAvailable()
+      input.addData((86500L, "click")); q1.processAllAvailable()          // day 1
+      input.addData((2 * 86400L + 100L, "click")); q1.processAllAvailable() // day 2
+      input.addData((3 * 86400L + 7200L, "click")); q1.processAllAvailable() // day 3 closes day 2
+      input.addData((3 * 86400L + 9000L, "click")); q1.processAllAvailable()
+      val emitted = spark.table("dailyc2").collect()
+        .map(r => DayCount(r.getAs[String]("event_type"), r.getAs[Long]("day"),
+          r.getAs[Long]("cnt"))).sortBy(_.day)
+      assert(emitted.map(_.day).toSeq == Seq(0L, 1L, 2L), s"got ${emitted.toSeq}")
+      val feed = MemoryStream[DayCount]
+      val q2 = EventStream.ewmaStream(feed.toDS())
+        .writeStream.format("memory").queryName("dailyc2_ewma")
+        .outputMode("append").start()
+      try {
+        emitted.foreach { dc => feed.addData(dc); q2.processAllAvailable() }
+        val pts = spark.table("dailyc2_ewma").collect()
+          .map(r => r.getAs[Long]("day") -> r.getAs[Long]("ewma_s")).toMap
+        // the batch recurrence over the same counts, replayed directly
+        var e = emitted.head.cnt * graft.ops.Events.ewmaScale
+        assert(pts(0L) == e)
+        emitted.tail.foreach { dc =>
+          e = graft.ops.Events.ewmaNext(e, dc.cnt)
+          assert(pts(dc.day) == e, s"day ${dc.day}")
+        }
+      } finally q2.stop()
+    } finally q1.stop()
+  }
+
   test("windowedDistinctUsers: the streamed HLL estimate equals the batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
