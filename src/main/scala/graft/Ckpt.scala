@@ -58,6 +58,20 @@ private[graft] object Ckpt {
     m
   }
 
+  /** MEMORY_AND_DISK persist registered for release when the next
+    * top-level query begins — for corpus-ROWS-sized NARROW frames a
+    * query's plan would otherwise re-execute per branch (q82's
+    * quality-scored projection). Eager local checkpoints are for
+    * bounded frames; a persist spills under pressure, evicts, and
+    * keeps its lineage, so releasing it is always safe. Lazy — the
+    * first action materializes it. */
+  def persisted(df: DataFrame): DataFrame = {
+    val m = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = buf(m.sparkSession)
+    b.synchronized { b += m }
+    m
+  }
+
   /** Immediately release a superseded loop-iteration checkpoint (safe
     * once its successor is eagerly materialized). Non-blocking. */
   def drop(df: DataFrame): Unit = df.unpersist(false)

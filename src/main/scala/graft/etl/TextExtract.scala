@@ -182,9 +182,16 @@ object TextExtract {
           .write.mode("overwrite").json(scratch)
         val badLines = (0 until 7).map(i =>
           s"""{"doc_id": ${-1 - i}, "lang": "xx", "text": "trunc""")
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(scratch, "part-corrupt.json"),
-          badLines.mkString("\n").getBytes("UTF-8"))
+        // via the session-resolved Hadoop FileSystem, not a driver-local
+        // java.nio write (r13 advice): the feed directory lives on
+        // whatever filesystem the Spark write above targeted — on a
+        // cluster/object-store deployment a local write would land the
+        // shard beside the DRIVER, invisible to the executors' scan
+        val shard = new org.apache.hadoop.fs.Path(scratch, "part-corrupt.json")
+        val fs = shard.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val out = fs.create(shard, true)
+        try out.write(badLines.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
       }
     }
     val schema = s.read.parquet(s"$d/documents.parquet").schema

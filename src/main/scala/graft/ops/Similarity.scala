@@ -1806,9 +1806,70 @@ object Similarity {
         col("s_i"), col("s_j"), col("s_ij"), col("cov_num"))
       .orderBy("i", "j")
 
+  /** The per-partition ARRAY-ACCUMULATOR form of the q182 moments —
+    * the r14 promotion the CovProbe width curve forced: the exploded
+    * d²/2-cells-per-vector shape costs 160 ns per cell ROW, which is
+    * invisible at the corpus's d=64 (2,080 cells) but 100×+ the total
+    * cost at production widths (probe: d=512, 2k vectors — explode
+    * 41.5 s, this fold 0.36 s; PROBE_COV_r14.txt). One tight integer
+    * pass per partition folds every vector into two flat sum arrays
+    * (first moments per dim, upper-triangle second moments per cell)
+    * per parity half; the partition emits d²/2 PRE-COMBINED rows into
+    * the same (i, j) merge — identical quantization, identical merge
+    * law, identical output (SimilaritySpec pins ≡ [[covMoments]]∘
+    * [[covCellsOf]] on the real corpus; the DuckDB gate pins the
+    * values). mapPartitions is deliberate (the q55 exception class,
+    * now measured): no DataFrame form avoids materializing the cell
+    * rows, and the cells per partition are d²-bounded state, never
+    * corpus-sized. [[covCellsOf]] remains the streaming twin's
+    * mergeable artifact — its cells ARE what crosses batches. */
+  private[graft] def covMomentsAcc(vecs: DataFrame): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val partials = vecs.where(size(col("v")) > 0)
+      .select(pmod(col("vec_id"), lit(2L)).as("half"),
+        transform(col("v"), x => floor(x * 10000.0 + lit(0.5)).cast("long")).as("q"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap
+          .empty[Long, (Array[Long], Array[Long], Array[Long])]
+        var dim = -1
+        it.foreach { case (half, q) =>
+          if (dim < 0) dim = q.length
+          val (nArr, sArr, ijArr) = acc.getOrElseUpdate(half,
+            (Array(0L), new Array[Long](dim), new Array[Long](dim * (dim + 1) / 2)))
+          nArr(0) += 1
+          var i = 0; var c = 0
+          while (i < dim) {
+            sArr(i) += q(i)
+            var j = i
+            while (j < dim) { ijArr(c) += q(i) * q(j); c += 1; j += 1 }
+            i += 1
+          }
+        }
+        acc.iterator.flatMap { case (half, (nArr, sArr, ijArr)) =>
+          var c = -1
+          for (i <- 0 until dim; j <- i until dim) yield {
+            c += 1
+            (half, i.toLong, j.toLong, nArr(0), sArr(i), sArr(j), ijArr(c))
+          }
+        }
+      }
+      .toDF("half", "i", "j", "pn", "psi", "psj", "psij")
+    partials.groupBy("i", "j").agg(
+        sum(when(col("half") === 0L, col("pn")).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === 1L, col("pn")).otherwise(0L)).as("n_b"),
+        sum("psi").as("s_i"), sum("psj").as("s_j"), sum("psij").as("s_ij"))
+      .withColumn("cov_num",
+        (col("n_a") + col("n_b")) * col("s_ij") - col("s_i") * col("s_j"))
+      .select(col("i"), col("j"), col("n_a"), col("n_b"),
+        col("s_i"), col("s_j"), col("s_ij"), col("cov_num"))
+      .orderBy("i", "j")
+  }
+
   val q182_cov_merge: Q = (s, d) =>
-    covMoments(covCellsOf(s.read.parquet(s"$d/embeddings.parquet")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))))
+    covMomentsAcc(s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
 
   val queries: Map[String, Q] = Map(
     "q182_cov_merge" -> q182_cov_merge,

@@ -219,16 +219,14 @@ object Skew {
       .agg(count(lit(1)).as("n_users_both"),
         sum("pairs").as("est_pairs"),
         max("pairs").as("max_key_pairs"),
-        // (pairs desc, user asc) as one min-string: the inversion
-        // constant must DOMINATE any real per-key pair count or the
-        // encoding flips sign and elects a colder key — 10^18 covers
-        // na, nb < 10^9 each (r13 review; the old 10^9 constant broke
-        // exactly in the hot-key regime this statistic exists for)
-        min(concat(lpad((lit(1000000000000000000L) - col("pairs"))
-            .cast("string"), 19, "0"),
-          lit("|"), col("user_id").cast("string"))).as("hot"))
+        // (pairs desc, user asc) as a lexicographic struct min — total
+        // over the whole int64 domain (the r13 string encoding silently
+        // inverted once a per-key pair count reached its 10^18 padding
+        // constant, exactly the hot-key regime this statistic targets;
+        // r13 advice)
+        min(struct((-col("pairs")).as("np"), col("user_id").as("u"))).as("hot"))
       .select(col("n_users_both"), col("est_pairs"), col("max_key_pairs"),
-        expr("CAST(split(hot, '\\\\|')[1] AS BIGINT)").as("hot_user"))
+        col("hot.u").as("hot_user"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -256,9 +254,7 @@ object Skew {
         |SELECT CAST(count(*) AS BIGINT) AS n_users_both,
         |       CAST((SELECT true_pairs FROM truth) AS BIGINT) AS est_pairs,
         |       CAST(max(pairs) AS BIGINT) AS max_key_pairs,
-        |       CAST(split_part(min(lpad(CAST(1000000000000000000 - pairs AS VARCHAR),
-        |              19, '0') || '|' || CAST(user_id AS VARCHAR)),
-        |            '|', 2) AS BIGINT) AS hot_user
+        |       CAST((min({'np': -pairs, 'u': user_id})).u AS BIGINT) AS hot_user
         |FROM p""".stripMargin,
     "q192_bloom_semijoin" ->
       """SELECT l_returnflag,

@@ -313,4 +313,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // k larger than the pool: selection stops at pool exhaustion
     assert(Similarity.mmrGreedy(Seq(1L -> 0.5), Map.empty, 5, 0.5).size == 1)
   }
+
+  test("covMomentsAcc (q182's partition fold) equals the exploded-cell merge law on the real corpus") {
+    import org.apache.spark.sql.functions._
+    // one definition guarded two ways: the DuckDB gate pins the VALUES,
+    // this pins the r14 accumulator promotion against the streaming
+    // twin's exploded-cell artifact row-for-row (CovProbe re-asserts the
+    // same identity at widths 64/256/512 on synthetic vectors)
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq.drop(2)).toMap
+    val fold = m(Similarity.covMomentsAcc(vecs))
+    val exploded = m(Similarity.covMoments(Similarity.covCellsOf(vecs)))
+    assert(fold == exploded)
+    assert(fold.nonEmpty)
+  }
 }
