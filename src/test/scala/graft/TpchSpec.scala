@@ -108,6 +108,87 @@ class TpchSpec extends AnyFunSuite with SparkTestBase {
     assert(p.exists(_.contains("EqualTo(o_orderstatus,F)")), s"orders: $p")
   }
 
+  test("q218: the quarter bounds push to the orders scan; the EXISTS plans as a semi join") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q218_tpch_q4")(spark, sf)
+    val p = pushed(df)
+    assert(p.exists(_.contains("GreaterThanOrEqual(o_orderdate")), s"orders: $p")
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case x => x
+    }
+    assert(plan.toString.contains("LeftSemi"), s"semi join missing:\n$plan")
+  }
+
+  test("q219: all three raw-column predicates reach the single lineitem scan; no join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q219_tpch_q6")(spark, sf)
+    val p = pushed(df)
+    assert(p.exists(s => s.contains("l_shipdate") && s.contains("l_discount") &&
+      s.contains("LessThan(l_quantity,24.0)")), s"lineitem: $p")
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case x => x
+    }
+    assert(plan.collect { case j: BroadcastHashJoinExec => j
+                          case j: SortMergeJoinExec => j }.isEmpty,
+      "Q6 is a zero-join single-scan aggregate")
+  }
+
+  test("q220/q221/q226: dims broadcast, no cartesian/BNLJ anywhere") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    for (q <- Seq("q220_tpch_q7", "q221_tpch_q8", "q226_tpch_q19")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case x => x
+      }
+      assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        s"$q: expected broadcast dim joins")
+      assert(plan.collect { case c: CartesianProductExec => c
+                            case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+        s"$q: cartesian/BNLJ in plan")
+    }
+  }
+
+  test("q224: the global max rides a broadcast value equi-join, not a window or cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q224_tpch_q15")(spark, sf)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case x => x
+    }
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty)
+    assert(plan.collect { case c: CartesianProductExec => c
+                          case b: BroadcastNestedLoopJoinExec => b
+                          case w: WindowExec => w }.isEmpty,
+      "max selection must be the 1-row broadcast value join")
+  }
+
+  test("q227: the no-orders predicate plans as a left anti hash join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q227_tpch_q22")(spark, sf)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case x => x
+    }
+    assert(plan.toString.contains("LeftAnti"), s"anti join missing:\n$plan")
+    assert(plan.collect { case c: CartesianProductExec => c
+                          case b: BroadcastNestedLoopJoinExec => b }.isEmpty)
+  }
+
+  test("q225 returns one non-degenerate row (the correlated-avg survivors exist)") {
+    val r = SparkEntry.queries("q225_tpch_q17")(spark, sf).collect()
+    assert(r.length == 1)
+    assert(!r(0).isNullAt(r(0).fieldIndex("avg_yearly_c")),
+      "expected Brand#1 small-part survivors at sf0.001")
+  }
+
   test("q203 yields the canonical 6-group pricing summary with qty conservation") {
     val rows = SparkEntry.queries("q203_tpch_q1")(spark, sf).collect()
     assert(rows.length == 6)
