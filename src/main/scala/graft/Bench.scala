@@ -41,8 +41,12 @@ object Bench {
     // runs put q64/q144/q66 3-5x above their committed local bands on
     // unchanged code (r12 verdict item 2) — same treatment.
     val volatileReps = 5
+    // r14: q100 joined the set — its run-A median hit 0.86 s with
+    // min 0.28 ≈ the r13 median on unchanged code (in-suite neighbor
+    // noise, the same signature as the others).
     val volatileQueries = Set("q34_dedup_ngram_jaccard", "q72_token_percentiles",
-      "q64_rare_terms", "q144_semantic_contamination", "q66_chunk_dedup")
+      "q64_rare_terms", "q144_semantic_contamination", "q66_chunk_dedup",
+      "q100_split_funnel")
     def repsFor(name: String): Int =
       if (volatileQueries(name)) math.max(reps, volatileReps) else reps
     // optional comma-separated query filter for focused profiling runs

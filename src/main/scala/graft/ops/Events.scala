@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.etl.Star.{round2Sql, round4, round4Sql}
+import graft.etl.Star.{round2, round2Sql, round4, round4Sql}
 
 /** Event-table operators over `events` (batch forms; the streaming
   * equivalents — watermarked windows, stateful sessionization — live in
@@ -715,7 +715,175 @@ object Events {
         when(abs(col("z_x100")) >= 196, 1L).otherwise(0L))
   }
 
+  /** q228's per-type DENSIFIED register table: every (event_type, b)
+    * cell for b ∈ [0,16) holds the max leading-zero rank of the heavy
+    * users hashing there, 0 where the register is empty — so the
+    * harmonic sum needs no separate empty-register correction term and
+    * a pairwise UNION is a plain `greatest` over the aligned cells.
+    * "Heavy" = strictly above the per-type mean event count, stated as
+    * the exact integer cross-multiplication `cnt·n_users > total`
+    * (scale-invariant — a fixed count threshold saturates as the
+    * corpus grows). Geometry shared verbatim with q152/q155
+    * ([[TextStats.hllRegs]]). */
+  private def heavyUsers(s: SparkSession, d: String): DataFrame = {
+    val uc = events(s, d).groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("cnt"))
+    val tot = uc.groupBy("event_type")
+      .agg(sum("cnt").as("total"), count(lit(1)).as("nu"))
+    uc.join(broadcast(tot), "event_type")
+      .where(col("cnt") * col("nu") > col("total"))
+      .select("event_type", "user_id")
+  }
+
+  private def heavyUserRegisters(heavy: DataFrame): DataFrame = {
+    val h = md5(col("user_id").cast("string"))
+    val regs = heavy.select(col("event_type"),
+        pmod(conv(substring(h, 1, 4), 16, 10).cast("long"),
+          lit(TextStats.hllRegs)).as("b"),
+        conv(substring(h, 5, 8), 16, 10).cast("long").as("v"))
+      .withColumn("rnk",
+        when(col("v") === 0L, lit(33L))
+          .otherwise(lit(33L) - length(bin(col("v"))).cast("long")))
+      .groupBy("event_type", "b").agg(max("rnk").as("m"))
+    heavy.select("event_type").distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0L), lit(TextStats.hllRegs - 1L))).as("b"))
+      .join(regs, Seq("event_type", "b"), "left")
+      .select(col("event_type"), col("b"), coalesce(col("m"), lit(0L)).as("m"))
+  }
+
+  /** The harmonic-sum estimate over a densified register table keyed by
+    * `keys`: one integer shift-sum (empty cells charge 2^33 because
+    * m = 0), one double division. */
+  private def hllEst(regs: DataFrame, keys: Seq[String]): DataFrame =
+    regs.groupBy(keys.map(col): _*)
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - m AS INT))")).as("ssum"))
+      .withColumn("est", lit(TextStats.hllNum) / col("ssum").cast("double"))
+
+  /** q228: HLL SET ALGEBRA — the distinct-count sketch answering an
+    * INTERSECTION question it cannot store directly: for every pair of
+    * event types, |heavyA ∩ heavyB| is estimated by inclusion–exclusion
+    * `est(A) + est(B) − est(A ∪ B)`, where est(A∪B) runs over the
+    * element-wise-max union of the two register tables (the q155 merge
+    * law — union is native to HLL, intersection is derived). The exact
+    * intersection rides along as the audit baseline with the absolute
+    * error reported (the q152 honesty rule: raw HLL-16 is coarse at
+    * these cardinalities and the gate documents exactly how coarse).
+    * Scale shape: registers are a (#types × 16)-cell frame built by one
+    * map-side-combined pass; the pair union is an EQUI join on the
+    * register index b (16 keys) with the type-order conjunct — never a
+    * cartesian; the exact side joins the heavy sets on user_id, pair
+    * space type²-bounded. */
+  val q228_hll_intersection: Q = (s, d) => {
+    // the heavy set feeds both the sketch and the exact audit — persist
+    // it narrow (Ckpt-scoped) instead of re-deriving the per-user
+    // aggregate three times
+    val heavy = graft.Ckpt.persisted(heavyUsers(s, d))
+    val regs = heavyUserRegisters(heavy)
+    val perType = hllEst(regs, Seq("event_type"))
+    val pairCells = regs.select(col("event_type").as("type_a"),
+        col("b"), col("m").as("ma"))
+      .join(regs.select(col("event_type").as("type_b"),
+        col("b"), col("m").as("mb")), Seq("b"))
+      .where(col("type_a") < col("type_b"))
+    val unionEst = hllEst(
+      pairCells.select(col("type_a"), col("type_b"), col("b"),
+        greatest(col("ma"), col("mb")).as("m")),
+      Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("est").as("est_u"))
+    val exact = heavy.select(col("event_type").as("type_a"), col("user_id"))
+      .join(heavy.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_exact_inter"))
+    unionEst
+      .join(perType.select(col("event_type").as("type_a"), col("est").as("est_a")),
+        Seq("type_a"))
+      .join(perType.select(col("event_type").as("type_b"), col("est").as("est_b")),
+        Seq("type_b"))
+      .join(exact, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        coalesce(col("n_exact_inter"), lit(0L)).as("n_exact_inter"),
+        round2(col("est_a") + col("est_b") - col("est_u")).as("inter_est"))
+      .withColumn("err_abs",
+        round2(abs(col("inter_est") - col("n_exact_inter").cast("double"))))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** q229's epoch boundary (the corpus's 30-day window splits at
+    * mid-month) and value-histogram geometry: 16 buckets of 32.00
+    * currency units (cents div 3200), the last bucket open-ended. */
+  private val driftSplitEs = 1705363200L // 2024-01-16 00:00:00 UTC
+  private val driftBuckets = 16L
+
+  /** q229: DISTRIBUTION DRIFT between epochs — the monitoring gate a
+    * training pipeline runs before trusting a new data batch: per event
+    * type, the total-variation distance between the first and second
+    * epoch's value histograms, in exact basis points. TV = ½·Σ|p−q| is
+    * chosen over PSI/KL deliberately: those need a per-bucket ln()
+    * (libm, not cross-engine-exact); TV is pure integer arithmetic —
+    * per-bucket shares as `cnt·10000 div n`, the final sum of absolute
+    * differences halved by `div 2` — so the gate is hash-exact. Scale
+    * shape: one map-side-combined (type, epoch, bucket) count — the
+    * histogram is the 100 TB-safe representation (value-domain-bounded,
+    * mergeable across batches); the per-type compare touches ≤ 16 rows
+    * per type. drifted fires above 5% (500 bp). */
+  val q229_dist_drift: Q = (s, d) => {
+    val ev = events(s, d).select(col("event_type"),
+      when(col("es") < driftSplitEs, lit(0L)).otherwise(lit(1L)).as("epoch"),
+      least(expr("CAST(round(value * 100) AS BIGINT) div 3200"),
+        lit(driftBuckets - 1L)).cast("long").as("bucket"))
+    val cells = ev.groupBy("event_type", "bucket")
+      .agg(sum(when(col("epoch") === 0L, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("epoch") === 1L, 1L).otherwise(0L)).as("cb"))
+    val totals = cells.groupBy("event_type")
+      .agg(sum("ca").as("na"), sum("cb").as("nb"))
+    cells.join(broadcast(totals), "event_type")
+      .withColumn("pa", expr("ca * 10000 div na"))
+      .withColumn("pb", expr("cb * 10000 div nb"))
+      .groupBy("event_type")
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        expr("CAST(sum(abs(pa - pb)) div 2 AS BIGINT)").as("tv_bp"))
+      .withColumn("drifted", when(col("tv_bp") > 500L, 1L).otherwise(0L))
+      .orderBy("event_type")
+  }
+
+  /** q230: SMOOTHED TARGET ENCODING — the categorical-feature
+    * transform: user_id → its mean purchase value, shrunk toward the
+    * global mean by an m-estimate prior (m = 10 virtual observations),
+    * so rare users don't memorize their own noise and unseen users get
+    * exactly the prior. All integer cents: the global mean is
+    * pre-truncated once (`gsum div gcnt`, a 1-row bounded collect) and
+    * the encoding is `(sum_c + 10·g_c) div (cnt + 10)` — positive
+    * operands, so Spark div ≡ DuckDB //. Users with no purchases
+    * surface with cnt 0 and enc = the prior (the left join keeps them —
+    * an inner join would silently drop the very rows the smoothing
+    * exists for). Scale: one user-keyed aggregate, one 1-row global. */
+  val q230_target_encoding: Q = (s, d) => {
+    val purch = events(s, d).where(col("event_type") === "purchase")
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("value_c"))
+    val Array(gsum, gcnt) = purch
+      .agg(sum("value_c"), count(lit(1))).head().toSeq
+      .map(v => v.asInstanceOf[Long]).toArray
+    val gc = gsum / gcnt
+    val perUser = purch.groupBy("user_id")
+      .agg(count(lit(1)).as("n_purch"), sum("value_c").as("sum_c"))
+    events(s, d).select("user_id").distinct()
+      .join(perUser, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("n_purch"), lit(0L)).as("n_purch"),
+        coalesce(col("sum_c"), lit(0L)).as("sum_c"))
+      .withColumn("enc_c",
+        expr(s"(sum_c + 10 * $gc) div (n_purch + 10)"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q228_hll_intersection" -> q228_hll_intersection,
+    "q229_dist_drift" -> q229_dist_drift,
+    "q230_target_encoding" -> q230_target_encoding,
     "q193_interval_overlap" -> q193_interval_overlap,
     "q195_linear_attribution" -> q195_linear_attribution,
     "q198_ab_test" -> q198_ab_test,
@@ -736,6 +904,121 @@ object Events {
     "q93_hll_users" -> q93_hll_users)
 
   val oracle: Map[String, String] = Map(
+    // the identical register geometry (md5 nibbles, rank, densified
+    // 16-cell tables), inclusion–exclusion stated over the same three
+    // harmonic sums, exact audit via the heavy-set self-join
+    "q228_hll_intersection" ->
+      s"""WITH uc AS (
+         |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total,
+         |         CAST(count(*) AS BIGINT) AS nu
+         |  FROM uc GROUP BY 1),
+         |heavy AS (
+         |  SELECT uc.event_type, user_id
+         |  FROM uc JOIN tot USING (event_type)
+         |  WHERE cnt * nu > total),
+         |raw AS (
+         |  SELECT event_type,
+         |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT)
+         |           % ${TextStats.hllRegs} AS b,
+         |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 5, 8) AS BIGINT) AS v
+         |  FROM heavy),
+         |reg0 AS (
+         |  SELECT event_type, b,
+         |         max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS m
+         |  FROM raw GROUP BY 1, 2),
+         |dens AS (
+         |  SELECT t.event_type, gs.b, coalesce(r.m, 0) AS m
+         |  FROM (SELECT DISTINCT event_type FROM heavy) t
+         |  CROSS JOIN (SELECT unnest(range(${TextStats.hllRegs})) AS b) gs
+         |  LEFT JOIN reg0 r ON r.event_type = t.event_type AND r.b = gs.b),
+         |pte AS (
+         |  SELECT event_type,
+         |         ${TextStats.hllNum} / CAST(sum(CAST(1 AS BIGINT) << (33 - m))
+         |           AS DOUBLE) AS est
+         |  FROM dens GROUP BY event_type),
+         |pue AS (
+         |  SELECT type_a, type_b,
+         |         ${TextStats.hllNum} / CAST(sum(CAST(1 AS BIGINT) << (33 - m))
+         |           AS DOUBLE) AS est_u
+         |  FROM (
+         |    SELECT a.event_type AS type_a, b.event_type AS type_b, a.b AS b,
+         |           greatest(a.m, b.m) AS m
+         |    FROM dens a JOIN dens b
+         |      ON a.b = b.b AND a.event_type < b.event_type)
+         |  GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM heavy a JOIN heavy b
+         |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2),
+         |est AS (
+         |  SELECT u.type_a, u.type_b,
+         |         CAST(coalesce(ex.n, 0) AS BIGINT) AS n_exact_inter,
+         |         ${round2Sql("ea.est + eb.est - u.est_u")} AS inter_est
+         |  FROM pue u
+         |  JOIN pte ea ON ea.event_type = u.type_a
+         |  JOIN pte eb ON eb.event_type = u.type_b
+         |  LEFT JOIN ex ON ex.type_a = u.type_a AND ex.type_b = u.type_b)
+         |SELECT type_a, type_b, n_exact_inter, inter_est,
+         |       ${round2Sql("abs(inter_est - CAST(n_exact_inter AS DOUBLE))")}
+         |         AS err_abs
+         |FROM est
+         |ORDER BY type_a, type_b""".stripMargin,
+    // same split instant, same 16×32.00 histogram, shares as exact
+    // truncating basis points, TV as the halved absolute-difference sum
+    "q229_dist_drift" ->
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < $driftSplitEs
+         |              THEN 0 ELSE 1 END AS epoch,
+         |         least(CAST(round(value * 100) AS BIGINT) // 3200,
+         |               ${driftBuckets - 1L}) AS bucket
+         |  FROM events),
+         |cells AS (
+         |  SELECT event_type, bucket,
+         |         CAST(sum(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |         CAST(sum(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM ev GROUP BY 1, 2),
+         |tots AS (
+         |  SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+         |         CAST(sum(cb) AS BIGINT) AS nb
+         |  FROM cells GROUP BY 1),
+         |bp AS (
+         |  SELECT c.event_type, na, nb,
+         |         ca * 10000 // na AS pa, cb * 10000 // nb AS pb
+         |  FROM cells c JOIN tots USING (event_type))
+         |SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+         |       CAST(max(nb) AS BIGINT) AS n_b,
+         |       CAST(sum(abs(pa - pb)) // 2 AS BIGINT) AS tv_bp,
+         |       CAST(CASE WHEN sum(abs(pa - pb)) // 2 > 500 THEN 1 ELSE 0 END
+         |         AS BIGINT) AS drifted
+         |FROM bp GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
+    // the same pre-truncated global prior folded into every user's
+    // m-estimate; the left join keeps purchase-less users on the prior
+    "q230_target_encoding" ->
+      """WITH purch AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS value_c
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT CAST(sum(value_c) AS BIGINT) // CAST(count(*) AS BIGINT) AS gc
+        |  FROM purch),
+        |pu AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_purch,
+        |         CAST(sum(value_c) AS BIGINT) AS sum_c
+        |  FROM purch GROUP BY 1),
+        |allu AS (SELECT DISTINCT user_id FROM events)
+        |SELECT a.user_id,
+        |       CAST(coalesce(pu.n_purch, 0) AS BIGINT) AS n_purch,
+        |       CAST(coalesce(pu.sum_c, 0) AS BIGINT) AS sum_c,
+        |       CAST((coalesce(pu.sum_c, 0) + 10 * (SELECT gc FROM g))
+        |         // (coalesce(pu.n_purch, 0) + 10) AS BIGINT) AS enc_c
+        |FROM allu a LEFT JOIN pu USING (user_id)
+        |ORDER BY a.user_id""".stripMargin,
     // same daily counts, same integer α=1/4 recurrence over row-numbered
     // days, same 2× burst fence — positive integers, so Spark's div
     // (truncate) and DuckDB's // (floor) agree

@@ -1171,9 +1171,9 @@ object TextStats {
     * OMITTED (its ln() is a libm call — presentation, not gate math),
     * so `hll_est` is the raw estimator and `rel_err` reports honestly
     * what raw HLL-16 does at these cardinalities. */
-  private val hllRegs = 16L
-  private val hllEmptyTerm = 8589934592L // 2^33
-  private val hllNum = 0.673 * (16.0 * 16.0) * 8589934592.0
+  private[ops] val hllRegs = 16L
+  private[ops] val hllEmptyTerm = 8589934592L // 2^33
+  private[ops] val hllNum = 0.673 * (16.0 * 16.0) * 8589934592.0
 
   /** q152: HyperLogLog registers built from scratch — the register-exact
     * twin of q93's claim-style gate (there Spark's native

@@ -236,7 +236,10 @@ object Tpch {
     * correlated form verbatim, so the gate proves the decorrelation.
     * The supplier/nation dims are broadcast. */
   val q216_tpch_q21: Q = (s, d) => {
-    val lo = s.read.parquet(s"$d/lineitem.parquet")
+    // the 3-column joined frame feeds BOTH the per-order aggregate and
+    // the late-row probe side — persist it narrow (Ckpt-scoped, spills
+    // under pressure) instead of running the join twice
+    val lo = graft.Ckpt.persisted(s.read.parquet(s"$d/lineitem.parquet")
       .select("l_orderkey", "l_suppkey", "l_shipdate")
       .join(s.read.parquet(s"$d/orders.parquet")
         .where(col("o_orderstatus") === "F")
@@ -244,7 +247,7 @@ object Tpch {
         col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         expr("CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAYS THEN 1L ELSE 0L END"))
-      .select("l_orderkey", "l_suppkey", "late")
+      .select("l_orderkey", "l_suppkey", "late"))
     val perOrder = lo.groupBy("l_orderkey")
       .agg(countDistinct(col("l_suppkey")).as("ns"),
         countDistinct(when(col("late") === 1L, col("l_suppkey"))).as("nls"))

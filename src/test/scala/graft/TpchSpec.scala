@@ -12,12 +12,20 @@ class TpchSpec extends AnyFunSuite with SparkTestBase {
 
   private def pushed(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    plan.collect { case f: FileSourceScanExec =>
-      f.metadata.getOrElse("PushedFilters", "")
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    def scans(plan: SparkPlan): Seq[String] = plan.collect {
+      case f: FileSourceScanExec =>
+        Seq(f.metadata.getOrElse("PushedFilters", ""))
+      // a Ckpt.persisted frame hides its scans inside the cached
+      // relation (itself AQE-wrapped) — the pushdown pin must look
+      // through both layers
+      case m: InMemoryTableScanExec => scans(m.relation.cachedPlan)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+    }.flatten
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case p => scans(p)
     }
   }
 
