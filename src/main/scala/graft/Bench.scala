@@ -97,7 +97,10 @@ object Bench {
       // the artifact itself shows what the same commit measured
       val lo = good.map(_._2).minOption.getOrElse(-1.0)
       val hi = good.map(_._2).maxOption.getOrElse(-1.0)
-      (name, median, failed, buildMed, serveMed, lo, hi)
+      // raw successful-rep walls IN RUN ORDER (r14 verdict item 7): a
+      // median hides whether a slow round was 2-of-3 slow reps (systemic)
+      // or one cold rep (noise) — the adjudication evidence is the array
+      (name, median, failed, buildMed, serveMed, lo, hi, good.map(_._2))
     }
     // fixed 3-decimal (ms-precision) formatting: a full double's ~17
     // significant digits made the JSON line overflow the driver's bounded
@@ -114,23 +117,28 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
-    def qsJson(short: Boolean) = results.map { case (k, v, _, _, _, _, _) =>
+    def qsJson(short: Boolean) = results.map { case (k, v, _, _, _, _, _, _) =>
       "\"" + (if (short) k.takeWhile(_ != '_') else k) + "\":" +
         (if (short) fmtShort(v) else fmt(v))
     }.mkString("{", ",", "}")
-    // build/serve split (r10) and min/max spread (r11): FILE artifact
-    // only — the stdout line must stay under the driver's bounded tail.
-    // The spread is what makes the bench self-adjudicating: a
-    // driver-vs-local delta outside the committed [min, max] band is
-    // container noise by the artifact's own evidence.
-    def splitJson(sel: ((String, Double, Int, Double, Double, Double, Double)) => Double) =
-      results.map { case t @ (k, _, _, _, _, _, _) => "\"" + k + "\":" + fmt(sel(t)) }
+    // build/serve split (r10), min/max spread (r11), raw rep arrays (r14
+    // item 7): FILE artifact only — the stdout line must stay under the
+    // driver's bounded tail. The spread + raw reps make the bench
+    // self-adjudicating: a driver-vs-local delta outside the committed
+    // [min, max] band is container noise by the artifact's own evidence,
+    // and the rep array distinguishes 2-of-3-slow (systemic) from one
+    // cold rep (noise).
+    def splitJson(sel: ((String, Double, Int, Double, Double, Double, Double, Seq[Double])) => Double) =
+      results.map { case t @ (k, _, _, _, _, _, _, _) => "\"" + k + "\":" + fmt(sel(t)) }
         .mkString("{", ",", "}")
+    def repsRawJson = results.map { case (k, _, _, _, _, _, _, raw) =>
+      "\"" + k + "\":" + raw.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val failures = results.filter(_._3 > 0)
-    def errsJson(short: Boolean) = failures.map { case (k, _, f, _, _, _, _) =>
+    def errsJson(short: Boolean) = failures.map { case (k, _, f, _, _, _, _, _) =>
       "\"" + (if (short) k.takeWhile(_ != '_') else k) + "\":" + f
     }.mkString("{", ",", "}")
-    val total = results.map { case (_, v, _, _, _, _, _) => math.max(v, 0.0) }.sum
+    val total = results.map { case (_, v, _, _, _, _, _, _) => math.max(v, 0.0) }.sum
     // resolved before json() so the stdout "detail" pointer names the
     // ACTUAL artifact path, not a hardcoded default (r13 review)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
@@ -145,7 +153,7 @@ object Bench {
     def json(short: Boolean) = {
       // split + spread ride only the file artifact (see splitJson comment)
       val split = if (short) ""
-        else s""","build":${splitJson(_._4)},"serve":${splitJson(_._5)},"min":${splitJson(_._6)},"max":${splitJson(_._7)}"""
+        else s""","build":${splitJson(_._4)},"serve":${splitJson(_._5)},"min":${splitJson(_._6)},"max":${splitJson(_._7)},"reps_s":$repsRawJson"""
       // STDOUT carries no per-query map: the driver records only a
       // ~2.6 KB stdout tail, and the compact per-query map outgrew it at
       // 176 queries (r12: the fragment lost q01-q09 and the driver
