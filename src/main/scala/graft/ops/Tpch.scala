@@ -195,11 +195,16 @@ object Tpch {
     * line quantity exceeds 300 (spec threshold; integer qty under the
     * house rule), with customer, order date and price. The HAVING
     * subquery materializes FIRST as a per-orderkey aggregate and the
-    * filtered survivor set (46 keys at sf0.01, output-bound at any
-    * scale since the threshold prunes to the extreme tail) joins back
-    * BROADCAST — the semi-join-against-aggregate shape; lineitem is
-    * scanned twice but never self-joined row-to-row. Deterministic
-    * total order: (price desc, date asc, orderkey asc), top 100. */
+    * filtered survivor set joins back — the semi-join-against-aggregate
+    * shape; lineitem is scanned twice but never self-joined row-to-row.
+    * The survivor set is NOT output-bound: the qty>300 tail is a small
+    * constant FRACTION of orders (~0.004% under TPC-H qty
+    * distributions), i.e. linear in the corpus — so no broadcast hint
+    * (a hint bypasses AQE's size check and would force-ship millions of
+    * rows at sf100k). AQE elects broadcast at runtime while the set is
+    * actually under threshold and falls back to a shuffled hash join
+    * when it is not (r14 verdict item 2). Deterministic total order:
+    * (price desc, date asc, orderkey asc), top 100. */
   val q215_tpch_q18: Q = (s, d) => {
     val big = s.read.parquet(s"$d/lineitem.parquet")
       .groupBy("l_orderkey")
@@ -209,7 +214,7 @@ object Tpch {
       .withColumn("order_es", es(col("o_orderdate")))
       .withColumn("total_price_c", round(col("o_totalprice") * 100).cast("long"))
       .select("o_orderkey", "o_custkey", "order_es", "total_price_c")
-    ord.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+    ord.join(big, col("o_orderkey") === col("l_orderkey"))
       .join(s.read.parquet(s"$d/customer.parquet")
         .select("c_custkey", "c_name"), col("c_custkey") === col("o_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
