@@ -34,20 +34,33 @@ import scala.collection.mutable.ArrayBuffer
   *    successor exists — per-iteration storage stays one frame, not
   *    one per round.
   *
+  * The registry is scoped per (session, DRIVER THREAD), not per
+  * session (r14 verdict item 3): two statements interleaving on one
+  * session — the Thrift-server scenario, one connection thread each —
+  * register into separate scopes, so one statement's `beginQuery`
+  * can never unpersist a mid-flight sibling's frames. The contract is
+  * therefore: frames register on the thread that CONSTRUCTS the query
+  * (all graft query fns build their plans on the calling thread), and
+  * release when the SAME thread begins its next statement.
+  *
   * Consequence, stated not hidden: a query's returned DataFrame is
-  * valid until the NEXT query on the same session is constructed
-  * (its plan may scan the registered blocks). That is the result-set
-  * contract of every warehouse session — consume the result, then
-  * issue the next statement; a caller needing a longer-lived frame
-  * writes it out (StarBuilder) or owns a memoized artifact
-  * (SessionMemo frames never register here and live for the session).
+  * valid until the NEXT query on the same session AND thread is
+  * constructed (its plan may scan the registered blocks). That is the
+  * result-set contract of every warehouse session — consume the
+  * result, then issue the next statement; a caller needing a
+  * longer-lived frame writes it out (StarBuilder) or owns a memoized
+  * artifact (SessionMemo frames never register here and live for the
+  * session).
   */
 private[graft] object Ckpt {
+  private final case class Scope(session: SparkSession, threadId: Long)
+
   private val live =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, ArrayBuffer[DataFrame]]()
+    new java.util.concurrent.ConcurrentHashMap[Scope, ArrayBuffer[DataFrame]]()
 
   private def buf(s: SparkSession): ArrayBuffer[DataFrame] =
-    live.computeIfAbsent(s, _ => ArrayBuffer.empty[DataFrame])
+    live.computeIfAbsent(Scope(s, Thread.currentThread().getId),
+      _ => ArrayBuffer.empty[DataFrame])
 
   /** Eager local checkpoint whose blocks are released when the next
     * top-level query on this session begins. */
@@ -77,9 +90,11 @@ private[graft] object Ckpt {
   def drop(df: DataFrame): Unit = df.unpersist(false)
 
   /** Release every checkpoint the PREVIOUS query registered on this
-    * session. Called from `SparkEntry.queries`' thunks only — module
-    * query fns invoke each other directly, so composition never
-    * releases a frame its caller still needs. */
+    * session BY THIS THREAD. Called from `SparkEntry.queries`' thunks
+    * only — module query fns invoke each other directly, so
+    * composition never releases a frame its caller still needs; and
+    * scoping by thread means a concurrent statement on another
+    * connection thread keeps its frames (CkptSpec pins both). */
   def beginQuery(s: SparkSession): Unit = {
     val b = buf(s)
     b.synchronized { b.foreach(_.unpersist(false)); b.clear() }
