@@ -813,9 +813,59 @@ object Events {
 
   /** q229's epoch boundary (the corpus's 30-day window splits at
     * mid-month) and value-histogram geometry: 16 buckets of 32.00
-    * currency units (cents div 3200), the last bucket open-ended. */
-  private val driftSplitEs = 1705363200L // 2024-01-16 00:00:00 UTC
-  private val driftBuckets = 16L
+    * currency units (cents div 3200), the last bucket open-ended.
+    * The split is midnight-ALIGNED (driftSplitEs = driftSplitDay·86400,
+    * asserted right here), so the epoch is a pure function of the
+    * event's DAY — which is what lets the watermarked streaming twin
+    * ([[graft.streaming.EventStream.driftCellsStream]]) emit mergeable
+    * per-day cells and still reproduce the batch epochs exactly. One
+    * definition each, shared verbatim by batch and stream (the house
+    * streaming-twin rule). */
+  private[graft] val driftSplitEs = 1705363200L // 2024-01-16 00:00:00 UTC
+  private[graft] val driftSplitDay = driftSplitEs / 86400L
+  assert(driftSplitDay * 86400L == driftSplitEs, "drift split must be midnight-aligned")
+  private[graft] val driftBuckets = 16L
+
+  /** value → histogram bucket under the shared geometry (expects a
+    * `value` column; non-negative 2-decimal payloads per module doc). */
+  private[graft] def driftBucketCol: org.apache.spark.sql.Column =
+    least(expr("CAST(round(value * 100) AS BIGINT) div 3200"),
+      lit(driftBuckets - 1L)).cast("long")
+
+  /** day → epoch 0/1 (exact because the split is midnight-aligned). */
+  private[graft] def driftEpoch(day: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(day < driftSplitDay, lit(0L)).otherwise(lit(1L))
+
+  /** (event_type, epoch, bucket, cnt) cells → the per-type drift table.
+    * The cells are summed per (type, epoch, bucket) FIRST, so the input
+    * may arrive split across arbitrary sub-slices (per-day cells from
+    * the streaming twin, per-batch shards) — the mergeability that
+    * makes the histogram the 100 TB-safe representation. */
+  private[graft] def driftTable(counts: DataFrame): DataFrame = {
+    val cells = counts.groupBy("event_type", "bucket")
+      .agg(sum(when(col("epoch") === 0L, col("cnt")).otherwise(0L)).as("ca"),
+        sum(when(col("epoch") === 1L, col("cnt")).otherwise(0L)).as("cb"))
+    val totals = cells.groupBy("event_type")
+      .agg(sum("ca").as("na"), sum("cb").as("nb"))
+    cells.join(broadcast(totals), "event_type")
+      .withColumn("pa", expr("ca * 10000 div na"))
+      .withColumn("pb", expr("cb * 10000 div nb"))
+      .groupBy("event_type")
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        expr("CAST(sum(abs(pa - pb)) div 2 AS BIGINT)").as("tv_bp"))
+      .withColumn("drifted", when(col("tv_bp") > 500L, 1L).otherwise(0L))
+      .orderBy("event_type")
+  }
+
+  /** The full batch drift pipeline over any frame carrying
+    * (event_type, es, value) — q229's body, also the parity reference
+    * the streaming spec replays arbitrary rows through. */
+  private[graft] def driftFromEvents(ev: DataFrame): DataFrame =
+    driftTable(ev.select(col("event_type"),
+        driftEpoch(expr("es div 86400")).as("epoch"),
+        driftBucketCol.as("bucket"))
+      .groupBy("event_type", "epoch", "bucket")
+      .agg(count(lit(1)).as("cnt")))
 
   /** q229: DISTRIBUTION DRIFT between epochs — the monitoring gate a
     * training pipeline runs before trusting a new data batch: per event
@@ -829,25 +879,7 @@ object Events {
     * histogram is the 100 TB-safe representation (value-domain-bounded,
     * mergeable across batches); the per-type compare touches ≤ 16 rows
     * per type. drifted fires above 5% (500 bp). */
-  val q229_dist_drift: Q = (s, d) => {
-    val ev = events(s, d).select(col("event_type"),
-      when(col("es") < driftSplitEs, lit(0L)).otherwise(lit(1L)).as("epoch"),
-      least(expr("CAST(round(value * 100) AS BIGINT) div 3200"),
-        lit(driftBuckets - 1L)).cast("long").as("bucket"))
-    val cells = ev.groupBy("event_type", "bucket")
-      .agg(sum(when(col("epoch") === 0L, 1L).otherwise(0L)).as("ca"),
-        sum(when(col("epoch") === 1L, 1L).otherwise(0L)).as("cb"))
-    val totals = cells.groupBy("event_type")
-      .agg(sum("ca").as("na"), sum("cb").as("nb"))
-    cells.join(broadcast(totals), "event_type")
-      .withColumn("pa", expr("ca * 10000 div na"))
-      .withColumn("pb", expr("cb * 10000 div nb"))
-      .groupBy("event_type")
-      .agg(max("na").as("n_a"), max("nb").as("n_b"),
-        expr("CAST(sum(abs(pa - pb)) div 2 AS BIGINT)").as("tv_bp"))
-      .withColumn("drifted", when(col("tv_bp") > 500L, 1L).otherwise(0L))
-      .orderBy("event_type")
-  }
+  val q229_dist_drift: Q = (s, d) => driftFromEvents(events(s, d))
 
   /** q230: SMOOTHED TARGET ENCODING — the categorical-feature
     * transform: user_id → its mean purchase value, shrunk toward the

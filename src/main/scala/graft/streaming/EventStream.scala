@@ -569,6 +569,35 @@ object EventStream {
         expr("CAST(unix_timestamp(w.start) div 86400 AS BIGINT)").as("day"),
         col("cnt"))
 
+  /** Watermarked DRIFT-CELL feed — q229's streaming twin (r14 verdict
+    * item 4): drift monitoring is the stream-shaped use par excellence
+    * (the gate a pipeline runs before trusting the NEXT batch), and the
+    * histogram cells are exactly the mergeable per-batch state the
+    * daily rung emits. Raw events aggregate into 1-day tumbling windows
+    * keyed additionally by the SHARED value-bucket geometry
+    * ([[graft.ops.Events.driftBucketCol]] — one definition with the
+    * gated batch query); a (type, day, bucket) count is emitted in
+    * APPEND mode only once the watermark passes the day's end, so each
+    * emitted cell is complete. Because the epoch split is
+    * midnight-aligned, epoch = [[graft.ops.Events.driftEpoch]](day) is
+    * exact on the emitted rows, and the cells are LINEAR — summing them
+    * per (type, epoch, bucket) and applying the shared
+    * [[graft.ops.Events.driftTable]] reproduces the batch q229 table
+    * verbatim over the on-time rows (EventStreamSpec pins the parity
+    * and a beyond-watermark drop). Scale: state is one count per open
+    * (day, type, bucket) ≤ types × 16 per day — bounded regardless of
+    * event volume. */
+  def driftCellsStream(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", timestamp_seconds(col("es")))
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"),
+        graft.ops.Events.driftBucketCol.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"),
+        expr("CAST(unix_timestamp(w.start) div 86400 AS BIGINT)").as("day"),
+        col("bucket"), col("cnt"))
+
   /** Streaming EWMA rate — q186's stateful twin: (type, day) counts
     * arriving in day order fold through the SAME integer recurrence
     * ([[graft.ops.Events.ewmaNext]]/[[graft.ops.Events.ewmaBurst]] — one

@@ -683,6 +683,67 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("driftCellsStream: emitted cells fold to the exact batch drift table; beyond-watermark row dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.Events
+    val split = Events.driftSplitEs
+    val splitDay = Events.driftSplitDay
+    // five on-time click rows straddling the epoch split: epoch 0 gets
+    // values 10.00 (bucket 0) and 40.00 (bucket 1); epoch 1 gets 10.00,
+    // 5.00 (bucket 0) and 600.00 (60000c div 3200 = 18, capped to 15)
+    val input = MemoryStream[(Long, Double, String)]
+    val query = EventStream
+      .driftCellsStream(input.toDS().toDF("es", "value", "event_type"), lateness = "1 hour")
+      .writeStream.format("memory").queryName("driftc").outputMode("append").start()
+    try {
+      input.addData((split - 86400 + 100L, 10.0, "click"),
+        (split - 86400 + 200L, 40.0, "click")); query.processAllAvailable()
+      input.addData((split + 100L, 10.0, "click"),
+        (split + 200L, 600.0, "click")); query.processAllAvailable()
+      // advances the watermark past the epoch-0 day's end (split)
+      input.addData((split + 7200L, 5.0, "click")); query.processAllAvailable()
+      // a BEYOND-WATERMARK straggler into the closed epoch-0 day: must
+      // change no emitted cell, observably dropped
+      input.addData((split - 86400 + 300L, 10.0, "click")); query.processAllAvailable()
+      // next-day rows advance the watermark past the epoch-1 click day
+      input.addData((split + 86400 + 7200L, 1.0, "view")); query.processAllAvailable()
+      input.addData((split + 86400 + 9000L, 1.0, "view")); query.processAllAvailable()
+
+      val cells = spark.table("driftc").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"),
+          r.getAs[Long]("bucket"), r.getAs[Long]("cnt")))
+      // the straggler is absent: epoch-0 bucket 0 stays at 1
+      assert(cells.toSet == Set(
+        ("click", splitDay - 1, 0L, 1L), ("click", splitDay - 1, 1L, 1L),
+        ("click", splitDay, 0L, 2L), ("click", splitDay, 15L, 1L)), s"got ${cells.toSeq}")
+      val dropped = query.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L, "the beyond-watermark row must be counted as dropped")
+
+      // fold the EMITTED per-day cells through the shared epoch/table
+      // definitions → must equal the batch pipeline over the same
+      // on-time rows (one definition, zero drift)
+      import org.apache.spark.sql.functions.{col => c, sum => sqlSum}
+      val folded = Events.driftTable(
+        cells.toSeq.toDF("event_type", "day", "bucket", "cnt")
+          .select(c("event_type"), Events.driftEpoch(c("day")).as("epoch"),
+            c("bucket"), c("cnt"))
+          .groupBy("event_type", "epoch", "bucket")
+          .agg(sqlSum("cnt").as("cnt")))
+      val batch = Events.driftFromEvents(Seq(
+          (split - 86400 + 100L, 10.0, "click"), (split - 86400 + 200L, 40.0, "click"),
+          (split + 100L, 10.0, "click"), (split + 200L, 600.0, "click"),
+          (split + 7200L, 5.0, "click"))
+        .toDF("es", "value", "event_type"))
+      assert(folded.collect().toSeq == batch.collect().toSeq)
+      // and the numbers themselves: Σ|pa−pb| = 1666+5000+3333 → 4999 bp
+      val row = batch.collect().head
+      assert((row.getAs[Long]("n_a"), row.getAs[Long]("n_b"),
+        row.getAs[Long]("tv_bp"), row.getAs[Long]("drifted")) == (2L, 3L, 4999L, 1L))
+    } finally query.stop()
+  }
+
   test("dailyCountsStream → ewmaStream composes: the watermarked feed satisfies the fold contract and matches the batch recurrence") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
