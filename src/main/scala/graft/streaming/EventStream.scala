@@ -598,6 +598,38 @@ object EventStream {
         expr("CAST(unix_timestamp(w.start) div 86400 AS BIGINT)").as("day"),
         col("bucket"), col("cnt"))
 
+  /** Watermarked GAP-SESSION rung (r14 verdict item 5) — the session
+    * family's late-data producer. The stateful twins
+    * ([[sessionize]]/[[sessionizeWithTimeout]] and q201's
+    * `transitionStream`) demand in-order ingest per user; this
+    * declarative `session_window` aggregation instead ABSORBS
+    * out-of-order arrivals inside the lateness bound — a late event
+    * extends, or even MERGES, still-open provisional sessions (the one
+    * correction no O(1)-state fold can make) — and emits a session in
+    * APPEND mode only once the watermark passes its close, so every
+    * emitted row is final. Beyond-watermark rows drop observably
+    * (`numRowsDroppedByWatermark`).
+    *
+    * Gap semantics, exactly: the batch rule ([[graft.ops.Events
+    * .withSessionIds]]) keeps `diff <= gap` together and splits on
+    * `diff > gap`; Spark's `session_window` merges ADJACENT windows
+    * (next.start <= prev.end), so it splits strictly on `diff > gap`
+    * too — the same rule, verified empirically and pinned in the spec
+    * at both boundary values (diff = 1800 merges, 1801 splits). Output
+    * matches batch q51's session grain: (user_id, start_es, end_es,
+    * n_events), with end_es the last EVENT time (max es), not the
+    * window's close. State: one open window per (user, session) —
+    * bounded by active users, evicted at the watermark. */
+  def sessionWindowStream(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", timestamp_seconds(col("es")))
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"),
+        s"$sessionGapSeconds seconds").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("es")).as("start_es"), max(col("es")).as("end_es"))
+      .select("user_id", "start_es", "end_es", "n_events")
+
   /** Streaming EWMA rate — q186's stateful twin: (type, day) counts
     * arriving in day order fold through the SAME integer recurrence
     * ([[graft.ops.Events.ewmaNext]]/[[graft.ops.Events.ewmaBurst]] — one

@@ -744,6 +744,63 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("sessionWindowStream: late rows extend and MERGE sessions, emitted sessions equal batch q51's grain, boundary gap semantics pinned") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c, count => cnt, min => sqlMin, max => sqlMax, lit => l}
+    // users 1-4 exercise: late within-session row (u1), late row that
+    // BRIDGES two provisional sessions into one (u2 — the correction no
+    // O(1)-state fold can make), and both gap boundaries (u3 diff=1800
+    // merges, u4 diff=1801 splits — the batch strict-> rule exactly)
+    val onTime = Seq(
+      (1L, 1L, 1000L), (1L, 2L, 1500L), (1L, 10L, 1200L),
+      (2L, 3L, 1000L), (2L, 4L, 4000L), (2L, 6L, 2500L),
+      (3L, 5L, 1000L), (3L, 8L, 2800L),
+      (4L, 7L, 1000L), (4L, 9L, 2801L))
+    val input = MemoryStream[Ev]
+    val query = EventStream
+      .sessionWindowStream(input.toDS().toDF(), lateness = "1 hour")
+      .writeStream.format("memory").queryName("sessw").outputMode("append").start()
+    try {
+      input.addData(Ev(1, 1, 1000), Ev(1, 2, 1500), Ev(2, 3, 1000),
+        Ev(2, 4, 4000), Ev(3, 5, 1000), Ev(4, 7, 1000))
+      query.processAllAvailable()
+      // OUT-OF-ORDER arrivals inside the lateness bound: u2's bridge row,
+      // the boundary rows, u1's mid-session row
+      input.addData(Ev(2, 6, 2500), Ev(3, 8, 2800), Ev(4, 9, 2801), Ev(1, 10, 1200))
+      query.processAllAvailable()
+      // far-future traffic advances the watermark past every session close
+      input.addData(Ev(9, 11, 100000)); query.processAllAvailable()
+      input.addData(Ev(9, 12, 100001)); query.processAllAvailable()
+      val emitted = spark.table("sessw").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_es"),
+          r.getAs[Long]("end_es"), r.getAs[Long]("n_events")))
+        .filter(_._1 <= 4L).toSet
+      // batch parity: the gated q51 aggregation (shared withSessionIds
+      // rule) over the same on-time rows
+      val batch = graft.ops.Events.withSessionIds(
+          onTime.toDF("user_id", "event_id", "es"))
+        .groupBy("user_id", "session_id")
+        .agg(cnt(l(1)).as("n_events"),
+          sqlMin(c("es")).as("start_es"), sqlMax(c("es")).as("end_es"))
+        .select("user_id", "start_es", "end_es", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(emitted == batch, s"stream $emitted vs batch $batch")
+      // the interesting shapes actually happened: u2 is ONE merged
+      // session spanning the bridge; u4 split at diff=1801
+      assert(emitted.contains((2L, 1000L, 4000L, 3L)))
+      assert(emitted.contains((3L, 1000L, 2800L, 2L)))
+      assert(emitted.contains((4L, 1000L, 1000L, 1L)) && emitted.contains((4L, 2801L, 2801L, 1L)))
+      // a beyond-watermark straggler changes nothing, observably dropped
+      input.addData(Ev(1, 13, 1400)); query.processAllAvailable()
+      val after = spark.table("sessw").collect().length
+      assert(after == emitted.size, "beyond-watermark row must not add or reopen a session")
+      val dropped = query.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L, "the beyond-watermark row must be counted as dropped")
+    } finally query.stop()
+  }
+
   test("dailyCountsStream → ewmaStream composes: the watermarked feed satisfies the fold contract and matches the batch recurrence") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
