@@ -218,6 +218,42 @@ object Pipeline {
     funnelReport(base, s2, s3, s4, Seq.empty)
   }
 
+  /** q232: per-document curation LINEAGE — the row-level provenance
+    * q87's aggregate funnel cannot answer: for THIS doc, which stage
+    * rejected it, and which surviving doc blocked it? Stage rules are
+    * q87's, verbatim and in the same order (first failure wins):
+    * `exact_dup` (not the first doc of its normalized-text
+    * fingerprint; blocked_by = the keeper, the fp group's min id),
+    * `near_dup` (fp-canonical but not its q61 cluster's
+    * representative; blocked_by = the cluster id), `low_quality`
+    * (fails the q57/q87 score/length gate; blocked_by NULL), else
+    * `kept`. This is the audit table a curation pipeline publishes so
+    * a data owner can ask "why is my document missing from the
+    * training set" and get an answer with a pointer — and summing it
+    * by stage reproduces q87's funnel by construction. Scale shape:
+    * both per-fp windows share ONE fp-keyed shuffle; the cluster
+    * labels ride the memoized broadcast every funnel consumer uses;
+    * no new corpus pass. */
+  val q232_doc_lineage: Q = (s, d) => {
+    val wfp = Window.partitionBy("fp")
+    val base = TextStats.withQuality(docShingles(s, d))
+      .withColumn("fp", md5(col("norm")))
+      .withColumn("rn", row_number().over(wfp.orderBy("doc_id")))
+      .withColumn("fp_keeper", min("doc_id").over(wfp))
+      .join(broadcast(Dedup.memoLabels(s, d)), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component_id"), col("doc_id")))
+    base.select(col("doc_id"),
+        when(col("rn") =!= 1, lit("exact_dup"))
+          .when(col("cluster_id") =!= col("doc_id"), lit("near_dup"))
+          .when(!(col("score") >= 0.68 && col("n_tokens") >= 20),
+            lit("low_quality"))
+          .otherwise(lit("kept")).as("stage_out"),
+        when(col("rn") =!= 1, col("fp_keeper"))
+          .when(col("cluster_id") =!= col("doc_id"), col("cluster_id"))
+          .otherwise(lit(null).cast("long")).as("blocked_by"))
+      .orderBy("doc_id")
+  }
+
   /** q100: the capstone composition — q87's curation funnel run PER SPLIT
     * of q70's deterministic hash split: for each of train/val/test, the
     * doc and token counts surviving raw → split-local exact dedup (first
@@ -339,7 +375,8 @@ object Pipeline {
     "q100_split_funnel" -> q100_split_funnel,
     "q77_contamination" -> q77_contamination,
     "q87_curation_funnel" -> q87_curation_funnel,
-    "q88_verbatim_contamination" -> q88_verbatim_contamination)
+    "q88_verbatim_contamination" -> q88_verbatim_contamination,
+    "q232_doc_lineage" -> q232_doc_lineage)
 
   val oracle: Map[String, String] = Map(
     "q177_integrity_audit" ->
@@ -525,6 +562,30 @@ object Pipeline {
          |UNION ALL
          |SELECT CAST(4 AS BIGINT), 'quality', c4, t4 FROM a
          |ORDER BY stage_id""".stripMargin)
+      .replaceFirst("^WITH ", "WITH RECURSIVE "),
+    // q87's stage rules verbatim (same CTEs), emitted per row with the
+    // first failing stage and its blocking pointer instead of summed
+    "q232_doc_lineage" -> withDocs(
+      s"""${Dedup.ccReachCtes},
+         |comp AS (
+         |  SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS component_id
+         |  FROM reach GROUP BY src),
+         |${TextStats.qualCte},
+         |lab AS (
+         |  SELECT q.doc_id, q.n_tokens, q.score,
+         |         coalesce(c.component_id, q.doc_id) AS cluster_id,
+         |         row_number() OVER (PARTITION BY md5(q.norm) ORDER BY q.doc_id) AS rn,
+         |         min(q.doc_id) OVER (PARTITION BY md5(q.norm)) AS fp_keeper
+         |  FROM qual q LEFT JOIN comp c ON q.doc_id = c.doc_id)
+         |SELECT doc_id,
+         |       CASE WHEN rn <> 1 THEN 'exact_dup'
+         |            WHEN cluster_id <> doc_id THEN 'near_dup'
+         |            WHEN NOT (score >= 0.68 AND n_tokens >= 20) THEN 'low_quality'
+         |            ELSE 'kept' END AS stage_out,
+         |       CAST(CASE WHEN rn <> 1 THEN fp_keeper
+         |                 WHEN cluster_id <> doc_id THEN cluster_id
+         |                 ELSE NULL END AS BIGINT) AS blocked_by
+         |FROM lab ORDER BY doc_id""".stripMargin)
       .replaceFirst("^WITH ", "WITH RECURSIVE "),
     "q77_contamination" -> withDocs(
       s""", sp AS (

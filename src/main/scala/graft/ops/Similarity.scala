@@ -143,6 +143,67 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** q231 geometry: the mining panel bound, the language-proxy labels,
+    * and the top-k context size — one definition for the Spark plan,
+    * the oracle (which interpolates them), and the spec. */
+  private[graft] val marginSrcCap = 60L
+  private[graft] val marginSrcLabel = 0
+  private[graft] val marginTgtLabel = 1
+  private[graft] val marginK = 4
+
+  /** q231: MARGIN-BASED BITEXT MINING (Artetxe & Schwenk, ACL'19 —
+    * the LASER/CCMatrix candidate scorer): treat two embedding
+    * populations as source/target languages (the corpus `label` column
+    * is the language proxy) and, for each source vector in a bounded
+    * mining panel, score its best target neighbor by the RATIO margin —
+    * top-1 cosine against the mean of its top-k cosines — accepting
+    * pairs whose margin clears 1.05. Absolute-cosine thresholds fail on
+    * hubness (some vectors are near everything); the margin is the
+    * standard fix, and this is the missing MINING rung above q36's
+    * plain top-k (retrieval) and q35's threshold pairs (dedup).
+    *
+    * Cross-engine determinism: every cosine is the gated q36 codegen
+    * dot; the top-k mean is a FIXED-ORDER chained sum over the rank-
+    * pivoted columns (the q170 k-arm rule), the margin is ONE float
+    * division rounded to 4, and the accept test is the cross-
+    * multiplication `80·c1 > 21·(((c1+c2)+c3)+c4)` ⟺ margin > 1.05 —
+    * identical literal arithmetic in both engines, no epsilon. Panels
+    * with fewer than k targets yield NULL margin and accept 0 (no
+    * silent partial mean). Scale shape: the panel (≤60 rows) broadcasts
+    * over one target-corpus scan — the q36 bounded-queries posture;
+    * production mining batches panels and probes the IVF index
+    * (q37/q140's partition-pruned serving) instead of the brute scan —
+    * the gate fixes the SCORING semantics both paths share. */
+  val q231_margin_mining: Q = (s, d) => {
+    val all = s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+      .withColumn("nrm", graft.functions.VectorOps.norm(col("v")))
+    val srcPanel = all
+      .where(col("label") === marginSrcLabel && col("vec_id") < marginSrcCap)
+      .select(col("vec_id").as("src_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val tgt = all.where(col("label") === marginTgtLabel)
+      .select(col("vec_id").as("tgt_id"), col("v").as("tv"), col("nrm").as("tn"))
+    val w = Window.partitionBy("src_id")
+      .orderBy(col("cosine").desc, col("tgt_id").asc)
+    val ranked = tgt.crossJoin(broadcast(srcPanel)) // ≤60-row panel ride
+      .withColumn("cosine", dot(col("qv"), col("tv")) / (col("qn") * col("tn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= marginK)
+    def at(r: Int, c: String) = max(when(col("rank") === r, col(c)))
+    val sum4 = col("c1") + col("c2") + col("c3") + col("c4")
+    ranked.groupBy("src_id")
+      .agg(at(1, "tgt_id").as("tgt_id"), at(1, "cosine").as("c1"),
+        at(2, "cosine").as("c2"), at(3, "cosine").as("c3"),
+        at(4, "cosine").as("c4"))
+      .select(col("src_id"), col("tgt_id"),
+        round4(col("c1")).as("cos_top1"),
+        round4(lit(4) * col("c1") / sum4).as("margin"),
+        when(lit(80) * col("c1") > lit(21) * sum4, 1L).otherwise(0L)
+          .as("accepted"))
+      .orderBy("src_id")
+  }
+
   /** q154: embedding outlier QA — the filter a pipeline runs BEFORE
     * indexing or training: a vector far from EVERY centroid is the
     * signature of a corrupt or out-of-domain embedding (a failed
@@ -1899,7 +1960,8 @@ object Similarity {
     "q116_pca_power" -> q116_pca_power,
     "q117_pca_variance" -> q117_pca_variance,
     "q118_pca_deflate" -> q118_pca_deflate,
-    "q124_pca_project" -> q124_pca_project)
+    "q124_pca_project" -> q124_pca_project,
+    "q231_margin_mining" -> q231_margin_mining)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -2233,6 +2295,38 @@ object Similarity {
        |$adcTailSql""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same bounded panel, same rank pivot, same fixed-order chained
+    // sum, same integer cross-multiplication accept test — the margin
+    // and the decision are both gated, not just the pair set
+    "q231_margin_mining" ->
+      s"""WITH vecsl AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                               CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |ranked AS (
+         |  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+         |         list_dot_product(s.v, t.v) / (s.nrm * t.nrm) AS cosine,
+         |         row_number() OVER (PARTITION BY s.vec_id
+         |           ORDER BY list_dot_product(s.v, t.v) / (s.nrm * t.nrm) DESC,
+         |                    t.vec_id ASC) AS rank
+         |  FROM vecsl s JOIN vecsl t
+         |    ON s.label = $marginSrcLabel AND s.vec_id < $marginSrcCap
+         |   AND t.label = $marginTgtLabel),
+         |piv AS (
+         |  SELECT src_id,
+         |         max(CASE WHEN rank = 1 THEN tgt_id END) AS tgt_id,
+         |         max(CASE WHEN rank = 1 THEN cosine END) AS c1,
+         |         max(CASE WHEN rank = 2 THEN cosine END) AS c2,
+         |         max(CASE WHEN rank = 3 THEN cosine END) AS c3,
+         |         max(CASE WHEN rank = 4 THEN cosine END) AS c4
+         |  FROM ranked WHERE rank <= $marginK GROUP BY src_id)
+         |SELECT src_id, CAST(tgt_id AS BIGINT) AS tgt_id,
+         |       ${round4Sql("c1")} AS cos_top1,
+         |       ${round4Sql("4 * c1 / (((c1 + c2) + c3) + c4)")} AS margin,
+         |       CAST(CASE WHEN 80 * c1 > 21 * (((c1 + c2) + c3) + c4)
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS accepted
+         |FROM piv ORDER BY src_id""".stripMargin,
     // ONE single-pass recompute over the whole corpus (no split):
     // equality with the Spark side's per-half-partials-then-merge IS
     // the second-moment merge law (the q176/q151/q155 proof shape)

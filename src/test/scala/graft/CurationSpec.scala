@@ -204,6 +204,36 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       "quality" -> ((1L, 100L))))
   }
 
+  test("q232: each doc reports its first failing stage with a blocking pointer; stage counts reproduce q87") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // 0 = keeper; 1 = exact copy of 0; 2 = near-dup of 0 (one word
+    // changed — same shingle neighborhood, q32's plant shape); 3 =
+    // 10-token junk (fails the length gate); 4 = clean and distinct
+    val dir = writeMiniDocs(Seq(
+      (0L, words(100)),
+      (1L, words(100)),
+      (2L, ((1 to 99).map(i => s"w$i") :+ "zz").mkString(" ")),
+      (3L, "a a a a a a a a a a"),
+      (4L, (1 to 100).map(i => s"v$i").mkString(" "))))
+    val got = Pipeline.q232_doc_lineage(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("stage_out"), Option(r.getAs[java.lang.Long]("blocked_by"))))).toMap
+    assert(got(0L) == (("kept", None)))
+    assert(got(1L) == (("exact_dup", Some(0L: java.lang.Long))))
+    assert(got(2L) == (("near_dup", Some(0L: java.lang.Long))))
+    assert(got(3L) == (("low_quality", None)))
+    assert(got(4L) == (("kept", None)))
+    // lineage sums ARE the funnel: stage counts reproduce q87's deltas
+    val funnel = Pipeline.q87_curation_funnel(spark, dir).collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    val byStage = got.values.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(funnel("raw") == got.size.toLong)
+    assert(funnel("exact_dedup") == got.size - byStage.getOrElse("exact_dup", 0L))
+    assert(funnel("near_dedup") ==
+      got.size - byStage.getOrElse("exact_dup", 0L) - byStage.getOrElse("near_dup", 0L))
+    assert(funnel("quality") == byStage.getOrElse("kept", 0L))
+  }
+
   test("q100: funnel stages are split-local — a dup pair inside train dedups, a cross-split pair does not") {
     def wordsN(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
     val trainIds = (0L to 400L).filter(bucket(_) < 80).take(2)

@@ -274,6 +274,25 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "q209's spread ride must broadcast, not cartesian")
   }
 
+  test("r15 queries: q232 carries no cartesian/BNLJ; q231's only BNLJ is the bounded panel ride") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+    // q232's joins: the memoized broadcast label map + two fp-keyed
+    // windows on ONE shuffle — any BNLJ/cartesian is a degradation
+    assert(plan("q232_doc_lineage").collect {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "q232 must stay window + broadcast-hash shaped")
+    // q231's cross join is the ≤60-row broadcast mining panel over one
+    // target scan (the q36 bounded-queries class, documented in its
+    // scaladoc); only the cartesian degradation (both sides shuffled)
+    // is forbidden
+    assert(plan("q231_margin_mining").collect {
+      case c: CartesianProductExec => c }.isEmpty,
+      "q231's panel ride must broadcast, not cartesian")
+  }
+
   test("fact-to-dim joins broadcast the dim side") {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     // factWithTahap is memoized+persisted, so its visible plan is an

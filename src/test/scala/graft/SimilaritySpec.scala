@@ -39,6 +39,32 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(top1(3L) == 2L)
   }
 
+  test("q231: the ratio margin separates a true translation pair from a hub") {
+    // labels are id % 3 (the fixture rule): src (label 0) = ids 0 and 3,
+    // tgt (label 1) = ids 1/4/7/10 planted as the four axis vectors,
+    // plus a label-2 DECOY copy of e1 (id 2) that must not enter the
+    // target pool (its inclusion would change c2 and break the exact
+    // margin asserts below).
+    val d2 = writeMiniEmbeddings(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),          // src A: aligned with tgt 1
+      3L -> Seq(0.5f, 0.5f, 0.5f, 0.5f),  // src B: a hub — cos 0.5 to ALL
+      1L -> Seq(1f, 0f, 0f, 0f),
+      4L -> Seq(0f, 1f, 0f, 0f),
+      7L -> Seq(0f, 0f, 1f, 0f),
+      10L -> Seq(0f, 0f, 0f, 1f),
+      2L -> Seq(1f, 0f, 0f, 0f)))
+    val got = Similarity.q231_margin_mining(spark, d2).collect()
+      .map(r => r.getAs[Long]("src_id") ->
+        ((r.getAs[Long]("tgt_id"), r.getAs[Double]("cos_top1"),
+          r.getAs[Double]("margin"), r.getAs[Long]("accepted")))).toMap
+    // src A: top1 cos 1.0 vs top-4 mean 0.25 → margin 4.0, accepted
+    assert(got(0L) == ((1L, 1.0, 4.0, 1L)))
+    // src B: equidistant from every target — top1 ties to the smallest
+    // tgt_id, margin exactly 1.0 (its own cos IS the mean), rejected:
+    // the hubness case an absolute-cosine threshold would wrongly mine
+    assert(got(3L) == ((1L, 0.5, 1.0, 0L)))
+  }
+
   test("q37: IVF returns the same top-1 when all vectors are centroids") {
     val ivf = Similarity.q37_knn_ivf(spark, dir)
       .where("rank = 1").collect()
