@@ -204,6 +204,64 @@ object Similarity {
       .orderBy("src_id")
   }
 
+  /** q233: IVF-SERVED margin mining — q231's production path with its
+    * accuracy MEASURED (the q58/q60/q63 ships-with-its-accuracy rule:
+    * no approximation lands without a gated number for what it trades).
+    * The mining panel probes the q37 seed-codebook IVF buckets
+    * (nProbe = 4) and scores only targets ASSIGNED to probed buckets —
+    * the partition-pruned candidate scope that replaces q231's full
+    * target scan at 100 TB (physically: the q140 file-served index
+    * with the probe set as a partition filter) — then applies the
+    * identical rank pivot, fixed-order top-4 mean, and
+    * cross-multiplied accept test. Each panel row carries the brute
+    * top-1 NEXT TO the IVF-served top-1 and whether they agree, so the
+    * pruned scope's recall is a per-row gated fact; a src whose probed
+    * buckets hold no target surfaces with NULL ivf columns (the honest
+    * no-candidate case, kept by the left join). The oracle replays
+    * everything — assignment, probes, both margin pivots — in SQL.
+    * The shared centroid-rank frame is persisted once (narrow,
+    * corpus-rows-sized) and feeds both the probe list and the bucket
+    * assignment. */
+  val q233_margin_ivf: Q = (s, d) => {
+    val all = vecs(s, d)
+    val labels = s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("label"))
+    val ranked = graft.Ckpt.persisted(rankAgainst(all, seedCents(all), nProbe))
+    val srcPanel = labels
+      .where(col("label") === marginSrcLabel && col("vec_id") < marginSrcCap)
+      .select("vec_id")
+    val probes = ranked.join(broadcast(srcPanel), "vec_id")
+      .select(col("vec_id").as("src_id"), col("c_id"))
+    val tgtAssign = ranked.where(col("rn") === 1)
+      .join(labels.where(col("label") === marginTgtLabel).select("vec_id"), "vec_id")
+      .select(col("vec_id"), col("c_id"))
+    val q = all.select(col("vec_id").as("src_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("src_id").orderBy(col("cosine").desc, col("tgt_id").asc)
+    val cand = probes.join(tgtAssign, "c_id")
+      .select(col("src_id"), col("vec_id").as("tgt_id"))
+      .join(q, "src_id")
+      .join(all.select(col("vec_id").as("tgt_id"), col("v"), col("nrm")), "tgt_id")
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= marginK)
+    def at(r: Int, c: String) = max(when(col("rank") === r, col(c)))
+    val sum4 = col("c1") + col("c2") + col("c3") + col("c4")
+    val piv = cand.groupBy("src_id")
+      .agg(at(1, "tgt_id").as("tgt_ivf"), at(1, "cosine").as("c1"),
+        at(2, "cosine").as("c2"), at(3, "cosine").as("c3"),
+        at(4, "cosine").as("c4"))
+    q231_margin_mining(s, d)
+      .select(col("src_id"), col("tgt_id").as("tgt_brute"))
+      .join(piv, Seq("src_id"), "left")
+      .select(col("src_id"), col("tgt_brute"), col("tgt_ivf"),
+        when(col("tgt_ivf") === col("tgt_brute"), 1L).otherwise(0L)
+          .as("top1_match"),
+        round4(lit(4) * col("c1") / sum4).as("margin_ivf"),
+        when(lit(80) * col("c1") > lit(21) * sum4, 1L).otherwise(0L)
+          .as("accepted_ivf"))
+      .orderBy("src_id")
+  }
+
   /** q154: embedding outlier QA — the filter a pipeline runs BEFORE
     * indexing or training: a vector far from EVERY centroid is the
     * signature of a corrupt or out-of-domain embedding (a failed
@@ -1961,7 +2019,8 @@ object Similarity {
     "q117_pca_variance" -> q117_pca_variance,
     "q118_pca_deflate" -> q118_pca_deflate,
     "q124_pca_project" -> q124_pca_project,
-    "q231_margin_mining" -> q231_margin_mining)
+    "q231_margin_mining" -> q231_margin_mining,
+    "q233_margin_ivf" -> q233_margin_ivf)
 
   // ---------------------------------------------------------------------------
   // DuckDB oracles
@@ -2327,6 +2386,61 @@ object Similarity {
          |       CAST(CASE WHEN 80 * c1 > 21 * (((c1 + c2) + c3) + c4)
          |                 THEN 1 ELSE 0 END AS BIGINT) AS accepted
          |FROM piv ORDER BY src_id""".stripMargin,
+    // the full serving stack replayed: seed-codebook assignment and
+    // probes (the ivfCte machinery), the bucket-scoped candidate join,
+    // both margin pivots, and the agreement column — the left join
+    // keeps no-candidate srcs with NULL ivf arms exactly like Spark
+    "q233_margin_ivf" ->
+      s"""WITH $vecsCte, $ivfCte,
+         |vecsl AS (
+         |  SELECT e.vec_id, e.label, v.v, v.nrm
+         |  FROM embeddings e JOIN vecs v ON v.vec_id = e.vec_id),
+         |bruter AS (
+         |  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+         |         row_number() OVER (PARTITION BY s.vec_id
+         |           ORDER BY list_dot_product(s.v, t.v) / (s.nrm * t.nrm) DESC,
+         |                    t.vec_id ASC) AS rank
+         |  FROM vecsl s JOIN vecsl t
+         |    ON s.label = $marginSrcLabel AND s.vec_id < $marginSrcCap
+         |   AND t.label = $marginTgtLabel),
+         |brute AS (
+         |  SELECT src_id, max(CASE WHEN rank = 1 THEN tgt_id END) AS tgt_brute
+         |  FROM bruter GROUP BY src_id),
+         |sprobes AS (
+         |  SELECT r.vec_id AS src_id, r.c_id
+         |  FROM ranked r JOIN vecsl s ON s.vec_id = r.vec_id
+         |  WHERE s.label = $marginSrcLabel AND s.vec_id < $marginSrcCap
+         |    AND r.rn <= $nProbe),
+         |tgta AS (
+         |  SELECT a.vec_id, a.c_id
+         |  FROM assign a JOIN vecsl t ON t.vec_id = a.vec_id
+         |  WHERE t.label = $marginTgtLabel),
+         |scand AS (
+         |  SELECT p.src_id, t.vec_id AS tgt_id,
+         |         list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cosine,
+         |         row_number() OVER (PARTITION BY p.src_id
+         |           ORDER BY list_dot_product(q.v, n.v) / (q.nrm * n.nrm) DESC,
+         |                    t.vec_id ASC) AS rank
+         |  FROM sprobes p JOIN tgta t ON p.c_id = t.c_id
+         |  JOIN vecs q ON q.vec_id = p.src_id
+         |  JOIN vecs n ON n.vec_id = t.vec_id),
+         |spiv AS (
+         |  SELECT src_id,
+         |         max(CASE WHEN rank = 1 THEN tgt_id END) AS tgt_ivf,
+         |         max(CASE WHEN rank = 1 THEN cosine END) AS c1,
+         |         max(CASE WHEN rank = 2 THEN cosine END) AS c2,
+         |         max(CASE WHEN rank = 3 THEN cosine END) AS c3,
+         |         max(CASE WHEN rank = 4 THEN cosine END) AS c4
+         |  FROM scand WHERE rank <= $marginK GROUP BY src_id)
+         |SELECT b.src_id, CAST(b.tgt_brute AS BIGINT) AS tgt_brute,
+         |       CAST(p.tgt_ivf AS BIGINT) AS tgt_ivf,
+         |       CAST(CASE WHEN p.tgt_ivf = b.tgt_brute THEN 1 ELSE 0 END
+         |         AS BIGINT) AS top1_match,
+         |       ${round4Sql("4 * p.c1 / (((p.c1 + p.c2) + p.c3) + p.c4)")} AS margin_ivf,
+         |       CAST(CASE WHEN 80 * p.c1 > 21 * (((p.c1 + p.c2) + p.c3) + p.c4)
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS accepted_ivf
+         |FROM brute b LEFT JOIN spiv p USING (src_id)
+         |ORDER BY b.src_id""".stripMargin,
     // ONE single-pass recompute over the whole corpus (no split):
     // equality with the Spark side's per-half-partials-then-merge IS
     // the second-moment merge law (the q176/q151/q155 proof shape)

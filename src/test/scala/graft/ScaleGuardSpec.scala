@@ -291,6 +291,11 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     assert(plan("q231_margin_mining").collect {
       case c: CartesianProductExec => c }.isEmpty,
       "q231's panel ride must broadcast, not cartesian")
+    // q233's BNLJs are the 16-row centroid ride (the q37 class); its
+    // candidate join is an EQUI join on the probed bucket id
+    assert(plan("q233_margin_ivf").collect {
+      case c: CartesianProductExec => c }.isEmpty,
+      "q233's centroid/panel rides must broadcast, not cartesian")
   }
 
   test("fact-to-dim joins broadcast the dim side") {

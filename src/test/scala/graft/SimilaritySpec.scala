@@ -65,6 +65,31 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L) == ((1L, 0.5, 1.0, 0L)))
   }
 
+  test("q233: bucket-scoped mining finds the brute top-1; a short candidate panel yields NULL margin and accept 0") {
+    // same fixture as the q231 spec: every vector is a centroid
+    // (vec_id < 16), so buckets are exact. Axis targets 4/7/10 sit in
+    // their own unprobed buckets; each src's probed buckets hold ONLY
+    // target 1 — the IVF top-1 agrees with brute, and the 1-candidate
+    // panel must surface as NULL margin with accept 0 (no silent
+    // partial mean), not a fabricated accept.
+    val d2 = writeMiniEmbeddings(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      3L -> Seq(0.5f, 0.5f, 0.5f, 0.5f),
+      1L -> Seq(1f, 0f, 0f, 0f),
+      4L -> Seq(0f, 1f, 0f, 0f),
+      7L -> Seq(0f, 0f, 1f, 0f),
+      10L -> Seq(0f, 0f, 0f, 1f),
+      2L -> Seq(1f, 0f, 0f, 0f)))
+    val got = Similarity.q233_margin_ivf(spark, d2).collect()
+      .map(r => r.getAs[Long]("src_id") ->
+        ((r.getAs[Long]("tgt_brute"), r.getAs[Long]("tgt_ivf"),
+          r.getAs[Long]("top1_match"),
+          Option(r.getAs[java.lang.Double]("margin_ivf")),
+          r.getAs[Long]("accepted_ivf")))).toMap
+    assert(got(0L) == ((1L, 1L, 1L, None, 0L)))
+    assert(got(3L) == ((1L, 1L, 1L, None, 0L)))
+  }
+
   test("q37: IVF returns the same top-1 when all vectors are centroids") {
     val ivf = Similarity.q37_knn_ivf(spark, dir)
       .where("rank = 1").collect()
