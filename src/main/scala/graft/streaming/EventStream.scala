@@ -309,6 +309,26 @@ object EventStream {
   def chunkReportBatch(probedBatch: DataFrame): DataFrame =
     graft.ops.Dedup.chunkDupRollup(probedBatch)
 
+  /** The foreachBatch half of the streaming drift path: fold an
+    * accumulated frame of [[driftCellsStream]]'s emitted (type, day,
+    * bucket, cnt) cells into the gated q229 drift table — epoch from
+    * the shared day rule, cells summed per (type, epoch, bucket) (they
+    * are linear — the mergeability that makes the histogram the
+    * 100 TB representation), then the SAME
+    * [[graft.ops.Events.driftTable]] the batch gate runs
+    * (the [[chunkReportBatch]] convention: one definition, stream and
+    * batch cannot drift). A monitor calls this on each batch of newly
+    * closed day-cells unioned with its retained history; the result is
+    * the alert table the pipeline gates the next training batch on. */
+  def driftReportBatch(cellsBatch: DataFrame): DataFrame = {
+    import graft.ops.Events
+    Events.driftTable(cellsBatch
+      .select(col("event_type"), Events.driftEpoch(col("day")).as("epoch"),
+        col("bucket"), col("cnt"))
+      .groupBy("event_type", "epoch", "bucket")
+      .agg(sum("cnt").as("cnt")))
+  }
+
   /** Streaming ANN serving — the EMBEDDING rung of the probe-stream
     * family (exact fingerprints → MinHash bands → span hashes →
     * vectors): arriving query vectors are answered with top-k cosine

@@ -721,16 +721,12 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
         .map(_.numRowsDroppedByWatermark).sum
       assert(dropped >= 1L, "the beyond-watermark row must be counted as dropped")
 
-      // fold the EMITTED per-day cells through the shared epoch/table
-      // definitions → must equal the batch pipeline over the same
-      // on-time rows (one definition, zero drift)
-      import org.apache.spark.sql.functions.{col => c, sum => sqlSum}
-      val folded = Events.driftTable(
-        cells.toSeq.toDF("event_type", "day", "bucket", "cnt")
-          .select(c("event_type"), Events.driftEpoch(c("day")).as("epoch"),
-            c("bucket"), c("cnt"))
-          .groupBy("event_type", "epoch", "bucket")
-          .agg(sqlSum("cnt").as("cnt")))
+      // fold the EMITTED per-day cells through the foreachBatch report
+      // helper (the shared epoch/table definitions) → must equal the
+      // batch pipeline over the same on-time rows (one definition,
+      // zero drift)
+      val folded = EventStream.driftReportBatch(
+        cells.toSeq.toDF("event_type", "day", "bucket", "cnt"))
       val batch = Events.driftFromEvents(Seq(
           (split - 86400 + 100L, 10.0, "click"), (split - 86400 + 200L, 40.0, "click"),
           (split + 100L, 10.0, "click"), (split + 200L, 600.0, "click"),
