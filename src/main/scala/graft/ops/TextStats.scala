@@ -769,7 +769,12 @@ object TextStats {
     * heavy-tailed, so it joins by SHUFFLE on the narrow bg string —
     * never broadcast (at 100 TB it outgrows any driver). Pairs are
     * built map-side (guarded transform, no pre-explode). */
-  lazy val q188_bigram_lm: Q = (s, d) => {
+  /** q188's per-doc aggregate — (doc_id, n_bigrams, n_backoff, n_oov,
+    * sp_sum) for every doc with at least one bigram — factored so the
+    * perplexity FILTER (q234) consumes the identical model and charges
+    * (one definition, the streaming-twin sharing rule applied within
+    * the batch family). */
+  private def bigramDocSp(s: SparkSession, d: String): DataFrame = {
     val docs = docShingles(s, d)
     val prs = when(size(col("words")) >= 2,
       transform(sequence(lit(1), size(col("words")) - 1),
@@ -802,8 +807,46 @@ object TextStats {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("backoff").as("n_backoff"),
         sum("oov").as("n_oov"), sum("sp").as("sp_sum"))
+  }
+
+  lazy val q188_bigram_lm: Q = (s, d) =>
+    bigramDocSp(s, d)
       .withColumn("mean_sp",
         round2(col("sp_sum").cast("double") / col("n_bigrams").cast("double")))
+      .orderBy("doc_id")
+
+  /** q234: PERPLEXITY-GATED FILTERING — the CCNet-style curation stage
+    * (Wenzek et al., LREC'20) the LM family was missing: score every
+    * document by its q188 bigram-LM surprisal and keep the docs at or
+    * below their LANGUAGE's median — per-language thresholds because a
+    * global cut just drops whole low-resource languages whose LM is
+    * weaker. All integer: the per-doc score is the truncating mean
+    * `sp_sum div n_bigrams` (positive operands, Spark div ≡ DuckDB //),
+    * the threshold is the exact LOWER MEDIAN (smallest v with
+    * 2·cum ≥ n) read off a per-language VALUE HISTOGRAM — the
+    * q184/q189 rule: the cumulative window runs over (lang, value)
+    * counts, value-domain-bounded, never a per-doc sort. Docs with no
+    * bigram (single-word) carry NULL score and are NOT kept — no
+    * evidence is not a pass (their own gate is q42's length rule).
+    * One definition of the model and charges ([[bigramDocSp]]) with
+    * q188 — the filter and the diagnostic cannot drift. */
+  lazy val q234_ppl_filter: Q = (s, d) => {
+    val ld = docShingles(s, d).select("doc_id", "lang")
+      .join(bigramDocSp(s, d)
+        .select(col("doc_id"), expr("sp_sum div n_bigrams").as("sp_i")),
+        Seq("doc_id"), "left")
+    val sc = ld.where(col("sp_i").isNotNull)
+    val hist = sc.groupBy("lang", "sp_i").agg(count(lit(1)).as("c"))
+    val tot = sc.groupBy("lang").agg(count(lit(1)).as("n"))
+    val wl = Window.partitionBy("lang").orderBy("sp_i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = hist.withColumn("cum", sum("c").over(wl))
+      .join(broadcast(tot), "lang")
+      .where(col("cum") * 2 >= col("n"))
+      .groupBy("lang").agg(min("sp_i").as("med_sp"))
+    ld.join(broadcast(med), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("sp_i"), col("med_sp"),
+        when(col("sp_i") <= col("med_sp"), 1L).otherwise(0L).as("kept"))
       .orderBy("doc_id")
   }
 
@@ -1474,6 +1517,7 @@ object TextStats {
     "q106_bpe_heldout" -> q106_bpe_heldout,
     "q134_surprisal" -> q134_surprisal,
     "q188_bigram_lm" -> q188_bigram_lm,
+    "q234_ppl_filter" -> q234_ppl_filter,
     "q143_dsir_weights" -> q143_dsir_weights,
     "q146_dsir_bigram" -> q146_dsir_bigram,
     "q136_length_buckets" -> q136_length_buckets,
@@ -1824,6 +1868,56 @@ object TextStats {
          |       ${round2Sql("CAST(sum(sp) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
          |         AS mean_sp
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // the q188 model chain verbatim, then the integer per-doc mean, the
+    // per-lang value-histogram lower median, and the keep decision
+    "q234_ppl_filter" -> withDocs(
+      s""", pr AS (
+         |  SELECT doc_id, words[i] AS w1, words[i + 1] AS w2,
+         |         words[i] || ' ' || words[i + 1] AS bg
+         |  FROM (SELECT doc_id, words,
+         |               unnest(generate_series(1, len(words) - 1)) AS i
+         |        FROM docs)),
+         |uni AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS ucnt
+         |  FROM (SELECT unnest(words) AS word FROM docs
+         |        WHERE ${idBucketSql("doc_id")} < 80)
+         |  GROUP BY word),
+         |bgc AS (
+         |  SELECT bg, CAST(count(*) AS BIGINT) AS bcnt
+         |  FROM pr WHERE ${idBucketSql("doc_id")} < 80 GROUP BY bg),
+         |tt AS (SELECT CAST(coalesce(sum(ucnt), 0) AS BIGINT) AS t FROM uni),
+         |scored AS (
+         |  SELECT doc_id,
+         |         CASE WHEN bcnt IS NOT NULL THEN u1.ucnt // bcnt
+         |              WHEN u2.ucnt IS NOT NULL THEN $backoffPenalty * (tt.t // u2.ucnt)
+         |              ELSE $backoffPenalty * tt.t END AS sp
+         |  FROM pr LEFT JOIN bgc USING (bg)
+         |          LEFT JOIN uni u1 ON pr.w1 = u1.word
+         |          LEFT JOIN uni u2 ON pr.w2 = u2.word, tt),
+         |perdoc AS (
+         |  SELECT doc_id,
+         |         CAST(sum(sp) AS BIGINT) // CAST(count(*) AS BIGINT) AS sp_i
+         |  FROM scored GROUP BY doc_id),
+         |ld AS (
+         |  SELECT d.doc_id, d.lang, p.sp_i
+         |  FROM docs d LEFT JOIN perdoc p USING (doc_id)),
+         |hist AS (SELECT lang, sp_i, CAST(count(*) AS BIGINT) AS c
+         |         FROM ld WHERE sp_i IS NOT NULL GROUP BY lang, sp_i),
+         |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+         |        FROM ld WHERE sp_i IS NOT NULL GROUP BY lang),
+         |med AS (
+         |  SELECT lang, min(sp_i) AS med_sp FROM (
+         |    SELECT h.lang, h.sp_i,
+         |           sum(h.c) OVER (PARTITION BY h.lang ORDER BY h.sp_i
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |           t.n
+         |    FROM hist h JOIN tot t USING (lang))
+         |  WHERE cum * 2 >= n GROUP BY lang)
+         |SELECT ld.doc_id, ld.lang, ld.sp_i, m.med_sp,
+         |       CAST(CASE WHEN ld.sp_i <= m.med_sp THEN 1 ELSE 0 END AS BIGINT)
+         |         AS kept
+         |FROM ld LEFT JOIN med m USING (lang)
+         |ORDER BY ld.doc_id""".stripMargin),
     "q134_surprisal" -> withDocs(
       s""", tv AS (
          |  SELECT word, CAST(count(*) AS BIGINT) AS cnt

@@ -296,6 +296,13 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     assert(plan("q233_margin_ivf").collect {
       case c: CartesianProductExec => c }.isEmpty,
       "q233's centroid/panel rides must broadcast, not cartesian")
+    // q234: the LM joins ride broadcast vocabulary tables, the median
+    // joins are lang-keyed equi — no BNLJ, no cartesian; its windows
+    // are lang-partitioned over value histograms (the q184 rule)
+    assert(plan("q234_ppl_filter").collect {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "q234 must stay broadcast-hash + value-histogram shaped")
   }
 
   test("fact-to-dim joins broadcast the dim side") {

@@ -340,6 +340,40 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
     assert(got(trainId) == ((4L, 0L, 0L, 6L, 1.5)))
   }
 
+  test("q234: per-language medians gate independently; no-bigram docs carry NULL and are not kept") {
+    // all ids in train buckets so the LM sees every doc. en: two
+    // repeated-bigram docs (sp 1) and one hub-word junk doc (common w1,
+    // always-new continuation → sp 6): median 1, junk dropped. de:
+    // disjoint vocab, {1, 6, 6} → lower median 6, so its sp-6 docs are
+    // KEPT — the same score that fails en's gate passes de's (the
+    // per-language point). A single-word doc has no bigram: NULL sp,
+    // kept 0.
+    val ids = (0L to 600L).filter(idBucket(_) < 80).take(8).toIndexedSeq
+    def alt(a: String, tags: Seq[String]) =
+      tags.flatMap(t => Seq(a, t)).mkString(" ")
+    val dir = writeMiniDocsLang(Seq(
+      (ids(0), "p q p q p q p q p q", "en"),
+      (ids(1), "r s r s r s r s r s", "en"),
+      (ids(2), alt("p", Seq("a1", "a2", "a3", "a4", "a5")), "en"),
+      (ids(3), "solo", "en"),
+      (ids(4), alt("k", Seq("b1", "b2", "b3", "b4", "b5")), "de"),
+      (ids(5), alt("k", Seq("c1", "c2", "c3", "c4", "c5")), "de"),
+      (ids(6), "m m m m m m", "de")))
+    val got = TextStats.q234_ppl_filter(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[java.lang.Long]("sp_i")),
+          Option(r.getAs[java.lang.Long]("med_sp")), r.getAs[Long]("kept"))))
+      .toMap
+    assert(got(ids(0))._3 == 1L && got(ids(1))._3 == 1L)
+    assert(got(ids(2)) == ((Some(6L: java.lang.Long), Some(1L: java.lang.Long), 0L)),
+      s"en junk must fail en's median: ${got(ids(2))}")
+    assert(got(ids(3)) == ((None, Some(1L: java.lang.Long), 0L)),
+      "a no-bigram doc is NULL-scored and not kept")
+    assert(got(ids(4))._3 == 1L && got(ids(5))._3 == 1L && got(ids(6))._3 == 1L,
+      s"de's own median (6) must keep its sp-6 docs: ${Seq(4, 5, 6).map(i => got(ids(i)))}")
+    assert(got(ids(4))._2 == Some(6L: java.lang.Long))
+  }
+
   test("q134: with no train-split docs every token is OOV at the full-table ceiling") {
     // All docs land in eval buckets → the unigram table is empty, T = 0,
     // and every token is OOV with sp = T = 0. The filter degrades to
