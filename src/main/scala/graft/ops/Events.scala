@@ -836,12 +836,11 @@ object Events {
   private[graft] def driftEpoch(day: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(day < driftSplitDay, lit(0L)).otherwise(lit(1L))
 
-  /** (event_type, epoch, bucket, cnt) cells → the per-type drift table.
-    * The cells are summed per (type, epoch, bucket) FIRST, so the input
-    * may arrive split across arbitrary sub-slices (per-day cells from
-    * the streaming twin, per-batch shards) — the mergeability that
-    * makes the histogram the 100 TB-safe representation. */
-  private[graft] def driftTable(counts: DataFrame): DataFrame = {
+  /** The per-bucket share table behind [[driftTable]] — (event_type,
+    * bucket, ca, cb, na, nb, pa, pb) with shares in integer basis
+    * points. Factored so drift ATTRIBUTION (q235) reads the identical
+    * cells the alarm summed. */
+  private[graft] def driftShares(counts: DataFrame): DataFrame = {
     val cells = counts.groupBy("event_type", "bucket")
       .agg(sum(when(col("epoch") === 0L, col("cnt")).otherwise(0L)).as("ca"),
         sum(when(col("epoch") === 1L, col("cnt")).otherwise(0L)).as("cb"))
@@ -850,22 +849,37 @@ object Events {
     cells.join(broadcast(totals), "event_type")
       .withColumn("pa", expr("ca * 10000 div na"))
       .withColumn("pb", expr("cb * 10000 div nb"))
+  }
+
+  /** (event_type, epoch, bucket, cnt) cells → the per-type drift table.
+    * The cells are summed per (type, epoch, bucket) FIRST (inside
+    * [[driftShares]]), so the input may arrive split across arbitrary
+    * sub-slices (per-day cells from the streaming twin, per-batch
+    * shards) — the mergeability that makes the histogram the
+    * 100 TB-safe representation. */
+  private[graft] def driftTable(counts: DataFrame): DataFrame =
+    driftShares(counts)
       .groupBy("event_type")
       .agg(max("na").as("n_a"), max("nb").as("n_b"),
         expr("CAST(sum(abs(pa - pb)) div 2 AS BIGINT)").as("tv_bp"))
       .withColumn("drifted", when(col("tv_bp") > 500L, 1L).otherwise(0L))
       .orderBy("event_type")
-  }
+
+  /** (event_type, epoch, bucket, cnt) counts from any frame carrying
+    * (event_type, es, value) — the one map-side-combined corpus pass
+    * both the alarm (q229) and the attribution (q235) fold. */
+  private[graft] def driftCellCounts(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+        driftEpoch(expr("es div 86400")).as("epoch"),
+        driftBucketCol.as("bucket"))
+      .groupBy("event_type", "epoch", "bucket")
+      .agg(count(lit(1)).as("cnt"))
 
   /** The full batch drift pipeline over any frame carrying
     * (event_type, es, value) — q229's body, also the parity reference
     * the streaming spec replays arbitrary rows through. */
   private[graft] def driftFromEvents(ev: DataFrame): DataFrame =
-    driftTable(ev.select(col("event_type"),
-        driftEpoch(expr("es div 86400")).as("epoch"),
-        driftBucketCol.as("bucket"))
-      .groupBy("event_type", "epoch", "bucket")
-      .agg(count(lit(1)).as("cnt")))
+    driftTable(driftCellCounts(ev))
 
   /** q229: DISTRIBUTION DRIFT between epochs — the monitoring gate a
     * training pipeline runs before trusting a new data batch: per event
@@ -880,6 +894,30 @@ object Events {
     * mergeable across batches); the per-type compare touches ≤ 16 rows
     * per type. drifted fires above 5% (500 bp). */
   val q229_dist_drift: Q = (s, d) => driftFromEvents(events(s, d))
+
+  /** q235: DRIFT ATTRIBUTION — the question an operator asks the
+    * moment q229's alarm fires: WHICH value range moved? For every
+    * event type, the bucket contributing most to the total-variation
+    * distance — both epochs' shares in basis points and the absolute
+    * deviation, ties to the lowest bucket (a total order). Reads the
+    * IDENTICAL share table the alarm summed ([[driftShares]] — one
+    * definition, so the attribution can never disagree with the alarm
+    * it explains); the ranking window partitions by type over ≤ 16
+    * histogram rows. Composable with the streaming path: the same
+    * attribution runs over [[graft.streaming.EventStream
+    * .driftReportBatch]]'s folded cells. */
+  val q235_drift_attribution: Q = (s, d) => {
+    val w = Window.partitionBy("event_type")
+      .orderBy(abs(col("pa") - col("pb")).desc, col("bucket").asc)
+    driftShares(driftCellCounts(events(s, d)))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("bucket"),
+        expr("CAST(pa AS BIGINT)").as("pa_bp"),
+        expr("CAST(pb AS BIGINT)").as("pb_bp"),
+        expr("CAST(abs(pa - pb) AS BIGINT)").as("dev_bp"))
+      .orderBy("event_type")
+  }
 
   /** q230: SMOOTHED TARGET ENCODING — the categorical-feature
     * transform: user_id → its mean purchase value, shrunk toward the
@@ -916,6 +954,7 @@ object Events {
     "q228_hll_intersection" -> q228_hll_intersection,
     "q229_dist_drift" -> q229_dist_drift,
     "q230_target_encoding" -> q230_target_encoding,
+    "q235_drift_attribution" -> q235_drift_attribution,
     "q193_interval_overlap" -> q193_interval_overlap,
     "q195_linear_attribution" -> q195_linear_attribution,
     "q198_ab_test" -> q198_ab_test,
@@ -1030,6 +1069,38 @@ object Events {
          |         AS BIGINT) AS drifted
          |FROM bp GROUP BY event_type
          |ORDER BY event_type""".stripMargin,
+    // q229's chain through the share table, then the per-type argmax
+    // bucket — same cells, same integer shares, tie to the low bucket
+    "q235_drift_attribution" ->
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < $driftSplitEs
+         |              THEN 0 ELSE 1 END AS epoch,
+         |         least(CAST(round(value * 100) AS BIGINT) // 3200,
+         |               ${driftBuckets - 1L}) AS bucket
+         |  FROM events),
+         |cells AS (
+         |  SELECT event_type, bucket,
+         |         CAST(sum(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |         CAST(sum(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM ev GROUP BY 1, 2),
+         |tots AS (
+         |  SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+         |         CAST(sum(cb) AS BIGINT) AS nb
+         |  FROM cells GROUP BY 1),
+         |bp AS (
+         |  SELECT c.event_type, c.bucket,
+         |         ca * 10000 // na AS pa, cb * 10000 // nb AS pb
+         |  FROM cells c JOIN tots USING (event_type)),
+         |rk AS (
+         |  SELECT event_type, bucket, pa, pb,
+         |         row_number() OVER (PARTITION BY event_type
+         |           ORDER BY abs(pa - pb) DESC, bucket ASC) AS rn
+         |  FROM bp)
+         |SELECT event_type, bucket, CAST(pa AS BIGINT) AS pa_bp,
+         |       CAST(pb AS BIGINT) AS pb_bp,
+         |       CAST(abs(pa - pb) AS BIGINT) AS dev_bp
+         |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin,
     // the same pre-truncated global prior folded into every user's
     // m-estimate; the left join keeps purchase-less users on the prior
     "q230_target_encoding" ->

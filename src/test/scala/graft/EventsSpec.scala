@@ -86,6 +86,35 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
       "edge click shared by both windows, tie included, beyond-edge excluded")
   }
 
+  test("q235: the attributed bucket is the max-deviation cell of the alarm's own share table") {
+    import spark.implicits._
+    // planted histograms around the midnight-aligned split: type "x"
+    // moves 3/4 of its mass from bucket 0 (epoch 0) to bucket 2
+    // (epoch 1) — b0 deviation |7500−0| = 7500 bp TIES b2's |0−7500|,
+    // and the tie resolves to the LOWER bucket; bucket 1 stays flat
+    // (2500 bp each) and must not win
+    val split = Events.driftSplitEs
+    def ev(es: Long, v: Double) = (es, v, "x")
+    val rows = Seq(
+      // epoch 0: buckets [0,0,0,1] (values 1.00,1.00,1.00 → b0; 40.00 → b1)
+      ev(split - 86400 + 1, 1.0), ev(split - 86400 + 2, 1.0),
+      ev(split - 86400 + 3, 1.0), ev(split - 86400 + 4, 40.0),
+      // epoch 1: buckets [2,2,2,1] (values 70.00 → b2; 40.00 → b1)
+      ev(split + 1, 70.0), ev(split + 2, 70.0),
+      ev(split + 3, 70.0), ev(split + 4, 40.0))
+      .toDF("es", "value", "event_type")
+    val shares = Events.driftShares(Events.driftCellCounts(rows))
+    val top = shares
+      .withColumn("dev", abs(col("pa") - col("pb")))
+      .orderBy(col("dev").desc, col("bucket").asc).limit(1)
+      .select("bucket", "pa", "pb").collect().head
+    assert((top.getLong(0), top.getLong(1), top.getLong(2)) == ((0L, 7500L, 0L)))
+    // and the alarm the attribution explains fires on the same cells:
+    // TV = (7500 + 0 + 7500) / 2 = 7500 bp
+    val alarm = Events.driftTable(Events.driftCellCounts(rows)).collect().head
+    assert(alarm.getAs[Long]("tv_bp") == 7500L && alarm.getAs[Long]("drifted") == 1L)
+  }
+
   test("q207/q208: CUSUM and OLS slope replay from the daily counts") {
     val sf = "/root/testdata/sf0.001"
     val daily = Events.events(spark, sf)
