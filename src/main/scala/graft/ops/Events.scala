@@ -919,6 +919,55 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q236: ROLLING 7-DAY ACTIVE USERS from mergeable per-day HLL
+    * registers — the sliding-window distinct-count every growth
+    * dashboard serves, built the only way it stays cheap at 100 TB:
+    * exact sliding distinct needs every (day, user) pair re-scanned
+    * per window, but HLL registers are UNION-mergeable (the q155 law),
+    * so ONE corpus pass builds 16 registers per day and each day's
+    * trailing-7-day figure is an element-wise max over ≤ 7×16 cells —
+    * a RANGE window per register index over the calendar (gaps in the
+    * calendar contribute nothing, exactly like inactive days). The
+    * register geometry is q152/q228's verbatim; the estimate is the
+    * same integer shift-sum + one division; and the exact audit rides
+    * along per day with its absolute error (the q152 honesty rule —
+    * HLL-16 is coarse, the gate documents how coarse). Scale shape:
+    * the register table is days×16 cells; the exact audit's only
+    * non-equi join is the calendar-bounded day frame broadcast over
+    * the distinct (day, user) pairs. */
+  val q236_rolling_actives: Q = (s, d) => {
+    // (day, user) distinct pairs feed BOTH the sketch and the audit
+    val du = graft.Ckpt.persisted(events(s, d)
+      .select(expr("es div 86400").as("day"), col("user_id")).distinct())
+    val h = md5(col("user_id").cast("string"))
+    val regs0 = du.select(col("day"),
+        pmod(conv(substring(h, 1, 4), 16, 10).cast("long"),
+          lit(TextStats.hllRegs)).as("b"),
+        conv(substring(h, 5, 8), 16, 10).cast("long").as("v"))
+      .withColumn("rnk", when(col("v") === 0L, lit(33L))
+        .otherwise(lit(33L) - length(bin(col("v"))).cast("long")))
+      .groupBy("day", "b").agg(max("rnk").as("m"))
+    val days = du.select("day").distinct()
+    val dens = days
+      .select(col("day"),
+        explode(sequence(lit(0L), lit(TextStats.hllRegs - 1L))).as("b"))
+      .join(regs0, Seq("day", "b"), "left")
+      .select(col("day"), col("b"), coalesce(col("m"), lit(0L)).as("m"))
+    val wr = Window.partitionBy("b").orderBy("day").rangeBetween(-6, 0)
+    val rolled = dens.select(col("day"), col("b"),
+      max("m").over(wr).as("m"))
+    val exact = du
+      .join(broadcast(days.select(col("day").as("d0"))),
+        col("day").between(col("d0") - 6, col("d0")))
+      .groupBy("d0").agg(countDistinct("user_id").as("n_exact"))
+    hllEst(rolled, Seq("day"))
+      .join(exact, col("day") === col("d0"))
+      .select(col("day"), col("n_exact"), round2(col("est")).as("est_7d"))
+      .withColumn("err_abs",
+        round2(abs(col("est_7d") - col("n_exact").cast("double"))))
+      .orderBy("day")
+  }
+
   /** q230: SMOOTHED TARGET ENCODING — the categorical-feature
     * transform: user_id → its mean purchase value, shrunk toward the
     * global mean by an m-estimate prior (m = 10 virtual observations),
@@ -955,6 +1004,7 @@ object Events {
     "q229_dist_drift" -> q229_dist_drift,
     "q230_target_encoding" -> q230_target_encoding,
     "q235_drift_attribution" -> q235_drift_attribution,
+    "q236_rolling_actives" -> q236_rolling_actives,
     "q193_interval_overlap" -> q193_interval_overlap,
     "q195_linear_attribution" -> q195_linear_attribution,
     "q198_ab_test" -> q198_ab_test,
@@ -1069,6 +1119,49 @@ object Events {
          |         AS BIGINT) AS drifted
          |FROM bp GROUP BY event_type
          |ORDER BY event_type""".stripMargin,
+    // the q228 register arithmetic per day, the rolling union as a
+    // RANGE window max per register index, the same shift-sum estimate,
+    // and the exact trailing-window distinct as the audit
+    "q236_rolling_actives" ->
+      s"""WITH du AS (
+         |  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |         user_id
+         |  FROM events),
+         |raw AS (
+         |  SELECT day,
+         |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT)
+         |           % ${TextStats.hllRegs} AS b,
+         |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 5, 8) AS BIGINT) AS v
+         |  FROM du),
+         |reg0 AS (
+         |  SELECT day, b,
+         |         max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS m
+         |  FROM raw GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT day FROM du),
+         |dens AS (
+         |  SELECT t.day, gs.b, coalesce(r.m, 0) AS m
+         |  FROM days t
+         |  CROSS JOIN (SELECT unnest(range(${TextStats.hllRegs})) AS b) gs
+         |  LEFT JOIN reg0 r ON r.day = t.day AND r.b = gs.b),
+         |rolled AS (
+         |  SELECT day, b,
+         |         max(m) OVER (PARTITION BY b ORDER BY day
+         |           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS m
+         |  FROM dens),
+         |est AS (
+         |  SELECT day,
+         |         ${TextStats.hllNum} / CAST(sum(CAST(1 AS BIGINT) << (33 - m))
+         |           AS DOUBLE) AS est
+         |  FROM rolled GROUP BY day),
+         |ex AS (
+         |  SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_exact
+         |  FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+         |  GROUP BY d.day)
+         |SELECT e.day, ex.n_exact, ${round2Sql("e.est")} AS est_7d,
+         |       ${round2Sql(s"abs(${round2Sql("e.est")} - CAST(ex.n_exact AS DOUBLE))")}
+         |         AS err_abs
+         |FROM est e JOIN ex ON ex.day = e.day
+         |ORDER BY e.day""".stripMargin,
     // q229's chain through the share table, then the per-type argmax
     // bucket — same cells, same integer shares, tie to the low bucket
     "q235_drift_attribution" ->

@@ -115,6 +115,27 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(alarm.getAs[Long]("tv_bp") == 7500L && alarm.getAs[Long]("drifted") == 1L)
   }
 
+  test("q236: the trailing window is 7 calendar days — day-0 users fall out of day 7's figure") {
+    // day 0: users 1/2/3; day 3: user 9; day 7: users 4/5. The rolling
+    // window is RANGE over calendar days (gaps contribute nothing), so
+    // day 3 sees all four users while day 7 sees only days 1-7 —
+    // {9, 4, 5} — the day-0 cohort has aged out.
+    def at(day: Long, eid: Long, uid: Long) = (eid, uid, day * 86400L + eid)
+    val dir = writeMiniEvents(Seq(
+      at(0, 1, 1), at(0, 2, 2), at(0, 3, 3),
+      at(3, 4, 9),
+      at(7, 5, 4), at(7, 6, 5)))
+    val got = Events.q236_rolling_actives(spark, dir).collect()
+      .map(r => r.getAs[Long]("day") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Double]("est_7d")))).toMap
+    assert(got.keySet == Set(0L, 3L, 7L), s"one row per ACTIVE day: $got")
+    assert(got(0L)._1 == 3L)
+    assert(got(3L)._1 == 4L)
+    assert(got(7L)._1 == 3L, s"day 0's users must age out of day 7: $got")
+    // the sketch estimate is present and positive on every emitted day
+    got.values.foreach { case (_, est) => assert(est > 0.0) }
+  }
+
   test("q207/q208: CUSUM and OLS slope replay from the daily counts") {
     val sf = "/root/testdata/sf0.001"
     val daily = Events.events(spark, sf)

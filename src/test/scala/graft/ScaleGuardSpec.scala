@@ -303,6 +303,18 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       case c: CartesianProductExec => c
       case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
       "q234 must stay broadcast-hash + value-histogram shaped")
+    // q236's one non-equi join is the exact AUDIT's calendar-bounded
+    // day frame broadcast over the (day, user) pairs (a documented
+    // kilobyte ride); the sketch path itself is windows + hash joins
+    assert(plan("q236_rolling_actives").collect {
+      case c: CartesianProductExec => c }.isEmpty,
+      "q236's audit day-frame ride must broadcast, not cartesian")
+    // q235 rides q229's cells: broadcast totals join + a 16-row-per-type
+    // ranking window — no BNLJ, no cartesian
+    assert(plan("q235_drift_attribution").collect {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "q235 must stay broadcast-hash + bounded-window shaped")
   }
 
   test("fact-to-dim joins broadcast the dim side") {
