@@ -63,14 +63,25 @@ object Dedup {
   private[graft] def withBandKeys(docs: DataFrame): DataFrame = {
     val sigs = docs.withColumn("mhs",
       graft.functions.VectorOps.minhashSignature(col("sh_md5"), numHashes))
-    val bandCols = (0 until numBands).map { bd =>
+    val others = docs.columns.filterNot(_ == "sh_md5").toIndexedSeq.map(col)
+    sigs.select(others :+ explode(array(bandStructs(numBands): _*)).as("bk"): _*)
+      .select(others :+ col("bk.band").as("band") :+ col("bk.bkey").as("bkey"): _*)
+  }
+
+  /** The (band, bkey) structs for a `bands`-way split of the 12-hash
+    * `mhs` signature column — the production split (numBands) and
+    * q237's sweep configs share this one key construction, so the
+    * sweep measures exactly the keys the production path would use at
+    * each (b, r). */
+  private def bandStructs(bands: Int): Seq[Column] = {
+    require(numHashes % bands == 0, s"bands=$bands must divide $numHashes")
+    val rows = numHashes / bands
+    (0 until bands).map { bd =>
       def mh(i: Int): Column = element_at(col("mhs"), i + 1).cast("string")
-      val key = md5(concat(mh(3 * bd), lit("|"), mh(3 * bd + 1), lit("|"), mh(3 * bd + 2)))
+      val key = md5((0 until rows).map(j => mh(rows * bd + j))
+        .reduceLeft((a, b) => concat(a, lit("|"), b)))
       struct(lit(bd).as("band"), key.as("bkey"))
     }
-    val others = docs.columns.filterNot(_ == "sh_md5").toIndexedSeq.map(col)
-    sigs.select(others :+ explode(array(bandCols: _*)).as("bk"): _*)
-      .select(others :+ col("bk.band").as("band") :+ col("bk.bkey").as("bkey"): _*)
   }
 
   val q32_dedup_minhash_lsh: Q = (s, d) => {
@@ -953,6 +964,56 @@ object Dedup {
         .otherwise(round4(col("n_found").cast("double") / col("n_exact").cast("double"))))
   }
 
+  /** q237's sweep points: every (bands, rows) split of the 12-hash
+    * signature — (2,6) through (12,1). */
+  private[graft] val sweepBandCounts = Seq(2, 4, 6, 12)
+
+  /** q237: LSH BAND-COUNT TUNING SWEEP — the q92 rule (a tunable
+    * approximation ships with its measured cost/accuracy CURVE, not
+    * one operating point) applied to the MinHash banding: from the
+    * SAME 12-hash signature, every legal (bands × rows) split is
+    * evaluated against the exact J ≥ 0.5 pair set — candidate-pair
+    * count (the verification cost a config buys) next to its recall.
+    * More bands of fewer rows = a looser match (higher recall, more
+    * candidates); the production (4 × 3) point sits on this curve and
+    * the table is what an operator reads before moving it. The
+    * signature is computed ONCE (persisted narrow) and re-banded per
+    * config — exactly what retuning costs in production, since band
+    * keys are pure functions of the stored signature. Candidate recall
+    * equals verified recall by construction (verification keeps
+    * J ≥ 0.5 pairs, and the truth set IS the J ≥ 0.5 pairs), so the
+    * sweep needs no per-config verify pass. */
+  lazy val q237_lsh_band_sweep: Q = (s, d) => {
+    val exact = memoPairs(s, d, "q34")(
+      q34_dedup_ngram_jaccard(s, d).select(col("doc_a"), col("doc_b")))
+    val sigs = graft.Ckpt.persisted(
+      docShingles(s, d).select(col("doc_id"), col("sh_md5"))
+        .withColumn("mhs",
+          graft.functions.VectorOps.minhashSignature(col("sh_md5"), numHashes))
+        .select("doc_id", "mhs"))
+    val perConfig = sweepBandCounts.map { b =>
+      val bands = sigs
+        .select(col("doc_id"), explode(array(bandStructs(b): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ca"), col("b.doc_id").as("cb"))
+        .distinct()
+      val hits = exact.join(cand,
+          col("doc_a") === col("ca") && col("doc_b") === col("cb"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("ca")).as("n_found"))
+      hits.crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand")))) // 1-row ride
+        .select(lit(b.toLong).as("n_bands"),
+          lit((numHashes / b).toLong).as("rows_per_band"),
+          col("n_cand"), col("n_exact"), col("n_found"),
+          when(col("n_exact") === 0, lit(null).cast("double"))
+            .otherwise(round4(col("n_found").cast("double") /
+              col("n_exact").cast("double"))).as("recall"))
+    }
+    perConfig.reduceLeft(_ unionAll _).orderBy("n_bands")
+  }
+
   // -------------------------------------------------------------------------
   // Content-defined chunking (q166/q167) — the SHIFT-ROBUST dedup rung.
   // The span family (q105/q112/q113) hashes FIXED 8-token windows at every
@@ -1472,6 +1533,7 @@ object Dedup {
     "q60_embed_lsh_recall" -> q60_embed_lsh_recall,
     "q61_dedup_components" -> q61_dedup_components,
     "q63_minhash_recall" -> q63_minhash_recall,
+    "q237_lsh_band_sweep" -> q237_lsh_band_sweep,
     "q81_cluster_reps" -> q81_cluster_reps,
     "q86_leakage_safe_split" -> q86_leakage_safe_split,
     "q89_incremental_neardup" -> q89_incremental_neardup,
@@ -1490,10 +1552,19 @@ object Dedup {
   private val mhSelect =
     (0 until numHashes).map(k => s"${minhashSql(k)} AS mh$k").mkString(",\n         ")
 
-  private val bandsSql = (0 until numBands).map { bd =>
-    s"SELECT doc_id, $bd AS band, " +
-      s"md5(CAST(mh${3 * bd} AS VARCHAR) || '|' || CAST(mh${3 * bd + 1} AS VARCHAR) || '|' || CAST(mh${3 * bd + 2} AS VARCHAR)) AS bkey FROM sig"
-  }.mkString("\n  UNION ALL ")
+  /** SQL band keys for a `b`-way split of the 12-hash signature — the
+    * [[bandStructs]] twin; `bandsSql` (the production 4×3 split) and
+    * q237's sweep configs all render through this one template. */
+  private def bandsSqlFor(b: Int): String = {
+    val r = numHashes / b
+    (0 until b).map { bd =>
+      val parts = (0 until r).map(j => s"CAST(mh${r * bd + j} AS VARCHAR)")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $bd AS band, md5($parts) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+  }
+
+  private val bandsSql = bandsSqlFor(numBands)
 
   /** Shared embedding CTE (q35/q59/q60). */
   private val embVecsCte =
@@ -2033,6 +2104,47 @@ object Dedup {
          |       END AS recall
          |FROM exact e LEFT JOIN banded b
          |  ON e.doc_a = b.doc_a AND e.doc_b = b.doc_b""".stripMargin),
+    // the q63 exact CTE, then per sweep config the same banded
+    // candidates rendered through the shared bandsSqlFor template —
+    // one row per (bands, rows) with candidate count and recall
+    "q237_lsh_band_sweep" -> withDocs(
+      s""", p AS (
+         |  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh,
+         |         unnest(shingles) AS shingle
+         |  FROM docs),
+         |jcand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.n_sh AS n_a, b.n_sh AS n_b,
+         |         CAST(count(*) AS BIGINT) AS inter
+         |  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |exact AS (
+         |  SELECT doc_a, doc_b FROM jcand
+         |  WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5),
+         |sig AS (
+         |  SELECT doc_id, $mhSelect
+         |  FROM docs)
+         |${sweepBandCounts.map { b =>
+             s""", bands$b AS (
+                |  ${bandsSqlFor(b).replace("FROM sig", "FROM sig")}),
+                |cand$b AS (
+                |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                |  FROM bands$b a JOIN bands$b b
+                |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+                |row$b AS (
+                |  SELECT CAST($b AS BIGINT) AS n_bands,
+                |         CAST(${numHashes / b} AS BIGINT) AS rows_per_band,
+                |         (SELECT CAST(count(*) AS BIGINT) FROM cand$b) AS n_cand,
+                |         CAST(count(*) AS BIGINT) AS n_exact,
+                |         CAST(count(c.doc_a) AS BIGINT) AS n_found,
+                |         CASE WHEN count(*) = 0 THEN CAST(NULL AS DOUBLE)
+                |              ELSE ${round4Sql("CAST(count(c.doc_a) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+                |         END AS recall
+                |  FROM exact e LEFT JOIN cand$b c
+                |    ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b)""".stripMargin
+           }.mkString("")}
+         |SELECT * FROM (${sweepBandCounts.map(b => s"SELECT * FROM row$b").mkString(" UNION ALL ")})
+         |ORDER BY n_bands""".stripMargin),
     "q61_dedup_components" -> withDocs(
       s"""$ccReachCtes
          |SELECT src AS doc_id,

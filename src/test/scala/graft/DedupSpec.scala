@@ -232,6 +232,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.exists(p => p._1 == "blue widget" && p._2 == "blue widgit"))
   }
 
+  test("q237: the sweep's production point replays q63; candidates grow with band count") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q237_lsh_band_sweep")(spark, sf).collect()
+      .map(r => r.getAs[Long]("n_bands") ->
+        ((r.getAs[Long]("n_cand"), r.getAs[Long]("n_exact"),
+          r.getAs[Long]("n_found"), r.getAs[Double]("recall")))).toMap
+    assert(rows.keySet == Set(2L, 4L, 6L, 12L))
+    // the (4 x 3) sweep point IS the production configuration: its
+    // exact/found/recall must equal the gated q63 on the same corpus
+    // (one band-key definition — bandStructs — or this breaks)
+    val q63 = SparkEntry.queries("q63_minhash_recall")(spark, sf).head()
+    assert(rows(4L)._2 == q63.getAs[Long]("n_exact"))
+    assert(rows(4L)._3 == q63.getAs[Long]("n_found"))
+    assert(rows(4L)._4 == q63.getAs[Double]("recall"))
+    // more bands of fewer rows = a looser filter: candidate count is
+    // nondecreasing in band count, and so is recall (12x1 candidates
+    // include every pair sharing ANY single minhash)
+    val byBands = Seq(2L, 4L, 6L, 12L).map(rows)
+    assert(byBands.map(_._1) == byBands.map(_._1).sorted, s"n_cand not monotone: $byBands")
+    assert(byBands.map(_._4) == byBands.map(_._4).sorted, s"recall not monotone: $byBands")
+  }
+
   test("q217: noun-block recall misses exactly the noun-mutated plants; the two-pass union recovers all") {
     val r = SparkEntry.queries("q217_er_blocking_recall")(spark, "/root/testdata/sf0.001").head()
     val (n, f1, f2) = (r.getAs[Long]("n_planted"),
