@@ -110,17 +110,23 @@ object Events {
     * Scale shape: the session/lead windows are user-partitioned (the
     * q51 shape), the matrix itself is #types²-sized and its row-total
     * join broadcasts. */
-  val q201_session_transitions: Q = (s, d) => {
+  /** (from_type, to_type, n) transition counts under the q51 session
+    * rule — q201's matrix rows and q238's edge weights, one
+    * definition. */
+  private[graft] def sessionTransitions(s: SparkSession, d: String): DataFrame = {
     val sess = withSessionIds(events(s, d)
       .select(col("user_id"), col("event_id"), col("es"), col("event_type")))
     val ws = Window.partitionBy("user_id", "session_id").orderBy("es", "event_id")
-    // the #types²-sized matrix is referenced twice (rows + row totals);
-    // checkpointing it avoids running the sessionization chain twice
-    val trans = sess.withColumn("next_type", lead("event_type", 1).over(ws))
+    sess.withColumn("next_type", lead("event_type", 1).over(ws))
       .where(col("next_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
-    val transCk = graft.Ckpt.eager(trans)
+  }
+
+  val q201_session_transitions: Q = (s, d) => {
+    // the #types²-sized matrix is referenced twice (rows + row totals);
+    // checkpointing it avoids running the sessionization chain twice
+    val transCk = graft.Ckpt.eager(sessionTransitions(s, d))
     transCk.join(broadcast(transCk.groupBy("from_type").agg(sum("n").as("tot"))),
         "from_type")
       .select(col("from_type"), col("to_type"), col("n"),
@@ -919,6 +925,48 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q238 geometry: rank scale (parts-per-million), damping numerator
+    * (85/100) and the fixed iteration count — one definition for the
+    * driver fold, the oracle (which interpolates them) and the spec. */
+  private[graft] val prScale = 1000000L
+  private[graft] val prIters = 3
+
+  /** q238: PAGERANK over the session transition graph — the centrality
+    * rung the graph family was missing (q61 gives components, nothing
+    * gave importance): which event type do journeys FLOW INTO? Ranks
+    * are integer parts-per-million with damping 0.85 as the exact
+    * rational 85/100: each iteration is
+    * `r'_i = (15% · S div 100) div N + 85 · Σ_j (r_j · n_ji div tot_j) div 100`
+    * — every step a truncating integer op on positive operands, so the
+    * fixed [[prIters]]-step trajectory is bit-identical cross-engine
+    * with no float anywhere (the q207 integer-recurrence rule applied
+    * to a matrix). Dangling mass (a type that is never a source) is
+    * DROPPED, not redistributed — the documented variant; ranks need
+    * not sum to S. Scale shape: the corpus work is q201's one
+    * sessionized pass ([[sessionTransitions]] — one definition with
+    * the gated matrix); the iteration runs driver-side over the
+    * collected #types²-row edge list (kilobytes — the q200/q116
+    * bounded-fold class), and the oracle replays all three steps as
+    * chained CTEs. */
+  lazy val q238_type_pagerank: Q = (s, d) => {
+    import s.implicits._
+    val edges = sessionTransitions(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted.toIndexedSeq
+    val n = math.max(nodes.length, 1).toLong
+    val tot = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var rank = nodes.map(t => t -> prScale / n).toMap
+    for (_ <- 1 to prIters) {
+      rank = nodes.map { i =>
+        val in = edges.filter(_._2 == i)
+          .map { case (j, _, nij) => rank(j) * nij / tot(j) }.sum
+        i -> ((15L * prScale / 100) / n + 85L * in / 100)
+      }.toMap
+    }
+    nodes.map(t => (t, rank(t))).toDF("event_type", "rank_ppm")
+      .orderBy("event_type")
+  }
+
   /** q236: ROLLING 7-DAY ACTIVE USERS from mergeable per-day HLL
     * registers — the sliding-window distinct-count every growth
     * dashboard serves, built the only way it stays cheap at 100 TB:
@@ -1005,6 +1053,7 @@ object Events {
     "q230_target_encoding" -> q230_target_encoding,
     "q235_drift_attribution" -> q235_drift_attribution,
     "q236_rolling_actives" -> q236_rolling_actives,
+    "q238_type_pagerank" -> q238_type_pagerank,
     "q193_interval_overlap" -> q193_interval_overlap,
     "q195_linear_attribution" -> q195_linear_attribution,
     "q198_ab_test" -> q198_ab_test,
@@ -1023,6 +1072,27 @@ object Events {
     "q73_funnel" -> q73_funnel,
     "q90_retention_cohorts" -> q90_retention_cohorts,
     "q93_hll_users" -> q93_hll_users)
+
+  /** The sessionize → transition-count CTE chain (q51's gap rule,
+    * q201's matrix) — shared verbatim by the q201 and q238 oracles so
+    * the two replays cannot drift. */
+  private val transCtes =
+    s"""e AS (
+      |  SELECT event_id, user_id, event_type,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+      |s AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL
+      |                       OR es - lag(es) OVER w > $sessionGapSeconds
+      |                     THEN 1 ELSE 0 END AS ns
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+      |s2 AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+      |                               ORDER BY es, event_id) AS session_id
+      |       FROM s),
+      |tr AS (SELECT event_type AS from_type,
+      |              lead(event_type) OVER (PARTITION BY user_id, session_id
+      |                                     ORDER BY es, event_id) AS to_type
+      |       FROM s2),
+      |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the identical register geometry (md5 nibbles, rank, densified
@@ -1471,27 +1541,40 @@ object Events {
         |FROM g ORDER BY event_type""".stripMargin,
     // the same gap rule, same (es, event_id) order, same bp division
     "q201_session_transitions" ->
-      s"""WITH e AS (
-        |  SELECT event_id, user_id, event_type,
-        |         CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
-        |s AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL
-        |                       OR es - lag(es) OVER w > $sessionGapSeconds
-        |                     THEN 1 ELSE 0 END AS ns
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
-        |s2 AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
-        |                               ORDER BY es, event_id) AS session_id
-        |       FROM s),
-        |tr AS (SELECT event_type AS from_type,
-        |              lead(event_type) OVER (PARTITION BY user_id, session_id
-        |                                     ORDER BY es, event_id) AS to_type
-        |       FROM s2),
-        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
-        |      FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      s"""WITH $transCtes,
         |t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
         |SELECT c.from_type AS from_type, to_type, n,
         |       CAST(n * 10000 // tot AS BIGINT) AS p_bp
         |FROM c JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+    // the same transition counts, then the 3-step integer power
+    // iteration as chained CTEs — per-edge truncating contribution,
+    // damping as 85/100, dangling mass dropped exactly like Spark
+    "q238_type_pagerank" -> {
+      val iters = (1 to prIters).map { k =>
+        s"""con$k AS (
+           |  SELECT e.to_type AS t,
+           |         CAST(sum(r.r * e.n // tt.tot) AS BIGINT) AS c
+           |  FROM c e
+           |  JOIN r${k - 1} r ON r.t = e.from_type
+           |  JOIN tots tt ON tt.from_type = e.from_type
+           |  GROUP BY 1),
+           |r$k AS (
+           |  SELECT n0.t,
+           |         (${15L * prScale / 100} // nn.n) + 85 * coalesce(cc.c, 0) // 100 AS r
+           |  FROM nodes n0 CROSS JOIN nn LEFT JOIN con$k cc ON cc.t = n0.t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $transCtes,
+         |tots AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+         |         FROM c GROUP BY 1),
+         |nodes AS (SELECT DISTINCT t FROM
+         |  (SELECT from_type AS t FROM c UNION SELECT to_type FROM c)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |r0 AS (SELECT t, $prScale // nn.n AS r FROM nodes CROSS JOIN nn),
+         |$iters
+         |SELECT t AS event_type, CAST(r AS BIGINT) AS rank_ppm
+         |FROM r$prIters ORDER BY event_type""".stripMargin
+    },
     // the same arm assignment, counts, integer lift and z formula —
     // doubles written in the identical order so the IEEE results agree
     "q198_ab_test" ->

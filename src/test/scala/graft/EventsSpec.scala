@@ -115,6 +115,19 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(alarm.getAs[Long]("tv_bp") == 7500L && alarm.getAs[Long]("drifted") == 1L)
   }
 
+  test("q238: the integer power iteration replays by hand on a two-node chain; dangling mass drops") {
+    // one session "a then b": edge a→b with n=1, tot(a)=1; b is a sink
+    // (dangling — its mass is dropped, not redistributed). By hand:
+    // r0 = 500000 each; every iteration r(a) = 150000/2 = 75000 (no
+    // inbound); r1(b) = 75000 + 85·500000/100 = 500000,
+    // r2(b) = r3(b) = 75000 + 85·75000/100 = 138750.
+    val dir = writeMiniEventsTyped(Seq(
+      (1L, 1L, 0L, "a"), (2L, 1L, 10L, "b")))
+    val got = Events.q238_type_pagerank(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("rank_ppm")).toMap
+    assert(got == Map("a" -> 75000L, "b" -> 138750L), s"got $got")
+  }
+
   test("q236: the trailing window is 7 calendar days — day-0 users fall out of day 7's figure") {
     // day 0: users 1/2/3; day 3: user 9; day 7: users 4/5. The rolling
     // window is RANGE over calendar days (gaps contribute nothing), so

@@ -64,6 +64,19 @@ trait SparkTestBase {
     dir
   }
 
+  /** [[writeMiniEvents]] with an explicit event_type per row — for the
+    * transition/centrality family ((event_id, user_id, epoch-second,
+    * type) rows). */
+  def writeMiniEventsTyped(evs: Seq[(Long, Long, Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evt").toString
+    evs.map { case (eid, uid, es, t) =>
+      (eid, es * 1000000000L, uid, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
   /** [[writeMiniEvents]] with `ts` stored as TIMESTAMP_NTZ (micros,
     * isAdjustedToUTC=false) — the modern feed shape `Events.events`'
     * NTZ branch converts through the (UTC-pinned) session zone. The
