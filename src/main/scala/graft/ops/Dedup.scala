@@ -284,6 +284,13 @@ object Dedup {
     * (pair sets are near-dup-sized, orders of magnitude smaller than the
     * corpus). Primary queries themselves stay un-memoized so their bench
     * timings remain honest. */
+  /** The exact J ≥ 0.5 near-dup pair set (q34's lossless result),
+    * session-memoized — the ground truth q63/q237 measure banding
+    * against and q239 measures RETRIEVAL against. */
+  private[graft] def exactNearDupPairs(s: SparkSession, d: String): DataFrame =
+    memoPairs(s, d, "q34")(
+      q34_dedup_ngram_jaccard(s, d).select(col("doc_a"), col("doc_b")))
+
   private def memoPairs(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame =
     graft.SessionMemo(s, d, s"pairs:$key")(build)(_.localCheckpoint(true))
 
@@ -952,8 +959,7 @@ object Dedup {
     * ships with its measured accuracy. Both sides threshold the same
     * shingle sets at J ≥ 0.5, so the only difference is banding recall. */
   lazy val q63_minhash_recall: Q = (s, d) => {
-    val exact = memoPairs(s, d, "q34")(
-      q34_dedup_ngram_jaccard(s, d).select(col("doc_a"), col("doc_b")))
+    val exact = exactNearDupPairs(s, d)
     val banded = memoPairs(s, d, "q32")(
       q32_dedup_minhash_lsh(s, d).select(col("doc_a"), col("doc_b")))
       .select(col("doc_a").as("ba"), col("doc_b").as("bb"))
@@ -984,8 +990,7 @@ object Dedup {
     * J ≥ 0.5 pairs, and the truth set IS the J ≥ 0.5 pairs), so the
     * sweep needs no per-config verify pass. */
   lazy val q237_lsh_band_sweep: Q = (s, d) => {
-    val exact = memoPairs(s, d, "q34")(
-      q34_dedup_ngram_jaccard(s, d).select(col("doc_a"), col("doc_b")))
+    val exact = exactNearDupPairs(s, d)
     val sigs = graft.Ckpt.persisted(
       docShingles(s, d).select(col("doc_id"), col("sh_md5"))
         .withColumn("mhs",

@@ -191,6 +191,59 @@ object Retrieval {
     bm25ScoreTerms(post, stats, rankQueryTerms(qtf, queryDf(post, qtf), stats))
   }
 
+  /** q239: RETRIEVAL QUALITY (MRR) — the eval rung the retrieval
+    * family was missing: the engine ships rankers (BM25 q94/q160,
+    * postings q161, PRF q170, hybrid q162) but no gated measure of
+    * whether they FIND anything. Ground truth is deterministic and
+    * already gated: a query doc's exact near-duplicates
+    * ([[Dedup.exactNearDupPairs]] — q34's lossless J ≥ 0.5 set), the
+    * known-item task lexical retrieval should ace (near-dups share
+    * most terms). Per query: the relevant-partner count, the rank of
+    * the first relevant doc in the BM25 top-10 (NULL when none
+    * surfaced), and the reciprocal rank in integer basis points
+    * (`10000 div rank`) — NULL when the query HAS no relevant partner
+    * (not applicable), 0 when it has one and the ranker missed it in
+    * depth (a real miss; the distinction matters and is kept). The
+    * mean over non-NULL rows is the system's MRR@10; per-query rows
+    * are gated so every individual hit/miss is checked, not just the
+    * average. Scale shape: the lexical arm is the memoized q160
+    * candidate table; relevance is the vocabulary-sized pair set. */
+  lazy val q239_retrieval_mrr: Q = (s, d) => {
+    // the pair set feeds the panel, the relevance join and the n_rel
+    // count — persist it narrow once
+    val pairs = graft.Ckpt.persisted(Dedup.exactNearDupPairs(s, d))
+    // the known-item panel: the 10 lowest doc ids that HAVE a near-dup
+    // partner (a fixed id panel degenerates to all-n/a rows on corpora
+    // whose low ids sit outside every dup cluster)
+    val panel = pairs.select(col("doc_a").as("query_id"))
+      .unionAll(pairs.select(col("doc_b").as("query_id")))
+      .distinct().orderBy("query_id").limit(10)
+    val post = postings(s, d)
+    val stats = corpusStats(s, d)
+    val qtf = post
+      .join(broadcast(panel.select(col("query_id").as("doc_id"))), Seq("doc_id"))
+      .withColumnRenamed("doc_id", "query_id")
+      .select(col("query_id"), col("term"), col("tf"))
+    val lex = bm25ScoreTerms(post, stats,
+      rankQueryTerms(qtf, queryDf(post, qtf), stats))
+    val rel = pairs
+        .join(broadcast(panel.select(col("query_id").as("doc_a"))), Seq("doc_a"))
+        .select(col("doc_a").as("query_id"), col("doc_b").as("rel_id"))
+      .unionAll(pairs
+        .join(broadcast(panel.select(col("query_id").as("doc_b"))), Seq("doc_b"))
+        .select(col("doc_b").as("query_id"), col("doc_a").as("rel_id")))
+    val nrel = rel.groupBy("query_id").agg(count(col("rel_id")).as("n_rel"))
+    val fr = lex
+      .join(rel.select(col("query_id").as("rq"), col("rel_id")),
+        col("query_id") === col("rq") && col("doc_id") === col("rel_id"))
+      .groupBy("query_id").agg(min("lex_rank").as("first_rank"))
+    nrel.join(fr, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"), col("first_rank"),
+        when(col("first_rank").isNull, 0L)
+          .otherwise(expr("10000 div first_rank")).as("rr_bp"))
+      .orderBy("query_id")
+  }
+
   /** q160: hybrid BM25 + vector retrieval with reciprocal-rank fusion.
     * The lexical arm is [[lexTop]]; the vector arm is the PERSISTED IVF
     * index served by [[Similarity.ivfIndexSearch]] (nprobe/top-k at the
@@ -548,14 +601,15 @@ object Retrieval {
     "q160_hybrid_bm25_rrf" -> q160_hybrid_bm25_rrf,
     "q161_lex_index_search" -> q161_lex_index_search,
     "q162_hybrid_ablation" -> q162_hybrid_ablation,
-    "q164_lex_staleness" -> q164_lex_staleness)
+    "q164_lex_staleness" -> q164_lex_staleness,
+    "q239_retrieval_mrr" -> q239_retrieval_mrr)
 
   /** The lexical-arm CTE chain (postings → df → stats → query terms →
     * contributions → BM25 → ranked lex) — shared VERBATIM by the q160
     * fusion oracle and the q161 index-serving oracle, so the "one
     * scoring definition" rule holds on the DuckDB side too. Expects the
     * docs CTE in scope. */
-  private val lexCtes: String =
+  private def lexCtesFor(queryPredSql: String): String =
     s"""tk AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl,
        |              unnest(words) AS term FROM docs),
        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
@@ -572,7 +626,7 @@ object Retrieval {
        |                        / CAST(df AS DOUBLE) DESC,
        |                      t.term ASC) AS BIGINT) AS q_rank
        |    FROM tf t JOIN dfx USING (term) CROSS JOIN st
-       |    WHERE t.doc_id < ${Similarity.numQueries})
+       |    WHERE $queryPredSql)
        |  WHERE q_rank <= $qTerms),
        |cb AS (
        |  SELECT q.query_id, q.q_rank, t.doc_id,
@@ -597,6 +651,10 @@ object Retrieval {
        |    FROM bm)
        |  WHERE lex_rank <= $lexDepth)""".stripMargin
 
+  /** The production panel: query docs are ids below numQueries. */
+  private val lexCtes: String =
+    lexCtesFor(s"t.doc_id < ${Similarity.numQueries}")
+
   /** The BM25 + RRF chain, computed declaratively by DuckDB over the
     * same parquet — every constant spelled identically, every double
     * expression the same left-associative chain, so scores are
@@ -605,6 +663,47 @@ object Retrieval {
     * recomputes from the raw documents what the engine serves from the
     * incrementally-grown postings files. */
   val oracle: Map[String, String] = Map(
+    // the full lexical chain (shared lexCtes), the q34-exact relevance
+    // pairs, and the per-query first-relevant-rank / reciprocal-rank
+    // arithmetic — NULL n/a vs 0 miss distinction replayed exactly
+    "q239_retrieval_mrr" ->
+      s"""WITH ${TextCore.docsCte},
+         |p AS (
+         |  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh,
+         |         unnest(shingles) AS shingle
+         |  FROM docs),
+         |jc AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.n_sh AS n_a, b.n_sh AS n_b, CAST(count(*) AS BIGINT) AS inter
+         |  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |ex AS (
+         |  SELECT doc_a, doc_b FROM jc
+         |  WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5),
+         |qs AS (
+         |  SELECT query_id FROM (
+         |    SELECT DISTINCT t AS query_id FROM
+         |      (SELECT doc_a AS t FROM ex UNION ALL SELECT doc_b FROM ex))
+         |  ORDER BY query_id LIMIT 10),
+         |${lexCtesFor("t.doc_id IN (SELECT query_id FROM qs)")},
+         |rel AS (
+         |  SELECT e.doc_a AS query_id, e.doc_b AS rel_id
+         |  FROM ex e JOIN qs ON e.doc_a = qs.query_id
+         |  UNION ALL
+         |  SELECT e.doc_b, e.doc_a FROM ex e JOIN qs ON e.doc_b = qs.query_id),
+         |nrel AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+         |  FROM rel GROUP BY 1),
+         |fr AS (
+         |  SELECT l.query_id, CAST(min(l.lex_rank) AS BIGINT) AS first_rank
+         |  FROM lex l JOIN rel r
+         |    ON r.query_id = l.query_id AND r.rel_id = l.doc_id
+         |  GROUP BY 1)
+         |SELECT n.query_id, n.n_rel, f.first_rank,
+         |       CAST(CASE WHEN f.first_rank IS NULL THEN 0
+         |                 ELSE 10000 // f.first_rank END AS BIGINT) AS rr_bp
+         |FROM nrel n LEFT JOIN fr f ON f.query_id = n.query_id
+         |ORDER BY n.query_id""".stripMargin,
     // the whole PRF loop replayed: base lex ranking, top-3 feedback
     // docs, candidate mining + exclusion, expansion ranking, and the
     // 5-arm fixed-order rescoring

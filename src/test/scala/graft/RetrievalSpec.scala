@@ -26,6 +26,28 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     assert(!lex.contains(0L), "the query doc itself is excluded")
   }
 
+  test("q239: the known-item panel finds its planted near-dup at rank 1; distractor-only ids stay out") {
+    // docs 20/21 are near-dups (100 shared words, one edited — J >= 0.5
+    // so they form the q34 pair set and BOTH enter the known-item
+    // panel); 30..34 are distractors with disjoint vocabulary and no
+    // partner, so they must NOT appear as queries. Each panel query's
+    // top BM25 hit is its twin: first_rank 1, rr_bp 10000.
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val dir = writeMiniDocs(Seq(
+      20L -> words(100),
+      21L -> ((1 to 99).map(i => s"w$i") :+ "edited").mkString(" "),
+      30L -> "alpha beta gamma delta", 31L -> "epsilon zeta eta theta",
+      32L -> "iota kappa lambda mu", 33L -> "nu xi omicron pi",
+      34L -> "rho sigma tau upsilon"))
+    val got = Retrieval.q239_retrieval_mrr(spark, dir).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_rel"), Option(r.getAs[java.lang.Long]("first_rank")),
+          r.getAs[Long]("rr_bp")))).toMap
+    assert(got.keySet == Set(20L, 21L), s"panel must be the pair participants: $got")
+    assert(got(20L) == ((1L, Some(1L: java.lang.Long), 10000L)), s"got $got")
+    assert(got(21L) == ((1L, Some(1L: java.lang.Long), 10000L)), s"got $got")
+  }
+
   test("lexTop plan: every join is broadcast-equi AND every broadcast is query-bounded") {
     // the scale contract: billions of postings join a query-set-sized
     // term table as BROADCAST equi-joins — a SortMergeJoin here would
