@@ -447,6 +447,44 @@ object Curation {
         round4(col("n_novel").cast("double") / col("n_docs").cast("double")))
       .orderBy("batch")
 
+  /** q244: SOURCE MARGINAL NOVELTY, shingle grain — for each source,
+    * the distinct word-3-shingles it contains and how many of them no
+    * LEXICOGRAPHICALLY-EARLIER source contains: the marginal unique
+    * content acquiring that source adds under an ingest order, the
+    * number a data-acquisition budget ranks feeds on. Deliberately a
+    * different grain from its two neighbors: q95's source overlap is
+    * whole-document fingerprints and symmetric (who shares with whom);
+    * q97's novelty curve is whole-document fingerprints over crawl
+    * time (when novelty dried up); q244 is PARTIAL-content — a
+    * near-duplicate doc with 10% fresh text still yields its fresh
+    * shingles here while contributing zero novel fingerprints there.
+    * Attribution is min(source) per shingle — first occurrence under
+    * the ingest order, each shingle credited exactly once. Scale
+    * shape: the (source, shingle) DISTINCT is the q77 inverted-index
+    * build (shuffle on the composite key), first-occurrence is one
+    * shingle-keyed aggregate, and the readout keys are source-sized;
+    * the distinct frame feeds two aggregates so it is persisted
+    * narrow once. Sources whose docs are all sub-shingle-length
+    * surface with 0 shingles and NULL rate rather than vanishing. */
+  lazy val q244_source_novelty: Q = (s, d) => {
+    val ss = graft.Ckpt.persisted(docShingles(s, d)
+      .select(col("source"), explode(col("shingles")).as("shingle"))
+      .distinct())
+    val perSource = ss.groupBy("source").agg(count(lit(1)).as("n_shingles"))
+    val novel = ss.groupBy("shingle").agg(min(col("source")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("novel_shingles"))
+    docShingles(s, d).groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(perSource, Seq("source"), "left")
+      .join(novel, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("novel_shingles"), lit(0L)).as("novel_shingles"))
+      .withColumn("novelty_bp",
+        expr("""CASE WHEN n_shingles = 0 THEN NULL
+                ELSE novel_shingles * 10000 div n_shingles END"""))
+      .orderBy("source")
+  }
+
   /** Per-language sample size of the q165 weighted draw — shared with
     * the streaming twin's default so the two cannot drift. */
   private[graft] val sampleK = 10
@@ -764,9 +802,30 @@ object Curation {
     "q97_novelty_curve" -> q97_novelty_curve,
     "q98_sampling_plan" -> q98_sampling_plan,
     "q122_mix_execute" -> q122_mix_execute,
-    "q123_epoch_plan" -> q123_epoch_plan)
+    "q123_epoch_plan" -> q123_epoch_plan,
+    "q244_source_novelty" -> q244_source_novelty)
 
   val oracle: Map[String, String] = Map(
+    // identical first-occurrence attribution on the same distinct set
+    "q244_source_novelty" -> withDocs(
+      s""", ss AS (
+         |  SELECT DISTINCT source, shingle FROM
+         |    (SELECT source, unnest(shingles) AS shingle FROM docs)),
+         |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_shingles
+         |       FROM ss GROUP BY 1),
+         |nv AS (SELECT source, CAST(count(*) AS BIGINT) AS novel_shingles FROM
+         |         (SELECT shingle, min(source) AS source FROM ss GROUP BY 1)
+         |       GROUP BY 1),
+         |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM docs GROUP BY 1)
+         |SELECT nd.source, nd.n_docs,
+         |       CAST(coalesce(ps.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |       CAST(coalesce(nv.novel_shingles, 0) AS BIGINT) AS novel_shingles,
+         |       CAST(CASE WHEN coalesce(ps.n_shingles, 0) = 0 THEN NULL
+         |            ELSE coalesce(nv.novel_shingles, 0) * 10000 // ps.n_shingles
+         |            END AS BIGINT) AS novelty_bp
+         |FROM nd LEFT JOIN ps USING (source) LEFT JOIN nv USING (source)
+         |ORDER BY nd.source""".stripMargin),
     // same integer moments, same one-sqrt weights, same largest-remainder
     "q190_neyman_alloc" ->
       s"""WITH px AS (

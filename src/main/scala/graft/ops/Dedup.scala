@@ -286,10 +286,14 @@ object Dedup {
     * timings remain honest. */
   /** The exact J ≥ 0.5 near-dup pair set (q34's lossless result),
     * session-memoized — the ground truth q63/q237 measure banding
-    * against and q239 measures RETRIEVAL against. */
+    * against, q239/q245 measure RETRIEVAL against, and q243 reads as
+    * its similarity-graph edge set. Carries the exact `inter`/`uni`
+    * shingle counts so graded consumers (q245's relevance levels) can
+    * threshold J by integer cross-multiplication instead of a float. */
   private[graft] def exactNearDupPairs(s: SparkSession, d: String): DataFrame =
     memoPairs(s, d, "q34")(
-      q34_dedup_ngram_jaccard(s, d).select(col("doc_a"), col("doc_b")))
+      q34_dedup_ngram_jaccard(s, d)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("uni")))
 
   private def memoPairs(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame =
     graft.SessionMemo(s, d, s"pairs:$key")(build)(_.localCheckpoint(true))
@@ -1519,7 +1523,46 @@ object Dedup {
       .orderBy("probe_name")
   }
 
+  /** q243: DUP-GRAPH TRIANGLE CENSUS — edge count, wedge count,
+    * triangle count and the global clustering coefficient (3T/W in
+    * integer basis points) of the exact near-dup similarity graph.
+    * The structural readout behind dedup POLICY: q61's components say
+    * how many docs collapse together; the clustering coefficient says
+    * whether those components are tight template cliques (cc → 10000,
+    * safe to keep one representative) or sparse chains of pairwise
+    * matches (cc → 0, where transitive collapse over-merges — the
+    * known LSH-clustering failure mode). Triangles are counted by the
+    * oriented wedge join: edges already carry doc_a < doc_b, so
+    * joining E(a,b)⋈E(a,c) on the LOWER endpoint with b < c
+    * enumerates each wedge once and the closing-edge semi-join counts
+    * each triangle exactly once — no ×6 double counting, no undirected
+    * adjacency blow-up; at scale the wedge fan-out is bounded by
+    * per-node dup degree (cluster-sized, not corpus-sized). Wedges for
+    * the denominator are Σ_v C(deg_v, 2) — deg·(deg−1) is even, so
+    * `div 2` is exact. The oracle replays the same census with plain
+    * self-joins on the method-independent pair set. */
+  lazy val q243_dup_graph_triangles: Q = (s, d) => {
+    val e = exactNearDupPairs(s, d).select("doc_a", "doc_b")
+    val deg = e.select(col("doc_a").as("v"))
+      .unionAll(e.select(col("doc_b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(
+      coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).as("n_wedges"))
+    val tri = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .join(e.select(col("doc_a").as("a"), col("doc_b").as("c")),
+        Seq("a")).where(col("b") < col("c"))
+      .join(e.select(col("doc_a").as("b"), col("doc_b").as("c")), Seq("b", "c"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    edges.crossJoin(wedges).crossJoin(tri) // three 1-row frames
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("""CASE WHEN n_wedges = 0 THEN NULL
+                ELSE 3 * n_triangles * 10000 div n_wedges END""").as("cc_bp"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q243_dup_graph_triangles" -> q243_dup_graph_triangles,
     "q183_fuzzy_entity" -> q183_fuzzy_entity,
     "q217_er_blocking_recall" -> q217_er_blocking_recall,
     "q187_entity_canon" -> q187_entity_canon,
@@ -1761,6 +1804,38 @@ object Dedup {
        |ORDER BY n_occ DESC, chunk_md5 ASC""".stripMargin)
 
   val oracle: Map[String, String] = Map(
+    // the same census with plain self-joins on the naive-join pair set
+    "q243_dup_graph_triangles" -> withDocs(
+      s""", p AS (
+         |  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh,
+         |         unnest(shingles) AS shingle
+         |  FROM docs),
+         |jcand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.n_sh AS n_a, b.n_sh AS n_b,
+         |         CAST(count(*) AS BIGINT) AS inter
+         |  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |exact AS (
+         |  SELECT doc_a, doc_b FROM jcand
+         |  WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5),
+         |deg AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM
+         |    (SELECT doc_a AS v FROM exact UNION ALL SELECT doc_b FROM exact)
+         |  GROUP BY v),
+         |tri AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM exact e1
+         |  JOIN exact e2 ON e1.doc_a = e2.doc_a AND e1.doc_b < e2.doc_b
+         |  JOIN exact e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b),
+         |w AS (
+         |  SELECT coalesce(CAST(sum(deg * (deg - 1) // 2) AS BIGINT),
+         |                  CAST(0 AS BIGINT)) AS n_wedges FROM deg),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM exact)
+         |SELECT n_edges, n_wedges, n_triangles,
+         |       CAST(CASE WHEN n_wedges = 0 THEN NULL
+         |            ELSE 3 * n_triangles * 10000 // n_wedges END AS BIGINT) AS cc_bp
+         |FROM ne, w, tri""".stripMargin),
     // serve ≡ full recompute: the merged (gen0 + gen1) ledger equals the
     // lower-80 name counts, so the oracle probes the raw split directly
     "q191_name_index_probe" ->

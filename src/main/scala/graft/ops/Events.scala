@@ -1047,7 +1047,133 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** q240/q241's tier thresholds, in integer cents — shared with the
+    * streaming twin so the two version tables cannot drift. Lifetime
+    * spend ≥ gold ⇒ tier 2, ≥ silver ⇒ tier 1, else 0. The per-user
+    * lifetime-spend median is ~$600 at every driver scale, so the
+    * $300/$900 cut points split users instead of saturating (the q198
+    * threshold-selection rule). */
+  private[graft] val tierSilverCents = 30000L
+  private[graft] val tierGoldCents = 90000L
+
+  private[graft] def tierOf(cum: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(cum >= tierGoldCents, 2L).when(cum >= tierSilverCents, 1L).otherwise(0L)
+
+  /** The SCD2 version table q240 gates and q241 joins: one row per
+    * (user, tier run) with `[valid_from_day, valid_to_day)` validity —
+    * the classic type-2 dimension build. Day grain is epoch days
+    * (`es div 86400`, non-negative so Spark div ≡ DuckDB //). Islands:
+    * per-user daily cumulative spend → tier, keep rows where the tier
+    * CHANGED (lag ≠), then number the kept rows and close each version
+    * with the next version's start (NULL = current/open). All three
+    * windows share the user_id partitioning — one shuffle, per-user
+    * groups bounded by the calendar (≤ #days rows per user). */
+  private[graft] def tierVersions(ev: DataFrame): DataFrame = {
+    val daily = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), expr("es div 86400").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("dc"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val tiers = daily
+      .withColumn("cum", sum(col("dc")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tier", tierOf(col("cum")))
+      .withColumn("prev", lag(col("tier"), 1).over(w))
+      .where(col("prev").isNull || col("tier") =!= col("prev"))
+    tiers
+      .withColumn("version_no", row_number().over(w).cast("long"))
+      .withColumn("valid_to_day", lead(col("day"), 1).over(w))
+      .select(col("user_id"), col("version_no"), col("tier"),
+        col("day").as("valid_from_day"), col("valid_to_day"))
+  }
+
+  /** q240: SCD2 DIMENSION BUILD — slowly-changing-dimension type 2
+    * over a customer lifetime-spend tier: every tier change opens a
+    * new version row with `[valid_from_day, valid_to_day)` validity
+    * and the prior version is closed by the change (gaps-and-islands
+    * collapse, the warehouse pattern surrogate-pipeline dims feed
+    * from). The attribute is cumulative, so versions are monotone
+    * 0→1→2 and ≤3 per user — but the collapse is the general lag-≠
+    * rule, not a monotone special case. The open (current) version
+    * carries NULL valid_to_day, kept NULL rather than sentineled: the
+    * point-in-time consumer (q241) treats NULL as +∞ and a fake
+    * 99999 day would silently match far-future probes. */
+  val q240_scd2_tier: Q = (s, d) =>
+    tierVersions(events(s, d)).orderBy("user_id", "version_no")
+
+  /** q241: POINT-IN-TIME JOIN — every click attributed to the tier
+    * version valid at click time (`valid_from ≤ day < valid_to`), the
+    * join that makes an SCD2 dimension worth building: "clicks by
+    * customer tier AS OF the click", not as-of today. Clicks before a
+    * user's first version (or by never-purchasing users) land in
+    * tier −1 — kept, not dropped: they are the anonymous-traffic row a
+    * funnel readout needs. Implementation is the q68 as-of composition
+    * (union version starts with clicks, one user-partitioned ordered
+    * window carries the last version's tier forward) — no range join,
+    * no version×click multiplication; versions sort before clicks on
+    * their effective day so a day's upgrade covers that day's clicks
+    * (valid_from is inclusive). The oracle replays it as the
+    * method-independent range join over the ≤3-versions-per-user
+    * table. */
+  val q241_pit_tier_clicks: Q = (s, d) => {
+    val ev = events(s, d)
+    val vs = tierVersions(ev).select(
+      col("user_id"), col("valid_from_day").as("day"),
+      col("tier"), lit(1L).as("is_v"), lit(-1L).as("event_id"))
+    val clicks = ev.where(col("event_type") === "click").select(
+      col("user_id"), expr("es div 86400").as("day"),
+      lit(null).cast("long").as("tier"), lit(0L).as("is_v"), col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("day"), col("is_v").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vs.unionByName(clicks)
+      .withColumn("cur_tier",
+        last(when(col("is_v") === 1L, col("tier")), ignoreNulls = true).over(w))
+      .where(col("is_v") === 0L)
+      .groupBy(coalesce(col("cur_tier"), lit(-1L)).as("tier"))
+      .agg(count(lit(1)).as("n_clicks"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("tier")
+  }
+
+  /** q242: A/B EFFECT SIZE as the Mann–Whitney AUC — the
+    * common-language effect size P(X₁ > X₀) + ½P(X₁ = X₀) over
+    * per-user purchase counts, the nonparametric companion to q198's
+    * two-proportion z (which only sees the thresholded conversion
+    * bit; this reads the whole distribution shift). Integer-exact
+    * with ties: ranks enter doubled (average tie rank × 2 is always
+    * integral), U₁·2 = Σ_{arm1} 2·rank − n₁(n₁+1), and the AUC is
+    * `u2 · 10000 div (2·n₀·n₁)` basis points — no float ever decides
+    * the gated value. Scale shape: one user-keyed aggregate, then the
+    * rank arithmetic runs on the VALUE HISTOGRAM (one row per distinct
+    * per-user count — bounded by max user activity, not corpus size),
+    * so the global ordered window scans dozens of rows, never users.
+    * Degenerate single-arm inputs yield NULL rather than dividing. */
+  val q242_ab_effect_auc: Q = (s, d) => {
+    val users = events(s, d).groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .withColumn("arm", graft.ops.TextCore.idBucket(col("user_id")) % lit(2L))
+    val hist = users.groupBy("np").agg(
+      count(lit(1)).as("cnt"),
+      sum(col("arm")).as("cnt1"))
+    // bounded-input global window: one row per distinct per-user count
+    val wc = Window.orderBy("np").rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(wc), lit(0L)))
+      .agg(
+        sum(col("cnt") - col("cnt1")).as("n0"),
+        sum(col("cnt1")).as("n1"),
+        sum(col("cnt1") * (lit(2L) * col("cum_before") + col("cnt") + 1L)).as("r2"))
+      .select(col("n0"), col("n1"),
+        (col("r2") - col("n1") * (col("n1") + 1L)).as("u2"))
+      .select(col("n0"), col("n1"), col("u2"),
+        expr("""CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+                ELSE u2 * 10000 div (2 * n0 * n1) END""").as("auc_bp"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q240_scd2_tier" -> q240_scd2_tier,
+    "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
+    "q242_ab_effect_auc" -> q242_ab_effect_auc,
     "q228_hll_intersection" -> q228_hll_intersection,
     "q229_dist_drift" -> q229_dist_drift,
     "q230_target_encoding" -> q230_target_encoding,
@@ -1094,7 +1220,83 @@ object Events {
       |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
       |      FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)""".stripMargin
 
+  /** The SCD2 build chain (daily cents → cumulative tier → island
+    * collapse) — shared verbatim by the q240 and q241 oracles so the
+    * dimension the PIT join replays is the dimension q240 gates. */
+  private val tierCtes =
+    s"""e AS (
+      |  SELECT event_id, user_id, event_type,
+      |         CAST(round(value * 100) AS BIGINT) AS vc,
+      |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |daily AS (
+      |  SELECT user_id, day, CAST(sum(vc) AS BIGINT) AS dc
+      |  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |tt AS (
+      |  SELECT user_id, day,
+      |         CASE WHEN sum(dc) OVER w >= $tierGoldCents THEN 2
+      |              WHEN sum(dc) OVER w >= $tierSilverCents THEN 1
+      |              ELSE 0 END AS tier
+      |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |k AS (
+      |  SELECT user_id, day, tier FROM (
+      |    SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY day) AS prev
+      |    FROM tt)
+      |  WHERE prev IS NULL OR tier <> prev),
+      |v AS (
+      |  SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version_no,
+      |         CAST(tier AS BIGINT) AS tier, day AS valid_from_day,
+      |         lead(day) OVER w AS valid_to_day
+      |  FROM k WINDOW w AS (PARTITION BY user_id ORDER BY day))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // the identical island collapse replayed in SQL windows
+    "q240_scd2_tier" ->
+      s"""WITH $tierCtes
+        |SELECT user_id, version_no, tier, valid_from_day, valid_to_day
+        |FROM v ORDER BY user_id, version_no""".stripMargin,
+    // method-independent replay: the gated query is the q68 as-of
+    // union-window composition; the oracle is the plain range join
+    // against the ≤3-versions-per-user table (validity ranges
+    // partition each user's timeline, so the LEFT JOIN is 1:≤1)
+    "q241_pit_tier_clicks" ->
+      s"""WITH $tierCtes,
+        |c AS (SELECT event_id, user_id, day FROM e
+        |      WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT c.event_id, c.user_id,
+        |         coalesce(v.tier, -1) AS tier
+        |  FROM c LEFT JOIN v ON c.user_id = v.user_id
+        |    AND c.day >= v.valid_from_day
+        |    AND (v.valid_to_day IS NULL OR c.day < v.valid_to_day))
+        |SELECT CAST(tier AS BIGINT) AS tier,
+        |       CAST(count(*) AS BIGINT) AS n_clicks,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM j GROUP BY 1 ORDER BY tier""".stripMargin,
+    // identical doubled-rank arithmetic on the same value histogram
+    "q242_ab_effect_auc" ->
+      s"""WITH u AS (
+        |  SELECT user_id,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS np,
+        |         (${graft.ops.TextCore.idBucketSql("user_id")}) % 2 AS arm
+        |  FROM events GROUP BY user_id),
+        |h AS (SELECT np, CAST(count(*) AS BIGINT) AS cnt,
+        |             CAST(sum(arm) AS BIGINT) AS cnt1
+        |      FROM u GROUP BY np),
+        |c AS (SELECT *, coalesce(sum(cnt) OVER (ORDER BY np
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |      FROM h)
+        |SELECT CAST(sum(cnt - cnt1) AS BIGINT) AS n0,
+        |       CAST(sum(cnt1) AS BIGINT) AS n1,
+        |       CAST(sum(cnt1 * (2 * cb + cnt + 1))
+        |            - sum(cnt1) * (sum(cnt1) + 1) AS BIGINT) AS u2,
+        |       CAST(CASE WHEN sum(cnt - cnt1) = 0 OR sum(cnt1) = 0 THEN NULL
+        |            ELSE (sum(cnt1 * (2 * cb + cnt + 1))
+        |                  - sum(cnt1) * (sum(cnt1) + 1)) * 10000
+        |                 // (2 * sum(cnt - cnt1) * sum(cnt1)) END
+        |            AS BIGINT) AS auc_bp
+        |FROM c""".stripMargin,
     // the identical register geometry (md5 nibbles, rank, densified
     // 16-cell tables), inclusion–exclusion stated over the same three
     // harmonic sums, exact audit via the heavy-set self-join

@@ -208,30 +208,47 @@ object Retrieval {
     * are gated so every individual hit/miss is checked, not just the
     * average. Scale shape: the lexical arm is the memoized q160
     * candidate table; relevance is the vocabulary-sized pair set. */
-  lazy val q239_retrieval_mrr: Q = (s, d) => {
-    // the pair set feeds the panel, the relevance join and the n_rel
-    // count — persist it narrow once
-    val pairs = graft.Ckpt.persisted(Dedup.exactNearDupPairs(s, d))
-    // the known-item panel: the 10 lowest doc ids that HAVE a near-dup
-    // partner (a fixed id panel degenerates to all-n/a rows on corpora
-    // whose low ids sit outside every dup cluster)
-    val panel = pairs.select(col("doc_a").as("query_id"))
+  /** The known-item panel: the 10 lowest doc ids that HAVE a near-dup
+    * partner (a fixed id panel degenerates to all-n/a rows on corpora
+    * whose low ids sit outside every dup cluster). Shared by q239/q245
+    * so the two evals grade the same task. */
+  private def knownItemPanel(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a").as("query_id"))
       .unionAll(pairs.select(col("doc_b").as("query_id")))
       .distinct().orderBy("query_id").limit(10)
+
+  /** BM25 top-[[lexDepth]] for the panel docs used AS queries —
+    * (query_id, doc_id, lex_rank). */
+  private def panelLex(s: SparkSession, d: String, panel: DataFrame): DataFrame = {
     val post = postings(s, d)
     val stats = corpusStats(s, d)
     val qtf = post
       .join(broadcast(panel.select(col("query_id").as("doc_id"))), Seq("doc_id"))
       .withColumnRenamed("doc_id", "query_id")
       .select(col("query_id"), col("term"), col("tf"))
-    val lex = bm25ScoreTerms(post, stats,
+    bm25ScoreTerms(post, stats,
       rankQueryTerms(qtf, queryDf(post, qtf), stats))
-    val rel = pairs
-        .join(broadcast(panel.select(col("query_id").as("doc_a"))), Seq("doc_a"))
-        .select(col("doc_a").as("query_id"), col("doc_b").as("rel_id"))
-      .unionAll(pairs
-        .join(broadcast(panel.select(col("query_id").as("doc_b"))), Seq("doc_b"))
-        .select(col("doc_b").as("query_id"), col("doc_a").as("rel_id")))
+  }
+
+  /** Each panel doc's relevant partners with their exact shingle
+    * `inter`/`uni` counts — (query_id, rel_id, inter, uni). */
+  private def panelRel(pairs: DataFrame, panel: DataFrame): DataFrame =
+    pairs
+      .join(broadcast(panel.select(col("query_id").as("doc_a"))), Seq("doc_a"))
+      .select(col("doc_a").as("query_id"), col("doc_b").as("rel_id"),
+        col("inter"), col("uni"))
+    .unionAll(pairs
+      .join(broadcast(panel.select(col("query_id").as("doc_b"))), Seq("doc_b"))
+      .select(col("doc_b").as("query_id"), col("doc_a").as("rel_id"),
+        col("inter"), col("uni")))
+
+  lazy val q239_retrieval_mrr: Q = (s, d) => {
+    // the pair set feeds the panel, the relevance join and the n_rel
+    // count — persist it narrow once
+    val pairs = graft.Ckpt.persisted(Dedup.exactNearDupPairs(s, d))
+    val panel = knownItemPanel(pairs)
+    val lex = panelLex(s, d, panel)
+    val rel = panelRel(pairs, panel).select(col("query_id"), col("rel_id"))
     val nrel = rel.groupBy("query_id").agg(count(col("rel_id")).as("n_rel"))
     val fr = lex
       .join(rel.select(col("query_id").as("rq"), col("rel_id")),
@@ -241,6 +258,63 @@ object Retrieval {
       .select(col("query_id"), col("n_rel"), col("first_rank"),
         when(col("first_rank").isNull, 0L)
           .otherwise(expr("10000 div first_rank")).as("rr_bp"))
+      .orderBy("query_id")
+  }
+
+  /** q245's rank discounts: ⌊10⁶ / log₂(r+1)⌋ for r = 1..[[lexDepth]],
+    * precomputed once (here and interpolated into the oracle SQL as
+    * literals) so no engine ever evaluates a log — the gated DCG is a
+    * pure integer dot product. */
+  private[graft] val ndcgDiscounts: Seq[Long] = Seq(
+    1000000L, 630929L, 500000L, 430676L, 386852L,
+    356207L, 333333L, 315464L, 301029L, 289064L)
+
+  /** q245: RETRIEVAL QUALITY (nDCG@10) — q239's MRR sees only the
+    * FIRST hit; nDCG grades the whole ranked page with graded
+    * relevance: a partner at J ≥ 0.8 (gain 3 = 2²−1) matters more
+    * than one scraping the J ≥ 0.5 floor (gain 1), and hits decay by
+    * the standard 1/log₂(rank+1) discount. Everything is integer: the
+    * grade threshold is the exact cross-multiplication 5·inter ≥ 4·uni
+    * (never the float Jaccard), discounts are the precomputed
+    * [[ndcgDiscounts]] literals, DCG/IDCG are integer dot products,
+    * and the gated ratio is `dcg · 10000 div idcg`. IDCG ranks each
+    * query's OWN partner gains (desc, id tiebreak) through the same
+    * discount table, so ndcg_bp = 10000 means "this page is the best
+    * page this corpus allows at depth 10", not "all ten slots
+    * relevant" — the panel-relative normalization that makes scores
+    * comparable across queries with 1 vs 40 partners. Scale shape:
+    * q239's panel machinery plus two bounded aggregates (panel ×
+    * ≤depth rows); the IDCG window partitions by query_id. */
+  lazy val q245_retrieval_ndcg: Q = (s, d) => {
+    val pairs = graft.Ckpt.persisted(Dedup.exactNearDupPairs(s, d))
+    val panel = knownItemPanel(pairs)
+    val lex = panelLex(s, d, panel)
+    val discount = element_at(
+      array(ndcgDiscounts.map(lit): _*), col("r").cast("int"))
+    val rel = panelRel(pairs, panel)
+      .withColumn("gain",
+        when(col("inter") * 5 >= col("uni") * 4, 3L).otherwise(1L))
+    val nrel = rel.groupBy("query_id").agg(
+      count(lit(1)).as("n_rel"),
+      sum(when(col("gain") === 3L, 1L).otherwise(0L)).as("n_strong"))
+    val dcg = lex
+      .join(rel.select(col("query_id").as("rq"), col("rel_id"), col("gain")),
+        col("query_id") === col("rq") && col("doc_id") === col("rel_id"))
+      .withColumn("r", col("lex_rank"))
+      .groupBy("query_id")
+      .agg(sum(col("gain") * discount).as("dcg_x"))
+    val wIdeal = Window.partitionBy("query_id")
+      .orderBy(col("gain").desc, col("rel_id"))
+    val idcg = rel
+      .withColumn("r", row_number().over(wIdeal).cast("long"))
+      .where(col("r") <= lexDepth)
+      .groupBy("query_id")
+      .agg(sum(col("gain") * discount).as("idcg_x"))
+    nrel.join(idcg, Seq("query_id"))
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"), col("n_strong"),
+        coalesce(col("dcg_x"), lit(0L)).as("dcg_x"), col("idcg_x"))
+      .withColumn("ndcg_bp", expr("dcg_x * 10000 div idcg_x"))
       .orderBy("query_id")
   }
 
@@ -602,7 +676,8 @@ object Retrieval {
     "q161_lex_index_search" -> q161_lex_index_search,
     "q162_hybrid_ablation" -> q162_hybrid_ablation,
     "q164_lex_staleness" -> q164_lex_staleness,
-    "q239_retrieval_mrr" -> q239_retrieval_mrr)
+    "q239_retrieval_mrr" -> q239_retrieval_mrr,
+    "q245_retrieval_ndcg" -> q245_retrieval_ndcg)
 
   /** The lexical-arm CTE chain (postings → df → stats → query terms →
     * contributions → BM25 → ranked lex) — shared VERBATIM by the q160
@@ -703,6 +778,59 @@ object Retrieval {
          |       CAST(CASE WHEN f.first_rank IS NULL THEN 0
          |                 ELSE 10000 // f.first_rank END AS BIGINT) AS rr_bp
          |FROM nrel n LEFT JOIN fr f ON f.query_id = n.query_id
+         |ORDER BY n.query_id""".stripMargin,
+    // q239's chain with graded gains (exact 5·inter ≥ 4·uni
+    // cross-multiplication) and the same literal discount table
+    "q245_retrieval_ndcg" ->
+      s"""WITH ${TextCore.docsCte},
+         |p AS (
+         |  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh,
+         |         unnest(shingles) AS shingle
+         |  FROM docs),
+         |jc AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.n_sh AS n_a, b.n_sh AS n_b, CAST(count(*) AS BIGINT) AS inter
+         |  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |ex AS (
+         |  SELECT doc_a, doc_b, inter, n_a + n_b - inter AS uni FROM jc
+         |  WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5),
+         |qs AS (
+         |  SELECT query_id FROM (
+         |    SELECT DISTINCT t AS query_id FROM
+         |      (SELECT doc_a AS t FROM ex UNION ALL SELECT doc_b FROM ex))
+         |  ORDER BY query_id LIMIT 10),
+         |${lexCtesFor("t.doc_id IN (SELECT query_id FROM qs)")},
+         |g AS (
+         |  SELECT e.doc_a AS query_id, e.doc_b AS rel_id,
+         |         CASE WHEN e.inter * 5 >= e.uni * 4 THEN 3 ELSE 1 END AS gain
+         |  FROM ex e JOIN qs ON e.doc_a = qs.query_id
+         |  UNION ALL
+         |  SELECT e.doc_b, e.doc_a,
+         |         CASE WHEN e.inter * 5 >= e.uni * 4 THEN 3 ELSE 1 END
+         |  FROM ex e JOIN qs ON e.doc_b = qs.query_id),
+         |nrel AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel,
+         |         CAST(sum(CASE WHEN gain = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_strong
+         |  FROM g GROUP BY 1),
+         |dcg AS (
+         |  SELECT l.query_id,
+         |         CAST(sum(g.gain * ([${ndcgDiscounts.mkString(", ")}])
+         |           [CAST(l.lex_rank AS INT)]) AS BIGINT) AS dcg_x
+         |  FROM lex l JOIN g ON g.query_id = l.query_id AND g.rel_id = l.doc_id
+         |  GROUP BY 1),
+         |idcg AS (
+         |  SELECT query_id,
+         |         CAST(sum(gain * ([${ndcgDiscounts.mkString(", ")}])
+         |           [CAST(r AS INT)]) AS BIGINT) AS idcg_x
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY gain DESC, rel_id) AS r FROM g)
+         |  WHERE r <= $lexDepth GROUP BY 1)
+         |SELECT n.query_id, n.n_rel, n.n_strong,
+         |       CAST(coalesce(d.dcg_x, 0) AS BIGINT) AS dcg_x, i.idcg_x,
+         |       CAST(coalesce(d.dcg_x, 0) * 10000 // i.idcg_x AS BIGINT) AS ndcg_bp
+         |FROM nrel n JOIN idcg i USING (query_id) LEFT JOIN dcg d USING (query_id)
          |ORDER BY n.query_id""".stripMargin,
     // the whole PRF loop replayed: base lex ranking, top-3 feedback
     // docs, candidate mining + exclusion, expansion ranking, and the

@@ -467,4 +467,23 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(again == released)
   }
+
+  test("q244: first-occurrence attribution credits every shingle exactly once") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q244_source_novelty")(spark, sf).collect()
+    // Σ novel = the corpus-wide distinct shingle count (each credited once)
+    val corpusDistinct = graft.ops.TextCore.docShingles(spark, sf)
+      .select(explode(col("shingles")).as("sh")).distinct().count()
+    assert(rows.map(_.getAs[Long]("novel_shingles")).sum == corpusDistinct)
+    // the lexicographically first source can only contribute novelty
+    val first = rows.minBy(_.getString(0))
+    assert(first.getAs[Long]("novel_shingles") == first.getAs[Long]("n_shingles"))
+    assert(first.getAs[Long]("novelty_bp") == 10000L)
+    // novelty never exceeds the source's own distinct count
+    rows.foreach { r =>
+      assert(r.getAs[Long]("novel_shingles") <= r.getAs[Long]("n_shingles"),
+        s"${r.getString(0)}")
+    }
+  }
 }

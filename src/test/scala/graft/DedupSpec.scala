@@ -268,4 +268,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(f2 == n, s"two-pass blocking must recover every planted pair: $f2/$n")
     assert(r.getAs[Long]("recall_two_pass_bp") == 10000L)
   }
+
+  test("q243: the oriented wedge census equals the brute-force triangle count") {
+    val sf = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q243_dup_graph_triangles")(spark, sf).head()
+    val edges = SparkEntry.queries("q34_dedup_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    // brute force on the driver: adjacency sets, count closed wedges
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+    val wedges = adj.valuesIterator.map(n => n.size.toLong * (n.size - 1) / 2).sum
+    // a triangle {x<y<z} is counted exactly once: from edge (x,y) with
+    // apex z > y — the same orientation the query's wedge join uses
+    val triangles = edges.toSeq.map { case (a, b) =>
+      (adj(a) & adj(b)).count(c => c > b).toLong
+    }.sum
+    assert(r.getAs[Long]("n_edges") == edges.size.toLong)
+    assert(r.getAs[Long]("n_wedges") == wedges)
+    assert(r.getAs[Long]("n_triangles") == triangles)
+    val expectedCc = if (wedges == 0) null else 3L * triangles * 10000 / wedges
+    if (wedges == 0) assert(r.isNullAt(r.fieldIndex("cc_bp")))
+    else assert(r.getAs[Long]("cc_bp") == expectedCc)
+    // the census is consistent: 3T ≤ W always (every triangle closes 3 wedges)
+    assert(3 * triangles <= wedges || wedges == 0)
+  }
 }

@@ -202,4 +202,80 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(5) == math.floor(z * 100 + 0.5).toLong)
     assert(r.getLong(6) == (if (math.abs(r.getLong(5)) >= 196) 1L else 0L))
   }
+
+  test("q240: SCD2 versions tile each user's timeline with monotone tiers") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q240_scd2_tier")(spark, sf).collect()
+    val byUser = rows.groupBy(_.getLong(0))
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_.getLong(1)) // version_no
+      // version numbering is dense from 1
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq, s"user $u")
+      // SCD2 tiling: each version's valid_to equals the next valid_from;
+      // exactly one OPEN (NULL valid_to) version per user — the last
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(4) && a.getLong(4) == b.getLong(3),
+            s"user $u: version ${a.getLong(1)} must close at the next version's start")
+        case _ => ()
+      }
+      assert(sorted.last.isNullAt(4), s"user $u: last version must be open")
+      assert(sorted.init.forall(!_.isNullAt(4)), s"user $u: only the last version is open")
+      // the attribute is cumulative spend, so tiers strictly increase
+      val tiers = sorted.map(_.getLong(2)).toSeq
+      assert(tiers == tiers.sorted && tiers.distinct == tiers,
+        s"user $u: cumulative tiers must be strictly monotone, got $tiers")
+    }
+    // every purchasing user has a history and starts at their first purchase day
+    val firstPurchase = Events.events(spark, sf)
+      .where(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.expr("es div 86400")).as("d0"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byUser.keySet == firstPurchase.keySet)
+    byUser.foreach { case (u, vs) =>
+      assert(vs.minBy(_.getLong(1)).getLong(3) == firstPurchase(u),
+        s"user $u: version 1 must open at the first purchase day")
+    }
+  }
+
+  test("q241: the PIT buckets partition the click set; -1 is exactly pre-history") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q241_pit_tier_clicks")(spark, sf).collect()
+    val ev = Events.events(spark, sf)
+    val totalClicks = ev.where(col("event_type") === "click").count()
+    assert(out.map(_.getLong(1)).sum == totalClicks,
+      "every click lands in exactly one tier bucket")
+    // the -1 bucket = clicks strictly before the user's first version
+    // (or by users with no purchase history) — replayed independently
+    val firstV = Events.tierVersions(ev)
+      .groupBy("user_id").agg(min("valid_from_day").as("v0"))
+    val pre = ev.where(col("event_type") === "click")
+      .select(col("user_id"), expr("es div 86400").as("day"))
+      .join(firstV, Seq("user_id"), "left")
+      .where(col("v0").isNull || col("day") < col("v0"))
+      .count()
+    assert(out.find(_.getLong(0) == -1L).map(_.getLong(1)).getOrElse(0L) == pre)
+  }
+
+  test("q242: the histogram rank formula equals the brute-force pair count") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q242_ab_effect_auc")(spark, sf).head()
+    val users = Events.events(spark, sf).groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .withColumn("arm", graft.ops.TextCore.idBucket(col("user_id")) % lit(2L))
+      .collect().map(x => (x.getLong(1), x.getLong(2)))
+    val a0 = users.filter(_._2 == 0L).map(_._1)
+    val a1 = users.filter(_._2 == 1L).map(_._1)
+    // brute force: 2·U₁ = Σ over (x0, x1) pairs of 2·[x1 > x0] + [x1 = x0]
+    val u2 = (for (x0 <- a0; x1 <- a1)
+      yield if (x1 > x0) 2L else if (x1 == x0) 1L else 0L).sum
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((a0.length.toLong, a1.length.toLong, u2)))
+    assert(r.getLong(3) == u2 * 10000 / (2L * a0.length * a1.length))
+  }
 }

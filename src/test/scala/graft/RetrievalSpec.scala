@@ -236,4 +236,28 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("q245: nDCG agrees with q239 on hits/misses and normalizes to [0, 10000]") {
+    val sf = "/root/testdata/sf0.001"
+    val ndcg = SparkEntry.queries("q245_retrieval_ndcg")(spark, sf).collect()
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    val mrr = SparkEntry.queries("q239_retrieval_mrr")(spark, sf).collect()
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    // same panel, same ranking: a query has dcg > 0 iff q239 found a hit
+    assert(ndcg.keySet == mrr.keySet, "the two evals must grade the same panel")
+    ndcg.foreach { case (q, r) =>
+      val hit = !mrr(q).isNullAt(mrr(q).fieldIndex("first_rank"))
+      assert((r.getAs[Long]("dcg_x") > 0) == hit, s"query $q hit/miss disagreement")
+      val bp = r.getAs[Long]("ndcg_bp")
+      assert(bp >= 0 && bp <= 10000, s"query $q ndcg_bp out of range: $bp")
+      assert(r.getAs[Long]("n_strong") <= r.getAs[Long]("n_rel"))
+      // a single-partner query whose partner ranked FIRST is a perfect page
+      if (hit && r.getAs[Long]("n_rel") == 1 &&
+          mrr(q).getAs[Long]("first_rank") == 1L)
+        assert(bp == 10000L, s"query $q: rank-1 single-partner page must be ideal")
+    }
+    // the panel must contain at least one hit and grade strictly between
+    // pages (all-equal outputs would make the eval vacuous)
+    assert(ndcg.values.exists(_.getAs[Long]("dcg_x") > 0))
+  }
 }

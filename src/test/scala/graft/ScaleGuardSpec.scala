@@ -21,7 +21,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     "q168_hist_quantiles" -> "running sum over the MERGED histogram cells, bounded at 64 rows (TextStats.scala q168 doc)",
     "q190_neyman_alloc" -> "largest-remainder rank over STRATUM rows (one per market segment), bounded by the segment domain (Curation.scala q190 doc)",
     "q213_time_to_convert" -> "histQuantiles' two windows with the constant 'all' group folded partitionless: phase 1 runs over the COARSE-bucket histogram (gap domain div 10000 rows), phase 2 over one boundary bucket's distinct values — both value-domain-bounded, never the user count (Robust.histQuantiles doc)",
-    "q202_user_skyline" -> "skyline2d's coarse suffix-min walk runs over one row per 10000-wide purchase-count bucket (distinct-p domain div coarseWidth rows, never the user count); the per-p window partitions by bucket with a frame hard-capped at coarseWidth rows (Robust.skyline2d doc)")
+    "q202_user_skyline" -> "skyline2d's coarse suffix-min walk runs over one row per 10000-wide purchase-count bucket (distinct-p domain div coarseWidth rows, never the user count); the per-p window partitions by bucket with a frame hard-capped at coarseWidth rows (Robust.skyline2d doc)",
+    "q242_ab_effect_auc" -> "the doubled-rank cumulative window runs over the per-user purchase-count VALUE HISTOGRAM (one row per distinct count — bounded by max user activity, never the user count; Events.scala q242 doc)")
 
   private def globalWindows(plan: LogicalPlan): Seq[LWindow] =
     plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
@@ -315,6 +316,54 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       case c: CartesianProductExec => c
       case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
       "q235 must stay broadcast-hash + bounded-window shaped")
+  }
+
+  test("r15 batch 2: q240-q245 keep their documented join/window shapes") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+    // q240: pure user-partitioned windows over the daily rollup —
+    // no join of any kind, every window keyed by user_id
+    val p240 = plan("q240_scd2_tier")
+    assert(p240.collect {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "q240 is a window-only build; any join is a regression")
+    assert(p240.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      .isEmpty, "q240's island windows must stay user-partitioned")
+    // q241: the as-of union-window composition — the version×click
+    // range join lives ONLY in the oracle; user-partitioned window +
+    // hash aggregate here
+    val p241 = plan("q241_pit_tier_clicks")
+    assert(p241.collect {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "q241 must stay the union + user-window as-of shape (no range join)")
+    // q242: one user-keyed aggregate, then rank arithmetic on the value
+    // histogram (the allowlisted bounded global window); no joins
+    assert(plan("q242_ab_effect_auc").collect {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "q242 must stay aggregate + bounded-histogram-window shaped")
+    // q243: the wedge join and closing-edge semi-join are equi joins on
+    // pair-set keys; the only BNLJs are the three 1-ROW census frames'
+    // final ride — forbid the both-sides-shuffled degradation
+    assert(plan("q243_dup_graph_triangles").collect {
+      case c: CartesianProductExec => c }.isEmpty,
+      "q243's wedge/closing joins must stay hash joins (1-row census rides excepted)")
+    // q244: source/shingle-keyed aggregates + source-keyed equi joins
+    assert(plan("q244_source_novelty").collect {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "q244 must stay aggregate + source-equi-join shaped")
+    // q245: q239's panel machinery (broadcast panel semi-joins) plus
+    // query-partitioned ideal-ranking windows
+    val p245 = plan("q245_retrieval_ndcg")
+    assert(p245.collect { case c: CartesianProductExec => c }.isEmpty,
+      "q245's relevance joins must not degrade to cartesian")
+    assert(p245.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      .isEmpty, "q245's ideal ranking must stay query-partitioned")
   }
 
   test("fact-to-dim joins broadcast the dim side") {
