@@ -1059,6 +1059,13 @@ object Events {
   private[graft] def tierOf(cum: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(cum >= tierGoldCents, 2L).when(cum >= tierSilverCents, 1L).otherwise(0L)
 
+  /** Scalar twin of [[tierOf]] for the streaming SCD2 fold
+    * ([[graft.streaming.EventStream.scdTierStream]]) — same constants,
+    * same branch order; EventStreamSpec pins the two against each
+    * other over the threshold boundary values. */
+  private[graft] def tierOfCents(cum: Long): Long =
+    if (cum >= tierGoldCents) 2L else if (cum >= tierSilverCents) 1L else 0L
+
   /** The SCD2 version table q240 gates and q241 joins: one row per
     * (user, tier run) with `[valid_from_day, valid_to_day)` validity —
     * the classic type-2 dimension build. Day grain is epoch days

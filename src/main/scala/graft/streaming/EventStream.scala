@@ -89,6 +89,21 @@ case class EwmaState(lastDay: Long, ewma: Long)
 case class EwmaPoint(event_type: String, day: Long, cnt: Long, ewma_s: Long,
     burst: Long)
 
+/** One (user, day) purchase-cents total of the daily spend feed
+  * ([[EventStream.dailySpendStream]] → [[EventStream.scdTierStream]]). */
+case class SpendDay(user_id: Long, day: Long, dc: Long)
+
+/** Per-user SCD2 maintenance state: last day folded, cumulative cents,
+  * current tier, versions opened so far — four longs, O(1) per user. */
+case class ScdState(lastDay: Long, cum: Long, tier: Long, nVersions: Long)
+
+/** A version-OPEN record of the streaming SCD2 maintenance — the
+  * columns of batch q240 minus `valid_to_day`, which an append-only
+  * stream cannot retro-emit (the consumer derives it: a version closes
+  * when the same user's next version opens; see scdTierStream doc). */
+case class TierVersion(user_id: Long, version_no: Long, tier: Long,
+    valid_from_day: Long)
+
 case class FunnelEv(user_id: Long, event_type: String, es: Long)
 
 /** Per-user funnel state: first-occurrence timestamp of each stage type. */
@@ -588,6 +603,74 @@ object EventStream {
       .select(col("event_type"),
         expr("CAST(unix_timestamp(w.start) div 86400 AS BIGINT)").as("day"),
         col("cnt"))
+
+  /** Watermarked DAILY-SPEND feed — the per-user rung of the daily
+    * family: purchase events aggregate to (user, day) cents totals,
+    * emitted in APPEND mode once the watermark passes the day's end,
+    * so each row is complete and per-user day-ordered by construction —
+    * legal [[scdTierStream]] input, exactly how [[dailyCountsStream]]
+    * feeds the ewma/cusum folds. Cents are the house integer rule, so
+    * the fold downstream matches batch q240's arithmetic bit-exactly. */
+  def dailySpendStream(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events
+      .where(col("event_type") === "purchase")
+      .withColumn("ts", timestamp_seconds(col("es")))
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("dc"))
+      .select(col("user_id"),
+        expr("CAST(unix_timestamp(w.start) div 86400 AS BIGINT)").as("day"),
+        col("dc"))
+
+  /** Streaming SCD2 MAINTENANCE — batch q240's stateful twin: the
+    * dimension-update service that keeps a type-2 customer-tier
+    * history current as purchase days close, instead of rebuilding the
+    * dimension nightly. (user, day, cents) rows arriving per the
+    * [[ewmaStream]] ingest contract (complete-per-day, day-ordered per
+    * key — what [[dailySpendStream]] emits by construction) fold
+    * through per-user state of four longs; a version-open record is
+    * emitted when the cumulative tier CHANGES ([[graft.ops.Events
+    * .tierOfCents]] — the scalar twin of the batch threshold
+    * expression, same constants). Emitted rows equal batch q240's
+    * (user_id, version_no, tier, valid_from_day) over the same
+    * on-time rows — EventStreamSpec pins the parity, the
+    * double-threshold-in-one-day collapse (one version, tier skips),
+    * and the loud out-of-order failure. `valid_to_day` is not emitted:
+    * an append-only stream cannot retro-close a row; the consumer
+    * derives closure from the next version's open (or treats the
+    * latest version as current) — exactly how warehouse MERGE-based
+    * SCD2 pipelines publish to append-only logs. State never times
+    * out: a dormant customer's tier must survive arbitrary gaps (the
+    * dimension is forever); at scale state is user-partitioned and
+    * O(1) per user. */
+  def scdTierStream(daily: Dataset[SpendDay]): Dataset[TierVersion] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdState, TierVersion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[SpendDay], state: GroupState[ScdState]) =>
+          val sorted = batch.toSeq.sortBy(_.day)
+          var st = state.getOption.getOrElse(ScdState(Long.MinValue, 0L, -1L, 0L))
+          val out = Seq.newBuilder[TierVersion]
+          sorted.foreach { sd =>
+            require(sd.day > st.lastDay,
+              s"scdTierStream($user): day ${sd.day} arrived at or before folded " +
+                s"day ${st.lastDay} — the daily spend feed must be " +
+                "complete-per-day and in day order; rebuild from batch q240 instead")
+            val cum = st.cum + sd.dc
+            val t = graft.ops.Events.tierOfCents(cum)
+            val n =
+              if (st.nVersions == 0L || t != st.tier) {
+                out += TierVersion(user, st.nVersions + 1L, t, sd.day)
+                st.nVersions + 1L
+              } else st.nVersions
+            st = ScdState(sd.day, cum, t, n)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 
   /** Watermarked DRIFT-CELL feed — q229's streaming twin (r14 verdict
     * item 4): drift monitoring is the stream-shaped use par excellence

@@ -1479,4 +1479,108 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
         Option(ex.getCause).exists(_.getMessage.contains("day order")))
     } finally q2.stop()
   }
+
+  test("scdTierStream equals batch q240 across micro-batch splits; one-day double-crossing collapses") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{SpendDay, TierVersion}
+    // user 1 climbs 0 → 1 → 2 across three purchase days; user 2
+    // crosses BOTH thresholds on its first day (the collapse case: one
+    // version, tier skips 1); user 3 never leaves tier 0 (its second
+    // day must open no version)
+    val rows = Seq(
+      SpendDay(1L, 0L, 15000L), SpendDay(1L, 1L, 20000L), SpendDay(1L, 3L, 60000L),
+      SpendDay(2L, 0L, 100000L),
+      SpendDay(3L, 0L, 5000L), SpendDay(3L, 2L, 1000L))
+    val input = MemoryStream[SpendDay]
+    val query = EventStream.scdTierStream(input.toDS())
+      .writeStream.format("memory").queryName("scd").outputMode("append").start()
+    try {
+      // split mid-user-1 across micro-batches: state carries cum/tier over
+      input.addData(rows.take(4): _*); query.processAllAvailable()
+      input.addData(rows.drop(4): _*); query.processAllAvailable()
+      val got = spark.table("scd").as[TierVersion].collect().toSet
+      assert(got == Set(
+        TierVersion(1L, 1L, 0L, 0L), TierVersion(1L, 2L, 1L, 1L),
+        TierVersion(1L, 3L, 2L, 3L),
+        TierVersion(2L, 1L, 2L, 0L), // double-crossing: tier 1 never opens
+        TierVersion(3L, 1L, 0L, 0L)))
+      // batch parity: the SAME purchases as raw events through the gated
+      // q240 build — (user, version_no, tier, valid_from) agree verbatim
+      val ev = rows.map(r => (r.user_id, r.day * 86400L + 60L,
+          r.dc.toDouble / 100.0, "purchase"))
+        .toDF("user_id", "es", "value", "event_type")
+      val batch = graft.ops.Events.tierVersions(ev).collect()
+        .map(r => TierVersion(r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(batch == got, s"stream=$got batch=$batch")
+    } finally query.stop()
+
+    // a past (or redelivered) day must kill the query loudly — the
+    // dimension's history is already published and cannot be rewritten
+    val late = MemoryStream[SpendDay]
+    val q2 = EventStream.scdTierStream(late.toDS())
+      .writeStream.format("memory").queryName("scd_late").outputMode("append").start()
+    try {
+      late.addData(SpendDay(9L, 5L, 1000L)); q2.processAllAvailable()
+      late.addData(SpendDay(9L, 4L, 1000L))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("in day order") ||
+        Option(ex.getCause).exists(_.getMessage.contains("in day order")))
+    } finally q2.stop()
+
+    // the scalar tier twin agrees with the batch Column expression at
+    // the exact threshold boundaries
+    val boundary = Seq(0L, 29999L, 30000L, 89999L, 90000L, 1000000L)
+    val viaCol = boundary.toDF("cum")
+      .select(graft.ops.Events.tierOf(org.apache.spark.sql.functions.col("cum")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaCol == boundary.map(graft.ops.Events.tierOfCents))
+  }
+
+  test("dailySpendStream → scdTierStream composes; beyond-watermark spend drops observably") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{SpendDay, TierVersion}
+    val input = MemoryStream[(Long, Long, Double, String)]
+    val q1 = EventStream.dailySpendStream(
+        input.toDS().toDF("user_id", "es", "value", "event_type"),
+        lateness = "1 hour")
+      .writeStream.format("memory").queryName("spendd").outputMode("append").start()
+    try {
+      // day 0: two purchases for user 1, out of order within the bound,
+      // plus a non-purchase row that must not count
+      input.addData((1L, 200L, 150.0, "purchase"), (1L, 100L, 50.0, "purchase"),
+        (1L, 150L, 999.0, "click")); q1.processAllAvailable()
+      // day 1 traffic closes day 0 (watermark 93000-3600 > 86400)
+      input.addData((1L, 93000L, 200.0, "purchase")); q1.processAllAvailable()
+      // beyond-watermark straggler into closed day 0: dropped, observable
+      input.addData((1L, 300L, 500.0, "purchase")); q1.processAllAvailable()
+      input.addData((1L, 2 * 86400L + 7200L, 700.0, "purchase"))
+      q1.processAllAvailable()
+      val feed = spark.table("spendd").collect()
+        .map(r => SpendDay(r.getAs[Long]("user_id"), r.getAs[Long]("day"),
+          r.getAs[Long]("dc"))).sortBy(_.day)
+      // on-time day 0 = 20000c (the $500 straggler excluded), day 1 = 20000c
+      assert(feed.map(d => d.day -> d.dc).toSeq == Seq(0L -> 20000L, 1L -> 20000L),
+        s"got ${feed.toSeq}")
+      val dropped = q1.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L, "the beyond-watermark purchase must count as dropped")
+      // the emitted feed is legal fold input: replay it through the SCD2
+      // maintenance and land on the cumulative the on-time rows imply
+      // (20000 + 20000 = tier 1 opens on day 1)
+      val f2 = MemoryStream[SpendDay]
+      val q2 = EventStream.scdTierStream(f2.toDS())
+        .writeStream.format("memory").queryName("spendd_scd")
+        .outputMode("append").start()
+      try {
+        feed.foreach { sd => f2.addData(sd); q2.processAllAvailable() }
+        val got = spark.table("spendd_scd").as[TierVersion].collect().toSet
+        assert(got == Set(TierVersion(1L, 1L, 0L, 0L), TierVersion(1L, 2L, 1L, 1L)))
+      } finally q2.stop()
+    } finally q1.stop()
+  }
 }
