@@ -1177,7 +1177,123 @@ object Events {
                 ELSE u2 * 10000 div (2 * n0 * n1) END""").as("auc_bp"))
   }
 
+  /** q246: EXPERIMENT DESIGN & HEALTH — the two checks an
+    * experimentation platform runs before anyone reads q198's lift:
+    * (1) SAMPLE-RATIO MISMATCH — a 50/50 split whose arm counts χ²
+    * rejects equality means broken assignment, and every downstream
+    * number is garbage; χ² = (n0−n1)²/(n0+n1) is computed as an exact
+    * integer ×100 through a DECIMAL(38,0) cross-multiplication (the
+    * squared difference overflows a BIGINT near 3·10⁸ users — at 100 TB
+    * the readout must not), alarmed against the integer 384 (the 3.84
+    * χ²₁ 5% critical value ×100 — the q198 rule: no float boundary
+    * decides a gate). (2) POWER — the required per-arm n to detect the
+    * OBSERVED lift at α = 0.05 two-sided / 80% power via the
+    * (z_α + z_β)²·(p₀q₀ + p₁q₁)/δ² formula, fully integer because the
+    * p's are basis points: n_req = ⌈78400·(p₀q₀+p₁q₁)bp / (10⁴·δbp²)⌉
+    * (78400 = (196+84)²/100² rescaled), with ceil as (num+den−1) div
+    * den. `powered` says whether the experiment ALREADY has that n —
+    * the "is this readout trustworthy or just early" answer. Degenerate
+    * inputs (an empty arm, δ = 0) yield NULLs. Scale: one user-keyed
+    * aggregate, then 1-row arithmetic. */
+  val q246_ab_design: Q = (s, d) => {
+    val users = abUsers(events(s, d))
+    users.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c1"))
+    .select(col("n0"), col("c0"), col("n1"), col("c1"),
+      expr("""CASE WHEN n0 + n1 = 0 THEN NULL
+              ELSE CAST(floor((CAST(n0 - n1 AS DECIMAL(38, 0)) * (n0 - n1) * 100)
+                              / (n0 + n1)) AS BIGINT) END""").as("chi2_x100"),
+      expr("""CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+              ELSE c0 * 10000 div n0 END""").as("p0_bp"),
+      expr("""CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+              ELSE c1 * 10000 div n1 END""").as("p1_bp"))
+    .withColumn("srm",
+      when(col("chi2_x100").isNull, lit(null).cast("long"))
+        .otherwise(when(col("chi2_x100") >= 384L, 1L).otherwise(0L)))
+    .withColumn("delta_bp", abs(col("p1_bp") - col("p0_bp")))
+    .withColumn("n_req", expr(
+      """CASE WHEN p0_bp IS NULL OR delta_bp = 0 THEN NULL
+         ELSE (78400 * (p0_bp * (10000 - p0_bp) + p1_bp * (10000 - p1_bp))
+               + 10000 * delta_bp * delta_bp - 1)
+              div (10000 * delta_bp * delta_bp) END"""))
+    .withColumn("powered",
+      when(col("n_req").isNull, lit(null).cast("long"))
+        .otherwise(when(least(col("n0"), col("n1")) >= col("n_req"), 1L)
+          .otherwise(0L)))
+    .select("n0", "c0", "n1", "c1", "chi2_x100", "srm",
+      "p0_bp", "p1_bp", "delta_bp", "n_req", "powered")
+  }
+
+  /** q247: CUPED VARIANCE REDUCTION — the adjusted A/B readout modern
+    * platforms ship: each user's PRE-EXPERIMENT purchase count x (the
+    * epoch-0 side of the q229 calendar split — a covariate assignment
+    * cannot touch) explains away between-user variance in the
+    * experiment metric y (epoch-1 purchases), and the adjusted lift
+    * Δ_adj = Δ_raw − θ·(x̄₁ − x̄₀) with θ = cov(x,y)/var(x) removes the
+    * luck-of-the-draw imbalance the raw difference carries. The
+    * moments are EXACT integers (covN = n·Σxy − Σx·Σy etc., lifted to
+    * DECIMAL(38,0) where squares overflow), the variance-reduction
+    * fraction ρ² = covN²/(varN·varYN) is an exact integer basis-point
+    * cross-multiplication, and only θ and the two lifts run in doubles
+    * — written in the identical operation order in both engines and
+    * quantized by the q198 floor(x·10⁶ + 0.5) rule, so no gated value
+    * rides float formatting. Degenerate variance (all users identical
+    * in x or y) yields NULLs. Scale: one user-keyed aggregate over the
+    * split columns, then 1-row arithmetic. */
+  val q247_cuped: Q = (s, d) => {
+    val perUser = events(s, d).groupBy("user_id").agg(
+      sum(when(col("event_type") === "purchase" && col("es") < driftSplitEs,
+        1L).otherwise(0L)).as("x"),
+      sum(when(col("event_type") === "purchase" && col("es") >= driftSplitEs,
+        1L).otherwise(0L)).as("y"))
+      .withColumn("arm", graft.ops.TextCore.idBucket(col("user_id")) % lit(2L))
+    perUser.agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sx0"),
+      sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx1"),
+      sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy1"))
+    .withColumn("covn", expr(
+      "CAST(n AS DECIMAL(38, 0)) * sxy - CAST(sx AS DECIMAL(38, 0)) * sy"))
+    .withColumn("varn", expr(
+      "CAST(n AS DECIMAL(38, 0)) * sxx - CAST(sx AS DECIMAL(38, 0)) * sx"))
+    .withColumn("varyn", expr(
+      "CAST(n AS DECIMAL(38, 0)) * syy - CAST(sy AS DECIMAL(38, 0)) * sy"))
+    .select(col("n0"), col("n1"),
+      expr("""CASE WHEN varn = 0 OR varyn = 0 THEN NULL
+              ELSE CAST(floor((covn * covn * 10000) / (varn * varyn))
+                   AS BIGINT) END""").as("rho2_bp"),
+      expr("""CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+              ELSE CAST(floor((CAST(sy1 AS DOUBLE) / n1
+                               - CAST(sy0 AS DOUBLE) / n0) * 1000000
+                              + CAST(1 AS DOUBLE) / 2) AS BIGINT)
+              END""").as("raw_diff_e6"),
+      expr("""CASE WHEN n0 = 0 OR n1 = 0 OR varn = 0 THEN NULL
+              ELSE CAST(floor(((CAST(sy1 AS DOUBLE) / n1
+                                - CAST(sy0 AS DOUBLE) / n0)
+                               - CAST(covn AS DOUBLE) / CAST(varn AS DOUBLE)
+                                 * (CAST(sx1 AS DOUBLE) / n1
+                                    - CAST(sx0 AS DOUBLE) / n0)) * 1000000
+                              + CAST(1 AS DOUBLE) / 2) AS BIGINT)
+              END""").as("adj_diff_e6"),
+      expr("""CASE WHEN varn = 0 THEN NULL
+              ELSE CAST(floor(CAST(covn AS DOUBLE) / CAST(varn AS DOUBLE)
+                              * 1000000 + CAST(1 AS DOUBLE) / 2) AS BIGINT)
+              END""").as("theta_e6"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q246_ab_design" -> q246_ab_design,
+    "q247_cuped" -> q247_cuped,
     "q240_scd2_tier" -> q240_scd2_tier,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -1257,6 +1373,107 @@ object Events {
       |  FROM k WINDOW w AS (PARTITION BY user_id ORDER BY day))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the q198 arm CTEs verbatim, then the identical integer χ²/power
+    // arithmetic (HUGEINT where Spark lifts to DECIMAL(38,0))
+    "q246_ab_design" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+         |                            THEN 1 ELSE 0 END) >= 14
+         |              THEN 1 ELSE 0 END AS conv
+         |  FROM events GROUP BY 1),
+         |a AS (SELECT (${graft.ops.TextCore.idBucketSql("user_id")}) % 2 AS arm,
+         |             conv FROM u),
+         |w AS (
+         |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+         |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+         |  FROM a),
+         |p AS (
+         |  SELECT *,
+         |         CASE WHEN n0 + n1 = 0 THEN NULL
+         |              ELSE CAST((CAST(n0 - n1 AS HUGEINT) * (n0 - n1) * 100)
+         |                        // (n0 + n1) AS BIGINT) END AS chi2_x100,
+         |         CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+         |              ELSE CAST(c0 * 10000 // n0 AS BIGINT) END AS p0_bp,
+         |         CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+         |              ELSE CAST(c1 * 10000 // n1 AS BIGINT) END AS p1_bp
+         |  FROM w),
+         |q AS (
+         |  SELECT *,
+         |         CASE WHEN chi2_x100 IS NULL THEN NULL
+         |              WHEN chi2_x100 >= 384 THEN CAST(1 AS BIGINT)
+         |              ELSE CAST(0 AS BIGINT) END AS srm,
+         |         CAST(abs(p1_bp - p0_bp) AS BIGINT) AS delta_bp
+         |  FROM p),
+         |r AS (
+         |  SELECT *,
+         |         CASE WHEN p0_bp IS NULL OR delta_bp = 0 THEN NULL
+         |              ELSE CAST((78400 * (p0_bp * (10000 - p0_bp)
+         |                                  + p1_bp * (10000 - p1_bp))
+         |                         + 10000 * delta_bp * delta_bp - 1)
+         |                        // (10000 * delta_bp * delta_bp) AS BIGINT)
+         |         END AS n_req
+         |  FROM q)
+         |SELECT n0, c0, n1, c1, chi2_x100, srm, p0_bp, p1_bp, delta_bp, n_req,
+         |       CASE WHEN n_req IS NULL THEN NULL
+         |            WHEN least(n0, n1) >= n_req THEN CAST(1 AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END AS powered
+         |FROM r""".stripMargin,
+    // identical integer moments (HUGEINT), identical double op order,
+    // the q198 floor(x·1e6 + 1/2) quantization
+    "q247_cuped" ->
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |         CAST(sum(CASE WHEN event_type = 'purchase'
+         |                        AND CAST(floor(epoch(ts)) AS BIGINT) < $driftSplitEs
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         |         CAST(sum(CASE WHEN event_type = 'purchase'
+         |                        AND CAST(floor(epoch(ts)) AS BIGINT) >= $driftSplitEs
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS y,
+         |         (${graft.ops.TextCore.idBucketSql("user_id")}) % 2 AS arm
+         |  FROM events GROUP BY user_id),
+         |m AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |         CAST(sum(x * y) AS HUGEINT) AS sxy,
+         |         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         |         CAST(sum(y * y) AS HUGEINT) AS syy,
+         |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |         CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+         |         CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+         |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |         CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+         |         CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1
+         |  FROM pu),
+         |v AS (
+         |  SELECT *, n * sxy - sx * sy AS covn,
+         |            n * sxx - sx * sx AS varn,
+         |            n * syy - sy * sy AS varyn
+         |  FROM m)
+         |SELECT n0, n1,
+         |       CASE WHEN varn = 0 OR varyn = 0 THEN NULL
+         |            ELSE CAST((covn * covn * 10000) // (varn * varyn) AS BIGINT)
+         |       END AS rho2_bp,
+         |       CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+         |            ELSE CAST(floor((CAST(sy1 AS DOUBLE) / n1
+         |                             - CAST(sy0 AS DOUBLE) / n0) * 1000000
+         |                            + CAST(1 AS DOUBLE) / 2) AS BIGINT)
+         |       END AS raw_diff_e6,
+         |       CASE WHEN n0 = 0 OR n1 = 0 OR varn = 0 THEN NULL
+         |            ELSE CAST(floor(((CAST(sy1 AS DOUBLE) / n1
+         |                              - CAST(sy0 AS DOUBLE) / n0)
+         |                             - CAST(covn AS DOUBLE) / CAST(varn AS DOUBLE)
+         |                               * (CAST(sx1 AS DOUBLE) / n1
+         |                                  - CAST(sx0 AS DOUBLE) / n0)) * 1000000
+         |                            + CAST(1 AS DOUBLE) / 2) AS BIGINT)
+         |       END AS adj_diff_e6,
+         |       CASE WHEN varn = 0 THEN NULL
+         |            ELSE CAST(floor(CAST(covn AS DOUBLE) / CAST(varn AS DOUBLE)
+         |                            * 1000000 + CAST(1 AS DOUBLE) / 2) AS BIGINT)
+         |       END AS theta_e6
+         |FROM v""".stripMargin,
     // the identical island collapse replayed in SQL windows
     "q240_scd2_tier" ->
       s"""WITH $tierCtes

@@ -203,6 +203,68 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(6) == (if (math.abs(r.getLong(5)) >= 196) 1L else 0L))
   }
 
+  test("q246: χ², n_req and the flags replay independently from the arm counts") {
+    val sf = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q246_ab_design")(spark, sf).head()
+    val (n0, c0, n1, c1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n0 > 0 && n1 > 0)
+    // the q198 spec already pins n0+n1 = all users and the arm split;
+    // here: every derived column replays from the four counts
+    assert(r.getLong(4) == (n0 - n1) * (n0 - n1) * 100 / (n0 + n1), "chi2")
+    assert(r.getLong(5) == (if (r.getLong(4) >= 384) 1L else 0L), "srm")
+    val (p0, p1) = (c0 * 10000 / n0, c1 * 10000 / n1)
+    assert((r.getLong(6), r.getLong(7)) == ((p0, p1)))
+    val delta = math.abs(p1 - p0)
+    assert(r.getLong(8) == delta)
+    if (delta > 0) {
+      val num = 78400L * (p0 * (10000 - p0) + p1 * (10000 - p1))
+      val den = 10000L * delta * delta
+      val nreq = (num + den - 1) / den
+      assert(r.getLong(9) == nreq, "n_req")
+      // ceil really is ceil: n_req·den ≥ num > (n_req−1)·den
+      assert(nreq * den >= num && (nreq - 1) * den < num)
+      assert(r.getLong(10) == (if (math.min(n0, n1) >= nreq) 1L else 0L))
+    }
+  }
+
+  test("q247: the CUPED moments, θ and adjusted lift replay from per-user rows") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q247_cuped")(spark, sf).head()
+    val split = graft.ops.Events.driftSplitEs
+    val users = Events.events(spark, sf).groupBy("user_id").agg(
+        sum(when(col("event_type") === "purchase" && col("es") < split, 1L)
+          .otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase" && col("es") >= split, 1L)
+          .otherwise(0L)).as("y"))
+      .withColumn("arm", graft.ops.TextCore.idBucket(col("user_id")) % lit(2L))
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3)))
+    val n = users.length.toLong
+    def s(f: ((Long, Long, Long)) => Long) = users.map(f).sum
+    val (sx, sy) = (s(_._1), s(_._2))
+    val covN = BigInt(n) * s(u => u._1 * u._2) - BigInt(sx) * sy
+    val varN = BigInt(n) * s(u => u._1 * u._1) - BigInt(sx) * sx
+    val varYN = BigInt(n) * s(u => u._2 * u._2) - BigInt(sy) * sy
+    assert(r.getLong(2) == (covN * covN * 10000 / (varN * varYN)).toLong, "rho2")
+    val a0 = users.filter(_._3 == 0L); val a1 = users.filter(_._3 == 1L)
+    val raw = a1.map(_._2).sum.toDouble / a1.length -
+      a0.map(_._2).sum.toDouble / a0.length
+    val theta = covN.toDouble / varN.toDouble
+    val adj = raw - theta * (a1.map(_._1).sum.toDouble / a1.length -
+      a0.map(_._1).sum.toDouble / a0.length)
+    assert(r.getLong(3) == math.floor(raw * 1e6 + 0.5).toLong, "raw lift")
+    assert(r.getLong(4) == math.floor(adj * 1e6 + 0.5).toLong, "adjusted lift")
+    assert(r.getLong(5) == math.floor(theta * 1e6 + 0.5).toLong, "theta")
+    // CUPED must not touch a balanced covariate: if the arms' mean x
+    // were identical the adjustment would be 0; here just pin direction
+    // consistency — the adjustment moves the lift against the covariate
+    // imbalance, never with it
+    val ximb = a1.map(_._1).sum.toDouble / a1.length -
+      a0.map(_._1).sum.toDouble / a0.length
+    if (theta > 0 && ximb > 0) assert(adj < raw)
+    if (theta > 0 && ximb < 0) assert(adj > raw)
+  }
+
   test("q240: SCD2 versions tile each user's timeline with monotone tiers") {
     val sf = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q240_scd2_tier")(spark, sf).collect()

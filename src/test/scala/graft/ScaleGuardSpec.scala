@@ -364,6 +364,17 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "q245's relevance joins must not degrade to cartesian")
     assert(p245.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
       .isEmpty, "q245's ideal ranking must stay query-partitioned")
+    // q246/q247: one user-keyed aggregate then 1-row arithmetic — no
+    // join, no window of any kind
+    Seq("q246_ab_design", "q247_cuped").foreach { name =>
+      val p = plan(name)
+      assert(p.collect {
+        case c: CartesianProductExec => c
+        case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+        s"$name must stay a pure two-level aggregate")
+      assert(p.collect { case w: WindowExec => w }.isEmpty,
+        s"$name needs no window at all")
+    }
   }
 
   test("fact-to-dim joins broadcast the dim side") {
