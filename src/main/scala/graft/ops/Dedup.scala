@@ -419,6 +419,65 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q248: INCREMENTAL connected components — the nightly-update form
+    * of q61: the converged BASE labeling (docs with id-bucket < 80, the
+    * q80 incremental-dedup split) is the persisted artifact; tonight's
+    * batch contributes only the pairs touching a NEW doc, and the CC
+    * loop runs on the CONTRACTED graph — batch-pair endpoints replaced
+    * by their base component label where one exists — which is
+    * batch-sized, never corpus-sized. At 100 TB this is the whole
+    * point: the base corpus is petabytes, the nightly delta is not,
+    * and re-running large-star/small-star over the union every night
+    * re-shuffles the world to rediscover yesterday's answer.
+    *
+    * Why contraction is exact: a base component's label IS its minimum
+    * doc id (the q61 invariant), every base component that tonight's
+    * pairs touch survives into the contracted graph as that label
+    * node, and new docs enter as themselves — so the contracted
+    * component's minimum equals the union component's true global
+    * minimum, and re-pointing each base member through its (possibly
+    * merged) label reproduces the full recompute's labels verbatim.
+    * Contracted edges can never self-loop: a batch pair has ≥1 new
+    * endpoint, and new endpoints contract to themselves. Base docs
+    * ISOLATED in the base graph (no base pair, so no stored label)
+    * enter the contracted graph as themselves and are emitted from it
+    * directly — the anti-join below — exactly like new docs.
+    *
+    * The ORACLE is q61's oracle verbatim: incremental ≡ full recompute
+    * is the entire claim, so the gate compares against the
+    * method-independent full answer (the q193 sweep-vs-join rule). */
+  lazy val q248_incremental_components: Q = (s, d) => {
+    val pairs = memoPairs(s, d, "q32")(
+      q32_dedup_minhash_lsh(s, d).select(col("doc_a"), col("doc_b")))
+    def isBase(c: org.apache.spark.sql.Column) = idBucket(c) < 80
+    val basePairs = pairs.where(isBase(col("doc_a")) && isBase(col("doc_b")))
+    // the persisted nightly artifact: converged labels of the base graph
+    val baseLabels = graft.SessionMemo(s, d, "cc:base")(
+      connectedComponents(basePairs))(_.localCheckpoint(true))
+    val batchPairs = pairs.where(!(isBase(col("doc_a")) && isBase(col("doc_b"))))
+    val la = baseLabels.select(col("node").as("doc_a"), col("label").as("la"))
+    val lb = baseLabels.select(col("node").as("doc_b"), col("label").as("lb"))
+    val contracted = batchPairs
+      .join(la, Seq("doc_a"), "left").join(lb, Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("a"),
+        coalesce(col("lb"), col("doc_b")).as("b"))
+    val merged = connectedComponents(contracted)
+    // base members re-point through their (possibly merged) label: a
+    // label absent from the contracted graph was untouched tonight …
+    val relabel = merged.select(col("node").as("label"), col("label").as("nl"))
+    val resolved = baseLabels.join(relabel, Seq("label"), "left")
+      .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
+    // … and contracted nodes WITHOUT a stored base label (new docs,
+    // base isolates) are emitted from the merged labeling directly
+    val fresh = merged
+      .join(baseLabels.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("label"))
+    resolved.unionByName(fresh)
+      .select(col("node").as("doc_id"), col("label").as("component_id"),
+        when(col("label") === col("node"), 1L).otherwise(0L).as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
   /** q81: cluster-representative selection — the keep-one policy applied
     * after canonicalization (q61): per near-dup component, the kept
     * document is the longest (max n_chars, ties to the smallest doc_id),
@@ -1562,6 +1621,7 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    "q248_incremental_components" -> q248_incremental_components,
     "q243_dup_graph_triangles" -> q243_dup_graph_triangles,
     "q183_fuzzy_entity" -> q183_fuzzy_entity,
     "q217_er_blocking_recall" -> q217_er_blocking_recall,
@@ -1802,6 +1862,18 @@ object Dedup {
        |       min(doc_id) AS first_doc
        |FROM ck GROUP BY 1 HAVING count(*) > 1
        |ORDER BY n_occ DESC, chunk_md5 ASC""".stripMargin)
+
+  /** The q61 component labeling as recursive-CTE SQL — shared verbatim
+    * by the q61 gate and the q248 incremental gate (whose whole claim
+    * is equality with this full recompute). */
+  private lazy val ccOracleSql: String = withDocs(
+    s"""$ccReachCtes
+       |SELECT src AS doc_id,
+       |       CAST(least(src, min(dst)) AS BIGINT) AS component_id,
+       |       CAST(CASE WHEN least(src, min(dst)) = src THEN 1 ELSE 0 END AS BIGINT)
+       |         AS is_survivor
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)
+    .replaceFirst("^WITH ", "WITH RECURSIVE ")
 
   val oracle: Map[String, String] = Map(
     // the same census with plain self-joins on the naive-join pair set
@@ -2225,14 +2297,10 @@ object Dedup {
            }.mkString("")}
          |SELECT * FROM (${sweepBandCounts.map(b => s"SELECT * FROM row$b").mkString(" UNION ALL ")})
          |ORDER BY n_bands""".stripMargin),
-    "q61_dedup_components" -> withDocs(
-      s"""$ccReachCtes
-         |SELECT src AS doc_id,
-         |       CAST(least(src, min(dst)) AS BIGINT) AS component_id,
-         |       CAST(CASE WHEN least(src, min(dst)) = src THEN 1 ELSE 0 END AS BIGINT)
-         |         AS is_survivor
-         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)
-      .replaceFirst("^WITH ", "WITH RECURSIVE "),
+    "q61_dedup_components" -> ccOracleSql,
+    // q61's oracle VERBATIM: incremental ≡ full recompute IS the claim
+    // (the q193 method-independence rule)
+    "q248_incremental_components" -> ccOracleSql,
     "q81_cluster_reps" -> withDocs(
       s"""$ccReachCtes,
          |comp AS (

@@ -82,6 +82,37 @@ object TextStats {
       .select("doc_id", "n_tokens", "ttr", "avg_wlen", "stop_ratio", "score")
       .orderBy("doc_id")
 
+  /** q249: QUANTILE-UNIFORM transform of the quality score — the
+    * rank-normalization feature prep applies before mixing scores
+    * across languages: each doc's score maps to its per-language
+    * mid-rank empirical CDF position in integer basis points,
+    * u = (2·rank_below + ties) · 10000 div (2·n), so a 0.61 in a
+    * language whose scores cluster high and a 0.61 in one that
+    * clusters low land where they actually sit in their own
+    * distributions. Ties share one u (mid-rank), the transform is
+    * monotone in score, and everything is integer once the histogram
+    * is built. The SCALE shape is the point (the q82/q184 rule): no
+    * per-language window ever runs over documents — ranks come from
+    * the (lang, score) VALUE HISTOGRAM (round4 scores: ≤ 10⁴ distinct
+    * values per language regardless of corpus size), whose cumulative
+    * windows scan histogram rows, and docs get their u by an equi-join
+    * back on the broadcastable histogram. */
+  lazy val q249_quantile_uniform: Q = (s, d) => {
+    val scored = withQuality(docShingles(s, d))
+      .where(col("n_tokens") > 0)
+      .select(col("doc_id"), col("lang"), col("score"))
+    val hist = scored.groupBy("lang", "score").agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.partitionBy("lang").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("cb", coalesce(sum(col("cnt")).over(wOrd), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("lang")))
+    scored.join(cum, Seq("lang", "score"))
+      .select(col("doc_id"), col("lang"), col("score"),
+        expr("(2 * cb + cnt) * 10000 div (2 * n)").as("u_bp"))
+      .orderBy("doc_id")
+  }
+
   /** q43: document fingerprints — k=1 MinHash over 3-shingles plus an
     * order-insensitive sorted-bag md5. */
   val q43_fingerprint: Q = (s, d) =>
@@ -1501,6 +1532,7 @@ object TextStats {
     "q40_lang_id" -> q40_lang_id,
     "q41_token_stats" -> q41_token_stats,
     "q42_quality_score" -> q42_quality_score,
+    "q249_quantile_uniform" -> q249_quantile_uniform,
     "q43_fingerprint" -> q43_fingerprint,
     "q44_bpe_tokens" -> q44_bpe_tokens,
     "q64_rare_terms" -> q64_rare_terms,
@@ -2202,6 +2234,21 @@ object TextStats {
       s""", $qualCte
          |SELECT doc_id, n_tokens, ttr, avg_wlen, stop_ratio, score
          |FROM qual ORDER BY doc_id""".stripMargin),
+    // identical mid-rank arithmetic on the same (lang, score) histogram
+    "q249_quantile_uniform" -> withDocs(
+      s""", $qualCte,
+         |sc AS (SELECT doc_id, lang, score FROM qual WHERE n_tokens > 0),
+         |h AS (SELECT lang, score, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM sc GROUP BY 1, 2),
+         |c AS (SELECT *,
+         |        coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY score
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+         |        sum(cnt) OVER (PARTITION BY lang) AS n
+         |      FROM h)
+         |SELECT doc_id, sc.lang, sc.score,
+         |       CAST((2 * cb + cnt) * 10000 // (2 * n) AS BIGINT) AS u_bp
+         |FROM sc JOIN c ON sc.lang = c.lang AND sc.score = c.score
+         |ORDER BY doc_id""".stripMargin),
     "q43_fingerprint" -> withDocs(
       """SELECT doc_id,
         |       list_aggregate(list_transform(shingles, s -> md5(s)), 'min') AS fp_minshingle,

@@ -269,6 +269,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("recall_two_pass_bp") == 10000L)
   }
 
+  test("q248: incremental labels equal q61's full recompute; the CC loop ran batch-sized") {
+    val sf = "/root/testdata/sf0.001"
+    val inc = SparkEntry.queries("q248_incremental_components")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = SparkEntry.queries("q61_dedup_components")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == full, "incremental ≡ full recompute is the whole claim")
+    // the rewrite's point: the contracted graph the loop ran on is the
+    // BATCH slice, strictly smaller than the full pair graph (unless
+    // every pair touches a new doc, which would make base empty)
+    import org.apache.spark.sql.functions._
+    val pairs = SparkEntry.queries("q32_dedup_minhash_lsh")(spark, sf)
+      .select("doc_a", "doc_b")
+    def base(c: String) = graft.ops.TextCore.idBucket(col(c)) < 80
+    val total = pairs.count()
+    val batch = pairs.where(!(base("doc_a") && base("doc_b"))).count()
+    assert(total > 0 && batch < total,
+      s"the split must leave real work in the base ($batch of $total pairs in the batch)")
+  }
+
   test("q243: the oriented wedge census equals the brute-force triangle count") {
     val sf = "/root/testdata/sf0.001"
     val r = SparkEntry.queries("q243_dup_graph_triangles")(spark, sf).head()

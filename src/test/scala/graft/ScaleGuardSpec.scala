@@ -60,8 +60,11 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     // construction — the q101 driver-loop class; its final frame is
     // literal driver rows, and each step is a 64-group narrow integer
     // aggregation with no window at all.)
+    // (q248 runs the q61 propagation loop on the contracted batch graph
+    // at construction — q61's class; its component plans are q61's)
     val eager = Set("q48_dim_waktu", "q49_star_roundtrip", "q60_embed_lsh_recall",
-      "q61_dedup_components", "q63_minhash_recall", "q69_range_join",
+      "q61_dedup_components", "q248_incremental_components",
+      "q63_minhash_recall", "q69_range_join",
       "q101_lloyd_loop", "q102_bpe_train", "q104_bpe_compression",
       "q106_bpe_heldout", "q111_pq_trained_recall",
       "q113_span_excise_keep_first", "q114_pq_index_recall",
@@ -375,6 +378,16 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       assert(p.collect { case w: WindowExec => w }.isEmpty,
         s"$name needs no window at all")
     }
+    // q249: the rank windows run on the (lang, score) value histogram
+    // and docs join back by equi-key — lang-partitioned windows only,
+    // no cartesian/BNLJ anywhere
+    val p249 = plan("q249_quantile_uniform")
+    assert(p249.collect {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "q249's histogram join must stay an equi hash join")
+    assert(p249.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      .isEmpty, "q249's rank windows must stay lang-partitioned")
   }
 
   test("fact-to-dim joins broadcast the dim side") {

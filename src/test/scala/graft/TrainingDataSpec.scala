@@ -92,6 +92,38 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.toSeq == Seq(("aa", 2L), ("ab", 1L), ("bc", 1L)))
   }
 
+  test("q249: the quantile transform replays from q42 scores; mid-ranks tile n²") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q249_quantile_uniform")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getLong(3))).toMap
+    // driver-side replay from the gated q42 scores
+    val scores = SparkEntry.queries("q42_quality_score")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val langs = got.map { case (id, (lang, _, _)) => id -> lang }
+    val byLang = scores.filter { case (id, _) => langs.contains(id) }
+      .groupBy { case (id, _) => langs(id) }
+    byLang.foreach { case (lang, docs) =>
+      val n = docs.size.toLong
+      val hist = docs.values.groupBy(identity).view.mapValues(_.size.toLong)
+      val sorted = hist.toSeq.sortBy(_._1)
+      // Σ cnt·(2·cb + cnt) = n² — the mid-ranks tile the square exactly
+      var cb = 0L
+      var tile = 0L
+      val expect = sorted.map { case (s, cnt) =>
+        val u = (2 * cb + cnt) * 10000 / (2 * n)
+        tile += cnt * (2 * cb + cnt); cb += cnt
+        s -> u
+      }.toMap
+      assert(tile == n * n, s"$lang: mid-ranks must tile n² exactly")
+      docs.foreach { case (id, s) =>
+        assert(got(id) == ((lang, s, expect(s))), s"doc $id")
+      }
+      // monotone in score, bounded in [0, 10000)
+      val us = sorted.map { case (s, _) => expect(s) }
+      assert(us == us.sorted && us.forall(u => u >= 0 && u < 10000), s"$lang")
+    }
+  }
+
   test("q97: novelty is credited to the batch holding the first occurrence") {
     // batches of 100 ids: docs 0, 1 → batch 0; docs 150, 160 → batch 1.
     // doc 150 repeats doc 0's text (seen → not novel); 160 is new.
