@@ -113,6 +113,40 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** q250: TOKEN-MASS quantiles — q72 asks "the median DOCUMENT is
+    * how long"; a training-budget owner asks the dual: "half my
+    * TOKENS live in documents longer than what?" — the length
+    * distribution weighted by the tokens themselves (mass p50/p90/p99),
+    * the number that decides packing geometry and long-context mix.
+    * On any heavy-tailed corpus the two answers diverge wildly (a few
+    * long docs carry most of the mass); shipping both is the point.
+    * Integer exact: cumulative token mass over the LENGTH HISTOGRAM
+    * (one row per distinct n_tokens — value-domain-bounded, never the
+    * doc count), quantile = the smallest length whose cumulative mass
+    * clears p% of the total by cross-multiplication (`cw·100 ≥ tw·p`),
+    * selected per percentile as a struct-min (the q199 encoding rule,
+    * fields (len, cw) with len unique in the histogram). */
+  lazy val q250_token_mass_quantiles: Q = (s, d) => {
+    val hist = docShingles(s, d)
+      .select(size(col("words")).cast("long").as("len"))
+      .where(col("len") > 0)
+      .groupBy("len").agg(sum(col("len")).as("w"))
+    val wOrd = Window.orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = graft.Ckpt.persisted(
+      hist.withColumn("cw", sum(col("w")).over(wOrd)))
+    val tot = cum.agg(max(col("cw")).as("tw"))
+    cum.crossJoin(broadcast(tot)) // histogram × 1-row
+      .select(explode(array(lit(50L), lit(90L), lit(99L))).as("pct"),
+        col("len"), col("cw"), col("tw"))
+      .where(col("cw") * 100 >= col("tw") * col("pct"))
+      .groupBy("pct")
+      .agg(min(struct(col("len"), col("cw"))).as("m"), max(col("tw")).as("total_tokens"))
+      .select(col("pct"), col("m.len").as("len_at"),
+        col("m.cw").as("cum_tokens"), col("total_tokens"))
+      .orderBy("pct")
+  }
+
   /** q43: document fingerprints — k=1 MinHash over 3-shingles plus an
     * order-insensitive sorted-bag md5. */
   val q43_fingerprint: Q = (s, d) =>
@@ -1533,6 +1567,7 @@ object TextStats {
     "q41_token_stats" -> q41_token_stats,
     "q42_quality_score" -> q42_quality_score,
     "q249_quantile_uniform" -> q249_quantile_uniform,
+    "q250_token_mass_quantiles" -> q250_token_mass_quantiles,
     "q43_fingerprint" -> q43_fingerprint,
     "q44_bpe_tokens" -> q44_bpe_tokens,
     "q64_rare_terms" -> q64_rare_terms,
@@ -2249,6 +2284,25 @@ object TextStats {
          |       CAST((2 * cb + cnt) * 10000 // (2 * n) AS BIGINT) AS u_bp
          |FROM sc JOIN c ON sc.lang = c.lang AND sc.score = c.score
          |ORDER BY doc_id""".stripMargin),
+    // the same mass histogram; quantile picked by row_number = 1 over
+    // (pct, len) — equivalent to the struct-min since len is unique
+    "q250_token_mass_quantiles" -> withDocs(
+      """, h AS (
+        |  SELECT CAST(len(words) AS BIGINT) AS len,
+        |         CAST(sum(len(words)) AS BIGINT) AS w
+        |  FROM docs WHERE len(words) > 0 GROUP BY 1),
+        |c AS (SELECT len, CAST(sum(w) OVER (ORDER BY len
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+        |      FROM h),
+        |t AS (SELECT CAST(max(cw) AS BIGINT) AS tw FROM c),
+        |q AS (SELECT p.pct, c.len, c.cw, t.tw,
+        |             row_number() OVER (PARTITION BY p.pct ORDER BY c.len) AS rn
+        |      FROM c, t, (SELECT unnest([CAST(50 AS BIGINT),
+        |                                 CAST(90 AS BIGINT),
+        |                                 CAST(99 AS BIGINT)]) AS pct) p
+        |      WHERE c.cw * 100 >= t.tw * p.pct)
+        |SELECT pct, len AS len_at, cw AS cum_tokens, tw AS total_tokens
+        |FROM q WHERE rn = 1 ORDER BY pct""".stripMargin),
     "q43_fingerprint" -> withDocs(
       """SELECT doc_id,
         |       list_aggregate(list_transform(shingles, s -> md5(s)), 'min') AS fp_minshingle,

@@ -672,6 +672,32 @@ object EventStream {
       }
   }
 
+  /** Streaming POINT-IN-TIME serving — the third rung of the SCD2
+    * family (q240 builds the dimension, [[scdTierStream]] maintains it,
+    * this serves it): arriving clicks resolve the tier version valid AT
+    * THEIR day against the STATIC dimension snapshot, the
+    * stream-static left join of [[incrementalDedupStream]]'s class.
+    * The join condition is the genuine range predicate
+    * (`valid_from ≤ day < valid_to`, open version = NULL upper bound) —
+    * at SERVE grain that is the right shape: validity ranges partition
+    * each user's timeline so every click matches ≤ 1 version, and the
+    * user_id equi-key keeps it a hash join with a residual filter
+    * (batch q241 uses the union-window composition instead because it
+    * re-derives the WHOLE history in one pass; a per-arrival lookup
+    * has no history to scan). Pre-history clicks and unknown users
+    * resolve to tier −1, exactly q241's convention — the
+    * EventStreamSpec parity test pins the streamed rollup against the
+    * gated batch rows. */
+  def pitTierStream(clicks: DataFrame, dim: DataFrame): DataFrame = {
+    val v = dim.select(col("user_id").as("v_user"), col("tier").as("v_tier"),
+      col("valid_from_day").as("vf"), col("valid_to_day").as("vt"))
+    clicks.join(v, col("user_id") === col("v_user") &&
+        col("day") >= col("vf") && (col("vt").isNull || col("day") < col("vt")),
+      "left")
+      .select(col("event_id"), col("user_id"), col("day"),
+        coalesce(col("v_tier"), lit(-1L)).as("tier"))
+  }
+
   /** Watermarked DRIFT-CELL feed — q229's streaming twin (r14 verdict
     * item 4): drift monitoring is the stream-shaped use par excellence
     * (the gate a pipeline runs before trusting the NEXT batch), and the

@@ -1540,6 +1540,37 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(viaCol == boundary.map(graft.ops.Events.tierOfCents))
   }
 
+  test("pitTierStream serves the static dimension: streamed rollup equals gated q241") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.ops.Events.events(spark, sf)
+    // the nightly dimension snapshot, exactly what q240 gates
+    val dim = graft.ops.Events.tierVersions(ev).localCheckpoint(true)
+    val clickRows = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), expr("es div 86400").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val input = MemoryStream[(Long, Long, Long)]
+    val query = EventStream.pitTierStream(
+        input.toDS().toDF("event_id", "user_id", "day"), dim)
+      .writeStream.format("memory").queryName("pitserve").outputMode("append").start()
+    try {
+      val (b1, b2) = clickRows.splitAt(clickRows.length / 2)
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+      val served = spark.table("pitserve").collect()
+      // every click answered exactly once (ranges partition the timeline)
+      assert(served.length == clickRows.length)
+      val rollup = served.groupBy(_.getAs[Long]("tier")).view
+        .mapValues(rs => (rs.length.toLong,
+          rs.map(_.getAs[Long]("user_id")).distinct.length.toLong)).toMap
+      val batch = SparkEntry.queries("q241_pit_tier_clicks")(spark, sf).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(rollup == batch, s"stream=$rollup batch=$batch")
+    } finally query.stop()
+  }
+
   test("dailySpendStream → scdTierStream composes; beyond-watermark spend drops observably") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -265,6 +265,56 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     if (theta > 0 && ximb < 0) assert(adj > raw)
   }
 
+  test("q251: the digit report replays from raw cents; the spine is densified") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q251_benford_values")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L), "all nine digits, in order")
+    val cents = Events.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select(round(col("value") * 100).cast("long").as("c"))
+      .collect().map(_.getLong(0)).filter(_ > 0)
+    val byDigit = cents.groupBy(_.toString.head.asDigit.toLong)
+      .view.mapValues(_.length.toLong).toMap
+    val total = cents.length.toLong
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val cnt = byDigit.getOrElse(d, 0L)
+      assert(r.getLong(1) == cnt, s"digit $d count")
+      assert(r.getLong(2) == cnt * 1000000L / total, s"digit $d obs")
+      assert(r.getLong(4) == math.abs(r.getLong(2) - r.getLong(3)), s"digit $d dev")
+    }
+    assert(rows.map(_.getLong(1)).sum == total, "counts partition the amounts")
+    // the literal expected shares are the Benford table: decreasing,
+    // summing to ~1e6 (floor loss < 9)
+    val exp = rows.map(_.getLong(3))
+    assert(exp.toSeq == exp.sortBy(-_).toSeq && math.abs(exp.sum - 1000000L) < 9)
+  }
+
+  test("q250: token-mass quantiles bound the count quantiles from above") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q250_token_mass_quantiles")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // driver replay from raw lengths
+    val lens = graft.ops.TextCore.docShingles(spark, sf)
+      .select(size(col("words")).cast("long").as("len")).where(col("len") > 0)
+      .collect().map(_.getLong(0)).sorted
+    val tw = lens.sum
+    Seq(50L, 90L, 99L).foreach { p =>
+      var cw = 0L
+      val at = lens.distinct.find { v =>
+        cw = lens.filter(_ <= v).sum; cw * 100 >= tw * p }.get
+      val (lenAt, cumT, totT) = got(p)
+      assert((lenAt, totT) == ((at, tw)), s"p$p")
+      assert(cumT == lens.filter(_ <= at).sum, s"p$p cum")
+      // mass quantile ≥ count quantile: token weighting shifts mass to
+      // longer docs, never shorter
+      val rank = math.ceil(p / 100.0 * lens.length).toInt
+      assert(lenAt >= lens(rank - 1), s"p$p mass vs count")
+    }
+  }
+
   test("q240: SCD2 versions tile each user's timeline with monotone tiers") {
     val sf = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q240_scd2_tier")(spark, sf).collect()

@@ -22,7 +22,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     "q190_neyman_alloc" -> "largest-remainder rank over STRATUM rows (one per market segment), bounded by the segment domain (Curation.scala q190 doc)",
     "q213_time_to_convert" -> "histQuantiles' two windows with the constant 'all' group folded partitionless: phase 1 runs over the COARSE-bucket histogram (gap domain div 10000 rows), phase 2 over one boundary bucket's distinct values — both value-domain-bounded, never the user count (Robust.histQuantiles doc)",
     "q202_user_skyline" -> "skyline2d's coarse suffix-min walk runs over one row per 10000-wide purchase-count bucket (distinct-p domain div coarseWidth rows, never the user count); the per-p window partitions by bucket with a frame hard-capped at coarseWidth rows (Robust.skyline2d doc)",
-    "q242_ab_effect_auc" -> "the doubled-rank cumulative window runs over the per-user purchase-count VALUE HISTOGRAM (one row per distinct count — bounded by max user activity, never the user count; Events.scala q242 doc)")
+    "q242_ab_effect_auc" -> "the doubled-rank cumulative window runs over the per-user purchase-count VALUE HISTOGRAM (one row per distinct count — bounded by max user activity, never the user count; Events.scala q242 doc)",
+    "q250_token_mass_quantiles" -> "the cumulative-mass window runs over the doc-LENGTH HISTOGRAM (one row per distinct n_tokens — value-domain-bounded, never the doc count; TextStats.scala q250 doc)")
 
   private def globalWindows(plan: LogicalPlan): Seq[LWindow] =
     plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
@@ -388,6 +389,13 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "q249's histogram join must stay an equi hash join")
     assert(p249.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
       .isEmpty, "q249's rank windows must stay lang-partitioned")
+    // q250's cross join is the histogram × 1-row total (kilobyte BNLJ
+    // ride); q251's are the 9-row spine × 1-row total — forbid only
+    // the both-sides-shuffled degradation
+    Seq("q250_token_mass_quantiles", "q251_benford_values").foreach { name =>
+      assert(plan(name).collect { case c: CartesianProductExec => c }.isEmpty,
+        s"$name's bounded rides must broadcast, not cartesian")
+    }
   }
 
   test("fact-to-dim joins broadcast the dim side") {
