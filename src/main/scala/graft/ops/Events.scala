@@ -517,6 +517,52 @@ object Events {
       .select("event_type", "n_days", "sum_cnt", "slope_x100")
       .orderBy("event_type")
 
+  /** q252: THEIL–SEN ROBUST TREND per event type — q208's OLS slope is
+    * the efficient estimator but one corrupted day (an outage, a
+    * backfill burst) drags it arbitrarily; the Theil–Sen slope — the
+    * MEDIAN of all pairwise day-to-day slopes — has a 29% breakdown
+    * point and is what a monitoring readout should trust first. The
+    * pairwise table is the documented calendar-bounded exception
+    * (days² per type: at 30 days that is 435 rows per type — bounded
+    * by the calendar, never by event volume), the same argument as
+    * q193's day frame. Each slope is quantized FIRST
+    * (`(Δcnt·10⁶) div Δday` — integer, exact for the unit-day spacing
+    * here), then the per-type median is the lower-median struct-min
+    * rank over the bounded pair set — no float ever compares. The
+    * report carries q208's OLS slope beside it (shared column
+    * convention, slope units ×10⁶ here vs ×100 there are documented
+    * in the names); a type where the two disagree wildly is exactly
+    * the type whose daily series deserves a look. Single-active-day
+    * types have no pairs and surface with NULL slope.
+    *
+    * Negative-slope determinism: Δcnt can be negative, and Spark `div`
+    * TRUNCATES while DuckDB `//` FLOORS — they disagree exactly on
+    * negative non-exact quotients. Both engines therefore compute
+    * floor(Δcnt·10⁶ / Δday) through a double division, which is exact
+    * here: the numerator is ≤ ~10¹⁰ (double-exact) and Δday ≤ the
+    * calendar span, so a nonzero fractional part is ≥ 1/Δday ≥ 1/31 —
+    * ten orders of magnitude above the division's ulp, so the floor
+    * can never land on the wrong side. */
+  val q252_theilsen_trend: Q = (s, d) => {
+    val daily = graft.Ckpt.persisted(events(s, d)
+      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
+      .agg(count(lit(1)).as("cnt")))
+    val a = daily.select(col("event_type"), col("day").as("da"), col("cnt").as("ca"))
+    val b = daily.select(col("event_type"), col("day").as("db"), col("cnt").as("cb"))
+    val slopes = a.join(b, Seq("event_type")).where(col("db") > col("da"))
+      .select(col("event_type"),
+        expr("CAST(floor(CAST((cb - ca) * 1000000 AS DOUBLE) / (db - da)) AS BIGINT)")
+          .as("s_e6"))
+    val w = Window.partitionBy("event_type").orderBy("s_e6")
+    slopes
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("event_type")))
+      .where(col("rn") === (col("np") + 1L) / 2L) // lower median, exact middle odd
+      .select(col("event_type"), col("np").as("n_pairs"),
+        col("s_e6").as("slope_e6_med"))
+      .orderBy("event_type")
+  }
+
   /** q193: INTERVAL-OVERLAP aggregation — which pairs of users were
     * active at the same time, and for how long, rolled up per day.
     * Each user's activity on a day collapses to one [first-event,
@@ -1342,6 +1388,7 @@ object Events {
   }
 
   val queries: Map[String, Q] = Map(
+    "q252_theilsen_trend" -> q252_theilsen_trend,
     "q251_benford_values" -> q251_benford_values,
     "q246_ab_design" -> q246_ab_design,
     "q247_cuped" -> q247_cuped,
@@ -1424,6 +1471,27 @@ object Events {
       |  FROM k WINDOW w AS (PARTITION BY user_id ORDER BY day))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the same pairwise floor-quantized slopes and lower-median rank
+    "q252_theilsen_trend" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        |dd AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM e GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |         CAST(floor(CAST((b.cnt - a.cnt) * 1000000 AS DOUBLE)
+        |                    / (b.day - a.day)) AS BIGINT) AS s_e6
+        |  FROM dd a JOIN dd b
+        |    ON a.event_type = b.event_type AND b.day > a.day),
+        |r AS (SELECT event_type, s_e6,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY s_e6) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS np
+        |      FROM p)
+        |SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+        |       s_e6 AS slope_e6_med
+        |FROM r WHERE rn = (np + 1) // 2 ORDER BY event_type""".stripMargin,
     // identical digit extraction, densified spine, literal shares
     "q251_benford_values" ->
       s"""WITH v AS (

@@ -265,6 +265,41 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     if (theta > 0 && ximb < 0) assert(adj > raw)
   }
 
+  test("q252: Theil-Sen replays from daily counts and shrugs off an injected outlier") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q252_theilsen_trend")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val daily = Events.events(spark, sf)
+      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    def theilSen(ds: Seq[(Long, Long)]): (Long, Long) = {
+      val slopes = (for {
+        Seq((da, ca), (db, cb)) <- ds.combinations(2).map(_.sortBy(_._1)).toSeq
+      } yield math.floor((cb - ca) * 1000000.0 / (db - da)).toLong).sorted
+      (slopes.length.toLong, slopes((slopes.length + 1) / 2 - 1))
+    }
+    daily.foreach { case (tp, ds) =>
+      val (np, med) = theilSen(ds)
+      assert(np == ds.length.toLong * (ds.length - 1) / 2, s"$tp pair count")
+      assert(got(tp) == ((np, med)), s"$tp")
+      // the robustness claim, demonstrated: corrupt ONE day with a 100x
+      // burst — the median slope moves by less than the OLS slope does
+      val burst = ds.updated(ds.length / 2, (ds(ds.length / 2)._1, ds(ds.length / 2)._2 * 100))
+      val (_, medB) = theilSen(burst)
+      def ols(xs: Seq[(Long, Long)]): Double = {
+        val n = xs.length.toDouble
+        val (sx, sy) = (xs.map(_._1).sum.toDouble, xs.map(_._2).sum.toDouble)
+        val sxy = xs.map { case (x, y) => x.toDouble * y }.sum
+        val sx2 = xs.map { case (x, _) => x.toDouble * x }.sum
+        (n * sxy - sx * sy) / (n * sx2 - sx * sx) * 1e6
+      }
+      assert(math.abs(medB - med) < math.abs(ols(burst) - ols(ds)), s"$tp robustness")
+    }
+  }
+
   test("q251: the digit report replays from raw cents; the spine is densified") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"

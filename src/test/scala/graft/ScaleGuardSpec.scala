@@ -396,6 +396,16 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       assert(plan(name).collect { case c: CartesianProductExec => c }.isEmpty,
         s"$name's bounded rides must broadcast, not cartesian")
     }
+    // q252: the pairwise-slope join is equi on event_type with a
+    // residual day filter over the calendar-bounded daily table; its
+    // windows are type-partitioned over the bounded pair set
+    val p252 = plan("q252_theilsen_trend")
+    assert(p252.collect {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "q252's pair join must stay a type-keyed hash join")
+    assert(p252.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      .isEmpty, "q252's median windows must stay type-partitioned")
   }
 
   test("fact-to-dim joins broadcast the dim side") {
