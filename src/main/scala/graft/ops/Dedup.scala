@@ -1620,7 +1620,56 @@ object Dedup {
                 ELSE 3 * n_triangles * 10000 div n_wedges END""").as("cc_bp"))
   }
 
+  /** The exact-order SQL expression for the banding S-curve
+    * P(candidate) = 1 − (1 − jʳ)ᵇ over a double column `j` — built by
+    * LEFT-ASSOCIATIVE chained multiplication, never `pow` (libm pow is
+    * not correctly rounded and differs across engines; IEEE multiply
+    * is exact-per-op and order-pinned by the shared text). The SAME
+    * string is evaluated by Spark and interpolated into the DuckDB
+    * oracle, so the two engines run the identical operation DAG. */
+  private def scurveSql(r: Int, b: Int): String = {
+    def chain(base: String, n: Int): String =
+      (2 to n).foldLeft(base)((acc, _) => s"($acc * $base)")
+    val q = s"(CAST(1 AS DOUBLE) - ${chain("j", r)})"
+    s"(CAST(1 AS DOUBLE) - ${chain(q, b)})"
+  }
+
+  /** q253: LSH S-CURVE CALIBRATION — q237 measures what each
+    * (bands × rows) split of the 12-hash signature RECALLS; this
+    * computes what MinHash theory says it SHOULD recall on this exact
+    * pair population: per true pair, P(candidate) = 1 − (1 − Jʳ)ᵇ with
+    * J the pair's exact inter/uni Jaccard, and the config's expected
+    * recall = mean P in basis points. Reading the two tables together
+    * answers "is the banding behaving like MinHash, or is something
+    * broken" — theory-vs-practice, the calibration a sketch family
+    * owes its operator (the q63/q237 ships-with-its-accuracy rule,
+    * extended to ships-with-its-THEORY). Determinism: J is one double
+    * division of exact integers; the S-curve is fixed-order chained
+    * multiplication ([[scurveSql]] — no `pow`, same text in both
+    * engines); each pair's P is floor(·10⁶ + ½)-quantized BEFORE
+    * summing so the aggregate is an integer sum, never an
+    * order-dependent float reduction. Scale: four constant-config
+    * passes over the vocabulary-sized pair set. */
+  lazy val q253_lsh_scurve: Q = (s, d) => {
+    val pairs = exactNearDupPairs(s, d)
+    val withJ = pairs.select(
+      (col("inter").cast("double") / col("uni").cast("double")).as("j"))
+    sweepBandCounts.map { b =>
+      val r = numHashes / b
+      withJ
+        .select(expr(s"CAST(floor(${scurveSql(r, b)} * 1000000" +
+          " + CAST(1 AS DOUBLE) / 2) AS BIGINT)").as("p_e6"))
+        .agg(count(lit(1)).as("n_true"), sum("p_e6").as("sum_pexp_e6"))
+        .select(lit(b.toLong).as("n_bands"), lit((numHashes / b).toLong).as("n_rows"),
+          col("n_true"), coalesce(col("sum_pexp_e6"), lit(0L)).as("sum_pexp_e6"),
+          expr("""CASE WHEN n_true = 0 THEN NULL
+                  ELSE coalesce(sum_pexp_e6, 0) div (n_true * 100) END""")
+            .as("expected_recall_bp"))
+    }.reduce(_ unionAll _).orderBy("n_bands")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q253_lsh_scurve" -> q253_lsh_scurve,
     "q248_incremental_components" -> q248_incremental_components,
     "q243_dup_graph_triangles" -> q243_dup_graph_triangles,
     "q183_fuzzy_entity" -> q183_fuzzy_entity,
@@ -1876,6 +1925,35 @@ object Dedup {
     .replaceFirst("^WITH ", "WITH RECURSIVE ")
 
   val oracle: Map[String, String] = Map(
+    // the identical exact-order S-curve text over the naive pair set
+    "q253_lsh_scurve" -> withDocs(
+      s""", p AS (
+         |  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh,
+         |         unnest(shingles) AS shingle
+         |  FROM docs),
+         |jc AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.n_sh AS n_a, b.n_sh AS n_b, CAST(count(*) AS BIGINT) AS inter
+         |  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |ex AS (
+         |  SELECT CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) AS j
+         |  FROM jc
+         |  WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5)
+         |${sweepBandCounts.map { b =>
+             val r = numHashes / b
+             s"""SELECT CAST($b AS BIGINT) AS n_bands, CAST($r AS BIGINT) AS n_rows,
+                |       CAST(count(*) AS BIGINT) AS n_true,
+                |       CAST(coalesce(sum(CAST(floor(${scurveSql(r, b)} * 1000000
+                |         + CAST(1 AS DOUBLE) / 2) AS BIGINT)), 0) AS BIGINT)
+                |         AS sum_pexp_e6,
+                |       CASE WHEN count(*) = 0 THEN NULL
+                |            ELSE CAST(coalesce(sum(CAST(floor(${scurveSql(r, b)} * 1000000
+                |              + CAST(1 AS DOUBLE) / 2) AS BIGINT)), 0)
+                |              // (count(*) * 100) AS BIGINT) END AS expected_recall_bp
+                |FROM ex""".stripMargin
+           }.mkString("\nUNION ALL\n")}
+         |ORDER BY n_bands""".stripMargin),
     // the same census with plain self-joins on the naive-join pair set
     "q243_dup_graph_triangles" -> withDocs(
       s""", p AS (

@@ -269,6 +269,41 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("recall_two_pass_bp") == 10000L)
   }
 
+  test("q253: the S-curve replays per pair; theory tracks q237's measured recall") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q253_lsh_scurve")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // driver replay: the same fixed-order arithmetic per pair
+    val js = SparkEntry.queries("q34_dedup_ngram_jaccard")(spark, sf).collect()
+      .map(r => r.getAs[Long]("inter").toDouble / r.getAs[Long]("uni").toDouble)
+    def chain(x: Double, n: Int): Double = (2 to n).foldLeft(x)((a, _) => a * x)
+    Seq(2, 4, 6, 12).foreach { b =>
+      val r = 12 / b
+      val sum = js.map { j =>
+        math.floor((1.0 - chain(1.0 - chain(j, r), b)) * 1e6 + 0.5).toLong
+      }.sum
+      val (n, s, bp) = got(b.toLong)
+      assert(n == js.length.toLong && s == sum && bp == sum / (n * 100), s"b=$b")
+    }
+    // monotone: more bands of fewer rows can only loosen the match
+    val exp = Seq(2L, 4L, 6L, 12L).map(got(_)._3)
+    assert(exp == exp.sorted, s"expected recall not monotone: $exp")
+    // at (12, 1) every J >= 0.5 pair has P >= 1 - 2^-12: essentially 1
+    assert(got(12L)._3 >= 9990L)
+    // theory vs practice: each config's MEASURED recall (q237) sits
+    // near its expected value — the banding behaves like MinHash. The
+    // expectation is over random hash draws and k = 12 is small, so
+    // the tolerance is honest, not tight.
+    val observed = SparkEntry.queries("q237_lsh_band_sweep")(spark, sf).collect()
+      .map(r => r.getAs[Long]("n_bands") ->
+        (r.getAs[Long]("n_found") * 10000 / math.max(r.getAs[Long]("n_exact"), 1L)))
+      .toMap
+    Seq(2L, 4L, 6L, 12L).foreach { b =>
+      assert(math.abs(observed(b) - got(b)._3) <= 2500L,
+        s"b=$b: observed ${observed(b)} vs expected ${got(b)._3}")
+    }
+  }
+
   test("q248: incremental labels equal q61's full recompute; the CC loop ran batch-sized") {
     val sf = "/root/testdata/sf0.001"
     val inc = SparkEntry.queries("q248_incremental_components")(spark, sf)

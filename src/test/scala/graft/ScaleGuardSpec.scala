@@ -396,6 +396,12 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       assert(plan(name).collect { case c: CartesianProductExec => c }.isEmpty,
         s"$name's bounded rides must broadcast, not cartesian")
     }
+    // q253: four constant-config aggregate passes over the memoized
+    // pair set — no join of any kind survives to the plan
+    assert(plan("q253_lsh_scurve").collect {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "q253 must stay pure aggregates over the pair checkpoint")
     // q252: the pairwise-slope join is equi on event_type with a
     // residual day filter over the calendar-bounded daily table; its
     // windows are type-partitioned over the bounded pair set
