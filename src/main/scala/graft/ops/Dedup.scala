@@ -1668,7 +1668,40 @@ object Dedup {
     }.reduce(_ unionAll _).orderBy("n_bands")
   }
 
+  /** q255: NEAR-DUP MATCH EXPLANATION — for each gated q34 pair, the
+    * three RAREST shared shingles (lowest corpus document frequency,
+    * shingle text as the tie-break): the audit row an operator reads
+    * before believing a match, because rare shared shingles are the
+    * evidence ("both docs contain this unusual phrase") while shared
+    * stop-shingles explain nothing. Exactly the q34 prefix-filter
+    * insight — rare shingles carry the signal — replayed as an
+    * explanation surface instead of a pruning rule, and the df column
+    * doubles as a confidence hint (df = 2 means the phrase exists
+    * NOWHERE else in the corpus). Scale shape: postings join the
+    * vocabulary-sized pair set on doc_a, the doc_b side is a semi-join
+    * on (doc, shingle), df is the q34 document-frequency table, and
+    * the top-3 window partitions by pair with per-pair groups bounded
+    * by shingle counts. */
+  lazy val q255_match_explanation: Q = (s, d) => {
+    val pairs = exactNearDupPairs(s, d).select("doc_a", "doc_b")
+    val post = docShingles(s, d)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val dfT = post.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val shared = pairs
+      .join(post.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .join(post.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"), "left_semi")
+    val w = Window.partitionBy("doc_a", "doc_b")
+      .orderBy(col("df"), col("shingle"))
+    shared.join(dfT, Seq("shingle"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("rnk"), col("shingle"), col("df"))
+      .orderBy("doc_a", "doc_b", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q255_match_explanation" -> q255_match_explanation,
     "q253_lsh_scurve" -> q253_lsh_scurve,
     "q248_incremental_components" -> q248_incremental_components,
     "q243_dup_graph_triangles" -> q243_dup_graph_triangles,
@@ -1925,6 +1958,34 @@ object Dedup {
     .replaceFirst("^WITH ", "WITH RECURSIVE ")
 
   val oracle: Map[String, String] = Map(
+    // naive pair set, list_intersect shared shingles, same (df, text) rank
+    "q255_match_explanation" -> withDocs(
+      s""", p AS (
+         |  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh,
+         |         unnest(shingles) AS shingle
+         |  FROM docs),
+         |dfreq AS (
+         |  SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+         |jc AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.n_sh AS n_a, b.n_sh AS n_b, CAST(count(*) AS BIGINT) AS inter
+         |  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |ex AS (
+         |  SELECT doc_a, doc_b FROM jc
+         |  WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5),
+         |sh AS (
+         |  SELECT e.doc_a, e.doc_b,
+         |         unnest(list_intersect(x.shingles, y.shingles)) AS shingle
+         |  FROM ex e JOIN docs x ON e.doc_a = x.doc_id
+         |            JOIN docs y ON e.doc_b = y.doc_id),
+         |r AS (
+         |  SELECT sh.doc_a, sh.doc_b, sh.shingle, d.df,
+         |         CAST(row_number() OVER (PARTITION BY sh.doc_a, sh.doc_b
+         |                                 ORDER BY d.df, sh.shingle) AS BIGINT) AS rnk
+         |  FROM sh JOIN dfreq d USING (shingle))
+         |SELECT doc_a, doc_b, rnk, shingle, df
+         |FROM r WHERE rnk <= 3 ORDER BY doc_a, doc_b, rnk""".stripMargin),
     // the identical exact-order S-curve text over the naive pair set
     "q253_lsh_scurve" -> withDocs(
       s""", p AS (

@@ -1387,7 +1387,56 @@ object Events {
       .orderBy("digit")
   }
 
+  /** q254: WILSON SCORE INTERVALS for the per-arm conversion rates —
+    * the interval estimate that belongs NEXT TO q198's point lift:
+    * the Wald interval misbehaves exactly where experiments live
+    * (small counts, rates near 0/1); Wilson stays inside [0, 1] and
+    * has honest coverage. Per arm: the 95% interval
+    * (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n), computed
+    * from integer counts in doubles with BOTH engines running the
+    * identically-written formula (one sqrt — the q174/q190
+    * correctly-rounded rule; z = 1.96 as the literal 196/100), each
+    * bound floor(·10⁴ + ½)-quantized to basis points. The `separated`
+    * flag — arm intervals disjoint — is then an INTEGER comparison,
+    * the interval analog of q198's z-gate: no float boundary decides
+    * it. Empty arms yield NULL bounds. Scale: rides q198's user-keyed
+    * aggregate into 2-row arithmetic. */
+  val q254_wilson_ci: Q = (s, d) => {
+    val users = abUsers(events(s, d))
+    val arms = users.groupBy("arm").agg(
+      count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    def bound(sign: String) = expr(
+      s"""CASE WHEN n = 0 THEN NULL
+         |ELSE CAST(floor(
+         |  ((CAST(c AS DOUBLE) / n
+         |    + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100)
+         |      / (CAST(2 AS DOUBLE) * n))
+         |   $sign (CAST(196 AS DOUBLE) / 100) * sqrt(
+         |     CAST(c AS DOUBLE) / n * (CAST(1 AS DOUBLE) - CAST(c AS DOUBLE) / n) / n
+         |     + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100)
+         |       / (CAST(4 AS DOUBLE) * n * n)))
+         |  / (CAST(1 AS DOUBLE)
+         |     + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100) / n)
+         |  * 10000 + CAST(1 AS DOUBLE) / 2) AS BIGINT) END""".stripMargin)
+    val ci = arms.select(col("arm"), col("n"), col("c"),
+      bound("-").as("lo_bp"), bound("+").as("hi_bp"))
+    // the separation flag needs both arms on one row — a 2-row pivot
+    val wide = ci.agg(
+      max(when(col("arm") === 0, col("lo_bp"))).as("lo0"),
+      max(when(col("arm") === 0, col("hi_bp"))).as("hi0"),
+      max(when(col("arm") === 1, col("lo_bp"))).as("lo1"),
+      max(when(col("arm") === 1, col("hi_bp"))).as("hi1"))
+      .select(
+        when(col("lo0").isNull || col("lo1").isNull, lit(null).cast("long"))
+          .otherwise(when(col("lo1") > col("hi0") || col("lo0") > col("hi1"), 1L)
+            .otherwise(0L)).as("separated"))
+    ci.crossJoin(broadcast(wide)) // 2-row × 1-row
+      .select("arm", "n", "c", "lo_bp", "hi_bp", "separated")
+      .orderBy("arm")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q254_wilson_ci" -> q254_wilson_ci,
     "q252_theilsen_trend" -> q252_theilsen_trend,
     "q251_benford_values" -> q251_benford_values,
     "q246_ab_design" -> q246_ab_design,
@@ -1471,6 +1520,60 @@ object Events {
       |  FROM k WINDOW w AS (PARTITION BY user_id ORDER BY day))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the q198 arm CTEs, then the identically-written Wilson formula
+    "q254_wilson_ci" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+         |                            THEN 1 ELSE 0 END) >= 14
+         |              THEN 1 ELSE 0 END AS conv
+         |  FROM events GROUP BY 1),
+         |a AS (SELECT (${graft.ops.TextCore.idBucketSql("user_id")}) % 2 AS arm,
+         |             conv FROM u),
+         |g AS (SELECT CAST(arm AS BIGINT) AS arm,
+         |             CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(conv) AS BIGINT) AS c
+         |      FROM a GROUP BY 1),
+         |ci AS (
+         |  SELECT arm, n, c,
+         |    CASE WHEN n = 0 THEN NULL
+         |    ELSE CAST(floor(
+         |      ((CAST(c AS DOUBLE) / n
+         |        + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100)
+         |          / (CAST(2 AS DOUBLE) * n))
+         |       - (CAST(196 AS DOUBLE) / 100) * sqrt(
+         |         CAST(c AS DOUBLE) / n * (CAST(1 AS DOUBLE) - CAST(c AS DOUBLE) / n) / n
+         |         + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100)
+         |           / (CAST(4 AS DOUBLE) * n * n)))
+         |      / (CAST(1 AS DOUBLE)
+         |         + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100) / n)
+         |      * 10000 + CAST(1 AS DOUBLE) / 2) AS BIGINT) END AS lo_bp,
+         |    CASE WHEN n = 0 THEN NULL
+         |    ELSE CAST(floor(
+         |      ((CAST(c AS DOUBLE) / n
+         |        + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100)
+         |          / (CAST(2 AS DOUBLE) * n))
+         |       + (CAST(196 AS DOUBLE) / 100) * sqrt(
+         |         CAST(c AS DOUBLE) / n * (CAST(1 AS DOUBLE) - CAST(c AS DOUBLE) / n) / n
+         |         + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100)
+         |           / (CAST(4 AS DOUBLE) * n * n)))
+         |      / (CAST(1 AS DOUBLE)
+         |         + (CAST(196 AS DOUBLE) / 100) * (CAST(196 AS DOUBLE) / 100) / n)
+         |      * 10000 + CAST(1 AS DOUBLE) / 2) AS BIGINT) END AS hi_bp
+         |  FROM g),
+         |w AS (
+         |  SELECT CASE WHEN max(CASE WHEN arm = 0 THEN lo_bp END) IS NULL
+         |                OR max(CASE WHEN arm = 1 THEN lo_bp END) IS NULL
+         |              THEN NULL
+         |              WHEN max(CASE WHEN arm = 1 THEN lo_bp END)
+         |                   > max(CASE WHEN arm = 0 THEN hi_bp END)
+         |                OR max(CASE WHEN arm = 0 THEN lo_bp END)
+         |                   > max(CASE WHEN arm = 1 THEN hi_bp END)
+         |              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+         |         END AS separated
+         |  FROM ci)
+         |SELECT ci.arm, ci.n, ci.c, ci.lo_bp, ci.hi_bp, w.separated
+         |FROM ci, w ORDER BY ci.arm""".stripMargin,
     // the same pairwise floor-quantized slopes and lower-median rank
     "q252_theilsen_trend" ->
       """WITH e AS (

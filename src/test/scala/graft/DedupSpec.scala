@@ -269,6 +269,40 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("recall_two_pass_bp") == 10000L)
   }
 
+  test("q255: explanations are truly shared, rarest-first, and cover every pair") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q255_match_explanation")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    val pairs = SparkEntry.queries("q34_dedup_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every gated pair gets at least one explanation row (J >= 0.5
+    // guarantees shared shingles), and no row names a non-pair
+    val byPair = rows.groupBy(r => (r._1, r._2))
+    assert(byPair.keySet == pairs)
+    val shingleSets = graft.ops.TextCore.docShingles(spark, sf)
+      .select(col("doc_id"), col("shingles")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val dfMap = shingleSets.values.toSeq.flatMap(_.toSeq)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    byPair.foreach { case ((a, b), rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length), s"($a,$b) ranks")
+      assert(sorted.length <= 3)
+      sorted.foreach { case (_, _, _, sh, df) =>
+        assert(shingleSets(a).contains(sh) && shingleSets(b).contains(sh),
+          s"($a,$b): '$sh' not shared")
+        assert(df == dfMap(sh), s"($a,$b): df of '$sh'")
+      }
+      // rarest-first: df non-decreasing along rank, and rank 1 is the
+      // global minimum df over ALL shared shingles of the pair
+      val dfs = sorted.map(_._5)
+      assert(dfs.toSeq == dfs.sorted.toSeq, s"($a,$b) not rarest-first")
+      val minShared = (shingleSets(a) & shingleSets(b)).map(dfMap).min
+      assert(dfs.head == minShared, s"($a,$b) rank-1 df")
+    }
+  }
+
   test("q253: the S-curve replays per pair; theory tracks q237's measured recall") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("q253_lsh_scurve")(spark, sf).collect()

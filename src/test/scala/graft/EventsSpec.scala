@@ -265,6 +265,31 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     if (theta > 0 && ximb < 0) assert(adj > raw)
   }
 
+  test("q254: Wilson bounds replay from arm counts and bracket the point rate") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q254_wilson_ci")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    val z = 196.0 / 100
+    rows.foreach { r =>
+      val (n, c) = (r.getLong(1), r.getLong(2))
+      val p = c.toDouble / n
+      def wilson(sign: Double) = math.floor(
+        ((p + z * z / (2.0 * n)) + sign * z *
+          math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))) /
+          (1.0 + z * z / n) * 10000 + 0.5).toLong
+      assert(r.getLong(3) == wilson(-1) && r.getLong(4) == wilson(1),
+        s"arm ${r.getLong(0)}")
+      // the interval brackets the point estimate and stays in [0, 10000]
+      val pBp = c * 10000 / n
+      assert(r.getLong(3) <= pBp && pBp <= r.getLong(4))
+      assert(r.getLong(3) >= 0 && r.getLong(4) <= 10000)
+    }
+    // the separated flag is the integer disjointness of the two rows
+    val Seq(a0, a1) = rows.sortBy(_.getLong(0)).toSeq
+    val sep = if (a1.getLong(3) > a0.getLong(4) || a0.getLong(3) > a1.getLong(4)) 1L else 0L
+    assert(rows.forall(_.getLong(5) == sep))
+  }
+
   test("q252: Theil-Sen replays from daily counts and shrugs off an injected outlier") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"

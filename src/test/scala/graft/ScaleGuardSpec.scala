@@ -396,6 +396,20 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       assert(plan(name).collect { case c: CartesianProductExec => c }.isEmpty,
         s"$name's bounded rides must broadcast, not cartesian")
     }
+    // q254: q198's aggregate into 2-row arithmetic; the only BNLJ is
+    // the 2-row × 1-row separation-flag ride
+    assert(plan("q254_wilson_ci").collect {
+      case c: CartesianProductExec => c }.isEmpty,
+      "q254's flag ride must broadcast, not cartesian")
+    // q255: postings × pair-set equi joins, a (doc, shingle) semi-join
+    // and a pair-partitioned top-3 window — no cartesian, no BNLJ
+    val p255 = plan("q255_match_explanation")
+    assert(p255.collect {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "q255 must stay equi/semi-join + pair-window shaped")
+    assert(p255.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      .isEmpty, "q255's top-3 window must stay pair-partitioned")
     // q253: four constant-config aggregate passes over the memoized
     // pair set — no join of any kind survives to the plan
     assert(plan("q253_lsh_scurve").collect {
