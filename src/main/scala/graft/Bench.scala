@@ -170,6 +170,7 @@ object Bench {
     // the file artifact keeps FULL names and the per-query medians for
     // lossless round-over-round comparison (committed as BENCH_LOCAL_r{N})
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json(short = false) + "\n")
+    Ckpt.releaseAll(spark) // session-end hook: drop every scope, all threads
     spark.stop()
     // stderr note only — rc stays 0 so the driver still records the JSON;
     // the "errors" map is the machine-readable failure marker

@@ -55,12 +55,62 @@ import scala.collection.mutable.ArrayBuffer
 private[graft] object Ckpt {
   private final case class Scope(session: SparkSession, threadId: Long)
 
-  private val live =
-    new java.util.concurrent.ConcurrentHashMap[Scope, ArrayBuffer[DataFrame]]()
+  /** A scope's frames plus a weak ref to the OWNING thread — the weak
+    * ref is what makes the r15 leak fixable: a thread-per-statement
+    * pool retires threads that never issue another statement, so their
+    * scopes' frames would otherwise sit registered forever, and a JVM
+    * that reuses a retired thread's id would alias a NEW thread into
+    * the stale scope. Holding the Thread weakly lets [[buf]] detect id
+    * reuse (same id, different Thread object → release the dead
+    * owner's frames and start fresh) and lets [[sweep]] release scopes
+    * whose owner is gone, without pinning retired threads in memory. */
+  private final class Entry(val owner: java.lang.ref.WeakReference[Thread],
+                            val frames: ArrayBuffer[DataFrame])
 
-  private def buf(s: SparkSession): ArrayBuffer[DataFrame] =
-    live.computeIfAbsent(Scope(s, Thread.currentThread().getId),
-      _ => ArrayBuffer.empty[DataFrame])
+  private val live =
+    new java.util.concurrent.ConcurrentHashMap[Scope, Entry]()
+
+  private def release(b: ArrayBuffer[DataFrame]): Unit =
+    b.synchronized { b.foreach(_.unpersist(false)); b.clear() }
+
+  private def buf(s: SparkSession): ArrayBuffer[DataFrame] = {
+    val t = Thread.currentThread()
+    val e = live.compute(Scope(s, t.getId), (_, old) =>
+      if (old != null && (old.owner.get eq t)) old
+      else {
+        // a reused thread id: the previous owner is dead, its frames
+        // unreachable by its own beginQuery — release them here
+        if (old != null) release(old.frames)
+        new Entry(new java.lang.ref.WeakReference(t), ArrayBuffer.empty)
+      })
+    e.frames
+  }
+
+  /** Release scopes on `s` whose owning thread has exited (pooled
+    * executor rotation) — their frames can never be released by their
+    * own next `beginQuery`, so each live thread's begin sweeps for the
+    * session. O(#scopes on the session), driver-side bookkeeping only. */
+  private def sweep(s: SparkSession): Unit = {
+    val it = live.entrySet().iterator()
+    while (it.hasNext) {
+      val en = it.next()
+      if (en.getKey.session eq s) {
+        val owner = en.getValue.owner.get
+        if (owner == null || !owner.isAlive) { release(en.getValue.frames); it.remove() }
+      }
+    }
+  }
+
+  /** Session-wide release — every scope on `s`, every thread. Call on
+    * session close or at the end of a bench/suite run; the Thrift
+    * analog is the connection-close hook. */
+  def releaseAll(s: SparkSession): Unit = {
+    val it = live.entrySet().iterator()
+    while (it.hasNext) {
+      val en = it.next()
+      if (en.getKey.session eq s) { release(en.getValue.frames); it.remove() }
+    }
+  }
 
   /** Eager local checkpoint whose blocks are released when the next
     * top-level query on this session begins. */
@@ -96,7 +146,7 @@ private[graft] object Ckpt {
     * scoping by thread means a concurrent statement on another
     * connection thread keeps its frames (CkptSpec pins both). */
   def beginQuery(s: SparkSession): Unit = {
-    val b = buf(s)
-    b.synchronized { b.foreach(_.unpersist(false)); b.clear() }
+    release(buf(s))
+    sweep(s)
   }
 }

@@ -489,8 +489,14 @@ object Dedup {
   /** Session-memoized component labels over the verified q32 pair set —
     * the q61 RESULT, shared by its derived consumers (q81/q86) under the
     * same policy as [[memoPairs]]: the primary query (q61) always builds
-    * its labels fresh so its bench median stays honest; consumers read the
-    * materialized (pair-set-sized) label table. */
+    * its labels fresh so its bench median stays honest; consumers read
+    * the materialized label table. Scale note: the label table is the
+    * dup-graph NODE set, and at web-crawl dup rates that is a constant
+    * FRACTION of the corpus (20–50% of documents near-duplicate
+    * something) — linear in corpus size, NOT a bounded table. Consumers
+    * therefore join it with NO broadcast hint: AQE elects broadcast
+    * while the map is genuinely small and falls back to a shuffled hash
+    * join when it is not (the r15 q215 lesson, applied here in r16). */
   private[ops] def memoLabels(s: SparkSession, d: String): DataFrame =
     graft.SessionMemo(s, d, "cc:q32") {
       val pairs = memoPairs(s, d, "q32")(
@@ -501,9 +507,9 @@ object Dedup {
 
   lazy val q81_cluster_reps: Q = (s, d) => {
     val sizes = docShingles(s, d).select(col("doc_id"), col("n_chars"))
-    // labels are pair-graph-sized (near-dups only) — broadcast them so the
-    // corpus side never shuffles for this join
-    val labeled = broadcast(memoLabels(s, d)).join(sizes, "doc_id")
+    // no broadcast hint: the label table is corpus-fraction-sized at
+    // crawl dup rates (see memoLabels) — AQE elects the join strategy
+    val labeled = memoLabels(s, d).join(sizes, "doc_id")
     val w = Window.partitionBy("component_id")
       .orderBy(col("n_chars").desc, col("doc_id").asc)
     labeled
@@ -994,13 +1000,15 @@ object Dedup {
     * plus two audit columns — clusters straddling splits under the naive
     * doc-level hash (nonzero = the leak this operator exists to prevent)
     * and under the cluster-level hash (zero by construction; the oracle
-    * gate proves it, not just asserts it). Scale shape: the label table is
-    * pair-graph-sized (broadcastable); everything else is the q70 shape. */
+    * gate proves it, not just asserts it). Scale shape: the label table
+    * is corpus-fraction-sized at crawl dup rates (see [[memoLabels]]),
+    * so the join carries no hint — AQE elects; everything else is the
+    * q70 shape. */
   lazy val q86_leakage_safe_split: Q = (s, d) => {
     def splitOf(b: Column): Column =
       when(b < 80, "train").when(b < 90, "val").otherwise("test")
     val labeled = docShingles(s, d).select(col("doc_id"))
-      .join(broadcast(memoLabels(s, d)), Seq("doc_id"), "left")
+      .join(memoLabels(s, d), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("component_id"), col("doc_id")))
       .withColumn("doc_split", splitOf(idBucket(col("doc_id"))))
       .withColumn("cl_split", splitOf(idBucket(col("cluster_id"))))

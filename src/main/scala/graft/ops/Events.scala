@@ -543,10 +543,16 @@ object Events {
     * calendar span, so a nonzero fractional part is ≥ 1/Δday ≥ 1/31 —
     * ten orders of magnitude above the division's ulp, so the floor
     * can never land on the wrong side. */
-  val q252_theilsen_trend: Q = (s, d) => {
-    val daily = graft.Ckpt.persisted(events(s, d)
+  val q252_theilsen_trend: Q = (s, d) =>
+    theilSenFromDaily(graft.Ckpt.persisted(events(s, d)
       .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
-      .agg(count(lit(1)).as("cnt")))
+      .agg(count(lit(1)).as("cnt"))))
+
+  /** q252's core over a prepared (`event_type`, `day`, `cnt`) frame —
+    * factored so the spec can pin the lower-median rank on synthetic
+    * EVEN pair counts (4 days → 6 pairs), the case the corpus fixture
+    * happens not to exercise. */
+  private[graft] def theilSenFromDaily(daily: DataFrame): DataFrame = {
     val a = daily.select(col("event_type"), col("day").as("da"), col("cnt").as("ca"))
     val b = daily.select(col("event_type"), col("day").as("db"), col("cnt").as("cb"))
     val slopes = a.join(b, Seq("event_type")).where(col("db") > col("da"))
@@ -557,7 +563,12 @@ object Events {
     slopes
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("np", count(lit(1)).over(Window.partitionBy("event_type")))
-      .where(col("rn") === (col("np") + 1L) / 2L) // lower median, exact middle odd
+      // lower median via INTEGER division — Column `/` is double
+      // division, so an even pair count would make (np+1)/2 = x.5 and
+      // match no row (the type silently vanishes while DuckDB's
+      // integer `//` emits the lower median). `div` truncates = floors
+      // here (both operands positive), matching the oracle's `//`.
+      .where(col("rn") === expr("(np + 1L) div 2L"))
       .select(col("event_type"), col("np").as("n_pairs"),
         col("s_e6").as("slope_e6_med"))
       .orderBy("event_type")
@@ -1281,10 +1292,12 @@ object Events {
     * Δ_adj = Δ_raw − θ·(x̄₁ − x̄₀) with θ = cov(x,y)/var(x) removes the
     * luck-of-the-draw imbalance the raw difference carries. The
     * moments are EXACT integers (covN = n·Σxy − Σx·Σy etc., lifted to
-    * DECIMAL(38,0) where squares overflow), the variance-reduction
-    * fraction ρ² = covN²/(varN·varYN) is an exact integer basis-point
-    * cross-multiplication, and only θ and the two lifts run in doubles
-    * — written in the identical operation order in both engines and
+    * DECIMAL(38,0) where squares overflow), while the variance-reduction
+    * fraction ρ² = covN²/(varN·varYN), θ and the two lifts run in
+    * doubles — ρ² because its exact cross-multiplication squares covN
+    * and overflows even DECIMAL(38,0) at 100 TB moments (r16 fix; see
+    * the inline note) — all written in the identical operation order in
+    * both engines and
     * quantized by the q198 floor(x·10⁶ + 0.5) rule, so no gated value
     * rides float formatting. Degenerate variance (all users identical
     * in x or y) yields NULLs. Scale: one user-keyed aggregate over the
@@ -1315,9 +1328,18 @@ object Events {
     .withColumn("varyn", expr(
       "CAST(n AS DECIMAL(38, 0)) * syy - CAST(sy AS DECIMAL(38, 0)) * sy"))
     .select(col("n0"), col("n1"),
+      // rho² runs through DOUBLES in the identical operation order in
+      // both engines (the theta path's convention) — the r15 exact form
+      // `covn * covn * 10000` overflows DECIMAL(38,0) once covn > 1e17
+      // (covn ~ n·Σxy reaches ~1e20 at the 100 TB scale this targets;
+      // its square ~1e41 > 1e38), where Spark yields a silent NULL and
+      // DuckDB raises — a cross-engine fork. Doubles never overflow
+      // here and the two engines' IEEE ops agree bit-for-bit; the bp
+      // quantization absorbs the ~4-ulp rounding.
       expr("""CASE WHEN varn = 0 OR varyn = 0 THEN NULL
-              ELSE CAST(floor((covn * covn * 10000) / (varn * varyn))
-                   AS BIGINT) END""").as("rho2_bp"),
+              ELSE CAST(floor(CAST(covn AS DOUBLE) / CAST(varn AS DOUBLE)
+                              * CAST(covn AS DOUBLE) / CAST(varyn AS DOUBLE)
+                              * 10000) AS BIGINT) END""").as("rho2_bp"),
       expr("""CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
               ELSE CAST(floor((CAST(sy1 AS DOUBLE) / n1
                                - CAST(sy0 AS DOUBLE) / n0) * 1000000
@@ -1697,7 +1719,9 @@ object Events {
          |  FROM m)
          |SELECT n0, n1,
          |       CASE WHEN varn = 0 OR varyn = 0 THEN NULL
-         |            ELSE CAST((covn * covn * 10000) // (varn * varyn) AS BIGINT)
+         |            ELSE CAST(floor(CAST(covn AS DOUBLE) / CAST(varn AS DOUBLE)
+         |                            * CAST(covn AS DOUBLE) / CAST(varyn AS DOUBLE)
+         |                            * 10000) AS BIGINT)
          |       END AS rho2_bp,
          |       CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
          |            ELSE CAST(floor((CAST(sy1 AS DOUBLE) / n1

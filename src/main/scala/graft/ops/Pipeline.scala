@@ -210,7 +210,9 @@ object Pipeline {
     val base = TextStats.withQuality(docShingles(s, d))
       .withColumn("fp", md5(col("norm")))
       .withColumn("rn", row_number().over(w))
-      .join(broadcast(Dedup.memoLabels(s, d)), Seq("doc_id"), "left")
+      // no broadcast hint: labels are corpus-fraction-sized at crawl
+      // dup rates (Dedup.memoLabels) — AQE elects the join strategy
+      .join(Dedup.memoLabels(s, d), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("component_id"), col("doc_id")))
     val s2 = col("rn") === 1
     val s3 = s2 && col("cluster_id") === col("doc_id")
@@ -231,16 +233,16 @@ object Pipeline {
     * a data owner can ask "why is my document missing from the
     * training set" and get an answer with a pointer — and summing it
     * by stage reproduces q87's funnel by construction. Scale shape:
-    * both per-fp windows share ONE fp-keyed shuffle; the cluster
-    * labels ride the memoized broadcast every funnel consumer uses;
-    * no new corpus pass. */
+    * both per-fp windows share ONE fp-keyed shuffle; the cluster-label
+    * join carries no hint (labels are corpus-fraction-sized at crawl
+    * dup rates — Dedup.memoLabels; AQE elects); no new corpus pass. */
   val q232_doc_lineage: Q = (s, d) => {
     val wfp = Window.partitionBy("fp")
     val base = TextStats.withQuality(docShingles(s, d))
       .withColumn("fp", md5(col("norm")))
       .withColumn("rn", row_number().over(wfp.orderBy("doc_id")))
       .withColumn("fp_keeper", min("doc_id").over(wfp))
-      .join(broadcast(Dedup.memoLabels(s, d)), Seq("doc_id"), "left")
+      .join(Dedup.memoLabels(s, d), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("component_id"), col("doc_id")))
     base.select(col("doc_id"),
         when(col("rn") =!= 1, lit("exact_dup"))
@@ -272,7 +274,7 @@ object Pipeline {
       .withColumn("split",
         when(b < 80, "train").when(b < 90, "val").otherwise("test"))
       .withColumn("fp", md5(col("norm")))
-      .join(broadcast(Dedup.memoLabels(s, d)), Seq("doc_id"), "left")
+      .join(Dedup.memoLabels(s, d), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("component_id"), col("doc_id")))
       .withColumn("rn",
         row_number().over(Window.partitionBy("split", "fp").orderBy("doc_id")))

@@ -64,4 +64,50 @@ class CkptSpec extends AnyFunSuite with SparkTestBase {
     assert(df.storageLevel == StorageLevel.NONE,
       "next statement on the same (session, thread) scope releases the previous frames")
   }
+
+  test("a retired thread's frames are swept by the next beginQuery on any thread (r15 leak)") {
+    import spark.implicits._
+    // thread-per-statement pool: the thread registers a frame, returns
+    // the result, and EXITS without ever issuing another statement — the
+    // r15 leak. A later beginQuery on a different live thread must sweep
+    // the dead scope.
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val orphan = try pool.submit(() => {
+      Ckpt.beginQuery(spark)
+      val df = Ckpt.persisted(Seq(7L).toDF("v"))
+      df.count()
+      df
+    }).get() finally pool.shutdown()
+    assert(pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS))
+    assert(orphan.storageLevel != StorageLevel.NONE, "precondition: orphan persisted")
+    // give the pool thread a beat to actually exit after shutdown
+    val deadline = System.nanoTime() + 5_000_000_000L
+    Ckpt.beginQuery(spark) // this thread's own scope; sweep runs too
+    while (orphan.storageLevel != StorageLevel.NONE && System.nanoTime() < deadline) {
+      Thread.sleep(50); Ckpt.beginQuery(spark)
+    }
+    assert(orphan.storageLevel == StorageLevel.NONE,
+      "sweep must release frames registered by a thread that has exited")
+  }
+
+  test("releaseAll releases every scope on the session, live threads included") {
+    import spark.implicits._
+    Ckpt.beginQuery(spark)
+    val mine = Ckpt.persisted(Seq(1L).toDF("v"))
+    mine.count()
+    val connB = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val theirs = try connB.submit(() => {
+      Ckpt.beginQuery(spark)
+      val df = Ckpt.persisted(Seq(2L).toDF("w"))
+      df.count()
+      df
+    }).get() finally ()
+    try {
+      assert(mine.storageLevel != StorageLevel.NONE)
+      assert(theirs.storageLevel != StorageLevel.NONE)
+      Ckpt.releaseAll(spark)
+      assert(mine.storageLevel == StorageLevel.NONE, "releaseAll must clear this thread's scope")
+      assert(theirs.storageLevel == StorageLevel.NONE, "releaseAll must clear other live threads' scopes")
+    } finally connB.shutdown()
+  }
 }

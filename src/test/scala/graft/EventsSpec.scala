@@ -325,6 +325,27 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q252: even pair counts select the lower median (no vanishing type)") {
+    // 4 days -> 6 pairs (EVEN): the r15 bug made (np+1)/2 a double 3.5
+    // and the type silently vanished. Pin both parities explicitly.
+    import spark.implicits._
+    val daily = Seq(
+      ("even4", 0L, 10L), ("even4", 1L, 20L), ("even4", 2L, 15L), ("even4", 3L, 40L),
+      ("odd3", 0L, 5L), ("odd3", 1L, 9L), ("odd3", 2L, 6L))
+      .toDF("event_type", "day", "cnt")
+    val got = Events.theilSenFromDaily(daily).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def med(ds: Seq[(Long, Long)]): (Long, Long) = {
+      val ss = ds.combinations(2).map(_.sortBy(_._1)).map { case Seq((da, ca), (db, cb)) =>
+        math.floor((cb - ca) * 1000000.0 / (db - da)).toLong
+      }.toSeq.sorted
+      (ss.length.toLong, ss((ss.length + 1) / 2 - 1))
+    }
+    assert(got.keySet == Set("even4", "odd3"), "a parity must not drop a type")
+    assert(got("even4") == med(Seq((0L, 10L), (1L, 20L), (2L, 15L), (3L, 40L))))
+    assert(got("odd3") == med(Seq((0L, 5L), (1L, 9L), (2L, 6L))))
+  }
+
   test("q251: the digit report replays from raw cents; the spine is densified") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"

@@ -442,15 +442,34 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "expected the part-dim join to be a broadcast hash join")
   }
 
-  test("q86's component-label join broadcasts the label side") {
-    // The label table is pair-graph-sized by construction (near-dup nodes
-    // only); q86's correctness would survive a sort-merge join, but the
-    // 100 TB story depends on the corpus side NOT shuffling for it — pin
-    // the broadcast on the plan, not in a comment.
-    val tree = SparkEntry.queries("q86_leakage_safe_split")(spark, sfDir)
-      .queryExecution.sparkPlan.treeString
-    assert(tree.contains("BroadcastHashJoin"),
-      "expected the component-label join to be a broadcast hash join")
+  test("component-label joins carry NO forced broadcast hint; AQE elects") {
+    // r15 verdict weak item: the dup-graph node set is a constant
+    // FRACTION of the corpus at crawl dup rates (20–50% of documents),
+    // so a forced broadcast(memoLabels) hint would ship a multi-GB
+    // table past AQE's size check at 100 TB. Contract pinned here:
+    // (a) the analyzed plan of every label-map consumer contains zero
+    //     ResolvedHint nodes — the join strategy is AQE's to elect;
+    // (b) at gate scale, where the label map genuinely IS small, AQE
+    //     still elects a broadcast hash join — dropping the hint cost
+    //     nothing here and saves the 100× case.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val consumers = Seq("q81_cluster_reps", "q86_leakage_safe_split",
+      "q87_curation_funnel", "q100_split_funnel", "q232_doc_lineage")
+    // A hint is illegal when its subtree carries the label map (its
+    // output includes component_id); q86's 1-row broadcast(straddle)
+    // audit ride is the documented bounded exception and stays.
+    consumers.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val labelHints = df.queryExecution.analyzed.collect {
+        case h: ResolvedHint if h.output.exists(_.name == "component_id") => h
+      }
+      assert(labelHints.isEmpty, s"$name must not force the label-map join by hint")
+    }
+    // (b) on one exemplar: execute, then read the AQE-finalized plan
+    val df86 = SparkEntry.queries("q86_leakage_safe_split")(spark, sfDir)
+    df86.collect()
+    assert(df86.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "at gate scale AQE should still elect broadcast for the small label map")
   }
 
   test("per-key top-k rank filters plan with WindowGroupLimit") {
