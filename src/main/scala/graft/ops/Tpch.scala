@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampType}
 import graft.etl.Star.{round2, round2Sql}
@@ -272,11 +273,10 @@ object Tpch {
   }
 
   // ---- r14: the remaining TPC-H queries expressible over this
-  // corpus's seven tables. Q2/Q9/Q11/Q16/Q20 need partsupp, which the
-  // driver data does not ship — documented exclusion, not a gap in
-  // operator coverage (their shapes — scalar-min correlated subquery,
-  // grouped HAVING vs a global scalar, NOT-IN anti-join — all appear
-  // in the queries below or elsewhere in the suite).
+  // corpus's seven tables. (r16: Q2/Q9/Q11/Q16/Q20 — which need
+  // partsupp, a table the driver data does not ship — are now gated
+  // end-to-end over the DERIVED partsupp below, retiring the r14/r15
+  // shape-coverage argument: TPC-H coverage is 22 of 22.)
 
   private val q4Lo = "TIMESTAMP_NTZ '1996-07-01 00:00:00'"
   private val q4Hi = "TIMESTAMP_NTZ '1996-10-01 00:00:00'"
@@ -554,6 +554,231 @@ object Tpch {
       .orderBy("cntrycode")
   }
 
+  // ---- r16: the five queries previously excluded for the missing
+  // partsupp table, now gated end-to-end over a DERIVED partsupp.
+
+  /** Derived PARTSUPP — the one TPC-H table the driver corpus does not
+    * ship, synthesized deterministically at (l_partkey, l_suppkey)
+    * grain from lineitem so Q2/Q9/Q11/Q16/Q20 gate their ACTUAL nested
+    * shapes end-to-end instead of arguing shape coverage (SURVEY §8,
+    * retired in r16). One row per pair that ever traded; the two spec
+    * columns are md5-derived by the documented house hex-prefix trick
+    * (TextCore.idBucket's), so BOTH engines rebuild the identical
+    * table from the identical parquet bytes:
+    *   ps_availqty     = 1 + hex(md5(key)[1..4])  % 9999   (spec 1..9999)
+    *   ps_supplycost_c = 1 + hex(md5(key)[5..8]) % 100000  (cents ≤ $1000)
+    * with key = partkey || '_' || suppkey. Hash-derived rather than
+    * aggregate-derived on purpose: availqty INDEPENDENT of the pair's
+    * own demand keeps Q20's availqty-vs-shipped threshold genuinely
+    * selective, and supplycost varying across a part's suppliers keeps
+    * Q2's min-cost subquery discriminating. Scale: one distinct
+    * (part, supp) aggregate over lineitem — the same shuffle grain
+    * loading the real table would cost. */
+  private[graft] def partsupp(s: SparkSession, d: String): DataFrame = {
+    val key = concat(col("ps_partkey").cast("string"), lit("_"),
+      col("ps_suppkey").cast("string"))
+    s.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_availqty", lit(1L) +
+        pmod(conv(substring(md5(key), 1, 4), 16, 10).cast("long"), lit(9999L)))
+      .withColumn("ps_supplycost_c", lit(1L) +
+        pmod(conv(substring(md5(key), 5, 4), 16, 10).cast("long"), lit(100000L)))
+  }
+
+  /** The oracle-side replay of [[partsupp]], shared by all five
+    * consumers so the derivation exists exactly once per engine. */
+  // NOTE: this string is interpolated into oracle SQL literals that
+  // call .stripMargin AFTER interpolation, so no line here may begin
+  // with whitespace + '|' — keep every `||` at end-of-line.
+  private val psCte: String =
+    """ps AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |         1 + CAST('0x' || substr(md5(CAST(ps_partkey AS VARCHAR) || '_' ||
+      |             CAST(ps_suppkey AS VARCHAR)), 1, 4) AS BIGINT) % 9999
+      |           AS ps_availqty,
+      |         1 + CAST('0x' || substr(md5(CAST(ps_partkey AS VARCHAR) || '_' ||
+      |             CAST(ps_suppkey AS VARCHAR)), 5, 4) AS BIGINT) % 100000
+      |           AS ps_supplycost_c
+      |  FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+      |               l_suppkey AS ps_suppkey FROM lineitem))""".stripMargin
+
+  /** q256: TPC-H Q2 — min-cost supplier: for each STANDARD-type size-15
+    * part, the EUROPE supplier(s) quoting the minimum ps_supplycost,
+    * ordered by account balance. Adaptations from spec rev 2.18 §B.2,
+    * each forced by the corpus schema: p_type is a single word here so
+    * the spec's `LIKE '%BRASS'` suffix match becomes equality on
+    * 'STANDARD'; the output's p_mfgr/s_address/s_phone/s_comment
+    * columns don't exist, so the report carries the keys and balance,
+    * with (p_partkey, s_suppkey) completing the deterministic total
+    * order. The spec's correlated scalar-MIN subquery is decorrelated
+    * to a per-part MIN window over the SAME region-filtered frame —
+    * one partkey shuffle, no self-join, no second scan — while the
+    * oracle states the correlated form verbatim, so the gate proves
+    * the decorrelation. Scale: supplier⋈nation⋈region is a broadcast
+    * probe; partsupp flows through one hash partition by partkey. */
+  val q256_tpch_q2: Q = (s, d) => {
+    val sup = broadcast(s.read.parquet(s"$d/supplier.parquet")
+      .join(s.read.parquet(s"$d/nation.parquet"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(s.read.parquet(s"$d/region.parquet").where(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        round(col("s_acctbal") * 100).cast("long").as("s_acctbal_c")))
+    val prt = s.read.parquet(s"$d/part.parquet")
+      .where(col("p_size") === 15 && col("p_type") === "STANDARD")
+      .select("p_partkey")
+    val eligible = partsupp(s, d)
+      .join(sup, col("ps_suppkey") === col("s_suppkey"))
+      .join(prt, col("ps_partkey") === col("p_partkey"))
+    eligible
+      .withColumn("min_cost_c",
+        min("ps_supplycost_c").over(Window.partitionBy("ps_partkey")))
+      .where(col("ps_supplycost_c") === col("min_cost_c"))
+      .select(col("s_acctbal_c"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("s_suppkey"),
+        col("ps_supplycost_c").as("cost_c"))
+      .orderBy(col("s_acctbal_c").desc, col("n_name").asc, col("s_name").asc,
+        col("p_partkey").asc, col("s_suppkey").asc)
+      .limit(100)
+  }
+
+  /** q257: TPC-H Q9 — product-type profit: for every lineitem whose
+    * part name contains 'red' (spec: '%green%'; same two-word name
+    * grammar), profit = disc_price − supplycost·qty, aggregated at
+    * (supplier nation, order year) grain. All-integer money: the
+    * per-row truncated disc_price_c minus the exact supplycost_c·qty.
+    * Scale shape: part-name filter reaches the part scan and prunes
+    * lineitem through an equi-join BEFORE the (partkey, suppkey) join
+    * against partsupp (both corpus-sized → shuffle hash join, AQE
+    * elects); supplier⋈nation broadcasts; the orders join brings the
+    * year; final agg is 25 nations × ~7 years. */
+  val q257_tpch_q9: Q = (s, d) => {
+    val li = lineitem(s, d)
+      .join(s.read.parquet(s"$d/part.parquet")
+        .where(col("p_name").like("%red%")).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .join(partsupp(s, d),
+        col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+      .join(broadcast(s.read.parquet(s"$d/supplier.parquet")
+          .join(s.read.parquet(s"$d/nation.parquet"),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "n_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(s.read.parquet(s"$d/orders.parquet")
+          .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+    li.withColumn("profit_c",
+        col("disc_price_c") - col("ps_supplycost_c") * col("qty"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(sum("profit_c").as("sum_profit_c"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
+  /** q258: TPC-H Q11 — important stock: the value (supplycost·availqty)
+    * held by EUROPE suppliers per part, keeping parts whose value
+    * exceeds TWICE the average per-part value (spec: nation GERMANY,
+    * fraction 0.0001/SF of the total — the spec scales its fraction by
+    * 1/SF precisely because a FLAT fraction empties as the part count
+    * grows, so the scale-free analog compares against the mean; same
+    * grouped-HAVING-vs-global-scalar shape; region EUROPE keeps the
+    * probe non-empty at every driver scale). The threshold is the
+    * exact integer cross-multiplication sum_part·n_parts > 2·total
+    * with the sums lifted to DECIMAL(38,0) — at 100 TB the grand total
+    * of cost·qty products (each ≤ 10⁹) over ~10¹⁰ pairs passes int64.
+    * Scale: one partkey aggregate; the 1-row total+count rides a
+    * broadcast cross join (the q224 pattern). */
+  val q258_tpch_q11: Q = (s, d) => {
+    val sup = broadcast(s.read.parquet(s"$d/supplier.parquet")
+      .join(s.read.parquet(s"$d/nation.parquet"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(s.read.parquet(s"$d/region.parquet").where(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey"))
+    val held = partsupp(s, d)
+      .join(sup, col("ps_suppkey") === col("s_suppkey"))
+      .withColumn("value_c",
+        (col("ps_supplycost_c") * col("ps_availqty")).cast("decimal(38,0)"))
+    val perPart = held.groupBy("ps_partkey")
+      .agg(sum("value_c").as("value_dec"))
+    perPart
+      .crossJoin(broadcast(perPart.agg(sum("value_dec").as("total_dec"),
+        count(lit(1)).as("n_parts"))))
+      .where(col("value_dec") * col("n_parts") > col("total_dec") * 2)
+      .select(col("ps_partkey"), col("value_dec").cast("long").as("value_c"))
+      .orderBy(col("value_c").desc, col("ps_partkey").asc)
+  }
+
+  /** q259: TPC-H Q16 — supplier-part counts: distinct suppliers able to
+    * supply each (brand, type, size) bucket over the spec's 8-size
+    * IN-list, excluding Brand#1 / PROMO parts and excluding suppliers
+    * on the complaints list — adapted to `s_acctbal < 0` because the
+    * corpus ships no s_comment (the spec's `LIKE '%Customer%
+    * Complaints%'`); the exclusion is the same NOT-IN → broadcast
+    * left-anti shape (an EMPTY exclusion list at sf0.001 is fine —
+    * anti-join of nothing drops nothing, and the oracle replays it).
+    * Scale: part-side filters reach the scan; the partsupp⋈part join
+    * shuffles on partkey; countDistinct at the composite grain. */
+  val q259_tpch_q16: Q = (s, d) => {
+    val prt = s.read.parquet(s"$d/part.parquet")
+      .where(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 9, 15, 22, 30, 38, 44, 50))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val complaints = s.read.parquet(s"$d/supplier.parquet")
+      .where(col("s_acctbal") < 0).select(col("s_suppkey").as("ps_suppkey"))
+    partsupp(s, d)
+      .join(broadcast(complaints), Seq("ps_suppkey"), "left_anti")
+      .join(prt, col("ps_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("ps_suppkey").as("supplier_cnt"))
+      .select(col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"), col("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+  }
+
+  private val q20Lo = "TIMESTAMP_NTZ '1996-01-01 00:00:00'"
+  private val q20Hi = "TIMESTAMP_NTZ '1997-01-01 00:00:00'"
+
+  /** q260: TPC-H Q20 — excess stock: ASIA suppliers (spec: CANADA;
+    * region keeps the probe non-empty at sf0.001) holding, for some
+    * 'small'-named part (spec: 'forest%'), stock above half of what
+    * that (part, supplier) pair shipped in 1996. The spec's nested
+    * semi-join chain — suppliers ⊃ partsupp ⊃ parts, with a correlated
+    * per-pair shipped-qty subquery — decorrelates to: the 1996
+    * lineitem aggregate at (partkey, suppkey) grain, INNER-joined to
+    * partsupp (the spec's NULL-compares-false semantics for pairs with
+    * no 1996 shipments, exactly), a part-name semi-join, the integer
+    * cross-multiplied threshold availqty·2 > shipped, then one
+    * LEFT SEMI onto suppliers. The oracle states the correlated
+    * IN-chain verbatim, so the gate proves the whole decorrelation.
+    * Scale: every join is equi on (part, supp) or suppkey; the name
+    * filter reaches the part scan; no row ever multiplies. */
+  val q260_tpch_q20: Q = (s, d) => {
+    val shipped = s.read.parquet(s"$d/lineitem.parquet")
+      .where(expr(s"l_shipdate >= $q20Lo") && expr(s"l_shipdate < $q20Hi"))
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("shipped_qty"))
+    val smallParts = s.read.parquet(s"$d/part.parquet")
+      .where(col("p_name").like("small%"))
+      .select(col("p_partkey").as("ps_partkey"))
+    val excess = partsupp(s, d)
+      .join(smallParts, Seq("ps_partkey"), "left_semi")
+      .join(shipped, Seq("ps_partkey", "ps_suppkey"))
+      .where(col("ps_availqty") * 2 > col("shipped_qty"))
+      .select(col("ps_suppkey").as("s_suppkey")).distinct()
+    s.read.parquet(s"$d/supplier.parquet")
+      .join(broadcast(s.read.parquet(s"$d/nation.parquet")
+          .join(s.read.parquet(s"$d/region.parquet").where(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .join(excess, Seq("s_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_name").asc, col("s_suppkey").asc)
+  }
+
   val queries: Map[String, Q] = Map(
     "q203_tpch_q1" -> q203_tpch_q1,
     "q204_tpch_q3" -> q204_tpch_q3,
@@ -571,7 +796,12 @@ object Tpch {
     "q224_tpch_q15" -> q224_tpch_q15,
     "q225_tpch_q17" -> q225_tpch_q17,
     "q226_tpch_q19" -> q226_tpch_q19,
-    "q227_tpch_q22" -> q227_tpch_q22)
+    "q227_tpch_q22" -> q227_tpch_q22,
+    "q256_tpch_q2" -> q256_tpch_q2,
+    "q257_tpch_q9" -> q257_tpch_q9,
+    "q258_tpch_q11" -> q258_tpch_q11,
+    "q259_tpch_q16" -> q259_tpch_q16,
+    "q260_tpch_q20" -> q260_tpch_q20)
 
   val oracle: Map[String, String] = Map(
     // the same quantization, cutoffs and single-division averages
@@ -844,6 +1074,97 @@ object Tpch {
          |      AND o_orderdate >= ${q22Cut.stripPrefix("TIMESTAMP_NTZ ")}::TIMESTAMP)
          |GROUP BY c_nationkey
          |ORDER BY cntrycode""".stripMargin,
+    // Q2 stated in the spec's CORRELATED scalar-MIN form — the gated
+    // query decorrelates it to a per-part window; the gate proves the
+    // equivalence end-to-end
+    "q256_tpch_q2" ->
+      s"""WITH $psCte,
+         |sup AS (
+         |  SELECT s_suppkey, s_name, n_name,
+         |         CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c
+         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'EUROPE')
+         |SELECT s_acctbal_c, s_name, n_name, p_partkey, s_suppkey,
+         |       ps_supplycost_c AS cost_c
+         |FROM ps JOIN sup ON ps_suppkey = s_suppkey
+         |JOIN part ON ps_partkey = p_partkey
+         |WHERE p_size = 15 AND p_type = 'STANDARD'
+         |  AND ps_supplycost_c = (
+         |    SELECT min(ps2.ps_supplycost_c)
+         |    FROM ps ps2 JOIN sup s2 ON ps2.ps_suppkey = s2.s_suppkey
+         |    WHERE ps2.ps_partkey = ps.ps_partkey)
+         |ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey, s_suppkey
+         |LIMIT 100""".stripMargin,
+    "q257_tpch_q9" ->
+      s"""WITH $psCte,
+         |li AS (
+         |  SELECT l_orderkey, l_partkey, l_suppkey,
+         |         CAST(round(l_quantity) AS BIGINT) AS qty,
+         |         CAST(round(l_extendedprice * 100) AS BIGINT)
+         |           * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+         |           // 10000 AS disc_price_c
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  WHERE p_name LIKE '%red%')
+         |SELECT n_name AS nation,
+         |       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |       CAST(sum(disc_price_c - ps_supplycost_c * qty) AS BIGINT)
+         |         AS sum_profit_c
+         |FROM li
+         |JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN nation ON n_nationkey = s_nationkey
+         |JOIN orders ON o_orderkey = l_orderkey
+         |GROUP BY 1, 2
+         |ORDER BY nation, o_year DESC""".stripMargin,
+    "q258_tpch_q11" ->
+      s"""WITH $psCte,
+         |sup AS (
+         |  SELECT s_suppkey FROM supplier
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'EUROPE'),
+         |held AS (
+         |  SELECT ps_partkey, ps_supplycost_c * ps_availqty AS value_c
+         |  FROM ps JOIN sup ON ps_suppkey = s_suppkey),
+         |per AS (SELECT ps_partkey, sum(value_c) AS v FROM held GROUP BY 1),
+         |tot AS (SELECT sum(v) AS t, count(*) AS np FROM per)
+         |SELECT ps_partkey, CAST(v AS BIGINT) AS value_c
+         |FROM per, tot WHERE v * np > 2 * t
+         |ORDER BY value_c DESC, ps_partkey""".stripMargin,
+    "q259_tpch_q16" ->
+      s"""WITH $psCte
+         |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+         |       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM ps JOIN part ON p_partkey = ps_partkey
+         |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+         |  AND p_size IN (1, 9, 15, 22, 30, 38, 44, 50)
+         |  AND ps_suppkey NOT IN
+         |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY p_brand, p_type, p_size
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // Q20 stated in the spec's nested IN-chain with the correlated
+    // per-pair shipped-qty subquery — the gated query decorrelates it
+    // to one aggregate + inner join; the gate proves the equivalence
+    "q260_tpch_q20" ->
+      s"""WITH $psCte
+         |SELECT s_suppkey, s_name
+         |FROM supplier
+         |WHERE s_nationkey IN (
+         |    SELECT n_nationkey FROM nation
+         |    JOIN region ON n_regionkey = r_regionkey
+         |    WHERE r_name = 'ASIA')
+         |  AND s_suppkey IN (
+         |    SELECT ps_suppkey FROM ps
+         |    WHERE ps_partkey IN
+         |        (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+         |      AND ps_availqty * 2 > (
+         |        SELECT sum(CAST(round(l_quantity) AS BIGINT))
+         |        FROM lineitem
+         |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |          AND l_shipdate >= ${q20Lo.stripPrefix("TIMESTAMP_NTZ ")}::TIMESTAMP
+         |          AND l_shipdate < ${q20Hi.stripPrefix("TIMESTAMP_NTZ ")}::TIMESTAMP))
+         |ORDER BY s_name, s_suppkey""".stripMargin,
     "q204_tpch_q3" ->
       s"""WITH li AS (
          |  SELECT l_orderkey,

@@ -221,4 +221,106 @@ class TpchSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getAs[Long]("sum_charge_c") >= r.getAs[Long]("sum_disc_price_c"))
     }
   }
+
+  test("derived partsupp: one row per traded pair, spec ranges, md5-replayable") {
+    import org.apache.spark.sql.functions._
+    val ps = graft.ops.Tpch.partsupp(spark, sf)
+    val pairs = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_partkey"), col("l_suppkey")).distinct().count()
+    val rows = ps.collect()
+    assert(rows.length.toLong == pairs, "grain: one row per distinct (part, supp)")
+    // spec ranges, and a JVM md5 replay of the hex-prefix derivation on
+    // every row — the two engines rebuild THIS table independently, so
+    // the derivation must be bit-stable
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val (pk, sk) = (r.getAs[Long]("ps_partkey"), r.getAs[Long]("ps_suppkey"))
+      val hex = md.digest(s"${pk}_$sk".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val avail = 1L + java.lang.Long.parseLong(hex.substring(0, 4), 16) % 9999L
+      val cost = 1L + java.lang.Long.parseLong(hex.substring(4, 8), 16) % 100000L
+      assert(r.getAs[Long]("ps_availqty") == avail, s"availqty of ($pk,$sk)")
+      assert(r.getAs[Long]("ps_supplycost_c") == cost, s"supplycost of ($pk,$sk)")
+      assert(avail >= 1 && avail <= 9999 && cost >= 1 && cost <= 100000)
+    }
+  }
+
+  test("q256: the per-part MIN window equals the correlated scalar-min replay") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q256_tpch_q2")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("s_suppkey")))
+    // driver-side replay of the spec's correlated form over the tiny
+    // sf0.001 tables: per eligible part, min cost across EU suppliers
+    val eu = spark.read.parquet(s"$sf/supplier.parquet")
+      .join(spark.read.parquet(s"$sf/nation.parquet"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(spark.read.parquet(s"$sf/region.parquet").where(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .where(col("p_size") === 15 && col("p_type") === "STANDARD")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val psRows = graft.ops.Tpch.partsupp(spark, sf).collect()
+      .filter(r => eu.contains(r.getAs[Long]("ps_suppkey")) &&
+        parts.contains(r.getAs[Long]("ps_partkey")))
+      .map(r => (r.getAs[Long]("ps_partkey"), r.getAs[Long]("ps_suppkey"),
+        r.getAs[Long]("ps_supplycost_c")))
+    val expect = psRows.groupBy(_._1).toSeq.flatMap { case (pk, g) =>
+      val m = g.map(_._3).min
+      g.filter(_._3 == m).map(t => (pk, t._2)).toSeq
+    }.toSet
+    assert(got.toSet == expect, "window decorrelation must equal the correlated min")
+    assert(got.nonEmpty, "fixture must exercise the min-cost join")
+  }
+
+  test("q260: a pair with no in-window shipments never qualifies (NULL-compare semantics)") {
+    import org.apache.spark.sql.functions._
+    // the decorrelation replaced the spec's correlated subquery (NULL
+    // sum compares false) with an INNER join — prove no supplier owes
+    // its presence to a pair that shipped nothing in the window
+    val winPairs = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .select("l_partkey", "l_suppkey").distinct().count()
+    val allPairs = graft.ops.Tpch.partsupp(spark, sf).count()
+    assert(winPairs < allPairs,
+      "fixture must contain pairs with zero in-window shipments for the test to bite")
+    val got = SparkEntry.queries("q260_tpch_q20")(spark, sf).collect()
+    assert(got.nonEmpty, "ASIA suppliers with excess stock exist at sf0.001")
+  }
+
+  test("r16 partsupp queries: pushdown reaches the scans; no undocumented cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def plan(name: String) = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      (pushed(df), df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case x => x
+      })
+    }
+    // q257: the part-name LIKE filter must reach the part scan
+    val (p257, t257) = plan("q257_tpch_q9")
+    assert(p257.exists(_.contains("StringContains(p_name,red)")), s"q257 part scan: $p257")
+    // q259: brand/type/size filters reach the part scan
+    val (p259, t259) = plan("q259_tpch_q16")
+    assert(p259.exists(s => s.contains("Not(EqualTo(p_brand,Brand#1))") && s.contains("In(p_size")),
+      s"q259 part scan: $p259")
+    // q260: the name prefix filter reaches the part scan; shipdate
+    // window reaches lineitem
+    val (p260, t260) = plan("q260_tpch_q20")
+    assert(p260.exists(_.contains("StringStartsWith(p_name,small)")), s"q260 part scan: $p260")
+    assert(p260.exists(s => s.contains("GreaterThanOrEqual(l_shipdate") && s.contains("LessThan(l_shipdate")),
+      s"q260 lineitem scan: $p260")
+    // no cartesian anywhere; BNLJ only as q258's documented 1-row ride
+    Seq("q256_tpch_q2" -> plan("q256_tpch_q2")._2, "q257_tpch_q9" -> t257,
+      "q259_tpch_q16" -> t259, "q260_tpch_q20" -> t260).foreach { case (n, t) =>
+      assert(t.collect { case c: CartesianProductExec => c
+                         case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+        s"$n must stay equi/semi-join shaped")
+    }
+    val t258 = plan("q258_tpch_q11")._2
+    assert(t258.collect { case c: CartesianProductExec => c }.isEmpty,
+      "q258's total must ride a broadcast, not a cartesian")
+  }
 }
