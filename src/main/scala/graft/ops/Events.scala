@@ -828,20 +828,15 @@ object Events {
     * event types, |heavyA ∩ heavyB| is estimated by inclusion–exclusion
     * `est(A) + est(B) − est(A ∪ B)`, where est(A∪B) runs over the
     * element-wise-max union of the two register tables (the q155 merge
-    * law — union is native to HLL, intersection is derived). The exact
-    * intersection rides along as the audit baseline with the absolute
-    * error reported (the q152 honesty rule: raw HLL-16 is coarse at
-    * these cardinalities and the gate documents exactly how coarse).
-    * Scale shape: registers are a (#types × 16)-cell frame built by one
-    * map-side-combined pass; the pair union is an EQUI join on the
-    * register index b (16 keys) with the type-order conjunct — never a
-    * cartesian; the exact side joins the heavy sets on user_id, pair
-    * space type²-bounded. */
-  val q228_hll_intersection: Q = (s, d) => {
-    // the heavy set feeds both the sketch and the exact audit — persist
-    // it narrow (Ckpt-scoped) instead of re-deriving the per-user
-    // aggregate three times
-    val heavy = graft.Ckpt.persisted(heavyUsers(s, d))
+    * law — union is native to HLL, intersection is derived). r16: the
+    * exact intersection audit moved to its own gated row (q263), so
+    * this plan is register algebra only. Scale shape: registers are a
+    * (#types × 16)-cell frame built by one map-side-combined pass; the
+    * pair union is an EQUI join on the register index b (16 keys) with
+    * the type-order conjunct — never a cartesian. */
+  /** q228/q263 shared core: per-type registers over the heavy set →
+    * inclusion–exclusion pair estimates (type_a, type_b, inter_est). */
+  private def hllInterEst(heavy: DataFrame): DataFrame = {
     val regs = heavyUserRegisters(heavy)
     val perType = hllEst(regs, Seq("event_type"))
     val pairCells = regs.select(col("event_type").as("type_a"),
@@ -849,26 +844,43 @@ object Events {
       .join(regs.select(col("event_type").as("type_b"),
         col("b"), col("m").as("mb")), Seq("b"))
       .where(col("type_a") < col("type_b"))
-    val unionEst = hllEst(
+    hllEst(
       pairCells.select(col("type_a"), col("type_b"), col("b"),
         greatest(col("ma"), col("mb")).as("m")),
       Seq("type_a", "type_b"))
       .select(col("type_a"), col("type_b"), col("est").as("est_u"))
+      .join(perType.select(col("event_type").as("type_a"), col("est").as("est_a")),
+        Seq("type_a"))
+      .join(perType.select(col("event_type").as("type_b"), col("est").as("est_b")),
+        Seq("type_b"))
+      .select(col("type_a"), col("type_b"),
+        round2(col("est_a") + col("est_b") - col("est_u")).as("inter_est"))
+  }
+
+  val q228_hll_intersection: Q = (s, d) =>
+    // r16 serve/audit split: the pure register-algebra plan (registers,
+    // union, inclusion–exclusion); the exact heavy∩heavy audit is q263
+    hllInterEst(graft.Ckpt.persisted(heavyUsers(s, d)))
+      .orderBy("type_a", "type_b")
+
+  /** q263: q228's EXACT AUDIT as its own gated row (the r16 serve/
+    * audit split): the heavy-set self-join intersection counts beside
+    * the inclusion–exclusion estimates, with absolute error — the
+    * calibration row; pair space type²-bounded, the user_id join the
+    * linear audit cost q228 no longer carries. */
+  val q263_hll_inter_audit: Q = (s, d) => {
+    val heavy = graft.Ckpt.persisted(heavyUsers(s, d))
     val exact = heavy.select(col("event_type").as("type_a"), col("user_id"))
       .join(heavy.select(col("event_type").as("type_b"), col("user_id")),
         Seq("user_id"))
       .where(col("type_a") < col("type_b"))
       .groupBy("type_a", "type_b")
       .agg(count(lit(1)).as("n_exact_inter"))
-    unionEst
-      .join(perType.select(col("event_type").as("type_a"), col("est").as("est_a")),
-        Seq("type_a"))
-      .join(perType.select(col("event_type").as("type_b"), col("est").as("est_b")),
-        Seq("type_b"))
+    hllInterEst(heavy)
       .join(exact, Seq("type_a", "type_b"), "left")
       .select(col("type_a"), col("type_b"),
         coalesce(col("n_exact_inter"), lit(0L)).as("n_exact_inter"),
-        round2(col("est_a") + col("est_b") - col("est_u")).as("inter_est"))
+        col("inter_est"))
       .withColumn("err_abs",
         round2(abs(col("inter_est") - col("n_exact_inter").cast("double"))))
       .orderBy("type_a", "type_b")
@@ -1034,16 +1046,15 @@ object Events {
     * a RANGE window per register index over the calendar (gaps in the
     * calendar contribute nothing, exactly like inactive days). The
     * register geometry is q152/q228's verbatim; the estimate is the
-    * same integer shift-sum + one division; and the exact audit rides
-    * along per day with its absolute error (the q152 honesty rule —
-    * HLL-16 is coarse, the gate documents how coarse). Scale shape:
-    * the register table is days×16 cells; the exact audit's only
-    * non-equi join is the calendar-bounded day frame broadcast over
-    * the distinct (day, user) pairs. */
-  val q236_rolling_actives: Q = (s, d) => {
-    // (day, user) distinct pairs feed BOTH the sketch and the audit
-    val du = graft.Ckpt.persisted(events(s, d)
-      .select(expr("es div 86400").as("day"), col("user_id")).distinct())
+    * same integer shift-sum + one division. r16: the exact audit moved
+    * to its own gated row (q261) so THIS plan is pure register algebra
+    * — the one you'd serve at 100×, where the audit would dominate the
+    * query it audits. Scale shape: the register table is days×16
+    * cells; one corpus pass. */
+  /** q236/q261 shared core: distinct (day, user) pairs → per-day
+    * densified HLL registers → trailing-7-day element-wise-max union →
+    * the shift-sum estimate. Returns (day, est) raw. */
+  private def rollingRegEst(du: DataFrame): DataFrame = {
     val h = md5(col("user_id").cast("string"))
     val regs0 = du.select(col("day"),
         pmod(conv(substring(h, 1, 4), 16, 10).cast("long"),
@@ -1052,20 +1063,41 @@ object Events {
       .withColumn("rnk", when(col("v") === 0L, lit(33L))
         .otherwise(lit(33L) - length(bin(col("v"))).cast("long")))
       .groupBy("day", "b").agg(max("rnk").as("m"))
-    val days = du.select("day").distinct()
-    val dens = days
+    val dens = du.select("day").distinct()
       .select(col("day"),
         explode(sequence(lit(0L), lit(TextStats.hllRegs - 1L))).as("b"))
       .join(regs0, Seq("day", "b"), "left")
       .select(col("day"), col("b"), coalesce(col("m"), lit(0L)).as("m"))
     val wr = Window.partitionBy("b").orderBy("day").rangeBetween(-6, 0)
-    val rolled = dens.select(col("day"), col("b"),
-      max("m").over(wr).as("m"))
+    hllEst(dens.select(col("day"), col("b"), max("m").over(wr).as("m")),
+      Seq("day"))
+  }
+
+  val q236_rolling_actives: Q = (s, d) => {
+    // r16 serve/audit split: THIS row is the pure register-algebra
+    // serve plan (the 100× shape); the exact sliding-window audit is
+    // its own gated row, q261
+    val du = graft.Ckpt.persisted(events(s, d)
+      .select(expr("es div 86400").as("day"), col("user_id")).distinct())
+    rollingRegEst(du)
+      .select(col("day"), round2(col("est")).as("est_7d"))
+      .orderBy("day")
+  }
+
+  /** q261: q236's EXACT AUDIT as its own gated row (the r16 serve/
+    * audit split, r15 verdict item 4): the trailing-7-day exact
+    * distinct — the calendar-bounded day-frame broadcast that expands
+    * distinct (day, user) pairs ≤7× — beside the register estimate,
+    * with the absolute error. Linear but audit-priced; at 100× you run
+    * q236 daily and THIS on the calibration sample. */
+  val q261_rolling_actives_audit: Q = (s, d) => {
+    val du = graft.Ckpt.persisted(events(s, d)
+      .select(expr("es div 86400").as("day"), col("user_id")).distinct())
     val exact = du
-      .join(broadcast(days.select(col("day").as("d0"))),
+      .join(broadcast(du.select("day").distinct().select(col("day").as("d0"))),
         col("day").between(col("d0") - 6, col("d0")))
       .groupBy("d0").agg(countDistinct("user_id").as("n_exact"))
-    hllEst(rolled, Seq("day"))
+    rollingRegEst(du)
       .join(exact, col("day") === col("d0"))
       .select(col("day"), col("n_exact"), round2(col("est")).as("est_7d"))
       .withColumn("err_abs",
@@ -1467,6 +1499,8 @@ object Events {
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
     "q228_hll_intersection" -> q228_hll_intersection,
+    "q261_rolling_actives_audit" -> q261_rolling_actives_audit,
+    "q263_hll_inter_audit" -> q263_hll_inter_audit,
     "q229_dist_drift" -> q229_dist_drift,
     "q230_target_encoding" -> q230_target_encoding,
     "q235_drift_attribution" -> q235_drift_attribution,
@@ -1540,6 +1574,87 @@ object Events {
       |         CAST(tier AS BIGINT) AS tier, day AS valid_from_day,
       |         lead(day) OVER w AS valid_to_day
       |  FROM k WINDOW w AS (PARTITION BY user_id ORDER BY day))""".stripMargin
+
+  /** q228/q263 shared oracle CTEs (heavy set → densified registers →
+    * per-type and pair-union estimates). NOTE: interpolated into
+    * stripMargin literals — no line here may begin with whitespace+'|'. */
+  private lazy val hllInterCtes: String =
+    s"""uc AS (
+       |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total,
+       |         CAST(count(*) AS BIGINT) AS nu
+       |  FROM uc GROUP BY 1),
+       |heavy AS (
+       |  SELECT uc.event_type, user_id
+       |  FROM uc JOIN tot USING (event_type)
+       |  WHERE cnt * nu > total),
+       |raw AS (
+       |  SELECT event_type,
+       |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT)
+       |           % ${TextStats.hllRegs} AS b,
+       |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 5, 8) AS BIGINT) AS v
+       |  FROM heavy),
+       |reg0 AS (
+       |  SELECT event_type, b,
+       |         max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS m
+       |  FROM raw GROUP BY 1, 2),
+       |dens AS (
+       |  SELECT t.event_type, gs.b, coalesce(r.m, 0) AS m
+       |  FROM (SELECT DISTINCT event_type FROM heavy) t
+       |  CROSS JOIN (SELECT unnest(range(${TextStats.hllRegs})) AS b) gs
+       |  LEFT JOIN reg0 r ON r.event_type = t.event_type AND r.b = gs.b),
+       |pte AS (
+       |  SELECT event_type,
+       |         ${TextStats.hllNum} / CAST(sum(CAST(1 AS BIGINT) << (33 - m))
+       |           AS DOUBLE) AS est
+       |  FROM dens GROUP BY event_type),
+       |pue AS (
+       |  SELECT type_a, type_b,
+       |         ${TextStats.hllNum} / CAST(sum(CAST(1 AS BIGINT) << (33 - m))
+       |           AS DOUBLE) AS est_u
+       |  FROM (
+       |    SELECT a.event_type AS type_a, b.event_type AS type_b, a.b AS b,
+       |           greatest(a.m, b.m) AS m
+       |    FROM dens a JOIN dens b
+       |      ON a.b = b.b AND a.event_type < b.event_type)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** q236/q261 shared oracle CTEs (distinct day-user pairs → per-day
+    * registers → rolling RANGE-window max → shift-sum estimate). Same
+    * stripMargin interpolation rule as [[hllInterCtes]]. */
+  private lazy val rollingCtes: String =
+    s"""du AS (
+       |  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+       |         user_id
+       |  FROM events),
+       |raw AS (
+       |  SELECT day,
+       |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT)
+       |           % ${TextStats.hllRegs} AS b,
+       |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 5, 8) AS BIGINT) AS v
+       |  FROM du),
+       |reg0 AS (
+       |  SELECT day, b,
+       |         max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS m
+       |  FROM raw GROUP BY 1, 2),
+       |days AS (SELECT DISTINCT day FROM du),
+       |dens AS (
+       |  SELECT t.day, gs.b, coalesce(r.m, 0) AS m
+       |  FROM days t
+       |  CROSS JOIN (SELECT unnest(range(${TextStats.hllRegs})) AS b) gs
+       |  LEFT JOIN reg0 r ON r.day = t.day AND r.b = gs.b),
+       |rolled AS (
+       |  SELECT day, b,
+       |         max(m) OVER (PARTITION BY b ORDER BY day
+       |           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS m
+       |  FROM dens),
+       |est AS (
+       |  SELECT day,
+       |         ${TextStats.hllNum} / CAST(sum(CAST(1 AS BIGINT) << (33 - m))
+       |           AS DOUBLE) AS est
+       |  FROM rolled GROUP BY day)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the q198 arm CTEs, then the identically-written Wilson formula
@@ -1791,48 +1906,18 @@ object Events {
     // the identical register geometry (md5 nibbles, rank, densified
     // 16-cell tables), inclusion–exclusion stated over the same three
     // harmonic sums, exact audit via the heavy-set self-join
+    // r16 serve/audit split: the serve row is register algebra only
     "q228_hll_intersection" ->
-      s"""WITH uc AS (
-         |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM events GROUP BY 1, 2),
-         |tot AS (
-         |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total,
-         |         CAST(count(*) AS BIGINT) AS nu
-         |  FROM uc GROUP BY 1),
-         |heavy AS (
-         |  SELECT uc.event_type, user_id
-         |  FROM uc JOIN tot USING (event_type)
-         |  WHERE cnt * nu > total),
-         |raw AS (
-         |  SELECT event_type,
-         |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT)
-         |           % ${TextStats.hllRegs} AS b,
-         |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 5, 8) AS BIGINT) AS v
-         |  FROM heavy),
-         |reg0 AS (
-         |  SELECT event_type, b,
-         |         max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS m
-         |  FROM raw GROUP BY 1, 2),
-         |dens AS (
-         |  SELECT t.event_type, gs.b, coalesce(r.m, 0) AS m
-         |  FROM (SELECT DISTINCT event_type FROM heavy) t
-         |  CROSS JOIN (SELECT unnest(range(${TextStats.hllRegs})) AS b) gs
-         |  LEFT JOIN reg0 r ON r.event_type = t.event_type AND r.b = gs.b),
-         |pte AS (
-         |  SELECT event_type,
-         |         ${TextStats.hllNum} / CAST(sum(CAST(1 AS BIGINT) << (33 - m))
-         |           AS DOUBLE) AS est
-         |  FROM dens GROUP BY event_type),
-         |pue AS (
-         |  SELECT type_a, type_b,
-         |         ${TextStats.hllNum} / CAST(sum(CAST(1 AS BIGINT) << (33 - m))
-         |           AS DOUBLE) AS est_u
-         |  FROM (
-         |    SELECT a.event_type AS type_a, b.event_type AS type_b, a.b AS b,
-         |           greatest(a.m, b.m) AS m
-         |    FROM dens a JOIN dens b
-         |      ON a.b = b.b AND a.event_type < b.event_type)
-         |  GROUP BY 1, 2),
+      s"""WITH $hllInterCtes
+         |SELECT u.type_a, u.type_b,
+         |       ${round2Sql("ea.est + eb.est - u.est_u")} AS inter_est
+         |FROM pue u
+         |JOIN pte ea ON ea.event_type = u.type_a
+         |JOIN pte eb ON eb.event_type = u.type_b
+         |ORDER BY type_a, type_b""".stripMargin,
+    // … and the audit row carries the exact heavy∩heavy baseline
+    "q263_hll_inter_audit" ->
+      s"""WITH $hllInterCtes,
          |ex AS (
          |  SELECT a.event_type AS type_a, b.event_type AS type_b,
          |         CAST(count(*) AS BIGINT) AS n
@@ -1883,39 +1968,16 @@ object Events {
          |FROM bp GROUP BY event_type
          |ORDER BY event_type""".stripMargin,
     // the q228 register arithmetic per day, the rolling union as a
-    // RANGE window max per register index, the same shift-sum estimate,
-    // and the exact trailing-window distinct as the audit
+    // RANGE window max per register index, the same shift-sum estimate
+    // (r16 serve/audit split: the exact trailing-window distinct is
+    // q261's row)
     "q236_rolling_actives" ->
-      s"""WITH du AS (
-         |  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
-         |         user_id
-         |  FROM events),
-         |raw AS (
-         |  SELECT day,
-         |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS BIGINT)
-         |           % ${TextStats.hllRegs} AS b,
-         |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 5, 8) AS BIGINT) AS v
-         |  FROM du),
-         |reg0 AS (
-         |  SELECT day, b,
-         |         max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS m
-         |  FROM raw GROUP BY 1, 2),
-         |days AS (SELECT DISTINCT day FROM du),
-         |dens AS (
-         |  SELECT t.day, gs.b, coalesce(r.m, 0) AS m
-         |  FROM days t
-         |  CROSS JOIN (SELECT unnest(range(${TextStats.hllRegs})) AS b) gs
-         |  LEFT JOIN reg0 r ON r.day = t.day AND r.b = gs.b),
-         |rolled AS (
-         |  SELECT day, b,
-         |         max(m) OVER (PARTITION BY b ORDER BY day
-         |           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS m
-         |  FROM dens),
-         |est AS (
-         |  SELECT day,
-         |         ${TextStats.hllNum} / CAST(sum(CAST(1 AS BIGINT) << (33 - m))
-         |           AS DOUBLE) AS est
-         |  FROM rolled GROUP BY day),
+      s"""WITH $rollingCtes
+         |SELECT day, ${round2Sql("est")} AS est_7d
+         |FROM est
+         |ORDER BY day""".stripMargin,
+    "q261_rolling_actives_audit" ->
+      s"""WITH $rollingCtes,
          |ex AS (
          |  SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_exact
          |  FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day

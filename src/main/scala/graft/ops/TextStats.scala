@@ -1291,10 +1291,21 @@ object TextStats {
     * leading-zero rank of any doc hashing there; the estimate is
     * α·m²/Σ2^(−M_b). The register table is (#langs × 16) rows built by
     * one map-side-combined aggregation — the sketch a 100 TB pipeline
-    * ships instead of a count-distinct shuffle; the exact count rides
-    * along as the audit baseline (the q147 stance: you run this on a
-    * sample to calibrate, then drop the exact side). */
+    * ships instead of a count-distinct shuffle. r16: this row gates the
+    * SERVE path only (register algebra, no exact side); the exact
+    * baseline + rel_err moved to their own gated row, q262, so the
+    * plan gated here is exactly the one you'd run at 100×. */
   lazy val q152_hll_registers: Q = (s, d) =>
+    hllServeOnly(hllRegisters(docShingles(s, d)))
+
+  /** q262: q152's EXACT AUDIT as its own gated row — the r16 serve/
+    * audit split (r15 verdict item 4): q152 now gates the pure
+    * register-algebra serve path (the plan you'd run at 100×, where
+    * the countDistinct audit would dominate the sketch it audits),
+    * and THIS row carries the exact baseline + relative error so the
+    * honesty convention stays oracle-checked, charged to its own
+    * bench line. Same registers, same estimate chain. */
+  lazy val q262_hll_card_audit: Q = (s, d) =>
     hllServe(hllRegisters(docShingles(s, d)), docShingles(s, d))
 
   /** The per-(lang, register) max-rank table of a document frame — the
@@ -1330,9 +1341,22 @@ object TextStats {
     hllServe(merged, docs)
   }
 
-  /** The q152 estimate chain over a register table: integer-scaled
-    * harmonic sum (empty registers charge 2^33), one double division,
-    * the exact side as audit baseline. */
+  /** The q152 estimate chain over a register table WITHOUT the exact
+    * side: integer-scaled harmonic sum (empty registers charge 2^33),
+    * one double division — the serve plan (q152/q262 split, r16). */
+  private def hllServeOnly(reg: DataFrame): DataFrame =
+    reg.groupBy("lang").agg(
+        count(lit(1)).as("regs_hit"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - m AS INT))")).as("ssum_hit"))
+      .select(col("lang"), col("regs_hit"),
+        round2(lit(hllNum) /
+          (col("ssum_hit") + (lit(hllRegs) - col("regs_hit")) * lit(hllEmptyTerm))
+            .cast("double")).as("hll_est"))
+      .orderBy("lang")
+
+  /** [[hllServeOnly]] plus the exact side as audit baseline — q262's
+    * row, and still q155's (the merge-law gate keeps its exact anchor:
+    * proving merged ≡ single-pass is the LAW, not a serving path). */
   private def hllServe(reg: DataFrame, docs: DataFrame): DataFrame =
     reg.groupBy("lang").agg(
         count(lit(1)).as("regs_hit"),
@@ -1595,6 +1619,7 @@ object TextStats {
     "q151_cms_merge" -> q151_cms_merge,
     "q152_hll_registers" -> q152_hll_registers,
     "q155_hll_merge" -> q155_hll_merge,
+    "q262_hll_card_audit" -> q262_hll_card_audit,
     "q156_bpe_model_serve" -> q156_bpe_model_serve,
     "q163_quality_perceptron" -> q163_quality_perceptron)
 
@@ -1811,6 +1836,32 @@ object TextStats {
     * and the one double division (see the q152 scaladoc) — shared
     * VERBATIM by q152 (single-pass registers) and q155 (disjoint
     * halves merged by element-wise max). */
+  /** Serve-only twin of [[hllRegistersSql]] — q152's oracle after the
+    * r16 serve/audit split: same registers, same shift-sum estimate,
+    * no exact side. */
+  private lazy val hllServeSql: String = withDocs(
+    s""", base AS (
+       |  SELECT lang, doc_id,
+       |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+       |           % $hllRegs AS b,
+       |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 8) AS BIGINT) AS v
+       |  FROM docs),
+       |reg AS (
+       |  SELECT lang, b,
+       |         max(CASE WHEN v = 0 THEN 33
+       |                  ELSE 33 - length(bin(v)) END) AS m
+       |  FROM base GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS regs_hit,
+       |         CAST(sum(CAST(1 AS BIGINT) << (33 - m)) AS BIGINT) AS ssum_hit
+       |  FROM reg GROUP BY 1)
+       |SELECT lang, regs_hit,
+       |       ${round2Sql(
+             s"$hllNum / CAST(ssum_hit + ($hllRegs - regs_hit) * $hllEmptyTerm AS DOUBLE)")}
+       |         AS hll_est
+       |FROM agg
+       |ORDER BY lang""".stripMargin)
+
   private lazy val hllRegistersSql: String = withDocs(
     s""", base AS (
        |  SELECT lang, doc_id,
@@ -2038,7 +2089,8 @@ object TextStats {
     // register ranks, the integer-scaled harmonic sum, and the one
     // double division restated directly — same md5 bucket/rank math,
     // same shift-scaled exactness (see the q152 scaladoc)
-    "q152_hll_registers" -> hllRegistersSql,
+    "q152_hll_registers" -> hllServeSql,
+    "q262_hll_card_audit" -> hllRegistersSql,
     // the merge law: two disjoint-half register tables folded by
     // element-wise max must serve the single-pass answer — q152's
     // oracle verbatim

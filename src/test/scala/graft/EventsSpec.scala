@@ -138,7 +138,9 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
       at(0, 1, 1), at(0, 2, 2), at(0, 3, 3),
       at(3, 4, 9),
       at(7, 5, 4), at(7, 6, 5)))
-    val got = Events.q236_rolling_actives(spark, dir).collect()
+    // the audit row (q261) carries the exact side; the serve row (q236)
+    // must agree with its estimate column exactly (same register plan)
+    val got = Events.q261_rolling_actives_audit(spark, dir).collect()
       .map(r => r.getAs[Long]("day") ->
         ((r.getAs[Long]("n_exact"), r.getAs[Double]("est_7d")))).toMap
     assert(got.keySet == Set(0L, 3L, 7L), s"one row per ACTIVE day: $got")
@@ -147,6 +149,10 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(7L)._1 == 3L, s"day 0's users must age out of day 7: $got")
     // the sketch estimate is present and positive on every emitted day
     got.values.foreach { case (_, est) => assert(est > 0.0) }
+    val serve = Events.q236_rolling_actives(spark, dir).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Double]("est_7d")).toMap
+    assert(serve == got.view.mapValues(_._2).toMap,
+      "serve row must equal the audit row's estimate column")
   }
 
   test("q207/q208: CUSUM and OLS slope replay from the daily counts") {

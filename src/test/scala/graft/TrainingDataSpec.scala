@@ -551,13 +551,19 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
       val est = math.floor(0.673 * 256.0 * 8589934592.0 / ssum * 100.0 + 0.5) / 100.0
       (regs.size.toLong, est)
     }
-    val got = TextStats.q152_hll_registers(spark, dir).collect().map(r =>
+    // the audit row (q262) carries the exact side since the r16 split
+    val got = TextStats.q262_hll_card_audit(spark, dir).collect().map(r =>
       r.getAs[String]("lang") -> ((r.getAs[Long]("n_exact"),
         r.getAs[Long]("regs_hit"), r.getAs[Double]("hll_est")))).toMap
     val (raHit, raEst) = expect(0L until 40L)
     val (rbHit, rbEst) = expect(100L until 103L)
     assert(got("aa") == ((40L, raHit, raEst)))
     assert(got("bb") == ((3L, rbHit, rbEst)))
+    // the serve row (q152) must agree with the audit's sketch columns
+    val serve = TextStats.q152_hll_registers(spark, dir).collect().map(r =>
+      r.getAs[String]("lang") -> ((r.getAs[Long]("regs_hit"),
+        r.getAs[Double]("hll_est")))).toMap
+    assert(serve == got.view.mapValues(v => (v._2, v._3)).toMap)
   }
 
   test("q157: a planted eval 8-gram is excised from train docs; eval stays untouched") {
@@ -638,12 +644,13 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
       (r.getAs[String]("lang"), r.getAs[Long]("n_exact"),
         r.getAs[Long]("regs_hit"), r.getAs[Double]("hll_est"))).toSeq
-    val single = rows(TextStats.q152_hll_registers(spark, dir))
+    // q262 is the audit row carrying n_exact since the r16 split
+    val single = rows(TextStats.q262_hll_card_audit(spark, dir))
     assert(rows(TextStats.q155_hll_merge(spark, dir)) == single)
     // overlap: duplicate every document row — same distinct ids, so
     // registers and estimate must be identical to the clean corpus
     val dupDir = writeMiniDocsLang(docs ++ docs)
-    val dup = rows(TextStats.q152_hll_registers(spark, dupDir))
+    val dup = rows(TextStats.q262_hll_card_audit(spark, dupDir))
     assert(dup.map { case (l, _, h, e) => (l, h, e) }
       == single.map { case (l, _, h, e) => (l, h, e) })
   }
