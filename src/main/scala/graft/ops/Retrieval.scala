@@ -640,23 +640,28 @@ object Retrieval {
     val post = postings(s, d)
     val stats = corpusStats(s, d)
     val qtf = corpusQtf(post)
-    // pinned: both tiny frames are referenced TWICE downstream (orig by
-    // the exclusion anti-join and the expanded union; candSum by its
-    // broadcast and the candidate-df semi-join) — without the
-    // checkpoint each reference re-runs a postings-wide aggregation
-    // pass (the q92/q95 build-once rule; ≤30 and feedback-vocab rows)
-    val orig = graft.Ckpt.eager(
-      rankQueryTerms(qtf, queryDf(post, qtf), stats))
     val fb = lexTopMemo(s, d).where(col("lex_rank") <= fbDocs)
       .select(col("query_id"), col("doc_id"))
     // candidate expansion terms: the feedback docs' postings, weighted
-    // by the summed q94 score over the feedback set
+    // by the summed q94 score over the feedback set. Pinned: candSum is
+    // referenced twice downstream (its broadcast and the shared-df
+    // vocabulary union) — without the checkpoint each reference re-runs
+    // a postings pass (the q92/q95 build-once rule; feedback-vocab rows)
     val candSum = graft.Ckpt.eager(post.join(broadcast(fb), "doc_id")
       .groupBy("query_id", "term").agg(sum(col("tf")).as("tfsum")))
-    val cdf = queryDf(post, candSum)
+    // ONE df pass for BOTH vocabularies (r16: the query-term and
+    // feedback-candidate df aggregations used to be two separate
+    // postings passes; the semi-join keeps df exact under the union —
+    // every posting of a wanted term survives, extra terms cost only
+    // their own bounded rows). The result is (query ∪ feedback)-
+    // vocabulary-sized — eager so the two consumers read it, not
+    // re-aggregate it.
+    val dfAll = graft.Ckpt.eager(queryDf(post,
+      qtf.select("term").unionByName(candSum.select("term"))))
+    val orig = graft.Ckpt.eager(rankQueryTerms(qtf, dfAll, stats))
     val we = Window.partitionBy("query_id")
       .orderBy(col("escore").desc, col("term").asc)
-    val exp = broadcast(candSum).join(cdf, "term").crossJoin(broadcast(stats))
+    val exp = broadcast(candSum).join(dfAll, "term").crossJoin(broadcast(stats))
       .withColumn("escore", col("tfsum").cast("double") *
         col("n_corpus").cast("double") / col("df").cast("double"))
       .join(broadcast(orig.select(col("query_id"), col("term"))),
