@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.etl.Star.{round2, round2Sql, round4, round4Sql}
@@ -1051,19 +1051,27 @@ object Events {
     * — the one you'd serve at 100×, where the audit would dominate the
     * query it audits. Scale shape: the register table is days×16
     * cells; one corpus pass. */
-  /** q236/q261 shared core: distinct (day, user) pairs → per-day
-    * densified HLL registers → trailing-7-day element-wise-max union →
-    * the shift-sum estimate. Returns (day, est) raw. */
-  private def rollingRegEst(du: DataFrame): DataFrame = {
-    val h = md5(col("user_id").cast("string"))
-    val regs0 = du.select(col("day"),
-        pmod(conv(substring(h, 1, 4), 16, 10).cast("long"),
-          lit(TextStats.hllRegs)).as("b"),
-        conv(substring(h, 5, 8), 16, 10).cast("long").as("v"))
-      .withColumn("rnk", when(col("v") === 0L, lit(33L))
-        .otherwise(lit(33L) - length(bin(col("v"))).cast("long")))
-      .groupBy("day", "b").agg(max("rnk").as("m"))
-    val dens = du.select("day").distinct()
+  /** q236's user-hash register coordinates, shared VERBATIM by the
+    * batch query and the streaming feed
+    * ([[graft.streaming.EventStream.dailyRegistersStream]]) — one
+    * definition, zero drift. */
+  private[graft] def hllUserBucket: Column =
+    pmod(conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+      .cast("long"), lit(TextStats.hllRegs))
+
+  private[graft] def hllUserRank: Column = {
+    val v = conv(substring(md5(col("user_id").cast("string")), 5, 8), 16, 10)
+      .cast("long")
+    when(v === 0L, lit(33L)).otherwise(lit(33L) - length(bin(v)).cast("long"))
+  }
+
+  /** q236/q261 shared tail: per-day register cells (day, b, m — hit
+    * cells only) → densified calendar → trailing-7-day element-wise-max
+    * union → the shift-sum estimate. Returns (day, est) raw. Shared
+    * with the streaming serve path so the stream's report and the
+    * gated batch row are the same plan over the same cells. */
+  private[graft] def rollingFromRegs(regs0: DataFrame): DataFrame = {
+    val dens = regs0.select("day").distinct()
       .select(col("day"),
         explode(sequence(lit(0L), lit(TextStats.hllRegs - 1L))).as("b"))
       .join(regs0, Seq("day", "b"), "left")
@@ -1072,6 +1080,19 @@ object Events {
     hllEst(dens.select(col("day"), col("b"), max("m").over(wr).as("m")),
       Seq("day"))
   }
+
+  /** The serve report over register cells — q236's output shape,
+    * delegated to by the streaming twin's foreachBatch report. */
+  private[graft] def rollingServe(regs0: DataFrame): DataFrame =
+    rollingFromRegs(regs0)
+      .select(col("day"), round2(col("est")).as("est_7d"))
+      .orderBy("day")
+
+  /** q236/q261 shared core over distinct (day, user) pairs. */
+  private[graft] def rollingRegEst(du: DataFrame): DataFrame =
+    rollingFromRegs(du
+      .select(col("day"), hllUserBucket.as("b"), hllUserRank.as("rnk"))
+      .groupBy("day", "b").agg(max("rnk").as("m")))
 
   val q236_rolling_actives: Q = (s, d) => {
     // r16 serve/audit split: THIS row is the pure register-algebra

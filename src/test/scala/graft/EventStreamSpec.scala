@@ -740,6 +740,69 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("dailyRegistersStream: cells equal the batch registers; report equals batch q236's serve; late row dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.Events
+    import org.apache.spark.sql.functions.col
+    // users across three days (day 0, 1, 8): day 8's trailing window
+    // must have aged out days 0-1. A bounded-late row (day 1 + 30 min
+    // after a day-2 row) folds in; a beyond-watermark straggler into
+    // day 0 is dropped.
+    val input = MemoryStream[(Long, Long)]
+    val query = EventStream
+      .dailyRegistersStream(input.toDS().toDF("es", "user_id"), lateness = "1 hour")
+      .writeStream.format("memory").queryName("dregs").outputMode("append").start()
+    try {
+      input.addData((100L, 1L), (200L, 2L), (300L, 1L)); query.processAllAvailable()
+      input.addData((86400L + 100L, 3L)); query.processAllAvailable()
+      // day-2 row advances the watermark past day 1's interior…
+      input.addData((2 * 86400L + 1800L, 4L)); query.processAllAvailable()
+      // …but day 1 is still inside the 1-hour lateness: this late row
+      // must fold into day 1's register state before it closes
+      input.addData((2 * 86400L - 600L, 5L)); query.processAllAvailable()
+      // advance far enough to close days 1-2, then a beyond-watermark
+      // straggler into day 0 — must change nothing, observably dropped
+      input.addData((8 * 86400L + 100L, 6L)); query.processAllAvailable()
+      input.addData((400L, 9L)); query.processAllAvailable()
+      input.addData((8 * 86400L + 9000L, 7L)); query.processAllAvailable()
+      // day-10 rows advance the watermark past day 8's end so its
+      // cells flush (day 10 itself stays open and emits nothing)
+      input.addData((10 * 86400L + 7200L, 8L)); query.processAllAvailable()
+      input.addData((10 * 86400L + 9000L, 8L)); query.processAllAvailable()
+
+      val cells = spark.table("dregs").collect()
+        .map(r => (r.getAs[Long]("day"), r.getAs[Long]("b"), r.getAs[Long]("m")))
+      // the on-time rows of the CLOSED days, replayed through the BATCH
+      // register build (distinct pairs → max per cell — shared geometry)
+      val onTime = Seq((0L, 1L), (0L, 2L), (0L, 1L), (1L, 3L), (2L, 4L),
+        (1L, 5L), (8L, 6L), (8L, 7L))
+      val batchRegs = onTime.toDF("day", "user_id")
+        .select(col("day"), Events.hllUserBucket.as("b"), Events.hllUserRank.as("rnk"))
+        .groupBy("day", "b").agg(org.apache.spark.sql.functions.max("rnk").as("m"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(cells.toSet == batchRegs.toSet,
+        s"streamed cells must equal the batch register table: ${cells.toSeq}")
+      val dropped = query.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L, "the beyond-watermark row must be counted as dropped")
+
+      // the foreachBatch report over the emitted cells = batch q236's
+      // serve over the same pairs (shared tail, literally)
+      val report = EventStream.rollingActivesReportBatch(
+        cells.toSeq.toDF("day", "b", "m")).collect()
+        .map(r => r.getAs[Long]("day") -> r.getAs[Double]("est_7d")).toMap
+      val batchServe = Events.rollingRegEst(
+          onTime.toDF("day", "user_id").distinct())
+        .select(col("day"), graft.etl.Star.round2(col("est")).as("est_7d"))
+        .collect().map(r => r.getAs[Long]("day") -> r.getAs[Double]("est_7d")).toMap
+      assert(report == batchServe, s"report $report vs batch $batchServe")
+      // day 8's figure covers days 2-8 only: users {4, 6} — day-0/1
+      // cohorts aged out, so its estimate differs from day 2's
+      assert(report.keySet == Set(0L, 1L, 2L, 8L))
+    } finally query.stop()
+  }
+
   test("sessionWindowStream: late rows extend and MERGE sessions, emitted sessions equal batch q51's grain, boundary gap semantics pinned") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
