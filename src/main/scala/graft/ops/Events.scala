@@ -1252,6 +1252,71 @@ object Events {
       .orderBy("tier")
   }
 
+  /** The SCD2 RECONCILIATION operator — the repair path
+    * [[graft.streaming.EventStream.scdTierStream]]'s fail-loudly
+    * contract points at, as a first-class operator (r15 verdict item
+    * 7): diff a streamed dimension state (append-only — user_id,
+    * version_no, tier, valid_from_day; no valid_to, per the stream's
+    * publish contract) against the batch-rebuilt dimension and emit
+    * the repair rows an on-call engineer applies after an ingest
+    * incident:
+    *   - `insert`: version exists in batch, missing from the stream
+    *     (missed micro-batches) — row carries the batch attributes;
+    *   - `amend`:  version exists in both but tier or valid_from
+    *     differ (a corrupted fold) — row carries the batch attributes
+    *     that supersede the stream's;
+    *   - `delete`: version exists only in the stream (spurious state)
+    *     — row carries the stream attributes to retract.
+    * Applying insert ∪ amend and retracting delete ∪ amend's old rows
+    * makes stream ≡ batch by construction (EventStreamSpec repairs a
+    * corrupted stream state to batch equality). Scale: one full-outer
+    * equi-join on (user_id, version_no) — both sides dimension-sized,
+    * AQE elects the strategy. */
+  private[graft] def scdReconcile(streamed: DataFrame, batch: DataFrame): DataFrame = {
+    val st = streamed.select(col("user_id"), col("version_no"),
+      col("tier").as("s_tier"), col("valid_from_day").as("s_from"))
+    val ba = batch.select(col("user_id"), col("version_no"),
+      col("tier").as("b_tier"), col("valid_from_day").as("b_from"))
+    ba.join(st, Seq("user_id", "version_no"), "full_outer")
+      .withColumn("action",
+        when(col("s_tier").isNull, lit("insert"))
+          .when(col("b_tier").isNull, lit("delete"))
+          .when(col("b_tier") =!= col("s_tier") ||
+            col("b_from") =!= col("s_from"), lit("amend")))
+      .where(col("action").isNotNull)
+      .select(col("user_id"), col("version_no"), col("action"),
+        coalesce(col("b_tier"), col("s_tier")).as("tier"),
+        coalesce(col("b_from"), col("s_from")).as("valid_from_day"))
+  }
+
+  /** q264: SCD2 REPAIR after an ingest incident — [[scdReconcile]]
+    * gated end-to-end. The "streamed state" is the batch dimension
+    * with a DETERMINISTIC planted corruption (the q217 planted-corpus
+    * trick, md5-bucketed on user_version so both engines plant the
+    * identical incident): versions in bucket < 10 are DROPPED (missed
+    * micro-batches → `insert` repairs), buckets 10–14 get their tier
+    * rotated by one (a corrupted fold → `amend`), and buckets 15–17
+    * gain a spurious +100 version (double-applied state → `delete`).
+    * The oracle replays the same corruption and the same full-outer
+    * diff, so the gate checks every repair row, not a count. */
+  val q264_scd2_repair: Q = (s, d) => {
+    val batch = tierVersions(events(s, d))
+    val base = batch
+      .select("user_id", "version_no", "tier", "valid_from_day")
+      .withColumn("vb", graft.ops.TextCore.idBucket(
+        concat(col("user_id").cast("string"), lit("_"),
+          col("version_no").cast("string"))))
+    val kept = base.where(col("vb") >= 10)
+      .withColumn("tier",
+        when(col("vb") < 15, (col("tier") + 1L) % 3L).otherwise(col("tier")))
+    val spurious = base.where(col("vb") >= 15 && col("vb") < 18)
+      .select(col("user_id"), (col("version_no") + 100L).as("version_no"),
+        col("tier"), (col("valid_from_day") + 1L).as("valid_from_day"))
+    val corrupted = kept.drop("vb").unionByName(spurious)
+    scdReconcile(corrupted, batch)
+      .orderBy("user_id", "version_no", "action")
+  }
+
   /** q242: A/B EFFECT SIZE as the Mann–Whitney AUC — the
     * common-language effect size P(X₁ > X₀) + ½P(X₁ = X₀) over
     * per-user purchase counts, the nonparametric companion to q198's
@@ -1517,6 +1582,7 @@ object Events {
     "q246_ab_design" -> q246_ab_design,
     "q247_cuped" -> q247_cuped,
     "q240_scd2_tier" -> q240_scd2_tier,
+    "q264_scd2_repair" -> q264_scd2_repair,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
     "q228_hll_intersection" -> q228_hll_intersection,
@@ -1882,6 +1948,45 @@ object Events {
       s"""WITH $tierCtes
         |SELECT user_id, version_no, tier, valid_from_day, valid_to_day
         |FROM v ORDER BY user_id, version_no""".stripMargin,
+    // the identical planted corruption and full-outer diff
+    "q264_scd2_repair" ->
+      s"""WITH $tierCtes,
+        |b AS (SELECT user_id, version_no, tier, valid_from_day FROM v),
+        |c0 AS (
+        |  SELECT user_id, version_no, tier, valid_from_day,
+        |         ${graft.ops.TextCore.idBucketSql(
+             "CAST(user_id AS VARCHAR) || '_' || CAST(version_no AS VARCHAR)")}
+        |           AS vb
+        |  FROM b),
+        |kept AS (
+        |  SELECT user_id, version_no,
+        |         CASE WHEN vb < 15 THEN (tier + 1) % 3 ELSE tier END AS tier,
+        |         valid_from_day
+        |  FROM c0 WHERE vb >= 10),
+        |spur AS (
+        |  SELECT user_id, version_no + 100 AS version_no, tier,
+        |         valid_from_day + 1 AS valid_from_day
+        |  FROM c0 WHERE vb >= 15 AND vb < 18),
+        |st AS (SELECT * FROM kept UNION ALL SELECT * FROM spur),
+        |j AS (
+        |  SELECT coalesce(b.user_id, st.user_id) AS user_id,
+        |         coalesce(b.version_no, st.version_no) AS version_no,
+        |         b.tier AS b_tier, b.valid_from_day AS b_from,
+        |         st.tier AS s_tier, st.valid_from_day AS s_from
+        |  FROM b FULL OUTER JOIN st
+        |    ON b.user_id = st.user_id AND b.version_no = st.version_no),
+        |r AS (
+        |  SELECT user_id, version_no,
+        |         CASE WHEN s_tier IS NULL THEN 'insert'
+        |              WHEN b_tier IS NULL THEN 'delete'
+        |              WHEN b_tier <> s_tier OR b_from <> s_from THEN 'amend'
+        |         END AS action,
+        |         CAST(coalesce(b_tier, s_tier) AS BIGINT) AS tier,
+        |         coalesce(b_from, s_from) AS valid_from_day
+        |  FROM j)
+        |SELECT user_id, version_no, action, tier, valid_from_day
+        |FROM r WHERE action IS NOT NULL
+        |ORDER BY user_id, version_no, action""".stripMargin,
     // method-independent replay: the gated query is the q68 as-of
     // union-window composition; the oracle is the plain range join
     // against the ≤3-versions-per-user table (validity ranges

@@ -1634,6 +1634,58 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("scdReconcile repairs a corrupted stream state to batch equality") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{SpendDay, TierVersion}
+    import org.apache.spark.sql.functions.col
+    // the incident: user 1's day-1 spend never reached the stream (a
+    // skipped micro-batch — in-order contract still holds, the day is
+    // simply absent), so the streamed dimension runs on partial sums:
+    //   full:    day0 20000 (t0) | day1 20000 (cum 40000, t1) | day2 60000 (cum 100000, t2)
+    //   streamed: day0 20000 (t0) |                            day2 60000 (cum 80000, t1)
+    val full = Seq(
+      SpendDay(1L, 0L, 20000L), SpendDay(1L, 1L, 20000L), SpendDay(1L, 2L, 60000L),
+      SpendDay(2L, 0L, 95000L))
+    val incident = full.filterNot(r => r.user_id == 1L && r.day == 1L)
+    val input = MemoryStream[SpendDay]
+    val query = EventStream.scdTierStream(input.toDS())
+      .writeStream.format("memory").queryName("scd_rep").outputMode("append").start()
+    val streamed = try {
+      input.addData(incident: _*); query.processAllAvailable()
+      spark.table("scd_rep").as[TierVersion].collect().toSeq
+    } finally query.stop()
+    // the streamed state is genuinely wrong before repair
+    assert(streamed.toSet == Set(
+      TierVersion(1L, 1L, 0L, 0L), TierVersion(1L, 2L, 1L, 2L),
+      TierVersion(2L, 1L, 2L, 0L)))
+    val ev = full.map(r => (r.user_id, r.day * 86400L + 60L,
+        r.dc.toDouble / 100.0, "purchase"))
+      .toDF("user_id", "es", "value", "event_type")
+    val batch = graft.ops.Events.tierVersions(ev)
+    val sdf = streamed.toDF()
+      .select(col("user_id"), col("version_no"), col("tier"),
+        col("valid_from_day"))
+    val repair = graft.ops.Events.scdReconcile(sdf, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    // the diff names the incident exactly: v2 amended back to day 1 /
+    // tier 1, v3 inserted (day 2, tier 2); user 2 untouched
+    assert(repair.toSet == Set(
+      (1L, 2L, "amend", 1L, 1L), (1L, 3L, "insert", 2L, 2L)), s"$repair")
+    // APPLY the repair: drop delete+amend keys, add insert+amend rows →
+    // the repaired state equals batch q240's dimension verbatim
+    val deleteOrAmend = repair.filter(r => r._3 != "insert")
+      .map(r => (r._1, r._2)).toSet
+    val applied = streamed
+      .filterNot(v => deleteOrAmend.contains((v.user_id, v.version_no)))
+      .map(v => (v.user_id, v.version_no, v.tier, v.valid_from_day)) ++
+      repair.filter(r => r._3 != "delete").map(r => (r._1, r._2, r._4, r._5))
+    val expect = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(applied.toSet == expect, s"applied=$applied expect=$expect")
+  }
+
   test("dailySpendStream → scdTierStream composes; beyond-watermark spend drops observably") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
