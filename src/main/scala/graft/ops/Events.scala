@@ -1036,6 +1036,70 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q265: USER-GRAIN PAGERANK, distributed — the iterative
+    * corpus-grain computation the engine had only at type grain (q238,
+    * a bounded driver fold) and as connected components (q61/q248):
+    * here the per-iteration STATE is the corpus-sized rank table and
+    * each of the fixed [[prIters]] steps is a genuine shuffle
+    * (edges ⋈ ranks on src → dst-keyed partial-sum aggregate → node
+    * left-join), the plan you'd run on a billion-user graph. Graph:
+    * the ATTENTION-HANDOFF graph — consecutive events (by es,
+    * event_id) within an hour bucket hand off src_user → dst_user when
+    * the user changes; weights count handoffs. Hour-bucketing is the
+    * documented scale decision (the q122/q193 two-phase rule): the lag
+    * window partitions by `es div 3600`, so no single task ever sorts
+    * more than an hour of traffic, at the cost of dropping the
+    * cross-boundary handoff (uniform, documented). Arithmetic is
+    * q238's VERBATIM (shared [[prScale]]/[[prIters]], damping 85/100
+    * as exact rationals): r'_i = (15%·S div 100) div N +
+    * 85·Σ_j(r_j·w_ji div tot_j) div 100 — every term truncated BEFORE
+    * the sum, so the result is order-free and bit-identical
+    * cross-engine; dangling mass is dropped (the q238 variant).
+    * Isolated users (no in-edges) hold the base rank. N is one bounded
+    * driver scalar (a count). The oracle replays all three steps as
+    * chained CTEs; EventsSpec replays the fold against q238's
+    * driver-side recurrence on the same edge list. Per-iteration
+    * frames are Ckpt-scoped and the predecessor drops once its
+    * successor materializes (the Lloyd-loop rule). */
+  lazy val q265_user_pagerank: Q = (s, d) => {
+    val ev = events(s, d)
+    val wh = Window.partitionBy("hb").orderBy("es", "event_id")
+    val seqd = ev.select(col("user_id"), col("es"), col("event_id"))
+      .withColumn("hb", expr("es div 3600"))
+      .withColumn("src", lag("user_id", 1).over(wh))
+    val edges = graft.Ckpt.persisted(seqd
+      .where(col("src").isNotNull && col("src") =!= col("user_id"))
+      .groupBy(col("src"), col("user_id").as("dst"))
+      .agg(count(lit(1)).as("w")))
+    val outd = edges.groupBy("src").agg(sum("w").as("tot"))
+    val nodes = graft.Ckpt.persisted(ev.select("user_id").distinct())
+    val n = nodes.count() // ONE bounded driver scalar, not a collect
+    val base = (15L * prScale / 100L) / n
+    var rank = graft.Ckpt.eager(nodes.withColumn("r", lit(prScale / n)))
+    for (_ <- 1 to prIters) {
+      val next = graft.Ckpt.eager(prStep(edges, outd, nodes, rank, base))
+      graft.Ckpt.drop(rank)
+      rank = next
+    }
+    rank.select(col("user_id"), col("r").as("rank_ppm")).orderBy("user_id")
+  }
+
+  /** ONE q265 rank iteration, lazily — factored so ScaleGuardSpec can
+    * pin the per-iteration plan (edge⋈rank equi joins + a dst-keyed
+    * partial-sum aggregate; no cartesian, no global window) without
+    * running the loop. */
+  private[graft] def prStep(edges: DataFrame, outd: DataFrame,
+      nodes: DataFrame, rank: DataFrame, base: Long): DataFrame = {
+    val contrib = edges.join(outd, "src")
+      .join(rank.withColumnRenamed("user_id", "src"), "src")
+      .select(col("dst").as("user_id"), expr("r * w div tot").as("c"))
+      .groupBy("user_id").agg(sum("c").as("inr"))
+    nodes.join(contrib, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (lit(base) + expr("85 * coalesce(inr, CAST(0 AS BIGINT)) div 100"))
+          .as("r"))
+  }
+
   /** q236: ROLLING 7-DAY ACTIVE USERS from mergeable per-day HLL
     * registers — the sliding-window distinct-count every growth
     * dashboard serves, built the only way it stays cheap at 100 TB:
@@ -1583,6 +1647,7 @@ object Events {
     "q247_cuped" -> q247_cuped,
     "q240_scd2_tier" -> q240_scd2_tier,
     "q264_scd2_repair" -> q264_scd2_repair,
+    "q265_user_pagerank" -> q265_user_pagerank,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
     "q228_hll_intersection" -> q228_hll_intersection,
@@ -1661,6 +1726,44 @@ object Events {
       |         CAST(tier AS BIGINT) AS tier, day AS valid_from_day,
       |         lead(day) OVER w AS valid_to_day
       |  FROM k WINDOW w AS (PARTITION BY user_id ORDER BY day))""".stripMargin
+
+  /** q265's oracle: one iteration's pair of chained CTEs — the
+    * contribution join and the rank refresh; the full oracle chains
+    * [[prIters]] of these after the shared graph CTEs. */
+  private def prStepSql(i: Int): String =
+    s"""c$i AS (
+       |  SELECT ed.dst AS user_id,
+       |         CAST(sum(r.r * ed.w // o.tot) AS BIGINT) AS inr
+       |  FROM ed JOIN outd o ON o.src = ed.src
+       |  JOIN r${i - 1} r ON r.user_id = ed.src
+       |  GROUP BY 1),
+       |r$i AS (
+       |  SELECT nd.user_id,
+       |         (15 * $prScale // 100) // nn.n
+       |           + 85 * coalesce(c$i.inr, 0) // 100 AS r
+       |  FROM nodes nd CROSS JOIN nn
+       |  LEFT JOIN c$i ON c$i.user_id = nd.user_id)""".stripMargin
+
+  private lazy val userPagerankSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id,
+       |         CAST(floor(epoch(ts)) AS BIGINT) AS es
+       |  FROM events),
+       |sq AS (
+       |  SELECT user_id AS dst,
+       |         lag(user_id) OVER (PARTITION BY es // 3600
+       |                            ORDER BY es, event_id) AS src
+       |  FROM e),
+       |ed AS (
+       |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+       |  FROM sq WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+       |outd AS (SELECT src, CAST(sum(w) AS BIGINT) AS tot FROM ed GROUP BY 1),
+       |nodes AS (SELECT DISTINCT user_id FROM e),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT user_id, $prScale // n AS r FROM nodes CROSS JOIN nn),
+       |${(1 to prIters).map(prStepSql).mkString(",\n")}
+       |SELECT user_id, CAST(r AS BIGINT) AS rank_ppm
+       |FROM r$prIters ORDER BY user_id""".stripMargin
 
   /** q228/q263 shared oracle CTEs (heavy set → densified registers →
     * per-type and pair-union estimates). NOTE: interpolated into
@@ -1948,6 +2051,8 @@ object Events {
       s"""WITH $tierCtes
         |SELECT user_id, version_no, tier, valid_from_day, valid_to_day
         |FROM v ORDER BY user_id, version_no""".stripMargin,
+    // the three rank iterations replayed as chained CTEs
+    "q265_user_pagerank" -> userPagerankSql,
     // the identical planted corruption and full-outer diff
     "q264_scd2_repair" ->
       s"""WITH $tierCtes,

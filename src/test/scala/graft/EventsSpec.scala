@@ -128,6 +128,39 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map("a" -> 75000L, "b" -> 138750L), s"got $got")
   }
 
+  test("q265: the distributed rank iteration equals the q238-style driver recurrence; hour boundary drops the handoff") {
+    // handoffs inside hour 0: 1→2, 2→1, 1→2 (again), 2→3; user 3's next
+    // event opens hour 1, so the 3→1 handoff across the boundary is
+    // DROPPED (the documented bucketing cost); inside hour 1: 1→3.
+    // User 9 is an isolate (single event far away, no neighbors).
+    val dir = writeMiniEvents(Seq(
+      (1L, 1L, 10L), (2L, 2L, 20L), (3L, 1L, 30L), (4L, 2L, 40L),
+      (5L, 2L, 50L), (6L, 3L, 60L),
+      (7L, 1L, 3700L), (8L, 3L, 3800L),
+      (9L, 9L, 90000L)))
+    val got = Events.q265_user_pagerank(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("rank_ppm")).toMap
+    // edges with weights: 1→2 w2, 2→1 w1, 2→3 w1, 1→3 w1
+    val edges = Seq((1L, 2L, 2L), (2L, 1L, 1L), (2L, 3L, 1L), (1L, 3L, 1L))
+    val nodes = Seq(1L, 2L, 3L, 9L)
+    val n = nodes.length.toLong
+    val tot = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var rank = nodes.map(_ -> 1000000L / n).toMap
+    for (_ <- 1 to 3) {
+      rank = nodes.map { i =>
+        val in = edges.filter(_._2 == i)
+          .map { case (j, _, w) => rank(j) * w / tot(j) }.sum
+        i -> ((15L * 1000000L / 100) / n + 85L * in / 100)
+      }.toMap
+    }
+    assert(got == rank, s"got $got expect $rank")
+    // the isolate holds exactly the base rank (no in-edges ever)
+    assert(got(9L) == (15L * 1000000L / 100) / 4L)
+    // and rank flowed: user 3 (two in-edges, no competition from the
+    // dropped boundary handoff) outranks the isolate
+    assert(got(3L) > got(9L))
+  }
+
   test("q236: the trailing window is 7 calendar days — day-0 users fall out of day 7's figure") {
     // day 0: users 1/2/3; day 3: user 9; day 7: users 4/5. The rolling
     // window is RANGE over calendar days (gaps contribute nothing), so

@@ -442,6 +442,35 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "expected the part-dim join to be a broadcast hash join")
   }
 
+  test("q265's per-iteration plan: equi joins + keyed aggregate, no cartesian/global window") {
+    // the iterative corpus-grain contract (r15 verdict item 8): each
+    // rank step must be a shuffle-per-iteration plan — edge⋈rank equi
+    // joins feeding a dst-keyed partial-sum aggregate — never a
+    // cartesian, BNLJ, or partitionless window that would funnel a
+    // billion-user rank table through one task
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 2L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val outd = Seq((1L, 2L), (2L, 1L)).toDF("src", "tot")
+    val nodes = Seq(1L, 2L, 3L).toDF("user_id")
+    val rank = Seq((1L, 10L), (2L, 10L), (3L, 10L)).toDF("user_id", "r")
+    val p = graft.ops.Events.prStep(edges, outd, nodes, rank, 5L)
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case x => x
+    }
+    assert(p.collect { case c: CartesianProductExec => c
+                       case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "a rank iteration must stay equi-join shaped")
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "a rank iteration must carry no window at all")
+    assert(p.collect { case h: HashAggregateExec => h }.nonEmpty,
+      "the contribution sum must be a keyed hash aggregate")
+  }
+
   test("component-label joins carry NO forced broadcast hint; AQE elects") {
     // r15 verdict weak item: the dup-graph node set is a constant
     // FRACTION of the corpus at crawl dup rates (20–50% of documents),
