@@ -1584,6 +1584,113 @@ object TextStats {
             (col("n_probes") - col("n_members")).cast("double"))).as("fpr"))
   }
 
+  /** q266's flag threshold, duplicate-bigram basis points — chosen
+    * where the corpus SPLITS (median 281 bp, ~6% of docs above; the
+    * q198 threshold-selection rule: a gate that flags nothing or
+    * everything proves nothing). */
+  private[graft] val repDupBp = 800L
+
+  /** q266: REPETITION FILTER (Gopher-style) — the within-document
+    * repetition quality rule every crawl-curation stack runs (Rae et
+    * al. 2021's repetition signals; reference corpus has no analog —
+    * this is the LLM-pipeline family): a document whose n-grams repeat
+    * heavily is boilerplate/spam/degenerate generation, not prose.
+    * Signal = duplicate-BIGRAM mass: (n_bigrams − n_distinct_bigrams)
+    * / n_bigrams in integer basis points (trigrams are zero-signal on
+    * this vocabulary; unigrams saturate — measured, SURVEY r16). Both
+    * counts are pure ARRAY ops on the memoized words column — no
+    * explode, no shuffle beyond the final sort: the per-doc set
+    * arithmetic a 100 TB curation pass wants. Docs under 2 words have
+    * no bigrams and surface NULL (not 0 — "no evidence" ≠ "clean").
+    * The `sequence(1, n)` reversal trap is guarded (size ≥ 2). */
+  lazy val q266_repetition_filter: Q = (s, d) =>
+    docShingles(s, d)
+      .select(col("doc_id"),
+        when(size(col("words")) >= 2,
+          transform(sequence(lit(1), size(col("words")) - 1),
+            i => concat_ws(" ", element_at(col("words"), i),
+              element_at(col("words"), i + 1))))
+          .otherwise(array().cast("array<string>")).as("bigrams"))
+      .select(col("doc_id"),
+        size(col("bigrams")).cast("long").as("n_grams"),
+        size(array_distinct(col("bigrams"))).cast("long").as("nd"))
+      .withColumn("n_dup", col("n_grams") - col("nd"))
+      .withColumn("dup_bp", when(col("n_grams") > 0,
+        expr("n_dup * 10000 div n_grams")).otherwise(lit(null).cast("long")))
+      .withColumn("flagged", when(col("dup_bp").isNull, lit(null).cast("long"))
+        .otherwise(when(col("dup_bp") > repDupBp, 1L).otherwise(0L)))
+      .select("doc_id", "n_grams", "n_dup", "dup_bp", "flagged")
+      .orderBy("doc_id")
+
+  /** q267's PII patterns — identical literals in both engines (simple
+    * character classes, no engine-divergent constructs). */
+  private[graft] val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val phoneRe = "\\+1-555-[0-9]+"
+
+  /** q267: PII SCRUB — detection + redaction accounting, the curation
+    * pass legal teams require before text ships to training. The
+    * corpus carries no PII, so the gate PLANTS it deterministically
+    * (the q217/q264 planted-corpus trick, md5-bucketed so both engines
+    * plant the identical rows): buckets < 15 gain an email, 15–19 a
+    * phone number. The operator then: counts matches per doc, redacts
+    * with [EMAIL]/[PHONE], and reports per source — doc counts, PII
+    * doc counts, the redacted-length checksum (catches a wrong
+    * replacement the counts alone would miss), and residual_pii_docs,
+    * which the oracle PROVES is zero (redaction actually removed every
+    * match — a gate, not an assertion). Scale: one map-shaped pass +
+    * a source-keyed aggregate; regex stays inside codegen. */
+  lazy val q267_pii_scrub: Q = (s, d) => {
+    val b = graft.ops.TextCore.idBucket(col("doc_id"))
+    val planted = s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        when(b < 15, concat(col("text"), lit(" contact: user"),
+            col("doc_id").cast("string"), lit("@example.com")))
+          .when(b < 20, concat(col("text"), lit(" phone: +1-555-"),
+            col("doc_id").cast("string")))
+          .otherwise(col("text")).as("t2"))
+    val scrubbed = planted
+      .withColumn("n_email", regexp_count(col("t2"), lit(emailRe)))
+      .withColumn("n_phone", regexp_count(col("t2"), lit(phoneRe)))
+      .withColumn("red", regexp_replace(
+        regexp_replace(col("t2"), emailRe, "[EMAIL]"), phoneRe, "[PHONE]"))
+      .withColumn("residual",
+        regexp_count(col("red"), lit(emailRe)) +
+          regexp_count(col("red"), lit(phoneRe)))
+    scrubbed.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_email") > 0, 1L).otherwise(0L)).as("n_email_docs"),
+        sum(when(col("n_phone") > 0, 1L).otherwise(0L)).as("n_phone_docs"),
+        sum(length(col("red"))).cast("long").as("redacted_len_sum"),
+        sum(when(col("residual") > 0, 1L).otherwise(0L)).as("residual_pii_docs"))
+      .orderBy("source")
+  }
+
+  /** q268: MIXTURE WEIGHTS WITH TEMPERATURE — the multilingual/
+    * multi-source sampling rule (Arivazhagan et al. 2019's T-scaled
+    * sampling; the "don't let the biggest crawl drown the small
+    * high-quality source" knob): sampling weight ∝ share^(1/T) with
+    * T = 2, i.e. w_i ∝ √n_i — upweights small sources, downweights
+    * large ones. √ is the ONE libm-free root (correctly-rounded IEEE,
+    * the q174/q190 rule), and each per-source √ is quantized to an
+    * integer (⌊√n·100⌋) BEFORE the normalizing sum, so the sum is
+    * integer and order-free — no float aggregation ever crosses
+    * engines. Output: natural share and temperature weight, both exact
+    * integer basis points; the 1-row totals ride a broadcast cross
+    * join (the q224 pattern, source-domain-bounded input). */
+  lazy val q268_mixture_temperature: Q = (s, d) => {
+    val perSource = docShingles(s, d)
+      .groupBy("source")
+      .agg(sum(size(col("words")).cast("long")).as("n_tokens"))
+      .withColumn("sq", floor(sqrt(col("n_tokens").cast("double")) * 100).cast("long"))
+    perSource
+      .crossJoin(broadcast(perSource.agg(
+        sum("n_tokens").as("tot_tokens"), sum("sq").as("tot_sq"))))
+      .select(col("source"), col("n_tokens"),
+        expr("n_tokens * 10000 div tot_tokens").as("share_bp"),
+        expr("sq * 10000 div tot_sq").as("w_temp_bp"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q168_hist_quantiles" -> q168_hist_quantiles,
     "q171_bloom_membership" -> q171_bloom_membership,
@@ -1592,6 +1699,9 @@ object TextStats {
     "q42_quality_score" -> q42_quality_score,
     "q249_quantile_uniform" -> q249_quantile_uniform,
     "q250_token_mass_quantiles" -> q250_token_mass_quantiles,
+    "q266_repetition_filter" -> q266_repetition_filter,
+    "q267_pii_scrub" -> q267_pii_scrub,
+    "q268_mixture_temperature" -> q268_mixture_temperature,
     "q43_fingerprint" -> q43_fingerprint,
     "q44_bpe_tokens" -> q44_bpe_tokens,
     "q64_rare_terms" -> q64_rare_terms,
@@ -1892,6 +2002,76 @@ object TextStats {
        |ORDER BY lang""".stripMargin)
 
   val oracle: Map[String, String] = Map(
+    // the same bigram multiset-vs-set arithmetic over the shared words
+    "q266_repetition_filter" -> withDocs(
+      s""", g AS (
+         |  SELECT doc_id,
+         |         CAST(greatest(len(words) - 1, 0) AS BIGINT) AS n_grams,
+         |         CAST(CASE WHEN len(words) >= 2
+         |              THEN len(list_distinct(list_transform(range(1, len(words)),
+         |                     i -> words[i] || ' ' || words[i+1])))
+         |              ELSE 0 END AS BIGINT) AS nd
+         |  FROM docs)
+         |SELECT doc_id, n_grams, n_dup,
+         |       CASE WHEN n_grams > 0 THEN n_dup * 10000 // n_grams
+         |       END AS dup_bp,
+         |       CASE WHEN n_grams > 0 THEN
+         |         CAST(CASE WHEN n_dup * 10000 // n_grams > $repDupBp
+         |              THEN 1 ELSE 0 END AS BIGINT)
+         |       END AS flagged
+         |FROM (SELECT doc_id, n_grams, nd, n_grams - nd AS n_dup FROM g)
+         |ORDER BY doc_id""".stripMargin),
+    // identical plant (same md5 buckets), identical patterns, 'g' flag
+    // because DuckDB's regexp_replace is first-match-only by default
+    // where Spark's replaces all
+    "q267_pii_scrub" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN ${graft.ops.TextCore.idBucketSql("doc_id")} < 15
+         |              THEN text || ' contact: user' ||
+         |                   CAST(doc_id AS VARCHAR) || '@example.com'
+         |              WHEN ${graft.ops.TextCore.idBucketSql("doc_id")} < 20
+         |              THEN text || ' phone: +1-555-' || CAST(doc_id AS VARCHAR)
+         |              ELSE text END AS t2
+         |  FROM documents),
+         |sc AS (
+         |  SELECT source,
+         |         len(regexp_extract_all(t2, '$emailRe')) AS n_email,
+         |         len(regexp_extract_all(t2, '$phoneRe')) AS n_phone,
+         |         regexp_replace(regexp_replace(t2, '$emailRe', '[EMAIL]', 'g'),
+         |                        '$phoneRe', '[PHONE]', 'g') AS red
+         |  FROM p),
+         |r AS (
+         |  SELECT source, n_email, n_phone, red,
+         |         len(regexp_extract_all(red, '$emailRe'))
+         |           + len(regexp_extract_all(red, '$phoneRe')) AS residual
+         |  FROM sc)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_email_docs,
+         |       CAST(sum(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_phone_docs,
+         |       CAST(sum(len(red)) AS BIGINT) AS redacted_len_sum,
+         |       CAST(sum(CASE WHEN residual > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS residual_pii_docs
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // per-source sqrt quantized BEFORE the normalizing integer sum
+    "q268_mixture_temperature" -> withDocs(
+      s""", ps AS (
+         |  SELECT source, CAST(sum(len(words)) AS BIGINT) AS n_tokens
+         |  FROM docs GROUP BY 1),
+         |q AS (
+         |  SELECT source, n_tokens,
+         |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 100) AS BIGINT) AS sq
+         |  FROM ps),
+         |t AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         |         CAST(sum(sq) AS BIGINT) AS tot_sq
+         |  FROM q)
+         |SELECT source, n_tokens,
+         |       n_tokens * 10000 // tot_tokens AS share_bp,
+         |       sq * 10000 // tot_sq AS w_temp_bp
+         |FROM q CROSS JOIN t ORDER BY source""".stripMargin),
     // one-pass bit set over the union of the two quarter builds (the
     // Bloom merge law), then the same probe/audit accounting
     "q171_bloom_membership" -> withDocs(

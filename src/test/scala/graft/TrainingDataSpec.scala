@@ -686,4 +686,76 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
     assert(total == spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count())
     assert(correct.toDouble / total > 1.0 / langs)
   }
+
+  test("q266: duplicate-bigram mass replays by hand; 1-word docs surface NULL") {
+    // doc 0: "a b a b a" → bigrams [ab, ba, ab, ba] = 4, distinct 2 →
+    // dup_bp 5000, flagged; doc 1: all-distinct bigrams → 0, clean;
+    // doc 2: one word → no bigrams → NULLs
+    val dir = writeMiniDocs(Seq(
+      (0L, "a b a b a"), (1L, "x y z w"), (2L, "solo")))
+    val got = TextStats.q266_repetition_filter(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup"),
+          Option(r.get(r.fieldIndex("dup_bp"))).map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("flagged"))).map(_.asInstanceOf[Long])))).toMap
+    assert(got(0L) == ((4L, 2L, Some(5000L), Some(1L))))
+    assert(got(1L) == ((3L, 0L, Some(0L), Some(0L))))
+    assert(got(2L) == ((0L, 0L, None, None)),
+      "a doc with no bigrams has no evidence, not a clean verdict")
+  }
+
+  test("q267: the planted PII is found, redacted, and leaves zero residual") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextStats.q267_pii_scrub(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // redaction is PROVEN complete on every source
+    assert(rows.forall(_.getAs[Long]("residual_pii_docs") == 0L))
+    // the plant replays: per source, email docs = bucket<15 docs,
+    // phone docs = bucket in [15,20)
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(2).map("%02x".format(_)).mkString, 16) % 100
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    val expEmail = docs.filter(d => bucket(d._1) < 15).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expPhone = docs.filter(d => { val b = bucket(d._1); b >= 15 && b < 20 })
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_email_docs") == expEmail.getOrElse(src, 0L), src)
+      assert(r.getAs[Long]("n_phone_docs") == expPhone.getOrElse(src, 0L), src)
+    }
+    // at least one of each plant exists at sf0.001, or the gate is vacuous
+    assert(rows.map(_.getAs[Long]("n_email_docs")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_phone_docs")).sum > 0)
+  }
+
+  test("q268: temperature weights sum to ~10000 and flatten the mixture") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextStats.q268_mixture_temperature(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("share_bp"), r.getAs[Long]("w_temp_bp")))
+    assert(rows.length >= 2)
+    // truncating division: sums land in (10000 - #sources, 10000]
+    val wsum = rows.map(_._4).sum
+    assert(wsum > 10000L - rows.length && wsum <= 10000L, s"wsum=$wsum")
+    // sqrt flattens: the SMALLEST source gains weight vs its natural
+    // share, the largest loses (strictly, unless already uniform)
+    val smallest = rows.minBy(_._2)
+    val largest = rows.maxBy(_._2)
+    if (smallest._2 != largest._2) {
+      assert(smallest._4 >= smallest._3, s"smallest $smallest must be upweighted")
+      assert(largest._4 <= largest._3, s"largest $largest must be downweighted")
+    }
+    // exact replay of the quantize-before-sum rule
+    val sq = rows.map(r => math.floor(math.sqrt(r._2.toDouble) * 100).toLong)
+    val tot = sq.sum
+    rows.zip(sq).foreach { case (r, s) =>
+      assert(r._4 == s * 10000L / tot, s"${r._1}")
+    }
+  }
 }
