@@ -143,6 +143,47 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** q269: HARD-NEGATIVE MINING — the contrastive-training data op
+    * (triplet/InfoNCE batches live or die on negatives that are HARD,
+    * not random): for each query vector, the top-3 highest-cosine
+    * candidates of a DIFFERENT label (the corpus class column as the
+    * supervision proxy), with the best same-label cosine riding along
+    * and a `violates` flag marking negatives that outscore the best
+    * positive — the margin-violation set a metric-learning curriculum
+    * feeds first. Every cosine is the gated q36 codegen dot; the flag
+    * compares the RAW doubles both engines computed identically, and
+    * the published cosines are round4-quantized (house float rule).
+    * Queries with no same-label candidate surface NULL pos/flag (no
+    * evidence ≠ no violation). Scale: the q36 bounded-panel posture —
+    * the query panel broadcasts over one corpus scan; production mines
+    * per-label via the IVF route (q37/q233). */
+  val q269_hard_negatives: Q = (s, d) => {
+    val all = s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", graft.functions.VectorOps.norm(col("v")))
+    val q = all.where(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("label").as("q_label"))
+    val cand = broadcast(q).join(all, col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val wn = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val negs = cand.where(col("label") =!= col("q_label"))
+      .withColumn("rank", row_number().over(wn).cast("long"))
+      .where(col("rank") <= 3)
+    val posBest = cand.where(col("label") === col("q_label"))
+      .groupBy("query_id").agg(max(col("cosine")).as("pos_best"))
+    negs.join(posBest, Seq("query_id"), "left")
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round4(col("cosine")).as("neg_cosine"),
+        round4(col("pos_best")).as("pos_best_cosine"),
+        when(col("pos_best").isNull, lit(null).cast("long"))
+          .otherwise(when(col("cosine") > col("pos_best"), 1L).otherwise(0L))
+          .as("violates"))
+      .orderBy("query_id", "rank")
+  }
+
   /** q231 geometry: the mining panel bound, the language-proxy labels,
     * and the top-k context size — one definition for the Spark plan,
     * the oracle (which interpolates them), and the spec. */
@@ -1995,6 +2036,7 @@ object Similarity {
     "q176_codebook_refresh" -> q176_codebook_refresh,
     "q200_mmr_select" -> q200_mmr_select,
     "q36_knn_brute" -> q36_knn_brute,
+    "q269_hard_negatives" -> q269_hard_negatives,
     "q37_knn_ivf" -> q37_knn_ivf,
     "q154_embedding_outliers" -> q154_embedding_outliers,
     "q58_ivf_recall" -> q58_ivf_recall,
@@ -2748,6 +2790,37 @@ object Similarity {
       s"""WITH $vecsCte, $bruteCte
          |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine
          |FROM brute ORDER BY query_id, rank""".stripMargin,
+    // same label-split ranking, raw-double violation compare
+    "q269_hard_negatives" ->
+      s"""WITH lvecs AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |         CAST(embedding AS DOUBLE[]) AS v,
+         |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                               CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT q.vec_id AS query_id, q.label AS q_label,
+         |         n.vec_id AS neighbor_id, n.label AS n_label,
+         |         list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cosine
+         |  FROM lvecs q JOIN lvecs n ON n.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $numQueries),
+         |negs AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM cand WHERE n_label <> q_label),
+         |pb AS (
+         |  SELECT query_id, max(cosine) AS pos_best
+         |  FROM cand WHERE n_label = q_label GROUP BY 1)
+         |SELECT n.query_id, n.rank, n.neighbor_id,
+         |       ${round4Sql("n.cosine")} AS neg_cosine,
+         |       ${round4Sql("pb.pos_best")} AS pos_best_cosine,
+         |       CASE WHEN pb.pos_best IS NULL THEN NULL
+         |            WHEN n.cosine > pb.pos_best THEN CAST(1 AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END AS violates
+         |FROM negs n LEFT JOIN pb ON pb.query_id = n.query_id
+         |WHERE n.rank <= 3
+         |ORDER BY n.query_id, n.rank""".stripMargin,
     // the whole greedy loop replayed as chained CTEs (the q170 replay
     // rule): every stage's argmax, tie-break and score is gated, not
     // just the final selected set — stages GENERATED from the same

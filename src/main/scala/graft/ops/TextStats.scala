@@ -1691,6 +1691,48 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** q270's knobs: the token budget as a multiple of the corpus, and
+    * the data-constrained epoch cap (×100) — Muennighoff et al. 2023's
+    * "about 4 epochs before repetition stops helping" rule. */
+  private[graft] val epochBudgetX = 3L
+  private[graft] val epochCapX100 = 400L
+
+  /** q270: EPOCH ALLOCATION under a token budget — the planning step
+    * after q268's mixture weights: given a budget of
+    * [[epochBudgetX]]× the corpus tokens, each source's allocation is
+    * its temperature weight's share of the budget, expressed as epochs
+    * over the source's own tokens and CAPPED at [[epochCapX100]]
+    * (repeating a small source beyond ~4 epochs burns budget for no
+    * gain — the data-constrained scaling rule). `capped` marks the
+    * sources where the cap bound, i.e. where the mixture wants more of
+    * the source than repetition can usefully supply — the "go collect
+    * more of THIS" report. Integer throughout; the budget-per-weight
+    * quotient is computed once at ×1000 scale in a DOCUMENTED
+    * operation order (`sq·((3·tot·1000) div tot_sq) div 1000`) so the
+    * product never exceeds int64 even at 100 TB token counts (3·tot ≤
+    * ~10¹⁴, the quotient ~10⁴–10⁶, sq ≤ ~10⁸). */
+  lazy val q270_epoch_allocation: Q = (s, d) => {
+    val perSource = docShingles(s, d)
+      .groupBy("source")
+      .agg(sum(size(col("words")).cast("long")).as("n_tokens"))
+      .withColumn("sq", floor(sqrt(col("n_tokens").cast("double")) * 100).cast("long"))
+    perSource
+      .crossJoin(broadcast(perSource.agg(
+        sum("n_tokens").as("tot_tokens"), sum("sq").as("tot_sq"))))
+      .withColumn("w_temp_bp", expr("sq * 10000 div tot_sq"))
+      .withColumn("alloc_tokens", expr(
+        s"sq * (($epochBudgetX * tot_tokens * 1000) div tot_sq) div 1000"))
+      .withColumn("epochs_raw_x100",
+        expr("CASE WHEN n_tokens > 0 THEN alloc_tokens * 100 div n_tokens END"))
+      .select(col("source"), col("n_tokens"), col("w_temp_bp"),
+        col("alloc_tokens"),
+        least(col("epochs_raw_x100"), lit(epochCapX100)).as("epochs_x100"),
+        when(col("epochs_raw_x100").isNull, lit(null).cast("long"))
+          .otherwise(when(col("epochs_raw_x100") > epochCapX100, 1L)
+            .otherwise(0L)).as("capped"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q168_hist_quantiles" -> q168_hist_quantiles,
     "q171_bloom_membership" -> q171_bloom_membership,
@@ -1702,6 +1744,7 @@ object TextStats {
     "q266_repetition_filter" -> q266_repetition_filter,
     "q267_pii_scrub" -> q267_pii_scrub,
     "q268_mixture_temperature" -> q268_mixture_temperature,
+    "q270_epoch_allocation" -> q270_epoch_allocation,
     "q43_fingerprint" -> q43_fingerprint,
     "q44_bpe_tokens" -> q44_bpe_tokens,
     "q64_rare_terms" -> q64_rare_terms,
@@ -2072,6 +2115,34 @@ object TextStats {
          |       n_tokens * 10000 // tot_tokens AS share_bp,
          |       sq * 10000 // tot_sq AS w_temp_bp
          |FROM q CROSS JOIN t ORDER BY source""".stripMargin),
+    // identical budget quotient, cap and flags
+    "q270_epoch_allocation" -> withDocs(
+      s""", ps AS (
+         |  SELECT source, CAST(sum(len(words)) AS BIGINT) AS n_tokens
+         |  FROM docs GROUP BY 1),
+         |q AS (
+         |  SELECT source, n_tokens,
+         |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 100) AS BIGINT) AS sq
+         |  FROM ps),
+         |t AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         |         CAST(sum(sq) AS BIGINT) AS tot_sq
+         |  FROM q),
+         |a AS (
+         |  SELECT source, n_tokens, sq * 10000 // tot_sq AS w_temp_bp,
+         |         sq * (($epochBudgetX * tot_tokens * 1000) // tot_sq) // 1000
+         |           AS alloc_tokens
+         |  FROM q CROSS JOIN t),
+         |e AS (
+         |  SELECT *, CASE WHEN n_tokens > 0
+         |                 THEN alloc_tokens * 100 // n_tokens END AS er
+         |  FROM a)
+         |SELECT source, n_tokens, w_temp_bp, alloc_tokens,
+         |       least(er, $epochCapX100) AS epochs_x100,
+         |       CASE WHEN er IS NULL THEN NULL
+         |            WHEN er > $epochCapX100 THEN CAST(1 AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END AS capped
+         |FROM e ORDER BY source""".stripMargin),
     // one-pass bit set over the union of the two quarter builds (the
     // Bloom merge law), then the same probe/audit accounting
     "q171_bloom_membership" -> withDocs(

@@ -380,4 +380,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(fold == exploded)
     assert(fold.nonEmpty)
   }
+
+  test("q269: hard negatives rank within other labels; violations compare to the best positive") {
+    // label layout (id % 3): query 0 and vec 3 are label 0; 1/4 label 1;
+    // 2/5 label 2. Planted geometry: the best positive scores cos 0.8,
+    // negatives score ~0.99995 (violates), 0.832 (violates), 0.707
+    // (clean), -1 (out of top-3).
+    val dir = writeMiniEmbeddings(Seq(
+      (0L, Seq(1f, 0f)), (3L, Seq(0.8f, 0.6f)),
+      (1L, Seq(1f, 0.01f)), (4L, Seq(0.5f, 0.5f)),
+      (2L, Seq(0.6f, 0.4f)), (5L, Seq(-1f, 0f))))
+    val rows = graft.ops.Similarity.q269_hard_negatives(spark, dir).collect()
+      .filter(_.getAs[Long]("query_id") == 0L)
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("violates"))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 4L, 0L)), s"$rows")
+  }
 }

@@ -758,4 +758,27 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
       assert(r._4 == s * 10000L / tot, s"${r._1}")
     }
   }
+
+  test("q270: epoch allocation replays; the cap binds exactly where the raw epochs exceed it") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextStats.q270_epoch_allocation(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("w_temp_bp"), r.getAs[Long]("alloc_tokens"),
+        r.getAs[Long]("epochs_x100"), r.getAs[Long]("capped")))
+    assert(rows.nonEmpty)
+    val sq = rows.map(r => math.floor(math.sqrt(r._2.toDouble) * 100).toLong)
+    val (totTokens, totSq) = (rows.map(_._2).sum, sq.sum)
+    val perWeight = 3L * totTokens * 1000L / totSq
+    rows.zip(sq).foreach { case (r, s) =>
+      val alloc = s * perWeight / 1000L
+      assert(r._4 == alloc, s"${r._1} alloc")
+      val raw = alloc * 100L / r._2
+      assert(r._5 == math.min(raw, 400L), s"${r._1} epochs")
+      assert(r._6 == (if (raw > 400L) 1L else 0L), s"${r._1} capped")
+    }
+    // the budget story holds: a 3x-corpus budget spread by flattened
+    // weights puts every source near 3 epochs, some over the cap side,
+    // and allocation stays within the budget
+    assert(rows.map(_._4).sum <= 3L * totTokens)
+  }
 }
