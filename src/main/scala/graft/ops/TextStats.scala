@@ -1604,7 +1604,14 @@ object TextStats {
     * no bigrams and surface NULL (not 0 — "no evidence" ≠ "clean").
     * The `sequence(1, n)` reversal trap is guarded (size ≥ 2). */
   lazy val q266_repetition_filter: Q = (s, d) =>
-    docShingles(s, d)
+    repetitionStats(docShingles(s, d)).orderBy("doc_id")
+
+  /** q266's per-doc arithmetic over a frame carrying `words` — shared
+    * VERBATIM by the batch row and the streaming twin
+    * ([[graft.streaming.EventStream.repetitionStream]]); stateless, so
+    * the stream is a plain select over the same expressions. */
+  private[graft] def repetitionStats(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         when(size(col("words")) >= 2,
           transform(sequence(lit(1), size(col("words")) - 1),
@@ -1620,7 +1627,6 @@ object TextStats {
       .withColumn("flagged", when(col("dup_bp").isNull, lit(null).cast("long"))
         .otherwise(when(col("dup_bp") > repDupBp, 1L).otherwise(0L)))
       .select("doc_id", "n_grams", "n_dup", "dup_bp", "flagged")
-      .orderBy("doc_id")
 
   /** q267's PII patterns — identical literals in both engines (simple
     * character classes, no engine-divergent constructs). */
@@ -1639,6 +1645,20 @@ object TextStats {
     * which the oracle PROVES is zero (redaction actually removed every
     * match — a gate, not an assertion). Scale: one map-shaped pass +
     * a source-keyed aggregate; regex stays inside codegen. */
+  /** q267's per-doc detection/redaction over a frame carrying `t2`
+    * (the text to scrub) — shared VERBATIM by the batch row and the
+    * streaming twin ([[graft.streaming.EventStream.piiScrubStream]]);
+    * stateless. */
+  private[graft] def piiScrubCols(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_email", regexp_count(col("t2"), lit(emailRe)))
+      .withColumn("n_phone", regexp_count(col("t2"), lit(phoneRe)))
+      .withColumn("red", regexp_replace(
+        regexp_replace(col("t2"), emailRe, "[EMAIL]"), phoneRe, "[PHONE]"))
+      .withColumn("residual",
+        regexp_count(col("red"), lit(emailRe)) +
+          regexp_count(col("red"), lit(phoneRe)))
+
   lazy val q267_pii_scrub: Q = (s, d) => {
     val b = graft.ops.TextCore.idBucket(col("doc_id"))
     val planted = s.read.parquet(s"$d/documents.parquet")
@@ -1648,14 +1668,7 @@ object TextStats {
           .when(b < 20, concat(col("text"), lit(" phone: +1-555-"),
             col("doc_id").cast("string")))
           .otherwise(col("text")).as("t2"))
-    val scrubbed = planted
-      .withColumn("n_email", regexp_count(col("t2"), lit(emailRe)))
-      .withColumn("n_phone", regexp_count(col("t2"), lit(phoneRe)))
-      .withColumn("red", regexp_replace(
-        regexp_replace(col("t2"), emailRe, "[EMAIL]"), phoneRe, "[PHONE]"))
-      .withColumn("residual",
-        regexp_count(col("red"), lit(emailRe)) +
-          regexp_count(col("red"), lit(phoneRe)))
+    val scrubbed = piiScrubCols(planted)
     scrubbed.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("n_email") > 0, 1L).otherwise(0L)).as("n_email_docs"),

@@ -178,6 +178,33 @@ object EventStream {
           TextCore.wordsCol(col("norm"))), 1L).otherwise(0L).as("quarantined"))
   }
 
+  /** Streaming twin of q267's PII scrub — the stateless in-flight
+    * privacy pass: each arriving (doc_id, source, text) is scanned and
+    * redacted with the SAME per-doc expressions as the gated batch row
+    * ([[graft.ops.TextStats.piiScrubCols]] — one definition, zero
+    * drift; the residual column proves per-row that redaction removed
+    * every match). No watermark, no state: the privacy rule of a
+    * stream is per-document. The batch row's plant/aggregate stay
+    * batch-side; EventStreamSpec pins per-doc parity on planted PII. */
+  def piiScrubStream(docs: DataFrame): DataFrame =
+    graft.ops.TextStats.piiScrubCols(
+        docs.select(col("doc_id"), col("source"), col("text").as("t2")))
+      .select(col("doc_id"), col("source"),
+        col("n_email").cast("long").as("n_email"),
+        col("n_phone").cast("long").as("n_phone"),
+        col("red"), col("residual").cast("long").as("residual"))
+
+  /** Streaming twin of q266's repetition filter — same stateless
+    * posture: arriving docs get the shared word/shingle features and
+    * the SAME duplicate-bigram arithmetic
+    * ([[graft.ops.TextStats.repetitionStats]]); a flagged doc is
+    * routed by `.where('flagged === 1)` exactly like [[curateStream]]'s
+    * quarantine split. */
+  def repetitionStream(docs: DataFrame): DataFrame =
+    graft.ops.TextStats.repetitionStats(
+      graft.ops.TextCore.withShingleFeatures(
+        docs.select(col("doc_id"), col("text")), col("text")))
+
   /** Streaming twin of q80's base-corpus classification: a document
     * stream joined against the STATIC base fingerprint index (the
     * stream-static left join — the base side is a fixed snapshot consumed

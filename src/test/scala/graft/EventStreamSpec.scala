@@ -168,6 +168,58 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("piiScrubStream redacts in-flight with the batch expressions; residual is zero per row") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "srcA", "reach me at jane.doe@corp.io thanks"),
+      (1L, "srcA", "call +1-555-12345 or +1-555-9 today"),
+      (2L, "srcB", "nothing sensitive here"))
+    val input = MemoryStream[(Long, String, String)]
+    val query = EventStream
+      .piiScrubStream(input.toDS().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("piis").outputMode("append").start()
+    try {
+      input.addData(docs.take(2): _*); query.processAllAvailable()
+      input.addData(docs.drop(2): _*); query.processAllAvailable()
+      val got = spark.table("piis").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_email"),
+          r.getAs[Long]("n_phone"), r.getAs[String]("red"),
+          r.getAs[Long]("residual"))).sortBy(_._1)
+      val batch = EventStream.piiScrubStream(docs.toDF("doc_id", "source", "text"))
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_email"),
+          r.getAs[Long]("n_phone"), r.getAs[String]("red"),
+          r.getAs[Long]("residual"))).sortBy(_._1)
+      assert(got.toSeq == batch.toSeq)
+      assert(got(0)._2 == 1L && got(0)._4.contains("[EMAIL]"))
+      assert(got(1)._3 == 2L && got(1)._4.contains("[PHONE]"))
+      assert(got.forall(_._5 == 0L), "redaction must leave zero residual per row")
+    } finally query.stop()
+  }
+
+  test("repetitionStream flags the same docs as gated q266 arithmetic") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b a"),    // 4 bigrams, 2 distinct → 5000 bp, flagged
+      (1L, "x y z w"),      // clean
+      (2L, "solo"))         // no bigrams → NULLs
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream
+      .repetitionStream(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("reps").outputMode("append").start()
+    try {
+      input.addData(docs: _*); query.processAllAvailable()
+      val got = spark.table("reps").collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          Option(r.get(r.fieldIndex("dup_bp"))).map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("flagged"))).map(_.asInstanceOf[Long])))
+        .sortBy(_._1).toSeq
+      assert(got == Seq((0L, Some(5000L), Some(1L)), (1L, Some(0L), Some(0L)),
+        (2L, None, None)))
+    } finally query.stop()
+  }
+
   test("curateStream quarantines exactly the rows the batch A18 grammar rejects") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
