@@ -1036,6 +1036,97 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q271/q272 geometry: signature size of the bottom-k sketch. */
+  private[graft] val bkK = 32L
+
+  /** Each event type's audience SIGNATURE: the [[bkK]] smallest 60-bit
+    * md5 hashes of its distinct users — the bottom-k (KMV) sketch, the
+    * third mergeable-sketch family beside HLL (q152) and CMS (q147):
+    * signatures merge by union→re-bottom-k (min is idempotent, so
+    * overlapping batches are safe — EventsSpec pins the law), and
+    * unlike HLL a bottom-k signature supports JACCARD estimation
+    * between sets because it is a uniform sample of the set's hash
+    * space. Scale shape: the rank filter plans with WindowGroupLimit
+    * (the q165 pin) — every map task keeps ≤ k rows per type before
+    * the shuffle, so the exchange carries sketches, not audiences. */
+  private[graft] def audienceSig(ev: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("event_type").orderBy("h")
+    ev.select(col("event_type"), h.as("h")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= bkK)
+      .select("event_type", "h")
+  }
+
+  /** The pairwise Jaccard estimator over signatures: among the k
+    * smallest hashes of A∪B, the fraction present in BOTH signatures
+    * (Broder/Cohen's bottom-k estimator) — kk (the realized k, < bkK
+    * when the union is small) rides along so the denominator is
+    * honest. The type-pair frame is enum²-bounded; the per-pair window
+    * input is ≤ 2k rows. */
+  private[graft] def audienceJaccardEst(sig: DataFrame): DataFrame = {
+    val types = sig.select("event_type").distinct()
+    val pairs = types.select(col("event_type").as("type_a"))
+      .join(types.select(col("event_type").as("type_b")),
+        col("type_a") < col("type_b")) // enum²-bounded, documented BNLJ
+    val ra = pairs.join(sig, col("type_a") === col("event_type"))
+      .select(col("type_a"), col("type_b"), col("h"),
+        lit(1L).as("ia"), lit(0L).as("ib"))
+    val rb = pairs.join(sig, col("type_b") === col("event_type"))
+      .select(col("type_a"), col("type_b"), col("h"),
+        lit(0L).as("ia"), lit(1L).as("ib"))
+    val cells = ra.unionByName(rb)
+      .groupBy("type_a", "type_b", "h")
+      .agg(max("ia").as("ia"), max("ib").as("ib"))
+    val wk = Window.partitionBy("type_a", "type_b").orderBy("h")
+    cells.withColumn("rn", row_number().over(wk)).where(col("rn") <= bkK)
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("kk"),
+        sum(col("ia") * col("ib")).as("inter_k"))
+      .select(col("type_a"), col("type_b"), col("kk"),
+        expr("inter_k * 10000 div kk").as("jacc_est_bp"))
+  }
+
+  /** q271: AUDIENCE-OVERLAP SKETCH — "how much do the users of event
+    * type A overlap type B's" served entirely from bottom-k
+    * signatures: the question q228's HLL algebra can only answer as a
+    * cardinality difference, answered directly as an estimated Jaccard
+    * in integer basis points. The serve plan touches the corpus ONCE
+    * (signature build); everything after is sketch-sized. The exact
+    * audit is its own row (q272 — the r16 serve/audit convention). */
+  val q271_audience_sketch: Q = (s, d) =>
+    audienceJaccardEst(graft.Ckpt.persisted(audienceSig(events(s, d))))
+      .orderBy("type_a", "type_b")
+
+  /** q272: q271's EXACT AUDIT — the true per-pair audience Jaccard
+    * (user-keyed intersection join + inclusion–exclusion union) beside
+    * the sketch estimate with the absolute error in bp; the
+    * calibration row documenting what k = 32 buys. */
+  val q272_audience_audit: Q = (s, d) => {
+    val du = graft.Ckpt.persisted(
+      events(s, d).select("event_type", "user_id").distinct())
+    val sizes = du.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val inter = du.select(col("event_type").as("type_a"), col("user_id"))
+      .join(du.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("ni"))
+    audienceJaccardEst(audienceSig(events(s, d)))
+      .join(inter, Seq("type_a", "type_b"), "left")
+      .join(sizes.select(col("event_type").as("type_a"), col("n").as("na")),
+        Seq("type_a"))
+      .join(sizes.select(col("event_type").as("type_b"), col("n").as("nb")),
+        Seq("type_b"))
+      .withColumn("ni", coalesce(col("ni"), lit(0L)))
+      .withColumn("jacc_exact_bp",
+        expr("ni * 10000 div (na + nb - ni)"))
+      .select(col("type_a"), col("type_b"), col("jacc_est_bp"),
+        col("jacc_exact_bp"),
+        abs(col("jacc_est_bp") - col("jacc_exact_bp")).as("err_bp"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** q265: USER-GRAIN PAGERANK, distributed — the iterative
     * corpus-grain computation the engine had only at type grain (q238,
     * a bounded driver fold) and as connected components (q61/q248):
@@ -1648,6 +1739,8 @@ object Events {
     "q240_scd2_tier" -> q240_scd2_tier,
     "q264_scd2_repair" -> q264_scd2_repair,
     "q265_user_pagerank" -> q265_user_pagerank,
+    "q271_audience_sketch" -> q271_audience_sketch,
+    "q272_audience_audit" -> q272_audience_audit,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
     "q228_hll_intersection" -> q228_hll_intersection,
@@ -1764,6 +1857,39 @@ object Events {
        |${(1 to prIters).map(prStepSql).mkString(",\n")}
        |SELECT user_id, CAST(r AS BIGINT) AS rank_ppm
        |FROM r$prIters ORDER BY user_id""".stripMargin
+
+  /** q271/q272 shared oracle CTEs (distinct hashed audiences → bottom-k
+    * signatures → pairwise union-bottom-k estimator). Same stripMargin
+    * interpolation rule as the other shared CTEs. */
+  private lazy val bkCtes: String =
+    s"""bdu AS (
+       |  SELECT DISTINCT event_type,
+       |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+       |           AS BIGINT) AS h
+       |  FROM events),
+       |sig AS (
+       |  SELECT event_type, h FROM (
+       |    SELECT event_type, h,
+       |           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |    FROM bdu) WHERE rn <= $bkK),
+       |tp AS (SELECT DISTINCT event_type FROM sig),
+       |prs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+       |        FROM tp a JOIN tp b ON a.event_type < b.event_type),
+       |cells AS (
+       |  SELECT type_a, type_b, h, max(ia) AS ia, max(ib) AS ib FROM (
+       |    SELECT p.type_a, p.type_b, s.h, 1 AS ia, 0 AS ib
+       |    FROM prs p JOIN sig s ON s.event_type = p.type_a
+       |    UNION ALL
+       |    SELECT p.type_a, p.type_b, s.h, 0 AS ia, 1 AS ib
+       |    FROM prs p JOIN sig s ON s.event_type = p.type_b)
+       |  GROUP BY 1, 2, 3),
+       |bke AS (
+       |  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS kk,
+       |         CAST(sum(ia * ib) AS BIGINT) AS inter_k
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY type_a, type_b
+       |                                     ORDER BY h) AS rn
+       |        FROM cells) WHERE rn <= $bkK
+       |  GROUP BY 1, 2)""".stripMargin
 
   /** q228/q263 shared oracle CTEs (heavy set → densified registers →
     * per-type and pair-union estimates). NOTE: interpolated into
@@ -2053,6 +2179,33 @@ object Events {
         |FROM v ORDER BY user_id, version_no""".stripMargin,
     // the three rank iterations replayed as chained CTEs
     "q265_user_pagerank" -> userPagerankSql,
+    "q271_audience_sketch" ->
+      s"""WITH $bkCtes
+         |SELECT type_a, type_b, kk, inter_k * 10000 // kk AS jacc_est_bp
+         |FROM bke ORDER BY type_a, type_b""".stripMargin,
+    "q272_audience_audit" ->
+      s"""WITH $bkCtes,
+         |xdu AS (SELECT DISTINCT event_type, user_id FROM events),
+         |sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+         |       FROM xdu GROUP BY 1),
+         |xinter AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |         CAST(count(*) AS BIGINT) AS ni
+         |  FROM xdu a JOIN xdu b
+         |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2)
+         |SELECT e.type_a, e.type_b,
+         |       e.inter_k * 10000 // e.kk AS jacc_est_bp,
+         |       coalesce(x.ni, 0) * 10000
+         |         // (sa.n + sb.n - coalesce(x.ni, 0)) AS jacc_exact_bp,
+         |       abs(e.inter_k * 10000 // e.kk
+         |           - coalesce(x.ni, 0) * 10000
+         |             // (sa.n + sb.n - coalesce(x.ni, 0))) AS err_bp
+         |FROM bke e
+         |LEFT JOIN xinter x ON x.type_a = e.type_a AND x.type_b = e.type_b
+         |JOIN sz sa ON sa.event_type = e.type_a
+         |JOIN sz sb ON sb.event_type = e.type_b
+         |ORDER BY e.type_a, e.type_b""".stripMargin,
     // the identical planted corruption and full-outer diff
     "q264_scd2_repair" ->
       s"""WITH $tierCtes,

@@ -128,6 +128,37 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map("a" -> 75000L, "b" -> 138750L), s"got $got")
   }
 
+  test("q271: bottom-k signatures obey the merge law; identical audiences estimate J = 10000") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val ev = Events.events(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val single = rows(Events.audienceSig(ev))
+    // merge law: split the audience on the id-hash, build each half's
+    // signature blind to the other, merge by union → re-bottom-k
+    val b = graft.ops.TextCore.idBucket(col("user_id"))
+    val lo = Events.audienceSig(ev.where(b < 50))
+    val hi = Events.audienceSig(ev.where(b >= 50))
+    val wm = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("h")
+    val merged = lo.unionByName(hi).distinct()
+      .withColumn("rn", row_number().over(wm))
+      .where(col("rn") <= Events.bkK).select("event_type", "h")
+    assert(rows(merged) == single, "union → re-bottom-k must equal the single pass")
+    // overlap tolerance (min is idempotent): re-merging a half changes nothing
+    val remerged = lo.unionByName(hi).unionByName(lo).distinct()
+      .withColumn("rn", row_number().over(wm))
+      .where(col("rn") <= Events.bkK).select("event_type", "h")
+    assert(rows(remerged) == single)
+    // estimator sanity: two types with IDENTICAL audiences → J = 10000
+    val twin = Seq((1L, "x"), (2L, "x"), (3L, "x"), (1L, "y"), (2L, "y"), (3L, "y"))
+      .toDF("user_id", "event_type")
+    val est = Events.audienceJaccardEst(Events.audienceSig(twin)).collect()
+    assert(est.length == 1 && est(0).getAs[Long]("jacc_est_bp") == 10000L)
+  }
+
   test("q265: the distributed rank iteration equals the q238-style driver recurrence; hour boundary drops the handoff") {
     // handoffs inside hour 0: 1→2, 2→1, 1→2 (again), 2→3; user 3's next
     // event opens hour 1, so the 3→1 handoff across the boundary is
