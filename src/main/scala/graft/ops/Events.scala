@@ -1036,6 +1036,44 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q273: ERASURE SWEEP (right-to-be-forgotten) — the compliance
+    * operator a warehouse runs when deletion requests arrive: purge a
+    * user panel from the raw events AND every derived surface built
+    * from them (the per-user daily-spend table and the q240 tier
+    * dimension — derived rows are personal data too), reporting per
+    * surface the before/purged/after counts and a RESIDUAL column the
+    * oracle proves is zero (the swept frame re-probed against the
+    * panel — redaction verified, not asserted; the q267 convention).
+    * The panel is the deterministic md5 bucket < 3 (~3% of users — a
+    * corpus FRACTION, so the purge joins carry no broadcast hint; AQE
+    * elects, the memoLabels lesson). Scale: per surface one flag join
+    * + aggregate and one anti-join + semi-probe — user-keyed equi
+    * joins throughout. */
+  val q273_erasure_sweep: Q = (s, d) => {
+    val ev = events(s, d)
+    val panel = graft.Ckpt.persisted(ev.select("user_id").distinct()
+      .where(graft.ops.TextCore.idBucket(col("user_id")) < 3))
+    def report(name: String, df: DataFrame): DataFrame = {
+      val flagged = df
+        .join(panel.withColumn("p", lit(1L)), Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_before"),
+          sum(coalesce(col("p"), lit(0L))).as("n_purged"))
+      val residual = df.join(panel, Seq("user_id"), "left_anti")
+        .join(panel, Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("residual"))
+      flagged.crossJoin(residual) // two 1-row rides
+        .select(lit(name).as("surface"), col("n_before"), col("n_purged"),
+          (col("n_before") - col("n_purged")).as("n_after"), col("residual"))
+    }
+    val daily = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), expr("es div 86400").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("dc"))
+    report("events", ev.select("user_id"))
+      .unionByName(report("daily_spend", daily.select("user_id")))
+      .unionByName(report("tier_dim", tierVersions(ev).select("user_id")))
+      .orderBy("surface")
+  }
+
   /** q271/q272 geometry: signature size of the bottom-k sketch. */
   private[graft] val bkK = 32L
 
@@ -1741,6 +1779,7 @@ object Events {
     "q265_user_pagerank" -> q265_user_pagerank,
     "q271_audience_sketch" -> q271_audience_sketch,
     "q272_audience_audit" -> q272_audience_audit,
+    "q273_erasure_sweep" -> q273_erasure_sweep,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
     "q228_hll_intersection" -> q228_hll_intersection,
@@ -2206,6 +2245,35 @@ object Events {
          |JOIN sz sa ON sa.event_type = e.type_a
          |JOIN sz sb ON sb.event_type = e.type_b
          |ORDER BY e.type_a, e.type_b""".stripMargin,
+    // the same panel, the same three surfaces, the same zero-residual proof
+    "q273_erasure_sweep" ->
+      s"""WITH $tierCtes,
+        |panel AS (
+        |  SELECT DISTINCT user_id FROM e
+        |  WHERE ${graft.ops.TextCore.idBucketSql("user_id")} < 3),
+        |sv AS (
+        |  SELECT 'events' AS surface, user_id FROM e
+        |  UNION ALL
+        |  SELECT 'daily_spend' AS surface, user_id FROM daily
+        |  UNION ALL
+        |  SELECT 'tier_dim' AS surface, user_id FROM v),
+        |agg AS (
+        |  SELECT surface, CAST(count(*) AS BIGINT) AS n_before,
+        |         CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_purged
+        |  FROM sv LEFT JOIN panel p USING (user_id)
+        |  GROUP BY surface),
+        |res AS (
+        |  SELECT surface, CAST(count(*) AS BIGINT) AS residual
+        |  FROM (SELECT s.surface, s.user_id FROM sv s
+        |        WHERE s.user_id NOT IN (SELECT user_id FROM panel)) sw
+        |  WHERE sw.user_id IN (SELECT user_id FROM panel)
+        |  GROUP BY surface)
+        |SELECT a.surface, a.n_before, a.n_purged,
+        |       a.n_before - a.n_purged AS n_after,
+        |       coalesce(r.residual, 0) AS residual
+        |FROM agg a LEFT JOIN res r ON r.surface = a.surface
+        |ORDER BY a.surface""".stripMargin,
     // the identical planted corruption and full-outer diff
     "q264_scd2_repair" ->
       s"""WITH $tierCtes,
