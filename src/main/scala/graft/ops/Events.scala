@@ -1036,6 +1036,41 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q274: WEEKDAY SEASONALITY PROFILE — the decomposition rung the
+    * daily family (q207 CUSUM, q208 OLS, q252 Theil–Sen) was missing:
+    * raw daily counts mix trend with weekly rhythm, and an anomaly
+    * detector that hasn't removed the weekday profile pages someone
+    * every Sunday. Per (type, weekday): the mean daily count
+    * (truncating integer div over the weekday's days), and per type
+    * the WORST deseasonalized day — max |cnt − weekday_mean|, ties to
+    * the earliest day — with its signed residual: the day to
+    * investigate after the calendar effect is removed. Weekday =
+    * (epoch_day + 4) % 7 (epoch day 0 was a Thursday; 0 = Monday),
+    * identical arithmetic both engines. Scale: the daily table is
+    * calendar-bounded per type; one (type, weekday) aggregate, one
+    * type-partitioned argmax window. */
+  val q274_weekday_profile: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("wd", expr("(day + 4) % 7"))
+    val prof = daily.groupBy("event_type", "wd")
+      .agg(sum("cnt").as("wsum"), count(lit(1)).as("wdays"))
+      .withColumn("wd_mean", expr("wsum div wdays"))
+    val joined = daily.join(prof.select("event_type", "wd", "wd_mean"),
+        Seq("event_type", "wd"))
+      .withColumn("resid", col("cnt") - col("wd_mean"))
+    val wworst = Window.partitionBy("event_type")
+      .orderBy(abs(col("resid")).desc, col("day").asc)
+    val worst = joined.withColumn("rn", row_number().over(wworst))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("day").as("worst_day"),
+        col("resid").as("worst_resid"))
+    prof.select("event_type", "wd", "wd_mean", "wdays")
+      .join(worst, Seq("event_type"))
+      .orderBy("event_type", "wd")
+  }
+
   /** q273: ERASURE SWEEP (right-to-be-forgotten) — the compliance
     * operator a warehouse runs when deletion requests arrive: purge a
     * user panel from the raw events AND every derived surface built
@@ -1780,6 +1815,7 @@ object Events {
     "q271_audience_sketch" -> q271_audience_sketch,
     "q272_audience_audit" -> q272_audience_audit,
     "q273_erasure_sweep" -> q273_erasure_sweep,
+    "q274_weekday_profile" -> q274_weekday_profile,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
     "q228_hll_intersection" -> q228_hll_intersection,
@@ -2245,6 +2281,32 @@ object Events {
          |JOIN sz sa ON sa.event_type = e.type_a
          |JOIN sz sb ON sb.event_type = e.type_b
          |ORDER BY e.type_a, e.type_b""".stripMargin,
+    // identical weekday arithmetic, profile join and argmax tie-break
+    "q274_weekday_profile" ->
+      s"""WITH dd AS (
+         |  SELECT event_type,
+         |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |dw AS (SELECT *, (day + 4) % 7 AS wd FROM dd),
+         |prof AS (
+         |  SELECT event_type, wd, CAST(sum(cnt) AS BIGINT) AS wsum,
+         |         CAST(count(*) AS BIGINT) AS wdays
+         |  FROM dw GROUP BY 1, 2),
+         |pm AS (SELECT event_type, wd, wsum // wdays AS wd_mean, wdays
+         |       FROM prof),
+         |r AS (
+         |  SELECT d.event_type, d.day, d.cnt - p.wd_mean AS resid
+         |  FROM dw d JOIN pm p ON p.event_type = d.event_type AND p.wd = d.wd),
+         |w AS (
+         |  SELECT event_type, day AS worst_day, resid AS worst_resid
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+         |          ORDER BY abs(resid) DESC, day) AS rn FROM r)
+         |  WHERE rn = 1)
+         |SELECT p.event_type, p.wd, p.wd_mean, p.wdays,
+         |       w.worst_day, w.worst_resid
+         |FROM pm p JOIN w ON w.event_type = p.event_type
+         |ORDER BY p.event_type, p.wd""".stripMargin,
     // the same panel, the same three surfaces, the same zero-residual proof
     "q273_erasure_sweep" ->
       s"""WITH $tierCtes,

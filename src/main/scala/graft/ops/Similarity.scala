@@ -184,6 +184,64 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** q275: EMBEDDING-SPACE HEALTH — the report that catches a
+    * collapsed or entangled embedding space before it poisons every
+    * downstream ANN/dedup/mining result: per label, the mean cosine of
+    * members to their OWN centroid (cohesion) beside the cosine to the
+    * NEAREST other centroid (confusability), and the margin between
+    * them — margin ≤ 0 means the class sits closer to a neighbor's
+    * center than its own members do to theirs. Determinism: centroids
+    * are EXACT integer component sums (each coordinate quantized
+    * ⌊x·10⁶+½⌋ per member, then integer-summed per (label, dim) —
+    * order-free, unlike a float mean), every cosine is the fixed-order
+    * codegen dot over doubles derived from those integers, and each
+    * per-member cosine is quantized to ×10⁶ BEFORE the per-label
+    * integer mean. Component sums stay double-exact below ~2⁵³/10⁶ ≈
+    * 9·10⁹ members per label. Scale: one posexplode pass (members ×
+    * 64 dims) into a (label, dim) aggregate; centroids are
+    * label-domain-bounded and broadcast; the pair stage is label². */
+  val q275_embedding_health: Q = (s, d) => {
+    val all = s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val comp = all
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        expr("CAST(floor(x * 1000000 + CAST(1 AS DOUBLE) / 2) AS BIGINT)")
+          .as("xq"))
+      .groupBy("label", "dim").agg(sum("xq").as("csum"))
+    val cents = comp.groupBy("label")
+      .agg(sort_array(collect_list(struct(col("dim"), col("csum")))).as("cs"))
+      .select(col("label"),
+        transform(col("cs"), c => c.getField("csum").cast("double")).as("cv"))
+      .withColumn("cn", graft.functions.VectorOps.norm(col("cv")))
+    val intra = all.join(broadcast(cents), "label")
+      .withColumn("cos", dot(col("v"), col("cv")) /
+        (graft.functions.VectorOps.norm(col("v")) * col("cn")))
+      .withColumn("cq",
+        expr("CAST(floor(cos * 1000000 + CAST(1 AS DOUBLE) / 2) AS BIGINT)"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("cq").as("cqs"))
+      .withColumn("intra_e6", expr("cqs div n"))
+    val ca = cents.select(col("label").as("la"), col("cv").as("va"), col("cn").as("na"))
+    val cb = cents.select(col("label").as("lb"), col("cv").as("vb"), col("cn").as("nb"))
+    val wnear = Window.partitionBy("la")
+      .orderBy(col("ice").desc, col("lb").asc)
+    ca.join(cb, col("la") =!= col("lb")) // label²-bounded
+      .withColumn("ic", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("ice",
+        expr("CAST(floor(ic * 1000000 + CAST(1 AS DOUBLE) / 2) AS BIGINT)"))
+      .select(col("la"), col("lb"), col("ice"))
+      .withColumn("rn", row_number().over(wnear)).where(col("rn") === 1)
+      .select(col("la").as("label"), col("lb").as("nearest_label"),
+        col("ice").as("nearest_inter_e6"))
+      .join(intra, Seq("label"))
+      .select(col("label"), col("n"), col("intra_e6"),
+        col("nearest_label"), col("nearest_inter_e6"),
+        (col("intra_e6") - col("nearest_inter_e6")).as("margin_e6"))
+      .orderBy("label")
+  }
+
   /** q231 geometry: the mining panel bound, the language-proxy labels,
     * and the top-k context size — one definition for the Spark plan,
     * the oracle (which interpolates them), and the spec. */
@@ -2037,6 +2095,7 @@ object Similarity {
     "q200_mmr_select" -> q200_mmr_select,
     "q36_knn_brute" -> q36_knn_brute,
     "q269_hard_negatives" -> q269_hard_negatives,
+    "q275_embedding_health" -> q275_embedding_health,
     "q37_knn_ivf" -> q37_knn_ivf,
     "q154_embedding_outliers" -> q154_embedding_outliers,
     "q58_ivf_recall" -> q58_ivf_recall,
@@ -2790,6 +2849,52 @@ object Similarity {
       s"""WITH $vecsCte, $bruteCte
          |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine
          |FROM brute ORDER BY query_id, rank""".stripMargin,
+    // same integer component sums, fixed-order cosines, quantize-then-mean
+    "q275_embedding_health" ->
+      s"""WITH le AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |         CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |sc AS (
+         |  SELECT label, t.i AS dim,
+         |         CAST(floor(v[t.i] * 1000000 + CAST(1 AS DOUBLE) / 2) AS BIGINT)
+         |           AS xq
+         |  FROM le, unnest(range(1, len(v) + 1)) AS t(i)),
+         |comp AS (
+         |  SELECT label, dim, CAST(sum(xq) AS BIGINT) AS csum
+         |  FROM sc GROUP BY 1, 2),
+         |cents AS (
+         |  SELECT label,
+         |         list(CAST(csum AS DOUBLE) ORDER BY dim) AS cv
+         |  FROM comp GROUP BY 1),
+         |cn AS (
+         |  SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cn
+         |  FROM cents),
+         |mem AS (
+         |  SELECT le.label,
+         |         CAST(floor(list_dot_product(le.v, c.cv)
+         |                    / (sqrt(list_dot_product(le.v, le.v)) * c.cn)
+         |                    * 1000000 + CAST(1 AS DOUBLE) / 2) AS BIGINT) AS cq
+         |  FROM le JOIN cn c ON c.label = le.label),
+         |intra AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(cq) AS BIGINT) // count(*) AS intra_e6
+         |  FROM mem GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.label AS la, b.label AS lb,
+         |         CAST(floor(list_dot_product(a.cv, b.cv) / (a.cn * b.cn)
+         |                    * 1000000 + CAST(1 AS DOUBLE) / 2) AS BIGINT) AS ice
+         |  FROM cn a JOIN cn b ON a.label <> b.label),
+         |near AS (
+         |  SELECT la AS label, lb AS nearest_label, ice AS nearest_inter_e6
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY la
+         |          ORDER BY ice DESC, lb) AS rn FROM pairs)
+         |  WHERE rn = 1)
+         |SELECT i.label, i.n, i.intra_e6, nr.nearest_label,
+         |       nr.nearest_inter_e6,
+         |       i.intra_e6 - nr.nearest_inter_e6 AS margin_e6
+         |FROM intra i JOIN near nr ON nr.label = i.label
+         |ORDER BY i.label""".stripMargin,
     // same label-split ranking, raw-double violation compare
     "q269_hard_negatives" ->
       s"""WITH lvecs AS (
