@@ -1036,6 +1036,44 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q277: WINSORIZED MEAN per event type — the robust-location rung
+    * between the plain mean (one whale moves it arbitrarily) and
+    * q184's MAD machinery: clamp values at the p5/p95 marks and
+    * average, the standard metric-pipeline treatment for
+    * revenue-per-event readouts. Everything runs on the per-type VALUE
+    * HISTOGRAM (one row per distinct cent value — value-domain-
+    * bounded, never event count; the q242/q250 convention): the
+    * quantile marks are the first values whose cumulative count
+    * reaches ⌈n/20⌉ and ⌈19n/20⌉ (ceil as (a+b−1) div b, exact
+    * integers), the winsorized sum is Σ cnt·clamp(c, lo, hi), and both
+    * means are single truncating divisions over positive cents. The
+    * raw mean rides along — the gap between the two IS the
+    * tail-sensitivity report. */
+  val q277_winsorized_mean: Q = (s, d) => {
+    val hist = events(s, d)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy("event_type").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marks = hist
+      .withColumn("cum", sum("cnt").over(wcum))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max("n").as("n"),
+        min(when(col("cum") >= expr("(n + 19) div 20"), col("c"))).as("lo_c"),
+        min(when(col("cum") >= expr("(n * 95 + 99) div 100"), col("c"))).as("hi_c"))
+    hist.join(marks, Seq("event_type"))
+      .withColumn("cl", greatest(least(col("c"), col("hi_c")), col("lo_c")))
+      .groupBy("event_type")
+      .agg(max("n").as("n"), max("lo_c").as("lo_c"), max("hi_c").as("hi_c"),
+        sum(col("cnt") * col("c")).as("rawsum"),
+        sum(col("cnt") * col("cl")).as("wsum"))
+      .select(col("event_type"), col("n"), col("lo_c"), col("hi_c"),
+        expr("rawsum div n").as("mean_c"),
+        expr("wsum div n").as("wmean_c"))
+      .orderBy("event_type")
+  }
+
   /** q274: WEEKDAY SEASONALITY PROFILE — the decomposition rung the
     * daily family (q207 CUSUM, q208 OLS, q252 Theil–Sen) was missing:
     * raw daily counts mix trend with weekly rhythm, and an anomaly
@@ -1816,6 +1854,7 @@ object Events {
     "q272_audience_audit" -> q272_audience_audit,
     "q273_erasure_sweep" -> q273_erasure_sweep,
     "q274_weekday_profile" -> q274_weekday_profile,
+    "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
     "q228_hll_intersection" -> q228_hll_intersection,
@@ -2281,6 +2320,29 @@ object Events {
          |JOIN sz sa ON sa.event_type = e.type_a
          |JOIN sz sb ON sb.event_type = e.type_b
          |ORDER BY e.type_a, e.type_b""".stripMargin,
+    // same value histogram, ceil-rank marks, clamp and truncating means
+    "q277_winsorized_mean" ->
+      s"""WITH h AS (
+         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |hc AS (
+         |  SELECT *, CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+         |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |  FROM h),
+         |mk AS (
+         |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         |         min(CASE WHEN cum >= (n + 19) // 20 THEN c END) AS lo_c,
+         |         min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN c END) AS hi_c
+         |  FROM hc GROUP BY 1)
+         |SELECT h.event_type, mk.n, mk.lo_c, mk.hi_c,
+         |       CAST(sum(h.cnt * h.c) AS BIGINT) // mk.n AS mean_c,
+         |       CAST(sum(h.cnt * greatest(least(h.c, mk.hi_c), mk.lo_c))
+         |         AS BIGINT) // mk.n AS wmean_c
+         |FROM h JOIN mk ON mk.event_type = h.event_type
+         |GROUP BY h.event_type, mk.n, mk.lo_c, mk.hi_c
+         |ORDER BY h.event_type""".stripMargin,
     // identical weekday arithmetic, profile join and argmax tie-break
     "q274_weekday_profile" ->
       s"""WITH dd AS (

@@ -184,6 +184,50 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** q276's truncation width. */
+  private[graft] val truncDims = 16
+
+  /** q276: TRUNCATED-DIMENSION RECALL (matryoshka check) — "can we
+    * afford cheaper vectors?": the top-[[topK]] neighbors by cosine
+    * over only the first [[truncDims]] of 64 dimensions, overlapped
+    * against the full-dimension top-[[topK]] (q36's gated ranking,
+    * same tie-breaks). recall_bp per query is the figure that decides
+    * whether a 4× cheaper index (storage AND dot-product cost — the
+    * dominant ANN serving term) keeps enough of the answer. Both
+    * rankings run the same fixed-order codegen dot; the overlap is a
+    * count over two ≤topK row sets per query. Scale: two bounded-panel
+    * scans (the q36 posture); at 100 TB the truncated ranking is the
+    * candidate stage and the full ranking its re-scorer. */
+  val q276_matryoshka_recall: Q = (s, d) => {
+    val all = vecs(s, d)
+    def top(vcol: DataFrame): DataFrame = {
+      val q = vcol.where(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      broadcast(q).join(vcol, col("vec_id") =!= col("query_id"))
+        .withColumn("cosine", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= topK)
+        .select(col("query_id"), col("vec_id"))
+    }
+    val full = top(all)
+    val trunc = top(all
+      .select(col("vec_id"), slice(col("v"), 1, truncDims).as("v"))
+      .withColumn("nrm", graft.functions.VectorOps.norm(col("v"))))
+    full
+      .join(trunc.select(col("query_id"), col("vec_id").as("tid")),
+        Seq("query_id"))
+      .where(col("vec_id") === col("tid"))
+      .groupBy("query_id").agg(count(lit(1)).as("overlap"))
+      .join(full.groupBy("query_id").agg(count(lit(1)).as("n_full")),
+        Seq("query_id"), "right")
+      .select(col("query_id"), col("n_full"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"))
+      .withColumn("recall_bp", expr("overlap * 10000 div n_full"))
+      .orderBy("query_id")
+  }
+
   /** q275: EMBEDDING-SPACE HEALTH — the report that catches a
     * collapsed or entangled embedding space before it poisons every
     * downstream ANN/dedup/mining result: per label, the mean cosine of
@@ -2096,6 +2140,7 @@ object Similarity {
     "q36_knn_brute" -> q36_knn_brute,
     "q269_hard_negatives" -> q269_hard_negatives,
     "q275_embedding_health" -> q275_embedding_health,
+    "q276_matryoshka_recall" -> q276_matryoshka_recall,
     "q37_knn_ivf" -> q37_knn_ivf,
     "q154_embedding_outliers" -> q154_embedding_outliers,
     "q58_ivf_recall" -> q58_ivf_recall,
@@ -2849,6 +2894,44 @@ object Similarity {
       s"""WITH $vecsCte, $bruteCte
          |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine
          |FROM brute ORDER BY query_id, rank""".stripMargin,
+    // both rankings replayed with the same tie-breaks; overlap counted
+    "q276_matryoshka_recall" ->
+      s"""WITH $vecsCte,
+         |tv AS (
+         |  SELECT vec_id, v[1:$truncDims] AS v,
+         |         sqrt(list_dot_product(v[1:$truncDims], v[1:$truncDims])) AS nrm
+         |  FROM vecs),
+         |ftop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY list_dot_product(q.v, n.v) / (q.nrm * n.nrm) DESC,
+         |                      n.vec_id) AS rank
+         |    FROM vecs q JOIN vecs n ON n.vec_id <> q.vec_id
+         |    WHERE q.vec_id < $numQueries)
+         |  WHERE rank <= $topK),
+         |ttop AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY list_dot_product(q.v, n.v) / (q.nrm * n.nrm) DESC,
+         |                      n.vec_id) AS rank
+         |    FROM tv q JOIN tv n ON n.vec_id <> q.vec_id
+         |    WHERE q.vec_id < $numQueries)
+         |  WHERE rank <= $topK),
+         |ov AS (
+         |  SELECT f.query_id, CAST(count(*) AS BIGINT) AS overlap
+         |  FROM ftop f JOIN ttop t
+         |    ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+         |  GROUP BY 1),
+         |nf AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_full
+         |  FROM ftop GROUP BY 1)
+         |SELECT nf.query_id, nf.n_full,
+         |       coalesce(ov.overlap, 0) AS overlap,
+         |       coalesce(ov.overlap, 0) * 10000 // nf.n_full AS recall_bp
+         |FROM nf LEFT JOIN ov ON ov.query_id = nf.query_id
+         |ORDER BY nf.query_id""".stripMargin,
     // same integer component sums, fixed-order cosines, quantize-then-mean
     "q275_embedding_health" ->
       s"""WITH le AS (

@@ -128,6 +128,28 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map("a" -> 75000L, "b" -> 138750L), s"got $got")
   }
 
+  test("q277: the winsorized mean clamps exactly at the histogram p5/p95 marks") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q277_winsorized_mean")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("lo_c"), r.getAs[Long]("hi_c"),
+          r.getAs[Long]("mean_c"), r.getAs[Long]("wmean_c")))).toMap
+    val vals = Events.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    vals.foreach { case (tp, cs) =>
+      val n = cs.length.toLong
+      val lo = cs(((n + 19) / 20 - 1).toInt)
+      val hi = cs(((n * 95 + 99) / 100 - 1).toInt)
+      val wm = cs.map(c => math.min(math.max(c, lo), hi)).sum / n
+      assert(got(tp) == ((n, lo, hi, cs.sum / n, wm)), tp)
+      // winsorizing pulls the mean toward the middle, never outside marks
+      assert(got(tp)._5 >= lo && got(tp)._5 <= hi)
+    }
+  }
+
   test("q271: bottom-k signatures obey the merge law; identical audiences estimate J = 10000") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

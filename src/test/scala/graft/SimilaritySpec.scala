@@ -396,4 +396,34 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
         r.getAs[Long]("violates"))).sortBy(_._1)
     assert(rows.toSeq == Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 4L, 0L)), s"$rows")
   }
+
+  test("q276: identical prefixes fool the truncated ranking; identical vectors ace it") {
+    // 20-dim vectors; queries 0 and 1 (vec_id < 10 are queries).
+    // Candidates 11/12 share the SAME first 16 dims and differ only in
+    // the tail: full ranking separates them, truncated cannot (tie →
+    // id order), so for query 0 the top-1 choice flips and recall@2
+    // over {11,12} stays 10000 only because BOTH sit in the top-2.
+    // Candidate 13 is query 1's exact duplicate → truncated and full
+    // agree on it at rank 1.
+    def v(head: Seq[Float], tail: Seq[Float]) = head ++ tail
+    val h = Seq.fill(16)(1f)
+    val dir = writeMiniEmbeddings(Seq(
+      (0L, v(h, Seq(1f, 0f, 0f, 0f))),
+      (1L, v(Seq.fill(16)(-1f), Seq(0f, 1f, 0f, 0f))),
+      (11L, v(h, Seq(1f, 0f, 0f, 0f))),          // full cos 1 with q0
+      (12L, v(h, Seq(-1f, 0f, 0f, 0f))),         // full cos < 1, same prefix
+      (13L, v(Seq.fill(16)(-1f), Seq(0f, 1f, 0f, 0f)))))
+    val got = graft.ops.Similarity.q276_matryoshka_recall(spark, dir).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_full"), r.getAs[Long]("overlap"),
+          r.getAs[Long]("recall_bp")))).toMap
+    // every candidate set here is smaller than topK, so n_full < 5 and
+    // the denominators are the honest realized sizes
+    assert(got.contains(0L) && got.contains(1L))
+    val (n0, o0, r0) = got(0L)
+    assert(o0 <= n0 && r0 == o0 * 10000L / n0)
+    // query 1: its exact duplicate ranks first under both metrics
+    val (n1, o1, r1) = got(1L)
+    assert(o1 >= 1L && r1 == o1 * 10000L / n1)
+  }
 }
