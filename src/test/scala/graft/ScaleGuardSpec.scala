@@ -442,6 +442,39 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "expected the part-dim join to be a broadcast hash join")
   }
 
+  test("r16 queries: no cartesian; BNLJ only on the documented enum-bounded pair frames") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+    // strictly equi/semi-join + aggregate shaped — any BNLJ is a regression
+    val strict = Seq("q256_tpch_q2", "q257_tpch_q9", "q259_tpch_q16",
+      "q260_tpch_q20", "q262_hll_card_audit",
+      "q263_hll_inter_audit", "q264_scd2_repair", "q266_repetition_filter",
+      "q267_pii_scrub", "q274_weekday_profile", "q277_winsorized_mean")
+    val degraded = strict.flatMap { name =>
+      val p = plan(name)
+      if (p.collect { case c: CartesianProductExec => c
+                      case b: BroadcastNestedLoopJoinExec => b }.nonEmpty)
+        Some(name)
+      else None
+    }
+    assert(degraded.isEmpty, s"cartesian/nested-loop join in: ${degraded.mkString(", ")}")
+    // documented bounded exceptions — the 1-row total rides (q258,
+    // q268, q270, q273), the enum²-bounded pair frames (q271/q272's
+    // type pairs, q275's label pairs), the ≤10-row query-panel
+    // non-equi probes (q269/q276 — the q36 posture), and q261's
+    // calendar-bounded day-frame broadcast: BNLJ allowed with a
+    // bounded BROADCAST side, CARTESIAN never
+    Seq("q258_tpch_q11", "q261_rolling_actives_audit",
+      "q268_mixture_temperature", "q269_hard_negatives",
+      "q270_epoch_allocation", "q271_audience_sketch",
+      "q272_audience_audit", "q273_erasure_sweep",
+      "q275_embedding_health", "q276_matryoshka_recall").foreach { name =>
+      assert(plan(name).collect { case c: CartesianProductExec => c }.isEmpty,
+        s"$name's bounded frames must broadcast, not cartesian")
+    }
+  }
+
   test("q265's per-iteration plan: equi joins + keyed aggregate, no cartesian/global window") {
     // the iterative corpus-grain contract (r15 verdict item 8): each
     // rank step must be a shuffle-per-iteration plan — edge⋈rank equi
