@@ -1049,10 +1049,17 @@ object Events {
     * means are single truncating divisions over positive cents. The
     * raw mean rides along — the gap between the two IS the
     * tail-sensitivity report. */
-  val q277_winsorized_mean: Q = (s, d) => {
-    val hist = events(s, d)
+  val q277_winsorized_mean: Q = (s, d) =>
+    winsorFromHist(events(s, d)
       .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
-      .groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+      .groupBy("event_type", "c").agg(count(lit(1)).as("cnt")))
+
+  /** q277's tail over a (event_type, c, cnt) value histogram — the
+    * cells are LINEAR (counts sum), so the streaming twin
+    * ([[graft.streaming.EventStream.valueHistStream]]) maintains them
+    * per micro-batch and serves the SAME report through this shared
+    * function; one definition, zero drift. */
+  private[graft] def winsorFromHist(hist: DataFrame): DataFrame = {
     val wcum = Window.partitionBy("event_type").orderBy("c")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val marks = hist

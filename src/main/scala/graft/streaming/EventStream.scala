@@ -550,6 +550,26 @@ object EventStream {
     * pins cell-for-cell. Bucket math and normalization are the batch
     * helpers themselves ([[graft.ops.TextStats.cmsBuckets]],
     * [[graft.ops.TextCore.normCol]]), so the geometry cannot drift. */
+  /** Streaming VALUE-HISTOGRAM cells — q277's twin, the
+    * [[histCellsStream]] pattern at the events grain: each arriving
+    * event increments its (type, cent-value) cell, the cells are
+    * LINEAR (counts sum), so complete-mode output after any batch
+    * prefix equals the batch histogram of the data seen so far, and a
+    * downstream reader serves the winsorized-mean report through the
+    * SAME shared tail ([[rollupWinsorBatch]] →
+    * [[graft.ops.Events.winsorFromHist]]). State: one counter per
+    * distinct (type, cent) — value-domain-bounded, never event count. */
+  def valueHistStream(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+
+  /** Serve q277's report from streamed value-histogram cells — the
+    * shared batch tail, literally. */
+  def rollupWinsorBatch(cellsBatch: DataFrame): DataFrame =
+    graft.ops.Events.winsorFromHist(cellsBatch)
+
   def cmsCellsStream(docs: DataFrame): DataFrame = {
     import graft.ops.{TextCore, TextStats}
     docs

@@ -1308,6 +1308,53 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("valueHistStream: streamed cells equal the batch histogram; the served winsor report matches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 60 events across two types with a fat tail — two ingest waves
+    // prove the counters merge across micro-batches
+    val evs = (0 until 60).map { i =>
+      val t = if (i % 2 == 0) "click" else "purchase"
+      // exactly ONE whale per type (above each type's p95 mark, so the
+      // clamp genuinely bites), fat-free body otherwise
+      val v = if (i == 34 || i == 17) 500.0 else 1.0 + (i % 7)
+      (i.toLong, v, t)
+    }
+    def batchCells(upTo: Int) = EventStream.valueHistStream(
+        evs.take(upTo).toDF("es", "value", "event_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val input = MemoryStream[(Long, Double, String)]
+    val query = EventStream
+      .valueHistStream(input.toDS().toDF("es", "value", "event_type"))
+      .writeStream.format("memory").queryName("vhist").outputMode("complete").start()
+    def streamed() = spark.table("vhist").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      input.addData(evs.take(35).toIndexedSeq: _*); query.processAllAvailable()
+      assert(streamed() == batchCells(35))
+      input.addData(evs.drop(35).toIndexedSeq: _*); query.processAllAvailable()
+      assert(streamed() == batchCells(60))
+      // the served report from streamed state = the gated q277 tail on
+      // the same cells (shared helper, literally)
+      val served = EventStream.rollupWinsorBatch(
+        streamed().toSeq.toDF("event_type", "c", "cnt")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+      val batch = graft.ops.Events.winsorFromHist(
+        evs.toDF("es", "value", "event_type")
+          .select(org.apache.spark.sql.functions.col("event_type"),
+            org.apache.spark.sql.functions.round(
+              org.apache.spark.sql.functions.col("value") * 100)
+              .cast("long").as("c"))
+          .groupBy("event_type", "c")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("cnt"))).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+      assert(served.toSeq.sorted == batch.toSeq.sorted)
+      // the whale actually moved the raw mean off the winsorized one
+      assert(batch.exists(r => r._3 != r._4), "fixture must exercise the clamp")
+    } finally query.stop()
+  }
+
   test("cmsCellsStream: streamed sketch cells equal the batch sketch after every batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
