@@ -522,6 +522,34 @@ object Dedup {
       .orderBy("component_id")
   }
 
+  /** q278: CROSS-SOURCE DUPLICATION MATRIX — the provenance question
+    * behind source-level curation decisions (mirror detection, crawl
+    * overlap budgeting): for every source pair, how many near-dup
+    * clusters SPAN both, and how many of each side's documents sit in
+    * those shared clusters. A pair like (src3, src7) with most of
+    * src3's docs in shared clusters reads "src3 is substantially a
+    * copy of src7" — drop or downweight it BEFORE q268's mixture math
+    * treats the copies as independent evidence. Cluster ids are the
+    * memoized q61 labels (singletons = own doc, excluded by the a<b
+    * pair constraint since they carry one source). Scale: one
+    * (cluster, source) aggregate, then a cluster-keyed self-join whose
+    * per-cluster group is cluster-bounded — never corpus×corpus. */
+  lazy val q278_source_dup_matrix: Q = (s, d) => {
+    val labeled = docShingles(s, d).select(col("doc_id"), col("source"))
+      .join(memoLabels(s, d), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component_id"), col("doc_id")))
+    val cs = labeled.groupBy("cluster_id", "source")
+      .agg(count(lit(1)).as("nd"))
+    cs.select(col("cluster_id"), col("source").as("src_a"), col("nd").as("da"))
+      .join(cs.select(col("cluster_id"), col("source").as("src_b"),
+        col("nd").as("db")), Seq("cluster_id"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared_clusters"),
+        sum("da").as("docs_a"), sum("db").as("docs_b"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** q89: incremental NEAR-dup dedup — the production shape of q32: the
     * base corpus (id-hash bucket < 50, playing already-ingested history)
     * exists only as its MinHash BAND-KEY INDEX — a signature store, not
@@ -1730,6 +1758,7 @@ object Dedup {
     "q59_dedup_embed_lsh" -> q59_dedup_embed_lsh,
     "q60_embed_lsh_recall" -> q60_embed_lsh_recall,
     "q61_dedup_components" -> q61_dedup_components,
+    "q278_source_dup_matrix" -> q278_source_dup_matrix,
     "q63_minhash_recall" -> q63_minhash_recall,
     "q237_lsh_band_sweep" -> q237_lsh_band_sweep,
     "q81_cluster_reps" -> q81_cluster_reps,
@@ -1966,6 +1995,28 @@ object Dedup {
     .replaceFirst("^WITH ", "WITH RECURSIVE ")
 
   val oracle: Map[String, String] = Map(
+    // the q61 label chain, then the same (cluster, source) self-join
+    "q278_source_dup_matrix" -> withDocs(
+      s"""$ccReachCtes,
+         |lab AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS component_id
+         |  FROM reach GROUP BY src),
+         |ld AS (
+         |  SELECT d.doc_id, d.source,
+         |         coalesce(l.component_id, d.doc_id) AS cluster_id
+         |  FROM docs d LEFT JOIN lab l ON l.doc_id = d.doc_id),
+         |cs AS (
+         |  SELECT cluster_id, source, CAST(count(*) AS BIGINT) AS nd
+         |  FROM ld GROUP BY 1, 2)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |       CAST(count(*) AS BIGINT) AS n_shared_clusters,
+         |       CAST(sum(a.nd) AS BIGINT) AS docs_a,
+         |       CAST(sum(b.nd) AS BIGINT) AS docs_b
+         |FROM cs a JOIN cs b
+         |  ON a.cluster_id = b.cluster_id AND a.source < b.source
+         |GROUP BY 1, 2
+         |ORDER BY src_a, src_b""".stripMargin)
+      .replaceFirst("^WITH ", "WITH RECURSIVE "),
     // naive pair set, list_intersect shared shingles, same (df, text) rank
     "q255_match_explanation" -> withDocs(
       s""", p AS (
