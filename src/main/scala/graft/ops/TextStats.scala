@@ -1606,18 +1606,22 @@ object TextStats {
   lazy val q266_repetition_filter: Q = (s, d) =>
     repetitionStats(docShingles(s, d)).orderBy("doc_id")
 
+  /** The word-bigram array of a `words` column (empty below 2 words;
+    * the `sequence(1, n)` reversal trap guarded) — shared by q266's
+    * per-doc stats and q279's corpus-grain counts. */
+  private[graft] def bigramsCol(words: Column): Column =
+    when(size(words) >= 2,
+      transform(sequence(lit(1), size(words) - 1),
+        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
   /** q266's per-doc arithmetic over a frame carrying `words` — shared
     * VERBATIM by the batch row and the streaming twin
     * ([[graft.streaming.EventStream.repetitionStream]]); stateless, so
     * the stream is a plain select over the same expressions. */
   private[graft] def repetitionStats(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"),
-        when(size(col("words")) >= 2,
-          transform(sequence(lit(1), size(col("words")) - 1),
-            i => concat_ws(" ", element_at(col("words"), i),
-              element_at(col("words"), i + 1))))
-          .otherwise(array().cast("array<string>")).as("bigrams"))
+      .select(col("doc_id"), bigramsCol(col("words")).as("bigrams"))
       .select(col("doc_id"),
         size(col("bigrams")).cast("long").as("n_grams"),
         size(array_distinct(col("bigrams"))).cast("long").as("nd"))
@@ -1746,6 +1750,48 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** q279's knobs: minimum bigram support and the report size. */
+  private[graft] val collocMinSupport = 5L
+  private[graft] val collocTopK = 20
+
+  /** q279: COLLOCATION MINING — the highest-lift adjacent word pairs,
+    * the text-analytics rung that finds multi-word terms ("new york",
+    * "machine learning") a unigram tokenizer treats as noise: lift =
+    * P(ab) / (P(a)·P(b)) = c_ab·N_t² / (N_b·c_a·c_b), kept as an
+    * EXACT integer ×100 cross-multiplication through DECIMAL(38,0)
+    * (PMI's log is presentation — ranking by lift ≡ ranking by PMI;
+    * no libm). Numerator bound: c_ab·N_t²·100 stays under 10³⁸ while
+    * c_ab·N_t² < 10³⁶ — at 2.5·10¹³ corpus tokens that allows c_ab up
+    * to ~10⁹, documented like q258's. Support ≥ [[collocMinSupport]]
+    * kills one-off flukes; top-[[collocTopK]] by (lift desc, bigram
+    * asc) is a deterministic total order. Scale: two corpus-grain
+    * aggregates (unigrams, bigrams) and vocabulary-keyed equi joins —
+    * AQE elects broadcast while the unigram table is small. */
+  lazy val q279_collocations: Q = (s, d) => {
+    val docs = docShingles(s, d)
+    val uni = docs.select(explode(col("words")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val bi = docs.select(explode(bigramsCol(col("words"))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= collocMinSupport)
+    val tot = docs.agg(
+      sum(size(col("words")).cast("long")).as("nt"),
+      sum(greatest(size(col("words")).cast("long") - 1L, lit(0L))).as("nb"))
+    bi
+      .withColumn("wa", split(col("bg"), " ").getItem(0))
+      .withColumn("wb", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("w").as("wa"), col("cw").as("ca")), Seq("wa"))
+      .join(uni.select(col("w").as("wb"), col("cw").as("cb")), Seq("wb"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_x100", expr(
+        """CAST(cab AS DECIMAL(38, 0)) * nt * nt * 100
+          |div (CAST(nb AS DECIMAL(38, 0)) * ca * cb)""".stripMargin))
+      .select(col("wa"), col("wb"), col("cab"), col("lift_x100"))
+      .orderBy(col("lift_x100").desc, col("wa").asc, col("wb").asc)
+      .limit(collocTopK)
+  }
+
   val queries: Map[String, Q] = Map(
     "q168_hist_quantiles" -> q168_hist_quantiles,
     "q171_bloom_membership" -> q171_bloom_membership,
@@ -1758,6 +1804,7 @@ object TextStats {
     "q267_pii_scrub" -> q267_pii_scrub,
     "q268_mixture_temperature" -> q268_mixture_temperature,
     "q270_epoch_allocation" -> q270_epoch_allocation,
+    "q279_collocations" -> q279_collocations,
     "q43_fingerprint" -> q43_fingerprint,
     "q44_bpe_tokens" -> q44_bpe_tokens,
     "q64_rare_terms" -> q64_rare_terms,
@@ -2128,6 +2175,38 @@ object TextStats {
          |       n_tokens * 10000 // tot_tokens AS share_bp,
          |       sq * 10000 // tot_sq AS w_temp_bp
          |FROM q CROSS JOIN t ORDER BY source""".stripMargin),
+    // same counts, same exact integer lift, same (lift, bigram) order
+    "q279_collocations" -> withDocs(
+      s""", uni AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cw
+         |  FROM (SELECT unnest(words) AS w FROM docs)
+         |  WHERE w <> '' GROUP BY 1),
+         |bi AS (
+         |  SELECT bg, CAST(count(*) AS BIGINT) AS cab FROM (
+         |    SELECT unnest(CASE WHEN len(words) >= 2
+         |             THEN list_transform(range(1, len(words)),
+         |                    i -> words[i] || ' ' || words[i+1])
+         |             ELSE CAST([] AS VARCHAR[]) END) AS bg
+         |    FROM docs)
+         |  GROUP BY 1 HAVING count(*) >= $collocMinSupport),
+         |tot AS (
+         |  SELECT CAST(sum(len(words)) AS BIGINT) AS nt,
+         |         CAST(sum(greatest(len(words) - 1, 0)) AS BIGINT) AS nb
+         |  FROM docs),
+         |sp AS (
+         |  SELECT string_split(bg, ' ')[1] AS wa,
+         |         string_split(bg, ' ')[2] AS wb, cab
+         |  FROM bi)
+         |SELECT sp.wa, sp.wb, sp.cab,
+         |       CAST(CAST(sp.cab AS HUGEINT) * nt * nt * 100
+         |            // (CAST(nb AS HUGEINT) * ua.cw * ub.cw) AS BIGINT)
+         |         AS lift_x100
+         |FROM sp
+         |JOIN uni ua ON ua.w = sp.wa
+         |JOIN uni ub ON ub.w = sp.wb
+         |CROSS JOIN tot
+         |ORDER BY lift_x100 DESC, wa, wb
+         |LIMIT $collocTopK""".stripMargin),
     // identical budget quotient, cap and flags
     "q270_epoch_allocation" -> withDocs(
       s""", ps AS (
