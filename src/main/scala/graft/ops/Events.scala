@@ -1167,11 +1167,15 @@ object Events {
     * space. Scale shape: the rank filter plans with WindowGroupLimit
     * (the q165 pin) — every map task keeps ≤ k rows per type before
     * the shuffle, so the exchange carries sketches, not audiences. */
-  private[graft] def audienceSig(ev: DataFrame): DataFrame = {
-    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+  /** The q271 signature hash of `user_id` — shared VERBATIM with the
+    * stateful stream ([[graft.streaming.EventStream.audienceSigStream]]). */
+  private[graft] def sigHash: Column =
+    conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
       .cast("long")
+
+  private[graft] def audienceSig(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("h")
-    ev.select(col("event_type"), h.as("h")).distinct()
+    ev.select(col("event_type"), sigHash.as("h")).distinct()
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= bkK)
       .select("event_type", "h")

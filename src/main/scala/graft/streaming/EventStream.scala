@@ -37,6 +37,21 @@ case class SampleState(upd: Long, winners: Seq[(Long, Long, Long)])
 case class SampleWinner(lang: String, upd: Long, rank: Long, doc_id: Long,
   w: Long, skey: Long)
 
+/** One hashed audience arrival for the bottom-k sketch stream
+  * ([[EventStream.audienceSigStream]]): `h` is the shared q271 hash,
+  * computed in-flight by the batch Column expression. */
+case class SigEv(event_type: String, h: Long)
+
+/** Per-type bottom-k state: the snapshot counter and the current
+  * signature, sorted ascending, bounded at k hashes — the state IS the
+  * sketch. */
+case class SigState(upd: Long, sig: Seq[Long])
+
+/** One signature snapshot row: `upd` is the per-type snapshot counter
+  * (a consumer keeps each type's max-upd set — the SampleWinner
+  * convention). */
+case class SigRow(event_type: String, upd: Long, rank: Long, h: Long)
+
 /** Per-type CUSUM state: the last day folded and its cumulative sum. */
 case class CusumState(lastDay: Long, cusum: Long)
 
@@ -550,6 +565,38 @@ object EventStream {
     * pins cell-for-cell. Bucket math and normalization are the batch
     * helpers themselves ([[graft.ops.TextStats.cmsBuckets]],
     * [[graft.ops.TextCore.normCol]]), so the geometry cannot drift. */
+  /** Streaming BOTTOM-K audience signatures — q271's stateful twin:
+    * per event type the state is the signature itself (≤ [[graft.ops
+    * .Events.bkK]] sorted hashes — bounded regardless of traffic, the
+    * windowedDistinctUsers argument at the signature grain), merged
+    * with each batch's arrivals by union → re-bottom-k (the gated
+    * merge law, so overlapping replays are harmless). Each batch emits
+    * a full snapshot per touched type with a monotone `upd` counter
+    * (the weightedSampleStream convention: a consumer keeps each
+    * type's max-upd set); the snapshot feeds
+    * [[graft.ops.Events.audienceJaccardEst]] directly, so the served
+    * overlap estimate is the gated q271 tail verbatim. Hash = the
+    * shared q271 Column expression, applied BEFORE typing. */
+  def audienceSigStream(events: DataFrame): Dataset[SigRow] = {
+    import events.sparkSession.implicits._
+    val k = graft.ops.Events.bkK.toInt
+    events
+      .select(col("event_type"), graft.ops.Events.sigHash.as("h"))
+      .as[SigEv]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[SigState, SigRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[SigEv], state: GroupState[SigState]) =>
+          val prev = state.getOption.getOrElse(SigState(0L, Seq.empty))
+          val merged = (prev.sig ++ batch.map(_.h)).distinct.sorted.take(k)
+          val upd = prev.upd + 1L
+          state.update(SigState(upd, merged))
+          merged.zipWithIndex.map { case (h, i) =>
+            SigRow(key, upd, i + 1L, h)
+          }.iterator
+      }
+  }
+
   /** Streaming VALUE-HISTOGRAM cells — q277's twin, the
     * [[histCellsStream]] pattern at the events grain: each arriving
     * event increments its (type, cent-value) cell, the cells are

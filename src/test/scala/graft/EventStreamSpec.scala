@@ -1308,6 +1308,46 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("audienceSigStream: the final snapshot equals the batch signature; replays don't inflate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.SigRow
+    // two types, users split over two waves, wave 2 REPLAYS two users
+    // (min-idempotence must absorb them)
+    val w1 = Seq((1L, "click"), (2L, "click"), (3L, "click"), (1L, "view"))
+    val w2 = Seq((4L, "click"), (2L, "click"), (5L, "view"), (1L, "view"))
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream
+      .audienceSigStream(input.toDS().toDF("user_id", "event_type"))
+      .writeStream.format("memory").queryName("sigs").outputMode("append").start()
+    try {
+      input.addData(w1: _*); query.processAllAvailable()
+      input.addData(w2: _*); query.processAllAvailable()
+      // keep each type's max-upd snapshot (the documented consumer rule)
+      val rows = spark.table("sigs").as[SigRow].collect()
+      val latest = rows.groupBy(_.event_type).map { case (t, rs) =>
+        val m = rs.map(_.upd).max
+        t -> rs.filter(_.upd == m).sortBy(_.rank).map(_.h).toSeq
+      }
+      val batch = graft.ops.Events.audienceSig(
+          (w1 ++ w2).toDF("user_id", "event_type"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).sorted.toSeq }
+      assert(latest == batch, s"latest=$latest batch=$batch")
+      // the served overlap from streamed signatures = the gated q271
+      // tail on the same cells
+      val sigDf = latest.toSeq.flatMap { case (t, hs) => hs.map(h => (t, h)) }
+        .toDF("event_type", "h")
+      val served = graft.ops.Events.audienceJaccardEst(sigDf).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("jacc_est_bp")))
+      val expect = graft.ops.Events.audienceJaccardEst(
+          graft.ops.Events.audienceSig((w1 ++ w2).toDF("user_id", "event_type")))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getAs[Long]("jacc_est_bp")))
+      assert(served.toSeq.sorted == expect.toSeq.sorted)
+    } finally query.stop()
+  }
+
   test("valueHistStream: streamed cells equal the batch histogram; the served winsor report matches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
