@@ -1081,6 +1081,68 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q281: NEAREST AS-OF JOIN — the two-sided variant of q68/q241's
+    * backward as-of, the time-series join kdb/QuestDB users reach for
+    * ("the quote nearest this trade, either side"): every click gets
+    * its user's nearest purchase in TIME — backward = latest purchase
+    * at-or-before (ties: highest event_id), forward = earliest STRICTLY
+    * after (ties: lowest event_id), nearest = smaller |gap| with the
+    * tie to backward; gap_s is SIGNED (negative = purchase preceded).
+    * Users with no purchases keep NULLs (the q241 anonymous-traffic
+    * stance). Implementation: the union-window composition run TWICE —
+    * one user-keyed shuffle, two ordered windows (forward = the same
+    * fold in reverse order), no range join, no click×purchase
+    * blow-up. The oracle replays the DEFINITION via per-user candidate
+    * ranking — method-independent, so the gate proves both directional
+    * folds and the tie policy. */
+  val q281_asof_nearest: Q = (s, d) => {
+    val ev = events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("es"), lit(0L).as("is_p"),
+        lit(null).cast("long").as("p_id"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("es"), lit(1L).as("is_p"),
+        col("event_id").as("p_id"))
+    val u = clicks.unionByName(purch)
+    // backward: purchases sort BEFORE clicks at equal es, so the frame
+    // includes same-second purchases; `last` = nearest at-or-before
+    val wb = Window.partitionBy("user_id")
+      .orderBy(col("es").asc, col("is_p").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward: reverse traversal; clicks sort before purchases at equal
+    // es so same-second purchases fall OUTSIDE the frame (strictly after)
+    val wf = Window.partitionBy("user_id")
+      .orderBy(col("es").desc, col("is_p").asc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u
+      .withColumn("b_id", last(col("p_id"), ignoreNulls = true).over(wb))
+      .withColumn("b_es", last(when(col("is_p") === 1L, col("es")),
+        ignoreNulls = true).over(wb))
+      .withColumn("f_id", last(col("p_id"), ignoreNulls = true).over(wf))
+      .withColumn("f_es", last(when(col("is_p") === 1L, col("es")),
+        ignoreNulls = true).over(wf))
+      .where(col("is_p") === 0L)
+      .withColumn("gb", col("es") - col("b_es"))
+      .withColumn("gf", col("f_es") - col("es"))
+      .select(col("event_id"), col("user_id"),
+        when(col("b_id").isNull && col("f_id").isNull, lit(null).cast("long"))
+          .when(col("f_id").isNull, col("b_id"))
+          .when(col("b_id").isNull, col("f_id"))
+          .when(col("gb") <= col("gf"), col("b_id"))
+          .otherwise(col("f_id")).as("near_id"),
+        when(col("b_id").isNull && col("f_id").isNull, lit(null).cast("string"))
+          .when(col("f_id").isNull, lit("b"))
+          .when(col("b_id").isNull, lit("f"))
+          .when(col("gb") <= col("gf"), lit("b"))
+          .otherwise(lit("f")).as("direction"),
+        when(col("b_id").isNull && col("f_id").isNull, lit(null).cast("long"))
+          .when(col("f_id").isNull, -col("gb"))
+          .when(col("b_id").isNull, col("gf"))
+          .when(col("gb") <= col("gf"), -col("gb"))
+          .otherwise(col("gf")).as("gap_s"))
+      .orderBy("event_id")
+  }
+
   /** q274: WEEKDAY SEASONALITY PROFILE — the decomposition rung the
     * daily family (q207 CUSUM, q208 OLS, q252 Theil–Sen) was missing:
     * raw daily counts mix trend with weekly rhythm, and an anomaly
@@ -1865,6 +1927,7 @@ object Events {
     "q272_audience_audit" -> q272_audience_audit,
     "q273_erasure_sweep" -> q273_erasure_sweep,
     "q274_weekday_profile" -> q274_weekday_profile,
+    "q281_asof_nearest" -> q281_asof_nearest,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -2354,6 +2417,49 @@ object Events {
          |FROM h JOIN mk ON mk.event_type = h.event_type
          |GROUP BY h.event_type, mk.n, mk.lo_c, mk.hi_c
          |ORDER BY h.event_type""".stripMargin,
+    // the DEFINITION replayed per-user (candidate ranking both sides —
+    // method-independent of the gated union-window folds)
+    "q281_asof_nearest" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type,
+         |         CAST(floor(epoch(ts)) AS BIGINT) AS es
+         |  FROM events),
+         |c AS (SELECT event_id, user_id, es FROM e WHERE event_type = 'click'),
+         |p AS (SELECT event_id, user_id, es FROM e WHERE event_type = 'purchase'),
+         |bw AS (
+         |  SELECT cid, pid, pes FROM (
+         |    SELECT c.event_id AS cid, p.event_id AS pid, p.es AS pes,
+         |           row_number() OVER (PARTITION BY c.event_id
+         |             ORDER BY p.es DESC, p.event_id DESC) AS rn
+         |    FROM c JOIN p ON p.user_id = c.user_id AND p.es <= c.es)
+         |  WHERE rn = 1),
+         |fw AS (
+         |  SELECT cid, pid, pes FROM (
+         |    SELECT c.event_id AS cid, p.event_id AS pid, p.es AS pes,
+         |           row_number() OVER (PARTITION BY c.event_id
+         |             ORDER BY p.es ASC, p.event_id ASC) AS rn
+         |    FROM c JOIN p ON p.user_id = c.user_id AND p.es > c.es)
+         |  WHERE rn = 1)
+         |SELECT c.event_id, c.user_id,
+         |       CASE WHEN bw.pid IS NULL AND fw.pid IS NULL THEN NULL
+         |            WHEN fw.pid IS NULL THEN bw.pid
+         |            WHEN bw.pid IS NULL THEN fw.pid
+         |            WHEN c.es - bw.pes <= fw.pes - c.es THEN bw.pid
+         |            ELSE fw.pid END AS near_id,
+         |       CASE WHEN bw.pid IS NULL AND fw.pid IS NULL THEN NULL
+         |            WHEN fw.pid IS NULL THEN 'b'
+         |            WHEN bw.pid IS NULL THEN 'f'
+         |            WHEN c.es - bw.pes <= fw.pes - c.es THEN 'b'
+         |            ELSE 'f' END AS direction,
+         |       CASE WHEN bw.pid IS NULL AND fw.pid IS NULL THEN NULL
+         |            WHEN fw.pid IS NULL THEN -(c.es - bw.pes)
+         |            WHEN bw.pid IS NULL THEN fw.pes - c.es
+         |            WHEN c.es - bw.pes <= fw.pes - c.es THEN -(c.es - bw.pes)
+         |            ELSE fw.pes - c.es END AS gap_s
+         |FROM c
+         |LEFT JOIN bw ON bw.cid = c.event_id
+         |LEFT JOIN fw ON fw.cid = c.event_id
+         |ORDER BY c.event_id""".stripMargin,
     // identical weekday arithmetic, profile join and argmax tie-break
     "q274_weekday_profile" ->
       s"""WITH dd AS (

@@ -220,6 +220,43 @@ object Pipeline {
     funnelReport(base, s2, s3, s4, Seq.empty)
   }
 
+  /** q280: DEDUP-AWARE MIXTURE SHIFT — the composition that closes the
+    * loop between the dedup family and q268's mixture math: sampling
+    * weights computed on RAW tokens treat every mirror copy as
+    * independent evidence, so the honest mixture runs on the tokens
+    * that SURVIVE curation stage 3 (q87's exact-dedup + near-dup
+    * representative rules, verbatim). Per source: raw vs surviving
+    * tokens, the temperature weight under each (q268's
+    * quantize-√-then-integer-normalize), and shift_bp — the weight a
+    * source LOSES once its duplication is accounted for (a heavily
+    * mirrored source shifts negative: exactly the srcX-copies-srcY
+    * signal q278 localizes). Scale: q87's one fp-keyed shuffle + the
+    * hint-free label join, then a source-domain-bounded aggregate. */
+  val q280_dedup_mixture_shift: Q = (s, d) => {
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    val base = TextStats.withQuality(docShingles(s, d))
+      .withColumn("fp", md5(col("norm")))
+      .withColumn("rn", row_number().over(w))
+      .join(Dedup.memoLabels(s, d), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component_id"), col("doc_id")))
+    val surv = col("rn") === 1 && col("cluster_id") === col("doc_id")
+    val per = base.groupBy("source").agg(
+        sum("n_tokens").as("raw_tokens"),
+        sum(when(surv, col("n_tokens")).otherwise(0L)).as("surv_tokens"))
+      .withColumn("sq_raw",
+        floor(sqrt(col("raw_tokens").cast("double")) * 100).cast("long"))
+      .withColumn("sq_surv",
+        floor(sqrt(col("surv_tokens").cast("double")) * 100).cast("long"))
+    per
+      .crossJoin(broadcast(per.agg(
+        sum("sq_raw").as("tr"), sum("sq_surv").as("ts"))))
+      .select(col("source"), col("raw_tokens"), col("surv_tokens"),
+        expr("sq_raw * 10000 div tr").as("w_raw_bp"),
+        expr("sq_surv * 10000 div ts").as("w_surv_bp"))
+      .withColumn("shift_bp", col("w_surv_bp") - col("w_raw_bp"))
+      .orderBy("source")
+  }
+
   /** q232: per-document curation LINEAGE — the row-level provenance
     * q87's aggregate funnel cannot answer: for THIS doc, which stage
     * rejected it, and which surviving doc blocked it? Stage rules are
@@ -377,6 +414,7 @@ object Pipeline {
     "q100_split_funnel" -> q100_split_funnel,
     "q77_contamination" -> q77_contamination,
     "q87_curation_funnel" -> q87_curation_funnel,
+    "q280_dedup_mixture_shift" -> q280_dedup_mixture_shift,
     "q88_verbatim_contamination" -> q88_verbatim_contamination,
     "q232_doc_lineage" -> q232_doc_lineage)
 
@@ -532,6 +570,41 @@ object Pipeline {
          |  UNION ALL
          |  SELECT split, CAST(4 AS BIGINT), 'quality', c4, t4 FROM a)
          |ORDER BY split, stage_id""".stripMargin)
+      .replaceFirst("^WITH ", "WITH RECURSIVE "),
+    // q87's survivor rules + q268's quantize-then-normalize, per source
+    "q280_dedup_mixture_shift" -> withDocs(
+      s"""${Dedup.ccReachCtes},
+         |comp AS (
+         |  SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS component_id
+         |  FROM reach GROUP BY src),
+         |${TextStats.qualCte},
+         |lab AS (
+         |  SELECT q.doc_id, q.source, q.n_tokens,
+         |         coalesce(c.component_id, q.doc_id) AS cluster_id,
+         |         row_number() OVER (PARTITION BY md5(q.norm) ORDER BY q.doc_id) AS rn
+         |  FROM qual q LEFT JOIN comp c ON q.doc_id = c.doc_id),
+         |per AS (
+         |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+         |         CAST(coalesce(sum(CASE WHEN rn = 1 AND cluster_id = doc_id
+         |              THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS surv_tokens
+         |  FROM lab GROUP BY 1),
+         |pq AS (
+         |  SELECT *,
+         |         CAST(floor(sqrt(CAST(raw_tokens AS DOUBLE)) * 100) AS BIGINT)
+         |           AS sq_raw,
+         |         CAST(floor(sqrt(CAST(surv_tokens AS DOUBLE)) * 100) AS BIGINT)
+         |           AS sq_surv
+         |  FROM per),
+         |t AS (
+         |  SELECT CAST(sum(sq_raw) AS BIGINT) AS tr,
+         |         CAST(sum(sq_surv) AS BIGINT) AS ts
+         |  FROM pq)
+         |SELECT source, raw_tokens, surv_tokens,
+         |       sq_raw * 10000 // tr AS w_raw_bp,
+         |       sq_surv * 10000 // ts AS w_surv_bp,
+         |       sq_surv * 10000 // ts - sq_raw * 10000 // tr AS shift_bp
+         |FROM pq CROSS JOIN t
+         |ORDER BY source""".stripMargin)
       .replaceFirst("^WITH ", "WITH RECURSIVE "),
     "q87_curation_funnel" -> withDocs(
       s"""${Dedup.ccReachCtes},
