@@ -450,7 +450,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     val strict = Seq("q256_tpch_q2", "q257_tpch_q9", "q259_tpch_q16",
       "q260_tpch_q20", "q262_hll_card_audit",
       "q263_hll_inter_audit", "q264_scd2_repair", "q266_repetition_filter",
-      "q267_pii_scrub", "q274_weekday_profile", "q277_winsorized_mean")
+      "q267_pii_scrub", "q274_weekday_profile", "q277_winsorized_mean",
+      "q278_source_dup_matrix", "q281_asof_nearest")
     val degraded = strict.flatMap { name =>
       val p = plan(name)
       if (p.collect { case c: CartesianProductExec => c
@@ -469,7 +470,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "q268_mixture_temperature", "q269_hard_negatives",
       "q270_epoch_allocation", "q271_audience_sketch",
       "q272_audience_audit", "q273_erasure_sweep",
-      "q275_embedding_health", "q276_matryoshka_recall").foreach { name =>
+      "q275_embedding_health", "q276_matryoshka_recall",
+      "q279_collocations", "q280_dedup_mixture_shift").foreach { name =>
       assert(plan(name).collect { case c: CartesianProductExec => c }.isEmpty,
         s"$name's bounded frames must broadcast, not cartesian")
     }
