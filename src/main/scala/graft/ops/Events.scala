@@ -1081,6 +1081,79 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q282: ORDERED FUNNEL within a time window — the sequential-match
+    * semantics q73's global-firsts simplification cannot express: a
+    * user converts when a click occurs AT-OR-AFTER their first view
+    * and a purchase at-or-after that click (any earlier strays are
+    * ignored — q73's `first click overall` misses a user whose stray
+    * click preceded the view), and the conversion is WITHIN-WINDOW
+    * when purchase − view ≤ 1 h. The chained conditional-min is three
+    * user-keyed aggregates, each joining the previous stage's anchor —
+    * the decorrelated form of the correlated triple-EXISTS the oracle
+    * states. Output: the 1-row funnel with the windowed conversion in
+    * basis points. */
+  val q282_ordered_funnel: Q = (s, d) => {
+    val ev = events(s, d).select("user_id", "event_type", "es")
+    val v1 = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("es").as("v1"))
+    val c1 = ev.where(col("event_type") === "click")
+      .join(v1, "user_id").where(col("es") >= col("v1"))
+      .groupBy("user_id").agg(min("es").as("c1"), min("v1").as("v1"))
+    val p1 = ev.where(col("event_type") === "purchase")
+      .join(c1, "user_id").where(col("es") >= col("c1"))
+      .groupBy("user_id").agg(min("es").as("p1"),
+        min("v1").as("v1"), min("c1").as("c1"))
+    v1.agg(count(lit(1)).as("n_view")).crossJoin(broadcast(
+        c1.agg(count(lit(1)).as("n_click_seq"))))
+      .crossJoin(broadcast(p1.agg(count(lit(1)).as("n_purchase_seq"),
+        sum(when(col("p1") - col("v1") <= 3600L, 1L).otherwise(0L))
+          .as("n_conv_1h"))))
+      .select(col("n_view"), col("n_click_seq"), col("n_purchase_seq"),
+        col("n_conv_1h"),
+        expr("CASE WHEN n_view > 0 THEN n_conv_1h * 10000 div n_view END")
+          .as("conv_1h_bp"))
+  }
+
+  /** q283: LAG-7 AUTOCORRELATION of the daily counts per type — the
+    * DETECTOR for the rhythm q274 profiles (a profile of a signal with
+    * no weekly period is noise): Pearson correlation between day t and
+    * day t+7 counts over all co-present calendar pairs. The moments
+    * are the exact integer n·Σxy − Σx·Σy forms in DECIMAL(38,0) (the
+    * q247 convention), and only the final corr = covN / √(varN·varyN)
+    * runs in doubles — one sqrt (the allowed root), identical
+    * operation order both engines, floored to basis points (floor is
+    * toward −∞ in both, so negative correlations agree). Types with
+    * < 2 pairs or a degenerate side surface NULL. Calendar-bounded
+    * throughout. */
+  val q283_lag7_autocorr: Q = (s, d) => {
+    val daily = graft.Ckpt.persisted(events(s, d)
+      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
+      .agg(count(lit(1)).as("cnt")))
+    val pairs = daily
+      .join(daily.select(col("event_type"), (col("day") - 7L).as("day"),
+        col("cnt").as("y")), Seq("event_type", "day"))
+      .select(col("event_type"), col("cnt").as("x"), col("y"))
+    pairs.groupBy("event_type").agg(
+        count(lit(1)).as("n7"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("covn", expr(
+        "CAST(n7 AS DECIMAL(38, 0)) * sxy - CAST(sx AS DECIMAL(38, 0)) * sy"))
+      .withColumn("varxn", expr(
+        "CAST(n7 AS DECIMAL(38, 0)) * sxx - CAST(sx AS DECIMAL(38, 0)) * sx"))
+      .withColumn("varyn", expr(
+        "CAST(n7 AS DECIMAL(38, 0)) * syy - CAST(sy AS DECIMAL(38, 0)) * sy"))
+      .select(col("event_type"), col("n7"),
+        expr("""CASE WHEN n7 < 2 OR varxn = 0 OR varyn = 0 THEN NULL
+                ELSE CAST(floor(CAST(covn AS DOUBLE)
+                                / sqrt(CAST(varxn AS DOUBLE)
+                                       * CAST(varyn AS DOUBLE))
+                                * 10000) AS BIGINT) END""").as("r7_bp"))
+      .orderBy("event_type")
+  }
+
   /** q281: NEAREST AS-OF JOIN — the two-sided variant of q68/q241's
     * backward as-of, the time-series join kdb/QuestDB users reach for
     * ("the quote nearest this trade, either side"): every click gets
@@ -1928,6 +2001,8 @@ object Events {
     "q273_erasure_sweep" -> q273_erasure_sweep,
     "q274_weekday_profile" -> q274_weekday_profile,
     "q281_asof_nearest" -> q281_asof_nearest,
+    "q282_ordered_funnel" -> q282_ordered_funnel,
+    "q283_lag7_autocorr" -> q283_lag7_autocorr,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -2417,6 +2492,62 @@ object Events {
          |FROM h JOIN mk ON mk.event_type = h.event_type
          |GROUP BY h.event_type, mk.n, mk.lo_c, mk.hi_c
          |ORDER BY h.event_type""".stripMargin,
+    // the correlated triple-chain stated directly (the gated query is
+    // its decorrelation)
+    "q282_ordered_funnel" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type,
+         |         CAST(floor(epoch(ts)) AS BIGINT) AS es
+         |  FROM events),
+         |v1 AS (SELECT user_id, min(es) AS v1 FROM e
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |c1 AS (SELECT e.user_id, min(e.es) AS c1, min(v1.v1) AS v1
+         |       FROM e JOIN v1 ON v1.user_id = e.user_id
+         |       WHERE e.event_type = 'click' AND e.es >= v1.v1 GROUP BY 1),
+         |p1 AS (SELECT e.user_id, min(e.es) AS p1, min(c1.v1) AS v1,
+         |              min(c1.c1) AS c1
+         |       FROM e JOIN c1 ON c1.user_id = e.user_id
+         |       WHERE e.event_type = 'purchase' AND e.es >= c1.c1 GROUP BY 1),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_view FROM v1),
+         |b AS (SELECT CAST(count(*) AS BIGINT) AS n_click_seq FROM c1),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS n_purchase_seq,
+         |             CAST(coalesce(sum(CASE WHEN p1 - v1 <= 3600
+         |                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_conv_1h
+         |      FROM p1)
+         |SELECT n_view, n_click_seq, n_purchase_seq, n_conv_1h,
+         |       CASE WHEN n_view > 0 THEN n_conv_1h * 10000 // n_view
+         |       END AS conv_1h_bp
+         |FROM a CROSS JOIN b CROSS JOIN c""".stripMargin,
+    // exact integer moments, one sqrt, identical operation order
+    "q283_lag7_autocorr" ->
+      s"""WITH dd AS (
+         |  SELECT event_type,
+         |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT a.event_type, a.cnt AS x, b.cnt AS y
+         |  FROM dd a JOIN dd b
+         |    ON b.event_type = a.event_type AND b.day = a.day + 7),
+         |m AS (
+         |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n7,
+         |         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |         CAST(sum(x * y) AS HUGEINT) AS sxy,
+         |         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         |         CAST(sum(y * y) AS HUGEINT) AS syy
+         |  FROM pr GROUP BY 1),
+         |v AS (
+         |  SELECT *, n7 * sxy - sx * sy AS covn,
+         |            n7 * sxx - sx * sx AS varxn,
+         |            n7 * syy - sy * sy AS varyn
+         |  FROM m)
+         |SELECT event_type, CAST(n7 AS BIGINT) AS n7,
+         |       CASE WHEN n7 < 2 OR varxn = 0 OR varyn = 0 THEN NULL
+         |            ELSE CAST(floor(CAST(covn AS DOUBLE)
+         |                            / sqrt(CAST(varxn AS DOUBLE)
+         |                                   * CAST(varyn AS DOUBLE))
+         |                            * 10000) AS BIGINT) END AS r7_bp
+         |FROM v ORDER BY event_type""".stripMargin,
     // the DEFINITION replayed per-user (candidate ranking both sides —
     // method-independent of the gated union-window folds)
     "q281_asof_nearest" ->
