@@ -1081,6 +1081,34 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q284: TOP USER PATHS — the 3-step journey mining above q201's
+    * pairwise transition matrix (a matrix can't distinguish
+    * view→click→purchase from click→view→purchase; the product
+    * question is the PATH): within each gap-session, every consecutive
+    * type TRIGRAM, counted corpus-wide, top-15 by (count desc, path
+    * asc) with each path's share of all trigrams in basis points.
+    * Session and ordering rules are [[withSessionIds]] / the q201
+    * (es, event_id) tie-break, verbatim. Scale: the sessionized pass
+    * is one user-keyed shuffle; trigram counting is a corpus-grain
+    * aggregate on a types³-bounded key domain. */
+  val q284_top_paths: Q = (s, d) => {
+    val sess = withSessionIds(events(s, d)
+      .select(col("user_id"), col("event_id"), col("es"), col("event_type")))
+    val ws = Window.partitionBy("user_id", "session_id").orderBy("es", "event_id")
+    val tri = sess
+      .withColumn("t2", lead("event_type", 1).over(ws))
+      .withColumn("t3", lead("event_type", 2).over(ws))
+      .where(col("t2").isNotNull && col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+    val counts = tri.groupBy("path").agg(count(lit(1)).as("n"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum("n").as("tot"))))
+      .select(col("path"), col("n"),
+        expr("n * 10000 div tot").as("share_bp"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(15)
+  }
+
   /** q282: ORDERED FUNNEL within a time window — the sequential-match
     * semantics q73's global-firsts simplification cannot express: a
     * user converts when a click occurs AT-OR-AFTER their first view
@@ -2002,6 +2030,7 @@ object Events {
     "q274_weekday_profile" -> q274_weekday_profile,
     "q281_asof_nearest" -> q281_asof_nearest,
     "q282_ordered_funnel" -> q282_ordered_funnel,
+    "q284_top_paths" -> q284_top_paths,
     "q283_lag7_autocorr" -> q283_lag7_autocorr,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
@@ -2492,6 +2521,25 @@ object Events {
          |FROM h JOIN mk ON mk.event_type = h.event_type
          |GROUP BY h.event_type, mk.n, mk.lo_c, mk.hi_c
          |ORDER BY h.event_type""".stripMargin,
+    // same session rule and tie-break, trigram via two leads
+    "q284_top_paths" ->
+      s"""WITH $transCtes,
+         |tri AS (
+         |  SELECT event_type || '>' || t2 || '>' || t3 AS path FROM (
+         |    SELECT event_type,
+         |           lead(event_type, 1) OVER wp AS t2,
+         |           lead(event_type, 2) OVER wp AS t3
+         |    FROM s2
+         |    WINDOW wp AS (PARTITION BY user_id, session_id
+         |                  ORDER BY es, event_id))
+         |  WHERE t2 IS NOT NULL AND t3 IS NOT NULL),
+         |cnt AS (SELECT path, CAST(count(*) AS BIGINT) AS n
+         |        FROM tri GROUP BY 1),
+         |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cnt)
+         |SELECT path, n, n * 10000 // tot AS share_bp
+         |FROM cnt CROSS JOIN tt
+         |ORDER BY n DESC, path
+         |LIMIT 15""".stripMargin,
     // the correlated triple-chain stated directly (the gated query is
     // its decorrelation)
     "q282_ordered_funnel" ->
