@@ -1081,6 +1081,45 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q285: QUANTILE TREATMENT EFFECT — the distributional A/B readout
+    * beside q198's proportion z, q242's AUC and q247's CUPED mean: the
+    * treatment−control difference at the p25/p50/p75 marks of the
+    * per-user purchase count. Means hide WHERE a treatment acts (a
+    * whale-only lift moves the mean and no quantile; a broad small
+    * lift moves the median first) — the QTE triple is the standard
+    * answer. Everything runs on the per-arm COUNT HISTOGRAM (one row
+    * per (arm, distinct count) — activity-domain-bounded): quantile =
+    * the first value whose cumulative count reaches ⌈q·n⌉ (ceil as
+    * (a+b−1) div b — q277's marks), qte = treatment − control, exact
+    * integers end to end. Arm assignment is the shared [[abUsers]]
+    * md5 split. */
+  val q285_quantile_effect: Q = (s, d) => {
+    val users = events(s, d).groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .withColumn("arm", graft.ops.TextCore.idBucket(col("user_id")) % lit(2L))
+    val hist = users.groupBy("arm", "np").agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy("arm").orderBy("np")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marks = hist
+      .withColumn("cum", sum("cnt").over(wcum))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("arm")))
+      .groupBy("arm")
+      .agg(max("n").as("n"),
+        min(when(col("cum") >= expr("(n + 3) div 4"), col("np"))).as("p25"),
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("np"))).as("p50"),
+        min(when(col("cum") >= expr("(n * 3 + 3) div 4"), col("np"))).as("p75"))
+    marks.where(col("arm") === 0L)
+      .select(col("n").as("n0"), col("p25").as("c25"),
+        col("p50").as("c50"), col("p75").as("c75"))
+      .crossJoin(broadcast(marks.where(col("arm") === 1L)
+        .select(col("n").as("n1"), col("p25").as("t25"),
+          col("p50").as("t50"), col("p75").as("t75"))))
+      .select(col("n0"), col("n1"),
+        (col("t25") - col("c25")).as("qte_p25"),
+        (col("t50") - col("c50")).as("qte_p50"),
+        (col("t75") - col("c75")).as("qte_p75"))
+  }
+
   /** q284: TOP USER PATHS — the 3-step journey mining above q201's
     * pairwise transition matrix (a matrix can't distinguish
     * view→click→purchase from click→view→purchase; the product
@@ -2031,6 +2070,7 @@ object Events {
     "q281_asof_nearest" -> q281_asof_nearest,
     "q282_ordered_funnel" -> q282_ordered_funnel,
     "q284_top_paths" -> q284_top_paths,
+    "q285_quantile_effect" -> q285_quantile_effect,
     "q283_lag7_autocorr" -> q283_lag7_autocorr,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
@@ -2521,6 +2561,33 @@ object Events {
          |FROM h JOIN mk ON mk.event_type = h.event_type
          |GROUP BY h.event_type, mk.n, mk.lo_c, mk.hi_c
          |ORDER BY h.event_type""".stripMargin,
+    // same md5 split, same ceil-rank marks on the count histogram
+    "q285_quantile_effect" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |         CAST(sum(CASE WHEN event_type = 'purchase'
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |         (${graft.ops.TextCore.idBucketSql("user_id")}) % 2 AS arm
+         |  FROM events GROUP BY user_id),
+         |h AS (SELECT arm, np, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM u GROUP BY 1, 2),
+         |hc AS (
+         |  SELECT *, CAST(sum(cnt) OVER (PARTITION BY arm ORDER BY np
+         |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |         CAST(sum(cnt) OVER (PARTITION BY arm) AS BIGINT) AS n
+         |  FROM h),
+         |mk AS (
+         |  SELECT arm, CAST(max(n) AS BIGINT) AS n,
+         |         min(CASE WHEN cum >= (n + 3) // 4 THEN np END) AS p25,
+         |         min(CASE WHEN cum >= (n + 1) // 2 THEN np END) AS p50,
+         |         min(CASE WHEN cum >= (n * 3 + 3) // 4 THEN np END) AS p75
+         |  FROM hc GROUP BY 1)
+         |SELECT c.n AS n0, t.n AS n1,
+         |       t.p25 - c.p25 AS qte_p25,
+         |       t.p50 - c.p50 AS qte_p50,
+         |       t.p75 - c.p75 AS qte_p75
+         |FROM (SELECT * FROM mk WHERE arm = 0) c
+         |CROSS JOIN (SELECT * FROM mk WHERE arm = 1) t""".stripMargin,
     // same session rule and tie-break, trigram via two leads
     "q284_top_paths" ->
       s"""WITH $transCtes,

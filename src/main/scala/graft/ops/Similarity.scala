@@ -184,6 +184,33 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** q286: IVF PARTITION-BALANCE report — the ANN ops metric tail
+    * latency actually tracks: a probe's cost is the CELLS it scans, so
+    * one oversized cell dominates p99 no matter how good the average
+    * is. Over the seed-codebook assignment (q37's, verbatim): cell
+    * count, total/max/min cell sizes, the lower-median cell size
+    * (ceil-rank over the cell-size histogram — cells² is tiny), and
+    * imbalance_x100 = max·100·k div n (1.00× = perfectly balanced;
+    * the retrain trigger reads this row next to q107's drift count).
+    * All integers. Scale: one assignment pass (broadcast codebook),
+    * one 16-row aggregate. */
+  val q286_ivf_balance: Q = (s, d) => {
+    val sizes = seedAssignments(s, d)
+      .groupBy("c_id").agg(count(lit(1)).as("sz"))
+    // both windows run over the CELL table — numCentroids (16) rows,
+    // codebook-bounded: the documented partitionless-window exception
+    val w = Window.orderBy(col("sz").asc, col("c_id").asc)
+    sizes
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy()))
+      .groupBy()
+      .agg(max("k").as("k"), sum("sz").as("n"),
+        max("sz").as("max_sz"), min("sz").as("min_sz"),
+        min(when(col("rn") >= expr("(k + 1) div 2"), col("sz"))).as("med_sz"))
+      .select(col("k"), col("n"), col("max_sz"), col("min_sz"), col("med_sz"),
+        expr("max_sz * 100 * k div n").as("imbalance_x100"))
+  }
+
   /** q276's truncation width. */
   private[graft] val truncDims = 16
 
@@ -2141,6 +2168,7 @@ object Similarity {
     "q269_hard_negatives" -> q269_hard_negatives,
     "q275_embedding_health" -> q275_embedding_health,
     "q276_matryoshka_recall" -> q276_matryoshka_recall,
+    "q286_ivf_balance" -> q286_ivf_balance,
     "q37_knn_ivf" -> q37_knn_ivf,
     "q154_embedding_outliers" -> q154_embedding_outliers,
     "q58_ivf_recall" -> q58_ivf_recall,
@@ -2894,6 +2922,30 @@ object Similarity {
       s"""WITH $vecsCte, $bruteCte
          |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine
          |FROM brute ORDER BY query_id, rank""".stripMargin,
+    // the q37 assignment verbatim, then the same rank marks over cells
+    "q286_ivf_balance" ->
+      s"""WITH $vecsCte,
+         |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vecs
+         |         WHERE vec_id < $numCentroids),
+         |ranked AS (
+         |  SELECT x.vec_id, c.c_id,
+         |         row_number() OVER (PARTITION BY x.vec_id
+         |           ORDER BY list_dot_product(x.v, c.cv) / (x.nrm * c.cn) DESC,
+         |                    c.c_id ASC) AS rn
+         |  FROM vecs x CROSS JOIN cent c),
+         |assign AS (SELECT vec_id, c_id FROM ranked WHERE rn = 1),
+         |sz AS (SELECT c_id, CAST(count(*) AS BIGINT) AS sz
+         |       FROM assign GROUP BY 1),
+         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY sz, c_id)
+         |                  AS BIGINT) AS rn,
+         |             CAST(count(*) OVER () AS BIGINT) AS k
+         |      FROM sz)
+         |SELECT max(k) AS k, CAST(sum(sz) AS BIGINT) AS n,
+         |       max(sz) AS max_sz, min(sz) AS min_sz,
+         |       min(CASE WHEN rn >= (k + 1) // 2 THEN sz END) AS med_sz,
+         |       max(sz) * 100 * max(k) // CAST(sum(sz) AS BIGINT)
+         |         AS imbalance_x100
+         |FROM r""".stripMargin,
     // both rankings replayed with the same tie-breaks; overlap counted
     "q276_matryoshka_recall" ->
       s"""WITH $vecsCte,

@@ -23,7 +23,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     "q213_time_to_convert" -> "histQuantiles' two windows with the constant 'all' group folded partitionless: phase 1 runs over the COARSE-bucket histogram (gap domain div 10000 rows), phase 2 over one boundary bucket's distinct values — both value-domain-bounded, never the user count (Robust.histQuantiles doc)",
     "q202_user_skyline" -> "skyline2d's coarse suffix-min walk runs over one row per 10000-wide purchase-count bucket (distinct-p domain div coarseWidth rows, never the user count); the per-p window partitions by bucket with a frame hard-capped at coarseWidth rows (Robust.skyline2d doc)",
     "q242_ab_effect_auc" -> "the doubled-rank cumulative window runs over the per-user purchase-count VALUE HISTOGRAM (one row per distinct count — bounded by max user activity, never the user count; Events.scala q242 doc)",
-    "q250_token_mass_quantiles" -> "the cumulative-mass window runs over the doc-LENGTH HISTOGRAM (one row per distinct n_tokens — value-domain-bounded, never the doc count; TextStats.scala q250 doc)")
+    "q250_token_mass_quantiles" -> "the cumulative-mass window runs over the doc-LENGTH HISTOGRAM (one row per distinct n_tokens — value-domain-bounded, never the doc count; TextStats.scala q250 doc)",
+    "q286_ivf_balance" -> "rank/count windows over the CELL-SIZE table — numCentroids (16) rows, codebook-bounded (Similarity.scala q286 doc)")
 
   private def globalWindows(plan: LogicalPlan): Seq[LWindow] =
     plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
