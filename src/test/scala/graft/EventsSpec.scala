@@ -128,6 +128,52 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map("a" -> 75000L, "b" -> 138750L), s"got $got")
   }
 
+  test("q285: the quantile marks replay from sorted per-arm counts") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val row = SparkEntry.queries("q285_quantile_effect")(spark, sf).collect().head
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(2).map("%02x".format(_)).mkString, 16) % 100
+    }
+    val perUser = Events.events(spark, sf).groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val arms = perUser.groupBy { case (u, _) => bucket(u) % 2 }
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    def mark(xs: Seq[Long], num: Long, den: Long): Long = {
+      val n = xs.length.toLong
+      xs((((n * num + den - 1) / den) - 1).toInt)
+    }
+    val c = arms(0L); val t = arms(1L)
+    assert(row.getAs[Long]("n0") == c.length.toLong)
+    assert(row.getAs[Long]("n1") == t.length.toLong)
+    assert(row.getAs[Long]("qte_p25") == mark(t, 1, 4) - mark(c, 1, 4))
+    assert(row.getAs[Long]("qte_p50") == mark(t, 1, 2) - mark(c, 1, 2))
+    assert(row.getAs[Long]("qte_p75") == mark(t, 3, 4) - mark(c, 3, 4))
+  }
+
+  test("q284: session trigrams replay from an in-order fold; cross-session paths never form") {
+    // user 1: one session view>click>purchase (+1 trailing view →
+    // paths v>c>p and c>p>v); user 2: two sessions split by the gap —
+    // the boundary must NOT form a path across it
+    val gap = Events.sessionGapSeconds
+    val dir = writeMiniEventsTyped(Seq(
+      (1L, 1L, 100L, "view"), (2L, 1L, 200L, "click"),
+      (3L, 1L, 300L, "purchase"), (4L, 1L, 400L, "view"),
+      (5L, 2L, 100L, "view"), (6L, 2L, 200L, "click"),
+      (7L, 2L, 200L + gap + 1L, "purchase"),
+      (8L, 2L, 300L + gap + 1L, "view"), (9L, 2L, 400L + gap + 1L, "error")))
+    val got = Events.q284_top_paths(spark, dir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"))).toMap
+    assert(got == Map(
+      "view>click>purchase" -> 1L, "click>purchase>view" -> 1L,
+      "purchase>view>error" -> 1L), s"$got")
+    // view>click>X across user 2's session boundary must be absent
+    assert(!got.contains("view>click>error"))
+  }
+
   test("q277: the winsorized mean clamps exactly at the histogram p5/p95 marks") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
