@@ -784,7 +784,78 @@ object Curation {
       .orderBy("segment")
   }
 
+  /** q289 key scale: one emission-time unit = 1/SCALE of a source's
+    * per-char stride — shared by the query, the oracle (interpolated)
+    * and the spec. */
+  private[graft] val strideScale = 1000000000L
+
+  /** q289: STRIDE-SCHEDULED INTERLEAVE — the step after q268/q84 hand
+    * back mixture WEIGHTS: an actual deterministic emission ORDER whose
+    * every prefix matches the target mixture (the "how do I serve this
+    * mixture to the trainer" operator; Waldspurger's stride scheduling,
+    * lottery-scheduling paper, applied to corpus sources). Source s
+    * with weight w_s (total chars) emits its k-th doc (0-based rank by
+    * doc_id) at integer time key = (2k+1)·SCALE div w_s — cheaper
+    * sources stride further apart; merging all sources by (key, source,
+    * k) IS the schedule, no coordinator. The gated row audits the
+    * bounded-deviation property stride scheduling exists for: per
+    * source, docs landing before the global half-corpus cutoff
+    * C = N·SCALE div W vs the weight share — dev_bp is the prefix
+    * over/under-service in basis points (|dev| stays within one stride
+    * of 0; a shuffled/concatenated order can be off by the whole
+    * source). Exactness: the (2k+1)·SCALE and N·SCALE products run in
+    * DECIMAL(38,0)/HUGEINT (they pass 2⁶³ once a source holds ~10⁹⁺
+    * docs); keys and shares are truncating integer divs. Scale shape:
+    * the only per-doc step is the rank-within-source window — the
+    * schedule's inherent sort, sharded per source in a production run
+    * (k offsets by shard prefix-counts); everything after is
+    * source-domain-bounded. The SCHEDULE itself is not materialized
+    * here (it is the sort order of `key` — any consumer range-scans
+    * it); the report is what the gate can hash. */
+  val q289_interleave_schedule: Q = (s, d) =>
+    interleaveReport(s.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "source", "n_chars"))
+
+  /** q289's body over any (doc_id, source, n_chars) frame — factored so
+    * the spec can pin the schedule order and the bounded-deviation
+    * property on skewed hand weights. */
+  /** The stride keys themselves — (source, doc_id, k, key): sorting by
+    * (key, source, k) IS the emission schedule. Factored from
+    * [[interleaveReport]] so the spec can pin the merge order. */
+  private[graft] def strideKeys(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("k", row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")) - 1)
+      .join(broadcast(docs.groupBy("source")
+        .agg(sum("n_chars").as("w_chars"))), "source")
+      .withColumn("key", expr(
+        s"CAST(2 * k + 1 AS DECIMAL(38, 0)) * $strideScale div w_chars"))
+      .select("source", "doc_id", "k", "key")
+
+  private[graft] def interleaveReport(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("w_chars"))
+    val tot = per.agg(sum("n_docs").as("nt"), sum("w_chars").as("wt"))
+    val keyed = strideKeys(docs)
+      .crossJoin(broadcast(tot))
+      .withColumn("cutoff", expr(
+        s"CAST(nt AS DECIMAL(38, 0)) * $strideScale div wt"))
+    val pref = keyed.groupBy("source").agg(
+      sum(when(col("key") < col("cutoff"), 1L).otherwise(0L)).as("prefix_n"))
+    val prefTot = pref.agg(sum("prefix_n").as("pt"))
+    per.join(pref, "source")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(prefTot))
+      .select(col("source"), col("n_docs"), col("w_chars"),
+        expr("w_chars * 10000 div wt").as("weight_bp"),
+        col("prefix_n"),
+        expr("CASE WHEN pt > 0 THEN prefix_n * 10000 div pt END")
+          .as("prefix_bp"))
+      .withColumn("dev_bp", col("prefix_bp") - col("weight_bp"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q289_interleave_schedule" -> q289_interleave_schedule,
     "q190_neyman_alloc" -> q190_neyman_alloc,
     "q181_source_cap" -> q181_source_cap,
     "q179_epoch_sample" -> q179_epoch_sample,
@@ -806,6 +877,40 @@ object Curation {
     "q244_source_novelty" -> q244_source_novelty)
 
   val oracle: Map[String, String] = Map(
+    // same stride keys ((2k+1)·SCALE // w_chars in HUGEINT), same
+    // half-corpus cutoff, truncating bp shares
+    "q289_interleave_schedule" ->
+      s"""WITH per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(n_chars) AS BIGINT) AS w_chars
+         |  FROM documents GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(n_docs) AS BIGINT) AS nt,
+         |         CAST(sum(w_chars) AS BIGINT) AS wt
+         |  FROM per),
+         |keyed AS (
+         |  SELECT d.source,
+         |         CAST(2 * (row_number() OVER (PARTITION BY d.source
+         |                     ORDER BY d.doc_id) - 1) + 1 AS HUGEINT)
+         |           * $strideScale // p.w_chars AS tkey
+         |  FROM documents d JOIN per p ON p.source = d.source),
+         |pref AS (
+         |  SELECT k.source,
+         |         CAST(sum(CASE WHEN k.tkey < CAST(t.nt AS HUGEINT)
+         |                            * $strideScale // t.wt
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS prefix_n
+         |  FROM keyed k CROSS JOIN tot t GROUP BY 1),
+         |pt AS (SELECT CAST(sum(prefix_n) AS BIGINT) AS pt FROM pref)
+         |SELECT p.source, p.n_docs, p.w_chars,
+         |       p.w_chars * 10000 // t.wt AS weight_bp,
+         |       f.prefix_n,
+         |       CASE WHEN x.pt > 0 THEN f.prefix_n * 10000 // x.pt
+         |       END AS prefix_bp,
+         |       (CASE WHEN x.pt > 0 THEN f.prefix_n * 10000 // x.pt END)
+         |         - p.w_chars * 10000 // t.wt AS dev_bp
+         |FROM per p JOIN pref f ON f.source = p.source
+         |CROSS JOIN tot t CROSS JOIN pt x
+         |ORDER BY p.source""".stripMargin,
     // identical first-occurrence attribution on the same distinct set
     "q244_source_novelty" -> withDocs(
       s""", ss AS (

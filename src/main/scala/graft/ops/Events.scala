@@ -994,6 +994,61 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q290: KOLMOGOROV–SMIRNOV DRIFT TEST — the order-statistics
+    * complement of q229's total-variation alarm: TV on 16 coarse
+    * buckets can miss a shift that never concentrates in one bucket;
+    * the two-sample KS statistic D = max_v |F_a(v) − F_b(v)| reads the
+    * FULL value distribution (integer cents) and is sensitive to any
+    * location/shape change. Same epoch split as q229 ([[driftEpoch]] —
+    * one definition, the two alarms can never disagree about what "the
+    * two epochs" are). Exactness: ECDFs are compared cross-multiplied —
+    * D_num = max |cum_a·n_b − cum_b·n_a| in DECIMAL(38,0) (n_a·n_b can
+    * pass 2⁶³ at corpus scale; cum ≤ n keeps the product under 10³⁸ for
+    * n ≤ 10¹⁹), ks_bp = D_num·10000 div (n_a·n_b), at_cent = the lowest
+    * cent attaining the max. Scale shape: one map-side-combined
+    * (type, epoch, cent) histogram pass; the cumulative and argmax
+    * windows run on the value-domain-bounded histogram (the q242/q250
+    * allowlisted shape), never on event rows. */
+  val q290_ks_drift: Q = (s, d) =>
+    ksFromCells(events(s, d)
+      .select(col("event_type"),
+        driftEpoch(expr("es div 86400")).as("epoch"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cent"))
+      .groupBy("event_type", "epoch", "cent")
+      .agg(count(lit(1)).as("cnt")))
+
+  /** q290's body over any (event_type, epoch∈{0,1}, cent, cnt) cell
+    * frame — factored (the q229 [[driftTable]] convention) so the spec
+    * can pin known-D layouts, ties and the one-sided NULL case. */
+  private[graft] def ksFromCells(cells: DataFrame): DataFrame = {
+    val hist = cells
+      .groupBy("event_type", "cent")
+      .agg(sum(when(col("epoch") === 0L, col("cnt")).otherwise(0L)).as("ca"),
+        sum(when(col("epoch") === 1L, col("cnt")).otherwise(0L)).as("cb"))
+    val wc = Window.partitionBy("event_type").orderBy("cent")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = hist
+      .withColumn("cuma", sum("ca").over(wc))
+      .withColumn("cumb", sum("cb").over(wc))
+      .join(broadcast(hist.groupBy("event_type")
+        .agg(sum("ca").as("na"), sum("cb").as("nb"))), "event_type")
+      .withColumn("dnum", expr(
+        "abs(CAST(cuma AS DECIMAL(38, 0)) * nb - CAST(cumb AS DECIMAL(38, 0)) * na)"))
+    val wr = Window.partitionBy("event_type")
+      .orderBy(col("dnum").desc, col("cent").asc)
+    scored
+      .withColumn("rn", row_number().over(wr))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("na"), col("nb"),
+        expr("""CASE WHEN na = 0 OR nb = 0 THEN NULL
+                ELSE CAST(dnum * 10000
+                          div (CAST(na AS DECIMAL(38, 0)) * nb) AS BIGINT)
+                END""").as("ks_bp"),
+        col("cent").as("at_cent"))
+      .withColumn("drifted", when(col("ks_bp") > 1500L, 1L).otherwise(0L))
+      .orderBy("event_type")
+  }
+
   /** q238 geometry: rank scale (parts-per-million), damping numerator
     * (85/100) and the fixed iteration count — one definition for the
     * driver fold, the oracle (which interpolates them) and the spec. */
@@ -1219,6 +1274,147 @@ object Events {
                                        * CAST(varyn AS DOUBLE))
                                 * 10000) AS BIGINT) END""").as("r7_bp"))
       .orderBy("event_type")
+  }
+
+  /** q288: COHORT RETENTION TRIANGLE — the growth-analytics staple the
+    * event family was missing: users are cohorted by their FIRST active
+    * calendar day, and each (cohort_day, offset) cell counts how many
+    * of that cohort were active again exactly `offset` days later, with
+    * retained_bp = actives · 10000 div cohort size. Offsets are the
+    * standard report marks {1, 3, 7, 14} (offset 0 is the cohort size
+    * itself, carried as its own column). Scale shape: one user-keyed
+    * aggregate for first-seen, one DISTINCT (user, day) projection,
+    * one user-keyed equi-join (both sides hash on user_id — no range
+    * or inequality), then a calendar-bounded (cohort_day, offset)
+    * aggregate; the cohort-size join is day-grain, AQE elects
+    * broadcast. No window over the corpus, nothing driver-side. */
+  val q288_retention_triangle: Q = (s, d) =>
+    retentionTriangle(graft.Ckpt.persisted(events(s, d)
+      .select(col("user_id"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
+      .distinct()))
+
+  /** q288's body over any DISTINCT (user_id, day) frame — factored so
+    * the spec can drive single-day users, bp truncation and sparse
+    * offsets directly. */
+  private[graft] def retentionTriangle(days: DataFrame): DataFrame = {
+    val first = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = first.groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_cohort"))
+    days.join(first, "user_id")
+      .withColumn("offset", col("day") - col("cohort_day"))
+      .where(col("offset").isin(1L, 3L, 7L, 14L))
+      .groupBy("cohort_day", "offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("offset"), col("n_cohort"),
+        col("n_active"),
+        expr("n_active * 10000 div n_cohort").as("retained_bp"))
+      .orderBy("cohort_day", "offset")
+  }
+
+  /** q291 geometry: fold width (days), embargo gap (days) — shared by
+    * the query, the oracle (interpolated) and the spec. */
+  private[graft] val purgeFoldDays = 10L
+  private[graft] val purgeGapDays = 2L
+
+  /** q291: PURGED TIME-SERIES SPLIT — the leakage-safe cross-validation
+    * plan for autocorrelated data (the financial-ML "purged K-fold with
+    * embargo": a plain random split leaks because day t and day t+1
+    * are correlated; q70's hash split is exactly right for i.i.d. docs
+    * and exactly wrong for a time series). Folds are absolute
+    * calendar blocks — fold = day div [[purgeFoldDays]], no
+    * data-dependent anchor, so the assignment is reproducible across
+    * runs and engines. For each fold as the TEST block, events within
+    * [[purgeGapDays]] days of the block on either side are EMBARGOED
+    * (neither trained nor tested — the rows whose look-ahead features
+    * would straddle the boundary), and the rest train. Output per
+    * fold: the block's day range and the three event counts — the
+    * audit a backtest harness checks before trusting fold metrics.
+    * Scale shape: one map-side-combined per-day count pass; the
+    * fold×day classification is a calendar²-bounded broadcast cross
+    * (≤ (days/width)·days rows), never an event-row op. */
+  val q291_purged_split: Q = (s, d) =>
+    purgedSplitReport(events(s, d)
+      .groupBy(expr("CAST(es div 86400 AS BIGINT)").as("day"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** q291's body over any per-day (day, cnt) frame — factored so the
+    * spec can pin boundary embargo and fold-edge cases by hand. */
+  private[graft] def purgedSplitReport(daily: DataFrame): DataFrame = {
+    val folds = daily.select(expr(s"day div $purgeFoldDays").as("fold"))
+      .distinct()
+    daily.crossJoin(broadcast(folds))
+      .withColumn("is_test", expr(s"day div $purgeFoldDays") === col("fold"))
+      .withColumn("is_embargo", !col("is_test") &&
+        col("day") >= col("fold") * purgeFoldDays - purgeGapDays &&
+        col("day") <= col("fold") * purgeFoldDays + purgeFoldDays - 1 + purgeGapDays)
+      .groupBy("fold")
+      .agg(sum(when(col("is_test"), col("cnt")).otherwise(0L)).as("n_test"),
+        sum(when(col("is_embargo"), col("cnt")).otherwise(0L)).as("n_embargo"),
+        sum(when(!col("is_test") && !col("is_embargo"), col("cnt"))
+          .otherwise(0L)).as("n_train"))
+      .select(col("fold"), (col("fold") * purgeFoldDays).as("test_day_lo"),
+        (col("fold") * purgeFoldDays + purgeFoldDays - 1).as("test_day_hi"),
+        col("n_test"), col("n_embargo"), col("n_train"))
+      .orderBy("fold")
+  }
+
+  /** q292: LEAD–LAG CROSS-CORRELATION SWEEP — q283 generalized from one
+    * series at one lag to two series over a lag window: Pearson r
+    * between the view daily count x_t and the purchase daily count
+    * y_{t+L} for every L ∈ [−7, +7] — the "does engagement LEAD
+    * conversion, and by how many days?" question (positive best lag =
+    * views lead purchases). Only co-present calendar pairs enter each
+    * lag's moments. Arithmetic is q283's verbatim: exact integer
+    * n·Σxy − Σx·Σy moments in DECIMAL(38,0), one sqrt, floor to basis
+    * points; degenerate lags surface NULL. `best` marks the lag
+    * maximizing |r_bp| (ties to the smallest lag; NULL rows rank
+    * last). Scale shape: two calendar-bounded daily tables; the lag
+    * spine is a 15-row broadcast; windows run over the 15-row lag
+    * frame. */
+  val q292_leadlag: Q = (s, d) => {
+    val daily = graft.Ckpt.persisted(events(s, d)
+      .where(col("event_type").isin("view", "purchase"))
+      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
+      .agg(count(lit(1)).as("cnt")))
+    leadLagSweep(
+      daily.where(col("event_type") === "view")
+        .select(col("day"), col("cnt").as("x")),
+      daily.where(col("event_type") === "purchase")
+        .select(col("day").as("yday"), col("cnt").as("y")))
+  }
+
+  /** q292's body over any (day, x) / (yday, y) daily series pair —
+    * factored so the spec can pin a known shifted-copy layout. */
+  private[graft] def leadLagSweep(x: DataFrame, y: DataFrame): DataFrame = {
+    val s = x.sparkSession
+    val lags = s.range(1)
+      .select(explode(sequence(lit(-7L), lit(7L))).as("lag"))
+    val m = x.crossJoin(broadcast(lags))
+      .withColumn("yday", col("day") + col("lag"))
+      .join(y, "yday")
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("covn", expr(
+        "CAST(n AS DECIMAL(38, 0)) * sxy - CAST(sx AS DECIMAL(38, 0)) * sy"))
+      .withColumn("varxn", expr(
+        "CAST(n AS DECIMAL(38, 0)) * sxx - CAST(sx AS DECIMAL(38, 0)) * sx"))
+      .withColumn("varyn", expr(
+        "CAST(n AS DECIMAL(38, 0)) * syy - CAST(sy AS DECIMAL(38, 0)) * sy"))
+      .select(col("lag"), col("n"),
+        expr("""CASE WHEN n < 2 OR varxn = 0 OR varyn = 0 THEN NULL
+                ELSE CAST(floor(CAST(covn AS DOUBLE)
+                                / sqrt(CAST(varxn AS DOUBLE)
+                                       * CAST(varyn AS DOUBLE))
+                                * 10000) AS BIGINT) END""").as("r_bp"))
+    val wb = Window.orderBy(abs(col("r_bp")).desc_nulls_last, col("lag").asc)
+    m.withColumn("best",
+        when(row_number().over(wb) === 1, 1L).otherwise(0L))
+      .orderBy("lag")
   }
 
   /** q281: NEAREST AS-OF JOIN — the two-sided variant of q68/q241's
@@ -2072,6 +2268,10 @@ object Events {
     "q284_top_paths" -> q284_top_paths,
     "q285_quantile_effect" -> q285_quantile_effect,
     "q283_lag7_autocorr" -> q283_lag7_autocorr,
+    "q288_retention_triangle" -> q288_retention_triangle,
+    "q290_ks_drift" -> q290_ks_drift,
+    "q291_purged_split" -> q291_purged_split,
+    "q292_leadlag" -> q292_leadlag,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -2876,6 +3076,141 @@ object Events {
          |         AS err_abs
          |FROM est
          |ORDER BY type_a, type_b""".stripMargin,
+    // one (user, day) DISTINCT pass, min-day cohorts, day-grain sizes
+    "q288_retention_triangle" ->
+      s"""WITH days AS (
+         |  SELECT DISTINCT user_id,
+         |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+         |  FROM events),
+         |fst AS (
+         |  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1),
+         |sz AS (
+         |  SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_cohort
+         |  FROM fst GROUP BY 1),
+         |act AS (
+         |  SELECT f.cohort_day, d.day - f.cohort_day AS "offset",
+         |         CAST(count(*) AS BIGINT) AS n_active
+         |  FROM days d JOIN fst f ON f.user_id = d.user_id
+         |  WHERE d.day - f.cohort_day IN (1, 3, 7, 14)
+         |  GROUP BY 1, 2)
+         |SELECT a.cohort_day, a."offset", s.n_cohort, a.n_active,
+         |       a.n_active * 10000 // s.n_cohort AS retained_bp
+         |FROM act a JOIN sz s ON s.cohort_day = a.cohort_day
+         |ORDER BY a.cohort_day, a."offset"""".stripMargin,
+    // same epoch split as q229; ECDFs cross-multiplied in HUGEINT,
+    // the max attained at the lowest cent
+    "q290_ks_drift" ->
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) // 86400
+         |                   < $driftSplitDay THEN 0 ELSE 1 END AS epoch,
+         |         CAST(round(value * 100) AS BIGINT) AS cent
+         |  FROM events),
+         |h AS (
+         |  SELECT event_type, cent,
+         |         CAST(sum(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS ca,
+         |         CAST(sum(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS cb
+         |  FROM ev GROUP BY 1, 2),
+         |c AS (
+         |  SELECT event_type, cent,
+         |         sum(ca) OVER (PARTITION BY event_type ORDER BY cent
+         |           ROWS UNBOUNDED PRECEDING) AS cuma,
+         |         sum(cb) OVER (PARTITION BY event_type ORDER BY cent
+         |           ROWS UNBOUNDED PRECEDING) AS cumb
+         |  FROM h),
+         |t AS (
+         |  SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+         |         CAST(sum(cb) AS BIGINT) AS nb
+         |  FROM h GROUP BY 1),
+         |sc AS (
+         |  SELECT c.event_type, c.cent, t.na, t.nb,
+         |         abs(CAST(c.cuma AS HUGEINT) * t.nb
+         |             - CAST(c.cumb AS HUGEINT) * t.na) AS dnum,
+         |         row_number() OVER (PARTITION BY c.event_type
+         |           ORDER BY abs(CAST(c.cuma AS HUGEINT) * t.nb
+         |                        - CAST(c.cumb AS HUGEINT) * t.na) DESC,
+         |                    c.cent ASC) AS rn
+         |  FROM c JOIN t ON t.event_type = c.event_type)
+         |SELECT event_type, na, nb,
+         |       CASE WHEN na = 0 OR nb = 0 THEN NULL
+         |            ELSE CAST(dnum * 10000
+         |                      // (CAST(na AS HUGEINT) * nb) AS BIGINT)
+         |            END AS ks_bp,
+         |       cent AS at_cent,
+         |       CAST(CASE WHEN (CASE WHEN na = 0 OR nb = 0 THEN NULL
+         |                            ELSE dnum * 10000
+         |                                 // (CAST(na AS HUGEINT) * nb) END)
+         |                      > 1500 THEN 1 ELSE 0 END AS BIGINT) AS drifted
+         |FROM sc WHERE rn = 1
+         |ORDER BY event_type""".stripMargin,
+    // absolute calendar folds (day div width), embargo strictly outside
+    // the block within gap days either side
+    "q291_purged_split" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1),
+         |folds AS (SELECT DISTINCT day // $purgeFoldDays AS fold FROM daily),
+         |cls AS (
+         |  SELECT f.fold, d.cnt,
+         |         (d.day // $purgeFoldDays = f.fold) AS is_test,
+         |         (d.day // $purgeFoldDays <> f.fold
+         |          AND d.day >= f.fold * $purgeFoldDays - $purgeGapDays
+         |          AND d.day <= f.fold * $purgeFoldDays + $purgeFoldDays - 1
+         |                       + $purgeGapDays) AS is_embargo
+         |  FROM daily d CROSS JOIN folds f)
+         |SELECT fold, fold * $purgeFoldDays AS test_day_lo,
+         |       fold * $purgeFoldDays + $purgeFoldDays - 1 AS test_day_hi,
+         |       CAST(sum(CASE WHEN is_test THEN cnt ELSE 0 END) AS BIGINT)
+         |         AS n_test,
+         |       CAST(sum(CASE WHEN is_embargo THEN cnt ELSE 0 END) AS BIGINT)
+         |         AS n_embargo,
+         |       CAST(sum(CASE WHEN NOT is_test AND NOT is_embargo THEN cnt
+         |                ELSE 0 END) AS BIGINT) AS n_train
+         |FROM cls GROUP BY fold ORDER BY fold""".stripMargin,
+    // q283's integer moments per lag; |r| argmax with NULLs last,
+    // ties to the smallest lag
+    "q292_leadlag" ->
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events WHERE event_type IN ('view', 'purchase')
+         |  GROUP BY 1, 2),
+         |x AS (SELECT day, cnt AS x FROM daily WHERE event_type = 'view'),
+         |y AS (SELECT day AS yday, cnt AS y FROM daily
+         |      WHERE event_type = 'purchase'),
+         |lags AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+         |m AS (
+         |  SELECT l.lag, CAST(count(*) AS HUGEINT) AS n,
+         |         CAST(sum(x.x) AS HUGEINT) AS sx,
+         |         CAST(sum(y.y) AS HUGEINT) AS sy,
+         |         CAST(sum(x.x * y.y) AS HUGEINT) AS sxy,
+         |         CAST(sum(x.x * x.x) AS HUGEINT) AS sxx,
+         |         CAST(sum(y.y * y.y) AS HUGEINT) AS syy
+         |  FROM lags l
+         |  JOIN x ON TRUE
+         |  JOIN y ON y.yday = x.day + l.lag
+         |  GROUP BY 1),
+         |v AS (
+         |  SELECT lag, n, n * sxy - sx * sy AS covn,
+         |         n * sxx - sx * sx AS varxn, n * syy - sy * sy AS varyn
+         |  FROM m),
+         |r AS (
+         |  SELECT lag, CAST(n AS BIGINT) AS n,
+         |         CASE WHEN n < 2 OR varxn = 0 OR varyn = 0 THEN NULL
+         |              ELSE CAST(floor(CAST(covn AS DOUBLE)
+         |                              / sqrt(CAST(varxn AS DOUBLE)
+         |                                     * CAST(varyn AS DOUBLE))
+         |                              * 10000) AS BIGINT) END AS r_bp
+         |  FROM v)
+         |SELECT CAST(lag AS BIGINT) AS lag, n, r_bp,
+         |       CAST(CASE WHEN row_number() OVER (
+         |              ORDER BY abs(r_bp) DESC NULLS LAST, lag ASC) = 1
+         |            THEN 1 ELSE 0 END AS BIGINT) AS best
+         |FROM r ORDER BY lag""".stripMargin,
     // same split instant, same 16×32.00 histogram, shares as exact
     // truncating basis points, TV as the halved absolute-difference sum
     "q229_dist_drift" ->

@@ -365,6 +365,64 @@ object Pipeline {
         col("n_docs_without_emb"), col("n_embs_without_doc"))
   }
 
+  /** q287's one-pass per-table profile: (tab, col, n_rows, n_null,
+    * n_distinct, min_s, max_s) for each requested (name, column) —
+    * min/max in the column's native type, cast to string only on
+    * output. Factored so the spec can drive it with null/dup layouts
+    * the corpus doesn't contain. */
+  private[graft] def columnProfile(tab: String, df: DataFrame,
+                                   cols: Seq[(String, Column)]): DataFrame = {
+    val aggs = cols.zipWithIndex.flatMap { case ((_, c), i) =>
+      Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"nn$i"),
+        countDistinct(c).as(s"nd$i"),
+        min(c).cast("string").as(s"mn$i"),
+        max(c).cast("string").as(s"mx$i"))
+    }
+    val row = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = cols.zipWithIndex.map { case ((n, _), i) =>
+      s"'$n', nn$i, nd$i, mn$i, mx$i"
+    }.mkString(", ")
+    row.select(lit(tab).as("tab"), col("n_rows"),
+      expr(s"stack(${cols.size}, $stackArgs)")
+        .as(Seq("col", "n_null", "n_distinct", "min_s", "max_s")))
+      .select("tab", "col", "n_rows", "n_null", "n_distinct",
+        "min_s", "max_s")
+  }
+
+  /** q287: CROSS-TABLE COLUMN-PROFILE report — the per-column companion
+    * of q177's integrity audit, and deliberately NOT q197: q197 is the
+    * ANALYZE-style single-table profile that renders every column to
+    * string first (lexicographic extrema, explode = k× row
+    * multiplication); q287 is the data-catalog surface — multiple
+    * tables in one report, (null count, exact distinct count, min,
+    * max) with extrema in each column's NATIVE type (lexicographic
+    * min of "10"/"9" is exactly the q197 caveat this fixes), one
+    * aggregate per table. Conventions that keep the
+    * cross-engine hash exact: `text` is profiled entirely through its
+    * md5 fingerprint — same distinct count, min/max are over the
+    * 32-char hex (a determinism checksum), and the payload column
+    * never ships into the profile shuffle; `value` is profiled in the
+    * house integer-cents domain. Scale shape: Spark plans the k distinct
+    * aggregates as one expand pass (rows × k) — the standard profiling
+    * cost, linear with a column-count factor, no per-column rescan of
+    * the parquet; stack() is a map-side unpivot of a 1-row frame. */
+  val q287_column_profile: Q = (s, d) => {
+    val docs = s.read.parquet(s"$d/documents.parquet")
+    val evs = s.read.parquet(s"$d/events.parquet")
+    columnProfile("documents", docs, Seq(
+        "doc_id" -> col("doc_id"),
+        "lang" -> col("lang"),
+        "n_chars" -> col("n_chars"),
+        "source" -> col("source"),
+        "text" -> md5(col("text"))))
+      .unionByName(columnProfile("events", evs, Seq(
+        "event_id" -> col("event_id"),
+        "event_type" -> col("event_type"),
+        "user_id" -> col("user_id"),
+        "value_cents" -> expr("CAST(round(value * 100) AS BIGINT)"))))
+      .orderBy("tab", "col")
+  }
+
   /** q210: CUSTOM GROUPING SETS — the third grouping-sets surface:
     * q56's ROLLUP walks the hierarchy, q126's CUBE takes every subset,
     * and this takes a HAND-PICKED set — ((tahun), (semester)) — that
@@ -405,6 +463,7 @@ object Pipeline {
 
   val queries: Map[String, Q] = Map(
     "q177_integrity_audit" -> q177_integrity_audit,
+    "q287_column_profile" -> q287_column_profile,
     "q210_grouping_sets" -> q210_grouping_sets,
     "q211_pivot_matrix" -> q211_pivot_matrix,
     "q56_star_rollup" -> q56_star_rollup,
@@ -443,6 +502,66 @@ object Pipeline {
         |SELECT n_docs, n_embs, n_dup_doc_ids, n_dup_vec_ids, n_empty_text,
         |       n_docs_without_emb, n_embs_without_doc
         |FROM dd CROSS JOIN ee CROSS JOIN dwe CROSS JOIN ewd""".stripMargin,
+    // one UNION-ALL row per profiled column, native-type min/max cast
+    // to VARCHAR, text through md5, value in integer cents
+    "q287_column_profile" ->
+      """WITH p AS (
+        |  SELECT 'documents' AS tab, 'doc_id' AS col,
+        |         count(*) AS n_rows,
+        |         sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |         count(DISTINCT doc_id) AS n_distinct,
+        |         CAST(min(doc_id) AS VARCHAR) AS min_s,
+        |         CAST(max(doc_id) AS VARCHAR) AS max_s
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'documents', 'lang', count(*),
+        |         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+        |         count(DISTINCT lang), min(lang), max(lang)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'documents', 'n_chars', count(*),
+        |         sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+        |         count(DISTINCT n_chars),
+        |         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'documents', 'source', count(*),
+        |         sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+        |         count(DISTINCT source), min(source), max(source)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'documents', 'text', count(*),
+        |         sum(CASE WHEN md5(text) IS NULL THEN 1 ELSE 0 END),
+        |         count(DISTINCT md5(text)), min(md5(text)), max(md5(text))
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'events', 'event_id', count(*),
+        |         sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END),
+        |         count(DISTINCT event_id),
+        |         CAST(min(event_id) AS VARCHAR), CAST(max(event_id) AS VARCHAR)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'events', 'event_type', count(*),
+        |         sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+        |         count(DISTINCT event_type), min(event_type), max(event_type)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'events', 'user_id', count(*),
+        |         sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+        |         count(DISTINCT user_id),
+        |         CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'events', 'value_cents', count(*),
+        |         sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+        |         count(DISTINCT CAST(round(value * 100) AS BIGINT)),
+        |         CAST(min(CAST(round(value * 100) AS BIGINT)) AS VARCHAR),
+        |         CAST(max(CAST(round(value * 100) AS BIGINT)) AS VARCHAR)
+        |  FROM events)
+        |SELECT tab, col, CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(n_null AS BIGINT) AS n_null,
+        |       CAST(n_distinct AS BIGINT) AS n_distinct, min_s, max_s
+        |FROM p ORDER BY tab, col""".stripMargin,
     // same hand-picked sets, same gid disambiguation
     "q210_grouping_sets" -> withFact(
       """SELECT CAST(GROUPING(tahun, semester) AS BIGINT) AS gid,

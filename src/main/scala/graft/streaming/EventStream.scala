@@ -821,6 +821,60 @@ object EventStream {
         expr("CAST(unix_timestamp(w.start) div 86400 AS BIGINT)").as("day"),
         col("bucket"), col("cnt"))
 
+  /** Watermarked CENT-GRAIN VALUE-CELL feed — q290's streaming twin,
+    * the fine-grained sibling of [[driftCellsStream]] (16 coarse
+    * buckets suffice for TV; the KS statistic reads the full cent
+    * domain). Same construction: 1-day tumbling windows keyed by
+    * (type, cent), cells emitted in APPEND mode once the watermark
+    * closes the day, each cell complete and LINEAR — summing per
+    * (type, epoch, cent) and applying the shared
+    * [[graft.ops.Events.ksFromCells]] (via [[ksReportBatch]])
+    * reproduces batch q290 verbatim over the on-time rows. State:
+    * one count per open (day, type, cent) — value-domain-bounded
+    * (≤ types × distinct cents per day), independent of event
+    * volume. */
+  def centCellsStream(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", timestamp_seconds(col("es")))
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cent"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"),
+        expr("CAST(unix_timestamp(w.start) div 86400 AS BIGINT)").as("day"),
+        col("cent"), col("cnt"))
+
+  /** foreachBatch consumer for [[centCellsStream]] — maps each emitted
+    * day to its epoch (midnight-aligned, so exact) and serves the KS
+    * drift table through the SHARED [[graft.ops.Events.ksFromCells]]:
+    * one definition, the stream report and gated batch q290 cannot
+    * drift. */
+  def ksReportBatch(cellsBatch: DataFrame): DataFrame = {
+    import graft.ops.Events
+    Events.ksFromCells(cellsBatch
+      .select(col("event_type"), Events.driftEpoch(col("day")).as("epoch"),
+        col("cent"), col("cnt")))
+  }
+
+  /** FIRST-SEEN COHORT feed — the streaming half of q288's cohort
+    * stage: each arriving (user, day) is emitted exactly once, at the
+    * user's FIRST ARRIVAL, carrying the cohort day a retention
+    * pipeline keys on; `groupBy(cohort_day).count` over the emitted
+    * rows equals batch q288's cohort sizes. Semantics contract:
+    * first-ARRIVAL, which equals the batch first-ACTIVE (min day)
+    * whenever the feed is event-time-ordered across each user's rows
+    * (the scdTierStream in-order class — but here an out-of-order
+    * arrival is NOT an error: the stream keeps the earlier-arrived
+    * assignment, a documented divergence the spec pins, and the
+    * batch rebuild is the repair path, the q264 convention). State:
+    * one row per distinct user — the same cardinality the batch
+    * cohort table itself materializes, the canonical
+    * dropDuplicates-without-watermark tradeoff. */
+  def newUsersStream(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), expr("CAST(es div 86400 AS BIGINT)").as("cohort_day"))
+      .dropDuplicates("user_id")
+
   /** Watermarked PER-DAY HLL REGISTER feed — q236's streaming twin
     * (r15 verdict item 6): per-day active-user registers are
     * UNION-mergeable (each cell is a max — the q155 law), so the

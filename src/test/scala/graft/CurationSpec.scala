@@ -486,4 +486,34 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
         s"${r.getString(0)}")
     }
   }
+
+  test("q289: stride keys merge into the exact 2:1 interleave") {
+    import spark.implicits._
+    // A: 4 docs × 100 chars (w=400); B: 2 docs × 100 chars (w=200).
+    // keys A = (2k+1)·S/400, B = (2k+1)·S/200 → A B A A B A
+    val docs = Seq(
+      ("A", 10L, 100L), ("A", 11L, 100L), ("A", 12L, 100L), ("A", 13L, 100L),
+      ("B", 20L, 100L), ("B", 21L, 100L)
+    ).toDF("source", "doc_id", "n_chars")
+    val order = graft.ops.Curation.strideKeys(docs)
+      .orderBy("key", "source", "k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(order == Seq(("A", 10L), ("B", 20L), ("A", 11L), ("A", 12L),
+      ("B", 21L), ("A", 13L)))
+  }
+
+  test("q289: the half-corpus prefix serves every source its weight share") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", 10L, 100L), ("A", 11L, 100L), ("A", 12L, 100L), ("A", 13L, 100L),
+      ("B", 20L, 100L), ("B", 21L, 100L)
+    ).toDF("source", "doc_id", "n_chars")
+    val got = graft.ops.Curation.interleaveReport(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // cutoff = 6·S/600 = S/100; A keys below: k=0,1 (2.5e6, 7.5e6);
+    // B keys below: k=0 (5e6) → prefix 2:1 = exactly the 6666/3333 split
+    assert(got("A") == ((4L, 400L, 6666L, 2L, 6666L, 0L)))
+    assert(got("B") == ((2L, 200L, 3333L, 1L, 3333L, 0L)))
+  }
 }

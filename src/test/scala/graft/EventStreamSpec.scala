@@ -1868,4 +1868,80 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       } finally q2.stop()
     } finally q1.stop()
   }
+
+  test("centCellsStream: folded cells serve the exact batch KS table; beyond-watermark row dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    import graft.ops.Events
+    val split = Events.driftSplitEs
+    // epoch 0: cents {100×3, 200×1}; epoch 1: {200×2, 300×2} — the
+    // known-D layout from EventsSpec's q290 fixture, ×100 cents
+    val onTime = Seq(
+      (split - 86400 + 100L, 1.0, "click"), (split - 86400 + 200L, 1.0, "click"),
+      (split - 86400 + 300L, 1.0, "click"), (split - 86400 + 400L, 2.0, "click"),
+      (split + 100L, 2.0, "click"), (split + 200L, 2.0, "click"),
+      (split + 300L, 3.0, "click"), (split + 400L, 3.0, "click"))
+    val input = MemoryStream[(Long, Double, String)]
+    val query = EventStream
+      .centCellsStream(input.toDS().toDF("es", "value", "event_type"))
+      .writeStream.format("memory").queryName("centc").outputMode("append").start()
+    try {
+      input.addData(onTime.take(4)); query.processAllAvailable()
+      input.addData(onTime.drop(4)); query.processAllAvailable()
+      // advance the watermark past both days, then a straggler into
+      // the closed epoch-0 day — must change nothing
+      input.addData((split + 86400 + 7200L, 1.0, "view")); query.processAllAvailable()
+      input.addData((split - 86400 + 500L, 1.0, "click")); query.processAllAvailable()
+      input.addData((split + 86400 + 9000L, 1.0, "view")); query.processAllAvailable()
+      val cells = spark.table("centc")
+        .select("event_type", "day", "cent", "cnt").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val dropped = query.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L, "the beyond-watermark straggler must drop")
+      val folded = EventStream.ksReportBatch(
+        cells.toSeq.toDF("event_type", "day", "cent", "cnt"))
+      val batch = Events.ksFromCells(onTime.toDF("es", "value", "event_type")
+        .select(col("event_type"),
+          Events.driftEpoch(expr("es div 86400")).as("epoch"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cent"))
+        .groupBy("event_type", "epoch", "cent")
+        .agg(count(lit(1)).as("cnt")))
+      assert(folded.collect().toSeq == batch.collect().toSeq)
+      // and the number itself: D = |3·4 − 0·4| = 12 of 16 → 7500 bp at cent 100
+      val r = batch.where(col("event_type") === "click").collect().head
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((4L, 4L, 7500L, 100L)))
+    } finally query.stop()
+  }
+
+  test("newUsersStream: in-order parity with batch cohorts; out-of-order keeps first arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, min}
+    val input = MemoryStream[(Long, Long)]
+    val query = EventStream
+      .newUsersStream(input.toDS()
+        .select(col("_1").as("user_id"), (col("_2") * 86400L).as("es")))
+      .writeStream.format("memory").queryName("newu").outputMode("append").start()
+    try {
+      // in-order feed: u1 day 3 (re-seen day 5), u2 day 4
+      input.addData((1L, 3L), (2L, 4L)); query.processAllAvailable()
+      input.addData((1L, 5L)); query.processAllAvailable()
+      // u3 arrives OUT OF ORDER: day 9 first, its true min day 7 second —
+      // the stream keeps the first ARRIVAL (documented divergence;
+      // batch rebuild is the repair path)
+      input.addData((3L, 9L)); query.processAllAvailable()
+      input.addData((3L, 7L)); query.processAllAvailable()
+      val got = spark.table("newu").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 3L, 2L -> 4L, 3L -> 9L))
+      // in-order users match the batch min-day cohort verbatim
+      val batch = Seq((1L, 3L), (2L, 4L), (1L, 5L)).toDF("user_id", "day")
+        .groupBy("user_id").agg(min("day").as("cohort_day"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(batch.forall { case (u, d) => got(u) == d })
+    } finally query.stop()
+  }
 }

@@ -609,4 +609,95 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
       ((a0.length.toLong, a1.length.toLong, u2)))
     assert(r.getLong(3) == u2 * 10000 / (2L * a0.length * a1.length))
   }
+
+  test("q288: cohorts by first day, mark offsets only, truncating bp") {
+    import spark.implicits._
+    val days = Seq(
+      // cohort 0, size 4: u1 retains at 1 and 3, u2 at 14, u3 never,
+      // u6 only at the off-mark offset 2 (counts toward size, no row)
+      (1L, 0L), (1L, 1L), (1L, 3L),
+      (2L, 0L), (2L, 14L),
+      (3L, 0L),
+      (6L, 0L), (6L, 2L),
+      // cohort 5, size 2: u4 at 1/7/14, u5 at 3
+      (4L, 5L), (4L, 6L), (4L, 12L), (4L, 19L),
+      (5L, 5L), (5L, 8L)
+    ).toDF("user_id", "day")
+    val got = Events.retentionTriangle(days).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      (0L, 1L) -> ((4L, 1L, 2500L)), (0L, 3L) -> ((4L, 1L, 2500L)),
+      (0L, 14L) -> ((4L, 1L, 2500L)),
+      (5L, 1L) -> ((2L, 1L, 5000L)), (5L, 3L) -> ((2L, 1L, 5000L)),
+      (5L, 7L) -> ((2L, 1L, 5000L)), (5L, 14L) -> ((2L, 1L, 5000L))))
+  }
+
+  test("q291: embargo strictly flanks the test block; counts partition the corpus") {
+    import spark.implicits._
+    // width 10, gap 2; days span folds 0..3 with boundary-adjacent days
+    val daily = Seq(
+      (0L, 5L), (9L, 7L),            // fold 0
+      (10L, 11L), (12L, 1L), (19L, 3L), // fold 1
+      (20L, 2L), (22L, 9L),          // fold 2
+      (31L, 4L)                      // fold 3
+    ).toDF("day", "cnt")
+    val total = 5L + 7 + 11 + 1 + 3 + 2 + 9 + 4
+    val got = Events.purgedSplitReport(daily).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // fold 0: test {0,9}=12; embargo [−2,11]\fold = {10,11}→day10=11
+    assert(got(0L) == ((0L, 9L, 12L, 11L, total - 12L - 11L)))
+    // fold 1: test {10,12,19}=15; embargo [8,21]\fold = {9→7, 20→2}
+    assert(got(1L) == ((10L, 19L, 15L, 9L, total - 15L - 9L)))
+    // fold 2: test {20,22}=11; embargo [18,31]\fold = {19→3, 31→4}
+    assert(got(2L) == ((20L, 29L, 11L, 7L, total - 11L - 7L)))
+    // fold 3: test {31}=4; embargo [28,41]\fold = ∅ (28/29 absent)
+    assert(got(3L) == ((30L, 39L, 4L, 0L, total - 4L)))
+    // counts partition the corpus in every fold
+    got.values.foreach { case (_, _, t, e, tr) => assert(t + e + tr == total) }
+  }
+
+  test("q292: a 3-day shifted copy correlates perfectly at lag +3 and wins best") {
+    import spark.implicits._
+    // x over days 0..19 (non-collinear); y_d = x_{d−3} on days 3..22.
+    // 20 days keep every lag in [−7, 7] at n ≥ 10 pairs — with only 2
+    // pairs ANY lag correlates at |r| = 1 (two points define a line)
+    val xs = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L,
+      5L, 8L, 9L, 7L, 9L, 3L, 2L, 3L, 8L, 4L)
+    val x = xs.zipWithIndex.map { case (v, d) => (d.toLong, v) }.toDF("day", "x")
+    val y = xs.zipWithIndex.map { case (v, d) => (d.toLong + 3L, v) }
+      .toDF("yday", "y")
+    val rows = Events.leadLagSweep(x, y).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2), r.getLong(3))))
+      .toMap
+    // at lag +3 every pair is (v, v): r = 1.0 exactly → 10000, best
+    assert(rows(3L) == ((20L, 10000L, 1L)))
+    // every other lag is strictly weaker and not best
+    rows.filter(_._1 != 3L).foreach { case (lag, (_, r, b)) =>
+      assert(r < 10000L && b == 0L, s"lag $lag: r=$r best=$b")
+    }
+  }
+
+  test("q290: KS from known ECDFs — max gap, tie to lowest cent, one-sided NULL") {
+    import spark.implicits._
+    val cells = Seq(
+      // t: a=(1,1,1,2) b=(2,2,3,3) → D at cent 1: |3·4−0·4|=12 of 16
+      ("t", 0L, 1L, 3L), ("t", 0L, 2L, 1L),
+      ("t", 1L, 2L, 2L), ("t", 1L, 3L, 2L),
+      // u: a={1,3} b={2,4} → gap 2/4 attained at cents 1 AND 3 → cent 1
+      ("u", 0L, 1L, 1L), ("u", 0L, 3L, 1L),
+      ("u", 1L, 2L, 1L), ("u", 1L, 4L, 1L),
+      // v: epoch 1 empty → ks NULL, drifted 0
+      ("v", 0L, 5L, 2L)
+    ).toDF("event_type", "epoch", "cent", "cnt")
+    val got = Events.ksFromCells(cells).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4),
+        r.getLong(5)))).toMap
+    assert(got("t") == ((4L, 4L, 7500L, 1L, 1L)))
+    assert(got("u") == ((2L, 2L, 5000L, 1L, 1L)))
+    assert(got("v") == ((2L, 0L, -1L, 5L, 0L)))
+  }
 }

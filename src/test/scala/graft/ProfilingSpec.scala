@@ -34,4 +34,23 @@ class ProfilingSpec extends AnyFunSuite with SparkTestBase {
     assert(m("l_orderkey") > m("l_returnflag"))
     assert(m("l_returnflag") <= 3L, "TPC-H return flags are {A, N, R}")
   }
+
+  test("q287: native-type extrema (10 > 2), nulls counted not profiled") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(
+      (Some(10L), Some("b")),
+      (Some(2L), Some("a")),
+      (Some(2L), None),
+      (None, Some("a"))
+    ).toDF("k", "s")
+    val got = graft.ops.Pipeline.columnProfile("t", df,
+        Seq("k" -> col("k"), "s" -> col("s")))
+      .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getString(6)))).toMap
+    // the distinguishing claim vs q197's string profile: min/max run in
+    // the NATIVE type, so 2 < 10 (lexicographically "10" < "2")
+    assert(got("k") == ((4L, 1L, 2L, "2", "10")))
+    assert(got("s") == ((4L, 1L, 2L, "a", "b")))
+  }
 }

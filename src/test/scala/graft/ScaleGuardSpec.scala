@@ -24,7 +24,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     "q202_user_skyline" -> "skyline2d's coarse suffix-min walk runs over one row per 10000-wide purchase-count bucket (distinct-p domain div coarseWidth rows, never the user count); the per-p window partitions by bucket with a frame hard-capped at coarseWidth rows (Robust.skyline2d doc)",
     "q242_ab_effect_auc" -> "the doubled-rank cumulative window runs over the per-user purchase-count VALUE HISTOGRAM (one row per distinct count — bounded by max user activity, never the user count; Events.scala q242 doc)",
     "q250_token_mass_quantiles" -> "the cumulative-mass window runs over the doc-LENGTH HISTOGRAM (one row per distinct n_tokens — value-domain-bounded, never the doc count; TextStats.scala q250 doc)",
-    "q286_ivf_balance" -> "rank/count windows over the CELL-SIZE table — numCentroids (16) rows, codebook-bounded (Similarity.scala q286 doc)")
+    "q286_ivf_balance" -> "rank/count windows over the CELL-SIZE table — numCentroids (16) rows, codebook-bounded (Similarity.scala q286 doc)",
+    "q292_leadlag" -> "the best-lag argmax window runs over the 15-row LAG frame (one row per lag in [-7, 7]) — spine-bounded, never the day or event count (Events.scala q292 doc)")
 
   private def globalWindows(plan: LogicalPlan): Seq[LWindow] =
     plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
@@ -452,7 +453,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "q260_tpch_q20", "q262_hll_card_audit",
       "q263_hll_inter_audit", "q264_scd2_repair", "q266_repetition_filter",
       "q267_pii_scrub", "q274_weekday_profile", "q277_winsorized_mean",
-      "q278_source_dup_matrix", "q281_asof_nearest")
+      "q278_source_dup_matrix", "q281_asof_nearest",
+      "q287_column_profile", "q288_retention_triangle", "q290_ks_drift")
     val degraded = strict.flatMap { name =>
       val p = plan(name)
       if (p.collect { case c: CartesianProductExec => c
@@ -466,8 +468,10 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     // type pairs, q275's label pairs), the ≤10-row query-panel
     // non-equi probes (q269/q276 — the q36 posture), and q261's
     // calendar-bounded day-frame broadcast: BNLJ allowed with a
-    // bounded BROADCAST side, CARTESIAN never
+    // bounded BROADCAST side, CARTESIAN never (q289's rides are the
+    // 1-row corpus-total and the source-domain-bounded prefix total)
     Seq("q258_tpch_q11", "q261_rolling_actives_audit",
+      "q289_interleave_schedule",
       "q268_mixture_temperature", "q269_hard_negatives",
       "q270_epoch_allocation", "q271_audience_sketch",
       "q272_audience_audit", "q273_erasure_sweep",
