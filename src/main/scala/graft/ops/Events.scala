@@ -1417,6 +1417,173 @@ object Events {
       .orderBy("lag")
   }
 
+  /** q293: CHANGE-POINT DETECTION (best single split) — the batch
+    * complement of q207's sequential CUSUM: after an alarm, WHERE did
+    * the level shift? For each event type, the split day t maximizing
+    * the between-segment sum of squares Σᵢ sxᵢ²/nᵢ over {days < t},
+    * {days ≥ t} (equivalently minimizing total within-segment SSE,
+    * since Σx² is split-invariant — the binary-segmentation step of
+    * classic change-point analysis). Exactness: each segment's term is
+    * quantized as sx²·10000 div n in DECIMAL(38,0) (sx² passes 2⁶³ at
+    * corpus scale) — a deterministic truncating score both engines
+    * compute identically; gain_q = best score − the no-split baseline
+    * sx²·10000 div n, reported RELATIVE as gain_bp = (best − base)
+    * ·10000 div base — a bounded ratio (an absolute gain grows as
+    * sx²/n and would overflow BIGINT at corpus scale). Ties go to the
+    * earliest split day. Scale shape: one per-day count pass; the
+    * candidate×day cross is calendar²-bounded per type (the q291
+    * class); one argmax window over ≤ days rows per type. */
+  val q293_changepoint: Q = (s, d) =>
+    changepointReport(graft.Ckpt.persisted(events(s, d)
+      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
+      .agg(count(lit(1)).as("cnt"))))
+
+  /** q293's body over any (event_type, day, cnt) daily frame —
+    * factored so the spec can pin a hand level-shift and the
+    * constant-series zero-gain edge. */
+  private[graft] def changepointReport(daily: DataFrame): DataFrame = {
+    val cand = daily.groupBy("event_type")
+      .agg(min("day").as("d0"), sum("cnt").as("sxt"), count(lit(1)).as("nt"))
+    val splits = daily.select(col("event_type"), col("day").as("t"))
+      .join(broadcast(cand), "event_type")
+      .where(col("t") > col("d0"))
+    val scored = splits.join(daily, "event_type")
+      .groupBy("event_type", "t", "sxt", "nt")
+      .agg(sum(when(col("day") < col("t"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("day") < col("t"), col("cnt")).otherwise(0L)).as("sx1"),
+        sum(when(col("day") >= col("t"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("day") >= col("t"), col("cnt")).otherwise(0L)).as("sx2"))
+      .withColumn("score", expr(
+        """CAST(sx1 AS DECIMAL(38, 0)) * sx1 * 10000 div n1
+           + CAST(sx2 AS DECIMAL(38, 0)) * sx2 * 10000 div n2"""))
+    val wr = Window.partitionBy("event_type")
+      .orderBy(col("score").desc, col("t").asc)
+    scored
+      .withColumn("rn", row_number().over(wr))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("t").as("split_day"),
+        col("n1").as("n_left"), col("n2").as("n_right"),
+        expr("sx1 div n1").as("mean_left"),
+        expr("sx2 div n2").as("mean_right"),
+        expr("""CASE WHEN sxt = 0 THEN NULL
+                ELSE CAST((score - CAST(sxt AS DECIMAL(38, 0)) * sxt * 10000
+                                   div nt) * 10000
+                          div (CAST(sxt AS DECIMAL(38, 0)) * sxt * 10000
+                               div nt) AS BIGINT) END""").as("gain_bp"))
+      .orderBy("event_type")
+  }
+
+  /** q294: SPEND GINI COEFFICIENT — the concentration rung of the
+    * experiment/robust family (a mean says nothing about whether 1% of
+    * users carry 90% of revenue; Gini is the one-number Lorenz
+    * summary). G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over per-user
+    * purchase-spend cents sorted ascending — computed WITHOUT sorting
+    * users: on the spend-cents VALUE HISTOGRAM, a tied block at value
+    * v with count c and cumBefore users below contributes
+    * v·(c·cumBefore + c(c+1)/2) to Σ i·x (any tie order gives the same
+    * block rank-sum, so the histogram form is exact). All moments in
+    * DECIMAL(38,0), output floored to basis points. Scale shape: one
+    * user-keyed spend aggregate, then everything runs on the
+    * value-domain-bounded histogram (the q242/q250 allowlisted
+    * window), one row out. */
+  val q294_spend_gini: Q = (s, d) =>
+    giniFromSpend(events(s, d).where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents")))
+
+  /** q294's body over any per-user (user_id, cents) frame — factored
+    * so the spec can pin the hand Lorenz layout and tie blocks. */
+  private[graft] def giniFromSpend(spend: DataFrame): DataFrame = {
+    val hist = spend.groupBy("cents").agg(count(lit(1)).as("c"))
+    val wc = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum("c").over(wc))
+      .agg(sum("c").as("n_users"),
+        sum(expr("CAST(cents AS DECIMAL(38, 0)) * c")).as("s"),
+        sum(expr(
+          """CAST(cents AS DECIMAL(38, 0))
+             * (CAST(c AS DECIMAL(38, 0)) * (cum - c)
+                + CAST(c AS DECIMAL(38, 0)) * (c + 1) div 2)""")).as("s1"))
+      .select(col("n_users"),
+        expr("CAST(s AS BIGINT)").as("total_cents"),
+        expr("""CASE WHEN s = 0 OR n_users = 0 THEN NULL
+                ELSE CAST((2 * s1 - (n_users + 1) * s) * 10000
+                          div (n_users * s) AS BIGINT) END""").as("gini_bp"))
+  }
+
+  /** q295: OVERDISPERSION INDEX — the burstiness detector the daily
+    * family hands to capacity planning: a Poisson arrival stream has
+    * variance ≈ mean (index 1); bursty/clumped traffic runs higher,
+    * and a detector tuned on Poisson assumptions pages on it. Per
+    * event type, over the daily counts: D = s²/x̄ as the exact
+    * rational (n·sxx − sx²)·10000 div ((n−1)·sx) — integer moments,
+    * one truncating div (the q283 convention without the sqrt), NULL
+    * for degenerate types, flagged above 1.5 (15000). Scale:
+    * calendar-bounded per-type aggregate, nothing else. */
+  val q295_dispersion: Q = (s, d) =>
+    dispersionFromDaily(events(s, d)
+      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** q295's body over any (event_type, day, cnt) daily frame. */
+  private[graft] def dispersionFromDaily(daily: DataFrame): DataFrame =
+    daily
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("cnt").as("sx"), sum(col("cnt") * col("cnt")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        expr("""CASE WHEN n_days < 2 OR sx = 0 THEN NULL
+                ELSE CAST((CAST(n_days AS DECIMAL(38, 0)) * sxx
+                           - CAST(sx AS DECIMAL(38, 0)) * sx) * 10000
+                          div ((n_days - 1) * CAST(sx AS DECIMAL(38, 0)))
+                     AS BIGINT) END""").as("disp_bp"))
+      .withColumn("overdispersed",
+        when(col("disp_bp") > 15000L, 1L).otherwise(0L))
+      .orderBy("event_type")
+
+  /** q296: ITEM CO-OCCURRENCE MATRIX — the collaborative-filtering prep
+    * rung (the "users who touched k₁ also touched k₂" table an
+    * item-item recommender serves from), over the props item id k:
+    * distinct (user, item) pairs self-joined on user, pair support =
+    * co-users, jaccard_bp = co div (|A∪B|), lift scaled by the active
+    * user universe: lift_bp = co·U·10000 div (nₐ·n_b) (> 10000 = the
+    * pair co-occurs above independence). Top 20 pairs by (support,
+    * then (k1, k2)) — a deterministic total order. Scale shape: the
+    * self-join shuffles ONCE on user_id and each user expands to
+    * C(items_per_user, 2) pairs — bounded by the item domain, the
+    * standard co-occurrence cost; aggregates land on the item²-bounded
+    * (k1, k2) grid; per-item counts broadcast onto it. */
+  val q296_item_cooccurrence: Q = (s, d) =>
+    cooccurrenceTopPairs(graft.Ckpt.persisted(events(s, d)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .where(col("k").isNotNull)
+      .distinct()))
+
+  /** q296's body over any DISTINCT (user_id, k) frame — factored so
+    * the spec can pin the pair counts, Jaccard and lift by hand. */
+  private[graft] def cooccurrenceTopPairs(ui: DataFrame): DataFrame = {
+    val perItem = ui.groupBy("k").agg(count(lit(1)).as("n_item"))
+    val universe = ui.select("user_id").distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val pairs = ui.join(ui.select(col("user_id"), col("k").as("k2")), "user_id")
+      .where(col("k") < col("k2"))
+      .groupBy(col("k").as("k1"), col("k2"))
+      .agg(count(lit(1)).as("co_users"))
+    pairs
+      .join(broadcast(perItem.select(col("k").as("k1"), col("n_item").as("na"))), "k1")
+      .join(broadcast(perItem.select(col("k").as("k2"), col("n_item").as("nb"))), "k2")
+      .crossJoin(broadcast(universe))
+      .select(col("k1"), col("k2"), col("co_users"),
+        expr("co_users * 10000 div (na + nb - co_users)").as("jaccard_bp"),
+        expr("""CAST(CAST(co_users AS DECIMAL(38, 0)) * n_users * 10000
+                div (CAST(na AS DECIMAL(38, 0)) * nb) AS BIGINT)""")
+          .as("lift_bp"))
+      .orderBy(col("co_users").desc, col("k1").asc, col("k2").asc)
+      .limit(20)
+  }
+
   /** q281: NEAREST AS-OF JOIN — the two-sided variant of q68/q241's
     * backward as-of, the time-series join kdb/QuestDB users reach for
     * ("the quote nearest this trade, either side"): every click gets
@@ -2272,6 +2439,10 @@ object Events {
     "q290_ks_drift" -> q290_ks_drift,
     "q291_purged_split" -> q291_purged_split,
     "q292_leadlag" -> q292_leadlag,
+    "q293_changepoint" -> q293_changepoint,
+    "q294_spend_gini" -> q294_spend_gini,
+    "q295_dispersion" -> q295_dispersion,
+    "q296_item_cooccurrence" -> q296_item_cooccurrence,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -3145,6 +3316,126 @@ object Events {
          |                      > 1500 THEN 1 ELSE 0 END AS BIGINT) AS drifted
          |FROM sc WHERE rn = 1
          |ORDER BY event_type""".stripMargin,
+    // same quantized between-segment score, argmax with ties to the
+    // earliest split, relative gain over the no-split baseline
+    "q293_changepoint" ->
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT event_type, min(day) AS d0,
+         |         CAST(sum(cnt) AS HUGEINT) AS sxt,
+         |         CAST(count(*) AS HUGEINT) AS nt
+         |  FROM daily GROUP BY 1),
+         |sc AS (
+         |  SELECT d.event_type, s.day AS t, t2.sxt, t2.nt,
+         |         CAST(sum(CASE WHEN d.day < s.day THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n1,
+         |         CAST(sum(CASE WHEN d.day < s.day THEN d.cnt ELSE 0 END)
+         |              AS HUGEINT) AS sx1,
+         |         CAST(sum(CASE WHEN d.day >= s.day THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n2,
+         |         CAST(sum(CASE WHEN d.day >= s.day THEN d.cnt ELSE 0 END)
+         |              AS HUGEINT) AS sx2
+         |  FROM daily d
+         |  JOIN (SELECT DISTINCT dd.event_type, dd.day FROM daily dd) s
+         |    ON s.event_type = d.event_type
+         |  JOIN tot t2 ON t2.event_type = d.event_type
+         |  WHERE s.day > t2.d0
+         |  GROUP BY 1, 2, 3, 4),
+         |r AS (
+         |  SELECT *, sx1 * sx1 * 10000 // n1 + sx2 * sx2 * 10000 // n2
+         |            AS score,
+         |         row_number() OVER (PARTITION BY event_type
+         |           ORDER BY sx1 * sx1 * 10000 // n1
+         |                    + sx2 * sx2 * 10000 // n2 DESC, t ASC) AS rn
+         |  FROM sc)
+         |SELECT event_type, t AS split_day, n1 AS n_left, n2 AS n_right,
+         |       CAST(sx1 // n1 AS BIGINT) AS mean_left,
+         |       CAST(sx2 // n2 AS BIGINT) AS mean_right,
+         |       CASE WHEN sxt = 0 THEN NULL
+         |            ELSE CAST((score - sxt * sxt * 10000 // nt) * 10000
+         |                      // (sxt * sxt * 10000 // nt) AS BIGINT)
+         |            END AS gain_bp
+         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    // the histogram rank-sum form of Σ i·x — exact under ties
+    "q294_spend_gini" ->
+      s"""WITH spend AS (
+         |  SELECT user_id,
+         |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |           AS cents
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |h AS (
+         |  SELECT cents, CAST(count(*) AS BIGINT) AS c FROM spend GROUP BY 1),
+         |cc AS (
+         |  SELECT cents, c,
+         |         sum(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+         |           AS cum
+         |  FROM h),
+         |m AS (
+         |  SELECT CAST(sum(c) AS HUGEINT) AS n_users,
+         |         CAST(sum(CAST(cents AS HUGEINT) * c) AS HUGEINT) AS s,
+         |         CAST(sum(CAST(cents AS HUGEINT)
+         |                  * (CAST(c AS HUGEINT) * (cum - c)
+         |                     + CAST(c AS HUGEINT) * (c + 1) // 2))
+         |              AS HUGEINT) AS s1
+         |  FROM cc)
+         |SELECT CAST(n_users AS BIGINT) AS n_users,
+         |       CAST(s AS BIGINT) AS total_cents,
+         |       CASE WHEN s = 0 OR n_users = 0 THEN NULL
+         |            ELSE CAST((2 * s1 - (n_users + 1) * s) * 10000
+         |                      // (n_users * s) AS BIGINT) END AS gini_bp
+         |FROM m""".stripMargin,
+    // exact rational variance/mean index, Poisson = 10000
+    "q295_dispersion" ->
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |m AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         |         CAST(sum(cnt) AS HUGEINT) AS sx,
+         |         CAST(sum(cnt * cnt) AS HUGEINT) AS sxx
+         |  FROM daily GROUP BY 1)
+         |SELECT event_type, n_days,
+         |       CASE WHEN n_days < 2 OR sx = 0 THEN NULL
+         |            ELSE CAST((n_days * sxx - sx * sx) * 10000
+         |                      // ((n_days - 1) * sx) AS BIGINT)
+         |            END AS disp_bp,
+         |       CAST(CASE WHEN (CASE WHEN n_days < 2 OR sx = 0 THEN NULL
+         |                           ELSE (n_days * sxx - sx * sx) * 10000
+         |                                // ((n_days - 1) * sx) END) > 15000
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
+         |FROM m ORDER BY event_type""".stripMargin,
+    // distinct (user, item) self-join, item-pair grid aggregates,
+    // top 20 by (support, k1, k2)
+    "q296_item_cooccurrence" ->
+      s"""WITH ui AS (
+         |  SELECT DISTINCT user_id,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |  FROM events
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+         |pi AS (SELECT k, CAST(count(*) AS BIGINT) AS n_item FROM ui GROUP BY 1),
+         |u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ui),
+         |p AS (
+         |  SELECT a.k AS k1, b.k AS k2, CAST(count(*) AS BIGINT) AS co_users
+         |  FROM ui a JOIN ui b ON b.user_id = a.user_id AND a.k < b.k
+         |  GROUP BY 1, 2)
+         |SELECT p.k1, p.k2, p.co_users,
+         |       p.co_users * 10000 // (na.n_item + nb.n_item - p.co_users)
+         |         AS jaccard_bp,
+         |       CAST(CAST(p.co_users AS HUGEINT) * u.n_users * 10000
+         |            // (CAST(na.n_item AS HUGEINT) * nb.n_item) AS BIGINT)
+         |         AS lift_bp
+         |FROM p
+         |JOIN pi na ON na.k = p.k1
+         |JOIN pi nb ON nb.k = p.k2
+         |CROSS JOIN u
+         |ORDER BY p.co_users DESC, p.k1 ASC, p.k2 ASC
+         |LIMIT 20""".stripMargin,
     // absolute calendar folds (day div width), embargo strictly outside
     // the block within gap days either side
     "q291_purged_split" ->

@@ -680,6 +680,65 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q293: a level shift splits at its boundary; a constant series gains zero") {
+    import spark.implicits._
+    val daily =
+      ((0L to 4L).map(d => ("t", d, 10L)) ++ (5L to 9L).map(d => ("t", d, 50L)) ++
+        (0L to 4L).map(d => ("c", d, 7L)))
+        .toDF("event_type", "day", "cnt")
+    val got = Events.changepointReport(daily).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // t: split at day 5, means 10 / 50; gain vs flat-30 baseline:
+    // score = (50²+250²)·10⁴/5 = 1.3e8·10⁴/...: base = 300²·10⁴/10 =
+    // 9e7·10⁴... gain_bp = (130e6−90e6)·10⁴/90e6 = 4444
+    assert(got("t") == ((5L, 5L, 5L, 10L, 50L, 4444L)))
+    // c: every split scores the baseline — earliest candidate, gain 0
+    assert(got("c") == ((1L, 1L, 4L, 7L, 7L, 0L)))
+  }
+
+  test("q294: hand Lorenz layout with a tie block — G = 10/32 exactly") {
+    import spark.implicits._
+    // spends 1,1,2,4: Σi·x = (1+2)·1 + 3·2 + 4·4 = 25; n=4, S=8
+    // G = (2·25 − 5·8)/(4·8) = 10/32 → 3125 bp
+    val spend = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 4L))
+      .toDF("user_id", "cents")
+    val r = Events.giniFromSpend(spend).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 8L, 3125L)))
+  }
+
+  test("q295: Poisson-ish stays under the flag, a bursty series fires, singleton NULL") {
+    import spark.implicits._
+    val daily = Seq(
+      ("p", 0L, 4L), ("p", 1L, 5L), ("p", 2L, 6L),
+      ("b", 0L, 1L), ("b", 1L, 1L), ("b", 2L, 28L),
+      ("s", 0L, 9L)
+    ).toDF("event_type", "day", "cnt")
+    val got = Events.dispersionFromDaily(daily).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3)))).toMap
+    // p: (3·77 − 225)·10⁴ / (2·15) = 6·10⁴/30 = 2000
+    assert(got("p") == ((3L, 2000L, 0L)))
+    // b: (3·786 − 900)·10⁴ / (2·30) = 1458·10⁴/60 = 243000
+    assert(got("b") == ((3L, 243000L, 1L)))
+    assert(got("s") == ((1L, -1L, 0L)))
+  }
+
+  test("q296: pair support, Jaccard and lift on a hand co-click layout") {
+    import spark.implicits._
+    // u1:{1,2} u2:{1,2} u3:{1,3} → (1,2) co=2, (1,3) co=1
+    val ui = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L))
+      .toDF("user_id", "k")
+    val got = Events.cooccurrenceTopPairs(ui).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // (1,2): jac = 2·10⁴/(3+2−2) = 6666; lift = 2·3·10⁴/(3·2) = 10000
+    assert(got((1L, 2L)) == ((2L, 6666L, 10000L)))
+    // (1,3): jac = 1·10⁴/3 = 3333; lift = 1·3·10⁴/(3·1) = 10000
+    assert(got((1L, 3L)) == ((1L, 3333L, 10000L)))
+    assert(!got.contains((2L, 3L)), "never-co-clicked pairs are absent")
+  }
+
   test("q290: KS from known ECDFs — max gap, tie to lowest cent, one-sided NULL") {
     import spark.implicits._
     val cells = Seq(
