@@ -1584,6 +1584,85 @@ object Events {
       .limit(20)
   }
 
+  /** q298: TRANSITION IMPURITY — the predictability rung over the
+    * session graph q201/q238 expose: per source event type, the Gini
+    * impurity 1 − Σᵢ pᵢ² of its next-event distribution — 0 = the next
+    * step is certain (a funnel rail), → 1 = anyone's guess (a hub).
+    * Chosen over Shannon entropy DELIBERATELY: entropy needs per-branch
+    * ln() (libm, not cross-engine-exact); impurity is pure integer
+    * arithmetic — Σnᵢ² exact in DECIMAL(38,0), one truncating
+    * impurity_bp = 10000 − Σnᵢ²·10000 div tot². Reads the IDENTICAL
+    * [[sessionTransitions]] matrix the transition/PageRank rows fold
+    * (one definition). Scale: the corpus work is the one sessionized
+    * pass; everything after is #types²-bounded. */
+  val q298_transition_impurity: Q = (s, d) =>
+    impurityFromEdges(sessionTransitions(s, d))
+
+  /** q298's body over any (from_type, to_type, n) edge frame. */
+  private[graft] def impurityFromEdges(edges: DataFrame): DataFrame =
+    edges
+      .groupBy(col("from_type").as("event_type"))
+      .agg(sum("n").as("tot"), count(lit(1)).as("n_dsts"),
+        sum(expr("CAST(n AS DECIMAL(38, 0)) * n")).as("ssq"))
+      .select(col("event_type"), col("tot"), col("n_dsts"),
+        expr("""CAST(10000 - ssq * 10000
+                     div (CAST(tot AS DECIMAL(38, 0)) * tot) AS BIGINT)""")
+          .as("impurity_bp"))
+      .orderBy("event_type")
+
+  /** q299: WEEKDAY × TYPE ASSOCIATION (φ² / Cramér's V) — the
+    * contingency-table sibling of q246's goodness-of-fit SRM alarm:
+    * does the type MIX depend on the weekday (a seasonality confounder
+    * any weekday-blind sampler inherits), or only the volume (which
+    * q274 profiles)? Deliberately reports the EFFECT SIZE, not raw χ²:
+    * at corpus N everything is "significant" (χ² scales with N, and so
+    * would any quantization error in it — the N-free mean-square
+    * contingency φ² = Σ O²/(rt·ct) − 1 = χ²/N is both the honest
+    * statistic and the numerically bounded one). Per cell
+    * O²·10⁸ div (rt·ct) in DECIMAL(38,0) (each term ≤ 10⁸, one
+    * truncating div per cell, ≤ 7·types cells — identical truncations
+    * both engines, cumulative quantization < 10⁻⁴ of a bp quantum);
+    * phi2_bp = (S − 10⁸) div 10⁴, Cramér's V = √(φ²/min(r−1, c−1))
+    * floored to bp (the one sqrt). Association is flagged at the
+    * standard small-effect bar V > 0.10 via the pre-sqrt integer
+    * comparison (S − 10⁸)·min(r−1, c−1)⁻¹-free form:
+    * (S − 10⁸) > 10⁶·mindof — no float in the decision. Scale: one
+    * (weekday, type) corpus aggregate; margins and the grid are
+    * enum-bounded. */
+  val q299_chi2_weekday: Q = (s, d) =>
+    chi2FromCells(graft.Ckpt.persisted(events(s, d)
+      .select(expr("(es div 86400 + 4) % 7").as("wd"), col("event_type"))
+      .groupBy("wd", "event_type")
+      .agg(count(lit(1)).as("o"))))
+
+  /** q299's body over any (wd, event_type, o) contingency frame —
+    * factored so the spec can pin the φ² = 1 perfect-association and
+    * the exact-independence layouts. */
+  private[graft] def chi2FromCells(cells: DataFrame): DataFrame = {
+    val rt = cells.groupBy("wd").agg(sum("o").as("rt"))
+    val ct = cells.groupBy("event_type").agg(sum("o").as("ct"))
+    val nt = cells.agg(sum("o").as("n"), countDistinct("wd").as("nr"),
+      countDistinct("event_type").as("nc"))
+    cells.join(broadcast(rt), "wd").join(broadcast(ct), "event_type")
+      .crossJoin(broadcast(nt))
+      .withColumn("term", expr(
+        """CAST(o AS DECIMAL(38, 0)) * o * 100000000
+           div (CAST(rt AS DECIMAL(38, 0)) * ct)"""))
+      .groupBy("n", "nr", "nc")
+      .agg(count(lit(1)).as("n_cells"), sum("term").as("s"))
+      .withColumn("sd", expr("CAST(greatest(s - 100000000, 0) AS BIGINT)"))
+      .withColumn("mindof", least(col("nr") - 1L, col("nc") - 1L))
+      .select(col("n").as("n_events"), col("n_cells"),
+        ((col("nr") - 1L) * (col("nc") - 1L)).as("dof"),
+        expr("sd div 10000").as("phi2_bp"),
+        expr("""CASE WHEN mindof < 1 THEN NULL
+                ELSE CAST(floor(sqrt(CAST(sd AS DOUBLE)
+                                     / (100000000.0 * mindof)) * 10000)
+                     AS BIGINT) END""").as("v_bp"),
+        when(col("sd") > lit(1000000L) * least(col("nr") - 1L, col("nc") - 1L),
+          1L).otherwise(0L).as("associated"))
+  }
+
   /** q281: NEAREST AS-OF JOIN — the two-sided variant of q68/q241's
     * backward as-of, the time-series join kdb/QuestDB users reach for
     * ("the quote nearest this trade, either side"): every click gets
@@ -2443,6 +2522,8 @@ object Events {
     "q294_spend_gini" -> q294_spend_gini,
     "q295_dispersion" -> q295_dispersion,
     "q296_item_cooccurrence" -> q296_item_cooccurrence,
+    "q298_transition_impurity" -> q298_transition_impurity,
+    "q299_chi2_weekday" -> q299_chi2_weekday,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -3867,6 +3948,53 @@ object Events {
         |       CAST(n * 10000 // tot AS BIGINT) AS p_bp
         |FROM c JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+    // the identical transition counts; Σn² exact, one truncating div
+    "q298_transition_impurity" ->
+      s"""WITH $transCtes
+        |SELECT from_type AS event_type,
+        |       CAST(sum(n) AS BIGINT) AS tot,
+        |       CAST(count(*) AS BIGINT) AS n_dsts,
+        |       CAST(10000 - sum(CAST(n AS HUGEINT) * n) * 10000
+        |            // (CAST(sum(n) AS HUGEINT) * sum(n)) AS BIGINT)
+        |         AS impurity_bp
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-cell O²·10⁸ // (rt·ct) quanta, φ² = S − 10⁸, V with the one
+    // sqrt, association by the pre-sqrt integer comparison
+    "q299_chi2_weekday" ->
+      s"""WITH cells AS (
+        |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS wd,
+        |         event_type, CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT wd, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS ct
+        |       FROM cells GROUP BY 1),
+        |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |              CAST(count(DISTINCT wd) AS BIGINT) AS nr,
+        |              CAST(count(DISTINCT event_type) AS BIGINT) AS nc
+        |       FROM cells),
+        |m AS (
+        |  SELECT nt.n, nt.nr, nt.nc, CAST(count(*) AS BIGINT) AS n_cells,
+        |         sum(CAST(cells.o AS HUGEINT) * cells.o * 100000000
+        |             // (CAST(rt.rt AS HUGEINT) * ct.ct)) AS s
+        |  FROM cells
+        |  JOIN rt ON rt.wd = cells.wd
+        |  JOIN ct ON ct.event_type = cells.event_type
+        |  CROSS JOIN nt
+        |  GROUP BY 1, 2, 3),
+        |v AS (
+        |  SELECT n, n_cells, (nr - 1) * (nc - 1) AS dof,
+        |         CAST(greatest(s - 100000000, 0) AS BIGINT) AS sd,
+        |         least(nr - 1, nc - 1) AS mindof
+        |  FROM m)
+        |SELECT n AS n_events, n_cells, dof,
+        |       sd // 10000 AS phi2_bp,
+        |       CASE WHEN mindof < 1 THEN NULL
+        |            ELSE CAST(floor(sqrt(CAST(sd AS DOUBLE)
+        |                                 / (100000000.0 * mindof)) * 10000)
+        |                 AS BIGINT) END AS v_bp,
+        |       CAST(CASE WHEN sd > 1000000 * mindof THEN 1 ELSE 0 END
+        |            AS BIGINT) AS associated
+        |FROM v""".stripMargin,
     // the same transition counts, then the 3-step integer power
     // iteration as chained CTEs — per-edge truncating contribution,
     // damping as 85/100, dangling mass dropped exactly like Spark

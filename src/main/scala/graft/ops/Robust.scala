@@ -268,13 +268,96 @@ object Robust {
       .select("n_rows", "mean_c", "boot_lo_c", "boot_med_c", "boot_hi_c")
   }
 
+  /** The q297 quartile-code map for one dimension: (value → code 1–4)
+    * by MIN-RANK over the dimension's VALUE HISTOGRAM — code =
+    * (4·cumBefore) div n + 1, so ties share a code and the map is
+    * value-domain-bounded (never a per-customer rank window). */
+  private[graft] def quartileCodes(df: DataFrame, dim: String,
+                                   n: Long): DataFrame = {
+    val w = Window.orderBy(dim)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.groupBy(dim).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(w))
+      .select(col(dim),
+        expr(s"4 * (cum - c) div $n + 1").as(s"${dim}_code"))
+  }
+
+  /** q297: RFM SEGMENTATION — the classic BI customer cut (Recency /
+    * Frequency / Monetary quartile codes) over the orders table: per
+    * customer, R = last order day (higher = more recent), F = order
+    * count, M = lifetime spend cents; each dimension coded 1–4 by
+    * min-rank quartile (code 4 = top quartile — most recent / most
+    * frequent / highest spend), ties sharing a code so the assignment
+    * is total-order-free and engine-exact. Output: one row per
+    * occupied (r, f, m) cell with its population and spend — the
+    * segment table a campaign targets from ("(4,4,4) champions",
+    * "(1,x,x) churned"). Scale shape: one customer-keyed aggregate,
+    * then three code maps built on VALUE HISTOGRAMS (day-, count-,
+    * and cents-domain-bounded — the q184 convention; the per-customer
+    * rank window a naive NTILE would use is exactly what this
+    * avoids) joined back narrow; the final aggregate lands on ≤ 64
+    * cells. */
+  val q297_rfm_segments: Q = (s, d) => {
+    val cust = graft.Ckpt.persisted(
+      s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_custkey"),
+          expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS BIGINT) div 86400")
+            .as("day"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy("o_custkey")
+        .agg(max("day").as("r"), count(lit(1)).as("f"),
+          sum("cents").as("m")))
+    val n = cust.count()
+    cust
+      .join(quartileCodes(cust, "r", n), "r")
+      .join(quartileCodes(cust, "f", n), "f")
+      .join(quartileCodes(cust, "m", n), "m")
+      .groupBy("r_code", "f_code", "m_code")
+      .agg(count(lit(1)).as("n_customers"), sum("m").as("sum_cents"))
+      .orderBy("r_code", "f_code", "m_code")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q297_rfm_segments" -> q297_rfm_segments,
     "q184_mad_outliers" -> q184_mad_outliers,
     "q189_winsor_stats" -> q189_winsor_stats,
     "q202_user_skyline" -> q202_user_skyline,
     "q209_bootstrap_ci" -> q209_bootstrap_ci)
 
   val oracle: Map[String, String] = Map(
+    // same min-rank quartile codes from per-dimension value histograms
+    "q297_rfm_segments" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |         max(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) AS r,
+        |         CAST(count(*) AS BIGINT) AS f,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS m
+        |  FROM orders GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cust),
+        |rc AS (
+        |  SELECT r, 4 * (sum(c) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING)
+        |                  - c) // nn.n + 1 AS r_code
+        |  FROM (SELECT r, CAST(count(*) AS BIGINT) AS c FROM cust GROUP BY 1)
+        |  CROSS JOIN nn),
+        |fc AS (
+        |  SELECT f, 4 * (sum(c) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING)
+        |                  - c) // nn.n + 1 AS f_code
+        |  FROM (SELECT f, CAST(count(*) AS BIGINT) AS c FROM cust GROUP BY 1)
+        |  CROSS JOIN nn),
+        |mc AS (
+        |  SELECT m, 4 * (sum(c) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+        |                  - c) // nn.n + 1 AS m_code
+        |  FROM (SELECT m, CAST(count(*) AS BIGINT) AS c FROM cust GROUP BY 1)
+        |  CROSS JOIN nn)
+        |SELECT rc.r_code, fc.f_code, mc.m_code,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(cust.m) AS BIGINT) AS sum_cents
+        |FROM cust
+        |JOIN rc ON rc.r = cust.r
+        |JOIN fc ON fc.f = cust.f
+        |JOIN mc ON mc.m = cust.m
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // the identical 32 deterministic resamples: same 20 md5 bits, same
     // generated inverse-CDF CASE, same truncating means, same order
     // statistics over the 32-row frame

@@ -739,6 +739,30 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.contains((2L, 3L)), "never-co-clicked pairs are absent")
   }
 
+  test("q298: impurity 0 for a rail, exact 3750 bp for a 3:1 split") {
+    import spark.implicits._
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("d", "e", 5L))
+      .toDF("from_type", "to_type", "n")
+    val got = Events.impurityFromEdges(edges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // a: 1 − (9+1)/16 = 6/16 → 3750 bp; d: certain next step → 0
+    assert(got("a") == ((4L, 2L, 3750L)))
+    assert(got("d") == ((5L, 1L, 0L)))
+  }
+
+  test("q299: φ² = 1 on a perfectly dependent 2×2, 0 on exact independence") {
+    import spark.implicits._
+    val dep = Seq((0L, "A", 10L), (1L, "B", 10L)).toDF("wd", "event_type", "o")
+    val rd = Events.chi2FromCells(dep).collect().head
+    assert((rd.getLong(0), rd.getLong(1), rd.getLong(2), rd.getLong(3),
+      rd.getLong(4), rd.getLong(5)) == ((20L, 2L, 1L, 10000L, 10000L, 1L)))
+    val ind = Seq((0L, "A", 5L), (0L, "B", 5L), (1L, "A", 5L), (1L, "B", 5L))
+      .toDF("wd", "event_type", "o")
+    val ri = Events.chi2FromCells(ind).collect().head
+    assert((ri.getLong(3), ri.getLong(4), ri.getLong(5)) == ((0L, 0L, 0L)))
+  }
+
   test("q290: KS from known ECDFs — max gap, tie to lowest cent, one-sided NULL") {
     import spark.implicits._
     val cells = Seq(

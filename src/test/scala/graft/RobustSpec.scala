@@ -148,4 +148,13 @@ class RobustSpec extends AnyFunSuite with SparkTestBase {
     // mean weight ~ 1: P(0) mass ~ e^-1 (the Poisson-bootstrap premise)
     assert(math.abs(ts.head.toDouble / (1L << 20) - math.exp(-1.0)) < 1e-4)
   }
+
+  test("q297: min-rank quartile codes share codes across tie blocks") {
+    import spark.implicits._
+    // values 5×4, 7×2, 9, 11 (n=8): cumBefore 0/4/6/7 → codes 1/3/4/4
+    val df = Seq(5L, 5L, 5L, 5L, 7L, 7L, 9L, 11L).toDF("m")
+    val got = Robust.quartileCodes(df, "m", 8L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 1L, 7L -> 3L, 9L -> 4L, 11L -> 4L))
+  }
 }

@@ -26,7 +26,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     "q250_token_mass_quantiles" -> "the cumulative-mass window runs over the doc-LENGTH HISTOGRAM (one row per distinct n_tokens — value-domain-bounded, never the doc count; TextStats.scala q250 doc)",
     "q286_ivf_balance" -> "rank/count windows over the CELL-SIZE table — numCentroids (16) rows, codebook-bounded (Similarity.scala q286 doc)",
     "q292_leadlag" -> "the best-lag argmax window runs over the 15-row LAG frame (one row per lag in [-7, 7]) — spine-bounded, never the day or event count (Events.scala q292 doc)",
-    "q294_spend_gini" -> "the cumulative-count window runs over the spend-cents VALUE HISTOGRAM (one row per distinct spend — value-domain-bounded, never the user count; Events.scala q294 doc)")
+    "q294_spend_gini" -> "the cumulative-count window runs over the spend-cents VALUE HISTOGRAM (one row per distinct spend — value-domain-bounded, never the user count; Events.scala q294 doc)",
+    "q297_rfm_segments" -> "the three quartile-code windows each run over a per-dimension VALUE HISTOGRAM (distinct days / order counts / spend cents — value-domain-bounded, never the customer count; Robust.quartileCodes doc)")
 
   private def globalWindows(plan: LogicalPlan): Seq[LWindow] =
     plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
@@ -456,7 +457,7 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "q267_pii_scrub", "q274_weekday_profile", "q277_winsorized_mean",
       "q278_source_dup_matrix", "q281_asof_nearest",
       "q287_column_profile", "q288_retention_triangle", "q290_ks_drift",
-      "q293_changepoint", "q295_dispersion")
+      "q293_changepoint", "q295_dispersion", "q298_transition_impurity")
     val degraded = strict.flatMap { name =>
       val p = plan(name)
       if (p.collect { case c: CartesianProductExec => c
@@ -474,7 +475,7 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     // 1-row corpus-total and the source-domain-bounded prefix total)
     Seq("q258_tpch_q11", "q261_rolling_actives_audit",
       "q289_interleave_schedule", "q294_spend_gini",
-      "q296_item_cooccurrence",
+      "q296_item_cooccurrence", "q299_chi2_weekday",
       "q268_mixture_temperature", "q269_hard_negatives",
       "q270_epoch_allocation", "q271_audience_sketch",
       "q272_audience_audit", "q273_erasure_sweep",
