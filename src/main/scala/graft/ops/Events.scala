@@ -1663,6 +1663,92 @@ object Events {
           1L).otherwise(0L).as("associated"))
   }
 
+  /** q300/q301 HDR geometry: 4 precision bits → 16 sub-buckets per
+    * power of two, relative error ≤ 2⁻⁴ = 625 bp. The bucket id and
+    * its lower bound are pure integer bit arithmetic — `bin()` string
+    * length IS floor(log2)+1 exactly in both engines (no libm log). */
+  private[graft] def hdrBucketSql(v: String): String =
+    s"""CASE WHEN $v < 16 THEN $v
+        ELSE (length(bin($v)) - 4) * 16
+             + shiftright($v, length(bin($v)) - 5) - 16 END"""
+  private[graft] def hdrLbSql(id: String): String =
+    s"""CASE WHEN $id < 16 THEN $id
+        ELSE shiftleft(16 + $id % 16, CAST($id div 16 AS INT) - 1) END"""
+
+  /** The q300 sketch itself — (event_type, id, cnt) HDR cells over the
+    * value cents. ADDITIVE (cells sum across any partition of the
+    * corpus — the merge law the spec pins), so shards/days/batches
+    * sketch independently and union by summing. */
+  private[graft] def hdrCells(cents: DataFrame): DataFrame =
+    cents
+      .where(col("vc") >= 1L)
+      .select(col("event_type"), expr(hdrBucketSql("vc")).as("id"))
+      .groupBy("event_type", "id")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** q300: HDR-HISTOGRAM QUANTILE SKETCH — the quantile rung for
+    * UNBOUNDED value domains: the house exact machinery (q184/q250)
+    * assumes the distinct-value histogram is domain-bounded, which
+    * holds for cents here but not for latencies/byte counts in the
+    * wild. The HDR (log-bucketed) histogram bounds the sketch at
+    * 16 cells per power of two — ≤ ~1000 cells for the full int64
+    * range — with a GUARANTEED relative error ≤ 1/16, and cells are
+    * additive (mergeable across shards/batches, the CMS/HLL family
+    * law). Quantile estimates read the bucket LOWER bound at the house
+    * lower-quantile rank (⌈n·p/100⌉) through the SHARED
+    * [[Robust.histQuantiles]] two-phase selection — one definition
+    * with the exact family, so serve (this row) and audit (q301) can
+    * never disagree about rank semantics. Scale: one map-side-combined
+    * cell pass; selection runs on the ≤ 1000-cell sketch. */
+  val q300_hdr_quantiles: Q = (s, d) => {
+    val hist = hdrCells(events(s, d)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc")))
+      .select(col("event_type").as("group"),
+        expr(hdrLbSql("id")).as("v"), col("cnt"))
+    Robust.histQuantiles(hist,
+        Seq(50 -> "p50_est", 90 -> "p90_est", 99 -> "p99_est"))
+      .select(col("group").as("event_type"), col("n"),
+        col("p50_est"), col("p90_est"), col("p99_est"))
+      .orderBy("event_type")
+  }
+
+  /** q301: the q300 AUDIT row (the r16 serve/audit split convention —
+    * the serve path is the plan you'd run at 100×; the exact
+    * comparison is its own gated row): per (type, mark), the exact
+    * cent quantile from the raw value histogram vs the sketch
+    * estimate, err_bp = (exact − est)·10⁴ div exact (est is a lower
+    * bound, so the error is one-sided), and within_bound asserting the
+    * 625 bp HDR guarantee — an audit that FAILS loudly if the bucket
+    * geometry ever drifts from the error contract. */
+  val q301_hdr_audit: Q = (s, d) => {
+    val ev = graft.Ckpt.persisted(events(s, d)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .where(col("vc") >= 1L))
+    val marks = Seq(50 -> "p50", 90 -> "p90", 99 -> "p99")
+    val exact = Robust.histQuantiles(
+      ev.groupBy(col("event_type").as("group"), col("vc").as("v"))
+        .agg(count(lit(1)).as("cnt")),
+      marks.map { case (p, n) => p -> s"${n}_exact" })
+    val est = Robust.histQuantiles(
+      hdrCells(ev)
+        .select(col("event_type").as("group"), expr(hdrLbSql("id")).as("v"),
+          col("cnt")),
+      marks.map { case (p, n) => p -> s"${n}_est" })
+    val joined = exact.join(est.drop("n"), "group")
+    val cols = marks.flatMap { case (_, m) =>
+      Seq(col(s"${m}_exact"), col(s"${m}_est"),
+        expr(s"(${m}_exact - ${m}_est) * 10000 div ${m}_exact")
+          .as(s"${m}_err_bp"))
+    }
+    joined.select(col("group").as("event_type") +: col("n") +: cols: _*)
+      .withColumn("within_bound",
+        when(marks.map { case (_, m) => col(s"${m}_err_bp") <= 625L }
+          .reduce(_ && _), 1L).otherwise(0L))
+      .orderBy("event_type")
+  }
+
   /** q281: NEAREST AS-OF JOIN — the two-sided variant of q68/q241's
     * backward as-of, the time-series join kdb/QuestDB users reach for
     * ("the quote nearest this trade, either side"): every click gets
@@ -2524,6 +2610,8 @@ object Events {
     "q296_item_cooccurrence" -> q296_item_cooccurrence,
     "q298_transition_impurity" -> q298_transition_impurity,
     "q299_chi2_weekday" -> q299_chi2_weekday,
+    "q300_hdr_quantiles" -> q300_hdr_quantiles,
+    "q301_hdr_audit" -> q301_hdr_audit,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -3948,6 +4036,105 @@ object Events {
         |       CAST(n * 10000 // tot AS BIGINT) AS p_bp
         |FROM c JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+    // the same 4-bit HDR geometry (bin()-length log2, shifts), same
+    // lower-quantile ranks over bucket lower bounds
+    "q300_hdr_quantiles" ->
+      s"""WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events WHERE CAST(round(value * 100) AS BIGINT) >= 1),
+        |cells AS (
+        |  SELECT event_type,
+        |         CASE WHEN vc < 16 THEN vc
+        |              ELSE (length(bin(vc)) - 4) * 16
+        |                   + (vc >> (length(bin(vc)) - 5)) - 16 END AS id,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |h AS (
+        |  SELECT event_type,
+        |         CASE WHEN id < 16 THEN id
+        |              ELSE (16 + id % 16) << (id // 16 - 1) END AS v, cnt
+        |  FROM cells),
+        |t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+        |      FROM h GROUP BY 1),
+        |c AS (
+        |  SELECT event_type, v,
+        |         sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM h)
+        |SELECT c.event_type, t.n,
+        |       CAST(min(CASE WHEN cum >= greatest(1, (n * 50 + 99) // 100)
+        |                     THEN v END) AS BIGINT) AS p50_est,
+        |       CAST(min(CASE WHEN cum >= greatest(1, (n * 90 + 99) // 100)
+        |                     THEN v END) AS BIGINT) AS p90_est,
+        |       CAST(min(CASE WHEN cum >= greatest(1, (n * 99 + 99) // 100)
+        |                     THEN v END) AS BIGINT) AS p99_est
+        |FROM c JOIN t USING (event_type)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // exact quantiles from the raw cent histogram beside the sketch
+    // estimates; one-sided err in bp, the 625 bp HDR guarantee asserted
+    "q301_hdr_audit" ->
+      s"""WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events WHERE CAST(round(value * 100) AS BIGINT) >= 1),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM ev GROUP BY 1),
+        |xh AS (
+        |  SELECT event_type, vc AS v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |xc AS (
+        |  SELECT event_type, v,
+        |         sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM xh),
+        |xq AS (
+        |  SELECT xc.event_type,
+        |         CAST(min(CASE WHEN cum >= greatest(1, (n * 50 + 99) // 100)
+        |                       THEN v END) AS BIGINT) AS p50_exact,
+        |         CAST(min(CASE WHEN cum >= greatest(1, (n * 90 + 99) // 100)
+        |                       THEN v END) AS BIGINT) AS p90_exact,
+        |         CAST(min(CASE WHEN cum >= greatest(1, (n * 99 + 99) // 100)
+        |                       THEN v END) AS BIGINT) AS p99_exact
+        |  FROM xc JOIN t USING (event_type) GROUP BY 1),
+        |cells AS (
+        |  SELECT event_type,
+        |         CASE WHEN vc < 16 THEN vc
+        |              ELSE (length(bin(vc)) - 4) * 16
+        |                   + (vc >> (length(bin(vc)) - 5)) - 16 END AS id,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |eh AS (
+        |  SELECT event_type,
+        |         CASE WHEN id < 16 THEN id
+        |              ELSE (16 + id % 16) << (id // 16 - 1) END AS v, cnt
+        |  FROM cells),
+        |ec AS (
+        |  SELECT event_type, v,
+        |         sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM eh),
+        |eq AS (
+        |  SELECT ec.event_type,
+        |         CAST(min(CASE WHEN cum >= greatest(1, (n * 50 + 99) // 100)
+        |                       THEN v END) AS BIGINT) AS p50_est,
+        |         CAST(min(CASE WHEN cum >= greatest(1, (n * 90 + 99) // 100)
+        |                       THEN v END) AS BIGINT) AS p90_est,
+        |         CAST(min(CASE WHEN cum >= greatest(1, (n * 99 + 99) // 100)
+        |                       THEN v END) AS BIGINT) AS p99_est
+        |  FROM ec JOIN t USING (event_type) GROUP BY 1),
+        |j AS (
+        |  SELECT xq.event_type, t.n,
+        |         p50_exact, p50_est,
+        |         (p50_exact - p50_est) * 10000 // p50_exact AS p50_err_bp,
+        |         p90_exact, p90_est,
+        |         (p90_exact - p90_est) * 10000 // p90_exact AS p90_err_bp,
+        |         p99_exact, p99_est,
+        |         (p99_exact - p99_est) * 10000 // p99_exact AS p99_err_bp
+        |  FROM xq JOIN eq USING (event_type) JOIN t USING (event_type))
+        |SELECT *,
+        |       CAST(CASE WHEN p50_err_bp <= 625 AND p90_err_bp <= 625
+        |                      AND p99_err_bp <= 625
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+        |FROM j ORDER BY event_type""".stripMargin,
     // the identical transition counts; Σn² exact, one truncating div
     "q298_transition_impurity" ->
       s"""WITH $transCtes

@@ -763,6 +763,41 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert((ri.getLong(3), ri.getLong(4), ri.getLong(5)) == ((0L, 0L, 0L)))
   }
 
+  test("q300: HDR bucket geometry — lb(id) ≤ v < next lb, ids monotone, small values exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val vs = Seq(1L, 2L, 15L, 16L, 17L, 31L, 32L, 255L, 256L, 257L,
+      4902L, 65535L, 65536L, (1L << 31) - 1, 1L << 31, (1L << 62) - 1)
+    val rows = vs.toDF("vc")
+      .select(col("vc"), expr(Events.hdrBucketSql("vc")).as("id"))
+      .withColumn("lb", expr(Events.hdrLbSql("id")))
+      .withColumn("lbNext", expr(Events.hdrLbSql("(id + 1)")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (v, _, lb, lbNext) =>
+      assert(lb <= v && v < lbNext, s"v=$v lb=$lb next=$lbNext")
+      // the 1/16 relative-error contract: bucket width ≤ lb/16 for v ≥ 16
+      if (v >= 16) assert(lbNext - lb <= lb / 16, s"v=$v width=${lbNext - lb}")
+    }
+    // ids monotone in v; values < 16 are their own (exact) bucket
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+    rows.filter(_._1 < 16).foreach { case (v, id, lb, _) =>
+      assert(id == v && lb == v)
+    }
+  }
+
+  test("q300: HDR cells are additive — shard sketches sum to the whole-corpus sketch") {
+    import spark.implicits._
+    val cents = (1L to 200L).map(i => ("click", i * i % 977 + 1))
+    val whole = Events.hdrCells(cents.toDF("event_type", "vc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (a, b) = cents.splitAt(73)
+    val merged = (Events.hdrCells(a.toDF("event_type", "vc")).collect() ++
+      Events.hdrCells(b.toDF("event_type", "vc")).collect())
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(merged == whole)
+  }
+
   test("q290: KS from known ECDFs — max gap, tie to lowest cent, one-sided NULL") {
     import spark.implicits._
     val cells = Seq(

@@ -457,7 +457,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "q267_pii_scrub", "q274_weekday_profile", "q277_winsorized_mean",
       "q278_source_dup_matrix", "q281_asof_nearest",
       "q287_column_profile", "q288_retention_triangle", "q290_ks_drift",
-      "q293_changepoint", "q295_dispersion", "q298_transition_impurity")
+      "q293_changepoint", "q295_dispersion", "q298_transition_impurity",
+      "q300_hdr_quantiles", "q301_hdr_audit")
     val degraded = strict.flatMap { name =>
       val p = plan(name)
       if (p.collect { case c: CartesianProductExec => c
