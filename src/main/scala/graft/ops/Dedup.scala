@@ -522,6 +522,35 @@ object Dedup {
       .orderBy("component_id")
   }
 
+  /** q303: CLUSTER-SIZE DISTRIBUTION — the shape report over the q61
+    * component structure (q81 lists every cluster; at corpus scale
+    * nobody reads a billion rows — the SIZE HISTOGRAM is what a dedup
+    * run's summary dashboard shows, and its tail is the decision
+    * input: a fat tail of huge clusters means boilerplate/mirror
+    * content a shingle tweak should kill before LSH wastes bands on
+    * it). Per cluster size: cluster count, documents covered, corpus
+    * share, and excess_docs = (size−1)·clusters — exactly the rows a
+    * keep-one policy deletes at that size. Singletons ride as size 1
+    * (the q278 coalesce convention), so the table partitions the
+    * corpus and Σ excess_docs IS the total dedup saving. Scale: the
+    * label join (AQE-elected, no hint — the memoLabels note), one
+    * cluster-keyed count, then everything is size-domain-bounded. */
+  lazy val q303_cluster_sizes: Q = (s, d) => {
+    val labeled = docShingles(s, d).select(col("doc_id"))
+      .join(memoLabels(s, d), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component_id"), col("doc_id")))
+    val hist = labeled.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+    hist
+      .crossJoin(broadcast(hist
+        .agg(sum(expr("sz * n_clusters")).as("n_docs_tot"))))
+      .select(col("sz"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"),
+        expr("sz * n_clusters * 10000 div n_docs_tot").as("docs_share_bp"),
+        ((col("sz") - 1L) * col("n_clusters")).as("excess_docs"))
+      .orderBy("sz")
+  }
+
   /** q278: CROSS-SOURCE DUPLICATION MATRIX — the provenance question
     * behind source-level curation decisions (mirror detection, crawl
     * overlap budgeting): for every source pair, how many near-dup
@@ -1762,6 +1791,7 @@ object Dedup {
     "q63_minhash_recall" -> q63_minhash_recall,
     "q237_lsh_band_sweep" -> q237_lsh_band_sweep,
     "q81_cluster_reps" -> q81_cluster_reps,
+    "q303_cluster_sizes" -> q303_cluster_sizes,
     "q86_leakage_safe_split" -> q86_leakage_safe_split,
     "q89_incremental_neardup" -> q89_incremental_neardup,
     "q105_span_dedup" -> q105_span_dedup,
@@ -1995,6 +2025,27 @@ object Dedup {
     .replaceFirst("^WITH ", "WITH RECURSIVE ")
 
   val oracle: Map[String, String] = Map(
+    // the q61 label chain with singleton coalesce, then the size grid
+    "q303_cluster_sizes" -> withDocs(
+      s"""$ccReachCtes,
+         |comp AS (
+         |  SELECT src AS doc_id,
+         |         CAST(least(src, min(dst)) AS BIGINT) AS component_id
+         |  FROM reach GROUP BY src),
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS cluster_id
+         |  FROM docs d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         |szs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+         |        FROM lab GROUP BY 1),
+         |h AS (SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+         |      FROM szs GROUP BY 1),
+         |t AS (SELECT CAST(sum(sz * n_clusters) AS BIGINT) AS n_docs_tot
+         |      FROM h)
+         |SELECT h.sz, h.n_clusters, h.sz * h.n_clusters AS n_docs,
+         |       h.sz * h.n_clusters * 10000 // t.n_docs_tot AS docs_share_bp,
+         |       (h.sz - 1) * h.n_clusters AS excess_docs
+         |FROM h CROSS JOIN t ORDER BY h.sz""".stripMargin)
+      .replaceFirst("^WITH ", "WITH RECURSIVE "),
     // the q61 label chain, then the same (cluster, source) self-join
     "q278_source_dup_matrix" -> withDocs(
       s"""$ccReachCtes,

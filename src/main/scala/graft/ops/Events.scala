@@ -1749,6 +1749,43 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q302: ENGAGEMENT DECILE / PARETO TABLE — the distribution table
+    * behind q294's single Gini number (a campaign asks "what share of
+    * revenue sits in the top activity decile", not for a coefficient):
+    * users are coded into activity deciles by MIN-RANK on the
+    * events-per-user VALUE HISTOGRAM ([[Robust.rankCodes]] — q297's
+    * machinery at k = 10, never an ntile over the user corpus), and
+    * each decile reports its population, event and revenue shares, and
+    * the cumulative revenue share of it-and-above (the Pareto curve;
+    * heavy ties can leave low deciles empty — absent rows, not
+    * zero-filled). Scale shape: one user-keyed aggregate, a
+    * histogram-built code map joined back narrow, a ≤ 10-row decile
+    * aggregate; the cumulative window runs over those ≤ 10 rows. */
+  val q302_engagement_deciles: Q = (s, d) => {
+    val users = graft.Ckpt.persisted(events(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents")))
+    val n = users.count()
+    val per = users
+      .join(Robust.rankCodes(users, "n_events", n, 10), "n_events")
+      .groupBy(col("n_events_code").as("decile"))
+      .agg(count(lit(1)).as("n_users"), sum("n_events").as("sum_events"),
+        sum("cents").as("sum_cents"))
+    val wc = Window.orderBy(col("decile").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .crossJoin(broadcast(per.agg(sum("sum_events").as("te"),
+        sum("sum_cents").as("tc"))))
+      .withColumn("cum_cents", sum("sum_cents").over(wc))
+      .select(col("decile"), col("n_users"), col("sum_events"),
+        col("sum_cents"),
+        expr("sum_events * 10000 div te").as("events_bp"),
+        expr("sum_cents * 10000 div tc").as("cents_bp"),
+        expr("cum_cents * 10000 div tc").as("cum_top_cents_bp"))
+      .orderBy("decile")
+  }
+
   /** q281: NEAREST AS-OF JOIN — the two-sided variant of q68/q241's
     * backward as-of, the time-series join kdb/QuestDB users reach for
     * ("the quote nearest this trade, either side"): every click gets
@@ -2612,6 +2649,7 @@ object Events {
     "q299_chi2_weekday" -> q299_chi2_weekday,
     "q300_hdr_quantiles" -> q300_hdr_quantiles,
     "q301_hdr_audit" -> q301_hdr_audit,
+    "q302_engagement_deciles" -> q302_engagement_deciles,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -4036,6 +4074,38 @@ object Events {
         |       CAST(n * 10000 // tot AS BIGINT) AS p_bp
         |FROM c JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+    // q297's min-rank code map at k = 10, Pareto cumulative from the
+    // top decile down
+    "q302_engagement_deciles" ->
+      s"""WITH u AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+        |cd AS (
+        |  SELECT n_events,
+        |         10 * (sum(c) OVER (ORDER BY n_events
+        |                 ROWS UNBOUNDED PRECEDING) - c) // nn.n + 1 AS decile
+        |  FROM (SELECT n_events, CAST(count(*) AS BIGINT) AS c
+        |        FROM u GROUP BY 1)
+        |  CROSS JOIN nn),
+        |per AS (
+        |  SELECT cd.decile, CAST(count(*) AS BIGINT) AS n_users,
+        |         CAST(sum(u.n_events) AS BIGINT) AS sum_events,
+        |         CAST(sum(u.cents) AS BIGINT) AS sum_cents
+        |  FROM u JOIN cd ON cd.n_events = u.n_events GROUP BY 1),
+        |t AS (SELECT CAST(sum(sum_events) AS BIGINT) AS te,
+        |             CAST(sum(sum_cents) AS BIGINT) AS tc FROM per),
+        |cc AS (
+        |  SELECT *, sum(sum_cents) OVER (ORDER BY decile DESC
+        |              ROWS UNBOUNDED PRECEDING) AS cum_cents
+        |  FROM per)
+        |SELECT decile, n_users, sum_events, sum_cents,
+        |       sum_events * 10000 // t.te AS events_bp,
+        |       sum_cents * 10000 // t.tc AS cents_bp,
+        |       CAST(cum_cents * 10000 // t.tc AS BIGINT) AS cum_top_cents_bp
+        |FROM cc CROSS JOIN t ORDER BY decile""".stripMargin,
     // the same 4-bit HDR geometry (bin()-length log2, shifts), same
     // lower-quantile ranks over bucket lower bounds
     "q300_hdr_quantiles" ->

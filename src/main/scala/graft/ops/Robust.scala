@@ -273,13 +273,20 @@ object Robust {
     * (4·cumBefore) div n + 1, so ties share a code and the map is
     * value-domain-bounded (never a per-customer rank window). */
   private[graft] def quartileCodes(df: DataFrame, dim: String,
-                                   n: Long): DataFrame = {
+                                   n: Long): DataFrame =
+    rankCodes(df, dim, n, 4)
+
+  /** The general k-tile code map (q297 quartiles, q302 deciles):
+    * (value → code 1–k) by MIN-RANK over the dimension's VALUE
+    * HISTOGRAM — code = (k·cumBefore) div n + 1. */
+  private[graft] def rankCodes(df: DataFrame, dim: String,
+                               n: Long, k: Int): DataFrame = {
     val w = Window.orderBy(dim)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.groupBy(dim).agg(count(lit(1)).as("c"))
       .withColumn("cum", sum("c").over(w))
       .select(col(dim),
-        expr(s"4 * (cum - c) div $n + 1").as(s"${dim}_code"))
+        expr(s"$k * (cum - c) div $n + 1").as(s"${dim}_code"))
   }
 
   /** q297: RFM SEGMENTATION — the classic BI customer cut (Recency /

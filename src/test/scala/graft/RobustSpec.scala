@@ -156,5 +156,13 @@ class RobustSpec extends AnyFunSuite with SparkTestBase {
     val got = Robust.quartileCodes(df, "m", 8L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(5L -> 1L, 7L -> 3L, 9L -> 4L, 11L -> 4L))
+    // k = 10 (q302's deciles): distinct values code 1..10; an all-tied
+    // column collapses to code 1 (min-rank, never an arbitrary ntile cut)
+    val ten = Robust.rankCodes((1L to 10L).toDF("m"), "m", 10L, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ten == (1L to 10L).map(v => v -> v).toMap)
+    val tied = Robust.rankCodes(Seq(7L, 7L, 7L).toDF("m"), "m", 3L, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tied == Map(7L -> 1L))
   }
 }

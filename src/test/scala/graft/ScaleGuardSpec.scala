@@ -27,7 +27,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     "q286_ivf_balance" -> "rank/count windows over the CELL-SIZE table — numCentroids (16) rows, codebook-bounded (Similarity.scala q286 doc)",
     "q292_leadlag" -> "the best-lag argmax window runs over the 15-row LAG frame (one row per lag in [-7, 7]) — spine-bounded, never the day or event count (Events.scala q292 doc)",
     "q294_spend_gini" -> "the cumulative-count window runs over the spend-cents VALUE HISTOGRAM (one row per distinct spend — value-domain-bounded, never the user count; Events.scala q294 doc)",
-    "q297_rfm_segments" -> "the three quartile-code windows each run over a per-dimension VALUE HISTOGRAM (distinct days / order counts / spend cents — value-domain-bounded, never the customer count; Robust.quartileCodes doc)")
+    "q297_rfm_segments" -> "the three quartile-code windows each run over a per-dimension VALUE HISTOGRAM (distinct days / order counts / spend cents — value-domain-bounded, never the customer count; Robust.quartileCodes doc)",
+    "q302_engagement_deciles" -> "the decile-code window runs over the events-per-user VALUE HISTOGRAM and the Pareto cumulative over the <= 10 decile rows — both bounded, never the user count (Events.scala q302 doc)")
 
   private def globalWindows(plan: LogicalPlan): Seq[LWindow] =
     plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
@@ -477,6 +478,7 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     Seq("q258_tpch_q11", "q261_rolling_actives_audit",
       "q289_interleave_schedule", "q294_spend_gini",
       "q296_item_cooccurrence", "q299_chi2_weekday",
+      "q302_engagement_deciles", "q303_cluster_sizes",
       "q268_mixture_temperature", "q269_hard_negatives",
       "q270_epoch_allocation", "q271_audience_sketch",
       "q272_audience_audit", "q273_erasure_sweep",
