@@ -856,6 +856,47 @@ object EventStream {
         col("cent"), col("cnt")))
   }
 
+  /** Watermarked HDR-CELL feed — q300's streaming twin, the third
+    * member of the additive-cell stream family (drift buckets, cent
+    * cells, HDR cells): per-day (type, id) HDR bucket counts emitted
+    * in APPEND mode once the watermark closes the day. Cells are
+    * ADDITIVE (the q300 merge law), so summing the emitted days per
+    * (type, id) and running the shared quantile selection reproduces
+    * batch q300 verbatim over the on-time rows ([[hdrReportBatch]]).
+    * State: ≤ types × ~1000 cells per open day — bounded by the HDR
+    * geometry for ANY value distribution, which is exactly why this
+    * sketch (and not the raw cent histogram) is the shape you stream
+    * over an unbounded domain. */
+  def hdrCellsStream(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", timestamp_seconds(col("es")))
+      .withWatermark("ts", lateness)
+      .withColumn("vc", expr("CAST(round(value * 100) AS BIGINT)"))
+      .where(col("vc") >= 1L)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"),
+        expr(graft.ops.Events.hdrBucketSql("vc")).as("id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"),
+        expr("CAST(unix_timestamp(w.start) div 86400 AS BIGINT)").as("day"),
+        col("id"), col("cnt"))
+
+  /** foreachBatch consumer for [[hdrCellsStream]] — folds the emitted
+    * per-day cells per (type, id) and serves the quantile marks
+    * through the SHARED machinery ([[graft.ops.Events.hdrLbSql]] +
+    * [[graft.ops.Robust.histQuantiles]]): one definition with gated
+    * batch q300. */
+  def hdrReportBatch(cellsBatch: DataFrame): DataFrame = {
+    import graft.ops.{Events, Robust}
+    Robust.histQuantiles(
+      cellsBatch.groupBy("event_type", "id").agg(sum("cnt").as("cnt"))
+        .select(col("event_type").as("group"),
+          expr(Events.hdrLbSql("id")).as("v"), col("cnt")),
+      Seq(50 -> "p50_est", 90 -> "p90_est", 99 -> "p99_est"))
+      .select(col("group").as("event_type"), col("n"),
+        col("p50_est"), col("p90_est"), col("p99_est"))
+      .orderBy("event_type")
+  }
+
   /** FIRST-SEEN COHORT feed — the streaming half of q288's cohort
     * stage: each arriving (user, day) is emitted exactly once, at the
     * user's FIRST ARRIVAL, carrying the cohort day a retention

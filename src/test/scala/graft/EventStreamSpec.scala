@@ -1916,6 +1916,53 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("hdrCellsStream: folded cells serve the exact batch HDR quantiles; late row dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, sum}
+    import graft.ops.Events
+    val day0 = 86400L * 100
+    // values spread across two days and three HDR buckets
+    val onTime = Seq(
+      (day0 + 100L, 0.05, "click"), (day0 + 200L, 0.31, "click"),
+      (day0 + 300L, 2.5, "click"),
+      (day0 + 86400 + 100L, 2.55, "click"), (day0 + 86400 + 200L, 40.0, "click"))
+    val input = MemoryStream[(Long, Double, String)]
+    val query = EventStream
+      .hdrCellsStream(input.toDS().toDF("es", "value", "event_type"))
+      .writeStream.format("memory").queryName("hdrc").outputMode("append").start()
+    try {
+      input.addData(onTime.take(3)); query.processAllAvailable()
+      input.addData(onTime.drop(3)); query.processAllAvailable()
+      // close both days, then a straggler into day 0 — must change nothing
+      input.addData((day0 + 3 * 86400, 1.0, "view")); query.processAllAvailable()
+      input.addData((day0 + 400L, 0.05, "click")); query.processAllAvailable()
+      input.addData((day0 + 3 * 86400 + 100L, 1.0, "view")); query.processAllAvailable()
+      val cells = spark.table("hdrc")
+        .select("event_type", "day", "id", "cnt").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val dropped = query.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L, "the beyond-watermark straggler must drop")
+      // the folded stream cells equal the batch sketch over on-time rows
+      val batchCells = Events.hdrCells(onTime.toDF("es", "value", "event_type")
+          .select(col("event_type"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("vc")))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val folded = cells.groupBy(c => (c._1, c._3))
+        .view.mapValues(_.map(_._4).sum).toMap
+      assert(folded == batchCells)
+      // and the served report agrees with the shared selection machinery
+      val rep = EventStream.hdrReportBatch(
+        cells.toSeq.toDF("event_type", "day", "id", "cnt"))
+        .where(col("event_type") === "click").collect().head
+      // cents 5, 31, 250, 255, 4000 → lbs 5, 31, 248 (cnt 2: 250 and
+      // 255 share bucket [248, 256)), 3968; ranks 3/5/5 → 248, 3968
+      assert((rep.getLong(1), rep.getLong(2), rep.getLong(3), rep.getLong(4)) ==
+        ((5L, 248L, 3968L, 3968L)))
+    } finally query.stop()
+  }
+
   test("newUsersStream: in-order parity with batch cohorts; out-of-order keeps first arrival") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
