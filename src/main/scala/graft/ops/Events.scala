@@ -1091,6 +1091,58 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q304 horizon — shared by the driver fold, the generated oracle
+    * and the spec. */
+  private[graft] val absIters = 3
+
+  /** q304: K-STEP CONVERSION ABSORPTION — the forward-looking
+    * composition over the q201 transition matrix (q238 asks "where do
+    * journeys flow", q298 "how predictable is the next step"; this
+    * asks the operator's question: "from each event type, what is the
+    * probability of REACHING a purchase within k steps?"). Purchase is
+    * absorbing: hₖ(t) = p(t→buy) + Σ_{j≠buy} p(t→j)·hₖ₋₁(j), computed
+    * in integer ppm with the row total as the ONE common denominator —
+    * hₖ(t) = (n_{t,buy}·10⁶ + Σ n_{t,j}·hₖ₋₁(j)) div tot_t, a single
+    * truncating division per (type, step), no per-term truncation, so
+    * the 3-step trajectory is bit-identical cross-engine (the q238
+    * integer-recurrence rule). Types with no outgoing transitions
+    * absorb nothing (h = 0). Bound: Σⱼ n_{t,j}·h ≤ tot_t·10⁶ keeps the
+    * numerator under 2⁶³ while tot_t < 9·10¹²; the oracle runs HUGEINT
+    * regardless. Scale: the corpus work is the one sessionized pass;
+    * the fold is the q238 bounded #types² driver class, the oracle
+    * replays all steps as chained CTEs. */
+  lazy val q304_absorption: Q = (s, d) => {
+    import s.implicits._
+    val edges = sessionTransitions(s, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    absorptionFold(edges.toSeq, "purchase")
+      .toDF("event_type", "h1_ppm", "h2_ppm", "h3_ppm")
+      .orderBy("event_type")
+  }
+
+  /** q304's bounded driver fold over a (from, to, n) edge list —
+    * factored (pure collections) so the spec can pin the recursion on
+    * a hand graph. */
+  private[graft] def absorptionFold(edges: Seq[(String, String, Long)],
+      target: String): Seq[(String, Long, Long, Long)] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted.toIndexedSeq
+    val tot = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var h: Map[String, Long] = nodes.map(_ -> 0L).toMap
+    var steps = List.empty[Map[String, Long]]
+    for (_ <- 1 to absIters) {
+      h = nodes.map { t =>
+        t -> tot.get(t).filter(_ > 0).fold(0L) { tt =>
+          edges.filter(_._1 == t).map { case (_, j, nij) =>
+            if (j == target) nij * 1000000L else nij * h(j)
+          }.sum / tt
+        }
+      }.toMap
+      steps = h :: steps
+    }
+    val Seq(h3, h2, h1) = steps
+    nodes.map(t => (t, h1(t), h2(t), h3(t)))
+  }
+
   /** q277: WINSORIZED MEAN per event type — the robust-location rung
     * between the plain mean (one whale moves it arbitrarily) and
     * q184's MAD machinery: clamp values at the p5/p95 marks and
@@ -2650,6 +2702,7 @@ object Events {
     "q300_hdr_quantiles" -> q300_hdr_quantiles,
     "q301_hdr_audit" -> q301_hdr_audit,
     "q302_engagement_deciles" -> q302_engagement_deciles,
+    "q304_absorption" -> q304_absorption,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -4205,6 +4258,41 @@ object Events {
         |                      AND p99_err_bp <= 625
         |                 THEN 1 ELSE 0 END AS BIGINT) AS within_bound
         |FROM j ORDER BY event_type""".stripMargin,
+    // the same common-denominator ppm recursion as chained CTEs,
+    // purchase absorbing, dangling rows at h = 0
+    "q304_absorption" -> {
+      val steps = (1 to absIters).map { k =>
+        s"""con$k AS (
+           |  SELECT e.from_type AS t,
+           |         CAST(sum(CASE WHEN e.to_type = 'purchase'
+           |                       THEN CAST(e.n AS HUGEINT) * 1000000
+           |                       ELSE CAST(e.n AS HUGEINT) * hp.h END)
+           |              AS HUGEINT) AS num
+           |  FROM c e JOIN h${k - 1} hp ON hp.t = e.to_type
+           |  GROUP BY 1),
+           |h$k AS (
+           |  SELECT n0.t,
+           |         CASE WHEN tt.tot IS NULL OR tt.tot = 0 THEN 0
+           |              ELSE coalesce(cc.num, 0) // CAST(tt.tot AS HUGEINT)
+           |         END AS h
+           |  FROM nodes n0
+           |  LEFT JOIN con$k cc ON cc.t = n0.t
+           |  LEFT JOIN tots tt ON tt.from_type = n0.t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $transCtes,
+         |tots AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+         |         FROM c GROUP BY 1),
+         |nodes AS (SELECT DISTINCT t FROM
+         |  (SELECT from_type AS t FROM c UNION SELECT to_type FROM c)),
+         |h0 AS (SELECT t, CAST(0 AS HUGEINT) AS h FROM nodes),
+         |$steps
+         |SELECT h1.t AS event_type,
+         |       CAST(h1.h AS BIGINT) AS h1_ppm,
+         |       CAST(h2.h AS BIGINT) AS h2_ppm,
+         |       CAST(h3.h AS BIGINT) AS h3_ppm
+         |FROM h1 JOIN h2 ON h2.t = h1.t JOIN h3 ON h3.t = h1.t
+         |ORDER BY event_type""".stripMargin
+    },
     // the identical transition counts; Σn² exact, one truncating div
     "q298_transition_impurity" ->
       s"""WITH $transCtes

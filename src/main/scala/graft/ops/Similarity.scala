@@ -2160,7 +2160,51 @@ object Similarity {
     covMomentsAcc(s.read.parquet(s"$d/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
 
+  /** q305: EMBEDDING BATCH DRIFT — the drift monitor for the VECTOR
+    * side of the pipeline (q229/q290 watch the tabular feed; an
+    * embedding model silently retrained or a feature pipeline change
+    * moves the vector space underneath every ANN index): per label,
+    * the two deterministic id-bucket halves of the corpus (the q70
+    * hash-split convention — batch A = bucket < 50) are compared by
+    * per-dimension MEAN gap — L1 distance between the half-centroids
+    * in e6 quantized units, pure integers end-to-end (components are
+    * floor-quantized to ppm FIRST, the q275 convention; means are
+    * truncating divs; no cosine, no sqrt — a mean L1 shift is the
+    * re-index trigger, not an angle). avg_dim_gap_e6 = l1 div 64;
+    * drifted fires above 0.01 (10000 e6-units). On the static corpus
+    * the halves agree — an honest near-zero readout, the q246-style
+    * negative control. Scale: one posexplode pass to (label, half,
+    * dim) integer sums — 2·labels·64 cells — then everything is
+    * cell-bounded. */
+  val q305_embedding_drift: Q = (s, d) => {
+    val comp = s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("half",
+        when(TextCore.idBucket(col("vec_id")) < 50, 0L).otherwise(1L))
+      .select(col("label"), col("half"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("label"), col("half"), col("dim"),
+        expr("CAST(floor(x * 1000000 + CAST(1 AS DOUBLE) / 2) AS BIGINT)")
+          .as("xq"))
+      .groupBy("label", "half", "dim")
+      .agg(sum("xq").as("cs"), count(lit(1)).as("n"))
+      .withColumn("m", expr("cs div n"))
+    val a = comp.where(col("half") === 0L)
+      .select(col("label"), col("dim"), col("m").as("ma"), col("n").as("na"))
+    val b = comp.where(col("half") === 1L)
+      .select(col("label"), col("dim"), col("m").as("mb"), col("n").as("nb"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy("label")
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        sum(abs(col("ma") - col("mb"))).as("l1_e6"))
+      .withColumn("avg_dim_gap_e6", expr("l1_e6 div 64"))
+      .withColumn("drifted",
+        when(col("avg_dim_gap_e6") > 10000L, 1L).otherwise(0L))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q305_embedding_drift" -> q305_embedding_drift,
     "q182_cov_merge" -> q182_cov_merge,
     "q176_codebook_refresh" -> q176_codebook_refresh,
     "q200_mmr_select" -> q200_mmr_select,
@@ -2528,6 +2572,34 @@ object Similarity {
        |$adcTailSql""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the same hash halves, ppm component quantization, truncating
+    // means, and per-label L1 over the 64 dimensions
+    "q305_embedding_drift" ->
+      s"""WITH comp AS (
+         |  SELECT CAST(label AS BIGINT) AS label,
+         |         CASE WHEN ${TextCore.idBucketSql("vec_id")} < 50
+         |              THEN 0 ELSE 1 END AS half,
+         |         d.dim,
+         |         CAST(sum(CAST(floor(CAST(embedding AS DOUBLE[])[d.dim + 1]
+         |                             * 1000000
+         |                             + CAST(1 AS DOUBLE) / 2) AS BIGINT))
+         |              AS BIGINT) AS cs,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM embeddings, (SELECT unnest(range(0, 64)) AS dim) d
+         |  GROUP BY 1, 2, 3),
+         |m AS (SELECT label, half, dim, cs // n AS m, n FROM comp),
+         |a AS (SELECT label, dim, m AS ma, n AS na FROM m WHERE half = 0),
+         |b AS (SELECT label, dim, m AS mb, n AS nb FROM m WHERE half = 1),
+         |j AS (
+         |  SELECT a.label, CAST(max(a.na) AS BIGINT) AS n_a,
+         |         CAST(max(b.nb) AS BIGINT) AS n_b,
+         |         CAST(sum(abs(a.ma - b.mb)) AS BIGINT) AS l1_e6
+         |  FROM a JOIN b ON b.label = a.label AND b.dim = a.dim
+         |  GROUP BY 1)
+         |SELECT label, n_a, n_b, l1_e6, l1_e6 // 64 AS avg_dim_gap_e6,
+         |       CAST(CASE WHEN l1_e6 // 64 > 10000 THEN 1 ELSE 0 END
+         |            AS BIGINT) AS drifted
+         |FROM j ORDER BY label""".stripMargin,
     // same bounded panel, same rank pivot, same fixed-order chained
     // sum, same integer cross-multiplication accept test — the margin
     // and the decision are both gated, not just the pair set

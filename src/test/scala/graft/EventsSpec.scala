@@ -798,6 +798,21 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(merged == whole)
   }
 
+  test("q304: absorption recursion on a hand graph — common-denominator ppm") {
+    // a → buy (1) / a → b (1); b → buy (2). h1(a) = 1e6/2; h2(a) = 1e6
+    // (the a → b path reaches buy on the second step); buy itself never
+    // recurses (absorbing); c has no outgoing edges → 0 at every step.
+    val edges = Seq(("a", "purchase", 1L), ("a", "b", 1L),
+      ("b", "purchase", 2L), ("purchase", "c", 1L))
+    val got = graft.ops.Events.absorptionFold(edges, "purchase")
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((500000L, 1000000L, 1000000L)))
+    assert(got("b") == ((1000000L, 1000000L, 1000000L)))
+    assert(got("c") == ((0L, 0L, 0L)))
+    // 'purchase' as a START: its only move is to c, which never converts
+    assert(got("purchase") == ((0L, 0L, 0L)))
+  }
+
   test("q290: KS from known ECDFs — max gap, tie to lowest cent, one-sided NULL") {
     import spark.implicits._
     val cells = Seq(
