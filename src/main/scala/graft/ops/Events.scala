@@ -1838,6 +1838,48 @@ object Events {
       .orderBy("decile")
   }
 
+  /** q306: ITEM-TO-ITEM NEIGHBOR TABLE — the serving artifact built
+    * from q296's symmetric co-occurrence statistics (q296 ranks the
+    * global pair list; a recommender serves "given item k, the top-3
+    * related items", which needs the PER-ITEM ranking): for every item,
+    * its top 3 neighbors by co-user support (ties by lift desc, then
+    * item id — a total order), with Jaccard and lift riding along.
+    * Scale shape: the same one user-keyed self-join as q296 (symmetric
+    * this time), aggregates on the item²-bounded grid, and the top-3
+    * rank filter plans as a partial WindowGroupLimit (the q165 pin) —
+    * per-item groups are item-domain-bounded. */
+  val q306_item_neighbors: Q = (s, d) => {
+    val ui = graft.Ckpt.persisted(events(s, d)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .where(col("k").isNotNull)
+      .distinct())
+    val perItem = ui.groupBy("k").agg(count(lit(1)).as("n_item"))
+    val universe = ui.select("user_id").distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val pairs = ui.join(ui.select(col("user_id"), col("k").as("k2")), "user_id")
+      .where(col("k") =!= col("k2"))
+      .groupBy(col("k"), col("k2"))
+      .agg(count(lit(1)).as("co_users"))
+      .join(broadcast(perItem.select(col("k"), col("n_item").as("na"))), "k")
+      .join(broadcast(perItem.select(col("k").as("k2"),
+        col("n_item").as("nb"))), "k2")
+      .crossJoin(broadcast(universe))
+      .withColumn("lift_bp", expr(
+        """CAST(CAST(co_users AS DECIMAL(38, 0)) * n_users * 10000
+           div (CAST(na AS DECIMAL(38, 0)) * nb) AS BIGINT)"""))
+    val w = Window.partitionBy("k")
+      .orderBy(col("co_users").desc, col("lift_bp").desc, col("k2").asc)
+    pairs
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("k"), col("rnk"), col("k2").as("neighbor"),
+        col("co_users"),
+        expr("co_users * 10000 div (na + nb - co_users)").as("jaccard_bp"),
+        col("lift_bp"))
+      .orderBy("k", "rnk")
+  }
+
   /** q281: NEAREST AS-OF JOIN — the two-sided variant of q68/q241's
     * backward as-of, the time-series join kdb/QuestDB users reach for
     * ("the quote nearest this trade, either side"): every click gets
@@ -2703,6 +2745,7 @@ object Events {
     "q301_hdr_audit" -> q301_hdr_audit,
     "q302_engagement_deciles" -> q302_engagement_deciles,
     "q304_absorption" -> q304_absorption,
+    "q306_item_neighbors" -> q306_item_neighbors,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -3670,6 +3713,37 @@ object Events {
          |                                // ((n_days - 1) * sx) END) > 15000
          |                 THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
          |FROM m ORDER BY event_type""".stripMargin,
+    // the symmetric pair grid, per-item top-3 by (support, lift, id)
+    "q306_item_neighbors" ->
+      s"""WITH ui AS (
+         |  SELECT DISTINCT user_id,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |  FROM events
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+         |pi AS (SELECT k, CAST(count(*) AS BIGINT) AS n_item FROM ui GROUP BY 1),
+         |u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ui),
+         |p AS (
+         |  SELECT a.k AS k, b.k AS k2, CAST(count(*) AS BIGINT) AS co_users
+         |  FROM ui a JOIN ui b ON b.user_id = a.user_id AND a.k <> b.k
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT p.k, p.k2, p.co_users,
+         |         p.co_users * 10000 // (na.n_item + nb.n_item - p.co_users)
+         |           AS jaccard_bp,
+         |         CAST(CAST(p.co_users AS HUGEINT) * u.n_users * 10000
+         |              // (CAST(na.n_item AS HUGEINT) * nb.n_item) AS BIGINT)
+         |           AS lift_bp
+         |  FROM p
+         |  JOIN pi na ON na.k = p.k
+         |  JOIN pi nb ON nb.k = p.k2
+         |  CROSS JOIN u),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY k
+         |           ORDER BY co_users DESC, lift_bp DESC, k2 ASC) AS rnk
+         |  FROM sc)
+         |SELECT k, CAST(rnk AS BIGINT) AS rnk, k2 AS neighbor, co_users,
+         |       jaccard_bp, lift_bp
+         |FROM r WHERE rnk <= 3 ORDER BY k, rnk""".stripMargin,
     // distinct (user, item) self-join, item-pair grid aggregates,
     // top 20 by (support, k1, k2)
     "q296_item_cooccurrence" ->

@@ -1792,7 +1792,34 @@ object TextStats {
       .limit(collocTopK)
   }
 
+  /** q307: VOCABULARY SHAPE AUDIT per source — the Zipf-tail readout
+    * that q41 (per-lang counts) and q42 (per-doc TTR) don't expose:
+    * per source, the distinct-type count, the HAPAX share (types seen
+    * exactly once — a synthetic/templated source has almost none; an
+    * OCR-noise source has too many), and the head mass (share of all
+    * tokens taken by the single most frequent type — boilerplate
+    * screams here). All integer basis points off one (source, word)
+    * count table; the head-mass argmax window partitions per source
+    * over its vocabulary (vocabulary-bounded, never token count).
+    * Both tails of the curve in one row — the source-triage signal a
+    * curation run reads next to q83's duplication stats. */
+  val q307_vocab_shape: Q = (s, d) => {
+    val wc = docShingles(s, d)
+      .select(col("source"), explode(col("words")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    wc.groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        max("c").as("top_c"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("n_types * 10000 div n_tokens").as("ttr_bp"),
+        expr("n_hapax * 10000 div n_types").as("hapax_bp"),
+        expr("top_c * 10000 div n_tokens").as("head_mass_bp"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q307_vocab_shape" -> q307_vocab_shape,
     "q168_hist_quantiles" -> q168_hist_quantiles,
     "q171_bloom_membership" -> q171_bloom_membership,
     "q40_lang_id" -> q40_lang_id,
@@ -2105,6 +2132,22 @@ object TextStats {
        |ORDER BY lang""".stripMargin)
 
   val oracle: Map[String, String] = Map(
+    // one (source, word) count table; both tails in truncating bp
+    "q307_vocab_shape" -> withDocs(
+      """, wc AS (
+        |  SELECT source, w.w AS w, CAST(count(*) AS BIGINT) AS c
+        |  FROM docs, unnest(words) AS w(w)
+        |  GROUP BY 1, 2)
+        |SELECT source,
+        |       CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(count(*) AS BIGINT) * 10000 // CAST(sum(c) AS BIGINT)
+        |         AS ttr_bp,
+        |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+        |         // CAST(count(*) AS BIGINT) AS hapax_bp,
+        |       CAST(max(c) AS BIGINT) * 10000 // CAST(sum(c) AS BIGINT)
+        |         AS head_mass_bp
+        |FROM wc GROUP BY source ORDER BY source""".stripMargin),
     // the same bigram multiset-vs-set arithmetic over the shared words
     "q266_repetition_filter" -> withDocs(
       s""", g AS (

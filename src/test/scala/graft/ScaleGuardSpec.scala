@@ -459,7 +459,7 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "q278_source_dup_matrix", "q281_asof_nearest",
       "q287_column_profile", "q288_retention_triangle", "q290_ks_drift",
       "q293_changepoint", "q295_dispersion", "q298_transition_impurity",
-      "q300_hdr_quantiles", "q301_hdr_audit")
+      "q300_hdr_quantiles", "q301_hdr_audit", "q307_vocab_shape")
     val degraded = strict.flatMap { name =>
       val p = plan(name)
       if (p.collect { case c: CartesianProductExec => c
@@ -479,6 +479,7 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "q289_interleave_schedule", "q294_spend_gini",
       "q296_item_cooccurrence", "q299_chi2_weekday",
       "q302_engagement_deciles", "q303_cluster_sizes",
+      "q306_item_neighbors",
       "q268_mixture_temperature", "q269_hard_negatives",
       "q270_epoch_allocation", "q271_audience_sketch",
       "q272_audience_audit", "q273_erasure_sweep",
@@ -577,7 +578,7 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     val topK = Seq("q36_knn_brute" -> 2, "q64_rare_terms" -> 2,
       "q71_balanced_sample" -> 2, "q94_tfidf_terms" -> 2,
       "q108_pq_encode" -> 2, "q109_pq_adc_recall" -> 4,
-      "q110_ivfpq_recall" -> 6)
+      "q110_ivfpq_recall" -> 6, "q306_item_neighbors" -> 2)
     val offenders = topK.flatMap { case (name, minimum) =>
       val got = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.sparkPlan.collect {
