@@ -1268,6 +1268,43 @@ object TextStats {
       .orderBy("label", "pred")
   }
 
+  /** q308: SCORE CALIBRATION CURVE — the reliability readout for
+    * q163's trained scorer (the confusion matrix says WHETHER the sign
+    * is right; a curation pipeline thresholding on the margin needs to
+    * know the label rate AT each score level): held-out documents are
+    * binned into margin deciles by MIN-RANK on the margin VALUE
+    * HISTOGRAM ([[graft.ops.Robust.rankCodes]] — never a rank window
+    * over the doc corpus), and each bin reports its positive-label
+    * rate beside its mean margin — a monotone curve = a thresholdable
+    * score. The margins are the IDENTICAL serve pass q163 gates
+    * (shared weights, features, labels; the oracle reuses q163's
+    * unrolled training CTEs verbatim). Scale: q163's serve shape plus
+    * a histogram-bounded code map and a ≤ 10-row aggregate. */
+  lazy val q308_score_calibration: Q = (s, d) => {
+    import s.implicits._
+    val wSeq = qpTrain(s, d)
+    val wdf =
+      if (wSeq.isEmpty) Seq.empty[(Long, Long)].toDF("b", "w")
+      else wSeq.toDF("b", "w")
+    val test = docShingles(s, d).where(idBucket(col("doc_id")) >= 80)
+    val scored = graft.Ckpt.persisted(
+      qpFeatures(test).join(broadcast(wdf), Seq("b"), "left")
+        .groupBy("doc_id")
+        .agg(sum(coalesce(col("w"), lit(0L)) * col("x")).as("m"))
+        .join(qpLabels(test), "doc_id"))
+    val n = scored.count()
+    scored
+      .join(graft.ops.Robust.rankCodes(scored, "m", n, 10), "m")
+      .groupBy(col("m_code").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        sum("m").as("sum_m"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        expr("n_pos * 10000 div n_docs").as("pos_rate_bp"),
+        expr("sum_m div n_docs").as("mean_margin"))
+      .orderBy("bin")
+  }
+
   /** q152 HLL geometry: m = 16 registers, addressed by the doc-id md5's
     * first 4 hex digits mod 16; the NEXT 8 hex digits (32 bits) feed the
     * leading-zero rank. The harmonic sum is kept as an INTEGER scaled by
@@ -1820,6 +1857,7 @@ object TextStats {
 
   val queries: Map[String, Q] = Map(
     "q307_vocab_shape" -> q307_vocab_shape,
+    "q308_score_calibration" -> q308_score_calibration,
     "q168_hist_quantiles" -> q168_hist_quantiles,
     "q171_bloom_membership" -> q171_bloom_membership,
     "q40_lang_id" -> q40_lang_id,
@@ -2130,6 +2168,39 @@ object TextStats {
        |           AS hll_est
        |  FROM agg JOIN ex USING (lang))
        |ORDER BY lang""".stripMargin)
+
+  /** q163's whole training chain as oracle CTEs (through `mt` =
+    * per-held-out-doc margin and `labt` = held-out labels) — shared
+    * with q308 so the calibration bins read the IDENTICAL margins the
+    * confusion matrix gates. */
+  private lazy val qpOracleCtes: String =
+    s""", $qualCte,
+         |cnts AS (
+         |  SELECT doc_id,
+         |         CAST(len(words) AS BIGINT) AS nt,
+         |         CAST(len(list_distinct(words)) AS BIGINT) AS nd,
+         |         CAST(len(list_filter(words, w -> list_contains([$stopList], w)))
+         |              AS BIGINT) AS ns
+         |  FROM docs),
+         |feat AS (
+         |  SELECT doc_id, CAST(-1 AS BIGINT) AS b, CAST(1 AS BIGINT) AS x FROM cnts
+         |  UNION ALL SELECT doc_id, CAST(0 AS BIGINT), nt FROM cnts
+         |  UNION ALL SELECT doc_id, CAST(1 AS BIGINT), nd FROM cnts
+         |  UNION ALL SELECT doc_id, CAST(2 AS BIGINT), ns FROM cnts),
+         |featr AS MATERIALIZED (SELECT * FROM feat WHERE ${TextCore.idBucketSql("doc_id")} < 80),
+         |featt AS MATERIALIZED (SELECT * FROM feat WHERE ${TextCore.idBucketSql("doc_id")} >= 80),
+         |lab AS MATERIALIZED (
+         |  SELECT doc_id, CAST(CASE WHEN score >= $qpTau THEN 1 ELSE -1 END AS BIGINT) AS y
+         |  FROM qual WHERE ${TextCore.idBucketSql("doc_id")} < 80),
+         |labt AS MATERIALIZED (
+         |  SELECT doc_id, CAST(CASE WHEN score >= $qpTau THEN 1 ELSE -1 END AS BIGINT) AS y
+         |  FROM qual WHERE ${TextCore.idBucketSql("doc_id")} >= 80),
+         |w0 AS (SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS w WHERE 1 = 0),
+         |${(1 to qpEpochs).map(qpEpochCte).mkString(",\n")},
+         |mt AS (
+         |  SELECT f.doc_id, coalesce(sum(w.w * f.x), 0) AS m
+         |  FROM featt f LEFT JOIN w$qpEpochs w USING (b) GROUP BY 1)"""
+      .stripMargin
 
   val oracle: Map[String, String] = Map(
     // one (source, word) count table; both tails in truncating bp
@@ -2629,37 +2700,30 @@ object TextStats {
     // serve on the held-out split — any divergence in a single weight
     // flips predictions and fails
     "q163_quality_perceptron" -> withDocs(
-      s""", $qualCte,
-         |cnts AS (
-         |  SELECT doc_id,
-         |         CAST(len(words) AS BIGINT) AS nt,
-         |         CAST(len(list_distinct(words)) AS BIGINT) AS nd,
-         |         CAST(len(list_filter(words, w -> list_contains([$stopList], w)))
-         |              AS BIGINT) AS ns
-         |  FROM docs),
-         |feat AS (
-         |  SELECT doc_id, CAST(-1 AS BIGINT) AS b, CAST(1 AS BIGINT) AS x FROM cnts
-         |  UNION ALL SELECT doc_id, CAST(0 AS BIGINT), nt FROM cnts
-         |  UNION ALL SELECT doc_id, CAST(1 AS BIGINT), nd FROM cnts
-         |  UNION ALL SELECT doc_id, CAST(2 AS BIGINT), ns FROM cnts),
-         |featr AS MATERIALIZED (SELECT * FROM feat WHERE ${TextCore.idBucketSql("doc_id")} < 80),
-         |featt AS MATERIALIZED (SELECT * FROM feat WHERE ${TextCore.idBucketSql("doc_id")} >= 80),
-         |lab AS MATERIALIZED (
-         |  SELECT doc_id, CAST(CASE WHEN score >= $qpTau THEN 1 ELSE -1 END AS BIGINT) AS y
-         |  FROM qual WHERE ${TextCore.idBucketSql("doc_id")} < 80),
-         |labt AS MATERIALIZED (
-         |  SELECT doc_id, CAST(CASE WHEN score >= $qpTau THEN 1 ELSE -1 END AS BIGINT) AS y
-         |  FROM qual WHERE ${TextCore.idBucketSql("doc_id")} >= 80),
-         |w0 AS (SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS w WHERE 1 = 0),
-         |${(1 to qpEpochs).map(qpEpochCte).mkString(",\n")},
-         |mt AS (
-         |  SELECT f.doc_id, coalesce(sum(w.w * f.x), 0) AS m
-         |  FROM featt f LEFT JOIN w$qpEpochs w USING (b) GROUP BY 1)
+      s"""$qpOracleCtes
          |SELECT CAST(l.y AS BIGINT) AS label,
          |       CAST(CASE WHEN m.m > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
          |       CAST(count(*) AS BIGINT) AS n_docs
          |FROM mt m JOIN labt l USING (doc_id)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // q163's training chain verbatim, then min-rank margin deciles
+    "q308_score_calibration" -> withDocs(
+      s"""$qpOracleCtes,
+         |hm AS (SELECT m, CAST(count(*) AS BIGINT) AS c FROM mt GROUP BY 1),
+         |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM mt),
+         |cdm AS (
+         |  SELECT m, 10 * (sum(c) OVER (ORDER BY m
+         |              ROWS UNBOUNDED PRECEDING) - c) // n2.n + 1 AS bin
+         |  FROM hm CROSS JOIN n2)
+         |SELECT cdm.bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN l.y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_pos,
+         |       CAST(sum(CASE WHEN l.y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         * 10000 // CAST(count(*) AS BIGINT) AS pos_rate_bp,
+         |       CAST(sum(mt.m) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |         AS mean_margin
+         |FROM mt JOIN cdm USING (m) JOIN labt l USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
     // the full-corpus training chain retrained from scratch, then the
     // same per-word merge replay grouped by lang — matching proves the
     // model artifact round-trips bit-exactly

@@ -81,6 +81,9 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       // narrow integer aggregations and its final frame is a groupBy
       // with no window at all
       "q163_quality_perceptron",
+      // q308 reuses q163's memoized training at construction; its own
+      // windows are the histogram-bounded rankCodes map
+      "q308_score_calibration",
       // q200 runs the MMR greedy loop at construction (pool + pairwise
       // cosines collected — kilobytes); its pool plan is q36's
       // TakeOrderedAndProject shape with a 1-row query BNLJ ride, and
