@@ -1880,6 +1880,35 @@ object Events {
       .orderBy("k", "rnk")
   }
 
+  /** q309: SEASONAL-NAIVE FORECAST BACKTEST — the accountability rung
+    * for the daily family (q274 profiles the weekly rhythm, q283
+    * detects it; an ops team asks "how well would the trivial
+    * same-weekday-last-week forecast have done?" — the baseline any
+    * fancier model must beat): per type, over every day with a lag-7
+    * predecessor, forecast(d) = cnt(d−7), and the report is MAE
+    * (truncating mean of |err|) and MAPE in basis points
+    * (Σ|err|·10⁴ div Σ actual — the aggregate-ratio form, no per-day
+    * division so zero-count days cannot divide by zero). Pure integer
+    * throughout. Scale: two calendar-bounded passes (the daily table
+    * and its lag-7 self-join — the q283 shape). */
+  val q309_forecast_backtest: Q = (s, d) => {
+    val daily = graft.Ckpt.persisted(events(s, d)
+      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
+      .agg(count(lit(1)).as("cnt")))
+    daily
+      .join(daily.select(col("event_type"), (col("day") + 7L).as("day"),
+        col("cnt").as("fc")), Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("cnt").as("sum_actual"),
+        sum(abs(col("cnt") - col("fc"))).as("sum_abs_err"))
+      .select(col("event_type"), col("n_days"),
+        expr("sum_abs_err div n_days").as("mae"),
+        expr("""CASE WHEN sum_actual = 0 THEN NULL
+                ELSE sum_abs_err * 10000 div sum_actual END""").as("mape_bp"))
+      .orderBy("event_type")
+  }
+
   /** q281: NEAREST AS-OF JOIN — the two-sided variant of q68/q241's
     * backward as-of, the time-series join kdb/QuestDB users reach for
     * ("the quote nearest this trade, either side"): every click gets
@@ -2746,6 +2775,7 @@ object Events {
     "q302_engagement_deciles" -> q302_engagement_deciles,
     "q304_absorption" -> q304_absorption,
     "q306_item_neighbors" -> q306_item_neighbors,
+    "q309_forecast_backtest" -> q309_forecast_backtest,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -3713,6 +3743,24 @@ object Events {
          |                                // ((n_days - 1) * sx) END) > 15000
          |                 THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
          |FROM m ORDER BY event_type""".stripMargin,
+    // lag-7 self-join, MAE/MAPE as aggregate ratios
+    "q309_forecast_backtest" ->
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |j AS (
+         |  SELECT a.event_type, a.cnt, f.cnt AS fc
+         |  FROM daily a JOIN daily f
+         |    ON f.event_type = a.event_type AND f.day + 7 = a.day)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         |       CAST(sum(abs(cnt - fc)) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |         AS mae,
+         |       CASE WHEN sum(cnt) = 0 THEN NULL
+         |            ELSE CAST(sum(abs(cnt - fc)) AS BIGINT) * 10000
+         |                 // CAST(sum(cnt) AS BIGINT) END AS mape_bp
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // the symmetric pair grid, per-item top-3 by (support, lift, id)
     "q306_item_neighbors" ->
       s"""WITH ui AS (

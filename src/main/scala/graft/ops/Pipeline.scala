@@ -423,6 +423,35 @@ object Pipeline {
       .orderBy("tab", "col")
   }
 
+  /** q310: SNAPSHOT PROMOTION GATE — the one-row composition a nightly
+    * job reads before promoting a data snapshot, built by CALLING the
+    * component checks (one definition each, so the gate can never
+    * disagree with the detailed rows it summarizes): q177's
+    * referential-integrity violations, q229's TV-drift alarms and
+    * q290's KS alarms (counts of drifted types), and q295's
+    * overdispersion count riding as context (burstiness is an ops
+    * signal, not a data-quality failure — deliberately OUTSIDE the
+    * promote rule). promote = 1 iff integrity is clean AND no
+    * distribution alarm fired. Scale: each component is its gated
+    * plan; the composition adds four 1-row broadcasts. */
+  val q310_promotion_gate: Q = (s, d) => {
+    val ri = q177_integrity_audit(s, d)
+      .select((col("n_dup_doc_ids") + col("n_dup_vec_ids") +
+        col("n_empty_text") + col("n_docs_without_emb") +
+        col("n_embs_without_doc")).as("n_ri"))
+    val tv = graft.ops.Events.q229_dist_drift(s, d)
+      .agg(coalesce(sum("drifted"), lit(0L)).as("n_tv_drift"))
+    val ks = graft.ops.Events.q290_ks_drift(s, d)
+      .agg(coalesce(sum("drifted"), lit(0L)).as("n_ks_drift"))
+    val od = graft.ops.Events.q295_dispersion(s, d)
+      .agg(coalesce(sum("overdispersed"), lit(0L)).as("n_overdispersed"))
+    ri.crossJoin(broadcast(tv)).crossJoin(broadcast(ks))
+      .crossJoin(broadcast(od))
+      .withColumn("promote",
+        when(col("n_ri") === 0L && col("n_tv_drift") === 0L &&
+          col("n_ks_drift") === 0L, 1L).otherwise(0L))
+  }
+
   /** q210: CUSTOM GROUPING SETS — the third grouping-sets surface:
     * q56's ROLLUP walks the hierarchy, q126's CUBE takes every subset,
     * and this takes a HAND-PICKED set — ((tahun), (semester)) — that
@@ -464,6 +493,7 @@ object Pipeline {
   val queries: Map[String, Q] = Map(
     "q177_integrity_audit" -> q177_integrity_audit,
     "q287_column_profile" -> q287_column_profile,
+    "q310_promotion_gate" -> q310_promotion_gate,
     "q210_grouping_sets" -> q210_grouping_sets,
     "q211_pivot_matrix" -> q211_pivot_matrix,
     "q56_star_rollup" -> q56_star_rollup,
@@ -477,9 +507,10 @@ object Pipeline {
     "q88_verbatim_contamination" -> q88_verbatim_contamination,
     "q232_doc_lineage" -> q232_doc_lineage)
 
-  val oracle: Map[String, String] = Map(
-    "q177_integrity_audit" ->
-      """WITH dd AS (
+  /** q177's oracle SQL — factored so q310's promotion gate replays
+    * the IDENTICAL integrity check. */
+  private lazy val integrityOracleSql: String =
+    """WITH dd AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |         CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
         |           AS n_dup_doc_ids,
@@ -501,7 +532,31 @@ object Pipeline {
         |    (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
         |SELECT n_docs, n_embs, n_dup_doc_ids, n_dup_vec_ids, n_empty_text,
         |       n_docs_without_emb, n_embs_without_doc
-        |FROM dd CROSS JOIN ee CROSS JOIN dwe CROSS JOIN ewd""".stripMargin,
+        |FROM dd CROSS JOIN ee CROSS JOIN dwe CROSS JOIN ewd""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q177_integrity_audit" -> integrityOracleSql,
+    // each component oracle replayed verbatim as a subquery — one
+    // definition with the detailed gated rows
+    "q310_promotion_gate" -> {
+      val tv = graft.ops.Events.oracle("q229_dist_drift")
+      val ks = graft.ops.Events.oracle("q290_ks_drift")
+      val od = graft.ops.Events.oracle("q295_dispersion")
+      s"""SELECT r.n_ri, t.n_tv_drift, k.n_ks_drift, o.n_overdispersed,
+         |       CAST(CASE WHEN r.n_ri = 0 AND t.n_tv_drift = 0
+         |                      AND k.n_ks_drift = 0
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS promote
+         |FROM (SELECT CAST(n_dup_doc_ids + n_dup_vec_ids + n_empty_text
+         |                  + n_docs_without_emb + n_embs_without_doc
+         |             AS BIGINT) AS n_ri
+         |      FROM ($integrityOracleSql)) r
+         |CROSS JOIN (SELECT CAST(coalesce(sum(drifted), 0) AS BIGINT)
+         |              AS n_tv_drift FROM ($tv)) t
+         |CROSS JOIN (SELECT CAST(coalesce(sum(drifted), 0) AS BIGINT)
+         |              AS n_ks_drift FROM ($ks)) k
+         |CROSS JOIN (SELECT CAST(coalesce(sum(overdispersed), 0) AS BIGINT)
+         |              AS n_overdispersed FROM ($od)) o""".stripMargin
+    },
     // one UNION-ALL row per profiled column, native-type min/max cast
     // to VARCHAR, text through md5, value in integer cents
     "q287_column_profile" ->
