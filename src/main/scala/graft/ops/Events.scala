@@ -1909,6 +1909,44 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q312: WEEK-OVER-WEEK CHURN — the loss-side complement of q288's
+    * retention triangle (retention asks "who came back"; a growth
+    * review asks "who LEFT, who is new, what net"): users active in
+    * the trailing complete week vs the week before it, anchored to the
+    * corpus max day (a deterministic scalar both engines derive
+    * identically — the report a recurring job runs "as of now"). One
+    * row: both actives, churned (prev ∖ curr), new (curr ∖ prev),
+    * retained (∩), churn_bp = churned·10⁴ div prev. Scale: one
+    * DISTINCT (user, day) pass, a 1-row max-day broadcast, one
+    * user-keyed aggregate — no join between the week sets, the
+    * set algebra folds per user. */
+  val q312_churn: Q = (s, d) => {
+    val days = events(s, d)
+      .select(col("user_id"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
+      .distinct()
+    val anchor = days.agg(max("day").as("dmax"))
+    days.crossJoin(broadcast(anchor))
+      .withColumn("curr",
+        when(col("day") >= col("dmax") - 6L, 1L).otherwise(0L))
+      .withColumn("prev",
+        when(col("day") < col("dmax") - 6L &&
+          col("day") >= col("dmax") - 13L, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(max("curr").as("c"), max("prev").as("p"))
+      .agg(sum("p").as("n_prev_active"), sum("c").as("n_curr_active"),
+        sum(when(col("p") === 1L && col("c") === 0L, 1L).otherwise(0L))
+          .as("n_churned"),
+        sum(when(col("p") === 0L && col("c") === 1L, 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("p") === 1L && col("c") === 1L, 1L).otherwise(0L))
+          .as("n_retained"))
+      .select(col("n_prev_active"), col("n_curr_active"), col("n_churned"),
+        col("n_new"), col("n_retained"),
+        expr("""CASE WHEN n_prev_active > 0
+                THEN n_churned * 10000 div n_prev_active END""")
+          .as("churn_bp"))
+  }
+
   /** q281: NEAREST AS-OF JOIN — the two-sided variant of q68/q241's
     * backward as-of, the time-series join kdb/QuestDB users reach for
     * ("the quote nearest this trade, either side"): every click gets
@@ -2776,6 +2814,7 @@ object Events {
     "q304_absorption" -> q304_absorption,
     "q306_item_neighbors" -> q306_item_neighbors,
     "q309_forecast_backtest" -> q309_forecast_backtest,
+    "q312_churn" -> q312_churn,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -3743,6 +3782,32 @@ object Events {
          |                                // ((n_days - 1) * sx) END) > 15000
          |                 THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
          |FROM m ORDER BY event_type""".stripMargin,
+    // per-user week flags folded once, sets via conditional sums
+    "q312_churn" ->
+      s"""WITH days AS (
+         |  SELECT DISTINCT user_id,
+         |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+         |  FROM events),
+         |a AS (SELECT CAST(max(day) AS BIGINT) AS dmax FROM days),
+         |f AS (
+         |  SELECT user_id,
+         |         max(CASE WHEN day >= a.dmax - 6 THEN 1 ELSE 0 END) AS c,
+         |         max(CASE WHEN day < a.dmax - 6 AND day >= a.dmax - 13
+         |                  THEN 1 ELSE 0 END) AS p
+         |  FROM days CROSS JOIN a GROUP BY 1)
+         |SELECT CAST(sum(p) AS BIGINT) AS n_prev_active,
+         |       CAST(sum(c) AS BIGINT) AS n_curr_active,
+         |       CAST(sum(CASE WHEN p = 1 AND c = 0 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_churned,
+         |       CAST(sum(CASE WHEN p = 0 AND c = 1 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_new,
+         |       CAST(sum(CASE WHEN p = 1 AND c = 1 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_retained,
+         |       CASE WHEN sum(p) > 0
+         |            THEN CAST(sum(CASE WHEN p = 1 AND c = 0 THEN 1 ELSE 0
+         |                          END) AS BIGINT) * 10000
+         |                 // CAST(sum(p) AS BIGINT) END AS churn_bp
+         |FROM f""".stripMargin,
     // lag-7 self-join, MAE/MAPE as aggregate ratios
     "q309_forecast_backtest" ->
       s"""WITH daily AS (

@@ -211,6 +211,40 @@ object Similarity {
         expr("max_sz * 100 * k div n").as("imbalance_x100"))
   }
 
+  /** q311: INCREMENTAL IVF MAINTENANCE — the nightly-index question
+    * q286 (static balance) doesn't answer: a NEW BATCH of vectors
+    * (the q70 hash-split convention — id bucket ≥ 90) arrives against
+    * a FROZEN codebook; where does it land, and does the post-insert
+    * load force a retrain? Per cell: base population, batch additions,
+    * growth_bp, and the post-insert load factor (cell share × k ×100 —
+    * 100 = fair); `retrain` fires when any cell passes 3× its fair
+    * share, the trigger an index-maintenance job reads before paying a
+    * Lloyd run (q101). The assignment is the SHARED frozen-codebook
+    * primitive ([[seedAssignments]] — one definition with q37/q286,
+    * and because the codebook is frozen, batch-then-assign ≡
+    * assign-then-split: the incremental path is exact by
+    * construction). Scale: one broadcast-codebook assignment pass,
+    * then a 16-cell report. */
+  val q311_ivf_incremental: Q = (s, d) => {
+    val a = seedAssignments(s, d).select(col("vec_id"), col("c_id"))
+      .withColumn("isNew",
+        when(graft.ops.TextCore.idBucket(col("vec_id")) >= 90, 1L)
+          .otherwise(0L))
+    val cells = a.groupBy("c_id").agg(
+      sum(when(col("isNew") === 0L, 1L).otherwise(0L)).as("n_base"),
+      sum("isNew").as("n_new"))
+    cells
+      .crossJoin(broadcast(cells.agg(
+        sum(expr("n_base + n_new")).as("n_tot"), count(lit(1)).as("k"))))
+      .select(col("c_id"), col("n_base"), col("n_new"),
+        expr("CASE WHEN n_base > 0 THEN n_new * 10000 div n_base END")
+          .as("growth_bp"),
+        expr("(n_base + n_new) * 100 * k div n_tot").as("load_x100"))
+      .withColumn("retrain",
+        when(col("load_x100") > 300L, 1L).otherwise(0L))
+      .orderBy("c_id")
+  }
+
   /** q276's truncation width. */
   private[graft] val truncDims = 16
 
@@ -2205,6 +2239,7 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "q305_embedding_drift" -> q305_embedding_drift,
+    "q311_ivf_incremental" -> q311_ivf_incremental,
     "q182_cov_merge" -> q182_cov_merge,
     "q176_codebook_refresh" -> q176_codebook_refresh,
     "q200_mmr_select" -> q200_mmr_select,
@@ -2995,6 +3030,38 @@ object Similarity {
          |SELECT query_id, rank, neighbor_id, ${round4Sql("cosine")} AS cosine
          |FROM brute ORDER BY query_id, rank""".stripMargin,
     // the q37 assignment verbatim, then the same rank marks over cells
+    // the same frozen-codebook assignment, split by the hash batch
+    "q311_ivf_incremental" ->
+      s"""WITH $vecsCte,
+         |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vecs
+         |         WHERE vec_id < $numCentroids),
+         |ranked AS (
+         |  SELECT x.vec_id, c.c_id,
+         |         row_number() OVER (PARTITION BY x.vec_id
+         |           ORDER BY list_dot_product(x.v, c.cv) / (x.nrm * c.cn) DESC,
+         |                    c.c_id ASC) AS rn
+         |  FROM vecs x CROSS JOIN cent c),
+         |assign AS (
+         |  SELECT vec_id, c_id,
+         |         CASE WHEN ${TextCore.idBucketSql("vec_id")} >= 90
+         |              THEN 1 ELSE 0 END AS isnew
+         |  FROM ranked WHERE rn = 1),
+         |cells AS (
+         |  SELECT c_id,
+         |         CAST(sum(CASE WHEN isnew = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_base,
+         |         CAST(sum(isnew) AS BIGINT) AS n_new
+         |  FROM assign GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_base + n_new) AS BIGINT) AS n_tot,
+         |             CAST(count(*) AS BIGINT) AS k
+         |      FROM cells)
+         |SELECT c_id, n_base, n_new,
+         |       CASE WHEN n_base > 0 THEN n_new * 10000 // n_base
+         |       END AS growth_bp,
+         |       (n_base + n_new) * 100 * t.k // t.n_tot AS load_x100,
+         |       CAST(CASE WHEN (n_base + n_new) * 100 * t.k // t.n_tot > 300
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS retrain
+         |FROM cells CROSS JOIN t ORDER BY c_id""".stripMargin,
     "q286_ivf_balance" ->
       s"""WITH $vecsCte,
          |cent AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vecs

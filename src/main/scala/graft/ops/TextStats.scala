@@ -1855,9 +1855,33 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** q313: LANG-ID CONFUSION MATRIX — the evaluation row for q40's
+    * heuristic (a predictor that ships without its confusion matrix is
+    * a rumor): predicted × actual label counts plus per-cell share of
+    * the actual class (recall_bp on the diagonal). Honest readout: the
+    * function-word heuristic is crude and the synthetic corpus is one
+    * vocabulary — the matrix SHOWS that, which is the point of gating
+    * the evaluation rather than the claim. Reads q40's gated output
+    * verbatim (one definition). Scale: q40's map-side scoring, then a
+    * langs²-bounded aggregate. */
+  val q313_langid_confusion: Q = (s, d) => {
+    val pred = q40_lang_id(s, d).select("doc_id", "pred_lang")
+    val actual = docShingles(s, d).select(col("doc_id"), col("lang"))
+    val cells = pred.join(actual, "doc_id")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    cells
+      .join(broadcast(cells.groupBy("lang")
+        .agg(sum("n_docs").as("n_lang"))), "lang")
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        expr("n_docs * 10000 div n_lang").as("share_bp"))
+      .orderBy("lang", "pred_lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "q307_vocab_shape" -> q307_vocab_shape,
     "q308_score_calibration" -> q308_score_calibration,
+    "q313_langid_confusion" -> q313_langid_confusion,
     "q168_hist_quantiles" -> q168_hist_quantiles,
     "q171_bloom_membership" -> q171_bloom_membership,
     "q40_lang_id" -> q40_lang_id,
@@ -2203,6 +2227,22 @@ object TextStats {
       .stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q40's classifier replayed, langs²-bounded grid with class shares
+    "q313_langid_confusion" -> withDocs(
+      s""", pr AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN ($ratioSql) >= 0.05 THEN 'en' ELSE 'und'
+        |         END AS pred_lang
+        |  FROM docs),
+        |cells AS (
+        |  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM pr GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang
+        |      FROM cells GROUP BY 1)
+        |SELECT c.lang, c.pred_lang, c.n_docs,
+        |       c.n_docs * 10000 // t.n_lang AS share_bp
+        |FROM cells c JOIN t USING (lang)
+        |ORDER BY lang, pred_lang""".stripMargin),
     // one (source, word) count table; both tails in truncating bp
     "q307_vocab_shape" -> withDocs(
       """, wc AS (
