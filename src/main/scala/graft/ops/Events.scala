@@ -1909,6 +1909,32 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q314: SESSION QUANTILE REPORT — the distribution summary over
+    * q51's sessions (q51 lists them; an engagement dashboard reads
+    * "typical session = N events over S seconds" plus the tails):
+    * p50/p90/p99 of session DURATION (seconds) and of EVENTS PER
+    * SESSION, both read off value histograms through the shared
+    * two-phase selection ([[Robust.histQuantiles]] — duration and
+    * size domains are value-bounded, never the session count). Same
+    * 30-min gap rule as the whole session family (one definition).
+    * Scale: the q51 sessionized pass, then histogram-bounded work. */
+  val q314_session_quantiles: Q = (s, d) => {
+    val sess = withSessionIds(events(s, d)
+      .select(col("user_id"), col("event_id"), col("es")))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max("es") - min("es")).as("dur_s"))
+    val hist = sess.select(lit("duration_s").as("group"),
+        col("dur_s").as("v"))
+      .unionByName(sess.select(lit("events_per_session").as("group"),
+        col("n_events").as("v")))
+      .groupBy("group", "v").agg(count(lit(1)).as("cnt"))
+    Robust.histQuantiles(hist, Seq(50 -> "p50", 90 -> "p90", 99 -> "p99"))
+      .select(col("group").as("metric"), col("n").as("n_sessions"),
+        col("p50"), col("p90"), col("p99"))
+      .orderBy("metric")
+  }
+
   /** q312: WEEK-OVER-WEEK CHURN — the loss-side complement of q288's
     * retention triangle (retention asks "who came back"; a growth
     * review asks "who LEFT, who is new, what net"): users active in
@@ -2815,6 +2841,7 @@ object Events {
     "q306_item_neighbors" -> q306_item_neighbors,
     "q309_forecast_backtest" -> q309_forecast_backtest,
     "q312_churn" -> q312_churn,
+    "q314_session_quantiles" -> q314_session_quantiles,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -3782,6 +3809,49 @@ object Events {
          |                                // ((n_days - 1) * sx) END) > 15000
          |                 THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
          |FROM m ORDER BY event_type""".stripMargin,
+    // the q51 session chain, then min-rank quantiles per metric
+    "q314_session_quantiles" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id,
+         |         CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+         |marked AS (
+         |  SELECT user_id, event_id, es,
+         |         CASE WHEN lag(es) OVER w IS NULL
+         |                   OR es - lag(es) OVER w > $sessionGapSeconds
+         |              THEN 1 ELSE 0 END AS new_session
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+         |sess AS (
+         |  SELECT user_id, es,
+         |         CAST(sum(new_session) OVER (PARTITION BY user_id
+         |           ORDER BY es, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |           AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM marked),
+         |per AS (
+         |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS ne,
+         |         max(es) - min(es) AS dur
+         |  FROM sess GROUP BY 1, 2),
+         |h AS (
+         |  SELECT 'duration_s' AS metric, dur AS v,
+         |         CAST(count(*) AS BIGINT) AS cnt FROM per GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'events_per_session', ne, CAST(count(*) AS BIGINT)
+         |  FROM per GROUP BY 2),
+         |t AS (SELECT metric, CAST(sum(cnt) AS BIGINT) AS n
+         |      FROM h GROUP BY 1),
+         |c AS (
+         |  SELECT metric, v,
+         |         sum(cnt) OVER (PARTITION BY metric ORDER BY v
+         |           ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM h)
+         |SELECT c.metric, t.n AS n_sessions,
+         |       CAST(min(CASE WHEN cum >= greatest(1, (n * 50 + 99) // 100)
+         |                     THEN v END) AS BIGINT) AS p50,
+         |       CAST(min(CASE WHEN cum >= greatest(1, (n * 90 + 99) // 100)
+         |                     THEN v END) AS BIGINT) AS p90,
+         |       CAST(min(CASE WHEN cum >= greatest(1, (n * 99 + 99) // 100)
+         |                     THEN v END) AS BIGINT) AS p99
+         |FROM c JOIN t USING (metric)
+         |GROUP BY 1, 2 ORDER BY metric""".stripMargin,
     // per-user week flags folded once, sets via conditional sums
     "q312_churn" ->
       s"""WITH days AS (

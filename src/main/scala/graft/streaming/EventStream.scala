@@ -698,6 +698,15 @@ object EventStream {
         expr("CAST(unix_timestamp(w.start) div 86400 AS BIGINT)").as("day"),
         col("cnt"))
 
+  /** foreachBatch consumer for [[dailyCountsStream]] — serves q295's
+    * overdispersion index over the emitted per-day counts through the
+    * SHARED [[graft.ops.Events.dispersionFromDaily]] (one definition;
+    * the emitted (event_type, day, cnt) rows are complete days, so the
+    * served index equals batch q295 over the on-time rows verbatim —
+    * the burstiness alarm a capacity monitor keeps live). */
+  def dispersionReportBatch(dailyBatch: DataFrame): DataFrame =
+    graft.ops.Events.dispersionFromDaily(dailyBatch)
+
   /** Watermarked DAILY-SPEND feed — the per-user rung of the daily
     * family: purchase events aggregate to (user, day) cents totals,
     * emitted in APPEND mode once the watermark passes the day's end,

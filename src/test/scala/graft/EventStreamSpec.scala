@@ -1963,6 +1963,45 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("dispersionReportBatch over streamed daily cells equals batch q295") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    import graft.ops.Events
+    val day0 = 86400L * 200
+    // bursty "b": 1, 1, 28 events across three days; steady "p": 4, 5, 6
+    val rows =
+      (Seq.fill(1)(day0 + 10L) ++ Seq.fill(1)(day0 + 86400 + 10L) ++
+        (1L to 28L).map(day0 + 2 * 86400 + _)).map(es => (es, "b")) ++
+        ((1L to 4L).map(day0 + _) ++ (1L to 5L).map(day0 + 86400 + _) ++
+          (1L to 6L).map(day0 + 2 * 86400 + _)).map(es => (es, "p"))
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream
+      .dailyCountsStream(input.toDS().toDF("es", "event_type"))
+      .writeStream.format("memory").queryName("dispd").outputMode("append").start()
+    try {
+      input.addData(rows); query.processAllAvailable()
+      // advance the watermark past all three days
+      input.addData((day0 + 4 * 86400, "x")); query.processAllAvailable()
+      input.addData((day0 + 4 * 86400 + 100, "x")); query.processAllAvailable()
+      val served = EventStream.dispersionReportBatch(
+        spark.table("dispd").select("event_type", "day", "cnt"))
+        .where(col("event_type").isin("b", "p")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val batch = Events.dispersionFromDaily(rows.toDF("es", "event_type")
+          .groupBy(col("event_type"),
+            expr("CAST(es div 86400 AS BIGINT)").as("day"))
+          .agg(count(lit(1)).as("cnt")))
+        .where(col("event_type").isin("b", "p")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(served == batch)
+      // and the alarm fires on the bursty series only
+      assert(served("b")._3 == 1L && served("p")._3 == 0L)
+    } finally query.stop()
+  }
+
   test("newUsersStream: in-order parity with batch cohorts; out-of-order keeps first arrival") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
