@@ -533,6 +533,37 @@ object Curation {
       .orderBy("lang", "rank")
   }
 
+  /** q315: SAMPLE REPRESENTATIVENESS AUDIT — the QA row any sampling
+    * pipeline owes its consumers: q165 stratifies by LANG, so lang is
+    * balanced by construction — but nothing controls SOURCE, and a
+    * quality-weighted draw silently over-serves high-quality sources.
+    * Per source: corpus vs sample shares (truncating bp) and the
+    * signed deviation; tv_bp = Σ|dev| div 2 rides every row (the q229
+    * total-variation number, here between the sample and its corpus).
+    * Reads the GATED q165 sample verbatim (one definition — auditing
+    * the actual draw, not a re-derivation). Scale: the draw's cost,
+    * one doc-keyed semi-join, then source-domain-bounded work. */
+  val q315_sample_representativeness: Q = (s, d) => {
+    val sample = q165_weighted_sample(s, d).select("doc_id")
+    val docs = docShingles(s, d).select(col("doc_id"), col("source"))
+    val corpus = docs.groupBy("source").agg(count(lit(1)).as("nc"))
+    val samp = docs.join(sample, "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("ns"))
+    val per = corpus.join(samp, Seq("source"), "left")
+      .na.fill(0L, Seq("ns"))
+      .crossJoin(broadcast(corpus.agg(sum("nc").as("tc"))))
+      .crossJoin(broadcast(samp.agg(sum("ns").as("ts"))))
+      .select(col("source"), col("nc"), col("ns"),
+        expr("nc * 10000 div tc").as("corpus_bp"),
+        expr("CASE WHEN ts > 0 THEN ns * 10000 div ts ELSE 0 END")
+          .as("sample_bp"))
+      .withColumn("dev_bp", col("sample_bp") - col("corpus_bp"))
+    per
+      .crossJoin(broadcast(per.agg(
+        expr("sum(abs(dev_bp)) div 2").as("tv_bp"))))
+      .orderBy("source")
+  }
+
   /** q175's anonymity threshold: a quasi-identifier class releases only
     * with ≥ k members. */
   private val kAnon = 5L
@@ -856,6 +887,7 @@ object Curation {
 
   val queries: Map[String, Q] = Map(
     "q289_interleave_schedule" -> q289_interleave_schedule,
+    "q315_sample_representativeness" -> q315_sample_representativeness,
     "q190_neyman_alloc" -> q190_neyman_alloc,
     "q181_source_cap" -> q181_source_cap,
     "q179_epoch_sample" -> q179_epoch_sample,
@@ -875,6 +907,27 @@ object Curation {
     "q122_mix_execute" -> q122_mix_execute,
     "q123_epoch_plan" -> q123_epoch_plan,
     "q244_source_novelty" -> q244_source_novelty)
+
+  /** The q165 draw as oracle CTEs (through `samp0` = per-lang ranked
+    * keyed rows) — shared with q315 so the audit reads the IDENTICAL
+    * sample the draw gates. */
+  private[graft] lazy val sampleDrawCtes: String =
+    s""", ${TextStats.qualCte},
+       |wt AS (
+       |  SELECT doc_id, lang,
+       |         1 + CAST(floor(score * 3.0) AS BIGINT) AS w
+       |  FROM qual),
+       |keyed AS (
+       |  SELECT lang, doc_id, w,
+       |         list_aggregate(list_transform(range(0, w), j ->
+       |           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+       |             CAST(j AS VARCHAR)), 1, 8) AS BIGINT)), 'min') AS skey
+       |  FROM wt),
+       |samp0 AS (
+       |  SELECT lang, doc_id, w, skey,
+       |         CAST(row_number() OVER (PARTITION BY lang
+       |           ORDER BY skey ASC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM keyed)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // same stride keys ((2k+1)·SCALE // w_chars in HUGEINT), same
@@ -1093,24 +1146,35 @@ object Curation {
     // every draw replayed: the same md5("doc_id:j") uniforms, the same
     // min-of-w key, the same bottom-k per language
     "q165_weighted_sample" -> withDocs(
-      s""", ${TextStats.qualCte},
-         |wt AS (
-         |  SELECT doc_id, lang,
-         |         1 + CAST(floor(score * 3.0) AS BIGINT) AS w
-         |  FROM qual),
-         |keyed AS (
-         |  SELECT lang, doc_id, w,
-         |         list_aggregate(list_transform(range(0, w), j ->
-         |           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
-         |             CAST(j AS VARCHAR)), 1, 8) AS BIGINT)), 'min') AS skey
-         |  FROM wt)
-         |SELECT lang, rank, doc_id, w, skey FROM (
-         |  SELECT lang, doc_id, w, skey,
-         |         CAST(row_number() OVER (PARTITION BY lang
-         |           ORDER BY skey ASC, doc_id ASC) AS BIGINT) AS rank
-         |  FROM keyed)
+      s"""$sampleDrawCtes
+         |SELECT lang, rank, doc_id, w, skey FROM samp0
          |WHERE rank <= $sampleK
          |ORDER BY lang, rank""".stripMargin),
+    // the q165 draw replayed verbatim, then source shares both sides
+    "q315_sample_representativeness" -> withDocs(
+      s"""$sampleDrawCtes,
+         |sm AS (SELECT doc_id FROM samp0 WHERE rank <= $sampleK),
+         |corpus AS (SELECT source, CAST(count(*) AS BIGINT) AS nc
+         |           FROM docs GROUP BY 1),
+         |sp AS (
+         |  SELECT d.source, CAST(count(*) AS BIGINT) AS ns
+         |  FROM docs d JOIN sm ON sm.doc_id = d.doc_id GROUP BY 1),
+         |tc AS (SELECT CAST(sum(nc) AS BIGINT) AS tc FROM corpus),
+         |ts AS (SELECT CAST(sum(ns) AS BIGINT) AS ts FROM sp),
+         |per AS (
+         |  SELECT c.source, c.nc, CAST(coalesce(s2.ns, 0) AS BIGINT) AS ns,
+         |         c.nc * 10000 // tc.tc AS corpus_bp,
+         |         CASE WHEN ts.ts > 0
+         |              THEN coalesce(s2.ns, 0) * 10000 // ts.ts
+         |              ELSE 0 END AS sample_bp
+         |  FROM corpus c LEFT JOIN sp s2 ON s2.source = c.source
+         |  CROSS JOIN tc CROSS JOIN ts),
+         |pd AS (SELECT *, sample_bp - corpus_bp AS dev_bp FROM per),
+         |tv AS (SELECT CAST(sum(abs(dev_bp)) AS BIGINT) // 2 AS tv_bp FROM pd)
+         |SELECT pd.source, pd.nc, pd.ns, pd.corpus_bp,
+         |       CAST(pd.sample_bp AS BIGINT) AS sample_bp,
+         |       CAST(pd.dev_bp AS BIGINT) AS dev_bp, tv.tv_bp
+         |FROM pd CROSS JOIN tv ORDER BY pd.source""".stripMargin),
     "q78_seq_packing" -> withDocs(
       """, p AS (
         |  SELECT doc_id, lang, doc_id // 250 AS shard,

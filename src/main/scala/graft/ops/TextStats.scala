@@ -1878,8 +1878,44 @@ object TextStats {
       .orderBy("lang", "pred_lang")
   }
 
+  /** q316: SOURCE VOCABULARY SIMILARITY — the distributional mirror
+    * detector beside q278's cluster-based one (q278 needs documents to
+    * be NEAR-DUPLICATES; two sources can share a vocabulary profile —
+    * same template, same generator, same scraped site section —
+    * without one verbatim pair): cosine between source word-count
+    * vectors, top-15 pairs. Exact integer dot/norms in DECIMAL(38,0)
+    * (counts can square past 2⁶³), one sqrt and one division in
+    * doubles with identical operation order, floored to e6 units
+    * (the q275 convention). Scale: the (source, word) table is
+    * vocabulary×sources-bounded; the pair dot joins on the word key —
+    * never a doc-level op; the final grid is sources²-bounded. */
+  val q316_source_similarity: Q = (s, d) => {
+    val wc = graft.Ckpt.persisted(docShingles(s, d)
+      .select(col("source"), explode(col("words")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c")))
+    val norms = wc.groupBy("source")
+      .agg(sum(expr("CAST(c AS DECIMAL(38, 0)) * c")).as("nsq"))
+    val dots = wc
+      .join(wc.select(col("source").as("sb"), col("w"), col("c").as("cb")), "w")
+      .where(col("source") < col("sb"))
+      .groupBy(col("source").as("sa"), col("sb"))
+      .agg(sum(expr("CAST(c AS DECIMAL(38, 0)) * cb")).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("source").as("sa"),
+        col("nsq").as("na"))), "sa")
+      .join(broadcast(norms.select(col("source").as("sb"),
+        col("nsq").as("nb"))), "sb")
+      .select(col("sa"), col("sb"),
+        expr("""CAST(floor(CAST(dot AS DOUBLE)
+                           / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                           * 1000000) AS BIGINT)""").as("cos_e6"))
+      .orderBy(col("cos_e6").desc, col("sa").asc, col("sb").asc)
+      .limit(15)
+  }
+
   val queries: Map[String, Q] = Map(
     "q307_vocab_shape" -> q307_vocab_shape,
+    "q316_source_similarity" -> q316_source_similarity,
     "q308_score_calibration" -> q308_score_calibration,
     "q313_langid_confusion" -> q313_langid_confusion,
     "q168_hist_quantiles" -> q168_hist_quantiles,
@@ -2227,6 +2263,29 @@ object TextStats {
       .stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same exact moments, one sqrt each side, e6 floor, total order
+    "q316_source_similarity" -> withDocs(
+      s""", wc AS (
+        |  SELECT source, w.w AS w, CAST(count(*) AS BIGINT) AS c
+        |  FROM docs, unnest(words) AS w(w)
+        |  GROUP BY 1, 2),
+        |nr AS (
+        |  SELECT source, CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS nsq
+        |  FROM wc GROUP BY 1),
+        |dt AS (
+        |  SELECT a.source AS sa, b.source AS sb,
+        |         CAST(sum(CAST(a.c AS HUGEINT) * b.c) AS HUGEINT) AS dot
+        |  FROM wc a JOIN wc b ON b.w = a.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa, sb,
+        |       CAST(floor(CAST(dot AS DOUBLE)
+        |                  / sqrt(CAST(na.nsq AS DOUBLE)
+        |                         * CAST(nb.nsq AS DOUBLE))
+        |                  * 1000000) AS BIGINT) AS cos_e6
+        |FROM dt
+        |JOIN nr na ON na.source = dt.sa
+        |JOIN nr nb ON nb.source = dt.sb
+        |ORDER BY cos_e6 DESC, sa, sb LIMIT 15""".stripMargin),
     // q40's classifier replayed, langs²-bounded grid with class shares
     "q313_langid_confusion" -> withDocs(
       s""", pr AS (
