@@ -551,6 +551,33 @@ object Dedup {
       .orderBy("sz")
   }
 
+  /** q318: VERIFY-THRESHOLD SWEEP — the tuning curve for the dedup
+    * family's similarity cutoff (q237 sweeps the LSH BAND count at a
+    * fixed threshold; this sweeps the VERIFY threshold itself over the
+    * memoized exact pair set): per threshold t ∈ {50..90}%, the
+    * surviving pair count and the documents they touch — the
+    * aggressiveness curve a curation owner reads before changing the
+    * cutoff. The predicate is the exact integer form
+    * inter·100 ≥ t·uni (≡ jaccard ≥ t/100 on positive uni — no float
+    * threshold), applied to q34's gated pairs VERBATIM (memoized — the
+    * sweep costs five filters over a pair-set-sized frame, the q237
+    * one-signature convention). Absent thresholds zero-fill. */
+  lazy val q318_threshold_sweep: Q = (s, d) => {
+    val pairs = graft.Ckpt.persisted(q34_dedup_ngram_jaccard(s, d)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni")))
+    val ts = s.range(1).select(explode(
+      array(Seq(50L, 60L, 70L, 80L, 90L).map(lit(_)): _*)).as("t"))
+    val kept = pairs.crossJoin(broadcast(ts))
+      .where(col("inter") * 100L >= col("t") * col("uni"))
+    val np = kept.groupBy("t").agg(count(lit(1)).as("n_pairs"))
+    val nd = kept.select(col("t"), col("doc_a").as("doc"))
+      .unionByName(kept.select(col("t"), col("doc_b").as("doc")))
+      .groupBy("t").agg(countDistinct("doc").as("n_docs"))
+    ts.join(np, Seq("t"), "left").join(nd, Seq("t"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_docs"))
+      .orderBy("t")
+  }
+
   /** q278: CROSS-SOURCE DUPLICATION MATRIX — the provenance question
     * behind source-level curation decisions (mirror detection, crawl
     * overlap budgeting): for every source pair, how many near-dup
@@ -1792,6 +1819,7 @@ object Dedup {
     "q237_lsh_band_sweep" -> q237_lsh_band_sweep,
     "q81_cluster_reps" -> q81_cluster_reps,
     "q303_cluster_sizes" -> q303_cluster_sizes,
+    "q318_threshold_sweep" -> q318_threshold_sweep,
     "q86_leakage_safe_split" -> q86_leakage_safe_split,
     "q89_incremental_neardup" -> q89_incremental_neardup,
     "q105_span_dedup" -> q105_span_dedup,
@@ -2023,6 +2051,26 @@ object Dedup {
        |         AS is_survivor
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)
     .replaceFirst("^WITH ", "WITH RECURSIVE ")
+
+  /** q34's verified-pair chain as oracle CTEs (`vp` = (doc_a, doc_b,
+    * inter, uni) at jaccard >= 0.5) — shared with q318's sweep. */
+  private[graft] val exactPairCtes: String =
+    """, p AS (
+      |  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh,
+      |         unnest(shingles) AS shingle
+      |  FROM docs),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         a.n_sh AS n_a, b.n_sh AS n_b,
+      |         CAST(count(*) AS BIGINT) AS inter
+      |  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |vp AS (
+      |  SELECT doc_a, doc_b, inter,
+      |         CAST(n_a + n_b - inter AS BIGINT) AS uni
+      |  FROM cand
+      |  WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE)
+      |        >= 0.5)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the q61 label chain with singleton coalesce, then the size grid
@@ -2446,22 +2494,30 @@ object Dedup {
          |WHERE ${hammingSql("a.sim", "b.sim")} <= 3
          |ORDER BY doc_a, doc_b""".stripMargin),
     "q34_dedup_ngram_jaccard" -> withDocs(
-      """, p AS (
-        |  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh,
-        |         unnest(shingles) AS shingle
-        |  FROM docs),
-        |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         a.n_sh AS n_a, b.n_sh AS n_b,
-        |         CAST(count(*) AS BIGINT) AS inter
-        |  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4)
-        |SELECT doc_a, doc_b, inter,
-        |       CAST(n_a + n_b - inter AS BIGINT) AS uni,
-        |       CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) AS jaccard
-        |FROM cand
-        |WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin),
+      s"""$exactPairCtes
+        |SELECT doc_a, doc_b, inter, uni,
+        |       CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+        |FROM vp ORDER BY doc_a, doc_b""".stripMargin),
+    // the q34 verified pairs swept over integer thresholds
+    // (inter*100 >= t*uni <=> jaccard >= t/100, exact on positive uni)
+    "q318_threshold_sweep" -> withDocs(
+      s"""$exactPairCtes,
+        |ts AS (SELECT unnest([50, 60, 70, 80, 90]) AS t),
+        |kept AS (
+        |  SELECT ts.t, doc_a, doc_b
+        |  FROM vp CROSS JOIN ts WHERE inter * 100 >= ts.t * uni),
+        |np AS (SELECT t, CAST(count(*) AS BIGINT) AS n_pairs
+        |       FROM kept GROUP BY 1),
+        |nd AS (
+        |  SELECT t, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+        |  FROM (SELECT t, doc_a AS doc FROM kept
+        |        UNION ALL SELECT t, doc_b FROM kept)
+        |  GROUP BY 1)
+        |SELECT CAST(ts.t AS BIGINT) AS t,
+        |       CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |       CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+        |FROM ts LEFT JOIN np ON np.t = ts.t LEFT JOIN nd ON nd.t = ts.t
+        |ORDER BY t""".stripMargin),
     "q59_dedup_embed_lsh" ->
       s"""WITH $embVecsCte,
          |$lshCandCtes

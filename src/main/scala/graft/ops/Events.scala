@@ -1266,26 +1266,62 @@ object Events {
     * the decorrelated form of the correlated triple-EXISTS the oracle
     * states. Output: the 1-row funnel with the windowed conversion in
     * basis points. */
-  val q282_ordered_funnel: Q = (s, d) => {
-    val ev = events(s, d).select("user_id", "event_type", "es")
+  /** q282's per-user strict-ordered funnel instants — (user_id, v1,
+    * c1, p1) with c1/p1 NULL where the sequence broke; factored so the
+    * A/B cut (q317) reads the IDENTICAL sequential-match semantics. */
+  private[graft] def funnelInstants(ev: DataFrame): DataFrame = {
     val v1 = ev.where(col("event_type") === "view")
       .groupBy("user_id").agg(min("es").as("v1"))
     val c1 = ev.where(col("event_type") === "click")
       .join(v1, "user_id").where(col("es") >= col("v1"))
-      .groupBy("user_id").agg(min("es").as("c1"), min("v1").as("v1"))
+      .groupBy("user_id").agg(min("es").as("c1"))
     val p1 = ev.where(col("event_type") === "purchase")
       .join(c1, "user_id").where(col("es") >= col("c1"))
-      .groupBy("user_id").agg(min("es").as("p1"),
-        min("v1").as("v1"), min("c1").as("c1"))
-    v1.agg(count(lit(1)).as("n_view")).crossJoin(broadcast(
-        c1.agg(count(lit(1)).as("n_click_seq"))))
-      .crossJoin(broadcast(p1.agg(count(lit(1)).as("n_purchase_seq"),
+      .groupBy("user_id").agg(min("es").as("p1"))
+    v1.join(c1, Seq("user_id"), "left").join(p1, Seq("user_id"), "left")
+  }
+
+  val q282_ordered_funnel: Q = (s, d) => {
+    funnelInstants(events(s, d).select("user_id", "event_type", "es"))
+      .agg(count(lit(1)).as("n_view"),
+        count(col("c1")).as("n_click_seq"),
+        count(col("p1")).as("n_purchase_seq"),
         sum(when(col("p1") - col("v1") <= 3600L, 1L).otherwise(0L))
-          .as("n_conv_1h"))))
+          .as("n_conv_1h"))
       .select(col("n_view"), col("n_click_seq"), col("n_purchase_seq"),
         col("n_conv_1h"),
         expr("CASE WHEN n_view > 0 THEN n_conv_1h * 10000 div n_view END")
           .as("conv_1h_bp"))
+  }
+
+  /** q317: FUNNEL A/B CUT — q282's strict-ordered windowed funnel split
+    * by the q198 arm rule (idBucket(user) mod 2 — one assignment
+    * definition across every experiment row): per arm, the full stage
+    * counts and the 1-hour conversion, plus the lift the experiment
+    * readout wants (arm 1 − arm 0, in bp of each arm's viewers).
+    * Composition of two gated definitions ([[funnelInstants]],
+    * [[abUsers]]' arm expr) — it cannot disagree with either. Scale:
+    * q282's three user-keyed stages, a 2-row aggregate. */
+  val q317_funnel_ab: Q = (s, d) => {
+    val per = funnelInstants(events(s, d)
+        .select("user_id", "event_type", "es"))
+      .withColumn("arm", graft.ops.TextCore.idBucket(col("user_id")) % lit(2L))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_view"),
+        count(col("c1")).as("n_click_seq"),
+        count(col("p1")).as("n_purchase_seq"),
+        sum(when(col("p1") - col("v1") <= 3600L, 1L).otherwise(0L))
+          .as("n_conv_1h"))
+      .withColumn("conv_1h_bp",
+        expr("CASE WHEN n_view > 0 THEN n_conv_1h * 10000 div n_view END"))
+    per
+      .crossJoin(broadcast(per.agg(
+        max(when(col("arm") === 1L, col("conv_1h_bp"))).as("b1"),
+        max(when(col("arm") === 0L, col("conv_1h_bp"))).as("b0"))))
+      .select(col("arm"), col("n_view"), col("n_click_seq"),
+        col("n_purchase_seq"), col("n_conv_1h"), col("conv_1h_bp"),
+        (col("b1") - col("b0")).as("lift_bp"))
+      .orderBy("arm")
   }
 
   /** q283: LAG-7 AUTOCORRELATION of the daily counts per type — the
@@ -2842,6 +2878,7 @@ object Events {
     "q309_forecast_backtest" -> q309_forecast_backtest,
     "q312_churn" -> q312_churn,
     "q314_session_quantiles" -> q314_session_quantiles,
+    "q317_funnel_ab" -> q317_funnel_ab,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -3809,6 +3846,46 @@ object Events {
          |                                // ((n_days - 1) * sx) END) > 15000
          |                 THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
          |FROM m ORDER BY event_type""".stripMargin,
+    // q282's sequential chain with the q198 arm split, 2-row lift
+    "q317_funnel_ab" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type,
+         |         CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+         |v1 AS (SELECT user_id, min(es) AS v1 FROM e
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |c1 AS (
+         |  SELECT e.user_id, min(e.es) AS c1
+         |  FROM e JOIN v1 ON v1.user_id = e.user_id
+         |  WHERE e.event_type = 'click' AND e.es >= v1.v1 GROUP BY 1),
+         |p1 AS (
+         |  SELECT e.user_id, min(e.es) AS p1
+         |  FROM e JOIN c1 ON c1.user_id = e.user_id
+         |  WHERE e.event_type = 'purchase' AND e.es >= c1.c1 GROUP BY 1),
+         |f AS (
+         |  SELECT v1.user_id, v1.v1, c1.c1, p1.p1,
+         |         ${graft.ops.TextCore.idBucketSql("v1.user_id")} % 2 AS arm
+         |  FROM v1 LEFT JOIN c1 ON c1.user_id = v1.user_id
+         |          LEFT JOIN p1 ON p1.user_id = v1.user_id),
+         |per AS (
+         |  SELECT arm, CAST(count(*) AS BIGINT) AS n_view,
+         |         CAST(count(c1) AS BIGINT) AS n_click_seq,
+         |         CAST(count(p1) AS BIGINT) AS n_purchase_seq,
+         |         CAST(coalesce(sum(CASE WHEN p1 - v1 <= 3600
+         |                            THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |           AS n_conv_1h
+         |  FROM f GROUP BY 1),
+         |pb AS (
+         |  SELECT *, CASE WHEN n_view > 0 THEN n_conv_1h * 10000 // n_view
+         |            END AS conv_1h_bp
+         |  FROM per),
+         |x AS (SELECT max(CASE WHEN arm = 1 THEN conv_1h_bp END) AS b1,
+         |             max(CASE WHEN arm = 0 THEN conv_1h_bp END) AS b0
+         |      FROM pb)
+         |SELECT CAST(pb.arm AS BIGINT) AS arm, pb.n_view, pb.n_click_seq,
+         |       pb.n_purchase_seq, pb.n_conv_1h,
+         |       CAST(pb.conv_1h_bp AS BIGINT) AS conv_1h_bp,
+         |       CAST(x.b1 - x.b0 AS BIGINT) AS lift_bp
+         |FROM pb CROSS JOIN x ORDER BY arm""".stripMargin,
     // the q51 session chain, then min-rank quantiles per metric
     "q314_session_quantiles" ->
       s"""WITH e AS (
