@@ -464,8 +464,7 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "q293_changepoint", "q295_dispersion", "q298_transition_impurity",
       "q300_hdr_quantiles", "q301_hdr_audit", "q307_vocab_shape",
       "q309_forecast_backtest", "q313_langid_confusion",
-      "q314_session_quantiles", "q316_source_similarity",
-      "q317_funnel_ab")
+      "q314_session_quantiles", "q316_source_similarity")
     val degraded = strict.flatMap { name =>
       val p = plan(name)
       if (p.collect { case c: CartesianProductExec => c
@@ -487,7 +486,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "q302_engagement_deciles", "q303_cluster_sizes",
       "q306_item_neighbors", "q310_promotion_gate",
       "q311_ivf_incremental", "q312_churn",
-      "q315_sample_representativeness", "q318_threshold_sweep",
+      "q315_sample_representativeness", "q317_funnel_ab",
+      "q318_threshold_sweep",
       "q268_mixture_temperature", "q269_hard_negatives",
       "q270_epoch_allocation", "q271_audience_sketch",
       "q272_audience_audit", "q273_erasure_sweep",
