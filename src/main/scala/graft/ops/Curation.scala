@@ -56,6 +56,32 @@ object Curation {
       .orderBy("lang", "shard", "seq_id")
   }
 
+  /** q319: PACKING EFFICIENCY AUDIT — the feedback row for q78's
+    * sequence-packing plan (a packer that ships without its fill
+    * report wastes GPU-hours silently): over the gated q78 packing
+    * VERBATIM, one row of capacity accounting — sequence count, final
+    * (legitimately short) sequences per (lang, shard), sequences a
+    * straddling document OVERFILLS past ctx = 256, the underfill
+    * tokens lost in non-final sequences, and fill_bp = total tokens
+    * over total capacity. Scale: q78's windowed pass, a narrow
+    * (lang, shard) max join (AQE-elected), one global aggregate. */
+  val q319_packing_efficiency: Q = (s, d) => {
+    val packs = graft.Ckpt.persisted(q78_seq_packing(s, d))
+    val last = packs.groupBy("lang", "shard").agg(max("seq_id").as("last_seq"))
+    packs.join(last, Seq("lang", "shard"))
+      .withColumn("is_final",
+        when(col("seq_id") === col("last_seq"), 1L).otherwise(0L))
+      .agg(count(lit(1)).as("n_seqs"), sum("is_final").as("n_final"),
+        sum(when(col("n_tokens") > 256L, 1L).otherwise(0L))
+          .as("n_overfilled"),
+        sum(when(col("is_final") === 0L,
+          greatest(lit(0L), lit(256L) - col("n_tokens"))).otherwise(0L))
+          .as("underfill_tokens"),
+        sum("n_tokens").as("total_tokens"))
+      .withColumn("fill_bp",
+        expr("total_tokens * 10000 div (n_seqs * 256)"))
+  }
+
   // PII + denylist scrub patterns. The synthetic corpus contains no natural
   // emails/IPs (those regexes are exercised by CurationSpec on literal
   // rows); the denylist term does occur, so the on-corpus query exercises
@@ -888,6 +914,7 @@ object Curation {
   val queries: Map[String, Q] = Map(
     "q289_interleave_schedule" -> q289_interleave_schedule,
     "q315_sample_representativeness" -> q315_sample_representativeness,
+    "q319_packing_efficiency" -> q319_packing_efficiency,
     "q190_neyman_alloc" -> q190_neyman_alloc,
     "q181_source_cap" -> q181_source_cap,
     "q179_epoch_sample" -> q179_epoch_sample,
@@ -928,6 +955,27 @@ object Curation {
        |         CAST(row_number() OVER (PARTITION BY lang
        |           ORDER BY skey ASC, doc_id ASC) AS BIGINT) AS rank
        |  FROM keyed)""".stripMargin
+
+  /** q78's packing as oracle CTEs (`packs` = (lang, shard, seq_id,
+    * n_docs, n_tokens, first_doc)) — shared with q319's efficiency
+    * audit. */
+  private[graft] val packCtes: String =
+    """, p AS (
+      |  SELECT doc_id, lang, doc_id // 250 AS shard,
+      |         CAST(len(words) AS BIGINT) AS n_tokens
+      |  FROM docs),
+      |c AS (
+      |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM p),
+      |packs AS (
+      |  SELECT lang, CAST(shard AS BIGINT) AS shard,
+      |         CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 256) AS BIGINT)
+      |           AS seq_id,
+      |         CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |         min(doc_id) AS first_doc
+      |  FROM c GROUP BY 1, 2, 3)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // same stride keys ((2k+1)·SCALE // w_chars in HUGEINT), same
@@ -1176,20 +1224,31 @@ object Curation {
          |       CAST(pd.dev_bp AS BIGINT) AS dev_bp, tv.tv_bp
          |FROM pd CROSS JOIN tv ORDER BY pd.source""".stripMargin),
     "q78_seq_packing" -> withDocs(
-      """, p AS (
-        |  SELECT doc_id, lang, doc_id // 250 AS shard,
-        |         CAST(len(words) AS BIGINT) AS n_tokens
-        |  FROM docs),
-        |c AS (
-        |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
-        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM p)
-        |SELECT lang, CAST(shard AS BIGINT) AS shard,
-        |       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 256) AS BIGINT) AS seq_id,
-        |       CAST(count(*) AS BIGINT) AS n_docs,
-        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-        |       min(doc_id) AS first_doc
-        |FROM c GROUP BY 1, 2, 3 ORDER BY lang, shard, seq_id""".stripMargin),
+      s"""$packCtes
+        |SELECT lang, shard, seq_id, n_docs, n_tokens, first_doc
+        |FROM packs ORDER BY lang, shard, seq_id""".stripMargin),
+    // the q78 packing replayed, final-sequence-aware fill accounting
+    "q319_packing_efficiency" -> withDocs(
+      s"""$packCtes,
+        |lastq AS (
+        |  SELECT lang, shard, max(seq_id) AS last_seq
+        |  FROM packs GROUP BY 1, 2),
+        |m AS (
+        |  SELECT p.*, CASE WHEN p.seq_id = l.last_seq THEN 1 ELSE 0 END
+        |           AS is_final
+        |  FROM packs p JOIN lastq l
+        |    ON l.lang = p.lang AND l.shard = p.shard)
+        |SELECT CAST(count(*) AS BIGINT) AS n_seqs,
+        |       CAST(sum(is_final) AS BIGINT) AS n_final,
+        |       CAST(sum(CASE WHEN n_tokens > 256 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_overfilled,
+        |       CAST(sum(CASE WHEN is_final = 0
+        |                     THEN greatest(0, 256 - n_tokens)
+        |                ELSE 0 END) AS BIGINT) AS underfill_tokens,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(sum(n_tokens) AS BIGINT) * 10000
+        |         // (CAST(count(*) AS BIGINT) * 256) AS fill_bp
+        |FROM m""".stripMargin),
     "q79_pii_scrub" -> withDocs(
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(norm, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))

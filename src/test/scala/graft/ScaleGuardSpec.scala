@@ -487,7 +487,7 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "q306_item_neighbors", "q310_promotion_gate",
       "q311_ivf_incremental", "q312_churn",
       "q315_sample_representativeness", "q317_funnel_ab",
-      "q318_threshold_sweep",
+      "q318_threshold_sweep", "q319_packing_efficiency",
       "q268_mixture_temperature", "q269_hard_negatives",
       "q270_epoch_allocation", "q271_audience_sketch",
       "q272_audience_audit", "q273_erasure_sweep",
