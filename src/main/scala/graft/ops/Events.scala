@@ -113,14 +113,41 @@ object Events {
   /** (from_type, to_type, n) transition counts under the q51 session
     * rule — q201's matrix rows and q238's edge weights, one
     * definition. */
-  private[graft] def sessionTransitions(s: SparkSession, d: String): DataFrame = {
+  /** Per-transition rows under the q51 session rule — (user_id,
+    * session_id, event_type, next_type, gap_s): the one sessionized
+    * lead pass behind the whole edge family (q201 counts it, q320
+    * reads its dwell times). */
+  private[graft] def transitionGapRows(s: SparkSession, d: String): DataFrame = {
     val sess = withSessionIds(events(s, d)
       .select(col("user_id"), col("event_id"), col("es"), col("event_type")))
     val ws = Window.partitionBy("user_id", "session_id").orderBy("es", "event_id")
     sess.withColumn("next_type", lead("event_type", 1).over(ws))
+      .withColumn("gap_s", lead("es", 1).over(ws) - col("es"))
       .where(col("next_type").isNotNull)
+  }
+
+  private[graft] def sessionTransitions(s: SparkSession, d: String): DataFrame =
+    transitionGapRows(s, d)
       .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
+
+  /** q320: EDGE DWELL TIMES — the TIME dimension on the session graph
+    * (q201 says how often view→click happens; a UX/capacity review
+    * asks how LONG the user lingers on that edge): per transition
+    * edge, p50/p90 of the within-session gap seconds, read off the
+    * gap-seconds VALUE HISTOGRAM through the shared two-phase
+    * selection — gaps are bounded by the 30-min session rule, so the
+    * histogram is ≤ 1800 rows per edge and the edge grid is
+    * #types²-bounded. Same sessionized pass as the whole edge family
+    * ([[transitionGapRows]] — one definition). */
+  val q320_edge_dwell: Q = (s, d) => {
+    val hist = transitionGapRows(s, d)
+      .select(concat(col("event_type"), lit(">"), col("next_type"))
+        .as("group"), col("gap_s").as("v"))
+      .groupBy("group", "v").agg(count(lit(1)).as("cnt"))
+    Robust.histQuantiles(hist, Seq(50 -> "p50_s", 90 -> "p90_s"))
+      .select(col("group").as("edge"), col("n"), col("p50_s"), col("p90_s"))
+      .orderBy("edge")
   }
 
   val q201_session_transitions: Q = (s, d) => {
@@ -2879,6 +2906,7 @@ object Events {
     "q312_churn" -> q312_churn,
     "q314_session_quantiles" -> q314_session_quantiles,
     "q317_funnel_ab" -> q317_funnel_ab,
+    "q320_edge_dwell" -> q320_edge_dwell,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -2925,7 +2953,9 @@ object Events {
       |       FROM s),
       |tr AS (SELECT event_type AS from_type,
       |              lead(event_type) OVER (PARTITION BY user_id, session_id
-      |                                     ORDER BY es, event_id) AS to_type
+      |                                     ORDER BY es, event_id) AS to_type,
+      |              lead(es) OVER (PARTITION BY user_id, session_id
+      |                             ORDER BY es, event_id) - es AS gap_s
       |       FROM s2),
       |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
       |      FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)""".stripMargin
@@ -3846,6 +3876,26 @@ object Events {
          |                                // ((n_days - 1) * sx) END) > 15000
          |                 THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
          |FROM m ORDER BY event_type""".stripMargin,
+    // the same session-lead chain, gap histogram, min-rank marks
+    "q320_edge_dwell" ->
+      s"""WITH $transCtes,
+         |h AS (
+         |  SELECT from_type || '>' || to_type AS edge, gap_s AS v,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT edge, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+         |cc AS (
+         |  SELECT edge, v,
+         |         sum(cnt) OVER (PARTITION BY edge ORDER BY v
+         |           ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM h)
+         |SELECT cc.edge, t.n,
+         |       CAST(min(CASE WHEN cum >= greatest(1, (n * 50 + 99) // 100)
+         |                     THEN v END) AS BIGINT) AS p50_s,
+         |       CAST(min(CASE WHEN cum >= greatest(1, (n * 90 + 99) // 100)
+         |                     THEN v END) AS BIGINT) AS p90_s
+         |FROM cc JOIN t USING (edge)
+         |GROUP BY 1, 2 ORDER BY edge""".stripMargin,
     // q282's sequential chain with the q198 arm split, 2-row lift
     "q317_funnel_ab" ->
       s"""WITH e AS (
