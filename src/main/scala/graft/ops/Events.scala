@@ -1998,6 +1998,55 @@ object Events {
       .orderBy("metric")
   }
 
+  /** q321: DRIFT ALARM FLAPPINESS — the alarm-fatigue audit for the
+    * drift family (q229 tells you IF the corpus drifted across one
+    * split; an on-call rotation needs to know how often a DAILY drift
+    * alarm would page, and whether it flaps): for every consecutive
+    * day pair, the TV distance between the two days' value histograms
+    * (q229's bucket geometry and share arithmetic verbatim — one
+    * definition via [[driftBucketCol]] and the cnt·10000 div n share
+    * form), alarm at the same 500 bp bar; per type: pair count, alarm
+    * count, the worst pair, and n_switches = Σ|aₜ − aₜ₊₁| (a flapping
+    * alarm switches often; a real regime change switches once). Scale:
+    * one (type, day, bucket) corpus pass; everything after is
+    * calendar×16-bounded, windows partitioned per type. */
+  val q321_alarm_flappiness: Q = (s, d) => {
+    val cells = graft.Ckpt.persisted(events(s, d)
+      .select(col("event_type"), expr("es div 86400").as("day"),
+        driftBucketCol.as("bucket"))
+      .groupBy("event_type", "day", "bucket")
+      .agg(count(lit(1)).as("cnt")))
+    val tot = cells.groupBy("event_type", "day").agg(sum("cnt").as("n"))
+    val shares = cells.join(tot, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("bucket"),
+        expr("cnt * 10000 div n").as("p"))
+    val pairs = shares
+      .join(shares.select(col("event_type"), (col("day") - 1L).as("day"),
+        col("bucket"), col("p").as("p2")),
+        Seq("event_type", "day", "bucket"), "full")
+      .na.fill(0L, Seq("p", "p2"))
+      // a bucket absent on one side still contributes its share; the
+      // pair at day t compares days (t, t+1), and BOTH days must have
+      // data (the presence joins below) or an empty side would read as
+      // a phantom 50% TV
+      .join(tot.select("event_type", "day"), Seq("event_type", "day"))
+      .join(tot.select(col("event_type"), (col("day") - 1L).as("day")),
+        Seq("event_type", "day"))
+      .groupBy("event_type", "day")
+      .agg(expr("sum(abs(p - p2)) div 2").as("tv_bp"))
+    val seq0 = pairs
+      .withColumn("alarm", when(col("tv_bp") > 500L, 1L).otherwise(0L))
+    val wlag = Window.partitionBy("event_type").orderBy("day")
+    seq0
+      .withColumn("nxt", lead("alarm", 1).over(wlag))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"), sum("alarm").as("n_alarms"),
+        max("tv_bp").as("max_tv_bp"),
+        sum(when(col("nxt").isNotNull, abs(col("alarm") - col("nxt")))
+          .otherwise(0L)).as("n_switches"))
+      .orderBy("event_type")
+  }
+
   /** q312: WEEK-OVER-WEEK CHURN — the loss-side complement of q288's
     * retention triangle (retention asks "who came back"; a growth
     * review asks "who LEFT, who is new, what net"): users active in
@@ -2907,6 +2956,7 @@ object Events {
     "q314_session_quantiles" -> q314_session_quantiles,
     "q317_funnel_ab" -> q317_funnel_ab,
     "q320_edge_dwell" -> q320_edge_dwell,
+    "q321_alarm_flappiness" -> q321_alarm_flappiness,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -3876,6 +3926,49 @@ object Events {
          |                                // ((n_days - 1) * sx) END) > 15000
          |                 THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
          |FROM m ORDER BY event_type""".stripMargin,
+    // same bucket geometry and share form at day grain; presence
+    // joins keep phantom one-sided pairs out; switch count via lead
+    "q321_alarm_flappiness" ->
+      s"""WITH cells AS (
+         |  SELECT event_type,
+         |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |         least(CAST(round(value * 100) AS BIGINT) // 3200,
+         |               ${driftBuckets - 1L}) AS bucket,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2, 3),
+         |tot AS (SELECT event_type, day, CAST(sum(cnt) AS BIGINT) AS n
+         |        FROM cells GROUP BY 1, 2),
+         |sh AS (
+         |  SELECT c.event_type, c.day, c.bucket, c.cnt * 10000 // t.n AS p
+         |  FROM cells c JOIN tot t
+         |    ON t.event_type = c.event_type AND t.day = c.day),
+         |pr AS (
+         |  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+         |         coalesce(a.day, b.day - 1) AS day,
+         |         coalesce(a.p, 0) AS p, coalesce(b.p, 0) AS p2
+         |  FROM sh a FULL JOIN sh b
+         |    ON b.event_type = a.event_type AND b.day = a.day + 1
+         |       AND b.bucket = a.bucket),
+         |pv AS (
+         |  SELECT pr.event_type, pr.day,
+         |         CAST(sum(abs(p - p2)) AS BIGINT) // 2 AS tv_bp
+         |  FROM pr
+         |  JOIN tot t1 ON t1.event_type = pr.event_type AND t1.day = pr.day
+         |  JOIN tot t2 ON t2.event_type = pr.event_type
+         |             AND t2.day = pr.day + 1
+         |  GROUP BY 1, 2),
+         |sq AS (
+         |  SELECT *, CASE WHEN tv_bp > 500 THEN 1 ELSE 0 END AS alarm,
+         |         lead(CASE WHEN tv_bp > 500 THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY event_type ORDER BY day) AS nxt
+         |  FROM pv)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(alarm) AS BIGINT) AS n_alarms,
+         |       max(tv_bp) AS max_tv_bp,
+         |       CAST(coalesce(sum(CASE WHEN nxt IS NOT NULL
+         |                          THEN abs(alarm - nxt) ELSE 0 END), 0)
+         |            AS BIGINT) AS n_switches
+         |FROM sq GROUP BY 1 ORDER BY 1""".stripMargin,
     // the same session-lead chain, gap histogram, min-rank marks
     "q320_edge_dwell" ->
       s"""WITH $transCtes,

@@ -74,6 +74,17 @@ case class AbStatus(user_id: Long, arm: Long, conv: Long)
   * the event_id the batch q201 tie-break orders by. */
 case class TransEv(user_id: Long, event_id: Long, es: Long, event_type: String)
 
+/** One raw alarm tick entering [[EventStream.alarmDebounceStream]] —
+  * `seq` orders ticks within a key (batch id, day, …). */
+case class DebEv(key: String, seq: Long, raw: Long)
+
+/** Debounce state: the currently EMITTED level and the run length of
+  * consecutive opposite raw ticks. */
+case class DebState(level: Long, run: Long)
+
+/** One debounced tick: the raw level beside the emitted one. */
+case class DebOut(key: String, seq: Long, raw: Long, level: Long)
+
 /** Per-user transition state: the last event folded ([[EventStream.transitionStream]]). */
 case class TransState(lastEs: Long, lastEventId: Long, lastType: String)
 
@@ -697,6 +708,35 @@ object EventStream {
       .select(col("event_type"),
         expr("CAST(unix_timestamp(w.start) div 86400 AS BIGINT)").as("day"),
         col("cnt"))
+
+  /** Stateful ALARM DEBOUNCE — the flap suppressor in front of any of
+    * the alarm feeds (drift, CUSUM, dispersion): the emitted level
+    * flips only after `k` CONSECUTIVE raw ticks disagree with it, so a
+    * flapping detector (the q321 n_switches pathology) pages once per
+    * regime change instead of nightly. Pure run-length state per key
+    * (two longs — bounded regardless of traffic); ticks are folded in
+    * `seq` order within each batch, and the in-order ingest contract
+    * is the [[scdTierStream]] class but tolerant: alarm ticks are
+    * derived internally (per micro-batch), so out-of-order delivery
+    * cannot occur in the wiring this guards. */
+  def alarmDebounceStream(evs: Dataset[DebEv], k: Int = 3): Dataset[DebOut] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[DebEv], state: GroupState[DebState]) =>
+          var cur = state.getOption.getOrElse(DebState(0L, 0L))
+          val out = rows.toSeq.sortBy(_.seq).map { e =>
+            cur =
+              if (e.raw == cur.level) DebState(cur.level, 0L)
+              else if (cur.run + 1 >= k) DebState(e.raw, 0L)
+              else DebState(cur.level, cur.run + 1)
+            DebOut(key, e.seq, e.raw, cur.level)
+          }
+          state.update(cur)
+          out.iterator
+      }
+  }
 
   /** foreachBatch consumer for [[dailyCountsStream]] — serves q295's
     * overdispersion index over the emitted per-day counts through the

@@ -2002,6 +2002,31 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("alarmDebounceStream: level flips only after k consecutive disagreements, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{DebEv, DebOut}
+    val input = MemoryStream[DebEv]
+    val query = EventStream.alarmDebounceStream(input.toDS(), k = 3)
+      .writeStream.format("memory").queryName("deb").outputMode("append").start()
+    try {
+      // raw 0 1 0 1 1 1 | 0 0 0 1 split across two batches — the run
+      // state must carry over the batch boundary
+      val raws = Seq(0L, 1L, 0L, 1L, 1L, 1L, 0L, 0L, 0L, 1L)
+      input.addData(raws.take(6).zipWithIndex.map { case (r, i) =>
+        DebEv("drift", i.toLong, r) })
+      query.processAllAvailable()
+      input.addData(raws.drop(6).zipWithIndex.map { case (r, i) =>
+        DebEv("drift", (i + 6).toLong, r) })
+      query.processAllAvailable()
+      val got = spark.table("deb").as[DebOut].collect()
+        .sortBy(_.seq).map(_.level).toSeq
+      // flips to 1 at the 3rd consecutive 1 (seq 5), back to 0 at the
+      // 3rd consecutive 0 (seq 8); the lone trailing 1 is suppressed
+      assert(got == Seq(0L, 0L, 0L, 0L, 0L, 1L, 1L, 1L, 0L, 0L))
+    } finally query.stop()
+  }
+
   test("newUsersStream: in-order parity with batch cohorts; out-of-order keeps first arrival") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

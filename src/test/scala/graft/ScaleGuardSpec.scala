@@ -465,7 +465,7 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "q300_hdr_quantiles", "q301_hdr_audit", "q307_vocab_shape",
       "q309_forecast_backtest", "q313_langid_confusion",
       "q314_session_quantiles", "q316_source_similarity",
-      "q320_edge_dwell")
+      "q320_edge_dwell", "q321_alarm_flappiness")
     val degraded = strict.flatMap { name =>
       val p = plan(name)
       if (p.collect { case c: CartesianProductExec => c
