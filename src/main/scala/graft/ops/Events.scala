@@ -2047,6 +2047,99 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q322: CAPTURE–RECAPTURE POPULATION ESTIMATE — the coverage
+    * estimator for populations no single feed sees fully (how many
+    * users EXIST if every pipeline only samples?): two deterministic
+    * hash samples of the event feed (id buckets [0,20) and [40,60) —
+    * disjoint bucket ranges, so the "captures" are independent draws
+    * under the hash-uniformity assumption), and Lincoln–Petersen
+    * n̂ = n1·n2 div m over users seen in both... except hash samples
+    * of the SAME id space never overlap across disjoint bucket
+    * ranges — so the two samples here are EVENT-subsampled (event_id
+    * buckets 0 and 50 — 1% each, thin enough that an active user can
+    * genuinely MISS a capture; a 20% sample catches everyone and the
+    * estimator degenerates to the census), and a user is recaptured
+    * when both event samples saw them. The exact distinct-user count
+    * rides as the audit column (the serve/audit honesty convention in
+    * one row — at true scale the exact side is the expensive one).
+    * err_bp is signed. NULL estimate when m = 0. Scale: two filtered
+    * user-distinct aggregates and a semi-join, all user-keyed. */
+  val q322_capture_recapture: Q = (s, d) => {
+    val ev = events(s, d).select(col("user_id"),
+      graft.ops.TextCore.idBucket(col("event_id")).as("eb"))
+    val s1 = ev.where(col("eb") === 0).select("user_id").distinct()
+    val s2 = ev.where(col("eb") === 50).select("user_id").distinct()
+    val m = s1.join(s2, "user_id").agg(count(lit(1)).as("m"))
+    s1.agg(count(lit(1)).as("n1"))
+      .crossJoin(broadcast(s2.agg(count(lit(1)).as("n2"))))
+      .crossJoin(broadcast(m))
+      .crossJoin(broadcast(ev.select("user_id").distinct()
+        .agg(count(lit(1)).as("n_exact"))))
+      .select(col("n1"), col("n2"), col("m"), col("n_exact"),
+        expr("CASE WHEN m > 0 THEN n1 * n2 div m END").as("n_est"),
+        expr("""CASE WHEN m > 0 AND n_exact > 0
+                THEN (n1 * n2 div m - n_exact) * 10000 div n_exact
+                END""").as("err_bp"))
+  }
+
+  /** q323: CONVERSION-WINDOW SWEEP — the tuning curve for q282's one
+    * fixed 1-hour bound (pick a window too tight and the funnel
+    * under-reports; too loose and unrelated purchases inflate it):
+    * over the SAME [[funnelInstants]] chain, the sequential-path
+    * conversion at 1 h / 6 h / 24 h / ∞ — the last column is the
+    * ceiling (any-time sequential conversion), so the curve shows
+    * where the window stops mattering. One pass, conditional sums. */
+  val q323_conversion_windows: Q = (s, d) =>
+    funnelInstants(events(s, d).select("user_id", "event_type", "es"))
+      .agg(count(lit(1)).as("n_view"),
+        sum(when(col("p1") - col("v1") <= 3600L, 1L).otherwise(0L))
+          .as("n_conv_1h"),
+        sum(when(col("p1") - col("v1") <= 21600L, 1L).otherwise(0L))
+          .as("n_conv_6h"),
+        sum(when(col("p1") - col("v1") <= 86400L, 1L).otherwise(0L))
+          .as("n_conv_24h"),
+        count(col("p1")).as("n_conv_any"))
+      .select(col("n_view"), col("n_conv_1h"), col("n_conv_6h"),
+        col("n_conv_24h"), col("n_conv_any"),
+        expr("CASE WHEN n_view > 0 THEN n_conv_1h * 10000 div n_view END")
+          .as("conv_1h_bp"),
+        expr("CASE WHEN n_view > 0 THEN n_conv_24h * 10000 div n_view END")
+          .as("conv_24h_bp"))
+
+  /** q324: COHORT LTV CURVE — the revenue dimension of q288's
+    * retention triangle (retention counts who came back; finance asks
+    * what a cohort is WORTH by day k): per cohort (first-active day),
+    * cumulative purchase cents through offsets 0/7/14 days, and the
+    * per-user LTV at each mark (truncating cents). Scale: one
+    * user-keyed first-day aggregate, purchases keyed by user join,
+    * conditional sums on the calendar-bounded (cohort, offset) grid —
+    * the q288 shape with cents instead of presence. */
+  val q324_ltv_curve: Q = (s, d) => {
+    val ev = events(s, d)
+    val first = ev
+      .select(col("user_id"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
+      .groupBy("user_id").agg(min("day").as("cohort_day"))
+    val spend = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), expr("CAST(es div 86400 AS BIGINT)").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val sizes = first.groupBy("cohort_day").agg(count(lit(1)).as("n_users"))
+    spend.join(first, "user_id")
+      .withColumn("off", col("day") - col("cohort_day"))
+      .groupBy("cohort_day")
+      .agg(sum(when(col("off") <= 0L, col("cents")).otherwise(0L))
+          .as("cents_d0"),
+        sum(when(col("off") <= 7L, col("cents")).otherwise(0L))
+          .as("cents_d7"),
+        sum(when(col("off") <= 14L, col("cents")).otherwise(0L))
+          .as("cents_d14"))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("n_users"),
+        col("cents_d0"), col("cents_d7"), col("cents_d14"),
+        expr("cents_d7 div n_users").as("ltv7_cents"),
+        expr("cents_d14 div n_users").as("ltv14_cents"))
+      .orderBy("cohort_day")
+  }
+
   /** q312: WEEK-OVER-WEEK CHURN — the loss-side complement of q288's
     * retention triangle (retention asks "who came back"; a growth
     * review asks "who LEFT, who is new, what net"): users active in
@@ -2957,6 +3050,9 @@ object Events {
     "q317_funnel_ab" -> q317_funnel_ab,
     "q320_edge_dwell" -> q320_edge_dwell,
     "q321_alarm_flappiness" -> q321_alarm_flappiness,
+    "q322_capture_recapture" -> q322_capture_recapture,
+    "q323_conversion_windows" -> q323_conversion_windows,
+    "q324_ltv_curve" -> q324_ltv_curve,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -3926,6 +4022,90 @@ object Events {
          |                                // ((n_days - 1) * sx) END) > 15000
          |                 THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
          |FROM m ORDER BY event_type""".stripMargin,
+    // two disjoint event-id hash samples, Lincoln-Petersen, exact audit
+    "q322_capture_recapture" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, ${graft.ops.TextCore.idBucketSql("event_id")} AS eb
+         |  FROM events),
+         |s1 AS (SELECT DISTINCT user_id FROM ev WHERE eb = 0),
+         |s2 AS (SELECT DISTINCT user_id FROM ev WHERE eb = 50),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM s1),
+         |b AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM s2),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS m
+         |      FROM s1 JOIN s2 USING (user_id)),
+         |x AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         |      FROM ev)
+         |SELECT n1, n2, m, n_exact,
+         |       CASE WHEN m > 0 THEN n1 * n2 // m END AS n_est,
+         |       CASE WHEN m > 0 AND n_exact > 0
+         |            THEN (n1 * n2 // m - n_exact) * 10000 // n_exact
+         |       END AS err_bp
+         |FROM a CROSS JOIN b CROSS JOIN c CROSS JOIN x""".stripMargin,
+    // the q282/q317 sequential chain, four window bounds in one pass
+    "q323_conversion_windows" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type,
+         |         CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+         |v1 AS (SELECT user_id, min(es) AS v1 FROM e
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |c1 AS (
+         |  SELECT e.user_id, min(e.es) AS c1
+         |  FROM e JOIN v1 ON v1.user_id = e.user_id
+         |  WHERE e.event_type = 'click' AND e.es >= v1.v1 GROUP BY 1),
+         |p1 AS (
+         |  SELECT e.user_id, min(e.es) AS p1
+         |  FROM e JOIN c1 ON c1.user_id = e.user_id
+         |  WHERE e.event_type = 'purchase' AND e.es >= c1.c1 GROUP BY 1),
+         |f AS (
+         |  SELECT v1.user_id, v1.v1, p1.p1
+         |  FROM v1 LEFT JOIN p1 ON p1.user_id = v1.user_id),
+         |g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_view,
+         |         CAST(coalesce(sum(CASE WHEN p1 - v1 <= 3600 THEN 1
+         |                            ELSE 0 END), 0) AS BIGINT) AS n_conv_1h,
+         |         CAST(coalesce(sum(CASE WHEN p1 - v1 <= 21600 THEN 1
+         |                            ELSE 0 END), 0) AS BIGINT) AS n_conv_6h,
+         |         CAST(coalesce(sum(CASE WHEN p1 - v1 <= 86400 THEN 1
+         |                            ELSE 0 END), 0) AS BIGINT) AS n_conv_24h,
+         |         CAST(count(p1) AS BIGINT) AS n_conv_any
+         |  FROM f)
+         |SELECT n_view, n_conv_1h, n_conv_6h, n_conv_24h, n_conv_any,
+         |       CASE WHEN n_view > 0 THEN n_conv_1h * 10000 // n_view
+         |       END AS conv_1h_bp,
+         |       CASE WHEN n_view > 0 THEN n_conv_24h * 10000 // n_view
+         |       END AS conv_24h_bp
+         |FROM g""".stripMargin,
+    // min-day cohorts, purchase cents on the (cohort, offset) grid
+    "q324_ltv_curve" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type,
+         |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |         CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |fst AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+         |sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_users
+         |       FROM fst GROUP BY 1),
+         |g AS (
+         |  SELECT f.cohort_day,
+         |         CAST(sum(CASE WHEN sp.day - f.cohort_day <= 0
+         |                       THEN sp.cents ELSE 0 END) AS BIGINT)
+         |           AS cents_d0,
+         |         CAST(sum(CASE WHEN sp.day - f.cohort_day <= 7
+         |                       THEN sp.cents ELSE 0 END) AS BIGINT)
+         |           AS cents_d7,
+         |         CAST(sum(CASE WHEN sp.day - f.cohort_day <= 14
+         |                       THEN sp.cents ELSE 0 END) AS BIGINT)
+         |           AS cents_d14
+         |  FROM (SELECT user_id, day, cents FROM e
+         |        WHERE event_type = 'purchase') sp
+         |  JOIN fst f ON f.user_id = sp.user_id
+         |  GROUP BY 1)
+         |SELECT g.cohort_day, sz.n_users, g.cents_d0, g.cents_d7,
+         |       g.cents_d14,
+         |       g.cents_d7 // sz.n_users AS ltv7_cents,
+         |       g.cents_d14 // sz.n_users AS ltv14_cents
+         |FROM g JOIN sz ON sz.cohort_day = g.cohort_day
+         |ORDER BY g.cohort_day""".stripMargin,
     // same bucket geometry and share form at day grain; presence
     // joins keep phantom one-sided pairs out; switch count via lead
     "q321_alarm_flappiness" ->

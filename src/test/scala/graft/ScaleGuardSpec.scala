@@ -465,7 +465,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "q300_hdr_quantiles", "q301_hdr_audit", "q307_vocab_shape",
       "q309_forecast_backtest", "q313_langid_confusion",
       "q314_session_quantiles", "q316_source_similarity",
-      "q320_edge_dwell", "q321_alarm_flappiness")
+      "q320_edge_dwell", "q321_alarm_flappiness",
+      "q323_conversion_windows", "q324_ltv_curve")
     val degraded = strict.flatMap { name =>
       val p = plan(name)
       if (p.collect { case c: CartesianProductExec => c
@@ -489,6 +490,7 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "q311_ivf_incremental", "q312_churn",
       "q315_sample_representativeness", "q317_funnel_ab",
       "q318_threshold_sweep", "q319_packing_efficiency",
+      "q322_capture_recapture",
       "q268_mixture_temperature", "q269_hard_negatives",
       "q270_epoch_allocation", "q271_audience_sketch",
       "q272_audience_audit", "q273_erasure_sweep",
