@@ -1954,10 +1954,13 @@ object Events {
     * division so zero-count days cannot divide by zero). Pure integer
     * throughout. Scale: two calendar-bounded passes (the daily table
     * and its lag-7 self-join — the q283 shape). */
-  val q309_forecast_backtest: Q = (s, d) => {
-    val daily = graft.Ckpt.persisted(events(s, d)
+  val q309_forecast_backtest: Q = (s, d) =>
+    backtestFromDaily(graft.Ckpt.persisted(events(s, d)
       .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
-      .agg(count(lit(1)).as("cnt")))
+      .agg(count(lit(1)).as("cnt"))))
+
+  /** q309's body over any (event_type, day, cnt) daily frame. */
+  private[graft] def backtestFromDaily(daily: DataFrame): DataFrame =
     daily
       .join(daily.select(col("event_type"), (col("day") + 7L).as("day"),
         col("cnt").as("fc")), Seq("event_type", "day"))
@@ -1970,7 +1973,6 @@ object Events {
         expr("""CASE WHEN sum_actual = 0 THEN NULL
                 ELSE sum_abs_err * 10000 div sum_actual END""").as("mape_bp"))
       .orderBy("event_type")
-  }
 
   /** q314: SESSION QUANTILE REPORT — the distribution summary over
     * q51's sessions (q51 lists them; an engagement dashboard reads
@@ -2010,12 +2012,17 @@ object Events {
     * alarm switches often; a real regime change switches once). Scale:
     * one (type, day, bucket) corpus pass; everything after is
     * calendar×16-bounded, windows partitioned per type. */
-  val q321_alarm_flappiness: Q = (s, d) => {
-    val cells = graft.Ckpt.persisted(events(s, d)
+  val q321_alarm_flappiness: Q = (s, d) =>
+    flapFromCells(graft.Ckpt.persisted(events(s, d)
       .select(col("event_type"), expr("es div 86400").as("day"),
         driftBucketCol.as("bucket"))
       .groupBy("event_type", "day", "bucket")
-      .agg(count(lit(1)).as("cnt")))
+      .agg(count(lit(1)).as("cnt"))))
+
+  /** q321's body over any (event_type, day, bucket, cnt) cell frame —
+    * factored so the spec can pin a hand flap sequence and the
+    * calendar-gap presence rule. */
+  private[graft] def flapFromCells(cells: DataFrame): DataFrame = {
     val tot = cells.groupBy("event_type", "day").agg(sum("cnt").as("n"))
     val shares = cells.join(tot, Seq("event_type", "day"))
       .select(col("event_type"), col("day"), col("bucket"),
@@ -2116,12 +2123,17 @@ object Events {
     * the q288 shape with cents instead of presence. */
   val q324_ltv_curve: Q = (s, d) => {
     val ev = events(s, d)
-    val first = ev
-      .select(col("user_id"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
-      .groupBy("user_id").agg(min("day").as("cohort_day"))
-    val spend = ev.where(col("event_type") === "purchase")
-      .select(col("user_id"), expr("CAST(es div 86400 AS BIGINT)").as("day"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    ltvCurve(
+      ev.select(col("user_id"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
+        .groupBy("user_id").agg(min("day").as("cohort_day")),
+      ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), expr("CAST(es div 86400 AS BIGINT)").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents")))
+  }
+
+  /** q324's body over (user_id, cohort_day) and (user_id, day, cents)
+    * frames — factored for the spec's hand cohorts. */
+  private[graft] def ltvCurve(first: DataFrame, spend: DataFrame): DataFrame = {
     val sizes = first.groupBy("cohort_day").agg(count(lit(1)).as("n_users"))
     spend.join(first, "user_id")
       .withColumn("off", col("day") - col("cohort_day"))
@@ -2151,10 +2163,13 @@ object Events {
     * DISTINCT (user, day) pass, a 1-row max-day broadcast, one
     * user-keyed aggregate — no join between the week sets, the
     * set algebra folds per user. */
-  val q312_churn: Q = (s, d) => {
-    val days = events(s, d)
+  val q312_churn: Q = (s, d) =>
+    churnFromDays(events(s, d)
       .select(col("user_id"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
-      .distinct()
+      .distinct())
+
+  /** q312's body over any DISTINCT (user_id, day) frame. */
+  private[graft] def churnFromDays(days: DataFrame): DataFrame = {
     val anchor = days.agg(max("day").as("dmax"))
     days.crossJoin(broadcast(anchor))
       .withColumn("curr",

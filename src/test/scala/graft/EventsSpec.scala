@@ -813,6 +813,70 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(got("purchase") == ((0L, 0L, 0L)))
   }
 
+  test("q309: seasonal-naive backtest — only lag-7-paired days score") {
+    import spark.implicits._
+    // week 1 flat 10, week 2 flat 12 → 7 pairs, |err| = 2 each:
+    // MAE = 2, MAPE = 14·10⁴/84 = 1666
+    val daily = ((0L to 6L).map(d => ("t", d, 10L)) ++
+      (7L to 13L).map(d => ("t", d, 12L))).toDF("event_type", "day", "cnt")
+    val r = Events.backtestFromDaily(daily).collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (("t", 7L, 2L, 1666L)))
+  }
+
+  test("q312: churned/new/retained partition the two-week actives") {
+    import spark.implicits._
+    // dmax = 27: curr = [21, 27], prev = [14, 20]
+    val days = Seq((1L, 15L), (1L, 22L), // retained
+      (2L, 16L),                          // churned
+      (3L, 25L),                          // new
+      (4L, 5L), (4L, 27L)                 // old activity + curr → new? no:
+      // u4 has prev=0 (day 5 < 14), curr=1 → counts as new
+    ).toDF("user_id", "day")
+    val r = Events.churnFromDays(days).collect().head
+    // prev = {u1, u2} = 2; curr = {u1, u3, u4} = 3; churned = {u2};
+    // new = {u3, u4}; retained = {u1}; churn_bp = 1·10⁴/2
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((2L, 3L, 1L, 2L, 1L, 5000L)))
+  }
+
+  test("q321: a hand flap sequence counts its switches; calendar gaps pair nothing") {
+    import spark.implicits._
+    // type t: day 0 all in bucket 0, day 1 all in bucket 1, day 2
+    // bucket 1, day 3 bucket 0, day 4 bucket 0 → pair TVs
+    // 10000, 0, 10000, 0 → alarms 1,0,1,0 → 3 switches
+    val cells = Seq(
+      ("t", 0L, 0L, 10L), ("t", 1L, 1L, 10L), ("t", 2L, 1L, 10L),
+      ("t", 3L, 0L, 10L), ("t", 4L, 0L, 10L),
+      // g: days 0 and 2 only — the missing day 1 must produce NO
+      // phantom pair (an empty side would read as 50% TV)
+      ("g", 0L, 0L, 5L), ("g", 2L, 0L, 5L)
+    ).toDF("event_type", "day", "bucket", "cnt")
+    val got = Events.flapFromCells(cells).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got("t") == ((4L, 2L, 10000L, 3L)))
+    assert(!got.contains("g"), "gap days must not fabricate pairs")
+  }
+
+  test("q324: cohort LTV marks accumulate through the offsets") {
+    import spark.implicits._
+    val first = Seq((1L, 0L), (2L, 0L), (3L, 10L)).toDF("user_id", "cohort_day")
+    val spend = Seq(
+      (1L, 0L, 100L),  // day-0 purchase
+      (1L, 7L, 50L),   // inside d7
+      (2L, 10L, 30L),  // inside d14 only
+      (3L, 12L, 80L)   // cohort 10, offset 2 → d7 and d14
+    ).toDF("user_id", "day", "cents")
+    val got = Events.ltvCurve(first, spend).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // cohort 0 (2 users): d0 = 100, d7 = 150, d14 = 180; ltv7 = 75, ltv14 = 90
+    assert(got(0L) == ((2L, 100L, 150L, 180L, 75L, 90L)))
+    // cohort 10 (1 user): purchase at offset 2 lands in d7 and d14
+    assert(got(10L) == ((1L, 0L, 80L, 80L, 80L, 80L)))
+  }
+
   test("q290: KS from known ECDFs — max gap, tie to lowest cent, one-sided NULL") {
     import spark.implicits._
     val cells = Seq(
