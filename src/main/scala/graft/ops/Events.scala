@@ -2152,6 +2152,42 @@ object Events {
       .orderBy("cohort_day")
   }
 
+  /** q325: SEASONALITY STRENGTH — the one-number summary the weekday
+    * family hands a model selector (q274 profiles the rhythm, q283
+    * detects lag-7 correlation; a forecaster wants "how much of the
+    * daily variance does the weekday explain?"): per type, the ANOVA
+    * ratio SSB/SST = 1 − SSW/SST over daily counts grouped by weekday.
+    * Exact-integer form: SST_q = (n·Σx² − (Σx)²)·10⁴ div n and
+    * SSW_q = Σ_wd (n_wd·Σx² − (Σx)²)·10⁴ div n_wd — one truncating
+    * div per weekday group (≤ 7 quanta of total quantization, argued
+    * in-line), strength_bp = (SST_q − SSW_q)·10⁴ div SST_q. High =
+    * weekday means carry the signal (deseasonalize first); ~0 = the
+    * calendar explains nothing. Scale: one per-day pass, then
+    * calendar-bounded weekday aggregates. */
+  val q325_seasonality_strength: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("wd", expr("(day + 4) % 7"))
+    val wd = daily.groupBy("event_type", "wd")
+      .agg(count(lit(1)).as("nw"), sum("cnt").as("sx"),
+        sum(col("cnt") * col("cnt")).as("sxx"))
+    wd.groupBy("event_type")
+      .agg(sum("nw").as("n"), sum("sx").as("tsx"), sum("sxx").as("tsxx"),
+        sum(expr(
+          """(CAST(nw AS DECIMAL(38, 0)) * sxx
+              - CAST(sx AS DECIMAL(38, 0)) * sx) * 10000 div nw"""))
+          .as("ssw_q"))
+      .withColumn("sst_q", expr(
+        """(CAST(n AS DECIMAL(38, 0)) * tsxx
+            - CAST(tsx AS DECIMAL(38, 0)) * tsx) * 10000 div n"""))
+      .select(col("event_type"), col("n").as("n_days"),
+        expr("""CASE WHEN sst_q <= 0 THEN NULL
+                ELSE CAST((sst_q - ssw_q) * 10000 div sst_q AS BIGINT)
+                END""").as("strength_bp"))
+      .orderBy("event_type")
+  }
+
   /** q312: WEEK-OVER-WEEK CHURN — the loss-side complement of q288's
     * retention triangle (retention asks "who came back"; a growth
     * review asks "who LEFT, who is new, what net"): users active in
@@ -3068,6 +3104,7 @@ object Events {
     "q322_capture_recapture" -> q322_capture_recapture,
     "q323_conversion_windows" -> q323_conversion_windows,
     "q324_ltv_curve" -> q324_ltv_curve,
+    "q325_seasonality_strength" -> q325_seasonality_strength,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -4037,6 +4074,34 @@ object Events {
          |                                // ((n_days - 1) * sx) END) > 15000
          |                 THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
          |FROM m ORDER BY event_type""".stripMargin,
+    // the same per-weekday integer moments, one truncating div per
+    // group, ANOVA ratio in bp
+    "q325_seasonality_strength" ->
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |wd AS (
+         |  SELECT event_type, (day + 4) % 7 AS wd,
+         |         CAST(count(*) AS BIGINT) AS nw,
+         |         CAST(sum(cnt) AS HUGEINT) AS sx,
+         |         CAST(sum(cnt * cnt) AS HUGEINT) AS sxx
+         |  FROM daily GROUP BY 1, 2),
+         |g AS (
+         |  SELECT event_type, CAST(sum(nw) AS HUGEINT) AS n,
+         |         CAST(sum(sx) AS HUGEINT) AS tsx,
+         |         CAST(sum(sxx) AS HUGEINT) AS tsxx,
+         |         CAST(sum((nw * sxx - sx * sx) * 10000 // nw) AS HUGEINT)
+         |           AS ssw_q
+         |  FROM wd GROUP BY 1),
+         |v AS (
+         |  SELECT *, (n * tsxx - tsx * tsx) * 10000 // n AS sst_q FROM g)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+         |       CASE WHEN sst_q <= 0 THEN NULL
+         |            ELSE CAST((sst_q - ssw_q) * 10000 // sst_q AS BIGINT)
+         |       END AS strength_bp
+         |FROM v ORDER BY event_type""".stripMargin,
     // two disjoint event-id hash samples, Lincoln-Petersen, exact audit
     "q322_capture_recapture" ->
       s"""WITH ev AS (

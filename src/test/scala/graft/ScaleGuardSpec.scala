@@ -466,7 +466,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "q309_forecast_backtest", "q313_langid_confusion",
       "q314_session_quantiles", "q316_source_similarity",
       "q320_edge_dwell", "q321_alarm_flappiness",
-      "q323_conversion_windows", "q324_ltv_curve")
+      "q323_conversion_windows", "q324_ltv_curve",
+      "q325_seasonality_strength")
     val degraded = strict.flatMap { name =>
       val p = plan(name)
       if (p.collect { case c: CartesianProductExec => c
