@@ -2188,6 +2188,74 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q326: ENTRY/EXIT/BOUNCE REPORT — the landing-page analytics over
+    * q51's sessions the transition matrix can't answer (q201 sees only
+    * INTERIOR edges; where sessions START, where they END, and how
+    * many end immediately are boundary questions): per type, sessions
+    * entering on it, sessions exiting on it, bounces (single-event
+    * sessions — entry ≡ exit with no interior), and each as bp shares
+    * of all sessions. Same session rule and (es, event_id) order as
+    * the whole family. Scale: the sessionized pass plus one
+    * first/last window per (user, session), then type-bounded
+    * aggregates. */
+  val q326_entry_exit: Q = (s, d) => {
+    val sess = withSessionIds(events(s, d)
+      .select(col("user_id"), col("event_id"), col("es"), col("event_type")))
+    val w = Window.partitionBy("user_id", "session_id")
+      .orderBy("es", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val per = sess
+      .withColumn("entry", first("event_type").over(w))
+      .withColumn("exit", last("event_type").over(w))
+      .withColumn("ne", count(lit(1)).over(w))
+      .groupBy("user_id", "session_id")
+      .agg(max("entry").as("entry"), max("exit").as("exit"),
+        max("ne").as("ne"))
+    val tot = per.agg(count(lit(1)).as("n_sessions"))
+    val entries = per.groupBy(col("entry").as("event_type"))
+      .agg(count(lit(1)).as("n_entries"),
+        sum(when(col("ne") === 1L, 1L).otherwise(0L)).as("n_bounces"))
+    val exits = per.groupBy(col("exit").as("event_type"))
+      .agg(count(lit(1)).as("n_exits"))
+    entries.join(exits, Seq("event_type"), "full")
+      .na.fill(0L, Seq("n_entries", "n_bounces", "n_exits"))
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_entries"), col("n_exits"),
+        col("n_bounces"),
+        expr("n_entries * 10000 div n_sessions").as("entry_bp"),
+        expr("n_exits * 10000 div n_sessions").as("exit_bp"),
+        expr("""CASE WHEN n_entries > 0
+                THEN n_bounces * 10000 div n_entries END""")
+          .as("bounce_bp"))
+      .orderBy("event_type")
+  }
+
+  /** q327: RETURN-TIME QUANTILES — the BETWEEN-session cadence (q320
+    * measures dwell WITHIN a session; retention/churn count weekly
+    * presence; a lifecycle model wants the actual return-gap
+    * distribution): for every pair of consecutive sessions of one
+    * user, the gap from previous session END to next session START,
+    * p50/p90 in seconds off the gap-value histogram (shared two-phase
+    * selection; single-session users contribute nothing). One row.
+    * Scale: the sessionized pass, a per-user lag window over
+    * SESSION-grain rows (sessions per user, not events), histogram-
+    * bounded selection. */
+  val q327_return_time: Q = (s, d) => {
+    val sess = withSessionIds(events(s, d)
+      .select(col("user_id"), col("event_id"), col("es"), col("event_type")))
+      .groupBy("user_id", "session_id")
+      .agg(min("es").as("start_es"), max("es").as("end_es"))
+    val wu = Window.partitionBy("user_id").orderBy("start_es")
+    val hist = sess
+      .withColumn("prev_end", lag("end_es", 1).over(wu))
+      .where(col("prev_end").isNotNull)
+      .select(lit("return_s").as("group"),
+        (col("start_es") - col("prev_end")).as("v"))
+      .groupBy("group", "v").agg(count(lit(1)).as("cnt"))
+    Robust.histQuantiles(hist, Seq(50 -> "p50_s", 90 -> "p90_s"))
+      .select(col("n").as("n_gaps"), col("p50_s"), col("p90_s"))
+  }
+
   /** q312: WEEK-OVER-WEEK CHURN — the loss-side complement of q288's
     * retention triangle (retention asks "who came back"; a growth
     * review asks "who LEFT, who is new, what net"): users active in
@@ -3105,6 +3173,8 @@ object Events {
     "q323_conversion_windows" -> q323_conversion_windows,
     "q324_ltv_curve" -> q324_ltv_curve,
     "q325_seasonality_strength" -> q325_seasonality_strength,
+    "q326_entry_exit" -> q326_entry_exit,
+    "q327_return_time" -> q327_return_time,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -4074,6 +4144,93 @@ object Events {
          |                                // ((n_days - 1) * sx) END) > 15000
          |                 THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
          |FROM m ORDER BY event_type""".stripMargin,
+    // the q51 chain; first/last by (es, event_id) rank both directions
+    "q326_entry_exit" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |         CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+         |marked AS (
+         |  SELECT user_id, event_id, event_type, es,
+         |         CASE WHEN lag(es) OVER w IS NULL
+         |                   OR es - lag(es) OVER w > $sessionGapSeconds
+         |              THEN 1 ELSE 0 END AS new_session
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+         |s2 AS (
+         |  SELECT user_id, event_type, es, event_id,
+         |         CAST(sum(new_session) OVER (PARTITION BY user_id
+         |           ORDER BY es, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |           AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM marked),
+         |fl AS (
+         |  SELECT user_id, session_id, event_type,
+         |         row_number() OVER (PARTITION BY user_id, session_id
+         |           ORDER BY es, event_id) AS rf,
+         |         row_number() OVER (PARTITION BY user_id, session_id
+         |           ORDER BY es DESC, event_id DESC) AS rl,
+         |         count(*) OVER (PARTITION BY user_id, session_id) AS ne
+         |  FROM s2),
+         |per AS (
+         |  SELECT user_id, session_id,
+         |         max(CASE WHEN rf = 1 THEN event_type END) AS entry,
+         |         max(CASE WHEN rl = 1 THEN event_type END) AS exitt,
+         |         CAST(max(ne) AS BIGINT) AS ne
+         |  FROM fl GROUP BY 1, 2),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM per),
+         |en AS (
+         |  SELECT entry AS event_type, CAST(count(*) AS BIGINT) AS n_entries,
+         |         CAST(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_bounces
+         |  FROM per GROUP BY 1),
+         |ex AS (SELECT exitt AS event_type, CAST(count(*) AS BIGINT)
+         |         AS n_exits FROM per GROUP BY 1)
+         |SELECT coalesce(en.event_type, ex.event_type) AS event_type,
+         |       CAST(coalesce(n_entries, 0) AS BIGINT) AS n_entries,
+         |       CAST(coalesce(n_exits, 0) AS BIGINT) AS n_exits,
+         |       CAST(coalesce(n_bounces, 0) AS BIGINT) AS n_bounces,
+         |       coalesce(n_entries, 0) * 10000 // tot.n_sessions AS entry_bp,
+         |       coalesce(n_exits, 0) * 10000 // tot.n_sessions AS exit_bp,
+         |       CASE WHEN coalesce(n_entries, 0) > 0
+         |            THEN coalesce(n_bounces, 0) * 10000 // n_entries
+         |       END AS bounce_bp
+         |FROM en FULL JOIN ex ON ex.event_type = en.event_type
+         |CROSS JOIN tot
+         |ORDER BY event_type""".stripMargin,
+    // session-grain lag gaps, min-rank marks over the gap histogram
+    "q327_return_time" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id,
+         |         CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+         |marked AS (
+         |  SELECT user_id, event_id, es,
+         |         CASE WHEN lag(es) OVER w IS NULL
+         |                   OR es - lag(es) OVER w > $sessionGapSeconds
+         |              THEN 1 ELSE 0 END AS new_session
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+         |s2 AS (
+         |  SELECT user_id, es,
+         |         CAST(sum(new_session) OVER (PARTITION BY user_id
+         |           ORDER BY es, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |           AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM marked),
+         |per AS (
+         |  SELECT user_id, session_id, min(es) AS start_es,
+         |         max(es) AS end_es
+         |  FROM s2 GROUP BY 1, 2),
+         |g AS (
+         |  SELECT start_es - lag(end_es) OVER (PARTITION BY user_id
+         |           ORDER BY start_es) AS v
+         |  FROM per),
+         |h AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM g
+         |      WHERE v IS NOT NULL GROUP BY 1),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+         |c AS (SELECT v, sum(cnt) OVER (ORDER BY v
+         |        ROWS UNBOUNDED PRECEDING) AS cum FROM h)
+         |SELECT t.n AS n_gaps,
+         |       CAST(min(CASE WHEN cum >= greatest(1, (n * 50 + 99) // 100)
+         |                     THEN v END) AS BIGINT) AS p50_s,
+         |       CAST(min(CASE WHEN cum >= greatest(1, (n * 90 + 99) // 100)
+         |                     THEN v END) AS BIGINT) AS p90_s
+         |FROM c CROSS JOIN t GROUP BY 1""".stripMargin,
     // the same per-weekday integer moments, one truncating div per
     // group, ANOVA ratio in bp
     "q325_seasonality_strength" ->

@@ -28,7 +28,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     "q292_leadlag" -> "the best-lag argmax window runs over the 15-row LAG frame (one row per lag in [-7, 7]) — spine-bounded, never the day or event count (Events.scala q292 doc)",
     "q294_spend_gini" -> "the cumulative-count window runs over the spend-cents VALUE HISTOGRAM (one row per distinct spend — value-domain-bounded, never the user count; Events.scala q294 doc)",
     "q297_rfm_segments" -> "the three quartile-code windows each run over a per-dimension VALUE HISTOGRAM (distinct days / order counts / spend cents — value-domain-bounded, never the customer count; Robust.quartileCodes doc)",
-    "q302_engagement_deciles" -> "the decile-code window runs over the events-per-user VALUE HISTOGRAM and the Pareto cumulative over the <= 10 decile rows — both bounded, never the user count (Events.scala q302 doc)")
+    "q302_engagement_deciles" -> "the decile-code window runs over the events-per-user VALUE HISTOGRAM and the Pareto cumulative over the <= 10 decile rows — both bounded, never the user count (Events.scala q302 doc)",
+    "q327_return_time" -> "histQuantiles' windows with the constant 'return_s' group folded partitionless run over the return-gap VALUE HISTOGRAM — gap-domain-bounded, never the session count (the q213 class; Events.scala q327 doc)")
 
   private def globalWindows(plan: LogicalPlan): Seq[LWindow] =
     plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
@@ -467,7 +468,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "q314_session_quantiles", "q316_source_similarity",
       "q320_edge_dwell", "q321_alarm_flappiness",
       "q323_conversion_windows", "q324_ltv_curve",
-      "q325_seasonality_strength")
+      "q325_seasonality_strength", "q326_entry_exit",
+      "q327_return_time")
     val degraded = strict.flatMap { name =>
       val p = plan(name)
       if (p.collect { case c: CartesianProductExec => c
