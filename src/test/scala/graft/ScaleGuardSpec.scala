@@ -468,8 +468,7 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "q314_session_quantiles", "q316_source_similarity",
       "q320_edge_dwell", "q321_alarm_flappiness",
       "q323_conversion_windows", "q324_ltv_curve",
-      "q325_seasonality_strength", "q326_entry_exit",
-      "q327_return_time")
+      "q325_seasonality_strength")
     val degraded = strict.flatMap { name =>
       val p = plan(name)
       if (p.collect { case c: CartesianProductExec => c
@@ -493,7 +492,7 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "q311_ivf_incremental", "q312_churn",
       "q315_sample_representativeness", "q317_funnel_ab",
       "q318_threshold_sweep", "q319_packing_efficiency",
-      "q322_capture_recapture",
+      "q322_capture_recapture", "q326_entry_exit", "q327_return_time",
       "q268_mixture_temperature", "q269_hard_negatives",
       "q270_epoch_allocation", "q271_audience_sketch",
       "q272_audience_audit", "q273_erasure_sweep",
