@@ -1159,9 +1159,13 @@ object Events {
     for (_ <- 1 to absIters) {
       h = nodes.map { t =>
         t -> tot.get(t).filter(_ > 0).fold(0L) { tt =>
+          // the doc bound (numerator ≤ tot·10⁶ < 2⁶³ while tot < 9·10¹²)
+          // is ENFORCED, not assumed: exact arithmetic throws on a
+          // whale corpus instead of wrapping into a wrong gated row
+          // (the oracle runs HUGEINT and would diverge silently)
           edges.filter(_._1 == t).map { case (_, j, nij) =>
-            if (j == target) nij * 1000000L else nij * h(j)
-          }.sum / tt
+            Math.multiplyExact(nij, if (j == target) 1000000L else h(j))
+          }.foldLeft(0L)(Math.addExact) / tt
         }
       }.toMap
       steps = h :: steps
@@ -1670,34 +1674,51 @@ object Events {
     * standard co-occurrence cost; aggregates land on the item²-bounded
     * (k1, k2) grid; per-item counts broadcast onto it. */
   val q296_item_cooccurrence: Q = (s, d) =>
-    cooccurrenceTopPairs(graft.Ckpt.persisted(events(s, d)
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .where(col("k").isNotNull)
-      .distinct()))
+    cooccurrenceTopPairs(uiItems(s, d))
 
-  /** q296's body over any DISTINCT (user_id, k) frame — factored so
-    * the spec can pin the pair counts, Jaccard and lift by hand. */
-  private[graft] def cooccurrenceTopPairs(ui: DataFrame): DataFrame = {
+  /** The distinct (user_id, item k) interaction set q296 and q306 both
+    * read — session-memoized so a gate run pays the corpus extraction
+    * ONCE (one definition, one pass; the r16 advice item). */
+  private[graft] def uiItems(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo(s, d, "events:uiItems")(
+      events(s, d)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .where(col("k").isNotNull)
+        .distinct())(
+      _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The ordered (k1 < k2) co-occurrence pair grid with per-item
+    * counts, universe, Jaccard and lift — the ONE user-keyed self-join
+    * both q296 (global top pairs) and q306 (per-item neighbors)
+    * consume; q306 derives its symmetric view by swapping roles, since
+    * every statistic here is symmetric in (k1, k2). Factored over any
+    * DISTINCT (user_id, k) frame so the spec can pin the arithmetic by
+    * hand. */
+  private[graft] def cooccurrencePairGrid(ui: DataFrame): DataFrame = {
     val perItem = ui.groupBy("k").agg(count(lit(1)).as("n_item"))
     val universe = ui.select("user_id").distinct()
       .agg(count(lit(1)).as("n_users"))
-    val pairs = ui.join(ui.select(col("user_id"), col("k").as("k2")), "user_id")
+    ui.join(ui.select(col("user_id"), col("k").as("k2")), "user_id")
       .where(col("k") < col("k2"))
       .groupBy(col("k").as("k1"), col("k2"))
       .agg(count(lit(1)).as("co_users"))
-    pairs
       .join(broadcast(perItem.select(col("k").as("k1"), col("n_item").as("na"))), "k1")
       .join(broadcast(perItem.select(col("k").as("k2"), col("n_item").as("nb"))), "k2")
       .crossJoin(broadcast(universe))
-      .select(col("k1"), col("k2"), col("co_users"),
-        expr("co_users * 10000 div (na + nb - co_users)").as("jaccard_bp"),
+      .withColumn("jaccard_bp",
+        expr("co_users * 10000 div (na + nb - co_users)"))
+      .withColumn("lift_bp",
         expr("""CAST(CAST(co_users AS DECIMAL(38, 0)) * n_users * 10000
-                div (CAST(na AS DECIMAL(38, 0)) * nb) AS BIGINT)""")
-          .as("lift_bp"))
+                div (CAST(na AS DECIMAL(38, 0)) * nb) AS BIGINT)"""))
+  }
+
+  /** q296's body over any DISTINCT (user_id, k) frame. */
+  private[graft] def cooccurrenceTopPairs(ui: DataFrame): DataFrame =
+    cooccurrencePairGrid(ui)
+      .select("k1", "k2", "co_users", "jaccard_bp", "lift_bp")
       .orderBy(col("co_users").desc, col("k1").asc, col("k2").asc)
       .limit(20)
-  }
 
   /** q298: TRANSITION IMPURITY — the predictability rung over the
     * session graph q201/q238 expose: per source event type, the Gini
@@ -1877,15 +1898,31 @@ object Events {
     * histogram-built code map joined back narrow, a ≤ 10-row decile
     * aggregate; the cumulative window runs over those ≤ 10 rows. */
   val q302_engagement_deciles: Q = (s, d) => {
-    val users = graft.Ckpt.persisted(events(s, d)
+    val users = events(s, d)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
-        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents")))
-    val n = users.count()
-    val per = users
-      .join(Robust.rankCodes(users, "n_events", n, 10), "n_events")
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    decileReportFromCells(graft.Ckpt.persisted(users
+      .groupBy("n_events")
+      .agg(count(lit(1)).as("n_users"), sum("cents").as("cents"))))
+  }
+
+  /** q302's serve tail over ENGAGEMENT-HISTOGRAM cells — one row per
+    * events-per-user value with its user count and cents sum (the
+    * marginal the per-user grain folds to, and exactly the state the
+    * streaming twin maintains): decile codes folded onto the cells via
+    * [[Robust.withRankCodes]], per-decile population / event /
+    * revenue aggregates (sum_events = Σ v·c — the cells carry it
+    * losslessly), and the Pareto cumulative. Factored (r16 verdict
+    * item 7) so the gated batch query and
+    * [[graft.streaming.EventStream.decileReportBatch]] read ONE
+    * definition. */
+  private[graft] def decileReportFromCells(cells: DataFrame): DataFrame = {
+    val n = cells.agg(coalesce(sum("n_users"), lit(0L))).head.getLong(0)
+    val per = Robust.withRankCodes(cells, "n_events", "n_users", n, 10)
       .groupBy(col("n_events_code").as("decile"))
-      .agg(count(lit(1)).as("n_users"), sum("n_events").as("sum_events"),
+      .agg(sum("n_users").as("n_users"),
+        sum(expr("n_events * n_users")).as("sum_events"),
         sum("cents").as("sum_cents"))
     val wc = Window.orderBy(col("decile").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1907,39 +1944,29 @@ object Events {
     * related items", which needs the PER-ITEM ranking): for every item,
     * its top 3 neighbors by co-user support (ties by lift desc, then
     * item id — a total order), with Jaccard and lift riding along.
-    * Scale shape: the same one user-keyed self-join as q296 (symmetric
-    * this time), aggregates on the item²-bounded grid, and the top-3
+    * Scale shape: consumes [[cooccurrencePairGrid]]'s ORDERED grid and
+    * mirrors it (every statistic is symmetric in (k1, k2)) — half the
+    * self-join cost of building the symmetric grid directly, and a
+    * gate run shares the one memoized corpus pass with q296; the top-3
     * rank filter plans as a partial WindowGroupLimit (the q165 pin) —
     * per-item groups are item-domain-bounded. */
-  val q306_item_neighbors: Q = (s, d) => {
-    val ui = graft.Ckpt.persisted(events(s, d)
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .where(col("k").isNotNull)
-      .distinct())
-    val perItem = ui.groupBy("k").agg(count(lit(1)).as("n_item"))
-    val universe = ui.select("user_id").distinct()
-      .agg(count(lit(1)).as("n_users"))
-    val pairs = ui.join(ui.select(col("user_id"), col("k").as("k2")), "user_id")
-      .where(col("k") =!= col("k2"))
-      .groupBy(col("k"), col("k2"))
-      .agg(count(lit(1)).as("co_users"))
-      .join(broadcast(perItem.select(col("k"), col("n_item").as("na"))), "k")
-      .join(broadcast(perItem.select(col("k").as("k2"),
-        col("n_item").as("nb"))), "k2")
-      .crossJoin(broadcast(universe))
-      .withColumn("lift_bp", expr(
-        """CAST(CAST(co_users AS DECIMAL(38, 0)) * n_users * 10000
-           div (CAST(na AS DECIMAL(38, 0)) * nb) AS BIGINT)"""))
-    val w = Window.partitionBy("k")
+  val q306_item_neighbors: Q = (s, d) =>
+    itemNeighbors(uiItems(s, d))
+
+  /** q306's body over any DISTINCT (user_id, k) frame. */
+  private[graft] def itemNeighbors(ui: DataFrame): DataFrame = {
+    val grid = cooccurrencePairGrid(ui)
+      .select("k1", "k2", "co_users", "jaccard_bp", "lift_bp")
+    val sym = grid.unionByName(grid.select(col("k2").as("k1"),
+      col("k1").as("k2"), col("co_users"), col("jaccard_bp"),
+      col("lift_bp")))
+    val w = Window.partitionBy("k1")
       .orderBy(col("co_users").desc, col("lift_bp").desc, col("k2").asc)
-    pairs
+    sym
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= 3)
-      .select(col("k"), col("rnk"), col("k2").as("neighbor"),
-        col("co_users"),
-        expr("co_users * 10000 div (na + nb - co_users)").as("jaccard_bp"),
-        col("lift_bp"))
+      .select(col("k1").as("k"), col("rnk"), col("k2").as("neighbor"),
+        col("co_users"), col("jaccard_bp"), col("lift_bp"))
       .orderBy("k", "rnk")
   }
 
@@ -2008,8 +2035,10 @@ object Events {
     * (q229's bucket geometry and share arithmetic verbatim — one
     * definition via [[driftBucketCol]] and the cnt·10000 div n share
     * form), alarm at the same 500 bp bar; per type: pair count, alarm
-    * count, the worst pair, and n_switches = Σ|aₜ − aₜ₊₁| (a flapping
-    * alarm switches often; a real regime change switches once). Scale:
+    * count, the worst pair, and n_switches = Σ|aₜ − aₜ₊₁| over
+    * DAY-ADJACENT pairs only (a flapping alarm switches often; a real
+    * regime change switches once; two pairs bridging a calendar gap
+    * are regime observations, not flaps). Scale:
     * one (type, day, bucket) corpus pass; everything after is
     * calendar×16-bounded, windows partitioned per type. */
   val q321_alarm_flappiness: Q = (s, d) =>
@@ -2046,27 +2075,28 @@ object Events {
     val wlag = Window.partitionBy("event_type").orderBy("day")
     seq0
       .withColumn("nxt", lead("alarm", 1).over(wlag))
+      .withColumn("nxtDay", lead("day", 1).over(wlag))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_pairs"), sum("alarm").as("n_alarms"),
         max("tv_bp").as("max_tv_bp"),
-        sum(when(col("nxt").isNotNull, abs(col("alarm") - col("nxt")))
-          .otherwise(0L)).as("n_switches"))
+        // a switch only counts between ADJACENT pairs (next pair day =
+        // day + 1): two alarm pairs bridging a calendar gap are a
+        // regime observation, not a flap
+        sum(when(col("nxtDay") === col("day") + 1L,
+          abs(col("alarm") - col("nxt"))).otherwise(0L)).as("n_switches"))
       .orderBy("event_type")
   }
 
   /** q322: CAPTURE–RECAPTURE POPULATION ESTIMATE — the coverage
     * estimator for populations no single feed sees fully (how many
     * users EXIST if every pipeline only samples?): two deterministic
-    * hash samples of the event feed (id buckets [0,20) and [40,60) —
-    * disjoint bucket ranges, so the "captures" are independent draws
-    * under the hash-uniformity assumption), and Lincoln–Petersen
-    * n̂ = n1·n2 div m over users seen in both... except hash samples
-    * of the SAME id space never overlap across disjoint bucket
-    * ranges — so the two samples here are EVENT-subsampled (event_id
-    * buckets 0 and 50 — 1% each, thin enough that an active user can
-    * genuinely MISS a capture; a 20% sample catches everyone and the
-    * estimator degenerates to the census), and a user is recaptured
-    * when both event samples saw them. The exact distinct-user count
+    * EVENT-subsamples of the feed (event_id % 100 buckets 0 and 50 —
+    * 1% each, thin enough that an active user can genuinely MISS a
+    * capture; user-id samples would never work here, since disjoint
+    * hash buckets of the same id space share no users, and a fat
+    * sample catches everyone and degenerates the estimator to the
+    * census), and Lincoln–Petersen n̂ = n1·n2 div m where a user is
+    * recaptured when both event samples saw them. The exact distinct-user count
     * rides as the audit column (the serve/audit honesty convention in
     * one row — at true scale the exact side is the expensive one).
     * err_bp is signed. NULL estimate when m = 0. Scale: two filtered
@@ -4344,7 +4374,8 @@ object Events {
          |FROM g JOIN sz ON sz.cohort_day = g.cohort_day
          |ORDER BY g.cohort_day""".stripMargin,
     // same bucket geometry and share form at day grain; presence
-    // joins keep phantom one-sided pairs out; switch count via lead
+    // joins keep phantom one-sided pairs out; switch count via lead,
+    // guarded to day-adjacent pairs
     "q321_alarm_flappiness" ->
       s"""WITH cells AS (
          |  SELECT event_type,
@@ -4377,12 +4408,14 @@ object Events {
          |sq AS (
          |  SELECT *, CASE WHEN tv_bp > 500 THEN 1 ELSE 0 END AS alarm,
          |         lead(CASE WHEN tv_bp > 500 THEN 1 ELSE 0 END)
-         |           OVER (PARTITION BY event_type ORDER BY day) AS nxt
+         |           OVER (PARTITION BY event_type ORDER BY day) AS nxt,
+         |         lead(day)
+         |           OVER (PARTITION BY event_type ORDER BY day) AS nxt_day
          |  FROM pv)
          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
          |       CAST(sum(alarm) AS BIGINT) AS n_alarms,
          |       max(tv_bp) AS max_tv_bp,
-         |       CAST(coalesce(sum(CASE WHEN nxt IS NOT NULL
+         |       CAST(coalesce(sum(CASE WHEN nxt_day = day + 1
          |                          THEN abs(alarm - nxt) ELSE 0 END), 0)
          |            AS BIGINT) AS n_switches
          |FROM sq GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -5032,8 +5065,9 @@ object Events {
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
         |cd AS (
         |  SELECT n_events,
-        |         10 * (sum(c) OVER (ORDER BY n_events
-        |                 ROWS UNBOUNDED PRECEDING) - c) // nn.n + 1 AS decile
+        |         CAST(10 * (sum(c) OVER (ORDER BY n_events
+        |                 ROWS UNBOUNDED PRECEDING) - c) // nn.n + 1
+        |              AS BIGINT) AS decile
         |  FROM (SELECT n_events, CAST(count(*) AS BIGINT) AS c
         |        FROM u GROUP BY 1)
         |  CROSS JOIN nn),

@@ -280,13 +280,33 @@ object Robust {
     * (value → code 1–k) by MIN-RANK over the dimension's VALUE
     * HISTOGRAM — code = (k·cumBefore) div n + 1. */
   private[graft] def rankCodes(df: DataFrame, dim: String,
-                               n: Long, k: Int): DataFrame = {
+                               n: Long, k: Int): DataFrame =
+    rankCodesFromCells(df.groupBy(dim).agg(count(lit(1)).as("c")),
+      dim, n, k)
+
+  /** [[rankCodes]] over PRE-AGGREGATED histogram cells (`dim`, `c`) —
+    * the form the streaming twin serves from (its state IS the cells),
+    * factored so batch and stream read one code-map definition. The
+    * global window is the allowlisted value-histogram shape:
+    * domain-bounded rows, never the keyed corpus. */
+  private[graft] def rankCodesFromCells(cells: DataFrame, dim: String,
+                                        n: Long, k: Int): DataFrame =
+    withRankCodes(cells, dim, "c", n, k).select(col(dim), col(s"${dim}_code"))
+
+  /** The same min-rank k-tile code, added IN PLACE to a cells frame (no
+    * join) — the form a consumer already holding the histogram uses:
+    * joining a cells frame to a code map derived from ITSELF is a
+    * self-join on one lineage, which Spark's analyzer rejects over
+    * some sources (conflicting references on a memory-sink view). */
+  private[graft] def withRankCodes(cells: DataFrame, dim: String,
+                                   cnt: String, n: Long, k: Int): DataFrame = {
     val w = Window.orderBy(dim)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.groupBy(dim).agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum("c").over(w))
-      .select(col(dim),
-        expr(s"$k * (cum - c) div $n + 1").as(s"${dim}_code"))
+    cells
+      .withColumn("__cum", sum(cnt).over(w))
+      .withColumn(s"${dim}_code",
+        expr(s"$k * (__cum - $cnt) div $n + 1"))
+      .drop("__cum")
   }
 
   /** q297: RFM SEGMENTATION — the classic BI customer cut (Recency /
@@ -343,18 +363,18 @@ object Robust {
         |  FROM orders GROUP BY 1),
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cust),
         |rc AS (
-        |  SELECT r, 4 * (sum(c) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING)
-        |                  - c) // nn.n + 1 AS r_code
+        |  SELECT r, CAST(4 * (sum(c) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING)
+        |                  - c) // nn.n + 1 AS BIGINT) AS r_code
         |  FROM (SELECT r, CAST(count(*) AS BIGINT) AS c FROM cust GROUP BY 1)
         |  CROSS JOIN nn),
         |fc AS (
-        |  SELECT f, 4 * (sum(c) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING)
-        |                  - c) // nn.n + 1 AS f_code
+        |  SELECT f, CAST(4 * (sum(c) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING)
+        |                  - c) // nn.n + 1 AS BIGINT) AS f_code
         |  FROM (SELECT f, CAST(count(*) AS BIGINT) AS c FROM cust GROUP BY 1)
         |  CROSS JOIN nn),
         |mc AS (
-        |  SELECT m, 4 * (sum(c) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
-        |                  - c) // nn.n + 1 AS m_code
+        |  SELECT m, CAST(4 * (sum(c) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+        |                  - c) // nn.n + 1 AS BIGINT) AS m_code
         |  FROM (SELECT m, CAST(count(*) AS BIGINT) AS c FROM cust GROUP BY 1)
         |  CROSS JOIN nn)
         |SELECT rc.r_code, fc.f_code, mc.m_code,

@@ -2811,8 +2811,9 @@ object TextStats {
          |hm AS (SELECT m, CAST(count(*) AS BIGINT) AS c FROM mt GROUP BY 1),
          |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM mt),
          |cdm AS (
-         |  SELECT m, 10 * (sum(c) OVER (ORDER BY m
-         |              ROWS UNBOUNDED PRECEDING) - c) // n2.n + 1 AS bin
+         |  SELECT m, CAST(10 * (sum(c) OVER (ORDER BY m
+         |              ROWS UNBOUNDED PRECEDING) - c) // n2.n + 1
+         |            AS BIGINT) AS bin
          |  FROM hm CROSS JOIN n2)
          |SELECT cdm.bin, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(CASE WHEN l.y = 1 THEN 1 ELSE 0 END) AS BIGINT)

@@ -37,6 +37,20 @@ case class SampleState(upd: Long, winners: Seq[(Long, Long, Long)])
 case class SampleWinner(lang: String, upd: Long, rank: Long, doc_id: Long,
   w: Long, skey: Long)
 
+/** One engagement arrival for the streaming decile twin
+  * ([[EventStream.engagementCellsStream]]): the user id and the
+  * event's cent value. */
+case class EngEv(user_id: Long, cents: Long)
+
+/** Per-user engagement state: lifetime event count and cents. */
+case class EngState(n: Long, cents: Long)
+
+/** One engagement-histogram delta: `d_users` = ±1 (retraction /
+  * insertion of a user's contribution to the `n_events` cell),
+  * `d_cents` the signed cents carried. Linear — summed per cell they
+  * ARE the engagement histogram. */
+case class EngDelta(n_events: Long, d_users: Long, d_cents: Long)
+
 /** One hashed audience arrival for the bottom-k sketch stream
   * ([[EventStream.audienceSigStream]]): `h` is the shared q271 hash,
   * computed in-flight by the batch Column expression. */
@@ -627,6 +641,50 @@ object EventStream {
     * shared batch tail, literally. */
   def rollupWinsorBatch(cellsBatch: DataFrame): DataFrame =
     graft.ops.Events.winsorFromHist(cellsBatch)
+
+  /** Streaming ENGAGEMENT-HISTOGRAM deltas — the rankCodes/segmentation
+    * family's stateful twin (q302; the r16 verdict item 7 extension of
+    * "state is the sketch" to the BI reports). Unlike
+    * [[valueHistStream]], the histogram here is over a DERIVED
+    * per-user aggregate (events-per-user), so a user's arrival MOVES
+    * them between cells — the twin therefore keeps one (n_events,
+    * cents) state per user and emits RETRACTION deltas: each
+    * micro-batch folds the user's arrivals and emits (old cell, −1,
+    * −old_cents) + (new cell, +1, +new_cents). Delta rows are LINEAR:
+    * summed per n_events value they equal the batch engagement
+    * histogram of the data seen so far, and the decile/Pareto report
+    * is served through the SAME tail the gated q302 reads
+    * ([[decileReportBatch]] →
+    * [[graft.ops.Events.decileReportFromCells]]). State per user is
+    * O(1); downstream cell count is events-per-user-domain-bounded. */
+  def engagementCellsStream(events: Dataset[EngEv]): Dataset[EngDelta] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EngState, EngDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[EngEv], state: GroupState[EngState]) =>
+          var dn = 0L; var dc = 0L
+          batch.foreach { e => dn += 1L; dc += e.cents }
+          val prev = state.getOption
+          val next = EngState(prev.fold(dn)(_.n + dn),
+            prev.fold(dc)(_.cents + dc))
+          state.update(next)
+          (prev.toSeq.map(p => EngDelta(p.n, -1L, -p.cents)) :+
+            EngDelta(next.n, 1L, next.cents)).iterator
+      }
+  }
+
+  /** Serve q302's decile/Pareto report from streamed engagement
+    * deltas: fold the deltas to cells (retractions cancel a user's
+    * previous contribution; emptied cells drop), then the shared
+    * gated tail, literally. */
+  def decileReportBatch(deltaBatch: DataFrame): DataFrame =
+    graft.ops.Events.decileReportFromCells(
+      deltaBatch
+        .groupBy("n_events")
+        .agg(sum("d_users").as("n_users"), sum("d_cents").as("cents"))
+        .where(col("n_users") > 0L))
 
   def cmsCellsStream(docs: DataFrame): DataFrame = {
     import graft.ops.{TextCore, TextStats}

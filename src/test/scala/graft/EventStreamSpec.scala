@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.streaming.{Ev, EventStream, FunnelEv, Session}
+import graft.streaming.{EngEv, Ev, EventStream, FunnelEv, Session}
 
 /** Structured Streaming shapes over MemoryStream: stateful sessionization
   * (flatMapGroupsWithState) and watermarked tumbling windows. */
@@ -1260,6 +1260,54 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       input.addData(docs.drop(15): _*)
       query.processAllAvailable()
       assert(got() == batchCells(30))
+    } finally query.stop()
+  }
+
+  test("engagementCellsStream: retractions fold to the batch histogram; served report = gated q302 tail") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    // 12 users with skewed activity (user u appears ~5·(u%3)+… times);
+    // the second wave revisits every user, so the retraction path
+    // genuinely fires — users MOVE between n_events cells
+    val evs = (0 until 60).map { i =>
+      EngEv((i % 12).toLong, 10L + (i % 7) * 10L)
+    }
+    def batchCells(upTo: Int): Set[(Long, Long, Long)] =
+      evs.take(upTo).toDF("user_id", "cents")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("cents"))
+        .groupBy("n_events")
+        .agg(count(lit(1)).as("n_users"), sum("cents").as("cents"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val input = MemoryStream[EngEv]
+    val query = EventStream.engagementCellsStream(input.toDS())
+      .writeStream.format("memory").queryName("eng_cells")
+      .outputMode("append").start()
+    def folded(): Set[(Long, Long, Long)] = spark.table("eng_cells")
+      .groupBy("n_events")
+      .agg(sum("d_users").as("n_users"), sum("d_cents").as("cents"))
+      .where(col("n_users") > 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      input.addData(evs.take(35): _*); query.processAllAvailable()
+      assert(folded() == batchCells(35))
+      input.addData(evs.drop(35): _*); query.processAllAvailable()
+      assert(folded() == batchCells(60))
+      // the served decile/Pareto report from streamed deltas = the
+      // gated q302 tail on batch-derived cells (shared helper on BOTH
+      // sides — the stream side proves its folded state converged)
+      val served = EventStream.decileReportBatch(spark.table("eng_cells"))
+        .collect().map(_.toSeq).toSeq
+      val batch = graft.ops.Events.decileReportFromCells(
+        evs.toDF("user_id", "cents")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum("cents").as("cents"))
+          .groupBy("n_events")
+          .agg(count(lit(1)).as("n_users"), sum("cents").as("cents")))
+        .collect().map(_.toSeq).toSeq
+      assert(served == batch)
+      assert(batch.nonEmpty)
     } finally query.stop()
   }
 

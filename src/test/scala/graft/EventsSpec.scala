@@ -739,6 +739,22 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.contains((2L, 3L)), "never-co-clicked pairs are absent")
   }
 
+  test("q306: the neighbor table is the mirrored grid, ranked per item") {
+    import spark.implicits._
+    val ui = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L))
+      .toDF("user_id", "k")
+    val got = Events.itemNeighbors(ui).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // item 1 ranks 2 (co=2) above 3 (co=1); items 2 and 3 each see the
+    // SWAPPED row with identical symmetric statistics
+    assert(got((1L, 1)) == ((2L, 2L, 6666L, 10000L)))
+    assert(got((1L, 2)) == ((3L, 1L, 3333L, 10000L)))
+    assert(got((2L, 1)) == ((1L, 2L, 6666L, 10000L)))
+    assert(got((3L, 1)) == ((1L, 1L, 3333L, 10000L)))
+    assert(got.size == 4)
+  }
+
   test("q298: impurity 0 for a rail, exact 3750 bp for a 3:1 split") {
     import spark.implicits._
     val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("d", "e", 5L))
@@ -850,13 +866,21 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
       ("t", 3L, 0L, 10L), ("t", 4L, 0L, 10L),
       // g: days 0 and 2 only — the missing day 1 must produce NO
       // phantom pair (an empty side would read as 50% TV)
-      ("g", 0L, 0L, 5L), ("g", 2L, 0L, 5L)
+      ("g", 0L, 0L, 5L), ("g", 2L, 0L, 5L),
+      // h: pairs at days 0 and 4 (days 0,1 then 4,5 present) with
+      // opposite alarm states — the 3-day gap BETWEEN pairs must not
+      // count as a switch (adjacency guard)
+      ("h", 0L, 0L, 9L), ("h", 1L, 1L, 9L),
+      ("h", 4L, 2L, 9L), ("h", 5L, 2L, 9L)
     ).toDF("event_type", "day", "bucket", "cnt")
     val got = Events.flapFromCells(cells).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))).toMap
     assert(got("t") == ((4L, 2L, 10000L, 3L)))
     assert(!got.contains("g"), "gap days must not fabricate pairs")
+    // h: pair(0) TV=10000 alarm, pair(4) TV=0 no alarm — 2 pairs,
+    // 1 alarm, 0 switches because the pairs are not day-adjacent
+    assert(got("h") == ((2L, 1L, 10000L, 0L)))
   }
 
   test("q324: cohort LTV marks accumulate through the offsets") {

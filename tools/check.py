@@ -36,6 +36,22 @@ def compare(name, spark_df, duck_df):
         problems.append(f"rows: spark={len(spark_df)} duck={len(duck_df)}")
         return problems
     a, b = canon(spark_df), canon(duck_df)
+    # Driver-hash parity: the driver stringifies values before hashing, so an
+    # int64 Spark column rendered against a float64 DuckDB column ("1" vs
+    # "1.0") hash-mismatches even though 1 == 1.0 here. DuckDB promotes
+    # sum(BIGINT) to HUGEINT (→ float64 in pandas); any oracle whose final
+    # SELECT leaves such a column uncast fails the driver gate (r16:
+    # q297/q302/q308). Flag int-vs-float dtype-kind divergence as a failure.
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        num = set("iuf")
+        if ka in num and kb in num and (ka in "iu") != (kb in "iu"):
+            problems.append(
+                f"dtype kind mismatch col={c}: spark={a[c].dtype} duck={b[c].dtype}"
+                " (driver hash renders these differently, e.g. 1 vs 1.0 —"
+                " CAST the oracle column to BIGINT)")
+    if problems:
+        return problems
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
