@@ -286,13 +286,23 @@ object Events {
     * bucket so no dedup is needed. The DuckDB oracle runs the plain
     * theta-join, checking the bucketed rewrite end-to-end. Sessions with
     * no errors are omitted (inner semantics). */
+  /** The materialized q51 session table (user_id, session_id,
+    * n_events, start_es, end_es) — the SessionMemo artifact the
+    * session-family consumers read (q69's range join, q314's quantile
+    * report); q51 itself stays un-memoized for honest bench, and the
+    * one-time materialization is charged to the build phase. */
+  private[graft] def sessionTable(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo(s, d, "events:sessions")(
+      q51_sessionize(s, d)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("start_es"), col("end_es")))(
+      df => graft.BuildPhase.timed(df.localCheckpoint(true)))
+
   val q69_range_join: Q = (s, d) => {
     // the session intervals are consumed as a materialized table (the
-    // SessionMemo pattern — q51 itself stays un-memoized for honest bench)
-    val sess = graft.SessionMemo(s, d, "events:sessions")(
-      q51_sessionize(s, d)
-        .select(col("user_id"), col("session_id"), col("start_es"), col("end_es")))(
-      _.localCheckpoint(true))
+    // SessionMemo pattern)
+    val sess = sessionTable(s, d)
+      .select("user_id", "session_id", "start_es", "end_es")
     val errors = events(s, d).where(col("event_type") === "error")
       .select(col("event_id"), col("es"))
     val sb = sess.withColumn("bucket",
@@ -2008,14 +2018,13 @@ object Events {
     * SESSION, both read off value histograms through the shared
     * two-phase selection ([[Robust.histQuantiles]] — duration and
     * size domains are value-bounded, never the session count). Same
-    * 30-min gap rule as the whole session family (one definition).
-    * Scale: the q51 sessionized pass, then histogram-bounded work. */
+    * 30-min gap rule as the whole session family (one definition —
+    * it reads the materialized [[sessionTable]] q69 also consumes, so
+    * the sessionized pass is a charged one-time build, not a per-rep
+    * cost). Scale: histogram-bounded work after the session table. */
   val q314_session_quantiles: Q = (s, d) => {
-    val sess = withSessionIds(events(s, d)
-      .select(col("user_id"), col("event_id"), col("es")))
-      .groupBy("user_id", "session_id")
-      .agg(count(lit(1)).as("n_events"),
-        (max("es") - min("es")).as("dur_s"))
+    val sess = sessionTable(s, d)
+      .select(col("n_events"), (col("end_es") - col("start_es")).as("dur_s"))
     val hist = sess.select(lit("duration_s").as("group"),
         col("dur_s").as("v"))
       .unionByName(sess.select(lit("events_per_session").as("group"),

@@ -75,8 +75,14 @@ object Retrieval {
       .select(col("n_corpus"),
         (col("sdl").cast("double") / col("n_corpus").cast("double")).as("avgdl"))
 
+  /** Session-memoized (one derived row): the cluster analog is the
+    * additive stats table the persisted index stores ([[statsLayout]] —
+    * q161 genuinely reads stats from files every rep; the in-memory
+    * arm should not re-aggregate the corpus for two scalars). */
   private def corpusStats(s: SparkSession, d: String): DataFrame =
-    deriveStats(statsOf(TextCore.docShingles(s, d)))
+    graft.SessionMemo(s, d, "lex:stats")(
+      deriveStats(statsOf(TextCore.docShingles(s, d))))(
+      _.localCheckpoint(true))
 
   /** The lexical arm: BM25(k1, b) top-[[lexDepth]] docs per query.
     * Query formulation is the q94 rung composed: each query doc's
@@ -642,13 +648,21 @@ object Retrieval {
     val qtf = corpusQtf(post)
     val fb = lexTopMemo(s, d).where(col("lex_rank") <= fbDocs)
       .select(col("query_id"), col("doc_id"))
-    // candidate expansion terms: the feedback docs' postings, weighted
-    // by the summed q94 score over the feedback set. Pinned: candSum is
+    // candidate expansion terms: the feedback docs' term counts,
+    // weighted by the summed q94 score over the feedback set. Mined
+    // from the docShingles frame, NOT the postings (r17: Σ tf over the
+    // ≤30 broadcast-joined feedback docs ≡ counting their exploded
+    // words — same tokenization, exact — and the docs frame is corpus-
+    // DOCS-sized where the postings are corpus-TERMS-sized, so this
+    // drops one full postings pass per rep). Pinned: candSum is
     // referenced twice downstream (its broadcast and the shared-df
-    // vocabulary union) — without the checkpoint each reference re-runs
-    // a postings pass (the q92/q95 build-once rule; feedback-vocab rows)
-    val candSum = graft.Ckpt.eager(post.join(broadcast(fb), "doc_id")
-      .groupBy("query_id", "term").agg(sum(col("tf")).as("tfsum")))
+    // vocabulary union) — the checkpoint keeps each reference a read,
+    // not a re-scan (the q92/q95 build-once rule; feedback-vocab rows)
+    val candSum = graft.Ckpt.eager(TextCore.docShingles(s, d)
+      .join(broadcast(fb), "doc_id")
+      .select(col("query_id"), explode(col("words")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("query_id", "term").agg(count(lit(1)).as("tfsum")))
     // ONE df pass for BOTH vocabularies (r16: the query-term and
     // feedback-candidate df aggregations used to be two separate
     // postings passes; the semi-join keeps df exact under the union —
