@@ -1709,10 +1709,20 @@ object Events {
     val perItem = ui.groupBy("k").agg(count(lit(1)).as("n_item"))
     val universe = ui.select("user_id").distinct()
       .agg(count(lit(1)).as("n_users"))
-    ui.join(ui.select(col("user_id"), col("k").as("k2")), "user_id")
+    val pairs = ui.join(ui.select(col("user_id"), col("k").as("k2")), "user_id")
       .where(col("k") < col("k2"))
       .groupBy(col("k").as("k1"), col("k2"))
       .agg(count(lit(1)).as("co_users"))
+    decoratePairGrid(pairs, perItem, universe)
+  }
+
+  /** The pair-statistics ALGEBRA (Jaccard + lift over per-item counts
+    * and the universe) — one definition decorating whichever pair
+    * construction fed it ([[cooccurrencePairGrid]]'s self-join or
+    * [[densePairGrid]]'s in-row combinations). */
+  private[graft] def decoratePairGrid(pairs: DataFrame, perItem: DataFrame,
+      universe: DataFrame): DataFrame =
+    pairs
       .join(broadcast(perItem.select(col("k").as("k1"), col("n_item").as("na"))), "k1")
       .join(broadcast(perItem.select(col("k").as("k2"), col("n_item").as("nb"))), "k2")
       .crossJoin(broadcast(universe))
@@ -1721,6 +1731,31 @@ object Events {
       .withColumn("lift_bp",
         expr("""CAST(CAST(co_users AS DECIMAL(38, 0)) * n_users * 10000
                 div (CAST(na AS DECIMAL(38, 0)) * nb) AS BIGINT)"""))
+
+  /** [[cooccurrencePairGrid]]'s DENSE-DOMAIN plan: when items-per-
+    * container is small and hard-bounded (q329's order baskets — ≤ 7
+    * lines over a 25-brand domain), the self-join's two corpus
+    * shuffles (distinct, then the user-keyed join) collapse to ONE
+    * container-keyed shuffle: the container's item set folds to a
+    * sorted array (set semantics absorb duplicates — no separate
+    * DISTINCT pass) and pairs come from in-row combinations. The
+    * self-join grid stays the general shape — a whale container there
+    * costs C(n, 2) rows, never an in-memory array. Same output, same
+    * decorated algebra, proven equal by the spec. */
+  private[graft] def densePairGrid(ui: DataFrame): DataFrame = {
+    val sets = graft.Ckpt.persisted(ui.groupBy("user_id")
+      .agg(array_sort(collect_set("k")).as("ks")))
+    val perItem = sets.select(explode(col("ks")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_item"))
+    val universe = sets.agg(count(lit(1)).as("n_users"))
+    val pairs = sets
+      .select(explode(expr(
+        """flatten(transform(ks, (x, i) ->
+          |  transform(slice(ks, i + 2, size(ks) - i - 1),
+          |    y -> struct(x AS k1, y AS k2))))""".stripMargin)).as("p"))
+      .select(col("p.k1"), col("p.k2"))
+      .groupBy("k1", "k2").agg(count(lit(1)).as("co_users"))
+    decoratePairGrid(pairs, perItem, universe)
   }
 
   /** q296's body over any DISTINCT (user_id, k) frame. */
@@ -2293,6 +2328,89 @@ object Events {
       .groupBy("group", "v").agg(count(lit(1)).as("cnt"))
     Robust.histQuantiles(hist, Seq(50 -> "p50_s", 90 -> "p90_s"))
       .select(col("n").as("n_gaps"), col("p50_s"), col("p90_s"))
+  }
+
+  /** q328: ACTIVITY-DECILE MIGRATION MATRIX — the longitudinal
+    * completion of the q302 snapshot (q302 codes users into activity
+    * deciles ONCE; a lifecycle review asks "do heavy users STAY heavy
+    * — how much rank churn sits under the stable decile table?"): the
+    * feed splits at its calendar midpoint, each half codes its ACTIVE
+    * users 1–10 by the q302 machinery ([[Robust.rankCodes]] on the
+    * half's events-per-user value histogram — one definition), users
+    * inactive in a half take code 0, and the report is the occupied
+    * (code_a, code_b) transition matrix (≤ 11² cells; the diagonal is
+    * stability, below it decay, row/column 0 churn-in/out). Scale:
+    * one user-keyed conditional aggregate, two histogram code maps
+    * joined back narrow, a cell-bounded count. */
+  val q328_decile_migration: Q = (s, d) =>
+    decileMigration(events(s, d)
+      .select(col("user_id"), expr("CAST(es div 86400 AS BIGINT)").as("day")))
+
+  /** q328's body over any (user_id, day) frame. */
+  private[graft] def decileMigration(ev: DataFrame): DataFrame = {
+    // ONE corpus pass: fold to (user, day) counts first — the split
+    // depends on the global calendar, so a naive plan scans the feed
+    // twice (min/max, then the conditional agg); the user-day frame
+    // carries both losslessly at user×calendar grain
+    val ud = graft.Ckpt.persisted(ev.groupBy("user_id", "day")
+      .agg(count(lit(1)).as("c")))
+    val split = ud.agg((min("day") + max("day")).as("s"))
+      .select(expr("s div 2 + 1").as("split"))
+    val users = graft.Ckpt.persisted(ud.crossJoin(broadcast(split))
+      .groupBy("user_id")
+      .agg(sum(when(col("day") < col("split"), col("c")).otherwise(0L)).as("na"),
+        sum(when(col("day") >= col("split"), col("c")).otherwise(0L)).as("nb")))
+    val aAct = users.where(col("na") > 0L)
+    val bAct = users.where(col("nb") > 0L)
+    val (nA, nB) = (aAct.count(), bAct.count())
+    // the code maps are value-histogram-sized (distinct activity
+    // counts) — broadcast them so the user frame never shuffles
+    users
+      .join(broadcast(Robust.rankCodes(aAct, "na", nA, 10)), Seq("na"), "left")
+      .join(broadcast(Robust.rankCodes(bAct, "nb", nB, 10)), Seq("nb"), "left")
+      .select(coalesce(col("na_code"), lit(0L)).as("code_a"),
+        coalesce(col("nb_code"), lit(0L)).as("code_b"))
+      .groupBy("code_a", "code_b").agg(count(lit(1)).as("n_users"))
+      .orderBy("code_a", "code_b")
+  }
+
+  /** q330: TENURE CHURN HAZARD — the conditional-probability readout
+    * under q288's retention triangle (the triangle reports survival
+    * shares; a lifecycle model wants the HAZARD: "given a user reached
+    * tenure week w, how likely is that the week they die?"): per user,
+    * observed tenure = (last − first) div 7 weeks; a user counts as
+    * CHURNED if last activity sits ≥ 14 days before the corpus horizon
+    * (else right-CENSORED — still in the at-risk denominators up to
+    * their observed tenure, never in a numerator: the standard
+    * discrete-time Kaplan–Meier accounting). Per week: at-risk =
+    * suffix-sum of the tenure histogram (users reaching ≥ w), churned
+    * at w, hazard_bp = churned·10⁴ div at_risk. Scale: one user-keyed
+    * aggregate, a 1-row horizon broadcast, then calendar-bounded
+    * histogram work (the suffix window runs over ≤ weeks rows). */
+  val q330_tenure_hazard: Q = (s, d) =>
+    tenureHazard(events(s, d)
+      .select(col("user_id"), expr("CAST(es div 86400 AS BIGINT)").as("day")))
+
+  /** q330's body over any (user_id, day) frame. */
+  private[graft] def tenureHazard(ev: DataFrame): DataFrame = {
+    // one corpus pass: the horizon is max(l) over the user aggregate,
+    // never a second feed scan
+    val users = graft.Ckpt.persisted(ev.groupBy("user_id")
+      .agg(min("day").as("f"), max("day").as("l")))
+    val horizon = users.agg(max("l").as("e"))
+    val cells = users
+      .crossJoin(broadcast(horizon))
+      .select(expr("(l - f) div 7").as("week"),
+        when(col("e") - col("l") >= 14L, 1L).otherwise(0L).as("churned"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_ended"), sum("churned").as("n_churned"))
+    val w = Window.orderBy(col("week").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("n_at_risk", sum("n_ended").over(w))
+      .select(col("week"), col("n_at_risk"), col("n_churned"),
+        expr("n_churned * 10000 div n_at_risk").as("hazard_bp"))
+      .orderBy("week")
   }
 
   /** q312: WEEK-OVER-WEEK CHURN — the loss-side complement of q288's
@@ -3214,6 +3332,8 @@ object Events {
     "q325_seasonality_strength" -> q325_seasonality_strength,
     "q326_entry_exit" -> q326_entry_exit,
     "q327_return_time" -> q327_return_time,
+    "q328_decile_migration" -> q328_decile_migration,
+    "q330_tenure_hazard" -> q330_tenure_hazard,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -4234,6 +4354,65 @@ object Events {
          |FROM en FULL JOIN ex ON ex.event_type = en.event_type
          |CROSS JOIN tot
          |ORDER BY event_type""".stripMargin,
+    // the q302 code maps replayed per half at the calendar midpoint;
+    // inactive halves coalesce to code 0 (codes CAST — HUGEINT rule)
+    "q328_decile_migration" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+         |  FROM events),
+         |sp AS (SELECT (min(day) + max(day)) // 2 + 1 AS split FROM ev),
+         |u AS (
+         |  SELECT user_id,
+         |         CAST(sum(CASE WHEN day < sp.split THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS na,
+         |         CAST(sum(CASE WHEN day >= sp.split THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS nb
+         |  FROM ev CROSS JOIN sp GROUP BY 1),
+         |nna AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u WHERE na > 0),
+         |nnb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u WHERE nb > 0),
+         |ma AS (
+         |  SELECT na, CAST(10 * (sum(c) OVER (ORDER BY na
+         |               ROWS UNBOUNDED PRECEDING) - c) // nna.n + 1
+         |             AS BIGINT) AS code_a
+         |  FROM (SELECT na, CAST(count(*) AS BIGINT) AS c FROM u
+         |        WHERE na > 0 GROUP BY 1)
+         |  CROSS JOIN nna),
+         |mb AS (
+         |  SELECT nb, CAST(10 * (sum(c) OVER (ORDER BY nb
+         |               ROWS UNBOUNDED PRECEDING) - c) // nnb.n + 1
+         |             AS BIGINT) AS code_b
+         |  FROM (SELECT nb, CAST(count(*) AS BIGINT) AS c FROM u
+         |        WHERE nb > 0 GROUP BY 1)
+         |  CROSS JOIN nnb)
+         |SELECT CAST(coalesce(ma.code_a, 0) AS BIGINT) AS code_a,
+         |       CAST(coalesce(mb.code_b, 0) AS BIGINT) AS code_b,
+         |       CAST(count(*) AS BIGINT) AS n_users
+         |FROM u
+         |LEFT JOIN ma ON ma.na = u.na
+         |LEFT JOIN mb ON mb.nb = u.nb
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // tenure histogram, suffix-sum at-risk, 14-day censoring bar
+    "q330_tenure_hazard" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+         |  FROM events),
+         |hz AS (SELECT max(day) AS e FROM ev),
+         |u AS (SELECT user_id, min(day) AS f, max(day) AS l
+         |      FROM ev GROUP BY 1),
+         |cells AS (
+         |  SELECT (l - f) // 7 AS week,
+         |         CAST(count(*) AS BIGINT) AS n_ended,
+         |         CAST(sum(CASE WHEN hz.e - l >= 14 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_churned
+         |  FROM u CROSS JOIN hz GROUP BY 1)
+         |SELECT week,
+         |       CAST(sum(n_ended) OVER (ORDER BY week DESC
+         |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk,
+         |       n_churned,
+         |       CAST(n_churned * 10000
+         |            // sum(n_ended) OVER (ORDER BY week DESC
+         |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hazard_bp
+         |FROM cells ORDER BY week""".stripMargin,
     // session-grain lag gaps, min-rank marks over the gap histogram
     "q327_return_time" ->
       s"""WITH e AS (

@@ -344,14 +344,67 @@ object Robust {
       .orderBy("r_code", "f_code", "m_code")
   }
 
+  /** q329: MARKET-BASKET BRAND PAIRS — the q296 co-occurrence operator
+    * proven domain-generic: the SAME [[Events.cooccurrencePairGrid]]
+    * (one definition — support, Jaccard, lift over any distinct
+    * (container, item) interaction set) applied to the TPC-H order
+    * baskets at BRAND grain (l_orderkey × p_brand). Brand, not part,
+    * DELIBERATELY: part-grain pairs are ~all-distinct (co-support 1 —
+    * statistical noise) and their aggregation shuffles the full pair
+    * expansion; at brand grain the baskets are dense and hard-bounded
+    * (≤ 7 lines, 25 brands), so the [[Events.densePairGrid]] plan
+    * applies — ONE order-keyed shuffle, in-row pair combinations, and
+    * partial aggregation collapsing every map task to ≤ C(25,2) cells.
+    * Top-20 pairs by co-order support with the (support, b1, b2)
+    * total order; the part→brand dim join broadcasts. */
+  val q329_basket_pairs: Q = (s, d) => {
+    val oi = s.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey").as("user_id"), col("l_partkey"))
+      .join(broadcast(s.read.parquet(s"$d/part.parquet")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand").as("k"))),
+        "l_partkey")
+      .select("user_id", "k")
+    graft.ops.Events.densePairGrid(oi)
+      .select(col("k1").as("b1"), col("k2").as("b2"),
+        col("co_users").as("co_orders"), col("jaccard_bp"), col("lift_bp"))
+      .orderBy(col("co_orders").desc, col("b1").asc, col("b2").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "q297_rfm_segments" -> q297_rfm_segments,
+    "q329_basket_pairs" -> q329_basket_pairs,
     "q184_mad_outliers" -> q184_mad_outliers,
     "q189_winsor_stats" -> q189_winsor_stats,
     "q202_user_skyline" -> q202_user_skyline,
     "q209_bootstrap_ci" -> q209_bootstrap_ci)
 
   val oracle: Map[String, String] = Map(
+    // the q296 pair algebra verbatim over the order×brand interaction set
+    "q329_basket_pairs" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT l.l_orderkey AS user_id, p.p_brand AS k
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |pi AS (SELECT k, CAST(count(*) AS BIGINT) AS n_item
+        |       FROM ui GROUP BY 1),
+        |u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |      FROM ui),
+        |p AS (
+        |  SELECT a.k AS b1, b.k AS b2, CAST(count(*) AS BIGINT) AS co_orders
+        |  FROM ui a JOIN ui b ON b.user_id = a.user_id AND a.k < b.k
+        |  GROUP BY 1, 2)
+        |SELECT p.b1, p.b2, p.co_orders,
+        |       p.co_orders * 10000 // (na.n_item + nb.n_item - p.co_orders)
+        |         AS jaccard_bp,
+        |       CAST(CAST(p.co_orders AS HUGEINT) * u.n_users * 10000
+        |            // (CAST(na.n_item AS HUGEINT) * nb.n_item) AS BIGINT)
+        |         AS lift_bp
+        |FROM p
+        |JOIN pi na ON na.k = p.b1
+        |JOIN pi nb ON nb.k = p.b2
+        |CROSS JOIN u
+        |ORDER BY p.co_orders DESC, p.b1 ASC, p.b2 ASC
+        |LIMIT 20""".stripMargin,
     // same min-rank quartile codes from per-dimension value histograms
     "q297_rfm_segments" ->
       """WITH cust AS (

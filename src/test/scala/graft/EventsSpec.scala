@@ -739,6 +739,52 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.contains((2L, 3L)), "never-co-clicked pairs are absent")
   }
 
+  test("q328: migration codes each half independently; inactive halves take code 0") {
+    import spark.implicits._
+    // days 0..9 → split = 9 div 2 + 1 = 5. Active-in-A counts {u1:4,
+    // u2:1, u4:2} (n=3) code 1/4/7 by min-rank; B counts {u1:2, u3:1,
+    // u4:3} code 4/1/7
+    val ev = Seq(
+      (1L, 0L), (1L, 1L), (1L, 2L), (1L, 3L), (1L, 5L), (1L, 6L),
+      (2L, 0L),
+      (3L, 9L),
+      (4L, 0L), (4L, 1L), (4L, 5L), (4L, 6L), (4L, 7L)
+    ).toDF("user_id", "day")
+    val got = Events.decileMigration(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 1L) -> 1L, (1L, 0L) -> 1L,
+      (4L, 7L) -> 1L, (7L, 4L) -> 1L))
+  }
+
+  test("q330: censored users hold the at-risk denominator but never a numerator") {
+    import spark.implicits._
+    // horizon e = 34: u1 (tenure wk 0) and u2 (wk 2) churned (l ≥ 14
+    // days before e); u3 (wk 3, l = e) censored
+    val ev = Seq((1L, 0L), (2L, 0L), (2L, 20L), (3L, 10L), (3L, 34L))
+      .toDF("user_id", "day")
+    val got = Events.tenureHazard(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // at-risk suffix-sums the tenure histogram: wk0 all 3, wk2 the 2
+    // survivors, wk3 the censored 1 (hazard 0 — no churn evidence)
+    assert(got.toSeq == Seq((0L, 3L, 1L, 3333L), (2L, 2L, 1L, 5000L),
+      (3L, 1L, 0L, 0L)))
+  }
+
+  test("q329: densePairGrid equals the self-join grid; duplicates fold as set semantics") {
+    import spark.implicits._
+    // duplicate (u1, 1) row must count once in every statistic —
+    // cooccurrencePairGrid's caller distincts, densePairGrid's
+    // collect_set absorbs it in-plan
+    val raw = Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L), (4L, 2L)).toDF("user_id", "k")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("k1", "k2", "co_users", "jaccard_bp", "lift_bp")
+      .collect().map(_.toSeq).toSet
+    assert(rows(Events.densePairGrid(raw)) ==
+      rows(Events.cooccurrencePairGrid(raw.distinct())))
+    assert(rows(Events.densePairGrid(raw)).nonEmpty)
+  }
+
   test("q306: the neighbor table is the mirrored grid, ranked per item") {
     import spark.implicits._
     val ui = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L))

@@ -29,7 +29,9 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     "q294_spend_gini" -> "the cumulative-count window runs over the spend-cents VALUE HISTOGRAM (one row per distinct spend — value-domain-bounded, never the user count; Events.scala q294 doc)",
     "q297_rfm_segments" -> "the three quartile-code windows each run over a per-dimension VALUE HISTOGRAM (distinct days / order counts / spend cents — value-domain-bounded, never the customer count; Robust.quartileCodes doc)",
     "q302_engagement_deciles" -> "the decile-code window runs over the events-per-user VALUE HISTOGRAM and the Pareto cumulative over the <= 10 decile rows — both bounded, never the user count (Events.scala q302 doc)",
-    "q327_return_time" -> "histQuantiles' windows with the constant 'return_s' group folded partitionless run over the return-gap VALUE HISTOGRAM — gap-domain-bounded, never the session count (the q213 class; Events.scala q327 doc)")
+    "q327_return_time" -> "histQuantiles' windows with the constant 'return_s' group folded partitionless run over the return-gap VALUE HISTOGRAM — gap-domain-bounded, never the session count (the q213 class; Events.scala q327 doc)",
+    "q328_decile_migration" -> "the two half-period code windows each run over an events-per-user VALUE HISTOGRAM (the q302 class — value-domain-bounded, never the user count; Events.scala q328 doc)",
+    "q330_tenure_hazard" -> "the at-risk suffix-sum window runs over the TENURE-WEEK HISTOGRAM — calendar-bounded (observed span div 7 rows), never the user count (Events.scala q330 doc)")
 
   private def globalWindows(plan: LogicalPlan): Seq[LWindow] =
     plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
@@ -493,6 +495,7 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
       "q315_sample_representativeness", "q317_funnel_ab",
       "q318_threshold_sweep", "q319_packing_efficiency",
       "q322_capture_recapture", "q326_entry_exit", "q327_return_time",
+      "q328_decile_migration", "q329_basket_pairs", "q330_tenure_hazard",
       "q268_mixture_temperature", "q269_hard_negatives",
       "q270_epoch_allocation", "q271_audience_sketch",
       "q272_audience_audit", "q273_erasure_sweep",
