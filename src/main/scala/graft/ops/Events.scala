@@ -2000,8 +2000,10 @@ object Events {
 
   /** q306's body over any DISTINCT (user_id, k) frame. */
   private[graft] def itemNeighbors(ui: DataFrame): DataFrame = {
-    val grid = cooccurrencePairGrid(ui)
-      .select("k1", "k2", "co_users", "jaccard_bp", "lift_bp")
+    // the grid subtree feeds BOTH union branches — item²-bounded, so
+    // an eager checkpoint runs the corpus self-join once, not twice
+    val grid = graft.Ckpt.eager(cooccurrencePairGrid(ui)
+      .select("k1", "k2", "co_users", "jaccard_bp", "lift_bp"))
     val sym = grid.unionByName(grid.select(col("k2").as("k1"),
       col("k1").as("k2"), col("co_users"), col("jaccard_bp"),
       col("lift_bp")))
