@@ -2393,19 +2393,29 @@ object Events {
     tenureHazard(events(s, d)
       .select(col("user_id"), expr("CAST(es div 86400 AS BIGINT)").as("day")))
 
-  /** q330's body over any (user_id, day) frame. */
-  private[graft] def tenureHazard(ev: DataFrame): DataFrame = {
-    // one corpus pass: the horizon is max(l) over the user aggregate,
-    // never a second feed scan
-    val users = graft.Ckpt.persisted(ev.groupBy("user_id")
-      .agg(min("day").as("f"), max("day").as("l")))
-    val horizon = users.agg(max("l").as("e"))
-    val cells = users
+  /** q330's body over any (user_id, day) frame: one corpus pass folds
+    * each user to their (first, last) span, then the calendar²-bounded
+    * span histogram carries everything the report needs. */
+  private[graft] def tenureHazard(ev: DataFrame): DataFrame =
+    tenureHazardFromCells(ev.groupBy("user_id")
+      .agg(min("day").as("f"), max("day").as("l"))
+      .groupBy("f", "l").agg(count(lit(1)).as("n_users")))
+
+  /** q330's serve tail over (f, l, n_users) SPAN-HISTOGRAM cells —
+    * calendar²-bounded, and exactly the state the streaming twin
+    * maintains ([[graft.streaming.EventStream.tenureCellsStream]]):
+    * the horizon is max(l) over the cells (never a second feed scan),
+    * churn and tenure weeks derive per cell, at-risk suffix-sums the
+    * week histogram. One definition for batch and stream. */
+  private[graft] def tenureHazardFromCells(fl: DataFrame): DataFrame = {
+    val flp = graft.Ckpt.persisted(fl)
+    val horizon = flp.agg(max("l").as("e"))
+    val cells = flp
       .crossJoin(broadcast(horizon))
-      .select(expr("(l - f) div 7").as("week"),
-        when(col("e") - col("l") >= 14L, 1L).otherwise(0L).as("churned"))
-      .groupBy("week")
-      .agg(count(lit(1)).as("n_ended"), sum("churned").as("n_churned"))
+      .groupBy(expr("(l - f) div 7").as("week"))
+      .agg(sum("n_users").as("n_ended"),
+        sum(when(col("e") - col("l") >= 14L, col("n_users")).otherwise(0L))
+          .as("n_churned"))
     val w = Window.orderBy(col("week").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cells

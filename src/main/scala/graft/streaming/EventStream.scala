@@ -51,6 +51,17 @@ case class EngState(n: Long, cents: Long)
   * ARE the engagement histogram. */
 case class EngDelta(n_events: Long, d_users: Long, d_cents: Long)
 
+/** One activity arrival for the streaming tenure twin
+  * ([[EventStream.tenureCellsStream]]): user id and activity day. */
+case class TenEv(user_id: Long, day: Long)
+
+/** Per-user span state: first and last observed activity day. */
+case class TenState(f: Long, l: Long)
+
+/** One span-histogram delta: ±1 user at the (f, l) cell. Linear —
+  * summed per cell they ARE the span histogram. */
+case class TenDelta(f: Long, l: Long, d_users: Long)
+
 /** One hashed audience arrival for the bottom-k sketch stream
   * ([[EventStream.audienceSigStream]]): `h` is the shared q271 hash,
   * computed in-flight by the batch Column expression. */
@@ -684,6 +695,50 @@ object EventStream {
       deltaBatch
         .groupBy("n_events")
         .agg(sum("d_users").as("n_users"), sum("d_cents").as("cents"))
+        .where(col("n_users") > 0L))
+
+  /** Streaming SPAN-HISTOGRAM deltas — q330's stateful twin, the
+    * [[engagementCellsStream]] retraction pattern at the tenure grain:
+    * a user's arrival can extend their (first, last) activity span,
+    * MOVING them between span cells, so the state is one (f, l) pair
+    * per user and each micro-batch that changes it emits a retraction
+    * of the old cell and an insertion of the new (a batch that
+    * changes nothing emits nothing). Folded deltas equal the batch
+    * span histogram after any prefix, and the hazard report — horizon,
+    * censoring and all — is served through the SAME tail the gated
+    * q330 reads ([[hazardReportBatch]] →
+    * [[graft.ops.Events.tenureHazardFromCells]]; the horizon is a
+    * cells property, so late data re-derives censoring correctly
+    * instead of freezing a stale horizon into state). */
+  def tenureCellsStream(events: Dataset[TenEv]): Dataset[TenDelta] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TenState, TenDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[TenEv], state: GroupState[TenState]) =>
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          batch.foreach { e =>
+            if (e.day < mn) mn = e.day
+            if (e.day > mx) mx = e.day
+          }
+          val prev = state.getOption
+          val next = TenState(prev.fold(mn)(p => math.min(p.f, mn)),
+            prev.fold(mx)(p => math.max(p.l, mx)))
+          state.update(next)
+          if (prev.contains(next)) Iterator.empty
+          else (prev.toSeq.map(p => TenDelta(p.f, p.l, -1L)) :+
+            TenDelta(next.f, next.l, 1L)).iterator
+      }
+  }
+
+  /** Serve q330's hazard report from streamed span deltas — fold to
+    * cells, then the shared gated tail, literally. */
+  def hazardReportBatch(deltaBatch: DataFrame): DataFrame =
+    graft.ops.Events.tenureHazardFromCells(
+      deltaBatch
+        .groupBy("f", "l")
+        .agg(sum("d_users").as("n_users"))
         .where(col("n_users") > 0L))
 
   def cmsCellsStream(docs: DataFrame): DataFrame = {

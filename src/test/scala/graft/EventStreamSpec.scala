@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.streaming.{EngEv, Ev, EventStream, FunnelEv, Session}
+import graft.streaming.{EngEv, Ev, EventStream, FunnelEv, Session, TenEv}
 
 /** Structured Streaming shapes over MemoryStream: stateful sessionization
   * (flatMapGroupsWithState) and watermarked tumbling windows. */
@@ -1308,6 +1308,56 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
         .collect().map(_.toSeq).toSeq
       assert(served == batch)
       assert(batch.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("tenureCellsStream: span retractions fold to the batch histogram; served hazard = gated q330 tail") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+    // wave 2 extends half the users' spans (state MOVES cells) and
+    // pushes the horizon forward — censoring must re-derive, not
+    // freeze: u2 reads churned after wave 1 (l=0 vs horizon 20) but
+    // censored after wave 2 extends u2 to day 40 (the new horizon)
+    val wave1 = Seq(TenEv(1L, 0L), TenEv(2L, 0L), TenEv(3L, 5L),
+      TenEv(3L, 20L))
+    val wave2 = Seq(TenEv(2L, 40L), TenEv(1L, 1L), TenEv(4L, 12L))
+    def batchCells(evs: Seq[TenEv]): Set[(Long, Long, Long)] =
+      evs.toDF("user_id", "day")
+        .groupBy("user_id").agg(min("day").as("f"), max("day").as("l"))
+        .groupBy("f", "l").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val input = MemoryStream[TenEv]
+    val query = EventStream.tenureCellsStream(input.toDS())
+      .writeStream.format("memory").queryName("ten_cells")
+      .outputMode("append").start()
+    def folded(): Set[(Long, Long, Long)] = spark.table("ten_cells")
+      .groupBy("f", "l").agg(sum("d_users").as("n"))
+      .where(col("n") > 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      input.addData(wave1: _*); query.processAllAvailable()
+      assert(folded() == batchCells(wave1))
+      val rep1 = EventStream.hazardReportBatch(spark.table("ten_cells"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // horizon 20: u1/u2 (l = 0, week 0) churned; u3 censored
+      assert(rep1(0L) == 2L)
+      // the serve tail checkpoints its cells frame; release it before
+      // the next statement (the Ckpt result-set contract) or Spark's
+      // plan-matching cache would serve wave-1 cells to wave-2 reads
+      graft.Ckpt.beginQuery(spark)
+      input.addData(wave2: _*); query.processAllAvailable()
+      assert(folded() == batchCells(wave1 ++ wave2))
+      val served = EventStream.hazardReportBatch(spark.table("ten_cells"))
+        .collect().map(_.toSeq).toSeq
+      val batch = graft.ops.Events.tenureHazard(
+        (wave1 ++ wave2).toDF("user_id", "day"))
+        .collect().map(_.toSeq).toSeq
+      assert(served == batch)
+      // horizon moved to 40: u2's week-5 span is now censored (l = e),
+      // u1 (l = 1) and u4 (l = 12) churned at week 0
+      val m = served.map(r => r.head -> r(2)).toMap
+      assert(m(0L) == 2L && m(5L) == 0L)
     } finally query.stop()
   }
 
