@@ -41,6 +41,26 @@ class PropertiesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("densePairGrid equals the self-join grid on random interaction multisets") {
+    import spark.implicits._
+    import graft.ops.Events
+    // random (container, item) rows WITH duplicates — the dense plan's
+    // collect_set must absorb them exactly like the general plan's
+    // caller-side distinct; small domains force heavy collisions
+    val gen = Gen.listOfN(300, for {
+      u <- Gen.chooseNum(1L, 25L)
+      k <- Gen.chooseNum(1L, 8L)
+    } yield (u, k))
+    val rows = gen.sample.get
+    val raw = rows.toDF("user_id", "k")
+    def set(df: org.apache.spark.sql.DataFrame) = df
+      .select("k1", "k2", "co_users", "jaccard_bp", "lift_bp")
+      .collect().map(_.toSeq).toSet
+    val dense = set(Events.densePairGrid(raw))
+    assert(dense == set(Events.cooccurrencePairGrid(raw.distinct())))
+    assert(dense.nonEmpty, "8x25 multisets must co-occur")
+  }
+
   test("ips is bounded by [min, max] course weight for random semesters") {
     import spark.implicits._
     val gen = Gen.listOfN(40, for {
