@@ -1963,8 +1963,7 @@ object Events {
     * [[graft.streaming.EventStream.decileReportBatch]] read ONE
     * definition. */
   private[graft] def decileReportFromCells(cells: DataFrame): DataFrame = {
-    val n = cells.agg(coalesce(sum("n_users"), lit(0L))).head.getLong(0)
-    val per = Robust.withRankCodes(cells, "n_events", "n_users", n, 10)
+    val per = Robust.withRankCodes(cells, "n_events", "n_users", 10)
       .groupBy(col("n_events_code").as("decile"))
       .agg(sum("n_users").as("n_users"),
         sum(expr("n_events * n_users")).as("sum_events"),
@@ -2364,12 +2363,11 @@ object Events {
         sum(when(col("day") >= col("split"), col("c")).otherwise(0L)).as("nb")))
     val aAct = users.where(col("na") > 0L)
     val bAct = users.where(col("nb") > 0L)
-    val (nA, nB) = (aAct.count(), bAct.count())
     // the code maps are value-histogram-sized (distinct activity
     // counts) — broadcast them so the user frame never shuffles
     users
-      .join(broadcast(Robust.rankCodes(aAct, "na", nA, 10)), Seq("na"), "left")
-      .join(broadcast(Robust.rankCodes(bAct, "nb", nB, 10)), Seq("nb"), "left")
+      .join(broadcast(Robust.rankCodes(aAct, "na", 10)), Seq("na"), "left")
+      .join(broadcast(Robust.rankCodes(bAct, "nb", 10)), Seq("nb"), "left")
       .select(coalesce(col("na_code"), lit(0L)).as("code_a"),
         coalesce(col("nb_code"), lit(0L)).as("code_b"))
       .groupBy("code_a", "code_b").agg(count(lit(1)).as("n_users"))

@@ -272,17 +272,16 @@ object Robust {
     * by MIN-RANK over the dimension's VALUE HISTOGRAM — code =
     * (4·cumBefore) div n + 1, so ties share a code and the map is
     * value-domain-bounded (never a per-customer rank window). */
-  private[graft] def quartileCodes(df: DataFrame, dim: String,
-                                   n: Long): DataFrame =
-    rankCodes(df, dim, n, 4)
+  private[graft] def quartileCodes(df: DataFrame, dim: String): DataFrame =
+    rankCodes(df, dim, 4)
 
   /** The general k-tile code map (q297 quartiles, q302 deciles):
     * (value → code 1–k) by MIN-RANK over the dimension's VALUE
     * HISTOGRAM — code = (k·cumBefore) div n + 1. */
   private[graft] def rankCodes(df: DataFrame, dim: String,
-                               n: Long, k: Int): DataFrame =
+                               k: Int): DataFrame =
     rankCodesFromCells(df.groupBy(dim).agg(count(lit(1)).as("c")),
-      dim, n, k)
+      dim, k)
 
   /** [[rankCodes]] over PRE-AGGREGATED histogram cells (`dim`, `c`) —
     * the form the streaming twin serves from (its state IS the cells),
@@ -290,23 +289,31 @@ object Robust {
     * global window is the allowlisted value-histogram shape:
     * domain-bounded rows, never the keyed corpus. */
   private[graft] def rankCodesFromCells(cells: DataFrame, dim: String,
-                                        n: Long, k: Int): DataFrame =
-    withRankCodes(cells, dim, "c", n, k).select(col(dim), col(s"${dim}_code"))
+                                        k: Int): DataFrame =
+    withRankCodes(cells, dim, "c", k).select(col(dim), col(s"${dim}_code"))
 
   /** The same min-rank k-tile code, added IN PLACE to a cells frame (no
     * join) — the form a consumer already holding the histogram uses:
     * joining a cells frame to a code map derived from ITSELF is a
     * self-join on one lineage, which Spark's analyzer rejects over
-    * some sources (conflicting references on a memory-sink view). */
+    * some sources (conflicting references on a memory-sink view).
+    * The total n is the SECOND window aggregate over the same ordered
+    * histogram (full frame) — same partition/order spec, so both sums
+    * land in one WindowExec and a code map costs ZERO driver actions
+    * (r17: q297/q302/q308/q328 each used to pay a count()/head per
+    * map just to interpolate n into this expression). */
   private[graft] def withRankCodes(cells: DataFrame, dim: String,
-                                   cnt: String, n: Long, k: Int): DataFrame = {
+                                   cnt: String, k: Int): DataFrame = {
     val w = Window.orderBy(dim)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(dim)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     cells
       .withColumn("__cum", sum(cnt).over(w))
+      .withColumn("__n", sum(cnt).over(wAll))
       .withColumn(s"${dim}_code",
-        expr(s"$k * (__cum - $cnt) div $n + 1"))
-      .drop("__cum")
+        expr(s"$k * (__cum - $cnt) div __n + 1"))
+      .drop("__cum", "__n")
   }
 
   /** q297: RFM SEGMENTATION — the classic BI customer cut (Recency /
@@ -334,11 +341,10 @@ object Robust {
         .groupBy("o_custkey")
         .agg(max("day").as("r"), count(lit(1)).as("f"),
           sum("cents").as("m")))
-    val n = cust.count()
     cust
-      .join(quartileCodes(cust, "r", n), "r")
-      .join(quartileCodes(cust, "f", n), "f")
-      .join(quartileCodes(cust, "m", n), "m")
+      .join(quartileCodes(cust, "r"), "r")
+      .join(quartileCodes(cust, "f"), "f")
+      .join(quartileCodes(cust, "m"), "m")
       .groupBy("r_code", "f_code", "m_code")
       .agg(count(lit(1)).as("n_customers"), sum("m").as("sum_cents"))
       .orderBy("r_code", "f_code", "m_code")

@@ -1292,9 +1292,8 @@ object TextStats {
         .groupBy("doc_id")
         .agg(sum(coalesce(col("w"), lit(0L)) * col("x")).as("m"))
         .join(qpLabels(test), "doc_id"))
-    val n = scored.count()
     scored
-      .join(graft.ops.Robust.rankCodes(scored, "m", n, 10), "m")
+      .join(graft.ops.Robust.rankCodes(scored, "m", 10), "m")
       .groupBy(col("m_code").as("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),

@@ -153,15 +153,15 @@ class RobustSpec extends AnyFunSuite with SparkTestBase {
     import spark.implicits._
     // values 5×4, 7×2, 9, 11 (n=8): cumBefore 0/4/6/7 → codes 1/3/4/4
     val df = Seq(5L, 5L, 5L, 5L, 7L, 7L, 9L, 11L).toDF("m")
-    val got = Robust.quartileCodes(df, "m", 8L).collect()
+    val got = Robust.quartileCodes(df, "m").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(5L -> 1L, 7L -> 3L, 9L -> 4L, 11L -> 4L))
     // k = 10 (q302's deciles): distinct values code 1..10; an all-tied
     // column collapses to code 1 (min-rank, never an arbitrary ntile cut)
-    val ten = Robust.rankCodes((1L to 10L).toDF("m"), "m", 10L, 10)
+    val ten = Robust.rankCodes((1L to 10L).toDF("m"), "m", 10)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ten == (1L to 10L).map(v => v -> v).toMap)
-    val tied = Robust.rankCodes(Seq(7L, 7L, 7L).toDF("m"), "m", 3L, 10)
+    val tied = Robust.rankCodes(Seq(7L, 7L, 7L).toDF("m"), "m", 10)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(tied == Map(7L -> 1L))
   }
