@@ -181,7 +181,10 @@ object Events {
     val basket = events(s, d)
       .select(col("user_id"), expr("CAST(es div 86400 AS BIGINT)").as("day"),
         col("event_type")).distinct()
-    val n = basket.select("user_id", "day").distinct().count()
+    // the basket universe N rides as a 1-row broadcast, never a
+    // blocking driver count() per rep (the r17 rankCodes rule)
+    val nb = basket.select("user_id", "day").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
     val single = basket.groupBy(col("event_type")).agg(count(lit(1)).as("nx"))
     val pairs = basket.as("a")
       .join(basket.as("b"), col("a.user_id") === col("b.user_id") &&
@@ -193,12 +196,13 @@ object Events {
       .join(broadcast(single.select(col("event_type").as("x"), col("nx"))), "x")
       .join(broadcast(single.select(col("event_type").as("y"),
         col("nx").as("ny"))), "y")
+      .crossJoin(broadcast(nb))
       .select(col("x"), col("y"), col("n_xy"),
         expr("CAST(n_xy * 10000 div nx AS BIGINT)").as("conf_bp"),
         // N·n_xy·10000 can pass int64 at billion-user scale — the
         // triple product runs in DECIMAL(38,0) (DuckDB: HUGEINT), one
         // exact widening, truncating div on positives in both engines
-        expr(s"CAST(CAST(${n}L AS DECIMAL(38,0)) * n_xy * 10000" +
+        expr("CAST(CAST(n_baskets AS DECIMAL(38,0)) * n_xy * 10000" +
           " div (CAST(nx AS DECIMAL(38,0)) * ny) AS BIGINT)").as("lift_bp"))
       .orderBy("x", "y")
   }
