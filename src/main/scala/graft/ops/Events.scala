@@ -615,6 +615,58 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q332: MANN–KENDALL TREND TEST per event type — the hypothesis-test
+    * rung the daily-trend family was missing (q208 gives the OLS slope,
+    * q252 the robust slope; neither says whether ANY monotone trend is
+    * distinguishable from noise): S = Σ_{i<j} sign(cnt_j − cnt_i) over
+    * the type's active-day series (missing days are excluded, the q252
+    * daily-frame convention), with the tie-corrected variance carried
+    * as the EXACT integer 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
+    * (the /18 never happens, so no rounding enters the gate), plus
+    * Kendall's τ_a in basis points (S·10⁴ div pairs — S may be
+    * negative; Spark `div` and DuckDB `//` both truncate toward zero
+    * on integers, the documented safe case). Everything is integer
+    * arithmetic on counts — no float anywhere. Scale shape: one
+    * corpus-pass daily aggregate, then the calendar-bounded pairwise
+    * self-join q252 already established (days² per type — bounded by
+    * the calendar, never event volume) and a value-histogram tie
+    * aggregate; single-active-day types have no pairs and surface with
+    * S = 0, τ NULL rather than vanishing. */
+  val q332_mann_kendall: Q = (s, d) =>
+    mannKendallFromDaily(events(s, d)
+      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** q332's core over a prepared (`event_type`, `day`, `cnt`) frame —
+    * factored (the q252 convention) so the spec can pin S on a
+    * hand-ordered series, the tie correction on a tied one, and the
+    * single-day NULL-τ edge. */
+  private[graft] def mannKendallFromDaily(daily: DataFrame): DataFrame = {
+    val dk = graft.Ckpt.persisted(daily) // three readers below
+    val a = dk.select(col("event_type"), col("day").as("da"), col("cnt").as("ca"))
+    val b = dk.select(col("event_type"), col("day").as("db"), col("cnt").as("cb"))
+    val pairs = a.join(b, Seq("event_type")).where(col("db") > col("da"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("CASE WHEN cb > ca THEN 1L WHEN cb < ca THEN -1L ELSE 0L END"))
+          .as("s_stat"))
+    // tie groups over the daily-count VALUE histogram (value-domain
+    // bounded); t(t−1)(2t+5) per tied value, summed
+    val ties = dk.groupBy("event_type", "cnt").agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(expr("t * (t - 1L) * (2L * t + 5L)")).as("tie18"))
+    dk.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      .join(pairs, Seq("event_type"), "left")
+      .join(ties, Seq("event_type"))
+      .na.fill(0L, Seq("n_pairs", "s_stat"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"), col("s_stat"),
+        expr("n_days * (n_days - 1L) * (2L * n_days + 5L) - tie18")
+          .as("var_s_x18"),
+        expr("CASE WHEN n_pairs > 0 THEN s_stat * 10000L div n_pairs END")
+          .as("tau_bp"))
+      .orderBy("event_type")
+  }
+
   /** q193: INTERVAL-OVERLAP aggregation — which pairs of users were
     * active at the same time, and for how long, rolled up per day.
     * Each user's activity on a day collapses to one [first-event,
@@ -1186,6 +1238,73 @@ object Events {
     }
     val Seq(h3, h2, h1) = steps
     nodes.map(t => (t, h1(t), h2(t), h3(t)))
+  }
+
+  /** The q331 synthetic entry node and the fixed channel list — shared
+    * by the Spark fold, the generated oracle and the spec. The channel
+    * DOMAIN is explicit (the q211 explicit-pivot-list convention): a
+    * data-derived list would make the oracle's CTE structure
+    * data-dependent, and an absent channel degrades honestly (no edges
+    * → removal effect 0) on both sides. */
+  private[graft] val attrStart = "(start)"
+  private[graft] val attrChannels = Seq("click", "error", "signup", "view")
+
+  /** q331: MARKOV REMOVAL-EFFECT ATTRIBUTION — the budget question the
+    * transition family builds to (q201 gives the matrix, q304 the
+    * k-step reach; marketing attribution asks "how much of total
+    * conversion does each channel CARRY?"): journeys start at a
+    * synthetic [[attrStart]] node (one edge per session to its entry
+    * type — the same lag window that yields the interior transitions,
+    * ONE pass), reach is q304's k-step absorption ppm read at the
+    * start node, and each channel's removal effect is the reach drop
+    * when the channel becomes a NULL SINK — its outgoing edges are
+    * dropped while edges INTO it still spend denominator mass (the
+    * textbook semantics: no renormalization, lost journeys stay lost).
+    * Null-sink removal only ever shrinks step numerators while
+    * denominators hold, and truncating division is monotone, so
+    * removed ≤ base holds exactly even in integer arithmetic —
+    * removal_bp is never negative by construction (the spec pins
+    * this). attribution_bp renormalizes the drops into shares. Scale
+    * shape: corpus work is ONE sessionized lag pass; the folds are the
+    * q238/q304 bounded (#types+1)² driver class, one per channel; the
+    * oracle replays every fold as suffixed chained CTEs. */
+  lazy val q331_markov_attribution: Q = (s, d) => {
+    import s.implicits._
+    val sess = withSessionIds(events(s, d)
+      .select(col("user_id"), col("event_id"), col("es"), col("event_type")))
+    val ws = Window.partitionBy("user_id", "session_id").orderBy("es", "event_id")
+    val edges = sess
+      .withColumn("from_type",
+        coalesce(lag("event_type", 1).over(ws), lit(attrStart)))
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val rows = attributionFold(edges, "purchase", attrChannels)
+    val totDrop = rows.map { case (_, base, removed) => base - removed }.sum
+    rows.toDF("channel", "base_ppm", "reach_rm_ppm")
+      .withColumn("removal_bp", expr(
+        """CASE WHEN base_ppm > 0
+           THEN (base_ppm - reach_rm_ppm) * 10000L div base_ppm END"""))
+      .withColumn("attr_bp", expr(
+        s"""CASE WHEN ${totDrop}L > 0
+            THEN (base_ppm - reach_rm_ppm) * 10000L div ${totDrop}L END"""))
+      .orderBy("channel")
+  }
+
+  /** q331's bounded driver fold — (channel, base reach ppm, reach with
+    * the channel null-sunk) per channel, both via [[absorptionFold]]
+    * read at [[attrStart]]. Factored (pure collections) so the spec
+    * can pin the null-sink semantics on a hand graph. */
+  private[graft] def attributionFold(edges: Seq[(String, String, Long)],
+      target: String, channels: Seq[String]): Seq[(String, Long, Long)] = {
+    def reach(es: Seq[(String, String, Long)]): Long =
+      absorptionFold(es, target)
+        .collectFirst { case (t, _, _, h3) if t == attrStart => h3 }
+        .getOrElse(0L)
+    val base = reach(edges)
+    channels.sorted.map { c =>
+      (c, base, reach(edges.filterNot(_._1 == c)))
+    }
   }
 
   /** q277: WINSORIZED MEAN per event type — the robust-location rung
@@ -3348,6 +3467,8 @@ object Events {
     "q327_return_time" -> q327_return_time,
     "q328_decile_migration" -> q328_decile_migration,
     "q330_tenure_hazard" -> q330_tenure_hazard,
+    "q331_markov_attribution" -> q331_markov_attribution,
+    "q332_mann_kendall" -> q332_mann_kendall,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -3381,7 +3502,9 @@ object Events {
   /** The sessionize → transition-count CTE chain (q51's gap rule,
     * q201's matrix) — shared verbatim by the q201 and q238 oracles so
     * the two replays cannot drift. */
-  private val transCtes =
+  /** The DuckDB sessionization prefix (e → s → s2) — shared by
+    * [[transCtes]] and the q331 start-edge CTE chain, one definition. */
+  private val sessCtes =
     s"""e AS (
       |  SELECT event_id, user_id, event_type,
       |         CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
@@ -3391,7 +3514,10 @@ object Events {
       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
       |s2 AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
       |                               ORDER BY es, event_id) AS session_id
-      |       FROM s),
+      |       FROM s)""".stripMargin
+
+  private val transCtes =
+    s"""$sessCtes,
       |tr AS (SELECT event_type AS from_type,
       |              lead(event_type) OVER (PARTITION BY user_id, session_id
       |                                     ORDER BY es, event_id) AS to_type,
@@ -3658,6 +3784,40 @@ object Events {
         |SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
         |       s_e6 AS slope_e6_med
         |FROM r WHERE rn = (np + 1) // 2 ORDER BY event_type""".stripMargin,
+    // the same daily frame, pairwise sign sum, tie-corrected 18·Var(S)
+    // as an exact integer; both engines truncate s·10⁴/pairs toward 0
+    "q332_mann_kendall" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        |dd AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM e GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
+        |                       WHEN b.cnt < a.cnt THEN -1 ELSE 0 END)
+        |              AS BIGINT) AS s_stat
+        |  FROM dd a JOIN dd b
+        |    ON a.event_type = b.event_type AND b.day > a.day
+        |  GROUP BY 1),
+        |tg AS (SELECT event_type, cnt, CAST(count(*) AS BIGINT) AS t
+        |       FROM dd GROUP BY 1, 2),
+        |ti AS (SELECT event_type,
+        |              CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+        |       FROM tg GROUP BY 1),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |       FROM dd GROUP BY 1)
+        |SELECT nd.event_type, nd.n_days,
+        |       coalesce(p.n_pairs, 0) AS n_pairs,
+        |       coalesce(p.s_stat, 0) AS s_stat,
+        |       CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+        |            - ti.tie18 AS BIGINT) AS var_s_x18,
+        |       CASE WHEN coalesce(p.n_pairs, 0) > 0
+        |            THEN CAST(p.s_stat * 10000 // p.n_pairs AS BIGINT)
+        |       END AS tau_bp
+        |FROM nd LEFT JOIN p ON p.event_type = nd.event_type
+        |JOIN ti ON ti.event_type = nd.event_type
+        |ORDER BY nd.event_type""".stripMargin,
     // identical digit extraction, densified spine, literal shares
     "q251_benford_values" ->
       s"""WITH v AS (
@@ -5422,6 +5582,72 @@ object Events {
          |       CAST(h3.h AS BIGINT) AS h3_ppm
          |FROM h1 JOIN h2 ON h2.t = h1.t JOIN h3 ON h3.t = h1.t
          |ORDER BY event_type""".stripMargin
+    },
+    // q331: one suffixed q304-style fold per variant — base plus each
+    // channel null-sunk (outgoing edges filtered, inbound mass still
+    // spends denominator); reach read at the synthetic start node
+    "q331_markov_attribution" -> {
+      def fold(tag: String, filter: String) = {
+        val steps = (1 to absIters).map { k =>
+          s"""con_${tag}_$k AS (
+             |  SELECT e.from_type AS t,
+             |         CAST(sum(CASE WHEN e.to_type = 'purchase'
+             |                       THEN CAST(e.n AS HUGEINT) * 1000000
+             |                       ELSE CAST(e.n AS HUGEINT) * hp.h END)
+             |              AS HUGEINT) AS num
+             |  FROM c_$tag e JOIN h_${tag}_${k - 1} hp ON hp.t = e.to_type
+             |  GROUP BY 1),
+             |h_${tag}_$k AS (
+             |  SELECT n0.t,
+             |         CASE WHEN tt.tot IS NULL OR tt.tot = 0 THEN 0
+             |              ELSE coalesce(cc.num, 0) // CAST(tt.tot AS HUGEINT)
+             |         END AS h
+             |  FROM nodes_$tag n0
+             |  LEFT JOIN con_${tag}_$k cc ON cc.t = n0.t
+             |  LEFT JOIN tots_$tag tt ON tt.from_type = n0.t)""".stripMargin
+        }.mkString(",\n")
+        s"""c_$tag AS (SELECT * FROM cs WHERE $filter),
+           |tots_$tag AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+           |              FROM c_$tag GROUP BY 1),
+           |nodes_$tag AS (SELECT DISTINCT t FROM
+           |  (SELECT from_type AS t FROM c_$tag
+           |   UNION SELECT to_type FROM c_$tag)),
+           |h_${tag}_0 AS (SELECT t, CAST(0 AS HUGEINT) AS h FROM nodes_$tag),
+           |$steps""".stripMargin
+      }
+      val folds = (("b", "TRUE") +: attrChannels.map(c =>
+          (c, s"from_type <> '$c'")))
+        .map { case (tag, f) => fold(tag, f) }.mkString(",\n")
+      val dropRows = attrChannels.map { c =>
+        s"""  SELECT '$c' AS channel,
+           |         (SELECT coalesce(max(h), 0) FROM h_b_3
+           |          WHERE t = '$attrStart') AS base,
+           |         (SELECT coalesce(max(h), 0) FROM h_${c}_3
+           |          WHERE t = '$attrStart') AS removed""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $sessCtes,
+         |ca AS (
+         |  SELECT coalesce(lag(event_type)
+         |           OVER (PARTITION BY user_id, session_id
+         |                 ORDER BY es, event_id), '$attrStart') AS from_type,
+         |         event_type AS to_type
+         |  FROM s2),
+         |cs AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+         |       FROM ca GROUP BY 1, 2),
+         |$folds,
+         |drops AS (
+         |$dropRows),
+         |tot AS (SELECT CAST(sum(base - removed) AS HUGEINT) AS td FROM drops)
+         |SELECT channel,
+         |       CAST(base AS BIGINT) AS base_ppm,
+         |       CAST(removed AS BIGINT) AS reach_rm_ppm,
+         |       CASE WHEN base > 0
+         |            THEN CAST((base - removed) * 10000 // base AS BIGINT)
+         |       END AS removal_bp,
+         |       CASE WHEN tot.td > 0
+         |            THEN CAST((base - removed) * 10000 // tot.td AS BIGINT)
+         |       END AS attr_bp
+         |FROM drops, tot ORDER BY channel""".stripMargin
     },
     // the identical transition counts; Σn² exact, one truncating div
     "q298_transition_impurity" ->

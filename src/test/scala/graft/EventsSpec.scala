@@ -967,4 +967,48 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(got("u") == ((2L, 2L, 5000L, 1L, 1L)))
     assert(got("v") == ((2L, 0L, -1L, 5L, 0L)))
   }
+
+  test("q331: attribution fold — null-sink removal, never renormalized") {
+    // (start) → {A 2, B 2}; A → buy 2; B → C 2; C → {buy 1, D 1}.
+    // base h3((start)) = (2·1e6 + 2·5e5) / 4 = 750000.
+    // Removing A drops its OUTGOING edge only: (start)'s denominator
+    // stays 4 (the 2 sessions entering A still spend mass), so the
+    // removed reach is (2·0 + 2·5e5)/4 = 250000 — a renormalized fold
+    // would read 500000, which is exactly the bug this pins.
+    // D has no outgoing edges, so its removal drops nothing.
+    val edges = Seq(("(start)", "A", 2L), ("(start)", "B", 2L),
+      ("A", "purchase", 2L), ("B", "C", 2L),
+      ("C", "purchase", 1L), ("C", "D", 1L))
+    val got = graft.ops.Events.attributionFold(
+      edges, "purchase", Seq("A", "B", "C", "D"))
+    assert(got == Seq(
+      ("A", 750000L, 250000L),
+      ("B", 750000L, 500000L),
+      ("C", 750000L, 500000L),
+      ("D", 750000L, 750000L)))
+    // monotonicity under truncation: removal never INCREASES reach
+    assert(got.forall { case (_, base, removed) => removed <= base })
+  }
+
+  test("q332: Mann–Kendall S, tie-corrected variance, toward-zero tau") {
+    import spark.implicits._
+    val daily = Seq(
+      // strictly increasing: S = pairs = 6, no ties, var18 = 4·3·13
+      ("up", 1L, 1L), ("up", 2L, 2L), ("up", 3L, 3L), ("up", 4L, 4L),
+      // one tied pair: S = 2 of 3, tie18 = 2·1·9 = 18, var18 = 66−18
+      ("tied", 1L, 5L), ("tied", 2L, 5L), ("tied", 3L, 7L),
+      // decreasing with a tie: S = −2 of 3 pairs → tau truncates toward
+      // zero to −6666 (a flooring engine would emit −6667 — the pin)
+      ("down", 1L, 9L), ("down", 2L, 4L), ("down", 3L, 4L),
+      // single active day: no pairs, tau NULL, var18 = 0
+      ("solo", 1L, 3L)).toDF("event_type", "day", "cnt")
+    val got = graft.ops.Events.mannKendallFromDaily(daily).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) null else r.getLong(5)))).toMap
+    assert(got("up") == ((4L, 6L, 6L, 156L, 10000L)))
+    assert(got("tied") == ((3L, 3L, 2L, 48L, 6666L)))
+    assert(got("down") == ((3L, 3L, -2L, 48L, -6666L)))
+    assert(got("solo") == ((1L, 0L, 0L, 0L, null)))
+  }
 }
