@@ -1601,6 +1601,83 @@ object Dedup {
           .as("recall_two_pass_bp"))
   }
 
+  /** q333: FELLEGI–SUNTER MATCH WEIGHTS — the probabilistic-scoring
+    * rung of the ER family (q183 generates candidates, q255 explains a
+    * rule-based decision; record linkage's classic asks "how much
+    * EVIDENCE does each field's agreement carry?"): over q217's
+    * planted-typo corpus — ground truth by construction — each
+    * comparison field (adjective token, noun token, edit-closeness
+    * ≤ 2) gets m = P(agree | match) over the planted truth pairs and
+    * u = P(agree | non-match) over the within-block candidate pairs
+    * that are NOT planted (the standard blocked-u estimate — u is
+    * biased HIGH versus random pairs, the conservative direction, and
+    * documented), both in basis points, plus the integer weight ratio
+    * m_bp·10⁴ div u_bp (the log-odds argument FS tables log — kept
+    * pre-log so no float enters the gate; u_bp = 0 fields carry NULL =
+    * "agreement here is (near-)decisive"). Scale shape: one
+    * distinct-name pass, then everything is vocabulary-bounded (the
+    * q183 argument); the final table is 3 rows from two 1-row
+    * aggregates. */
+  val q333_fs_weights: Q = (s, d) => {
+    val vocab = s.read.parquet(s"$d/part.parquet")
+      .select(col("p_name").as("name")).distinct()
+      .withColumn("t1", element_at(split(col("name"), " "), 1))
+      .withColumn("t2", element_at(split(col("name"), " "), 2))
+    val planted = vocab.withColumn("mut",
+        pmod(expr("CAST(conv(substring(md5(concat('erplant:', name)), 1, 4), 16, 10) AS BIGINT)"),
+          lit(2L)))
+      .withColumn("variant",
+        when(col("mut") === 0L, concat(lit("zz"), col("t1"), lit(" "), col("t2")))
+          .otherwise(concat(col("t1"), lit(" zz"), col("t2"))))
+    val truth = planted.select(
+      least(col("name"), col("variant")).as("na"),
+      greatest(col("name"), col("variant")).as("nb"))
+    val corpus = vocab.select("name")
+      .unionByName(planted.select(col("variant").as("name")))
+      .withColumn("t1", element_at(split(col("name"), " "), 1))
+      .withColumn("t2", element_at(split(col("name"), " "), 2))
+    def blockPairs(key: String): DataFrame =
+      corpus.select(col(key).as("k"), col("name").as("na"))
+        .join(corpus.select(col(key).as("k"), col("name").as("nb")), Seq("k"))
+        .where(col("na") < col("nb"))
+        .select("na", "nb")
+    val cand = blockPairs("t1").unionByName(blockPairs("t2")).distinct()
+    fsWeightTable(truth, cand)
+  }
+
+  /** q333's core — the 3-row FS weight table from a truth pair set and
+    * a candidate pair set (candidates still CONTAINING the truth pairs;
+    * the anti-join to the non-match stratum happens here, one
+    * definition). Factored so the spec can pin every guard (u_bp = 0 →
+    * NULL weight, zero-agreement fields) on hand pairs. */
+  private[graft] def fsWeightTable(truth: DataFrame, cand: DataFrame): DataFrame = {
+    def fields(df: DataFrame, p: String) = df
+      .select(
+        when(element_at(split(col("na"), " "), 1) ===
+          element_at(split(col("nb"), " "), 1), 1L).otherwise(0L).as("adj"),
+        when(element_at(split(col("na"), " "), 2) ===
+          element_at(split(col("nb"), " "), 2), 1L).otherwise(0L).as("noun"),
+        when(levenshtein(col("na"), col("nb")) <= 2, 1L).otherwise(0L).as("close"))
+      .agg(count(lit(1)).as(s"${p}_n"), sum("adj").as(s"${p}_adj"),
+        sum("noun").as(s"${p}_noun"), sum("close").as(s"${p}_close"))
+    val m = fields(truth, "m")
+    val u = fields(cand.join(truth, Seq("na", "nb"), "left_anti"), "u")
+    m.crossJoin(u) // 1-row × 1-row
+      .select(expr(
+        """stack(3,
+           'adj',   m_n, m_adj,   u_n, u_adj,
+           'close', m_n, m_close, u_n, u_close,
+           'noun',  m_n, m_noun,  u_n, u_noun)
+           AS (field, n_m, m_agree, n_u, u_agree)"""))
+      .withColumn("m_bp",
+        expr("CASE WHEN n_m > 0 THEN m_agree * 10000L div n_m END"))
+      .withColumn("u_bp",
+        expr("CASE WHEN n_u > 0 THEN u_agree * 10000L div n_u END"))
+      .withColumn("w_x10k",
+        expr("CASE WHEN u_bp > 0 THEN m_bp * 10000L div u_bp END"))
+      .orderBy("field")
+  }
+
   /** The q191 name-ledger layout: rows (name, block, n_rows) land under
     * `nb=<md5(block) mod 16>/gen=N/` — the FOURTH consumer of the shared
     * [[graft.etl.LsmIndex]] module (span/lex/chunk + names), which is
@@ -1799,6 +1876,7 @@ object Dedup {
     "q243_dup_graph_triangles" -> q243_dup_graph_triangles,
     "q183_fuzzy_entity" -> q183_fuzzy_entity,
     "q217_er_blocking_recall" -> q217_er_blocking_recall,
+    "q333_fs_weights" -> q333_fs_weights,
     "q187_entity_canon" -> q187_entity_canon,
     "q191_name_index_probe" -> q191_name_index_probe,
     "q166_cdc_chunk_dups" -> q166_cdc_chunk_dups,
@@ -2309,6 +2387,68 @@ object Dedup {
         |       CAST(sum(greatest(f1, f2)) * 10000 // count(*) AS BIGINT)
         |         AS recall_two_pass_bp
         |FROM f""".stripMargin,
+    // q217's planted corpus, candidates WITHOUT the edit filter (the
+    // comparison space), m over truth / u over blocked non-matches
+    "q333_fs_weights" ->
+      """WITH vocab AS (SELECT DISTINCT p_name AS name FROM part),
+        |vt AS (SELECT name, split_part(name, ' ', 1) AS t1,
+        |              split_part(name, ' ', 2) AS t2 FROM vocab),
+        |planted AS (
+        |  SELECT name,
+        |         CASE WHEN CAST('0x' || substr(md5('erplant:' || name), 1, 4)
+        |                    AS BIGINT) % 2 = 0
+        |              THEN 'zz' || t1 || ' ' || t2
+        |              ELSE t1 || ' zz' || t2 END AS variant
+        |  FROM vt),
+        |truth AS (SELECT least(name, variant) AS na,
+        |                 greatest(name, variant) AS nb FROM planted),
+        |corpus AS (
+        |  SELECT name, split_part(name, ' ', 1) AS t1,
+        |         split_part(name, ' ', 2) AS t2
+        |  FROM (SELECT name FROM vocab UNION ALL SELECT variant FROM planted)),
+        |cand AS (SELECT DISTINCT na, nb FROM (
+        |  SELECT a.name AS na, b.name AS nb
+        |  FROM corpus a JOIN corpus b ON a.t1 = b.t1 AND a.name < b.name
+        |  UNION ALL
+        |  SELECT a.name, b.name
+        |  FROM corpus a JOIN corpus b ON a.t2 = b.t2 AND a.name < b.name)),
+        |u0 AS (SELECT c.na, c.nb FROM cand c
+        |       LEFT JOIN truth t ON t.na = c.na AND t.nb = c.nb
+        |       WHERE t.na IS NULL),
+        |fm AS (SELECT CAST(count(*) AS BIGINT) AS m_n,
+        |  CAST(sum(CASE WHEN split_part(na, ' ', 1) = split_part(nb, ' ', 1)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS m_adj,
+        |  CAST(sum(CASE WHEN split_part(na, ' ', 2) = split_part(nb, ' ', 2)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS m_noun,
+        |  CAST(sum(CASE WHEN levenshtein(na, nb) <= 2
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS m_close
+        |  FROM truth),
+        |fu AS (SELECT CAST(count(*) AS BIGINT) AS u_n,
+        |  CAST(sum(CASE WHEN split_part(na, ' ', 1) = split_part(nb, ' ', 1)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS u_adj,
+        |  CAST(sum(CASE WHEN split_part(na, ' ', 2) = split_part(nb, ' ', 2)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS u_noun,
+        |  CAST(sum(CASE WHEN levenshtein(na, nb) <= 2
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS u_close
+        |  FROM u0),
+        |r AS (
+        |  SELECT 'adj' AS field, m_n AS n_m, m_adj AS m_agree,
+        |         u_n AS n_u, u_adj AS u_agree FROM fm, fu
+        |  UNION ALL
+        |  SELECT 'close', m_n, m_close, u_n, u_close FROM fm, fu
+        |  UNION ALL
+        |  SELECT 'noun', m_n, m_noun, u_n, u_noun FROM fm, fu),
+        |b AS (
+        |  SELECT field, n_m, m_agree, n_u, u_agree,
+        |         CASE WHEN n_m > 0
+        |              THEN CAST(m_agree * 10000 // n_m AS BIGINT) END AS m_bp,
+        |         CASE WHEN n_u > 0
+        |              THEN CAST(u_agree * 10000 // n_u AS BIGINT) END AS u_bp
+        |  FROM r)
+        |SELECT field, n_m, m_agree, n_u, u_agree, m_bp, u_bp,
+        |       CASE WHEN u_bp > 0
+        |            THEN CAST(m_bp * 10000 // u_bp AS BIGINT) END AS w_x10k
+        |FROM b ORDER BY field""".stripMargin,
     "q166_cdc_chunk_dups" -> cdcDupsOracle,
     "q172_chunk_index_dups" -> cdcDupsOracle,
     // the five staleness counters recomputed from raw documents with

@@ -382,4 +382,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // the census is consistent: 3T ≤ W always (every triangle closes 3 wedges)
     assert(3 * triangles <= wedges || wedges == 0)
   }
+
+  test("q333: FS weight table — field m/u rates and the u_bp=0 NULL guard") {
+    import spark.implicits._
+    // one truth pair agreeing on adjective + closeness but not noun;
+    // candidates carry the truth pair (anti-joined away) plus two
+    // non-matches: one agreeing on noun + closeness, one on nothing
+    val truth = Seq(("aa bb", "aa bc")).toDF("na", "nb")
+    val cand = Seq(
+      ("aa bb", "aa bc"),  // the truth pair — must not reach the u stratum
+      ("aa bb", "ab bb"),  // noun + close agree, adjective differs
+      ("aa bb", "cc dd")   // nothing agrees
+    ).toDF("na", "nb")
+    val got = graft.ops.Dedup.fsWeightTable(truth, cand).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6),
+          if (r.isNullAt(7)) null else r.getLong(7)))).toMap
+    // adj: m = 1/1, u = 0/2 → u_bp = 0 → weight NULL (decisive field)
+    assert(got("adj") == ((1L, 1L, 2L, 0L, 10000L, 0L, null)))
+    // close: m = 1/1, u = 1/2 → w = 10000·10⁴ div 5000 = 20000
+    assert(got("close") == ((1L, 1L, 2L, 1L, 10000L, 5000L, 20000L)))
+    // noun: m = 0/1 → m_bp 0, u = 1/2 → w = 0
+    assert(got("noun") == ((1L, 0L, 2L, 1L, 0L, 5000L, 0L)))
+  }
 }
