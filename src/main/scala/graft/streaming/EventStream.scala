@@ -140,6 +140,18 @@ case class EwmaState(lastDay: Long, ewma: Long)
 case class EwmaPoint(event_type: String, day: Long, cnt: Long, ewma_s: Long,
     burst: Long)
 
+/** Per-type Mann–Kendall state ([[EventStream.mannKendallStream]]):
+  * last day folded, the daily-count VALUE HISTOGRAM (value-domain-
+  * bounded — the state IS the sketch), and the folded S / tie18 /
+  * day-count aggregates. */
+case class MkState(lastDay: Long, hist: Map[Long, Long], sStat: Long,
+    tie18: Long, nDays: Long)
+
+/** One updated trend report of the q332 twin — identical columns to
+  * the batch query's output row for the same prefix. */
+case class MkPoint(event_type: String, day: Long, n_days: Long,
+    n_pairs: Long, s_stat: Long, var_s_x18: Long, tau_bp: Option[Long])
+
 /** One (user, day) purchase-cents total of the daily spend feed
   * ([[EventStream.dailySpendStream]] → [[EventStream.scdTierStream]]). */
 case class SpendDay(user_id: Long, day: Long, dc: Long)
@@ -1176,6 +1188,56 @@ object EventStream {
             st = EwmaState(dc.day, e)
             EwmaPoint(key, dc.day, dc.cnt, e,
               if (graft.ops.Events.ewmaBurst(dc.cnt, e)) 1L else 0L)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Streaming MANN–KENDALL monitor — q332's stateful twin, and the
+    * PAIRWISE member of the "state is the sketch" family: S is a sum
+    * over all day PAIRS, which no O(1) scalar state can maintain, but
+    * the per-type daily-count VALUE HISTOGRAM can — an arriving day
+    * with count c moves S by (#prior days below c − #prior days above
+    * c), two scans of the bounded histogram, and the tie term by the
+    * one-group delta g(t+1) − g(t) with g(t) = t(t−1)(2t+5). n_pairs
+    * is DERIVED (n·(n−1)/2), never accumulated. Each arrival emits the
+    * full updated report row — a live trend monitor whose every prefix
+    * equals the batch [[graft.ops.Events.mannKendallFromDaily]] on the
+    * same rows (the spec pins prefix parity, not just the final row).
+    * Ingest contract: same complete-per-day, day-ordered rule as
+    * [[ewmaStream]] (a replayed past day is already inside S and the
+    * histogram — fails loudly). Negative S divides toward zero in both
+    * the batch `div` and Scala `/` — one rule, zero drift. */
+  def mannKendallStream(daily: Dataset[DayCount]): Dataset[MkPoint] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[MkState, MkPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[DayCount], state: GroupState[MkState]) =>
+          val sorted = batch.toSeq.sortBy(_.day)
+          var st = state.getOption
+            .getOrElse(MkState(Long.MinValue, Map.empty, 0L, 0L, 0L))
+          def g(x: Long) = x * (x - 1L) * (2L * x + 5L)
+          val out = sorted.map { dc =>
+            require(dc.day > st.lastDay,
+              s"mannKendallStream($key): day ${dc.day} arrived at or before " +
+                s"folded day ${st.lastDay} — the daily feed must be " +
+                "complete-per-day and in day order; rebuild from batch q332")
+            val below = st.hist.iterator
+              .collect { case (v, n) if v < dc.cnt => n }.sum
+            val above = st.hist.iterator
+              .collect { case (v, n) if v > dc.cnt => n }.sum
+            val t = st.hist.getOrElse(dc.cnt, 0L)
+            st = MkState(dc.day, st.hist.updated(dc.cnt, t + 1L),
+              st.sStat + below - above, st.tie18 + g(t + 1L) - g(t),
+              st.nDays + 1L)
+            val nd = st.nDays
+            val pairs = nd * (nd - 1L) / 2L
+            MkPoint(key, dc.day, nd, pairs, st.sStat,
+              nd * (nd - 1L) * (2L * nd + 5L) - st.tie18,
+              if (pairs > 0L) Some(st.sStat * 10000L / pairs) else None)
           }
           state.update(st)
           out.iterator

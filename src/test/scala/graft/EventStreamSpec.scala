@@ -1638,6 +1638,47 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("mannKendallStream: every emitted prefix equals the batch report") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{DayCount, MkPoint}
+    // the EventsSpec fixture series split mid-series across
+    // micro-batches: monotone, tied and reversing counts all occur,
+    // plus the single-day prefix (tau None)
+    val series = Map(
+      "up" -> Seq(1L, 2L, 3L, 4L),
+      "tied" -> Seq(5L, 5L, 7L),
+      "down" -> Seq(9L, 4L, 4L))
+    val input = MemoryStream[DayCount]
+    val query = EventStream.mannKendallStream(input.toDS())
+      .writeStream.format("memory").queryName("mk").outputMode("append").start()
+    try {
+      input.addData(DayCount("up", 0L, 1L), DayCount("up", 1L, 2L),
+        DayCount("tied", 0L, 5L), DayCount("down", 0L, 9L))
+      query.processAllAvailable()
+      input.addData(DayCount("up", 2L, 3L), DayCount("up", 3L, 4L),
+        DayCount("tied", 1L, 5L), DayCount("tied", 2L, 7L),
+        DayCount("down", 1L, 4L), DayCount("down", 2L, 4L))
+      query.processAllAvailable()
+      val got = spark.table("mk").as[MkPoint].collect()
+      // prefix parity: EVERY emitted point equals the batch core run on
+      // the rows folded so far — the monitor is the batch report live
+      series.foreach { case (tp, cnts) =>
+        cnts.indices.foreach { i =>
+          val prefix = cnts.take(i + 1).zipWithIndex
+            .map { case (c, day) => (tp, day.toLong, c) }
+          val b = graft.ops.Events.mannKendallFromDaily(
+            prefix.toDF("event_type", "day", "cnt")).collect().head
+          val sp = got.find(p => p.event_type == tp && p.day == i.toLong).get
+          assert(sp.n_days == b.getLong(1) && sp.n_pairs == b.getLong(2) &&
+            sp.s_stat == b.getLong(3) && sp.var_s_x18 == b.getLong(4) &&
+            sp.tau_bp == (if (b.isNullAt(5)) None else Some(b.getLong(5))),
+            s"$tp day $i: stream $sp vs batch $b")
+        }
+      }
+    } finally query.stop()
+  }
+
   test("fuzzyNameProbeStream matches the batch predicate on a static base, dedup enforced") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
