@@ -2881,6 +2881,67 @@ object Events {
           .as("r"))
   }
 
+  /** q334 horizon — shared by the loop, the generated oracle, the spec. */
+  private[graft] val coreIters = 3
+
+  /** q334: USER CORENESS via ITERATED H-INDEX — the k-core rung of the
+    * graph family (q61/q248 give components, q265 importance, q243 the
+    * triangle census; a cohesion review asks "how DEEP does each user
+    * sit in the interaction mesh?"). Graph: q265's attention-handoff
+    * edges made SIMPLE (undirected least/greatest pair, distinct).
+    * Algorithm: cor₀ = degree; corₖ(v) = the H-INDEX of v's neighbors'
+    * corₖ₋₁ values — the iteration that converges monotonically DOWN
+    * to the exact coreness (Lü et al. 2016, "The H-index of a network
+    * node"); [[coreIters]] steps is the gated trajectory point, the
+    * q238/q304 fixed-horizon convention. Every step is pure integer
+    * rank/min/max — bit-identical cross-engine, no truncation anywhere.
+    * Output is the coreness HISTOGRAM (degree-domain-bounded), with
+    * edge-free users at coreness 0. Scale shape: per-step the state is
+    * the corpus-sized cor table and the step is a genuine shuffle
+    * (adj ⋈ cor on the neighbor key → per-v desc-rank window → per-v
+    * max) — user-partitioned windows, never global; per-iteration
+    * frames are Ckpt-scoped with the Lloyd-loop drop rule. The oracle
+    * replays all steps as chained CTEs. */
+  lazy val q334_user_coreness: Q = (s, d) => {
+    val ev = events(s, d)
+    val wh = Window.partitionBy("hb").orderBy("es", "event_id")
+    val seqd = ev.select(col("user_id"), col("es"), col("event_id"))
+      .withColumn("hb", expr("es div 3600"))
+      .withColumn("src", lag("user_id", 1).over(wh))
+    val und = seqd.where(col("src").isNotNull && col("src") =!= col("user_id"))
+      .select(least(col("src"), col("user_id")).as("a"),
+        greatest(col("src"), col("user_id")).as("b"))
+      .distinct()
+    val adj = graft.Ckpt.persisted(
+      und.select(col("a").as("v"), col("b").as("u"))
+        .unionByName(und.select(col("b").as("v"), col("a").as("u"))))
+    var cor = graft.Ckpt.eager(adj.groupBy("v").agg(count(lit(1)).as("c")))
+    for (_ <- 1 to coreIters) {
+      val next = graft.Ckpt.eager(hIndexStep(adj, cor))
+      graft.Ckpt.drop(cor)
+      cor = next
+    }
+    ev.select(col("user_id").as("v")).distinct()
+      .join(cor, Seq("v"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("coreness"))
+      .groupBy("coreness").agg(count(lit(1)).as("n_users"))
+      .orderBy("coreness")
+  }
+
+  /** ONE q334 h-index refinement, lazily — factored so the spec can
+    * pin convergence on a hand graph and ScaleGuardSpec the plan shape
+    * (equi join + v-partitioned rank window, no global window). The
+    * h-index of the sorted-desc neighbor values v₁ ≥ v₂ ≥ … is
+    * max_i min(i, v_i) — tie order inside equal values cannot change
+    * the multiset, so the window is deterministic without a
+    * tie-break. */
+  private[graft] def hIndexStep(adj: DataFrame, cor: DataFrame): DataFrame = {
+    val wv = Window.partitionBy("v").orderBy(col("nc").desc)
+    adj.join(cor.select(col("v").as("u"), col("c").as("nc")), "u")
+      .withColumn("rn", row_number().over(wv).cast("long"))
+      .groupBy("v").agg(max(least(col("rn"), col("nc"))).as("c"))
+  }
+
   /** q236: ROLLING 7-DAY ACTIVE USERS from mergeable per-day HLL
     * registers — the sliding-window distinct-count every growth
     * dashboard serves, built the only way it stays cheap at 100 TB:
@@ -3469,6 +3530,7 @@ object Events {
     "q330_tenure_hazard" -> q330_tenure_hazard,
     "q331_markov_attribution" -> q331_markov_attribution,
     "q332_mann_kendall" -> q332_mann_kendall,
+    "q334_user_coreness" -> q334_user_coreness,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -3593,6 +3655,42 @@ object Events {
        |${(1 to prIters).map(prStepSql).mkString(",\n")}
        |SELECT user_id, CAST(r AS BIGINT) AS rank_ppm
        |FROM r$prIters ORDER BY user_id""".stripMargin
+
+  /** q334's oracle — the same simple handoff graph, degree seed, and
+    * [[coreIters]] h-index refinements as chained CTEs (per step: join
+    * neighbor values, desc rank per node, max of min(rank, value)). */
+  private lazy val userCorenessSql: String = {
+    val steps = (1 to coreIters).map { k =>
+      s"""rk$k AS (
+         |  SELECT a.v, cn.c AS nc,
+         |         row_number() OVER (PARTITION BY a.v
+         |                            ORDER BY cn.c DESC) AS rn
+         |  FROM adj a JOIN c${k - 1} cn ON cn.v = a.u),
+         |c$k AS (SELECT v, CAST(max(least(rn, nc)) AS BIGINT) AS c
+         |        FROM rk$k GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT event_id, user_id,
+       |         CAST(floor(epoch(ts)) AS BIGINT) AS es
+       |  FROM events),
+       |sq AS (
+       |  SELECT user_id AS dst,
+       |         lag(user_id) OVER (PARTITION BY es // 3600
+       |                            ORDER BY es, event_id) AS src
+       |  FROM e),
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM sq WHERE src IS NOT NULL AND src <> dst),
+       |adj AS (SELECT a AS v, b AS u FROM und
+       |        UNION ALL SELECT b, a FROM und),
+       |c0 AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM adj GROUP BY 1),
+       |$steps,
+       |nodes AS (SELECT DISTINCT user_id AS v FROM e)
+       |SELECT CAST(coalesce(cf.c, 0) AS BIGINT) AS coreness,
+       |       CAST(count(*) AS BIGINT) AS n_users
+       |FROM nodes LEFT JOIN c$coreIters cf ON cf.v = nodes.v
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** q271/q272 shared oracle CTEs (distinct hashed audiences → bottom-k
     * signatures → pairwise union-bottom-k estimator). Same stripMargin
@@ -3949,6 +4047,7 @@ object Events {
         |FROM v ORDER BY user_id, version_no""".stripMargin,
     // the three rank iterations replayed as chained CTEs
     "q265_user_pagerank" -> userPagerankSql,
+    "q334_user_coreness" -> userCorenessSql,
     "q271_audience_sketch" ->
       s"""WITH $bkCtes
          |SELECT type_a, type_b, kk, inter_k * 10000 // kk AS jacc_est_bp

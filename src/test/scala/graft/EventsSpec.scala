@@ -990,6 +990,24 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.forall { case (_, base, removed) => removed <= base })
   }
 
+  test("q334: iterated h-index converges to coreness on a triangle + tail") {
+    import spark.implicits._
+    // triangle A–B–C (the 2-core) with pendant D on A (the 1-core).
+    // degrees: A 3, B 2, C 2, D 1. One h-index step already lands on
+    // the exact coreness here; further steps must be FIXED POINTS —
+    // the monotone-convergence property the fixed horizon rides on.
+    val und = Seq(("A", "B"), ("A", "C"), ("B", "C"), ("A", "D"))
+    val adj = (und ++ und.map(_.swap)).toDF("v", "u")
+    var cor = adj.groupBy("v").agg(count(lit(1)).as("c"))
+    val trajectory = (1 to graft.ops.Events.coreIters).map { _ =>
+      cor = graft.ops.Events.hIndexStep(adj, cor)
+      cor.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val expected = Map("A" -> 2L, "B" -> 2L, "C" -> 2L, "D" -> 1L)
+    assert(trajectory.head == expected)   // one step reaches coreness
+    assert(trajectory.forall(_ == expected)) // ...and stays there
+  }
+
   test("q332: Mann–Kendall S, tie-corrected variance, toward-zero tau") {
     import spark.implicits._
     val daily = Seq(
