@@ -1854,6 +1854,53 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** q335: HEAPS-LAW VOCABULARY GROWTH — the curve q307's one-row
+    * shape audit summarizes (q97 tracks when whole-DOCUMENT novelty
+    * dried up; a tokenizer/vocab budget decision needs the TYPE curve:
+    * how fast does distinct vocabulary grow as token mass accrues?):
+    * the corpus in crawl order (doc_id) is cut at ten DECILE
+    * checkpoints (`doc_id·10 div (max_id+1)` — bounded output, never a
+    * per-batch row stream), and each row carries cumulative docs,
+    * tokens, first-occurrence types (min doc_id per type — the
+    * q244/q97 attribution convention) and the integer density
+    * `types·10⁴ div tokens`, whose decay down the rows IS the Heaps
+    * exponent readout. Scale shape: one exploded token pass feeding a
+    * token-keyed min aggregate and a decile-keyed count; the
+    * cumulative window runs over ≤ 10 decile rows (allowlisted); the
+    * max-id scalar rides as a 1-row broadcast (the q212 rule). */
+  val q335_heaps_curve: Q = (s, d) =>
+    heapsFromDocWords(docShingles(s, d).select(col("doc_id"), col("words")))
+
+  /** q335's body over any (doc_id, words) frame — factored so the spec
+    * can pin first-occurrence crediting, the empty-prefix NULL density
+    * and the decile arithmetic on a hand corpus. */
+  private[graft] def heapsFromDocWords(ds: DataFrame): DataFrame = {
+    val md = ds.agg(max(col("doc_id")).as("md"))
+    val docsPer = ds.select(col("doc_id")).crossJoin(broadcast(md))
+      .select(expr("doc_id * 10 div (md + 1)").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("n_docs"))
+    val toks = ds.select(col("doc_id"), explode(col("words")).as("w"))
+    val toksPer = toks.crossJoin(broadcast(md))
+      .select(expr("doc_id * 10 div (md + 1)").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("n_tokens"))
+    val typesPer = toks.groupBy("w").agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(md))
+      .select(expr("fd * 10 div (md + 1)").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("n_types"))
+    val wcum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsPer.join(toksPer, Seq("decile"), "full")
+      .join(typesPer, Seq("decile"), "full")
+      .na.fill(0L, Seq("n_docs", "n_tokens", "n_types"))
+      .select(col("decile"),
+        sum("n_docs").over(wcum).as("cum_docs"),
+        sum("n_tokens").over(wcum).as("cum_tokens"),
+        sum("n_types").over(wcum).as("cum_types"))
+      .withColumn("types_per_10k_tok", expr(
+        "CASE WHEN cum_tokens > 0 THEN cum_types * 10000 div cum_tokens END"))
+      .orderBy("decile")
+  }
+
   /** q313: LANG-ID CONFUSION MATRIX — the evaluation row for q40's
     * heuristic (a predictor that ships without its confusion matrix is
     * a rumor): predicted × actual label counts plus per-cell share of
@@ -1914,6 +1961,7 @@ object TextStats {
 
   val queries: Map[String, Q] = Map(
     "q307_vocab_shape" -> q307_vocab_shape,
+    "q335_heaps_curve" -> q335_heaps_curve,
     "q316_source_similarity" -> q316_source_similarity,
     "q308_score_calibration" -> q308_score_calibration,
     "q313_langid_confusion" -> q313_langid_confusion,
@@ -2317,6 +2365,44 @@ object TextStats {
         |       CAST(max(c) AS BIGINT) * 10000 // CAST(sum(c) AS BIGINT)
         |         AS head_mass_bp
         |FROM wc GROUP BY source ORDER BY source""".stripMargin),
+    // same decile cut, first-occurrence attribution, cumulative sums
+    // cast BIGINT before they reach the final SELECT (the HUGEINT rule)
+    "q335_heaps_curve" -> withDocs(
+      """, m AS (SELECT CAST(max(doc_id) AS BIGINT) AS md FROM docs),
+        |dp AS (
+        |  SELECT doc_id * 10 // (md + 1) AS decile,
+        |         CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM docs, m GROUP BY 1),
+        |tk AS (SELECT doc_id, w.w AS w FROM docs, unnest(words) AS w(w)),
+        |tp AS (
+        |  SELECT doc_id * 10 // (md + 1) AS decile,
+        |         CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM tk, m GROUP BY 1),
+        |ty AS (
+        |  SELECT fd * 10 // (md + 1) AS decile,
+        |         CAST(count(*) AS BIGINT) AS n_types
+        |  FROM (SELECT w, min(doc_id) AS fd FROM tk GROUP BY 1), m
+        |  GROUP BY 1),
+        |cells AS (
+        |  SELECT coalesce(dp.decile, tp.decile, ty.decile) AS decile,
+        |         coalesce(n_docs, 0) AS n_docs,
+        |         coalesce(n_tokens, 0) AS n_tokens,
+        |         coalesce(n_types, 0) AS n_types
+        |  FROM dp
+        |  FULL JOIN tp ON tp.decile = dp.decile
+        |  FULL JOIN ty ON ty.decile = coalesce(dp.decile, tp.decile)),
+        |cum AS (
+        |  SELECT decile,
+        |         CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+        |         CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+        |         CAST(sum(n_types) OVER w AS BIGINT) AS cum_types
+        |  FROM cells
+        |  WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+        |SELECT decile, cum_docs, cum_tokens, cum_types,
+        |       CASE WHEN cum_tokens > 0
+        |            THEN CAST(cum_types * 10000 // cum_tokens AS BIGINT)
+        |       END AS types_per_10k_tok
+        |FROM cum ORDER BY decile""".stripMargin),
     // the same bigram multiset-vs-set arithmetic over the shared words
     "q266_repetition_filter" -> withDocs(
       s""", g AS (

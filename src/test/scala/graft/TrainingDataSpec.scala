@@ -781,4 +781,26 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
     // and allocation stays within the budget
     assert(rows.map(_._4).sum <= 3L * totTokens)
   }
+
+  test("q335: Heaps curve credits first occurrences; empty prefix has NULL density") {
+    import spark.implicits._
+    // ten docs so decile = doc_id (md = 9): doc 0 is token-free (the
+    // NULL-density prefix), doc 1 introduces {a, b} with a repeated,
+    // doc 2 re-uses b and introduces c, docs 3..9 repeat a forever
+    val dw = (Seq((0L, Seq.empty[String]), (1L, Seq("a", "a", "b")),
+      (2L, Seq("b", "c"))) ++ (3L to 9L).map(i => (i, Seq("a"))))
+      .toDF("doc_id", "words")
+    val got = graft.ops.TextStats.heapsFromDocWords(dw).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) null else r.getLong(4)))).toMap
+    assert(got(0L) == ((1L, 0L, 0L, null)))        // docs but no tokens yet
+    assert(got(1L) == ((2L, 3L, 2L, 6666L)))       // a, b credited here
+    assert(got(2L) == ((3L, 5L, 3L, 6000L)))       // only c is new
+    assert(got(9L) == ((10L, 12L, 3L, 2500L)))     // vocabulary saturated
+    // the density readout is monotone non-increasing once tokens exist
+    val dens = got.toSeq.sortBy(_._1).map(_._2._4).filter(_ != null)
+      .map(_.asInstanceOf[Long])
+    assert(dens == dens.sorted.reverse)
+  }
 }
