@@ -667,6 +667,50 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q336: KENDALL'S W RANK CONCORDANCE across weeks — the stability
+    * test on the RANKING itself (q332 tests each type's own series for
+    * trend; a dashboard's ordering question is "do the types keep
+    * their relative popularity week over week, or does the leaderboard
+    * churn?"): each week ranks the types by event count (row_number
+    * under the deterministic (cnt DESC, type ASC) tie-break — ranks
+    * are PERMUTATIONS, so the no-ties W formula is exact and no
+    * fractional average-rank ever appears), and W = (12·ΣR² −
+    * 3·m²·n·(n+1)²) / (m²·n·(n²−1)) over the per-type rank sums R,
+    * emitted in basis points with one truncating division. W = 10⁴ is
+    * perfect agreement; ~0 is leaderboard churn. Only types active in
+    * EVERY week enter (W requires a complete m×n rank matrix; the
+    * others would need tie-imputation — documented restriction).
+    * Guards: n < 2 or m = 0 → NULL. Scale shape: one corpus pass to
+    * (week, type) counts, a type-per-week window over the TYPE DOMAIN,
+    * a types-bounded rollup. */
+  val q336_rank_concordance: Q = (s, d) =>
+    concordanceFromWeekly(events(s, d)
+      .groupBy(expr("CAST(es div 604800 AS BIGINT)").as("week"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** q336's body over any (week, event_type, cnt) frame — factored so
+    * the spec can pin W = 10⁴ / W = 0 on hand rankings and the
+    * every-week membership rule. */
+  private[graft] def concordanceFromWeekly(wk0: DataFrame): DataFrame = {
+    val wk = graft.Ckpt.persisted(wk0) // three readers below
+    val mw = wk.select("week").distinct().agg(count(lit(1)).as("m"))
+    val full = wk.groupBy("event_type").agg(count(lit(1)).as("nw"))
+      .crossJoin(broadcast(mw)).where(col("nw") === col("m"))
+      .select("event_type")
+    val ww = Window.partitionBy("week")
+      .orderBy(col("cnt").desc, col("event_type").asc)
+    val ranks = wk.join(broadcast(full), "event_type")
+      .withColumn("r", row_number().over(ww).cast("long"))
+    ranks.groupBy("event_type").agg(sum("r").as("rsum"))
+      .agg(count(lit(1)).as("n"), sum(expr("rsum * rsum")).as("sr2"))
+      .crossJoin(broadcast(mw))
+      .select(col("m").as("m_weeks"), col("n").as("n_types"),
+        expr("""CASE WHEN m > 0 AND n >= 2
+                THEN (12 * sr2 - 3 * m * m * n * (n + 1) * (n + 1)) * 10000
+                     div (m * m * n * (n * n - 1)) END""").as("w_bp"))
+  }
+
   /** q193: INTERVAL-OVERLAP aggregation — which pairs of users were
     * active at the same time, and for how long, rolled up per day.
     * Each user's activity on a day collapses to one [first-event,
@@ -3531,6 +3575,7 @@ object Events {
     "q331_markov_attribution" -> q331_markov_attribution,
     "q332_mann_kendall" -> q332_mann_kendall,
     "q334_user_coreness" -> q334_user_coreness,
+    "q336_rank_concordance" -> q336_rank_concordance,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -3916,6 +3961,31 @@ object Events {
         |FROM nd LEFT JOIN p ON p.event_type = nd.event_type
         |JOIN ti ON ti.event_type = nd.event_type
         |ORDER BY nd.event_type""".stripMargin,
+    // same weekly grain, same deterministic tie-break, no-ties W exact
+    "q336_rank_concordance" ->
+      """WITH wk AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week,
+        |         event_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |mw AS (SELECT CAST(count(DISTINCT week) AS BIGINT) AS m FROM wk),
+        |full_t AS (SELECT event_type FROM wk GROUP BY 1
+        |           HAVING count(*) = (SELECT m FROM mw)),
+        |ranks AS (
+        |  SELECT week, event_type,
+        |         CAST(row_number() OVER (PARTITION BY week
+        |                ORDER BY cnt DESC, event_type ASC) AS BIGINT) AS r
+        |  FROM wk WHERE event_type IN (SELECT event_type FROM full_t)),
+        |rs AS (SELECT event_type, CAST(sum(r) AS BIGINT) AS rsum
+        |       FROM ranks GROUP BY 1),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |              CAST(coalesce(sum(rsum * rsum), 0) AS BIGINT) AS sr2
+        |       FROM rs)
+        |SELECT m AS m_weeks, n AS n_types,
+        |       CASE WHEN m > 0 AND n >= 2
+        |            THEN CAST((12 * sr2 - 3 * m * m * n * (n + 1) * (n + 1))
+        |                      * 10000 // (m * m * n * (n * n - 1)) AS BIGINT)
+        |       END AS w_bp
+        |FROM ag, mw""".stripMargin,
     // identical digit extraction, densified spine, literal shares
     "q251_benford_values" ->
       s"""WITH v AS (

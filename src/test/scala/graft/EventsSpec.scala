@@ -1008,6 +1008,30 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(trajectory.forall(_ == expected)) // ...and stays there
   }
 
+  test("q336: Kendall's W — perfect agreement, perfect churn, membership rule") {
+    import spark.implicits._
+    // two weeks, same ordering a > b > c → W = 10000 exactly
+    val same = Seq((0L, "a", 30L), (0L, "b", 20L), (0L, "c", 10L),
+      (1L, "a", 9L), (1L, "b", 8L), (1L, "c", 7L))
+      .toDF("week", "event_type", "cnt")
+    val r1 = graft.ops.Events.concordanceFromWeekly(same).collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == ((2L, 3L, 10000L)))
+    // week 2 reversed → every rank sum is equal → W = 0
+    val churn = Seq((0L, "a", 30L), (0L, "b", 20L), (0L, "c", 10L),
+      (1L, "a", 7L), (1L, "b", 8L), (1L, "c", 9L))
+      .toDF("week", "event_type", "cnt")
+    val r2 = graft.ops.Events.concordanceFromWeekly(churn).collect().head
+    assert(r2.getLong(2) == 0L)
+    // a type absent from one week is EXCLUDED and must not occupy a
+    // rank: d tops week 0 but is missing in week 1 — the full-type
+    // ranking is the `same` matrix and W stays exactly 10000
+    val partial = Seq((0L, "d", 99L)) ++ Seq((0L, "a", 30L), (0L, "b", 20L),
+      (0L, "c", 10L), (1L, "a", 9L), (1L, "b", 8L), (1L, "c", 7L))
+    val r3 = graft.ops.Events.concordanceFromWeekly(
+      partial.toDF("week", "event_type", "cnt")).collect().head
+    assert((r3.getLong(1), r3.getLong(2)) == ((3L, 10000L)))
+  }
+
   test("q332: Mann–Kendall S, tie-corrected variance, toward-zero tau") {
     import spark.implicits._
     val daily = Seq(
