@@ -1335,6 +1335,61 @@ object Events {
       .orderBy("channel")
   }
 
+  /** q337: POSITION-BASED (U-SHAPED) ATTRIBUTION — the third member of
+    * the attribution trio (q195 splits linearly, q331 asks the Markov
+    * counterfactual; the position-based model is the standard middle
+    * ground: first and last touch carry 40% each, the interior splits
+    * the remaining 20%): within each q51 session, the touches are the
+    * events STRICTLY before the session's first purchase (by the
+    * (es, event_id) order — all non-purchase by construction), each
+    * conversion distributes EXACTLY 10000 bp (1 touch → 10000; 2 →
+    * 5000/5000; k ≥ 3 → 4000/4000 ends, `2000 div (k−2)` each interior
+    * with the truncation remainder credited to the FIRST interior
+    * touch — the documented deterministic rule; the spec pins the
+    * exact-10000 invariant), and converting sessions with no prior
+    * touch credit nothing. Only the FIRST purchase per session
+    * converts (repeat purchases inside one session are one journey).
+    * Scale shape: the sessionized pass plus two windows on the SAME
+    * (user, session) key — one exchange; the report is
+    * channel-bounded. */
+  val q337_position_attribution: Q = (s, d) =>
+    positionCredits(withSessionIds(events(s, d)
+      .select(col("user_id"), col("event_id"), col("es"), col("event_type"))))
+
+  /** q337's body over sessionized rows (user_id, session_id, es,
+    * event_id, event_type) — factored so the spec can pin the credit
+    * split (k = 1, 2, 3 and the remainder case) and the no-touch /
+    * no-purchase exclusions on hand sessions. */
+  private[graft] def positionCredits(sess: DataFrame): DataFrame = {
+    val wps = Window.partitionBy("user_id", "session_id")
+    // the session's first-purchase key as an order-encoding struct min
+    val withBuy = sess.withColumn("buy_key",
+      min(when(col("event_type") === "purchase",
+        struct(col("es"), col("event_id")))).over(
+        wps.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val touches = withBuy
+      .where(col("buy_key").isNotNull &&
+        struct(col("es"), col("event_id")) < col("buy_key"))
+    val wt = Window.partitionBy("user_id", "session_id")
+      .orderBy("es", "event_id")
+    touches
+      .withColumn("p", row_number().over(wt).cast("long"))
+      .withColumn("k", count(lit(1)).over(
+        wps.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("credit_bp", expr(
+        """CASE WHEN k = 1 THEN 10000L
+                WHEN p = 1 OR p = k THEN CASE WHEN k = 2 THEN 5000L ELSE 4000L END
+                ELSE 2000L div (k - 2)
+                     + CASE WHEN p = 2
+                            THEN 2000L - (2000L div (k - 2)) * (k - 2)
+                            ELSE 0L END END"""))
+      .groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("n_touches"), sum("credit_bp").as("credit_total"))
+      .withColumn("credit_share_bp", expr(
+        "credit_total * 10000L div (sum(credit_total) OVER ())"))
+      .orderBy("channel")
+  }
+
   /** q331's bounded driver fold — (channel, base reach ppm, reach with
     * the channel null-sunk) per channel, both via [[absorptionFold]]
     * read at [[attrStart]]. Factored (pure collections) so the spec
@@ -3576,6 +3631,7 @@ object Events {
     "q332_mann_kendall" -> q332_mann_kendall,
     "q334_user_coreness" -> q334_user_coreness,
     "q336_rank_concordance" -> q336_rank_concordance,
+    "q337_position_attribution" -> q337_position_attribution,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -5752,6 +5808,46 @@ object Events {
          |FROM h1 JOIN h2 ON h2.t = h1.t JOIN h3 ON h3.t = h1.t
          |ORDER BY event_type""".stripMargin
     },
+    // same session rule, tuple-order first purchase, identical credit
+    // CASE with the remainder-to-first-interior rule
+    "q337_position_attribution" ->
+      s"""WITH $sessCtes,
+         |fb AS (SELECT user_id, session_id, es AS bes, event_id AS bid
+         |       FROM (SELECT *, row_number() OVER (
+         |               PARTITION BY user_id, session_id
+         |               ORDER BY es, event_id) AS prn
+         |             FROM s2 WHERE event_type = 'purchase')
+         |       WHERE prn = 1),
+         |tch AS (
+         |  SELECT s2.user_id, s2.session_id, s2.event_type,
+         |         s2.es, s2.event_id
+         |  FROM s2 JOIN fb ON fb.user_id = s2.user_id
+         |                 AND fb.session_id = s2.session_id
+         |  WHERE s2.es < fb.bes
+         |     OR (s2.es = fb.bes AND s2.event_id < fb.bid)),
+         |pk AS (SELECT event_type,
+         |              row_number() OVER (PARTITION BY user_id, session_id
+         |                                 ORDER BY es, event_id) AS p,
+         |              count(*) OVER (PARTITION BY user_id, session_id) AS k
+         |       FROM tch),
+         |cr AS (SELECT event_type,
+         |         CASE WHEN k = 1 THEN 10000
+         |              WHEN p = 1 OR p = k
+         |                THEN CASE WHEN k = 2 THEN 5000 ELSE 4000 END
+         |              ELSE 2000 // (k - 2)
+         |                   + CASE WHEN p = 2
+         |                          THEN 2000 - (2000 // (k - 2)) * (k - 2)
+         |                          ELSE 0 END END AS c
+         |       FROM pk),
+         |ag AS (SELECT event_type AS channel,
+         |              CAST(count(*) AS BIGINT) AS n_touches,
+         |              CAST(sum(c) AS BIGINT) AS credit_total
+         |       FROM cr GROUP BY 1)
+         |SELECT channel, n_touches, credit_total,
+         |       CAST(credit_total * 10000
+         |            // (SELECT sum(credit_total) FROM ag) AS BIGINT)
+         |         AS credit_share_bp
+         |FROM ag ORDER BY channel""".stripMargin,
     // q331: one suffixed q304-style fold per variant — base plus each
     // channel null-sunk (outgoing edges filtered, inbound mass still
     // spends denominator); reach read at the synthetic start node

@@ -1008,6 +1008,40 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(trajectory.forall(_ == expected)) // ...and stays there
   }
 
+  test("q337: U-shaped credits — every conversion splits to exactly 10000 bp") {
+    import spark.implicits._
+    // five journeys: k = 1 (all 10000), k = 2 (5000/5000), k = 3
+    // (4000/2000/4000), k = 5 (the remainder case: interior 2000/3 =
+    // 666 each, +2 to the FIRST interior → 668/666/666), a session
+    // with no purchase (credits nothing), a purchase-first session
+    // (no touches — the trailing view must not be credited), and a
+    // double-purchase session (only the FIRST purchase converts)
+    val rows = Seq(
+      (1L, 1L, 10L, 1L, "view"), (1L, 1L, 20L, 2L, "purchase"),
+      (2L, 1L, 10L, 1L, "view"), (2L, 1L, 20L, 2L, "click"),
+      (2L, 1L, 30L, 3L, "purchase"),
+      (3L, 1L, 10L, 1L, "view"), (3L, 1L, 20L, 2L, "click"),
+      (3L, 1L, 30L, 3L, "signup"), (3L, 1L, 40L, 4L, "purchase"),
+      (4L, 1L, 10L, 1L, "view"), (4L, 1L, 20L, 2L, "click"),
+      (4L, 1L, 30L, 3L, "click"), (4L, 1L, 40L, 4L, "click"),
+      (4L, 1L, 50L, 5L, "signup"), (4L, 1L, 60L, 6L, "purchase"),
+      (5L, 1L, 10L, 1L, "view"), (5L, 1L, 20L, 2L, "click"),
+      (6L, 1L, 10L, 1L, "purchase"), (6L, 1L, 20L, 2L, "view"),
+      (7L, 1L, 10L, 1L, "view"), (7L, 1L, 20L, 2L, "purchase"),
+      (7L, 1L, 30L, 3L, "click"), (7L, 1L, 40L, 4L, "purchase"))
+      .toDF("user_id", "session_id", "es", "event_id", "event_type")
+    val got = graft.ops.Events.positionCredits(rows).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("view") == ((5L, 33000L, 6600L)))
+    assert(got("click") == ((5L, 9000L, 1800L)))
+    assert(got("signup") == ((2L, 8000L, 1600L)))
+    assert(!got.contains("error") && !got.contains("purchase"))
+    // the invariant: total credit = 10000 per converting-with-touch
+    // session (5 here), and the k = 5 remainder landed (668+666+666)
+    assert(got.values.map(_._2).sum == 50000L)
+  }
+
   test("q336: Kendall's W — perfect agreement, perfect churn, membership rule") {
     import spark.implicits._
     // two weeks, same ordering a > b > c → W = 10000 exactly
