@@ -1901,6 +1901,52 @@ object TextStats {
       .orderBy("decile")
   }
 
+  /** q338: GOOD–TURING FREQUENCY SMOOTHING — the unseen-mass estimator
+    * the LM family quotes but q188/q134 never gate (add-one smoothing
+    * is the strawman; Good–Turing is the classical answer to "how much
+    * probability belongs to types we have NEVER seen?"): from the
+    * corpus frequency-of-frequencies table N_r (types seen exactly r
+    * times — value-domain-bounded), each head count r ∈ 1..10 gets the
+    * adjusted count r* = (r+1)·N_{r+1}/N_r in exact ×10⁴ integer units
+    * (NULL where N_r = 0 — undefined, not zero; a zero N_{r+1} gives
+    * the honest r* = 0), and every row carries p0 = N_1/N in bp — THE
+    * Good–Turing unseen mass. The grain is the BIGRAM type (the shared
+    * [[bigramsCol]] — one definition with q188/q266/q279), where the
+    * head actually lives: this corpus's unigram vocabulary is small
+    * and saturated (min count ≈ 26 — every N_{r≤10} would be 0), while
+    * bigram hapaxes exist at every scale, and GT smoothing FOR the
+    * q188 bigram LM is exactly its textbook use. Scale shape: one
+    * exploded bigram pass to type counts, one count-keyed aggregate to
+    * N_r, a fixed 10-row spine; the totals ride as a 1-row broadcast
+    * (the q212 rule). */
+  val q338_good_turing: Q = (s, d) =>
+    goodTuringFromCounts(docShingles(s, d)
+      .select(explode(bigramsCol(col("words"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")))
+
+  /** q338's body over any (w, c) type-count frame — factored so the
+    * spec can pin r*, the N_r = 0 NULL vs N_{r+1} = 0 zero distinction
+    * and the p0 mass on hand counts. */
+  private[graft] def goodTuringFromCounts(wc: DataFrame): DataFrame = {
+    val nr = graft.Ckpt.persisted(
+      wc.groupBy("c").agg(count(lit(1)).as("n_r")))
+    val tot = nr.agg(sum(expr("c * n_r")).as("n_tok"),
+      coalesce(sum(when(col("c") === 1L, col("n_r"))), lit(0L)).as("n1"))
+    val sp = wc.sparkSession.sql("SELECT explode(sequence(1L, 10L)) AS r")
+    sp.join(nr.withColumnRenamed("c", "r"), Seq("r"), "left")
+      .join(nr.select((col("c") - 1L).as("r"), col("n_r").as("n_next")),
+        Seq("r"), "left")
+      .na.fill(0L, Seq("n_r", "n_next"))
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"), col("n_next"),
+        expr("""CASE WHEN n_r > 0
+                THEN (r + 1) * n_next * 10000L div n_r END""")
+          .as("r_star_x10k"),
+        expr("CASE WHEN n_tok > 0 THEN n1 * 10000L div n_tok END")
+          .as("p0_bp"))
+      .orderBy("r")
+  }
+
   /** q313: LANG-ID CONFUSION MATRIX — the evaluation row for q40's
     * heuristic (a predictor that ships without its confusion matrix is
     * a rumor): predicted × actual label counts plus per-cell share of
@@ -1962,6 +2008,7 @@ object TextStats {
   val queries: Map[String, Q] = Map(
     "q307_vocab_shape" -> q307_vocab_shape,
     "q335_heaps_curve" -> q335_heaps_curve,
+    "q338_good_turing" -> q338_good_turing,
     "q316_source_similarity" -> q316_source_similarity,
     "q308_score_calibration" -> q308_score_calibration,
     "q313_langid_confusion" -> q313_langid_confusion,
@@ -2403,6 +2450,31 @@ object TextStats {
         |            THEN CAST(cum_types * 10000 // cum_tokens AS BIGINT)
         |       END AS types_per_10k_tok
         |FROM cum ORDER BY decile""".stripMargin),
+    // same N_r table, fixed 1..10 spine, NULL-vs-zero r* distinction
+    "q338_good_turing" -> withDocs(
+      """, tk AS (
+        |  SELECT unnest(list_transform(range(1, len(words)),
+        |           i -> words[i] || ' ' || words[i + 1])) AS w
+        |  FROM docs),
+        |wcx AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+        |nr AS (SELECT c, CAST(count(*) AS BIGINT) AS n_r FROM wcx GROUP BY 1),
+        |tt AS (SELECT CAST(sum(c * n_r) AS BIGINT) AS n_tok,
+        |              CAST(coalesce(sum(CASE WHEN c = 1 THEN n_r END), 0)
+        |                   AS BIGINT) AS n1
+        |       FROM nr),
+        |sp AS (SELECT unnest(range(1, 11)) AS r)
+        |SELECT CAST(sp.r AS BIGINT) AS r,
+        |       CAST(coalesce(a.n_r, 0) AS BIGINT) AS n_r,
+        |       CAST(coalesce(b.n_r, 0) AS BIGINT) AS n_next,
+        |       CASE WHEN coalesce(a.n_r, 0) > 0
+        |            THEN CAST((sp.r + 1) * coalesce(b.n_r, 0) * 10000
+        |                      // a.n_r AS BIGINT) END AS r_star_x10k,
+        |       CASE WHEN tt.n_tok > 0
+        |            THEN CAST(tt.n1 * 10000 // tt.n_tok AS BIGINT)
+        |       END AS p0_bp
+        |FROM sp LEFT JOIN nr a ON a.c = sp.r
+        |LEFT JOIN nr b ON b.c = sp.r + 1
+        |CROSS JOIN tt ORDER BY r""".stripMargin),
     // the same bigram multiset-vs-set arithmetic over the shared words
     "q266_repetition_filter" -> withDocs(
       s""", g AS (

@@ -803,4 +803,22 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
       .map(_.asInstanceOf[Long])
     assert(dens == dens.sorted.reverse)
   }
+
+  test("q338: Good–Turing r*, the NULL-vs-zero distinction, and p0") {
+    import spark.implicits._
+    // types {a:1, b:1, c:2, d:3} → N₁=2, N₂=1, N₃=1, N = 7 tokens.
+    // r=1: r* = 2·N₂/N₁ = 1.0 → 10000; r=2: 3·N₃/N₂ = 3.0 → 30000;
+    // r=3: N₄ = 0 → the honest r* = 0; r ≥ 4: N_r = 0 → NULL
+    // (undefined, not zero); p0 = N₁/N = 2/7 → 2857 bp
+    val wc = Seq(("a", 1L), ("b", 1L), ("c", 2L), ("d", 3L)).toDF("w", "c")
+    val got = graft.ops.TextStats.goodTuringFromCounts(wc).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((2L, 1L, 10000L, 2857L)))
+    assert(got(2L) == ((1L, 1L, 30000L, 2857L)))
+    assert(got(3L) == ((1L, 0L, 0L, 2857L)))
+    assert(got(4L) == ((0L, 0L, null, 2857L)))
+    assert(got.size == 10)
+  }
 }
