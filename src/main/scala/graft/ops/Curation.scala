@@ -633,6 +633,99 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The q339/q340 shared cell table — (segment, year, priority, cnt)
+    * over orders ⋈ customer: the quasi-identifier class is
+    * (c_mktsegment, order year), the sensitive attribute is
+    * o_orderpriority (ordered domain — '1-URGENT' < … < '5-LOW'
+    * lexicographically, which IS the semantic order). One corpus pass;
+    * everything downstream is (segments × years × 5)-bounded. */
+  private[graft] def qiPriorityCells(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/orders.parquet")
+      .join(s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")), "o_custkey")
+      .groupBy(col("c_mktsegment").as("seg"),
+        expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** q339's diversity floor: a class releases only with ≥ l distinct
+    * sensitive values. */
+  private[graft] val lDiv = 3L
+
+  /** q339: l-DIVERSITY audit — the attribute-disclosure rung k-anonymity
+    * misses (q175 guarantees a class hides ≥ k INDIVIDUALS; if all k
+    * share one sensitive value, the attribute leaks anyway —
+    * Machanavajjhala et al.'s classic objection): per quasi-identifier
+    * class (segment, order year), the member count, the number of
+    * DISTINCT sensitive priorities, and the release flag l ≥ [[lDiv]].
+    * Scale shape: the one [[qiPriorityCells]] pass, then a
+    * class-bounded rollup — distinct-counting is free because the cell
+    * table is already (class, value)-grained. */
+  val q339_l_diversity: Q = (s, d) =>
+    qiPriorityCells(s, d)
+      .groupBy("seg", "yr")
+      .agg(sum("cnt").as("n"), count(lit(1)).as("l_distinct"))
+      .withColumn("released", when(col("l_distinct") >= lDiv, 1L).otherwise(0L))
+      .orderBy("seg", "yr")
+
+  /** q340's closeness ceiling in basis points. */
+  private[graft] val tCloseBp = 2000L
+
+  /** q340: t-CLOSENESS audit — the distribution-disclosure rung AFTER
+    * l-diversity (a class can hold all 5 priorities and still scream
+    * "90% URGENT" against a uniform corpus — skewness leaks; Li et
+    * al.'s fix bounds the class-vs-global distance): per class, the
+    * Earth-Mover's Distance between its priority distribution and the
+    * global one over the ORDERED 5-value domain, normalized to bp.
+    * Exact integers end to end: with class cum counts C_i (of n) and
+    * global cum counts G_i (of N), EMD·10⁴ = Σᵢ|C_i·N − G_i·n| · 10⁴
+    * div (n·N·(m−1)) — ONE truncating division over a DECIMAL(38,0)
+    * common-denominator sum (C·N passes 2⁶³ at corpus scale), the
+    * q304 single-division rule; the final i = m term is identically 0
+    * and rides for free. The class spine is DENSIFIED (absent
+    * priorities count 0 — they move mass and must enter the cum
+    * diff). Flag: t ≤ [[tCloseBp]] releases. Scale shape: one cell
+    * pass; the dense grid is (classes × 5)-bounded; the per-class cum
+    * window partitions by class; the global cum runs over the 5-row
+    * priority domain (allowlisted). */
+  val q340_t_closeness: Q = (s, d) =>
+    tClosenessFromCells(qiPriorityCells(s, d))
+
+  /** q340's body over any (seg, yr, prio, cnt) cell table — factored
+    * so the spec can pin the EMD arithmetic (skew → 2500 bp, uniform →
+    * 0) and the densified-spine rule on hand cells. */
+  private[graft] def tClosenessFromCells(cells0: DataFrame): DataFrame = {
+    val cells = graft.Ckpt.persisted(cells0)
+    val prios = cells.select("prio").distinct()
+    val classes = cells.groupBy("seg", "yr").agg(sum("cnt").as("n"))
+    val glob = cells.groupBy("prio").agg(sum("cnt").as("g"))
+      .withColumn("gcum", sum("g").over(Window.orderBy("prio")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val m1 = prios.agg((count(lit(1)) - 1L).as("m1"))
+    val nn = cells.agg(sum("cnt").as("nt"))
+    val wc = Window.partitionBy("seg", "yr").orderBy("prio")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    classes.crossJoin(broadcast(prios))
+      .join(cells, Seq("seg", "yr", "prio"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("ccum", sum("cnt").over(wc))
+      .join(broadcast(glob.select("prio", "gcum")), "prio")
+      .crossJoin(broadcast(nn)).crossJoin(broadcast(m1))
+      .groupBy(col("seg"), col("yr"))
+      .agg(max("n").as("n"),
+        sum(expr("""abs(CAST(ccum AS DECIMAL(38, 0)) * nt
+                    - CAST(gcum AS DECIMAL(38, 0)) * n)""")).as("t_num"),
+        max(expr("CAST(n AS DECIMAL(38, 0)) * nt * m1")).as("t_den"))
+      .select(col("seg"), col("yr"), col("n"),
+        expr("""CASE WHEN t_den > 0
+                THEN CAST(t_num * 10000 div t_den AS BIGINT) END""")
+          .as("t_bp"))
+      .withColumn("released",
+        when(col("t_bp").isNotNull && col("t_bp") <= tCloseBp, 1L)
+          .otherwise(0L))
+      .orderBy("seg", "yr")
+  }
+
   /** q196: DIFFERENTIALLY-PRIVATE count release — the NOISY complement
     * of q175's k-anonymity rung: instead of suppressing small classes,
     * every (lang, source) cell count is perturbed with additive integer
@@ -920,6 +1013,8 @@ object Curation {
     "q179_epoch_sample" -> q179_epoch_sample,
     "q178_cluster_mix" -> q178_cluster_mix,
     "q175_k_anonymity" -> q175_k_anonymity,
+    "q339_l_diversity" -> q339_l_diversity,
+    "q340_t_closeness" -> q340_t_closeness,
     "q196_dp_release" -> q196_dp_release,
     "q165_weighted_sample" -> q165_weighted_sample,
     "q78_seq_packing" -> q78_seq_packing,
@@ -1137,6 +1232,62 @@ object Curation {
          |       md5(string_agg(h, '' ORDER BY h)) AS set_md5
          |FROM sel GROUP BY lang, target_tokens ORDER BY cluster""".stripMargin,
     // the same three class counts, the same ladder decision per doc
+    // the shared QI×priority cell table; l = occupied cells per class
+    "q339_l_diversity" ->
+      s"""WITH cells AS (
+         |  SELECT c.c_mktsegment AS seg,
+         |         CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         |         o.o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+         |  GROUP BY 1, 2, 3)
+         |SELECT seg, yr, CAST(sum(cnt) AS BIGINT) AS n,
+         |       CAST(count(*) AS BIGINT) AS l_distinct,
+         |       CAST(CASE WHEN count(*) >= $lDiv THEN 1 ELSE 0 END AS BIGINT)
+         |         AS released
+         |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // densified spine, per-class + global cum counts, the one-division
+    // common-denominator EMD in HUGEINT
+    "q340_t_closeness" ->
+      s"""WITH cells AS (
+         |  SELECT c.c_mktsegment AS seg,
+         |         CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         |         o.o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+         |  GROUP BY 1, 2, 3),
+         |cls AS (SELECT seg, yr, CAST(sum(cnt) AS BIGINT) AS n
+         |        FROM cells GROUP BY 1, 2),
+         |pr AS (SELECT DISTINCT prio FROM cells),
+         |g AS (SELECT prio, CAST(sum(cnt) AS BIGINT) AS g
+         |      FROM cells GROUP BY 1),
+         |gc AS (SELECT prio, CAST(sum(g) OVER (ORDER BY prio
+         |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gcum FROM g),
+         |mm AS (SELECT CAST(count(*) - 1 AS BIGINT) AS m1 FROM pr),
+         |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS nt FROM cells),
+         |dense AS (
+         |  SELECT cls.seg, cls.yr, cls.n, pr.prio,
+         |         coalesce(cells.cnt, 0) AS cnt
+         |  FROM cls CROSS JOIN pr
+         |  LEFT JOIN cells ON cells.seg = cls.seg AND cells.yr = cls.yr
+         |                 AND cells.prio = pr.prio),
+         |cum AS (SELECT seg, yr, n, prio,
+         |               CAST(sum(cnt) OVER (PARTITION BY seg, yr
+         |                      ORDER BY prio ROWS UNBOUNDED PRECEDING)
+         |                    AS BIGINT) AS ccum
+         |        FROM dense),
+         |ag AS (
+         |  SELECT seg, yr, CAST(max(n) AS BIGINT) AS n,
+         |         sum(abs(CAST(ccum AS HUGEINT) * nt
+         |                 - CAST(gcum AS HUGEINT) * n)) AS t_num,
+         |         max(CAST(n AS HUGEINT) * nt * m1) AS t_den
+         |  FROM cum JOIN gc USING (prio) CROSS JOIN tt CROSS JOIN mm
+         |  GROUP BY 1, 2)
+         |SELECT seg, yr, n,
+         |       CASE WHEN t_den > 0
+         |            THEN CAST(t_num * 10000 // t_den AS BIGINT) END AS t_bp,
+         |       CAST(CASE WHEN t_den > 0
+         |                  AND t_num * 10000 // t_den <= $tCloseBp
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS released
+         |FROM ag ORDER BY seg, yr""".stripMargin,
     "q175_k_anonymity" ->
       s"""WITH b AS (
          |  SELECT doc_id, lang, source, n_chars // 500 AS lb FROM documents),

@@ -516,4 +516,28 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(got("A") == ((4L, 400L, 6666L, 2L, 6666L, 0L)))
     assert(got("B") == ((2L, 200L, 3333L, 1L, 3333L, 0L)))
   }
+
+  test("q340: EMD on hand cells — skewed classes 2500 bp, uniform 0, dense spine") {
+    import spark.implicits._
+    // global: p1 = 6, p2 = 10 (N = 16, m−1 = 1; gcum p1 = 6).
+    // t_num = |ccum_p1·N − gcum_p1·n| (the p2 term is identically 0 —
+    // both cums hit their totals); t_den = n·N·(m−1) = 64.
+    // X (p1-heavy, ccum 3): |48 − 24| = 24 → 3750 bp, blocked;
+    // Y (ccum 1): |16 − 24| = 8 → 1250, released;
+    // Z (ccum 2): |32 − 24| = 8 → 1250, released;
+    // W has p2 ONLY — the densified-spine case: its missing p1 row
+    // must still enter the cum (ccum 0): |0 − 24| = 24 → 3750.
+    val cells = Seq(
+      ("X", 2000L, "p1", 3L), ("X", 2000L, "p2", 1L),
+      ("Y", 2000L, "p1", 1L), ("Y", 2000L, "p2", 3L),
+      ("Z", 2000L, "p1", 2L), ("Z", 2000L, "p2", 2L),
+      ("W", 2000L, "p2", 4L)).toDF("seg", "yr", "prio", "cnt")
+    val got = graft.ops.Curation.tClosenessFromCells(cells).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("X") == ((4L, 3750L, 0L)))
+    assert(got("Y") == ((4L, 1250L, 1L)))
+    assert(got("Z") == ((4L, 1250L, 1L)))
+    assert(got("W") == ((4L, 3750L, 0L)))
+  }
 }

@@ -33,7 +33,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     "q328_decile_migration" -> "the two half-period code windows each run over an events-per-user VALUE HISTOGRAM (the q302 class — value-domain-bounded, never the user count; Events.scala q328 doc)",
     "q330_tenure_hazard" -> "the at-risk suffix-sum window runs over the TENURE-WEEK HISTOGRAM — calendar-bounded (observed span div 7 rows), never the user count (Events.scala q330 doc)",
     "q335_heaps_curve" -> "the cumulative window runs over the ≤ 10 DECILE rows — fixed-checkpoint-bounded, never the doc or token count (TextStats.scala q335 doc)",
-    "q337_position_attribution" -> "the share-denominator window runs over the CHANNEL-bounded credit table (≤ |types| rows), never the touch count (Events.scala q337 doc)")
+    "q337_position_attribution" -> "the share-denominator window runs over the CHANNEL-bounded credit table (≤ |types| rows), never the touch count (Events.scala q337 doc)",
+    "q340_t_closeness" -> "the global cumulative window runs over the PRIORITY domain (≤ 5 rows) — sensitive-value-domain-bounded, never the order count (Curation.scala q340 doc)")
 
   private def globalWindows(plan: LogicalPlan): Seq[LWindow] =
     plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
