@@ -3027,6 +3027,74 @@ object Events {
       .orderBy("coreness")
   }
 
+  /** q341: BEHAVIORAL MODULARITY — the community-quality readout over
+    * the interaction graph (q61/q248 find components, q334 depth, q265
+    * importance; the segmentation question is "does a BEHAVIORAL
+    * partition of users actually align with who interacts with
+    * whom?"): users are partitioned by their MODAL ACTIVITY HOUR-OF-
+    * DAY (argmax of the 24-cell per-user histogram, lowest hour on
+    * ties — 24 communities, domain-bounded), and Newman modularity of
+    * that partition over q334's simple handoff graph is computed
+    * EXACTLY: Q·4m² = Σ_c (4m·L_c − D_c²) — intra-community edges L_c
+    * and community degree sums D_c are integers, so Q lands in bp via
+    * ONE truncating division over DECIMAL(38,0) (4m² passes 2⁶³ at
+    * corpus scale; Q can be negative — both engines truncate toward
+    * zero). Q ≈ 0 means hour-of-day says nothing about who interacts.
+    * One summary row: community count, edge count, intra-community
+    * edges, Q in bp. Scale shape: one events pass for the hour
+    * histogram (user-keyed argmax via struct-max, no window), the
+    * edge pass q334 already shapes, two narrow label joins, a 24-row
+    * rollup. */
+  lazy val q341_hour_modularity: Q = (s, d) => {
+    val ev = events(s, d)
+    // modal hour: max over (cnt, -hour) structs — lowest hour on ties
+    val labels = ev
+      .groupBy(col("user_id"), expr("(es div 3600) % 24").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(max(struct(col("cnt"), (-col("hr")).as("nh"))).as("m"))
+      .select(col("user_id"), (-col("m.nh")).as("hr"))
+    val wh = Window.partitionBy("hb").orderBy("es", "event_id")
+    val und = ev.select(col("user_id"), col("es"), col("event_id"))
+      .withColumn("hb", expr("es div 3600"))
+      .withColumn("src", lag("user_id", 1).over(wh))
+      .where(col("src").isNotNull && col("src") =!= col("user_id"))
+      .select(least(col("src"), col("user_id")).as("a"),
+        greatest(col("src"), col("user_id")).as("b"))
+    modularityFromParts(und, labels)
+  }
+
+  /** q341's body over an undirected edge list (a, b) and a (user_id,
+    * hr) community map — factored so the spec can pin Q on hand
+    * communities (two cliques → high Q, a random-ish mix → ~0). */
+  private[graft] def modularityFromParts(und0: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val und = graft.Ckpt.persisted(und0.distinct())
+    val lab = und
+      .join(labels.select(col("user_id").as("a"), col("hr").as("ca")), "a")
+      .join(labels.select(col("user_id").as("b"), col("hr").as("cb")), "b")
+    val m = und.agg(count(lit(1)).as("m"))
+    val intra = lab.where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("hr")).agg(count(lit(1)).as("l_c"))
+    val degs = lab.select(col("ca").as("hr"))
+      .unionByName(lab.select(col("cb").as("hr")))
+      .groupBy("hr").agg(count(lit(1)).as("d_c"))
+    degs.join(intra, Seq("hr"), "left").na.fill(0L, Seq("l_c"))
+      .crossJoin(broadcast(m))
+      .select(col("hr"), col("l_c"), col("d_c"), col("m"),
+        expr("""CAST(4 AS DECIMAL(38, 0)) * m * l_c - CAST(d_c AS DECIMAL(38, 0)) * d_c""")
+          .as("q_num"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_communities"),
+        sum("l_c").as("intra_edges"), max("m").as("m_edges"),
+        sum("q_num").as("qn"))
+      .select(col("n_communities"), col("m_edges"), col("intra_edges"),
+        expr("""CASE WHEN m_edges > 0
+                THEN CAST(qn * 10000 div (CAST(4 AS DECIMAL(38, 0))
+                          * m_edges * m_edges) AS BIGINT) END""")
+          .as("q_bp"))
+  }
+
   /** ONE q334 h-index refinement, lazily — factored so the spec can
     * pin convergence on a hand graph and ScaleGuardSpec the plan shape
     * (equi join + v-partitioned rank window, no global window). The
@@ -3632,6 +3700,7 @@ object Events {
     "q334_user_coreness" -> q334_user_coreness,
     "q336_rank_concordance" -> q336_rank_concordance,
     "q337_position_attribution" -> q337_position_attribution,
+    "q341_hour_modularity" -> q341_hour_modularity,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -4174,6 +4243,48 @@ object Events {
     // the three rank iterations replayed as chained CTEs
     "q265_user_pagerank" -> userPagerankSql,
     "q334_user_coreness" -> userCorenessSql,
+    // the same modal-hour labels, simple handoff edges, exact Q·4m²
+    "q341_hour_modularity" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |hl AS (SELECT user_id, (es // 3600) % 24 AS hr,
+        |              CAST(count(*) AS BIGINT) AS cnt
+        |       FROM e GROUP BY 1, 2),
+        |lb AS (SELECT user_id, hr FROM (
+        |         SELECT user_id, hr,
+        |                row_number() OVER (PARTITION BY user_id
+        |                  ORDER BY cnt DESC, hr ASC) AS rn
+        |         FROM hl) WHERE rn = 1),
+        |sq AS (SELECT user_id AS dst,
+        |              lag(user_id) OVER (PARTITION BY es // 3600
+        |                                 ORDER BY es, event_id) AS src
+        |       FROM e),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM sq WHERE src IS NOT NULL AND src <> dst),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+        |le AS (SELECT la.hr AS ca, lb2.hr AS cb
+        |       FROM und JOIN lb la ON la.user_id = und.a
+        |                JOIN lb lb2 ON lb2.user_id = und.b),
+        |ic AS (SELECT ca AS hr, CAST(count(*) AS BIGINT) AS l_c
+        |       FROM le WHERE ca = cb GROUP BY 1),
+        |dg AS (SELECT hr, CAST(count(*) AS BIGINT) AS d_c
+        |       FROM (SELECT ca AS hr FROM le UNION ALL SELECT cb FROM le)
+        |       GROUP BY 1),
+        |rws AS (SELECT dg.hr, coalesce(ic.l_c, 0) AS l_c, dg.d_c
+        |        FROM dg LEFT JOIN ic ON ic.hr = dg.hr),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+        |              CAST(coalesce(sum(l_c), 0) AS BIGINT) AS intra_edges,
+        |              sum(CAST(4 AS HUGEINT) * m * l_c
+        |                  - CAST(d_c AS HUGEINT) * d_c) AS qn
+        |       FROM rws, mm)
+        |SELECT n_communities, (SELECT m FROM mm) AS m_edges, intra_edges,
+        |       CASE WHEN (SELECT m FROM mm) > 0
+        |            THEN CAST(qn * 10000
+        |                      // (CAST(4 AS HUGEINT) * (SELECT m FROM mm)
+        |                         * (SELECT m FROM mm)) AS BIGINT)
+        |       END AS q_bp
+        |FROM ag""".stripMargin,
     "q271_audience_sketch" ->
       s"""WITH $bkCtes
          |SELECT type_a, type_b, kk, inter_k * 10000 // kk AS jacc_est_bp

@@ -1042,6 +1042,28 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.map(_._2).sum == 50000L)
   }
 
+  test("q341: exact modularity — two cliques, one community, anti-communities") {
+    import spark.implicits._
+    // two triangles bridged by one edge: m = 7, each clique a community
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    def labs(m: Map[Long, Long]) =
+      m.toSeq.toDF("user_id", "hr")
+    def q(labels: Map[Long, Long]): Long =
+      graft.ops.Events.modularityFromParts(und, labs(labels))
+        .collect().head.getLong(3)
+    // aligned: L = 3+3, D = 7+7 → Q·4m² = 2·(84−49) = 70 → 3571 bp
+    assert(q(Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 1L))
+      == 3571L)
+    // one community holds everything → Q = 0 exactly (the known case)
+    assert(q(Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L, 6L -> 0L))
+      == 0L)
+    // communities cut ACROSS the cliques: zero intra edges, Q·4m² = −66
+    // → −3367 bp with toward-zero truncation (−3368 would be flooring)
+    assert(q(Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 5L -> 1L, 3L -> 2L, 6L -> 2L))
+      == -3367L)
+  }
+
   test("q336: Kendall's W — perfect agreement, perfect churn, membership rule") {
     import spark.implicits._
     // two weeks, same ordering a > b > c → W = 10000 exactly
