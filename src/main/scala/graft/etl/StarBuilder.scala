@@ -1526,6 +1526,64 @@ object StarBuilder {
       .orderBy("student")
   }
 
+  /** q342: JOIN-VIEW incremental maintenance — the delta algebra q132
+    * doesn't exercise (q132 folds fact deltas into an AGGREGATE view;
+    * a view defined over a JOIN needs the three-term rule
+    * ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, and the cross term ΔA⋈ΔB is the
+    * classic implementation bug — an order and its customer arriving
+    * in the SAME batch silently vanish without it): orders and
+    * customer each split into an ingested base and an arriving delta
+    * (md5 id-hash buckets — deterministic), the view is the
+    * (mktsegment, order-year) order-count/revenue rollup over the
+    * join, the base view folds only base⋈base, and the maintenance
+    * pass folds the three delta terms in. The oracle recomputes the
+    * view from the FULL join — a lost or double-counted term moves a
+    * cell and fails the hash. Revenue is exact cents (round ×100, the
+    * events convention). Scale shape: the two delta join terms
+    * broadcast the (dim-sized or batch-sized) delta side; the view and
+    * merge are cell-bounded. */
+  val q342_ivm_join: Q = (s, d) => {
+    val ob = graft.ops.TextCore.idBucket(col("o_orderkey"))
+    val cb = graft.ops.TextCore.idBucket(col("c_custkey"))
+    val orders = s.read.parquet(s"$d/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(year(o_orderdate) AS BIGINT)").as("yr"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        (ob < 70).as("base_o"))
+    val cust = s.read.parquet(s"$d/customer.parquet")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("seg"),
+        (cb < 50).as("base_c"))
+    val aOld = orders.where(col("base_o")).drop("base_o")
+    val dA = orders.where(!col("base_o")).drop("base_o")
+    val bOld = cust.where(col("base_c")).drop("base_c")
+    val dB = cust.where(!col("base_c")).drop("base_c")
+    ivmJoinMerge(aOld, dA, bOld, dB).orderBy("seg", "yr")
+  }
+
+  /** q342's delta algebra over the four splits — factored so the spec
+    * can pin the ΔA⋈ΔB cross term on hand rows (an order and its
+    * customer arriving in the SAME batch). */
+  private[graft] def ivmJoinMerge(aOld: DataFrame, dA: DataFrame,
+      bOld: DataFrame, dB: DataFrame): DataFrame = {
+    def viewOf(rows: DataFrame): DataFrame =
+      rows.groupBy("seg", "yr")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("rev_cents"))
+    val base = viewOf(aOld.join(bOld, "o_custkey"))
+    // the three delta terms — ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, each arriving side
+    // broadcast (delta-sized by construction)
+    val deltaRows = dA.join(broadcast(bOld), "o_custkey")
+      .unionByName(aOld.join(broadcast(dB), "o_custkey"))
+      .unionByName(dA.join(broadcast(dB), "o_custkey"))
+    val dV = viewOf(deltaRows)
+      .withColumnRenamed("n_orders", "dn").withColumnRenamed("rev_cents", "dr")
+    base.join(dV, Seq("seg", "yr"), "full")
+      .na.fill(0L, Seq("n_orders", "rev_cents", "dn", "dr"))
+      .select(col("seg"), col("yr"),
+        (col("n_orders") + col("dn")).as("n_orders"),
+        (col("rev_cents") + col("dr")).as("rev_cents"))
+      .where(col("n_orders") > 0)
+  }
+
   /** q121: deletion-vector DELETE inside the correctness gate. The full
     * student summary is committed, then the low-activity cohort
     * (total_sks < 1000 — roughly the bottom half) is soft-deleted via
@@ -1734,6 +1792,7 @@ object StarBuilder {
     "q130_cdc_chain" -> q130_cdc_chain,
     "q131_stats_prune" -> q131_stats_prune,
     "q132_ivm_maintain" -> q132_ivm_maintain,
+    "q342_ivm_join" -> q342_ivm_join,
     "q139_stats_append" -> q139_stats_append,
     "q149_schema_evolution" -> q149_schema_evolution,
     "q150_merge_upsert" -> q150_merge_upsert,
@@ -1839,6 +1898,17 @@ object StarBuilder {
         |GROUP BY student ORDER BY student""".stripMargin),
     // the maintained view must equal the slid window recomputed from
     // scratch — delta folding is invisible in the answer (q120's
+    // the from-scratch recompute over the FULL join — a lost or
+    // double-counted delta term (ΔA⋈ΔB above all) moves a cell
+    "q342_ivm_join" ->
+      """WITH j AS (
+        |  SELECT c.c_mktsegment AS seg,
+        |         CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+        |         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+        |SELECT seg, yr, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(cents) AS BIGINT) AS rev_cents
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // contract at fact-delta granularity)
     "q132_ivm_maintain" -> withFact(
       s""", yrs AS (SELECT min(tahun) AS miny FROM fact)

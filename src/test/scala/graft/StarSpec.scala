@@ -819,4 +819,29 @@ class StarSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e2.getMessage.contains("duplicate source rows"))
   }
+
+  test("q342: the delta-join cross term — same-batch order+customer must survive") {
+    import spark.implicits._
+    // order 2 and its customer 2 BOTH arrive in the delta batch: the
+    // only path to the (B, 2000) cell is ΔA⋈ΔB — a two-term
+    // implementation silently drops it
+    val aOld = Seq((1L, 2000L, 100L)).toDF("o_custkey", "yr", "cents")
+    val dA = Seq((2L, 2000L, 50L), (1L, 2001L, 30L))
+      .toDF("o_custkey", "yr", "cents")
+    val bOld = Seq((1L, "A")).toDF("o_custkey", "seg")
+    val dB = Seq((2L, "B")).toDF("o_custkey", "seg")
+    val merged = graft.etl.StarBuilder.ivmJoinMerge(aOld, dA, bOld, dB)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(merged(("B", 2000L)) == ((1L, 50L))) // lives on the cross term
+    assert(merged(("A", 2000L)) == ((1L, 100L)))
+    assert(merged(("A", 2001L)) == ((1L, 30L))) // ΔA ⋈ B_old
+    // and the maintained view equals the from-scratch recompute
+    val full = dA.unionByName(aOld).join(bOld.unionByName(dB), "o_custkey")
+      .groupBy("seg", "yr")
+      .agg(count(lit(1)).as("n"), sum("cents").as("rc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(merged == full)
+  }
 }
