@@ -117,6 +117,18 @@ case class TransState(lastEs: Long, lastEventId: Long, lastType: String)
   * the q201 matrix. */
 case class TransEdge(from_type: String, to_type: String)
 
+/** Per-user U-attribution state ([[EventStream.positionCreditStream]]):
+  * the open session's folded tail, its pre-conversion touch types in
+  * arrival order (bounded by one session's activity — the
+  * sessionWindowStream state class), and whether its first purchase
+  * already credited. */
+case class AttrState(lastEs: Long, lastEventId: Long,
+    touches: Seq[String], converted: Boolean)
+
+/** One credit emission of the q337 twin — `credit_bp` of the 10000 a
+  * conversion distributes; a reader sums per channel. */
+case class CreditOut(user_id: Long, channel: String, credit_bp: Long)
+
 /** One typed event entering the streaming funnel ([[EventStream.funnelStream]]). */
 /** One arriving document of the source-cap stream (q181's twin). */
 case class CapDoc(source: String, doc_id: Long, score: Double, n_tok: Long)
@@ -1433,6 +1445,72 @@ object EventStream {
                 out += TransEdge(st.lastType, e.event_type)
             }
             cur = Some(TransState(e.es, e.event_id, e.event_type))
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming U-SHAPED ATTRIBUTION — q337's stateful twin, crediting
+    * AT CONVERSION TIME instead of in a retrospective pass: per user
+    * the state is the open session's pre-conversion touch list (the
+    * one state class here that grows within a session — bounded by
+    * one session's activity, the sessionWindowStream argument), and
+    * the first purchase of a session emits the exact batch credit
+    * split over it (40/20/40 with the remainder-to-first-interior
+    * rule), after which the session is spent until the gap opens a new
+    * one. Same strictly-ahead ingest contract as [[transitionStream]].
+    * Credits are additive increments, so the per-channel rollup after
+    * any prefix equals batch q337 over the same events —
+    * EventStreamSpec pins the parity INCLUDING the gap-split and
+    * repeat-purchase cases, which makes the spec the one-definition
+    * guard between this fold and the batch CASE expression. */
+  def positionCreditStream(events: Dataset[TransEv]): Dataset[CreditOut] = {
+    import events.sparkSession.implicits._
+    def credits(touches: Seq[String]): Seq[(String, Long)] = {
+      val k = touches.length.toLong
+      touches.zipWithIndex.map { case (t, i) =>
+        val p = i + 1L
+        val c =
+          if (k == 1L) 10000L
+          else if (p == 1L || p == k) { if (k == 2L) 5000L else 4000L }
+          else 2000L / (k - 2L) +
+            (if (p == 2L) 2000L - (2000L / (k - 2L)) * (k - 2L) else 0L)
+        (t, c)
+      }
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, CreditOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[TransEv], state: GroupState[AttrState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.es, e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[CreditOut]
+          sorted.foreach { e =>
+            val st = cur match {
+              case Some(s) =>
+                require(e.es > s.lastEs ||
+                  (e.es == s.lastEs && e.event_id > s.lastEventId),
+                  s"positionCreditStream: user $uid event ${e.event_id} at " +
+                    s"${e.es} arrived at or behind folded state (${s.lastEs}, " +
+                    s"${s.lastEventId}) — emitted credits would be unrewritable")
+                if (e.es - s.lastEs > graft.ops.Events.sessionGapSeconds)
+                  AttrState(e.es, e.event_id, Nil, converted = false)
+                else s
+              case None => AttrState(e.es, e.event_id, Nil, converted = false)
+            }
+            cur = Some {
+              if (e.event_type == "purchase") {
+                if (!st.converted)
+                  credits(st.touches).foreach { case (t, c) =>
+                    out += CreditOut(uid, t, c)
+                  }
+                AttrState(e.es, e.event_id, st.touches, converted = true)
+              } else AttrState(e.es, e.event_id,
+                if (st.converted) st.touches else st.touches :+ e.event_type,
+                st.converted)
+            }
           }
           cur.foreach(state.update)
           out.result().iterator

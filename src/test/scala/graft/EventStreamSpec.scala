@@ -1679,6 +1679,55 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("positionCreditStream: credit rollup equals batch q337 across splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{TransEv, CreditOut}
+    // the q337 spec journeys (k = 1/2/3/5, no-purchase, purchase-first,
+    // repeat-purchase) plus user 8 with TWO gap-split sessions — and
+    // user 4's k = 5 session split MID-SESSION across micro-batches, so
+    // the open touch list must survive in state
+    val rows = Seq(
+      TransEv(1L, 1L, 10L, "view"), TransEv(1L, 2L, 20L, "purchase"),
+      TransEv(2L, 1L, 10L, "view"), TransEv(2L, 2L, 20L, "click"),
+      TransEv(2L, 3L, 30L, "purchase"),
+      TransEv(3L, 1L, 10L, "view"), TransEv(3L, 2L, 20L, "click"),
+      TransEv(3L, 3L, 30L, "signup"), TransEv(3L, 4L, 40L, "purchase"),
+      TransEv(4L, 1L, 10L, "view"), TransEv(4L, 2L, 20L, "click"),
+      TransEv(4L, 3L, 30L, "click"), TransEv(4L, 4L, 40L, "click"),
+      TransEv(4L, 5L, 50L, "signup"), TransEv(4L, 6L, 60L, "purchase"),
+      TransEv(5L, 1L, 10L, "view"), TransEv(5L, 2L, 20L, "click"),
+      TransEv(6L, 1L, 10L, "purchase"), TransEv(6L, 2L, 20L, "view"),
+      TransEv(7L, 1L, 10L, "view"), TransEv(7L, 2L, 20L, "purchase"),
+      TransEv(7L, 3L, 30L, "click"), TransEv(7L, 4L, 40L, "purchase"),
+      TransEv(8L, 1L, 10L, "view"), TransEv(8L, 2L, 20L, "purchase"),
+      TransEv(8L, 3L, 5020L, "click"), TransEv(8L, 4L, 5030L, "purchase"))
+    val (first, second) = rows.partition(e =>
+      e.user_id < 4L || (e.user_id == 4L && e.event_id <= 3L))
+    val input = MemoryStream[TransEv]
+    val query = EventStream.positionCreditStream(input.toDS())
+      .writeStream.format("memory").queryName("ucredit")
+      .outputMode("append").start()
+    try {
+      input.addData(first: _*)
+      query.processAllAvailable()
+      input.addData(second: _*)
+      query.processAllAvailable()
+      val got = spark.table("ucredit").as[CreditOut].collect()
+        .groupBy(_.channel).view
+        .mapValues(cs => (cs.length.toLong, cs.map(_.credit_bp).sum)).toMap
+      val batch = graft.ops.Events.positionCredits(
+        graft.ops.Events.withSessionIds(
+          rows.toDF().select("user_id", "event_id", "es", "event_type")))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == batch)
+      // user 8's second session re-armed after the gap: two view/click
+      // full-credit conversions are inside the totals
+      assert(got("view")._2 == 43000L && got("click")._2 == 19000L)
+    } finally query.stop()
+  }
+
   test("fuzzyNameProbeStream matches the batch predicate on a static base, dedup enforced") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
