@@ -689,7 +689,85 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  /** The q343 grid — (k1·100, b·100) cells, the production (120, 75)
+    * among them so the sweep cross-checks q239's gated numbers. */
+  private[graft] val bm25Grid: Seq[(Long, Long)] =
+    Seq((60L, 25L), (60L, 75L), (120L, 25L), (120L, 75L),
+      (180L, 25L), (180L, 75L))
+
+  /** q343: BM25 PARAMETER SWEEP — evaluation-driven tuning as a gated
+    * table (the engine ships k1 = 1.2, b = 0.75 as constants; a tuning
+    * pass asks what the corpus actually prefers): the q239 known-item
+    * panel scored under every (k1, b) grid cell, each cell reporting
+    * hits-in-depth and MRR@10 in bp. ONE postings pass computes all
+    * six cells (per-cell contribution columns aggregated side by side
+    * — the scan and the query-term broadcast are shared; only the
+    * arithmetic differs), then one window per (cell, query) ranks.
+    * Misses count 0 into the mean, the q239 convention; the production
+    * cell's MRR is definitionally q239's mean, which RetrievalSpec
+    * pins — the sweep and the gauge cannot drift. Double arithmetic
+    * follows the q160 fixed-order rule so every cell is bit-identical
+    * cross-engine. */
+  lazy val q343_bm25_sweep: Q = (s, d) => {
+    val pairs = graft.Ckpt.persisted(Dedup.exactNearDupPairs(s, d))
+    val panel = knownItemPanel(pairs)
+    val post = postings(s, d)
+    val stats = corpusStats(s, d)
+    val qtf = post
+      .join(broadcast(panel.select(col("query_id").as("doc_id"))), Seq("doc_id"))
+      .withColumnRenamed("doc_id", "query_id")
+      .select(col("query_id"), col("term"), col("tf"))
+    val qterms = rankQueryTerms(qtf, queryDf(post, qtf), stats)
+    val idf = (col("n_corpus").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    def contribAt(k1v: Double, bv: Double): Column =
+      idf * (col("tf").cast("double") * lit(k1v + 1)) /
+        (col("tf").cast("double") +
+          lit(k1v) * (lit(1.0) - lit(bv) + lit(bv) * col("dl").cast("double") / col("avgdl")))
+    val aggs = bm25Grid.zipWithIndex.map { case ((k1c, bc), i) =>
+      val c = contribAt(k1c / 100.0, bc / 100.0)
+      (1 to qTerms).map(r => coalesce(max(when(col("q_rank") === r, c)), lit(0.0)))
+        .reduceLeft(_ + _).as(s"s_$i")
+    }
+    val scored = post.join(broadcast(qterms), "term")
+      .where(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+    val stackArgs = bm25Grid.indices
+      .map(i => s"${i}L, s_$i").mkString(", ")
+    val wl = Window.partitionBy("cell", "query_id")
+      .orderBy(col("bscore").desc, col("doc_id").asc)
+    val ranked = scored
+      .select(col("query_id"), col("doc_id"),
+        expr(s"stack(${bm25Grid.size}, $stackArgs) AS (cell, bscore)"))
+      .withColumn("lex_rank", row_number().over(wl).cast("long"))
+      .where(col("lex_rank") <= lexDepth)
+    val rel = panelRel(pairs, panel).select(col("query_id"), col("rel_id"))
+    val fr = ranked
+      .join(rel.select(col("query_id").as("rq"), col("rel_id")),
+        col("query_id") === col("rq") && col("doc_id") === col("rel_id"))
+      .groupBy("cell", "query_id").agg(min("lex_rank").as("first_rank"))
+      .select(col("cell"), expr("10000L div first_rank").as("rr_bp"))
+    import s.implicits._
+    val cells = bm25Grid.zipWithIndex
+      .map { case ((k1c, bc), i) => (i.toLong, k1c, bc) }
+      .toDF("cell", "k1_x100", "b_x100")
+    val nq = panel.agg(count(lit(1)).as("n_queries"))
+    cells
+      .join(fr.groupBy("cell")
+        .agg(count(lit(1)).as("n_hit"), sum("rr_bp").as("rr_sum")),
+        Seq("cell"), "left")
+      .na.fill(0L, Seq("n_hit", "rr_sum"))
+      .crossJoin(broadcast(nq))
+      .select(col("k1_x100"), col("b_x100"), col("n_queries"), col("n_hit"),
+        expr("CASE WHEN n_queries > 0 THEN rr_sum div n_queries END")
+          .as("mrr_bp"))
+      .orderBy("k1_x100", "b_x100")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q343_bm25_sweep" -> q343_bm25_sweep,
     "q170_prf_expansion" -> q170_prf_expansion,
     "q160_hybrid_bm25_rrf" -> q160_hybrid_bm25_rrf,
     "q161_lex_index_search" -> q161_lex_index_search,
@@ -756,7 +834,103 @@ object Retrieval {
     * row for row. q161 runs the identical lexical chain: the oracle
     * recomputes from the raw documents what the engine serves from the
     * incrementally-grown postings files. */
+  /** q343's oracle — the q239 panel/relevance chain, ONE shared
+    * lexical prefix (tk → qt), then per-grid-cell scoring CTEs with
+    * the cell constants interpolated (same left-associative double
+    * chain as the Spark side), each folding to its (hits, MRR) row. */
+  private lazy val bm25SweepSql: String = {
+    val sharedPrefix =
+      s"""tk AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl,
+         |              unnest(words) AS term FROM docs),
+         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tk WHERE term <> '' GROUP BY 1, 2, 3),
+         |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+         |              CAST(sum(len(words)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |       FROM docs),
+         |qt AS (
+         |  SELECT query_id, term, q_rank FROM (
+         |    SELECT t.doc_id AS query_id, t.term,
+         |           CAST(row_number() OVER (PARTITION BY t.doc_id
+         |             ORDER BY CAST(t.tf AS DOUBLE) * CAST(n_corpus AS DOUBLE)
+         |                        / CAST(df AS DOUBLE) DESC,
+         |                      t.term ASC) AS BIGINT) AS q_rank
+         |    FROM tf t JOIN dfx USING (term) CROSS JOIN st
+         |    WHERE t.doc_id IN (SELECT query_id FROM qs))
+         |  WHERE q_rank <= $qTerms)""".stripMargin
+    val perCell = bm25Grid.zipWithIndex.map { case ((k1c, bc), i) =>
+      val k1v = k1c / 100.0
+      val bv = bc / 100.0
+      s"""cb$i AS (
+         |  SELECT q.query_id, q.q_rank, t.doc_id,
+         |         (CAST(n_corpus AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |           / (CAST(df AS DOUBLE) + 0.5)
+         |         * (CAST(t.tf AS DOUBLE) * ${k1v + 1})
+         |         / (CAST(t.tf AS DOUBLE)
+         |            + $k1v * (1.0 - $bv + $bv * CAST(t.dl AS DOUBLE) / avgdl)) AS contrib
+         |  FROM tf t JOIN qt q USING (term) JOIN dfx USING (term) CROSS JOIN st
+         |  WHERE t.doc_id <> q.query_id),
+         |bm$i AS (
+         |  SELECT query_id, doc_id,
+         |         coalesce(max(CASE WHEN q_rank = 1 THEN contrib END), 0.0)
+         |       + coalesce(max(CASE WHEN q_rank = 2 THEN contrib END), 0.0)
+         |       + coalesce(max(CASE WHEN q_rank = 3 THEN contrib END), 0.0) AS bscore
+         |  FROM cb$i GROUP BY 1, 2),
+         |lex$i AS (
+         |  SELECT query_id, doc_id, lex_rank FROM (
+         |    SELECT query_id, doc_id,
+         |           CAST(row_number() OVER (PARTITION BY query_id
+         |             ORDER BY bscore DESC, doc_id ASC) AS BIGINT) AS lex_rank
+         |    FROM bm$i)
+         |  WHERE lex_rank <= $lexDepth),
+         |fr$i AS (
+         |  SELECT l.query_id, CAST(min(l.lex_rank) AS BIGINT) AS first_rank
+         |  FROM lex$i l JOIN rel r
+         |    ON r.query_id = l.query_id AND r.rel_id = l.doc_id
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val rows = bm25Grid.zipWithIndex.map { case ((k1c, bc), i) =>
+      s"""  SELECT CAST($k1c AS BIGINT) AS k1_x100, CAST($bc AS BIGINT) AS b_x100,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM qs) AS n_queries,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM fr$i) AS n_hit,
+         |         CASE WHEN (SELECT count(*) FROM qs) > 0
+         |              THEN CAST((SELECT coalesce(sum(10000 // first_rank), 0)
+         |                         FROM fr$i)
+         |                        // (SELECT count(*) FROM qs) AS BIGINT)
+         |         END AS mrr_bp""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${TextCore.docsCte},
+       |p AS (
+       |  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_sh,
+       |         unnest(shingles) AS shingle
+       |  FROM docs),
+       |jc AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.n_sh AS n_a, b.n_sh AS n_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |ex AS (
+       |  SELECT doc_a, doc_b FROM jc
+       |  WHERE CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.5),
+       |qs AS (
+       |  SELECT query_id FROM (
+       |    SELECT DISTINCT t AS query_id FROM
+       |      (SELECT doc_a AS t FROM ex UNION ALL SELECT doc_b FROM ex))
+       |  ORDER BY query_id LIMIT 10),
+       |rel AS (
+       |  SELECT e.doc_a AS query_id, e.doc_b AS rel_id
+       |  FROM ex e JOIN qs ON e.doc_a = qs.query_id
+       |  UNION ALL
+       |  SELECT e.doc_b, e.doc_a FROM ex e JOIN qs ON e.doc_b = qs.query_id),
+       |$sharedPrefix,
+       |$perCell
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY k1_x100, b_x100""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q343_bm25_sweep" -> bm25SweepSql,
     // the full lexical chain (shared lexCtes), the q34-exact relevance
     // pairs, and the per-query first-relevant-rank / reciprocal-rank
     // arithmetic — NULL n/a vs 0 miss distinction replayed exactly

@@ -260,4 +260,19 @@ class RetrievalSpec extends AnyFunSuite with SparkTestBase {
     // pages (all-equal outputs would make the eval vacuous)
     assert(ndcg.values.exists(_.getAs[Long]("dcg_x") > 0))
   }
+
+  test("q343: the sweep's production cell equals q239's gated mean") {
+    val dir = "/root/testdata/sf0.001"
+    // the (120, 75) cell scores with the constants q239 ships — its
+    // MRR must be exactly the truncating mean of q239's per-query
+    // rr_bp rows (misses already 0 there); any drift means the sweep
+    // and the gauge no longer share a scoring definition
+    val q239 = graft.ops.Retrieval.q239_retrieval_mrr(spark, dir).collect()
+    val expected = q239.map(_.getAs[Long]("rr_bp")).sum / q239.length
+    val cell = graft.ops.Retrieval.q343_bm25_sweep(spark, dir).collect()
+      .find(r => r.getAs[Long]("k1_x100") == 120L &&
+        r.getAs[Long]("b_x100") == 75L).get
+    assert(cell.getAs[Long]("n_queries") == q239.length.toLong)
+    assert(cell.getAs[Long]("mrr_bp") == expected)
+  }
 }
