@@ -1879,11 +1879,14 @@ object TextStats {
     val docsPer = ds.select(col("doc_id")).crossJoin(broadcast(md))
       .select(expr("doc_id * 10 div (md + 1)").as("decile"))
       .groupBy("decile").agg(count(lit(1)).as("n_docs"))
-    val toks = ds.select(col("doc_id"), explode(col("words")).as("w"))
-    val toksPer = toks.crossJoin(broadcast(md))
-      .select(expr("doc_id * 10 div (md + 1)").as("decile"))
-      .groupBy("decile").agg(count(lit(1)).as("n_tokens"))
-    val typesPer = toks.groupBy("w").agg(min(col("doc_id")).as("fd"))
+    // token mass rides map-side off size(words) — identical to counting
+    // exploded rows, without a second explode pass
+    val toksPer = ds.select(col("doc_id"), size(col("words")).cast("long").as("nt"))
+      .crossJoin(broadcast(md))
+      .select(expr("doc_id * 10 div (md + 1)").as("decile"), col("nt"))
+      .groupBy("decile").agg(sum("nt").as("n_tokens"))
+    val typesPer = ds.select(col("doc_id"), explode(col("words")).as("w"))
+      .groupBy("w").agg(min(col("doc_id")).as("fd"))
       .crossJoin(broadcast(md))
       .select(expr("fd * 10 div (md + 1)").as("decile"))
       .groupBy("decile").agg(count(lit(1)).as("n_types"))
