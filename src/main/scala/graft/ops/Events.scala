@@ -3095,6 +3095,80 @@ object Events {
           .as("q_bp"))
   }
 
+  /** q344: DYAD CENSUS + RECIPROCITY — the directed-structure readout
+    * the graph family lacked (q334/q341 treat the handoff graph as
+    * simple; the DIRECTION of attention is its own signal): over the
+    * distinct directed handoff edges, the Holland–Leinhardt census —
+    * mutual dyads (both directions present), asymmetric dyads (one),
+    * null dyads (neither, = C(n,2) − M − A, computed in DECIMAL(38,0)
+    * because n² passes 2⁶³ at a billion users) — and reciprocity
+    * 2M/E in bp (the share of directed edges that are returned). One
+    * row. Scale shape: the one lag pass to directed distinct edges,
+    * a self-join on the swapped key for M (equi, hash-partitionable),
+    * counts everywhere else. */
+  val q344_dyad_census: Q = (s, d) => {
+    val ev = events(s, d)
+    val wh = Window.partitionBy("hb").orderBy("es", "event_id")
+    val ed = ev.select(col("user_id"), col("es"), col("event_id"))
+      .withColumn("hb", expr("es div 3600"))
+      .withColumn("src", lag("user_id", 1).over(wh))
+      .where(col("src").isNotNull && col("src") =!= col("user_id"))
+      .select(col("src"), col("user_id").as("dst")).distinct()
+    dyadCensus(graft.Ckpt.persisted(ed),
+      ev.select(col("user_id")).distinct().agg(count(lit(1)).as("n_nodes")))
+  }
+
+  /** q344's census over a distinct directed edge list and a 1-row node
+    * count — factored so the spec can pin M/A/null and the reciprocity
+    * share on a hand graph. */
+  private[graft] def dyadCensus(ed: DataFrame, nNodes: DataFrame): DataFrame = {
+    val mutual = ed.as("f")
+      .join(ed.select(col("src").as("dst"), col("dst").as("src")).as("r"),
+        Seq("src", "dst"))
+      .where(col("src") < col("dst"))
+      .agg(count(lit(1)).as("m"))
+    ed.agg(count(lit(1)).as("e"))
+      .crossJoin(broadcast(mutual))
+      .crossJoin(broadcast(nNodes))
+      .select(col("n_nodes"), col("e").as("n_edges_directed"),
+        col("m").as("mutual"), (col("e") - lit(2L) * col("m")).as("asym"),
+        // the dyad count runs in DECIMAL(38,0) (n² passes 2⁶³ beyond
+        // ~4.3e9 nodes) and lands BIGINT — the emitted count is only
+        // out of range past that node count, documented bound
+        expr("""CAST(CAST(n_nodes AS DECIMAL(38, 0)) * (n_nodes - 1) div 2
+                - m - (e - 2 * m) AS BIGINT)""").as("null_dyads"),
+        expr("CASE WHEN e > 0 THEN 2 * m * 10000L div e END")
+          .as("reciprocity_bp"))
+  }
+
+  /** q345: DEGREE DISTRIBUTION IN OCTAVE BINS — the scale-free-or-not
+    * readout (a power-law-ish interaction graph has a straight octave
+    * histogram; a capped/uniform one doesn't), exact without a single
+    * log: each user's simple-graph degree bins by `length(bin(deg))`
+    * = ⌊log₂ deg⌋ + 1 (the q300 HDR trick — integer in both engines),
+    * isolated users bin at octave 0. Output is octave-bounded (≤ 64
+    * rows). Scale shape: q334's edge pass, one degree aggregate, one
+    * bounded histogram. */
+  val q345_degree_octaves: Q = (s, d) => {
+    val ev = events(s, d)
+    val wh = Window.partitionBy("hb").orderBy("es", "event_id")
+    val und = ev.select(col("user_id"), col("es"), col("event_id"))
+      .withColumn("hb", expr("es div 3600"))
+      .withColumn("src", lag("user_id", 1).over(wh))
+      .where(col("src").isNotNull && col("src") =!= col("user_id"))
+      .select(least(col("src"), col("user_id")).as("a"),
+        greatest(col("src"), col("user_id")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v")).unionByName(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    ev.select(col("user_id").as("v")).distinct()
+      .join(deg, Seq("v"), "left")
+      .select(expr("CASE WHEN deg IS NULL THEN 0L " +
+        "ELSE CAST(length(bin(deg)) AS BIGINT) END").as("octave"))
+      .groupBy("octave").agg(count(lit(1)).as("n_users"))
+      .orderBy("octave")
+  }
+
   /** ONE q334 h-index refinement, lazily — factored so the spec can
     * pin convergence on a hand graph and ScaleGuardSpec the plan shape
     * (equi join + v-partitioned rank window, no global window). The
@@ -3701,6 +3775,8 @@ object Events {
     "q336_rank_concordance" -> q336_rank_concordance,
     "q337_position_attribution" -> q337_position_attribution,
     "q341_hour_modularity" -> q341_hour_modularity,
+    "q344_dyad_census" -> q344_dyad_census,
+    "q345_degree_octaves" -> q345_degree_octaves,
     "q277_winsorized_mean" -> q277_winsorized_mean,
     "q241_pit_tier_clicks" -> q241_pit_tier_clicks,
     "q242_ab_effect_auc" -> q242_ab_effect_auc,
@@ -4243,6 +4319,50 @@ object Events {
     // the three rank iterations replayed as chained CTEs
     "q265_user_pagerank" -> userPagerankSql,
     "q334_user_coreness" -> userCorenessSql,
+    // the same directed distinct edges; M via the swapped-key self-join
+    "q344_dyad_census" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |sq AS (SELECT user_id AS dst,
+        |              lag(user_id) OVER (PARTITION BY es // 3600
+        |                                 ORDER BY es, event_id) AS src
+        |       FROM e),
+        |ed AS (SELECT DISTINCT src, dst FROM sq
+        |       WHERE src IS NOT NULL AND src <> dst),
+        |nn AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_nodes FROM e),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m
+        |       FROM ed f JOIN ed r ON r.src = f.dst AND r.dst = f.src
+        |       WHERE f.src < f.dst),
+        |ee AS (SELECT CAST(count(*) AS BIGINT) AS e FROM ed)
+        |SELECT n_nodes, e AS n_edges_directed, m AS mutual,
+        |       e - 2 * m AS asym,
+        |       CAST(CAST(n_nodes AS HUGEINT) * (n_nodes - 1) // 2
+        |            - m - (e - 2 * m) AS BIGINT) AS null_dyads,
+        |       CASE WHEN e > 0
+        |            THEN CAST(2 * m * 10000 // e AS BIGINT)
+        |       END AS reciprocity_bp
+        |FROM ee, mm, nn""".stripMargin,
+    // same simple edges, length(bin(deg)) octaves, isolated at 0
+    "q345_degree_octaves" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |sq AS (SELECT user_id AS dst,
+        |              lag(user_id) OVER (PARTITION BY es // 3600
+        |                                 ORDER BY es, event_id) AS src
+        |       FROM e),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM sq WHERE src IS NOT NULL AND src <> dst),
+        |dg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM
+        |         (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+        |       GROUP BY 1),
+        |nodes AS (SELECT DISTINCT user_id AS v FROM e)
+        |SELECT CASE WHEN dg.deg IS NULL THEN 0
+        |            ELSE CAST(length(bin(dg.deg)) AS BIGINT) END AS octave,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM nodes LEFT JOIN dg ON dg.v = nodes.v
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the same modal-hour labels, simple handoff edges, exact Q·4m²
     "q341_hour_modularity" ->
       """WITH e AS (

@@ -1042,6 +1042,17 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.map(_._2).sum == 50000L)
   }
 
+  test("q344: dyad census — mutual counted once, asym, null, reciprocity") {
+    import spark.implicits._
+    // directed: 1↔2 (mutual), 1→3 (asym); node 4 is isolated.
+    // dyads C(4,2) = 6 → null = 6 − 1 − 1 = 4; reciprocity 2M/E = 2/3
+    val ed = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val nn = Seq(4L).toDF("n").agg(max("n").as("n_nodes"))
+    val r = graft.ops.Events.dyadCensus(ed, nn).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((4L, 3L, 1L, 1L, 4L, 6666L)))
+  }
+
   test("q341: exact modularity — two cliques, one community, anti-communities") {
     import spark.implicits._
     // two triangles bridged by one edge: m = 7, each clique a community
