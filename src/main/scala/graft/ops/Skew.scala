@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.etl.Star
 import graft.etl.Star.withFact
 
@@ -229,13 +230,102 @@ object Skew {
         col("hot.u").as("hot_user"))
   }
 
+  /** q346's advisory threshold: salt when the hottest key exceeds 4×
+    * the mean key frequency (top·n_keys > 4·N in exact integers). */
+  private[graft] val saltHotFactor = 4L
+
+  /** q346: KEY-SKEW DIAGNOSIS REPORT — the readout that DECIDES when
+    * q74/q103's salting is worth its shuffle (the module ships the
+    * remedies and the q199 cost arithmetic; an operator first asks
+    * "which keys are actually skewed?"): for each candidate
+    * partitioning column of the event feed (user, type, day), the key
+    * count, the hottest key's frequency and bp share, the p99 key
+    * frequency off the frequency-value histogram (two-phase selection,
+    * ceil rank — value-domain-bounded, never key count), and the
+    * advisory flag top > [[saltHotFactor]]·mean evaluated as the exact
+    * cross-product top·n_keys > 4·N in DECIMAL(38,0) (both sides pass
+    * 2⁶³ at corpus scale). Scale shape: one narrow count aggregate per
+    * column, a frequency histogram, bounded windows. */
+  val q346_skew_report: (SparkSession, String) => DataFrame = (s, d) => {
+    val ev = graft.ops.Events.events(s, d)
+    def arm(label: String, k: Column) =
+      keySkewStats(ev.select(k.cast("string").as("k")), label)
+    arm("day", expr("CAST(es div 86400 AS BIGINT)"))
+      .unionByName(arm("event_type", col("event_type")))
+      .unionByName(arm("user_id", col("user_id")))
+      .orderBy("key_col")
+  }
+
+  /** q346's per-column core over a single-column (k) frame — factored
+    * so the spec can pin the ceil-rank p99 and the advisory
+    * cross-product on hand keys. */
+  private[graft] def keySkewStats(keyed: DataFrame, label: String): DataFrame = {
+    val hist = keyed.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .groupBy("cnt").agg(count(lit(1)).as("nk"))
+    val tot = hist.agg(sum(expr("cnt * nk")).as("n_rows"),
+      sum("nk").as("n_keys"), max("cnt").as("top_cnt"))
+    val w = Window.orderBy("cnt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum", sum("nk").over(w))
+      .crossJoin(broadcast(tot))
+      .where(col("cum") >= expr("(99 * n_keys + 99) div 100"))
+      .agg(min("cnt").as("p99_cnt"), max("n_rows").as("n_rows"),
+        max("n_keys").as("n_keys"), max("top_cnt").as("top_cnt"))
+      .select(lit(label).as("key_col"), col("n_rows"), col("n_keys"),
+        col("top_cnt"),
+        expr("top_cnt * 10000L div n_rows").as("top_share_bp"),
+        col("p99_cnt"),
+        expr(s"""CAST(CASE WHEN CAST(top_cnt AS DECIMAL(38, 0)) * n_keys
+                 > $saltHotFactor * CAST(n_rows AS DECIMAL(38, 0))
+                 THEN 1 ELSE 0 END AS BIGINT)""").as("salt_advised"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q74_salted_agg" -> q74_salted_agg,
       "q103_salted_join" -> q103_salted_join,
       "q192_bloom_semijoin" -> q192_bloom_semijoin,
+      "q346_skew_report" -> q346_skew_report,
       "q199_join_cardinality" -> q199_join_cardinality)
 
   val oracle: Map[String, String] = Map(
+    // per-column frequency histogram, ceil-rank p99, HUGEINT advisory
+    "q346_skew_report" -> {
+      val arms = Seq(
+        ("day", "CAST(floor(epoch(ts)) AS BIGINT) // 86400"),
+        ("event_type", "event_type"),
+        ("user_id", "user_id"))
+      val ctes = arms.map { case (label, keyExpr) =>
+        s"""h_$label AS (
+           |  SELECT cnt, CAST(count(*) AS BIGINT) AS nk FROM (
+           |    SELECT CAST(count(*) AS BIGINT) AS cnt
+           |    FROM events GROUP BY $keyExpr)
+           |  GROUP BY 1),
+           |t_$label AS (
+           |  SELECT CAST(sum(cnt * nk) AS BIGINT) AS n_rows,
+           |         CAST(sum(nk) AS BIGINT) AS n_keys,
+           |         CAST(max(cnt) AS BIGINT) AS top_cnt FROM h_$label),
+           |c_$label AS (
+           |  SELECT cnt, CAST(sum(nk) OVER (ORDER BY cnt
+           |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           |  FROM h_$label),
+           |r_$label AS (
+           |  SELECT '$label' AS key_col, t.n_rows, t.n_keys, t.top_cnt,
+           |         CAST(t.top_cnt * 10000 // t.n_rows AS BIGINT)
+           |           AS top_share_bp,
+           |         (SELECT CAST(min(cnt) AS BIGINT) FROM c_$label
+           |          WHERE cum >= (99 * t.n_keys + 99) // 100) AS p99_cnt,
+           |         CAST(CASE WHEN CAST(t.top_cnt AS HUGEINT) * t.n_keys
+           |                        > $saltHotFactor * CAST(t.n_rows AS HUGEINT)
+           |                   THEN 1 ELSE 0 END AS BIGINT) AS salt_advised
+           |  FROM t_$label t)""".stripMargin
+      }.mkString(",\n")
+      val union = arms.map { case (l, _) => s"SELECT * FROM r_$l" }
+        .mkString("\nUNION ALL\n")
+      s"""WITH $ctes
+         |SELECT * FROM (
+         |$union
+         |) ORDER BY key_col""".stripMargin
+    },
     // est_pairs in the oracle is the COUNT OF THE ACTUAL JOIN — the
     // gate proves the product-sum estimate IS the true cardinality
     "q199_join_cardinality" ->

@@ -34,7 +34,8 @@ class ScaleGuardSpec extends AnyFunSuite with SparkTestBase {
     "q330_tenure_hazard" -> "the at-risk suffix-sum window runs over the TENURE-WEEK HISTOGRAM — calendar-bounded (observed span div 7 rows), never the user count (Events.scala q330 doc)",
     "q335_heaps_curve" -> "the cumulative window runs over the ≤ 10 DECILE rows — fixed-checkpoint-bounded, never the doc or token count (TextStats.scala q335 doc)",
     "q337_position_attribution" -> "the share-denominator window runs over the CHANNEL-bounded credit table (≤ |types| rows), never the touch count (Events.scala q337 doc)",
-    "q340_t_closeness" -> "the global cumulative window runs over the PRIORITY domain (≤ 5 rows) — sensitive-value-domain-bounded, never the order count (Curation.scala q340 doc)")
+    "q340_t_closeness" -> "the global cumulative window runs over the PRIORITY domain (≤ 5 rows) — sensitive-value-domain-bounded, never the order count (Curation.scala q340 doc)",
+    "q346_skew_report" -> "the p99 cumulative window runs over the key-FREQUENCY value histogram (one row per distinct frequency — value-domain-bounded, never the key count; Skew.scala q346 doc)")
 
   private def globalWindows(plan: LogicalPlan): Seq[LWindow] =
     plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }

@@ -157,4 +157,21 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
       f"${1000000000000000000L - p}%019d|$id" }.min.split("\\|")(1).toLong
     assert(hot == r.getLong(3), "hot_user must replay the encoded tie-break")
   }
+
+  test("q346: skew stats — ceil-rank p99 and the 4×-mean advisory") {
+    import spark.implicits._
+    def stats(keys: Seq[String]) = graft.ops.Skew
+      .keySkewStats(keys.toDF("k"), "t").collect().head
+    // a×8, b, c: N = 10, 3 keys, top 8 (8000 bp); p99 rank =
+    // ceil(99·3/100) = 3 → the cum walk lands on frequency 8; the
+    // advisory needs top·n_keys > 4·N = 24 > 40 — NOT advised (with
+    // ≤ 4 keys the hottest key can never exceed 4× the mean)
+    val mild = stats(Seq.fill(8)("a") ++ Seq("b", "c"))
+    assert((mild.getLong(1), mild.getLong(2), mild.getLong(3),
+      mild.getLong(4), mild.getLong(5), mild.getLong(6)) ==
+      ((10L, 3L, 8L, 8000L, 8L, 0L)))
+    // a×50 over 9 singleton keys: 50·10 = 500 > 4·59 — advised
+    val hot = stats(Seq.fill(50)("a") ++ ('b' to 'j').map(_.toString))
+    assert((hot.getLong(3), hot.getLong(6)) == ((50L, 1L)))
+  }
 }
