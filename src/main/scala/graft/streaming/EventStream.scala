@@ -677,6 +677,33 @@ object EventStream {
   def rollupWinsorBatch(cellsBatch: DataFrame): DataFrame =
     graft.ops.Events.winsorFromHist(cellsBatch)
 
+  /** Streaming PRIVACY-AUDIT cells — the q339/q340 twin in the
+    * [[valueHistStream]] pattern: arriving already-joined
+    * (seg, yr, prio) order rows fold to the QI×priority cell counts
+    * (a streaming-legal grouped count; the cell table is classes×5
+    * bounded — the state IS the audit's sufficient statistic), and a
+    * reader serves BOTH privacy reports from a cell snapshot —
+    * l-diversity as a plain rollup, t-closeness through
+    * [[privacyReportBatch]] → the SAME
+    * [[graft.ops.Curation.tClosenessFromCells]] tail the gate reads.
+    * Counting is additive, so the served report after any prefix
+    * equals batch q340 over the same rows (the spec pins the
+    * t-closeness parity — the harder tail, EMD and densified spine
+    * included). */
+  def qiCellsStream(orders: DataFrame): DataFrame =
+    orders.groupBy("seg", "yr", "prio").agg(count(lit(1)).as("cnt"))
+
+  /** Serve q340's t-closeness report from streamed QI cells — the
+    * shared gated tail, literally. The snapshot is localCheckpointed
+    * first: the tail self-joins the cell frame (classes × spine ×
+    * global cums), and a memory-sink VIEW is single-instance — the
+    * analyzer throws "conflicting references" on it, while a
+    * checkpointed LogicalRDD re-instances per branch (the documented
+    * rankCodes-over-views rule). Cells are bounded, so the
+    * materialization is kilobytes. */
+  def privacyReportBatch(cellsBatch: DataFrame): DataFrame =
+    graft.ops.Curation.tClosenessFromCells(cellsBatch.localCheckpoint(true))
+
   /** Streaming ENGAGEMENT-HISTOGRAM deltas — the rankCodes/segmentation
     * family's stateful twin (q302; the r16 verdict item 7 extension of
     * "state is the sketch" to the BI reports). Unlike

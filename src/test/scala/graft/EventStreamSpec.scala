@@ -1493,6 +1493,43 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("qiCellsStream: the served t-closeness report equals batch after every prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the CurationSpec fixture at row grain: X p1-heavy, Y p2-leaning,
+    // Z uniform, W missing p1 entirely (the densified-spine case) —
+    // split so the second wave moves X's distribution
+    val rows = Seq(
+      ("X", 2000L, "p1"), ("X", 2000L, "p1"), ("X", 2000L, "p2"),
+      ("Y", 2000L, "p1"), ("Y", 2000L, "p2"), ("Y", 2000L, "p2"),
+      ("Z", 2000L, "p1"), ("Z", 2000L, "p2"),
+      ("W", 2000L, "p2"), ("W", 2000L, "p2"),
+      // wave 2
+      ("X", 2000L, "p1"), ("Y", 2000L, "p2"), ("Z", 2000L, "p1"),
+      ("Z", 2000L, "p2"), ("W", 2000L, "p2"), ("W", 2000L, "p2"))
+    def batchReport(upTo: Int) = graft.ops.Curation.tClosenessFromCells(
+        EventStream.qiCellsStream(rows.take(upTo).toDF("seg", "yr", "prio")))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val input = MemoryStream[(String, Long, String)]
+    val query = EventStream
+      .qiCellsStream(input.toDS().toDF("seg", "yr", "prio"))
+      .writeStream.format("memory").queryName("qicells")
+      .outputMode("complete").start()
+    def served() = EventStream.privacyReportBatch(
+        spark.table("qicells")).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    try {
+      input.addData(rows.take(10).toIndexedSeq: _*)
+      query.processAllAvailable()
+      assert(served() == batchReport(10))
+      input.addData(rows.drop(10).toIndexedSeq: _*)
+      query.processAllAvailable()
+      assert(served() == batchReport(16))
+    } finally query.stop()
+  }
+
   test("cmsCellsStream: streamed sketch cells equal the batch sketch after every batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
