@@ -44,9 +44,15 @@ object Bench {
     // r14: q100 joined the set — its run-A median hit 0.86 s with
     // min 0.28 ≈ the r13 median on unchanged code (in-suite neighbor
     // noise, the same signature as the others).
+    // r18: q340/q343 joined after the r17 judge flagged both outside
+    // their (two-sample) committed bands — new-in-r17 queries whose
+    // bands need 5-rep medians before round-over-round judgment; q184
+    // joined per the r17 verdict item 6 (five rounds of 1.9-4.1 s
+    // oscillation on unchanged code — checkpoint-I/O-sensitive).
     val volatileQueries = Set("q34_dedup_ngram_jaccard", "q72_token_percentiles",
       "q64_rare_terms", "q144_semantic_contamination", "q66_chunk_dedup",
-      "q100_split_funnel")
+      "q100_split_funnel", "q340_t_closeness", "q343_bm25_sweep",
+      "q184_mad_outliers")
     def repsFor(name: String): Int =
       if (volatileQueries(name)) math.max(reps, volatileReps) else reps
     // optional comma-separated query filter for focused profiling runs
@@ -139,6 +145,19 @@ object Bench {
       "\"" + (if (short) k.takeWhile(_ != '_') else k) + "\":" + f
     }.mkString("{", ",", "}")
     val total = results.map { case (_, v, _, _, _, _, _, _) => math.max(v, 0.0) }.sum
+    // §2 REFERENCE-PARITY FAMILY total (q01–q49): BASELINE.md's 81.3 s
+    // measures the reference running ITS OWN workload, which is exactly
+    // this family — the like-for-like number. The suite total also
+    // includes the 290+ queries the reference cannot run at all, and
+    // BENCH_FLOOR_r17.json shows ~92% of it is per-query fixed cost
+    // (the zero-data floor exceeds the 2x-baseline budget at 344
+    // queries) — so BOTH numbers print in every artifact until the
+    // gate-contract amendment (SURVEY §6) is adjudicated (r17 verdict
+    // item 4: "the defensible headline travels with the record").
+    val familyRe = "^q(0[1-9]|[1-4][0-9])_".r
+    val family = results.filter { case (k, _, _, _, _, _, _, _) =>
+      familyRe.findFirstIn(k).isDefined }
+    val familyTotal = family.map { case (_, v, _, _, _, _, _, _) => math.max(v, 0.0) }.sum
     // resolved before json() so the stdout "detail" pointer names the
     // ACTUAL artifact path, not a hardcoded default (r13 review)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
@@ -164,7 +183,7 @@ object Bench {
       // full artifact (BENCH_LOCAL_r{N}.json).
       val queries = if (short) "{}" else qsJson(short = false)
       val detail = if (short) s""","nq":${results.size},"detail":"$out"""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$queries,"errors":${errsJson(short)},"sf":"$sfDir","reps":$reps,"reps_overrides":${volJson(short)}$detail$split}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","family_total":${fmt(familyTotal)},"family_nq":${family.size},"queries":$queries,"errors":${errsJson(short)},"sf":"$sfDir","reps":$reps,"reps_overrides":${volJson(short)}$detail$split}"""
     }
     println(json(short = true))
     // the file artifact keeps FULL names and the per-query medians for

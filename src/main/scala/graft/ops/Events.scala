@@ -2941,18 +2941,64 @@ object Events {
     * driver-side recurrence on the same edge list. Per-iteration
     * frames are Ckpt-scoped and the predecessor drops once its
     * successor materializes (the Lloyd-loop rule). */
+  /** The distinct directed ATTENTION-HANDOFF edge list (src, dst,
+    * w = handoff count) — the ONE corpus lag-pass artifact the whole
+    * graph family reads (q265 uses the weights; q344 the directed
+    * set; q334/q341/q345 the derived undirected simple graph via
+    * [[simpleHandoffEdges]]) — session-memoized (r17 verdict item 1:
+    * five queries each re-ran the identical hour-bucketed
+    * `lag(user_id, 1)` window + distinct over the full events table
+    * per rep; the edge list is session-invariant and orders of
+    * magnitude smaller than the corpus, so at 100 TB this is one
+    * persisted edge artifact instead of five corpus window scans).
+    * Same hour-bucket scale decision as before (the q122/q193
+    * two-phase rule): the lag window partitions by `es div 3600`, so
+    * no task sorts more than an hour of traffic, at the documented
+    * cost of dropping cross-boundary handoffs. The one-time
+    * materialization is charged to the build phase
+    * ([[graft.BuildPhase]]), the sessionTable convention. */
+  private[graft] def handoffEdges(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo(s, d, "events:handoffEdges")({
+      val wh = Window.partitionBy("hb").orderBy("es", "event_id")
+      events(s, d).select(col("user_id"), col("es"), col("event_id"))
+        .withColumn("hb", expr("es div 3600"))
+        .withColumn("src", lag("user_id", 1).over(wh))
+        .where(col("src").isNotNull && col("src") =!= col("user_id"))
+        .groupBy(col("src"), col("user_id").as("dst"))
+        .agg(count(lit(1)).as("w"))
+    })(df => graft.BuildPhase.timed(df.localCheckpoint(true)))
+
+  /** The undirected SIMPLE handoff graph (least/greatest, distinct)
+    * derived from [[handoffEdges]] — q334/q341/q345's edge set. The
+    * distinct is an edge-list-sized shuffle (never a corpus pass), and
+    * the set is identical to distincting the raw lag rows because
+    * grouping to (src, dst, w) already collapsed duplicates. Memoized
+    * too: three consumers × bench reps would otherwise re-shuffle the
+    * same projection. */
+  private[graft] def simpleHandoffEdges(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo(s, d, "events:simpleHandoffEdges")(
+      handoffEdges(s, d)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct())(df => graft.BuildPhase.timed(df.localCheckpoint(true)))
+
+  /** The distinct user set — the graph family's NODE table
+    * (q265/q334/q344/q345 each need "every user, including the
+    * edge-free ones"), session-memoized for the same reason as
+    * [[handoffEdges]]: it is session-invariant and was re-distincted
+    * from the full corpus per consumer per rep. */
+  private[graft] def userIds(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo(s, d, "events:userIds")(
+      events(s, d).select(col("user_id")).distinct())(
+      df => graft.BuildPhase.timed(df.localCheckpoint(true)))
+
   lazy val q265_user_pagerank: Q = (s, d) => {
-    val ev = events(s, d)
-    val wh = Window.partitionBy("hb").orderBy("es", "event_id")
-    val seqd = ev.select(col("user_id"), col("es"), col("event_id"))
-      .withColumn("hb", expr("es div 3600"))
-      .withColumn("src", lag("user_id", 1).over(wh))
-    val edges = graft.Ckpt.persisted(seqd
-      .where(col("src").isNotNull && col("src") =!= col("user_id"))
-      .groupBy(col("src"), col("user_id").as("dst"))
-      .agg(count(lit(1)).as("w")))
+    // the session-memoized edge/node artifacts (one lag pass and one
+    // distinct per session, not one per rep) — already materialized,
+    // no Ckpt wrapper needed
+    val edges = handoffEdges(s, d)
     val outd = edges.groupBy("src").agg(sum("w").as("tot"))
-    val nodes = graft.Ckpt.persisted(ev.select("user_id").distinct())
+    val nodes = userIds(s, d)
     val n = nodes.count() // ONE bounded driver scalar, not a collect
     val base = (15L * prScale / 100L) / n
     var rank = graft.Ckpt.eager(nodes.withColumn("r", lit(prScale / n)))
@@ -3002,15 +3048,7 @@ object Events {
     * frames are Ckpt-scoped with the Lloyd-loop drop rule. The oracle
     * replays all steps as chained CTEs. */
   lazy val q334_user_coreness: Q = (s, d) => {
-    val ev = events(s, d)
-    val wh = Window.partitionBy("hb").orderBy("es", "event_id")
-    val seqd = ev.select(col("user_id"), col("es"), col("event_id"))
-      .withColumn("hb", expr("es div 3600"))
-      .withColumn("src", lag("user_id", 1).over(wh))
-    val und = seqd.where(col("src").isNotNull && col("src") =!= col("user_id"))
-      .select(least(col("src"), col("user_id")).as("a"),
-        greatest(col("src"), col("user_id")).as("b"))
-      .distinct()
+    val und = simpleHandoffEdges(s, d)
     val adj = graft.Ckpt.persisted(
       und.select(col("a").as("v"), col("b").as("u"))
         .unionByName(und.select(col("b").as("v"), col("a").as("u"))))
@@ -3020,7 +3058,7 @@ object Events {
       graft.Ckpt.drop(cor)
       cor = next
     }
-    ev.select(col("user_id").as("v")).distinct()
+    userIds(s, d).select(col("user_id").as("v"))
       .join(cor, Seq("v"), "left")
       .select(coalesce(col("c"), lit(0L)).as("coreness"))
       .groupBy("coreness").agg(count(lit(1)).as("n_users"))
@@ -3054,14 +3092,7 @@ object Events {
       .groupBy("user_id")
       .agg(max(struct(col("cnt"), (-col("hr")).as("nh"))).as("m"))
       .select(col("user_id"), (-col("m.nh")).as("hr"))
-    val wh = Window.partitionBy("hb").orderBy("es", "event_id")
-    val und = ev.select(col("user_id"), col("es"), col("event_id"))
-      .withColumn("hb", expr("es div 3600"))
-      .withColumn("src", lag("user_id", 1).over(wh))
-      .where(col("src").isNotNull && col("src") =!= col("user_id"))
-      .select(least(col("src"), col("user_id")).as("a"),
-        greatest(col("src"), col("user_id")).as("b"))
-    modularityFromParts(und, labels)
+    modularityFromParts(simpleHandoffEdges(s, d), labels)
   }
 
   /** q341's body over an undirected edge list (a, b) and a (user_id,
@@ -3107,15 +3138,10 @@ object Events {
     * a self-join on the swapped key for M (equi, hash-partitionable),
     * counts everywhere else. */
   val q344_dyad_census: Q = (s, d) => {
-    val ev = events(s, d)
-    val wh = Window.partitionBy("hb").orderBy("es", "event_id")
-    val ed = ev.select(col("user_id"), col("es"), col("event_id"))
-      .withColumn("hb", expr("es div 3600"))
-      .withColumn("src", lag("user_id", 1).over(wh))
-      .where(col("src").isNotNull && col("src") =!= col("user_id"))
-      .select(col("src"), col("user_id").as("dst")).distinct()
-    dyadCensus(graft.Ckpt.persisted(ed),
-      ev.select(col("user_id")).distinct().agg(count(lit(1)).as("n_nodes")))
+    // the (src, dst) projection of the memoized weighted edge list IS
+    // the distinct directed edge set (grouping already collapsed dups)
+    dyadCensus(handoffEdges(s, d).select("src", "dst"),
+      userIds(s, d).agg(count(lit(1)).as("n_nodes")))
   }
 
   /** q344's census over a distinct directed edge list and a 1-row node
@@ -3127,9 +3153,19 @@ object Events {
         Seq("src", "dst"))
       .where(col("src") < col("dst"))
       .agg(count(lit(1)).as("m"))
-    ed.agg(count(lit(1)).as("e"))
+    dyadCensusRow(ed.agg(count(lit(1)).as("e"))
       .crossJoin(broadcast(mutual))
-      .crossJoin(broadcast(nNodes))
+      .crossJoin(broadcast(nNodes)))
+  }
+
+  /** q344's final census arithmetic over ONE (e, m, n_nodes) row —
+    * factored so the streaming dyad-state twin
+    * ([[graft.streaming.EventStream.dyadCellsStream]]) serves its
+    * report through the LITERAL gated tail (the decileReportFromCells
+    * convention): the stream folds its deltas to the same three
+    * counters and this row is the shared readout. */
+  private[graft] def dyadCensusRow(counts: DataFrame): DataFrame =
+    counts
       .select(col("n_nodes"), col("e").as("n_edges_directed"),
         col("m").as("mutual"), (col("e") - lit(2L) * col("m")).as("asym"),
         // the dyad count runs in DECIMAL(38,0) (n² passes 2⁶³ beyond
@@ -3139,7 +3175,6 @@ object Events {
                 - m - (e - 2 * m) AS BIGINT)""").as("null_dyads"),
         expr("CASE WHEN e > 0 THEN 2 * m * 10000L div e END")
           .as("reciprocity_bp"))
-  }
 
   /** q345: DEGREE DISTRIBUTION IN OCTAVE BINS — the scale-free-or-not
     * readout (a power-law-ish interaction graph has a straight octave
@@ -3150,23 +3185,32 @@ object Events {
     * rows). Scale shape: q334's edge pass, one degree aggregate, one
     * bounded histogram. */
   val q345_degree_octaves: Q = (s, d) => {
-    val ev = events(s, d)
-    val wh = Window.partitionBy("hb").orderBy("es", "event_id")
-    val und = ev.select(col("user_id"), col("es"), col("event_id"))
-      .withColumn("hb", expr("es div 3600"))
-      .withColumn("src", lag("user_id", 1).over(wh))
-      .where(col("src").isNotNull && col("src") =!= col("user_id"))
-      .select(least(col("src"), col("user_id")).as("a"),
-        greatest(col("src"), col("user_id")).as("b"))
-      .distinct()
+    val und = simpleHandoffEdges(s, d)
     val deg = und.select(col("a").as("v")).unionByName(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
-    ev.select(col("user_id").as("v")).distinct()
-      .join(deg, Seq("v"), "left")
-      .select(expr("CASE WHEN deg IS NULL THEN 0L " +
-        "ELSE CAST(length(bin(deg)) AS BIGINT) END").as("octave"))
+    val cells = deg
+      .select(expr("CAST(length(bin(deg)) AS BIGINT)").as("octave"))
       .groupBy("octave").agg(count(lit(1)).as("n_users"))
-      .orderBy("octave")
+    degreeOctavesFromCells(cells,
+      userIds(s, d).agg(count(lit(1)).as("n_total")))
+  }
+
+  /** q345's readout over octave CELLS (octave ≥ 1, from users with at
+    * least one edge) plus the 1-row total-user count: octave 0 (the
+    * edge-free users) is n_total − Σ cells, then the bounded histogram
+    * — factored so the streaming degree twin
+    * ([[graft.streaming.EventStream.degreeCellsStream]]) serves
+    * through the LITERAL gated tail. Replaces the corpus-node
+    * left-join the r17 body used: the isolated-user count needs only
+    * the total, not a join. */
+  private[graft] def degreeOctavesFromCells(cells: DataFrame,
+      nTotal: DataFrame): DataFrame = {
+    val zero = cells
+      .agg(coalesce(sum("n_users"), lit(0L)).as("n_active"))
+      .crossJoin(broadcast(nTotal))
+      .select(lit(0L).as("octave"), (col("n_total") - col("n_active")).as("n_users"))
+      .where(col("n_users") > 0L)
+    cells.unionByName(zero).orderBy("octave")
   }
 
   /** ONE q334 h-index refinement, lazily — factored so the spec can
@@ -6114,11 +6158,14 @@ object Events {
       val folds = (("b", "TRUE") +: attrChannels.map(c =>
           (c, s"from_type <> '$c'")))
         .map { case (tag, f) => fold(tag, f) }.mkString(",\n")
+      // read the LAST fold step by interpolating the shared constant —
+      // hardcoding "_3" would silently read a stale step if absIters
+      // ever moved (r17 advice item)
       val dropRows = attrChannels.map { c =>
         s"""  SELECT '$c' AS channel,
-           |         (SELECT coalesce(max(h), 0) FROM h_b_3
+           |         (SELECT coalesce(max(h), 0) FROM h_b_$absIters
            |          WHERE t = '$attrStart') AS base,
-           |         (SELECT coalesce(max(h), 0) FROM h_${c}_3
+           |         (SELECT coalesce(max(h), 0) FROM h_${c}_$absIters
            |          WHERE t = '$attrStart') AS removed""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""WITH $sessCtes,

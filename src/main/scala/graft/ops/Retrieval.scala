@@ -250,8 +250,10 @@ object Retrieval {
 
   lazy val q239_retrieval_mrr: Q = (s, d) => {
     // the pair set feeds the panel, the relevance join and the n_rel
-    // count — persist it narrow once
-    val pairs = graft.Ckpt.persisted(Dedup.exactNearDupPairs(s, d))
+    // count — it arrives as the session-memoized checkpoint (r18: the
+    // extra Ckpt.persisted layer re-cached the already-materialized
+    // memo per rep and churned unpersist at every query boundary)
+    val pairs = Dedup.exactNearDupPairs(s, d)
     val panel = knownItemPanel(pairs)
     val lex = panelLex(s, d, panel)
     val rel = panelRel(pairs, panel).select(col("query_id"), col("rel_id"))
@@ -292,7 +294,7 @@ object Retrieval {
     * q239's panel machinery plus two bounded aggregates (panel ×
     * ≤depth rows); the IDCG window partitions by query_id. */
   lazy val q245_retrieval_ndcg: Q = (s, d) => {
-    val pairs = graft.Ckpt.persisted(Dedup.exactNearDupPairs(s, d))
+    val pairs = Dedup.exactNearDupPairs(s, d)
     val panel = knownItemPanel(pairs)
     val lex = panelLex(s, d, panel)
     val discount = element_at(
@@ -709,7 +711,7 @@ object Retrieval {
     * follows the q160 fixed-order rule so every cell is bit-identical
     * cross-engine. */
   lazy val q343_bm25_sweep: Q = (s, d) => {
-    val pairs = graft.Ckpt.persisted(Dedup.exactNearDupPairs(s, d))
+    val pairs = Dedup.exactNearDupPairs(s, d)
     val panel = knownItemPanel(pairs)
     val post = postings(s, d)
     val stats = corpusStats(s, d)
@@ -872,9 +874,9 @@ object Retrieval {
          |  WHERE t.doc_id <> q.query_id),
          |bm$i AS (
          |  SELECT query_id, doc_id,
-         |         coalesce(max(CASE WHEN q_rank = 1 THEN contrib END), 0.0)
-         |       + coalesce(max(CASE WHEN q_rank = 2 THEN contrib END), 0.0)
-         |       + coalesce(max(CASE WHEN q_rank = 3 THEN contrib END), 0.0) AS bscore
+         |         ${(1 to qTerms).map(r =>
+              s"coalesce(max(CASE WHEN q_rank = $r THEN contrib END), 0.0)")
+              .mkString("\n         |       + ")} AS bscore
          |  FROM cb$i GROUP BY 1, 2),
          |lex$i AS (
          |  SELECT query_id, doc_id, lex_rank FROM (

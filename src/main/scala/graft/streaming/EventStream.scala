@@ -8,6 +8,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * of the batch `events` projection in [[graft.ops.Events]]). */
 case class Ev(user_id: Long, event_id: Long, es: Long)
 
+/** A directed attention-handoff occurrence (src handed attention to dst)
+  * emitted by [[EventStream.handoffEdgeStream]] — with multiplicity;
+  * downstream keyed-state consumers dedup. */
+case class HandEdge(src: Long, dst: Long)
+
+/** Per-hour-bucket handoff state: the bucket's last folded event. */
+case class HandState(lastEs: Long, lastEventId: Long, lastUser: Long)
+
+/** Direction flags for one unordered user pair a < b (fwd = a→b seen). */
+case class DyadState(fwd: Boolean, rev: Boolean)
+
+/** A dyad-state delta: d_dir new distinct DIRECTED edges this batch on
+  * this pair, d_mutual 1 the batch the pair turns mutual (else 0). */
+case class DyadDelta(d_dir: Long, d_mutual: Long)
+
+/** One endpoint view of a handoff edge (stateless fan-out, both ends). */
+case class EdgeEnd(user_id: Long, nbr: Long)
+
+/** Per-user adjacency state: the DISTINCT simple-graph neighbor set —
+  * the "per-user degree map"; bounded by the user's degree. */
+case class DegState(nbrs: Seq[Long])
+
+/** A degree-octave retraction delta ([[EventStream.degreeCellsStream]]). */
+case class OctDelta(octave: Long, d_users: Long)
+
 /** A closed session emitted by [[EventStream.sessionize]]. */
 case class Session(user_id: Long, start_es: Long, end_es: Long, n_events: Long)
 
@@ -791,6 +816,146 @@ object EventStream {
         .groupBy("f", "l")
         .agg(sum("d_users").as("n_users"))
         .where(col("n_users") > 0L))
+
+  /** Streaming ATTENTION-HANDOFF EDGES — the graph family's ingest
+    * stage (r17 verdict item 7): the batch edge derivation is a
+    * lag-1 window per hour bucket ([[graft.ops.Events.handoffEdges]]),
+    * so the streaming state is exactly the lag cursor — per hour
+    * bucket, the LAST folded event — and each micro-batch emits the
+    * handoffs its arrivals complete (including the one that closes
+    * over the state boundary, which a naive per-batch window would
+    * drop). Same strictly-ahead in-order ingest contract as
+    * [[transitionStream]] (a redelivered duplicate would emit a
+    * spurious edge no batch run counts). Scale: the key domain is
+    * hour buckets, so one bucket's arrivals serialize through one
+    * task — the SAME trade the batch window makes (its lag partitions
+    * by `es div 3600`); state is O(1) per bucket. */
+  def handoffEdgeStream(events: Dataset[Ev]): Dataset[HandEdge] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.es / 3600L)
+      .flatMapGroupsWithState[HandState, HandEdge](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (hb: Long, batch: Iterator[Ev], state: GroupState[HandState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.es, e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[HandEdge]
+          sorted.foreach { e =>
+            cur.foreach { st =>
+              require(e.es > st.lastEs ||
+                (e.es == st.lastEs && e.event_id > st.lastEventId),
+                s"handoffEdgeStream: bucket $hb event ${e.event_id} at ${e.es} " +
+                  s"arrived at or behind folded state (${st.lastEs}, ${st.lastEventId}) — " +
+                  "the in-order ingest contract is broken")
+              if (st.lastUser != e.user_id)
+                out += HandEdge(st.lastUser, e.user_id)
+            }
+            cur = Some(HandState(e.es, e.event_id, e.user_id))
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming DYAD STATE — q344's stateful twin, the keyed
+    * EDGE-STATE STORE: keyed by the unordered user pair, the state is
+    * which of the two directions has ever been seen, and a batch that
+    * completes a new direction emits a delta (+1 distinct directed
+    * edge; +1 mutual the batch the pair turns reciprocal). Folded
+    * deltas equal the batch (E, M) counters after any prefix, and the
+    * census row — null dyads, reciprocity and all — is served through
+    * the LITERAL gated q344 tail
+    * ([[dyadReportBatch]] → [[graft.ops.Events.dyadCensusRow]]).
+    * State is one 2-bit flag pair per DISTINCT edge — the same
+    * cardinality the batch self-join shuffles, held incrementally. */
+  def dyadCellsStream(edges: Dataset[HandEdge]): Dataset[DyadDelta] = {
+    import edges.sparkSession.implicits._
+    edges
+      .groupByKey(e => (math.min(e.src, e.dst), math.max(e.src, e.dst)))
+      .flatMapGroupsWithState[DyadState, DyadDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long), batch: Iterator[HandEdge],
+         state: GroupState[DyadState]) =>
+          val st0 = state.getOption.getOrElse(DyadState(fwd = false, rev = false))
+          var st = st0
+          batch.foreach { e =>
+            if (e.src < e.dst) st = st.copy(fwd = true)
+            else st = st.copy(rev = true)
+          }
+          if (st == st0) Iterator.empty
+          else {
+            state.update(st)
+            val dDir = (if (st.fwd && !st0.fwd) 1L else 0L) +
+              (if (st.rev && !st0.rev) 1L else 0L)
+            val dMut = if (st.fwd && st.rev && !(st0.fwd && st0.rev)) 1L else 0L
+            Iterator.single(DyadDelta(dDir, dMut))
+          }
+      }
+  }
+
+  /** Serve q344's census from streamed dyad deltas plus the node
+    * count (its own trivially-streamable running count, supplied by
+    * the caller): fold to the (e, m) counters, then the shared gated
+    * tail, literally. */
+  def dyadReportBatch(deltaBatch: DataFrame, nNodes: DataFrame): DataFrame =
+    graft.ops.Events.dyadCensusRow(
+      deltaBatch
+        .agg(coalesce(sum("d_dir"), lit(0L)).as("e"),
+          coalesce(sum("d_mutual"), lit(0L)).as("m"))
+        .crossJoin(broadcast(nNodes)))
+
+  /** [[HandEdge]]s fanned out to both endpoints — the stateless feed
+    * of [[degreeCellsStream]] (a simple-graph edge contributes one
+    * neighbor to EACH end, whichever direction it ran). */
+  def edgeEnds(edges: Dataset[HandEdge]): Dataset[EdgeEnd] = {
+    import edges.sparkSession.implicits._
+    edges.flatMap(e => Seq(EdgeEnd(e.src, e.dst), EdgeEnd(e.dst, e.src)))
+  }
+
+  /** Streaming DEGREE OCTAVES — q345's stateful twin in the
+    * [[engagementCellsStream]] retraction pattern: per user the state
+    * is the distinct neighbor set (the per-user degree map), and a
+    * batch that grows it MOVES the user between octave cells — emit
+    * (old octave, −1) + (new octave, +1); a batch adding no new
+    * neighbor emits nothing. Folded deltas equal the batch octave
+    * histogram over degree ≥ 1 after any prefix; octave 0 (edge-free
+    * users) is total − active, resolved in the served report
+    * ([[degreeReportBatch]] →
+    * [[graft.ops.Events.degreeOctavesFromCells]], the gated tail).
+    * The octave is the exact integer ⌊log₂ deg⌋ + 1 — the q300
+    * `length(bin(v))` trick, computed here via Long.numberOfLeadingZeros
+    * (bit-identical, no libm). */
+  def degreeCellsStream(ends: Dataset[EdgeEnd]): Dataset[OctDelta] = {
+    import ends.sparkSession.implicits._
+    def octave(deg: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(deg)
+    ends
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DegState, OctDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[EdgeEnd], state: GroupState[DegState]) =>
+          val prev = state.getOption.map(_.nbrs.toSet).getOrElse(Set.empty[Long])
+          val next = prev ++ batch.map(_.nbr)
+          if (next.size == prev.size) Iterator.empty
+          else {
+            state.update(DegState(next.toSeq.sorted))
+            val out = Seq.newBuilder[OctDelta]
+            if (prev.nonEmpty) out += OctDelta(octave(prev.size.toLong), -1L)
+            out += OctDelta(octave(next.size.toLong), 1L)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Serve q345's octave histogram from streamed degree deltas plus
+    * the 1-row total-user count: fold to cells, then the shared gated
+    * tail, literally. */
+  def degreeReportBatch(deltaBatch: DataFrame, nTotal: DataFrame): DataFrame =
+    graft.ops.Events.degreeOctavesFromCells(
+      deltaBatch
+        .groupBy("octave")
+        .agg(sum("d_users").as("n_users"))
+        .where(col("n_users") > 0L),
+      nTotal)
 
   def cmsCellsStream(docs: DataFrame): DataFrame = {
     import graft.ops.{TextCore, TextStats}

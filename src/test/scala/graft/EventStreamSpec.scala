@@ -2280,4 +2280,97 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       assert(batch.forall { case (u, d) => got(u) == d })
     } finally query.stop()
   }
+
+  test("graph twins: handoff edges, dyad census and degree octaves match batch across a mid-bucket split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, sum}
+    import graft.streaming.{EdgeEnd, HandEdge}
+    // three hour buckets; the wave split lands MID-bucket-1, so the
+    // 4→2 handoff closes over the state boundary; bucket 2 repeats
+    // 5→1 (dedup must fire) and completes mutual (1,5); u6 sits alone
+    // in bucket 3 (isolated — the octave-0 path of the served report)
+    val wave1 = Seq(Ev(1L, 1L, 10L), Ev(2L, 2L, 20L), Ev(1L, 3L, 30L),
+      Ev(1L, 4L, 40L), Ev(3L, 5L, 50L), Ev(2L, 6L, 60L),
+      Ev(2L, 7L, 3610L), Ev(4L, 8L, 3620L))
+    val wave2 = Seq(Ev(2L, 9L, 3700L),
+      Ev(5L, 10L, 7210L), Ev(1L, 11L, 7220L), Ev(5L, 12L, 7230L),
+      Ev(1L, 13L, 7240L), Ev(6L, 14L, 10810L))
+    // batch-truth edge occurrences, from the same lag-per-bucket rule
+    val edges1 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 2L), (2L, 4L))
+    val edges2 = edges1 ++ Seq((4L, 2L), (5L, 1L), (1L, 5L), (5L, 1L))
+
+    val evIn = MemoryStream[Ev]
+    val edgeQ = EventStream.handoffEdgeStream(evIn.toDS())
+      .writeStream.format("memory").queryName("hand_edges")
+      .outputMode("append").start()
+    def gotEdges(): Seq[(Long, Long)] = spark.table("hand_edges").collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSeq
+    try {
+      evIn.addData(wave1: _*); edgeQ.processAllAvailable()
+      assert(gotEdges().sorted == edges1.sorted) // multiset parity, wave 1
+      evIn.addData(wave2: _*); edgeQ.processAllAvailable()
+      assert(gotEdges().sorted == edges2.sorted) // boundary 4→2 included
+    } finally edgeQ.stop()
+
+    // stage 2: dyad state over the edge stream, split at the same point
+    val dyIn = MemoryStream[HandEdge]
+    val dyQ = EventStream.dyadCellsStream(dyIn.toDS())
+      .writeStream.format("memory").queryName("dyad_cells")
+      .outputMode("append").start()
+    def foldedEM(): (Long, Long) = {
+      val r = spark.table("dyad_cells")
+        .agg(sum("d_dir"), sum("d_mutual")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    try {
+      dyIn.addData(edges1.map(e => HandEdge(e._1, e._2)): _*)
+      dyQ.processAllAvailable()
+      assert(foldedEM() == ((5L, 1L))) // 5 distinct directed, (1,2) mutual
+      dyIn.addData(edges2.drop(edges1.size).map(e => HandEdge(e._1, e._2)): _*)
+      dyQ.processAllAvailable()
+      assert(foldedEM() == ((8L, 3L))) // dup 5→1 NOT recounted
+      // served census == the gated q344 tail on the batch edge set
+      val nNodes = Seq.tabulate(6)(i => i + 1L).toDF("user_id")
+        .agg(count(lit(1)).as("n_nodes"))
+      val served = EventStream.dyadReportBatch(
+          spark.table("dyad_cells"), broadcast(nNodes))
+        .collect().map(_.toSeq).toSeq
+      val batch = graft.ops.Events.dyadCensus(
+          edges2.toDF("src", "dst").distinct(), nNodes)
+        .collect().map(_.toSeq).toSeq
+      assert(served == batch)
+      // hand-checked: C(6,2)=15 dyads, m=3, asym=8−6=2, null=10,
+      // reciprocity 2·3·10⁴ div 8 = 7500
+      assert(served.head == Seq(6L, 8L, 3L, 2L, 10L, 7500L))
+    } finally dyQ.stop()
+
+    // stage 3: per-user degree map → octave retraction deltas
+    val endIn = MemoryStream[EdgeEnd]
+    val degQ = EventStream.degreeCellsStream(endIn.toDS())
+      .writeStream.format("memory").queryName("deg_cells")
+      .outputMode("append").start()
+    def foldedCells(): Map[Long, Long] = spark.table("deg_cells")
+      .groupBy("octave").agg(sum("d_users").as("n"))
+      .where(col("n") =!= 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ends(es: Seq[(Long, Long)]) =
+      es.flatMap(e => Seq(EdgeEnd(e._1, e._2), EdgeEnd(e._2, e._1)))
+    try {
+      endIn.addData(ends(edges1): _*); degQ.processAllAvailable()
+      // wave 1 degrees: u1:2 u2:3 u3:2 u4:1 → octave 1:{u4}, 2:{u1,u2,u3}
+      assert(foldedCells() == Map(1L -> 1L, 2L -> 3L))
+      endIn.addData(ends(edges2.drop(edges1.size)): _*); degQ.processAllAvailable()
+      // u1 moves 2→3 edges (octave stays 2 — retraction cancels);
+      // u5 enters at degree 1; the repeated 5→1 adds nothing
+      assert(foldedCells() == Map(1L -> 2L, 2L -> 3L))
+      // served histogram == the gated q345 tail, octave-0 row included
+      val nTotal = Seq.tabulate(6)(i => i + 1L).toDF("user_id")
+        .agg(count(lit(1)).as("n_total"))
+      val served = EventStream.degreeReportBatch(
+          spark.table("deg_cells"), nTotal)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(served == Seq((0L, 1L), (1L, 2L), (2L, 3L))) // u6 at octave 0
+    } finally degQ.stop()
+  }
 }
