@@ -2373,4 +2373,40 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       assert(served == Seq((0L, 1L), (1L, 2L), (2L, 3L))) // u6 at octave 0
     } finally degQ.stop()
   }
+
+  test("handoffEdgeStream kills the query on out-of-order or redelivered events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // an event arriving BEHIND its bucket's folded state must kill the
+    // query — a silent fold would emit an edge no batch run counts
+    val late = MemoryStream[Ev]
+    val q1 = EventStream.handoffEdgeStream(late.toDS())
+      .writeStream.format("memory").queryName("hand_late")
+      .outputMode("append").start()
+    try {
+      late.addData(Ev(1L, 2L, 500L)); q1.processAllAvailable()
+      late.addData(Ev(2L, 1L, 400L)) // same bucket, earlier es
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("in-order ingest contract") ||
+        Option(ex.getCause).exists(_.getMessage.contains("in-order ingest contract")))
+    } finally q1.stop()
+
+    // an at-least-once redelivery of the folded event must also fail
+    // (>= would let the byte-identical duplicate emit a spurious edge)
+    val dup = MemoryStream[Ev]
+    val q2 = EventStream.handoffEdgeStream(dup.toDS())
+      .writeStream.format("memory").queryName("hand_dup")
+      .outputMode("append").start()
+    try {
+      dup.addData(Ev(1L, 2L, 500L)); q2.processAllAvailable()
+      dup.addData(Ev(1L, 2L, 500L))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("in-order ingest contract") ||
+        Option(ex.getCause).exists(_.getMessage.contains("in-order ingest contract")))
+    } finally q2.stop()
+  }
 }

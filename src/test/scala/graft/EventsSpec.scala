@@ -1120,4 +1120,36 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(got("down") == ((3L, 3L, -2L, 48L, -6666L)))
     assert(got("solo") == ((1L, 0L, 0L, 0L, null)))
   }
+
+  test("handoffEdges memo: builds once per session and equals the direct lag derivation") {
+    import org.apache.spark.sql.expressions.Window
+    val d = "/root/testdata/sf0.001"
+    // identity — the r18 regression guard: all five graph queries must
+    // read the SAME materialized artifact, not re-run the corpus pass
+    val memo = Events.handoffEdges(spark, d)
+    assert(memo eq Events.handoffEdges(spark, d))
+    assert(Events.simpleHandoffEdges(spark, d) eq Events.simpleHandoffEdges(spark, d))
+    assert(Events.userIds(spark, d) eq Events.userIds(spark, d))
+    // parity with the direct per-bucket lag pass the r17 query bodies
+    // inlined (weights included — the memo is the most general artifact)
+    val wh = Window.partitionBy("hb").orderBy("es", "event_id")
+    val direct = Events.events(spark, d)
+      .select(col("user_id"), col("es"), col("event_id"))
+      .withColumn("hb", expr("es div 3600"))
+      .withColumn("src", lag("user_id", 1).over(wh))
+      .where(col("src").isNotNull && col("src") =!= col("user_id"))
+      .groupBy(col("src"), col("user_id").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val got = memo.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = direct.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the simple graph is the least/greatest distinct of the memo
+    val simple = Events.simpleHandoffEdges(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantSimple = got.map { case (s0, d0, _) =>
+      (math.min(s0, d0), math.max(s0, d0)) }
+    assert(simple == wantSimple)
+    assert(simple.forall { case (a, b) => a < b })
+  }
 }
