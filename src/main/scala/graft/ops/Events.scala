@@ -3092,15 +3092,22 @@ object Events {
       .groupBy("user_id")
       .agg(max(struct(col("cnt"), (-col("hr")).as("nh"))).as("m"))
       .select(col("user_id"), (-col("m.nh")).as("hr"))
-    modularityFromParts(simpleHandoffEdges(s, d), labels)
+    // the memo is already distinct and materialized — skip the
+    // re-distinct + re-persist the raw-edge entry point pays
+    modularityFromSimpleEdges(simpleHandoffEdges(s, d), labels)
   }
 
-  /** q341's body over an undirected edge list (a, b) and a (user_id,
-    * hr) community map — factored so the spec can pin Q on hand
-    * communities (two cliques → high Q, a random-ish mix → ~0). */
+  /** q341's body over a RAW undirected edge list (a, b) and a
+    * (user_id, hr) community map — factored so the spec can pin Q on
+    * hand communities (two cliques → high Q, a random-ish mix → ~0). */
   private[graft] def modularityFromParts(und0: DataFrame,
+      labels: DataFrame): DataFrame =
+    modularityFromSimpleEdges(graft.Ckpt.persisted(und0.distinct()), labels)
+
+  /** [[modularityFromParts]] over an ALREADY-distinct, already-
+    * materialized simple edge list (the memoized artifact path). */
+  private[graft] def modularityFromSimpleEdges(und: DataFrame,
       labels: DataFrame): DataFrame = {
-    val und = graft.Ckpt.persisted(und0.distinct())
     val lab = und
       .join(labels.select(col("user_id").as("a"), col("hr").as("ca")), "a")
       .join(labels.select(col("user_id").as("b"), col("hr").as("cb")), "b")
