@@ -131,20 +131,23 @@ object Robust {
     // bounded memory and removes the re-scan of the corpus per branch
     val hist = graft.Ckpt.eager(
       px.groupBy("group", "v").agg(count(lit(1)).as("cnt")))
-    // med/mad are group-count-sized aggregations over CHECKPOINTED
-    // histograms — recomputing them per downstream reference is one
-    // narrow job over cached blocks, cheaper than the eager-checkpoint
-    // barrier each used to pay (r18: the q184 isolate showed the
-    // four-barrier chain, not the data, dominates and jitters the
-    // query; two barriers remain — the two frames actually derived
-    // from corpus-sized input)
-    val med = histMedian(hist).select(col("group"), col("med"), col("n"))
+    // med/mad stay eager-checkpointed: each is referenced by two
+    // downstream branches, and Spark replays (not reuses) a common
+    // subplan per reference — dropping these two barriers re-ran the
+    // histMedian window ~3x inside the final job and measured SLOWER
+    // in-suite (r18: 3.77 s -> 6.19 s across two same-factor windows).
+    // The r18 isolate pinned the residual swing as JVM-warmth
+    // environment, not code: the isolated warm floor (5.9-8.3 s)
+    // exceeds the in-suite band (1.9-4.1 s) on identical code.
+    val med = graft.Ckpt.eager(
+      histMedian(hist).select(col("group"), col("med"), col("n")))
     // abs-deviation histogram derived from the VALUE histogram (no second
     // corpus pass: |v - med| aggregates the cnt column, histogram-sized)
     val adHist = graft.Ckpt.eager(hist.join(broadcast(med), "group")
       .groupBy(col("group"), abs(col("v") - col("med")).as("v"))
       .agg(sum("cnt").as("cnt")))
-    val mad = histMedian(adHist).select(col("group"), col("med").as("mad"))
+    val mad = graft.Ckpt.eager(
+      histMedian(adHist).select(col("group"), col("med").as("mad")))
     val fenced = adHist.join(broadcast(mad), "group")
       .groupBy("group")
       .agg(sum(when(col("v") > lit(3) * col("mad"), col("cnt"))
