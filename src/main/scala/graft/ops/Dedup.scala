@@ -1488,10 +1488,22 @@ object Dedup {
     val b = names.select(col("block"),
       col("name").as("name_b"), col("n_rows").as("n_b"))
     a.join(b, Seq("block"))
-      .where(col("name_a") < col("name_b"))
+      .where(col("name_a") < col("name_b") &&
+        // length pre-filter (r18, guide §4 expression choice): edit
+        // distance ≥ |len(a) − len(b)|, so pairs failing it can never
+        // survive — the cheap integer check short-circuits the O(n·m)
+        // levenshtein for most of the within-block grid. Lossless.
+        abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
       .withColumn("dist",
-        levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .where(col("dist") <= maxDist)
+        // bounded-threshold levenshtein (Spark 3.5+): the DP row
+        // abandons a pair the moment its running distance exceeds the
+        // bound (returns -1) — O(maxDist·n) per pair instead of
+        // O(n·m). threshold = maxDist + 1 so every dist ≤ maxDist is
+        // returned exactly under either boundary convention; the -1
+        // sentinel rows are exactly the > maxDist rows the old filter
+        // dropped.
+        levenshtein(col("name_a"), col("name_b"), maxDist + 1).cast("long"))
+      .where(col("dist") >= 0L && col("dist") <= maxDist)
       .select(col("name_a"), col("name_b"), col("dist"),
         col("n_a"), col("n_b"))
   }
@@ -1584,7 +1596,10 @@ object Dedup {
       val a = corpus.select(col(key).as("k"), col("name").as("na"))
       val b = corpus.select(col(key).as("k"), col("name").as("nb"))
       a.join(b, Seq("k")).where(col("na") < col("nb"))
-        .where(levenshtein(col("na"), col("nb")) <= 2)
+        // same lossless length pre-filter + bounded levenshtein as
+        // [[fuzzyNamePairs]] (r18): |Δlen| > 2 can never reach dist ≤ 2
+        .where(abs(length(col("na")) - length(col("nb"))) <= 2)
+        .where(levenshtein(col("na"), col("nb"), 3).between(0, 2))
         .select("na", "nb").distinct()
     }
     truth

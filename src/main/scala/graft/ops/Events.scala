@@ -126,10 +126,30 @@ object Events {
       .where(col("next_type").isNotNull)
   }
 
+  /** The (from_type, to_type, gap_s, cnt) transition-gap CELLS — the
+    * [[transitionGapRows]] pass folded to its bounded marginal
+    * (#types² × the ≤[[sessionGapSeconds]] gap domain), session-
+    * memoized (r18, the handoffEdges convention): five gated queries
+    * (q201/q298/q238/q304 via [[sessionTransitions]], q320 directly)
+    * each re-ran the identical sessionize + lead corpus windows per
+    * rep — and q320 worse than once, because [[Robust.histQuantiles]]
+    * references its histogram three times and Spark REPLAYS a common
+    * subplan per reference. The cells carry the transition matrix
+    * (sum over gap_s) and the dwell histogram (project gap_s)
+    * losslessly, so every consumer reads one materialized bounded
+    * artifact; the one-time build is charged to the build phase. */
+  private[graft] def transitionGapCells(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo(s, d, "events:transitionGapCells")(
+      transitionGapRows(s, d)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"), col("gap_s"))
+        .agg(count(lit(1)).as("cnt")))(
+      df => graft.BuildPhase.timed(df.localCheckpoint(true)))
+
   private[graft] def sessionTransitions(s: SparkSession, d: String): DataFrame =
-    transitionGapRows(s, d)
-      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
-      .agg(count(lit(1)).as("n"))
+    transitionGapCells(s, d)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(sum("cnt").as("n"))
 
   /** q320: EDGE DWELL TIMES — the TIME dimension on the session graph
     * (q201 says how often view→click happens; a UX/capacity review
@@ -141,10 +161,13 @@ object Events {
     * #types²-bounded. Same sessionized pass as the whole edge family
     * ([[transitionGapRows]] — one definition). */
   val q320_edge_dwell: Q = (s, d) => {
-    val hist = transitionGapRows(s, d)
-      .select(concat(col("event_type"), lit(">"), col("next_type"))
-        .as("group"), col("gap_s").as("v"))
-      .groupBy("group", "v").agg(count(lit(1)).as("cnt"))
+    // the dwell histogram is a pure projection of the memoized gap
+    // cells ((from,to,gap) is already unique per (edge, v)) — the
+    // three histQuantiles references replay a bounded checkpoint
+    // read, not the sessionized corpus pass
+    val hist = transitionGapCells(s, d)
+      .select(concat(col("from_type"), lit(">"), col("to_type"))
+        .as("group"), col("gap_s").as("v"), col("cnt"))
     Robust.histQuantiles(hist, Seq(50 -> "p50_s", 90 -> "p90_s"))
       .select(col("group").as("edge"), col("n"), col("p50_s"), col("p90_s"))
       .orderBy("edge")
@@ -300,6 +323,28 @@ object Events {
       q51_sessionize(s, d)
         .select(col("user_id"), col("session_id"), col("n_events"),
           col("start_es"), col("end_es")))(
+      df => graft.BuildPhase.timed(df.localCheckpoint(true)))
+
+  /** The per-session ENTRY/EXIT table (user_id, session_id, entry,
+    * exit, ne) — the boundary marginal of the sessionized pass,
+    * session-memoized (r18): q326 re-ran a full corpus sessionize +
+    * first/last window per rep, and q331 re-ran the same pass just to
+    * count entry edges; both consume SESSION-grain boundary facts the
+    * corpus pass determines once. entry/exit ride as order-encoding
+    * struct extrema over the unique (es, event_id) key — identical to
+    * first/last over the (es, event_id)-ordered window, without the
+    * window sort. */
+  private[graft] def sessionEntryExit(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo(s, d, "events:sessionEntryExit")(
+      withSessionIds(events(s, d)
+        .select(col("user_id"), col("event_id"), col("es"), col("event_type")))
+        .groupBy("user_id", "session_id")
+        .agg(min(struct(col("es"), col("event_id"), col("event_type"))).as("fst"),
+          max(struct(col("es"), col("event_id"), col("event_type"))).as("lst"),
+          count(lit(1)).as("ne"))
+        .select(col("user_id"), col("session_id"),
+          col("fst.event_type").as("entry"), col("lst.event_type").as("exit"),
+          col("ne")))(
       df => graft.BuildPhase.timed(df.localCheckpoint(true)))
 
   val q69_range_join: Q = (s, d) => {
@@ -1314,14 +1359,18 @@ object Events {
     * oracle replays every fold as suffixed chained CTEs. */
   lazy val q331_markov_attribution: Q = (s, d) => {
     import s.implicits._
-    val sess = withSessionIds(events(s, d)
-      .select(col("user_id"), col("event_id"), col("es"), col("event_type")))
-    val ws = Window.partitionBy("user_id", "session_id").orderBy("es", "event_id")
-    val edges = sess
-      .withColumn("from_type",
-        coalesce(lag("event_type", 1).over(ws), lit(attrStart)))
-      .groupBy(col("from_type"), col("event_type").as("to_type"))
+    // the edge list decomposes exactly onto the two memoized
+    // session-family artifacts (r18): interior edges ARE the q201
+    // transition matrix (same window spec, same grouping), and the
+    // (start)→t edges are one-per-session entries — the entry-type
+    // counts of [[sessionEntryExit]]. Zero corpus passes per rep.
+    val interior = sessionTransitions(s, d)
+      .select(col("from_type"), col("to_type"), col("n"))
+    val entries = sessionEntryExit(s, d)
+      .groupBy(col("entry").as("to_type"))
       .agg(count(lit(1)).as("n"))
+      .select(lit(attrStart).as("from_type"), col("to_type"), col("n"))
+    val edges = interior.unionByName(entries)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     val rows = attributionFold(edges, "purchase", attrChannels)
     val totDrop = rows.map { case (_, base, removed) => base - removed }.sum
@@ -1906,7 +1955,22 @@ object Events {
     * standard co-occurrence cost; aggregates land on the item²-bounded
     * (k1, k2) grid; per-item counts broadcast onto it. */
   val q296_item_cooccurrence: Q = (s, d) =>
-    cooccurrenceTopPairs(uiItems(s, d))
+    coocGrid(s, d)
+      .orderBy(col("co_users").desc, col("k1").asc, col("k2").asc)
+      .limit(20)
+
+  /** The decorated (k1 < k2) co-occurrence grid over [[uiItems]] —
+    * item²-bounded, session-memoized (r18, the qiCells convention):
+    * q296 and q306 both consume this exact grid, and the user-keyed
+    * self-join that builds it re-ran per consumer per rep even though
+    * its input was already the memoized interaction set. One
+    * materialized bounded artifact; the build is charged to the build
+    * phase. */
+  private[graft] def coocGrid(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo(s, d, "events:coocGrid")(
+      cooccurrencePairGrid(uiItems(s, d))
+        .select("k1", "k2", "co_users", "jaccard_bp", "lift_bp"))(
+      df => graft.BuildPhase.timed(df.localCheckpoint(true)))
 
   /** The distinct (user_id, item k) interaction set q296 and q306 both
     * read — session-memoized so a gate run pays the corpus extraction
@@ -2125,17 +2189,30 @@ object Events {
     * 625 bp HDR guarantee — an audit that FAILS loudly if the bucket
     * geometry ever drifts from the error contract. */
   val q301_hdr_audit: Q = (s, d) => {
-    val ev = graft.Ckpt.persisted(events(s, d)
+    // ONE corpus aggregate (r18): the exact (type, cent) value cells
+    // carry the HDR cells losslessly (each cent value maps to exactly
+    // one HDR bucket, so summing cell counts per bucket ≡ counting
+    // raw rows per bucket — the additivity the spec pins). The old
+    // shape persisted the corpus projection and ran TWO corpus
+    // aggregations over the cache per rep; now the second aggregation
+    // and the six histQuantiles references all read a value-domain-
+    // bounded checkpoint.
+    val exCells = graft.Ckpt.eager(events(s, d)
       .select(col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
-      .where(col("vc") >= 1L))
+      .where(col("vc") >= 1L)
+      .groupBy(col("event_type"), col("vc"))
+      .agg(count(lit(1)).as("cnt")))
     val marks = Seq(50 -> "p50", 90 -> "p90", 99 -> "p99")
     val exact = Robust.histQuantiles(
-      ev.groupBy(col("event_type").as("group"), col("vc").as("v"))
-        .agg(count(lit(1)).as("cnt")),
+      exCells.select(col("event_type").as("group"), col("vc").as("v"),
+        col("cnt")),
       marks.map { case (p, n) => p -> s"${n}_exact" })
     val est = Robust.histQuantiles(
-      hdrCells(ev)
+      exCells
+        .select(col("event_type"), expr(hdrBucketSql("vc")).as("id"),
+          col("cnt"))
+        .groupBy("event_type", "id").agg(sum("cnt").as("cnt"))
         .select(col("event_type").as("group"), expr(hdrLbSql("id")).as("v"),
           col("cnt")),
       marks.map { case (p, n) => p -> s"${n}_est" })
@@ -2217,14 +2294,20 @@ object Events {
     * rank filter plans as a partial WindowGroupLimit (the q165 pin) —
     * per-item groups are item-domain-bounded. */
   val q306_item_neighbors: Q = (s, d) =>
-    itemNeighbors(uiItems(s, d))
+    // the memoized grid is already materialized — both union branches
+    // read the checkpoint (r18)
+    itemNeighborsFromGrid(coocGrid(s, d))
 
   /** q306's body over any DISTINCT (user_id, k) frame. */
-  private[graft] def itemNeighbors(ui: DataFrame): DataFrame = {
+  private[graft] def itemNeighbors(ui: DataFrame): DataFrame =
     // the grid subtree feeds BOTH union branches — item²-bounded, so
     // an eager checkpoint runs the corpus self-join once, not twice
-    val grid = graft.Ckpt.eager(cooccurrencePairGrid(ui)
-      .select("k1", "k2", "co_users", "jaccard_bp", "lift_bp"))
+    itemNeighborsFromGrid(graft.Ckpt.eager(cooccurrencePairGrid(ui)
+      .select("k1", "k2", "co_users", "jaccard_bp", "lift_bp")))
+
+  /** [[itemNeighbors]] over an ALREADY-materialized decorated grid
+    * (the memoized-artifact path). */
+  private[graft] def itemNeighborsFromGrid(grid: DataFrame): DataFrame = {
     val sym = grid.unionByName(grid.select(col("k2").as("k1"),
       col("k1").as("k2"), col("co_users"), col("jaccard_bp"),
       col("lift_bp")))
@@ -2496,18 +2579,10 @@ object Events {
     * first/last window per (user, session), then type-bounded
     * aggregates. */
   val q326_entry_exit: Q = (s, d) => {
-    val sess = withSessionIds(events(s, d)
-      .select(col("user_id"), col("event_id"), col("es"), col("event_type")))
-    val w = Window.partitionBy("user_id", "session_id")
-      .orderBy("es", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val per = sess
-      .withColumn("entry", first("event_type").over(w))
-      .withColumn("exit", last("event_type").over(w))
-      .withColumn("ne", count(lit(1)).over(w))
-      .groupBy("user_id", "session_id")
-      .agg(max("entry").as("entry"), max("exit").as("exit"),
-        max("ne").as("ne"))
+    // the memoized session-boundary table (r18) — entry/exit/ne per
+    // session, determined once per session instead of a corpus
+    // sessionize + first/last window per rep
+    val per = sessionEntryExit(s, d)
     val tot = per.agg(count(lit(1)).as("n_sessions"))
     val entries = per.groupBy(col("entry").as("event_type"))
       .agg(count(lit(1)).as("n_entries"),
@@ -2538,17 +2613,19 @@ object Events {
     * SESSION-grain rows (sessions per user, not events), histogram-
     * bounded selection. */
   val q327_return_time: Q = (s, d) => {
-    val sess = withSessionIds(events(s, d)
-      .select(col("user_id"), col("event_id"), col("es"), col("event_type")))
-      .groupBy("user_id", "session_id")
-      .agg(min("es").as("start_es"), max("es").as("end_es"))
+    // the memoized q51 session table (r18) already carries
+    // start_es/end_es — the per-rep corpus sessionize collapses to a
+    // SESSION-grain lag; the gap histogram is eager-checkpointed
+    // because histQuantiles references it three times
+    val sess = sessionTable(s, d)
+      .select("user_id", "session_id", "start_es", "end_es")
     val wu = Window.partitionBy("user_id").orderBy("start_es")
-    val hist = sess
+    val hist = graft.Ckpt.eager(sess
       .withColumn("prev_end", lag("end_es", 1).over(wu))
       .where(col("prev_end").isNotNull)
       .select(lit("return_s").as("group"),
         (col("start_es") - col("prev_end")).as("v"))
-      .groupBy("group", "v").agg(count(lit(1)).as("cnt"))
+      .groupBy("group", "v").agg(count(lit(1)).as("cnt")))
     Robust.histQuantiles(hist, Seq(50 -> "p50_s", 90 -> "p90_s"))
       .select(col("n").as("n_gaps"), col("p50_s"), col("p90_s"))
   }

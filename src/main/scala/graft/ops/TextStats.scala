@@ -1480,8 +1480,12 @@ object TextStats {
       .select(col("word"), lit(trScale).as("rank")))
     for (_ <- 1 to trIters) {
       // symmetric edges ⇒ every node has in-edges ⇒ groupBy(dst)
-      // preserves the node set across iterations
-      rank = edN.join(rank, edN("src") === rank("word"))
+      // preserves the node set across iterations. The rank vector is
+      // vocabulary-sized (the doc's broadcastability argument), so
+      // broadcasting it turns the per-iteration join map-side: one
+      // exchange per round (the groupBy) instead of two (edge shuffle
+      // + rank shuffle) — r18, guide §3.1.
+      rank = edN.join(broadcast(rank), edN("src") === rank("word"))
         .groupBy(col("dst"))
         .agg(sum(expr("(rank * w) div wout")).as("inc"))
         .select(col("dst").as("word"),

@@ -232,6 +232,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.exists(p => p._1 == "blue widget" && p._2 == "blue widgit"))
   }
 
+  test("fuzzyNamePairs bounded levenshtein + length pre-filter lose no pair vs the plain form") {
+    import org.apache.spark.sql.functions._
+    // r18: the within-block grid now length-pre-filters and runs the
+    // thresholded levenshtein — parity against the unbounded original
+    // over the REAL part vocabulary (boundary dists 0/2/3 included)
+    val names = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("block", element_at(split(col("name"), " "), 2))
+    val a = names.select(col("block"), col("name").as("name_a"),
+      col("n_rows").as("n_a"))
+    val b = names.select(col("block"), col("name").as("name_b"),
+      col("n_rows").as("n_b"))
+    val plain = a.join(b, Seq("block"))
+      .where(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("dist") <= 2)
+      .select("name_a", "name_b", "dist").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val bounded = Dedup.fuzzyNamePairs(names, maxDist = 2)
+      .select("name_a", "name_b", "dist").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(bounded == plain)
+    assert(bounded.nonEmpty)
+  }
+
   test("q237: the sweep's production point replays q63; candidates grow with band count") {
     val sf = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q237_lsh_band_sweep")(spark, sf).collect()

@@ -1152,4 +1152,88 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(simple == wantSimple)
     assert(simple.forall { case (a, b) => a < b })
   }
+
+  test("transitionGapCells memo: builds once and equals the direct lead-pass marginal") {
+    val d = "/root/testdata/sf0.001"
+    val memo = Events.transitionGapCells(spark, d)
+    assert(memo eq Events.transitionGapCells(spark, d))
+    // parity with the per-rep pass the r17 bodies ran: the cells are the
+    // (from, to, gap) marginal of the sessionized lead rows
+    val want = Events.transitionGapRows(spark, d)
+      .groupBy(col("event_type"), col("next_type"), col("gap_s"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val got = memo.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the transition matrix folds from the cells losslessly
+    val mat = Events.sessionTransitions(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val wantMat = want.groupBy(t => (t._1, t._2)).map { case ((f, t), g) =>
+      (f, t, g.toSeq.map(_._4).sum) }.toSet
+    assert(mat == wantMat)
+  }
+
+  test("sessionEntryExit memo: equals the windowed first/last derivation; q331 edges decompose onto it") {
+    import org.apache.spark.sql.expressions.Window
+    val d = "/root/testdata/sf0.001"
+    val memo = Events.sessionEntryExit(spark, d)
+    assert(memo eq Events.sessionEntryExit(spark, d))
+    val sess = Events.withSessionIds(Events.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("es"), col("event_type")))
+    val w = Window.partitionBy("user_id", "session_id")
+      .orderBy("es", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val want = sess
+      .withColumn("entry", first("event_type").over(w))
+      .withColumn("exit", last("event_type").over(w))
+      .withColumn("ne", count(lit(1)).over(w))
+      .groupBy("user_id", "session_id")
+      .agg(max("entry").as("entry"), max("exit").as("exit"), max("ne").as("ne"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSet
+    val got = memo.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // q331's edge decomposition: interior (= the transition matrix) plus
+    // one (start)->entry edge per session must equal the single
+    // coalesce(lag, start) pass the r17 body ran
+    val ws = Window.partitionBy("user_id", "session_id").orderBy("es", "event_id")
+    val direct = sess
+      .withColumn("from_type",
+        coalesce(lag("event_type", 1).over(ws), lit("(start)")))
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val interior = Events.sessionTransitions(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val entries = got.groupBy(_._3).map { case (t, g) =>
+      ("(start)", t, g.size.toLong) }
+    assert((interior.toSet ++ entries) == direct)
+  }
+
+  test("q301 HDR cells derived from exact value cells equal the raw-row HDR cells") {
+    val d = "/root/testdata/sf0.001"
+    val ev = Events.events(spark, d)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .where(col("vc") >= 1L)
+    val exCells = ev.groupBy(col("event_type"), col("vc"))
+      .agg(count(lit(1)).as("cnt"))
+    // additivity: each cent value maps to exactly one HDR bucket, so
+    // summing cell counts per bucket == counting raw rows per bucket
+    val derived = exCells
+      .select(col("event_type"), expr(Events.hdrBucketSql("vc")).as("id"),
+        col("cnt"))
+      .groupBy("event_type", "id").agg(sum("cnt").as("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val raw = Events.hdrCells(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(derived == raw)
+    assert(derived.nonEmpty)
+  }
 }

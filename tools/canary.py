@@ -40,7 +40,12 @@ CANARIES = [
     "q260_tpch_q20",           # multi-join TPC-H shape
     "q64_rare_terms",          # text explode + agg (volatile-listed, 5 reps)
     "q74_salted_agg",          # skew-salted two-phase aggregate
-    "q238_type_pagerank",      # iterative graph fold (bounded domain)
+    # r18 sitting 2: q238 left the list — its sessionized corpus pass
+    # was folded into the events:transitionGapCells session memo (a
+    # deliberate code change; the instrument rule above says changed
+    # code = re-baseline). q61 takes the slot: same family (iterative
+    # graph fold, bounded rounds), read-only, code untouched since r9.
+    "q61_dedup_components",    # iterative graph fold (bounded domain)
     "q273_erasure_sweep",      # governance anti-join/semi-probe sweep
     "q59_dedup_embed_lsh",     # embedding sign-LSH banding
     "q163_quality_perceptron", # text quality scoring pass
