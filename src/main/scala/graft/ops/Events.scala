@@ -505,10 +505,25 @@ object Events {
   private[graft] def ewmaBurst(cnt: Long, ewma: Long): Boolean =
     cnt * ewmaScale > 2L * ewma
 
+  /** The (event_type, day, cnt) DAILY count cells — calendar×types-
+    * bounded, session-memoized (r18, the transitionGapCells
+    * convention): THIRTEEN gated queries (q186/q207/q208/q252/q274/
+    * q283/q292/q293/q295/q299/q309/q325/q332 — the whole daily
+    * time-series family) each re-ran the identical corpus groupBy per
+    * rep; several re-paid it per REFERENCE through their own
+    * Ckpt.persisted. One materialized bounded artifact per session;
+    * the build is charged to the build phase. Weekday (q274/q299/
+    * q325) and epoch marginals fold from it losslessly. */
+  private[graft] def dailyCells(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo(s, d, "events:dailyCells")(
+      events(s, d)
+        .groupBy(col("event_type"),
+          expr("CAST(es div 86400 AS BIGINT)").as("day"))
+        .agg(count(lit(1)).as("cnt")))(
+      df => graft.BuildPhase.timed(df.localCheckpoint(true)))
+
   val q186_ewma_rate: Q = (s, d) => {
-    val daily = events(s, d)
-      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
-      .agg(count(lit(1)).as("cnt"))
+    val daily = dailyCells(s, d)
     daily
       .groupBy("event_type")
       .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("ds"))
@@ -549,10 +564,9 @@ object Events {
     math.max(0L, prev + (cnt - mu - mu / cusumSlackDiv))
 
   val q207_cusum_changepoint: Q = (s, d) => {
-    // calendar×types-bounded and referenced twice (μ + the fold input)
-    val daily = graft.Ckpt.eager(events(s, d)
-      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
-      .agg(count(lit(1)).as("cnt")))
+    // the memoized daily cells are already materialized — both
+    // references (μ + the fold input) read the checkpoint (r18)
+    val daily = dailyCells(s, d)
     val mu = daily.groupBy("event_type")
       .agg(expr("CAST(sum(cnt) div count(1) AS BIGINT)").as("mu"))
     daily.join(broadcast(mu), "event_type")
@@ -587,9 +601,7 @@ object Events {
     * events/day/day hundredths. den = 0 (a single active day) yields
     * NULL, not a division error. */
   val q208_daily_trend: Q = (s, d) =>
-    events(s, d)
-      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
-      .agg(count(lit(1)).as("cnt"))
+    dailyCells(s, d)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_days"), sum("cnt").as("sum_cnt"),
         sum("day").as("sx"), sum(expr("day * cnt")).as("sxy"),
@@ -630,9 +642,7 @@ object Events {
     * ten orders of magnitude above the division's ulp, so the floor
     * can never land on the wrong side. */
   val q252_theilsen_trend: Q = (s, d) =>
-    theilSenFromDaily(graft.Ckpt.persisted(events(s, d)
-      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
-      .agg(count(lit(1)).as("cnt"))))
+    theilSenFromDaily(dailyCells(s, d))
 
   /** q252's core over a prepared (`event_type`, `day`, `cnt`) frame —
     * factored so the spec can pin the lower-median rank on synthetic
@@ -678,9 +688,7 @@ object Events {
     * aggregate; single-active-day types have no pairs and surface with
     * S = 0, τ NULL rather than vanishing. */
   val q332_mann_kendall: Q = (s, d) =>
-    mannKendallFromDaily(events(s, d)
-      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
-      .agg(count(lit(1)).as("cnt")))
+    mannKendallFromDaily(dailyCells(s, d))
 
   /** q332's core over a prepared (`event_type`, `day`, `cnt`) frame —
     * factored (the q252 convention) so the spec can pin S on a
@@ -1150,7 +1158,18 @@ object Events {
     * histogram is the 100 TB-safe representation (value-domain-bounded,
     * mergeable across batches); the per-type compare touches ≤ 16 rows
     * per type. drifted fires above 5% (500 bp). */
-  val q229_dist_drift: Q = (s, d) => driftFromEvents(events(s, d))
+  /** The (event_type, epoch, bucket, cnt) drift cells over the gated
+    * corpus — session-memoized (r18): q229 and q235 fold the IDENTICAL
+    * cell table (one definition, [[driftCellCounts]]) but re-ran the
+    * corpus pass per consumer per rep. Bounded: types × 2 epochs × 16
+    * buckets. [[driftFromEvents]] stays frame-parameterized — it is
+    * the streaming-parity reference. */
+  private[graft] def driftCells(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo(s, d, "events:driftCells")(
+      driftCellCounts(events(s, d)))(
+      df => graft.BuildPhase.timed(df.localCheckpoint(true)))
+
+  val q229_dist_drift: Q = (s, d) => driftTable(driftCells(s, d))
 
   /** q235: DRIFT ATTRIBUTION — the question an operator asks the
     * moment q229's alarm fires: WHICH value range moved? For every
@@ -1166,7 +1185,7 @@ object Events {
   val q235_drift_attribution: Q = (s, d) => {
     val w = Window.partitionBy("event_type")
       .orderBy(abs(col("pa") - col("pb")).desc, col("bucket").asc)
-    driftShares(driftCellCounts(events(s, d)))
+    driftShares(driftCells(s, d))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .select(col("event_type"), col("bucket"),
@@ -1191,13 +1210,21 @@ object Events {
     * (type, epoch, cent) histogram pass; the cumulative and argmax
     * windows run on the value-domain-bounded histogram (the q242/q250
     * allowlisted shape), never on event rows. */
+  /** The (event_type, epoch, cent, cnt) KS cells — value-domain-
+    * bounded, session-memoized (r18): q290 and its q310 composition
+    * re-ran the corpus histogram pass per rep. */
+  private[graft] def ksCells(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo(s, d, "events:ksCells")(
+      events(s, d)
+        .select(col("event_type"),
+          driftEpoch(expr("es div 86400")).as("epoch"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cent"))
+        .groupBy("event_type", "epoch", "cent")
+        .agg(count(lit(1)).as("cnt")))(
+      df => graft.BuildPhase.timed(df.localCheckpoint(true)))
+
   val q290_ks_drift: Q = (s, d) =>
-    ksFromCells(events(s, d)
-      .select(col("event_type"),
-        driftEpoch(expr("es div 86400")).as("epoch"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cent"))
-      .groupBy("event_type", "epoch", "cent")
-      .agg(count(lit(1)).as("cnt")))
+    ksFromCells(ksCells(s, d))
 
   /** q290's body over any (event_type, epoch∈{0,1}, cent, cnt) cell
     * frame — factored (the q229 [[driftTable]] convention) so the spec
@@ -1648,9 +1675,7 @@ object Events {
     * < 2 pairs or a degenerate side surface NULL. Calendar-bounded
     * throughout. */
   val q283_lag7_autocorr: Q = (s, d) => {
-    val daily = graft.Ckpt.persisted(events(s, d)
-      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
-      .agg(count(lit(1)).as("cnt")))
+    val daily = dailyCells(s, d)
     val pairs = daily
       .join(daily.select(col("event_type"), (col("day") - 7L).as("day"),
         col("cnt").as("y")), Seq("event_type", "day"))
@@ -1773,10 +1798,10 @@ object Events {
     * spine is a 15-row broadcast; windows run over the 15-row lag
     * frame. */
   val q292_leadlag: Q = (s, d) => {
-    val daily = graft.Ckpt.persisted(events(s, d)
+    // filtering the memoized cells on the GROUP key ≡ filtering the
+    // events before grouping (r18)
+    val daily = dailyCells(s, d)
       .where(col("event_type").isin("view", "purchase"))
-      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
-      .agg(count(lit(1)).as("cnt")))
     leadLagSweep(
       daily.where(col("event_type") === "view")
         .select(col("day"), col("cnt").as("x")),
@@ -1834,9 +1859,7 @@ object Events {
     * candidate×day cross is calendar²-bounded per type (the q291
     * class); one argmax window over ≤ days rows per type. */
   val q293_changepoint: Q = (s, d) =>
-    changepointReport(graft.Ckpt.persisted(events(s, d)
-      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
-      .agg(count(lit(1)).as("cnt"))))
+    changepointReport(dailyCells(s, d))
 
   /** q293's body over any (event_type, day, cnt) daily frame —
     * factored so the spec can pin a hand level-shift and the
@@ -1922,9 +1945,7 @@ object Events {
     * for degenerate types, flagged above 1.5 (15000). Scale:
     * calendar-bounded per-type aggregate, nothing else. */
   val q295_dispersion: Q = (s, d) =>
-    dispersionFromDaily(events(s, d)
-      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
-      .agg(count(lit(1)).as("cnt")))
+    dispersionFromDaily(dailyCells(s, d))
 
   /** q295's body over any (event_type, day, cnt) daily frame. */
   private[graft] def dispersionFromDaily(daily: DataFrame): DataFrame =
@@ -2097,10 +2118,14 @@ object Events {
     * (weekday, type) corpus aggregate; margins and the grid are
     * enum-bounded. */
   val q299_chi2_weekday: Q = (s, d) =>
-    chi2FromCells(graft.Ckpt.persisted(events(s, d)
-      .select(expr("(es div 86400 + 4) % 7").as("wd"), col("event_type"))
+    // the weekday contingency folds from the memoized daily cells
+    // ((es div 86400 + 4) % 7 ≡ (day + 4) % 7; summing day counts per
+    // weekday ≡ counting events per weekday — r18). Eager because
+    // chi2FromCells references its cells four times.
+    chi2FromCells(graft.Ckpt.eager(dailyCells(s, d)
+      .select(expr("(day + 4) % 7").as("wd"), col("event_type"), col("cnt"))
       .groupBy("wd", "event_type")
-      .agg(count(lit(1)).as("o"))))
+      .agg(sum("cnt").as("o"))))
 
   /** q299's body over any (wd, event_type, o) contingency frame —
     * factored so the spec can pin the φ² = 1 perfect-association and
@@ -2333,9 +2358,7 @@ object Events {
     * throughout. Scale: two calendar-bounded passes (the daily table
     * and its lag-7 self-join — the q283 shape). */
   val q309_forecast_backtest: Q = (s, d) =>
-    backtestFromDaily(graft.Ckpt.persisted(events(s, d)
-      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
-      .agg(count(lit(1)).as("cnt"))))
+    backtestFromDaily(dailyCells(s, d))
 
   /** q309's body over any (event_type, day, cnt) daily frame. */
   private[graft] def backtestFromDaily(daily: DataFrame): DataFrame =
@@ -2545,9 +2568,7 @@ object Events {
     * calendar explains nothing. Scale: one per-day pass, then
     * calendar-bounded weekday aggregates. */
   val q325_seasonality_strength: Q = (s, d) => {
-    val daily = events(s, d)
-      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
-      .agg(count(lit(1)).as("cnt"))
+    val daily = dailyCells(s, d)
       .withColumn("wd", expr("(day + 4) % 7"))
     val wd = daily.groupBy("event_type", "wd")
       .agg(count(lit(1)).as("nw"), sum("cnt").as("sx"),
@@ -2839,9 +2860,7 @@ object Events {
     * calendar-bounded per type; one (type, weekday) aggregate, one
     * type-partitioned argmax window. */
   val q274_weekday_profile: Q = (s, d) => {
-    val daily = events(s, d)
-      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
-      .agg(count(lit(1)).as("cnt"))
+    val daily = dailyCells(s, d)
       .withColumn("wd", expr("(day + 4) % 7"))
     val prof = daily.groupBy("event_type", "wd")
       .agg(sum("cnt").as("wsum"), count(lit(1)).as("wdays"))

@@ -1216,6 +1216,33 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert((interior.toSet ++ entries) == direct)
   }
 
+  test("dailyCells memo: builds once, equals the direct daily marginal; weekday contingency folds from it") {
+    val d = "/root/testdata/sf0.001"
+    val memo = Events.dailyCells(spark, d)
+    assert(memo eq Events.dailyCells(spark, d))
+    assert(Events.driftCells(spark, d) eq Events.driftCells(spark, d))
+    assert(Events.ksCells(spark, d) eq Events.ksCells(spark, d))
+    val want = Events.events(spark, d)
+      .groupBy(col("event_type"), expr("CAST(es div 86400 AS BIGINT)").as("day"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = memo.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the q299 weekday contingency folds from the daily cells exactly
+    // (same weekday arithmetic, summed day counts == counted events)
+    val derived = memo
+      .select(expr("(day + 4) % 7").as("wd"), col("event_type"), col("cnt"))
+      .groupBy("wd", "event_type").agg(sum("cnt").as("o")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val direct = Events.events(spark, d)
+      .select(expr("(es div 86400 + 4) % 7").as("wd"), col("event_type"))
+      .groupBy("wd", "event_type").agg(count(lit(1)).as("o")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(derived == direct)
+  }
+
   test("q301 HDR cells derived from exact value cells equal the raw-row HDR cells") {
     val d = "/root/testdata/sf0.001"
     val ev = Events.events(spark, d)
