@@ -821,4 +821,28 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4L) == ((0L, 0L, null, 2857L)))
     assert(got.size == 10)
   }
+
+  test("unigram/bigram count memos build once and equal the direct marginals; totals fold exactly") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val uMemo = TextStats.unigramCounts(spark, d)
+    val bMemo = TextStats.bigramCounts(spark, d)
+    assert(uMemo eq TextStats.unigramCounts(spark, d))
+    assert(bMemo eq TextStats.bigramCounts(spark, d))
+    val docs = graft.ops.TextCore.docShingles(spark, d)
+    val wantU = docs.select(explode(col("words")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotU = uMemo.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotU == wantU)
+    assert(gotU.nonEmpty)
+    // the q279 totals derivation: Σ cw == Σ size(words),
+    // Σ cab == Σ max(size − 1, 0) — one row each, exact
+    val direct = docs.agg(
+      sum(size(col("words")).cast("long")).as("nt"),
+      sum(greatest(size(col("words")).cast("long") - 1L, lit(0L))).as("nb"))
+      .head()
+    assert(uMemo.agg(sum("cw")).head().getLong(0) == direct.getLong(0))
+    assert(bMemo.agg(sum("cab")).head().getLong(0) == direct.getLong(1))
+  }
 }
