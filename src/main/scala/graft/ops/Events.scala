@@ -1976,17 +1976,22 @@ object Events {
     * standard co-occurrence cost; aggregates land on the item²-bounded
     * (k1, k2) grid; per-item counts broadcast onto it. */
   val q296_item_cooccurrence: Q = (s, d) =>
-    coocGrid(s, d)
-      .orderBy(col("co_users").desc, col("k1").asc, col("k2").asc)
-      .limit(20)
+    // PRIMARY-BUILDS-FRESH (r19, SessionMemo rule 3): the memoized grid
+    // is q296's entire computation minus the top-20, so serving q296
+    // from it made its median a checkpoint read (0.03 s), not a
+    // measurement (r18 verdict, "What's wrong #2"). The primary runs
+    // the user-keyed self-join fresh every rep — same memoLabels
+    // policy as q61 — while q306 (the derived consumer) reads the memo.
+    cooccurrenceTopPairs(uiItems(s, d))
 
   /** The decorated (k1 < k2) co-occurrence grid over [[uiItems]] —
     * item²-bounded, session-memoized (r18, the qiCells convention):
-    * q296 and q306 both consume this exact grid, and the user-keyed
-    * self-join that builds it re-ran per consumer per rep even though
-    * its input was already the memoized interaction set. One
-    * materialized bounded artifact; the build is charged to the build
-    * phase. */
+    * q296 and q306 consume the same grid, and the user-keyed self-join
+    * that builds it re-ran per consumer per rep even though its input
+    * was already the memoized interaction set. One materialized bounded
+    * artifact for the CONSUMER side (q306); the primary (q296) builds
+    * the grid fresh per rep per SessionMemo rule 3. Build charged to
+    * the build phase. */
   private[graft] def coocGrid(s: SparkSession, d: String): DataFrame =
     graft.SessionMemo(s, d, "events:coocGrid")(
       cooccurrencePairGrid(uiItems(s, d))
