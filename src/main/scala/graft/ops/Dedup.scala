@@ -1163,27 +1163,54 @@ object Dedup {
           graft.functions.VectorOps.minhashSignature(col("sh_md5"), numHashes))
         .select("doc_id", "mhs"))(
       df => graft.BuildPhase.timed(df.localCheckpoint(true)))
-    val perConfig = sweepBandCounts.map { b =>
-      val bands = sigs
-        .select(col("doc_id"), explode(array(bandStructs(b): _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("ca"), col("b.doc_id").as("cb"))
-        .distinct()
-      val hits = exact.join(cand,
-          col("doc_a") === col("ca") && col("doc_b") === col("cb"), "left")
-        .agg(count(lit(1)).as("n_exact"), count(col("ca")).as("n_found"))
-      hits.crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand")))) // 1-row ride
-        .select(lit(b.toLong).as("n_bands"),
-          lit((numHashes / b).toLong).as("rows_per_band"),
-          col("n_cand"), col("n_exact"), col("n_found"),
-          when(col("n_exact") === 0, lit(null).cast("double"))
-            .otherwise(round4(col("n_found").cast("double") /
-              col("n_exact").cast("double"))).as("recall"))
+    // ONE fused pass over all four configs (r19, guide §2.4 + the
+    // plan-size item): the old per-config loop unioned four subtrees,
+    // each executing its band self-join TWICE per rep (once for the
+    // recall join, once again for the n_cand count — no cache between
+    // them), i.e. eight candidate joins and a 1339-line physical plan.
+    // Band keys for every config explode from the signature in one
+    // Generate (cfg rides the struct), the self-join keys on
+    // (cfg, band, bkey) so configs can never cross-match. The candidate
+    // set is NOT materialized — n_cand and the recall join each execute
+    // the join (2 jobs vs the old 8; same total explode volume,
+    // 2×(2+4+6+12) ≡ 2×24 struct-rows): the r19 isolate A/B measured
+    // both an eager checkpoint (1.62 s) and a lazy persist (1.39)
+    // SLOWER than recomputing (1.07) at sf0.1 — the 1-row-per-band
+    // config's candidate set is large, and writing it costs more than
+    // the replay. Per-config output rows are identical (the join key
+    // partitions exactly as four separate joins; counts group on cfg;
+    // n_exact is config-independent; a config with zero candidates
+    // na.fill(0)s ≡ the old left-join zeros).
+    val tagged = sweepBandCounts.map { b =>
+      array(bandStructs(b).map(st => struct(lit(b.toLong).as("cfg"),
+        st.getField("band").as("band"), st.getField("bkey").as("bkey"))): _*)
     }
-    perConfig.reduceLeft(_ unionAll _).orderBy("n_bands")
+    val bands = sigs.select(col("doc_id"), explode(concat(tagged: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.cfg").as("cfg"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.cfg") === col("b.cfg") && col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.cfg").as("cfg"), col("a.doc_id").as("ca"),
+        col("b.doc_id").as("cb"))
+      .distinct()
+    val nCand = cand.groupBy("cfg").agg(count(lit(1)).as("n_cand"))
+    val nFound = exact.join(cand,
+        col("doc_a") === col("ca") && col("doc_b") === col("cb"))
+      .groupBy("cfg").agg(count(lit(1)).as("n_found"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    import s.implicits._
+    val cfgs = sweepBandCounts.map(b => (b.toLong, (numHashes / b).toLong))
+      .toDF("cfg", "rows_per_band")
+    cfgs.join(nCand, Seq("cfg"), "left").join(nFound, Seq("cfg"), "left")
+      .na.fill(0L, Seq("n_cand", "n_found"))
+      .crossJoin(broadcast(nExact))
+      .select(col("cfg").as("n_bands"), col("rows_per_band"), col("n_cand"),
+        col("n_exact"), col("n_found"),
+        when(col("n_exact") === 0, lit(null).cast("double"))
+          .otherwise(round4(col("n_found").cast("double") /
+            col("n_exact").cast("double"))).as("recall"))
+      .orderBy("n_bands")
   }
 
   // -------------------------------------------------------------------------
