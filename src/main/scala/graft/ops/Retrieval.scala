@@ -228,6 +228,11 @@ object Retrieval {
   private def panelLex(s: SparkSession, d: String, panel: DataFrame): DataFrame = {
     val post = postings(s, d)
     val stats = corpusStats(s, d)
+    // qtf is referenced twice (ranking + df semi-join) but NOT
+    // materialized: the r19 isolate A/B measured the eager checkpoint
+    // SLOWER than the replay it saves (trio sum 1.36 → 1.75 s at
+    // sf0.1) — the q237 lesson: materialize only when recomputing is
+    // dearer
     val qtf = post
       .join(broadcast(panel.select(col("query_id").as("doc_id"))), Seq("doc_id"))
       .withColumnRenamed("doc_id", "query_id")
@@ -252,11 +257,18 @@ object Retrieval {
     // the pair set feeds the panel, the relevance join and the n_rel
     // count — it arrives as the session-memoized checkpoint (r18: the
     // extra Ckpt.persisted layer re-cached the already-materialized
-    // memo per rep and churned unpersist at every query boundary)
+    // memo per rep and churned unpersist at every query boundary).
+    // r19 (plan-size item): panel and rel are REFERENCED 2-4x each and
+    // Spark replays the whole pair-scan+union+distinct subtree per
+    // reference — at 10 rows (panel) / panel-partner rows (rel) the
+    // eager checkpoint is one tiny job and every replay collapses to a
+    // Scan ExistingRDD, cutting the ~1000-line physical plan Catalyst
+    // must replan every rep.
     val pairs = Dedup.exactNearDupPairs(s, d)
-    val panel = knownItemPanel(pairs)
+    val panel = graft.Ckpt.eager(knownItemPanel(pairs))
     val lex = panelLex(s, d, panel)
-    val rel = panelRel(pairs, panel).select(col("query_id"), col("rel_id"))
+    val rel = graft.Ckpt.eager(
+      panelRel(pairs, panel).select(col("query_id"), col("rel_id")))
     val nrel = rel.groupBy("query_id").agg(count(col("rel_id")).as("n_rel"))
     val fr = lex
       .join(rel.select(col("query_id").as("rq"), col("rel_id")),
@@ -295,13 +307,16 @@ object Retrieval {
     * ≤depth rows); the IDCG window partitions by query_id. */
   lazy val q245_retrieval_ndcg: Q = (s, d) => {
     val pairs = Dedup.exactNearDupPairs(s, d)
-    val panel = knownItemPanel(pairs)
+    // panel/rel eager-checkpointed per rep — bounded rows, referenced
+    // 3x each (see q239's r19 note); the replayed subtrees were the
+    // bulk of the committed 1187-line plan
+    val panel = graft.Ckpt.eager(knownItemPanel(pairs))
     val lex = panelLex(s, d, panel)
     val discount = element_at(
       array(ndcgDiscounts.map(lit): _*), col("r").cast("int"))
-    val rel = panelRel(pairs, panel)
+    val rel = graft.Ckpt.eager(panelRel(pairs, panel)
       .withColumn("gain",
-        when(col("inter") * 5 >= col("uni") * 4, 3L).otherwise(1L))
+        when(col("inter") * 5 >= col("uni") * 4, 3L).otherwise(1L)))
     val nrel = rel.groupBy("query_id").agg(
       count(lit(1)).as("n_rel"),
       sum(when(col("gain") === 3L, 1L).otherwise(0L)).as("n_strong"))
@@ -712,7 +727,10 @@ object Retrieval {
     * cross-engine. */
   lazy val q343_bm25_sweep: Q = (s, d) => {
     val pairs = Dedup.exactNearDupPairs(s, d)
-    val panel = knownItemPanel(pairs)
+    // 10-row panel referenced by qtf, rel (x2) and nq — eager-
+    // checkpointed per rep so the pair-scan+union+distinct+TakeOrdered
+    // subtree plans once (see q239's r19 note)
+    val panel = graft.Ckpt.eager(knownItemPanel(pairs))
     val post = postings(s, d)
     val stats = corpusStats(s, d)
     val qtf = post
