@@ -363,13 +363,17 @@ object TextStats {
     * top-10 cut is orderBy+limit (`TakeOrderedAndProject` — per-partition
     * top-k then a driver merge, no global sort), the q44 shape. */
   val q96_bpe_merge_pairs: Q = (s, d) =>
-    docShingles(s, d)
-      .select(explode(col("words")).as("w"))
+    // r19: folds from the memoized unigram TYPE counts — a word's
+    // adjacent char pairs are a per-type function, so the corpus pair
+    // frequency is Σ over types of cw × (pairs of w): the per-rep
+    // corpus explode becomes a vocabulary-sized pass (the same
+    // count-weighted trick BPE training itself uses in bpeVocab0)
+    unigramCounts(s, d)
       .where(length(col("w")) >= 2)
-      .select(explode(transform(
+      .select(col("cw"), explode(transform(
         sequence(lit(1), length(col("w")) - 1),
         i => col("w").substr(i, lit(2)))).as("pair"))
-      .groupBy("pair").agg(count(lit(1)).as("freq"))
+      .groupBy("pair").agg(sum("cw").as("freq"))
       .orderBy(col("freq").desc, col("pair").asc)
       .limit(10)
 
@@ -428,12 +432,17 @@ object TextStats {
     * count), so a caller reusing a label with a different filter or k
     * gets its own cache entry — never another filter's vocab (r8
     * ADVICE: the old caller-supplied key made that a silent hazard). */
-  /** The symbolized word-count frame BPE training starts from. */
-  private def bpeVocab0(s: SparkSession, d: String, docFilter: Column): DataFrame =
-    docShingles(s, d).where(docFilter)
-      .select(explode(col("words")).as("w"))
+  /** The symbolized word-count frame BPE training starts from —
+    * r19: folded from [[wordIdCells]] (the doc subset arrives as a
+    * predicate over the q70 id bucket `ib`, the only subset any
+    * trainer uses), so the one-time bpe memo builds are a
+    * vocabulary-sized fold instead of their own corpus explode.
+    * Per-word counts over an ib slice fold exactly (buckets partition
+    * docs); the word filter commutes with the type grouping. */
+  private def bpeVocab0(s: SparkSession, d: String, ibFilter: Column): DataFrame =
+    wordIdCells(s, d).where(ibFilter)
       .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .groupBy("w").agg(sum("cw").as("cnt"))
       .select(concat(lit("|"), array_join(split(col("w"), ""), "||"), lit("|"))
         .as("sym"), col("cnt"))
 
@@ -453,14 +462,14 @@ object TextStats {
   }
 
   private def bpeTrainedOn(s: SparkSession, d: String, label: String,
-      docFilter: Column, numMerges: Int = bpeMerges)
+      ibFilter: Column, numMerges: Int = bpeMerges)
       : (Vector[(Long, String, String, Long)], DataFrame) = {
     val fSig = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${docFilter.toString}|k=$numMerges".getBytes("UTF-8"))
+      .digest(s"${ibFilter.toString}|k=$numMerges".getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
     val memoKey = s"bpe:$label:$fSig"
     val vocabFinal = graft.SessionMemo(s, d, memoKey) {
-      var vocab = bpeVocab0(s, d, docFilter).localCheckpoint(true)
+      var vocab = bpeVocab0(s, d, ibFilter).localCheckpoint(true)
       var merges = Vector.empty[(Long, String, String, Long)]
       var done = false
       for (step <- 1 to numMerges if !done) {
@@ -506,9 +515,9 @@ object TextStats {
     * plenty, since ≥ half of any prefix is always selectable (each pick
     * blocks pairs sharing its 3 symbol strings). */
   private[graft] def bpeTrainBatched(s: SparkSession, d: String, numMerges: Int,
-      batch: Int, docFilter: Column = lit(true))
+      batch: Int, ibFilter: Column = lit(true))
       : Vector[(Long, String, String, Long)] =
-    bpeTrainBatchedStats(s, d, numMerges, batch, docFilter)._1
+    bpeTrainBatchedStats(s, d, numMerges, batch, ibFilter)._1
 
   /** Per-pass accounting for [[bpeTrainBatched]]: for each pass, the
     * candidate-pool size it saw (≤ 8·batch; smaller = the pair table
@@ -537,11 +546,11 @@ object TextStats {
     * gated q138 semantics (one frozen pool per pass, underfill carried)
     * are unchanged, and its oracle replays exactly that. */
   private[graft] def bpeTrainBatchedStats(s: SparkSession, d: String,
-      numMerges: Int, batch: Int, docFilter: Column = lit(true),
+      numMerges: Int, batch: Int, ibFilter: Column = lit(true),
       refill: Boolean = false)
       : (Vector[(Long, String, String, Long)], Vector[BpePassStats]) = {
     require(batch >= 1, s"batch must be >= 1, got $batch")
-    var vocab = graft.Ckpt.eager(bpeVocab0(s, d, docFilter))
+    var vocab = graft.Ckpt.eager(bpeVocab0(s, d, ibFilter))
     var merges = Vector.empty[(Long, String, String, Long)]
     var done = false
     // the pass count is FIXED at ceil(k/b): bounded driver-loop jobs is
@@ -689,24 +698,30 @@ object TextStats {
     * aggregate. The merge table reaches executors as literals in the
     * plan (k rows, the broadcast-free degenerate case). */
   lazy val q106_bpe_heldout: Q = (s, d) => {
-    val merges = bpeTrainedOn(s, d, "vocab_train",
-      idBucket(col("doc_id")) < 80)._1
-    val bucket = idBucket(col("doc_id"))
+    val merges = bpeTrainedOn(s, d, "vocab_train", col("ib") < 80)._1
     val sym0 = concat(lit("|"), array_join(split(col("w"), ""), "||"), lit("|"))
     val symFinal = merges.foldLeft(sym0) { case (c, (_, l, r, _)) =>
       replace(c, lit(s"|$l||$r|"), lit(s"|$l$r|"))
     }
-    docShingles(s, d)
-      .where(bucket < 80 || bucket >= 90)
-      .select(when(bucket < 80, "train").otherwise("test").as("split"),
-        explode(col("words")).as("w"))
-      .where(col("w").rlike("^[a-z]+$"))
-      .select(col("split"), length(col("w")).cast("long").as("nc"),
+    // r19: the application replay folds from [[wordIdCells]] — per-word
+    // token/char totals are per-TYPE functions weighted by counts
+    // (n_words ≡ Σ cw, n_chars ≡ Σ len(w)·cw, n_tokens ≡ Σ nt(w)·cw),
+    // so the k-replace merge replay evaluates once per (split, word
+    // type) instead of once per token occurrence — the same
+    // count-weighted trick the trainer itself runs on
+    wordIdCells(s, d)
+      .where((col("ib") < 80 || col("ib") >= 90) &&
+        col("w").rlike("^[a-z]+$"))
+      .groupBy(when(col("ib") < 80, "train").otherwise("test").as("split"),
+        col("w"))
+      .agg(sum("cw").as("cw"))
+      .select(col("split"), col("cw"),
+        length(col("w")).cast("long").as("nc"),
         size(split(regexp_replace(symFinal, "^\\||\\|$", ""), "\\|\\|"))
           .cast("long").as("nt"))
       .groupBy("split")
-      .agg(count(lit(1)).as("n_words"), sum("nc").as("n_chars"),
-        sum("nt").as("n_tokens"))
+      .agg(sum("cw").as("n_words"), sum(col("nc") * col("cw")).as("n_chars"),
+        sum(col("nt") * col("cw")).as("n_tokens"))
       .withColumn("chars_per_token",
         when(col("n_tokens") === 0, lit(null).cast("double"))
           .otherwise(round4(
@@ -1069,6 +1084,15 @@ object TextStats {
     tok.select(posexplode(cmsBuckets(col("word"))).as(Seq("r", "b")))
       .groupBy("r", "b").agg(count(lit(1)).as("cell_cnt"))
 
+  /** [[cmsCells]] folded from a (w, cw) TYPE-count table instead of the
+    * token stream: a word's (r, b) cells depend only on the word, so
+    * the cell counter is Σ over types of cw — token-identical to the
+    * stream build (TrainingDataSpec pins the fold ≡ stream parity).
+    * r19: lets q147/q151 sketch from the memoized count tables. */
+  private[graft] def cmsCellsFromCounts(wc: DataFrame): DataFrame =
+    wc.select(col("cw"), posexplode(cmsBuckets(col("w"))).as(Seq("r", "b")))
+      .groupBy("r", "b").agg(sum("cw").as("cell_cnt"))
+
   /** Serve (word, cnt) probes through a sketch: estimate = MIN over the
     * word's per-row counters, plus the collision overcount. */
   private def cmsServe(probes: DataFrame, cells: DataFrame): DataFrame =
@@ -1081,10 +1105,17 @@ object TextStats {
       .orderBy(col("cnt").desc, col("word"))
 
   lazy val q147_cms_topk: Q = (s, d) => {
-    val tok = docShingles(s, d).select(explode(col("words")).as("word"))
-    val top = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
+    // r19: the exact term table and the sketch both fold from the
+    // memoized unigram TYPE counts (the corpus explode ran per rep
+    // twice — once per consumer of `tok`). The top-k is the same cut
+    // (type counts ARE the exact term table); the sketch fold is
+    // token-identical ([[cmsCellsFromCounts]]). The vocabulary-sized
+    // fold + serve join still run per rep — the artifact is an input
+    // marginal, not this query's result (SessionMemo rule 1).
+    val wc = unigramCounts(s, d)
+    val top = wc.select(col("w").as("word"), col("cw").as("cnt"))
       .orderBy(col("cnt").desc, col("word")).limit(20)
-    cmsServe(top, cmsCells(tok))
+    cmsServe(top, cmsCellsFromCounts(wc))
   }
 
   /** q151: the CMS MERGE LAW — the property that makes q147's sketch
@@ -1102,15 +1133,20 @@ object TextStats {
     * merge fails the hash. At scale this is the sketch's whole value:
     * per-batch map-side build, kilobyte merge, no re-read. */
   lazy val q151_cms_merge: Q = (s, d) => {
-    val docs = docShingles(s, d)
-    def halfTok(lower: Boolean) = docs
-      .where(if (lower) idBucket(col("doc_id")) < 50 else idBucket(col("doc_id")) >= 50)
-      .select(explode(col("words")).as("word"))
-    val merged = cmsCells(halfTok(lower = true))
-      .unionByName(cmsCells(halfTok(lower = false)))
+    // r19: each half's sketch folds from the [[wordIdCells]] slice of
+    // its id-bucket range (buckets partition docs, so the per-half
+    // (word → count) marginal is exact — neither fold sees the other
+    // half's counts) and the probes fold from the full type table;
+    // the gated MERGE (union + cell-wise sum) is unchanged. Three
+    // per-rep corpus explodes become vocabulary-sized folds.
+    def halfCells(lower: Boolean) = cmsCellsFromCounts(wordIdCells(s, d)
+      .where(if (lower) col("ib") < 50 else col("ib") >= 50)
+      .groupBy("w").agg(sum("cw").as("cw")))
+    val merged = halfCells(lower = true)
+      .unionByName(halfCells(lower = false))
       .groupBy("r", "b").agg(sum("cell_cnt").as("cell_cnt"))
-    val tok = docs.select(explode(col("words")).as("word"))
-    val top = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val top = unigramCounts(s, d)
+      .select(col("w").as("word"), col("cw").as("cnt"))
       .orderBy(col("cnt").desc, col("word")).limit(20)
     cmsServe(top, merged)
   }
@@ -1826,14 +1862,47 @@ object TextStats {
     * asc) is a deterministic total order. Scale: two corpus-grain
     * aggregates (unigrams, bigrams) and vocabulary-keyed equi joins —
     * AQE elects broadcast while the unigram table is small. */
+  /** The (id-bucket, word) token-count CELL table — (ib, w, cw) with
+    * ib = the q70 [[idBucket]] of the emitting doc — the r19 shared
+    * corpus pass the word-marginal family folds from (the verdict-
+    * ordered "(word, idBucket)" artifact): every consumer's statistic
+    * is a per-word-TYPE function weighted by token counts, and counts
+    * fold exactly across the bucket partition (buckets partition docs,
+    * so Σ_ib cw ≡ the corpus count of w; an ib-range slice ≡ the
+    * count over that doc split). Bounded by vocabulary × 100 — type
+    * space, never the token stream (the q212 rule). Consumers:
+    * [[unigramCounts]] (→ q279/q338 totals), q96's char-pair table,
+    * q147's exact top-k + sketch, q151's per-half sketches, and the
+    * BPE family's train-split vocab (q102/q104/q106). UNFILTERED
+    * (empty-string tokens retained) so token totals fold from it. */
+  private[graft] def wordIdCells(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo(s, d, "text:wordIdCells")(
+      docShingles(s, d)
+        .select(idBucket(col("doc_id")).as("ib"), explode(col("words")).as("w"))
+        .groupBy("ib", "w").agg(count(lit(1)).as("cw")))(
+      df => graft.BuildPhase.timed(df.localCheckpoint(true)))
+
   /** The corpus unigram type-count table (w, cw) — vocabulary-bounded,
     * UNFILTERED (empty-string tokens retained so token totals fold from
     * it), session-memoized (r18): q279 reads it filtered and derives
-    * its totals row, replacing per-rep corpus explodes. */
+    * its totals row, replacing per-rep corpus explodes. r19: folds
+    * from [[wordIdCells]] (Σ over ib — exact), so the corpus explode
+    * runs once per session for the whole word-marginal family. */
   private[graft] def unigramCounts(s: SparkSession, d: String): DataFrame =
     graft.SessionMemo(s, d, "text:unigramCounts")(
-      docShingles(s, d).select(explode(col("words")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("cw")))(
+      wordIdCells(s, d).groupBy("w").agg(sum("cw").as("cw")))(
+      df => graft.BuildPhase.timed(df.localCheckpoint(true)))
+
+  /** The (source, word) count cells — source×vocabulary-bounded,
+    * session-memoized (r19): q307's shape audit and q316's cosine grid
+    * both aggregated the identical (source, w, c) marginal per rep
+    * (q316 under a per-rep persist). One materialized artifact; build
+    * charged to the build phase. */
+  private[graft] def sourceWordCells(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo(s, d, "text:sourceWordCells")(
+      docShingles(s, d)
+        .select(col("source"), explode(col("words")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c")))(
       df => graft.BuildPhase.timed(df.localCheckpoint(true)))
 
   /** The corpus bigram type-count table (bg, cab) — bigram-vocabulary-
@@ -1880,9 +1949,9 @@ object TextStats {
     * Both tails of the curve in one row — the source-triage signal a
     * curation run reads next to q83's duplication stats. */
   val q307_vocab_shape: Q = (s, d) => {
-    val wc = docShingles(s, d)
-      .select(col("source"), explode(col("words")).as("w"))
-      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    // r19: reads the memoized (source, word) cells — q316 aggregates
+    // the identical marginal (see [[sourceWordCells]])
+    val wc = sourceWordCells(s, d)
     wc.groupBy("source")
       .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
         sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"),
@@ -2026,9 +2095,10 @@ object TextStats {
     * vocabulary×sources-bounded; the pair dot joins on the word key —
     * never a doc-level op; the final grid is sources²-bounded. */
   val q316_source_similarity: Q = (s, d) => {
-    val wc = graft.Ckpt.persisted(docShingles(s, d)
-      .select(col("source"), explode(col("words")).as("w"))
-      .groupBy("source", "w").agg(count(lit(1)).as("c")))
+    // r19: the per-rep persist of the (source, word) marginal becomes
+    // a read of the session memo q307 shares (the r18 retrieval-trio
+    // rule: never re-cache an already-materialized artifact)
+    val wc = sourceWordCells(s, d)
     val norms = wc.groupBy("source")
       .agg(sum(expr("CAST(c AS DECIMAL(38, 0)) * c")).as("nsq"))
     val dots = wc

@@ -845,4 +845,50 @@ class TrainingDataSpec extends AnyFunSuite with SparkTestBase {
     assert(uMemo.agg(sum("cw")).head().getLong(0) == direct.getLong(0))
     assert(bMemo.agg(sum("cab")).head().getLong(0) == direct.getLong(1))
   }
+
+  test("wordIdCells equals the direct (ib, word) marginal; ib slices and the sketch fold are token-identical (r19)") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val cells = TextStats.wordIdCells(spark, d)
+    assert(cells eq TextStats.wordIdCells(spark, d)) // memo: one build
+    val docs = graft.ops.TextCore.docShingles(spark, d)
+    val direct = docs
+      .select(graft.ops.TextCore.idBucket(col("doc_id")).as("ib"),
+        explode(col("words")).as("w"))
+      .groupBy("ib", "w").agg(count(lit(1)).as("cw")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = cells.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == direct)
+    assert(got.nonEmpty)
+    // an ib-range slice folds to exactly the doc-split marginal
+    // (buckets partition docs) — the q151/q106/bpeVocab0 derivation
+    val wantHalf = docs
+      .where(graft.ops.TextCore.idBucket(col("doc_id")) < 50)
+      .select(explode(col("words")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotHalf = cells.where(col("ib") < 50)
+      .groupBy("w").agg(sum("cw").as("cw")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotHalf == wantHalf)
+    // the count-weighted sketch fold is token-identical to the
+    // stream build — q147/q151's cells come from the type table
+    val tok = docs.select(explode(col("words")).as("word"))
+    val wantCms = TextStats.cmsCells(tok).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val wc = cells.groupBy("w").agg(sum("cw").as("cw"))
+    val gotCms = TextStats.cmsCellsFromCounts(wc).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotCms == wantCms)
+    // the (source, word) cells equal the direct marginal (q307/q316)
+    val swMemo = TextStats.sourceWordCells(spark, d)
+    assert(swMemo eq TextStats.sourceWordCells(spark, d))
+    val wantSw = docs.select(col("source"), explode(col("words")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val gotSw = swMemo.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(gotSw == wantSw)
+  }
 }

@@ -49,7 +49,16 @@ CANARIES = [
     "q273_erasure_sweep",      # governance anti-join/semi-probe sweep
     "q59_dedup_embed_lsh",     # embedding sign-LSH banding
     "q163_quality_perceptron", # text quality scoring pass
-    "q147_cms_topk",           # CMS sketch build + probe
+    # r19: q147 left the list — its exact term table and sketch now
+    # fold from the text:wordIdCells/unigramCounts session memos (the
+    # verdict-ordered shared word-marginal pass; changed code =
+    # re-baseline, the same instrument rule as the r18 q238->q61 swap).
+    # q170 takes the slot: retrieval BM25+PRF shape (a family the list
+    # did not cover), read-only (serves from the lex:* memos), code
+    # untouched since r17, and 1.052 max/min spread across the three
+    # newest committed idle artifacts (r18m/r18n/r19a: 1.457/1.533/
+    # 1.505) with a ~1.5 s median — a robust ratio denominator.
+    "q170_prf_expansion",      # retrieval BM25 + PRF expansion
     "q133_ivfpq_refine",       # vector index read + PQ refine
 ]
 
