@@ -1166,7 +1166,29 @@ object Events {
     * the streaming-parity reference. */
   private[graft] def driftCells(s: SparkSession, d: String): DataFrame =
     graft.SessionMemo(s, d, "events:driftCells")(
-      driftCellCounts(events(s, d)))(
+      // r19: folds from the day-grain cells (epoch = driftEpoch(day),
+      // midnight-aligned — exact) so ONE corpus pass serves
+      // q229/q235/q321
+      driftDayCells(s, d)
+        .groupBy(col("event_type"), driftEpoch(col("day")).as("epoch"),
+          col("bucket"))
+        .agg(sum("cnt").as("cnt")))(
+      df => graft.BuildPhase.timed(df.localCheckpoint(true)))
+
+  /** The (event_type, day, bucket) DAY-grain drift cells — calendar ×
+    * types × 16-bounded, session-memoized (r19): q321's flappiness
+    * audit reads them at day grain (it re-ran this corpus pass per rep
+    * under a per-rep persist) and the epoch-grain [[driftCells]] table
+    * folds from them exactly. The streaming twin keeps building its
+    * own per-batch cells — same [[driftBucketCol]] geometry, one
+    * definition. */
+  private[graft] def driftDayCells(s: SparkSession, d: String): DataFrame =
+    graft.SessionMemo(s, d, "events:driftDayCells")(
+      events(s, d)
+        .select(col("event_type"), expr("es div 86400").as("day"),
+          driftBucketCol.as("bucket"))
+        .groupBy("event_type", "day", "bucket")
+        .agg(count(lit(1)).as("cnt")))(
       df => graft.BuildPhase.timed(df.localCheckpoint(true)))
 
   val q229_dist_drift: Q = (s, d) => driftTable(driftCells(s, d))
@@ -2420,11 +2442,11 @@ object Events {
     * one (type, day, bucket) corpus pass; everything after is
     * calendar×16-bounded, windows partitioned per type. */
   val q321_alarm_flappiness: Q = (s, d) =>
-    flapFromCells(graft.Ckpt.persisted(events(s, d)
-      .select(col("event_type"), expr("es div 86400").as("day"),
-        driftBucketCol.as("bucket"))
-      .groupBy("event_type", "day", "bucket")
-      .agg(count(lit(1)).as("cnt"))))
+    // r19: reads the memoized day-grain drift cells — this exact
+    // (type, day, bucket) corpus pass also underlies q229/q235's epoch
+    // table (see [[driftDayCells]]); the old per-rep persist rebuilt it
+    // every rep
+    flapFromCells(driftDayCells(s, d))
 
   /** q321's body over any (event_type, day, bucket, cnt) cell frame —
     * factored so the spec can pin a hand flap sequence and the

@@ -1243,6 +1243,32 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(derived == direct)
   }
 
+  test("driftDayCells memo equals the direct day-grain marginal; the epoch cells fold from it (r19)") {
+    val d = "/root/testdata/sf0.001"
+    val memo = Events.driftDayCells(spark, d)
+    assert(memo eq Events.driftDayCells(spark, d)) // one build
+    val want = Events.events(spark, d)
+      .select(col("event_type"), expr("es div 86400").as("day"),
+        Events.driftBucketCol.as("bucket"))
+      .groupBy("event_type", "day", "bucket")
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val got = memo.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+    // epoch cells fold exactly: epoch = driftEpoch(day), counts sum
+    val folded = Events.driftCells(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val direct = Events.driftCellCounts(Events.events(spark, d)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(folded == direct)
+  }
+
   test("q301 HDR cells derived from exact value cells equal the raw-row HDR cells") {
     val d = "/root/testdata/sf0.001"
     val ev = Events.events(spark, d)
